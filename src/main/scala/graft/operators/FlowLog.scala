@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spark-native re-expression of the reference's entire dataflow
+  * (amazon-archives/aws-vpc-flow-log-appender): VPC Flow Log v2 lines →
+  * regex parse → validate/dead-letter → ENI broadcast join → direction →
+  * RFC1918 gate → geo broadcast join → null-defaulting → serialize.
+  *
+  * Reference operators covered (SURVEY.md §2): OP-9/10 (parse+cast,
+  * decorator/index.js:43,107-126), OP-12 (dead-letter,
+  * decorator/index.js:128-139,206-234), OP-13/14 (dimension build + lookup
+  * join, decorator/index.js:82-93,166-173), OP-15 (direction,
+  * decorator/index.js:170), OP-16 (RFC1918 regex, decorator/index.js:149-153),
+  * OP-17/18/19 (geo enrich + defaults + struct, decorator/index.js:175-190),
+  * OP-20 (serialize, decorator/index.js:222).
+  *
+  * The per-record `lodash.find` lookup of the reference
+  * (decorator/index.js:167) is a broadcast hash join here; the per-record
+  * blocking HTTP geocode (decorator/geocode.js:59) is a broadcast join
+  * against a geo dimension. Both scale to 100 TB: the fact stream never
+  * shuffles — only the (tiny) dimensions move.
+  *
+  * Since no flow-log parquet exists in the testdata, raw v2 lines are
+  * synthesized deterministically from `lineitem` columns *inside the query*
+  * (SURVEY.md §7.1), which makes the parser itself DuckDB-verifiable.
+  */
+object FlowLog {
+
+  /** Stricter variant of the reference parse regex (decorator/index.js:43):
+    * dots escaped inside IP quads and end-anchored (SURVEY.md §8 Q6). */
+  val FlowRegex: String =
+    """^(\d+) (\d+) (eni-\w+) ([0-9.]+) ([0-9.]+) (\d+) (\d+) (\d+) (\d+) (\d+) (\d+) (\d+) (ACCEPT|REJECT) (OK|NODATA|SKIPDATA)$"""
+
+  /** RFC1918 + loopback membership test (decorator/index.js:150). */
+  val Rfc1918Regex: String = """^(10|127|192\.168|172\.(1[6-9]|2[0-9]|3[01]))\."""
+
+  /** OP-1 analog: synthesize VPC Flow Log v2 lines from lineitem columns.
+    * ~2% of lines are deliberately malformed to exercise the dead-letter
+    * route (OP-12). Pure projection — no shuffle; columns prune to the 4
+    * lineitem keys at the parquet scan.
+    */
+  def synthesizeLines(lineitem: DataFrame): DataFrame = {
+    val id = (col("l_orderkey") * 8 + col("l_linenumber")).cast("long")
+    val srcaddr = when(col("l_linenumber") % 3 === 0,
+      concat(lit("52."), (col("l_partkey") % 30).cast("string"), lit(".0.1"))
+    ).otherwise(
+      concat(lit("10."), (col("l_partkey") % 256).cast("string"), lit("."),
+        (col("l_orderkey") % 256).cast("string"), lit("."),
+        (col("l_suppkey") % 254 + 1).cast("string")))
+    val goodLine = concat_ws(" ",
+      lit("2"),
+      lit("123456789012"),
+      concat(lit("eni-"), col("l_suppkey").cast("string")),
+      srcaddr,
+      concat(lit("172.31.16."), (col("l_orderkey") % 200 + 1).cast("string")),
+      (col("l_orderkey") % 60000 + 1024).cast("string"),
+      when(col("l_linenumber") % 2 === 0, "443").otherwise("22"),
+      when(col("l_linenumber") % 2 === 0, "6").otherwise("17"),
+      ((col("l_linenumber") * 7) % 100 + 1).cast("string"),
+      ((col("l_orderkey") % 1000) * col("l_linenumber") + 40).cast("string"),
+      (col("l_orderkey") % 86400 + 1418530010L).cast("string"),
+      (col("l_orderkey") % 86400 + 1418530070L).cast("string"),
+      when((col("l_orderkey") + col("l_linenumber")) % 10 < 8, "ACCEPT")
+        .otherwise("REJECT"),
+      when(col("l_orderkey") % 20 === 0, "NODATA")
+        .when(col("l_orderkey") % 20 === 1, "SKIPDATA")
+        .otherwise("OK"))
+    lineitem.select(
+      id.as("id"),
+      when(col("l_orderkey") % 53 === 0,
+        concat(lit("MALFORMED "), id.cast("string"))).otherwise(goodLine)
+        .as("line"))
+  }
+
+  /** OP-13 analog: ENI → security-groups dimension
+    * (decorator/index.js:71-93). Built from `supplier`; every 10th ENI is
+    * absent to exercise the join-miss path (decorator/index.js:171-173).
+    * `security_group_ids` is ArrayType(String) as in the reference;
+    * `ip_address` is the scalar primary private IP (SURVEY.md §8 Q2).
+    */
+  def eniDimension(supplier: DataFrame): DataFrame =
+    supplier
+      .filter(col("s_suppkey") % 10 =!= 0)
+      .select(
+        concat(lit("eni-"), col("s_suppkey").cast("string"))
+          .as("interface_id"),
+        array(
+          concat(lit("sg-"), (col("s_suppkey") % 7).cast("string")),
+          concat(lit("sg-"), (col("s_suppkey") % 13 + 100).cast("string")))
+          .as("security_group_ids"),
+        concat(lit("172.31.16."), (col("s_suppkey") % 200 + 1).cast("string"))
+          .as("ip_address"))
+
+  /** OP-17 analog: the ipstack geolocation service
+    * (decorator/geocode.js:56-68) as a deterministic geo dimension keyed by
+    * source IP, built from nation × region. Public synth IPs use nationkey
+    * % 30, so keys 25-29 miss → exercises the blank-geo default (OP-18).
+    */
+  def geoDimension(nation: DataFrame, region: DataFrame): DataFrame =
+    nation
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        concat(lit("52."), col("n_nationkey").cast("string"), lit(".0.1"))
+          .as("ip"),
+        concat(lit("C"), col("n_nationkey").cast("string"))
+          .as("country_code"),
+        col("n_name").as("country_name"),
+        col("r_regionkey").cast("string").as("region_code"),
+        col("r_name").as("region_name"),
+        concat(col("n_name"), lit(" CITY")).as("city"),
+        (col("n_nationkey").cast("double") * 3.7 - 45.0).as("latitude"),
+        (col("n_regionkey").cast("double") * 31.0 - 60.0).as("longitude"))
+
+  /** OP-9/OP-10/OP-12: regex parse of the 14-field v2 line into typed
+    * columns + the dead-letter `error` flag (decorator/index.js:107-139).
+    * 14 `regexp_extract`s stay inside whole-stage codegen; a failed match
+    * yields `error = true` with all typed fields null (the reference carries
+    * the raw payload through — we keep `line` alongside).
+    */
+  def parseFlowLines(lines: DataFrame): DataFrame = {
+    val err = !col("line").rlike(FlowRegex)
+    def grp(i: Int) = regexp_extract(col("line"), FlowRegex, i)
+    def num(i: Int, t: String) = when(err, lit(null)).otherwise(grp(i).cast(t))
+    def str(i: Int) = when(err, lit(null)).otherwise(grp(i))
+    lines.select(
+      col("id"), col("line"), err.as("error"),
+      num(1, "int").as("version"),
+      str(2).as("account_id"), // StringType: keeps leading zeros (§8 Q1)
+      str(3).as("interface_id"),
+      str(4).as("srcaddr"),
+      str(5).as("destaddr"), // reference's field name (§8 Q7)
+      num(6, "int").as("srcport"),
+      num(7, "int").as("dstport"),
+      num(8, "int").as("protocol"),
+      num(9, "long").as("packets"),
+      num(10, "long").as("bytes"),
+      num(11, "long").as("start"),
+      num(12, "long").as("end"),
+      str(13).as("action"),
+      str(14).as("log_status"))
+  }
+
+  /** OP-14/15/16/17/18/19: the decorator's enrichment pass
+    * (decorator/index.js:163-197) as two broadcast left joins + derived
+    * columns. Geo join condition includes the NOT-private gate, mirroring
+    * the reference's skip of geocoding for RFC1918 sources
+    * (decorator/index.js:175-176) — private rows never match, and get the
+    * blank defaults of OP-18 (decorator/index.js:182-190).
+    */
+  def enrich(parsed: DataFrame, eni: DataFrame, geo: DataFrame): DataFrame = {
+    val withEni = parsed
+      .join(broadcast(eni), parsed("interface_id") === eni("interface_id"),
+        "left_outer")
+      .drop(eni("interface_id"))
+      .withColumn("direction",
+        when(col("ip_address").isNull, lit(null))
+          .when(col("destaddr") === col("ip_address"), "inbound")
+          .otherwise("outbound"))
+      .withColumn("is_private", col("srcaddr").rlike(Rfc1918Regex))
+    withEni
+      .join(broadcast(geo),
+        withEni("srcaddr") === geo("ip") && !withEni("is_private"),
+        "left_outer")
+      .drop("ip")
+      .withColumn("country_code", coalesce(col("country_code"), lit("")))
+      .withColumn("country_name", coalesce(col("country_name"), lit("")))
+      .withColumn("region_code", coalesce(col("region_code"), lit("")))
+      .withColumn("region_name", coalesce(col("region_name"), lit("")))
+      .withColumn("city", coalesce(col("city"), lit("")))
+      .withColumn("source_location",
+        struct(coalesce(col("latitude"), lit(0.0)).as("lat"),
+          coalesce(col("longitude"), lit(0.0)).as("lon")))
+  }
+
+  /** OP-12 routing + OP-20 serialize (decorator/index.js:206-234): Ok rows
+    * re-encoded as base64(JSON), failed rows carry the original payload —
+    * per-record dead-letter, not batch-abort (SURVEY.md §8 Q3/Q5).
+    */
+  def packageRecords(enriched: DataFrame): DataFrame =
+    enriched.select(
+      col("id"),
+      when(col("error"), "ProcessingFailed").otherwise("Ok").as("result"),
+      when(col("error"), base64(col("line").cast("binary")))
+        .otherwise(base64(to_json(struct(
+          col("version"), col("account_id"), col("interface_id"),
+          col("srcaddr"), col("destaddr"), col("srcport"), col("dstport"),
+          col("protocol"), col("packets"), col("bytes"), col("start"),
+          col("end"), col("action"), col("log_status"),
+          col("security_group_ids"), col("direction"),
+          col("country_code"), col("country_name"), col("region_code"),
+          col("region_name"), col("city"), col("source_location"))).cast("binary")))
+        .as("data"))
+
+  /** The whole decorator pipeline, composable via `.transform`. */
+  def pipeline(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val parsed = parseFlowLines(synthesizeLines(lineitem))
+    enrich(parsed, eniDimension(supplier), geoDimension(nation, region))
+  }
+}

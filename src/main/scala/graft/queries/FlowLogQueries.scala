@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.FlowLog
+
+/** Driver-verifiable queries for every flow-log operator group
+  * (SURVEY.md §7.2 phases A+B). Each `queries` entry has a matching
+  * DuckDB `oracle` statement; the SQL mirrors the Spark plan via the
+  * shared CTE fragments below, so any semantic drift between the two is
+  * caught by the driver's hash compare.
+  */
+object FlowLogQueries {
+
+  // ---- shared DuckDB CTE fragments (mirror FlowLog.scala exactly) ----
+
+  private val Rx = FlowLog.FlowRegex
+  private val PrivRx = FlowLog.Rfc1918Regex
+
+  private val linesCte =
+    s"""lines AS (
+       |  SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
+       |         CASE WHEN l_orderkey % 53 = 0
+       |              THEN 'MALFORMED ' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)
+       |              ELSE concat_ws(' ', '2', '123456789012',
+       |                'eni-' || CAST(l_suppkey AS VARCHAR),
+       |                CASE WHEN l_linenumber % 3 = 0
+       |                     THEN '52.' || CAST(l_partkey % 30 AS VARCHAR) || '.0.1'
+       |                     ELSE '10.' || CAST(l_partkey % 256 AS VARCHAR) || '.'
+       |                          || CAST(l_orderkey % 256 AS VARCHAR) || '.'
+       |                          || CAST(l_suppkey % 254 + 1 AS VARCHAR) END,
+       |                '172.31.16.' || CAST(l_orderkey % 200 + 1 AS VARCHAR),
+       |                CAST(l_orderkey % 60000 + 1024 AS VARCHAR),
+       |                CASE WHEN l_linenumber % 2 = 0 THEN '443' ELSE '22' END,
+       |                CASE WHEN l_linenumber % 2 = 0 THEN '6' ELSE '17' END,
+       |                CAST((l_linenumber * 7) % 100 + 1 AS VARCHAR),
+       |                CAST((l_orderkey % 1000) * l_linenumber + 40 AS VARCHAR),
+       |                CAST(l_orderkey % 86400 + 1418530010 AS VARCHAR),
+       |                CAST(l_orderkey % 86400 + 1418530070 AS VARCHAR),
+       |                CASE WHEN (l_orderkey + l_linenumber) % 10 < 8 THEN 'ACCEPT' ELSE 'REJECT' END,
+       |                CASE WHEN l_orderkey % 20 = 0 THEN 'NODATA'
+       |                     WHEN l_orderkey % 20 = 1 THEN 'SKIPDATA'
+       |                     ELSE 'OK' END)
+       |         END AS line
+       |  FROM lineitem)""".stripMargin
+
+  // DuckDB's regexp_extract caps capture groups at 9, so the oracle
+  // extracts the 14 fields of a *valid* line via split_part (equivalent for
+  // lines that pass the full-regex validation) — an independent
+  // implementation of the same semantics, which is what an oracle should be.
+  private val parsedCte =
+    s"""parsed AS (
+       |  SELECT id, line,
+       |         NOT regexp_matches(line, '$Rx') AS error,
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN CAST(split_part(line, ' ', 1) AS INTEGER) END AS version,
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN split_part(line, ' ', 2) END AS account_id,
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN split_part(line, ' ', 3) END AS interface_id,
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN split_part(line, ' ', 4) END AS srcaddr,
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN split_part(line, ' ', 5) END AS destaddr,
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN CAST(split_part(line, ' ', 6) AS INTEGER) END AS srcport,
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN CAST(split_part(line, ' ', 7) AS INTEGER) END AS dstport,
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN CAST(split_part(line, ' ', 8) AS INTEGER) END AS protocol,
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN CAST(split_part(line, ' ', 9) AS BIGINT) END AS packets,
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN CAST(split_part(line, ' ', 10) AS BIGINT) END AS bytes,
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN CAST(split_part(line, ' ', 11) AS BIGINT) END AS "start",
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN CAST(split_part(line, ' ', 12) AS BIGINT) END AS "end",
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN split_part(line, ' ', 13) END AS action,
+       |         CASE WHEN regexp_matches(line, '$Rx') THEN split_part(line, ' ', 14) END AS log_status
+       |  FROM lines)""".stripMargin
+
+  private val eniCte =
+    """eni AS (
+      |  SELECT 'eni-' || CAST(s_suppkey AS VARCHAR) AS interface_id,
+      |         ['sg-' || CAST(s_suppkey % 7 AS VARCHAR),
+      |          'sg-' || CAST(s_suppkey % 13 + 100 AS VARCHAR)] AS security_group_ids,
+      |         '172.31.16.' || CAST(s_suppkey % 200 + 1 AS VARCHAR) AS ip_address
+      |  FROM supplier WHERE s_suppkey % 10 <> 0)""".stripMargin
+
+  private val geoCte =
+    """geo AS (
+      |  SELECT '52.' || CAST(n_nationkey AS VARCHAR) || '.0.1' AS ip,
+      |         'C' || CAST(n_nationkey AS VARCHAR) AS country_code,
+      |         n_name AS country_name,
+      |         CAST(r_regionkey AS VARCHAR) AS region_code,
+      |         r_name AS region_name,
+      |         n_name || ' CITY' AS city,
+      |         CAST(n_nationkey AS DOUBLE) * 3.7 - 45.0 AS latitude,
+      |         CAST(n_regionkey AS DOUBLE) * 31.0 - 60.0 AS longitude
+      |  FROM nation JOIN region ON n_regionkey = r_regionkey)""".stripMargin
+
+  private val enr1Cte =
+    s"""enr1 AS (
+       |  SELECT p.*, e.security_group_ids, e.ip_address,
+       |         CASE WHEN e.ip_address IS NULL THEN NULL
+       |              WHEN p.destaddr = e.ip_address THEN 'inbound'
+       |              ELSE 'outbound' END AS direction,
+       |         regexp_matches(p.srcaddr, '$PrivRx') AS is_private
+       |  FROM parsed p LEFT JOIN eni e ON p.interface_id = e.interface_id)""".stripMargin
+
+  private val enr2Cte =
+    """enr2 AS (
+      |  SELECT e1.*,
+      |         COALESCE(g.country_code, '') AS country_code,
+      |         COALESCE(g.country_name, '') AS country_name,
+      |         COALESCE(g.region_code, '') AS region_code,
+      |         COALESCE(g.region_name, '') AS region_name,
+      |         COALESCE(g.city, '') AS city,
+      |         COALESCE(g.latitude, 0.0) AS lat,
+      |         COALESCE(g.longitude, 0.0) AS lon
+      |  FROM enr1 e1 LEFT JOIN geo g ON e1.srcaddr = g.ip AND NOT e1.is_private)""".stripMargin
+
+  private def withCtes(ctes: String*)(select: String): String =
+    s"WITH ${ctes.mkString(",\n")}\n$select"
+
+  // ---- Spark-side helpers ----
+
+  private def parsed(s: SparkSession, d: String): DataFrame =
+    FlowLog.parseFlowLines(FlowLog.synthesizeLines(Tables.lineitem(s, d)))
+
+  private def enriched(s: SparkSession, d: String): DataFrame =
+    FlowLog.enrich(parsed(s, d),
+      FlowLog.eniDimension(Tables.supplier(s, d)),
+      FlowLog.geoDimension(Tables.nation(s, d), Tables.region(s, d)))
+
+  // ---- queries + oracles ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // OP-9/OP-10: regex scan → typed struct
+    "flow_parse" -> ((s, d) =>
+      parsed(s, d).filter(!col("error"))
+        .select(col("id"), col("version"), col("account_id"),
+          col("interface_id"), col("srcaddr"), col("destaddr"),
+          col("srcport"), col("dstport"), col("protocol"), col("packets"),
+          col("bytes"), col("start"), col("end"), col("action"),
+          col("log_status"))
+        .orderBy("id")),
+
+    // OP-12: validation / dead-letter split with original payload
+    "flow_deadletter" -> ((s, d) =>
+      parsed(s, d)
+        .select(col("id"),
+          when(col("error"), "ProcessingFailed").otherwise("Ok").as("result"),
+          when(col("error"), col("line")).as("payload"))
+        .orderBy("id")),
+
+    // OP-13/OP-14: dimension build + broadcast left lookup join
+    "flow_eni_join" -> ((s, d) =>
+      FlowLog.enrich(parsed(s, d),
+        FlowLog.eniDimension(Tables.supplier(s, d)),
+        FlowLog.geoDimension(Tables.nation(s, d), Tables.region(s, d)))
+        .filter(!col("error"))
+        .select(col("id"), col("interface_id"),
+          coalesce(array_join(col("security_group_ids"), ","), lit(""))
+            .as("sg_ids"),
+          coalesce(col("ip_address"), lit("")).as("ip_address"))
+        .orderBy("id")),
+
+    // OP-15: derived direction column
+    "flow_direction" -> ((s, d) =>
+      enriched(s, d).filter(!col("error"))
+        .select(col("id"), col("destaddr"),
+          coalesce(col("ip_address"), lit("")).as("ip_address"),
+          coalesce(col("direction"), lit("")).as("direction"))
+        .orderBy("id")),
+
+    // OP-16: RFC1918 membership predicate as a filter
+    "flow_rfc1918" -> ((s, d) =>
+      parsed(s, d)
+        .filter(!col("error") && col("srcaddr").rlike(FlowLog.Rfc1918Regex))
+        .select(col("id"), col("srcaddr"))
+        .orderBy("id")),
+
+    // OP-17/OP-18: geo enrichment join + blank defaulting
+    "flow_geo" -> ((s, d) =>
+      enriched(s, d).filter(!col("error"))
+        .select(col("id"), col("srcaddr"), col("is_private"),
+          col("country_code"), col("country_name"), col("region_code"),
+          col("region_name"), col("city"),
+          col("source_location.lat").as("lat"),
+          col("source_location.lon").as("lon"))
+        .orderBy("id")),
+
+    // Full decorator output (flagship, flattened for the oracle)
+    "flow_enriched" -> ((s, d) =>
+      enriched(s, d).filter(!col("error"))
+        .select(col("id"), col("version"), col("account_id"),
+          col("interface_id"), col("srcaddr"), col("destaddr"),
+          col("srcport"), col("dstport"), col("protocol"), col("packets"),
+          col("bytes"), col("start"), col("end"), col("action"),
+          col("log_status"),
+          coalesce(array_join(col("security_group_ids"), ","), lit(""))
+            .as("sg_ids"),
+          coalesce(col("ip_address"), lit("")).as("ip_address"),
+          coalesce(col("direction"), lit("")).as("direction"),
+          col("is_private"), col("country_code"), col("country_name"),
+          col("region_code"), col("region_name"), col("city"),
+          col("source_location.lat").as("lat"),
+          col("source_location.lon").as("lon"))
+        .orderBy("id")),
+
+    // OP-22: side-output success/failure counters
+    "flow_batch_counts" -> ((s, d) =>
+      parsed(s, d).groupBy(col("error")).agg(count(lit(1)).as("n"))
+        .orderBy("error")),
+
+    // OP-4/OP-5: control-message filter + newline projection (ingestor)
+    "ingest_filter_project" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") =!= "error")
+        .select(col("event_id"), concat(col("props"), lit("\n")).as("data"))
+        .orderBy("event_id")),
+
+    // OP-3/OP-20: JSON parse + re-serialize round-trip
+    "flow_json_roundtrip" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("long")
+            .as("k"))
+        .withColumn("rejson", to_json(struct(col("k"))))
+        .orderBy("event_id")),
+
+    // OP-8/OP-20: base64 decode/encode round-trip over text payloads.
+    // 48-byte prefix: Spark's base64 MIME-chunks beyond 76 output chars,
+    // DuckDB's does not — keep outputs in the unchunked range.
+    "flow_base64_roundtrip" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          base64(substring(col("text"), 1, 48).cast("binary")).as("b64"))
+        .withColumn("decoded", unbase64(col("b64")).cast("string"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "flow_parse" -> withCtes(linesCte, parsedCte)(
+      """SELECT id, version, account_id, interface_id, srcaddr, destaddr,
+        |       srcport, dstport, protocol, packets, bytes, "start", "end",
+        |       action, log_status
+        |FROM parsed WHERE NOT error ORDER BY id""".stripMargin),
+
+    "flow_deadletter" -> withCtes(linesCte, parsedCte)(
+      """SELECT id,
+        |       CASE WHEN error THEN 'ProcessingFailed' ELSE 'Ok' END AS result,
+        |       CASE WHEN error THEN line END AS payload
+        |FROM parsed ORDER BY id""".stripMargin),
+
+    "flow_eni_join" -> withCtes(linesCte, parsedCte, eniCte, geoCte, enr1Cte)(
+      """SELECT id, interface_id,
+        |       COALESCE(array_to_string(security_group_ids, ','), '') AS sg_ids,
+        |       COALESCE(ip_address, '') AS ip_address
+        |FROM enr1 WHERE NOT error ORDER BY id""".stripMargin),
+
+    "flow_direction" -> withCtes(linesCte, parsedCte, eniCte, geoCte, enr1Cte)(
+      """SELECT id, destaddr, COALESCE(ip_address, '') AS ip_address,
+        |       COALESCE(direction, '') AS direction
+        |FROM enr1 WHERE NOT error ORDER BY id""".stripMargin),
+
+    "flow_rfc1918" -> withCtes(linesCte, parsedCte)(
+      s"""SELECT id, srcaddr FROM parsed
+         |WHERE NOT error AND regexp_matches(srcaddr, '$PrivRx')
+         |ORDER BY id""".stripMargin),
+
+    "flow_geo" -> withCtes(linesCte, parsedCte, eniCte, geoCte, enr1Cte, enr2Cte)(
+      """SELECT id, srcaddr, is_private, country_code, country_name,
+        |       region_code, region_name, city, lat, lon
+        |FROM enr2 WHERE NOT error ORDER BY id""".stripMargin),
+
+    "flow_enriched" -> withCtes(linesCte, parsedCte, eniCte, geoCte, enr1Cte, enr2Cte)(
+      """SELECT id, version, account_id, interface_id, srcaddr, destaddr,
+        |       srcport, dstport, protocol, packets, bytes, "start", "end",
+        |       action, log_status,
+        |       COALESCE(array_to_string(security_group_ids, ','), '') AS sg_ids,
+        |       COALESCE(ip_address, '') AS ip_address,
+        |       COALESCE(direction, '') AS direction,
+        |       is_private, country_code, country_name, region_code,
+        |       region_name, city, lat, lon
+        |FROM enr2 WHERE NOT error ORDER BY id""".stripMargin),
+
+    "flow_batch_counts" -> withCtes(linesCte, parsedCte)(
+      "SELECT error, count(*) AS n FROM parsed GROUP BY error ORDER BY error"),
+
+    "ingest_filter_project" ->
+      """SELECT event_id, props || chr(10) AS data
+        |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+
+    "flow_json_roundtrip" ->
+      """SELECT event_id,
+        |       CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k,
+        |       '{"k":' || regexp_extract(props, '"k": (-?\d+)', 1) || '}' AS rejson
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "flow_base64_roundtrip" ->
+      """SELECT doc_id, base64(encode(substr(text, 1, 48))) AS b64,
+        |       substr(text, 1, 48) AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

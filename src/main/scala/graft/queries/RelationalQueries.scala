@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational completeness layer (SURVEY.md §7.2 phase C): aggregation,
+  * windowing, rollup/cube, semi/anti joins, set ops, top-k, sessionization.
+  * The reference itself has none of these (SURVEY.md §2.1) — they are the
+  * charter's "full query engine" surface, all pure Catalyst built-ins.
+  *
+  * Oracle-stability rule for floating point: every SUM over doubles is
+  * computed as an exact DECIMAL sum (order-independent, so Spark's partial
+  * aggregation order vs DuckDB's sequential order cannot diverge) and cast
+  * to double only at the output boundary.
+  */
+object RelationalQueries {
+
+  /** Exact decimal sum of a double column, surfaced as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1-style pricing summary: multi-aggregate group-by.
+    "q1_pricing_summary" -> ((s, d) => {
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(18,2)")
+      val charge = disc.cast("decimal(18,4)") *
+        (lit(1.0) + col("l_tax")).cast("decimal(18,2)")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(disc).cast("double").as("sum_disc_price"),
+          sum(charge).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Top-k with deterministic tiebreak.
+    "q_topk_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)),
+
+    // Ranking + lag + running sum over event stream.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        lag(col("value"), 1).over(w).cast("decimal(18,4)").cast("double")
+          .as("prev_value"),
+        sum(col("value").cast("decimal(18,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"))
+        .orderBy("user_id", "rn")
+    }),
+
+    // Sliding window frame (moving sum/count over last 3 rows).
+    "q_window_frames" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+          .as("moving_sum"),
+        count(lit(1)).over(w).as("moving_n"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ROLLUP over the region→nation→customer hierarchy.
+    "q_rollup" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    // CUBE over order status × priority.
+    "q_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Left-semi join (EXISTS).
+    "q_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // Left-anti join (NOT EXISTS): customers without any big order.
+    "q_anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // Set op: INTERSECT.
+    "q_set_intersect" -> ((s, d) =>
+      Tables.customer(s, d).filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("key"))
+        .intersect(Tables.orders(s, d).select(col("o_custkey").as("key")))
+        .orderBy("key")),
+
+    // Set op: EXCEPT (customer keys that never appear as an event user).
+    "q_set_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("key"))
+        .except(Tables.events(s, d).select(col("user_id").as("key")))
+        .orderBy("key")),
+
+    // UNION ALL with source tagging.
+    "q_union_all" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(lit("cust").as("src"), col("c_custkey").as("key"))
+        .unionByName(Tables.supplier(s, d)
+          .select(lit("supp").as("src"), col("s_suppkey").as("key")))
+        .orderBy("src", "key")),
+
+    // Exact distinct aggregation per group.
+    "q_distinct_agg" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")),
+
+    // 3-table join: revenue per nation (dims broadcast; fact never
+    // shuffles until the final small aggregation).
+    "q_join3_revenue" -> ((s, d) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(18,2)")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // Event-time bucketing (tumbling 1h window as epoch millis).
+    // ts is a nanos-epoch long (Tables.events), so the hour bucket is pure
+    // integer arithmetic — identical on both engines.
+    "q_time_bucket" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(expr("(ts div 3600000000000) * 3600000").as("bucket_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("bucket_ms", "event_type")),
+
+    // Gap-based sessionization (30-min inactivity) via window functions.
+    "q_session_window" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("evm"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000").as("evm"))
+        .withColumn("new_session",
+          when(col("evm") - lag(col("evm"), 1).over(byUser) > 1800000L, 1)
+            .when(lag(col("evm"), 1).over(byUser).isNull, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("evm")).as("start_ms"), max(col("evm")).as("end_ms"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Pivot-style conditional aggregation.
+    "q_pivot_counts" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"))
+        .orderBy("user_id")),
+
+    // Approximate distinct (HLL). Sketch internals are engine-specific, so
+    // this entry is deliberately absent from the oracle map (rows-only check).
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy("l_returnflag"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1.0 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER w AS rn,
+        |  CAST(CAST(lag(value, 1) OVER w AS DECIMAL(18,4)) AS DOUBLE) AS prev_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "q_window_frames" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS moving_sum,
+        |  count(*) OVER w AS moving_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_custkey AS key FROM customer WHERE c_acctbal > 0
+        |INTERSECT
+        |SELECT o_custkey AS key FROM orders
+        |ORDER BY key""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_custkey AS key FROM customer
+        |EXCEPT
+        |SELECT user_id AS key FROM events
+        |ORDER BY key""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT 'cust' AS src, c_custkey AS key FROM customer
+        |UNION ALL
+        |SELECT 'supp' AS src, s_suppkey AS key FROM supplier
+        |ORDER BY src, key""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+        |       count(*) AS n_cust
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join3_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS bucket_ms, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS evm FROM events),
+        |flagged AS (
+        |  SELECT *, CASE
+        |    WHEN evm - lag(evm, 1) OVER w > 1800000 THEN 1
+        |    WHEN lag(evm, 1) OVER w IS NULL THEN 1
+        |    ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY evm, event_id)),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY evm, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(evm) AS start_ms, max(evm) AS end_ms
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_pivot_counts" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

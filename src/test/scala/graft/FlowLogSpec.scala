@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.FlowLog
+
+/** Operator-level tests for the flow-log pipeline against the reference's
+  * own fixtures: the two base64 records of decorator/event.json decode to
+  * the golden lines below (FIXTURES.md §1.1).
+  */
+class FlowLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  val publicLine =
+    "2 123456789010 eni-1854f949 72.21.196.65 172.31.16.21 20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK"
+  val privateLine =
+    "2 123456789010 eni-1854f949 10.3.45.44 172.31.16.21 20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK"
+
+  def parseOne(line: String): Row =
+    FlowLog.parseFlowLines(
+      Seq((1L, line)).toDF("id", "line")).collect()(0)
+
+  test("golden public-source line parses to typed fields") {
+    val r = parseOne(publicLine)
+    assert(!r.getAs[Boolean]("error"))
+    assert(r.getAs[Int]("version") === 2)
+    assert(r.getAs[String]("account_id") === "123456789010")
+    assert(r.getAs[String]("interface_id") === "eni-1854f949")
+    assert(r.getAs[String]("srcaddr") === "72.21.196.65")
+    assert(r.getAs[String]("destaddr") === "172.31.16.21")
+    assert(r.getAs[Int]("srcport") === 20641)
+    assert(r.getAs[Int]("dstport") === 22)
+    assert(r.getAs[Int]("protocol") === 6)
+    assert(r.getAs[Long]("packets") === 20L)
+    assert(r.getAs[Long]("bytes") === 4249L)
+    assert(r.getAs[Long]("start") === 1418530010L)
+    assert(r.getAs[Long]("end") === 1418530070L)
+    assert(r.getAs[String]("action") === "ACCEPT")
+    assert(r.getAs[String]("log_status") === "OK")
+  }
+
+  test("malformed lines route to the dead-letter path with fields null") {
+    for (bad <- Seq(
+        "garbage",
+        "2 123456789010 eni-1 1.2.3.4 5.6.7.8 1 2 3 4 5 6 7 DROP OK",
+        "2 123456789010 eni-1 1.2.3.4 5.6.7.8 1 2 3 4 5 6 7 ACCEPT",
+        "")) {
+      val r = parseOne(bad)
+      assert(r.getAs[Boolean]("error"), s"expected error for: $bad")
+      assert(r.isNullAt(r.fieldIndex("srcaddr")))
+    }
+  }
+
+  test("RFC1918/loopback predicate matches the reference regex boundaries") {
+    val cases = Seq(
+      "10.0.0.1" -> true, "127.0.0.1" -> true,
+      "172.15.255.255" -> false, "172.16.0.1" -> true,
+      "172.31.255.255" -> true, "172.32.0.1" -> false,
+      "192.168.1.1" -> true, "192.167.1.1" -> false,
+      "72.21.196.65" -> false, "52.0.0.1" -> false)
+    val got = cases.map(_._1).toDF("ip")
+      .select($"ip", $"ip".rlike(FlowLog.Rfc1918Regex).as("priv"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    for ((ip, want) <- cases) assert(got(ip) === want, ip)
+  }
+
+  test("direction is inbound iff destaddr equals the ENI primary IP") {
+    val parsed = FlowLog.parseFlowLines(
+      Seq((1L, publicLine), (2L, privateLine)).toDF("id", "line"))
+    val eni = Seq(("eni-1854f949", Seq("sg-a", "sg-b"), "172.31.16.21"))
+      .toDF("interface_id", "security_group_ids", "ip_address")
+    val geo = Seq(("72.21.196.65", "US", "UNITED STATES", "WA", "WASHINGTON",
+      "SEATTLE", 47.6, -122.3))
+      .toDF("ip", "country_code", "country_name", "region_code",
+        "region_name", "city", "latitude", "longitude")
+    val out = FlowLog.enrich(parsed, eni, geo).orderBy("id").collect()
+    assert(out(0).getAs[String]("direction") === "inbound")
+    assert(out(0).getAs[Seq[String]]("security_group_ids") === Seq("sg-a", "sg-b"))
+    // public source gets geo fields; private gets blanks + 0/0 location
+    assert(out(0).getAs[String]("country_code") === "US")
+    assert(out(0).getAs[Row]("source_location").getDouble(0) === 47.6)
+    assert(out(1).getAs[String]("country_code") === "")
+    assert(out(1).getAs[Row]("source_location").getDouble(0) === 0.0)
+  }
+
+  test("unmatched ENI leaves direction null and groups empty") {
+    val parsed = FlowLog.parseFlowLines(Seq((1L, publicLine)).toDF("id", "line"))
+    val eni = Seq(("eni-other", Seq("sg-x"), "1.1.1.1"))
+      .toDF("interface_id", "security_group_ids", "ip_address")
+    val geo = Seq.empty[(String, String, String, String, String, String, Double, Double)]
+      .toDF("ip", "country_code", "country_name", "region_code",
+        "region_name", "city", "latitude", "longitude")
+    val r = FlowLog.enrich(parsed, eni, geo).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("direction")))
+    assert(r.isNullAt(r.fieldIndex("security_group_ids")))
+  }
+
+  test("packageRecords: failed rows carry base64 of the original payload") {
+    val parsed = FlowLog.parseFlowLines(
+      Seq((1L, publicLine), (2L, "broken line")).toDF("id", "line"))
+    val eni = Seq(("eni-1854f949", Seq("sg-a"), "172.31.16.21"))
+      .toDF("interface_id", "security_group_ids", "ip_address")
+    val geo = Seq(("72.21.196.65", "US", "UNITED STATES", "WA", "WASHINGTON",
+      "SEATTLE", 47.6, -122.3))
+      .toDF("ip", "country_code", "country_name", "region_code",
+        "region_name", "city", "latitude", "longitude")
+    val out = FlowLog.packageRecords(FlowLog.enrich(parsed, eni, geo))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("result") === "Ok")
+    assert(out(1).getAs[String]("result") === "ProcessingFailed")
+    // Spark's base64() emits RFC2045 MIME chunking beyond 76 chars.
+    val failedPayload = new String(
+      java.util.Base64.getMimeDecoder.decode(out(1).getAs[String]("data")))
+    assert(failedPayload === "broken line")
+    val okJson = new String(
+      java.util.Base64.getMimeDecoder.decode(out(0).getAs[String]("data")))
+    assert(okJson.contains("\"srcaddr\":\"72.21.196.65\""))
+    assert(okJson.contains("\"direction\":\"inbound\""))
+  }
+
+  test("flagship entry returns enriched rows with reference field names") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.contains("interface-id"))
+    assert(df.columns.contains("source-location"))
+    assert(df.count() > 0)
+  }
+}
