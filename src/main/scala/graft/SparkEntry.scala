@@ -37,10 +37,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    FlowLogQueries.queries ++ RelationalQueries.queries
+    FlowLogQueries.queries ++ RelationalQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    FlowLogQueries.oracle ++ RelationalQueries.oracle
+    FlowLogQueries.oracle ++ RelationalQueries.oracle ++
+      PipelineQueries.oracle
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k (the exactness baseline): broadcast the
+  *    (small) probe set against the full corpus — the corpus never
+  *    shuffles, so this scales linearly with corpus size;
+  *  - sign-LSH bucketed top-k (the scale path): bucket every vector by
+  *    the sign pattern of its leading dimensions, then join probe→corpus
+  *    on bucket equality only. At 100 TB the bucket join hash-partitions
+  *    by bucket key; each probe scans ~1/2^bits of the corpus.
+  *
+  * All arithmetic in double (element-wise cast from float) with
+  * sequential fold order, so cosines are bit-reproducible against the
+  * DuckDB oracle's list_dot_product.
+  */
+object Similarity {
+
+  /** embeddings with the vector cast to array<double>. */
+  def vectors(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+
+  /** Augmentation for the dedup-by-embedding query: every 10th vector is
+    * duplicated (vec_id+100000) so cosine==1.0 pairs provably exist. */
+  def augmentVectors(embeddings: DataFrame): DataFrame = {
+    val base = vectors(embeddings)
+    base.unionByName(base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"), col("v")))
+  }
+
+  /** Sequential-order dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Embedding-cosine near-duplicate pairs, blocked by label. */
+  def cosineDupPairs(vecs: DataFrame, threshold: Double): DataFrame =
+    vecs.as("a")
+      .join(vecs.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+
+  /** Brute-force cosine top-k: broadcast probes × full corpus. */
+  def bruteForceTopK(vecs: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("v").as("pv")))
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("v")),
+        col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(cosine(col("pv"), col("v")), 6).as("cos_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Sign-LSH bucket key: the sign pattern of dimensions 1..bits. */
+  def signBucket(v: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(v, i) >= 0, "1").otherwise("0")): _*)
+
+  /** Bucketed ANN: candidates share the probe's sign bucket. */
+  def lshTopK(vecs: DataFrame, probes: DataFrame, k: Int, bits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = vecs.select(col("vec_id").as("neighbor_id"), col("v"),
+      signBucket(col("v"), bits).as("bucket"))
+    val pb = probes.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+      signBucket(col("v"), bits).as("bucket"))
+    val scored = broadcast(pb)
+      .join(bucketed, Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(cosine(col("pv"), col("v")), 6).as("cos_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline queries (SURVEY.md §7.2 phase D, charter
+  * north_star): dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash /
+  * embedding-cosine), similarity search (brute-force + sign-LSH ANN),
+  * text analysis, multimodal binary metadata. Each paired with DuckDB
+  * oracle SQL mirroring the same algorithm.
+  */
+object PipelineQueries {
+
+  // ---- shared DuckDB CTE fragments (mirror the operators exactly) ----
+
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text || ' zq extra token' AS text
+      |  FROM documents WHERE doc_id % 10 = 5)""".stripMargin
+
+  private val shinglesCte =
+    """wrd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM wrd),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM idx)""".stripMargin
+
+  private val lshCte =
+    """mh AS (
+      |  SELECT doc_id,
+      |         min(md5('1:' || shingle)) AS h1, min(md5('2:' || shingle)) AS h2,
+      |         min(md5('3:' || shingle)) AS h3, min(md5('4:' || shingle)) AS h4,
+      |         min(md5('5:' || shingle)) AS h5, min(md5('6:' || shingle)) AS h6
+      |  FROM sh GROUP BY doc_id),
+      |buckets AS (
+      |  SELECT doc_id, 'b1:' || h1 || h2 AS bucket FROM mh
+      |  UNION ALL SELECT doc_id, 'b2:' || h3 || h4 FROM mh
+      |  UNION ALL SELECT doc_id, 'b3:' || h5 || h6 FROM mh),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val vecsCte =
+    """vecs AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, label, embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin
+
+  private val ovecsCte =
+    """ovecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  // ---- queries ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactDuplicates(Dedup.augmentCorpus(Tables.documents(s, d)))
+        .orderBy("keep_id")),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.lshCandidatePairs(Dedup.minhashSignatures(
+        Dedup.shingles(Dedup.augmentCorpus(Tables.documents(s, d)))))
+        .orderBy("id_a", "id_b")),
+
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = Dedup.shingles(Dedup.augmentCorpus(Tables.documents(s, d)))
+      Dedup.jaccardPairs(sh,
+        Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh)))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac_r"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(Dedup.augmentCorpus(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+
+    "dedup_embed_cosine" -> ((s, d) =>
+      Similarity.cosineDupPairs(
+        Similarity.augmentVectors(Tables.embeddings(s, d)), 0.8)
+        .orderBy("id_a", "id_b")),
+
+    "sim_topk_bruteforce" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 10), 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("probe_id", "rnk")
+    }),
+
+    "sim_lsh_topk" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 20), 3, 4)
+        .withColumnRenamed("rank", "rnk")
+        .select(col("probe_id"), col("neighbor_id"), col("cos_r"), col("rnk"))
+        .orderBy("probe_id", "rnk")
+    }),
+
+    "text_stats" -> ((s, d) =>
+      TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "text_langid" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "mm_binary_meta" -> ((s, d) =>
+      Multimodal.binaryMeta(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // Multimodal decode plumbing (stubbed codec) — not SQL-expressible,
+    // deliberately absent from the oracle map (rows-only check).
+    "mm_decode_stub" -> ((s, d) =>
+      Multimodal.decodeImages(
+        Multimodal.asBinaryPayloads(Tables.documents(s, d)))
+        .select(col("doc_id"), col("meta.byte_len"), col("meta.width"),
+          col("meta.height"), col("meta.format"))
+        .orderBy("doc_id")),
+
+    // Frame sampling over binary payloads — rows-only check as well.
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.asBinaryPayloads(Tables.documents(s, d)), 64, 2)
+        .select(col("doc_id"), col("frame_no"),
+          length(col("frame")).as("frame_bytes"))
+        .orderBy("doc_id", "frame_no"))
+  )
+
+  // ---- oracles ----
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH $corpusCte
+         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+         |       md5(text) AS text_hash
+         |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $corpusCte,
+         |$shinglesCte,
+         |$lshCte
+         |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $corpusCte,
+         |$shinglesCte,
+         |$lshCte,
+         |szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a, i.id_b,
+         |       round(CAST(i.n_inter AS DOUBLE) /
+         |             CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE), 6) AS jac_r
+         |FROM inter i
+         |JOIN szs za ON za.doc_id = i.id_a
+         |JOIN szs zb ON zb.doc_id = i.id_b
+         |WHERE CAST(i.n_inter AS DOUBLE) /
+         |      CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" -> {
+      val sums = (1 to 16).map(i =>
+        s"sum(CASE WHEN strpos('89abcdef', substr(h, $i, 1)) > 0 THEN 1 ELSE -1 END) AS s$i")
+        .mkString(",\n         ")
+      val bits = (1 to 16).map(i =>
+        s"(CASE WHEN s$i > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH $corpusCte,
+         |wh AS (
+         |  SELECT DISTINCT doc_id, md5(word) AS h FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus)),
+         |votes AS (
+         |  SELECT doc_id,
+         |         $sums
+         |  FROM wh GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash FROM votes ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_embed_cosine" ->
+      s"""WITH $vecsCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${cosSql("a.v", "b.v")}, 4) AS cos_r
+         |FROM vecs a JOIN vecs b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk_bruteforce" ->
+      s"""WITH $ovecsCte,
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM ovecs WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT probe_id, o.vec_id AS neighbor_id,
+         |         round(${cosSql("pv", "o.v")}, 6) AS cos_r
+         |  FROM probes, ovecs o WHERE probe_id <> o.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos_r DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, cos_r, rnk FROM ranked
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "sim_lsh_topk" -> {
+      def bucket(v: String) = (1 to 4).map(i =>
+        s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH $ovecsCte,
+         |bucketed AS (
+         |  SELECT vec_id, v, ${bucket("v")} AS bucket FROM ovecs),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, v AS pv, bucket FROM bucketed WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT probe_id, o.vec_id AS neighbor_id,
+         |         round(${cosSql("pv", "o.v")}, 6) AS cos_r
+         |  FROM probes p JOIN bucketed o ON p.bucket = o.bucket
+         |  WHERE p.probe_id <> o.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos_r DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, cos_r, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+    },
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) /
+        |    CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE) /
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS stop_ratio,
+        |  round(least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0) * 0.5 +
+        |        least(1.0, CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE) /
+        |                   CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) * 4.0) * 0.5,
+        |        6) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS BIGINT) AS en_hits,
+        |  CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein|zu|den)\b')) AS BIGINT) AS de_hits,
+        |  CAST(len(regexp_extract_all(text, '\b(le|la|les|et|est|un|une|des)\b')) AS BIGINT) AS fr_hits,
+        |  CASE
+        |    WHEN len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) >=
+        |         len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein|zu|den)\b'))
+        |     AND len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) >=
+        |         len(regexp_extract_all(text, '\b(le|la|les|et|est|un|une|des)\b'))
+        |    THEN 'en'
+        |    WHEN len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein|zu|den)\b')) >=
+        |         len(regexp_extract_all(text, '\b(le|la|les|et|est|un|une|des)\b'))
+        |    THEN 'de' ELSE 'fr' END AS predicted_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                          ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha,
+        |  lower(hex(encode(substr(text, 1, 4)))) AS magic
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

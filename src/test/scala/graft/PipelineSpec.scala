@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Tests for the training-data pipeline operators: known-positive
+  * duplicates must be found, ANN must rank the exact duplicate first,
+  * multimodal plumbing must preserve payloads.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sfDir)
+  lazy val corpus = Dedup.augmentCorpus(docs)
+
+  test("exact dedup finds every injected duplicate pair") {
+    val groups = Dedup.exactDuplicates(corpus)
+    val nDocs = docs.count()
+    val dupGroups = groups.filter($"n_copies" >= 2).count()
+    val injected = docs.filter($"doc_id" % 10 === 0).count()
+    assert(dupGroups === injected)
+    assert(groups.agg(sum($"n_copies")).head.getLong(0) === corpus.count())
+    assert(nDocs > 0)
+  }
+
+  test("minhash LSH candidates include all exact and near duplicates") {
+    val cand = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(Dedup.shingles(corpus)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactIds = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id").as[Long].collect()
+    for (id <- exactIds)
+      assert(cand.contains((id, id + 100000)), s"missing exact dup $id")
+    val nearIds = docs.filter($"doc_id" % 10 === 5)
+      .select($"doc_id").as[Long].collect()
+    val nearFound = nearIds.count(id => cand.contains((id, id + 200000)))
+    // near-dups share all but ~3 trailing shingles; expect nearly all found
+    assert(nearFound >= nearIds.length * 9 / 10)
+  }
+
+  test("jaccard of an exact duplicate pair is 1.0") {
+    val sh = Dedup.shingles(corpus)
+    val cand = Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh))
+    val jac = Dedup.jaccardPairs(sh, cand)
+    val exact = jac.filter($"id_b" === $"id_a" + 100000)
+    assert(exact.filter($"jaccard" =!= 1.0).count() === 0)
+    assert(exact.count() > 0)
+  }
+
+  test("simhash is identical for exact duplicates") {
+    val sh = Dedup.simhash(corpus)
+    val joined = sh.as("a").join(sh.as("b"),
+      col("b.doc_id") === col("a.doc_id") + 100000)
+    assert(joined.count() > 0)
+    assert(joined.filter(col("a.simhash") =!= col("b.simhash")).count() === 0)
+    assert(sh.head.getString(1).length === 16)
+  }
+
+  test("brute-force ANN ranks an exact duplicate at cosine 1.0") {
+    val vecs = Similarity.augmentVectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" === 100000) // dup of vec 0
+    val top = Similarity.bruteForceTopK(vecs, probes, 1).collect()
+    assert(top.length === 1)
+    assert(top(0).getAs[Long]("neighbor_id") === 0L)
+    assert(top(0).getAs[Double]("cos_r") === 1.0)
+  }
+
+  test("multimodal decode stub preserves payload and emits sane metadata") {
+    val out = Multimodal.decodeImages(Multimodal.asBinaryPayloads(docs))
+    val r = out.orderBy("doc_id").head
+    val payload = r.getAs[Array[Byte]]("payload")
+    val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[Long]("byte_len") === payload.length.toLong)
+    assert(meta.getAs[Int]("width") >= 16 && meta.getAs[Int]("width") < 80)
+    assert(Set("png", "jpeg").contains(meta.getAs[String]("format")))
+    assert(out.count() === docs.count())
+  }
+
+  test("frame sampling covers the payload with the right stride") {
+    val payloads = Seq((1L, Array.fill[Byte](200)(7))).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(payloads, 64, 2)
+      .orderBy("frame_no").collect()
+    // 200 bytes → frames 0..3; stride 2 keeps 0 and 2
+    assert(frames.map(_.getAs[Long]("frame_no")).toSeq === Seq(0L, 2L))
+    assert(frames(0).getAs[Array[Byte]]("frame").length === 64)
+  }
+}
