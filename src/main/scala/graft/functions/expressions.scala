@@ -1,0 +1,152 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the operators Spark lacks built-ins
+  * for: gzip codec (the reference's envelope decompression,
+  * ingestor/index.js:100-110) and a winnowing rolling-hash document
+  * fingerprint (charter text-analysis extension).
+  *
+  * These are interpreted (CodegenFallback) — fine off the hot path; the
+  * hot-path operators (parse, joins, dedup) are all codegen'd built-ins.
+  */
+
+/** gunzip(binary) → binary. Null on input null; throws on corrupt gzip
+  * (callers wanting dead-letter semantics should pre-validate, as the
+  * reference does with its try/catch at ingestor/index.js:104-108). */
+case class Gunzip(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gunzip"
+  override def nullSafeEval(input: Any): Any = {
+    val in = new GZIPInputStream(
+      new ByteArrayInputStream(input.asInstanceOf[Array[Byte]]))
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+  override protected def withNewChildInternal(c: Expression): Gunzip = copy(c)
+}
+
+/** gzip(binary) → binary (deterministic: fixed deflate settings). */
+case class Gzip(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gzip"
+  override def nullSafeEval(input: Any): Any = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(input.asInstanceOf[Array[Byte]])
+    gz.close()
+    bos.toByteArray
+  }
+  override protected def withNewChildInternal(c: Expression): Gzip = copy(c)
+}
+
+/** rolling_fingerprint(string, window) → long: the minimum of all
+  * rolling polynomial hashes over byte windows of length `window`
+  * (winnowing-style content fingerprint: stable under local edits
+  * outside the minimal window, computed in one O(n) pass). Documents
+  * shorter than the window hash as a single window.
+  */
+case class RollingFingerprint(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(window > 0, "window must be positive")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+
+  private val Base = 1000003L
+  // Base^(window-1) for removing the outgoing byte (wrapping arithmetic)
+  private lazy val basePow: Long = {
+    var p = 1L
+    var i = 1
+    while (i < window) { p *= Base; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.isEmpty) return 0L
+    val w = math.min(window, bytes.length)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * Base + (bytes(i) & 0xff); i += 1 }
+    var minH = h
+    var pow = basePow
+    if (w < window) return h
+    while (i < bytes.length) {
+      h = (h - (bytes(i - w) & 0xff) * pow) * Base + (bytes(i) & 0xff)
+      if (h < minH) minH = h
+      i += 1
+    }
+    minH
+  }
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+    copy(child = c)
+}
+
+/** dot_product(array<double>, array<double>) → double, summed in list
+  * order (bit-reproducible against DuckDB's list_dot_product). Spark's
+  * higher-order `aggregate(zip_with(...))` equivalent is evaluated
+  * interpreted with an intermediate array per row; this expression
+  * generates a tight fused loop (doGenCode), which matters at N²
+  * similarity-join scale.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** Column-level API for the custom expressions. */
+object functions {
+  // Input typing is enforced here via casts (AbstractDataType /
+  // ExpectsInputTypes are sql-private in Spark 4).
+  private def ex(c: Column) = GraftColumnBridge.expression(c)
+  def gunzip(c: Column): Column =
+    GraftColumnBridge.column(Gunzip(ex(c.cast("binary"))))
+  def gzip(c: Column): Column =
+    GraftColumnBridge.column(Gzip(ex(c.cast("binary"))))
+  def rolling_fingerprint(c: Column, window: Int): Column =
+    GraftColumnBridge.column(RollingFingerprint(ex(c.cast("string")), window))
+  def dot_product(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(
+      ex(a.cast("array<double>")), ex(b.cast("array<double>"))))
+}

@@ -67,11 +67,19 @@ object FlowLog {
       when(col("l_orderkey") % 20 === 0, "NODATA")
         .when(col("l_orderkey") % 20 === 1, "SKIPDATA")
         .otherwise("OK"))
+    val line = when(col("l_orderkey") % 53 === 0,
+      concat(lit("MALFORMED "), id.cast("string"))).otherwise(goodLine)
     lineitem.select(
       id.as("id"),
-      when(col("l_orderkey") % 53 === 0,
-        concat(lit("MALFORMED "), id.cast("string"))).otherwise(goodLine)
-        .as("line"))
+      // Optimizer barrier: the guard is always true (the id is
+      // non-negative), so the value is unchanged — but marking the
+      // expression nondeterministic stops CollapseProject and predicate
+      // pushdown from inlining the whole line-synthesis into every
+      // downstream filter and field extraction (measured ~4x duplicate
+      // concat+regex work per row without it). Real deployments read
+      // stored lines, where this cannot arise; it is an artifact of
+      // synthesizing test input inside the query.
+      when(monotonically_increasing_id() >= 0, line).as("line"))
   }
 
   /** OP-13 analog: ENI → security-groups dimension
@@ -115,13 +123,19 @@ object FlowLog {
 
   /** OP-9/OP-10/OP-12: regex parse of the 14-field v2 line into typed
     * columns + the dead-letter `error` flag (decorator/index.js:107-139).
-    * 14 `regexp_extract`s stay inside whole-stage codegen; a failed match
-    * yields `error = true` with all typed fields null (the reference carries
-    * the raw payload through — we keep `line` alongside).
+    * One anchored-regex validation (`rlike`) + one `split` per row — not
+    * 14 `regexp_extract`s, each of which would re-run the full 14-group
+    * match (a ~15× regex-cost difference measured at sf0.1). Extraction
+    * by position equals the capture groups for any line that passes the
+    * full-pattern gate. All codegen'd, with common-subexpression
+    * elimination collapsing the repeated rlike/split. A failed match
+    * yields `error = true` with all typed fields null (the reference
+    * carries the raw payload through — we keep `line` alongside).
     */
   def parseFlowLines(lines: DataFrame): DataFrame = {
     val err = !col("line").rlike(FlowRegex)
-    def grp(i: Int) = regexp_extract(col("line"), FlowRegex, i)
+    val parts = split(col("line"), " ")
+    def grp(i: Int) = element_at(parts, i)
     def num(i: Int, t: String) = when(err, lit(null)).otherwise(grp(i).cast(t))
     def str(i: Int) = when(err, lit(null)).otherwise(grp(i))
     lines.select(

@@ -33,33 +33,50 @@ object Similarity {
       .select((col("vec_id") + 100000).as("vec_id"), col("label"), col("v")))
   }
 
-  /** Sequential-order dot product of two array<double> columns. */
+  /** Sequential-order dot product of two array<double> columns — a
+    * custom codegen'd Expression (graft.functions.DotProduct); the
+    * pure-built-in spelling `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`
+    * computes the same value but runs interpreted with an intermediate
+    * array per row. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.functions.dot_product(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Norm precomputed once per vector — at N² pairs, recomputing
+    * sqrt(dot(v,v)) inside the pair loop would triple the array work.
+    * sqrt(dot(a,a))*sqrt(dot(b,b)) is the exact same double value either
+    * way, so the oracle is unaffected. */
+  private def withNorm(vecs: DataFrame): DataFrame =
+    vecs.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
   /** Embedding-cosine near-duplicate pairs, blocked by label. */
-  def cosineDupPairs(vecs: DataFrame, threshold: Double): DataFrame =
-    vecs.as("a")
-      .join(vecs.as("b"),
+  def cosineDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val vn = withNorm(vecs)
+    vn.as("a")
+      .join(vn.as("b"),
         col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+  }
 
   /** Brute-force cosine top-k: broadcast probes × full corpus. */
   def bruteForceTopK(vecs: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = broadcast(probes.select(col("vec_id").as("probe_id"),
-        col("v").as("pv")))
-      .join(vecs.select(col("vec_id").as("neighbor_id"), col("v")),
+    val scored = broadcast(withNorm(probes)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pnrm")))
+      .join(withNorm(vecs).select(col("vec_id").as("neighbor_id"), col("v"),
+        col("nrm")),
         col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        round(cosine(col("pv"), col("v")), 6).as("cos_r"))
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_r").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -73,15 +90,17 @@ object Similarity {
   /** Bucketed ANN: candidates share the probe's sign bucket. */
   def lshTopK(vecs: DataFrame, probes: DataFrame, k: Int, bits: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = vecs.select(col("vec_id").as("neighbor_id"), col("v"),
-      signBucket(col("v"), bits).as("bucket"))
-    val pb = probes.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+    val bucketed = withNorm(vecs).select(col("vec_id").as("neighbor_id"),
+      col("v"), col("nrm"), signBucket(col("v"), bits).as("bucket"))
+    val pb = withNorm(probes).select(col("vec_id").as("probe_id"),
+      col("v").as("pv"), col("nrm").as("pnrm"),
       signBucket(col("v"), bits).as("bucket"))
     val scored = broadcast(pb)
       .join(bucketed, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        round(cosine(col("pv"), col("v")), 6).as("cos_r"))
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_r").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

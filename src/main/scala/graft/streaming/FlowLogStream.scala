@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.operators.FlowLog
+
+/** Structured Streaming wrappers (SURVEY.md §7.2 phase E). The batch and
+  * streaming paths share the same logical plan: Firehose's per-batch
+  * decorator invocation (decorator/index.js:243-262) is exactly Spark's
+  * micro-batch model. Dimensions are static broadcast sides of
+  * stream-static joins, refreshed per restart (the reference refetches
+  * the ENI table once per Firehose batch, decorator/index.js:246).
+  */
+object FlowLogStream {
+
+  /** The decorator pipeline over a streaming frame of raw lines
+    * (columns: id, line). Stateless → plain append-mode transforms. */
+  def decorate(lines: DataFrame, eni: DataFrame, geo: DataFrame): DataFrame =
+    FlowLog.packageRecords(
+      FlowLog.enrich(FlowLog.parseFlowLines(lines), eni, geo))
+
+  /** Event-time tumbling/sliding window aggregation with watermark
+    * (charter extension — the reference has event-time fields but never
+    * windows them, SURVEY.md §2.1). `events` needs (ts: timestamp,
+    * event_type: string, value: double). */
+  def windowedCounts(events: DataFrame, watermarkDelay: String,
+      windowLen: String, slide: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  case class Ev(user_id: Long, ts_ms: Long, value: Double)
+  case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization with custom state
+    * (flatMapGroupsWithState): a session closes when a later event for
+    * the same user arrives more than `gapMs` after it (in-batch or
+    * across batches), or via `timeout` for users that never return
+    * (NoTimeout by default — deterministic for tests and batch replays;
+    * use ProcessingTime/EventTimeTimeout in a live deployment to flush
+    * idle users). Emits closed sessions.
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.startMs, s.lastMs, s.n, s.sum))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts_ms, e.value))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (e <- sorted) {
+              cur match {
+                case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, e.ts_ms, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, s.startMs, s.lastMs, s.n, s.sum)
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+                state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Run the decorator as a streaming query into an in-memory table
+    * (the test/verification sink; swap format for a real sink). */
+  def startToMemory(lines: DataFrame, eni: DataFrame, geo: DataFrame,
+      queryName: String): StreamingQuery =
+    decorate(lines, eni, geo).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append").start()
+}

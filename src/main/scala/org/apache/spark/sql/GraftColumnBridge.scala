@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column ↔ Expression conversion so
+  * graft can surface custom Catalyst Expressions as user-facing Columns.
+  * Spark 4 removed the public `new Column(expr)` constructor; the
+  * supported conversion lives in `classic.ExpressionUtils`, which is
+  * sql-private — hence this one-file shim in the sql package (the same
+  * pattern Spark connector/extension libraries use).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

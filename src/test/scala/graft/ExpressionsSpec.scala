@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalacheck.rng.Seed
+import graft.functions.{functions => gf}
+import graft.operators.FlowLog
+
+/** Custom Catalyst expressions + property-based parser tests (ScalaCheck
+  * generators with a fixed seed, evaluated as one batched DataFrame). */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(42L))
+
+  test("gzip → gunzip round-trips document text") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val bad = docs.select($"doc_id", $"text",
+      gf.gunzip(gf.gzip($"text".cast("binary"))).cast("string").as("rt"))
+      .filter($"text" =!= $"rt")
+    assert(bad.count() === 0)
+  }
+
+  test("gunzip decodes JVM-gzipped bytes (reference envelope codec)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("hello flow logs".getBytes("UTF-8")); gz.close()
+    val got = Seq(bos.toByteArray).toDF("b")
+      .select(gf.gunzip($"b").cast("string")).as[String].head
+    assert(got === "hello flow logs")
+  }
+
+  test("rolling_fingerprint matches a brute-force reference implementation") {
+    val window = 8
+    def brute(s: String): Long = {
+      val b = s.getBytes("UTF-8")
+      if (b.isEmpty) return 0L
+      if (b.length <= window)
+        return b.foldLeft(0L)((h, c) => h * 1000003L + (c & 0xff))
+      (0 to b.length - window).map { i =>
+        b.slice(i, i + window).foldLeft(0L)((h, c) => h * 1000003L + (c & 0xff))
+      }.min
+    }
+    val samples = Seq("", "abc", "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaa", "key agg row scan slow fast table value part")
+    val got = samples.toDF("s")
+      .select(gf.rolling_fingerprint($"s", window)).as[Long].collect()
+    assert(got.toSeq === samples.map(brute))
+  }
+
+  test("rolling_fingerprint is invariant for identical docs, window-stable for dups") {
+    val df = Seq(("a", "shared content body here"), ("b", "shared content body here"))
+      .toDF("k", "s").select($"k", gf.rolling_fingerprint($"s", 8).as("fp"))
+    val fps = df.as[(String, Long)].collect().toMap
+    assert(fps("a") === fps("b"))
+  }
+
+  test("property: parser never crashes and routes junk to dead-letter") {
+    val lines = samples(Arbitrary.arbitrary[String], 200)
+      .map(_.replace('\n', ' ').replace('\r', ' '))
+    val out = FlowLog.parseFlowLines(
+      lines.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "line"))
+      .select($"line", $"error").as[(String, Boolean)].collect()
+    // arbitrary strings essentially never match the 14-field grammar
+    for ((line, err) <- out)
+      assert(err || line.matches(FlowLog.FlowRegex), line)
+  }
+
+  test("property: synthesize∘parse = identity on valid field values") {
+    val gen = for {
+      eni <- Gen.identifier.suchThat(_.nonEmpty).map("eni-" + _)
+      src <- Gen.choose(0, 255)
+      port <- Gen.choose(0, 65535)
+      act <- Gen.oneOf("ACCEPT", "REJECT")
+      st <- Gen.oneOf("OK", "NODATA", "SKIPDATA")
+    } yield (eni, src, port, act, st)
+    val cases = samples(gen, 100)
+    val lines = cases.zipWithIndex.map { case ((eni, src, port, act, st), i) =>
+      (i.toLong,
+        s"2 123456789012 $eni $src.0.0.1 10.0.0.2 $port 22 6 1 100 1418530010 1418530070 $act $st")
+    }
+    val out = FlowLog.parseFlowLines(lines.toDF("id", "line"))
+      .orderBy("id").collect()
+    for (((eni, src, port, act, st), i) <- cases.zipWithIndex) {
+      val r = out(i)
+      assert(!r.getAs[Boolean]("error"))
+      assert(r.getAs[String]("interface_id") === eni)
+      assert(r.getAs[Int]("srcport") === port)
+      assert(r.getAs[String]("action") === act)
+      assert(r.getAs[String]("log_status") === st)
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.FlowLogStream
+import graft.streaming.FlowLogStream.Ev
+
+/** Structured Streaming: the decorator under micro-batch, watermarked
+  * window aggregation, and stateful sessionization. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  val publicLine =
+    "2 123456789010 eni-1854f949 72.21.196.65 172.31.16.21 20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK"
+
+  test("decorator runs under structured streaming with stream-static joins") {
+    val input = MemoryStream[(Long, String)](spark)
+    val lines = input.toDF().toDF("id", "line")
+    val eni = Seq(("eni-1854f949", Seq("sg-a"), "172.31.16.21"))
+      .toDF("interface_id", "security_group_ids", "ip_address")
+    val geo = Seq(("72.21.196.65", "US", "UNITED STATES", "WA", "WASHINGTON",
+      "SEATTLE", 47.6, -122.3))
+      .toDF("ip", "country_code", "country_name", "region_code",
+        "region_name", "city", "latitude", "longitude")
+    val q = FlowLogStream.startToMemory(lines, eni, geo, "flow_stream_out")
+    try {
+      input.addData((1L, publicLine), (2L, "malformed junk"))
+      q.processAllAvailable()
+      input.addData((3L, publicLine))
+      q.processAllAvailable()
+      val out = spark.table("flow_stream_out")
+        .select($"id", $"result").as[(Long, String)].collect().toMap
+      assert(out === Map(1L -> "Ok", 2L -> "ProcessingFailed", 3L -> "Ok"))
+    } finally q.stop()
+  }
+
+  test("watermarked sliding-window aggregation over an event stream") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = FlowLogStream.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "10 minutes", "5 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData(
+        (ts(1), "click", 1.0), (ts(2), "click", 2.0),
+        (ts(6), "click", 4.0), (ts(7), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select($"event_type", $"n", $"sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows === Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes a session on inactivity gap") {
+    val input = MemoryStream[Ev](spark)
+    // two bursts for user 7, separated by > gap in event time: the second
+    // burst closes the first session within the same batch
+    input.addData(
+      Ev(7, 1000, 1.0), Ev(7, 2000, 2.0), Ev(7, 3000, 3.0),
+      Ev(7, 200000, 4.0), Ev(7, 201000, 5.0))
+    val sessions = FlowLogStream.sessionize(input.toDS(), gapMs = 60000)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .as[FlowLogStream.Session].collect()
+      assert(out.length === 1)
+      assert(out(0) === FlowLogStream.Session(7, 1000, 3000, 3, 6.0))
+    } finally q.stop()
+  }
+}
