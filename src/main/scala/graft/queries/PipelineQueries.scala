@@ -139,7 +139,30 @@ object PipelineQueries {
         Multimodal.asBinaryPayloads(Tables.documents(s, d)), 64, 2)
         .select(col("doc_id"), col("frame_no"),
           length(col("frame")).as("frame_bytes"))
-        .orderBy("doc_id", "frame_no"))
+        .orderBy("doc_id", "frame_no")),
+
+    // Custom-Expression queries (rows-only: Long-wraparound polynomial
+    // hashing and gzip framing aren't DuckDB-expressible):
+    // winnowing rolling-hash fingerprint over each document …
+    "text_rolling_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.functions.rolling_fingerprint(col("text"), 16)
+            .as("fp"))
+        .orderBy("doc_id")),
+
+    // … and the gzip codec round-trip (OP-2): rows survive only if
+    // gunzip(gzip(text)) == text, so row-count == documents count is the
+    // check.
+    "flow_gzip_roundtrip" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.functions.gunzip(
+            graft.functions.functions.gzip(col("text"))).cast("string")
+            .as("rt"), col("text"))
+        .filter(col("rt") === col("text"))
+        .select(col("doc_id"))
+        .orderBy("doc_id"))
   )
 
   // ---- oracles ----

@@ -83,6 +83,17 @@ object FlowLogStream {
       }
   }
 
+  /** OP-22 as streaming-safe side-output counters: an `observe`
+    * observation named `flow_counters` with total/failed record tallies
+    * per batch (the reference's imperative success/failure log,
+    * decorator/index.js:208-232). Works on batch frames too — read via
+    * `org.apache.spark.sql.Observation` or a streaming query listener. */
+  def withCounters(packaged: DataFrame): DataFrame =
+    packaged.observe("flow_counters",
+      count(lit(1)).as("n_records"),
+      sum(when(col("result") === "ProcessingFailed", 1L).otherwise(0L))
+        .as("n_failed"))
+
   /** Run the decorator as a streaming query into an in-memory table
     * (the test/verification sink; swap format for a real sink). */
   def startToMemory(lines: DataFrame, eni: DataFrame, geo: DataFrame,
