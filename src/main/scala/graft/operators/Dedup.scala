@@ -22,6 +22,10 @@ object Dedup {
     * positives to find. Mirrored by the `corpus` CTE in the oracle SQL.
     */
   def augmentCorpus(documents: DataFrame): DataFrame = {
+    // NB: measured at sf0.1, repartitioning this (small) corpus before
+    // the shingle explode made the chain slower — task/shuffle overhead
+    // outweighs parallelism below ~10^5 source rows. At real corpus
+    // scale the source arrives as many splittable files.
     val base = documents.select(col("doc_id"), col("text"))
     base
       .unionByName(base.filter(col("doc_id") % 10 === 0)

@@ -42,6 +42,17 @@ object FlowLog {
     * lineitem keys at the parquet scan.
     */
   def synthesizeLines(lineitem: DataFrame): DataFrame = {
+    // The testdata lands as one single-row-group parquet file per table —
+    // an unsplittable scan that would serialize the whole synth+regex
+    // pipeline onto one core. Redistribute the narrow 4-column key
+    // projection (cheap) so the expensive work downstream runs at full
+    // parallelism. At production scale inputs arrive as many splittable
+    // files and this exchange is unnecessary — it is the standard remedy
+    // for an unsplittable/skewed source, applied at the narrowest point.
+    val lineitemPar = lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"))
+      .repartition(lineitem.sparkSession.sparkContext.defaultParallelism)
     val id = (col("l_orderkey") * 8 + col("l_linenumber")).cast("long")
     val srcaddr = when(col("l_linenumber") % 3 === 0,
       concat(lit("52."), (col("l_partkey") % 30).cast("string"), lit(".0.1"))
@@ -69,7 +80,7 @@ object FlowLog {
         .otherwise("OK"))
     val line = when(col("l_orderkey") % 53 === 0,
       concat(lit("MALFORMED "), id.cast("string"))).otherwise(goodLine)
-    lineitem.select(
+    lineitemPar.select(
       id.as("id"),
       // Optimizer barrier: the guard is always true (the id is
       // non-negative), so the value is unchanged — but marking the
