@@ -199,6 +199,35 @@ object RelationalQueries {
           sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"))
         .orderBy("user_id")),
 
+    // As-of join (time-series lookup the reference lacks entirely): for
+    // each 'error' event, the latest 'click' by the same user at-or-before
+    // it. Equi-key on user + range predicate on time, deduplicated to the
+    // most recent match via a ranking window — the composition Spark-first
+    // design prefers over a custom join operator (SURVEY.md §4).
+    "q_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000000").as("evm"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("evm").as("err_ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user_id"), col("evm").as("click_ms"))
+      val w = Window.partitionBy(col("err_id"))
+        .orderBy(col("click_ms").desc, col("click_id").desc)
+      errors
+        .join(clicks, col("user_id") === col("c_user_id") &&
+          col("click_ms") <= col("err_ms"), "left_outer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("err_id"), col("user_id"), col("err_ms"),
+          col("click_id"), col("click_ms"),
+          (col("err_ms") - col("click_ms")).as("gap_ms"))
+        .orderBy("err_id")
+    }),
+
     // Approximate distinct (HLL). Sketch internals are engine-specific, so
     // this entry is deliberately absent from the oracle map (rows-only check).
     "q_approx_distinct" -> ((s, d) =>
@@ -327,6 +356,26 @@ object RelationalQueries {
         |       min(evm) AS start_ms, max(evm) AS end_ms
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000000 AS evm
+        |  FROM events),
+        |errors AS (
+        |  SELECT event_id AS err_id, user_id, evm AS err_ms
+        |  FROM ev WHERE event_type = 'error'),
+        |clicks AS (
+        |  SELECT event_id AS click_id, user_id AS c_user_id, evm AS click_ms
+        |  FROM ev WHERE event_type = 'click'),
+        |joined AS (
+        |  SELECT e.*, c.click_id, c.click_ms,
+        |         row_number() OVER (PARTITION BY e.err_id
+        |           ORDER BY c.click_ms DESC NULLS LAST, c.click_id DESC NULLS LAST) AS rn
+        |  FROM errors e LEFT JOIN clicks c
+        |    ON e.user_id = c.c_user_id AND c.click_ms <= e.err_ms)
+        |SELECT err_id, user_id, err_ms, click_id, click_ms,
+        |       err_ms - click_ms AS gap_ms
+        |FROM joined WHERE rn = 1 ORDER BY err_id""".stripMargin,
 
     "q_pivot_counts" ->
       """SELECT user_id,
