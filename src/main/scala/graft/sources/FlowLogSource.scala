@@ -34,10 +34,14 @@ object FlowLogSource {
     Ingestor.decodeEnvelopes(raw.select(col("awslogs.data").as("data")), "data")
   }
 
-  /** Streaming variant of readLines (same schema, readStream). */
+  /** Streaming variant of readLines (same schema, readStream).
+    * monotonically_increasing_id is unsupported under streaming, so the
+    * id is a content hash — stable across replays (at-least-once
+    * redelivery maps to the same id), with duplicate lines sharing one
+    * id; the raw payload is carried through for dead-lettering anyway. */
   def streamLines(spark: SparkSession, path: String): DataFrame =
     spark.readStream.text(path)
       .withColumnRenamed("value", "line")
-      .withColumn("id", monotonically_increasing_id())
+      .withColumn("id", xxhash64(col("line")))
       .select(col("id"), col("line"))
 }

@@ -38,6 +38,24 @@ class SourcesSpec extends SparkSpec {
     assert(out.toSeq === Seq("m1\n", "m2\n"))
   }
 
+  test("streaming file source drives the decorator end-to-end") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    FlowLog.synthesizeLines(Tables.lineitem(spark, sfDir)).limit(200)
+      .select("line").write.mode("overwrite").text(dir)
+    val eni = FlowLog.eniDimension(Tables.supplier(spark, sfDir))
+    val geo = FlowLog.geoDimension(Tables.nation(spark, sfDir),
+      Tables.region(spark, sfDir))
+    val q = FlowLogStream.startToMemory(
+      FlowLogSource.streamLines(spark, dir), eni, geo, "stream_src_out")
+    try {
+      q.processAllAvailable()
+      val out = spark.table("stream_src_out")
+      assert(out.count() > 0)
+      assert(out.select("result").distinct().as[String].collect().toSet
+        .subsetOf(Set("Ok", "ProcessingFailed")))
+    } finally q.stop()
+  }
+
   test("observe counters report total and failed records (OP-22)") {
     val parsed = FlowLog.parseFlowLines(
       Seq((1L, "junk"), (2L, "more junk"),
