@@ -199,6 +199,47 @@ object RelationalQueries {
           sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"))
         .orderBy("user_id")),
 
+    // Interpolated percentiles (rounded: the two engines' interpolation
+    // formulas differ in final-ulp float ops).
+    "q_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
+          round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50_price"))
+        .orderBy("l_returnflag")),
+
+    // Statistical moments from exact decimal sums: mean, variance,
+    // stddev, and cross-column correlation computed with explicit
+    // formulas over order-independent sums, so any aggregation
+    // parallelism matches the oracle bit-for-bit (built-in stddev/corr
+    // stream floating-point accumulators and cannot guarantee that).
+    "q_stats_moments" -> ((s, d) => {
+      def ds(c: Column) = sum(c.cast("decimal(18,4)")).cast("double")
+      def ds2(c: Column) =
+        sum(c.cast("decimal(18,4)") * c.cast("decimal(18,4)")).cast("double")
+      val sxy = sum(col("l_quantity").cast("decimal(18,4)") *
+        col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          ds(col("l_quantity")).as("sx"), ds2(col("l_quantity")).as("sxx"),
+          ds(col("l_extendedprice")).as("sy"),
+          ds2(col("l_extendedprice")).as("syy"), sxy.as("sxy"))
+        .select(col("l_returnflag"),
+          round(col("sx") / col("n"), 6).as("mean_qty"),
+          round((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1), 6).as("var_qty"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)), 6).as("stddev_qty"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // As-of join (time-series lookup the reference lacks entirely): for
     // each 'error' event, the latest 'click' by the same user at-or-before
     // it. Equi-key on user + range predicate on time, deduplicated to the
@@ -356,6 +397,31 @@ object RelationalQueries {
         |       min(evm) AS start_ms, max(evm) AS end_ms
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_stats_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round(sx / n, 6) AS mean_qty,
+        |  round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+        |  round((sxy - sx * sy / n) /
+        |        (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q_asof_join" ->
       """WITH ev AS (
