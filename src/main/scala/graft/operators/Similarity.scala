@@ -82,6 +82,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Typed top-k aggregator: keeps only the k best (score desc, id asc)
+    * per group in a bounded buffer. Compared to the window row_number
+    * formulation, the shuffle carries at most k rows per group from each
+    * map task (partial aggregation) instead of sorting every candidate —
+    * the plan shape that survives a billion-candidate group. */
+  class TopKAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+    private def trim(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      s.sortBy(t => (-t._2, t._1)).take(k)
+    override def zero: Seq[(Long, Double)] = Seq.empty
+    override def reduce(b: Seq[(Long, Double)], e: (Long, Long, Double)): Seq[(Long, Double)] =
+      trim(b :+ ((e._2, e._3)))
+    override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      trim(a ++ b)
+    override def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] = trim(b)
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
+  /** Brute-force top-k via the typed aggregator — identical results to
+    * bruteForceTopK (same scoring, same tie-break). */
+  def bruteForceTopKAgg(vecs: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val scored = broadcast(withNorm(probes)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pnrm")))
+      .join(withNorm(vecs).select(col("vec_id").as("neighbor_id"), col("v"),
+        col("nrm")),
+        col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKAggregator(k).toColumn)
+      .flatMap { case (probe, top) =>
+        top.zipWithIndex.map { case ((nid, cos), i) =>
+          (probe, nid, cos, i + 1)
+        }
+      }
+      .toDF("probe_id", "neighbor_id", "cos_r", "rnk")
+  }
+
   /** Sign-LSH bucket key: the sign pattern of dimensions 1..bits. */
   def signBucket(v: Column, bits: Int): Column =
     concat((1 to bits).map(i =>

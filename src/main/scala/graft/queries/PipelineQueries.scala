@@ -103,6 +103,16 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Same computation as sim_topk_bruteforce through a typed bounded
+    // top-k Aggregator instead of a ranking window — shares that query's
+    // oracle, proving the custom aggregation path exact.
+    "sim_topk_aggregator" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.bruteForceTopKAgg(vecs, vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     "sim_ivf_topk" -> ((s, d) => {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
       Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 15), 3)
@@ -237,6 +247,20 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "sim_topk_bruteforce" ->
+      s"""WITH $ovecsCte,
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM ovecs WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT probe_id, o.vec_id AS neighbor_id,
+         |         round(${cosSql("pv", "o.v")}, 6) AS cos_r
+         |  FROM probes, ovecs o WHERE probe_id <> o.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos_r DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, cos_r, rnk FROM ranked
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "sim_topk_aggregator" ->
       s"""WITH $ovecsCte,
          |probes AS (SELECT vec_id AS probe_id, v AS pv FROM ovecs WHERE vec_id < 10),
          |scored AS (
