@@ -72,6 +72,10 @@ object Dedup {
   /** LSH banding: 3 bands of 2 hashes; docs sharing any band bucket are
     * candidate pairs. */
   def lshCandidatePairs(sigs: DataFrame): DataFrame = {
+    // NB: the 3-band union × 2-sided self-join re-evaluates the
+    // signature chain per branch; persisting `sigs` was measured SLOWER
+    // at sf0.1 (caching forces full-column materialization and defeats
+    // pruning) — recompute wins at this scale.
     val buckets = sigs
       .select(col("doc_id"), concat(lit("b1:"), col("h1"), col("h2")).as("bucket"))
       .unionByName(sigs.select(col("doc_id"),

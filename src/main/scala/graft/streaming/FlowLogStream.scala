@@ -15,10 +15,15 @@ import graft.operators.FlowLog
 object FlowLogStream {
 
   /** The decorator pipeline over a streaming frame of raw lines
-    * (columns: id, line). Stateless → plain append-mode transforms. */
+    * (columns: id, line). Stateless → plain append-mode transforms.
+    * `@timestamp` is OP-11's processing-time stamp
+    * (decorator/index.js:111) — it lives only on this streaming surface;
+    * the oracle-compared batch queries exclude it as nondeterministic
+    * (SURVEY.md §7.3). */
   def decorate(lines: DataFrame, eni: DataFrame, geo: DataFrame): DataFrame =
     FlowLog.packageRecords(
       FlowLog.enrich(FlowLog.parseFlowLines(lines), eni, geo))
+      .withColumn("@timestamp", current_timestamp())
 
   /** Event-time tumbling/sliding window aggregation with watermark
     * (charter extension — the reference has event-time fields but never
