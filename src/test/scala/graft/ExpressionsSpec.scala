@@ -56,6 +56,20 @@ class ExpressionsSpec extends SparkSpec {
     assert(fps("a") === fps("b"))
   }
 
+  test("custom expressions are callable from SQL after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cast(gunzip(gzip(cast('hi' as binary))) as string) AS rt,
+        |       rolling_fingerprint('hello world', 4) AS fp,
+        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |""".stripMargin).head()
+    assert(r.getAs[String]("rt") === "hi")
+    assert(r.getAs[Double]("dp") === 11.0)
+    val viaColumn = Seq("hello world").toDF("s")
+      .select(gf.rolling_fingerprint($"s", 4)).as[Long].head
+    assert(r.getAs[Long]("fp") === viaColumn)
+  }
+
   test("property: parser never crashes and routes junk to dead-letter") {
     val lines = samples(Arbitrary.arbitrary[String], 200)
       .map(_.replace('\n', ' ').replace('\r', ' '))
