@@ -21,15 +21,13 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) cannot hold — read it as a nanos-since-epoch Long instead.
-    * This is also the oracle-stable representation: integer arithmetic on
-    * both engines, no sub-micro truncation mismatch vs DuckDB's
-    * TIMESTAMP_NS (`epoch_ns(ts)` on the DuckDB side).
+    * (micros) cannot hold — sessions built via [[GraftSession]] set
+    * `spark.sql.legacy.parquet.nanosAsLong` at construction so it reads
+    * as a nanos-since-epoch Long. This is also the oracle-stable
+    * representation: integer arithmetic on both engines, no sub-micro
+    * truncation mismatch vs DuckDB's TIMESTAMP_NS (`epoch_ns(ts)`).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-  }
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, StringType}
 
 /** SQL registration for the custom Catalyst expressions, so
   * `spark.sql("SELECT gunzip(payload) ...")` works alongside the Column
@@ -28,12 +29,23 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  // SQL args arrive untyped (no analyzer coercion for injected functions),
+  // so wrap each child with the same Cast the Column API applies in
+  // `graft.functions.functions` — otherwise e.g. gunzip(string_col) reaches
+  // nullSafeEval's asInstanceOf and fails at runtime instead of analysis.
+  private def as(e: Expression, t: DataType): Expression =
+    if (e.resolved && e.dataType == t) e else Cast(e, t)
+
   val builders: Map[String, Seq[Expression] => Expression] = Map(
-    "gunzip" -> (exprs => Gunzip(exprs.head)),
-    "gzip" -> (exprs => Gzip(exprs.head)),
-    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "gunzip" -> (exprs => Gunzip(as(exprs.head, BinaryType))),
+    "try_gunzip" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions.TryEval(
+        Gunzip(as(exprs.head, BinaryType)))),
+    "gzip" -> (exprs => Gzip(as(exprs.head, BinaryType))),
+    "dot_product" -> (exprs => DotProduct(
+      as(exprs(0), ArrayType(DoubleType)), as(exprs(1), ArrayType(DoubleType)))),
     "rolling_fingerprint" -> (exprs =>
-      RollingFingerprint(exprs(0), intArg(exprs(1), "window"))))
+      RollingFingerprint(as(exprs(0), StringType), intArg(exprs(1), "window"))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -142,6 +142,14 @@ object functions {
   private def ex(c: Column) = GraftColumnBridge.expression(c)
   def gunzip(c: Column): Column =
     GraftColumnBridge.column(Gunzip(ex(c.cast("binary"))))
+  /** gunzip that yields null instead of throwing on a corrupt payload —
+    * the building block for per-record dead-letter routes (the batch
+    * must survive one bad record; cf. reference's try/catch at
+    * ingestor/index.js:104-108). */
+  def try_gunzip(c: Column): Column =
+    GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.TryEval(
+        Gunzip(ex(c.cast("binary")))))
   def gzip(c: Column): Column =
     GraftColumnBridge.column(Gzip(ex(c.cast("binary"))))
   def rolling_fingerprint(c: Column, window: Int): Column =

@@ -25,15 +25,39 @@ object Ingestor {
       StructField("timestamp", LongType),
       StructField("message", StringType)))))))
 
+  /** base64 → try_gunzip → JSON envelope, with an explicit per-record
+    * `error` flag instead of a batch-aborting throw: a corrupt gzip
+    * payload nulls out (try_gunzip), an unparseable/shapeless envelope
+    * nulls `logEvents` — both are flagged, never silently dropped. */
+  private def decoded(df: DataFrame, dataCol: String): DataFrame =
+    df.withColumn("payload",
+        graft.functions.functions.try_gunzip(unbase64(col(dataCol))))
+      .withColumn("env", from_json(col("payload").cast("string"), envelopeSchema))
+      .withColumn("error",
+        col("payload").isNull || col("env").isNull || col("env.logEvents").isNull)
+
   /** OP-1/2/3/4/5: envelope column (base64 of gzipped JSON) → one row per
-    * log event, with the reference's trailing-newline projection. */
+    * log event, with the reference's trailing-newline projection.
+    * Control-message filtering is null-safe (a failed parse has a null
+    * messageType, which must not look like a control message); decode
+    * failures route to [[deadLetterEnvelopes]] rather than throwing. */
   def decodeEnvelopes(df: DataFrame, dataCol: String): DataFrame =
-    df.withColumn("env",
-        from_json(graft.functions.functions.gunzip(unbase64(col(dataCol)))
-          .cast("string"), envelopeSchema))
-      .filter(col("env.messageType") =!= "CONTROL_MESSAGE")
+    decoded(df, dataCol)
+      .filter(!col("error") &&
+        coalesce(col("env.messageType"), lit("")) =!= "CONTROL_MESSAGE")
       .select(explode(col("env.logEvents")).as("ev"))
       .select(concat(col("ev.message"), lit("\n")).as("Data"))
+
+  /** The dead-letter route: envelopes whose payload failed gzip/JSON/shape
+    * decoding, carrying the ORIGINAL still-encoded payload for replay
+    * (the decorator's ProcessingFailed semantics, decorator/index.js:215-219,
+    * applied per record instead of the reference ingestor's batch abort). */
+  def deadLetterEnvelopes(df: DataFrame, dataCol: String): DataFrame =
+    decoded(df, dataCol)
+      .filter(col("error"))
+      .select(col(dataCol).as("data"),
+        when(col("payload").isNull, "CORRUPT_GZIP").otherwise("BAD_ENVELOPE")
+          .as("reason"))
 
   /** OP-6: group a partition's records into putRecordBatch-sized chunks
     * (500 in the reference). Returns (chunk sizes) per partition — the

@@ -34,32 +34,51 @@ object LiveGeocode {
     def lookup(ip: String): Option[GeoInfo]
   }
 
-  /** Simple token bucket: at most `perSecond` acquisitions per rolling
-    * second within one partition. */
-  private final class TokenBucket(perSecond: Int) {
-    private var windowStart = System.nanoTime()
-    private var used = 0
+  /** True rolling-window rate limiter: every acquisition is timestamped
+    * and at most `perWindow` of them can fall inside any rolling window
+    * of `windowNanos` — unlike a fixed-window bucket, which admits up to
+    * 2× the limit across a window boundary. Per-thread (one instance per
+    * partition); the service-level rate is enforced by bounding lookup
+    * parallelism in [[buildGeoDimension]]. */
+  private final class RollingLimiter(perWindow: Int,
+      windowNanos: Long = 1000000000L) {
+    private val times = new java.util.ArrayDeque[Long]()
     def acquire(): Unit = {
-      if (used >= perSecond) {
-        val elapsed = System.nanoTime() - windowStart
-        val remain = 1000000000L - elapsed
-        if (remain > 0) Thread.sleep(remain / 1000000 + 1)
-        windowStart = System.nanoTime()
-        used = 0
+      var now = System.nanoTime()
+      var full = true
+      while (full) {
+        while (!times.isEmpty && now - times.peekFirst() >= windowNanos)
+          times.pollFirst()
+        full = times.size() >= perWindow
+        if (full) {
+          val wait = windowNanos - (now - times.peekFirst())
+          if (wait > 0) Thread.sleep(wait / 1000000 + 1)
+          now = System.nanoTime()
+        }
       }
-      used += 1
+      times.addLast(now)
     }
   }
 
   /** Build the per-batch geo dimension from the batch's distinct public
-    * source IPs. One client + cache + limiter per partition. */
+    * source IPs. One client + cache + limiter per partition.
+    *
+    * `maxPerSecond` is the SERVICE-level aggregate rate: the distinct
+    * IPs are coalesced into `lookupParallelism` partitions and each
+    * partition's rolling-window limiter gets an equal share, so the
+    * total in-flight rate never exceeds the quota regardless of cluster
+    * size (the reference had the mirror-image problem: one sequential
+    * request stream, decorator/index.js:166-177). */
   def buildGeoDimension(ips: Dataset[String], clientFactory: () => GeoClient,
-      maxPerSecond: Int = 50, cacheSize: Int = 10000): DataFrame = {
+      maxPerSecond: Int = 50, cacheSize: Int = 10000,
+      lookupParallelism: Int = 4): DataFrame = {
     val spark = ips.sparkSession
     import spark.implicits._
-    ips.distinct().mapPartitions { it =>
+    val parts = math.max(1, math.min(lookupParallelism, maxPerSecond))
+    val perPartition = math.max(1, maxPerSecond / parts)
+    ips.distinct().repartition(parts).mapPartitions { it =>
       val client = clientFactory()
-      val limiter = new TokenBucket(maxPerSecond)
+      val limiter = new RollingLimiter(perPartition)
       val cache = new java.util.LinkedHashMap[String, Option[GeoInfo]](
         16, 0.75f, true) {
         override def removeEldestEntry(

@@ -70,6 +70,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getAs[Long]("fp") === viaColumn)
   }
 
+  test("SQL-registered functions coerce raw argument types like the Column API") {
+    graft.functions.GraftExtensions.register(spark)
+    // gzip over a bare STRING and dot_product over array<float>/array<int>
+    // must cast (not ClassCastException / silently-wrong getDouble reads).
+    val r = spark.sql(
+      """SELECT cast(gunzip(gzip('hi')) as string) AS rt,
+        |       dot_product(array(cast(1.5 as float), cast(2.0 as float)),
+        |                   array(2, 3)) AS dp
+        |""".stripMargin).head()
+    assert(r.getAs[String]("rt") === "hi")
+    assert(r.getAs[Double]("dp") === 9.0)
+  }
+
+  test("try_gunzip yields null on corrupt payload instead of throwing") {
+    graft.functions.GraftExtensions.register(spark)
+    val rows = Seq(Array[Byte](9, 9, 9)).toDF("b")
+      .select(gf.try_gunzip($"b").as("a"))
+      .union(spark.sql("SELECT try_gunzip(cast('junk' as binary))"))
+      .collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+
   test("property: parser never crashes and routes junk to dead-letter") {
     val lines = samples(Arbitrary.arbitrary[String], 200)
       .map(_.replace('\n', ' ').replace('\r', ' '))

@@ -6,12 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for test suites (one per suite, lazy). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val s = GraftSession.builder("local[4]", "4", "graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
