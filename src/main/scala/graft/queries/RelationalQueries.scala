@@ -276,7 +276,81 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Range (band) join: non-equi join of the fact against a tiny band
+    // dimension. Broadcast → BroadcastNestedLoopJoin; the fact side
+    // never shuffles, so the plan is a single scan at any scale.
+    "q_range_join" -> ((s, d) => {
+      val bands = Tables.nation(s, d).select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 2.0).as("lo"),
+        (col("n_nationkey") * 2.0 + 2.0).as("hi"))
+      Tables.lineitem(s, d)
+        .join(broadcast(bands),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("band_id")
+    }),
+
+    // GROUPING SETS distinct from rollup/cube: two independent unary
+    // groupings plus the grand total in one pass.
+    "q_grouping_sets" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    // Ordered-selection aggregates (min_by/max_by): the tie-break lives
+    // in the ordering key itself — acctbal is exactly 2-decimal, so
+    // round(bal*100)*1e7 + custkey is an integer key, unique (custkey <
+    // 1e7) and order-preserving — deterministic under any partitioning.
+    "q_minmax_by" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_name"),
+          (round(col("c_acctbal") * 100).cast("long") * 10000000L +
+            col("c_custkey")).as("k"))
+        .groupBy(col("c_mktsegment"))
+        .agg(max_by(col("c_name"), col("k")).as("richest"),
+          min_by(col("c_name"), col("k")).as("poorest"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
+    // Generator / table-valued function: posexplode of split words.
+    "q_posexplode" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .select(col("p_partkey"), col("pos"), col("col").as("word"))
+        .orderBy("p_partkey", "pos")),
+
+    // Date/time scalar functions: extract, day arithmetic, truncation.
+    "q_date_arith" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).as("dd"),
+          dayofmonth(col("o_orderdate")).as("dom"))
+        .groupBy("y", "m")
+        .agg(count(lit(1)).as("n"), min(col("dd")).as("min_dd"),
+          max(col("dom")).as("max_dom"))
+        .orderBy("y", "m")),
+
+    // Collect-to-array aggregation, made deterministic by sorting the
+    // collected array (collect_list order is partition-dependent).
+    "q_array_agg" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_acctbal") < -900)
+        .groupBy(col("c_nationkey"))
+        .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -450,6 +524,50 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT n_nationkey AS band_id, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN nation
+        |  ON l_quantity >= n_nationkey * 2.0 AND l_quantity < n_nationkey * 2.0 + 2.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_minmax_by" ->
+      """SELECT c_mktsegment,
+        |  arg_max(c_name, CAST(round(c_acctbal*100) AS BIGINT)*10000000 + c_custkey) AS richest,
+        |  arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*10000000 + c_custkey) AS poorest,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_posexplode" ->
+      """WITH wrd AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part),
+        |ix AS (SELECT p_partkey, w,
+        |       unnest(generate_series(1, len(w))) AS i FROM wrd)
+        |SELECT p_partkey, CAST(i - 1 AS INTEGER) AS pos, w[i] AS word
+        |FROM ix ORDER BY p_partkey, pos""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT EXTRACT(year FROM o_orderdate) AS y,
+        |  EXTRACT(month FROM o_orderdate) AS m,
+        |  count(*) AS n,
+        |  min(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))) AS min_dd,
+        |  max(EXTRACT(day FROM o_orderdate)) AS max_dom
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys,
+        |  count(*) AS n
+        |FROM customer WHERE c_acctbal < -900
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
