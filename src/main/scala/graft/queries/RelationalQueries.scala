@@ -350,7 +350,87 @@ object RelationalQueries {
         .groupBy(col("c_nationkey"))
         .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"),
           count(lit(1)).as("n"))
-        .orderBy("c_nationkey"))
+        .orderBy("c_nationkey")),
+
+    // Scalar (uncorrelated) subquery in a filter: the 1-row aggregate is
+    // broadcast-cross-joined to the fact — at any scale the fact side
+    // streams once with no shuffle before the final small aggregation.
+    // The average is computed as exact-decimal sum / count so the filter
+    // threshold is bit-identical across engines.
+    "q_scalar_subquery" -> ((s, d) => {
+      val stats = Tables.orders(s, d).agg(
+        (sum(col("o_totalprice").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("avg_price"))
+      Tables.orders(s, d)
+        .join(broadcast(stats))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Native pivot operator (vs q_pivot_counts' manual conditional
+    // aggregation): explicit value list keeps the plan single-pass (no
+    // distinct-values pre-query) — required at scale.
+    "q_pivot_native" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")),
+
+    // Unpivot/melt: wide measures → (measure, value) long form.
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
+    // Distribution window functions: ntile / percent_rank / cume_dist
+    // over a unique ordering (price, then keys) — deterministic ranks.
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Frame-anchored value window functions: first/last/nth over the
+    // whole partition frame.
+    "q_window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Scalar string-function coverage: case, length, substring, padding,
+    // replacement, reversal, position.
+    "q_string_funcs" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        length(col("p_name")).as("len"),
+        substring(col("p_name"), 1, 10).as("sub"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("padded"),
+        regexp_replace(col("p_name"), " ", "_").as("joined"),
+        reverse(col("p_type")).as("rev"),
+        instr(col("p_name"), "a").cast("long").as("pos_a"))
+        .orderBy("p_partkey"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -568,6 +648,66 @@ object RelationalQueries {
       """SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys,
         |  count(*) AS n
         |FROM customer WHERE c_acctbal < -900
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """WITH s AS (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) /
+        |         count(*) AS avg_price
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders, s WHERE o_totalprice > avg_price
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pivot_native" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m AS measure, v AS val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS m, l_quantity AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT event_id, user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up,
+        |  lower(p_brand) AS lo,
+        |  CAST(length(p_name) AS INTEGER) AS len,
+        |  substr(p_name, 1, 10) AS sub,
+        |  lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded,
+        |  replace(p_name, ' ', '_') AS joined,
+        |  reverse(p_type) AS rev,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }
