@@ -77,6 +77,59 @@ object Multimodal {
         expr(s"substring(payload, cast(frame_no * $frameSize + 1 as int), $frameSize)")
           .as("frame"))
 
+  /** STUB resize: keep every `factor`-th payload byte and scale the fake
+    * dimensions down accordingly (a real implementation decodes, scales,
+    * re-encodes here). Same mapPartitions batch shape as the decoder. */
+  def resizeImages(decoded: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    implicit val enc = RowEncoder.encoderFor(imageSchema)
+    decoded.select(col("doc_id"), col("payload"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val meta = r.getStruct(2)
+          val out =
+            if (bytes.isEmpty) bytes
+            else Array.tabulate((bytes.length + factor - 1) / factor)(i =>
+              bytes(i * factor))
+          Row(id, out, Row(out.length.toLong,
+            math.max(1, meta.getInt(1) / factor),
+            math.max(1, meta.getInt(2) / factor),
+            meta.getString(3)))
+        }
+      }
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("features", ArrayType(DoubleType))))
+
+  /** STUB feature extraction: a normalized `bins`-bin byte histogram per
+    * payload — the (doc_id, float-vector) shape a real embedding or
+    * feature model emits, so the output composes directly with the
+    * Similarity operators. One "model" per partition, rows streamed
+    * through (the mapInPandas batch shape). */
+  def extractFeatures(payloads: DataFrame, bins: Int = 8): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    implicit val enc = RowEncoder.encoderFor(featureSchema)
+    payloads.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      // per-partition "model init" would happen here
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val hist = new Array[Double](bins)
+        var i = 0
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xff) * bins / 256) += 1.0
+          i += 1
+        }
+        val n = math.max(1, bytes.length).toDouble
+        Row(id, hist.map(_ / n).toSeq)
+      }
+    }
+  }
+
   /** Oracle-friendly metadata extraction over the binary column:
     * byte length, sha256, and a hex "magic number" prefix. */
   def binaryMeta(documents: DataFrame): DataFrame =

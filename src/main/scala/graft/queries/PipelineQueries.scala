@@ -160,6 +160,31 @@ object PipelineQueries {
           length(col("frame")).as("frame_bytes"))
         .orderBy("doc_id", "frame_no")),
 
+    // Resize stage over decoded payloads. The stub's byte/dimension
+    // arithmetic is deterministic, so (unusually for a codec stage) it
+    // IS oracle-checkable: the documents corpus is pure ASCII, making
+    // byte arithmetic equal to character arithmetic in DuckDB.
+    "mm_resize_stub" -> ((s, d) =>
+      Multimodal.resizeImages(
+        Multimodal.decodeImages(
+          Multimodal.asBinaryPayloads(Tables.documents(s, d))), 4)
+        .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("doc_id")),
+
+    // Feature-extraction stage: normalized byte histogram as the
+    // embedding-shaped output a real feature model would emit. ASCII
+    // corpus → bins 5-8 are structurally zero; bins 1-4 are char-class
+    // frequencies the oracle reproduces with regex counts.
+    "mm_feature_hist" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.asBinaryPayloads(Tables.documents(s, d)))
+      feats.select(col("doc_id") +:
+        (1 to 8).map(k =>
+          round(element_at(col("features"), k), 6).as(s"f$k")): _*)
+        .orderBy("doc_id")
+    }),
+
     // Custom-Expression queries (rows-only: Long-wraparound polynomial
     // hashing and gzip framing aren't DuckDB-expressible):
     // winnowing rolling-hash fingerprint over each document …
@@ -363,6 +388,23 @@ object PipelineQueries {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |                          ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_resize_stub" ->
+      """SELECT doc_id,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS byte_len,
+        |  CAST(greatest(1, (16 + (ascii(substr(text, 1, 1)) % 64)) // 4) AS INTEGER) AS width,
+        |  CAST(greatest(1, (16 + (ascii(substr(text, length(text), 1)) % 64)) // 4) AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_feature_hist" ->
+      """SELECT doc_id,
+        |  round(CAST(len(regexp_extract_all(text, '[\x00-\x1f]')) AS DOUBLE) / length(text), 6) AS f1,
+        |  round(CAST(len(regexp_extract_all(text, '[\x20-\x3f]')) AS DOUBLE) / length(text), 6) AS f2,
+        |  round(CAST(len(regexp_extract_all(text, '[\x40-\x5f]')) AS DOUBLE) / length(text), 6) AS f3,
+        |  round(CAST(len(regexp_extract_all(text, '[\x60-\x7f]')) AS DOUBLE) / length(text), 6) AS f4,
+        |  CAST(0 AS DOUBLE) AS f5, CAST(0 AS DOUBLE) AS f6,
+        |  CAST(0 AS DOUBLE) AS f7, CAST(0 AS DOUBLE) AS f8
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_binary_meta" ->

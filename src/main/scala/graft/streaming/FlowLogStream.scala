@@ -88,6 +88,31 @@ object FlowLogStream {
       }
   }
 
+  /** Stream-stream inner join with watermarks on both sides (the
+    * streaming analog of q_asof_join's equi-key + time-range predicate):
+    * for each left event, the right events by the same user within the
+    * preceding `boundSeconds`. The watermarks bound the join state, so
+    * at scale state size tracks the time window — not the stream length.
+    * Left columns: (user_id, l_ts); right: (r_user_id, r_ts, r_value).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      watermarkDelay: String, boundSeconds: Int): DataFrame =
+    left.withWatermark("l_ts", watermarkDelay)
+      .join(right.withWatermark("r_ts", watermarkDelay),
+        expr(s"""user_id = r_user_id AND
+                |r_ts BETWEEN l_ts - INTERVAL $boundSeconds seconds AND l_ts
+                |""".stripMargin))
+
+  /** Streaming exact deduplication with bounded state: duplicate
+    * event_ids are dropped if they re-arrive within the watermark
+    * horizon, and state older than the horizon is evicted — the
+    * streaming face of Dedup.exactDuplicates (at-least-once sources
+    * redeliver; this makes the sink effectively-once per horizon).
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** OP-22 as streaming-safe side-output counters: an `observe`
     * observation named `flow_counters` with total/failed record tallies
     * per batch (the reference's imperative success/failure log,

@@ -104,4 +104,27 @@ class PipelineSpec extends SparkSpec {
     assert(frames.map(_.getAs[Long]("frame_no")).toSeq === Seq(0L, 2L))
     assert(frames(0).getAs[Array[Byte]]("frame").length === 64)
   }
+
+  test("resize stub downsamples bytes and scales dimensions by the factor") {
+    val payloads = Seq((1L, (0 until 100).map(_.toByte).toArray))
+      .toDF("doc_id", "payload")
+    val r = Multimodal.resizeImages(Multimodal.decodeImages(payloads), 4).head
+    val out = r.getAs[Array[Byte]]("payload")
+    assert(out.length === 25) // ceil(100/4)
+    assert(out.toSeq === (0 until 100 by 4).map(_.toByte))
+    val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[Long]("byte_len") === 25L)
+    // decode: w = 16 + (0 & 0x3f) = 16 → resized 16/4 = 4
+    assert(meta.getAs[Int]("width") === 4)
+  }
+
+  test("feature extraction emits a normalized histogram summing to ~1") {
+    val payloads = Seq((1L, "aaAA  !!".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(payloads).head
+      .getAs[scala.collection.Seq[Double]]("features")
+    assert(feats.length === 8)
+    assert(math.abs(feats.sum - 1.0) < 1e-9)
+    // 'a'(97)→bin 3, 'A'(65)→bin 2, ' '(32)/'!'(33)→bin 1; 2 of each pair
+    assert(feats(3) === 0.25 && feats(2) === 0.25 && feats(1) === 0.5)
+  }
 }

@@ -55,6 +55,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches right events within the time bound only") {
+    val left = MemoryStream[(Long, Timestamp)](spark)
+    val right = MemoryStream[(Long, Timestamp, Double)](spark)
+    val joined = FlowLogStream.streamStreamJoin(
+      left.toDF().toDF("user_id", "l_ts"),
+      right.toDF().toDF("r_user_id", "r_ts", "r_value"),
+      "10 minutes", boundSeconds = 60)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      def ts(sec: Int) = Timestamp.valueOf(f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d")
+      right.addData((7L, ts(10), 1.0), (7L, ts(100), 2.0), (8L, ts(110), 3.0))
+      left.addData((7L, ts(120)))
+      q.processAllAvailable()
+      val out = spark.table("ssj_out")
+        .select($"user_id", $"r_value").as[(Long, Double)].collect().toSet
+      // user 7 at t=120s: r at 100s is inside the 60s bound, r at 10s is
+      // not; user 8's event belongs to a different key.
+      assert(out === Set((7L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops redelivered event ids within the watermark") {
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val deduped = FlowLogStream.dedupStream(
+      input.toDF().toDF("event_id", "ts", "event_type"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData((1L, t0, "click"), (2L, t0, "view"), (1L, t0, "click"))
+      q.processAllAvailable()
+      input.addData((2L, t0, "view"), (3L, t0, "click")) // redelivery + new
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+        .select($"event_id").as[Long].collect().sorted
+      assert(out.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session on inactivity gap") {
     val input = MemoryStream[Ev](spark)
     // two bursts for user 7, separated by > gap in event time: the second
