@@ -167,15 +167,13 @@ object FlowLog {
       str(14).as("log_status"))
   }
 
-  /** OP-14/15/16/17/18/19: the decorator's enrichment pass
-    * (decorator/index.js:163-197) as two broadcast left joins + derived
-    * columns. Geo join condition includes the NOT-private gate, mirroring
-    * the reference's skip of geocoding for RFC1918 sources
-    * (decorator/index.js:175-176) — private rows never match, and get the
-    * blank defaults of OP-18 (decorator/index.js:182-190).
-    */
-  def enrich(parsed: DataFrame, eni: DataFrame, geo: DataFrame): DataFrame = {
-    val withEni = parsed
+  /** OP-14/15/16: the ENI half of the enrichment — broadcast left join
+    * plus direction and RFC1918 derived columns. Exposed separately so
+    * consumers needing only ENI columns skip the geo join entirely
+    * (Catalyst cannot eliminate an unused left join without a
+    * uniqueness guarantee on the dimension key). */
+  def enrichEni(parsed: DataFrame, eni: DataFrame): DataFrame =
+    parsed
       .join(broadcast(eni), parsed("interface_id") === eni("interface_id"),
         "left_outer")
       .drop(eni("interface_id"))
@@ -184,6 +182,16 @@ object FlowLog {
           .when(col("destaddr") === col("ip_address"), "inbound")
           .otherwise("outbound"))
       .withColumn("is_private", col("srcaddr").rlike(Rfc1918Regex))
+
+  /** OP-14/15/16/17/18/19: the decorator's enrichment pass
+    * (decorator/index.js:163-197) as two broadcast left joins + derived
+    * columns. Geo join condition includes the NOT-private gate, mirroring
+    * the reference's skip of geocoding for RFC1918 sources
+    * (decorator/index.js:175-176) — private rows never match, and get the
+    * blank defaults of OP-18 (decorator/index.js:182-190).
+    */
+  def enrich(parsed: DataFrame, eni: DataFrame, geo: DataFrame): DataFrame = {
+    val withEni = enrichEni(parsed, eni)
     withEni
       .join(broadcast(geo),
         withEni("srcaddr") === geo("ip") && !withEni("is_private"),

@@ -144,11 +144,12 @@ object FlowLogQueries {
           when(col("error"), col("line")).as("payload"))
         .orderBy("id")),
 
-    // OP-13/OP-14: dimension build + broadcast left lookup join
+    // OP-13/OP-14: dimension build + broadcast left lookup join. Uses
+    // the ENI-only enrichment stage — the geo join would survive in the
+    // plan unused (left joins aren't eliminable without key-uniqueness).
     "flow_eni_join" -> ((s, d) =>
-      FlowLog.enrich(parsed(s, d),
-        FlowLog.eniDimension(Tables.supplier(s, d)),
-        FlowLog.geoDimension(Tables.nation(s, d), Tables.region(s, d)))
+      FlowLog.enrichEni(parsed(s, d),
+        FlowLog.eniDimension(Tables.supplier(s, d)))
         .filter(!col("error"))
         .select(col("id"), col("interface_id"),
           coalesce(array_join(col("security_group_ids"), ","), lit(""))
@@ -156,9 +157,11 @@ object FlowLogQueries {
           coalesce(col("ip_address"), lit("")).as("ip_address"))
         .orderBy("id")),
 
-    // OP-15: derived direction column
+    // OP-15: derived direction column (ENI-only stage, same reasoning)
     "flow_direction" -> ((s, d) =>
-      enriched(s, d).filter(!col("error"))
+      FlowLog.enrichEni(parsed(s, d),
+        FlowLog.eniDimension(Tables.supplier(s, d)))
+        .filter(!col("error"))
         .select(col("id"), col("destaddr"),
           coalesce(col("ip_address"), lit("")).as("ip_address"),
           coalesce(col("direction"), lit("")).as("direction"))
