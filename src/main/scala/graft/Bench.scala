@@ -19,10 +19,18 @@ object Bench {
     // surface once on the smallest SF so measured times are steady-state.
     SparkEntry.entry(spark).count()
 
+    // Per-query: best of `runs` executions. The first execution of a
+    // query pays one-off plan compilation + whole-stage codegen
+    // (100-300 ms of driver-side work unrelated to data volume); the
+    // minimum reflects the steady-state cost that scales with SF.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
