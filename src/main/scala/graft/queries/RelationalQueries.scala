@@ -343,12 +343,15 @@ object RelationalQueries {
         .orderBy("y", "m")),
 
     // Collect-to-array aggregation, made deterministic by sorting the
-    // collected array (collect_list order is partition-dependent).
+    // collected array (collect_list order is partition-dependent) and
+    // serialized to CSV so the compared value is a plain string on both
+    // engines (array-type hashing is comparator-specific).
     "q_array_agg" -> ((s, d) =>
       Tables.customer(s, d)
         .filter(col("c_acctbal") < -900)
         .groupBy(col("c_nationkey"))
-        .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"),
+        .agg(array_join(sort_array(collect_list(col("c_custkey"))), ",")
+            .as("custkeys"),
           count(lit(1)).as("n"))
         .orderBy("c_nationkey")),
 
@@ -645,7 +648,8 @@ object RelationalQueries {
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_array_agg" ->
-      """SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys,
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
         |  count(*) AS n
         |FROM customer WHERE c_acctbal < -900
         |GROUP BY 1 ORDER BY 1""".stripMargin,
