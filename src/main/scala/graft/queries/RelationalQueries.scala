@@ -420,6 +420,19 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Null-handling and comparison scalar functions: nullif, nvl/
+    // coalesce, greatest/least, null predicates.
+    "q_null_funcs" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("non_open_status"),
+        coalesce(nullif(col("o_orderpriority"), lit("5-LOW")), lit("OTHER"))
+          .as("prio_or_other"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("floor_price"),
+        least(col("o_custkey"), col("o_orderkey")).as("min_key"),
+        nullif(col("o_orderstatus"), lit("O")).isNull.as("is_open"))
+        .orderBy("o_orderkey")),
+
     // Scalar string-function coverage: case, length, substring, padding,
     // replacement, reversal, position.
     "q_string_funcs" -> ((s, d) =>
@@ -701,6 +714,15 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS non_open_status,
+        |  coalesce(nullif(o_orderpriority, '5-LOW'), 'OTHER') AS prio_or_other,
+        |  greatest(o_totalprice, 100000.0) AS floor_price,
+        |  least(o_custkey, o_orderkey) AS min_key,
+        |  nullif(o_orderstatus, 'O') IS NULL AS is_open
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT p_partkey,
