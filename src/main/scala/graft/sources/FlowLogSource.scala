@@ -34,6 +34,27 @@ object FlowLogSource {
     Ingestor.decodeEnvelopes(raw.select(col("awslogs.data").as("data")), "data")
   }
 
+  /** Schema-on-read alternative to the regex parser: the v2 flow-log
+    * line is space-delimited, so the CSV reader with a space delimiter
+    * and an explicit schema types the 14 fields at scan time.
+    * PERMISSIVE mode + columnNameOfCorruptRecord keeps the dead-letter
+    * contract: malformed lines land with typed fields null and the raw
+    * payload preserved in `_corrupt`. Faster than regex for
+    * known-clean data; the regex path remains authoritative for enum
+    * validation (ACCEPT/REJECT etc. — CSV typing alone can't check
+    * those).
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("delimiter", " ")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema("version INT, account_id STRING, interface_id STRING, " +
+        "srcaddr STRING, destaddr STRING, srcport INT, dstport INT, " +
+        "protocol INT, packets BIGINT, bytes BIGINT, start BIGINT, " +
+        "`end` BIGINT, action STRING, log_status STRING, _corrupt STRING")
+      .csv(path)
+
   /** Streaming variant of readLines (same schema, readStream).
     * monotonically_increasing_id is unsupported under streaming, so the
     * id is a content hash — stable across replays (at-least-once

@@ -38,6 +38,25 @@ class SourcesSpec extends SparkSpec {
     assert(out.toSeq === Seq("m1\n", "m2\n"))
   }
 
+  test("CSV schema-on-read types the 14 fields and corrupt lines keep the payload") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val good =
+      "2 123456789010 eni-1854f949 72.21.196.65 172.31.16.21 20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK"
+    Files.writeString(java.nio.file.Paths.get(dir, "flow.log"),
+      s"$good\nutter junk\n")
+    val out = FlowLogSource.readCsv(spark, dir)
+    val rows = out.orderBy(col("_corrupt").asc_nulls_first).collect()
+    assert(rows.length === 2)
+    val ok = rows(0)
+    assert(ok.getAs[Int]("version") === 2)
+    assert(ok.getAs[String]("interface_id") === "eni-1854f949")
+    assert(ok.getAs[Long]("bytes") === 4249L)
+    assert(ok.getAs[String]("log_status") === "OK")
+    val bad = rows(1)
+    assert(bad.getAs[String]("_corrupt") === "utter junk")
+    assert(bad.isNullAt(bad.fieldIndex("srcport")))
+  }
+
   test("streaming file source drives the decorator end-to-end") {
     val dir = Files.createTempDirectory("graft_stream").toString
     FlowLog.synthesizeLines(Tables.lineitem(spark, sfDir)).limit(200)
