@@ -143,8 +143,9 @@ object PipelineQueries {
     "mm_binary_meta" -> ((s, d) =>
       Multimodal.binaryMeta(Tables.documents(s, d)).orderBy("doc_id")),
 
-    // Multimodal decode plumbing (stubbed codec) — not SQL-expressible,
-    // deliberately absent from the oracle map (rows-only check).
+    // Multimodal decode plumbing: the codec is a stub, but its byte
+    // arithmetic is deterministic and the corpus is ASCII, so even this
+    // stage oracle-checks (ascii() arithmetic in DuckDB).
     "mm_decode_stub" -> ((s, d) =>
       Multimodal.decodeImages(
         Multimodal.asBinaryPayloads(Tables.documents(s, d)))
@@ -152,7 +153,8 @@ object PipelineQueries {
           col("meta.height"), col("meta.format"))
         .orderBy("doc_id")),
 
-    // Frame sampling over binary payloads — rows-only check as well.
+    // Frame sampling over binary payloads — frame boundaries and sizes
+    // reproduce in SQL from the byte length alone.
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.asBinaryPayloads(Tables.documents(s, d)), 64, 2)
@@ -196,8 +198,8 @@ object PipelineQueries {
         .orderBy("doc_id")),
 
     // … and the gzip codec round-trip (OP-2): rows survive only if
-    // gunzip(gzip(text)) == text, so row-count == documents count is the
-    // check.
+    // gunzip(gzip(text)) == text, so the oracle is simply every doc_id —
+    // any codec corruption drops a row and fails the hash compare.
     "flow_gzip_roundtrip" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -389,6 +391,29 @@ object PipelineQueries {
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |                          ' +', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(16 + (ascii(substr(text, 1, 1)) % 64) AS INTEGER) AS width,
+        |  CAST(16 + (ascii(substr(text, length(text), 1)) % 64) AS INTEGER) AS height,
+        |  CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id, length(text) AS n FROM documents),
+        |fr AS (
+        |  SELECT doc_id, n,
+        |         unnest(generate_series(0,
+        |           CAST(ceil(CAST(n AS DOUBLE) / 64) AS BIGINT) - 1)) AS frame_no
+        |  FROM f)
+        |SELECT doc_id, frame_no,
+        |       CAST(least(64, n - frame_no * 64) AS INTEGER) AS frame_bytes
+        |FROM fr WHERE frame_no % 2 = 0
+        |ORDER BY doc_id, frame_no""".stripMargin,
+
+    "flow_gzip_roundtrip" ->
+      "SELECT doc_id FROM documents ORDER BY doc_id",
 
     "mm_resize_stub" ->
       """SELECT doc_id,
