@@ -420,6 +420,78 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities (min / difference), unlike the distinct variants.
+    "q_set_intersect_all" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("key"))
+        .intersectAll(Tables.events(s, d).select(col("user_id").as("key")))
+        .orderBy("key")),
+
+    "q_set_except_all" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("key"))
+        .exceptAll(Tables.events(s, d).select(col("user_id").as("key")))
+        .orderBy("key")),
+
+    // Full outer join with both-null-side handling: sparse per-nation
+    // aggregates from each side so both unmatched directions occur.
+    "q_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+      val p = Tables.supplier(s, d).filter(col("s_suppkey") % 7 === 0)
+        .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+      c.join(p, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    }),
+
+    // Explicit cross join of two tiny inputs (the only safe cartesian).
+    "q_cross_join" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      r.select(col("r_name").as("a"))
+        .crossJoin(r.select(col("r_name").as("b")))
+        .orderBy("a", "b")
+    }),
+
+    // lead (with and without an explicit default) alongside a deep lag.
+    "q_window_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        lead(col("event_type"), 2, "NONE").over(w).as("next2_type"),
+        lag(col("event_type"), 2).over(w).as("prev2_type"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Array scalar functions over split words (size/contains/slice/
+    // distinct/sort), serialized to strings for comparator neutrality.
+    "q_array_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), split(col("p_name"), " ").as("w"))
+        .select(col("p_partkey"),
+          size(col("w")).as("n_words"),
+          array_contains(col("w"), "green").as("has_green"),
+          array_join(slice(col("w"), 1, 2), " ").as("first_two"),
+          array_join(array_sort(array_distinct(col("w"))), ",").as("uniq_sorted"))
+        .orderBy("p_partkey")),
+
+    // Map functions over semi-structured JSON props: parse to a map,
+    // inspect keys, and extract a typed value.
+    "q_map_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)).as("m"))
+        .select(col("event_id"),
+          size(col("m")).as("n_keys"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+          element_at(col("m"), "k").cast("long").as("k_val"))
+        .orderBy("event_id")),
+
     // Null-handling and comparison scalar functions: nullif, nvl/
     // coalesce, greatest/least, null predicates.
     "q_null_funcs" -> ((s, d) =>
@@ -714,6 +786,59 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_set_intersect_all" ->
+      """SELECT o_custkey AS key FROM orders
+        |INTERSECT ALL
+        |SELECT user_id AS key FROM events
+        |ORDER BY key""".stripMargin,
+
+    "q_set_except_all" ->
+      """SELECT o_custkey AS key FROM orders
+        |EXCEPT ALL
+        |SELECT user_id AS key FROM events
+        |ORDER BY key""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk_c, count(*) AS n_cust
+        |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+        |p AS (
+        |  SELECT s_nationkey AS nk_s, count(*) AS n_supp
+        |  FROM supplier WHERE s_suppkey % 7 = 0 GROUP BY 1)
+        |SELECT coalesce(nk_c, nk_s) AS nk,
+        |       CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+        |       CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM c FULL OUTER JOIN p ON nk_c = nk_s ORDER BY nk""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT a.r_name AS a, b.r_name AS b
+        |FROM region a CROSS JOIN region b ORDER BY 1, 2""".stripMargin,
+
+    "q_window_lead" ->
+      """SELECT event_id, user_id,
+        |  lead(event_type, 1) OVER w AS next_type,
+        |  lead(event_type, 2, 'NONE') OVER w AS next2_type,
+        |  lag(event_type, 2) OVER w AS prev2_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_array_funcs" ->
+      """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+        |SELECT p_partkey,
+        |  CAST(len(w) AS INTEGER) AS n_words,
+        |  list_contains(w, 'green') AS has_green,
+        |  array_to_string(w[1:2], ' ') AS first_two,
+        |  array_to_string(list_sort(list_distinct(w)), ',') AS uniq_sorted
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_null_funcs" ->
       """SELECT o_orderkey,
