@@ -14,8 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * ingestor/index.js:100-110) and a winnowing rolling-hash document
   * fingerprint (charter text-analysis extension).
   *
-  * These are interpreted (CodegenFallback) — fine off the hot path; the
-  * hot-path operators (parse, joins, dedup) are all codegen'd built-ins.
+  * Gzip/Gunzip are interpreted (CodegenFallback) — the cost is the
+  * deflate call, not dispatch. The per-byte expressions on hot paths
+  * (RollingFingerprint, DotProduct) generate code (doGenCode) so they
+  * stay inside whole-stage codegen.
   */
 
 /** gunzip(binary) → binary. Null on input null; throws on corrupt gzip
@@ -58,9 +60,15 @@ case class Gzip(child: Expression) extends UnaryExpression
   * (winnowing-style content fingerprint: stable under local edits
   * outside the minimal window, computed in one O(n) pass). Documents
   * shorter than the window hash as a single window.
+  *
+  * Codegen'd (doGenCode): this runs once per document over every byte,
+  * which IS the hot path of corpus-scale fingerprinting — the generated
+  * tight loop stays inside whole-stage codegen instead of breaking the
+  * pipeline with interpreted eval.
   */
 case class RollingFingerprint(child: Expression, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   require(window > 0, "window must be positive")
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_fingerprint"
@@ -91,6 +99,38 @@ case class RollingFingerprint(child: Expression, window: Int)
     }
     minH
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val w = ctx.freshName("w")
+      val h = ctx.freshName("h")
+      val minH = ctx.freshName("minH")
+      s"""
+         |byte[] $b = $in.getBytes();
+         |if ($b.length == 0) {
+         |  ${ev.value} = 0L;
+         |} else {
+         |  int $w = java.lang.Math.min($window, $b.length);
+         |  long $h = 0L;
+         |  int $i = 0;
+         |  for (; $i < $w; $i++) { $h = $h * ${Base}L + ($b[$i] & 0xff); }
+         |  if ($w < $window) {
+         |    ${ev.value} = $h;
+         |  } else {
+         |    long $minH = $h;
+         |    for (; $i < $b.length; $i++) {
+         |      $h = ($h - ($b[$i - $w] & 0xff) * ${basePow}L) * ${Base}L
+         |          + ($b[$i] & 0xff);
+         |      if ($h < $minH) $minH = $h;
+         |    }
+         |    ${ev.value} = $minH;
+         |  }
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(c: Expression): RollingFingerprint =
     copy(child = c)
 }
