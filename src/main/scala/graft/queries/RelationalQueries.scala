@@ -505,6 +505,41 @@ object RelationalQueries {
         nullif(col("o_orderstatus"), lit("O")).isNull.as("is_open"))
         .orderBy("o_orderkey")),
 
+    // Math scalar functions. Transcendentals (sqrt/ln/exp) are libm
+    // doubles on both engines; round(…,6) absorbs any final-ulp drift.
+    "q_math_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25.0).as("abs_dev"),
+          signum(col("l_quantity") - 25.0).as("sgn"),
+          pmod(col("l_orderkey"), lit(7)).as("mod7"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+          round(log(col("l_quantity") + 1.0), 6).as("ln_q1"),
+          round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+          floor(col("l_extendedprice") / 1000.0).cast("long").as("price_k"),
+          ceil(col("l_quantity") / 7.0).cast("long").as("q_ceil7"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Bitwise scalar functions over integer keys.
+    "q_bit_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("o_orderkey & 255").as("band"),
+          expr("o_orderkey | 4096").as("bor"),
+          expr("o_orderkey ^ o_custkey").as("bxor"),
+          expr("shiftleft(o_custkey, 3)").as("shl"),
+          expr("shiftright(o_orderkey, 2)").as("shr"))
+        .orderBy("o_orderkey")),
+
+    // Filtered aggregation (count_if / conditional sums per group).
+    "q_agg_filter" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count_if(col("o_totalprice") > 200000).as("n_big"),
+          count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     // Scalar string-function coverage: case, length, substring, padding,
     // replacement, reversal, position.
     "q_string_funcs" -> ((s, d) =>
@@ -848,6 +883,34 @@ object RelationalQueries {
         |  least(o_custkey, o_orderkey) AS min_key,
         |  nullif(o_orderstatus, 'O') IS NULL AS is_open
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25.0) AS abs_dev,
+        |  sign(l_quantity - 25.0) AS sgn,
+        |  l_orderkey % 7 AS mod7,
+        |  round(sqrt(l_quantity), 6) AS sqrt_q,
+        |  round(ln(l_quantity + 1.0), 6) AS ln_q1,
+        |  round(pow(l_discount, 2), 6) AS disc_sq,
+        |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS q_ceil7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_bit_funcs" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS bor,
+        |  xor(o_orderkey, o_custkey) AS bxor,
+        |  o_custkey << 3 AS shl,
+        |  o_orderkey >> 2 AS shr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_filter" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT p_partkey,
