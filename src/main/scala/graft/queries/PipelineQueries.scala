@@ -86,6 +86,12 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // NB: Dedup.simhashPairs (banded near-dup pair join) is part of the
+    // operator library (PipelineSpec covers it) but has no query entry:
+    // the synthetic corpus draws from a tiny vocabulary, so its 16-bit
+    // simhashes over-cluster and the pair set is quadratic in corpus
+    // size (measured ~1.1M pairs at sf0.1 even with a 32-bit variant) —
+    // an artifact of the test data, not a meaningful benchmark result.
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Dedup.augmentCorpus(Tables.documents(s, d)))
         .orderBy("doc_id")),

@@ -56,6 +56,20 @@ class PipelineSpec extends SparkSpec {
     assert(sh.head.getString(1).length === 16)
   }
 
+  test("simhash pairs recover every exact duplicate at distance 0") {
+    val sh = Dedup.simhash(corpus)
+    val pairs = Dedup.simhashPairs(sh, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val dupIds = corpus.filter(col("doc_id") >= 100000 && col("doc_id") < 200000)
+      .select((col("doc_id") - 100000).as("orig"))
+      .collect().map(_.getLong(0)).toSet
+    for (orig <- dupIds)
+      assert(pairs.exists(p => p._1 == orig && p._2 == orig + 100000 && p._3 == 0),
+        s"missing exact-dup pair for $orig")
+    // verification is exact: no pair beyond the distance bound survives
+    assert(pairs.forall(_._3 <= 1))
+  }
+
   test("brute-force ANN ranks an exact duplicate at cosine 1.0") {
     val vecs = Similarity.augmentVectors(Tables.embeddings(spark, sfDir))
       .select($"vec_id", $"v")
