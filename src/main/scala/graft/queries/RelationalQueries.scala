@@ -166,6 +166,23 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("bucket_ms", "event_type")),
 
+    // RANGE window frame (value-based, vs q_window_frames' ROWS): the
+    // trailing-30-minute sum per user. Tie rows (equal evm) are frame
+    // peers in both engines, so the result is deterministic even with
+    // duplicate ordering keys.
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("evm"))
+        .rangeBetween(-1800000L, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000").as("evm"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+            .as("trailing_30m"),
+          count(lit(1)).over(w).as("n_trailing"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Gap-based sessionization (30-min inactivity) via window functions.
     "q_session_window" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id")
@@ -655,6 +672,18 @@ object RelationalQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+
+    "q_window_range" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS evm, value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_30m,
+        |  count(*) OVER w AS n_trailing
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY evm
+        |             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_session_window" ->
       """WITH e AS (
