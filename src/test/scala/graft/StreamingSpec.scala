@@ -95,6 +95,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup state survives a checkpointed restart") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dd_out").toString
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    // file sink: fault-tolerant, so the query can recover from the
+    // checkpoint (the memory sink cannot)
+    def start() = FlowLogStream.dedupStream(
+      input.toDF().toDF("event_id", "ts", "event_type"), "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val q1 = start()
+    try {
+      input.addData((1L, t0, "a"), (2L, t0, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData((1L, t0, "a"), (3L, t0, "c")) // redelivery + new
+      q2.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+        .select($"event_id").as[Long].collect().sorted
+      // id 1 exactly once: the restored state drops the redelivery
+      assert(out.toSeq === Seq(1L, 2L, 3L),
+        "redelivered id 1 must be dropped by state restored from checkpoint")
+    } finally q2.stop()
+  }
+
   test("stateful sessionization closes a session on inactivity gap") {
     val input = MemoryStream[Ev](spark)
     // two bursts for user 7, separated by > gap in event time: the second
