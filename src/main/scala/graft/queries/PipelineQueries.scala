@@ -140,6 +140,21 @@ object PipelineQueries {
     "text_stats" -> ((s, d) =>
       TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // End-to-end cleaning pipeline composition: quality-score the
+    // augmented corpus, keep the high-quality slice, exact-dedup what
+    // remains — the canonical pre-training data flow, expressed as one
+    // declarative plan (quality filter fuses into the scan; dedup
+    // shuffles only the surviving docs).
+    "pipeline_quality_dedup" -> ((s, d) => {
+      val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
+      val quality = TextAnalysis.stats(corpus)
+        .select(col("doc_id"), col("quality_score"))
+      val kept = corpus.join(quality, "doc_id")
+        .filter(col("quality_score") >= 0.5)
+        .select(col("doc_id"), col("text"))
+      Dedup.exactDuplicates(kept).orderBy("keep_id")
+    }),
+
     "text_langid" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -359,6 +374,22 @@ object PipelineQueries {
          |SELECT probe_id, neighbor_id, cos_r, rnk FROM ranked
          |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
     },
+
+    "pipeline_quality_dedup" ->
+      s"""WITH $corpusCte,
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0) * 0.5 +
+         |          least(1.0, CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE) /
+         |                     CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) * 4.0) * 0.5,
+         |          6) AS quality_score
+         |  FROM corpus),
+         |kept AS (
+         |  SELECT c.doc_id, c.text FROM corpus c JOIN q USING (doc_id)
+         |  WHERE quality_score >= 0.5)
+         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+         |       md5(text) AS text_hash
+         |FROM kept GROUP BY text ORDER BY keep_id""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,
