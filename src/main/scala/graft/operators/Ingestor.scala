@@ -33,8 +33,15 @@ object Ingestor {
     df.withColumn("payload",
         graft.functions.functions.try_gunzip(unbase64(col(dataCol))))
       .withColumn("env", from_json(col("payload").cast("string"), envelopeSchema))
+      // A control message is dropped, never dead-lettered — even when its
+      // envelope carries no logEvents (the reference drops on messageType
+      // alone, ingestor/index.js:73-76), so test the type before shape.
+      .withColumn("is_control",
+        coalesce(col("env.messageType"), lit("")) === "CONTROL_MESSAGE")
       .withColumn("error",
-        col("payload").isNull || col("env").isNull || col("env.logEvents").isNull)
+        !col("is_control") &&
+          (col("payload").isNull || col("env").isNull ||
+            col("env.logEvents").isNull))
 
   /** OP-1/2/3/4/5: envelope column (base64 of gzipped JSON) → one row per
     * log event, with the reference's trailing-newline projection.
@@ -43,8 +50,7 @@ object Ingestor {
     * failures route to [[deadLetterEnvelopes]] rather than throwing. */
   def decodeEnvelopes(df: DataFrame, dataCol: String): DataFrame =
     decoded(df, dataCol)
-      .filter(!col("error") &&
-        coalesce(col("env.messageType"), lit("")) =!= "CONTROL_MESSAGE")
+      .filter(!col("error") && !col("is_control"))
       .select(explode(col("env.logEvents")).as("ev"))
       .select(concat(col("ev.message"), lit("\n")).as("Data"))
 

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and dataset splitting for
+  * training-data pipelines.
+  *
+  * `rand()`-based sampling is nondeterministic under retries and
+  * repartitioning (a re-executed task re-draws), which silently changes
+  * a training set between runs. Hash-bucketing on a stable key is the
+  * standard fix: the bucket is a pure function of the row key, so the
+  * split is reproducible across runs, engines, and cluster layouts, and
+  * a row never migrates between train/valid/test when the corpus grows.
+  * Everything here is a narrow codegen'd projection — no shuffle.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, buckets): the first 3 hex digits of md5(key) as
+    * an integer (uniform in [0, 4096)) mod `buckets`. md5-hex digits are
+    * engine-portable — any system with md5 reproduces the exact split.
+    */
+  def hashBucket(key: Column, buckets: Int): Column = {
+    require(buckets > 0 && buckets <= 4096, "buckets must be in (0, 4096]")
+    val h3 = substring(md5(key.cast("string").cast("binary")), 1, 3)
+    conv(h3, 16, 10).cast("int") % buckets
+  }
+
+  /** Train/valid/test assignment from percentage cut points over a
+    * 100-way hash bucket: [0, trainPct) → train, [trainPct, validPct)
+    * → valid, rest → test. */
+  def split(df: DataFrame, key: Column, trainPct: Int = 80,
+      validPct: Int = 90): DataFrame = {
+    val bucket = hashBucket(key, 100)
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < validPct, "valid")
+          .otherwise("test"))
+  }
+
+  /** Deterministic p-percent sample: keep rows whose bucket < pct. */
+  def sample(df: DataFrame, key: Column, pct: Int): DataFrame =
+    df.filter(hashBucket(key, 100) < pct)
+}

@@ -62,4 +62,75 @@ object TextAnalysis {
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     documents.select(col("doc_id"), md5(norm.cast("binary")).as("fingerprint"))
   }
+
+  /** Smoothed-IDF vocabulary: one row per distinct whitespace token with
+    * its document frequency and idf = ln((1+N)/(1+df)) + 1 (sklearn's
+    * smooth idf). The corpus size N rides in via a broadcast cross join
+    * of the 1-row count aggregate — no driver-side collect, so the same
+    * plan runs unmodified on a 100 TB corpus. */
+  def idfVocabulary(documents: DataFrame): DataFrame = {
+    val docTerms = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val termDf = docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = documents.agg(count(lit(1)).as("n_docs"))
+    termDf.crossJoin(broadcast(total))
+      .select(col("term"), col("df"), col("n_docs"),
+        round(log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1).cast("double")) + 1.0, 6).as("idf_r"))
+  }
+
+  /** Distinct word n-grams per document, keyed by their md5 so the
+    * downstream join shuffles a fixed-width hash, not the raw text. */
+  def ngramHashes(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, size(w) - ${n - 1})")).as("i"), col("w"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          (0 until n).map(k => element_at(col("w"), col("i") + k)): _*)
+          .cast("binary")).as("gram_hash"))
+      .distinct()
+
+  /** Benchmark decontamination: for each training document, how many
+    * distinct word n-grams it shares with any benchmark document, and
+    * with how many benchmark documents it collides. A training doc with
+    * n_shared > 0 is contaminated and dropped before training.
+    *
+    * Scale shape: both sides explode to (doc, gram_hash) and the overlap
+    * is an equi-join on the hash — partitioned by gram, never a cross
+    * join. The benchmark side is small in practice, so Catalyst/AQE
+    * broadcasts it; at equal sizes it degrades to a hash-partitioned
+    * shuffle join, still linear in total gram count. */
+  def contamination(train: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val tg = ngramHashes(train, n)
+    val bg = ngramHashes(benchmark, n)
+      .select(col("gram_hash"), col("doc_id").as("bench_id"))
+    tg.join(bg, "gram_hash")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram_hash")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** Fuzzy near-duplicate pairs by edit distance, with prefix blocking:
+    * candidates share their first `prefixLen` chars (an equi-join on a
+    * tiny derived key — the classic blocking trick that keeps fuzzy
+    * matching out of O(n²)), then the exact Levenshtein distance over
+    * the last `window` chars filters them. Catches append-edited
+    * near-dups that exact hashing misses. */
+  def fuzzyPairs(corpus: DataFrame, prefixLen: Int = 16, window: Int = 40,
+      maxDist: Int = 20): DataFrame = {
+    val keyed = corpus.select(col("doc_id"),
+      expr(s"left(text, $prefixLen)").as("blk"),
+      expr(s"right(text, $window)").as("tail"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.tail"), col("b.tail")).as("lev"))
+      .filter(col("lev") <= maxDist)
+  }
 }

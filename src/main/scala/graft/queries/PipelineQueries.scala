@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, Multimodal, Sampling,
+  Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline queries (SURVEY.md §7.2 phase D, charter
   * north_star): dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash /
@@ -158,6 +159,42 @@ object PipelineQueries {
     "text_langid" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // Duplicate-cluster canonicalization: MinHash-LSH pairs → connected
+    // components (iterative min-label propagation) → one representative
+    // per cluster across the whole corpus.
+    "dedup_components" -> ((s, d) => {
+      val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
+      val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(
+        Dedup.shingles(corpus)))
+      ConnectedComponents.canonicalize(corpus, pairs).orderBy("doc_id")
+    }),
+
+    // Deterministic hash split: reproducible train/valid/test assignment
+    // from md5 buckets — stable under retries, engines, and corpus growth.
+    "pipeline_hash_split" -> ((s, d) =>
+      Sampling.split(Tables.documents(s, d).select(col("doc_id")),
+        col("doc_id")).orderBy("doc_id")),
+
+    // Smoothed-IDF vocabulary (top 100 terms by document frequency).
+    "text_tfidf_vocab" -> ((s, d) =>
+      TextAnalysis.idfVocabulary(Tables.documents(s, d))
+        .orderBy(col("df").desc, col("term")).limit(100)),
+
+    // Benchmark decontamination: train docs (doc_id % 10 != 0) sharing
+    // any distinct word 8-gram with the held-out benchmark slice.
+    "text_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), 8)
+        .orderBy("doc_id")
+    }),
+
+    // Edit-distance near-dup pairs with prefix blocking.
+    "dedup_fuzzy_lev" -> ((s, d) =>
+      TextAnalysis.fuzzyPairs(Dedup.augmentCorpus(Tables.documents(s, d)),
+        16, 40, 30).orderBy("id_a", "id_b")),
+
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -284,6 +321,66 @@ object PipelineQueries {
          |  FROM wh GROUP BY doc_id)
          |SELECT doc_id, $bits AS simhash FROM votes ORDER BY doc_id""".stripMargin
     },
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE $corpusCte,
+         |$shinglesCte,
+         |$lshCte,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM cand
+         |  UNION SELECT id_b AS u, id_a AS v FROM cand),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u)
+         |SELECT c.doc_id, coalesce(p.component, c.doc_id) AS component,
+         |       coalesce(p.component, c.doc_id) = c.doc_id AS is_canonical
+         |FROM corpus c LEFT JOIN comp p ON c.doc_id = p.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+
+    "pipeline_hash_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS INTEGER) % 100 AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS INTEGER) % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS INTEGER) % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_vocab" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+        |tot AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term, df, n_docs,
+        |  round(ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0, 6) AS idf_r
+        |FROM tf CROSS JOIN tot ORDER BY df DESC, term LIMIT 100""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS gram_hash
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |        WHERE len(w) >= 8))
+        |SELECT a.doc_id,
+        |  count(DISTINCT a.gram_hash) AS n_shared,
+        |  count(DISTINCT b.doc_id) AS n_bench_docs
+        |FROM grams a JOIN grams b ON a.gram_hash = b.gram_hash
+        |WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    "dedup_fuzzy_lev" ->
+      s"""WITH $corpusCte,
+         |k AS (SELECT doc_id, left(text, 16) AS blk, right(text, 40) AS tail
+         |      FROM corpus)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(levenshtein(a.tail, b.tail) AS INTEGER) AS lev
+         |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.tail, b.tail) <= 30
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embed_cosine" ->
       s"""WITH $vecsCte

@@ -528,7 +528,9 @@ object RelationalQueries {
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           abs(col("l_quantity") - 25.0).as("abs_dev"),
-          signum(col("l_quantity") - 25.0).as("sgn"),
+          // DuckDB sign() yields TINYINT while signum yields DOUBLE; the
+          // gate hashes values as strings ("1" vs "1.0"), so emit integers.
+          signum(col("l_quantity") - 25.0).cast("long").as("sgn"),
           pmod(col("l_orderkey"), lit(7)).as("mod7"),
           round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
           round(log(col("l_quantity") + 1.0), 6).as("ln_q1"),
@@ -570,7 +572,130 @@ object RelationalQueries {
         regexp_replace(col("p_name"), " ", "_").as("joined"),
         reverse(col("p_type")).as("rev"),
         instr(col("p_name"), "a").cast("long").as("pos_a"))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // TPC-H Q3-style shipping priority: selective dim filter broadcast
+    // into a fact-fact shuffle join, then top-10 by aggregated revenue.
+    "q_tpch_q3" -> ((s, d) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(18,2)")
+      Tables.lineitem(s, d).filter(col("l_shipdate") > "1997-01-01")
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < "1997-01-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style local-supplier volume: the 6-way star join. Region/
+    // nation/supplier broadcast; customer co-shuffles with orders on
+    // custkey; the extra c_nationkey = s_nationkey condition rides on
+    // the join, not a post-filter.
+    "q_tpch_q5" -> ((s, d) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(18,2)")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1997-01-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q6-style forecast revenue: pure scan-filter-aggregate — the
+    // pushdown showcase (every predicate reaches the parquet scan).
+    "q_tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01" &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q10-style returned-item report: top 20 customers by lost
+    // revenue in a quarter.
+    "q_tpch_q10" -> ((s, d) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(18,2)")
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1996-04-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ntile quartiles per group (deterministic tie-break on key).
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Calendar decomposition: year/quarter/month/day/dow/doy/ISO week
+    // (dow normalized to DuckDB's Sunday=0 convention).
+    "q_date_parts" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).as("yr"),
+        quarter(col("l_shipdate")).as("qtr"),
+        month(col("l_shipdate")).as("mon"),
+        dayofmonth(col("l_shipdate")).as("dom"),
+        (dayofweek(col("l_shipdate")) - 1).as("dow"),
+        dayofyear(col("l_shipdate")).as("doy"),
+        weekofyear(col("l_shipdate")).as("iso_week"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Cryptographic hash functions (md5 / sha-256), both lowercase hex.
+    "q_hash_funcs" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        md5(col("p_name").cast("binary")).as("h_md5"),
+        sha2(col("p_name").cast("binary"), 256).as("h_sha256"))
+        .orderBy("p_partkey")),
+
+    // Correlated-subquery semantics ("orders above their customer's
+    // average"), decorrelated into a window — the comparison runs on
+    // exact decimals (price × count vs decimal sum), so no float-
+    // division drift can flip a row's membership.
+    "q_above_cust_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, d)
+        .withColumn("n_cust", count(lit(1)).over(w))
+        .withColumn("sum_dec",
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w))
+        .filter(col("o_totalprice").cast("decimal(18,4)") * col("n_cust") >
+          col("sum_dec"))
+        .select(col("o_orderkey"), col("o_custkey"), col("n_cust"))
+        .orderBy("o_orderkey")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -916,7 +1041,7 @@ object RelationalQueries {
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  abs(l_quantity - 25.0) AS abs_dev,
-        |  sign(l_quantity - 25.0) AS sgn,
+        |  CAST(sign(l_quantity - 25.0) AS BIGINT) AS sgn,
         |  l_orderkey % 7 AS mod7,
         |  round(sqrt(l_quantity), 6) AS sqrt_q,
         |  round(ln(l_quantity + 1.0), 6) AS ln_q1,
@@ -951,6 +1076,77 @@ object RelationalQueries {
         |  replace(p_name, ' ', '_') AS joined,
         |  reverse(p_type) AS rev,
         |  CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(year(l_shipdate) AS INTEGER) AS yr,
+        |  CAST(quarter(l_shipdate) AS INTEGER) AS qtr,
+        |  CAST(month(l_shipdate) AS INTEGER) AS mon,
+        |  CAST(day(l_shipdate) AS INTEGER) AS dom,
+        |  CAST(dayofweek(l_shipdate) AS INTEGER) AS dow,
+        |  CAST(dayofyear(l_shipdate) AS INTEGER) AS doy,
+        |  CAST(weekofyear(l_shipdate) AS INTEGER) AS iso_week
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_hash_funcs" ->
+      """SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_above_cust_avg" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n_cust,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey) AS sum_dec
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, n_cust FROM w
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) * n_cust > sum_dec
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -63,6 +63,17 @@ class IngestorSpec extends SparkSpec {
     assert(out.toSeq === Seq("kept\n"))
   }
 
+  test("control message without logEvents is dropped, not dead-lettered") {
+    val json = """{"messageType":"CONTROL_MESSAGE","owner":"o","logGroup":"g","logStream":"s"}"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(json.getBytes("UTF-8")); gz.close()
+    val ctrl = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    val df = Seq(ctrl).toDF("data")
+    assert(Ingestor.decodeEnvelopes(df, "data").count() === 0)
+    assert(Ingestor.deadLetterEnvelopes(df, "data").count() === 0)
+  }
+
   test("batchedSink chunks partitions at the Firehose put limit") {
     val acc = spark.sparkContext.collectionAccumulator[Int]("chunks")
     val df = (1 to 1205).map(i => s"rec$i\n").toDF("Data").repartition(2)

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ConnectedComponents, Sampling, TextAnalysis}
+
+/** Training-pipeline operators added in round 3: connected-components
+  * canonicalization, deterministic hash splits, IDF vocabulary,
+  * benchmark decontamination, and edit-distance fuzzy pairing. */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components: transitive closure over disjoint clusters") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.components(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("components: a long chain converges to the minimum label") {
+    // Worst-case diameter for min-propagation: a path graph. 12 vertices
+    // need ~11 rounds — exercises the iteration/convergence loop.
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.components(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 12)
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("canonicalize: singletons are their own canonical doc") {
+    val corpus = Seq(1L, 2L, 3L, 99L).toDF("doc_id")
+    val edges = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.canonicalize(corpus, edges)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (99L, 99L, true)))
+  }
+
+  test("hashBucket is deterministic, in-range, and roughly uniform") {
+    val df = (0L until 1000L).toDF("id")
+    val buckets = df.select(Sampling.hashBucket(col("id"), 100).as("b"))
+      .as[Int].collect()
+    assert(buckets.forall(b => b >= 0 && b < 100))
+    // Same input → same bucket on a re-run (pure function of the key).
+    val again = df.select(Sampling.hashBucket(col("id"), 100).as("b"))
+      .as[Int].collect()
+    assert(buckets.toSeq === again.toSeq)
+    // Roughly uniform: no bucket an order of magnitude off 10/bucket.
+    val counts = buckets.groupBy(identity).view.mapValues(_.length)
+    assert(counts.values.max < 30)
+  }
+
+  test("split: every row lands in exactly one named split at the cut points") {
+    val df = (0L until 500L).toDF("doc_id")
+    val got = Sampling.split(df, col("doc_id"))
+      .select(col("bucket"), col("split")).as[(Int, String)].collect()
+    assert(got.forall { case (b, s) =>
+      s == (if (b < 80) "train" else if (b < 90) "valid" else "test")
+    })
+    assert(got.map(_._2).toSet === Set("train", "valid", "test"))
+  }
+
+  test("idfVocabulary: document frequency and smoothed idf") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b b")).toDF("doc_id", "text")
+    val got = TextAnalysis.idfVocabulary(docs)
+      .select(col("term"), col("df"), col("idf_r"))
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(t => t._1 -> t._2).toSeq === Seq("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    val idfC = got.find(_._1 == "c").get._3
+    assert(math.abs(idfC - (math.log(4.0 / 2.0) + 1.0)) < 1e-5)
+  }
+
+  test("contamination finds train docs sharing an n-gram with the benchmark") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text with no shared grams at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "xx the quick brown fox jumps over the lazy dog yy")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(train, bench, 8)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 1)
+    assert(got(0)._1 === 1L)     // doc 1 is contaminated
+    assert(got(0)._2 >= 1L)      // shares at least one 8-gram
+    assert(got(0)._3 === 1L)     // with exactly one benchmark doc
+  }
+
+  test("fuzzyPairs: prefix blocking + edit distance threshold") {
+    val corpus = Seq(
+      (1L, "shared prefix here with a common tail ending"),
+      (2L, "shared prefix here with a common tail endinX"),     // lev 1
+      (3L, "shared prefix here but a totally different story about ducks"),
+      (4L, "other prefix entirely with a common tail ending")   // different block
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.fuzzyPairs(corpus, 16, 40, 5)
+      .select(col("id_a"), col("id_b"), col("lev"))
+      .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2))
+    assert(got.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    assert(got(0)._3 === 1)
+  }
+}

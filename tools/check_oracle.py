@@ -62,6 +62,19 @@ def main():
             print(f"FAIL {name}: oracle sql error: {e}")
             n_bad += 1
             continue
+        # The driver's hash distinguishes 1 from 1.0; our 9-sig-digit norm
+        # does not, so flag float-vs-int column type splits explicitly.
+        for ci, c in enumerate(gcols):
+            if c not in ecols:
+                continue
+            ei_ = ecols.index(c)
+            gv = next((r[ci] for r in grows if r[ci] is not None), None)
+            ev = next((r[ei_] for r in erows if r[ei_] is not None), None)
+            if gv is not None and ev is not None:
+                gf, ef = isinstance(gv, float), isinstance(ev, float)
+                if gf != ef:
+                    print(f"WARN {name}: column {c} float/int mismatch "
+                          f"spark={type(gv).__name__} duckdb={type(ev).__name__}")
         gc, gr = canon(gcols, grows)
         ec, er = canon(ecols, erows)
         if gc != ec:
