@@ -39,12 +39,16 @@ object Bench {
       val good = timed.collect { case (true, t) => t }
       (name, if (good.nonEmpty) good.min else -1.0, good.nonEmpty)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the whole line under the driver's
+    // stdout tail-capture window (round 2's full-precision line was
+    // truncated mid-JSON and failed to parse driver-side).
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,17 +54,23 @@ object ConnectedComponents {
       val neighborLabels = sym
         .join(labels.withColumnRenamed("doc_id", "v"), "v")
         .select(col("u").as("doc_id"), col("component"))
-      val next = labels.unionByName(neighborLabels)
+      // The per-doc `changed` flag rides in the same aggregation that
+      // produces the new labels (labels shrink monotonically, so
+      // "changed" == "min over neighbors beat my old label" ==
+      // min(candidate) < min-tagged-old). The fixpoint test is then a
+      // near-free scan of the just-materialized checkpoint instead of a
+      // labels-vs-next shuffle join per round.
+      val next = labels.select(col("doc_id"), col("component"),
+          lit(true).as("is_own"))
+        .unionByName(neighborLabels.withColumn("is_own", lit(false)))
         .groupBy("doc_id")
-        .agg(min(col("component")).as("component"))
+        .agg(min(col("component")).as("component"),
+          min(when(col("is_own"), col("component"))).as("prev"))
+        .withColumn("changed", col("component") < col("prev"))
+        .drop("prev")
         .localCheckpoint()
-      // One extra tiny job for the fixpoint test; labels shrink
-      // monotonically so "no label changed" == "sum of labels equal".
-      val changed = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count()
-      labels = next
+      val changed = next.filter(col("changed")).limit(1).count()
+      labels = next.drop("changed")
       converged = changed == 0
       iter += 1
     }

@@ -42,4 +42,18 @@ object Sampling {
   /** Deterministic p-percent sample: keep rows whose bucket < pct. */
   def sample(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.filter(hashBucket(key, 100) < pct)
+
+  /** Deterministic stratified sample: per-stratum keep-percentages (the
+    * `sampleBy` shape, but reproducible). A row is kept when its hash
+    * bucket falls below its stratum's rate — a single codegen'd CASE
+    * over the bucket, no shuffle, no per-stratum pass. Up-/down-weights
+    * strata for training-mix curation (e.g. keep 100% of a rare
+    * language, 10% of web crawl). */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
+      when(stratum === k, pct).otherwise(acc)
+    }
+    df.filter(hashBucket(key, 100) < rate)
+  }
 }

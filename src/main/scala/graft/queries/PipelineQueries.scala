@@ -175,6 +175,15 @@ object PipelineQueries {
       Sampling.split(Tables.documents(s, d).select(col("doc_id")),
         col("doc_id")).orderBy("doc_id")),
 
+    // Deterministic stratified sample for training-mix curation: keep
+    // 100% of German, 40% of English, 10% of everything else — a pure
+    // per-row hash test, reproducible across engines and runs.
+    "pipeline_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"), Map("de" -> 100, "en" -> 40), 10)
+        .orderBy("doc_id")),
+
     // Smoothed-IDF vocabulary (top 100 terms by document frequency).
     "text_tfidf_vocab" -> ((s, d) =>
       TextAnalysis.idfVocabulary(Tables.documents(s, d))
@@ -348,6 +357,12 @@ object PipelineQueries {
         |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS INTEGER) % 100 < 90 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS INTEGER) % 100 <
+        |  CASE WHEN lang = 'de' THEN 100 WHEN lang = 'en' THEN 40 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
 
     "text_tfidf_vocab" ->
       """WITH dt AS (

@@ -695,16 +695,138 @@ object RelationalQueries {
           col("sum_dec"))
         .select(col("o_orderkey"), col("o_custkey"), col("n_cust"))
         .orderBy("o_orderkey")
-    })
+    }),
+
+    // TPC-H Q4-style order-priority check: EXISTS decorrelated into a
+    // left-semi join (lineitems shipped after the order date), then a
+    // tiny count-by-priority aggregate.
+    "q_tpch_q4" -> ((s, d) =>
+      Tables.orders(s, d).as("o")
+        .join(Tables.lineitem(s, d).as("l"),
+          col("l.l_orderkey") === col("o.o_orderkey") &&
+            col("l.l_shipdate") > col("o.o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+
+    // TPC-H Q13-style customer distribution: two-level aggregation —
+    // orders-per-customer (left join keeps zero-order customers), then
+    // the histogram of those counts.
+    "q_tpch_q13" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // TPC-H Q17-style small-quantity revenue: per-part average rides in
+    // via a co-shuffled self-aggregate on l_partkey; the < 0.8·avg
+    // comparison runs in exact decimal (qty · n · 10 < 8 · sum) so no
+    // float division can flip a row.
+    "q_tpch_q17" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n_part"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("decimal(18,4)") * col("n_part") *
+          10 < col("sum_qty") * 8)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q18-style large-volume orders: HAVING over a grouped fact,
+    // then joins back to orders/customer for the report columns.
+    "q_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q19-style disjunctive predicate: equi-join on partkey with
+    // an OR-of-ANDs residual — Catalyst extracts the common partkey
+    // conjunct so the join stays a (broadcast) hash join, not a
+    // nested-loop over the disjunction.
+    "q_tpch_q19" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey") &&
+            ((col("p_brand") === "Brand#1" &&
+              col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+             (col("p_brand") === "Brand#2" &&
+              col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 30))))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // Least-squares regression + correlation per group, from exact
+    // decimal power sums (same order-independence argument as
+    // q_stats_moments): slope/intercept/r² of extendedprice ~ quantity.
+    "q_regression" -> ((s, d) => {
+      val x = col("l_quantity").cast("decimal(18,4)")
+      val y = col("l_extendedprice").cast("decimal(18,4)")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope"),
+          round((col("sy") - col("sx") *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+             (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 6)
+            .as("intercept"),
+          round(pow((col("n") * col("sxy") - col("sx") * col("sy")), 2) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
+    // JSON path extraction from a string column (the events `props`
+    // payload), plus existence and typed-cast variants.
+    "q_json_path" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(col("props"), "$.missing").as("absent"),
+        (get_json_object(col("props"), "$.k").isNotNull).as("has_k"))
+        .orderBy("event_id")),
+
+    // UNION (distinct) across heterogeneous sources — dedup shuffle on
+    // the unioned key domain.
+    "q_union_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_partkey").as("key"))
+        .union(Tables.part(s, d).select(col("p_partkey").as("key")))
+        .distinct()
+        .orderBy("key"))
   )
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sum_base_price,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1.0 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(24,4)) * CAST(1.0 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -716,15 +838,15 @@ object RelationalQueries {
     "q_window_rank" ->
       """SELECT event_id, user_id,
         |  row_number() OVER w AS rn,
-        |  CAST(CAST(lag(value, 1) OVER w AS DECIMAL(18,4)) AS DOUBLE) AS prev_value,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |  CAST(CAST(lag(value, 1) OVER w AS DECIMAL(24,4)) AS DOUBLE) AS prev_value,
+        |  CAST(sum(CAST(value AS DECIMAL(24,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, rn""".stripMargin,
 
     "q_window_frames" ->
       """SELECT event_id, user_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS moving_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(24,4))) OVER w AS DOUBLE) AS moving_sum,
         |  count(*) OVER w AS moving_n
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -733,7 +855,7 @@ object RelationalQueries {
 
     "q_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(24,4))) AS DOUBLE) AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -742,7 +864,7 @@ object RelationalQueries {
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
@@ -795,7 +917,7 @@ object RelationalQueries {
     "q_time_bucket" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS bucket_ms, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
 
     "q_window_range" ->
@@ -803,7 +925,7 @@ object RelationalQueries {
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS evm, value
         |  FROM events)
         |SELECT event_id, user_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_30m,
+        |  CAST(sum(CAST(value AS DECIMAL(24,4))) OVER w AS DOUBLE) AS trailing_30m,
         |  count(*) OVER w AS n_trailing
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY evm
@@ -1147,6 +1269,77 @@ object RelationalQueries {
         |  FROM orders)
         |SELECT o_orderkey, o_custkey, n_cust FROM w
         |WHERE CAST(o_totalprice AS DECIMAL(18,4)) * n_cust > sum_dec
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS pk, count(*) AS n_part,
+        |         sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * n_part * 10 < sum_qty * 8""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300)
+        |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)""".stripMargin,
+
+    "q_regression" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 6) AS intercept,
+        |  round(pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "q_json_path" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.missing') AS absent,
+        |  json_extract_string(props, '$.k') IS NOT NULL AS has_k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT l_partkey AS key FROM lineitem
+        |UNION
+        |SELECT p_partkey AS key FROM part
+        |ORDER BY key""".stripMargin
   )
 }

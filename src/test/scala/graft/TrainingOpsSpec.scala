@@ -59,6 +59,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.map(_._2).toSet === Set("train", "valid", "test"))
   }
 
+  test("stratifiedSample keeps whole strata at 100% and is deterministic") {
+    val df = (0L until 300L).map(i => (i, if (i % 3 == 0) "de" else if (i % 3 == 1) "en" else "zz"))
+      .toDF("doc_id", "lang")
+    val got = Sampling.stratifiedSample(df, col("doc_id"), col("lang"),
+      Map("de" -> 100, "en" -> 40), 0)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+    // 100% stratum fully present; 0% default stratum fully absent.
+    assert(got.count(_._2 == "de") === 100)
+    assert(got.count(_._2 == "zz") === 0)
+    val en = got.count(_._2 == "en")
+    assert(en > 10 && en < 70)  // ~40% of 100, loose bound
+    val again = Sampling.stratifiedSample(df, col("doc_id"), col("lang"),
+      Map("de" -> 100, "en" -> 40), 0)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("idfVocabulary: document frequency and smoothed idf") {
     val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b b")).toDF("doc_id", "text")
     val got = TextAnalysis.idfVocabulary(docs)
