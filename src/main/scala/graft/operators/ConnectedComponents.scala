@@ -45,8 +45,22 @@ object ConnectedComponents {
       .distinct()
       .persist()
 
-    var labels = sym.select(col("u").as("doc_id"), col("u").as("component"))
-      .distinct()
+    // localCheckpoint cost is dominated by partition count, not rows
+    // (measured ~1.1s at 32 partitions vs ~0.15s at 1 for a 4k-edge
+    // graph). Inherit the cached graph's AQE-coalesced partition count:
+    // tiny dup graphs iterate on 1 partition, huge graphs keep their
+    // parallelism.
+    val nParts = math.max(1, sym.rdd.getNumPartitions)
+    // Fused init + first propagation: round 0's "min over self and
+    // neighbors" is one aggregation over the symmetrized edges, so the
+    // identity-label table is never materialized (one checkpoint cycle
+    // saved; dup-cluster graphs then typically need a single further
+    // round to confirm the fixpoint).
+    var labels = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("min_nbr"))
+      .select(col("u").as("doc_id"),
+        least(col("u"), col("min_nbr")).as("component"))
+      .coalesce(nParts)
       .localCheckpoint()
     var iter = 0
     var converged = false
@@ -68,6 +82,7 @@ object ConnectedComponents {
           min(when(col("is_own"), col("component"))).as("prev"))
         .withColumn("changed", col("component") < col("prev"))
         .drop("prev")
+        .coalesce(nParts)
         .localCheckpoint()
       val changed = next.filter(col("changed")).limit(1).count()
       labels = next.drop("changed")
