@@ -196,4 +196,39 @@ object Similarity {
       .orderBy(col("cos_r").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** One Lloyd's-iteration update step over an embedding corpus:
+    * assign every vector to its max-cosine centroid (deterministic
+    * centroid-id tie-break), then recompute each centroid dimension as
+    * the mean of its members.
+    *
+    * Scale shape: the K centroids broadcast (K·dim doubles); assignment
+    * is a map-side scan with a bounded per-row argmax — no shuffle. The
+    * update is one aggregation keyed by (centroid, dim) after
+    * posexplode: dim fan-out × corpus rows, hash-partial-aggregated
+    * map-side, so the shuffle carries ≤ K·dim·partitions rows. Means
+    * come from exact decimal sums (order-independent) divided as
+    * doubles — bit-stable at any parallelism.
+    */
+  def kmeansUpdateStep(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(withNorm(centroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    val assigned = withNorm(vecs)
+      .crossJoin(cents)
+      .select(col("vec_id"), col("v"), col("cid"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), (col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,18)")).as("sx"))
+      .select(col("cid"), col("dim"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean_r"))
+  }
 }

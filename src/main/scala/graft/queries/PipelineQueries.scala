@@ -129,6 +129,16 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // One k-means Lloyd's update: assign to max-cosine centroid (the
+    // first 8 vectors seed the centroids), recompute per-dimension
+    // means from exact decimal sums.
+    "sim_kmeans_step" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.kmeansUpdateStep(vecs, vecs.filter(col("vec_id") < 8))
+        .orderBy("cid", "dim")
+    }),
+
     "sim_lsh_topk" -> ((s, d) => {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"))
@@ -405,6 +415,24 @@ object PipelineQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_kmeans_step" ->
+      s"""WITH $ovecsCte,
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM ovecs WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT o.vec_id, o.v, c.cid, ${cosSql("o.v", "c.cv")} AS cos
+         |  FROM ovecs o CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM scored)
+         |  WHERE rn = 1),
+         |expl AS (
+         |  SELECT cid, unnest(range(1, len(v)+1)) AS dim, unnest(v) AS x
+         |  FROM assigned)
+         |SELECT cid, dim, count(*) AS n,
+         |  round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mean_r
+         |FROM expl GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
 
     "sim_topk_bruteforce" ->
       s"""WITH $ovecsCte,

@@ -817,7 +817,63 @@ object RelationalQueries {
       Tables.lineitem(s, d).select(col("l_partkey").as("key"))
         .union(Tables.part(s, d).select(col("p_partkey").as("key")))
         .distinct()
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // CDC-style "keep the latest record per key": row_number over the
+    // event time (event_id tie-break), rank 1 survives. The canonical
+    // log-compaction / upsert-materialization pattern — one shuffle on
+    // the key, no self-join.
+    "q_latest_per_key" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy("user_id")
+    }),
+
+    // Fixed-width histogram binning: a scan-only aggregation whose bin
+    // key is computed per row (no pre-pass for min/max), capped at the
+    // last bucket.
+    "q_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(least(floor(col("o_totalprice") / 50000), lit(9))
+          .cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(24,4)")).cast("double")
+            .as("sum_price"))
+        .orderBy("bin")),
+
+    // TPC-H Q15-style top supplier: per-supplier revenue, then keep the
+    // max via a 1-row broadcast of the global aggregate (exact decimal
+    // revenue, so the equality join cannot drift).
+    "q_tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+          .as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.join(broadcast(top), col("total_rev") === col("max_rev"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16-style supplier-count report: distinct-count per
+    // attribute pair after excluding a brand — partial aggregation
+    // de-dupes (brand, size, supplier) before the count shuffle.
+    "q_tpch_q16" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#5")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1340,6 +1396,35 @@ object RelationalQueries {
       """SELECT l_partkey AS key FROM lineitem
         |UNION
         |SELECT p_partkey AS key FROM part
-        |ORDER BY key""".stripMargin
+        |ORDER BY key""".stripMargin,
+
+    "q_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS total_rev
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
   )
 }
