@@ -13,13 +13,15 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   *  - runtime: `GraftExtensions.register(spark)` on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, b) =>
       e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[GraftExtensions].getName, name),
         (exprs: Seq[Expression]) => b(exprs)))
     }
+    e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -48,8 +50,10 @@ object GraftExtensions {
       RollingFingerprint(as(exprs(0), StringType), intArg(exprs(1), "window"))))
 
   /** Register on an already-running session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       GraftColumnBridge.registerFunction(spark, name, b)
     }
+    GraftColumnBridge.addStrategy(spark, graft.plans.GraftStrategy)
+  }
 }

@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension: top-k rows per key.
+  *
+  * The DataFrame formulation (`row_number().over(Window.partitionBy(key)
+  * .orderBy(ord)) <= k`) must SORT every partition's full row set before
+  * ranking — O(n log n) per partition and the whole input materialized
+  * through the sort. This operator keeps a bounded heap of k rows per
+  * key instead: O(n log k), memory O(keys·k), no sort buffer. At 100 TB
+  * with small k the difference is the sort spill.
+  *
+  * Implementation follows the preference ladder of SURVEY.md §7 (custom
+  * LogicalPlan + Strategy + SparkPlan, registered through
+  * `SparkSessionExtensions.injectPlannerStrategy` /
+  * `experimental.extraStrategies`): the logical node resolves its
+  * expressions generically (plain `UnaryNode`), the physical node
+  * declares `ClusteredDistribution(keys)` so EnsureRequirements inserts
+  * the same hash exchange a groupBy would get, and rows never leave
+  * Tungsten format (UnsafeRow in, UnsafeRow out).
+  */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
+    copy(child = c)
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  /** Co-locate each key's rows; any hash partitioning on the keys
+    * satisfies this, so AQE sizes the exchange as usual. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Locals only in the task closure — capturing `this` would drag the
+    // whole plan tree (non-serializable SparkPlan) into the task.
+    val childOutput = child.output
+    val keyExprs = keys
+    val limit = k
+    // Serializable, codegen-on-first-use ordering: compare(a,b) < 0 iff
+    // a sorts before b, i.e. a is "better".
+    val ordering = new LazilyGeneratedOrdering(order, childOutput)
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // Max-heap on sort position: head = worst kept row of the key.
+      val heapOrd: Ordering[UnsafeRow] =
+        (a: UnsafeRow, b: UnsafeRow) => ordering.compare(a, b)
+      val heaps = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+      while (iter.hasNext) {
+        val row = iter.next().asInstanceOf[UnsafeRow]
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case Some(h) =>
+            if (h.size < limit) h += row.copy()
+            else if (ordering.compare(row, h.head) < 0) {
+              h.dequeue(); h += row.copy()
+            }
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
+            h += row.copy()
+            heaps.put(key.copy(), h)
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+/** Planner rule: one custom logical operator → its physical form. */
+object GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** Column-API entry: rows ranking in the first k of `order` within
+    * their `keys` group (ties broken by the order itself — pass a total
+    * order for deterministic results). Output is unsorted, like any
+    * aggregate. */
+  def apply(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val sortOrders = order.map(c =>
+      GraftColumnBridge.expression(spark, c) match {
+        case s: SortOrder => s
+        case e => SortOrder(e, Ascending)
+      })
+    GraftColumnBridge.ofRows(spark,
+      TopKPerKeyNode(keys.map(GraftColumnBridge.expression(spark, _)),
+        sortOrders, k, GraftColumnBridge.logicalPlan(df)))
+  }
+}

@@ -863,6 +863,17 @@ object RelationalQueries {
         .orderBy("s_suppkey")
     }),
 
+    // Top-k per key through the custom TopKPerKeyExec physical operator
+    // (graft.plans): bounded per-key heaps instead of a window sort —
+    // O(n log k) and O(keys·k) memory where row_number needs a full
+    // partition sort. Same oracle shape as a ranking window.
+    "q_topk_per_key_native" -> ((s, d) =>
+      graft.plans.TopKPerKey(Tables.orders(s, d),
+        Seq(col("o_orderstatus")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 5)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderstatus", "o_orderkey")),
+
     // TPC-H Q16-style supplier-count report: distinct-count per
     // attribute pair after excluding a brand — partial aggregation
     // de-dupes (brand, size, supplier) before the count shuffle.
@@ -1419,6 +1430,12 @@ object RelationalQueries {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_topk_per_key_native" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn <= 5 ORDER BY o_orderstatus, o_orderkey""".stripMargin,
 
     "q_tpch_q16" ->
       """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt

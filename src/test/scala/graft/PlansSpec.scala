@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.TopKPerKey
+
+/** The custom TopKPerKey logical/physical operator (graft.plans). */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = Seq(
+    ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+    ("b", 5L, 5.0), ("b", 6L, 1.0),
+    ("c", 7L, 9.0)
+  ).toDF("k", "id", "score")
+
+  test("matches the row_number window formulation, ties broken by order") {
+    val got = TopKPerKey(sample, Seq(col("k")),
+      Seq(col("score").desc, col("id").asc), 2)
+      .select("k", "id").as[(String, Long)].collect().toSet
+    val w = Window.partitionBy("k").orderBy(col("score").desc, col("id").asc)
+    val want = sample.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("k", "id").as[(String, Long)].collect().toSet
+    assert(got === want)
+    assert(got === Set(("a", 2L), ("a", 4L), ("b", 5L), ("b", 6L), ("c", 7L)))
+  }
+
+  test("k larger than any group keeps everything") {
+    val got = TopKPerKey(sample, Seq(col("k")),
+      Seq(col("score").asc), 100).count()
+    assert(got === sample.count())
+  }
+
+  test("plans TopKPerKeyExec over a hash exchange on the keys") {
+    val df = TopKPerKey(sample, Seq(col("k")), Seq(col("score").desc), 1)
+    val physical = df.queryExecution.executedPlan.toString
+    // Exec nodeName drops the suffix; AdaptiveSparkPlanExec hides its
+    // inner plan from TreeNode traversal, so assert on the rendering.
+    assert(physical.contains("TopKPerKey "))
+    assert(physical.contains("hashpartitioning(k"))
+  }
+
+  test("composes downstream: filter and aggregate over the operator") {
+    val got = TopKPerKey(sample, Seq(col("k")),
+      Seq(col("score").desc, col("id").asc), 2)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("deterministic across partitionings of the input") {
+    val a = TopKPerKey(sample.repartition(7), Seq(col("k")),
+      Seq(col("score").desc, col("id").asc), 2)
+      .select("k", "id").as[(String, Long)].collect().toSet
+    val b = TopKPerKey(sample.coalesce(1), Seq(col("k")),
+      Seq(col("score").desc, col("id").asc), 2)
+      .select("k", "id").as[(String, Long)].collect().toSet
+    assert(a === b)
+  }
+}
