@@ -819,6 +819,45 @@ object RelationalQueries {
         .distinct()
         .orderBy("key")),
 
+    // Null-safe equality join (<=>): null keys MATCH each other instead
+    // of dropping — the join Spark plans with a NullSafeEqual key (still
+    // hash-joinable, unlike a general theta join).
+    "q_nullsafe_join" -> ((s, d) => {
+      val l = Tables.customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_nationkey"))
+          .as("nk"))
+      val r = Tables.nation(s, d).select(
+        when(col("n_nationkey") === 0, lit(null)).otherwise(col("n_nationkey"))
+          .as("nk2"),
+        col("n_name"))
+      l.join(r, col("nk") <=> col("nk2"))
+        .select(col("c_custkey"), coalesce(col("nk"), lit(-1)).as("nk_or"),
+          col("n_name"))
+        .orderBy("c_custkey", "n_name")
+    }),
+
+    // Deterministic string aggregation: sort the collected set first so
+    // any shuffle/merge order yields the same joined string.
+    "q_string_agg" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .groupBy((col("s_suppkey") % 10).as("grp"))
+        .agg(concat_ws(",", array_sort(collect_list(col("s_name"))))
+          .as("names"),
+          count(lit(1)).as("n"))
+        .orderBy("grp")),
+
+    // regexp_extract_all: every number embedded in the brand/size text,
+    // joined in match order (brand always carries a digit, so no row
+    // produces the empty list — DuckDB's array_to_string maps [] to
+    // NULL where Spark's concat_ws gives '').
+    "q_regexp_extract_all" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        concat_ws(",",
+          regexp_extract_all(
+            concat(col("p_brand"), lit(" x"), col("p_size").cast("string")),
+            lit("[0-9]+"), lit(0))).as("nums"))
+        .orderBy("p_partkey")),
+
     // CDC-style "keep the latest record per key": row_number over the
     // event time (event_id tie-break), rank 1 survives. The canonical
     // log-compaction / upsert-materialization pattern — one shuffle on
@@ -1408,6 +1447,30 @@ object RelationalQueries {
         |UNION
         |SELECT p_partkey AS key FROM part
         |ORDER BY key""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH l AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+        |  FROM customer),
+        |r AS (
+        |  SELECT CASE WHEN n_nationkey = 0 THEN NULL ELSE n_nationkey END AS nk2,
+        |         n_name
+        |  FROM nation)
+        |SELECT c_custkey, coalesce(nk, -1) AS nk_or, n_name
+        |FROM l JOIN r ON nk IS NOT DISTINCT FROM nk2
+        |ORDER BY c_custkey, n_name""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT s_suppkey % 10 AS grp,
+        |  array_to_string(list_sort(list(s_name)), ',') AS names,
+        |  count(*) AS n
+        |FROM supplier GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    "q_regexp_extract_all" ->
+      """SELECT p_partkey,
+        |  array_to_string(regexp_extract_all(p_brand || ' x' || CAST(p_size AS VARCHAR), '[0-9]+'), ',') AS nums
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_latest_per_key" ->
       """SELECT user_id, event_id, event_type, value
