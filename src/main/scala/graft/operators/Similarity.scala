@@ -68,7 +68,16 @@ object Similarity {
   /** Brute-force cosine top-k: broadcast probes × full corpus. */
   def bruteForceTopK(vecs: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = broadcast(withNorm(probes)
+    val scored = scoreAll(vecs, probes)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** All probe×corpus cosine scores (broadcast probes, corpus streams) —
+    * the shared scoring stage of the brute-force variants. */
+  def scoreAll(vecs: DataFrame, probes: DataFrame): DataFrame =
+    broadcast(withNorm(probes)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"),
           col("nrm").as("pnrm")))
       .join(withNorm(vecs).select(col("vec_id").as("neighbor_id"), col("v"),
@@ -77,10 +86,6 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"),
         round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
           .as("cos_r"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
 
   /** Typed top-k aggregator: keeps only the k best (score desc, id asc)
     * per group in a bounded buffer. Compared to the window row_number

@@ -129,6 +129,19 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Brute-force ANN through the custom TopKPerKey physical operator
+    // (bounded per-probe heaps instead of a ranking window sort) —
+    // same scoring expression, same determinism contract (rounded
+    // cosine then neighbor id as a total order).
+    "sim_topk_native" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val scored = Similarity.scoreAll(vecs, vecs.filter(col("vec_id") < 10))
+      graft.plans.TopKPerKey(scored, Seq(col("probe_id")),
+        Seq(col("cos_r").desc, col("neighbor_id").asc), 5)
+        .orderBy(col("probe_id"), col("cos_r").desc, col("neighbor_id"))
+    }),
+
     // One k-means Lloyd's update: assign to max-cosine centroid (the
     // first 8 vectors seed the centroids), recompute per-dimension
     // means from exact decimal sums.
@@ -415,6 +428,20 @@ object PipelineQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk_native" ->
+      s"""WITH $ovecsCte,
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM ovecs WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT probe_id, o.vec_id AS neighbor_id,
+         |         round(${cosSql("pv", "o.v")}, 6) AS cos_r
+         |  FROM probes, ovecs o WHERE probe_id <> o.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos_r DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, cos_r FROM ranked
+         |WHERE rnk <= 5 ORDER BY probe_id, cos_r DESC, neighbor_id""".stripMargin,
 
     "sim_kmeans_step" ->
       s"""WITH $ovecsCte,
