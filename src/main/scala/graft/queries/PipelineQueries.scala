@@ -198,6 +198,20 @@ object PipelineQueries {
       Sampling.split(Tables.documents(s, d).select(col("doc_id")),
         col("doc_id")).orderBy("doc_id")),
 
+    // Order-independent corpus checksum per source: the md5-prefix of
+    // each doc summed as a 60-bit integer — the migration-validation
+    // primitive ("same docs on both sides?") that needs no sort and
+    // parallelizes over any partitioning.
+    "pipeline_checksum" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          // 48-bit prefixes summed in decimal: overflow-proof at any
+          // corpus size (long sums overflow past ~2^15 docs per group).
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 12),
+            16, 10).cast("decimal(38,0)")).as("checksum"))
+        .orderBy("source")),
+
     // Deterministic stratified sample for training-mix curation: keep
     // 100% of German, 40% of English, 10% of everything else — a pure
     // per-row hash test, reproducible across engines and runs.
@@ -380,6 +394,11 @@ object PipelineQueries {
         |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS INTEGER) % 100 < 90 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_checksum" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT)) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "pipeline_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -709,6 +709,34 @@ object RelationalQueries {
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")),
 
+    // TPC-H Q7-style bi-national volume: supplier nation × customer
+    // nation revenue matrix for two nations — both nation dims broadcast
+    // twice under different aliases; the fact chain shuffles once per
+    // fact-fact join.
+    "q_tpch_q7" -> ((s, d) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(18,2)")
+      val n1 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("sk"))
+        .join(n2, col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" &&
+            col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // TPC-H Q13-style customer distribution: two-level aggregation —
     // orders-per-customer (left join keeps zero-order customers), then
     // the histogram of those counts.
@@ -1383,6 +1411,20 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist

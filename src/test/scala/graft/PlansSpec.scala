@@ -49,6 +49,26 @@ class PlansSpec extends SparkSpec {
     assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("property: equals the window formulation on random data") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 200 + trial * 100
+      val rows = (0 until n).map { i =>
+        (s"k${rnd.nextInt(12)}", i.toLong, rnd.nextInt(40).toDouble)
+      }
+      val df = rows.toDF("k", "id", "score").repartition(5)
+      val k = 1 + rnd.nextInt(4)
+      val got = TopKPerKey(df, Seq(col("k")),
+        Seq(col("score").desc, col("id").asc), k)
+        .select("k", "id").as[(String, Long)].collect().toSet
+      val w = Window.partitionBy("k").orderBy(col("score").desc, col("id").asc)
+      val want = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("k", "id").as[(String, Long)].collect().toSet
+      assert(got === want, s"trial $trial (k=$k)")
+    }
+  }
+
   test("deterministic across partitionings of the input") {
     val a = TopKPerKey(sample.repartition(7), Seq(col("k")),
       Seq(col("score").desc, col("id").asc), 2)
