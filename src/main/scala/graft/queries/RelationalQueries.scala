@@ -847,6 +847,24 @@ object RelationalQueries {
         .distinct()
         .orderBy("key")),
 
+    // Skew-salted join as a first-class query: lineitem keyed by a
+    // deliberately hot derived key (90% of rows share one value) joined
+    // to a small dimension through Joins.saltedJoin — the salt spreads
+    // the hot key over `salt` sub-partitions, the dimension replicates
+    // salt-ways, and the result equals the plain join (oracle).
+    "q_skew_join" -> ((s, d) => {
+      val hot = Tables.lineitem(s, d).select(col("l_orderkey"),
+        when(col("l_orderkey") % 10 < 9, 0L)
+          .otherwise(col("l_orderkey") % 5).as("hk"))
+      val dim = Tables.nation(s, d).filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey").cast("long").as("hk"),
+          col("n_name"))
+      graft.operators.Joins.saltedJoin(hot, dim, "hk", 8)
+        .groupBy(col("hk"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hk")
+    }),
+
     // Null-safe equality join (<=>): null keys MATCH each other instead
     // of dropping — the join Spark plans with a NullSafeEqual key (still
     // hash-joinable, unlike a general theta join).
@@ -1494,6 +1512,18 @@ object RelationalQueries {
         |UNION
         |SELECT p_partkey AS key FROM part
         |ORDER BY key""".stripMargin,
+
+    "q_skew_join" ->
+      """WITH hot AS (
+        |  SELECT l_orderkey,
+        |    CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_orderkey % 5 END AS hk
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS hk, n_name
+        |  FROM nation WHERE n_nationkey < 5)
+        |SELECT hk, n_name, count(*) AS n
+        |FROM hot JOIN dim USING (hk)
+        |GROUP BY hk, n_name ORDER BY hk""".stripMargin,
 
     "q_nullsafe_join" ->
       """WITH l AS (
