@@ -919,6 +919,32 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // Time-series resample + forward fill: snap events to an hourly
+    // grid (latest event wins within the hour), densify each user's
+    // range with sequence+explode, and carry the last observation
+    // forward over the gaps — the standard feature-engineering reshape.
+    // The grid explode is bounded by (users × hours), not events.
+    "q_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), expr("ts div 3600000000000").as("hr"),
+          col("value"), col("event_id"))
+      val wLatest = Window.partitionBy(col("user_id"), col("hr"))
+        .orderBy(col("event_id").desc)
+      val latest = ev.withColumn("rn", row_number().over(wLatest))
+        .filter(col("rn") === 1).select(col("user_id"), col("hr"), col("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val wFill = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(latest, Seq("user_id", "hr"), "left_outer")
+        .withColumn("filled_value", last(col("value"), ignoreNulls = true)
+          .over(wFill))
+        .select(col("user_id"), col("hr"), col("filled_value"))
+        .orderBy("user_id", "hr")
+    }),
+
     // Fixed-width histogram binning: a scan-only aggregation whose bin
     // key is computed per row (no pre-pass for min/max), capped at the
     // last bucket.
@@ -1554,6 +1580,26 @@ object RelationalQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr, value, event_id
+        |  FROM events WHERE user_id < 20),
+        |latest AS (
+        |  SELECT user_id, hr, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, hr
+        |      ORDER BY event_id DESC) AS rn FROM ev)
+        |  WHERE rn = 1),
+        |bounds AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+        |           FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr
+        |         FROM bounds)
+        |SELECT user_id, hr,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value
+        |FROM grid LEFT JOIN latest USING (user_id, hr)
+        |ORDER BY user_id, hr""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bin,
