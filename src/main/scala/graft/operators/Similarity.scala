@@ -202,6 +202,23 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 quantization of an embedding column: one scale per
+    * vector (max|x|/127), each dimension rounded to [-127, 127]. The
+    * storage-side transform that cuts an embedding corpus 4× before
+    * ANN serving; emitted per-dimension so the result is engine-
+    * comparable without list-ordering concerns. Pure narrow projection
+    * + generator — no shuffle at any corpus size. */
+  def quantizeInt8(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"),
+        (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale"),
+        col("v"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        when(col("scale") === 0.0, 0)
+          .otherwise(round(col("x") / col("scale"), 0)).cast("int").as("q"))
+
   /** One Lloyd's-iteration update step over an embedding corpus:
     * assign every vector to its max-cosine centroid (deterministic
     * centroid-id tie-break), then recompute each centroid dimension as

@@ -142,6 +142,13 @@ object PipelineQueries {
         .orderBy(col("probe_id"), col("cos_r").desc, col("neighbor_id"))
     }),
 
+    // Symmetric int8 quantization (per-vector scale, per-dim rounding).
+    "sim_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(
+        Similarity.vectors(Tables.embeddings(s, d))
+          .select(col("vec_id"), col("v")))
+        .orderBy("vec_id", "dim")),
+
     // One k-means Lloyd's update: assign to max-cosine centroid (the
     // first 8 vectors seed the centroids), recompute per-dimension
     // means from exact decimal sums.
@@ -461,6 +468,18 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT probe_id, neighbor_id, cos_r FROM ranked
          |WHERE rnk <= 5 ORDER BY probe_id, cos_r DESC, neighbor_id""".stripMargin,
+
+    "sim_quantize_int8" ->
+      s"""WITH $ovecsCte,
+         |scaled AS (
+         |  SELECT vec_id,
+         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v
+         |  FROM ovecs)
+         |SELECT vec_id,
+         |  unnest(range(1, len(v)+1)) AS dim,
+         |  CAST(CASE WHEN scale = 0 THEN 0
+         |       ELSE round(unnest(v) / scale) END AS INTEGER) AS q
+         |FROM scaled ORDER BY vec_id, dim""".stripMargin,
 
     "sim_kmeans_step" ->
       s"""WITH $ovecsCte,
