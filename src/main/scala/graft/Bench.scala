@@ -45,10 +45,12 @@ object Bench {
     def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errors =
+      if (failed.isEmpty) "" else failed.mkString(""","errors":[""", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errors,"sf":"$sfName"}""")
     spark.stop()
   }
 }
