@@ -18,7 +18,11 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * ranking — O(n log n) per partition and the whole input materialized
   * through the sort. This operator keeps a bounded heap of k rows per
   * key instead: O(n log k), memory O(keys·k), no sort buffer. At 100 TB
-  * with small k the difference is the sort spill.
+  * with small k the difference is the sort spill. The memory bound is
+  * per-task distinct keys × k rows: right for the many-rows-per-key
+  * regime (top products per region, top neighbors per probe); for
+  * near-unique keys the window sort's spillable buffer is the safer
+  * choice.
   *
   * Implementation follows the preference ladder of SURVEY.md §7 (custom
   * LogicalPlan + Strategy + SparkPlan, registered through
@@ -32,6 +36,10 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: LogicalPlan) extends UnaryNode {
   require(k > 0, "k must be positive")
+  // Global top-k (no keys) is already served optimally by Spark's
+  // TakeOrderedAndProject (orderBy.limit) — and ClusteredDistribution
+  // requires a non-empty clustering anyway.
+  require(keys.nonEmpty, "keys must be non-empty; use orderBy().limit(k) for global top-k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
     copy(child = c)
