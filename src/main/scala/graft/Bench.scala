@@ -42,7 +42,12 @@ object Bench {
     // Millisecond precision keeps the whole line under the driver's
     // stdout tail-capture window (round 2's full-precision line was
     // truncated mid-JSON and failed to parse driver-side).
-    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which
+    // renders a comma decimal separator under e.g. de_DE and breaks the
+    // JSON contract.
+    def fmt(v: Double) =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }

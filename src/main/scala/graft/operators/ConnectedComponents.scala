@@ -85,11 +85,24 @@ object ConnectedComponents {
         .coalesce(nParts)
         .localCheckpoint()
       val changed = next.filter(col("changed")).limit(1).count()
+      // Dropping the previous round's reference is what frees its
+      // checkpoint blocks: localCheckpoint caches RDD partitions
+      // outside the cache manager, and the ContextCleaner reclaims
+      // them once the RDD is unreachable (Dataset.unpersist would be a
+      // no-op here).
       labels = next.drop("changed")
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist()
+    sym.unpersist(false)
+    // Non-convergence must be loud: returning partial labels would
+    // split true duplicate clusters and silently keep duplicates.
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise maxIter or use a " +
+          "star-contraction variant for long-chain graphs")
+    }
     labels
   }
 

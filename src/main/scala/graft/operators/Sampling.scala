@@ -19,6 +19,10 @@ object Sampling {
   /** Hash bucket in [0, buckets): the first 3 hex digits of md5(key) as
     * an integer (uniform in [0, 4096)) mod `buckets`. md5-hex digits are
     * engine-portable — any system with md5 reproduces the exact split.
+    * Uniform to 1/4096 granularity: when `buckets` does not divide 4096
+    * the low (4096 mod buckets) buckets receive one extra 1/4096 slice
+    * (for buckets=100: 41/4096 vs 40/4096 per bucket, ≤ 2.5% relative) —
+    * deterministic, and reproduced exactly by the oracle formula.
     */
   def hashBucket(key: Column, buckets: Int): Column = {
     require(buckets > 0 && buckets <= 4096, "buckets must be in (0, 4096]")

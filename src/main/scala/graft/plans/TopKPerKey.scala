@@ -54,6 +54,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  /** Filtering rows within a partition preserves the child's layout —
+    * advertising it lets a downstream groupBy/join on the same keys
+    * skip its exchange. */
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     // Locals only in the task closure — capturing `this` would drag the
     // whole plan tree (non-serializable SparkPlan) into the task.
@@ -64,14 +71,18 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     // a sorts before b, i.e. a is "better".
     val ordering = new LazilyGeneratedOrdering(order, childOutput)
     child.execute().mapPartitions { iter =>
+      // The key projection always emits UnsafeRow (stable equals/
+      // hashCode for the map); data rows stay InternalRow — a child
+      // that satisfies the distribution without an exchange (e.g.
+      // columnar scan fallback) may emit non-Unsafe rows.
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // Max-heap on sort position: head = worst kept row of the key.
-      val heapOrd: Ordering[UnsafeRow] =
-        (a: UnsafeRow, b: UnsafeRow) => ordering.compare(a, b)
+      val heapOrd: Ordering[InternalRow] =
+        (a: InternalRow, b: InternalRow) => ordering.compare(a, b)
       val heaps = scala.collection.mutable.HashMap
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
+        val row = iter.next()
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(h) =>
@@ -80,7 +91,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
               h.dequeue(); h += row.copy()
             }
           case None =>
-            val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
+            val h =
+              scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
             h += row.copy()
             heaps.put(key.copy(), h)
         }

@@ -26,6 +26,14 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.values.toSet === Set(1L))
   }
 
+  test("components: refuses to return partial labels when maxIter is too low") {
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.components(edges, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("canonicalize: singletons are their own canonical doc") {
     val corpus = Seq(1L, 2L, 3L, 99L).toDF("doc_id")
     val edges = Seq((1L, 2L)).toDF("id_a", "id_b")
