@@ -42,11 +42,19 @@ class PlansSpec extends SparkSpec {
   }
 
   test("composes downstream: filter and aggregate over the operator") {
-    val got = TopKPerKey(sample, Seq(col("k")),
+    val q = TopKPerKey(sample, Seq(col("k")),
       Seq(col("score").desc, col("id").asc), 2)
       .groupBy("k").agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().toMap
+    val got = q.as[(String, Long)].collect().toMap
     assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    // outputPartitioning passes the child's hash layout through, so the
+    // aggregate on the same key plans NO second exchange (inspect the
+    // AQE final plan only — the rendering repeats the initial plan).
+    val finalPlan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = finalPlan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges === 1, finalPlan)
   }
 
   test("property: equals the window formulation on random data") {
