@@ -36,7 +36,19 @@ object ConnectedComponents {
     * @return (doc_id, component) for every vertex that appears in any
     *         edge; component is the minimum doc_id reachable from it.
     */
-  def components(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** Transitive components with pointer jumping: each round, after the
+    * min-over-neighbors propagation, every vertex also adopts its
+    * label's label (`component ← label(component)`), halving the
+    * remaining distance to the component minimum — convergence in
+    * O(log diameter) rounds instead of O(diameter). One extra
+    * (tiny) labels⋈labels join per round, worth it for long-chain
+    * graphs; plain [[components]] is the cheaper choice for dup
+    * clusters whose diameter is 1-2. */
+  def componentsPointerJump(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    components(edges, maxIter, pointerJump = true)
+
+  def components(edges: DataFrame, maxIter: Int = 25,
+      pointerJump: Boolean = false): DataFrame = {
     // Symmetrize once: propagation below only needs u <- v direction
     // for every ordered orientation of each edge.
     val sym = edges
@@ -74,12 +86,26 @@ object ConnectedComponents {
       // min(candidate) < min-tagged-old). The fixpoint test is then a
       // near-free scan of the just-materialized checkpoint instead of a
       // labels-vs-next shuffle join per round.
-      val next = labels.select(col("doc_id"), col("component"),
+      val propagated = labels.select(col("doc_id"), col("component"),
           lit(true).as("is_own"))
         .unionByName(neighborLabels.withColumn("is_own", lit(false)))
         .groupBy("doc_id")
         .agg(min(col("component")).as("component"),
           min(when(col("is_own"), col("component"))).as("prev"))
+      // Pointer jump: adopt the label's label (labels shrink
+      // monotonically, so the parent's component is never worse). The
+      // `changed` flag is computed after the jump so a jump-only
+      // improvement still defers convergence.
+      val jumped = if (!pointerJump) propagated else {
+        val parents = propagated
+          .select(col("doc_id").as("p_id"), col("component").as("p_comp"))
+        propagated
+          .join(parents, col("component") === col("p_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("p_comp"), col("component")).as("component"),
+            col("prev"))
+      }
+      val next = jumped
         .withColumn("changed", col("component") < col("prev"))
         .drop("prev")
         .coalesce(nParts)
@@ -100,8 +126,9 @@ object ConnectedComponents {
     if (!converged) {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds — " +
-          "component diameter exceeds maxIter; raise maxIter or use a " +
-          "star-contraction variant for long-chain graphs")
+          "component diameter exceeds maxIter; raise maxIter or use " +
+          "componentsPointerJump (O(log diameter) rounds) for " +
+          "long-chain graphs")
     }
     labels
   }

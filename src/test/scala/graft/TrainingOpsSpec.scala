@@ -26,6 +26,16 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.values.toSet === Set(1L))
   }
 
+  test("pointer jumping converges a long chain in O(log diameter) rounds") {
+    // 40-vertex path: diameter 39 would blow plain propagation's default
+    // budget; pointer jumping needs ~log2(39) ≈ 6 rounds.
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.componentsPointerJump(edges, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 40)
+    assert(got.values.toSet === Set(1L))
+  }
+
   test("components: refuses to return partial labels when maxIter is too low") {
     val edges = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
