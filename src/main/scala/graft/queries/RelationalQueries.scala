@@ -737,6 +737,89 @@ object RelationalQueries {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // TPC-H Q9-style profit: revenue minus a synthesized part cost
+    // (no partsupp table in the testdata), grouped by supplier nation
+    // and year — the widest join tree in the suite plus a computed
+    // measure in exact decimal.
+    "q_tpch_q9" -> ((s, d) => {
+      val profit =
+        col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(18,2)") -
+        (col("p_retailprice") * 0.8).cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
+        .agg(sum(profit).cast("double").as("sum_profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11-style important stock: per-part value, kept when above
+    // a fraction of the global total — the global scalar rides on an
+    // unpartitioned window over the already-aggregated table (one pass).
+    "q_tpch_q11" -> ((s, d) => {
+      val w = Window.partitionBy()
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)")).as("value_dec"))
+        .withColumn("total", sum(col("value_dec")).over(w))
+        .filter(col("value_dec") * 1000 > col("total"))
+        .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q14-style promo share: conditional aggregation ratio —
+    // 100 · promo revenue / total revenue in one pass, division in
+    // double over exact decimal sums.
+    "q_tpch_q14" -> ((s, d) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(18,2)")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1996-02-01")
+        .agg(
+          (lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))
+              .cast("decimal(24,4)")).cast("double") /
+            sum(rev.cast("decimal(24,4)")).cast("double")).as("promo_share"))
+        .select(round(col("promo_share"), 6).as("promo_share"))
+    }),
+
+    // Boolean and bitwise aggregates: every/any + bit_and/or/xor per
+    // group.
+    "q_bool_bit_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          every(col("l_quantity") > 0).as("all_pos"),
+          some(col("l_quantity") > 49).as("any_min"),
+          bit_and(col("l_linenumber")).as("b_and"),
+          bit_or(col("l_linenumber")).as("b_or"),
+          bit_xor(col("l_linenumber")).as("b_xor"))
+        .orderBy("l_returnflag")),
+
+    // Error-safe scalar functions: try_divide / try_cast return null
+    // instead of raising under ANSI mode.
+    "q_try_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(try_divide(col("l_extendedprice").cast("decimal(18,4)"),
+          col("l_quantity").cast("decimal(18,4)")).cast("double"), 6)
+          .as("unit_price"),
+        try_divide(col("l_quantity"), col("l_quantity") - col("l_quantity"))
+          .as("div0"),
+        try_to_number(col("l_returnflag"), lit("9")).cast("int")
+          .as("flag_num"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // TPC-H Q13-style customer distribution: two-level aggregation —
     // orders-per-customer (left join keeps zero-order customers), then
     // the histogram of those counts.
@@ -1474,6 +1557,55 @@ object RelationalQueries {
         |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
         |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n_name,
+        |  CAST(year(l_shipdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))
+        |         - CAST(p_retailprice * 0.8 AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS value_dec
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+        |FROM pv
+        |WHERE value_dec * 1000 > (SELECT sum(value_dec) FROM pv)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+        |  CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))
+        |    ELSE 0 END AS DECIMAL(24,4))) AS DOUBLE) /
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(24,4))) AS DOUBLE), 6)
+        |  AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin,
+
+    "q_bool_bit_agg" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_quantity > 49) AS any_min,
+        |  CAST(bit_and(l_linenumber) AS INTEGER) AS b_and,
+        |  CAST(bit_or(l_linenumber) AS INTEGER) AS b_or,
+        |  CAST(bit_xor(l_linenumber) AS INTEGER) AS b_xor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) / CAST(l_quantity AS DECIMAL(18,4)) AS DOUBLE), 6) AS unit_price,
+        |  CASE WHEN l_quantity - l_quantity = 0 THEN NULL
+        |       ELSE l_quantity / (l_quantity - l_quantity) END AS div0,
+        |  TRY_CAST(l_returnflag AS INTEGER) AS flag_num
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
