@@ -48,7 +48,12 @@ object Bench {
     def fmt(v: Double) =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    // Per-query at centisecond precision: the map is the line's bulk
+    // and the driver compares totals, not per-query digits.
+    def fmtQ(v: Double) =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val errors =
