@@ -63,6 +63,23 @@ object Multimodal {
     }
   }
 
+  /** Content-addressable chunking for large blobs: split each payload
+    * into fixed-size chunks and key each by its md5 — the
+    * dedup-friendly storage layout for multimodal corpora (identical
+    * chunks across documents share storage; transfer diffs reduce to
+    * hash-set differences). Pure generator + projection, no shuffle. */
+  def chunkPayloads(payloads: DataFrame, chunkSize: Int): DataFrame =
+    payloads
+      .select(col("doc_id"), col("payload"),
+        expr(s"sequence(0, greatest(0, ceil(length(payload) / $chunkSize) - 1))")
+          .as("idx"))
+      .select(col("doc_id"), explode(col("idx")).as("chunk_no"),
+        expr(s"substring(payload, cast(chunk_no * $chunkSize + 1 as int), $chunkSize)")
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_no").cast("int").as("chunk_no"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk")).as("chunk_hash"))
+
   /** Frame sampling for "video" payloads: split the byte stream into
     * fixed-size frames and keep every `stride`-th one. Pure column ops
     * (codegen), no UDF. */

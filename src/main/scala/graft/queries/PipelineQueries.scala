@@ -266,6 +266,13 @@ object PipelineQueries {
 
     // Frame sampling over binary payloads — frame boundaries and sizes
     // reproduce in SQL from the byte length alone.
+    // Content-addressable chunking: fixed-size chunks keyed by md5 —
+    // the shared-storage layout for large multimodal blobs.
+    "mm_chunk" -> ((s, d) =>
+      Multimodal.chunkPayloads(
+        Multimodal.asBinaryPayloads(Tables.documents(s, d)), 64)
+        .orderBy("doc_id", "chunk_no")),
+
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.asBinaryPayloads(Tables.documents(s, d)), 64, 2)
@@ -641,6 +648,18 @@ object PipelineQueries {
         |  CAST(16 + (ascii(substr(text, length(text), 1)) % 64) AS INTEGER) AS height,
         |  CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_chunk" ->
+      """WITH f AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n,
+        |         unnest(generate_series(0,
+        |           CAST(ceil(CAST(n AS DOUBLE) / 64) AS BIGINT) - 1)) AS chunk_no
+        |  FROM f)
+        |SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+        |  CAST(least(64, n - chunk_no * 64) AS INTEGER) AS chunk_len,
+        |  md5(substr(text, CAST(chunk_no * 64 + 1 AS BIGINT), 64)) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id, length(text) AS n FROM documents),

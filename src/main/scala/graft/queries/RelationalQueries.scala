@@ -1002,6 +1002,38 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // Cohort retention: users bucketed by first-seen hour, activity
+    // counted per (cohort, hour offset) — the canonical product-
+    // analytics matrix. Two aggregations and one co-partitioned join
+    // on user_id.
+    "q_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 3600000000000").as("hr"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("hr")).as("cohort"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort"), (col("hr") - col("cohort")).as("offset"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy("cohort", "offset")
+    }),
+
+    // Ordered funnel (view → click → purchase): per-user first times of
+    // each step in ONE conditional-aggregation pass, then step counts
+    // requiring strict event-time order.
+    "q_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("t_purchase"))
+        .agg(
+          count(col("t_view")).as("step_view"),
+          count(when(col("t_click") > col("t_view"), 1)).as("step_click"),
+          count(when(col("t_purchase") > col("t_click") &&
+            col("t_click") > col("t_view"), 1)).as("step_purchase"))
+    }),
+
     // Time-series resample + forward fill: snap events to an hourly
     // grid (latest event wins within the hour), densify each user's
     // range with sequence+explode, and carry the last observation
@@ -1712,6 +1744,27 @@ object RelationalQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr FROM events),
+        |first AS (SELECT user_id, min(hr) AS cohort FROM ev GROUP BY user_id)
+        |SELECT cohort, hr - cohort AS "offset",
+        |  count(DISTINCT user_id) AS users
+        |FROM ev JOIN first USING (user_id)
+        |GROUP BY cohort, "offset" ORDER BY cohort, "offset"""".stripMargin,
+
+    "q_funnel" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(t_view) AS step_view,
+        |  count(CASE WHEN t_click > t_view THEN 1 END) AS step_click,
+        |  count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS step_purchase
+        |FROM per""".stripMargin,
 
     "q_gap_fill" ->
       """WITH ev AS (
