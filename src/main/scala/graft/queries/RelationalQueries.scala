@@ -1002,6 +1002,44 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // Per-group z-score standardization from exact decimal power sums
+    // over an unpartitioned-within-group window: mean and stddev are
+    // order-independent, so the per-row standardization is bit-stable
+    // at any parallelism — the feature-engineering normalize pass.
+    "q_zscore" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+      val x = col("l_quantity").cast("decimal(24,4)")
+      Tables.lineitem(s, d)
+        .withColumn("n", count(lit(1)).over(w).cast("double"))
+        .withColumn("sx", sum(x).over(w).cast("double"))
+        .withColumn("sxx", sum(x * x).over(w).cast("double"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round((col("l_quantity") - col("sx") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+              (col("n") - 1)), 6).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Triangle count over the co-occurrence graph of parts within an
+    // order (parts are "connected" when some order contains both):
+    // the standard two-hop join formulation with a < b < c orientation
+    // so each triangle counts once.
+    "q_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0) // bounded co-occur graph
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      edges.as("e1")
+        .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+        .join(edges.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // Cohort retention: users bucketed by first-seen hour, activity
     // counted per (cohort, hour offset) — the canonical product-
     // analytics matrix. Two aggregations and one co-partitioned join
@@ -1744,6 +1782,30 @@ object RelationalQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_zscore" ->
+      """WITH w AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |    CAST(count(*) OVER g AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(24,4))) OVER g AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_quantity AS DECIMAL(24,4))) OVER g AS DOUBLE) AS sxx
+        |  FROM lineitem
+        |  WINDOW g AS (PARTITION BY l_returnflag))
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  round((l_quantity - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z
+        |FROM w ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 100 = 0),
+        |edges AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+        |SELECT count(*) AS n_triangles
+        |FROM edges e1
+        |JOIN edges e2 ON e1.b = e2.a
+        |JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH ev AS (
