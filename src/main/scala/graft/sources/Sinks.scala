@@ -26,4 +26,25 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Exactly-once `foreachBatch` sink: each micro-batch lands in its
+    * own `batch_id=` partition, written with DYNAMIC partition
+    * overwrite — a retried batch (at-least-once delivery after a
+    * failure) REPLACES its partition instead of appending duplicates,
+    * and never touches other batches' partitions. This is the
+    * idempotence contract Structured Streaming requires of a sink for
+    * end-to-end exactly-once; the reference's Firehose retry semantics
+    * (whole-batch redelivery, ingestor/index.js:45-60) get the same
+    * treatment. Use as `.writeStream.foreachBatch(idempotentBatchWriter(path))`.
+    */
+  def idempotentBatchWriter(path: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .partitionBy("batch_id")
+      .parquet(path)
+  }
 }

@@ -75,6 +75,28 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotentBatchWriter: a retried batch replaces, never duplicates") {
+    import graft.sources.Sinks
+    val dir = Files.createTempDirectory("graft-idem").toFile.getAbsolutePath
+    val write = Sinks.idempotentBatchWriter(dir) _
+    write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    write(Seq((3L, "c")).toDF("id", "v"), 1L)
+    // Batch 1 redelivered (failure retry) with the same content: the
+    // dynamic overwrite must replace batch_id=1, leaving batch 0 alone.
+    write(Seq((3L, "c")).toDF("id", "v"), 1L)
+    val got = spark.read.parquet(dir)
+    assert(got.count() === 3)
+    assert(got.filter(col("batch_id") === 1).count() === 1)
+    // A changed retry payload (reprocessed input) still yields exactly
+    // the latest write of that batch, not an append.
+    write(Seq((3L, "c2"), (4L, "d")).toDF("id", "v"), 1L)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 4)
+    assert(after.filter(col("batch_id") === 0).count() === 2)
+    assert(after.filter(col("batch_id") === 1).as[(Long, String, Int)]
+      .collect().map(_._2).sorted.toSeq === Seq("c2", "d"))
+  }
+
   test("observe counters report total and failed records (OP-22)") {
     val parsed = FlowLog.parseFlowLines(
       Seq((1L, "junk"), (2L, "more junk"),
