@@ -1002,6 +1002,30 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // SCD Type-2 merge (dimension versioning on plain parquet): updated
+    // keys close their current row (valid_to set) and append a new
+    // open-ended version; untouched keys pass through. Three branches —
+    // semi, anti, and the update set — all co-partitioned on the key,
+    // then a union (no MERGE primitive required).
+    "q_scd2_merge" -> ((s, d) => {
+      val cur = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_acctbal"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val upd = Tables.supplier(s, d)
+        .filter(col("s_suppkey") % 3 === 0)
+        .select(col("s_suppkey"), (col("s_acctbal") + 100.0).as("s_acctbal"))
+      val closed = cur
+        .join(upd.select(col("s_suppkey")), Seq("s_suppkey"), "left_semi")
+        .withColumn("valid_to", lit(1000L))
+      val unchanged = cur
+        .join(upd.select(col("s_suppkey")), Seq("s_suppkey"), "left_anti")
+      val opened = upd
+        .withColumn("valid_from", lit(1000L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      unchanged.unionByName(closed).unionByName(opened)
+        .orderBy(col("s_suppkey"), col("valid_from"))
+    }),
+
     // Per-group z-score standardization from exact decimal power sums
     // over an unpartitioned-within-group window: mean and stddev are
     // order-independent, so the per-row standardization is bit-stable
@@ -1782,6 +1806,24 @@ object RelationalQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_scd2_merge" ->
+      """WITH cur AS (
+        |  SELECT s_suppkey, s_acctbal, CAST(0 AS BIGINT) AS valid_from,
+        |         CAST(NULL AS BIGINT) AS valid_to
+        |  FROM supplier),
+        |upd AS (
+        |  SELECT s_suppkey, s_acctbal + 100.0 AS s_acctbal
+        |  FROM supplier WHERE s_suppkey % 3 = 0)
+        |SELECT s_suppkey, s_acctbal, valid_from, valid_to FROM cur
+        |WHERE s_suppkey NOT IN (SELECT s_suppkey FROM upd)
+        |UNION ALL
+        |SELECT s_suppkey, s_acctbal, valid_from, CAST(1000 AS BIGINT) FROM cur
+        |WHERE s_suppkey IN (SELECT s_suppkey FROM upd)
+        |UNION ALL
+        |SELECT s_suppkey, s_acctbal, CAST(1000 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM upd
+        |ORDER BY s_suppkey, valid_from""".stripMargin,
 
     "q_zscore" ->
       """WITH w AS (
