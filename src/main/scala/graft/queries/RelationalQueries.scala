@@ -1002,6 +1002,28 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // TPC-H Q22-style global-sales-opportunity: customers with
+    // above-average positive balance and no orders — a 1-row broadcast
+    // threshold (compared in exact decimal, the q_above_cust_avg trick)
+    // into an anti join, aggregated by nation.
+    "q_tpch_q22" -> ((s, d) => {
+      val thr = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,4)")).as("s_pos"),
+          count(lit(1)).as("n_pos"))
+      Tables.customer(s, d)
+        .crossJoin(broadcast(thr))
+        .filter(col("c_acctbal").cast("decimal(18,4)") * col("n_pos") >
+          col("s_pos"))
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            .as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
     // SCD Type-2 merge (dimension versioning on plain parquet): updated
     // keys close their current row (valid_to set) and append a new
     // open-ended version; untouched keys pass through. Three branches —
@@ -1806,6 +1828,17 @@ object RelationalQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH thr AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS s_pos, count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer, thr
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > s_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_scd2_merge" ->
       """WITH cur AS (
