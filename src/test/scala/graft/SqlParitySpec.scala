@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The SQL text surface (Catalog.registerViews + spark.sql) and the
+  * Column API resolve to the same results: a Spark-SQL re-statement of
+  * representative queries must match the SparkEntry implementation
+  * row-for-row. (The DuckDB oracle gate proves cross-engine agreement;
+  * this proves intra-engine API parity.)
+  */
+class SqlParitySpec extends SparkSpec {
+
+  private lazy val ready: Unit = Catalog.registerViews(spark, sfDir)
+
+  private def rows(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq
+      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+      .sortBy(_.mkString("|"))
+
+  private def check(name: String, sql: String): Unit = {
+    ready
+    val api = rows(SparkEntry.queries(name)(spark, sfDir))
+    val viaSql = rows(spark.sql(sql))
+    assert(api === viaSql, s"$name: SQL text surface diverges from Column API")
+  }
+
+  test("q_join3_revenue parity") {
+    check("q_join3_revenue",
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  test("q_semi_join parity") {
+    check("q_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  test("q_latest_per_key parity") {
+    check("q_latest_per_key",
+      """SELECT user_id, event_id, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+  }
+
+  test("q_histogram parity") {
+    check("q_histogram",
+      """SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin)
+  }
+
+  test("custom SQL functions compose with views (rolling_fingerprint)") {
+    ready
+    val viaSql = spark.sql(
+      "SELECT doc_id, rolling_fingerprint(text, 16) AS fp FROM documents ORDER BY doc_id")
+    import org.apache.spark.sql.functions.col
+    val api = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.functions.rolling_fingerprint(col("text"), 16).as("fp"))
+      .orderBy("doc_id")
+    assert(rows(api) === rows(viaSql))
+  }
+}
