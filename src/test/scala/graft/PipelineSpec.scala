@@ -99,6 +99,47 @@ class PipelineSpec extends SparkSpec {
     assert(out.groupBy($"probe_id").count().filter($"count" =!= 3).count() === 0)
   }
 
+  test("chunking reassembles to the original payload, hashes are content keys") {
+    import graft.operators.Multimodal
+    val docs = Seq((1L, "x" * 150), (2L, "y" * 64), (3L, "z" * 150 + "x" * 0))
+      .toDF("doc_id", "text")
+    val chunks = Multimodal.chunkPayloads(
+      Multimodal.asBinaryPayloads(docs), 64)
+    // Sizes: 150 = 64 + 64 + 22; 64 = one full chunk.
+    val sizes = chunks.filter(col("doc_id") === 1L)
+      .orderBy("chunk_no").select("chunk_len").as[Int].collect().toSeq
+    assert(sizes === Seq(64, 64, 22))
+    assert(chunks.filter(col("doc_id") === 2L).count() === 1)
+    // Content-addressing: identical 64-byte runs of the same char share
+    // hashes across documents only when the bytes match.
+    val h1 = chunks.filter(col("doc_id") === 1L && col("chunk_no") === 0)
+      .select("chunk_hash").as[String].head()
+    val h3 = chunks.filter(col("doc_id") === 3L && col("chunk_no") === 0)
+      .select("chunk_hash").as[String].head()
+    assert(h1 !== h3)  // different content, different key
+  }
+
+  test("hash split assignments are stable when the corpus grows") {
+    import graft.operators.Sampling
+    val small = (0L until 200L).toDF("doc_id")
+    val big = (0L until 400L).toDF("doc_id")
+    val a = Sampling.split(small, col("doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.split(big, col("doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // Every original row keeps its assignment — no migration on growth.
+    assert(a.forall { case (k, v) => b(k) == v })
+  }
+
+  test("docs shorter than the shingle width exact-dedup but produce no shingles") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "one two"), (2L, "one two"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    assert(Dedup.shingles(docs).filter(col("doc_id") <= 2L).count() === 0)
+    val exact = Dedup.exactDuplicates(docs).collect()
+    assert(exact.length === 2)  // the pair collapses, the long doc stands
+  }
+
   test("multimodal decode stub preserves payload and emits sane metadata") {
     val out = Multimodal.decodeImages(Multimodal.asBinaryPayloads(docs))
     val r = out.orderBy("doc_id").head
