@@ -60,6 +60,26 @@ class SqlParitySpec extends SparkSpec {
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin)
   }
 
+  test("q_approx_distinct stays within HLL error bounds of exact counts") {
+    // The only check the driver can run on a sketch is rows-only; pin
+    // the accuracy contract here instead: default rsd is 0.05, so 5x
+    // that is a generous non-flaky bound.
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    for ((flag, (ep, eo)) <- exact) {
+      val (ap, ao) = approx(flag)
+      assert(math.abs(ap - ep).toDouble / ep < 0.25, s"$flag parts: $ap vs $ep")
+      assert(math.abs(ao - eo).toDouble / eo < 0.25, s"$flag orders: $ao vs $eo")
+    }
+  }
+
   test("custom SQL functions compose with views (rolling_fingerprint)") {
     ready
     val viaSql = spark.sql(
