@@ -1002,6 +1002,50 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // TPC-H Q21-style waiting-orders: suppliers whose line was late on
+    // a multi-supplier order where NO other supplier was late — the
+    // fact joined against itself twice, once as a semi (another
+    // supplier exists) and once as an anti (no other late supplier).
+    // Both self-joins co-shuffle on l_orderkey; the fact never
+    // broadcasts.
+    "q_tpch_q21" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .as("late"))
+      val late = li.filter(col("late"))
+      val withOther = late.as("l1")
+        .join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+      val sole = withOther.as("l1")
+        .join(late.as("l3"),
+          col("l1.l_orderkey") === col("l3.l_orderkey") &&
+            col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+      sole.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey"))
+        .limit(20)
+    }),
+
+    // Deterministic mode: most frequent value per group with a
+    // smallest-value tie-break (engine mode() functions break ties
+    // arbitrarily, so this is the portable formulation).
+    "q_mode" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     // TPC-H Q22-style global-sales-opportunity: customers with
     // above-average positive balance and no orders — a 1-row broadcast
     // threshold (compared in exact decimal, the q_above_cust_avg trick)
@@ -1828,6 +1872,32 @@ object RelationalQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT l_suppkey, count(*) AS numwait
+        |FROM li l1
+        |WHERE late
+        |  AND EXISTS (SELECT 1 FROM li l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM li l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY l_suppkey
+        |ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
+
+    "q_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, cnt
+        |FROM (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_tpch_q22" ->
       """WITH thr AS (
