@@ -112,6 +112,67 @@ object FlowLog {
         concat(lit("172.31.16."), (col("s_suppkey") % 200 + 1).cast("string"))
           .as("ip_address"))
 
+  /** OP-13 on its native nested shape: a `DescribeNetworkInterfaces`-style
+    * paginated response (decorator/index.js:71-90) — one row per response
+    * page, `network_interfaces` an array of ENI structs each carrying a
+    * nested `groups` array (group_id, group_name) and a
+    * `private_ip_addresses` array where exactly one entry is primary.
+    * Same ENI population as [[eniDimension]] (every 10th absent); the
+    * non-primary secondary IP exercises the filter projection for real.
+    * `sort_array` makes page contents deterministic (collect_list order
+    * is partition-dependent).
+    */
+  def eniDescribeResponse(supplier: DataFrame): DataFrame =
+    supplier
+      .filter(col("s_suppkey") % 10 =!= 0)
+      .select(
+        (col("s_suppkey") / 50).cast("long").as("page"),
+        struct(
+          concat(lit("eni-"), col("s_suppkey").cast("string"))
+            .as("network_interface_id"),
+          array(
+            struct(
+              concat(lit("sg-"), (col("s_suppkey") % 7).cast("string"))
+                .as("group_id"),
+              concat(lit("grp-"), (col("s_suppkey") % 7).cast("string"))
+                .as("group_name")),
+            struct(
+              concat(lit("sg-"), (col("s_suppkey") % 13 + 100).cast("string"))
+                .as("group_id"),
+              concat(lit("grp-"), (col("s_suppkey") % 13 + 100).cast("string"))
+                .as("group_name"))).as("groups"),
+          array(
+            struct(
+              lit(false).as("primary"),
+              concat(lit("10.0.0."), (col("s_suppkey") % 250 + 1).cast("string"))
+                .as("private_ip_address")),
+            struct(
+              lit(true).as("primary"),
+              concat(lit("172.31.16."), (col("s_suppkey") % 200 + 1).cast("string"))
+                .as("private_ip_address"))).as("private_ip_addresses"))
+          .as("eni"))
+      .groupBy("page")
+      .agg(sort_array(collect_list(col("eni"))).as("network_interfaces"))
+
+  /** The reference's JMESPath triple (decorator/index.js:85-90)
+    * re-expressed as Spark higher-order functions over the nested
+    * response: the `NetworkInterfaces[]` list projection is `explode`,
+    * the `Groups[].GroupId` map projection is `transform`, and the
+    * `PrivateIpAddresses[?Primary].PrivateIpAddress` filter projection is
+    * `filter` + `element_at`. All three run inside the projection — no
+    * shuffle beyond the explode's narrow expansion.
+    */
+  def eniMappingFromNested(resp: DataFrame): DataFrame =
+    resp
+      .select(explode(col("network_interfaces")).as("ni"))
+      .select(
+        col("ni.network_interface_id").as("interface_id"),
+        transform(col("ni.groups"), g => g.getField("group_id"))
+          .as("security_group_ids"),
+        element_at(
+          filter(col("ni.private_ip_addresses"), ip => ip.getField("primary")),
+          1).getField("private_ip_address").as("ip_address"))
+
   /** OP-17 analog: the ipstack geolocation service
     * (decorator/geocode.js:56-68) as a deterministic geo dimension keyed by
     * source IP, built from nation × region. Public synth IPs use nationkey

@@ -24,8 +24,15 @@ object Joins {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salt: Int): DataFrame = {
     require(salt > 0)
+    // Deterministic per-row salt: hash the whole row rather than
+    // monotonically_increasing_id() (which varies across task retries and
+    // repartitionings — unsafe under non-idempotent downstream sinks) and
+    // rather than the key alone (which would map a hot key to a single
+    // salt bucket and defeat the spreading). Fully identical duplicate
+    // rows share a bucket; distinct rows of a hot key spread uniformly.
     val salted = large.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*),
+        lit(salt.toLong)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     salted.join(replicated, Seq(key, "_salt"), "inner").drop("_salt")

@@ -202,6 +202,18 @@ object FlowLogQueries {
           col("source_location.lon").as("lon"))
         .orderBy("id")),
 
+    // OP-13 on its native nested shape: the JMESPath triple
+    // (list / map / filter projection over DescribeNetworkInterfaces,
+    // decorator/index.js:85-90) as explode + transform + filter
+    // higher-order functions over a nested-struct response fixture.
+    "flow_eni_nested" -> ((s, d) =>
+      FlowLog.eniMappingFromNested(
+        FlowLog.eniDescribeResponse(Tables.supplier(s, d)))
+        .select(col("interface_id"),
+          array_join(col("security_group_ids"), ",").as("sg_ids"),
+          col("ip_address"))
+        .orderBy("interface_id")),
+
     // OP-22: side-output success/failure counters
     "flow_batch_counts" -> ((s, d) =>
       parsed(s, d).groupBy(col("error")).agg(count(lit(1)).as("n"))
@@ -278,6 +290,25 @@ object FlowLogQueries {
         |       is_private, country_code, country_name, region_code,
         |       region_name, city, lat, lon
         |FROM enr2 WHERE NOT error ORDER BY id""".stripMargin),
+
+    // An independent nested implementation: DuckDB builds the same
+    // struct-array response inline and applies list_transform /
+    // list_filter — the engine-native equivalents of the three JMESPath
+    // projections Spark runs as transform / filter / explode.
+    "flow_eni_nested" ->
+      """WITH nested AS (
+        |  SELECT 'eni-' || CAST(s_suppkey AS VARCHAR) AS network_interface_id,
+        |         [{'group_id': 'sg-' || CAST(s_suppkey % 7 AS VARCHAR),
+        |           'group_name': 'grp-' || CAST(s_suppkey % 7 AS VARCHAR)},
+        |          {'group_id': 'sg-' || CAST(s_suppkey % 13 + 100 AS VARCHAR),
+        |           'group_name': 'grp-' || CAST(s_suppkey % 13 + 100 AS VARCHAR)}] AS groups,
+        |         [{'primary': false, 'private_ip_address': '10.0.0.' || CAST(s_suppkey % 250 + 1 AS VARCHAR)},
+        |          {'primary': true, 'private_ip_address': '172.31.16.' || CAST(s_suppkey % 200 + 1 AS VARCHAR)}] AS private_ip_addresses
+        |  FROM supplier WHERE s_suppkey % 10 <> 0)
+        |SELECT network_interface_id AS interface_id,
+        |  array_to_string(list_transform(groups, g -> g.group_id), ',') AS sg_ids,
+        |  list_filter(private_ip_addresses, ip -> ip."primary")[1].private_ip_address AS ip_address
+        |FROM nested ORDER BY interface_id""".stripMargin,
 
     "flow_batch_counts" -> withCtes(linesCte, parsedCte)(
       "SELECT error, count(*) AS n FROM parsed GROUP BY error ORDER BY error"),

@@ -215,8 +215,11 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           // 48-bit prefixes summed in decimal: overflow-proof at any
           // corpus size (long sums overflow past ~2^15 docs per group).
+          // Emitted as a string: Spark's DECIMAL(38,0) and DuckDB's
+          // HUGEINT sum render identically as digits but not as native
+          // column types (round-3 hash gate failed on exactly that).
           sum(conv(substring(md5(col("text").cast("binary")), 1, 12),
-            16, 10).cast("decimal(38,0)")).as("checksum"))
+            16, 10).cast("decimal(38,0)")).cast("string").as("checksum"))
         .orderBy("source")),
 
     // Deterministic stratified sample for training-mix curation: keep
@@ -254,14 +257,15 @@ object PipelineQueries {
     "mm_binary_meta" -> ((s, d) =>
       Multimodal.binaryMeta(Tables.documents(s, d)).orderBy("doc_id")),
 
-    // Multimodal decode plumbing: the codec is a stub, but its byte
-    // arithmetic is deterministic and the corpus is ASCII, so even this
-    // stage oracle-checks (ascii() arithmetic in DuckDB).
-    "mm_decode_stub" -> ((s, d) =>
-      Multimodal.decodeImages(
-        Multimodal.asBinaryPayloads(Tables.documents(s, d)))
-        .select(col("doc_id"), col("meta.byte_len"), col("meta.width"),
-          col("meta.height"), col("meta.format"))
+    // Multimodal decode, for real: payloads carry genuine PNG/JPEG
+    // headers (IHDR chunk with CRC32 / SOF0 behind skippable segments)
+    // and the decode stage parses the actual bytes — including verifying
+    // the PNG CRC in-engine (`header_ok`, pinned TRUE by the oracle).
+    // The oracle recomputes the dimensions from the same deterministic
+    // derivation the synthesizer used.
+    "mm_decode_header" -> ((s, d) =>
+      Multimodal.decodeImageHeaders(
+        Multimodal.synthesizeImagePayloads(Tables.documents(s, d)))
         .orderBy("doc_id")),
 
     // Frame sampling over binary payloads — frame boundaries and sizes
@@ -411,7 +415,7 @@ object PipelineQueries {
 
     "pipeline_checksum" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT)) AS checksum
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT)) AS VARCHAR) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "pipeline_stratified_sample" ->
@@ -641,12 +645,14 @@ object PipelineQueries {
         |                          ' +', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "mm_decode_stub" ->
+    // documents.text is ASCII (octet_length == length), so byte length
+    // equals char length and the dimension derivation reproduces in SQL.
+    "mm_decode_header" ->
       """SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS byte_len,
-        |  CAST(16 + (ascii(substr(text, 1, 1)) % 64) AS INTEGER) AS width,
-        |  CAST(16 + (ascii(substr(text, length(text), 1)) % 64) AS INTEGER) AS height,
-        |  CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(16 + length(text) % 600 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 480 AS INTEGER) AS height,
+        |  TRUE AS header_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_chunk" ->

@@ -286,13 +286,27 @@ object RelationalQueries {
         .orderBy("err_id")
     }),
 
-    // Approximate distinct (HLL). Sketch internals are engine-specific, so
-    // this entry is deliberately absent from the oracle map (rows-only check).
+    // Approximate distinct (HLL). Sketch values are engine-specific, so
+    // the estimates themselves can't hash-gate; instead the query emits
+    // the exact counts (oracle-checkable) plus in-engine booleans
+    // asserting the HLL estimate stayed within 5x the default rsd (0.05)
+    // of exact — the oracle pins those as TRUE, so a drifting sketch
+    // fails the gate. At 100 TB the exact countDistinct columns would be
+    // dropped and only the sketch kept; they exist here to make the
+    // accuracy contract itself part of the gated surface.
     "q_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_orderkey")).as("ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts"))
+            <= col("exact_parts") * lit(0.25)).as("parts_in_bound"),
+          (abs(col("ao") - col("exact_orders"))
+            <= col("exact_orders") * lit(0.25)).as("orders_in_bound"))
         .orderBy("l_returnflag")),
 
     // Range (band) join: non-equi join of the fact against a tiny band
@@ -811,8 +825,12 @@ object RelationalQueries {
     "q_try_funcs" -> ((s, d) =>
       Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
-        round(try_divide(col("l_extendedprice").cast("decimal(18,4)"),
-          col("l_quantity").cast("decimal(18,4)")).cast("double"), 6)
+        // Double division on both sides: decimal division result scale
+        // differs between engines (Spark promotes to scale>=6, DuckDB
+        // keeps the operand scale), so round(6) saw different values on
+        // boundary rows. IEEE double division is bit-identical.
+        round(try_divide(col("l_extendedprice").cast("double"),
+          col("l_quantity").cast("double")), 6)
           .as("unit_price"),
         try_divide(col("l_quantity"), col("l_quantity") - col("l_quantity"))
           .as("div0"),
@@ -1247,6 +1265,17 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // The HLL estimates themselves are engine-specific; the gate checks
+    // the exact counts and pins the in-engine accuracy booleans to TRUE.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  TRUE AS parts_in_bound,
+        |  TRUE AS orders_in_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sum_qty,
@@ -1761,7 +1790,7 @@ object RelationalQueries {
 
     "q_try_funcs" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) / CAST(l_quantity AS DECIMAL(18,4)) AS DOUBLE), 6) AS unit_price,
+        |  round(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE), 6) AS unit_price,
         |  CASE WHEN l_quantity - l_quantity = 0 THEN NULL
         |       ELSE l_quantity / (l_quantity - l_quantity) END AS div0,
         |  TRY_CAST(l_returnflag AS INTEGER) AS flag_num

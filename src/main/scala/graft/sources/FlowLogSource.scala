@@ -65,4 +65,55 @@ object FlowLogSource {
       .withColumnRenamed("value", "line")
       .withColumn("id", xxhash64(col("line")))
       .select(col("id"), col("line"))
+
+  /** Deterministic CloudWatch envelope synthesis from a tick counter:
+    * tick → JSON envelope of `eventsPerEnvelope` flow-log events,
+    * gzipped + base64'd exactly as the subscription wire format
+    * (ingestor/index.js:117-121). Shared by [[rateEnvelopes]] and its
+    * redelivery test — determinism is the point: a replayed tick range
+    * re-produces byte-identical envelopes. Every 50th tick is a
+    * CONTROL_MESSAGE (the subscription handshake the ingestor must
+    * drop, ingestor/index.js:73-76). */
+  def envelopesFromTicks(ticks: DataFrame, eventsPerEnvelope: Int = 5): DataFrame = {
+    val tick = col("value")
+    val ev = sequence(lit(0), lit(eventsPerEnvelope - 1))
+    val events = transform(ev, i => struct(
+      concat(tick, lit("-"), i).as("id"),
+      (tick * 1000 + i).as("timestamp"),
+      concat_ws(" ", lit("2"), lit("123456789012"),
+        concat(lit("eni-"), pmod(tick * lit(eventsPerEnvelope) + i, lit(997))),
+        concat(lit("10.0."), pmod(i, lit(256)), lit(".1")),
+        concat(lit("172.31.16."), pmod(tick, lit(200)) + 1),
+        lit("20641"), lit("443"), lit("6"), lit("10"), lit("840"),
+        tick % 86400 + 1418530010, tick % 86400 + 1418530070,
+        lit("ACCEPT"), lit("OK")).as("message")))
+    val envelope = to_json(struct(
+      when(pmod(tick, lit(50)) === 0, lit("CONTROL_MESSAGE"))
+        .otherwise(lit("DATA_MESSAGE")).as("messageType"),
+      lit("123456789012").as("owner"),
+      lit("flow-log-group").as("logGroup"),
+      concat(lit("stream-"), pmod(tick, lit(8))).as("logStream"),
+      events.as("logEvents")))
+    ticks.select(tick.as("tick"),
+      base64(graft.functions.functions.gzip(envelope.cast("binary")))
+        .as("data"))
+  }
+
+  /** Rate-limited, backpressured streaming ingest — the Kinesis-delivery
+    * analog the sandbox can run (no Kinesis here; the wire format and
+    * retry semantics are what matter). Spark's `rate` source is the
+    * throttle: `rowsPerSecond` caps envelope delivery exactly like a
+    * provisioned Firehose stream, offsets are checkpointed per
+    * micro-batch, and a failed batch replays its tick range — which,
+    * through [[envelopesFromTicks]]' determinism, redelivers identical
+    * envelopes (at-least-once). Compose with
+    * `Ingestor.decodeEnvelopes(...)` and an idempotent sink
+    * (`Sinks.upsertAppendWriter` + `Sinks.latestById`) for end-to-end
+    * effectively-once, proven by `StreamingSpec`'s redelivery test. */
+  def rateEnvelopes(spark: SparkSession, rowsPerSecond: Int,
+      eventsPerEnvelope: Int = 5): DataFrame =
+    envelopesFromTicks(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond).load(),
+      eventsPerEnvelope)
 }

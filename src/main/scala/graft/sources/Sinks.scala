@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Sink-side layout helpers (the write half of OP-21, the Firehose →
   * Elasticsearch delivery at decorator/index.js:254-257, re-expressed as
@@ -47,4 +49,46 @@ object Sinks {
       .partitionBy("batch_id")
       .parquet(path)
   }
+
+  /** Elasticsearch-style idempotent upsert — what OP-21's Firehose → ES
+    * delivery (decorator/index.js:254-257) actually is: each record is
+    * keyed by a document id, and a redelivered record OVERWRITES the
+    * existing document instead of duplicating it. On a columnar lake the
+    * same contract is an append-only delivery log resolved by
+    * last-write-wins on read ([[latestById]]), folded periodically by
+    * [[compactUpserts]]. Appends never rewrite existing data, so
+    * at-least-once upstreams (Firehose whole-batch retries,
+    * ingestor/index.js:45-60) cost only log growth — never duplicates in
+    * what readers see. Use as
+    * `.writeStream.foreachBatch(upsertAppendWriter(path, "doc_id"))`.
+    */
+  def upsertAppendWriter(path: String, idCol: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    batch
+      .withColumn("_delivery", lit(batchId))
+      .write.mode("append").parquet(path)
+
+  /** Dedup-on-read view of the upsert log: exactly one row per id — the
+    * latest delivery (ES last-write-wins). The window shuffles by id
+    * once; at scale, readers pay that or read a [[compactUpserts]]
+    * output instead. Duplicate rows within one delivery (a doubled
+    * record inside a retried batch) collapse too: ties on `_delivery`
+    * are broken arbitrarily among identical rows.
+    */
+  def latestById(spark: SparkSession, path: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_delivery").desc)
+    spark.read.parquet(path)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_delivery")
+  }
+
+  /** Fold the append log into one resolved row per id at `destPath`
+    * (run periodically to bound read amplification; equivalent to an ES
+    * segment merge). Writes elsewhere rather than in place — replacing
+    * the live log atomically is the metastore/table-format layer's job,
+    * not a file sink's. */
+  def compactUpserts(spark: SparkSession, path: String, idCol: String,
+      destPath: String): Unit =
+    latestById(spark, path, idCol).write.mode("overwrite").parquet(destPath)
 }

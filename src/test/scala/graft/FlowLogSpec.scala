@@ -95,6 +95,25 @@ class FlowLogSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("security_group_ids")))
   }
 
+  test("nested DescribeNetworkInterfaces extraction equals the flat dimension") {
+    // The higher-order-function path (explode + transform + filter over
+    // the nested response) must produce exactly the mapping the flat
+    // eniDimension builds — same JMESPath semantics, two shapes.
+    val supplier = spark.range(1, 101).select($"id".cast("long").as("s_suppkey"))
+    val nested = FlowLog.eniMappingFromNested(
+      FlowLog.eniDescribeResponse(supplier))
+      .select($"interface_id", concat_ws(",", $"security_group_ids").as("sgs"),
+        $"ip_address")
+    val flat = FlowLog.eniDimension(supplier)
+      .select($"interface_id", concat_ws(",", $"security_group_ids").as("sgs"),
+        $"ip_address")
+    assert(nested.count() === 90) // every 10th ENI absent
+    assert(nested.except(flat).count() === 0)
+    assert(flat.except(nested).count() === 0)
+    // the filter projection picked the PRIMARY ip, not the secondary
+    assert(nested.filter($"ip_address".startsWith("172.31.16.")).count() === 90)
+  }
+
   test("packageRecords: failed rows carry base64 of the original payload") {
     val parsed = FlowLog.parseFlowLines(
       Seq((1L, publicLine), (2L, "broken line")).toDF("id", "line"))

@@ -19,4 +19,30 @@ class JoinsSpec extends SparkSpec {
     assert(salted.except(plain).count() === 0)
     assert(plain.except(salted).count() === 0)
   }
+
+  test("salt assignment is deterministic across repartitionings") {
+    // A retry-replayed or repartitioned input must produce identical salt
+    // buckets (the round-3 monotonically_increasing_id salt did not).
+    val large = spark.range(0, 5000)
+      .select(($"id" % 7).as("k"), $"id".as("payload"))
+    val small = (0L to 6L).map(k => (k, s"dim$k")).toDF("k", "dim")
+
+    def bucketed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("_salt",
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(8L)))
+        .groupBy("k", "_salt").count()
+
+    val a = bucketed(large).collect().toSet
+    val b = bucketed(large.repartition(3, $"payload")).collect().toSet
+    assert(a === b)
+    // and a hot key actually spreads over multiple buckets
+    val hotBuckets = a.count(r => r.getLong(0) == 0L && r.getLong(2) > 0)
+    assert(hotBuckets > 1)
+
+    // end-to-end: result identical across input partitionings
+    val r1 = Joins.saltedJoin(large, small, "k", 8).collect().toSet
+    val r2 = Joins.saltedJoin(large.repartition(5, $"payload"), small, "k", 8)
+      .collect().toSet
+    assert(r1 === r2)
+  }
 }

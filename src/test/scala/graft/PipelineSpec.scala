@@ -173,6 +173,37 @@ class PipelineSpec extends SparkSpec {
     assert(meta.getAs[Int]("width") === 4)
   }
 
+  test("header decoder parses real PNG and JPEG bytes, verifies PNG CRC") {
+    // PNG: exact dimensions + CRC32 round-trip
+    val png = Multimodal.pngBytes(640, 480, "body".getBytes)
+    assert(Multimodal.decodeHeader(png) === Some(("png", 640, 480, true)))
+    // corrupt one IHDR data byte → CRC must catch it
+    val bad = png.clone(); bad(17) = (bad(17) ^ 1).toByte
+    assert(Multimodal.decodeHeader(bad).map(_._4) === Some(false))
+    // JPEG: dimensions sit behind APP0+DQT segments the scan must skip
+    val jpg = Multimodal.jpegBytes(1920, 1080, "entropy".getBytes)
+    assert(Multimodal.decodeHeader(jpg) === Some(("jpeg", 1920, 1080, true)))
+    // truncated before SOF / foreign bytes → None, no throw
+    assert(Multimodal.decodeHeader(jpg.take(10)) === None)
+    assert(Multimodal.decodeHeader("not an image".getBytes) === None)
+    assert(Multimodal.decodeHeader(Array.empty[Byte]) === None)
+  }
+
+  test("synthesized payloads decode to the oracle's derived dimensions") {
+    val out = Multimodal.decodeImageHeaders(
+      Multimodal.synthesizeImagePayloads(docs)).orderBy("doc_id").collect()
+    val texts = docs.orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("format") === (if (id % 2 == 0) "png" else "jpeg"))
+      assert(r.getAs[Int]("width") === 16 + texts(id).getBytes("UTF-8").length % 600)
+      assert(r.getAs[Int]("height") === (16 + id % 480).toInt)
+      assert(r.getAs[Boolean]("header_ok"))
+    }
+  }
+
   test("feature extraction emits a normalized histogram summing to ~1") {
     val payloads = Seq((1L, "aaAA  !!".getBytes("UTF-8"))).toDF("doc_id", "payload")
     val feats = Multimodal.extractFeatures(payloads).head

@@ -61,22 +61,15 @@ class SqlParitySpec extends SparkSpec {
   }
 
   test("q_approx_distinct stays within HLL error bounds of exact counts") {
-    // The only check the driver can run on a sketch is rows-only; pin
-    // the accuracy contract here instead: default rsd is 0.05, so 5x
-    // that is a generous non-flaky bound.
-    import org.apache.spark.sql.functions._
-    val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
-      .collect()
-      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
-    val exact = Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("p"),
-        countDistinct(col("l_orderkey")).as("o"))
-      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
-    for ((flag, (ep, eo)) <- exact) {
-      val (ap, ao) = approx(flag)
-      assert(math.abs(ap - ep).toDouble / ep < 0.25, s"$flag parts: $ap vs $ep")
-      assert(math.abs(ao - eo).toDouble / eo < 0.25, s"$flag orders: $ao vs $eo")
+    // The query itself now carries the accuracy contract: exact counts
+    // (oracle-gated) plus booleans asserting the HLL estimate is within
+    // 5x the default rsd (0.05) of exact — a generous non-flaky bound.
+    val rows = SparkEntry.queries("q_approx_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getBoolean(3), s"${r.getString(0)} parts out of bound")
+      assert(r.getBoolean(4), s"${r.getString(0)} orders out of bound")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
     }
   }
 
