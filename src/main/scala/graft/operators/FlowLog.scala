@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Spark-native re-expression of the reference's entire dataflow
@@ -172,6 +172,27 @@ object FlowLog {
         element_at(
           filter(col("ni.private_ip_addresses"), ip => ip.getField("primary")),
           1).getField("private_ip_address").as("ip_address"))
+
+  /** PII-style IP anonymization — the coarsening + pseudonymization
+    * pass a flow-log pipeline applies before records leave the security
+    * boundary: both addresses are masked to their /24 ("10.1.2.x") and
+    * each full address also gets a deterministic keyed pseudonym
+    * (md5 over salt:ip, 12 hex chars) so grouping/joining still works
+    * on anonymized data without exposing the address. Pure narrow
+    * projection (codegen'd regexp + hash) — no shuffle at any scale,
+    * and the same salt re-derives the same pseudonyms across runs.
+    */
+  def anonymizeIps(parsed: DataFrame, salt: String = "graft"): DataFrame = {
+    def mask(c: Column) = regexp_replace(c, "\\.\\d+$", ".x")
+    def pseudo(c: Column) =
+      substring(md5(concat(lit(salt), lit(":"), c).cast("binary")), 1, 12)
+    parsed.filter(!col("error"))
+      .select(col("id"), col("interface_id"),
+        mask(col("srcaddr")).as("src_masked"),
+        mask(col("destaddr")).as("dst_masked"),
+        pseudo(col("srcaddr")).as("src_pseudo"),
+        pseudo(col("destaddr")).as("dst_pseudo"))
+  }
 
   /** OP-17 analog: the ipstack geolocation service
     * (decorator/geocode.js:56-68) as a deterministic geo dimension keyed by

@@ -65,6 +65,33 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus, then within each cluster
+    * drop every vector whose cosine to a lower-id cluster-mate meets
+    * the threshold — the survivors are the semantically deduplicated
+    * corpus. Cluster ids here are the embedding labels (the testdata's
+    * natural blobs); a production run k-means first — [[kmeansUpdateStep]]
+    * is exactly that step.
+    *
+    * Scale shape: candidate pairs exist only inside a cluster (the
+    * equi-join in [[cosineDupPairs]]), so the quadratic term is bounded
+    * by the largest cluster, not the corpus — the whole reason SemDeDup
+    * clusters before comparing. The drop set flows back as one
+    * hash-join on vec_id. The lowest-id-wins policy is deterministic
+    * and single-pass — unlike greedy per-cluster scanning it needs no
+    * iteration, at the cost of dropping an entire similarity chain
+    * rather than keeping every other link.
+    */
+  def semanticDedup(vecs: DataFrame, threshold: Double): DataFrame = {
+    val dropped = cosineDupPairs(vecs, threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+      .withColumn("is_dup", lit(true))
+    vecs.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("is_dup"), lit(false)).as("dropped"))
+  }
+
   /** Brute-force cosine top-k: broadcast probes × full corpus. */
   def bruteForceTopK(vecs: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

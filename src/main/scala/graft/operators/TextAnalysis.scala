@@ -115,6 +115,51 @@ object TextAnalysis {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Repetition-based quality signals (the Gopher/MassiveText family of
+    * filters): per document, the fraction of word occurrences taken by
+    * the single most frequent word and the fraction of word-bigram
+    * occurrences that belong to a repeated bigram, plus the composite
+    * keep/drop flag a pretraining pipeline would filter on.
+    *
+    * Scale shape: both signals are per-document word/bigram histograms —
+    * explode to (doc_id, term), aggregate twice keyed by doc_id. The
+    * shuffle key is doc_id (never the term), so the fan-out is bounded
+    * by document length and partial aggregation collapses each doc's
+    * histogram map-side; no cross-document state exists at all, making
+    * this embarrassingly parallel at any corpus size.
+    */
+  def repetitionStats(documents: DataFrame,
+      maxTopWordFrac: Double = 0.20,
+      maxDupBigramFrac: Double = 0.40): DataFrame = {
+    val base = documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val wordStats = base
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+          .as("top_word_frac"))
+    val bigramStats = base
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0))).cast("double") /
+          sum(col("c")).cast("double"), 6).as("dup_bigram_frac"))
+    wordStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("top_word_frac"),
+        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"),
+        (col("top_word_frac") <= maxTopWordFrac &&
+          coalesce(col("dup_bigram_frac"), lit(0.0)) <= maxDupBigramFrac)
+          .as("keep"))
+  }
+
   /** Fuzzy near-duplicate pairs by edit distance, with prefix blocking:
     * candidates share their first `prefixLen` chars (an equi-join on a
     * tiny derived key — the classic blocking trick that keeps fuzzy

@@ -214,6 +214,11 @@ object FlowLogQueries {
           col("ip_address"))
         .orderBy("interface_id")),
 
+    // PII coarsening + keyed pseudonymization before logs leave the
+    // security boundary: /24 masking plus salted-md5 pseudonyms.
+    "flow_ip_anonymize" -> ((s, d) =>
+      FlowLog.anonymizeIps(parsed(s, d)).orderBy("id")),
+
     // OP-22: side-output success/failure counters
     "flow_batch_counts" -> ((s, d) =>
       parsed(s, d).groupBy(col("error")).agg(count(lit(1)).as("n"))
@@ -309,6 +314,14 @@ object FlowLogQueries {
         |  array_to_string(list_transform(groups, g -> g.group_id), ',') AS sg_ids,
         |  list_filter(private_ip_addresses, ip -> ip."primary")[1].private_ip_address AS ip_address
         |FROM nested ORDER BY interface_id""".stripMargin,
+
+    "flow_ip_anonymize" -> withCtes(linesCte, parsedCte)(
+      """SELECT id, interface_id,
+        |       regexp_replace(srcaddr, '\.\d+$', '.x') AS src_masked,
+        |       regexp_replace(destaddr, '\.\d+$', '.x') AS dst_masked,
+        |       substr(md5('graft:' || srcaddr), 1, 12) AS src_pseudo,
+        |       substr(md5('graft:' || destaddr), 1, 12) AS dst_pseudo
+        |FROM parsed WHERE NOT error ORDER BY id""".stripMargin),
 
     "flow_batch_counts" -> withCtes(linesCte, parsedCte)(
       "SELECT error, count(*) AS n FROM parsed GROUP BY error ORDER BY error"),

@@ -102,6 +102,15 @@ object PipelineQueries {
         Similarity.augmentVectors(Tables.embeddings(s, d)), 0.8)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup over the augmented corpus: per-cluster cosine pairs →
+    // lowest-id-wins drop decision for every vector. The injected exact
+    // duplicates (cos == 1.0) are provably dropped; near-dups within a
+    // label blob fall wherever the 0.8 threshold puts them.
+    "dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDedup(
+        Similarity.augmentVectors(Tables.embeddings(s, d)), 0.8)
+        .orderBy("vec_id")),
+
     "sim_topk_bruteforce" -> ((s, d) => {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"))
@@ -170,6 +179,12 @@ object PipelineQueries {
 
     "text_stats" -> ((s, d) =>
       TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // Gopher-style repetition filter: top-word occupancy and repeated-
+    // bigram occupancy per document, with the composite keep flag.
+    "text_quality_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d))
+        .orderBy("doc_id")),
 
     // End-to-end cleaning pipeline composition: quality-score the
     // augmented corpus, keep the high-quality slice, exact-dedup what
@@ -466,6 +481,17 @@ object PipelineQueries {
          |WHERE ${cosSql("a.v", "b.v")} >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "dedup_semantic" ->
+      s"""WITH $vecsCte,
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM vecs a JOIN vecs b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.8)
+         |SELECT v.vec_id, v.label, (d.vec_id IS NOT NULL) AS dropped
+         |FROM vecs v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+         |ORDER BY v.vec_id""".stripMargin,
+
     "sim_topk_native" ->
       s"""WITH $ovecsCte,
          |probes AS (SELECT vec_id AS probe_id, v AS pv FROM ovecs WHERE vec_id < 10),
@@ -622,6 +648,34 @@ object PipelineQueries {
         |                   CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) * 4.0) * 0.5,
         |        6) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wc AS (
+        |  SELECT doc_id, word, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS word FROM w)
+        |  GROUP BY doc_id, word),
+        |ws AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac
+        |  FROM wc GROUP BY doc_id),
+        |gc AS (
+        |  SELECT doc_id, bigram, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(w)),
+        |                                i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |        FROM w WHERE len(w) >= 2)
+        |  GROUP BY doc_id, bigram),
+        |gs AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
+        |          CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_frac
+        |  FROM gc GROUP BY doc_id)
+        |SELECT ws.doc_id, ws.n_words, ws.top_word_frac,
+        |  COALESCE(gs.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+        |  (ws.top_word_frac <= 0.20 AND COALESCE(gs.dup_bigram_frac, 0.0) <= 0.40) AS keep
+        |FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
+        |ORDER BY ws.doc_id""".stripMargin,
 
     "text_langid" ->
       """SELECT doc_id,

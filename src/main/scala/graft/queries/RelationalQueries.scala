@@ -773,6 +773,63 @@ object RelationalQueries {
         .orderBy(col("n_name"), col("o_year").desc)
     }),
 
+    // TPC-H Q8-style national market share: one supplier nation's
+    // revenue share of a customer region's PROMO-part spend, by order
+    // year. Every dimension (part filter, both nation legs, supplier,
+    // region) broadcasts; the only repartitioning is the lineitem⋈orders
+    // fact-fact join, and the part/date filters cut the fact before it.
+    "q_tpch_q8" -> ((s, d) => {
+      val vol = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(18,2)")
+      val suppNation = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
+      val asiaNations = broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey").as("ck")))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= "1995-01-01" &&
+            col("o_orderdate") < "1997-01-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(asiaNations, col("c_nationkey") === col("ck"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("sk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_7", vol).otherwise(lit(0))
+            .cast("decimal(24,4)")).cast("double") /
+            sum(vol.cast("decimal(24,4)")).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q12-style shipping-priority audit. The testdata carries no
+    // shipmode/commitdate/receiptdate columns, so (like q_tpch_q4's
+    // EXISTS adaptation) returnflag stands in for the mode and "late"
+    // means shipped more than 90 days after the order date; the
+    // essential Q12 shape — fact-fact join, date-interval predicate,
+    // conditional counts by priority class — is intact.
+    "q_tpch_q12" -> ((s, d) => {
+      val highPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(highPri, 1).otherwise(0)).as("high_line_count"),
+          sum(when(highPri, 0).otherwise(1)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
     // TPC-H Q11-style important stock: per-part value, kept when above
     // a fraction of the global total — the global scalar rides on an
     // unpartitioned window over the already-aggregated table (one pass).
@@ -1757,6 +1814,34 @@ object RelationalQueries {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(
+        |    CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_7'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))
+        |      ELSE 0 END AS DECIMAL(24,4))) AS DOUBLE) /
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(24,4))) AS DOUBLE),
+        |    6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_tpch_q11" ->
       """WITH pv AS (

@@ -114,6 +114,33 @@ class FlowLogSpec extends SparkSpec {
     assert(nested.filter($"ip_address".startsWith("172.31.16.")).count() === 90)
   }
 
+  test("anonymizeIps masks the /24 and pseudonyms are keyed + deterministic") {
+    val parsed = FlowLog.parseFlowLines(
+      Seq((1L, publicLine), (2L, privateLine), (3L, "garbage"))
+        .toDF("id", "line"))
+    val out = FlowLog.anonymizeIps(parsed)
+      .orderBy("id")
+      .select($"id", $"src_masked", $"dst_masked", $"src_pseudo")
+      .as[(Long, String, String, String)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L)) // dead-letter row excluded
+    assert(out(0)._2 === "72.21.196.x")
+    assert(out(0)._3 === "172.31.16.x")
+    assert(out(1)._2 === "10.3.45.x")
+    // keyed: pseudonym is salted, so it differs from a plain md5 prefix
+    val plain = java.security.MessageDigest.getInstance("MD5")
+      .digest("72.21.196.65".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    assert(out(0)._4 !== plain)
+    // deterministic: same salt, same pseudonym across runs
+    val again = FlowLog.anonymizeIps(parsed).filter($"id" === 1)
+      .select($"src_pseudo").as[String].collect()(0)
+    assert(again === out(0)._4)
+    // different salt, different pseudonym
+    val salted = FlowLog.anonymizeIps(parsed, salt = "other")
+      .filter($"id" === 1).select($"src_pseudo").as[String].collect()(0)
+    assert(salted !== out(0)._4)
+  }
+
   test("packageRecords: failed rows carry base64 of the original payload") {
     val parsed = FlowLog.parseFlowLines(
       Seq((1L, publicLine), (2L, "broken line")).toDF("id", "line"))

@@ -80,6 +80,21 @@ class PipelineSpec extends SparkSpec {
     assert(top(0).getAs[Double]("cos_r") === 1.0)
   }
 
+  test("semanticDedup drops every injected exact duplicate, keeps originals") {
+    val vecs = Similarity.augmentVectors(Tables.embeddings(spark, sfDir))
+    val out = Similarity.semanticDedup(vecs, 0.99)
+      .as[(Long, Int, Boolean)].collect()
+    assert(out.length === vecs.count())
+    val dropped = out.filter(_._3).map(_._1).toSet
+    // every injected copy (vec_id >= 100000 duplicates vec_id - 100000,
+    // cosine exactly 1.0) is similar to a lower id → dropped ...
+    val copies = out.map(_._1).filter(_ >= 100000).toSet
+    assert(copies.nonEmpty && copies.subsetOf(dropped))
+    // ... and its original survives (nothing below it is cos >= 0.99
+    // identical in the synthetic blobs at this threshold)
+    assert(copies.forall(c => !dropped.contains(c - 100000)))
+  }
+
   test("IVF returns k in-cluster neighbors per probe, never the probe itself") {
     val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
     val probes = vecs.filter($"vec_id" < 5)

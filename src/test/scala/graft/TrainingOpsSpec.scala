@@ -133,4 +133,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
     assert(got(0)._3 === 1)
   }
+
+  test("repetitionStats: top-word and duplicate-bigram fractions") {
+    val corpus = Seq(
+      (1L, "a a a a b"),          // top word 4/5; bigrams: "a a"×3, "a b" → dup 3/4
+      (2L, "one two three four five"), // all unique: top word 1/5 = 0.2
+      (3L, "x")                   // single word: no bigrams at all
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(corpus)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .sortBy(_._1)
+    assert(got(0) === ((1L, 5L, 0.8, 0.75, false)))
+    assert(got(1) === ((2L, 5L, 0.2, 0.0, true)))
+    assert(got(2) === ((3L, 1L, 1.0, 0.0, false)))
+  }
+
+  test("repetitionStats keep flag respects both thresholds independently") {
+    // "t t u v w x y z p q" — top word 2/10 = 0.2 (at the boundary,
+    // kept); all bigrams unique.
+    val corpus = Seq((1L, "t t u v w x y z p q")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(corpus)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    assert(got(0)._3 === 0.2)
+    assert(got(0)._5 === true)
+  }
 }
