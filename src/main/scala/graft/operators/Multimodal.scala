@@ -192,6 +192,115 @@ object Multimodal {
     }
   }
 
+  // ---- REAL audio header codec (RIFF/WAV, no audio libraries) ----
+  // WAV metadata lives in the RIFF container's `fmt ` chunk, so a
+  // genuine decode of channels/rate/duration — including length-skipping
+  // unknown chunks, exactly what a correct RIFF reader must do — needs
+  // only byte arithmetic, same as the PNG/JPEG path above.
+
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+
+  private def le32At(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16At(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** A structurally valid PCM16 WAV: RIFF/WAVE signature, a LIST(INFO)
+    * filler chunk (which a correct reader must length-skip), the 16-byte
+    * PCM `fmt ` chunk, and a `data` chunk carrying `pcm` truncated to a
+    * whole number of frames. */
+  private[graft] def wavBytes(sampleRate: Int, channels: Int,
+      pcm: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * 2
+    val data = pcm.take(pcm.length - pcm.length % blockAlign)
+    val out = new java.io.ByteArrayOutputStream(data.length + 64)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    def w(bs: Array[Byte]): Unit = out.write(bs, 0, bs.length)
+    val listBody = "INFOgraft   0".getBytes("US-ASCII") // odd length: pad rule
+    val riffLen = 4 + (8 + listBody.length + 1) + (8 + 16) + (8 + data.length)
+    ascii("RIFF"); w(le32(riffLen)); ascii("WAVE")
+    ascii("LIST"); w(le32(listBody.length))
+    out.write(listBody, 0, listBody.length); out.write(0) // word-align pad
+    ascii("fmt "); w(le32(16))
+    w(le16(1)); w(le16(channels)); w(le32(sampleRate))
+    w(le32(sampleRate * blockAlign)); w(le16(blockAlign)); w(le16(16))
+    ascii("data"); w(le32(data.length)); w(data)
+    out.toByteArray
+  }
+
+  /** Parse channels / sample rate / frame count from real WAV bytes:
+    * verify the RIFF/WAVE signature, then walk chunks (word-aligned,
+    * unknown ids length-skipped) to `fmt ` (PCM16 only) and `data`.
+    * Truncated/foreign bytes → None, never a throw. */
+  private[graft] def decodeWavHeader(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return None
+    var i = 12
+    var channels = -1; var rate = -1; var blockAlign = -1
+    var dataLen = -1L
+    while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val len = le32At(b, i + 4)
+      if (len < 0) return None
+      if (id == "fmt ") {
+        if (i + 8 + 16 > b.length) return None
+        if (le16At(b, i + 8) != 1 || le16At(b, i + 22) != 16) return None
+        channels = le16At(b, i + 10)
+        rate = le32At(b, i + 12)
+        blockAlign = le16At(b, i + 20)
+      } else if (id == "data") dataLen = len.toLong
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || blockAlign <= 0 || dataLen < 0) None
+    else Some((channels, rate, dataLen / blockAlign))
+  }
+
+  /** Synthesize PCM16 WAV payloads from the document corpus (rate from
+    * doc_id % 4, mono/stereo from doc_id % 2, document bytes as the PCM
+    * stream) — deterministic, so the oracle recomputes the decoded
+    * metadata straight from the documents table. */
+  def synthesizeAudioPayloads(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    implicit val enc = RowEncoder.encoderFor(schema)
+    val rates = Array(8000, 16000, 22050, 44100)
+    documents.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val pcm = r.getString(1).getBytes("UTF-8")
+        Row(id, wavBytes(rates((id % 4).toInt), 1 + (id % 2).toInt, pcm))
+      }
+    }
+  }
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("header_ok", BooleanType)))
+
+  /** Real WAV header decode as the audio codec stage — same per-
+    * partition streaming shape as [[decodeImageHeaders]]. */
+  def decodeAudioHeaders(payloads: DataFrame): DataFrame = {
+    implicit val enc = RowEncoder.encoderFor(audioSchema)
+    payloads.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        decodeWavHeader(r.getAs[Array[Byte]](1)) match {
+          case Some((ch, rate, n)) => Row(id, ch, rate, n, true)
+          case None => Row(id, null, null, null, false)
+        }
+      }
+    }
+  }
+
   /** Content-addressable chunking for large blobs: split each payload
     * into fixed-size chunks and key each by its md5 — the
     * dedup-friendly storage layout for multimodal corpora (identical

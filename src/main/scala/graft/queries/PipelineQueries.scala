@@ -283,6 +283,16 @@ object PipelineQueries {
         Multimodal.synthesizeImagePayloads(Tables.documents(s, d)))
         .orderBy("doc_id")),
 
+    // Audio decode, for real: payloads are structurally valid PCM16
+    // WAVs (RIFF signature, a LIST chunk the reader must length-skip,
+    // fmt + data) and the decode stage parses the actual container
+    // bytes. The oracle recomputes rate/channels/frames from the same
+    // deterministic derivation the synthesizer used.
+    "mm_audio_header" -> ((s, d) =>
+      Multimodal.decodeAudioHeaders(
+        Multimodal.synthesizeAudioPayloads(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+
     // Frame sampling over binary payloads — frame boundaries and sizes
     // reproduce in SQL from the byte length alone.
     // Content-addressable chunking: fixed-size chunks keyed by md5 —
@@ -706,6 +716,18 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
         |  CAST(16 + length(text) % 600 AS INTEGER) AS width,
         |  CAST(16 + doc_id % 480 AS INTEGER) AS height,
+        |  TRUE AS header_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // documents.text is ASCII, so the PCM byte stream's length equals
+    // the char length; n_frames is that length in whole frames
+    // (blockAlign = 2 bytes × channels).
+    "mm_audio_header" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+        |  CAST(length(text) // (2 * (1 + doc_id % 2)) AS BIGINT) AS n_frames,
         |  TRUE AS header_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -830,6 +830,69 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // TPC-H Q2-style minimum-cost supplier (no partsupp table, so the
+    // per-(part,supplier) cost is the minimum observed unit price in
+    // lineitem): for every LARGE part, the European supplier(s) with
+    // the lowest cost. Q2's correlated MIN subquery decorrelates into a
+    // per-part window minimum computed after the region restriction —
+    // exactly the region-scoped minimum the subquery expresses. Cost
+    // aggregation shuffles on (part, supplier); the supplier/nation/
+    // region and part dims broadcast onto it; double division is
+    // rounded once at the aggregate so both engines compare equal IEEE
+    // values.
+    "q_tpch_q2" -> ((s, d) => {
+      val cost = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(round(min(col("l_extendedprice").cast("double") /
+          col("l_quantity").cast("double")), 6).as("unit_cost"))
+      val euSuppliers = broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_name"), col("n_name")))
+      val parts = broadcast(Tables.part(s, d)
+        .filter(col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_name")))
+      val w = Window.partitionBy(col("p_partkey"))
+      cost
+        .join(euSuppliers, col("l_suppkey") === col("s_suppkey"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .withColumn("min_cost", min(col("unit_cost")).over(w))
+        .filter(col("unit_cost") === col("min_cost"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("unit_cost"))
+        .orderBy("p_partkey", "s_suppkey")
+    }),
+
+    // TPC-H Q20-style excess-supply scan (no partsupp availqty, so the
+    // threshold compares each supplier's shipped share instead):
+    // suppliers of PROMO parts who shipped more than half of a part's
+    // total — Q20's doubly-nested IN/scalar-subquery chain as one
+    // aggregate, one window, and a left-semi join back to suppliers of
+    // the target nation. Quantities stay in exact decimal so the
+    // half-share comparison can't drift between engines.
+    "q_tpch_q20" -> ((s, d) => {
+      val qty = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("supp_qty"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val dominant = qty
+        .withColumn("part_qty", sum(col("supp_qty")).over(w))
+        .filter(col("supp_qty") * 2 > col("part_qty"))
+        .select(col("l_suppkey"))
+        .distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q11-style important stock: per-part value, kept when above
     // a fraction of the global total — the global scalar rides on an
     // unpartitioned window over the already-aggregated table (one pass).
@@ -1842,6 +1905,46 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    round(min(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)), 6) AS unit_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |eu AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |j AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, n_name, unit_cost,
+        |    min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+        |  FROM cost
+        |  JOIN eu ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'LARGE')
+        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, unit_cost
+        |FROM j WHERE unit_cost = min_cost
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH qty AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  GROUP BY l_partkey, l_suppkey),
+        |dom AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, supp_qty,
+        |      sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        |    FROM qty)
+        |  WHERE supp_qty * 2 > part_qty)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_5'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q_tpch_q11" ->
       """WITH pv AS (

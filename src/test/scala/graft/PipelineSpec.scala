@@ -219,6 +219,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("WAV header decoder parses real RIFF bytes, skips unknown chunks") {
+    // 7 bytes of PCM at stereo blockAlign=4 → 1 whole frame kept
+    val wav = Multimodal.wavBytes(44100, 2, Array[Byte](1, 2, 3, 4, 5, 6, 7))
+    assert(Multimodal.decodeWavHeader(wav) === Some((2, 44100, 1L)))
+    // mono keeps 3 frames of the same 7 bytes
+    val mono = Multimodal.wavBytes(8000, 1, Array[Byte](1, 2, 3, 4, 5, 6, 7))
+    assert(Multimodal.decodeWavHeader(mono) === Some((1, 8000, 3L)))
+    // truncated mid-header / foreign bytes → None, no throw
+    assert(Multimodal.decodeWavHeader(wav.take(20)) === None)
+    assert(Multimodal.decodeWavHeader("RIFFnotawave".getBytes) === None)
+    assert(Multimodal.decodeWavHeader(Array.empty[Byte]) === None)
+  }
+
+  test("synthesized WAV payloads decode to the oracle's derivation") {
+    val out = Multimodal.decodeAudioHeaders(
+      Multimodal.synthesizeAudioPayloads(docs)).orderBy("doc_id").collect()
+    val texts = docs.orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rates = Array(8000, 16000, 22050, 44100)
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val id = r.getAs[Long]("doc_id")
+      val blockAlign = 2 * (1 + id % 2).toInt
+      assert(r.getAs[Int]("channels") === (1 + id % 2).toInt)
+      assert(r.getAs[Int]("sample_rate") === rates((id % 4).toInt))
+      assert(r.getAs[Long]("n_frames") ===
+        texts(id).getBytes("UTF-8").length / blockAlign)
+      assert(r.getAs[Boolean]("header_ok"))
+    }
+  }
+
   test("feature extraction emits a normalized histogram summing to ~1") {
     val payloads = Seq((1L, "aaAA  !!".getBytes("UTF-8"))).toDF("doc_id", "payload")
     val feats = Multimodal.extractFeatures(payloads).head
