@@ -241,20 +241,29 @@ object Multimodal {
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
         b(11) != 'E') return None
-    var i = 12
+    // Offset as Long and chunk length as unsigned 32-bit (RIFF lengths
+    // are unsigned): a corrupt length near 0xFFFFFFFF can no longer
+    // overflow the cursor into a negative index — the loop guard just
+    // stops, and the bytes decode as header_ok=false instead of throwing.
+    var i = 12L
     var channels = -1; var rate = -1; var blockAlign = -1
     var dataLen = -1L
     while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val len = le32At(b, i + 4)
-      if (len < 0) return None
+      val off = i.toInt
+      val id = new String(b, off, 4, "US-ASCII")
+      val len = le32At(b, off + 4) & 0xffffffffL
       if (id == "fmt ") {
         if (i + 8 + 16 > b.length) return None
-        if (le16At(b, i + 8) != 1 || le16At(b, i + 22) != 16) return None
-        channels = le16At(b, i + 10)
-        rate = le32At(b, i + 12)
-        blockAlign = le16At(b, i + 20)
-      } else if (id == "data") dataLen = len.toLong
+        if (le16At(b, off + 8) != 1 || le16At(b, off + 22) != 16) return None
+        channels = le16At(b, off + 10)
+        rate = le32At(b, off + 12)
+        blockAlign = le16At(b, off + 20)
+      } else if (id == "data") {
+        // A data chunk that runs past the buffer means the file is
+        // truncated: reject it rather than report frames that don't exist.
+        if (i + 8 + len > b.length) return None
+        dataLen = len
+      }
       i += 8 + len + (len & 1) // chunks are word-aligned
     }
     if (channels <= 0 || rate <= 0 || blockAlign <= 0 || dataLen < 0) None

@@ -709,25 +709,25 @@ object PipelineQueries {
         |                          ' +', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // documents.text is ASCII (octet_length == length), so byte length
-    // equals char length and the dimension derivation reproduces in SQL.
+    // octet_length(encode(..)) is the UTF-8 byte length — matches the
+    // Scala side's getBytes("UTF-8") even if the corpus ever grows
+    // non-ASCII characters (char length would silently drift).
     "mm_decode_header" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-        |  CAST(16 + length(text) % 600 AS INTEGER) AS width,
+        |  CAST(16 + octet_length(encode(text)) % 600 AS INTEGER) AS width,
         |  CAST(16 + doc_id % 480 AS INTEGER) AS height,
         |  TRUE AS header_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // documents.text is ASCII, so the PCM byte stream's length equals
-    // the char length; n_frames is that length in whole frames
-    // (blockAlign = 2 bytes × channels).
+    // n_frames = PCM byte length in whole frames (blockAlign = 2 bytes
+    // × channels); byte length via octet_length(encode(..)) as above.
     "mm_audio_header" ->
       """SELECT doc_id,
         |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
         |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
         |       WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
-        |  CAST(length(text) // (2 * (1 + doc_id % 2)) AS BIGINT) AS n_frames,
+        |  CAST(octet_length(encode(text)) // (2 * (1 + doc_id % 2)) AS BIGINT) AS n_frames,
         |  TRUE AS header_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 

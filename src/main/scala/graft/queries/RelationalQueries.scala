@@ -865,12 +865,14 @@ object RelationalQueries {
     }),
 
     // TPC-H Q20-style excess-supply scan (no partsupp availqty, so the
-    // threshold compares each supplier's shipped share instead):
-    // suppliers of PROMO parts who shipped more than half of a part's
-    // total — Q20's doubly-nested IN/scalar-subquery chain as one
-    // aggregate, one window, and a left-semi join back to suppliers of
-    // the target nation. Quantities stay in exact decimal so the
-    // half-share comparison can't drift between engines.
+    // lead supplier stands in for "excess availability"): for each PROMO
+    // part, the supplier who shipped the most of it — Q20's doubly-nested
+    // IN/scalar-subquery chain as one aggregate, one window, and a
+    // left-semi join back to suppliers. A fixed dominance threshold went
+    // vacuous as supplier counts per part grow with scale (0 rows at
+    // sf>=0.01); top-per-part is non-empty at every scale. row_number
+    // tie-breaks on suppkey so both engines pick the same winner;
+    // quantities stay in exact decimal.
     "q_tpch_q20" -> ((s, d) => {
       val qty = Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)
@@ -879,31 +881,39 @@ object RelationalQueries {
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("supp_qty"))
       val w = Window.partitionBy(col("l_partkey"))
-      val dominant = qty
-        .withColumn("part_qty", sum(col("supp_qty")).over(w))
-        .filter(col("supp_qty") * 2 > col("part_qty"))
+        .orderBy(col("supp_qty").desc, col("l_suppkey"))
+      val lead = qty
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
         .select(col("l_suppkey"))
         .distinct()
       Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d)
-          .filter(col("n_name") === "NATION_5")),
+        .join(broadcast(Tables.nation(s, d)),
           col("s_nationkey") === col("n_nationkey"))
-        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
-        .select(col("s_suppkey"), col("s_name"))
+        .join(lead, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
         .orderBy("s_suppkey")
     }),
 
     // TPC-H Q11-style important stock: per-part value, kept when above
-    // a fraction of the global total — the global scalar rides on an
-    // unpartitioned window over the already-aggregated table (one pass).
+    // 1.5x the mean part value. A fixed fraction-of-total threshold
+    // (Q11's 0.0001/SF) goes vacuous as the part count grows with scale;
+    // a mean multiple is scale-invariant. The global scalars come from a
+    // 1-row aggregate broadcast back over the per-part table (an
+    // unpartitioned window would funnel every part-aggregate into one
+    // partition — a serial choke point at 100 TB part counts). The
+    // comparison is pure integer/decimal arithmetic (value*2*n >
+    // total*3, i.e. value > 1.5*total/n) so no division can drift
+    // between engines.
     "q_tpch_q11" -> ((s, d) => {
-      val w = Window.partitionBy()
-      Tables.lineitem(s, d)
+      val pv = Tables.lineitem(s, d)
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           col("l_quantity").cast("decimal(18,2)")).as("value_dec"))
-        .withColumn("total", sum(col("value_dec")).over(w))
-        .filter(col("value_dec") * 1000 > col("total"))
+      val tot = pv.agg(sum(col("value_dec")).as("total"),
+        count(lit(1)).as("nparts"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("value_dec") * 2 * col("nparts") > col("total") * 3)
         .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
     }),
@@ -945,12 +955,13 @@ object RelationalQueries {
     "q_try_funcs" -> ((s, d) =>
       Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
-        // Double division on both sides: decimal division result scale
-        // differs between engines (Spark promotes to scale>=6, DuckDB
-        // keeps the operand scale), so round(6) saw different values on
-        // boundary rows. IEEE double division is bit-identical.
-        round(try_divide(col("l_extendedprice").cast("double"),
-          col("l_quantity").cast("double")), 6)
+        // Raw IEEE double division, no rounding: decimal division scale
+        // rules differ between engines, and round(x, 6) itself differs on
+        // half-way doubles (Spark rounds the exact binary value via
+        // BigDecimal HALF_UP; DuckDB scales in binary FP). The unrounded
+        // quotient of two identically-cast doubles is bit-identical.
+        try_divide(col("l_extendedprice").cast("double"),
+          col("l_quantity").cast("double"))
           .as("unit_price"),
         try_divide(col("l_quantity"), col("l_quantity") - col("l_quantity"))
           .as("div0"),
@@ -1188,17 +1199,22 @@ object RelationalQueries {
     // above-average positive balance and no orders — a 1-row broadcast
     // threshold (compared in exact decimal, the q_above_cust_avg trick)
     // into an anti join, aggregated by nation.
+    // "No orders at all" is vacuous on this testdata (every customer has
+    // orders at sf<=0.01), so the anti-join keys on recent orders
+    // instead: lapsed customers with no order since 2000-01-01 — the
+    // same Q22 shape (broadcast scalar threshold, anti join, group).
     "q_tpch_q22" -> ((s, d) => {
       val thr = Tables.customer(s, d)
         .filter(col("c_acctbal") > 0.0)
         .agg(sum(col("c_acctbal").cast("decimal(18,4)")).as("s_pos"),
           count(lit(1)).as("n_pos"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
       Tables.customer(s, d)
         .crossJoin(broadcast(thr))
         .filter(col("c_acctbal").cast("decimal(18,4)") * col("n_pos") >
           col("s_pos"))
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
-          "left_anti")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"),
           sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
@@ -1934,16 +1950,16 @@ object RelationalQueries {
         |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
         |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
         |  GROUP BY l_partkey, l_suppkey),
-        |dom AS (
+        |lead AS (
         |  SELECT DISTINCT l_suppkey FROM (
-        |    SELECT l_suppkey, supp_qty,
-        |      sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        |    SELECT l_suppkey,
+        |      row_number() OVER (PARTITION BY l_partkey
+        |                         ORDER BY supp_qty DESC, l_suppkey) AS rn
         |    FROM qty)
-        |  WHERE supp_qty * 2 > part_qty)
-        |SELECT s_suppkey, s_name
+        |  WHERE rn = 1)
+        |SELECT s_suppkey, s_name, n_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'NATION_5'
-        |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM lead)
         |ORDER BY s_suppkey""".stripMargin,
 
     "q_tpch_q11" ->
@@ -1953,7 +1969,7 @@ object RelationalQueries {
         |  FROM lineitem GROUP BY l_partkey)
         |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
         |FROM pv
-        |WHERE value_dec * 1000 > (SELECT sum(value_dec) FROM pv)
+        |WHERE value_dec * 2 * (SELECT count(*) FROM pv) > (SELECT sum(value_dec) FROM pv) * 3
         |ORDER BY value DESC, l_partkey""".stripMargin,
 
     "q_tpch_q14" ->
@@ -1978,7 +1994,7 @@ object RelationalQueries {
 
     "q_try_funcs" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE), 6) AS unit_price,
+        |  CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS unit_price,
         |  CASE WHEN l_quantity - l_quantity = 0 THEN NULL
         |       ELSE l_quantity / (l_quantity - l_quantity) END AS div0,
         |  TRY_CAST(l_returnflag AS INTEGER) AS flag_num
@@ -2124,7 +2140,9 @@ object RelationalQueries {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
         |FROM customer, thr
         |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > s_pos
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_scd2_merge" ->

@@ -230,6 +230,20 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodeWavHeader(wav.take(20)) === None)
     assert(Multimodal.decodeWavHeader("RIFFnotawave".getBytes) === None)
     assert(Multimodal.decodeWavHeader(Array.empty[Byte]) === None)
+    // adversarial chunk lengths: near Int.MaxValue (overflowed the int
+    // cursor into a negative index pre-fix → StringIndexOutOfBounds) and
+    // in the uint32 range — both must decode as None, never throw
+    for (lenBytes <- Seq(
+        Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte),
+        Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte))) {
+      val evil = "RIFF0000WAVEJUNK".getBytes("US-ASCII") ++ lenBytes ++
+        Array.fill[Byte](32)(7)
+      assert(Multimodal.decodeWavHeader(evil) === None)
+    }
+    // data chunk claiming more bytes than the buffer holds → truncated
+    // file, rejected rather than reporting frames that don't exist
+    val cut = wav.dropRight(2)
+    assert(Multimodal.decodeWavHeader(cut) === None)
   }
 
   test("synthesized WAV payloads decode to the oracle's derivation") {

@@ -73,6 +73,16 @@ class SqlParitySpec extends SparkSpec {
     }
   }
 
+  test("threshold-style TPC-H analogs are non-empty (non-vacuous oracle)") {
+    // These three shipped 0 rows on both engines in earlier rounds,
+    // making the oracle compare vacuously green — any predicate bug that
+    // also yields empty output would pass. Pin non-emptiness at sf0.001.
+    for (name <- Seq("q_tpch_q11", "q_tpch_q20", "q_tpch_q22")) {
+      assert(SparkEntry.queries(name)(spark, sfDir).limit(1).count() === 1L,
+        s"$name returned no rows — its oracle gate would be vacuous")
+    }
+  }
+
   test("custom SQL functions compose with views (rolling_fingerprint)") {
     ready
     val viaSql = spark.sql(
