@@ -20,13 +20,14 @@ import org.apache.spark.sql.functions._
   * "Connected Components in MapReduce and Beyond" (SoCC'14) — the driver
   * loop and contracts below stay the same.
   *
-  * Scale notes: `localCheckpoint` truncates the iterative lineage each
-  * round — without it the plan doubles per iteration and Catalyst
-  * re-analysis dominates past ~10 rounds (on a cluster with a
-  * checkpoint dir, reliable `checkpoint` is the durable choice). The
-  * per-round convergence check rides on the same aggregation that
-  * produces the new labels (a `max(changed)` flag), so each round costs
-  * one job, not two.
+  * Scale notes: each round costs exactly ONE Spark job — the new label
+  * table is persisted and the convergence probe (`count(changed)`, a
+  * full scan by design) doubles as the action that materializes the
+  * cache. Lineage is truncated with `localCheckpoint` every few rounds
+  * only: dup-cluster graphs converge in 1-2 rounds where plan growth is
+  * irrelevant, while long-chain graphs still get the truncation before
+  * Catalyst re-analysis dominates (on a cluster with a checkpoint dir,
+  * reliable `checkpoint` is the durable choice).
   */
 object ConnectedComponents {
 
@@ -50,30 +51,35 @@ object ConnectedComponents {
   def components(edges: DataFrame, maxIter: Int = 25,
       pointerJump: Boolean = false): DataFrame = {
     // Symmetrize once: propagation below only needs u <- v direction
-    // for every ordered orientation of each edge.
+    // for every ordered orientation of each edge. Both orientations come
+    // from ONE explode rather than a two-branch union — a union would
+    // evaluate the (possibly expensive) upstream `edges` plan twice in
+    // the materializing job; e.g. the LSH-candidate chain feeding
+    // dedup_components costs ~1.6s per evaluation at sf0.1.
     val sym = edges
-      .select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      .select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .persist()
 
-    // localCheckpoint cost is dominated by partition count, not rows
-    // (measured ~1.1s at 32 partitions vs ~0.15s at 1 for a 4k-edge
-    // graph). Inherit the cached graph's AQE-coalesced partition count:
-    // tiny dup graphs iterate on 1 partition, huge graphs keep their
+    // Iterate on the cached graph's AQE-coalesced partition count: tiny
+    // dup graphs iterate on 1 partition, huge graphs keep their
     // parallelism.
     val nParts = math.max(1, sym.rdd.getNumPartitions)
     // Fused init + first propagation: round 0's "min over self and
     // neighbors" is one aggregation over the symmetrized edges, so the
-    // identity-label table is never materialized (one checkpoint cycle
-    // saved; dup-cluster graphs then typically need a single further
-    // round to confirm the fixpoint).
+    // identity-label table is never materialized (dup-cluster graphs
+    // then typically need a single further round to confirm the
+    // fixpoint).
     var labels = sym.groupBy(col("u"))
       .agg(min(col("v")).as("min_nbr"))
       .select(col("u").as("doc_id"),
         least(col("u"), col("min_nbr")).as("component"))
       .coalesce(nParts)
-      .localCheckpoint()
+      .persist()
+    var prevCached = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -83,9 +89,7 @@ object ConnectedComponents {
       // The per-doc `changed` flag rides in the same aggregation that
       // produces the new labels (labels shrink monotonically, so
       // "changed" == "min over neighbors beat my old label" ==
-      // min(candidate) < min-tagged-old). The fixpoint test is then a
-      // near-free scan of the just-materialized checkpoint instead of a
-      // labels-vs-next shuffle join per round.
+      // min(candidate) < min-tagged-old).
       val propagated = labels.select(col("doc_id"), col("component"),
           lit(true).as("is_own"))
         .unionByName(neighborLabels.withColumn("is_own", lit(false)))
@@ -109,28 +113,49 @@ object ConnectedComponents {
         .withColumn("changed", col("component") < col("prev"))
         .drop("prev")
         .coalesce(nParts)
-        .localCheckpoint()
-      val changed = next.filter(col("changed")).limit(1).count()
-      // Dropping the previous round's reference is what frees its
-      // checkpoint blocks: localCheckpoint caches RDD partitions
-      // outside the cache manager, and the ContextCleaner reclaims
-      // them once the RDD is unreachable (Dataset.unpersist would be a
-      // no-op here).
+        .persist()
+      // ONE job per round: the convergence probe is a deliberate FULL
+      // scan (count, not limit-1) so the very same action materializes
+      // every cached partition of `next` — a short-circuiting probe
+      // would leave the cache partial and re-run the propagate join for
+      // the partitions the next round touches.
+      val changed = next
+        .agg(count(when(col("changed"), lit(1))).as("n"))
+        .first().getLong(0)
+      prevCached.unpersist(false)
+      prevCached = next
       labels = next.drop("changed")
       converged = changed == 0
       iter += 1
+      // Truncate the iterative lineage every few rounds: irrelevant for
+      // dup clusters (diameter 1-2) but keeps Catalyst re-analysis from
+      // dominating on long-chain graphs. localCheckpoint drops the plan
+      // to the cached RDD, after which the persist above is redundant.
+      if (!converged && iter % 5 == 0) {
+        labels = labels.localCheckpoint()
+        prevCached.unpersist(false)
+        prevCached = labels
+      }
     }
     sym.unpersist(false)
     // Non-convergence must be loud: returning partial labels would
     // split true duplicate clusters and silently keep duplicates.
     if (!converged) {
+      prevCached.unpersist(false)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds — " +
           "component diameter exceeds maxIter; raise maxIter or use " +
           "componentsPointerJump (O(log diameter) rounds) for " +
           "long-chain graphs")
     }
-    labels
+    // Hand back a lineage-free copy and release the cache-manager entry:
+    // localCheckpoint blocks are reclaimed by the ContextCleaner once the
+    // result is unreachable, whereas a persisted Dataset would sit in the
+    // cache manager forever. One extra tiny job (scan of the cached
+    // labels, no join).
+    val result = labels.localCheckpoint()
+    prevCached.unpersist(false)
+    result
   }
 
   /** Canonical-representative assignment over a full corpus: every doc
