@@ -60,4 +60,36 @@ object Sampling {
     }
     df.filter(hashBucket(key, 100) < rate)
   }
+
+  /** Concatenate-and-split sequence packing: assign each document a
+    * training-sequence id and byte offset as if the corpus were
+    * concatenated in (shard, doc_id) order and cut every `capacity`
+    * tokens — the standard packing layout for pretraining (documents
+    * stream into fixed-length sequences; a doc can straddle a cut).
+    *
+    * Scale shape: one window (cumulative token sum) partitioned by
+    * `shard` and ordered by doc_id — sequences are packed per shard, so
+    * parallelism = shard count and no global sort exists. For a single
+    * giant shard, pre-split it (e.g. by hashBucket) or replace the
+    * window with the two-pass distributed prefix sum (per-partition
+    * subtotals broadcast back); the per-shard layout here is what
+    * pipelines actually materialize. All-integer arithmetic —
+    * deterministic across engines, retries, and partitionings.
+    */
+  def packSequences(documents: DataFrame, shard: Column, nTokens: Column,
+      capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(col("doc_id"))
+    val cumEnd = sum(nTokens).over(w)
+    documents
+      .withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("cum_end", cumEnd.cast("long"))
+      .select(col("doc_id"), shard.as("shard"), col("n_tokens"),
+        // `div`, not `/`: the Column `/` is double division, which loses
+        // exactness once a shard's cumulative token count passes 2^53.
+        expr(s"(cum_end - n_tokens) div $capacity").as("seq_id"),
+        ((col("cum_end") - col("n_tokens")) % capacity).cast("long")
+          .as("seq_offset"))
+  }
 }

@@ -160,6 +160,46 @@ object TextAnalysis {
           .as("keep"))
   }
 
+  /** Okapi BM25 relevance scores for the corpus against a bag of query
+    * terms — the search-side analytic the reference's Elasticsearch sink
+    * exists to serve (README.md:3: flow documents land in ES precisely
+    * to be searched/ranked). Per (doc, term):
+    * idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with the
+    * non-negative idf ln(1 + (N - df + 0.5)/(df + 0.5)), summed per doc.
+    *
+    * Scale shape: tf is a (doc_id, term) aggregate over the exploded
+    * corpus (partial agg map-side); df and the corpus stats are tiny
+    * aggregates broadcast back; the scoring join is doc-keyed. No global
+    * sort, no collect — the same plan ranks a 100 TB corpus.
+    *
+    * Determinism: per-term weights are rounded to 6 dp and summed as
+    * DECIMAL(18,6) — summing raw doubles is addition-order-dependent
+    * and would drift between engines (the repo's standing oracle rule).
+    */
+  def bm25(documents: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = words.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val weight = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(round(weight, 6).cast("decimal(18,6)")).cast("double").as("score"))
+  }
+
   /** Fuzzy near-duplicate pairs by edit distance, with prefix blocking:
     * candidates share their first `prefixLen` chars (an equi-join on a
     * tiny derived key — the classic blocking trick that keeps fuzzy

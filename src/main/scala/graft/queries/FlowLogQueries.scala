@@ -224,6 +224,48 @@ object FlowLogQueries {
       parsed(s, d).groupBy(col("error")).agg(count(lit(1)).as("n"))
         .orderBy("error")),
 
+    // ---- ES-dashboard analytics: the panels the reference ships flow
+    // logs to Elasticsearch FOR (README.md:3 — "search and analyze").
+    // Top talkers: the destinations receiving the most traffic.
+    // Deterministic top-k (ties broken by address) over a 1-shuffle
+    // aggregation; the limit rides the sort — TakeOrderedAndProject,
+    // no global sort materialization.
+    "flow_top_talkers" -> ((s, d) =>
+      parsed(s, d).filter(!col("error"))
+        .groupBy(col("destaddr"))
+        .agg(sum(col("bytes")).as("total_bytes"),
+          sum(col("packets")).as("total_packets"),
+          count(lit(1)).as("n_flows"))
+        .orderBy(col("total_bytes").desc, col("destaddr"))
+        .limit(20)),
+
+    // Reject ratio per ENI: the "which interfaces are being probed"
+    // security panel. One doc_id-free aggregation keyed by interface;
+    // the ratio divides two exact counts (engine-stable IEEE division).
+    "flow_reject_by_eni" -> ((s, d) =>
+      parsed(s, d).filter(!col("error"))
+        .groupBy(col("interface_id"))
+        .agg(count(lit(1)).as("n_flows"),
+          sum(when(col("action") === "REJECT", 1L).otherwise(0L))
+            .as("n_rejects"),
+          sum(when(col("action") === "REJECT", col("bytes")).otherwise(0L))
+            .as("rejected_bytes"))
+        .withColumn("reject_ratio",
+          col("n_rejects").cast("double") / col("n_flows").cast("double"))
+        .orderBy("interface_id")),
+
+    // Traffic timeseries: bytes/packets per event-time hour bucket and
+    // action — the headline dashboard chart. Pure integer bucketing on
+    // the flow's own epoch seconds (event time, not processing time).
+    "flow_traffic_timeseries" -> ((s, d) =>
+      parsed(s, d).filter(!col("error"))
+        .groupBy((expr("`start` div 3600") * 3600).as("bucket_start"),
+          col("action"))
+        .agg(count(lit(1)).as("n_flows"),
+          sum(col("bytes")).as("total_bytes"),
+          sum(col("packets")).as("total_packets"))
+        .orderBy("bucket_start", "action")),
+
     // OP-4/OP-5: control-message filter + newline projection (ingestor)
     "ingest_filter_project" -> ((s, d) =>
       Tables.events(s, d)
@@ -325,6 +367,31 @@ object FlowLogQueries {
 
     "flow_batch_counts" -> withCtes(linesCte, parsedCte)(
       "SELECT error, count(*) AS n FROM parsed GROUP BY error ORDER BY error"),
+
+    "flow_top_talkers" -> withCtes(linesCte, parsedCte)(
+      """SELECT destaddr,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       CAST(sum(packets) AS BIGINT) AS total_packets,
+        |       count(*) AS n_flows
+        |FROM parsed WHERE NOT error GROUP BY destaddr
+        |ORDER BY total_bytes DESC, destaddr LIMIT 20""".stripMargin),
+
+    "flow_reject_by_eni" -> withCtes(linesCte, parsedCte)(
+      """SELECT interface_id, count(*) AS n_flows,
+        |       CAST(sum(CASE WHEN action = 'REJECT' THEN 1 ELSE 0 END) AS BIGINT) AS n_rejects,
+        |       CAST(sum(CASE WHEN action = 'REJECT' THEN bytes ELSE 0 END) AS BIGINT) AS rejected_bytes,
+        |       CAST(sum(CASE WHEN action = 'REJECT' THEN 1 ELSE 0 END) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE) AS reject_ratio
+        |FROM parsed WHERE NOT error GROUP BY interface_id
+        |ORDER BY interface_id""".stripMargin),
+
+    "flow_traffic_timeseries" -> withCtes(linesCte, parsedCte)(
+      """SELECT ("start" // 3600) * 3600 AS bucket_start, action,
+        |       count(*) AS n_flows,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       CAST(sum(packets) AS BIGINT) AS total_packets
+        |FROM parsed WHERE NOT error GROUP BY bucket_start, action
+        |ORDER BY bucket_start, action""".stripMargin),
 
     "ingest_filter_project" ->
       """SELECT event_id, props || chr(10) AS data

@@ -186,6 +186,21 @@ object PipelineQueries {
       TextAnalysis.repetitionStats(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // Okapi BM25 ranking against a fixed term bag — the search-side
+    // analytic the reference's Elasticsearch sink serves. Per-term
+    // weights round to 6 dp and sum as exact decimal (see bm25 scaladoc).
+    "text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(Tables.documents(s, d), Seq("hash", "join", "spark"))
+        .orderBy("doc_id")),
+
+    // Concatenate-and-split sequence packing: (seq_id, offset) layout
+    // per source shard at a 256-token capacity — all-integer window
+    // arithmetic, deterministic across engines and partitionings.
+    "pipeline_seq_pack" -> ((s, d) =>
+      Sampling.packSequences(Tables.documents(s, d), col("source"),
+        size(split(col("text"), " ")), capacity = 256)
+        .orderBy("doc_id")),
+
     // End-to-end cleaning pipeline composition: quality-score the
     // augmented corpus, keep the high-quality slice, exact-dedup what
     // remains — the canonical pre-training data flow, expressed as one
@@ -686,6 +701,45 @@ object PipelineQueries {
         |  (ws.top_word_frac <= 0.20 AND COALESCE(gs.dup_bigram_frac, 0.0) <= 0.40) AS keep
         |FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
         |ORDER BY ws.doc_id""".stripMargin,
+
+    // Literal arithmetic is spelled out ((1.2 + 1.0), (1.0 - 0.75)) so
+    // DuckDB performs the same IEEE operations Spark's plan constants
+    // came from; per-term weights round to 6 dp and sum as DECIMAL so
+    // the double-summation order can't drift between engines.
+    "text_bm25" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words
+        |       WHERE term IN ('hash', 'join', 'spark') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT t.doc_id, count(*) AS n_terms_hit,
+        |  CAST(sum(CAST(round(
+        |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+        |              (CAST(d.df AS DOUBLE) + 0.5)) *
+        |    (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |    (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+        |       0.75 * CAST(l.dl AS DOUBLE) /
+        |       (CAST(s.tot_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))),
+        |    6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)
+        |CROSS JOIN stats s
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "pipeline_seq_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum_end
+        |  FROM toks)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST((cum_end - n_tokens) // 256 AS BIGINT) AS seq_id,
+        |  CAST((cum_end - n_tokens) % 256 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       """SELECT doc_id,

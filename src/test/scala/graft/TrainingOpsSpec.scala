@@ -157,4 +157,46 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got(0)._3 === 0.2)
     assert(got(0)._5 === true)
   }
+
+  test("bm25: rarer terms weigh more, higher tf scores higher, misses absent") {
+    val corpus = Seq(
+      (1L, "cat cat cat dog bird bird bird bird"), // cat tf=3
+      (2L, "cat dog fish fish fish fish fish fish"), // cat tf=1, same dl
+      (3L, "dog bird fish fish fish fish fish fish"), // no query term
+      (4L, "rare dog fish fish fish fish fish fish")  // df(rare)=1 < df(cat)=2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(corpus, Seq("cat", "rare"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 3 has no query term at all → no output row
+    assert(got.keySet === Set(1L, 2L, 4L))
+    // equal document lengths: tf=3 must beat tf=1 for the same term
+    assert(got(1L)._3 > got(2L)._3)
+    // df(rare)=1 < df(cat)=2 → at tf=1 and equal dl, rare outweighs cat
+    assert(got(4L)._3 > got(2L)._3)
+    assert(got.values.forall(_._3 > 0.0))
+  }
+
+  test("packSequences: concat-and-split invariants per shard") {
+    val docs = Seq(
+      (1L, "a", 60L), (2L, "a", 50L), (3L, "a", 10L), (4L, "a", 200L),
+      (10L, "b", 100L), (11L, "b", 100L), (12L, "b", 1L)
+    ).map { case (id, src, n) => (id, src, Seq.fill(n.toInt)("w").mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.packSequences(docs, col("source"),
+        size(split(col("text"), " ")), capacity = 100)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // shard a: starts 0,60,110,120 → seq 0@0, 0@60, 1@10, 1@20
+    assert(got(1L) === ((1L, "a", 60L, 0L, 0L)))
+    assert(got(2L) === ((2L, "a", 50L, 0L, 60L)))
+    assert(got(3L) === ((3L, "a", 10L, 1L, 10L)))
+    assert(got(4L) === ((4L, "a", 200L, 1L, 20L)))
+    // shard b packs independently from offset 0
+    assert(got(10L) === ((10L, "b", 100L, 0L, 0L)))
+    assert(got(11L) === ((11L, "b", 100L, 1L, 0L)))
+    assert(got(12L) === ((12L, "b", 1L, 2L, 0L)))
+    // global invariant: start position == seq_id * capacity + seq_offset
+    // and offsets stay inside the capacity
+    for ((_, _, _, seqId, off) <- got.values) assert(off >= 0 && off < 100)
+  }
 }
