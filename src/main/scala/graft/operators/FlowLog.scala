@@ -36,6 +36,39 @@ object FlowLog {
   /** RFC1918 + loopback membership test (decorator/index.js:150). */
   val Rfc1918Regex: String = """^(10|127|192\.168|172\.(1[6-9]|2[0-9]|3[01]))\."""
 
+  /** Dotted-quad IPv4 → its unsigned 32-bit value (as a long). Pure
+    * integer arithmetic over split octets — codegen'd, no regex, no
+    * UDF. Malformed input casts to null octets and yields null. */
+  def ipToLong(ip: Column): Column = {
+    val o = split(ip, "\\.")
+    element_at(o, 1).cast("long") * 16777216L +
+      element_at(o, 2).cast("long") * 65536L +
+      element_at(o, 3).cast("long") * 256L +
+      element_at(o, 4).cast("long")
+  }
+
+  /** CIDR membership (`ip` inside `net/prefix`): both sides shifted
+    * right by the host-bit count and compared — one shift + one equality
+    * per CIDR, no regex. The network literal is folded at plan time.
+    * This is how security-group / subnet matching runs over flow logs at
+    * scale: a handful of codegen'd integer ops per row. */
+  def inCidr(ip: Column, cidr: String): Column = {
+    val Array(net, p) = cidr.split("/")
+    val prefix = p.toInt
+    require(prefix >= 0 && prefix <= 32, s"bad prefix in $cidr")
+    val netLong = net.split("\\.").map(_.toLong).foldLeft(0L)(_ * 256 + _)
+    if (prefix == 0) ipToLong(ip).isNotNull
+    else shiftright(ipToLong(ip), 32 - prefix) === lit(netLong >> (32 - prefix))
+  }
+
+  /** RFC1918 membership as CIDR arithmetic (10/8 ∪ 172.16/12 ∪
+    * 192.168/16) — the integer-compare twin of [[Rfc1918Regex]] minus
+    * loopback; `FlowLogSpec` pins the two implementations against each
+    * other on the synthesized corpus. */
+  def isRfc1918Cidr(ip: Column): Column =
+    inCidr(ip, "10.0.0.0/8") || inCidr(ip, "172.16.0.0/12") ||
+      inCidr(ip, "192.168.0.0/16")
+
   /** OP-1 analog: synthesize VPC Flow Log v2 lines from lineitem columns.
     * ~2% of lines are deliberately malformed to exercise the dead-letter
     * route (OP-12). Pure projection — no shuffle; columns prune to the 4

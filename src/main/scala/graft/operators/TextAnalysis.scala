@@ -160,6 +160,49 @@ object TextAnalysis {
           .as("keep"))
   }
 
+  /** Corpus-level top-k word n-grams with occurrence and document
+    * frequencies — the contamination/quality analysis view ("what
+    * boilerplate dominates this crawl?"). One explode + one aggregation
+    * keyed by gram (partial agg map-side); top-k rides the sort-limit
+    * (per-partition bounded heaps, no global sort materialization).
+    * Ties break on the gram text so the k-cut is deterministic. */
+  def topNgrams(documents: DataFrame, n: Int = 2, k: Int = 50): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    val gramExpr = (0 until n).map(j => s"element_at(w, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(
+        expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> $gramExpr)"))
+        .as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+  }
+
+  /** Per-shard length-percentile filter: a document is kept when its
+    * word count clears the `minPercentile` rank within its source — the
+    * data-curation pass that drops each crawl's shortest tail without a
+    * global threshold penalizing naturally-short sources. percent_rank
+    * is exact rational arithmetic ((rank-1)/(n-1)), so the keep decision
+    * is engine- and partitioning-stable; one window per source shard,
+    * parallelism = shard count. */
+  def lengthPercentileFilter(documents: DataFrame,
+      minPercentile: Double = 0.1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_words"))
+    documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .withColumn("pr", percent_rank().over(w))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        round(col("pr"), 6).as("pr_r"),
+        (col("pr") >= minPercentile).as("keep"))
+  }
+
   /** Okapi BM25 relevance scores for the corpus against a bag of query
     * terms — the search-side analytic the reference's Elasticsearch sink
     * exists to serve (README.md:3: flow documents land in ES precisely

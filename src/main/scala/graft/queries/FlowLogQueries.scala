@@ -254,6 +254,18 @@ object FlowLogQueries {
           col("n_rejects").cast("double") / col("n_flows").cast("double"))
         .orderBy("interface_id")),
 
+    // CIDR matching as integer shift-compare arithmetic (no regex, no
+    // UDF): the security-group / subnet filters every flow-log analysis
+    // applies, plus the ip-as-long column range analytics join on.
+    "flow_cidr_filter" -> ((s, d) =>
+      parsed(s, d).filter(!col("error"))
+        .select(col("id"), col("srcaddr"),
+          FlowLog.ipToLong(col("srcaddr")).as("src_long"),
+          FlowLog.inCidr(col("srcaddr"), "10.0.0.0/8").as("in_10_8"),
+          FlowLog.inCidr(col("destaddr"), "172.31.0.0/16").as("dst_in_vpc"),
+          FlowLog.isRfc1918Cidr(col("srcaddr")).as("is_private_cidr"))
+        .orderBy("id")),
+
     // Traffic timeseries: bytes/packets per event-time hour bucket and
     // action — the headline dashboard chart. Pure integer bucketing on
     // the flow's own epoch seconds (event time, not processing time).
@@ -384,6 +396,27 @@ object FlowLogQueries {
         |         CAST(count(*) AS DOUBLE) AS reject_ratio
         |FROM parsed WHERE NOT error GROUP BY interface_id
         |ORDER BY interface_id""".stripMargin),
+
+    // Network constants pre-shifted: 172.31.0.0/16 >> 16 = 44063,
+    // 172.16.0.0/12 >> 20 = 2753, 192.168.0.0/16 >> 16 = 49320.
+    "flow_cidr_filter" -> withCtes(linesCte, parsedCte)(
+      """SELECT id, srcaddr, src_long,
+        |       (src_long >> 24) = 10 AS in_10_8,
+        |       (dst_long >> 16) = 44063 AS dst_in_vpc,
+        |       ((src_long >> 24) = 10 OR (src_long >> 20) = 2753
+        |         OR (src_long >> 16) = 49320) AS is_private_cidr
+        |FROM (
+        |  SELECT id, srcaddr,
+        |    CAST(split_part(srcaddr, '.', 1) AS BIGINT) * 16777216 +
+        |    CAST(split_part(srcaddr, '.', 2) AS BIGINT) * 65536 +
+        |    CAST(split_part(srcaddr, '.', 3) AS BIGINT) * 256 +
+        |    CAST(split_part(srcaddr, '.', 4) AS BIGINT) AS src_long,
+        |    CAST(split_part(destaddr, '.', 1) AS BIGINT) * 16777216 +
+        |    CAST(split_part(destaddr, '.', 2) AS BIGINT) * 65536 +
+        |    CAST(split_part(destaddr, '.', 3) AS BIGINT) * 256 +
+        |    CAST(split_part(destaddr, '.', 4) AS BIGINT) AS dst_long
+        |  FROM parsed WHERE NOT error)
+        |ORDER BY id""".stripMargin),
 
     "flow_traffic_timeseries" -> withCtes(linesCte, parsedCte)(
       """SELECT ("start" // 3600) * 3600 AS bucket_start, action,

@@ -193,6 +193,27 @@ object PipelineQueries {
       TextAnalysis.bm25(Tables.documents(s, d), Seq("hash", "join", "spark"))
         .orderBy("doc_id")),
 
+    // Corpus-dominating bigrams: the boilerplate/contamination analysis
+    // view — one gram-keyed aggregation, top-k via sort-limit heaps.
+    "text_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(Tables.documents(s, d), n = 2, k = 50)),
+
+    // Per-source length-percentile filter: drop each crawl's shortest
+    // tail (exact percent_rank, engine-stable rational arithmetic).
+    "pipeline_length_filter" -> ((s, d) =>
+      TextAnalysis.lengthPercentileFilter(Tables.documents(s, d), 0.1)
+        .orderBy("doc_id")),
+
+    // Incremental dedup: the injected duplicate shard (ids >= 100000)
+    // deduplicated AGAINST the base corpus — cross-side LSH candidates
+    // only, never within-shard pairs.
+    "dedup_incremental" -> ((s, d) =>
+      Dedup.lshIncrementalPairs(
+        Dedup.minhashSignatures(Dedup.shingles(
+          Dedup.augmentCorpus(Tables.documents(s, d)))),
+        col("doc_id") >= 100000)
+        .orderBy("new_id", "base_id")),
+
     // Concatenate-and-split sequence packing: (seq_id, offset) layout
     // per source shard at a 256-token capacity — all-integer window
     // arithmetic, deterministic across engines and partitionings.
@@ -726,6 +747,42 @@ object PipelineQueries {
         |FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)
         |CROSS JOIN stats s
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "text_top_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)),
+        |                               i -> w[i] || ' ' || w[i + 1])) AS gram
+        |  FROM w WHERE len(w) >= 2)
+        |SELECT gram, count(*) AS n_occurrences,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM g GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram LIMIT 50""".stripMargin,
+
+    "pipeline_length_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_words,
+        |         percent_rank() OVER (PARTITION BY source ORDER BY n_words) AS pr
+        |  FROM t)
+        |SELECT doc_id, source, n_words, round(pr, 6) AS pr_r,
+        |       pr >= 0.1 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH $corpusCte,
+         |$shinglesCte,
+         |$lshCte,
+         |inc AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
+         |  FROM buckets n JOIN buckets b ON n.bucket = b.bucket
+         |  WHERE n.doc_id >= 100000 AND b.doc_id < 100000)
+         |SELECT new_id, base_id FROM inc
+         |ORDER BY new_id, base_id""".stripMargin,
 
     "pipeline_seq_pack" ->
       """WITH toks AS (

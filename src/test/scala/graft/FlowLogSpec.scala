@@ -170,4 +170,40 @@ class FlowLogSpec extends SparkSpec {
     assert(df.columns.contains("source-location"))
     assert(df.count() > 0)
   }
+
+  test("ipToLong and inCidr: integer network matching, edge prefixes") {
+    val ips = Seq("10.0.0.1", "10.255.255.255", "11.0.0.0", "172.16.0.0",
+      "172.31.255.255", "172.32.0.0", "192.168.7.9", "192.169.0.0",
+      "127.0.0.1", "255.255.255.255").toDF("ip")
+    val got = ips.select(col("ip"),
+      FlowLog.ipToLong(col("ip")).as("n"),
+      FlowLog.inCidr(col("ip"), "10.0.0.0/8").as("a"),
+      FlowLog.inCidr(col("ip"), "0.0.0.0/0").as("any"),
+      FlowLog.inCidr(col("ip"), "255.255.255.255/32").as("exact"),
+      FlowLog.isRfc1918Cidr(col("ip")).as("priv"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    assert(got("10.0.0.1")._1 === 10L * 16777216 + 1)
+    assert(got("255.255.255.255")._1 === 4294967295L)
+    assert(got("255.255.255.255")._4 === true) // /32 exact match
+    assert(got.values.forall(_._3 === true)) // /0 matches everything
+    assert(got.filter(_._2._2).keySet ===
+      Set("10.0.0.1", "10.255.255.255")) // 10/8 boundary
+    assert(got.filter(_._2._5).keySet === Set("10.0.0.1", "10.255.255.255",
+      "172.16.0.0", "172.31.255.255", "192.168.7.9")) // RFC1918 boundaries
+  }
+
+  test("CIDR-based RFC1918 agrees with the regex on the synthesized corpus") {
+    // The regex adds loopback (127/8) to RFC1918; the synthesized corpus
+    // contains no loopback addresses, so the two implementations must
+    // agree row-for-row there.
+    val p = FlowLog.parseFlowLines(
+      FlowLog.synthesizeLines(Tables.lineitem(spark, sfDir)))
+      .filter(!col("error"))
+    val disagree = p.filter(
+      col("srcaddr").rlike(FlowLog.Rfc1918Regex) =!=
+        FlowLog.isRfc1918Cidr(col("srcaddr")))
+    assert(disagree.count() === 0L)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{ConnectedComponents, Sampling, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, Sampling, TextAnalysis}
 
 /** Training-pipeline operators added in round 3: connected-components
   * canonicalization, deterministic hash splits, IDF vocabulary,
@@ -174,6 +174,53 @@ class TrainingOpsSpec extends SparkSpec {
     // df(rare)=1 < df(cat)=2 → at tf=1 and equal dl, rare outweighs cat
     assert(got(4L)._3 > got(2L)._3)
     assert(got.values.forall(_._3 > 0.0))
+  }
+
+  test("topNgrams: counts, doc frequencies, deterministic k-cut") {
+    val corpus = Seq(
+      (1L, "a b a b c"),   // "a b"×2, "b a"×1, "b c"×1
+      (2L, "a b x"),       // "a b"×1, "b x"×1
+      (3L, "z")            // no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(corpus, n = 2, k = 3)
+      .as[(String, Long, Long)].collect()
+    assert(got.head === (("a b", 3L, 2L))) // 3 occurrences across 2 docs
+    assert(got.length === 3)
+    // ties (all 1-occurrence) broken by gram text ascending
+    assert(got(1)._1 < got(2)._1)
+  }
+
+  test("lengthPercentileFilter drops each source's shortest tail only") {
+    val docs = (1 to 10).map(i => (i.toLong, "s1", Seq.fill(i)("w").mkString(" "))) ++
+      Seq((100L, "s2", "w"), (101L, "s2", "w w w"))
+    val got = TextAnalysis.lengthPercentileFilter(
+        docs.toDF("doc_id", "source", "text"), 0.1)
+      .as[(Long, String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // s1: ranks 0/9 .. 9/9 — only the 1-word doc sits below the 0.1 cut
+    assert(!got(1L)._5 && got(2L)._5 && got(10L)._5)
+    assert(got(2L)._4 === 0.111111) // round(1/9, 6)
+    // s2 percentiles are computed within s2, not against s1's lengths
+    assert(!got(100L)._5 && got(101L)._5)
+  }
+
+  test("lshIncrementalPairs: cross-side candidates only, finds injected dups") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different text about query engines and columnar scans"))
+    val nw = Seq(
+      (100001L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (100002L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1 AND of 100001
+      (100003L, "unrelated fresh content nothing shared with any base document"))
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(
+      (base ++ nw).toDF("doc_id", "text")))
+    val got = Dedup.lshIncrementalPairs(sigs, col("doc_id") >= 100000L)
+      .as[(Long, Long)].collect().toSet
+    // both injected copies pair with base doc 1...
+    assert(got.contains((100001L, 1L)) && got.contains((100002L, 1L)))
+    // ...but never with each other (within-shard pair) or reversed
+    assert(got.forall { case (n, b) => n >= 100000L && b < 100000L })
+    assert(!got.exists(_._1 === 100003L)) // fresh content pairs with nothing
   }
 
   test("packSequences: concat-and-split invariants per shard") {
