@@ -24,6 +24,12 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE coalesce the output partitioning of cached plans too
+      // (default false): iterative operators persist small intermediate
+      // tables (connected components' label rounds) and would otherwise
+      // re-iterate on shuffle.partitions near-empty partitions.
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // Custom expressions + the TopKPerKey planner strategy
       // (graft.plans) ride in at session construction.
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -64,10 +64,18 @@ object ConnectedComponents {
       .distinct()
       .persist()
 
-    // Iterate on the cached graph's AQE-coalesced partition count: tiny
-    // dup graphs iterate on 1 partition, huge graphs keep their
-    // parallelism.
-    val nParts = math.max(1, sym.rdd.getNumPartitions)
+    // Size the iteration's partitioning from the measured edge count,
+    // not the session's shuffle-partition default: a cached plan keeps
+    // its materialization-time partitioning (AQE does not re-coalesce
+    // cached output), so a 6k-edge dup graph would otherwise iterate on
+    // 32 near-empty partitions and pay scheduler overhead every round.
+    // The count() also materializes the cache, so the expensive edge
+    // chain runs exactly once. ~500k edges per partition keeps rounds
+    // task-bound, with full parallelism restored at real graph sizes.
+    val nEdges = sym.count()
+    val nParts = math.max(1, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism.toLong,
+      (nEdges + 499999L) / 500000L).toInt)
     // Fused init + first propagation: round 0's "min over self and
     // neighbors" is one aggregation over the symmetrized edges, so the
     // identity-label table is never materialized (dup-cluster graphs
