@@ -247,6 +247,45 @@ object FlowLog {
         (col("n_nationkey").cast("double") * 3.7 - 45.0).as("latitude"),
         (col("n_regionkey").cast("double") * 31.0 - 60.0).as("longitude"))
 
+  /** Geo dimension as IP RANGES — the shape real geo-IP databases
+    * (MaxMind-style) actually have: (range_start, range_end, location),
+    * here one 52.n.0.0/16 block per nation so the corpus's public
+    * sources resolve deterministically. */
+  def geoRangeDimension(nation: DataFrame, region: DataFrame): DataFrame =
+    nation
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        (lit(52L * 16777216L) + col("n_nationkey") * 65536L)
+          .as("range_start"),
+        (lit(52L * 16777216L) + col("n_nationkey") * 65536L + 65535L)
+          .as("range_end"),
+        col("n_name").as("country_name"),
+        col("r_name").as("region_name"))
+
+  /** Range-based geo enrichment — OP-17 against a range table rather
+    * than exact-IP keys. The scalable shape is a prefix-bucketed
+    * EQUI-join: each range explodes into the /16 blocks it covers
+    * (bounded fan-out: a range spanning k blocks becomes k rows), the
+    * flow side joins on `ip >> 16`, and the exact between-predicate
+    * filters inside the hash join. No nested-loop range scan at any
+    * dimension size — under broadcast it is a BroadcastHashJoin; past
+    * broadcast size it degrades to a shuffle hash join on the prefix,
+    * still linear. Ranges are assumed disjoint (geo DBs are), so the
+    * left join cannot fan out. */
+  def enrichGeoByRange(parsed: DataFrame, ranges: DataFrame): DataFrame = {
+    val pref = ranges.select(col("range_start"), col("range_end"),
+      col("country_name"), col("region_name"),
+      explode(sequence(shiftright(col("range_start"), 16),
+        shiftright(col("range_end"), 16))).as("pfx"))
+    parsed
+      .withColumn("src_long", ipToLong(col("srcaddr")))
+      .join(broadcast(pref),
+        shiftright(col("src_long"), 16) === col("pfx") &&
+          col("src_long").between(col("range_start"), col("range_end")),
+        "left_outer")
+      .drop("pfx", "range_start", "range_end")
+  }
+
   /** OP-9/OP-10/OP-12: regex parse of the 14-field v2 line into typed
     * columns + the dead-letter `error` flag (decorator/index.js:107-139).
     * One anchored-regex validation (`rlike`) + one `split` per row — not

@@ -254,6 +254,17 @@ object FlowLogQueries {
           col("n_rejects").cast("double") / col("n_flows").cast("double"))
         .orderBy("interface_id")),
 
+    // OP-17 against a RANGE geo table (the MaxMind shape): prefix-
+    // bucketed equi-join with the between-predicate inside the hash
+    // join — never a nested-loop range scan.
+    "flow_geo_range" -> ((s, d) =>
+      FlowLog.enrichGeoByRange(parsed(s, d).filter(!col("error")),
+        FlowLog.geoRangeDimension(Tables.nation(s, d), Tables.region(s, d)))
+        .select(col("id"), col("srcaddr"), col("src_long"),
+          coalesce(col("country_name"), lit("")).as("country_name"),
+          coalesce(col("region_name"), lit("")).as("region_name"))
+        .orderBy("id")),
+
     // CIDR matching as integer shift-compare arithmetic (no regex, no
     // UDF): the security-group / subnet filters every flow-log analysis
     // applies, plus the ip-as-long column range analytics join on.
@@ -396,6 +407,25 @@ object FlowLogQueries {
         |         CAST(count(*) AS DOUBLE) AS reject_ratio
         |FROM parsed WHERE NOT error GROUP BY interface_id
         |ORDER BY interface_id""".stripMargin),
+
+    "flow_geo_range" -> withCtes(linesCte, parsedCte)(
+      """SELECT id, srcaddr, src_long,
+        |       COALESCE(country_name, '') AS country_name,
+        |       COALESCE(region_name, '') AS region_name
+        |FROM (
+        |  SELECT id, srcaddr,
+        |    CAST(split_part(srcaddr, '.', 1) AS BIGINT) * 16777216 +
+        |    CAST(split_part(srcaddr, '.', 2) AS BIGINT) * 65536 +
+        |    CAST(split_part(srcaddr, '.', 3) AS BIGINT) * 256 +
+        |    CAST(split_part(srcaddr, '.', 4) AS BIGINT) AS src_long
+        |  FROM parsed WHERE NOT error) ipn
+        |LEFT JOIN (
+        |  SELECT 52 * 16777216 + n_nationkey * 65536 AS range_start,
+        |         52 * 16777216 + n_nationkey * 65536 + 65535 AS range_end,
+        |         n_name AS country_name, r_name AS region_name
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey) ranges
+        |  ON src_long BETWEEN range_start AND range_end
+        |ORDER BY id""".stripMargin),
 
     // Network constants pre-shifted: 172.31.0.0/16 >> 16 = 44063,
     // 172.16.0.0/12 >> 20 = 2753, 192.168.0.0/16 >> 16 = 49320.

@@ -194,6 +194,36 @@ class FlowLogSpec extends SparkSpec {
       "172.16.0.0", "172.31.255.255", "192.168.7.9")) // RFC1918 boundaries
   }
 
+  test("range geo: multi-block ranges match via exploded prefixes, misses null") {
+    def ipL(a: Long, b: Long, c: Long, d: Long) = ((a * 256 + b) * 256 + c) * 256 + d
+    // one range spanning two /16 blocks — must match in BOTH blocks
+    val ranges = Seq((ipL(52, 1, 0, 0), ipL(52, 2, 255, 255), "CC", "RR"))
+      .toDF("range_start", "range_end", "country_name", "region_name")
+    val flows = Seq((1L, "52.1.5.9"), (2L, "52.2.0.0"), (3L, "52.3.0.0"),
+      (4L, "10.0.0.1")).toDF("id", "srcaddr")
+    val got = FlowLog.enrichGeoByRange(flows, ranges)
+      .select(col("id"), col("country_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "CC" && got(2L) === "CC")
+    assert(got(3L) === null && got(4L) === null)
+  }
+
+  test("range geo agrees with the exact-ip geo join on the synthesized corpus") {
+    // NB: synthesized flow ids collide (the synthetic lineitem carries
+    // duplicate (orderkey, linenumber) pairs), so the comparison joins
+    // on (id, srcaddr) — the srcaddr determines the geo result.
+    val geoExact = SparkEntry.queries("flow_geo")(spark, sfDir)
+      .select(col("id"), col("srcaddr"), col("country_name").as("exact_cn"))
+      .distinct()
+    val geoRange = SparkEntry.queries("flow_geo_range")(spark, sfDir)
+      .select(col("id"), col("srcaddr"), col("country_name").as("range_cn"))
+      .distinct()
+    val disagree = geoExact.join(geoRange, Seq("id", "srcaddr"))
+      .filter(col("exact_cn") =!= col("range_cn"))
+    assert(disagree.count() === 0L)
+    assert(geoExact.count() === geoRange.count())
+  }
+
   test("CIDR-based RFC1918 agrees with the regex on the synthesized corpus") {
     // The regex adds loopback (127/8) to RFC1918; the synthesized corpus
     // contains no loopback addresses, so the two implementations must
