@@ -1,0 +1,42 @@
+package graft
+
+/** The SCALING.md plan invariants as a regression guard over EVERY
+  * registered query: no cartesian product may ever appear, and
+  * BroadcastNestedLoopJoin may appear only in the audited set of
+  * deliberate bounded broadcasts (one-row aggregates, tiny enumerated
+  * dimensions, bounded probe sets). A new query that accidentally plans
+  * a cartesian or an unbounded BNLJ fails here before it ships.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  /** Queries whose plans legitimately contain BroadcastNestedLoopJoin —
+    * each is a bounded broadcast by construction (see SCALING.md). */
+  private val allowedBnlj = Set(
+    "q_cross_join",      // 5x5 enumeration
+    "q_range_join",      // tiny band dimension
+    "q_scalar_subquery", // one-row aggregate
+    "q_tpch_q11",        // one-row aggregate
+    "q_tpch_q22",        // one-row aggregate
+    "text_bm25",         // one-row corpus stats
+    "text_tfidf_vocab",  // one-row corpus size
+    "sim_topk_bruteforce", "sim_topk_aggregator", "sim_topk_native", // probes
+    "sim_kmeans_step"    // K centroids
+  )
+
+  test("no CartesianProduct in any plan; BNLJ only in the audited set") {
+    // Iterative queries (connected components) execute driver-side jobs
+    // while BUILDING their final frame; that is acceptable here — the
+    // final plan is still what ships to the sink.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !allowedBnlj.contains(name)
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unaudited BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
