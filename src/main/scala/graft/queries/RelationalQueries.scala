@@ -1071,6 +1071,20 @@ object RelationalQueries {
         (get_json_object(col("props"), "$.k").isNotNull).as("has_k"))
         .orderBy("event_id")),
 
+    // Spark 4 VARIANT path: parse_json into the binary variant encoding
+    // once, then typed variant_get extraction — the modern engine-native
+    // semi-structured read (shreds better than repeated string JSON
+    // parsing; the variant stays internal, outputs are plain types so
+    // the oracle compares engine-neutrally).
+    "q_variant" -> ((s, d) => {
+      val v = parse_json(col("props"))
+      Tables.events(s, d).select(col("event_id"),
+        variant_get(v, "$.k", "int").as("k"),
+        variant_get(v, "$.missing", "string").as("absent"),
+        is_variant_null(variant_get(v, "$.k", "variant")).as("k_is_null"))
+        .orderBy("event_id")
+    }),
+
     // UNION (distinct) across heterogeneous sources — dedup shuffle on
     // the unioned key domain.
     "q_union_distinct" -> ((s, d) =>
@@ -2056,6 +2070,13 @@ object RelationalQueries {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  json_extract_string(props, '$.missing') AS absent,
         |  json_extract_string(props, '$.k') IS NOT NULL AS has_k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  json_extract_string(props, '$.missing') AS absent,
+        |  json_extract(props, '$.k') = 'null' AS k_is_null
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_union_distinct" ->
