@@ -39,8 +39,12 @@ object TextAnalysis {
       nPunct.cast("long").as("n_punct"),
       punctRatio.as("punct_ratio"),
       stopRatio.as("stop_ratio"),
-      round(least(lit(1.0), nWords.cast("double") / 100.0) * 0.5 +
-        least(lit(1.0), stopRatio * 4.0) * 0.5, 6).as("quality_score"))
+      // raw: a fixed chain of IEEE ops over exact int ratios — the
+      // oracle spells out the identical expression, so both engines
+      // produce the same bits; rounding an int-ratio chain can land
+      // exactly half-way (the q_tpch_q2 drift class)
+      (least(lit(1.0), nWords.cast("double") / 100.0) * 0.5 +
+        least(lit(1.0), stopRatio * 4.0) * 0.5).as("quality_score"))
   }
 
   /** Stopword-vote language ID with a deterministic argmax tie-break
@@ -138,7 +142,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"),
-        round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+        // raw int-ratios throughout (see stats): bit-identical across
+        // engines, no half-way rounding hazard
+        (max(col("c")).cast("double") / sum(col("c")).cast("double"))
           .as("top_word_frac"))
     val bigramStats = base
       .filter(size(col("w")) >= 2)
@@ -149,9 +155,9 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(round(
+      .agg((
         sum(when(col("c") > 1, col("c")).otherwise(lit(0))).cast("double") /
-          sum(col("c")).cast("double"), 6).as("dup_bigram_frac"))
+          sum(col("c")).cast("double")).as("dup_bigram_frac"))
     wordStats.join(bigramStats, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"), col("top_word_frac"),
         coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"),
@@ -199,7 +205,8 @@ object TextAnalysis {
         size(split(col("text"), " ")).cast("long").as("n_words"))
       .withColumn("pr", percent_rank().over(w))
       .select(col("doc_id"), col("source"), col("n_words"),
-        round(col("pr"), 6).as("pr_r"),
+        // raw: percent_rank is one division of exact rank/count ints
+        col("pr").as("pr_r"),
         (col("pr") >= minPercentile).as("keep"))
   }
 

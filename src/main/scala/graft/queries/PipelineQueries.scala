@@ -83,7 +83,10 @@ object PipelineQueries {
       Dedup.jaccardPairs(sh,
         Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh)))
         .filter(col("jaccard") >= 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac_r"))
+        // raw: jaccard is one division of exact intersection/union
+        // counts — bit-identical across engines; rounding an int-ratio
+        // can land exactly half-way (the q_tpch_q2 drift class)
+        .select(col("id_a"), col("id_b"), col("jaccard").as("jac_r"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -364,9 +367,12 @@ object PipelineQueries {
     "mm_feature_hist" -> ((s, d) => {
       val feats = Multimodal.extractFeatures(
         Multimodal.asBinaryPayloads(Tables.documents(s, d)))
+      // raw: each bin is one division of exact count/len ints —
+      // bit-identical across engines; rounding an int-ratio can land
+      // exactly half-way (the q_tpch_q2 drift class)
       feats.select(col("doc_id") +:
         (1 to 8).map(k =>
-          round(element_at(col("features"), k), 6).as(s"f$k")): _*)
+          element_at(col("features"), k).as(s"f$k")): _*)
         .orderBy("doc_id")
     }),
 
@@ -421,8 +427,8 @@ object PipelineQueries {
          |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
          |  GROUP BY c.id_a, c.id_b)
          |SELECT i.id_a, i.id_b,
-         |       round(CAST(i.n_inter AS DOUBLE) /
-         |             CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE), 6) AS jac_r
+         |       CAST(i.n_inter AS DOUBLE) /
+         |       CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jac_r
          |FROM inter i
          |JOIN szs za ON za.doc_id = i.id_a
          |JOIN szs zb ON zb.doc_id = i.id_b
@@ -667,10 +673,10 @@ object PipelineQueries {
       s"""WITH $corpusCte,
          |q AS (
          |  SELECT doc_id,
-         |    round(least(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0) * 0.5 +
-         |          least(1.0, CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE) /
-         |                     CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) * 4.0) * 0.5,
-         |          6) AS quality_score
+         |    least(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0) * 0.5 +
+         |    least(1.0, CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE) /
+         |               CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) * 4.0) * 0.5
+         |      AS quality_score
          |  FROM corpus),
          |kept AS (
          |  SELECT c.doc_id, c.text FROM corpus c JOIN q USING (doc_id)
@@ -689,10 +695,10 @@ object PipelineQueries {
         |    CAST(length(text) AS DOUBLE) AS punct_ratio,
         |  CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE) /
         |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS stop_ratio,
-        |  round(least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0) * 0.5 +
+        |  least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0) * 0.5 +
         |        least(1.0, CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE) /
-        |                   CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) * 4.0) * 0.5,
-        |        6) AS quality_score
+        |                   CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) * 4.0) * 0.5
+        |    AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality_repetition" ->
@@ -703,7 +709,7 @@ object PipelineQueries {
         |  GROUP BY doc_id, word),
         |ws AS (
         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac
+        |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_word_frac
         |  FROM wc GROUP BY doc_id),
         |gc AS (
         |  SELECT doc_id, bigram, count(*) AS c
@@ -714,8 +720,8 @@ object PipelineQueries {
         |  GROUP BY doc_id, bigram),
         |gs AS (
         |  SELECT doc_id,
-        |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
-        |          CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_frac
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
+        |          CAST(sum(c) AS DOUBLE) AS dup_bigram_frac
         |  FROM gc GROUP BY doc_id)
         |SELECT ws.doc_id, ws.n_words, ws.top_word_frac,
         |  COALESCE(gs.dup_bigram_frac, 0.0) AS dup_bigram_frac,
@@ -769,7 +775,7 @@ object PipelineQueries {
         |  SELECT doc_id, source, n_words,
         |         percent_rank() OVER (PARTITION BY source ORDER BY n_words) AS pr
         |  FROM t)
-        |SELECT doc_id, source, n_words, round(pr, 6) AS pr_r,
+        |SELECT doc_id, source, n_words, pr AS pr_r,
         |       pr >= 0.1 AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
 
@@ -878,10 +884,10 @@ object PipelineQueries {
 
     "mm_feature_hist" ->
       """SELECT doc_id,
-        |  round(CAST(len(regexp_extract_all(text, '[\x00-\x1f]')) AS DOUBLE) / length(text), 6) AS f1,
-        |  round(CAST(len(regexp_extract_all(text, '[\x20-\x3f]')) AS DOUBLE) / length(text), 6) AS f2,
-        |  round(CAST(len(regexp_extract_all(text, '[\x40-\x5f]')) AS DOUBLE) / length(text), 6) AS f3,
-        |  round(CAST(len(regexp_extract_all(text, '[\x60-\x7f]')) AS DOUBLE) / length(text), 6) AS f4,
+        |  CAST(len(regexp_extract_all(text, '[\x00-\x1f]')) AS DOUBLE) / length(text) AS f1,
+        |  CAST(len(regexp_extract_all(text, '[\x20-\x3f]')) AS DOUBLE) / length(text) AS f2,
+        |  CAST(len(regexp_extract_all(text, '[\x40-\x5f]')) AS DOUBLE) / length(text) AS f3,
+        |  CAST(len(regexp_extract_all(text, '[\x60-\x7f]')) AS DOUBLE) / length(text) AS f4,
         |  CAST(0 AS DOUBLE) AS f5, CAST(0 AS DOUBLE) AS f6,
         |  CAST(0 AS DOUBLE) AS f7, CAST(0 AS DOUBLE) AS f8
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -245,7 +245,13 @@ object RelationalQueries {
           ds(col("l_extendedprice")).as("sy"),
           ds2(col("l_extendedprice")).as("syy"), sxy.as("sxy"))
         .select(col("l_returnflag"),
-          round(col("sx") / col("n"), 6).as("mean_qty"),
+          // mean is a single division of exactly-cast operands — raw is
+          // bit-identical across engines, and round(…,6) on an
+          // int-ratio CAN land exactly on a half-way decimal (the
+          // q_tpch_q2 drift class). The multi-op var/corr keep round:
+          // they pass through libm sqrt / long float chains where
+          // half-way coincidence is measure-zero but ulp drift is real.
+          (col("sx") / col("n")).as("mean_qty"),
           round((col("sxx") - col("sx") * col("sx") / col("n")) /
             (col("n") - 1), 6).as("var_qty"),
           round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
@@ -432,8 +438,11 @@ object RelationalQueries {
       Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+        // raw: percent_rank/cume_dist are single divisions of exact
+        // rank/count ints — bit-identical across engines; round(…,6) on
+        // an int-ratio can land exactly half-way (q_tpch_q2 drift class)
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -837,14 +846,16 @@ object RelationalQueries {
     // per-part window minimum computed after the region restriction —
     // exactly the region-scoped minimum the subquery expresses. Cost
     // aggregation shuffles on (part, supplier); the supplier/nation/
-    // region and part dims broadcast onto it; double division is
-    // rounded once at the aggregate so both engines compare equal IEEE
-    // values.
+    // region and part dims broadcast onto it. The unit cost stays the
+    // RAW IEEE quotient: identical bits in both engines, so the
+    // min-equality filter and the output hash agree — round(x, 6)
+    // drifted on exact half-way quotients (e.g. 8541.05/32 =
+    // 266.9078125, caught by the sf0.1 scale check).
     "q_tpch_q2" -> ((s, d) => {
       val cost = Tables.lineitem(s, d)
         .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(round(min(col("l_extendedprice").cast("double") /
-          col("l_quantity").cast("double")), 6).as("unit_cost"))
+        .agg(min(col("l_extendedprice").cast("double") /
+          col("l_quantity").cast("double")).as("unit_cost"))
       val euSuppliers = broadcast(Tables.supplier(s, d)
         .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
         .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
@@ -1574,7 +1585,7 @@ object RelationalQueries {
         |    CAST(sum(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
-        |  round(sx / n, 6) AS mean_qty,
+        |  sx / n AS mean_qty,
         |  round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
         |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
         |  round((sxy - sx * sy / n) /
@@ -1686,8 +1697,8 @@ object RelationalQueries {
     "q_window_dist" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  ntile(4) OVER w AS quartile,
-        |  round(percent_rank() OVER w, 6) AS pr,
-        |  round(cume_dist() OVER w, 6) AS cd
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_returnflag
         |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
@@ -1939,7 +1950,7 @@ object RelationalQueries {
     "q_tpch_q2" ->
       """WITH cost AS (
         |  SELECT l_partkey, l_suppkey,
-        |    round(min(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)), 6) AS unit_cost
+        |    min(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) AS unit_cost
         |  FROM lineitem GROUP BY l_partkey, l_suppkey),
         |eu AS (
         |  SELECT s_suppkey, s_name, n_name

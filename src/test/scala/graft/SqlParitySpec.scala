@@ -73,6 +73,45 @@ class SqlParitySpec extends SparkSpec {
     }
   }
 
+  test("text_bm25 parity") {
+    check("text_bm25",
+      """WITH words AS (
+        |  SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words
+        |       WHERE term IN ('hash', 'join', 'spark') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT t.doc_id, count(*) AS n_terms_hit,
+        |  CAST(sum(CAST(round(
+        |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+        |              (CAST(d.df AS DOUBLE) + 0.5)) *
+        |    (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |    (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+        |       0.75 * CAST(l.dl AS DOUBLE) /
+        |       (CAST(s.tot_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))),
+        |    6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |FROM tf t JOIN df d USING (term) JOIN dl l ON t.doc_id = l.doc_id
+        |CROSS JOIN stats s
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+  }
+
+  test("pipeline_seq_pack parity") {
+    check("pipeline_seq_pack",
+      """WITH toks AS (
+        |  SELECT doc_id, source AS shard,
+        |         CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum_end
+        |  FROM toks)
+        |SELECT doc_id, shard, n_tokens,
+        |  (cum_end - n_tokens) div 256 AS seq_id,
+        |  CAST((cum_end - n_tokens) % 256 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin)
+  }
+
   test("threshold-style TPC-H analogs are non-empty (non-vacuous oracle)") {
     // These three shipped 0 rows on both engines in earlier rounds,
     // making the oracle compare vacuously green — any predicate bug that

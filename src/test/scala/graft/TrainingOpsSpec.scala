@@ -199,7 +199,7 @@ class TrainingOpsSpec extends SparkSpec {
       .map(r => r._1 -> r).toMap
     // s1: ranks 0/9 .. 9/9 — only the 1-word doc sits below the 0.1 cut
     assert(!got(1L)._5 && got(2L)._5 && got(10L)._5)
-    assert(got(2L)._4 === 0.111111) // round(1/9, 6)
+    assert(got(2L)._4 === 1.0 / 9.0) // raw percent_rank, bit-exact
     // s2 percentiles are computed within s2, not against s1's lengths
     assert(!got(100L)._5 && got(101L)._5)
   }
