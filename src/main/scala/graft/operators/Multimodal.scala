@@ -394,6 +394,31 @@ object Multimodal {
     }
   }
 
+  /** Scene-cut detection over sampled frames — the shot-segmentation
+    * stage of a video curation pipeline, on the deterministic frame
+    * signature (lead byte × 256 + frame length) standing in for a
+    * decoded luminance histogram. A cut is a signature jump above
+    * `threshold` versus the previous frame; scene ids are the running
+    * cut count. Both windows partition by doc_id, so the operator
+    * parallelizes per-document at any corpus size and never sees a
+    * global sort. First frame of a doc: no predecessor → not a cut,
+    * scene 0. */
+  def sceneCuts(frames: DataFrame, threshold: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val sig = expr("ascii(substring(cast(frame as string), 1, 1))") * 256 +
+      length(col("frame"))
+    frames
+      .withColumn("sig", sig.cast("int"))
+      .withColumn("is_cut",
+        coalesce(abs(col("sig") - lag(col("sig"), 1).over(w)) > threshold,
+          lit(false)))
+      .withColumn("scene_id",
+        sum(col("is_cut").cast("int")).over(w).cast("int"))
+      .select(col("doc_id"), col("frame_no"), col("sig"), col("is_cut"),
+        col("scene_id"))
+  }
+
   /** Oracle-friendly metadata extraction over the binary column:
     * byte length, sha256, and a hex "magic number" prefix. */
   def binaryMeta(documents: DataFrame): DataFrame =

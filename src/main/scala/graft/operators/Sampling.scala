@@ -92,4 +92,44 @@ object Sampling {
         ((col("cum_end") - col("n_tokens")) % capacity).cast("long")
           .as("seq_offset"))
   }
+
+  /** Capped round-robin source interleave — the training-mix schedule:
+    * each source contributes its first `cap` documents in md5(text)
+    * order, and documents are interleaved rank-by-rank across sources
+    * (rank-1 docs of every source, then rank-2, ...), so no single
+    * crawl dominates any window of the training stream.
+    *
+    * The global position is computed ARITHMETICALLY, not with a global
+    * row_number (which would force every row through one partition):
+    * the doc at in-source rank r of source s is preceded by
+    * Σ_t min(n_t, r-1) docs of lower rank plus the rank-r docs of
+    * sources ordered before s. The per-source capped counts are a tiny
+    * aggregate joined back via broadcast, so the whole schedule is two
+    * narrow shuffles (the per-source rank window, the count agg) at any
+    * corpus size. The in-source rank window partitions by source —
+    * for few-and-huge sources, pre-bucket each source by hash and rank
+    * bucket-locally with the same offset trick one level down.
+    */
+  def interleaveSources(documents: DataFrame, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    val ranked = documents
+      .withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= cap)
+      .select(col("doc_id"), col("source"), col("r"))
+    val counts = ranked.groupBy(col("source").as("t"))
+      .agg(count(lit(1)).as("n_t"))
+    // Tiny-side broadcast nested-loop join: every ranked row sees every
+    // source's capped count (|sources| rows), then one aggregation
+    // folds them into the position. Deliberate and bounded — the
+    // broadcast side is the source dimension, never the corpus.
+    ranked.join(broadcast(counts))
+      .groupBy(col("doc_id"), col("source"), col("r"))
+      .agg(sum(
+        least(col("n_t"), col("r") - 1) +
+          when(col("t") < col("source") && col("n_t") >= col("r"), 1L)
+            .otherwise(0L)).as("mix_pos"))
+  }
 }

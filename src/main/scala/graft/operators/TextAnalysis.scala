@@ -268,4 +268,31 @@ object TextAnalysis {
         levenshtein(col("a.tail"), col("b.tail")).as("lev"))
       .filter(col("lev") <= maxDist)
   }
+
+  /** PII patterns for redaction: (name, regex, replacement tag). The
+    * regexes stay inside the dialect-portable subset (literal char
+    * classes + bounded quantifiers, no lookaround or backrefs) so
+    * RE2-based engines reproduce the exact same match set as Java's
+    * `java.util.regex` — the property the oracle depends on. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[a-z0-9._]+@[a-z0-9]+\.[a-z]+""", "<EMAIL>"),
+    ("phone", """[0-9]{3}-[0-9]{4}""", "<PHONE>"))
+
+  /** PII redaction — the compliance pass every crawl corpus takes
+    * before training. Counts each pattern's matches on the original
+    * text and rewrites every occurrence to its tag (Spark's
+    * `regexp_replace` is global). One codegen'd projection, no shuffle;
+    * the redacted body is emitted as its md5 so the result stays
+    * narrow. */
+  def redactPii(documents: DataFrame,
+      patterns: Seq[(String, String, String)] = PiiPatterns): DataFrame = {
+    val redacted = patterns.foldLeft(col("text")) {
+      case (c, (_, rx, tag)) => regexp_replace(c, rx, tag)
+    }
+    val counts = patterns.map { case (name, rx, _) =>
+      rxCount(col("text"), rx).cast("long").as(s"n_$name")
+    }
+    documents.select(
+      col("doc_id") +: counts :+ md5(redacted.cast("binary")).as("redacted_md5"): _*)
+  }
 }

@@ -348,6 +348,42 @@ object PipelineQueries {
           length(col("frame")).as("frame_bytes"))
         .orderBy("doc_id", "frame_no")),
 
+    // Shot segmentation over the sampled frames: signature-jump cut
+    // detection + running scene ids, per-doc lag/sum windows.
+    "mm_scene_cut" -> ((s, d) =>
+      Multimodal.sceneCuts(
+        Multimodal.sampleFrames(
+          Multimodal.asBinaryPayloads(Tables.documents(s, d)), 64, 2),
+        threshold = 1500)
+        .orderBy("doc_id", "frame_no")),
+
+    // PII redaction with deterministic injected PII (emails for 2/3 of
+    // docs, phone numbers for 1/5) so match counts vary and the gate is
+    // non-vacuous on the synthetic corpus.
+    "text_pii_redact" -> ((s, d) =>
+      TextAnalysis.redactPii(
+        Tables.documents(s, d).withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 3 =!= 0,
+              concat(lit(" reach user"), col("doc_id").cast("string"),
+                lit("@mail"), (col("doc_id") % 7).cast("string"),
+                lit(".com"))).otherwise(lit(" anon")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")))))
+        .orderBy("doc_id")),
+
+    // Training-mix interleave: capped per-source quotas, global stream
+    // position computed arithmetically from broadcast counts (no global
+    // row_number at any scale).
+    // cap = 20 BINDS on the 25-doc sources of the test corpus (each
+    // source drops its hash-order tail) so the quota path is exercised
+    // by the gate, not just the interleave arithmetic.
+    "pipeline_source_mix" -> ((s, d) =>
+      Sampling.interleaveSources(Tables.documents(s, d), cap = 20)
+        .orderBy("mix_pos")),
+
     // Resize stage over decoded payloads. The stub's byte/dimension
     // arithmetic is deterministic, so (unusually for a codec stage) it
     // IS oracle-checkable: the documents corpus is pure ASCII, making
@@ -871,6 +907,56 @@ object PipelineQueries {
         |       CAST(least(64, n - frame_no * 64) AS INTEGER) AS frame_bytes
         |FROM fr WHERE frame_no % 2 = 0
         |ORDER BY doc_id, frame_no""".stripMargin,
+
+    "mm_scene_cut" ->
+      """WITH f AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |fr AS (
+        |  SELECT doc_id, text, n,
+        |         unnest(generate_series(0,
+        |           CAST(ceil(CAST(n AS DOUBLE) / 64) AS BIGINT) - 1)) AS frame_no
+        |  FROM f),
+        |fs AS (
+        |  SELECT doc_id, frame_no,
+        |         CAST(ascii(substr(text, CAST(frame_no * 64 + 1 AS BIGINT), 1)) * 256
+        |              + least(64, n - frame_no * 64) AS INTEGER) AS sig
+        |  FROM fr WHERE frame_no % 2 = 0),
+        |cut AS (
+        |  SELECT doc_id, frame_no, sig,
+        |         coalesce(abs(sig - lag(sig) OVER w) > 1500, FALSE) AS is_cut
+        |  FROM fs WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no))
+        |SELECT doc_id, frame_no, sig, is_cut,
+        |  CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+        |       OVER (PARTITION BY doc_id ORDER BY frame_no) AS INTEGER) AS scene_id
+        |FROM cut ORDER BY doc_id, frame_no""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 != 0
+        |         THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+        |              CAST(doc_id % 7 AS VARCHAR) || '.com'
+        |         ELSE ' anon' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "pipeline_source_mix" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(text), doc_id) AS r
+        |  FROM documents QUALIFY r <= 20)
+        |SELECT doc_id, source, r,
+        |       row_number() OVER (ORDER BY r, source, doc_id) - 1 AS mix_pos
+        |FROM ranked ORDER BY mix_pos""".stripMargin,
 
     "flow_gzip_roundtrip" ->
       "SELECT doc_id FROM documents ORDER BY doc_id",

@@ -1309,6 +1309,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
+    // Bounded-radius BFS: minimum hops from nation-0 customers over the
+    // undirected customer—supplier co-order graph (supplier node ids
+    // offset by 1e6 to disjoin the key spaces). One frontier⋈edges
+    // shuffle per hop — the Pregel shape — against DuckDB's recursive
+    // CTE as the oracle.
+    "graph_bfs_hops" -> ((s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+        .select(col("c_custkey").as("node"))
+      graft.operators.Graph.bfsHops(edges, seeds, maxHops = 3)
+        .orderBy("node")
+    }),
+
     // Cohort retention: users bucketed by first-seen hour, activity
     // counted per (cohort, hour offset) — the canonical product-
     // analytics matrix. Two aggregations and one co-partitioned join
@@ -2218,6 +2234,22 @@ object RelationalQueries {
         |FROM edges e1
         |JOIN edges e2 ON e1.b = e2.a
         |JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
+
+    "graph_bfs_hops" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |und AS (SELECT src, dst FROM edges
+        |        UNION SELECT dst, src FROM edges),
+        |bfs(node, hops) AS (
+        |  SELECT CAST(c_custkey AS BIGINT), 0
+        |  FROM customer WHERE c_nationkey = 0
+        |  UNION
+        |  SELECT u.dst, b.hops + 1
+        |  FROM bfs b JOIN und u ON b.node = u.src WHERE b.hops < 3)
+        |SELECT node, CAST(min(hops) AS INTEGER) AS hops
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH ev AS (

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Multimodal, Sampling, TextAnalysis}
+
+/** Round-5 operators: bounded-depth BFS, PII redaction, capped source
+  * interleaving, and frame scene-cut detection. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bfsHops: min hops on a path graph, radius-bounded") {
+    // 1-2-3-4-5 path, seed {1}: hops = node distance; 5 is 4 hops out
+    // and must be absent at maxHops=3.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("bfsHops: undirected traversal, multiple seeds, min over seeds") {
+    // Edges stored one direction only; traversal must go both ways.
+    // Node 3 is 1 hop from seed 4 and 2 from seed 1 — BFS keeps 1.
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 4L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("bfsHops: disconnected components stay unreached") {
+    val edges = Seq((1L, 2L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1))
+  }
+
+  test("redactPii: counts and global replacement") {
+    val docs = Seq(
+      (1L, "mail bob.1@example.com and sue@test.org or call 555-1234"),
+      (2L, "no pii here"),
+      (3L, "twice 111-2222 and 333-4444")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs).orderBy("doc_id")
+      .select("doc_id", "n_email", "n_phone").as[(Long, Long, Long)]
+      .collect()
+    assert(got === Array((1L, 2L, 1L), (2L, 0L, 0L), (3L, 0L, 2L)))
+    // The md5 is of the fully-redacted body: recompute via Spark's own
+    // md5 on the expected literal and compare.
+    val gotMd5 = TextAnalysis.redactPii(docs).filter($"doc_id" === 1)
+      .select("redacted_md5").as[String].head()
+    val expMd5 = Seq("mail <EMAIL> and <EMAIL> or call <PHONE>").toDF("t")
+      .select(md5($"t".cast("binary"))).as[String].head()
+    assert(gotMd5 === expMd5)
+  }
+
+  test("interleaveSources: arithmetic mix_pos equals the global row_number") {
+    // Uneven sources (5/3/1 docs, cap 4) — the capped quota and the
+    // source-exhaustion transition both exercise the offset arithmetic.
+    val docs = (1L to 5L).map(i => (i, s"alpha doc $i", "s1")) ++
+      (6L to 8L).map(i => (i, s"beta doc $i", "s2")) ++
+      Seq((9L, "gamma doc", "s3"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val got = Sampling.interleaveSources(df, cap = 4)
+    // Oracle semantics, driver-side: rank within source by (md5, id),
+    // global order by (rank, source).
+    val ranked = got.select("doc_id", "source", "r", "mix_pos")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._4)
+    assert(ranked.length === 8) // 4 + 3 + 1
+    // positions are exactly 0..7 with no gaps
+    assert(ranked.map(_._4).toSeq === (0L to 7L))
+    // global order is rank-major, source-minor
+    val pairs = ranked.map(t => (t._3, t._2)).toSeq
+    assert(pairs === pairs.sorted)
+    // round-robin head: rank-1 docs of all three sources come first
+    assert(ranked.take(3).map(_._2).toSet === Set("s1", "s2", "s3"))
+  }
+
+  test("sceneCuts: jump threshold splits scenes, first frame opens scene 0") {
+    // Frames crafted via payloads whose 64-byte frames alternate lead
+    // chars 'a' (97) and 'z' (122): |sig jump| = 25*256 = 6400 > 1500
+    // at every sampled-frame boundary.
+    val text = ("a" * 128) + ("z" * 128) + ("a" * 128) // frames 0,2,4 sampled
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.asBinaryPayloads(docs), 64, 2)
+    val got = Multimodal.sceneCuts(frames, threshold = 1500)
+      .orderBy("frame_no")
+      .select("frame_no", "is_cut", "scene_id")
+      .as[(Long, Boolean, Int)].collect()
+    assert(got === Array((0L, false, 0), (2L, true, 1), (4L, true, 2)))
+  }
+
+  test("sceneCuts: steady stream is a single scene") {
+    val docs = Seq((1L, "m" * 300)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.asBinaryPayloads(docs), 64, 2)
+    val got = Multimodal.sceneCuts(frames, threshold = 1500)
+      .select("is_cut", "scene_id").as[(Boolean, Int)].collect()
+    assert(got.forall(r => !r._1 && r._2 === 0))
+  }
+}

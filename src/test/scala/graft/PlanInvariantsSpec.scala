@@ -20,7 +20,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "text_bm25",         // one-row corpus stats
     "text_tfidf_vocab",  // one-row corpus size
     "sim_topk_bruteforce", "sim_topk_aggregator", "sim_topk_native", // probes
-    "sim_kmeans_step"    // K centroids
+    "sim_kmeans_step",   // K centroids
+    "pipeline_source_mix" // |sources|-row capped-count dimension
   )
 
   test("no CartesianProduct in any plan; BNLJ only in the audited set") {
