@@ -47,7 +47,11 @@ object GraftExtensions {
     "dot_product" -> (exprs => DotProduct(
       as(exprs(0), ArrayType(DoubleType)), as(exprs(1), ArrayType(DoubleType)))),
     "rolling_fingerprint" -> (exprs =>
-      RollingFingerprint(as(exprs(0), StringType), intArg(exprs(1), "window"))))
+      RollingFingerprint(as(exprs(0), StringType), intArg(exprs(1), "window"))),
+    "zorder2" -> (exprs => ZOrder2(
+      as(exprs(0), org.apache.spark.sql.types.LongType),
+      as(exprs(1), org.apache.spark.sql.types.LongType),
+      intArg(exprs(2), "bits"))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit = {

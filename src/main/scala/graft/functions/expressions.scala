@@ -175,6 +175,54 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** zorder2(long, long) → long: interleaves the low `bits` bits of two
+  * keys (x on even positions, y on odd) into one Morton/z-order key.
+  * Sorting or range-partitioning a table by this key co-locates rows
+  * that are close in BOTH dimensions, so min/max footer pruning on
+  * either column stays effective after the layout — the standard
+  * multi-dimensional clustering trick for 100 TB lakehouse tables
+  * (one sort at write time buys 2-D partition pruning forever).
+  * Codegen'd: runs once per row at table-rewrite scale. */
+case class ZOrder2(left: Expression, right: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  require(bits > 0 && bits <= 32, "bits must be in [1,32]")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder2"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long]
+    val y = b.asInstanceOf[Long]
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >>> i) & 1L) << (2 * i) | ((y >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val z = ctx.freshName("z")
+      val s = ctx.freshName("s")
+      // Simple statements only: janino misparses a parenthesized shift
+      // distance followed by `|` ("(2 * i) | ..." reads as a cast).
+      s"""
+         |long $z = 0L;
+         |int $s = 0;
+         |for (int $i = 0; $i < $bits; $i++) {
+         |  $z |= (($a >>> $i) & 1L) << $s;
+         |  $s++;
+         |  $z |= (($b >>> $i) & 1L) << $s;
+         |  $s++;
+         |}
+         |${ev.value} = $z;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
+    copy(left = l, right = r)
+}
+
 /** Column-level API for the custom expressions. */
 object functions {
   // Input typing is enforced here via casts (AbstractDataType /
@@ -197,4 +245,7 @@ object functions {
   def dot_product(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
       ex(a.cast("array<double>")), ex(b.cast("array<double>"))))
+  def zorder2(a: Column, b: Column, bits: Int = 16): Column =
+    GraftColumnBridge.column(ZOrder2(
+      ex(a.cast("long")), ex(b.cast("long")), bits))
 }

@@ -246,6 +246,46 @@ object Similarity {
         when(col("scale") === 0.0, 0)
           .otherwise(round(col("x") / col("scale"), 0)).cast("int").as("q"))
 
+  /** Product quantization (PQ) — the compression stage of the standard
+    * IVF-PQ stack that makes billion-vector ANN serveable: each vector
+    * splits into `m` subvectors, each subvector is replaced by the id of
+    * its nearest codebook entry (L2², via the dot-product identity
+    * |a-b|² = a·a - 2a·b + b·b), giving an m-byte code per vector plus
+    * its quantization error. The codebook here is the first `k` vectors'
+    * subvectors (deterministic sample); a production build k-means each
+    * subspace — [[kmeansUpdateStep]] is that trainer.
+    *
+    * Scale shape: the codebook broadcasts (k·dim doubles); assignment is
+    * a map-side scan with a bounded per-row argmin — the only shuffle is
+    * the final per-vector rollup keyed by vec_id. Argmin rounds to 6 dp
+    * with a centroid-id tie-break (the [[ivfTopK]] rule), so ulp-level
+    * summation drift can't flip a code. */
+  def productQuantize(vecs: DataFrame, m: Int = 4, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subs = vecs
+      .select(col("vec_id"), col("v"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(v, sub * (size(v) div $m) + 1, size(v) div $m)")
+          .as("sv"))
+    val codebook = broadcast(subs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv")))
+    val d2 = subs.join(codebook, Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("dist2"))
+    val wAssign = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(round(col("dist2"), 6).asc, col("cid").asc)
+    val chosen = d2.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+    val codeCols = (0 until m).map(s =>
+      max(when(col("sub") === s, col("cid"))).as(s"code_$s"))
+    chosen.groupBy(col("vec_id"))
+      .agg(codeCols.head, codeCols.tail :+
+        sum(round(col("dist2"), 6).cast("decimal(18,6)")).cast("double")
+          .as("err"): _*)
+  }
+
   /** One Lloyd's-iteration update step over an embedding corpus:
     * assign every vector to its max-cosine centroid (deterministic
     * centroid-id tie-break), then recompute each centroid dimension as

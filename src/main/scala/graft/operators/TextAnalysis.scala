@@ -250,6 +250,71 @@ object TextAnalysis {
         sum(round(weight, 6).cast("decimal(18,6)")).cast("double").as("score"))
   }
 
+  /** C4-style boilerplate filter: a word n-gram is boilerplate when it
+    * appears in more than `maxDocFrac` of the corpus' documents; each
+    * document reports how much of its gram mass is boilerplate and the
+    * keep/drop decision a crawl-cleaning pass would apply.
+    *
+    * Scale shape: per-doc distinct grams explode once; document
+    * frequency is a gram-keyed aggregate (partial agg map-side); the
+    * corpus size rides in as a broadcast 1-row aggregate and the
+    * boilerplate verdict joins back on the gram hash — fixed-width
+    * shuffle keys throughout, never doc×doc. The per-doc rollup is
+    * doc_id-keyed, so fan-out is bounded by document length. */
+  def boilerplateNgramStats(documents: DataFrame, n: Int = 3,
+      maxDocFrac: Double = 0.3): DataFrame = {
+    val grams = ngramHashes(documents, n) // distinct (doc_id, gram_hash)
+    val df = grams.groupBy(col("gram_hash")).agg(count(lit(1)).as("df"))
+    val total = documents.agg(count(lit(1)).as("n_docs"))
+    val flagged = df.crossJoin(broadcast(total))
+      .select(col("gram_hash"),
+        (col("df").cast("double") >
+          col("n_docs").cast("double") * maxDocFrac).as("is_boiler"))
+    grams.join(flagged, "gram_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        // raw int-ratio: bit-identical across engines (q_tpch_q2 rule)
+        (col("n_boiler").cast("double") / col("n_grams").cast("double"))
+          .as("boiler_frac"),
+        (col("n_boiler").cast("double") <
+          col("n_grams").cast("double") * 0.5).as("keep"))
+  }
+
+  /** Character-trigram Shannon entropy per document — the cheap
+    * gibberish/low-diversity quality signal (low entropy = repeated
+    * machine text, high = natural language). Trigrams explode via a
+    * `sequence` generator (no UDF); the histogram and the entropy are
+    * two doc_id-keyed aggregations, embarrassingly parallel at any
+    * corpus size. Each entropy term is rounded to 6 dp and summed as
+    * DECIMAL(18,6): double summation is addition-order-dependent and
+    * would drift between engines (the repo's standing oracle rule). */
+  def trigramEntropy(documents: DataFrame): DataFrame = {
+    val grams = documents
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("gram"))
+    val hist = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    // ln(p)/ln(2) in BOTH engines (not a dedicated log2), so the raw
+    // doubles agree before the 6-dp rounding absorbs any ULP residue.
+    val p = col("c").cast("double") / col("n").cast("double")
+    val term = -p * (log(p) / log(lit(2.0)))
+    // hist and totals share the doc_id hash partitioning, so Catalyst
+    // reuses the exchange: the join adds no extra shuffle.
+    hist.join(totals, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_grams"),
+        max(col("n_distinct")).as("n_distinct"),
+        sum(round(term, 6).cast("decimal(18,6)")).cast("double")
+          .as("entropy_bits"))
+  }
+
   /** Fuzzy near-duplicate pairs by edit distance, with prefix blocking:
     * candidates share their first `prefixLen` chars (an equi-join on a
     * tiny derived key — the classic blocking trick that keeps fuzzy

@@ -289,6 +289,23 @@ object FlowLogQueries {
           sum(col("packets")).as("total_packets"))
         .orderBy("bucket_start", "action")),
 
+    // Port-scan detection: sources touching many distinct (dest, port)
+    // targets inside one event-time hour — the security alert an ES
+    // flow dashboard exists to raise. One aggregation keyed by
+    // (srcaddr, hour); the distinct target count is a group-local
+    // distinct, so partial aggregation still collapses map-side and the
+    // plan is a single exchange at any scale.
+    "flow_port_scan" -> ((s, d) =>
+      parsed(s, d).filter(!col("error"))
+        .groupBy(col("srcaddr"), expr("`start` div 3600").as("hour_bucket"))
+        .agg(
+          countDistinct(concat_ws(":", col("destaddr"),
+            col("dstport").cast("string"))).as("n_targets"),
+          countDistinct(col("dstport")).as("n_ports"),
+          count(lit(1)).as("n_flows"))
+        .filter(col("n_targets") >= 3)
+        .orderBy("srcaddr", "hour_bucket")),
+
     // OP-4/OP-5: control-message filter + newline projection (ingestor)
     "ingest_filter_project" -> ((s, d) =>
       Tables.events(s, d)
@@ -344,6 +361,17 @@ object FlowLogQueries {
       s"""SELECT id, srcaddr FROM parsed
          |WHERE NOT error AND regexp_matches(srcaddr, '$PrivRx')
          |ORDER BY id""".stripMargin),
+
+    "flow_port_scan" -> withCtes(linesCte, parsedCte)(
+      """SELECT srcaddr, "start" // 3600 AS hour_bucket,
+        |       count(DISTINCT destaddr || ':' || CAST(dstport AS VARCHAR))
+        |         AS n_targets,
+        |       count(DISTINCT dstport) AS n_ports,
+        |       count(*) AS n_flows
+        |FROM parsed WHERE NOT error
+        |GROUP BY srcaddr, hour_bucket
+        |HAVING count(DISTINCT destaddr || ':' || CAST(dstport AS VARCHAR)) >= 3
+        |ORDER BY srcaddr, hour_bucket""".stripMargin),
 
     "flow_geo" -> withCtes(linesCte, parsedCte, eniCte, geoCte, enr1Cte, enr2Cte)(
       """SELECT id, srcaddr, is_private, country_code, country_name,

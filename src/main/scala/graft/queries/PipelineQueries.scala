@@ -161,6 +161,15 @@ object PipelineQueries {
           .select(col("vec_id"), col("v")))
         .orderBy("vec_id", "dim")),
 
+    // Product quantization: 4 subspaces × 8 codebook entries (seeded
+    // from the first 8 vectors), argmin-L2² code per subspace plus the
+    // per-vector quantization error — the IVF-PQ compression stage.
+    "sim_pq_codes" -> ((s, d) =>
+      Similarity.productQuantize(
+        Similarity.vectors(Tables.embeddings(s, d))
+          .select(col("vec_id"), col("v")), m = 4, k = 8)
+        .orderBy("vec_id")),
+
     // One k-means Lloyd's update: assign to max-cosine centroid (the
     // first 8 vectors seed the centroids), recompute per-dimension
     // means from exact decimal sums.
@@ -200,6 +209,19 @@ object PipelineQueries {
     // view — one gram-keyed aggregation, top-k via sort-limit heaps.
     "text_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(Tables.documents(s, d), n = 2, k = 50)),
+
+    // C4-style boilerplate filter: per-doc share of gram mass taken by
+    // corpus-dominating trigrams (df > 30% of docs), with the keep flag.
+    "text_boilerplate" -> ((s, d) =>
+      TextAnalysis.boilerplateNgramStats(Tables.documents(s, d), n = 3,
+        maxDocFrac = 0.3)
+        .orderBy("doc_id")),
+
+    // Char-trigram Shannon entropy — the gibberish/low-diversity quality
+    // signal. Terms round to 6 dp and sum as exact decimal (see scaladoc).
+    "text_trigram_entropy" -> ((s, d) =>
+      TextAnalysis.trigramEntropy(Tables.documents(s, d))
+        .orderBy("doc_id")),
 
     // Per-source length-percentile filter: drop each crawl's shortest
     // tail (exact percent_rank, engine-stable rational arithmetic).
@@ -606,6 +628,34 @@ object PipelineQueries {
          |       ELSE round(unnest(v) / scale) END AS INTEGER) AS q
          |FROM scaled ORDER BY vec_id, dim""".stripMargin,
 
+    "sim_pq_codes" ->
+      s"""WITH $ovecsCte,
+         |subsp AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |subs AS (
+         |  SELECT vec_id, sub,
+         |         v[(sub * (len(v) // 4) + 1):((sub + 1) * (len(v) // 4))] AS sv
+         |  FROM ovecs CROSS JOIN subsp),
+         |cb AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 8),
+         |d AS (
+         |  SELECT a.vec_id, a.sub, cb.cid,
+         |         list_dot_product(a.sv, a.sv)
+         |           - 2.0 * list_dot_product(a.sv, cb.cv)
+         |           + list_dot_product(cb.cv, cb.cv) AS dist2
+         |  FROM subs a JOIN cb USING (sub)),
+         |ch AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, sub, cid, dist2, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY round(dist2, 6), cid) AS rn
+         |    FROM d) WHERE rn = 1)
+         |SELECT vec_id,
+         |  CAST(max(CASE WHEN sub = 0 THEN cid END) AS BIGINT) AS code_0,
+         |  CAST(max(CASE WHEN sub = 1 THEN cid END) AS BIGINT) AS code_1,
+         |  CAST(max(CASE WHEN sub = 2 THEN cid END) AS BIGINT) AS code_2,
+         |  CAST(max(CASE WHEN sub = 3 THEN cid END) AS BIGINT) AS code_3,
+         |  CAST(CAST(sum(CAST(round(dist2, 6) AS DECIMAL(18,6)))
+         |       AS DECIMAL(38,6)) AS DOUBLE) AS err
+         |FROM ch GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "sim_kmeans_step" ->
       s"""WITH $ovecsCte,
          |cents AS (SELECT vec_id AS cid, v AS cv FROM ovecs WHERE vec_id < 8),
@@ -801,6 +851,50 @@ object PipelineQueries {
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM g GROUP BY gram
         |ORDER BY n_occurrences DESC, gram LIMIT 50""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH wrd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM wrd),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |         md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS gh
+        |  FROM idx),
+        |df AS (SELECT gh, count(*) AS df FROM g GROUP BY gh),
+        |tot AS (SELECT count(*) AS n_docs FROM documents),
+        |fl AS (
+        |  SELECT gh, CAST(df AS DOUBLE) > CAST(n_docs AS DOUBLE) * 0.3 AS is_boiler
+        |  FROM df CROSS JOIN tot),
+        |per AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |         CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |  FROM g JOIN fl USING (gh) GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, n_boiler,
+        |       CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE) AS boiler_frac,
+        |       CAST(n_boiler AS DOUBLE) < CAST(n_grams AS DOUBLE) * 0.5 AS keep
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    "text_trigram_entropy" ->
+      """WITH i AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i
+        |  FROM documents WHERE length(text) >= 3),
+        |h AS (
+        |  SELECT doc_id, substr(text, i, 3) AS gram, count(*) AS c
+        |  FROM i GROUP BY doc_id, gram),
+        |t AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |         count(*) AS n_distinct
+        |  FROM h GROUP BY doc_id)
+        |SELECT h.doc_id AS doc_id,
+        |       max(n) AS n_grams, max(n_distinct) AS n_distinct,
+        |       CAST(CAST(sum(CAST(round(
+        |         -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |          (ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / ln(2.0)),
+        |         6) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS entropy_bits
+        |FROM h JOIN t USING (doc_id)
+        |GROUP BY h.doc_id ORDER BY doc_id""".stripMargin,
 
     "pipeline_length_filter" ->
       """WITH t AS (

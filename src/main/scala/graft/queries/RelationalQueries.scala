@@ -704,6 +704,26 @@ object RelationalQueries {
         sha2(col("p_name").cast("binary"), 256).as("h_sha256"))
         .orderBy("p_partkey")),
 
+    // Z-order (Morton) layout key over two join dimensions, via the
+    // codegen'd ZOrder2 expression: range-binning the interleaved key
+    // produces buckets whose rows are close in BOTH dimensions (the
+    // min/max envelopes per bucket are the proof — and exactly what
+    // parquet footer pruning consumes after a zorder-sorted rewrite of
+    // a 100 TB table).
+    "q_zorder" -> ((s, d) => {
+      import graft.functions.functions.zorder2
+      val px = pmod(col("l_partkey"), lit(1024)).cast("long")
+      val sx = pmod(col("l_suppkey"), lit(1024)).cast("long")
+      Tables.lineitem(s, d)
+        .select(px.as("px"), sx.as("sx"))
+        .withColumn("zkey", zorder2(col("px"), col("sx"), 10))
+        .groupBy(shiftright(col("zkey"), 12).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("px")).as("px_min"), max(col("px")).as("px_max"),
+          min(col("sx")).as("sx_min"), max(col("sx")).as("sx_max"))
+        .orderBy("bucket")
+    }),
+
     // Correlated-subquery semantics ("orders above their customer's
     // average"), decorrelated into a window — the comparison runs on
     // exact decimals (price × count vs decimal sum), so no float-
@@ -1892,6 +1912,22 @@ object RelationalQueries {
     "q_hash_funcs" ->
       """SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_zorder" -> {
+      // The oracle spells out the 10-bit interleave as 20 shift/mask
+      // terms — an independent formulation of ZOrder2's loop.
+      val zexpr = (0 until 10).map(i =>
+        s"(((px >> $i) & 1) << ${2 * i}) | (((sx >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT l_partkey % 1024 AS px, l_suppkey % 1024 AS sx
+         |  FROM lineitem),
+         |z AS (SELECT px, sx, ($zexpr) AS zkey FROM b)
+         |SELECT zkey >> 12 AS bucket, count(*) AS n,
+         |       min(px) AS px_min, max(px) AS px_max,
+         |       min(sx) AS sx_min, max(sx) AS sx_max
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     "q_above_cust_avg" ->
       """WITH w AS (

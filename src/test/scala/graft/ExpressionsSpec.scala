@@ -92,6 +92,35 @@ class ExpressionsSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(0)))
   }
 
+  test("zorder2 matches a brute-force bit interleave (codegen path)") {
+    def brute(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((z, i) =>
+        z | ((x >>> i) & 1L) << (2 * i) | ((y >>> i) & 1L) << (2 * i + 1))
+    val gen = for {
+      x <- Gen.choose(0L, 1023L); y <- Gen.choose(0L, 1023L)
+    } yield (x, y)
+    val cases = samples(gen, 200) ++ Seq((0L, 0L), (1023L, 1023L), (3L, 2L))
+    val got = cases.toDF("x", "y")
+      .select(gf.zorder2($"x", $"y", 10)).as[Long].collect()
+    assert(got.toSeq === cases.map { case (x, y) => brute(x, y, 10) })
+    // known value: x=3 (bits 11), y=2 (bits 10) → z = 1101b = 13
+    assert(brute(3L, 2L, 10) === 13L)
+  }
+
+  test("zorder2 buckets bound both dimensions (the locality contract)") {
+    // Rows sharing a z-prefix tile must lie in a 64×64 rectangle: that
+    // envelope is what makes footer min/max pruning work post-layout.
+    val df = Tables.lineitem(spark, sfDir)
+      .select(pmod($"l_partkey", lit(1024)).cast("long").as("px"),
+        pmod($"l_suppkey", lit(1024)).cast("long").as("sx"))
+      .withColumn("bucket", shiftright(gf.zorder2($"px", $"sx", 10), 12))
+      .groupBy("bucket")
+      .agg((max($"px") - min($"px")).as("pspan"),
+        (max($"sx") - min($"sx")).as("sspan"))
+    val bad = df.filter($"pspan" >= 64 || $"sspan" >= 64).count()
+    assert(bad === 0)
+  }
+
   test("property: parser never crashes and routes junk to dead-letter") {
     val lines = samples(Arbitrary.arbitrary[String], 200)
       .map(_.replace('\n', ' ').replace('\r', ' '))

@@ -114,6 +114,27 @@ class PipelineSpec extends SparkSpec {
     assert(out.groupBy($"probe_id").count().filter($"count" =!= 3).count() === 0)
   }
 
+  test("PQ: codebook vectors encode to themselves with zero error") {
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val out = Similarity.productQuantize(vecs, m = 4, k = 8).cache()
+    // every vector gets exactly one row with all 4 codes in [0, 8)
+    assert(out.count() === vecs.count())
+    assert(out.filter(
+      $"code_0" < 0 || $"code_0" >= 8 || $"code_1" < 0 || $"code_1" >= 8 ||
+      $"code_2" < 0 || $"code_2" >= 8 || $"code_3" < 0 || $"code_3" >= 8 ||
+      $"err" < 0).count() === 0)
+    // a codebook vector's nearest centroid in each subspace is itself
+    // (dist 0; id tie-break keeps it unless another seed is identical)
+    val seeds = out.filter($"vec_id" < 8)
+      .select($"vec_id", $"code_0", $"code_1", $"code_2", $"code_3", $"err")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    for ((id, c0, c1, c2, c3, err) <- seeds) {
+      assert(Seq(c0, c1, c2, c3).forall(_ === id), s"seed $id codes")
+      assert(err === 0.0, s"seed $id err")
+    }
+  }
+
   test("chunking reassembles to the original payload, hashes are content keys") {
     import graft.operators.Multimodal
     val docs = Seq((1L, "x" * 150), (2L, "y" * 64), (3L, "z" * 150 + "x" * 0))

@@ -246,4 +246,41 @@ class TrainingOpsSpec extends SparkSpec {
     // and offsets stay inside the capacity
     for ((_, _, _, seqId, off) <- got.values) assert(off >= 0 && off < 100)
   }
+
+  test("boilerplateNgramStats flags corpus-dominating grams, spares rare ones") {
+    // "x y z" appears in 3/4 docs (df 0.75 > 0.3 → boilerplate);
+    // each doc's other grams are unique to it.
+    val docs = Seq(
+      (1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i"),
+      (4L, "j k l m n o")).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateNgramStats(docs, n = 3, maxDocFrac = 0.3)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // docs 1-3: 4 grams each ("x y z", "y z a", "z a b", "a b c"), one
+    // of which ("x y z") is boilerplate
+    for (id <- Seq(1L, 2L, 3L)) {
+      val (_, nGrams, nBoiler, frac, keep) = got(id)
+      assert(nGrams === 4L && nBoiler === 1L && frac === 0.25 && keep)
+    }
+    val (_, n4, b4, _, k4) = got(4L)
+    assert(n4 === 4L && b4 === 0L && k4)
+  }
+
+  test("trigramEntropy: uniform text maximizes, repeated text minimizes") {
+    val docs = Seq(
+      (1L, "aaaaaaaaaa"),          // 8 identical trigrams → entropy 0
+      (2L, "abcdefghij")           // 8 distinct trigrams → entropy 3 bits
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.trigramEntropy(docs)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 8L && got(1L)._3 === 1L && got(1L)._4 === 0.0)
+    assert(got(2L)._2 === 8L && got(2L)._3 === 8L &&
+      math.abs(got(2L)._4 - 3.0) < 1e-4)
+    // invariant on real data: 0 <= entropy <= log2(n_distinct)
+    val real = TextAnalysis.trigramEntropy(Tables.documents(spark, sfDir))
+    val bad = real.filter(col("entropy_bits") < 0 ||
+      col("entropy_bits") >
+        log(col("n_distinct").cast("double")) / log(lit(2.0)) + 1e-3).count()
+    assert(bad === 0)
+  }
 }
