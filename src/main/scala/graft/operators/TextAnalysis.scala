@@ -285,11 +285,18 @@ object TextAnalysis {
   /** Character-trigram Shannon entropy per document — the cheap
     * gibberish/low-diversity quality signal (low entropy = repeated
     * machine text, high = natural language). Trigrams explode via a
-    * `sequence` generator (no UDF); the histogram and the entropy are
-    * two doc_id-keyed aggregations, embarrassingly parallel at any
-    * corpus size. Each entropy term is rounded to 6 dp and summed as
-    * DECIMAL(18,6): double summation is addition-order-dependent and
-    * would drift between engines (the repo's standing oracle rule). */
+    * `sequence` generator (no UDF); via the identity
+    * H = log2(n) - (Σ c·log2(c)) / n the whole computation is two
+    * doc_id-keyed aggregations with NO join back (the naive p·log2(p)
+    * form needs the total n per gram row, costing an extra shuffle) —
+    * embarrassingly parallel at any corpus size.
+    *
+    * Determinism: each c·log2(c) term rounds to 6 dp and sums as exact
+    * decimal (double summation is addition-order-dependent — the repo's
+    * standing oracle rule); log2 is spelled ln(x)/ln(2) in BOTH engines
+    * so the raw doubles agree bit-for-bit. The final H is one fixed
+    * chain of IEEE ops over those exact inputs (can dip ~1ulp below
+    * zero for uniform docs — callers clamp if they need H ≥ 0). */
   def trigramEntropy(documents: DataFrame): DataFrame = {
     val grams = documents
       .filter(length(col("text")) >= 3)
@@ -299,19 +306,14 @@ object TextAnalysis {
           .as("gram"))
     val hist = grams.groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("c"))
-    val totals = hist.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
-    // ln(p)/ln(2) in BOTH engines (not a dedicated log2), so the raw
-    // doubles agree before the 6-dp rounding absorbs any ULP residue.
-    val p = col("c").cast("double") / col("n").cast("double")
-    val term = -p * (log(p) / log(lit(2.0)))
-    // hist and totals share the doc_id hash partitioning, so Catalyst
-    // reuses the exchange: the join adds no extra shuffle.
-    hist.join(totals, "doc_id")
-      .groupBy(col("doc_id"))
-      .agg(max(col("n")).as("n_grams"),
-        max(col("n_distinct")).as("n_distinct"),
-        sum(round(term, 6).cast("decimal(18,6)")).cast("double")
+    val cd = col("c").cast("double")
+    val term = cd * (log(cd) / log(lit(2.0)))
+    hist.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
+        sum(round(term, 6).cast("decimal(18,6)")).as("s"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        (log(col("n_grams").cast("double")) / log(lit(2.0)) -
+          col("s").cast("double") / col("n_grams").cast("double"))
           .as("entropy_bits"))
   }
 

@@ -292,9 +292,11 @@ object FlowLogQueries {
     // Port-scan detection: sources touching many distinct (dest, port)
     // targets inside one event-time hour — the security alert an ES
     // flow dashboard exists to raise. One aggregation keyed by
-    // (srcaddr, hour); the distinct target count is a group-local
-    // distinct, so partial aggregation still collapses map-side and the
-    // plan is a single exchange at any scale.
+    // (srcaddr, hour) with two COUNT DISTINCTs: Spark plans an Expand
+    // (×2) with partial distinct-aggregation before the single
+    // exchange, so duplicate targets collapse map-side. (Measured: the
+    // alternative pre-aggregate-per-target plan adds a full extra
+    // shuffle and is ~1.5× slower at sf0.1 — the Expand is cheaper.)
     "flow_port_scan" -> ((s, d) =>
       parsed(s, d).filter(!col("error"))
         .groupBy(col("srcaddr"), expr("`start` div 3600").as("hour_bucket"))

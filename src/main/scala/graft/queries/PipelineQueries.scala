@@ -884,17 +884,16 @@ object PipelineQueries {
         |  SELECT doc_id, substr(text, i, 3) AS gram, count(*) AS c
         |  FROM i GROUP BY doc_id, gram),
         |t AS (
-        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-        |         count(*) AS n_distinct
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |         count(*) AS n_distinct,
+        |         sum(CAST(round(
+        |           CAST(c AS DOUBLE) * (ln(CAST(c AS DOUBLE)) / ln(2.0)),
+        |           6) AS DECIMAL(18,6))) AS s
         |  FROM h GROUP BY doc_id)
-        |SELECT h.doc_id AS doc_id,
-        |       max(n) AS n_grams, max(n_distinct) AS n_distinct,
-        |       CAST(CAST(sum(CAST(round(
-        |         -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
-        |          (ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / ln(2.0)),
-        |         6) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS entropy_bits
-        |FROM h JOIN t USING (doc_id)
-        |GROUP BY h.doc_id ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, n_grams, n_distinct,
+        |       ln(CAST(n_grams AS DOUBLE)) / ln(2.0)
+        |         - CAST(s AS DOUBLE) / CAST(n_grams AS DOUBLE) AS entropy_bits
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "pipeline_length_filter" ->
       """WITH t AS (

@@ -276,9 +276,10 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got(1L)._2 === 8L && got(1L)._3 === 1L && got(1L)._4 === 0.0)
     assert(got(2L)._2 === 8L && got(2L)._3 === 8L &&
       math.abs(got(2L)._4 - 3.0) < 1e-4)
-    // invariant on real data: 0 <= entropy <= log2(n_distinct)
+    // invariant on real data: 0 <= entropy <= log2(n_distinct); the
+    // log-identity form can dip ~1ulp below zero on uniform docs
     val real = TextAnalysis.trigramEntropy(Tables.documents(spark, sfDir))
-    val bad = real.filter(col("entropy_bits") < 0 ||
+    val bad = real.filter(col("entropy_bits") < -1e-9 ||
       col("entropy_bits") >
         log(col("n_distinct").cast("double")) / log(lit(2.0)) + 1e-3).count()
     assert(bad === 0)
