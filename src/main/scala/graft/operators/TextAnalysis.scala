@@ -182,9 +182,14 @@ object TextAnalysis {
       .select(col("doc_id"), explode(
         expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> $gramExpr)"))
         .as("gram"))
+      // (gram, doc) pre-aggregation instead of count+countDistinct in
+      // one pass: the mixed-distinct Expand would double the exploded
+      // stream before its shuffle, while per-doc gram repeats collapse
+      // map-side here (measured ~2× at sf0.1).
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("gram"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
+      .agg(sum(col("c")).as("n_occurrences"), count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(k)
   }

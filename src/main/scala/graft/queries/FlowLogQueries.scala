@@ -308,6 +308,36 @@ object FlowLogQueries {
         .filter(col("n_targets") >= 3)
         .orderBy("srcaddr", "hour_bucket")),
 
+    // Beacon detection: (src, dst) pairs whose connection inter-arrival
+    // gaps are suspiciously regular — the C2-beaconing panel next to the
+    // port-scan alert. One lag window per pair (partition key = the
+    // pair, deterministic id tie-break on equal timestamps), then an
+    // aggregate deriving the gap variance from exact decimal sums —
+    // variance = (Σg² − (Σg)²/n)/(n−1) computed in ONE fixed IEEE chain,
+    // so any partial-aggregation order yields identical bits.
+    "flow_beacon_detect" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("srcaddr"), col("destaddr"))
+        .orderBy(col("start"), col("id"))
+      val gaps = parsed(s, d).filter(!col("error"))
+        .select(col("srcaddr"), col("destaddr"), col("start"), col("id"))
+        .withColumn("gap", col("start") - lag(col("start"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy(col("srcaddr"), col("destaddr"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap").cast("decimal(18,0)")).as("sg"),
+          sum((col("gap") * col("gap")).cast("decimal(28,0)")).as("sg2"))
+        .filter(col("n_gaps") >= 4)
+        .select(col("srcaddr"), col("destaddr"), col("n_gaps"),
+          (col("sg").cast("double") / col("n_gaps").cast("double"))
+            .as("mean_gap"),
+          ((col("sg2").cast("double") -
+            col("sg").cast("double") * col("sg").cast("double") /
+              col("n_gaps").cast("double")) /
+            (col("n_gaps").cast("double") - lit(1.0))).as("var_gap"))
+        .orderBy("srcaddr", "destaddr")
+    }),
+
     // OP-4/OP-5: control-message filter + newline projection (ingestor)
     "ingest_filter_project" -> ((s, d) =>
       Tables.events(s, d)
@@ -374,6 +404,28 @@ object FlowLogQueries {
         |GROUP BY srcaddr, hour_bucket
         |HAVING count(DISTINCT destaddr || ':' || CAST(dstport AS VARCHAR)) >= 3
         |ORDER BY srcaddr, hour_bucket""".stripMargin),
+
+    "flow_beacon_detect" -> withCtes(linesCte, parsedCte)(
+      """SELECT srcaddr, destaddr, n_gaps,
+        |       CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap,
+        |       (CAST(sg2 AS DOUBLE)
+        |         - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |           / CAST(n_gaps AS DOUBLE))
+        |         / (CAST(n_gaps AS DOUBLE) - 1.0) AS var_gap
+        |FROM (
+        |  SELECT srcaddr, destaddr, count(*) AS n_gaps,
+        |         sum(CAST(gap AS DECIMAL(18,0))) AS sg,
+        |         sum(CAST(gap * gap AS DECIMAL(28,0))) AS sg2
+        |  FROM (
+        |    SELECT srcaddr, destaddr,
+        |           "start" - lag("start") OVER (
+        |             PARTITION BY srcaddr, destaddr
+        |             ORDER BY "start", id) AS gap
+        |    FROM parsed WHERE NOT error)
+        |  WHERE gap IS NOT NULL
+        |  GROUP BY srcaddr, destaddr)
+        |WHERE n_gaps >= 4
+        |ORDER BY srcaddr, destaddr""".stripMargin),
 
     "flow_geo" -> withCtes(linesCte, parsedCte, eniCte, geoCte, enr1Cte, enr2Cte)(
       """SELECT id, srcaddr, is_private, country_code, country_name,

@@ -1116,6 +1116,23 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // LATERAL correlated subquery (SQL-text surface): per outer row, a
+    // dependent top-n subquery with its own window + LIMIT. Catalyst
+    // decorrelates this into a ranked join — no per-row re-execution.
+    "q_lateral_topn" -> ((s, d) => {
+      Tables.region(s, d).createOrReplaceTempView("v_region")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      s.sql(
+        """SELECT r.r_name, t.n_name, t.rnk
+          |FROM v_region r,
+          |LATERAL (
+          |  SELECT n_name, row_number() OVER (ORDER BY n_name) AS rnk
+          |  FROM v_nation WHERE n_regionkey = r.r_regionkey
+          |  ORDER BY n_name LIMIT 2
+          |) t
+          |ORDER BY r.r_name, t.rnk""".stripMargin)
+    }),
+
     // UNION (distinct) across heterogeneous sources — dedup shuffle on
     // the unioned key domain.
     "q_union_distinct" -> ((s, d) =>
@@ -1928,6 +1945,17 @@ object RelationalQueries {
          |       min(sx) AS sx_min, max(sx) AS sx_max
          |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+
+    "q_lateral_topn" ->
+      """SELECT r.r_name AS r_name, t.n_name AS n_name,
+        |       CAST(t.rnk AS INTEGER) AS rnk
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n_name, row_number() OVER (ORDER BY n_name) AS rnk
+        |  FROM nation WHERE n_regionkey = r.r_regionkey
+        |  ORDER BY n_name LIMIT 2
+        |) t
+        |ORDER BY r_name, rnk""".stripMargin,
 
     "q_above_cust_avg" ->
       """WITH w AS (
