@@ -1116,6 +1116,24 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): bounded supplier-successor
+    // reachability — seeds walk the +1 chain up to depth 5, one
+    // iteration = one join against the base table (the UnionLoop
+    // iterative plan). Depth-bounded, so the unrolled lineage is fixed.
+    "q_recursive_cte" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      s.sql(
+        """WITH RECURSIVE succ AS (
+          |  SELECT s_suppkey AS node, s_suppkey AS root, 0 AS depth
+          |  FROM v_supplier WHERE s_suppkey % 10 = 1
+          |  UNION ALL
+          |  SELECT s.s_suppkey, succ.root, succ.depth + 1
+          |  FROM succ JOIN v_supplier s ON s.s_suppkey = succ.node + 1
+          |  WHERE succ.depth < 5)
+          |SELECT root, count(*) AS chain_len, max(depth) AS max_depth
+          |FROM succ GROUP BY root ORDER BY root""".stripMargin)
+    }),
+
     // LATERAL correlated subquery (SQL-text surface): per outer row, a
     // dependent top-n subquery with its own window + LIMIT. Catalyst
     // decorrelates this into a ranked join — no per-row re-execution.
@@ -1945,6 +1963,18 @@ object RelationalQueries {
          |       min(sx) AS sx_min, max(sx) AS sx_max
          |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE succ AS (
+        |  SELECT s_suppkey AS node, s_suppkey AS root, 0 AS depth
+        |  FROM supplier WHERE s_suppkey % 10 = 1
+        |  UNION ALL
+        |  SELECT s.s_suppkey, succ.root, succ.depth + 1
+        |  FROM succ JOIN supplier s ON s.s_suppkey = succ.node + 1
+        |  WHERE succ.depth < 5)
+        |SELECT root, count(*) AS chain_len,
+        |       CAST(max(depth) AS INTEGER) AS max_depth
+        |FROM succ GROUP BY root ORDER BY root""".stripMargin,
 
     "q_lateral_topn" ->
       """SELECT r.r_name AS r_name, t.n_name AS n_name,

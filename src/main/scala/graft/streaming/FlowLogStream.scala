@@ -113,6 +113,47 @@ object FlowLogStream {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class SrcTotals(srcaddr: String, n_flows: Long, total_bytes: Long)
+
+  /** Spark 4 arbitrary-state processor (the transformWithState successor
+    * to [GroupState]): a running per-source flow counter held in a
+    * ValueState. State lives in the RocksDB state store (required by
+    * this API), so per-key state is spillable and scales with keyspace,
+    * not memory. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), SrcTotals] {
+    import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: ss.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: ss.TimerValues): Iterator[SrcTotals] = {
+      var (n, b) = if (totals.exists()) totals.get() else (0L, 0L)
+      for ((_, bytes) <- rows) { n += 1; b += bytes }
+      totals.update((n, b))
+      Iterator(SrcTotals(key, n, b))
+    }
+  }
+
+  /** Running totals per source address over a stream of flows
+    * (columns: srcaddr, bytes) via transformWithState — emits the
+    * updated cumulative (flow count, byte total) for each source seen
+    * in the micro-batch. Callers must run with the RocksDB state store
+    * provider (see StreamingSpec). */
+  def runningTotals(flows: DataFrame): Dataset[SrcTotals] = {
+    import flows.sparkSession.implicits._
+    flows.select(col("srcaddr"), col("bytes").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** OP-22 as streaming-safe side-output counters: an `observe`
     * observation named `flow_counters` with total/failed record tallies
     * per batch (the reference's imperative success/failure log,

@@ -198,6 +198,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState accumulates per-source totals across batches") {
+    // The Spark 4 arbitrary-state API requires the RocksDB state store.
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Long)](spark)
+    val q = FlowLogStream.runningTotals(
+      input.toDF().toDF("srcaddr", "bytes"))
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update").start()
+    try {
+      input.addData(("10.0.0.1", 100L), ("10.0.0.1", 50L), ("10.0.0.2", 7L))
+      q.processAllAvailable()
+      input.addData(("10.0.0.1", 1L)) // state must carry 150 forward
+      q.processAllAvailable()
+      val rows = spark.table("tws_out")
+        .as[FlowLogStream.SrcTotals].collect()
+      val batch1 = rows.filter(r => r.srcaddr == "10.0.0.1" && r.n_flows == 2)
+      val batch2 = rows.filter(r => r.srcaddr == "10.0.0.2")
+      val carried = rows.filter(r => r.srcaddr == "10.0.0.1" && r.n_flows == 3)
+      assert(batch1.map(_.total_bytes).toSeq === Seq(150L))
+      assert(batch2.map(_.total_bytes).toSeq === Seq(7L))
+      assert(carried.map(_.total_bytes).toSeq === Seq(151L),
+        "ValueState must accumulate across micro-batches")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful sessionization closes a session on inactivity gap") {
     val input = MemoryStream[Ev](spark)
     // two bursts for user 7, separated by > gap in event time: the second
