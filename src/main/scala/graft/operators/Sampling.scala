@@ -132,4 +132,37 @@ object Sampling {
           when(col("t") < col("source") && col("n_t") >= col("r"), 1L)
             .otherwise(0L)).as("mix_pos"))
   }
+
+  /** Training-mixture schedule: per source, how many epochs of it a run
+    * with `budgetTokens` total and an equal per-source target share can
+    * afford, capped at `maxEpochs` (the standard guard against
+    * over-repeating small high-quality sources). Emits each source's
+    * document/token mass, its epoch multiplier, and the tokens it
+    * contributes to the mix.
+    *
+    * Scale shape: one aggregation keyed by source, a 1-row source-count
+    * aggregate broadcast back (no collect), and a pure projection — the
+    * whole schedule is computed without ever touching a document twice.
+    * All outputs are fixed IEEE chains over exact integer aggregates, so
+    * any partial-aggregation order reproduces the same bits. */
+  def mixtureWeights(documents: DataFrame, budgetTokens: Double,
+      maxEpochs: Double = 4.0): DataFrame = {
+    val perSrc = documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        // NB: functions.split is shadowed by Sampling.split (hash split)
+        sum(size(org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long")).as("tokens"))
+    val nSrc = perSrc.agg(count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(nSrc))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        least(lit(maxEpochs),
+          lit(budgetTokens) /
+            (col("n_sources").cast("double") * col("tokens").cast("double")))
+          .as("epochs"),
+        (least(lit(maxEpochs),
+          lit(budgetTokens) /
+            (col("n_sources").cast("double") * col("tokens").cast("double"))) *
+          col("tokens").cast("double")).as("sampled_tokens"))
+  }
 }

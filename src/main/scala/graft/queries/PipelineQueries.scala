@@ -239,6 +239,13 @@ object PipelineQueries {
         col("doc_id") >= 100000)
         .orderBy("new_id", "base_id")),
 
+    // Training-mixture schedule: per-source epoch multipliers under a
+    // token budget with an equal-share target and an epoch cap.
+    "pipeline_mixture" -> ((s, d) =>
+      Sampling.mixtureWeights(Tables.documents(s, d),
+        budgetTokens = 100000.0, maxEpochs = 4.0)
+        .orderBy("source")),
+
     // Concatenate-and-split sequence packing: (seq_id, offset) layout
     // per source shard at a 256-token capacity — all-integer window
     // arithmetic, deterministic across engines and partitionings.
@@ -918,6 +925,20 @@ object PipelineQueries {
          |  WHERE n.doc_id >= 100000 AND b.doc_id < 100000)
          |SELECT new_id, base_id FROM inc
          |ORDER BY new_id, base_id""".stripMargin,
+
+    "pipeline_mixture" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |n AS (SELECT count(*) AS n_sources FROM per)
+        |SELECT source, n_docs, tokens,
+        |  least(4.0, 100000.0 /
+        |    (CAST(n_sources AS DOUBLE) * CAST(tokens AS DOUBLE))) AS epochs,
+        |  least(4.0, 100000.0 /
+        |    (CAST(n_sources AS DOUBLE) * CAST(tokens AS DOUBLE)))
+        |    * CAST(tokens AS DOUBLE) AS sampled_tokens
+        |FROM per CROSS JOIN n ORDER BY source""".stripMargin,
 
     "pipeline_seq_pack" ->
       """WITH toks AS (
