@@ -1,0 +1,56 @@
+package graft
+
+/** Shuffle budgets for flagship queries: each plan may not exceed its
+  * audited ShuffleExchange count. The BNLJ/cartesian guard
+  * (PlanInvariantsSpec) catches wrong JOIN strategies; this catches the
+  * other scale regression class — an operator change that silently adds
+  * an exchange (lost broadcast, lost partitioning reuse, an aggregate
+  * split into two). Budgets are the CURRENT counts, not aspirations:
+  * tightening an operator should lower its budget here in the same
+  * commit. Counted from the executed-plan string (AQE wraps the tree,
+  * so node collection misses inner stages); iterative queries
+  * (connected components, BFS) are excluded — their final frame prints
+  * cached lineage repeatedly and the count is meaningless.
+  */
+class ShuffleBudgetSpec extends SparkSpec {
+
+  private val budgets: Map[String, Int] = Map(
+    // flow pipeline: the ONLY exchange is the input repartition; every
+    // enrichment join broadcasts (dimensions), nothing else moves.
+    "flow_parse" -> 1,
+    "flow_enriched" -> 1,
+    "flow_beacon_detect" -> 2,   // repartition + window/agg co-key
+    // relational flagships
+    "q1_pricing_summary" -> 2,   // agg + output sort
+    "q_asof_join" -> 2,          // equi-key shuffle + window
+    "q_session_window" -> 2,
+    "q_skew_join" -> 2,          // salted equi-join (both sides keyed)
+    "q_zorder" -> 2,             // bucket agg + output sort
+    "q_lateral_topn" -> 2,
+    "q_recursive_cte" -> 2,
+    "q_tpch_q21" -> 4,           // hardest fact-fact-fact co-shuffle
+    // pipeline / text / similarity
+    "dedup_exact" -> 2,          // hash groupBy + output sort
+    "dedup_minhash_lsh" -> 4,
+    "dedup_ngram_jaccard" -> 10, // LSH chain + jaccard verify
+    "text_top_ngrams" -> 2,      // (gram,doc) pre-agg + gram rollup
+    "text_trigram_entropy" -> 3, // (doc,gram) hist + doc rollup + sort
+    "text_bm25" -> 8,
+    "sim_topk_bruteforce" -> 2,  // window rank + sort (probes broadcast)
+    "sim_pq_codes" -> 3,         // window + rollup + sort
+    "pipeline_quality_dedup" -> 2,
+    "pipeline_seq_pack" -> 2,
+    "mm_scene_cut" -> 2)
+
+  test("flagship plans stay within their audited shuffle budgets") {
+    val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val n = "Exchange (hash|range|SinglePartition)".r.findAllIn(plan).size
+      if (n > budget) Some(s"$name: $n > $budget") else None
+    }
+    assert(over.isEmpty,
+      s"shuffle budget exceeded (broadcast lost / exchange added?): " +
+        over.mkString("; "))
+  }
+}
