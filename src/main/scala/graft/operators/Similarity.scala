@@ -262,12 +262,7 @@ object Similarity {
     * summation drift can't flip a code. */
   def productQuantize(vecs: DataFrame, m: Int = 4, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val subs = vecs
-      .select(col("vec_id"), col("v"),
-        explode(expr(s"sequence(0, ${m - 1})")).as("sub"))
-      .select(col("vec_id"), col("sub"),
-        expr(s"slice(v, sub * (size(v) div $m) + 1, size(v) div $m)")
-          .as("sv"))
+    val subs = subvectors(vecs, m)
     val codebook = broadcast(subs.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv")))
     val d2 = subs.join(codebook, Seq("sub"))
@@ -284,6 +279,60 @@ object Similarity {
       .agg(codeCols.head, codeCols.tail :+
         sum(round(col("dist2"), 6).cast("decimal(18,6)")).cast("double")
           .as("err"): _*)
+  }
+
+  /** Internal: per-subspace slices of every vector (vec_id, sub, sv). */
+  private def subvectors(vecs: DataFrame, m: Int): DataFrame =
+    vecs
+      .select(col("vec_id"), col("v"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(v, sub * (size(v) div $m) + 1, size(v) div $m)")
+          .as("sv"))
+
+  /** ADC (asymmetric distance computation) top-k — stage 3 of IVF-PQ:
+    * probes stay full-precision, the corpus exists only as PQ codes, and
+    * each probe×vector distance is a sum of m table lookups
+    * d²(probe_subᵐ, codebook[codeᵐ]) instead of a dim-length dot
+    * product. The distance TABLE (|probes|·m·k rows) broadcasts; the
+    * corpus-side work is one equi-join on (sub, code) and a
+    * (probe, vec) rollup — linear in corpus size with no full-vector
+    * math in the hot path, which is why billion-scale ANN serves from
+    * PQ codes. Per-term distances round to 6 dp and sum as exact
+    * decimal; ranking ties break on neighbor id. */
+  def adcTopK(vecs: DataFrame, probes: DataFrame, k: Int,
+      m: Int = 4, codebookK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subs = subvectors(vecs, m)
+    val codebook = subs.filter(col("vec_id") < codebookK)
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+    // corpus → codes (the stored representation)
+    val wAssign = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(round(col("dist2"), 6).asc, col("cid").asc)
+    val codes = subs.join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("dist2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid"))
+    // probe → per-(sub, code) distance table
+    val dtab = subvectors(probes, m)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("sv").as("pv"))
+      .join(codebook, Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("cid"),
+        (dot(col("pv"), col("pv")) - lit(2.0) * dot(col("pv"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("pd2"))
+    val scored = codes.join(broadcast(dtab), Seq("sub", "cid"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(round(col("pd2"), 6).cast("decimal(18,6)")).cast("double")
+        .as("adist"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rnk"))
   }
 
   /** One Lloyd's-iteration update step over an embedding corpus:

@@ -170,6 +170,16 @@ object PipelineQueries {
           .select(col("vec_id"), col("v")), m = 4, k = 8)
         .orderBy("vec_id")),
 
+    // ADC top-k (IVF-PQ stage 3): probes score the PQ-compressed corpus
+    // via per-subspace distance-table lookups — no full-vector math on
+    // the corpus side.
+    "sim_adc_topk" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.adcTopK(vecs, vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // One k-means Lloyd's update: assign to max-cosine centroid (the
     // first 8 vectors seed the centroids), recompute per-dimension
     // means from exact decimal sums.
@@ -662,6 +672,45 @@ object PipelineQueries {
          |  CAST(CAST(sum(CAST(round(dist2, 6) AS DECIMAL(18,6)))
          |       AS DECIMAL(38,6)) AS DOUBLE) AS err
          |FROM ch GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "sim_adc_topk" ->
+      s"""WITH $ovecsCte,
+         |subsp AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |subs AS (
+         |  SELECT vec_id, sub,
+         |         v[(sub * (len(v) // 4) + 1):((sub + 1) * (len(v) // 4))] AS sv
+         |  FROM ovecs CROSS JOIN subsp),
+         |cb AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 8),
+         |d AS (
+         |  SELECT a.vec_id, a.sub, cb.cid,
+         |         list_dot_product(a.sv, a.sv)
+         |           - 2.0 * list_dot_product(a.sv, cb.cv)
+         |           + list_dot_product(cb.cv, cb.cv) AS dist2
+         |  FROM subs a JOIN cb USING (sub)),
+         |codes AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY round(dist2, 6), cid) AS rn
+         |    FROM d) WHERE rn = 1),
+         |ptab AS (
+         |  SELECT p.vec_id AS probe_id, p.sub, cb.cid,
+         |         list_dot_product(p.sv, p.sv)
+         |           - 2.0 * list_dot_product(p.sv, cb.cv)
+         |           + list_dot_product(cb.cv, cb.cv) AS pd2
+         |  FROM subs p JOIN cb USING (sub) WHERE p.vec_id < 10),
+         |sc AS (
+         |  SELECT probe_id, c.vec_id,
+         |         CAST(CAST(sum(CAST(round(pd2, 6) AS DECIMAL(18,6)))
+         |              AS DECIMAL(38,6)) AS DOUBLE) AS adist
+         |  FROM codes c JOIN ptab ON c.sub = ptab.sub AND c.cid = ptab.cid
+         |  WHERE ptab.probe_id <> c.vec_id
+         |  GROUP BY probe_id, c.vec_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY adist, vec_id) AS rnk FROM sc)
+         |SELECT probe_id, vec_id AS neighbor_id, adist,
+         |       CAST(rnk AS INTEGER) AS rnk
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
     "sim_kmeans_step" ->
       s"""WITH $ovecsCte,

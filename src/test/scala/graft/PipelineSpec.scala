@@ -135,6 +135,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ADC distance to a codebook vector equals the exact L2² distance") {
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" >= 8 && $"vec_id" < 12)
+    val out = Similarity.adcTopK(vecs, probes, 500).cache()
+    // structural: distances non-negative, ranks dense and ordered
+    assert(out.filter($"adist" < 0).count() === 0)
+    val mono = out.selectExpr(
+      "probe_id", "adist - lag(adist) OVER (PARTITION BY probe_id ORDER BY rnk) AS d")
+      .filter($"d" < 0).count()
+    assert(mono === 0, "adist must be non-decreasing in rank")
+    // a codebook vector reconstructs exactly (its code is itself in
+    // every subspace), so ADC distance to it IS the true L2² distance
+    val exact = probes.as("p").crossJoin(vecs.filter($"vec_id" < 8).as("c"))
+      .select($"p.vec_id".as("probe_id"), $"c.vec_id".as("neighbor_id"),
+        expr("aggregate(zip_with(p.v, c.v, (a, b) -> (a - b) * (a - b)), " +
+          "0.0d, (acc, x) -> acc + x)").as("true_d2"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val adc = out.filter($"neighbor_id" < 8)
+      .select($"probe_id", $"neighbor_id", $"adist")
+      .as[(Long, Long, Double)].collect()
+    assert(adc.nonEmpty)
+    for ((p, n, a) <- adc)
+      assert(math.abs(a - exact((p, n))) < 1e-4,
+        s"ADC($p,$n)=$a vs exact ${exact((p, n))}")
+  }
+
   test("chunking reassembles to the original payload, hashes are content keys") {
     import graft.operators.Multimodal
     val docs = Seq((1L, "x" * 150), (2L, "y" * 64), (3L, "z" * 150 + "x" * 0))
