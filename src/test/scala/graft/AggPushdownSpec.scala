@@ -12,32 +12,22 @@ import org.apache.spark.sql.functions._
   */
 class AggPushdownSpec extends SparkSpec {
 
-  private val confs = Seq(
-    "spark.sql.parquet.aggregatePushdown" -> "true",
-    "spark.sql.sources.useV1SourceList" -> "")
-
-  private def withConfs[A](body: => A): A = {
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("MIN/MAX/COUNT are answered from parquet footers, not data pages") {
     val expected = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .agg(min(col("l_shipdate")), max(col("l_shipdate")), count(lit(1)))
       .collect()(0)
-    withConfs {
-      val q = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"),
-          count(lit(1)).as("n"))
-      val plan = q.queryExecution.executedPlan.toString
-      assert(plan.contains("PushedAggregation"),
-        s"aggregate not pushed to the parquet scan:\n${plan.take(800)}")
-      assert(q.collect()(0) === expected)
-    }
+    // Isolated session (own SQLConf, shared context): suites run in
+    // parallel in one JVM — switching the shared session to the v2
+    // source would change other suites' plans mid-flight.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    val q = s.read.parquet(s"$sfDir/lineitem.parquet")
+      .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"),
+        count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"aggregate not pushed to the parquet scan:\n${plan.take(800)}")
+    assert(q.collect()(0) === expected)
   }
 }

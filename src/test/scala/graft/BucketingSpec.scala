@@ -9,13 +9,17 @@ class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
   test("join of co-bucketed tables plans without a shuffle exchange") {
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // Isolated session (own SQLConf, shared catalog/context): suites
+    // run in parallel in one JVM, so the -1 broadcast threshold must
+    // not leak into other suites' plans.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val li = Tables.lineitem(spark, sfDir)
-      val ord = Tables.orders(spark, sfDir)
+      val li = Tables.lineitem(s, sfDir)
+      val ord = Tables.orders(s, sfDir)
       Bucketing.writeBucketed(li, "li_b", "l_orderkey", 4)
       Bucketing.writeBucketed(ord, "ord_b", "o_orderkey", 4)
-      val joined = Bucketing.bucketedEquiJoin(spark, "li_b", "ord_b",
+      val joined = Bucketing.bucketedEquiJoin(s, "li_b", "ord_b",
         "l_orderkey", "o_orderkey")
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"))
@@ -24,9 +28,8 @@ class BucketingSpec extends SparkSpec {
       assert(joined.count() ===
         li.join(ord, $"l_orderkey" === $"o_orderkey").count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.sql("DROP TABLE IF EXISTS li_b")
-      spark.sql("DROP TABLE IF EXISTS ord_b")
+      s.sql("DROP TABLE IF EXISTS li_b")
+      s.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
 }

@@ -117,7 +117,10 @@ class PipelineSpec extends SparkSpec {
   test("PQ: codebook vectors encode to themselves with zero error") {
     val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
       .select($"vec_id", $"v")
-    val out = Similarity.productQuantize(vecs, m = 4, k = 8).cache()
+    // NO .cache(): suites share one cache manager, and caching this
+    // exact subtree would substitute an InMemoryRelation into
+    // sim_pq_codes' plan in the concurrently-running ShuffleBudgetSpec.
+    val out = Similarity.productQuantize(vecs, m = 4, k = 8)
     // every vector gets exactly one row with all 4 codes in [0, 8)
     assert(out.count() === vecs.count())
     assert(out.filter(
@@ -139,7 +142,7 @@ class PipelineSpec extends SparkSpec {
     val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
       .select($"vec_id", $"v")
     val probes = vecs.filter($"vec_id" >= 8 && $"vec_id" < 12)
-    val out = Similarity.adcTopK(vecs, probes, 500).cache()
+    val out = Similarity.adcTopK(vecs, probes, 500) // no .cache(): see PQ test
     // structural: distances non-negative, ranks dense and ordered
     assert(out.filter($"adist" < 0).count() === 0)
     val mono = out.selectExpr(

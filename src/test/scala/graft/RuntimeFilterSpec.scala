@@ -12,48 +12,36 @@ import org.apache.spark.sql.functions._
   */
 class RuntimeFilterSpec extends SparkSpec {
 
-  private val confs = Seq(
-    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+  test("a selective dim filter injects a bloom gate before the fact shuffle") {
+    // Isolated session (own SQLConf, shared context): suites run in
+    // parallel in one JVM, so mutating the shared session's broadcast
+    // threshold would warp OTHER suites' plans mid-flight.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // local test data is tiny; production defaults (10GB application-
     // side minimum) would decline injection at sf0.001
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-
-  private def withConfs[A](body: => A): A = {
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
-  test("a selective dim filter injects a bloom gate before the fact shuffle") {
-    withConfs {
-      val fact = Tables.lineitem(spark, sfDir)
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def query(sess: org.apache.spark.sql.SparkSession) = {
+      val fact = Tables.lineitem(sess, sfDir)
         .groupBy(col("l_partkey")).agg(sum(col("l_quantity")).as("qty"))
-      val dim = Tables.part(spark, sfDir).filter(col("p_type") === "PROMO")
-      val j = fact.join(dim, col("l_partkey") === col("p_partkey"))
+      val dim = Tables.part(sess, sfDir).filter(col("p_type") === "PROMO")
+      fact.join(dim, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_type")).agg(sum(col("qty")).cast("long").as("q"))
-      val lplan = j.queryExecution.optimizedPlan.toString
-      assert(lplan.contains("bloom_filter_agg"),
-        "no bloom filter built from the dimension keys")
-      assert(lplan.contains("might_contain"),
-        "no bloom gate injected on the fact side")
-      // the gate sits under the fact-side aggregate (prunes pre-shuffle)
-      val gateIdx = lplan.indexOf("might_contain")
-      val aggIdx = lplan.indexOf("Aggregate [l_partkey")
-      assert(aggIdx >= 0 && gateIdx > aggIdx,
-        "bloom gate must prune below the fact aggregate")
-      // and the filtered result is identical to the unfiltered run
-      val expected = {
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-        try j.collect().toSet
-        finally spark.conf.set(
-          "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      }
-      assert(j.collect().toSet === expected)
     }
+    val j = query(s)
+    val lplan = j.queryExecution.optimizedPlan.toString
+    assert(lplan.contains("bloom_filter_agg"),
+      "no bloom filter built from the dimension keys")
+    assert(lplan.contains("might_contain"),
+      "no bloom gate injected on the fact side")
+    // the gate sits under the fact-side aggregate (prunes pre-shuffle)
+    val gateIdx = lplan.indexOf("might_contain")
+    val aggIdx = lplan.indexOf("Aggregate [l_partkey")
+    assert(aggIdx >= 0 && gateIdx > aggIdx,
+      "bloom gate must prune below the fact aggregate")
+    // and the filtered result is identical to the default-conf run
+    assert(j.collect().toSet === query(spark).collect().toSet)
   }
 }

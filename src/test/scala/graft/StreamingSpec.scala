@@ -199,12 +199,15 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("transformWithState accumulates per-source totals across batches") {
-    // The Spark 4 arbitrary-state API requires the RocksDB state store.
-    val prevProvider = spark.conf.getOption(
-      "spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // The Spark 4 arbitrary-state API requires the RocksDB state store;
+    // set it on an ISOLATED session (own SQLConf, shared context) so
+    // concurrently-running suites' streaming queries keep the default
+    // provider.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val input = MemoryStream[(String, Long)](spark)
+    import s.implicits._
+    val input = MemoryStream[(String, Long)](s)
     val q = FlowLogStream.runningTotals(
       input.toDF().toDF("srcaddr", "bytes"))
       .writeStream.format("memory").queryName("tws_out")
@@ -214,7 +217,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(("10.0.0.1", 1L)) // state must carry 150 forward
       q.processAllAvailable()
-      val rows = spark.table("tws_out")
+      val rows = s.table("tws_out")
         .as[FlowLogStream.SrcTotals].collect()
       val batch1 = rows.filter(r => r.srcaddr == "10.0.0.1" && r.n_flows == 2)
       val batch2 = rows.filter(r => r.srcaddr == "10.0.0.2")
@@ -223,15 +226,7 @@ class StreamingSpec extends SparkSpec {
       assert(batch2.map(_.total_bytes).toSeq === Seq(7L))
       assert(carried.map(_.total_bytes).toSeq === Seq(151L),
         "ValueState must accumulate across micro-batches")
-    } finally {
-      q.stop()
-      prevProvider match {
-        case Some(p) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-    }
+    } finally q.stop()
   }
 
   test("stateful sessionization closes a session on inactivity gap") {
