@@ -133,6 +133,47 @@ object Sampling {
             .otherwise(0L)).as("mix_pos"))
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Consistent-hash shard assignment with virtual nodes — how a
+    * 100 TB corpus maps onto N storage/serving shards so that adding a
+    * shard relocates only ~1/(N+1) of the keys (and every relocated key
+    * moves TO the new shard, never between old ones).
+    *
+    * Scale shape: the ring is CONFIG, not data — its `nShards`×`vnodes`
+    * md5 positions are computed driver-side and embedded as an array
+    * literal, so assignment is a pure codegen'd projection (higher-order
+    * `filter` + first-element pick per row): no join, no shuffle, no
+    * broadcast. Keys hash with the same md5 the ring uses; hex compare
+    * is lexicographic in both engines. */
+  def consistentShard(df: DataFrame, key: Column, nShards: Int,
+      vnodes: Int = 16): DataFrame = {
+    require(nShards > 0 && vnodes > 0, "nShards and vnodes must be positive")
+    val ring = (for { s <- 0 until nShards; v <- 0 until vnodes }
+      yield (md5Hex(s"shard-$s:vn-$v"), s)).sortBy(_._1)
+    val ringArr = array(ring.map { case (pos, s) =>
+      struct(lit(pos).as("pos"), lit(s).as("shard"))
+    }: _*)
+    df.withColumn("key_hash", md5(key.cast("string").cast("binary")))
+      .withColumn("__ring", ringArr)
+      .withColumn("shard", coalesce(
+        // try_element_at: the filter result is EMPTY for keys hashing
+        // past the last ring position (the wrap-around case); ANSI
+        // element_at would throw there
+        expr("try_element_at(filter(__ring, r -> r.pos >= key_hash), 1)")
+          .getField("shard"),
+        element_at(col("__ring"), 1).getField("shard")))
+      .drop("__ring")
+  }
+
+  /** The ring positions (pos, shard) for tests/oracles — same values
+    * the operator embeds. */
+  def ringPositions(nShards: Int, vnodes: Int = 16): Seq[(String, Int)] =
+    (for { s <- 0 until nShards; v <- 0 until vnodes }
+      yield (md5Hex(s"shard-$s:vn-$v"), s)).sortBy(_._1)
+
   /** Training-mixture schedule: per source, how many epochs of it a run
     * with `budgetTokens` total and an equal per-source target share can
     * afford, capped at `maxEpochs` (the standard guard against

@@ -249,6 +249,14 @@ object PipelineQueries {
         col("doc_id") >= 100000)
         .orderBy("new_id", "base_id")),
 
+    // Consistent-hash shard assignment (4 shards × 16 vnodes): the ring
+    // is an embedded config literal, assignment a pure projection.
+    "pipeline_shard_assign" -> ((s, d) =>
+      Sampling.consistentShard(
+        Tables.documents(s, d).select(col("doc_id")),
+        col("doc_id"), nShards = 4)
+        .orderBy("doc_id")),
+
     // Training-mixture schedule: per-source epoch multipliers under a
     // token budget with an equal-share target and an epoch cap.
     "pipeline_mixture" -> ((s, d) =>
@@ -974,6 +982,21 @@ object PipelineQueries {
          |  WHERE n.doc_id >= 100000 AND b.doc_id < 100000)
          |SELECT new_id, base_id FROM inc
          |ORDER BY new_id, base_id""".stripMargin,
+
+    "pipeline_shard_assign" -> {
+      val vals = Sampling.ringPositions(4)
+        .map { case (p, s) => s"('$p', $s)" }.mkString(", ")
+      s"""WITH ring(pos, shard) AS (VALUES $vals),
+         |k AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key_hash
+         |  FROM documents)
+         |SELECT doc_id, key_hash,
+         |  COALESCE(
+         |    (SELECT shard FROM ring WHERE pos >= key_hash
+         |     ORDER BY pos LIMIT 1),
+         |    (SELECT shard FROM ring ORDER BY pos LIMIT 1)) AS shard
+         |FROM k ORDER BY doc_id""".stripMargin
+    },
 
     "pipeline_mixture" ->
       """WITH per AS (

@@ -247,6 +247,25 @@ class TrainingOpsSpec extends SparkSpec {
     for ((_, _, _, seqId, off) <- got.values) assert(off >= 0 && off < 100)
   }
 
+  test("consistentShard: adding a shard moves keys ONLY to the new shard") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val before = Sampling.consistentShard(docs, col("doc_id"), nShards = 4)
+      .select(col("doc_id"), col("shard")).as[(Long, Int)].collect().toMap
+    val after = Sampling.consistentShard(docs, col("doc_id"), nShards = 5)
+      .select(col("doc_id"), col("shard")).as[(Long, Int)].collect().toMap
+    assert(before.keySet === after.keySet)
+    // every shard is actually used
+    assert(before.values.toSet === (0 until 4).toSet)
+    val moved = before.keys.filter(k => before(k) != after(k)).toSeq
+    // the consistent-hashing contract: relocated keys all land on the
+    // NEW shard (no old→old movement), and the moved fraction is near
+    // 1/5 (vnodes smooth it; allow a wide band)
+    assert(moved.nonEmpty)
+    for (k <- moved) assert(after(k) === 4, s"key $k moved to old shard")
+    val frac = moved.size.toDouble / before.size
+    assert(frac > 0.05 && frac < 0.45, s"moved fraction $frac")
+  }
+
   test("boilerplateNgramStats flags corpus-dominating grams, spares rare ones") {
     // "x y z" appears in 3/4 docs (df 0.75 > 0.3 → boilerplate);
     // each doc's other grams are unique to it.
