@@ -55,6 +55,37 @@ case class Gzip(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Gzip = copy(c)
 }
 
+/** bloom_might_contain(long) → boolean: membership probe against a
+  * driver-built Bloom filter carried in the expression as serialized
+  * bytes (same shape as Spark's sql-private runtime-filter
+  * `BloomFilterMightContain`, which is bound to its injection rule and
+  * not user-constructible). Deserialized once per executor via the
+  * codegen reference array; the probe itself is a codegen'd call, so a
+  * bloom prefilter sits inside the scan's WholeStageCodegen and the
+  * definitely-absent fast path never reaches a shuffle. No false
+  * negatives by construction — callers combine it with an exact join on
+  * the bloom-positive slice for exact semantics (see
+  * Dedup.bloomPrefilterNew).
+  */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.util.sketch.BloomFilter
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(filterBytes)
+  override def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.mightContainLong($v);")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+}
+
 /** rolling_fingerprint(string, window) → long: the minimum of all
   * rolling polynomial hashes over byte windows of length `window`
   * (winnowing-style content fingerprint: stable under local edits
@@ -248,4 +279,6 @@ object functions {
   def zorder2(a: Column, b: Column, bits: Int = 16): Column =
     GraftColumnBridge.column(ZOrder2(
       ex(a.cast("long")), ex(b.cast("long")), bits))
+  def bloom_might_contain(c: Column, filterBytes: Array[Byte]): Column =
+    GraftColumnBridge.column(BloomMightContain(ex(c.cast("long")), filterBytes))
 }

@@ -249,6 +249,17 @@ object PipelineQueries {
         col("doc_id") >= 100000)
         .orderBy("new_id", "base_id")),
 
+    // Bloom-prefiltered cross-run dedup: the incoming duplicate shard
+    // (ids >= 100000) against the base corpus as history. The bloom
+    // probe only routes rows (it never changes the result set), so the
+    // output is exactly the anti-join the oracle expresses.
+    "dedup_bloom_prefilter" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val incoming = Dedup.augmentCorpus(Tables.documents(s, d))
+        .filter(col("doc_id") >= 100000)
+      Dedup.bloomPrefilterNew(base, incoming).orderBy("doc_id")
+    }),
+
     // Consistent-hash shard assignment (4 shards × 16 vnodes): the ring
     // is an embedded config literal, assignment a pure projection.
     "pipeline_shard_assign" -> ((s, d) =>
@@ -982,6 +993,13 @@ object PipelineQueries {
          |  WHERE n.doc_id >= 100000 AND b.doc_id < 100000)
          |SELECT new_id, base_id FROM inc
          |ORDER BY new_id, base_id""".stripMargin,
+
+    "dedup_bloom_prefilter" ->
+      s"""WITH $corpusCte,
+         |inc AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 100000)
+         |SELECT inc.doc_id, md5(inc.text) AS text_hash FROM inc
+         |WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = inc.text)
+         |ORDER BY inc.doc_id""".stripMargin,
 
     "pipeline_shard_assign" -> {
       val vals = Sampling.ringPositions(4)

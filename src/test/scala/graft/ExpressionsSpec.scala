@@ -31,6 +31,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(got === "hello flow logs")
   }
 
+  test("bloom_might_contain: no false negatives, bounded false positives") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bloom = BloomFilter.create(1000L, 0.01)
+    val members = (0L until 1000L).map(_ * 7919L)
+    members.foreach(bloom.putLong)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    val nonMembers = (0L until 1000L).map(_ * 7919L + 1L)
+    val df = (members ++ nonMembers).toDF("h")
+      .withColumn("hit", gf.bloom_might_contain($"h", bytes))
+    // codegen path (DataFrame filter) — every member must hit
+    assert(df.filter($"h" % 7919L === 0 && !$"hit").count() === 0)
+    // false-positive rate on non-members stays near the configured 1%
+    val fp = df.filter($"h" % 7919L === 1 && $"hit").count()
+    assert(fp <= 50, s"false positives $fp out of 1000 at fpp=0.01")
+    // interpreted eval agrees with the codegen'd result
+    val expr = graft.functions.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(members.head), bytes)
+    assert(expr.eval(null) === true)
+  }
+
   test("rolling_fingerprint matches a brute-force reference implementation") {
     val window = 8
     def brute(s: String): Long = {

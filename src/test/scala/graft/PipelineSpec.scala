@@ -38,6 +38,20 @@ class PipelineSpec extends SparkSpec {
     assert(nearFound >= nearIds.length * 9 / 10)
   }
 
+  test("bloom prefilter dedup equals the plain anti-join exactly") {
+    val base = docs.select($"doc_id", $"text")
+    val incoming = corpus.filter($"doc_id" >= 100000)
+    val got = Dedup.bloomPrefilterNew(base, incoming)
+      .select($"doc_id").as[Long].collect().sorted
+    val want = incoming
+      .join(base.select($"text").distinct(), Seq("text"), "left_anti")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(got.toSeq === want.toSeq)
+    // every injected exact copy is dropped; every near-dup survives
+    assert(got.forall(_ >= 200000))
+    assert(got.length === docs.filter($"doc_id" % 10 === 5).count())
+  }
+
   test("jaccard of an exact duplicate pair is 1.0") {
     val sh = Dedup.shingles(corpus)
     val cand = Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh))
