@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{ConnectedComponents, Dedup, Multimodal, Sampling,
-  Similarity, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, Multimodal, Profiling,
+  Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline queries (SURVEY.md §7.2 phase D, charter
   * north_star): dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash /
@@ -441,6 +441,16 @@ object PipelineQueries {
     "pipeline_source_mix" -> ((s, d) =>
       Sampling.interleaveSources(Tables.documents(s, d), cap = 20)
         .orderBy("mix_pos")),
+
+    // Key-skew profile of the lineitem↔supplier join key — the
+    // diagnostic that decides salting vs plain hash partitioning.
+    "pipeline_key_skew" -> ((s, d) =>
+      Profiling.keySkew(Tables.lineitem(s, d), col("l_suppkey"), topN = 20)),
+
+    // Per-source dataset card: one aggregation pass, all the corpus
+    // summary stats a training drop is gated on.
+    "pipeline_dataset_card" -> ((s, d) =>
+      Profiling.datasetCard(Tables.documents(s, d))),
 
     // Resize stage over decoded payloads. The stub's byte/dimension
     // arithmetic is deterministic, so (unusually for a codec stage) it
@@ -993,6 +1003,31 @@ object PipelineQueries {
          |  WHERE n.doc_id >= 100000 AND b.doc_id < 100000)
          |SELECT new_id, base_id FROM inc
          |ORDER BY new_id, base_id""".stripMargin,
+
+    "pipeline_key_skew" ->
+      """WITH c AS (
+        |  SELECT l_suppkey AS key, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |s AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total
+        |  FROM c)
+        |SELECT key, cnt,
+        |  CAST(cnt * n_keys AS DOUBLE) / total AS skew_ratio
+        |FROM c, s
+        |ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
+
+    "pipeline_dataset_card" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+        |  max(n_chars) AS max_chars,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS en_share
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_bloom_prefilter" ->
       s"""WITH $corpusCte,

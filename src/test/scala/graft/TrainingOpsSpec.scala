@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{ConnectedComponents, Dedup, Sampling, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, Profiling, Sampling,
+  TextAnalysis}
 
 /** Training-pipeline operators added in round 3: connected-components
   * canonicalization, deterministic hash splits, IDF vocabulary,
@@ -24,6 +25,33 @@ class TrainingOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got.size === 12)
     assert(got.values.toSet === Set(1L))
+  }
+
+  test("keySkew: uniform keys profile flat, a hot key shows its ratio") {
+    // 4 keys × 10 rows + one key with 60 rows: mean = 100/5 = 20,
+    // so the hot key's ratio is exactly 3.0 and the cold keys' 0.5.
+    val rows = (0 until 40).map(i => i % 4) ++ Seq.fill(60)(9)
+    val got = Profiling.keySkew(rows.toDF("k"), $"k", topN = 5)
+      .as[(Int, Long, Double)].collect()
+    assert(got.head === ((9, 60L, 3.0)))
+    assert(got.tail.forall { case (_, c, r) => c === 10L && r === 0.5 })
+    // ratios are count-weighted to mean 1 by construction
+    val weighted = got.map { case (_, c, r) => c * r }.sum / 100
+    assert(math.abs(weighted - (60 * 3.0 + 40 * 0.5) / 100) < 1e-12)
+  }
+
+  test("datasetCard: totals reconcile with the corpus, shares in [0,1]") {
+    val docs = Tables.documents(spark, sfDir)
+    val card = Profiling.datasetCard(docs).collect()
+    assert(card.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    card.foreach { r =>
+      val share = r.getAs[Double]("en_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("n_en") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("p50_chars") <= r.getAs[Double]("p90_chars"))
+      assert(r.getAs[Double]("p90_chars") <= r.getAs[Long]("max_chars").toDouble)
+      assert(r.getAs[Long]("n_tokens") > r.getAs[Long]("n_docs"))
+    }
   }
 
   test("pointer jumping converges a long chain in O(log diameter) rounds") {
