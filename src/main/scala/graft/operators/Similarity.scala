@@ -348,6 +348,26 @@ object Similarity {
     * come from exact decimal sums (order-independent) divided as
     * doubles — bit-stable at any parallelism.
     */
+  /** Recall@k of an approximate ANN result against the exact top-k:
+    * per-probe |approx ∩ exact| / |exact|. The standard quality gate
+    * before swapping a brute-force serving path for IVF/LSH — run it on
+    * a sampled probe set, not the full corpus. Pure equi-join + count
+    * on (probe_id, neighbor_id): cost is the result sizes, not the
+    * corpus. Both inputs are any DataFrame with those two columns
+    * (bruteForceTopK / ivfTopK / lshTopK / adcTopK outputs qualify).
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("probe_id"), col("neighbor_id"))
+    val a = approx.select(col("probe_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("probe_id", "neighbor_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
+    e.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("probe_id"), col("hits"), col("n_exact"),
+        (col("hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
   def kmeansUpdateStep(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = broadcast(withNorm(centroids)

@@ -94,6 +94,65 @@ class PipelineSpec extends SparkSpec {
     assert(top(0).getAs[Double]("cos_r") === 1.0)
   }
 
+  test("recall@k: IVF and LSH recover clustered neighbors") {
+    // Controlled geometry: 8 well-separated ±1 sign-pattern centers,
+    // members = center + small noise. True neighbors are in-cluster, so
+    // single-cluster IVF search must recover (almost) all of them, and
+    // every member shares its center's 4-bit sign bucket exactly.
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = (0 until 8).map(c =>
+      Array.tabulate(dim)(d => if (((c >> (d % 3)) & 1) == 1) 1.0 else -1.0))
+    val rows = for (c <- 0 until 8; i <- 0 until 12) yield
+      (c * 100L + i, c,
+        centers(c).map(x => x + rnd.nextGaussian() * 0.1).toSeq)
+    val vecs = rows.toDF("vec_id", "label", "v")
+    val probes = vecs.filter($"vec_id" % 100 < 2)   // 2 per cluster
+    val k = 3
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(vecs.select($"vec_id", $"v"),
+        probes.select($"vec_id", $"v"), k)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      graft.operators.Similarity.recallAtK(exact, df)
+        .agg(avg($"recall")).head.getDouble(0)
+    // self-recall is exactly 1 (identity sanity for the metric itself)
+    assert(mean(exact) === 1.0)
+    val ivf = graft.operators.Similarity.ivfTopK(vecs, probes, k)
+    val lsh = graft.operators.Similarity
+      .lshTopK(vecs.select($"vec_id", $"v"), probes.select($"vec_id", $"v"),
+        k, bits = 4)
+    val (mi, ml) = (mean(ivf), mean(lsh))
+    info(f"clustered recall@$k ivf=$mi%.3f lsh=$ml%.3f")
+    assert(mi >= 0.95, f"IVF recall@$k degraded: $mi%.3f")
+    assert(ml >= 0.95, f"LSH recall@$k degraded: $ml%.3f")
+  }
+
+  test("recall@k beats the retrieved-fraction baseline on unclustered data") {
+    // The testdata embeddings are geometrically structureless (intra-
+    // label cosine ≈ inter-label ≈ 0), so this pins the floor behavior:
+    // IVF's single-cluster search can't beat its ~1/10 corpus fraction
+    // by much, while sign-LSH — keyed on the vectors themselves, not an
+    // unrelated label — must clear its 1/16 bucket fraction decisively.
+    // A structure-aware index on structureless data degrading to the
+    // scanned fraction (and not below) is the documented contract.
+    val vecs = graft.operators.Similarity.vectors(
+      Tables.embeddings(spark, sfDir))
+    val probes = vecs.filter($"vec_id" < 15)
+    val k = 3
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(vecs.select($"vec_id", $"v"),
+        probes.select($"vec_id", $"v"), k)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      graft.operators.Similarity.recallAtK(exact, df)
+        .agg(avg($"recall")).head.getDouble(0)
+    val mi = mean(graft.operators.Similarity.ivfTopK(vecs, probes, k))
+    val ml = mean(graft.operators.Similarity.lshTopK(
+      vecs.select($"vec_id", $"v"), probes.select($"vec_id", $"v"), k, 4))
+    info(f"unclustered recall@$k ivf=$mi%.3f lsh=$ml%.3f")
+    assert(mi >= 0.10, f"IVF below its scanned fraction: $mi%.3f")
+    assert(ml >= 0.125, f"LSH below 2x its bucket fraction: $ml%.3f")
+  }
+
   test("semanticDedup drops every injected exact duplicate, keeps originals") {
     val vecs = Similarity.augmentVectors(Tables.embeddings(spark, sfDir))
     val out = Similarity.semanticDedup(vecs, 0.99)
