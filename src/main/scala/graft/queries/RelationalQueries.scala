@@ -1134,6 +1134,23 @@ object RelationalQueries {
           |FROM succ GROUP BY root ORDER BY root""".stripMargin)
     }),
 
+    // SQL pipe syntax (Spark 4 `|>` operators): the same logical plan
+    // as the plain SELECT the oracle runs — pipe stages are sugar over
+    // Project/Filter/Aggregate/Sort, so Catalyst optimizes identically
+    // (decimal accumulation idiom shared with q1 for the double sums).
+    "q_pipe_syntax" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """FROM v_lineitem
+          ||> WHERE l_quantity < 30
+          ||> AGGREGATE
+          |     CAST(sum(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sum_qty,
+          |     CAST(sum(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sum_price,
+          |     count(*) AS n_rows
+          |   GROUP BY l_returnflag, l_linestatus
+          ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // LATERAL correlated subquery (SQL-text surface): per outer row, a
     // dependent top-n subquery with its own window + LIMIT. Catalyst
     // decorrelates this into a ranked join — no per-row re-execution.
@@ -1963,6 +1980,15 @@ object RelationalQueries {
          |       min(sx) AS sx_min, max(sx) AS sx_max
          |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+
+    "q_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_rows
+        |FROM lineitem WHERE l_quantity < 30
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_recursive_cte" ->
       """WITH RECURSIVE succ AS (

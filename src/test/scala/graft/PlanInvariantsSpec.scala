@@ -23,7 +23,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "sim_topk_bruteforce", "sim_topk_aggregator", "sim_topk_native", // probes
     "sim_kmeans_step",   // K centroids
     "pipeline_source_mix", // |sources|-row capped-count dimension
-    "pipeline_mixture"     // one-row source-count aggregate
+    "pipeline_mixture",    // one-row source-count aggregate
+    "pipeline_key_skew"    // one-row global-stats aggregate
   )
 
   test("no CartesianProduct in any plan; BNLJ only in the audited set") {
