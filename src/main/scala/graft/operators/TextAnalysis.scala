@@ -215,6 +215,32 @@ object TextAnalysis {
         (col("pr") >= minPercentile).as("keep"))
   }
 
+  /** Sliding-window token chunking with overlap — the RAG/context-
+    * window preparation pass: each document becomes ceil(n/stride)
+    * chunks of up to `chunkSize` whitespace tokens, consecutive chunks
+    * sharing `chunkSize - stride` tokens. A generator expression
+    * (`explode(sequence(...))`) over a per-row token array: narrow,
+    * codegen'd, no shuffle — output row count is the only cost, at any
+    * corpus size. Tail chunks shorter than `chunkSize` are kept (their
+    * real token count is emitted), so chunk boundaries never drop text.
+    */
+  def chunkByTokens(documents: DataFrame, chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(1, size(w), $stride)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"(start - 1) div $stride").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        least(size(col("w")) - col("start") + 1, lit(chunkSize))
+          .cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("w"), col("start"), lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
   /** Okapi BM25 relevance scores for the corpus against a bag of query
     * terms — the search-side analytic the reference's Elasticsearch sink
     * exists to serve (README.md:3: flow documents land in ES precisely

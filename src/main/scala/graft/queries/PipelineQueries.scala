@@ -301,6 +301,13 @@ object PipelineQueries {
     "text_langid" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // Sliding-window token chunking (64-token chunks, stride 48 → 16
+    // tokens of overlap) — the RAG/context-window preparation pass.
+    "text_chunk_overlap" -> ((s, d) =>
+      TextAnalysis.chunkByTokens(Tables.documents(s, d),
+        chunkSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")),
+
     // Duplicate-cluster canonicalization: MinHash-LSH pairs → connected
     // components (iterative min-label propagation) → one representative
     // per cluster across the whole corpus.
@@ -1003,6 +1010,18 @@ object PipelineQueries {
          |  WHERE n.doc_id >= 100000 AND b.doc_id < 100000)
          |SELECT new_id, base_id FROM inc
          |ORDER BY new_id, base_id""".stripMargin,
+
+    "text_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w,
+        |        unnest(generate_series(1, len(w), 48)) AS start
+        |      FROM t)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(least(len(w) - start + 1, 64) AS BIGINT) AS n_tok,
+        |  array_to_string(w[start:start+63], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     "pipeline_key_skew" ->
       """WITH c AS (

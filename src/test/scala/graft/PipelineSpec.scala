@@ -239,6 +239,38 @@ class PipelineSpec extends SparkSpec {
         s"ADC($p,$n)=$a vs exact ${exact((p, n))}")
   }
 
+  test("token chunks cover every token and overlap by chunkSize - stride") {
+    val (chunk, stride) = (64, 48)
+    val chunks = graft.operators.TextAnalysis
+      .chunkByTokens(docs, chunk, stride)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    assert(chunks.keySet === texts.keySet)
+    for ((id, rows) <- chunks.toSeq.sortBy(_._1).take(50)) {
+      val toks = texts(id).split(" ")
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_id"))
+      // chunk count = ceil(n / stride); starts advance by the stride
+      assert(sorted.length === (toks.length + stride - 1) / stride)
+      // stitching the first `stride` tokens of each chunk (all of the
+      // last) reassembles the document exactly — nothing dropped
+      val stitched = sorted.map(_.getAs[String]("chunk_text").split(" ")
+        .take(stride)).flatten
+      val tail = sorted.last.getAs[String]("chunk_text").split(" ")
+        .drop(stride)
+      assert((stitched ++ tail).mkString(" ") === texts(id))
+      // consecutive chunks share exactly chunkSize - stride tokens
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray) if
+          a.getAs[Long]("n_tok") == chunk.toLong) {
+        val at = a.getAs[String]("chunk_text").split(" ")
+        val bt = b.getAs[String]("chunk_text").split(" ")
+        assert(at.drop(stride).sameElements(
+          bt.take((chunk - stride) min bt.length)))
+      }
+    }
+  }
+
   test("chunking reassembles to the original payload, hashes are content keys") {
     import graft.operators.Multimodal
     val docs = Seq((1L, "x" * 150), (2L, "y" * 64), (3L, "z" * 150 + "x" * 0))
