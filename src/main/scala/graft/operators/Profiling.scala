@@ -41,16 +41,60 @@ object Profiling {
       .limit(topN)
   }
 
+  /** Exact interpolated percentiles per key with BOUNDED state — the
+    * scale-safe replacement for `percentile()`, whose aggregation
+    * buffer holds every value of the group (a 10^9-row group OOMs the
+    * task). Here state is the VALUE DISTRIBUTION: count per (key,
+    * value), cumulative counts by value order, then the two covering
+    * values of each interpolated rank position `1 + p·(n-1)` are picked
+    * by flag-and-max aggregation. Memory tracks distinct values per
+    * key (for length-like columns: thousands), never row count. Same
+    * definition as Spark `percentile` / DuckDB `quantile_cont`.
+    */
+  def groupedPercentiles(df: DataFrame, key: Column, value: Column,
+      ps: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("k"))
+    val cum = df.select(key.as("k"), value.cast("double").as("v"))
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val flagged = ps.foldLeft(cum) { case (acc, (p, name)) =>
+      val pos = lit(1.0) + lit(p) * (col("n") - 1).cast("double")
+      acc
+        .withColumn(s"${name}_lo",
+          when(col("prev") < floor(pos) && floor(pos) <= col("cum"), col("v")))
+        .withColumn(s"${name}_hi",
+          when(col("prev") < ceil(pos) && ceil(pos) <= col("cum"), col("v")))
+        .withColumn(s"${name}_frac", pos - floor(pos))
+    }
+    val aggs = ps.flatMap { case (_, name) =>
+      Seq(max(col(s"${name}_lo")).as(s"${name}_lo"),
+        max(col(s"${name}_hi")).as(s"${name}_hi"),
+        max(col(s"${name}_frac")).as(s"${name}_frac"))
+    }
+    val picked = flagged.groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+    ps.foldLeft(picked) { case (acc, (_, name)) =>
+      acc.withColumn(name,
+        col(s"${name}_lo") +
+          col(s"${name}_frac") * (col(s"${name}_hi") - col(s"${name}_lo")))
+        .drop(s"${name}_lo", s"${name}_hi", s"${name}_frac")
+    }
+  }
+
   /** Per-source dataset card: the one-glance corpus summary (doc count,
     * whitespace-token count, language spread, English share, length
-    * profile) produced in ONE aggregation pass over the corpus —
-    * `percentile` and the counting aggregates share the same shuffle on
-    * `source`. The English share is an exact-integer IEEE division;
-    * interpolated percentiles round to 4 dp (the engines' interpolation
-    * arithmetic differs in the last ulp).
+    * profile). Counting aggregates are one partial-aggregated pass;
+    * length percentiles come from [[groupedPercentiles]] (bounded
+    * state — a plain `percentile()` buffers every group value, which
+    * does not survive a 10^9-doc source). The English share is an
+    * exact-integer IEEE division; percentiles round to 4 dp (the
+    * engines' interpolation arithmetic differs in the last ulp).
     */
-  def datasetCard(docs: DataFrame): DataFrame =
-    docs
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val base = docs
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       .groupBy(col("source"))
       .agg(
@@ -58,10 +102,18 @@ object Profiling {
         sum(col("n_tok")).as("n_tokens"),
         countDistinct(col("lang")).as("n_langs"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
-        round(percentile(col("n_chars"), lit(0.5)), 4).as("p50_chars"),
-        round(percentile(col("n_chars"), lit(0.9)), 4).as("p90_chars"),
         max(col("n_chars")).as("max_chars"))
-      .withColumn("en_share",
-        col("n_en").cast("double") / col("n_docs"))
+    val pcts = groupedPercentiles(docs, col("source"), col("n_chars"),
+      Seq(0.5 -> "p50_chars", 0.9 -> "p90_chars"))
+      .withColumnRenamed("k", "source")
+      .select(col("source"),
+        round(col("p50_chars"), 4).as("p50_chars"),
+        round(col("p90_chars"), 4).as("p90_chars"))
+    base.join(pcts, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_langs"), col("n_en"), col("p50_chars"), col("p90_chars"),
+        col("max_chars"),
+        (col("n_en").cast("double") / col("n_docs")).as("en_share"))
       .orderBy(col("source"))
+  }
 }

@@ -40,6 +40,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(math.abs(weighted - (60 * 3.0 + 40 * 0.5) / 100) < 1e-12)
   }
 
+  test("groupedPercentiles equals percentile() on skewed integer data") {
+    val rnd = new scala.util.Random(7)
+    // duplicate-heavy + singleton groups, including a 1-row group
+    val rows = Seq.tabulate(3000)(i =>
+      ("g" + (i % 7), (rnd.nextInt(40) * rnd.nextInt(40)).toLong)) :+
+      (("lonely", 42L))
+    val df = rows.toDF("source", "x")
+    val got = graft.operators.Profiling
+      .groupedPercentiles(df, $"source", $"x",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.0 -> "p0", 1.0 -> "p100"))
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"),
+          r.getAs[Double]("p0"), r.getAs[Double]("p100"))).toMap
+    val want = df.groupBy($"source")
+      .agg(percentile($"x", lit(0.5)), percentile($"x", lit(0.9)),
+        percentile($"x", lit(0.0)), percentile($"x", lit(1.0)))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet === want.keySet)
+    for (k <- want.keys) {
+      val (g, w) = (got(k), want(k))
+      assert(math.abs(g._1 - w._1) < 1e-9 && math.abs(g._2 - w._2) < 1e-9
+        && g._3 === w._3 && g._4 === w._4, s"$k: $g vs $w")
+    }
+  }
+
   test("datasetCard: totals reconcile with the corpus, shares in [0,1]") {
     val docs = Tables.documents(spark, sfDir)
     val card = Profiling.datasetCard(docs).collect()
