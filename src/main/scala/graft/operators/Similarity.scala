@@ -348,6 +348,30 @@ object Similarity {
     * come from exact decimal sums (order-independent) divided as
     * doubles — bit-stable at any parallelism.
     */
+  /** Per-dimension winsorization — clip each embedding dimension to its
+    * corpus [pLow, pHigh] percentile band, the standard outlier guard
+    * before quantization (a single extreme value otherwise stretches
+    * the int8 scale and crushes everyone else's resolution). Bounds
+    * come from Profiling.groupedPercentiles keyed by dimension —
+    * bounded state, dim-count × distinct-values, never corpus size —
+    * and broadcast back over the exploded corpus (dims × docs rows,
+    * narrow). Emitted per-dimension like quantizeInt8, so results are
+    * engine-comparable without list-ordering concerns.
+    */
+  def winsorize(vecs: DataFrame, pLow: Double = 0.05,
+      pHigh: Double = 0.95): DataFrame = {
+    val dims = vecs.select(col("vec_id"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val bounds = Profiling.groupedPercentiles(dims, col("pos"), col("x"),
+      Seq(pLow -> "lo", pHigh -> "hi"))
+      .withColumnRenamed("k", "pos")
+    dims.join(broadcast(bounds), Seq("pos"))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        round(greatest(col("lo"), least(col("hi"), col("x"))), 6)
+          .as("x_clip"),
+        (col("x") < col("lo") || col("x") > col("hi")).as("clipped"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact top-k:
     * per-probe |approx ∩ exact| / |exact|. The standard quality gate
     * before swapping a brute-force serving path for IVF/LSH — run it on

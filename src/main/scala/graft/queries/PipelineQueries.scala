@@ -154,6 +154,15 @@ object PipelineQueries {
         .orderBy(col("probe_id"), col("cos_r").desc, col("neighbor_id"))
     }),
 
+    // Per-dimension percentile clipping (the outlier guard before
+    // quantization) — bounds via the bounded-state distribution
+    // percentiles, broadcast back over the exploded corpus.
+    "sim_winsorize" -> ((s, d) =>
+      Similarity.winsorize(
+        Similarity.vectors(Tables.embeddings(s, d))
+          .select(col("vec_id"), col("v")))
+        .orderBy("vec_id", "dim")),
+
     // Symmetric int8 quantization (per-vector scale, per-dim rounding).
     "sim_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(
@@ -668,6 +677,21 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT probe_id, neighbor_id, cos_r FROM ranked
          |WHERE rnk <= 5 ORDER BY probe_id, cos_r DESC, neighbor_id""".stripMargin,
+
+    "sim_winsorize" ->
+      s"""WITH $ovecsCte,
+         |d AS (
+         |  SELECT vec_id, unnest(range(1, len(v)+1)) AS dim, unnest(v) AS x
+         |  FROM ovecs),
+         |b AS (
+         |  SELECT dim, quantile_cont(x, 0.05) AS lo,
+         |         quantile_cont(x, 0.95) AS hi
+         |  FROM d GROUP BY dim)
+         |SELECT d.vec_id, CAST(d.dim AS BIGINT) AS dim,
+         |  round(greatest(b.lo, least(b.hi, d.x)), 6) AS x_clip,
+         |  (d.x < b.lo OR d.x > b.hi) AS clipped
+         |FROM d JOIN b USING (dim)
+         |ORDER BY vec_id, dim""".stripMargin,
 
     "sim_quantize_int8" ->
       s"""WITH $ovecsCte,

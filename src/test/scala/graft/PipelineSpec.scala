@@ -94,6 +94,26 @@ class PipelineSpec extends SparkSpec {
     assert(top(0).getAs[Double]("cos_r") === 1.0)
   }
 
+  test("winsorize clips ~2*(1-p) of each dimension, passes the rest through") {
+    val vecs = graft.operators.Similarity.vectors(
+      Tables.embeddings(spark, sfDir)).select($"vec_id", $"v")
+    val w = graft.operators.Similarity.winsorize(vecs)
+    val n = vecs.count().toDouble
+    // ~5% clipped per side for continuous data; generous slack for ties
+    val perDim = w.groupBy($"dim")
+      .agg((sum(when($"clipped", 1).otherwise(0)) / n).as("frac"))
+      .select($"frac").as[Double].collect()
+    assert(perDim.forall(f => f >= 0.04 && f <= 0.14),
+      s"clip fraction out of band: ${perDim.min} .. ${perDim.max}")
+    // unclipped values pass through exactly (mod the 6-dp emit rounding)
+    val dims = vecs.select($"vec_id",
+      posexplode($"v").as(Seq("pos", "x")))
+      .select($"vec_id", ($"pos" + 1).cast("long").as("dim"), $"x")
+    val drift = w.filter(!$"clipped").join(dims, Seq("vec_id", "dim"))
+      .filter(abs($"x_clip" - $"x") > 5e-7).count()
+    assert(drift === 0)
+  }
+
   test("recall@k: IVF and LSH recover clustered neighbors") {
     // Controlled geometry: 8 well-separated ±1 sign-pattern centers,
     // members = center + small noise. True neighbors are in-cluster, so
