@@ -57,6 +57,9 @@ object Profiling {
     val wOrd = Window.partitionBy(col("k")).orderBy(col("v"))
     val wAll = Window.partitionBy(col("k"))
     val cum = df.select(key.as("k"), value.cast("double").as("v"))
+      // built-in percentile() ignores nulls; count only real values so
+      // rank positions agree on data with missing entries
+      .filter(col("v").isNotNull)
       .groupBy(col("k"), col("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(wOrd))
       .withColumn("n", sum(col("cnt")).over(wAll))

@@ -229,7 +229,11 @@ object TextAnalysis {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       "need 0 < stride <= chunkSize")
     documents
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // null-safe: sequence(1, -1) (size of a null array) is a runtime
+      // error, not an empty generator — a null document must yield its
+      // one empty chunk, not fail the task
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("w"))
       .select(col("doc_id"), col("w"),
         explode(expr(s"sequence(1, size(w), $stride)")).as("start"))
       .select(col("doc_id"),

@@ -291,6 +291,16 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("token chunking survives null and empty documents") {
+    val edge = Seq((1L, null: String), (2L, ""), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.chunkByTokens(edge, 4, 4)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    // null and empty both chunk to one empty-token chunk, not a crash
+    assert(got(1L).length === 1 && got(2L).length === 1)
+    assert(got(3L).head.getAs[String]("chunk_text") === "a b c")
+  }
+
   test("chunking reassembles to the original payload, hashes are content keys") {
     import graft.operators.Multimodal
     val docs = Seq((1L, "x" * 150), (2L, "y" * 64), (3L, "z" * 150 + "x" * 0))

@@ -42,10 +42,13 @@ class TrainingOpsSpec extends SparkSpec {
 
   test("groupedPercentiles equals percentile() on skewed integer data") {
     val rnd = new scala.util.Random(7)
-    // duplicate-heavy + singleton groups, including a 1-row group
-    val rows = Seq.tabulate(3000)(i =>
-      ("g" + (i % 7), (rnd.nextInt(40) * rnd.nextInt(40)).toLong)) :+
-      (("lonely", 42L))
+    // duplicate-heavy + singleton groups, a 1-row group, and nulls
+    // (percentile() ignores nulls; the distribution method must too)
+    val rows: Seq[(String, java.lang.Long)] = Seq.tabulate(3000) { i =>
+      val v: java.lang.Long = if (i % 211 == 0) null
+        else java.lang.Long.valueOf((rnd.nextInt(40) * rnd.nextInt(40)).toLong)
+      ("g" + (i % 7), v)
+    } :+ (("lonely", java.lang.Long.valueOf(42L)))
     val df = rows.toDF("source", "x")
     val got = graft.operators.Profiling
       .groupedPercentiles(df, $"source", $"x",
