@@ -40,7 +40,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     "sim_pq_codes" -> 3,         // window + rollup + sort
     "pipeline_quality_dedup" -> 2,
     "pipeline_seq_pack" -> 2,
-    "mm_scene_cut" -> 2)
+    "mm_scene_cut" -> 2,
+    "dedup_bloom_prefilter" -> 4, // history-distinct + anti co-key + sort
+    "pipeline_key_skew" -> 3,     // key agg + stats agg + top-N sort
+    "pipeline_dataset_card" -> 5, // base agg + dist agg/window + join + sort
+    "text_chunk_overlap" -> 1,    // generator is narrow; output sort only
+    "sim_winsorize" -> 3,         // dim dist agg/window + output sort
+    "q_pipe_syntax" -> 2)         // agg + sort (same plan as classic SQL)
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
