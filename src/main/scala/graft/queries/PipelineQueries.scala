@@ -310,6 +310,23 @@ object PipelineQueries {
     "text_langid" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // The canonical pre-training flow end-to-end AS ONE PLAN: quality-
+    // score the (duplicate-injected) corpus, keep the high-quality
+    // slice, drop exact duplicates down to one representative, and
+    // chunk the survivors for the context window. Catalyst fuses the
+    // quality filter into the scan and the dedup/join stages share the
+    // text-key shuffle — nothing materializes between stages.
+    "pipeline_end_to_end" -> ((s, d) => {
+      val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
+      val quality = TextAnalysis.stats(corpus)
+        .filter(col("quality_score") >= 0.5).select(col("doc_id"))
+      val kept = corpus.join(quality, "doc_id")
+      val reps = Dedup.exactDuplicates(kept)
+        .select(col("keep_id").as("doc_id"))
+      TextAnalysis.chunkByTokens(kept.join(reps, "doc_id"), 64, 48)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Sliding-window token chunking (64-token chunks, stride 48 → 16
     // tokens of overlap) — the RAG/context-window preparation pass.
     "text_chunk_overlap" -> ((s, d) =>
@@ -886,6 +903,31 @@ object PipelineQueries {
          |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          |       md5(text) AS text_hash
          |FROM kept GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "pipeline_end_to_end" ->
+      s"""WITH $corpusCte,
+         |q AS (
+         |  SELECT doc_id,
+         |    least(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0) * 0.5 +
+         |    least(1.0, CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE) /
+         |               CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) * 4.0) * 0.5
+         |      AS quality_score
+         |  FROM corpus),
+         |kept AS (
+         |  SELECT c.doc_id, c.text FROM corpus c JOIN q USING (doc_id)
+         |  WHERE quality_score >= 0.5),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+         |surv AS (SELECT k.doc_id, k.text FROM kept k JOIN reps USING (doc_id)),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM surv),
+         |st AS (SELECT doc_id, w,
+         |         unnest(generate_series(1, len(w), 48)) AS start
+         |       FROM t)
+         |SELECT doc_id,
+         |  CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+         |  CAST(start AS BIGINT) AS start_tok,
+         |  CAST(least(len(w) - start + 1, 64) AS BIGINT) AS n_tok,
+         |  array_to_string(w[start:start+63], ' ') AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,
