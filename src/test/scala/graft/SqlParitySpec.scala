@@ -73,6 +73,32 @@ class SqlParitySpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx stays within its accuracy contract of exact") {
+    // The sketch analog of the HLL pin: approx_percentile's error bound
+    // is rank-based — with accuracy a, the returned value's rank is
+    // within n/a of the target rank. Checked against the exact
+    // distribution-method percentiles at a = 100 over lineitem prices.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val li = Tables.lineitem(spark, sfDir)
+    val n = li.count()
+    val approx = li.agg(
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 100)"))
+      .head.getSeq[Double](0)
+    val exact = graft.operators.Profiling
+      .groupedPercentiles(li, lit(1), col("l_extendedprice"),
+        Seq(0.5 -> "p50", 0.9 -> "p90"))
+      .select($"p50", $"p90").as[(Double, Double)].head()
+    val sorted = li.select($"l_extendedprice".cast("double")).as[Double]
+      .collect().sorted
+    def rankOf(v: Double): Long = sorted.count(_ <= v).toLong
+    for (((a, e), p) <- approx.zip(Seq(exact._1, exact._2)).zip(Seq(0.5, 0.9))) {
+      val rankErr = math.abs(rankOf(a) - p * n)
+      assert(rankErr <= n / 100 + 1,
+        s"p$p: approx $a (rank ${rankOf(a)}) vs exact $e, rank err $rankErr")
+    }
+  }
+
   test("text_bm25 parity") {
     check("text_bm25",
       """WITH words AS (
