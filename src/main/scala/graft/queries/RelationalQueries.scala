@@ -1139,6 +1139,19 @@ object RelationalQueries {
           |FROM succ GROUP BY root ORDER BY root""".stripMargin)
     }),
 
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 SQL sugar): grouping keys
+    // inferred from the non-aggregate select list — resolves to the
+    // identical Aggregate plan as the explicit form the oracle runs.
+    "q_group_by_all" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE)
+          |         AS total
+          |FROM v_orders GROUP BY ALL ORDER BY ALL""".stripMargin)
+    }),
+
     // SQL pipe syntax (Spark 4 `|>` operators): the same logical plan
     // as the plain SELECT the oracle runs — pipe stages are sugar over
     // Project/Filter/Aggregate/Sort, so Catalyst optimizes identically
@@ -1985,6 +1998,12 @@ object RelationalQueries {
          |       min(sx) AS sx_min, max(sx) AS sx_max
          |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+
+    "q_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority, n, total""".stripMargin,
 
     "q_pipe_syntax" ->
       """SELECT l_returnflag, l_linestatus,
