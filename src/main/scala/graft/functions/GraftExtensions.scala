@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => b(exprs)))
     }
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    e.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
   }
 }
 
@@ -59,5 +60,10 @@ object GraftExtensions {
       GraftColumnBridge.registerFunction(spark, name, b)
     }
     GraftColumnBridge.addStrategy(spark, graft.plans.GraftStrategy)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.TopKWindowRewrite)) {
+      spark.experimental.extraOptimizations =
+        graft.plans.TopKWindowRewrite +: spark.experimental.extraOptimizations
+    }
   }
 }

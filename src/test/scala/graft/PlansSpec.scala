@@ -41,6 +41,28 @@ class PlansSpec extends SparkSpec {
     assert(physical.contains("hashpartitioning(k"))
   }
 
+  test("optimizer rule rewrites the row_number top-k idiom to TopKPerKey") {
+    val w = Window.partitionBy($"k").orderBy($"score".desc, $"id")
+    // rank filtered then projected away → rewritten: no window in the plan
+    val rewritten = sample.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2).select($"k", $"id", $"score")
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey "), plan)
+    // no window exec; Spark's map-side WindowGroupLimit pre-filter may
+    // legitimately remain below the operator
+    assert(!plan.contains("Window ["), plan)
+    // rank kept in the output → NOT rewritten (the window must survive)
+    val kept = sample.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+    assert(kept.queryExecution.executedPlan.toString.contains("Window ["))
+    // same rows either way (the order is total, so ties can't differ)
+    val got = rewritten.as[(String, Long, Double)].collect().toSet
+    val want = kept.as[(String, Long, Double, Int)].collect()
+      .map(t => (t._1, t._2, t._3)).toSet
+    assert(got === want)
+    assert(got.size === 5)
+  }
+
   test("composes downstream: filter and aggregate over the operator") {
     val q = TopKPerKey(sample, Seq(col("k")),
       Seq(col("score").desc, col("id").asc), 2)
