@@ -46,7 +46,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "pipeline_dataset_card" -> 5, // base agg + dist agg/window + join + sort
     "text_chunk_overlap" -> 1,    // generator is narrow; output sort only
     "sim_winsorize" -> 3,         // dim dist agg/window + output sort
-    "q_pipe_syntax" -> 2)         // agg + sort (same plan as classic SQL)
+    "q_pipe_syntax" -> 2,         // agg + sort (same plan as classic SQL)
+    "pipeline_end_to_end" -> 4)   // doc-key join + text-key dedup chain + sort
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
