@@ -186,6 +186,32 @@ object Sampling {
     * whole schedule is computed without ever touching a document twice.
     * All outputs are fixed IEEE chains over exact integer aggregates, so
     * any partial-aggregation order reproduces the same bits. */
+  /** Curriculum ordering — the quality-first training schedule: rank
+    * each source's documents into quality deciles (best decile first),
+    * then order within the schedule by decile, length, id. Two windows
+    * per source shard (decile assignment, then the schedule rank);
+    * parallelism = source count, state = one source's rows per
+    * partition — the same shard-window shape as the length filter. The
+    * quality score is the fixed IEEE chain of TextAnalysis.stats, so
+    * decile boundaries are engine- and partitioning-stable (ties break
+    * on doc_id).
+    */
+  def curriculumOrder(documents: DataFrame, deciles: Int = 10): DataFrame = {
+    val wDecile = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("decile"), col("n_chars"), col("doc_id"))
+    documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(TextAnalysis.stats(documents)
+        .select(col("doc_id"), col("quality_score")), "doc_id")
+      .withColumn("decile", ntile(deciles).over(wDecile).cast("long"))
+      .withColumn("curriculum_rank", row_number().over(wRank).cast("long"))
+      .select(col("doc_id"), col("source"), col("decile"),
+        col("curriculum_rank"))
+  }
+
   def mixtureWeights(documents: DataFrame, budgetTokens: Double,
       maxEpochs: Double = 4.0): DataFrame = {
     val perSrc = documents

@@ -277,6 +277,12 @@ object PipelineQueries {
         col("doc_id"), nShards = 4)
         .orderBy("doc_id")),
 
+    // Quality-first curriculum: per-source quality deciles, schedule
+    // rank by (decile, length, id) — the training-order pass.
+    "pipeline_curriculum" -> ((s, d) =>
+      Sampling.curriculumOrder(Tables.documents(s, d))
+        .orderBy("source", "curriculum_rank")),
+
     // Training-mixture schedule: per-source epoch multipliers under a
     // token budget with an equal-share target and an epoch cap.
     "pipeline_mixture" -> ((s, d) =>
@@ -1120,6 +1126,24 @@ object PipelineQueries {
          |SELECT inc.doc_id, md5(inc.text) AS text_hash FROM inc
          |WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = inc.text)
          |ORDER BY inc.doc_id""".stripMargin,
+
+    "pipeline_curriculum" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, n_chars,
+        |    least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0) * 0.5 +
+        |    least(1.0, CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE) /
+        |               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) * 4.0) * 0.5
+        |      AS quality_score
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(ntile(10) OVER (PARTITION BY source
+        |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS decile
+        |  FROM q)
+        |SELECT doc_id, source, decile,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY decile, n_chars, doc_id) AS BIGINT) AS curriculum_rank
+        |FROM d ORDER BY source, curriculum_rank""".stripMargin,
 
     "pipeline_shard_assign" -> {
       val vals = Sampling.ringPositions(4)
