@@ -112,7 +112,10 @@ object Profiling {
       .select(col("source"),
         round(col("p50_chars"), 4).as("p50_chars"),
         round(col("p90_chars"), 4).as("p90_chars"))
-    base.join(pcts, Seq("source"))
+    // left join: a source whose n_chars are all NULL has no percentile
+    // rows, but must stay on the card (NULL p50/p90) — an inner join
+    // would silently drop it, diverging from quantile_cont's NULL-keep
+    base.join(pcts, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("n_langs"), col("n_en"), col("p50_chars"), col("p90_chars"),
         col("max_chars"),

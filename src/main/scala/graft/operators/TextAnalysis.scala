@@ -233,14 +233,18 @@ object TextAnalysis {
       // error, not an empty generator — a null document must yield its
       // one empty chunk, not fail the task
       .select(col("doc_id"),
-        split(coalesce(col("text"), lit("")), " ").as("w"))
-      .select(col("doc_id"), col("w"),
+        split(coalesce(col("text"), lit("")), " ").as("w"),
+        // split("", " ") is [""]: one token of length 0. Flag it so the
+        // empty/null doc's single chunk reports n_tok = 0, not 1
+        (length(coalesce(col("text"), lit(""))) === 0).as("empty"))
+      .select(col("doc_id"), col("w"), col("empty"),
         explode(expr(s"sequence(1, size(w), $stride)")).as("start"))
       .select(col("doc_id"),
         expr(s"(start - 1) div $stride").cast("long").as("chunk_id"),
         col("start").cast("long").as("start_tok"),
-        least(size(col("w")) - col("start") + 1, lit(chunkSize))
-          .cast("long").as("n_tok"),
+        when(col("empty"), lit(0L))
+          .otherwise(least(size(col("w")) - col("start") + 1, lit(chunkSize))
+            .cast("long")).as("n_tok"),
         concat_ws(" ", slice(col("w"), col("start"), lit(chunkSize)))
           .as("chunk_text"))
   }

@@ -28,8 +28,21 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * non-empty PARTITION BY (global top-k already plans as
   * TakeOrderedAndProject), a bare `rank cmp literal` predicate, and no
   * other use of the rank attribute.
+  *
+  * OPT-IN (`spark.graft.topk.rewrite=true`, default off):
+  * TopKPerKeyExec holds a non-spillable distinct-keys-per-task × k
+  * heap map, while the window sort it replaces spills. With bounded
+  * per-task key cardinality (the top-k-per-entity shape the operator
+  * is for) the heaps win; at near-unique keys the spillable sort is
+  * the safer default, so the automatic rewrite must be asked for.
+  * Optimizer rules see no cardinality stats without CBO, hence a flag
+  * rather than a guard. Explicit `TopKPerKey(...)` calls are
+  * unaffected — the caller has already made the cardinality call.
   */
 object TopKWindowRewrite extends Rule[LogicalPlan] {
+
+  /** Session-conf gate for the automatic idiom rewrite. */
+  val FLAG = "spark.graft.topk.rewrite"
 
   /** k such that `cond` ≡ rank <= k, if it has that shape. */
   private def limitOf(cond: Expression, rank: Attribute): Option[Int] =
@@ -45,7 +58,9 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(FLAG, "false").toBoolean) plan
+    else plan.transformUp {
     case p @ Project(projectList,
         Filter(cond,
           Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),

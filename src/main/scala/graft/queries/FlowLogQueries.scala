@@ -326,7 +326,11 @@ object FlowLogQueries {
       gaps.groupBy(col("srcaddr"), col("destaddr"))
         .agg(count(lit(1)).as("n_gaps"),
           sum(col("gap").cast("decimal(18,0)")).as("sg"),
-          sum((col("gap") * col("gap")).cast("decimal(28,0)")).as("sg2"))
+          // cast BEFORE squaring: a LongType gap*gap wraps silently past
+          // ~3.04e9 (epoch-millis gaps) under non-ANSI eval; decimal
+          // multiply widens instead (18,0)x(18,0) -> (37,0)
+          sum(col("gap").cast("decimal(18,0)") *
+            col("gap").cast("decimal(18,0)")).as("sg2"))
         .filter(col("n_gaps") >= 4)
         .select(col("srcaddr"), col("destaddr"), col("n_gaps"),
           (col("sg").cast("double") / col("n_gaps").cast("double"))
@@ -415,7 +419,7 @@ object FlowLogQueries {
         |FROM (
         |  SELECT srcaddr, destaddr, count(*) AS n_gaps,
         |         sum(CAST(gap AS DECIMAL(18,0))) AS sg,
-        |         sum(CAST(gap * gap AS DECIMAL(28,0))) AS sg2
+        |         sum(CAST(gap AS DECIMAL(18,0)) * CAST(gap AS DECIMAL(18,0))) AS sg2
         |  FROM (
         |    SELECT srcaddr, destaddr,
         |           "start" - lag("start") OVER (

@@ -1084,14 +1084,17 @@ object PipelineQueries {
          |ORDER BY new_id, base_id""".stripMargin,
 
     "text_chunk_overlap" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |s AS (SELECT doc_id, w,
+      """WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w,
+        |             len(coalesce(text, '')) = 0 AS empty
+        |           FROM documents),
+        |s AS (SELECT doc_id, w, empty,
         |        unnest(generate_series(1, len(w), 48)) AS start
         |      FROM t)
         |SELECT doc_id,
         |  CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
         |  CAST(start AS BIGINT) AS start_tok,
-        |  CAST(least(len(w) - start + 1, 64) AS BIGINT) AS n_tok,
+        |  CAST(CASE WHEN empty THEN 0
+        |            ELSE least(len(w) - start + 1, 64) END AS BIGINT) AS n_tok,
         |  array_to_string(w[start:start+63], ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 

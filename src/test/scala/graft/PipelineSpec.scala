@@ -298,7 +298,13 @@ class PipelineSpec extends SparkSpec {
       .collect().groupBy(_.getAs[Long]("doc_id"))
     // null and empty both chunk to one empty-token chunk, not a crash
     assert(got(1L).length === 1 && got(2L).length === 1)
+    // ...and that chunk reports ZERO tokens (split("") is [""]: one
+    // zero-length token, which must not count as content)
+    assert(got(1L).head.getAs[Long]("n_tok") === 0L)
+    assert(got(2L).head.getAs[Long]("n_tok") === 0L)
+    assert(got(1L).head.getAs[String]("chunk_text") === "")
     assert(got(3L).head.getAs[String]("chunk_text") === "a b c")
+    assert(got(3L).head.getAs[Long]("n_tok") === 3L)
   }
 
   test("chunking reassembles to the original payload, hashes are content keys") {

@@ -42,20 +42,31 @@ class PlansSpec extends SparkSpec {
   }
 
   test("optimizer rule rewrites the row_number top-k idiom to TopKPerKey") {
-    val w = Window.partitionBy($"k").orderBy($"score".desc, $"id")
+    // opt-in rewrite: enable on an isolated session (conf is read at
+    // optimization time from the query's own session)
+    val s2 = spark.newSession()
+    s2.conf.set(graft.plans.TopKWindowRewrite.FLAG, "true")
+    val sample2 = s2.createDataFrame(sample.collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2)))).toDF("k", "id", "score")
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc, col("id"))
     // rank filtered then projected away → rewritten: no window in the plan
-    val rewritten = sample.withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 2).select($"k", $"id", $"score")
+    val rewritten = sample2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).select(col("k"), col("id"), col("score"))
     val plan = rewritten.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey "), plan)
     // no window exec; Spark's map-side WindowGroupLimit pre-filter may
     // legitimately remain below the operator
     assert(!plan.contains("Window ["), plan)
     // rank kept in the output → NOT rewritten (the window must survive)
-    val kept = sample.withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 2)
+    val kept = sample2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
     assert(kept.queryExecution.executedPlan.toString.contains("Window ["))
+    // flag off (the default) → idiom stays on the window path
+    val off = sample.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).select(col("k"), col("id"), col("score"))
+    assert(!off.queryExecution.executedPlan.toString.contains("TopKPerKey "))
     // same rows either way (the order is total, so ties can't differ)
+    import s2.implicits._
     val got = rewritten.as[(String, Long, Double)].collect().toSet
     val want = kept.as[(String, Long, Double, Int)].collect()
       .map(t => (t._1, t._2, t._3)).toSet

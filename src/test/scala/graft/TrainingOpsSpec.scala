@@ -84,6 +84,26 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("datasetCard keeps a source whose n_chars are all NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      ("web", "a b c", "en", 5L),
+      ("web", "d e", "en", 3L),
+      ("scan", "x y", "en", -1L))
+      .toDF("source", "text", "lang", "n_chars")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("n_chars") < 0, null)
+          .otherwise(org.apache.spark.sql.functions.col("n_chars")))
+    val card = Profiling.datasetCard(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // the all-NULL source must stay on the card with NULL percentiles,
+    // not vanish through an inner join against the percentile side
+    assert(card.keySet === Set("web", "scan"))
+    assert(card("scan").isNullAt(card("scan").fieldIndex("p50_chars")))
+    assert(card("web").getAs[Double]("p50_chars") > 0.0)
+  }
+
   test("pointer jumping converges a long chain in O(log diameter) rounds") {
     // 40-vertex path: diameter 39 would blow plain propagation's default
     // budget; pointer jumping needs ~log2(39) ≈ 6 rounds.
