@@ -52,7 +52,8 @@ object GraftExtensions {
     "zorder2" -> (exprs => ZOrder2(
       as(exprs(0), org.apache.spark.sql.types.LongType),
       as(exprs(1), org.apache.spark.sql.types.LongType),
-      intArg(exprs(2), "bits"))))
+      intArg(exprs(2), "bits"))),
+    "trigram_entropy" -> (exprs => TrigramEntropy(as(exprs.head, StringType))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit = {

@@ -254,6 +254,92 @@ case class ZOrder2(left: Expression, right: Expression, bits: Int)
     copy(left = l, right = r)
 }
 
+/** trigram_entropy(string) → struct<n_grams:bigint, n_distinct:bigint,
+  * entropy_bits:double>: character-trigram Shannon entropy of one
+  * document in ONE pass per row. The computation is pure per-document
+  * arithmetic, so the declarative explode → groupBy(doc, gram) →
+  * groupBy(doc) pipeline (two shuffles, a corpus×(len−2)-row
+  * intermediate) was all distribution overhead; this collapses it to a
+  * per-row hash count inside whole-stage codegen — zero shuffles at
+  * any corpus size. Bit-parity with the declarative/oracle form is
+  * preserved by repeating its arithmetic exactly: each per-gram term
+  * c·log2(c) is HALF_UP-rounded to 6 dp and accumulated as exact
+  * scaled-long micros (= the decimal(18,6) sum), and the final
+  * H = log2(n) − s/n combine uses the same double operations in the
+  * same order. Trigrams are counted by code point (matching
+  * `substring`'s character semantics, not UTF-16 units); three code
+  * points (< 2^21 each) pack into one long key. Input shorter than 3
+  * characters (or null) yields null.
+  */
+case class TrigramEntropy(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("entropy_bits", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "trigram_entropy"
+
+  def compute(u: UTF8String): InternalRow = {
+    val cp = u.toString.codePoints().toArray
+    val n = cp.length
+    if (n < 3) return null
+    val counts = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    var i = 0
+    while (i <= n - 3) {
+      val key = java.lang.Long.valueOf(
+        (cp(i).toLong << 42) | (cp(i + 1).toLong << 21) | cp(i + 2).toLong)
+      val h = counts.get(key)
+      if (h == null) counts.put(key, Array(1)) else h(0) += 1
+      i += 1
+    }
+    val nGrams = (n - 2).toLong
+    // Σ round6(c·log2(c)) as exact micros — identical to summing the
+    // declarative form's round(term, 6).cast(decimal(18,6)) terms
+    var sMicros = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > 1) {
+        // StrictMath, not Math: Spark's Log expression evaluates
+        // StrictMath.log, and the intrinsified Math.log can differ by
+        // 1 ulp — enough to break bitwise parity with the declarative
+        // form in the final combine
+        val term = c.toDouble * (StrictMath.log(c.toDouble) / StrictMath.log(2.0))
+        sMicros += java.math.BigDecimal.valueOf(term)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+      }
+    }
+    val sDouble = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(sMicros), 6).doubleValue()
+    val entropy = StrictMath.log(nGrams.toDouble) / StrictMath.log(2.0) -
+      sDouble / nGrams.toDouble
+    new GenericInternalRow(Array[Any](nGrams, counts.size().toLong, entropy))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  // The loop body lives in compute(); codegen emits one call through a
+  // codegen-reference so the expression stays inside whole-stage
+  // codegen (no interpreter fallback) without janino parsing the loop.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("trigramEntropy", this,
+      classOf[TrigramEntropy].getName)
+    nullSafeCodeGen(ctx, ev, in => {
+      s"""
+         |${ev.value} = $ref.compute($in);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): TrigramEntropy =
+    copy(child = c)
+}
+
 /** Column-level API for the custom expressions. */
 object functions {
   // Input typing is enforced here via casts (AbstractDataType /
@@ -281,4 +367,6 @@ object functions {
       ex(a.cast("long")), ex(b.cast("long")), bits))
   def bloom_might_contain(c: Column, filterBytes: Array[Byte]): Column =
     GraftColumnBridge.column(BloomMightContain(ex(c.cast("long")), filterBytes))
+  def trigram_entropy(c: Column): Column =
+    GraftColumnBridge.column(TrigramEntropy(ex(c.cast("string"))))
 }

@@ -356,6 +356,24 @@ object TextAnalysis {
           .as("entropy_bits"))
   }
 
+  /** Same result as [[trigramEntropy]] through the codegen'd
+    * `trigram_entropy` expression: one pass per row, zero shuffles
+    * (the declarative form shuffles twice and materializes a
+    * corpus×(len−2)-row gram table first). Bit-identical output —
+    * TrainingOpsSpec pins exact row equality between the two on the
+    * real corpus. Prefer this at scale; the declarative twin remains
+    * as the engine-parity reference.
+    */
+  def trigramEntropyFast(documents: DataFrame): DataFrame =
+    documents
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.functions.trigram_entropy(col("text")).as("te"))
+      .select(col("doc_id"),
+        col("te.n_grams").as("n_grams"),
+        col("te.n_distinct").as("n_distinct"),
+        col("te.entropy_bits").as("entropy_bits"))
+
   /** Fuzzy near-duplicate pairs by edit distance, with prefix blocking:
     * candidates share their first `prefixLen` chars (an equi-join on a
     * tiny derived key — the classic blocking trick that keeps fuzzy

@@ -239,7 +239,7 @@ object PipelineQueries {
     // Char-trigram Shannon entropy — the gibberish/low-diversity quality
     // signal. Terms round to 6 dp and sum as exact decimal (see scaladoc).
     "text_trigram_entropy" -> ((s, d) =>
-      TextAnalysis.trigramEntropy(Tables.documents(s, d))
+      TextAnalysis.trigramEntropyFast(Tables.documents(s, d))
         .orderBy("doc_id")),
 
     // Per-source length-percentile filter: drop each crawl's shortest

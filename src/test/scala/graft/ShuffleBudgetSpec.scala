@@ -34,7 +34,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_minhash_lsh" -> 4,
     "dedup_ngram_jaccard" -> 10, // LSH chain + jaccard verify
     "text_top_ngrams" -> 2,      // (gram,doc) pre-agg + gram rollup
-    "text_trigram_entropy" -> 3, // (doc,gram) hist + doc rollup + sort
+    "text_trigram_entropy" -> 1, // per-row codegen'd expression + sort
     "text_bm25" -> 8,
     "sim_topk_bruteforce" -> 2,  // window rank + sort (probes broadcast)
     "sim_pq_codes" -> 3,         // window + rollup + sort

@@ -381,4 +381,19 @@ class TrainingOpsSpec extends SparkSpec {
         log(col("n_distinct").cast("double")) / log(lit(2.0)) + 1e-3).count()
     assert(bad === 0)
   }
+
+  test("trigramEntropyFast is bit-identical to the declarative form, shuffle-free") {
+    val docs = Tables.documents(spark, sfDir)
+    val want = TextAnalysis.trigramEntropy(docs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val fast = TextAnalysis.trigramEntropyFast(docs)
+    val got = fast.as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // exact (bitwise double) equality — the expression repeats the
+    // declarative arithmetic, it does not approximate it
+    assert(got.length === want.length)
+    for ((g, w) <- got.zip(want)) assert(g === w, s"fast $g vs declarative $w")
+    // the whole point: no exchange anywhere in the fast plan
+    assert(!fast.queryExecution.executedPlan.toString.contains("Exchange"),
+      fast.queryExecution.executedPlan.toString)
+  }
 }
