@@ -84,6 +84,40 @@ object TextAnalysis {
           (col("df") + 1).cast("double")) + 1.0, 6).as("idf_r"))
   }
 
+  /** Unigram language-model quality score: each document's mean
+    * per-token log-probability under an add-one-smoothed unigram LM
+    * trained on the corpus itself — the classic cheap perplexity proxy
+    * for training-data quality filtering (gibberish, boilerplate, and
+    * OCR noise score far below fluent text because their tokens are
+    * corpus-rare). logp(tok) = ln((c+1)/(N+V)) with c the corpus count,
+    * N total tokens, V vocabulary size.
+    *
+    * Scale shape: token counts are a token-keyed aggregate with
+    * map-side combine; the (N, V) pair rides in as a broadcast 1-row
+    * cross join (no collect); scoring re-joins tokens to counts on the
+    * token key and rolls up per doc — three shuffles, all on
+    * high-cardinality keys, no corpus×corpus anything. Determinism:
+    * per-token terms round to 6 dp and sum as exact decimal, so the
+    * score is identical under any partitioning or retry. */
+  def unigramLogprob(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("vocab"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(log((col("c") + 1).cast("double") /
+          (col("n_total") + col("vocab")).cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("s"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("s").cast("double") / col("n_tok").cast("double"))
+          .as("avg_logprob"))
+  }
+
   /** Distinct word n-grams per document, keyed by their md5 so the
     * downstream join shuffles a fixed-width hash, not the raw text. */
   def ngramHashes(documents: DataFrame, n: Int): DataFrame =

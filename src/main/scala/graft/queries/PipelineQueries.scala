@@ -242,6 +242,12 @@ object PipelineQueries {
       TextAnalysis.trigramEntropyFast(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // Unigram-LM quality scoring (perplexity proxy): mean per-token
+    // log-probability under the corpus's own smoothed unigram model.
+    "text_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogprob(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
     // Per-source length-percentile filter: drop each crawl's shortest
     // tail (exact percent_rank, engine-stable rational arithmetic).
     "pipeline_length_filter" -> ((s, d) =>
@@ -1058,6 +1064,20 @@ object PipelineQueries {
         |       ln(CAST(n_grams AS DOUBLE)) / ln(2.0)
         |         - CAST(s AS DOUBLE) / CAST(n_grams AS DOUBLE) AS entropy_bits
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS vocab
+        |        FROM counts)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |       CAST(sum(CAST(round(
+        |         ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE)),
+        |         6) AS DECIMAL(18,6))) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS avg_logprob
+        |FROM toks JOIN counts USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "pipeline_length_filter" ->
       """WITH t AS (

@@ -20,6 +20,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "text_bm25",         // one-row corpus stats
     "text_tfidf_vocab",  // one-row corpus size
     "text_boilerplate",  // one-row corpus size
+    "text_unigram_logprob", // one-row (n_total, vocab) LM normalizer
     "sim_topk_bruteforce", "sim_topk_aggregator", "sim_topk_native", // probes
     "sim_kmeans_step",   // K centroids
     "pipeline_source_mix", // |sources|-row capped-count dimension

@@ -382,6 +382,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("unigramLogprob: common-token docs outscore rare-token docs") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "zyx qwv jkp bnm ghf dwt"))   // singleton tokens only
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogprob(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    // token counts are right (6 whitespace tokens each)
+    assert(got.values.forall(_._2 === 6L))
+    // log-probabilities are negative, and the all-rare doc scores lowest
+    assert(got.values.forall(_._3 < 0.0))
+    assert(got(3L)._3 < got(1L)._3 && got(3L)._3 < got(2L)._3)
+    // hand-check one doc: N = 18 tokens, V = 13 distinct; doc 3's
+    // tokens are all singletons → every term is ln(2/31)
+    val expect3 = {
+      val term = BigDecimal(math.log(2.0 / 31.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (term * 6 / 6).toDouble
+    }
+    assert(math.abs(got(3L)._3 - expect3) < 1e-9, s"${got(3L)._3} vs $expect3")
+  }
+
   test("trigramEntropyFast is bit-identical to the declarative form, shuffle-free") {
     val docs = Tables.documents(spark, sfDir)
     val want = TextAnalysis.trigramEntropy(docs)
