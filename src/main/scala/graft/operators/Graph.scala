@@ -64,4 +64,60 @@ object Graph {
     sym.unpersist()
     visited
   }
+
+  /** Fixed-iteration PageRank (damping 0.85) over a directed edge list
+    * `(src, dst)` — the canonical "importance" pass a data-curation
+    * pipeline runs over its citation/link graph before sampling.
+    * Dangling mass is not redistributed (nodes without out-edges simply
+    * stop contributing), matching the unrolled oracle exactly.
+    *
+    * Determinism: ranks are FIXED-POINT — integer micro-ranks scaled by
+    * 10^12. Every step is integer arithmetic (`div` for the per-edge
+    * share and the ×0.85 damping, long addition for the per-node sum),
+    * so there is no floating point anywhere, no rounding-mode question,
+    * and the result is bit-identical across engines, partitionings and
+    * retries. (A double formulation divides a 12-dp decimal by an
+    * integer and re-rounds — which lands EXACTLY half-way whenever the
+    * last digit is odd and the degree is 2, the known cross-engine
+    * drift class.) Floor division leaks ≤1 micro-rank of mass per edge
+    * per round — deterministic and ~10^-12 of total mass.
+    *
+    * Scale shape: the distinct edge set and node set are cached once;
+    * every iteration is (a) a rank⋈out-degree⋈edges equi-join pipeline
+    * keyed on the source node and (b) one dst-keyed aggregation with
+    * map-side partial sums, then a left join back to the node set —
+    * ~2 keyed shuffles per iteration, nothing quadratic, no driver-side
+    * collect (the node count rides in as a broadcast 1-row cross join).
+    * The iteration count is a compile-time constant, so the plan is a
+    * fixed unrolled pipeline like [[bfsHops]].
+    */
+  def pagerank(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"iterations must be in [1, 10] (unrolled join depth), got $iterations")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val outd = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outd"))
+    val ncnt = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val scale = 1000000000000L // 10^12 micro-ranks = total mass 1.0
+
+    var ranks = nodes.crossJoin(ncnt)
+      .select(col("node"), expr(s"$scale div n").as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks.join(outd, Seq("node"))
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("node"),
+          expr("rank_micro div outd").as("contrib"))
+      val sums = contribs.groupBy(col("node"))
+        .agg(sum(col("contrib")).as("s"))
+      // 0.15·scale = 15·10^10 exactly; ×0.85 = ·85 div 100 exactly.
+      ranks = nodes.join(sums, Seq("node"), "left").crossJoin(ncnt)
+        .select(col("node"),
+          (expr(s"${15 * (scale / 100)} div n") +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("rank_micro"))
+    }
+    ranks
+  }
 }

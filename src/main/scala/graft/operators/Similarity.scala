@@ -114,6 +114,21 @@ object Similarity {
         round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
           .as("cos_r"))
 
+  /** Cosine radius search: every corpus vector whose (6-dp rounded)
+    * cosine to a probe meets the threshold — the "find all neighbors
+    * within τ" companion to top-k, used for near-duplicate sweeps and
+    * retrieval-candidate generation where the neighbor count is
+    * data-dependent rather than fixed.
+    *
+    * Scale shape: strictly better than top-k — the probes broadcast,
+    * the corpus streams, and the threshold is a map-side filter, so
+    * there is NO per-probe state at all (no window, no heap, no
+    * shuffle); output size is the only cost. The filter compares the
+    * rounded cosine so the cut line is the exact same value the oracle
+    * compares. */
+  def rangeSearch(vecs: DataFrame, probes: DataFrame, tau: Double): DataFrame =
+    scoreAll(vecs, probes).filter(col("cos_r") >= tau)
+
   /** Typed top-k aggregator: keeps only the k best (score desc, id asc)
     * per group in a bounded buffer. Compared to the window row_number
     * formulation, the shuffle carries at most k rows per group from each

@@ -118,6 +118,27 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Token counting two ways — whitespace splitting and a BPE-ish
+    * pre-tokenization regex (letter runs, digit runs, single
+    * non-alphanumeric marks: the GPT-2 pre-tokenizer's shape without
+    * the contraction special cases) — plus their ratio, the "fertility"
+    * a budget estimator uses to convert word counts into token counts.
+    *
+    * Determinism: both counts are integers and the fertility is one raw
+    * IEEE division of them (never rounded — an int-ratio can land
+    * exactly half-way and drift across engines). Scale shape: a single
+    * codegen'd projection, no shuffle, no UDF — the regex runs inside
+    * whole-stage codegen via regexp_extract_all. */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_bpeish"))
+      .withColumn("fertility",
+        col("n_bpeish").cast("double") / col("n_ws").cast("double"))
+
   /** Distinct word n-grams per document, keyed by their md5 so the
     * downstream join shuffles a fixed-width hash, not the raw text. */
   def ngramHashes(documents: DataFrame, n: Int): DataFrame =

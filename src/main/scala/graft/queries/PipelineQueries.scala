@@ -90,6 +90,14 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Substring-level duplication mass (Lee et al. 2022 at 5-gram
+    // granularity): per document, the fraction of its distinct word
+    // n-grams that occur in any other document. The injected exact
+    // duplicates provably score 1.0.
+    "dedup_substring_mass" -> ((s, d) =>
+      Dedup.duplicationMass(Dedup.augmentCorpus(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+
     // NB: Dedup.simhashPairs (banded near-dup pair join) is part of the
     // operator library (PipelineSpec covers it) but has no query entry:
     // the synthetic corpus draws from a tiny vocabulary, so its 16-bit
@@ -113,6 +121,16 @@ object PipelineQueries {
       Similarity.semanticDedup(
         Similarity.augmentVectors(Tables.embeddings(s, d)), 0.8)
         .orderBy("vec_id")),
+
+    // Cosine radius search: all corpus neighbors within τ=0.2 of each
+    // probe — broadcast probes, map-side threshold filter, zero
+    // shuffles, no per-probe state.
+    "sim_range_search" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.rangeSearch(vecs, vecs.filter(col("vec_id") < 10), 0.2)
+        .orderBy("probe_id", "neighbor_id")
+    }),
 
     "sim_topk_bruteforce" -> ((s, d) => {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
@@ -246,6 +264,13 @@ object PipelineQueries {
     // log-probability under the corpus's own smoothed unigram model.
     "text_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogprob(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
+    // Token counting with a BPE-ish pre-tokenization regex vs plain
+    // whitespace, plus fertility (tokens per word) — the budget
+    // estimator's conversion factor. Single codegen'd projection.
+    "text_tokenize_bpe" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d))
         .orderBy("doc_id")),
 
     // Per-source length-percentile filter: drop each crawl's shortest
@@ -663,6 +688,21 @@ object PipelineQueries {
         |WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
+    "dedup_substring_mass" ->
+      s"""WITH $corpusCte,
+         |grams AS (
+         |  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS gram_hash
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+         |        WHERE len(w) >= 5)),
+         |gdf AS (SELECT gram_hash, count(*) AS df FROM grams GROUP BY gram_hash)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS dup_frac
+         |FROM grams JOIN gdf USING (gram_hash)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_fuzzy_lev" ->
       s"""WITH $corpusCte,
          |k AS (SELECT doc_id, left(text, 16) AS blk, right(text, 40) AS tail
@@ -818,6 +858,16 @@ object PipelineQueries {
          |SELECT cid, dim, count(*) AS n,
          |  round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mean_r
          |FROM expl GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
+
+    "sim_range_search" ->
+      s"""WITH $ovecsCte,
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM ovecs WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT probe_id, o.vec_id AS neighbor_id,
+         |         round(${cosSql("pv", "o.v")}, 6) AS cos_r
+         |  FROM probes, ovecs o WHERE probe_id <> o.vec_id)
+         |SELECT probe_id, neighbor_id, cos_r FROM scored
+         |WHERE cos_r >= 0.2 ORDER BY probe_id, neighbor_id""".stripMargin,
 
     "sim_topk_bruteforce" ->
       s"""WITH $ovecsCte,
@@ -1078,6 +1128,15 @@ object PipelineQueries {
         |         / CAST(count(*) AS DOUBLE) AS avg_logprob
         |FROM toks JOIN counts USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_tokenize_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS n_bpeish,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS DOUBLE) / len(string_split(text, ' ')) AS fertility
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pipeline_length_filter" ->
       """WITH t AS (

@@ -1415,6 +1415,21 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Fixed-iteration PageRank (3 rounds, damping 0.85) over the same
+    // customer—supplier order graph as graph_bfs_hops, directed
+    // customer→supplier. Pure fixed-point integer arithmetic
+    // (micro-ranks ×10^12, integer div) — no floats anywhere, so the
+    // ranks are bit-identical across engines and partitionings; the
+    // oracle unrolls the identical three rounds as chained CTEs.
+    "graph_pagerank" -> ((s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graph.pagerank(edges, iterations = 3)
+        .orderBy("node")
+    }),
+
     // Cohort retention: users bucketed by first-seen hour, activity
     // counted per (cohort, hour offset) — the canonical product-
     // analytics matrix. Two aggregations and one co-partitioned join
@@ -2394,6 +2409,39 @@ object RelationalQueries {
         |  FROM bfs b JOIN und u ON b.node = u.src WHERE b.hops < 3)
         |SELECT node, CAST(min(hops) AS INTEGER) AS hops
         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
+    "graph_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |         CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |outd AS (SELECT src AS node, count(*) AS outd FROM e GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS rank_micro
+        |       FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, r.rank_micro // o.outd AS contrib
+        |       FROM r0 r JOIN outd o ON r.node = o.node JOIN e ON e.src = r.node),
+        |s1 AS (SELECT node, CAST(sum(contrib) AS BIGINT) AS s
+        |       FROM c1 GROUP BY node),
+        |r1 AS (SELECT nodes.node,
+        |         150000000000 // n + (85 * coalesce(s, 0)) // 100 AS rank_micro
+        |       FROM nodes CROSS JOIN nn LEFT JOIN s1 ON s1.node = nodes.node),
+        |c2 AS (SELECT e.dst AS node, r.rank_micro // o.outd AS contrib
+        |       FROM r1 r JOIN outd o ON r.node = o.node JOIN e ON e.src = r.node),
+        |s2 AS (SELECT node, CAST(sum(contrib) AS BIGINT) AS s
+        |       FROM c2 GROUP BY node),
+        |r2 AS (SELECT nodes.node,
+        |         150000000000 // n + (85 * coalesce(s, 0)) // 100 AS rank_micro
+        |       FROM nodes CROSS JOIN nn LEFT JOIN s2 ON s2.node = nodes.node),
+        |c3 AS (SELECT e.dst AS node, r.rank_micro // o.outd AS contrib
+        |       FROM r2 r JOIN outd o ON r.node = o.node JOIN e ON e.src = r.node),
+        |s3 AS (SELECT node, CAST(sum(contrib) AS BIGINT) AS s
+        |       FROM c3 GROUP BY node),
+        |r3 AS (SELECT nodes.node,
+        |         150000000000 // n + (85 * coalesce(s, 0)) // 100 AS rank_micro
+        |       FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.node = nodes.node)
+        |SELECT node, rank_micro FROM r3 ORDER BY node""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH ev AS (

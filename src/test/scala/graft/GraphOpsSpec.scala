@@ -36,6 +36,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 1))
   }
 
+  test("pagerank: fixed-point micro-ranks match the hand computation") {
+    // 1→2, 1→3, 2→3, 3→1; N=3, scale 10^12. One damped round:
+    //   r0 = 10^12 div 3 = 333333333333 each
+    //   contribs: 1 halves its rank to 2 and 3; 2 and 3 pass whole.
+    //   r1(x) = 150000000000 div 3 + (85 * s(x)) div 100
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pagerank(edges, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    val base = 150000000000L / 3
+    assert(got === Map(
+      1L -> (base + 85L * 333333333333L / 100),                    // from 3
+      2L -> (base + 85L * (333333333333L / 2) / 100),              // from 1
+      3L -> (base + 85L * (333333333333L / 2 + 333333333333L) / 100)))
+    // Mass is conserved up to the documented floor-division leak.
+    val mass = got.values.sum
+    assert(mass <= 1000000000000L && mass > 999999999990L)
+  }
+
+  test("pagerank: a sink node receives only the teleport base") {
+    // 1→2 only: node 2 never contributes back, so after 2 rounds node 1
+    // holds exactly the base; dedup of duplicate edge rows is implied.
+    val edges = Seq((1L, 2L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.pagerank(edges, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    val base = 150000000000L / 2
+    assert(got(1L) === base)
+    assert(got(2L) === base + 85L * base / 100)
+  }
+
   test("redactPii: counts and global replacement") {
     val docs = Seq(
       (1L, "mail bob.1@example.com and sue@test.org or call 555-1234"),

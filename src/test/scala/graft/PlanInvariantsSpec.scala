@@ -22,6 +22,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "text_boilerplate",  // one-row corpus size
     "text_unigram_logprob", // one-row (n_total, vocab) LM normalizer
     "sim_topk_bruteforce", "sim_topk_aggregator", "sim_topk_native", // probes
+    "sim_range_search",  // broadcast probes, map-side threshold filter
+    "graph_pagerank",    // one-row node-count normalizer per iteration
     "sim_kmeans_step",   // K centroids
     "pipeline_source_mix", // |sources|-row capped-count dimension
     "pipeline_mixture",    // one-row source-count aggregate

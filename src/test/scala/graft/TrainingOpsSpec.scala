@@ -382,6 +382,47 @@ class TrainingOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("rangeSearch: returns exactly the neighbors within the radius") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 1.0)), (4L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "v")
+    val probes = vecs.filter($"vec_id" === 1)
+    val got = graft.operators.Similarity.rangeSearch(vecs, probes, 0.5)
+      .select("probe_id", "neighbor_id", "cos_r")
+      .as[(Long, Long, Double)].collect()
+    // cos(v1,v3) = 1/sqrt(2) ≈ 0.707107; v2 (0.0) and v4 (-1.0) are out.
+    assert(got.toSeq === Seq((1L, 3L, 0.707107)))
+  }
+
+  test("tokenCounts: BPE-ish regex splits words, digits, and marks") {
+    val docs = Seq(
+      (1L, "hello world"),                  // 2 ws, 2 bpeish
+      (2L, "it's a2b ready--set, go!"),     // 4 ws; it/'/s/a/2/b/ready/-/-/set/,/go/! = 13
+      (3L, "one")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenCounts(docs)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 2L, 1.0)))
+    assert(got(2L) === ((2L, 4L, 13L, 13.0 / 4)))
+    assert(got(3L) === ((3L, 1L, 1L, 1.0)))
+  }
+
+  test("duplicationMass: exact dups score 1.0, originals 0.0") {
+    // Docs 1 and 2 are identical (every 5-gram shared); doc 3 is
+    // disjoint; doc 4 shares its first 5 tokens with doc 3 only.
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),
+      (3L, "p q r s t u v"),
+      (4L, "p q r s t x y")).toDF("doc_id", "text")
+    val got = Dedup.duplicationMass(docs, n = 5)
+      .select("doc_id", "n_grams", "dup_frac")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 1.0)) && got(2L) === ((2L, 3L, 1.0)))
+    assert(got(3L) === ((3L, 3L, 1.0 / 3)))   // only "p q r s t" shared
+    assert(got(4L) === ((4L, 3L, 1.0 / 3)))
+  }
+
   test("unigramLogprob: common-token docs outscore rare-token docs") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
