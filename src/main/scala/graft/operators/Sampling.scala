@@ -212,6 +212,33 @@ object Sampling {
         col("curriculum_rank"))
   }
 
+  /** Deterministic per-epoch training-order shuffle: every epoch
+    * re-permutes the corpus by md5(epoch ":" key), sharded so the sort
+    * is SHARD-LOCAL — the (epoch, shard, pos) triple is the exact read
+    * schedule a data loader replays, and a different epoch yields a
+    * genuinely different order from the same pure function (no rand(),
+    * so retries/re-runs reproduce the identical schedule).
+    *
+    * Scale shape: the epoch explode multiplies rows by `epochs`
+    * (bounded, typically ≤4); the only wide op is a row_number window
+    * partitioned by (epoch, shard) — parallelism = epochs × shards,
+    * never a global sort. Shards map 1:1 onto output files, so the
+    * loader reads each (epoch, shard) file sequentially. */
+  def epochShuffle(df: DataFrame, key: Column, epochs: Int,
+      shards: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 16, s"epochs in [1,16], got $epochs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard")).orderBy(col("h"), key)
+    df.withColumn("epoch",
+        explode(array((0 until epochs).map(lit(_)): _*)))
+      .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"),
+        key.cast("string")).cast("binary")))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 3), 16, 10).cast("int") % shards))
+      .withColumn("pos", row_number().over(w))
+      .drop("h")
+  }
+
   def mixtureWeights(documents: DataFrame, budgetTokens: Double,
       maxEpochs: Double = 4.0): DataFrame = {
     val perSrc = documents

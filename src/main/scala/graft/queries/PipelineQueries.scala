@@ -90,6 +90,17 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Asymmetric shingle containment over LSH candidates: the injected
+    // near-duplicates (3 appended tokens) show the signal — the
+    // original is FULLY contained (containment_a = 1.0) while Jaccard
+    // and containment_b stay below 1.
+    "dedup_containment" -> ((s, d) => {
+      val sh = Dedup.shingles(Dedup.augmentCorpus(Tables.documents(s, d)))
+      Dedup.containmentPairs(sh,
+        Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh)))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Substring-level duplication mass (Lee et al. 2022 at 5-gram
     // granularity): per document, the fraction of its distinct word
     // n-grams that occur in any other document. The injected exact
@@ -265,6 +276,14 @@ object PipelineQueries {
     "text_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogprob(Tables.documents(s, d))
         .orderBy("doc_id")),
+
+    // Deterministic per-epoch shuffle: 2 epochs × 8 shards, md5-keyed
+    // order, shard-local row_number — the replayable read schedule.
+    "pipeline_epoch_shuffle" -> ((s, d) =>
+      Sampling.epochShuffle(
+        Tables.documents(s, d).select(col("doc_id")),
+        col("doc_id"), epochs = 2, shards = 8)
+        .orderBy("epoch", "shard", "pos")),
 
     // Token counting with a BPE-ish pre-tokenization regex vs plain
     // whitespace, plus fertility (tokens per word) — the budget
@@ -687,6 +706,23 @@ object PipelineQueries {
         |FROM grams a JOIN grams b ON a.gram_hash = b.gram_hash
         |WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $corpusCte,
+         |$shinglesCte,
+         |$lshCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a
+         |            JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+         |  GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, n_inter,
+         |  CAST(n_inter AS DOUBLE) / za.n_sh AS containment_a,
+         |  CAST(n_inter AS DOUBLE) / zb.n_sh AS containment_b
+         |FROM inter JOIN sizes za ON za.doc_id = id_a
+         |           JOIN sizes zb ON zb.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_substring_mass" ->
       s"""WITH $corpusCte,
@@ -1128,6 +1164,22 @@ object PipelineQueries {
         |         / CAST(count(*) AS DOUBLE) AS avg_logprob
         |FROM toks JOIN counts USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipeline_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+        |h AS (
+        |  SELECT doc_id, epoch,
+        |         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM e),
+        |s AS (
+        |  SELECT doc_id, epoch,
+        |         CAST(('0x' || substr(h, 1, 3)) AS INTEGER) % 8 AS shard, h
+        |  FROM h)
+        |SELECT doc_id, epoch, shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY epoch, shard ORDER BY h, doc_id) AS INTEGER) AS pos
+        |FROM s ORDER BY epoch, shard, pos""".stripMargin,
 
     "text_tokenize_bpe" ->
       """SELECT doc_id,

@@ -382,6 +382,37 @@ class TrainingOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("containmentPairs: embedded doc scores 1.0 one way, Jaccard-low both") {
+    // Doc 2 = doc 1 plus a long suffix: every shingle of 1 is in 2.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.containmentPairs(sh, cand)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // 1 has 3 shingles, all shared; 2 has 10 shingles.
+    assert(got.toSeq === Seq((1L, 2L, 3L, 1.0, 0.3)))
+  }
+
+  test("epochShuffle: deterministic, epochs differ, positions contiguous") {
+    val docs = (1L to 40L).toDF("doc_id")
+    val a = Sampling.epochShuffle(docs, $"doc_id", epochs = 2, shards = 4)
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._2, r._3, r._4))
+    val b = Sampling.epochShuffle(docs, $"doc_id", epochs = 2, shards = 4)
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._2, r._3, r._4))
+    assert(a.toSeq === b.toSeq)                      // pure function of key
+    // every (epoch, shard) numbers its rows 1..n with no gaps
+    a.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    // the two epochs produce genuinely different schedules
+    val ord0 = a.filter(_._2 == 0).sortBy(r => (r._3, r._4)).map(_._1).toSeq
+    val ord1 = a.filter(_._2 == 1).sortBy(r => (r._3, r._4)).map(_._1).toSeq
+    assert(ord0 !== ord1)
+    assert(ord0.sorted === ord1.sorted)              // same corpus each epoch
+  }
+
   test("rangeSearch: returns exactly the neighbors within the radius") {
     val vecs = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
