@@ -16,6 +16,50 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Population Stability Index per source against the whole corpus —
+    * the standard drift monitor a training pipeline runs on every
+    * refresh ("did this crawl's length distribution move?"). Documents
+    * bin by `value div binWidth` capped at `bins-1`; each source's
+    * binned share p compares against the corpus share q via
+    * PSI = Σ (p−q)·ln(p/q). PSI < 0.1 is conventionally stable,
+    * > 0.25 action-worthy.
+    *
+    * Determinism: shares are Laplace-smoothed ((c+1)/(tot+bins), so
+    * ln never sees 0) and computed as IEEE doubles from exact integer
+    * counts; each of the `bins` terms rounds to 6 dp and sums as exact
+    * decimal. Scale shape: one (source, bin) aggregate with map-side
+    * combine (the only pass over the data), then arithmetic on
+    * |sources|×bins rows; the dense bin frame comes from an explode of
+    * the per-source totals, and the corpus totals ride in as a
+    * broadcast one-row cross join — no collect, nothing quadratic. */
+  def driftPsi(docs: DataFrame, value: Column = col("n_chars"),
+      binWidth: Int = 200, bins: Int = 10): DataFrame = {
+    val binned = docs.filter(value.isNotNull)
+      .select(col("source"), value.cast("long").as("v"))
+      // integer `div`, not double-divide-then-cast (bucket-boundary rule)
+      .select(col("source"),
+        least(lit((bins - 1).toLong), expr(s"v div $binWidth")).as("bin"))
+    val perSrc = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = perSrc.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val globBin = perSrc.groupBy(col("bin")).agg(sum(col("c")).as("gc"))
+    val globTot = globBin.agg(sum(col("gc")).as("gt"))
+    val dense = srcTot.withColumn("bin",
+      explode(array((0 until bins).map(b => lit(b.toLong)): _*)))
+    val p = (col("c") + 1).cast("double") / (col("tot") + bins)
+    val q = (col("gc") + 1).cast("double") / (col("gt") + bins)
+    dense
+      .join(perSrc, Seq("source", "bin"), "left")
+      .join(globBin, Seq("bin"), "left")
+      .crossJoin(broadcast(globTot))
+      .na.fill(0L, Seq("c", "gc"))
+      .select(col("source"), col("tot"),
+        round((p - q) * log(p / q), 6).cast("decimal(18,6)").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("tot")).as("n_docs"),
+        sum(col("term")).cast("double").as("psi"))
+  }
+
   /** Per-key frequency profile: the `topN` heaviest keys with their
     * counts and skew ratio (count ÷ mean count per key). A ratio ≫ 1
     * on the head key is the signal to salt that join key or lean on

@@ -277,6 +277,12 @@ object PipelineQueries {
       TextAnalysis.unigramLogprob(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // PSI drift monitor: each source's n_chars distribution vs the
+    // corpus, Laplace-smoothed, 10 fixed-width bins — the refresh gate
+    // ("did this crawl move?"). One (source, bin) aggregate pass.
+    "pipeline_drift_psi" -> ((s, d) =>
+      Profiling.driftPsi(Tables.documents(s, d)).orderBy("source")),
+
     // Deterministic per-epoch shuffle: 2 epochs × 8 shards, md5-keyed
     // order, shard-local row_number — the replayable read schedule.
     "pipeline_epoch_shuffle" -> ((s, d) =>
@@ -1164,6 +1170,31 @@ object PipelineQueries {
         |         / CAST(count(*) AS DOUBLE) AS avg_logprob
         |FROM toks JOIN counts USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipeline_drift_psi" ->
+      """WITH b AS (
+        |  SELECT source, least(9, CAST(n_chars AS BIGINT) // 200) AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |ps AS (SELECT source, bin, count(*) AS c FROM b GROUP BY source, bin),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM ps GROUP BY source),
+        |gb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS gc FROM ps GROUP BY bin),
+        |gtot AS (SELECT CAST(sum(gc) AS BIGINT) AS gt FROM gb),
+        |dense AS (SELECT source, tot, unnest(range(0, 10)) AS bin FROM st),
+        |j AS (SELECT d.source, d.tot, d.bin,
+        |             coalesce(ps.c, 0) AS c, coalesce(gb.gc, 0) AS gc
+        |      FROM dense d
+        |      LEFT JOIN ps ON ps.source = d.source AND ps.bin = d.bin
+        |      LEFT JOIN gb ON gb.bin = d.bin),
+        |t AS (SELECT source, tot,
+        |        CAST(round((CAST(c + 1 AS DOUBLE) / (tot + 10) -
+        |                    CAST(gc + 1 AS DOUBLE) / (gt + 10)) *
+        |          ln((CAST(c + 1 AS DOUBLE) / (tot + 10)) /
+        |             (CAST(gc + 1 AS DOUBLE) / (gt + 10))), 6)
+        |          AS DECIMAL(18,6)) AS term
+        |      FROM j CROSS JOIN gtot)
+        |SELECT source, CAST(max(tot) AS BIGINT) AS n_docs,
+        |       CAST(sum(term) AS DOUBLE) AS psi
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "pipeline_epoch_shuffle" ->
       """WITH e AS (

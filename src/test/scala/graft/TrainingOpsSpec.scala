@@ -382,6 +382,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("driftPsi: identical sources score near 0, a shifted source scores high") {
+    // A and B draw the same lengths (stable); C sits 1400 chars higher
+    // (drifted). PSI is smoothing-small for A/B, large for C.
+    val docs = ((1 to 50).map(i => ("a", 100L + (i % 5) * 200)) ++
+      (1 to 50).map(i => ("b", 100L + (i % 5) * 200)) ++
+      (1 to 50).map(i => ("c", 1500L + (i % 2) * 200)))
+      .zipWithIndex.map { case ((s, n), i) => (i.toLong, s, n) }
+      .toDF("doc_id", "source", "n_chars")
+    val got = Profiling.driftPsi(docs)
+      .select("source", "n_docs", "psi")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    assert(got.values.forall(_._2 === 50L))
+    assert(got("a")._3 === got("b")._3)         // identical dists, same PSI
+    // C is 2/3 of a corpus away from the pooled reference, A/B only 1/3
+    assert(got("c")._3 > got("a")._3 + 0.3)
+    assert(got.values.forall(_._3 >= 0.0))      // PSI is non-negative
+  }
+
   test("containmentPairs: embedded doc scores 1.0 one way, Jaccard-low both") {
     // Doc 2 = doc 1 plus a long suffix: every shingle of 1 is in 2.
     val docs = Seq(
