@@ -47,7 +47,17 @@ class ShuffleBudgetSpec extends SparkSpec {
     "text_chunk_overlap" -> 1,    // generator is narrow; output sort only
     "sim_winsorize" -> 3,         // dim dist agg/window + output sort
     "q_pipe_syntax" -> 2,         // agg + sort (same plan as classic SQL)
-    "pipeline_end_to_end" -> 4)   // doc-key join + text-key dedup chain + sort
+    "pipeline_end_to_end" -> 4,   // doc-key join + text-key dedup chain + sort
+    // round-6 additions (graph_pagerank is excluded like BFS/CC: its
+    // unrolled plan prints cached lineage repeatedly, inflating the
+    // string count far past the ~8 real exchanges)
+    "text_tokenize_bpe" -> 1,     // pure projection + output sort
+    "text_unigram_logprob" -> 5,  // tok agg + re-join + doc rollup + sort
+    "sim_range_search" -> 1,      // broadcast probes + map filter + sort
+    "dedup_substring_mass" -> 5,  // gram agg + re-join + doc rollup + sort
+    "dedup_containment" -> 10,    // LSH chain + intersect + sizes joins
+    "pipeline_epoch_shuffle" -> 2, // (epoch, shard) window + output sort
+    "pipeline_drift_psi" -> 9)    // (source,bin) agg + dense joins + sort
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
