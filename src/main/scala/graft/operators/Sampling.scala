@@ -239,6 +239,37 @@ object Sampling {
       .drop("h")
   }
 
+  /** Materialize [[mixtureWeights]] into the actual resampled training
+    * corpus: each document replicates floor(epochs) times, plus one
+    * extra copy when its 4096-way hash bucket falls below the
+    * fractional part — deterministic Bernoulli thinning with NO
+    * rand(), so retries, re-runs, and engines all produce the
+    * identical sample, and per-source totals land within 1/4096 of
+    * epochs × n_docs. Sources whose epochs round to zero copies drop
+    * their unlucky documents (that IS the subsample).
+    *
+    * Scale shape: the per-source weights are a tiny aggregate joined
+    * back broadcast on `source`; replication is a generator (explode
+    * of 1..copies) — the only wide op is the weight aggregate itself.
+    * Output (doc_id, source, copy) is what a loader shards next (see
+    * [[epochShuffle]]). */
+  def materializeMixture(documents: DataFrame, budgetTokens: Double,
+      maxEpochs: Double = 4.0): DataFrame = {
+    val w = mixtureWeights(documents, budgetTokens, maxEpochs)
+      .select(col("source"), col("epochs"))
+    documents.select(col("doc_id"), col("source"))
+      .join(broadcast(w), "source")
+      .withColumn("n_full", floor(col("epochs")).cast("long"))
+      .withColumn("extra",
+        when(hashBucket(col("doc_id"), 4096).cast("double") <
+          (col("epochs") - floor(col("epochs"))) * 4096.0, 1L)
+          .otherwise(0L))
+      .withColumn("copies", (col("n_full") + col("extra")).cast("int"))
+      .filter(col("copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1, copies)")).as("copy"))
+  }
+
   def mixtureWeights(documents: DataFrame, budgetTokens: Double,
       maxEpochs: Double = 4.0): DataFrame = {
     val perSrc = documents

@@ -346,6 +346,14 @@ object PipelineQueries {
         budgetTokens = 100000.0, maxEpochs = 4.0)
         .orderBy("source")),
 
+    // Materialized mixture: the weights above turned into the actual
+    // replicated/thinned corpus — floor(epochs) copies per doc plus a
+    // deterministic hash-Bernoulli extra for the fractional part.
+    "pipeline_mixture_sample" -> ((s, d) =>
+      Sampling.materializeMixture(Tables.documents(s, d),
+        budgetTokens = 52000.0, maxEpochs = 4.0)
+        .orderBy("doc_id", "copy")),
+
     // Concatenate-and-split sequence packing: (seq_id, offset) layout
     // per source shard at a 256-token capacity — all-integer window
     // arithmetic, deterministic across engines and partitionings.
@@ -1338,6 +1346,27 @@ object PipelineQueries {
         |    (CAST(n_sources AS DOUBLE) * CAST(tokens AS DOUBLE)))
         |    * CAST(tokens AS DOUBLE) AS sampled_tokens
         |FROM per CROSS JOIN n ORDER BY source""".stripMargin,
+
+    "pipeline_mixture_sample" ->
+      """WITH per AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |n AS (SELECT count(*) AS n_sources FROM per),
+        |w AS (SELECT source, least(4.0, 52000.0 /
+        |        (CAST(n_sources AS DOUBLE) * CAST(tokens AS DOUBLE))) AS epochs
+        |      FROM per CROSS JOIN n),
+        |d AS (SELECT doc_id, documents.source, epochs,
+        |        CAST(floor(epochs) AS BIGINT) AS n_full,
+        |        CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3))
+        |                    AS INTEGER) AS DOUBLE)
+        |                  < (epochs - floor(epochs)) * 4096.0
+        |             THEN 1 ELSE 0 END AS extra
+        |      FROM documents JOIN w USING (source)),
+        |c AS (SELECT doc_id, source, n_full + extra AS copies
+        |      FROM d WHERE n_full + extra >= 1)
+        |SELECT doc_id, source,
+        |       CAST(unnest(range(1, copies + 1)) AS INTEGER) AS copy
+        |FROM c ORDER BY doc_id, copy""".stripMargin,
 
     "pipeline_seq_pack" ->
       """WITH toks AS (

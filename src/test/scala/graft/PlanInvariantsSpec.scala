@@ -27,6 +27,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "sim_kmeans_step",   // K centroids
     "pipeline_source_mix", // |sources|-row capped-count dimension
     "pipeline_mixture",    // one-row source-count aggregate
+    "pipeline_mixture_sample", // same normalizer, materialized
     "pipeline_key_skew",   // one-row global-stats aggregate
     "pipeline_drift_psi"   // one-row corpus-total normalizer
   )

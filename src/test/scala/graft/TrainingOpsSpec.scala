@@ -382,6 +382,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("materializeMixture: copies = floor(epochs) + hash-Bernoulli extra") {
+    // Two sources, each 10 docs × 10 tokens → tokens=100/source,
+    // n_sources=2, budget 500 → epochs = min(4, 500/200) = 2.5 for
+    // both: every doc gets 2 copies + 1 more iff bucket < 2048.
+    val docs = (0L until 20L).map(i =>
+      (i, if (i < 10) "s1" else "s2", Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.materializeMixture(docs, budgetTokens = 500.0)
+      .as[(Long, String, Int)].collect()
+    val perDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(perDoc.keySet === (0L until 20L).toSet)   // nothing dropped
+    (0L until 20L).foreach { id =>
+      val copies = perDoc(id)
+      assert(copies === (1 to copies.length), s"doc $id copy numbering")
+      assert(copies.length == 2 || copies.length == 3, s"doc $id: $copies")
+    }
+    // determinism: a second run is identical
+    val again = Sampling.materializeMixture(docs, budgetTokens = 500.0)
+      .as[(Long, String, Int)].collect()
+    assert(got.sortBy(r => (r._1, r._3)).toSeq ===
+      again.sortBy(r => (r._1, r._3)).toSeq)
+    // aggregate lands near epochs × n_docs (within the 1/4096 granularity)
+    assert(got.length >= 40 && got.length <= 60)
+  }
+
   test("driftPsi: identical sources score near 0, a shifted source scores high") {
     // A and B draw the same lengths (stable); C sits 1400 chars higher
     // (drifted). PSI is smoothing-small for A/B, large for C.
