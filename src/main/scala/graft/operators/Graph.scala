@@ -118,6 +118,13 @@ object Graph {
           (expr(s"${15 * (scale / 100)} div n") +
             expr("(85 * coalesce(s, 0L)) div 100")).as("rank_micro"))
     }
-    ranks
+    // Materialize the final ranks (one row per node) and truncate
+    // lineage so the edge/node caches can be released HERE instead of
+    // leaking across a long session — the returned frame no longer
+    // depends on them (same idiom as ConnectedComponents).
+    val out = ranks.localCheckpoint(true)
+    e.unpersist()
+    nodes.unpersist()
+    out
   }
 }

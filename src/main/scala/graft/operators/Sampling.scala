@@ -227,6 +227,8 @@ object Sampling {
   def epochShuffle(df: DataFrame, key: Column, epochs: Int,
       shards: Int): DataFrame = {
     require(epochs >= 1 && epochs <= 16, s"epochs in [1,16], got $epochs")
+    require(shards >= 1 && shards <= 4096,
+      s"shards in [1,4096], got $shards")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("epoch"), col("shard")).orderBy(col("h"), key)
     df.withColumn("epoch",

@@ -133,8 +133,11 @@ object TextAnalysis {
     documents
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_ws"),
+        // Explicit whitespace class, NOT \s: Java's \s includes \x0B
+        // but DuckDB's RE2 \s does not — spelling the class out keeps
+        // both engines counting identical marks on any input.
         size(regexp_extract_all(col("text"),
-          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0)))
           .cast("long").as("n_bpeish"))
       .withColumn("fertility",
         col("n_bpeish").cast("double") / col("n_ws").cast("double"))

@@ -583,9 +583,11 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // Custom-Expression queries (rows-only: Long-wraparound polynomial
-    // hashing and gzip framing aren't DuckDB-expressible):
-    // winnowing rolling-hash fingerprint over each document …
+    // Custom-Expression queries:
+    // winnowing rolling-hash fingerprint over each document — oracle-gated
+    // via a DuckDB recursive CTE that replays the same byte-level rolling
+    // hash with HUGEINT arithmetic reduced mod 2^64 (DuckDB BIGINT ops are
+    // overflow-checked, so the Long wraparound is emulated explicitly) …
     "text_rolling_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -1223,9 +1225,9 @@ object PipelineQueries {
     "text_tokenize_bpe" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]'))
         |    AS BIGINT) AS n_bpeish,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]'))
         |    AS DOUBLE) / len(string_split(text, ' ')) AS fertility
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -1502,6 +1504,51 @@ object PipelineQueries {
 
     "flow_gzip_roundtrip" ->
       "SELECT doc_id FROM documents ORDER BY doc_id",
+
+    // Replays RollingFingerprint (functions/expressions.scala) byte-for-
+    // byte: bytes come from hex(encode(text)) (DuckDB hex() is uppercase),
+    // the rolling state is a HUGEINT kept in [0, 2^64) — every *, +, -
+    // is reduced mod 2^64 because DuckDB BIGINT arithmetic is checked,
+    // not wrapping — and the running min compares SIGNED 64-bit values
+    // (the Scala loop compares Longs), so minh converts to signed before
+    // least(). 6397295411589846571 = 1000003^15 mod 2^64 (window 16).
+    "text_rolling_fingerprint" ->
+      """WITH RECURSIVE src AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, octet_length(encode(text)) + 1),
+        |           j -> (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*j-1, 1)) - 1) * 16
+        |              + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*j, 1)) - 1)) AS bs,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |),
+        |roll(doc_id, i, h, minh, n, bs) AS (
+        |  SELECT doc_id, 0, 0::HUGEINT, NULL::BIGINT, n, bs FROM src
+        |  UNION ALL
+        |  SELECT doc_id, i, nh,
+        |    CASE WHEN i < LEAST(16, n) THEN NULL::BIGINT
+        |         ELSE least(coalesce(minh, 9223372036854775807),
+        |                    CASE WHEN nh >= 9223372036854775808::HUGEINT
+        |                         THEN (nh - 18446744073709551616::HUGEINT)::BIGINT
+        |                         ELSE nh::BIGINT END)
+        |    END,
+        |    n, bs
+        |  FROM (
+        |    SELECT doc_id, i + 1 AS i,
+        |      CASE WHEN i < LEAST(16, n)
+        |        THEN (h * 1000003 + bs[i+1]) % 18446744073709551616::HUGEINT
+        |        ELSE (((h - bs[i-15] * 6397295411589846571::HUGEINT)
+        |                % 18446744073709551616::HUGEINT
+        |                + 18446744073709551616::HUGEINT)
+        |               % 18446744073709551616::HUGEINT * 1000003
+        |              + bs[i+1]) % 18446744073709551616::HUGEINT
+        |      END AS nh,
+        |      minh, n, bs
+        |    FROM roll WHERE i < n
+        |  )
+        |)
+        |SELECT doc_id, coalesce(minh, 0) AS fp
+        |FROM roll WHERE i = n
+        |ORDER BY doc_id""".stripMargin,
 
     "mm_resize_stub" ->
       """SELECT doc_id,
