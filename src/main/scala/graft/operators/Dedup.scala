@@ -85,31 +85,52 @@ object Dedup {
           element_at(col("w"), col("i") + 2)).as("shingle"))
       .distinct()
 
+  /** Oracle-gated default signature width: 6 hashes = 3 bands × 2 rows.
+    * Production corpora want 64-128 hashes — pass `numHashes` /
+    * `bands` / `rowsPerBand` explicitly to tune the S-curve
+    * P(candidate) = 1 − (1 − J^r)^b (see DedupScurveSpec). */
   val NumHashes = 6
+  val DefaultBands = 3
+  val DefaultRowsPerBand = 2
 
   /** MinHash signature: h_k = min over shingles of md5(k ':' shingle).
     * md5-hex min is a uniform order statistic — good enough for LSH and
     * exactly reproducible in any engine with md5.
     */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val aggs = (1 to NumHashes).map(k =>
+  def minhashSignatures(sh: DataFrame,
+      numHashes: Int = NumHashes): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 256,
+      s"numHashes in [1,256], got $numHashes")
+    val aggs = (1 to numHashes).map(k =>
       min(md5(concat(lit(s"$k:"), col("shingle")).cast("binary")))
         .as(s"h$k"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: 3 bands of 2 hashes; docs sharing any band bucket are
-    * candidate pairs. */
-  def lshCandidatePairs(sigs: DataFrame): DataFrame = {
-    // The 3 band buckets are generated by ONE explode over a 3-element
-    // array — a union of 3 projections would re-evaluate the whole
+  /** Band-bucket id per (band, doc): band i concatenates signature rows
+    * h_{(i−1)r+1} … h_{ir}. Shared by the self- and incremental LSH. */
+  private def bandBuckets(bands: Int, rowsPerBand: Int): Column = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands/rowsPerBand must be >= 1, got $bands/$rowsPerBand")
+    explode(array((1 to bands).map { b =>
+      val rows = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand)
+        .map(k => col(s"h$k"))
+      concat(lit(s"b$b:") +: rows: _*)
+    }: _*))
+  }
+
+  /** LSH banding (default 3 bands of 2 hashes); docs sharing any band
+    * bucket are candidate pairs. `bands × rowsPerBand` must not exceed
+    * the signature width `minhashSignatures` produced. */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
+    // The band buckets are generated by ONE explode over a bands-element
+    // array — a union of projections would re-evaluate the whole
     // shingle→minhash chain per branch. Persisting `sigs` instead was
     // measured SLOWER (caching forces full-column materialization and
     // defeats pruning) — explode keeps the plan pure.
-    val buckets = sigs.select(col("doc_id"), explode(array(
-      concat(lit("b1:"), col("h1"), col("h2")),
-      concat(lit("b2:"), col("h3"), col("h4")),
-      concat(lit("b3:"), col("h5"), col("h6")))).as("bucket"))
+    val buckets = sigs.select(col("doc_id"),
+      bandBuckets(bands, rowsPerBand).as("bucket"))
     // Pairs come from ONE groupBy-bucket + in-bucket pair expansion, not
     // a bucket self-join: the join would evaluate (and shuffle) the
     // whole upstream chain twice. Output cardinality is identical —
@@ -179,12 +200,11 @@ object Dedup {
     * pipeline the base side's signatures come precomputed from storage —
     * then this is an equi-join of new-shard buckets against the
     * signature table, same shuffle shape, no recompute of the corpus. */
-  def lshIncrementalPairs(sigs: DataFrame, isNew: Column): DataFrame = {
+  def lshIncrementalPairs(sigs: DataFrame, isNew: Column,
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
     val buckets = sigs.select(col("doc_id"), isNew.as("is_new"),
-      explode(array(
-        concat(lit("b1:"), col("h1"), col("h2")),
-        concat(lit("b2:"), col("h3"), col("h4")),
-        concat(lit("b3:"), col("h5"), col("h6")))).as("bucket"))
+      bandBuckets(bands, rowsPerBand).as("bucket"))
     buckets
       .groupBy(col("bucket"))
       .agg(
@@ -264,23 +284,32 @@ object Dedup {
         when(col(s"s$i") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
-  /** SimHash near-duplicate pairs with Hamming distance ≤ `maxDist`
-    * (≤ 1 with the default two bands). Pigeonhole banding: split the
-    * 16-bit fingerprint into two 8-bit halves — any pair within
-    * distance 1 agrees exactly on at least one half, so the candidate
-    * join is an equi-join on half-buckets (same shuffle shape as
-    * MinHash-LSH: shuffle on a small derived key, never a cross join),
-    * then the exact Hamming distance verifies candidates.
+  /** SimHash near-duplicate pairs with Hamming distance ≤ `maxDist`.
+    * Pigeonhole banding: split the 16-bit fingerprint into `bands`
+    * equal slices — a pair within distance `bands − 1` differs in at
+    * most `bands − 1` slices, so it agrees EXACTLY on at least one, and
+    * the candidate join is an equi-join on band-buckets (same shuffle
+    * shape as MinHash-LSH: shuffle on a small derived key, never a
+    * cross join), then the exact Hamming distance verifies candidates.
+    * Recall is guaranteed only for `maxDist ≤ bands − 1` (enforced);
+    * more bands → higher tolerated distance but bigger buckets.
     *
     * Caveat for degenerate corpora: if the vocabulary is tiny, simhashes
     * over-cluster and the pair set grows quadratically — widen the
     * fingerprint (more bits per band) before running on such data. */
-  def simhashPairs(sims: DataFrame, maxDist: Int = 1): DataFrame = {
-    require(maxDist <= 1, "two bands only guarantee recall for maxDist <= 1")
+  def simhashPairs(sims: DataFrame, maxDist: Int = 1,
+      bands: Int = 2): DataFrame = {
+    require(bands >= 1 && bands <= 16 && 16 % bands == 0,
+      s"bands must divide the 16-bit fingerprint evenly, got $bands")
+    require(maxDist >= 0 && maxDist <= bands - 1,
+      s"$bands bands only guarantee recall for maxDist <= ${bands - 1}, " +
+        s"got $maxDist")
+    val bits = 16 / bands
     val banded = sims.select(col("doc_id"), col("simhash"),
-      explode(array(
-        concat(lit("h1:"), substring(col("simhash"), 1, 8)),
-        concat(lit("h2:"), substring(col("simhash"), 9, 8)))).as("bucket"))
+      explode(array((1 to bands).map(b =>
+        concat(lit(s"h$b:"),
+          substring(col("simhash"), (b - 1) * bits + 1, bits))): _*))
+        .as("bucket"))
     val dist = (1 to 16).map(i =>
       when(substring(col("a.simhash"), i, 1) =!=
         substring(col("b.simhash"), i, 1), 1).otherwise(0))

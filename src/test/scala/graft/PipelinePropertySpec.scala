@@ -80,6 +80,68 @@ class PipelinePropertySpec extends SparkSpec {
     }
   }
 
+  test("property: LSH S-curve — high-Jaccard pairs are candidates w.h.p., low-Jaccard rarely") {
+    // Exact-Jaccard construction: each pair p gets its own shingle
+    // universe (tokens prefixed p<i>), pair docs (2i, 2i+1) share
+    // `shared` shingles out of `per` each.
+    //   high: shared 45 of 50 → J = 45/55 ≈ 0.818
+    //   low:  shared 23 of 50 → J = 23/77 ≈ 0.299
+    // With 16 hashes as 4 bands × 4 rows the S-curve
+    // P(candidate) = 1 − (1 − J^4)^4 gives ≈0.91 at J=.818 and ≈0.03
+    // at J=.299 — asserted with wide margins (≥75% / ≤15%) so the
+    // fixed-seed draw never flakes.
+    val nPairs = 120
+    val per = 50
+    def mkPairs(shared: Int, tag: String): Seq[(Long, String)] =
+      (0 until nPairs).flatMap { p =>
+        val common = (0 until shared).map(j => s"$tag${p}c$j")
+        val aOnly = (0 until per - shared).map(j => s"$tag${p}a$j")
+        val bOnly = (0 until per - shared).map(j => s"$tag${p}b$j")
+        (common ++ aOnly).map((2L * p, _)) ++
+          (common ++ bOnly).map((2L * p + 1, _))
+      }
+    def candidateRate(shared: Int, tag: String): Double = {
+      val sh = mkPairs(shared, tag).toDF("doc_id", "shingle")
+      val cand = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(sh, numHashes = 16),
+        bands = 4, rowsPerBand = 4)
+        .filter($"id_b" === $"id_a" + 1 && $"id_a" % 2 === 0)
+        .count()
+      cand.toDouble / nPairs
+    }
+    val hi = candidateRate(45, "h")
+    val lo = candidateRate(23, "l")
+    info(f"S-curve candidate rate: J≈0.82 → $hi%.3f, J≈0.30 → $lo%.3f")
+    assert(hi >= 0.75, s"high-Jaccard pairs should almost all be candidates, got $hi")
+    assert(lo <= 0.15, s"low-Jaccard pairs should rarely be candidates, got $lo")
+  }
+
+  test("property: simhash pigeonhole banding recovers every pair within maxDist = bands - 1") {
+    val bitGen = Gen.listOfN(16, Gen.oneOf("0", "1")).map(_.mkString)
+    val flipGen = Gen.pick(3, 0 until 16)
+    val base = samples(bitGen, 80)
+    val flips = samples(flipGen, 80)
+    // doc 2i = random fingerprint; doc 2i+1 = same with exactly 3 bits
+    // flipped → Hamming distance 3, recoverable with 4 bands (maxDist 3).
+    val sims = base.zip(flips).zipWithIndex.flatMap { case ((s, fl), i) =>
+      val flipped = s.zipWithIndex
+        .map { case (c, j) => if (fl.contains(j)) (if (c == '0') '1' else '0') else c }
+        .mkString
+      Seq((2L * i, s), (2L * i + 1, flipped))
+    }.toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairs(sims, maxDist = 3, bands = 4)
+      .filter($"id_b" === $"id_a" + 1 && $"id_a" % 2 === 0)
+    assert(pairs.count() === 80,
+      "every distance-3 pair must be recovered by 4-band pigeonhole")
+    // the guarantee does NOT hold past bands-1, and the API refuses it
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(sims, maxDist = 2, bands = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(sims, maxDist = 1, bands = 3) // 3 ∤ 16
+    }
+  }
+
   test("property: salted join equals plain join for random key distributions and salts") {
     for (salt <- Seq(1, 3, 16)) {
       val keys = samples(Gen.chooseNum(0L, 20L), 500)
