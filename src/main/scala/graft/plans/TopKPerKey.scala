@@ -18,11 +18,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * ranking — O(n log n) per partition and the whole input materialized
   * through the sort. This operator keeps a bounded heap of k rows per
   * key instead: O(n log k), memory O(keys·k), no sort buffer. At 100 TB
-  * with small k the difference is the sort spill. The memory bound is
-  * per-task distinct keys × k rows: right for the many-rows-per-key
-  * regime (top products per region, top neighbors per probe); for
-  * near-unique keys the window sort's spillable buffer is the safer
-  * choice.
+  * with small k the difference is the sort spill. The per-task
+  * distinct-keys × k working set is itself SPILLABLE (backed by
+  * Spark's ExternalAppendOnlyMap since round 7), so the many-rows-per-
+  * key regime (top products per region, top neighbors per probe) runs
+  * entirely in memory while near-unique keys degrade gracefully to
+  * disk-merged heap runs instead of OOM.
   *
   * Implementation follows the preference ladder of SURVEY.md §7 (custom
   * LogicalPlan + Strategy + SparkPlan, registered through
@@ -76,33 +77,68 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // that satisfies the distribution without an exchange (e.g.
       // columnar scan fallback) may emit non-Unsafe rows.
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      // Max-heap on sort position: head = worst kept row of the key.
-      val heapOrd: Ordering[InternalRow] =
-        (a: InternalRow, b: InternalRow) => ordering.compare(a, b)
-      val heaps = scala.collection.mutable.HashMap
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case Some(h) =>
-            if (h.size < limit) h += row.copy()
-            else if (ordering.compare(row, h.head) < 0) {
-              h.dequeue(); h += row.copy()
-            }
-          case None =>
-            val h =
-              scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
-            h += row.copy()
-            heaps.put(key.copy(), h)
-        }
+      // Kept rows become UnsafeRow copies: stable storage off the
+      // child's reused buffers AND java-serializable, which the spill
+      // path requires. The identity projection only runs for the rare
+      // non-Unsafe child rows.
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val keep: InternalRow => InternalRow = {
+        case u: UnsafeRow => u.copy()
+        case r => toUnsafe(r).copy()
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      // Spillable per-key heaps (SPILL-SAFE since round 7): the
+      // distinct-keys-per-task × k map lives in Spark's size-tracked
+      // ExternalAppendOnlyMap — it acquires task execution memory,
+      // spills heap runs to disk under pressure, and merge-sorts the
+      // runs back on iteration (merging two heaps of the same key keeps
+      // the top k of their union). Near-unique keys now degrade to
+      // disk instead of OOM, so the window rewrite defaults ON
+      // (TopKWindowRewrite). The key is copied per row: the map owns
+      // its keys, and keyProj reuses one buffer.
+      org.apache.spark.graft.GraftSpillBridge
+        .combineByKey[UnsafeRow, InternalRow, TopKHeap](
+          iter.map(row => (keyProj(row).copy(), row)),
+          row => new TopKHeap(limit, ordering).insert(row, keep),
+          (h, row) => h.insert(row, keep),
+          (a, b) => a.merge(b))
+        .flatMap(_._2.rows)
     }
   }
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
     copy(child = c)
+}
+
+/** Bounded top-k heap of one key — the spillable map's combiner.
+  * Serializable end-to-end (spill runs go through the SparkEnv java
+  * serializer): the rows are UnsafeRow copies, the ordering is Spark's
+  * `LazilyGeneratedOrdering` (re-generates its comparator after
+  * deserialization). `insert` takes the copy function separately so the
+  * map's insert path copies ONLY rows that are actually kept — the
+  * incoming row may be a reused buffer. Max-heap on sort position:
+  * head = worst kept row, evicted when a better row arrives. */
+private[plans] final class TopKHeap(limit: Int,
+    ord: Ordering[InternalRow]) extends Serializable {
+  private val pq =
+    new scala.collection.mutable.PriorityQueue[InternalRow]()(ord)
+
+  def insert(row: InternalRow, keep: InternalRow => InternalRow): TopKHeap = {
+    if (pq.size < limit) pq += keep(row)
+    else if (ord.compare(row, pq.head) < 0) { pq.dequeue(); pq += keep(row) }
+    this
+  }
+
+  /** Top k of the union of two heaps; `other`'s rows are already owned
+    * copies, so no re-copy. */
+  def merge(other: TopKHeap): TopKHeap = {
+    other.pq.foreach { r =>
+      if (pq.size < limit) pq += r
+      else if (ord.compare(r, pq.head) < 0) { pq.dequeue(); pq += r }
+    }
+    this
+  }
+
+  def rows: Iterator[InternalRow] = pq.iterator
 }
 
 /** Planner rule: one custom logical operator → its physical form. */

@@ -29,15 +29,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * TakeOrderedAndProject), a bare `rank cmp literal` predicate, and no
   * other use of the rank attribute.
   *
-  * OPT-IN (`spark.graft.topk.rewrite=true`, default off):
-  * TopKPerKeyExec holds a non-spillable distinct-keys-per-task × k
-  * heap map, while the window sort it replaces spills. With bounded
-  * per-task key cardinality (the top-k-per-entity shape the operator
-  * is for) the heaps win; at near-unique keys the spillable sort is
-  * the safer default, so the automatic rewrite must be asked for.
-  * Optimizer rules see no cardinality stats without CBO, hence a flag
-  * rather than a guard. Explicit `TopKPerKey(...)` calls are
-  * unaffected — the caller has already made the cardinality call.
+  * ON by default (`spark.graft.topk.rewrite=false` restores the window
+  * plan): TopKPerKeyExec's distinct-keys-per-task × k heap map is
+  * spillable (ExternalAppendOnlyMap-backed since round 7), so the
+  * rewrite is safe at any key cardinality — bounded keys stay in
+  * memory and win on the removed sort; near-unique keys spill heap
+  * runs to disk like the window sort would have spilled its buffer.
+  * Explicit `TopKPerKey(...)` calls never consult the flag.
   */
 object TopKWindowRewrite extends Rule[LogicalPlan] {
 
@@ -59,7 +57,7 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(FLAG, "false").toBoolean) plan
+    if (!conf.getConfString(FLAG, "true").toBoolean) plan
     else plan.transformUp {
     case p @ Project(projectList,
         Filter(cond,

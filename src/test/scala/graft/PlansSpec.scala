@@ -42,8 +42,8 @@ class PlansSpec extends SparkSpec {
   }
 
   test("optimizer rule rewrites the row_number top-k idiom to TopKPerKey") {
-    // opt-in rewrite: enable on an isolated session (conf is read at
-    // optimization time from the query's own session)
+    // default-on rewrite; set explicitly on an isolated session anyway
+    // (conf is read at optimization time from the query's own session)
     val s2 = spark.newSession()
     s2.conf.set(graft.plans.TopKWindowRewrite.FLAG, "true")
     val sample2 = s2.createDataFrame(sample.collect().toSeq.map(r =>
@@ -61,8 +61,12 @@ class PlansSpec extends SparkSpec {
     val kept = sample2.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
     assert(kept.queryExecution.executedPlan.toString.contains("Window ["))
-    // flag off (the default) → idiom stays on the window path
-    val off = sample.withColumn("rn", row_number().over(w))
+    // flag explicitly off → idiom stays on the window path
+    val s3 = spark.newSession()
+    s3.conf.set(graft.plans.TopKWindowRewrite.FLAG, "false")
+    val sample3 = s3.createDataFrame(sample.collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2)))).toDF("k", "id", "score")
+    val off = sample3.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2).select(col("k"), col("id"), col("score"))
     assert(!off.queryExecution.executedPlan.toString.contains("TopKPerKey "))
     // same rows either way (the order is total, so ties can't differ)
@@ -107,6 +111,56 @@ class PlansSpec extends SparkSpec {
         .filter(col("rn") <= k)
         .select("k", "id").as[(String, Long)].collect().toSet
       assert(got === want, s"trial $trial (k=$k)")
+    }
+  }
+
+  test("spills per-key heaps to disk under a forced threshold and stays correct") {
+    // High-cardinality keys are the regime that used to OOM the
+    // non-spillable heap map. Force the spill path cheaply via
+    // Spillable's element-count threshold: SparkEnv.conf is the live
+    // object ExternalAppendOnlyMap reads at construction, so a local
+    // mutation + restore exercises disk-merged heap runs without a
+    // dedicated SparkContext. (Concurrent suites at most spill earlier
+    // too — a performance, never a correctness, effect.)
+    val sc = spark.sparkContext
+    val envConf = org.apache.spark.SparkEnv.get.conf
+    val confKey = "spark.shuffle.spill.numElementsForceSpillThreshold"
+    val old = envConf.getOption(confKey)
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          spilled.addAndGet(e.taskMetrics.diskBytesSpilled)
+    }
+    envConf.set(confKey, "2000")
+    sc.addSparkListener(listener)
+    try {
+      val n = 40000
+      // ~n/2 distinct keys → ~5k keys per shuffle task, 10k rows per
+      // task >> the forced 2k threshold → every task spills.
+      val df = spark.range(n).select(
+        (col("id") % (n / 2)).as("k"), col("id"),
+        (col("id") % 97).cast("double").as("score"))
+      val got = TopKPerKey(df, Seq(col("k")),
+        Seq(col("score").desc, col("id").asc), 1)
+        .select("k", "id").as[(Long, Long)].collect().toSet
+      // Oracle in plain Scala: top-1 of (score desc, id asc) per key.
+      val want = (0L until n).map(id => (id % (n / 2), id, (id % 97).toDouble))
+        .groupBy(_._1).map { case (k, rows) =>
+          val best = rows.minBy(r => (-r._3, r._2))
+          (k, best._2)
+        }.toSet
+      assert(got === want)
+      org.apache.spark.graft.GraftSpillBridge.waitListenerBus(sc)
+      assert(spilled.get() > 0L,
+        "expected the forced threshold to drive per-key heaps to disk")
+    } finally {
+      old match {
+        case Some(v) => envConf.set(confKey, v)
+        case None => envConf.remove(confKey)
+      }
+      sc.removeSparkListener(listener)
     }
   }
 
