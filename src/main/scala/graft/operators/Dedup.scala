@@ -168,7 +168,9 @@ object Dedup {
     * shard. Size `expectedItems` >= |history|: an undersized filter
     * stays CORRECT (the anti-join kills every false positive) but its
     * false-positive rate rises, eroding the prefilter's shuffle
-    * savings.
+    * savings. Past ~10⁹ history docs the merged filter itself is the
+    * bottleneck — use [[bloomPrefilterShardedNew]], which never
+    * materializes it.
     */
   def bloomPrefilterNew(history: DataFrame, incoming: DataFrame,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
@@ -188,6 +190,90 @@ object Dedup {
     definitelyNew.unionByName(survivors)
       .select(col("doc_id"),
         md5(col("text").cast("binary")).as("text_hash"))
+  }
+
+  /** Hash-range-sharded variant of [[bloomPrefilterNew]] for histories
+    * past the single-filter regime (~10⁹ docs ≈ 1.1 GiB at 1% fpp):
+    * the filter is split into `shards` by hash range and NO full-size
+    * filter ever exists anywhere — not merged on the driver, not
+    * broadcast, not even transiently in a map task:
+    *
+    *  1. Build: history hashes shuffle by `pmod(xxhash64(text), shards)`
+    *     (8-byte keys, not text) and each REDUCE task builds only the
+    *     filters of the shards it owns, each sized expectedItems/shards
+    *     — per-task filter memory is 1/shards of the whole, and the
+    *     driver never sees filter bytes at all (contrast
+    *     `df.stat.bloomFilter`, which tree-merges FULL-SIZE partials on
+    *     the driver).
+    *  2. Probe: incoming co-groups with the filter table on the shard
+    *     key — one shuffle of the incoming shard, one filter
+    *     deserialized per task, probed row-by-row in place. A shard
+    *     with no history rows short-circuits to "definitely new".
+    *  3. The bloom-positive slice anti-joins history text to kill
+    *     false positives, exactly like the unsharded path.
+    *
+    * Trade-off vs the unsharded prefilter: this shuffles the incoming
+    * shard once (by a derived 8-byte-keyed hash, never text×text),
+    * where the broadcast filter shuffles nothing — so below the memory
+    * ceiling prefer [[bloomPrefilterNew]]; past it this is the shape
+    * that still runs. Results are identical to the plain anti-join
+    * either way. */
+  def bloomPrefilterShardedNew(history: DataFrame, incoming: DataFrame,
+      shards: Int = 32, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    require(shards >= 1 && shards <= 4096, s"shards in [1,4096], got $shards")
+    val spark = history.sparkSession
+    import spark.implicits._
+    val filters = shardedBloomFilters(history, shards, expectedItems, fpp)
+    val inKeyed = incoming
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        pmod(xxhash64(col("text")), lit(shards)).cast("int").as("shard"),
+        xxhash64(col("text")).as("h"))
+      .as[(Long, String, Int, Long)].groupByKey(_._3)
+    val flagged = inKeyed.cogroup(filters.groupByKey(_._1)) {
+      (_, rows, fs) =>
+        fs.toSeq.headOption match {
+          case None => rows.map(r => (r._1, r._2, false))
+          case Some((_, bytes)) =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))
+            rows.map(r => (r._1, r._2, bf.mightContainLong(r._4)))
+        }
+    }.toDF("doc_id", "text", "maybe_dup")
+    val definitelyNew = flagged.filter(!col("maybe_dup"))
+    val survivors = flagged.filter(col("maybe_dup"))
+      .join(history.select(col("text")).distinct(), Seq("text"), "left_anti")
+    definitelyNew.unionByName(survivors)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("text_hash"))
+  }
+
+  /** The distributed per-shard filter table behind
+    * [[bloomPrefilterShardedNew]]: `(shard, filter_bytes)`, one row per
+    * non-empty hash-range shard, each filter sized
+    * `expectedItems / shards`. History hashes (8 bytes, never text)
+    * shuffle by shard and each reduce task builds only the filters it
+    * owns — the build is a pure Dataset pipeline with no collect, so
+    * the driver handles plan, not filter bytes. In a standing pipeline
+    * this table persists next to the corpus and incoming shards probe
+    * it without re-reading history. */
+  def shardedBloomFilters(history: DataFrame, shards: Int,
+      expectedItems: Long, fpp: Double)
+      : org.apache.spark.sql.Dataset[(Int, Array[Byte])] = {
+    val spark = history.sparkSession
+    import spark.implicits._
+    val perShard = math.max(64L, expectedItems / shards)
+    history
+      .select(pmod(xxhash64(col("text")), lit(shards)).cast("int").as("shard"),
+        xxhash64(col("text")).as("h"))
+      .as[(Int, Long)].groupByKey(_._1)
+      .mapGroups { (shard, rows) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(perShard, fpp)
+        rows.foreach(r => bf.putLong(r._2))
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (shard, bos.toByteArray)
+      }
   }
 
   /** Incremental LSH dedup — the production shape when a new shard

@@ -325,6 +325,17 @@ object PipelineQueries {
       Dedup.bloomPrefilterNew(base, incoming).orderBy("doc_id")
     }),
 
+    // Same dedup, hash-range-sharded filter build (the past-10⁹-docs
+    // shape: per-shard filters built in reduce tasks, no driver merge,
+    // no full-size filter anywhere) — identical output by construction.
+    "dedup_bloom_sharded" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val incoming = Dedup.augmentCorpus(Tables.documents(s, d))
+        .filter(col("doc_id") >= 100000)
+      Dedup.bloomPrefilterShardedNew(base, incoming, shards = 8)
+        .orderBy("doc_id")
+    }),
+
     // Consistent-hash shard assignment (4 shards × 16 vnodes): the ring
     // is an embedded config literal, assignment a pure projection.
     "pipeline_shard_assign" -> ((s, d) =>
@@ -1296,6 +1307,15 @@ object PipelineQueries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_bloom_prefilter" ->
+      s"""WITH $corpusCte,
+         |inc AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 100000)
+         |SELECT inc.doc_id, md5(inc.text) AS text_hash FROM inc
+         |WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = inc.text)
+         |ORDER BY inc.doc_id""".stripMargin,
+
+    // Sharded build is an internal detail — the contract is the plain
+    // anti-join, identical to dedup_bloom_prefilter's.
+    "dedup_bloom_sharded" ->
       s"""WITH $corpusCte,
          |inc AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 100000)
          |SELECT inc.doc_id, md5(inc.text) AS text_hash FROM inc

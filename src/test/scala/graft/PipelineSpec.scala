@@ -23,6 +23,37 @@ class PipelineSpec extends SparkSpec {
     assert(nDocs > 0)
   }
 
+  test("sharded bloom prefilter: no full-size filter anywhere, output = plain anti-join") {
+    val base = docs.select($"doc_id", $"text")
+    val incoming = corpus.filter($"doc_id" >= 100000)
+    val shards = 8
+    val expected = 1000000L
+    // 1. Distribution: the filter table is a pure Dataset pipeline —
+    // only (shard, byte-length) ever reaches the driver here, and every
+    // per-shard filter is ~1/shards of the single merged filter the
+    // unsharded path would allocate (compare serialized sizes).
+    val sizes = Dedup.shardedBloomFilters(base, shards, expected, 0.01)
+      .map { case (shard, bytes) => (shard, bytes.length) }.collect()
+    assert(sizes.nonEmpty && sizes.length <= shards)
+    val fullSize = {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter.create(expected, 0.01).writeTo(bos)
+      bos.size()
+    }
+    for ((shard, n) <- sizes)
+      assert(n < fullSize / 4,
+        s"shard $shard filter is $n bytes — not sharded vs full $fullSize")
+    // 2. Correctness: identical to the unsharded operator and to the
+    // plain anti-join ground truth.
+    val got = Dedup.bloomPrefilterShardedNew(base, incoming, shards)
+      .select($"doc_id").as[Long].collect().toSet
+    val plain = incoming.join(base.select($"text"), Seq("text"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === plain)
+    assert(got === Dedup.bloomPrefilterNew(base, incoming)
+      .select($"doc_id").as[Long].collect().toSet)
+  }
+
   test("minhash LSH candidates include all exact and near duplicates") {
     val cand = Dedup.lshCandidatePairs(
       Dedup.minhashSignatures(Dedup.shingles(corpus)))
