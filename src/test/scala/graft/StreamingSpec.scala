@@ -198,6 +198,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end: envelope source → ingest decode → decorate → upsert sink is exactly-once across kill+restart") {
+    // The reference's whole topology in one chain — CloudWatch→Kinesis
+    // envelopes (ingestor/index.js:124-141) → decode/explode → the
+    // Firehose decorator (decorator/index.js:243-262) → the idempotent
+    // ES-style delivery sink (decorator/index.js:254-257) — driven
+    // through a checkpointed streaming query that is KILLED mid-stream
+    // and restarted while the upstream redelivers (at-least-once). The
+    // user-visible resolved state must hold each document exactly once,
+    // byte-identical to the batch decorator on the same ticks.
+    import graft.sources.{FlowLogSource, Sinks}
+    import graft.operators.Ingestor
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e2e_ckpt").toString
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_e2e").toFile, "log")
+      .getAbsolutePath
+    val eni = Seq(("eni-1", Seq("sg-a"), "172.31.16.1"))
+      .toDF("interface_id", "security_group_ids", "ip_address")
+    val geo = Seq(("72.21.196.65", "US", "UNITED STATES", "WA", "WASHINGTON",
+      "SEATTLE", 47.6, -122.3))
+      .toDF("ip", "country_code", "country_name", "region_code",
+        "region_name", "city", "latitude", "longitude")
+    def toLines(env: org.apache.spark.sql.DataFrame) =
+      Ingestor.decodeEnvelopes(env, "data")
+        .select(xxhash64($"Data").as("id"),
+          regexp_replace($"Data", "\n$", "").as("line"))
+    val input = MemoryStream[Long](spark)
+    def start() = FlowLogStream.decorate(
+        toLines(FlowLogSource.envelopesFromTicks(input.toDF().toDF("value"))),
+        eni, geo)
+      .drop("@timestamp") // OP-11 processing-time stamp: nondeterministic
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Sinks.upsertAppendWriter(path, "id") _)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q1.processAllAvailable()
+    } finally q1.stop() // kill
+    val q2 = start() // restart from the checkpoint
+    try {
+      input.addData(2L, 3L, 4L) // ticks 2,3 redelivered + one new
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // Exactly-once VISIBLE state: ticks 1-4 × 5 events, one row per
+    // document despite redelivery spanning the restart.
+    val resolved = Sinks.latestById(spark, path, "id")
+    assert(resolved.count() === 20)
+    assert(resolved.select($"id").distinct().count() === 20)
+    assert(resolved.filter($"result" =!= "Ok").count() === 0)
+    // Content: byte-equal to the batch decorator over the same ticks
+    // (streaming and batch share one logical plan).
+    val want = FlowLogStream.decorate(
+        toLines(FlowLogSource.envelopesFromTicks(
+          spark.range(1, 5).select($"id".as("value")))), eni, geo)
+      .drop("@timestamp")
+      .select($"id", $"result", $"data")
+      .as[(Long, String, String)].collect().toSet
+    val got = resolved.select($"id", $"result", $"data")
+      .as[(Long, String, String)].collect().toSet
+    assert(got === want)
+  }
+
   test("transformWithState accumulates per-source totals across batches") {
     // The Spark 4 arbitrary-state API requires the RocksDB state store;
     // set it on an ISOLATED session (own SQLConf, shared context) so
