@@ -118,6 +118,53 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * per document, log w(x) = Σ_tokens [ln p_target(tok) − ln p_raw(tok)]
+    * under Laplace-smoothed unigram LMs — the target LM fit on the
+    * `targetSource` slice, the raw LM on the whole corpus, both
+    * smoothed over the CORPUS vocabulary so every token has nonzero
+    * mass in both. A resampler then keeps documents with probability
+    * ∝ exp(log w) to shift the raw corpus toward the target domain
+    * (compose with [[graft.operators.Sampling]]'s deterministic
+    * Bernoulli thinning for the materialization step).
+    *
+    * Determinism: the two LMs collapse to one per-TYPE term table
+    * (vocab rows), each term rounded to 6 dp; the per-doc score is an
+    * exact decimal sum of those terms — identical under any
+    * partitioning, retry, or engine. The per-token mean is one raw
+    * IEEE division (never rounded — the half-way drift class).
+    *
+    * Scale shape: two token-keyed counting aggregates (map-side
+    * combined) + a one-row totals broadcast; the corpus token stream
+    * then joins the vocab-sized term table on the token and rolls up
+    * per doc — two high-cardinality keyed shuffles, linear in token
+    * count, no doc×vocab blowup anywhere. */
+  def dsirWeights(documents: DataFrame, targetSource: String): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(
+      sum(col("cs")).as("ns"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("vocab"))
+    val terms = counts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        round(log(((col("ct") + 1).cast("double") /
+            (col("nt") + col("vocab")).cast("double")) /
+          ((col("cs") + 1).cast("double") /
+            (col("ns") + col("vocab")).cast("double"))), 6)
+          .cast("decimal(18,6)").as("term"))
+    toks.join(terms, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("term")).as("log_weight"))
+      .select(col("doc_id"), col("n_tok"), col("log_weight"),
+        (col("log_weight").cast("double") / col("n_tok").cast("double"))
+          .as("avg_term"))
+  }
+
   /** Token counting two ways — whitespace splitting and a BPE-ish
     * pre-tokenization regex (letter runs, digit runs, single
     * non-alphanumeric marks: the GPT-2 pre-tokenizer's shape without

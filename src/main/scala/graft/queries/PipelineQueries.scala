@@ -277,6 +277,28 @@ object PipelineQueries {
       TextAnalysis.unigramLogprob(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // DSIR importance weights toward the src0 domain (Xie et al. 2023):
+    // per-doc Σ[ln p_target − ln p_raw] under Laplace-smoothed unigram
+    // LMs — the importance-resampling score that shifts a raw corpus
+    // toward a target domain. 6-dp rounded per-type terms, exact
+    // decimal per-doc sums (order-free).
+    "text_dsir_weights" -> ((s, d) =>
+      TextAnalysis.dsirWeights(Tables.documents(s, d), "src0")
+        .orderBy("doc_id")),
+
+    // Dedup cluster-size profile from the LSH duplicate graph: how many
+    // clusters of each size the corpus holds (singletons included) —
+    // the one-page report a dedup run emits before dropping copies.
+    "dedup_cluster_stats" -> ((s, d) => {
+      val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
+      val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(
+        Dedup.shingles(corpus)))
+      graft.operators.ConnectedComponents.canonicalize(corpus, pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // PSI drift monitor: each source's n_chars distribution vs the
     // corpus, Laplace-smoothed, 10 fixed-width bins — the refresh gate
     // ("did this crawl move?"). One (source, bin) aggregate pass.
@@ -1191,6 +1213,59 @@ object PipelineQueries {
         |         / CAST(count(*) AS DOUBLE) AS avg_logprob
         |FROM toks JOIN counts USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors dsirWeights exactly: same smoothing, same 6-dp rounded
+    // per-type terms, decimal sums cast to Spark's sum-of-decimal(18,6)
+    // result type decimal(28,6) (DuckDB widens to (38,6) otherwise).
+    "text_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cs,
+        |         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS ct
+        |  FROM toks GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(sum(cs) AS BIGINT) AS ns, CAST(sum(ct) AS BIGINT) AS nt,
+        |         CAST(count(*) AS BIGINT) AS vocab
+        |  FROM counts),
+        |terms AS (
+        |  SELECT tok,
+        |         CAST(round(ln((CAST(ct + 1 AS DOUBLE) / CAST(nt + vocab AS DOUBLE)) /
+        |                       (CAST(cs + 1 AS DOUBLE) / CAST(ns + vocab AS DOUBLE))), 6)
+        |           AS DECIMAL(18,6)) AS term
+        |  FROM counts CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |       CAST(sum(term) AS DECIMAL(28,6)) AS log_weight,
+        |       CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_term
+        |FROM toks JOIN terms USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same duplicate graph as dedup_components, rolled up to the
+    // cluster-size histogram.
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $corpusCte,
+         |$shinglesCte,
+         |$lshCte,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM cand
+         |  UNION SELECT id_b AS u, id_a AS v FROM cand),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |lab AS (
+         |  SELECT c.doc_id, coalesce(p.component, c.doc_id) AS component
+         |  FROM corpus c LEFT JOIN comp p ON c.doc_id = p.doc_id),
+         |sizes AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM lab GROUP BY component)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "pipeline_drift_psi" ->
       """WITH b AS (

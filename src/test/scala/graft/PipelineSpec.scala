@@ -23,6 +23,40 @@ class PipelineSpec extends SparkSpec {
     assert(nDocs > 0)
   }
 
+  test("DSIR weights rank target-domain documents above off-domain ones") {
+    // Two disjoint vocabularies: target docs speak "medical", the rest
+    // "legal". Importance weights toward the target source must score
+    // every in-domain doc above every off-domain doc, and identical
+    // docs identically.
+    val med = "dose patient trial cohort symptom relapse therapy outcome"
+    val leg = "clause tort estoppel plaintiff statute remand verdict brief"
+    val docs = (
+      (0L until 10L).map(i => (i, "target", med)) ++
+      (10L until 30L).map(i => (i, s"other${i % 3}", leg))
+    ).toDF("doc_id", "source", "text")
+    val w = graft.operators.TextAnalysis.dsirWeights(docs, "target")
+      .select($"doc_id", $"avg_term").as[(Long, Double)].collect().toMap
+    val inDomain = (0L until 10L).map(w)
+    val offDomain = (10L until 30L).map(w)
+    assert(inDomain.min > offDomain.max,
+      s"in-domain min ${inDomain.min} must exceed off-domain max ${offDomain.max}")
+    assert(inDomain.toSet.size === 1 && offDomain.toSet.size === 1,
+      "identical documents must score identically")
+  }
+
+  test("dedup cluster stats account for every document exactly once") {
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(Dedup.shingles(corpus)))
+    val stats = graft.operators.ConnectedComponents
+      .canonicalize(corpus, pairs)
+      .groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val rows = stats.as[(Long, Long)].collect()
+    assert(rows.map { case (sz, n) => sz * n }.sum === corpus.count())
+    // injected exact+near duplicates guarantee some multi-doc clusters
+    assert(rows.exists { case (sz, _) => sz >= 2 })
+  }
+
   test("sharded bloom prefilter: no full-size filter anywhere, output = plain anti-join") {
     val base = docs.select($"doc_id", $"text")
     val incoming = corpus.filter($"doc_id" >= 100000)
