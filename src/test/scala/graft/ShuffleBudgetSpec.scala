@@ -57,7 +57,14 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_substring_mass" -> 5,  // gram agg + re-join + doc rollup + sort
     "dedup_containment" -> 10,    // LSH chain + intersect + sizes joins
     "pipeline_epoch_shuffle" -> 2, // (epoch, shard) window + output sort
-    "pipeline_drift_psi" -> 9)    // (source,bin) agg + dense joins + sort
+    "pipeline_drift_psi" -> 9,    // (source,bin) agg + dense joins + sort
+    // round-7 additions (dedup_cluster_stats is excluded like CC/BFS:
+    // the iterative components chain prints cached lineage repeatedly)
+    "dedup_bloom_sharded" -> 8,   // 2 groupByKey sides of the cogroup
+                                  // (x2: the maybe_dup split re-reads
+                                  // it) + history distinct + anti
+                                  // co-key + sort
+    "text_dsir_weights" -> 5)     // tok agg + re-join + doc rollup + sort
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
