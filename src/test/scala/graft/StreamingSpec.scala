@@ -292,6 +292,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH candidates equal the batch operator over the union of batches") {
+    // Online dedup parity: feeding the corpus through the streaming
+    // bucket-history processor in two micro-batches must produce exactly
+    // the batch lshCandidatePairs set — same hash family per row
+    // (array_min replaces the batch min() aggregate), same buckets,
+    // in-batch AND cross-batch pairs both recovered.
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val corpus = Dedup.augmentCorpus(Tables.documents(s, sfDir))
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect()
+    val (b1, b2) = corpus.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String)](s)
+    val q = StreamingDedup.candidatePairs(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = s.table("sdedup_out").as[(Long, Long)].collect().toSet
+      val want = Dedup.lshCandidatePairs(Dedup.minhashSignatures(
+          Dedup.shingles(Dedup.augmentCorpus(Tables.documents(s, sfDir)))))
+        .as[(Long, Long)].collect().toSet
+      assert(want.nonEmpty && got === want,
+        s"streaming candidate set (${got.size}) must equal batch (${want.size})")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session on inactivity gap") {
     val input = MemoryStream[Ev](spark)
     // two bursts for user 7, separated by > gap in event time: the second
