@@ -18,16 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  /** Write a hive-style partitioned parquet dataset. `partitionCols`
-    * should be low-cardinality query dimensions — each distinct tuple
-    * becomes a directory, so partitioning by a high-cardinality key
-    * (e.g. interface_id) would shatter the table. */
+  /** Write a hive-style partitioned columnar dataset (parquet by
+    * default; "orc" is the other splittable columnar format Spark
+    * ships — same pruning and predicate-pushdown story, preferred by
+    * Hive-centric consumers). `partitionCols` should be low-cardinality
+    * query dimensions — each distinct tuple becomes a directory, so
+    * partitioning by a high-cardinality key (e.g. interface_id) would
+    * shatter the table. */
   def writePartitioned(df: DataFrame, path: String,
-      partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L): Unit =
+      partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L,
+      format: String = "parquet"): Unit =
     df.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
-      .parquet(path)
+      .format(format)
+      .save(path)
 
   /** Exactly-once `foreachBatch` sink: each micro-batch lands in its
     * own `batch_id=` partition, written with DYNAMIC partition
