@@ -286,6 +286,25 @@ object PipelineQueries {
       TextAnalysis.dsirWeights(Tables.documents(s, d), "src0")
         .orderBy("doc_id")),
 
+    // Degree distribution of the LSH duplicate graph (zero-degree docs
+    // included): how many near-dup neighbors each document has — the
+    // skew signal that says whether duplication is a few big template
+    // families or broad pairwise overlap. Explode both endpoints of the
+    // distinct pair set, count per node, histogram per degree.
+    "dedup_degree_dist" -> ((s, d) => {
+      val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
+      val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(
+        Dedup.shingles(corpus)))
+      val deg = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      corpus.select(col("doc_id"))
+        .join(deg, Seq("doc_id"), "left")
+        .select(coalesce(col("degree"), lit(0L)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    }),
+
     // Dedup cluster-size profile from the LSH duplicate graph: how many
     // clusters of each size the corpus holds (singletons included) —
     // the one-page report a dedup run emits before dropping copies.
@@ -1241,6 +1260,24 @@ object PipelineQueries {
         |       CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_term
         |FROM toks JOIN terms USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same candidate pair set as dedup_minhash_lsh, exploded to node
+    // degrees, zero-degree docs kept via the corpus left join.
+    "dedup_degree_dist" ->
+      s"""WITH $corpusCte,
+         |$shinglesCte,
+         |$lshCte,
+         |ends AS (
+         |  SELECT id_a AS doc_id FROM cand
+         |  UNION ALL SELECT id_b AS doc_id FROM cand),
+         |deg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM ends GROUP BY doc_id),
+         |alldeg AS (
+         |  SELECT coalesce(d.degree, 0) AS degree
+         |  FROM corpus c LEFT JOIN deg d ON c.doc_id = d.doc_id)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM alldeg GROUP BY degree ORDER BY degree""".stripMargin,
 
     // Same duplicate graph as dedup_components, rolled up to the
     // cluster-size histogram.
