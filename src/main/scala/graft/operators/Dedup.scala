@@ -107,9 +107,45 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-row (shuffle-free) MinHash signatures: the same h_k =
+    * min md5(k ':' shingle) as [[minhashSignatures]], but computed with
+    * `array_min` over the document's shingle ARRAY inside one
+    * projection instead of exploding to (doc, shingle) rows and
+    * aggregating. Identical output by construction (min over
+    * duplicates = min over distinct).
+    *
+    * MEASURED trade-off (sf0.1, local[32], steady-state): 2.0 s vs the
+    * aggregate path's 1.3 s for the dedup_minhash_lsh chain — the
+    * higher-order `transform`/`array_min` lambdas evaluate interpreted
+    * OUTSIDE whole-stage codegen, and at this scale that costs more
+    * than the exploded-shingle shuffle it removes, so the BATCH queries
+    * keep [[minhashSignatures]]. This form earns its keep where an
+    * aggregation is structurally unavailable: it is the signature step
+    * of [[graft.streaming.StreamingDedup]] (a streaming frame cannot
+    * run an intermediate groupBy before the stateful operator), and on
+    * a cluster whose shuffle tier — not CPU — is the bottleneck the
+    * balance flips back; re-measure there before choosing. */
+  def minhashSignaturesFused(corpus: DataFrame,
+      numHashes: Int = NumHashes): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 256,
+      s"numHashes in [1,256], got $numHashes")
+    val base = corpus
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("shs", expr(
+        """transform(sequence(1, size(w) - 2), i ->
+          |  concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+          |            element_at(w, i + 2)))""".stripMargin))
+    (1 to numHashes).foldLeft(base) { (df, k) =>
+      df.withColumn(s"h$k", expr(
+        s"array_min(transform(shs, s -> md5(cast(concat('$k:', s) as binary))))"))
+    }.select(col("doc_id") +: (1 to numHashes).map(k => col(s"h$k")): _*)
+  }
+
   /** Band-bucket id per (band, doc): band i concatenates signature rows
-    * h_{(i−1)r+1} … h_{ir}. Shared by the self- and incremental LSH. */
-  private def bandBuckets(bands: Int, rowsPerBand: Int): Column = {
+    * h_{(i−1)r+1} … h_{ir}. Shared by the self-, incremental, and
+    * streaming LSH. */
+  private[graft] def bandBuckets(bands: Int, rowsPerBand: Int): Column = {
     require(bands >= 1 && rowsPerBand >= 1,
       s"bands/rowsPerBand must be >= 1, got $bands/$rowsPerBand")
     explode(array((1 to bands).map { b =>
@@ -163,9 +199,8 @@ object Dedup {
     * anti-join, but at 100 TB only ~(dup_rate + fpp) of the shard
     * reaches the shuffle — the history side never re-shuffles at all
     * once its filter is persisted alongside the corpus. A 10^9-doc
-    * history at 1% fpp is a ~1.1 GiB filter (fine as a task reference);
-    * beyond that, shard the filter by hash range and probe the matching
-    * shard. Size `expectedItems` >= |history|: an undersized filter
+    * history at 1% fpp is a ~1.1 GiB filter (fine as a task reference).
+    * Size `expectedItems` >= |history|: an undersized filter
     * stays CORRECT (the anti-join kills every false positive) but its
     * false-positive rate rises, eroding the prefilter's shuffle
     * savings. Past ~10⁹ history docs the merged filter itself is the

@@ -27,34 +27,20 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamingDedup {
 
-  /** (doc_id, bucket) rows via per-row signatures: word 3-shingles →
-    * `numHashes` md5("k:" + shingle) minima → `bands` buckets of
-    * `rowsPerBand` concatenated hashes — the same hash family, shingle
-    * shape, and bucket ids as the batch chain (Dedup.shingles /
-    * minhashSignatures / bandBuckets), verified by the parity test.
-    * Documents shorter than 3 words have no shingles and drop, exactly
-    * like the batch `shingles()` filter. */
+  /** (doc_id, bucket) rows via per-row signatures
+    * ([[graft.operators.Dedup.minhashSignaturesFused]] — a streaming
+    * frame cannot run the batch path's intermediate groupBy before the
+    * stateful operator) banded by the SAME bucket generator as the
+    * batch chain, so bucket ids are byte-identical across the two
+    * (pinned by the parity test). Documents shorter than 3 words have
+    * no shingles and drop, exactly like the batch `shingles()` filter. */
   def bandedBuckets(docs: DataFrame, numHashes: Int = 6, bands: Int = 3,
       rowsPerBand: Int = 2): DataFrame = {
     require(bands * rowsPerBand <= numHashes,
       s"bands x rowsPerBand must fit in $numHashes hashes")
-    val sigs = (1 to numHashes).foldLeft(
-      docs
-        .withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) >= 3)
-        .withColumn("sh", expr(
-          """transform(sequence(1, size(w) - 2), i ->
-            |  concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-            |            element_at(w, i + 2)))""".stripMargin))
-    ) { (df, k) =>
-      df.withColumn(s"h$k", expr(
-        s"array_min(transform(sh, s -> md5(cast(concat('$k:', s) as binary))))"))
-    }
-    sigs.select(col("doc_id"), explode(array((1 to bands).map { b =>
-      val rows = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand)
-        .map(k => col(s"h$k"))
-      concat(lit(s"b$b:") +: rows: _*)
-    }: _*)).as("bucket"))
+    graft.operators.Dedup.minhashSignaturesFused(docs, numHashes)
+      .select(col("doc_id"),
+        graft.operators.Dedup.bandBuckets(bands, rowsPerBand).as("bucket"))
   }
 
   /** Per-bucket membership history: every new document pairs with all
