@@ -277,6 +277,25 @@ object PipelineQueries {
       TextAnalysis.unigramLogprob(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // Perplexity-filter buckets: decile each source's documents by
+    // unigram-LM quality score (the CCNet-style "keep the best-q
+    // deciles per source" gate). The ntile order is TOTAL
+    // (avg_logprob, doc_id) so ties cannot drift between engines;
+    // min/max per decile are raw doubles (no sums).
+    "text_quality_deciles" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("avg_logprob"), col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(TextAnalysis.unigramLogprob(Tables.documents(s, d)), "doc_id")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_logprob")).as("min_lp"),
+          max(col("avg_logprob")).as("max_lp"))
+        .orderBy("source", "decile")
+    }),
+
     // DSIR importance weights toward the src0 domain (Xie et al. 2023):
     // per-doc Σ[ln p_target − ln p_raw] under Laplace-smoothed unigram
     // LMs — the importance-resampling score that shifts a raw corpus
@@ -1232,6 +1251,32 @@ object PipelineQueries {
         |         / CAST(count(*) AS DOUBLE) AS avg_logprob
         |FROM toks JOIN counts USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same LM derivation as text_unigram_logprob, bucketed ntile(10)
+    // per source over the identical total order.
+    "text_quality_deciles" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS vocab
+        |        FROM counts),
+        |lp AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CAST(round(
+        |           ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE)),
+        |           6) AS DECIMAL(18,6))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS avg_logprob
+        |  FROM toks JOIN counts USING (tok) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT d.source, lp.avg_logprob,
+        |         ntile(10) OVER (PARTITION BY d.source
+        |                         ORDER BY lp.avg_logprob, d.doc_id) AS decile
+        |  FROM documents d JOIN lp ON d.doc_id = lp.doc_id)
+        |SELECT source, decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(avg_logprob) AS min_lp, max(avg_logprob) AS max_lp
+        |FROM ranked GROUP BY source, decile
+        |ORDER BY source, decile""".stripMargin,
 
     // Mirrors dsirWeights exactly: same smoothing, same 6-dp rounded
     // per-type terms, decimal sums cast to Spark's sum-of-decimal(18,6)

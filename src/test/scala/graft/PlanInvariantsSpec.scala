@@ -21,6 +21,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "text_tfidf_vocab",  // one-row corpus size
     "text_boilerplate",  // one-row corpus size
     "text_unigram_logprob", // one-row (n_total, vocab) LM normalizer
+    "text_quality_deciles", // same LM normalizer, decile rollup
     "text_dsir_weights", // one-row (ns, nt, vocab) two-LM normalizer
     "sim_topk_bruteforce", "sim_topk_aggregator", "sim_topk_native", // probes
     "sim_range_search",  // broadcast probes, map-side threshold filter
