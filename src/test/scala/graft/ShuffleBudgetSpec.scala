@@ -64,7 +64,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // (x2: the maybe_dup split re-reads
                                   // it) + history distinct + anti
                                   // co-key + sort
-    "text_dsir_weights" -> 5)     // tok agg + re-join + doc rollup + sort
+    "text_dsir_weights" -> 5,     // tok agg + re-join + doc rollup + sort
+    "text_quality_deciles" -> 8,  // LM chain + source ntile window +
+                                  // decile rollup + sort
+    "dedup_degree_dist" -> 8)     // LSH chain + endpoint agg + corpus
+                                  // join + degree rollup + sort
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
