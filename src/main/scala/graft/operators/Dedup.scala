@@ -252,11 +252,25 @@ object Dedup {
     * where the broadcast filter shuffles nothing — so below the memory
     * ceiling prefer [[bloomPrefilterNew]]; past it this is the shape
     * that still runs. Results are identical to the plain anti-join
-    * either way. */
+    * either way.
+    *
+    * Contract difference vs [[bloomPrefilterNew]]: the typed cogroup
+    * carries `doc_id` as LONG, so this variant requires an integral
+    * `doc_id` (enforced below — a string id would otherwise come back
+    * null under non-ANSI cast); the unsharded variant preserves any
+    * input id type. */
   def bloomPrefilterShardedNew(history: DataFrame, incoming: DataFrame,
       shards: Int = 32, expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
     require(shards >= 1 && shards <= 4096, s"shards in [1,4096], got $shards")
+    val idType = incoming.schema("doc_id").dataType
+    require({
+      import org.apache.spark.sql.types._
+      idType == ByteType || idType == ShortType ||
+        idType == IntegerType || idType == LongType
+    }, s"bloomPrefilterShardedNew needs an integral doc_id (the cogroup " +
+      s"carries it as long); got $idType — " +
+      s"use bloomPrefilterNew for non-numeric ids")
     val spark = history.sparkSession
     import spark.implicits._
     val filters = shardedBloomFilters(history, shards, expectedItems, fpp)

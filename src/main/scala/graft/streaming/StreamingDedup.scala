@@ -59,23 +59,24 @@ object StreamingDedup {
         Encoders.scalaLong, TTLConfig.NONE)
     override def handleInputRows(key: String, rows: Iterator[(String, Long)],
         timerValues: ss.TimerValues): Iterator[(Long, Long)] = {
-      val prior = {
-        val it = members.get(); val b = Seq.newBuilder[Long]
-        while (it.hasNext) b += it.next()
-        b.result()
-      }
+      val prior = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val priorSet = scala.collection.mutable.HashSet.empty[Long]
+      val it = members.get()
+      while (it.hasNext) { val v = it.next(); prior += v; priorSet += v }
       // Deterministic in-batch order (redeliveries/dups collapse too).
       val fresh = rows.map(_._2).toArray.distinct.sorted
-        .filterNot(prior.contains)
-      val out = Seq.newBuilder[(Long, Long)]
-      var seen = prior
+        .filterNot(priorSet.contains)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val seen = prior
       for (n <- fresh) {
         for (p <- seen)
           out += (if (p < n) (p, n) else (n, p))
-        seen = seen :+ n
+        seen += n
       }
-      members.appendList(fresh)
-      out.result().iterator
+      // ListStateImpl rejects empty appends (EMPTY_LIST_VALUE) — an
+      // all-redelivered batch legitimately produces zero fresh ids.
+      if (fresh.nonEmpty) members.appendList(fresh)
+      out.iterator
     }
   }
 

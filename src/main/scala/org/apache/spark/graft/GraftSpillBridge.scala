@@ -38,13 +38,18 @@ object GraftSpillBridge {
     // The map tracks its own spill counters; the CALLER owns surfacing
     // them (same contract as core's Aggregator.updateMetrics) — without
     // this the UI/metrics report zero spill no matter what hit disk.
-    val ctx = org.apache.spark.TaskContext.get()
-    if (ctx != null) {
-      ctx.taskMetrics().incMemoryBytesSpilled(map.memoryBytesSpilled)
-      ctx.taskMetrics().incDiskBytesSpilled(map.diskBytesSpilled)
-      ctx.taskMetrics().incPeakExecutionMemory(map.peakMemoryUsedBytes)
-    }
-    map.iterator
+    // Counters are read on iterator COMPLETION, not here: destructive
+    // iteration can still force-spill under memory pressure, and a
+    // pre-iteration snapshot would miss exactly those bytes.
+    org.apache.spark.util.CompletionIterator[(K, C), Iterator[(K, C)]](
+      map.iterator, {
+        val ctx = org.apache.spark.TaskContext.get()
+        if (ctx != null) {
+          ctx.taskMetrics().incMemoryBytesSpilled(map.memoryBytesSpilled)
+          ctx.taskMetrics().incDiskBytesSpilled(map.diskBytesSpilled)
+          ctx.taskMetrics().incPeakExecutionMemory(map.peakMemoryUsedBytes)
+        }
+      })
   }
 
   /** Drain the listener bus (private[spark]) — lets tests assert on

@@ -327,6 +327,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH survives an all-redelivered micro-batch (at-least-once)") {
+    // At-least-once sources redeliver: a batch whose every doc_id was
+    // already seen makes `fresh` empty in every touched bucket, and
+    // Spark 4.1's ListState rejects empty appends — the processor must
+    // skip the append, emit nothing new, and keep the query alive.
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val corpus = Dedup.augmentCorpus(Tables.documents(s, sfDir))
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](s)
+    val q = StreamingDedup.candidatePairs(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sdedup_redeliver_out")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.toSeq: _*)
+      q.processAllAvailable()
+      val afterFirst = s.table("sdedup_redeliver_out")
+        .as[(Long, Long)].collect().toSet
+      // Redeliver a slice of already-seen documents verbatim.
+      input.addData(corpus.take(math.max(5, corpus.length / 4)).toSeq: _*)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"redelivered batch must not kill the query: ${q.exception}")
+      val afterRedeliver = s.table("sdedup_redeliver_out")
+        .as[(Long, Long)].collect().toSet
+      assert(afterFirst.nonEmpty && afterRedeliver === afterFirst,
+        "redelivered docs are already in state and must emit no new pairs")
+    } finally q.stop()
+  }
+
+  test("streaming LSH parity and bounded state at production banding 64/16/4") {
+    // The parameterization exists for 64-hash production signatures;
+    // pin parity there too, so a per-row cost blowup in the 64-column
+    // fused signature fold or unbounded bucket-history growth surfaces
+    // here rather than in production. State is keyed by band bucket with
+    // one list element per (doc, band): total elements ≤ docs × bands.
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val (nh, nb, rpb) = (64, 16, 4)
+    val corpus = Dedup.augmentCorpus(Tables.documents(s, sfDir))
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect()
+    val (b1, b2) = corpus.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String)](s)
+    val q = StreamingDedup.candidatePairs(
+        input.toDF().toDF("doc_id", "text"), nh, nb, rpb)
+      .writeStream.format("memory").queryName("sdedup64_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = s.table("sdedup64_out").as[(Long, Long)].collect().toSet
+      val want = Dedup.lshCandidatePairs(Dedup.minhashSignatures(
+          Dedup.shingles(Dedup.augmentCorpus(Tables.documents(s, sfDir))), nh),
+          nb, rpb)
+        .as[(Long, Long)].collect().toSet
+      assert(want.nonEmpty && got === want,
+        s"streaming candidates at 64/16/4 (${got.size}) must equal batch (${want.size})")
+      val docsWithShingles = corpus.count(_._2.split(" ").length >= 3)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows > 0 && stateRows <= docsWithShingles.toLong * nb,
+        s"bucket-history state ($stateRows rows) must stay within docs×bands " +
+          s"(${docsWithShingles.toLong * nb})")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session on inactivity gap") {
     val input = MemoryStream[Ev](spark)
     // two bursts for user 7, separated by > gap in event time: the second
