@@ -130,10 +130,16 @@ object TextAnalysis {
     * Bernoulli thinning for the materialization step).
     *
     * Determinism: the two LMs collapse to one per-TYPE term table
-    * (vocab rows), each term rounded to 6 dp; the per-doc score is an
-    * exact decimal sum of those terms — identical under any
-    * partitioning, retry, or engine. The per-token mean is one raw
-    * IEEE division (never rounded — the half-way drift class).
+    * (vocab rows), each term quantized to FIXED-POINT MICRO-UNITS as
+    * `floor(ln(ratio)·10⁶ + 0.5)` — floor on a double is an exact IEEE
+    * operation with one semantics everywhere, unlike `round(x, 6)` /
+    * decimal-cast whose half-way and widening rules vary across engine
+    * VERSIONS (this column was the one driver-red row of round 7 while
+    * bit-exact locally; integers remove the surface entirely). The
+    * per-doc score is then a plain BIGINT sum — identical under any
+    * partitioning, retry, or engine — and the per-token mean is one
+    * raw IEEE int-ratio division (never rounded — the half-way drift
+    * class).
     *
     * Scale shape: two token-keyed counting aggregates (map-side
     * combined) + a one-row totals broadcast; the corpus token stream
@@ -152,17 +158,18 @@ object TextAnalysis {
       count(lit(1)).as("vocab"))
     val terms = counts.crossJoin(broadcast(totals))
       .select(col("tok"),
-        round(log(((col("ct") + 1).cast("double") /
+        floor(log(((col("ct") + 1).cast("double") /
             (col("nt") + col("vocab")).cast("double")) /
           ((col("cs") + 1).cast("double") /
-            (col("ns") + col("vocab")).cast("double"))), 6)
-          .cast("decimal(18,6)").as("term"))
+            (col("ns") + col("vocab")).cast("double"))) * lit(1000000.0d)
+          + lit(0.5d)).as("term_micro"))
     toks.join(terms, "tok")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"), sum(col("term")).as("log_weight"))
-      .select(col("doc_id"), col("n_tok"), col("log_weight"),
-        (col("log_weight").cast("double") / col("n_tok").cast("double"))
-          .as("avg_term"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("term_micro")).as("log_weight_micro"))
+      .select(col("doc_id"), col("n_tok"), col("log_weight_micro"),
+        (col("log_weight_micro").cast("double") / col("n_tok").cast("double"))
+          .as("avg_term_micro"))
   }
 
   /** Token counting two ways — whitespace splitting and a BPE-ish

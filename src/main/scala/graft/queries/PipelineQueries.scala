@@ -1278,9 +1278,12 @@ object PipelineQueries {
         |FROM ranked GROUP BY source, decile
         |ORDER BY source, decile""".stripMargin,
 
-    // Mirrors dsirWeights exactly: same smoothing, same 6-dp rounded
-    // per-type terms, decimal sums cast to Spark's sum-of-decimal(18,6)
-    // result type decimal(28,6) (DuckDB widens to (38,6) otherwise).
+    // Mirrors dsirWeights exactly: same smoothing, same fixed-point
+    // micro-unit terms via floor(x*1e6 + 0.5) — floor on a double is
+    // exact IEEE in every engine version, where round()/decimal-cast
+    // half-way semantics are not (the round-7 driver-red surface).
+    // Integer sums cast BIGINT (DuckDB widens to HUGEINT); the mean is
+    // a raw IEEE int-ratio division, never rounded.
     "text_dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
@@ -1296,13 +1299,14 @@ object PipelineQueries {
         |  FROM counts),
         |terms AS (
         |  SELECT tok,
-        |         CAST(round(ln((CAST(ct + 1 AS DOUBLE) / CAST(nt + vocab AS DOUBLE)) /
-        |                       (CAST(cs + 1 AS DOUBLE) / CAST(ns + vocab AS DOUBLE))), 6)
-        |           AS DECIMAL(18,6)) AS term
+        |         CAST(floor(ln((CAST(ct + 1 AS DOUBLE) / CAST(nt + vocab AS DOUBLE)) /
+        |                       (CAST(cs + 1 AS DOUBLE) / CAST(ns + vocab AS DOUBLE)))
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS term_micro
         |  FROM counts CROSS JOIN tot)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-        |       CAST(sum(term) AS DECIMAL(28,6)) AS log_weight,
-        |       CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_term
+        |       CAST(sum(term_micro) AS BIGINT) AS log_weight_micro,
+        |       CAST(sum(term_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS avg_term_micro
         |FROM toks JOIN terms USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -35,7 +35,7 @@ class PipelineSpec extends SparkSpec {
       (10L until 30L).map(i => (i, s"other${i % 3}", leg))
     ).toDF("doc_id", "source", "text")
     val w = graft.operators.TextAnalysis.dsirWeights(docs, "target")
-      .select($"doc_id", $"avg_term").as[(Long, Double)].collect().toMap
+      .select($"doc_id", $"avg_term_micro").as[(Long, Double)].collect().toMap
     val inDomain = (0L until 10L).map(w)
     val offDomain = (10L until 30L).map(w)
     assert(inDomain.min > offDomain.max,
