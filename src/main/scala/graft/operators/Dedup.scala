@@ -186,6 +186,68 @@ object Dedup {
       .distinct()
   }
 
+  /** Skew-hardened [[lshCandidatePairs]]: identical output, but no agg
+    * buffer ever holds more than ~`maxBucket` member ids. The plain
+    * expansion keeps a whole bucket's member list in one `collect_set`
+    * buffer — 8 bytes/doc is fine until a degenerate corpus (template
+    * families, boilerplate floods) concentrates millions of docs into
+    * one band bucket and that single buffer becomes task-sized. Guard:
+    *
+    *  1. A window count sizes every bucket in the SAME shuffle the
+    *     expansion groups on (hash-partitioned by bucket; the groupBys
+    *     and the join below all reuse that partitioning — no extra
+    *     exchange).
+    *  2. Buckets ≤ `maxBucket` take the unchanged in-bucket expansion.
+    *  3. Oversized buckets split into `ceil(size/maxBucket)` salt
+    *     sub-groups by `xxhash64(doc_id)` (deterministic — retries and
+    *     both join sides agree). Within-sub-group pairs use the same
+    *     expansion with a ~`maxBucket`-bounded buffer; across-sub-group
+    *     pairs come from a bucket equi-join on `salt_a < salt_b`, whose
+    *     per-key buffering is Spark's SPILLABLE join row array — the
+    *     quadratic pair set still streams, it just never sits in one
+    *     in-memory array.
+    *
+    * Every unordered in-bucket pair appears exactly once per bucket
+    * (same-salt via 2, cross-salt via 3), so after `.distinct()` the
+    * result equals [[lshCandidatePairs]] bit-for-bit (equality is
+    * driver-gated: `dedup_lsh_skew_guarded` runs with `maxBucket = 2`
+    * against the UNguarded oracle SQL). Default `maxBucket` keeps the
+    * guard dormant below ~1M-doc buckets — at 8 B/id that is the point
+    * where a single buffer starts to matter in a few-hundred-MiB task. */
+  def lshCandidatePairsSkewGuarded(sigs: DataFrame,
+      bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val pairExpand =
+      """flatten(transform(ids, (a, i) ->
+        |  transform(slice(ids, i + 2, size(ids)), b ->
+        |    struct(a AS id_a, b AS id_b))))""".stripMargin
+    def expand(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+      grouped
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(pairExpand)).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+    val sized = sigs
+      .select(col("doc_id"), bandBuckets(bands, rowsPerBand).as("bucket"))
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+    val normalPairs = expand(
+      sized.filter(col("bsize") <= maxBucket).groupBy(col("bucket")))
+    // Integer ceil-divide (no double round-trip): n_salts >= 2 here.
+    val big = sized.filter(col("bsize") > maxBucket)
+      .withColumn("salt",
+        pmod(xxhash64(col("doc_id")),
+          expr(s"(bsize + ${maxBucket - 1}) div $maxBucket")))
+    val withinPairs = expand(big.groupBy(col("bucket"), col("salt")))
+    val crossPairs = big.as("a")
+      .join(big.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.salt") < col("b.salt"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+    normalPairs.unionByName(withinPairs).unionByName(crossPairs).distinct()
+  }
+
   /** Bloom-prefiltered cross-run exact dedup — "drop incoming docs whose
     * text already exists in the history corpus" without shuffling the
     * whole incoming shard against history. A Bloom filter over

@@ -78,6 +78,15 @@ object PipelineQueries {
         Dedup.shingles(Dedup.augmentCorpus(Tables.documents(s, d)))))
         .orderBy("id_a", "id_b")),
 
+    // Skew-guarded expansion forced into its salted path (maxBucket=2:
+    // every 3+-doc bucket splits) — the oracle is the UNguarded LSH
+    // candidate SQL, gating that salting preserves the exact pair set.
+    "dedup_lsh_skew_guarded" -> ((s, d) =>
+      Dedup.lshCandidatePairsSkewGuarded(Dedup.minhashSignatures(
+        Dedup.shingles(Dedup.augmentCorpus(Tables.documents(s, d)))),
+        maxBucket = 2)
+        .orderBy("id_a", "id_b")),
+
     "dedup_ngram_jaccard" -> ((s, d) => {
       val sh = Dedup.shingles(Dedup.augmentCorpus(Tables.documents(s, d)))
       Dedup.jaccardPairs(sh,
@@ -690,6 +699,14 @@ object PipelineQueries {
          |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
+      s"""WITH $corpusCte,
+         |$shinglesCte,
+         |$lshCte
+         |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    // Salting is internal: the guarded operator must emit exactly the
+    // unguarded candidate set, so the oracle IS the unguarded SQL.
+    "dedup_lsh_skew_guarded" ->
       s"""WITH $corpusCte,
          |$shinglesCte,
          |$lshCte

@@ -66,6 +66,53 @@ class PipelinePropertySpec extends SparkSpec {
       assert(cands.contains((i, i + 1000L)), s"missing dup pair for doc $i")
   }
 
+  test("property: skew-guarded LSH equals the plain expansion and bounds every agg group") {
+    // Degenerate single-bucket corpus: identical documents, so every
+    // band bucket holds the WHOLE corpus. The plain expansion would
+    // buffer all n ids in one collect_set; the guard must salt the
+    // bucket into ~n/maxBucket bounded sub-groups and still emit
+    // exactly the n(n-1)/2 complete pair set.
+    val n = 2000
+    val maxBucket = 50
+    val corpus = (0L until n.toLong).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(corpus))
+    val pairs = Dedup.lshCandidatePairsSkewGuarded(sigs, maxBucket = maxBucket)
+    assert(pairs.count() === n.toLong * (n - 1) / 2)
+    // The buffer bound is only real if the salt spreads: recompute the
+    // salted group sizes and require no group far above the target
+    // (multinomial balance; 4x leaves no flake room at 40 groups of 50).
+    val salted = sigs
+      .select($"doc_id", Dedup.bandBuckets(3, 2).as("bucket"))
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"bucket")))
+      .filter($"bsize" > maxBucket)
+      .withColumn("salt", pmod(xxhash64($"doc_id"),
+        expr(s"(bsize + ${maxBucket - 1}) div $maxBucket")))
+      .groupBy($"bucket", $"salt").count()
+    val maxGroup = salted.agg(max($"count")).head.getLong(0)
+    assert(maxGroup <= 4L * maxBucket,
+      s"salted sub-group of $maxGroup docs exceeds 4x maxBucket=$maxBucket")
+  }
+
+  test("property: skew-guarded LSH matches the plain pair set on a mixed corpus") {
+    // maxBucket=2 forces the salted path through every 3+-doc bucket of
+    // a realistic corpus (dups + near-dups + unrelated docs): guarded
+    // and plain operators must produce the identical candidate set.
+    val base = samples(docGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val withDups = base ++ base.filter(_._1 % 5 == 0)
+      .map { case (i, t) => (i + 1000L, t) }
+    val corpus = withDups.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(corpus))
+    val plain = Dedup.lshCandidatePairs(sigs)
+      .as[(Long, Long)].collect().toSet
+    val guarded = Dedup.lshCandidatePairsSkewGuarded(sigs, maxBucket = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(plain.nonEmpty && guarded === plain,
+      s"guarded (${guarded.size}) must equal plain (${plain.size})")
+  }
+
   test("property: feature histograms are distributions (non-negative, sum 1)") {
     val byteGen = Gen.chooseNum(1, 64)
       .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))

@@ -67,8 +67,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     "text_dsir_weights" -> 5,     // tok agg + re-join + doc rollup + sort
     "text_quality_deciles" -> 8,  // LM chain + source ntile window +
                                   // decile rollup + sort
-    "dedup_degree_dist" -> 8)     // LSH chain + endpoint agg + corpus
+    "dedup_degree_dist" -> 8,     // LSH chain + endpoint agg + corpus
                                   // join + degree rollup + sort
+    // round-8 additions
+    "dedup_lsh_skew_guarded" -> 10) // one bucket-keyed exchange printed
+                                    // once per branch (normal + within +
+                                    // 2 join sides; ReuseExchange dedups
+                                    // at runtime) + pair distinct + sort
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
