@@ -131,4 +131,56 @@ object Graph {
     }
     ranks
   }
+
+  /** [[pagerank]] with DANGLING-MASS REDISTRIBUTION — the textbook
+    * variant that conserves total rank mass: each iteration, the rank
+    * held by nodes without out-edges is shared equally across ALL nodes
+    * (inside the damping term) instead of evaporating. Choose this when
+    * rank mass conservation matters (comparing ranks across graphs or
+    * iterations on absolute scale); the plain [[pagerank]] ordering is
+    * usually identical for curation use and costs one aggregate less
+    * per round.
+    *
+    * Same fixed-point integer arithmetic as [[pagerank]] (micro-ranks
+    * ×10^12, `div` everywhere — bit-identical across engines); the only
+    * addition per iteration is the dangling-mass total: a one-row
+    * aggregate over `ranks ⟕̸ outd` (anti-join keyed like the contrib
+    * join), broadcast back as a scalar cross join — no extra keyed
+    * shuffle of the rank table, so the per-iteration shuffle count is
+    * unchanged at scale. `dm div n` floors ≤1 micro-rank per node per
+    * round, same leak bound as the contribution division.
+    */
+  def pagerankDangling(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"iterations must be in [1, 10] (unrolled join depth), got $iterations")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outd = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outd"))
+    val ncnt = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val scale = 1000000000000L
+
+    var ranks = nodes.crossJoin(ncnt)
+      .select(col("node"), expr(s"$scale div n").as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks.join(outd, Seq("node"))
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("node"),
+          expr("rank_micro div outd").as("contrib"))
+      val sums = contribs.groupBy(col("node"))
+        .agg(sum(col("contrib")).as("s"))
+      val dangling = broadcast(ranks
+        .join(outd.select(col("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("dm")))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .crossJoin(ncnt).crossJoin(dangling)
+        .select(col("node"),
+          (expr(s"${15 * (scale / 100)} div n") +
+            expr("(85 * (coalesce(s, 0L) + dm div n)) div 100"))
+            .as("rank_micro"))
+    }
+    ranks
+  }
 }

@@ -1430,6 +1430,21 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Mass-conserving PageRank: each round the rank held by dangling
+    // nodes (every supplier in this customer→supplier graph — a strong
+    // exercise of the path) redistributes equally inside the damping
+    // term via a broadcast one-row aggregate. Same fixed-point integer
+    // arithmetic; oracle unrolls the identical rounds with a dangling
+    // CTE per round.
+    "graph_pagerank_dangling" -> ((s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graph.pagerankDangling(edges, iterations = 3)
+        .orderBy("node")
+    }),
+
     // Cohort retention: users bucketed by first-seen hour, activity
     // counted per (cohort, hour offset) — the canonical product-
     // analytics matrix. Two aggregations and one co-partitioned join
@@ -2441,6 +2456,54 @@ object RelationalQueries {
         |r3 AS (SELECT nodes.node,
         |         150000000000 // n + (85 * coalesce(s, 0)) // 100 AS rank_micro
         |       FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.node = nodes.node)
+        |SELECT node, rank_micro FROM r3 ORDER BY node""".stripMargin,
+
+    // Same unrolled rounds as graph_pagerank plus a per-round dangling
+    // total d_k (rank mass on nodes with no out-edges), redistributed
+    // as dm // n inside the damping term. Integer // throughout.
+    "graph_pagerank_dangling" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |         CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |outd AS (SELECT src AS node, count(*) AS outd FROM e GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS rank_micro
+        |       FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, r.rank_micro // o.outd AS contrib
+        |       FROM r0 r JOIN outd o ON r.node = o.node JOIN e ON e.src = r.node),
+        |s1 AS (SELECT node, CAST(sum(contrib) AS BIGINT) AS s
+        |       FROM c1 GROUP BY node),
+        |d1 AS (SELECT CAST(coalesce(sum(rank_micro), 0) AS BIGINT) AS dm
+        |       FROM r0 WHERE node NOT IN (SELECT node FROM outd)),
+        |r1 AS (SELECT nodes.node,
+        |         150000000000 // n
+        |           + (85 * (coalesce(s, 0) + dm // n)) // 100 AS rank_micro
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d1
+        |       LEFT JOIN s1 ON s1.node = nodes.node),
+        |c2 AS (SELECT e.dst AS node, r.rank_micro // o.outd AS contrib
+        |       FROM r1 r JOIN outd o ON r.node = o.node JOIN e ON e.src = r.node),
+        |s2 AS (SELECT node, CAST(sum(contrib) AS BIGINT) AS s
+        |       FROM c2 GROUP BY node),
+        |d2 AS (SELECT CAST(coalesce(sum(rank_micro), 0) AS BIGINT) AS dm
+        |       FROM r1 WHERE node NOT IN (SELECT node FROM outd)),
+        |r2 AS (SELECT nodes.node,
+        |         150000000000 // n
+        |           + (85 * (coalesce(s, 0) + dm // n)) // 100 AS rank_micro
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d2
+        |       LEFT JOIN s2 ON s2.node = nodes.node),
+        |c3 AS (SELECT e.dst AS node, r.rank_micro // o.outd AS contrib
+        |       FROM r2 r JOIN outd o ON r.node = o.node JOIN e ON e.src = r.node),
+        |s3 AS (SELECT node, CAST(sum(contrib) AS BIGINT) AS s
+        |       FROM c3 GROUP BY node),
+        |d3 AS (SELECT CAST(coalesce(sum(rank_micro), 0) AS BIGINT) AS dm
+        |       FROM r2 WHERE node NOT IN (SELECT node FROM outd)),
+        |r3 AS (SELECT nodes.node,
+        |         150000000000 // n
+        |           + (85 * (coalesce(s, 0) + dm // n)) // 100 AS rank_micro
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d3
+        |       LEFT JOIN s3 ON s3.node = nodes.node)
         |SELECT node, rank_micro FROM r3 ORDER BY node""".stripMargin,
 
     "q_cohort_retention" ->

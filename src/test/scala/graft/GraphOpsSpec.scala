@@ -65,6 +65,41 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(2L) === base + 85L * base / 100)
   }
 
+  test("pagerankDangling: redistributes sink mass and conserves total") {
+    // 1→2 only: node 2 is dangling. One round, N=2:
+    //   r0 = 500000000000 each; dm = r0(2) = 500000000000
+    //   share = dm div 2 = 250000000000
+    //   r1(1) = 75*10^9 + (85 * (0 + 250000000000)) div 100
+    //   r1(2) = 75*10^9 + (85 * (500000000000 + 250000000000)) div 100
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graph.pagerankDangling(edges, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    val base = 150000000000L / 2
+    assert(got(1L) === base + 85L * 250000000000L / 100)
+    assert(got(2L) === base + 85L * (500000000000L + 250000000000L) / 100)
+    // Mass conservation is the point of the variant: total stays at
+    // scale within the documented integer-floor leak (≤1 micro-rank per
+    // node/edge per round) — where plain pagerank loses the whole
+    // dangling share (~42.5% here).
+    assert(got.values.sum > 1000000000000L - 10 &&
+      got.values.sum <= 1000000000000L)
+    val plain = Graph.pagerank(edges, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(plain.values.sum < 800000000000L,
+      "plain variant must actually lose the dangling mass here")
+  }
+
+  test("pagerankDangling: no dangling nodes => identical to plain pagerank") {
+    // Every node has an out-edge (cycle + chord): dm = 0 each round, so
+    // the two semantics must coincide bit-for-bit.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val a = Graph.pagerank(edges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pagerankDangling(edges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
   test("redactPii: counts and global replacement") {
     val docs = Seq(
       (1L, "mail bob.1@example.com and sue@test.org or call 555-1234"),
