@@ -192,12 +192,19 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("x")).as("cmean"))
 
-  /** IVF-style ANN, stage 2: assign each probe to its nearest centroid
-    * (rounded L2² with label tie-break, so ulp-level summation
-    * differences can't flip the argmin), then search exact cosine only
-    * within that cluster — each probe scans ~1/k of the corpus. */
-  def ivfTopK(vecs: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+  /** IVF-style ANN, stage 2: assign each probe to its `nprobe` nearest
+    * centroids (rounded L2² with label tie-break, so ulp-level
+    * summation differences can't flip the argmin/ordering), then search
+    * exact cosine only within those clusters — each probe scans
+    * ~nprobe/k of the corpus. `nprobe` is the standard IVF recall knob:
+    * 1 is the fastest search; raising it recovers the neighbors a
+    * boundary-straddling probe loses to the adjacent cell (PipelineSpec
+    * pins the recall recovery on a clustered fixture). Clusters are
+    * disjoint, so multi-probe candidates never duplicate. */
+  def ivfTopK(vecs: DataFrame, probes: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = centroids(vecs)
     val probeDims = probes.select(col("vec_id").as("probe_id"),
       posexplode(col("v")).as(Seq("pos", "x")))
@@ -208,7 +215,7 @@ object Similarity {
     val wAssign = Window.partitionBy(col("probe_id"))
       .orderBy(round(col("dist2"), 6).asc, col("label").asc)
     val assigned = d2.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select(col("probe_id"), col("label").as("assigned_label"))
     val pb = withNorm(probes).select(col("vec_id").as("probe_id"),
       col("v").as("pv"), col("nrm").as("pnrm"))

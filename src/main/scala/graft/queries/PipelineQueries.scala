@@ -179,6 +179,18 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Multi-probe IVF (nprobe=2): each probe searches its TWO nearest
+    // cells — the standard recall knob. Oracle differs from
+    // sim_ivf_topk only by rn <= 2 in the assignment.
+    "sim_ivf_nprobe" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 15), 3, nprobe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .select(col("probe_id"), col("assigned_label"), col("neighbor_id"),
+          col("cos_r"), col("rnk"))
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Brute-force ANN through the custom TopKPerKey physical operator
     // (bounded per-probe heaps instead of a ranking window sort) —
     // same scoring expression, same determinism contract (rounded
@@ -1058,6 +1070,38 @@ object PipelineQueries {
          |    SELECT *, row_number() OVER (PARTITION BY probe_id
          |      ORDER BY round(dist2, 6), label) AS rn FROM d2)
          |  WHERE rn = 1),
+         |scored AS (
+         |  SELECT a.probe_id, a.assigned_label, o.vec_id AS neighbor_id,
+         |         round(${cosSql("p.pv", "o.v")}, 6) AS cos_r
+         |  FROM assigned a JOIN probes p USING (probe_id)
+         |  JOIN vecsl o ON o.label = a.assigned_label AND o.vec_id <> a.probe_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
+         |SELECT probe_id, assigned_label, neighbor_id, cos_r, rnk
+         |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    "sim_ivf_nprobe" ->
+      s"""WITH vecsl AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |dims AS (
+         |  SELECT vec_id, label, unnest(v) AS x,
+         |         unnest(generate_series(1, len(v))) AS pos
+         |  FROM vecsl),
+         |cents AS (
+         |  SELECT label, pos, avg(x) AS cmean FROM dims GROUP BY label, pos),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, v AS pv FROM vecsl WHERE vec_id < 15),
+         |pdims AS (
+         |  SELECT vec_id AS probe_id, x, pos FROM dims WHERE vec_id < 15),
+         |d2 AS (
+         |  SELECT probe_id, label, sum((x - cmean) * (x - cmean)) AS dist2
+         |  FROM pdims JOIN cents USING (pos) GROUP BY probe_id, label),
+         |assigned AS (
+         |  SELECT probe_id, label AS assigned_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY round(dist2, 6), label) AS rn FROM d2)
+         |  WHERE rn <= 2),
          |scored AS (
          |  SELECT a.probe_id, a.assigned_label, o.vec_id AS neighbor_id,
          |         round(${cosSql("p.pv", "o.v")}, 6) AS cos_r

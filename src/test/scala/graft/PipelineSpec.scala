@@ -212,6 +212,40 @@ class PipelineSpec extends SparkSpec {
     assert(ml >= 0.95, f"LSH recall@$k degraded: $ml%.3f")
   }
 
+  test("multi-probe IVF recovers boundary probes single-probe loses") {
+    // Three orthogonal unit centers; probes sit on the A/B bisector, so
+    // their exact top-k straddles BOTH clusters. Single-probe search
+    // commits to one cell and forfeits the other side's neighbors;
+    // nprobe=2 scans both probed cells (2/3 of the corpus, not all of
+    // it — C stays unscanned) and must recover ≥0.9.
+    val rnd = new scala.util.Random(7)
+    val dim = 12
+    def unit(axis: Int) = Array.tabulate(dim)(d => if (d == axis) 1.0 else 0.0)
+    val centers = Seq(unit(0), unit(1), unit(2))
+    val members = for (c <- 0 until 3; i <- 0 until 15) yield
+      (c * 100L + i, c,
+        centers(c).map(x => x + rnd.nextGaussian() * 0.15).toSeq)
+    val vecs = members.toDF("vec_id", "label", "v")
+    val bisector = Array.tabulate(dim)(d =>
+      if (d <= 1) 1.0 / math.sqrt(2) else 0.0)
+    val probes = (0 until 4).map(i =>
+      (900L + i, -1, bisector.map(x => x + rnd.nextGaussian() * 0.02).toSeq))
+      .toDF("vec_id", "label", "v")
+    val k = 4
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(vecs.select($"vec_id", $"v"),
+        probes.select($"vec_id", $"v"), k)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      graft.operators.Similarity.recallAtK(exact, df)
+        .agg(avg($"recall")).head.getDouble(0)
+    val r1 = mean(graft.operators.Similarity.ivfTopK(vecs, probes, k))
+    val r2 = mean(graft.operators.Similarity.ivfTopK(vecs, probes, k, nprobe = 2))
+    info(f"boundary recall@$k nprobe1=$r1%.3f nprobe2=$r2%.3f")
+    assert(r2 >= 0.9, f"nprobe=2 must recover boundary neighbors: $r2%.3f")
+    assert(r1 < r2, "single-probe must actually lose neighbors here, " +
+      "else this fixture tests nothing")
+  }
+
   test("recall@k beats the retrieved-fraction baseline on unclustered data") {
     // The testdata embeddings are geometrically structureless (intra-
     // label cosine ≈ inter-label ≈ 0), so this pins the floor behavior:
