@@ -371,11 +371,49 @@ object FlowLogQueries {
         .select(col("doc_id"),
           base64(substring(col("text"), 1, 48).cast("binary")).as("b64"))
         .withColumn("decoded", unbase64(col("b64")).cast("string"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // OP-21 through the second columnar format: the parsed flow records
+    // land in an action-partitioned ORC table (Sinks.writePartitioned —
+    // the real flow-lake layout) and are read BACK for the exact
+    // flow_parse projection, proving write→read identity on every type
+    // including the partition column. DuckDB has no ORC reader, but the
+    // round-trip is identity on values, so the oracle computes the same
+    // projection from the source tables directly and the row is fully
+    // hash-gated. A fresh temp dir per invocation keeps concurrent
+    // suites enumerating the query from racing on one path.
+    "flow_orc_roundtrip" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_orc_rt").toString
+      graft.sources.Sinks.writePartitioned(
+        parsed(s, d).filter(!col("error"))
+          .select(col("id"), col("version"), col("account_id"),
+            col("interface_id"), col("srcaddr"), col("destaddr"),
+            col("srcport"), col("dstport"), col("protocol"),
+            col("packets"), col("bytes"), col("start"), col("end"),
+            col("action"), col("log_status")),
+        path, Seq("action"), format = "orc")
+      s.read.orc(path)
+        .select(col("id"), col("version"), col("account_id"),
+          col("interface_id"), col("srcaddr"), col("destaddr"),
+          col("srcport"), col("dstport"), col("protocol"), col("packets"),
+          col("bytes"), col("start"), col("end"), col("action"),
+          col("log_status"))
+        .orderBy("id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
     "flow_parse" -> withCtes(linesCte, parsedCte)(
+      """SELECT id, version, account_id, interface_id, srcaddr, destaddr,
+        |       srcport, dstport, protocol, packets, bytes, "start", "end",
+        |       action, log_status
+        |FROM parsed WHERE NOT error ORDER BY id""".stripMargin),
+
+    // Identity round-trip: the oracle is flow_parse's projection — any
+    // value/type drift introduced by the ORC write→read shows as a
+    // hash mismatch against it.
+    "flow_orc_roundtrip" -> withCtes(linesCte, parsedCte)(
       """SELECT id, version, account_id, interface_id, srcaddr, destaddr,
         |       srcport, dstport, protocol, packets, bytes, "start", "end",
         |       action, log_status
