@@ -272,6 +272,47 @@ object Sampling {
         explode(expr("sequence(1, copies)")).as("copy"))
   }
 
+  /** Temperature-scaled source sampling weights — the multilingual
+    * pre-training standard (sampling exponent α < 1 upweights
+    * low-resource sources relative to their raw token share; α = 1 is
+    * proportional sampling, α = 0 uniform): p_i ∝ tokens_i^α,
+    * normalized over sources. Emits both the raw and temperature
+    * shares plus the boost factor (temp/raw) a mixture scheduler
+    * multiplies into per-source rates.
+    *
+    * Determinism: `pow` terms are quantized to fixed-point micro-units
+    * via `floor(x·10⁶ + 0.5)` (the version-proof pattern — floor on a
+    * double is exact IEEE everywhere, no round()/decimal half-way
+    * semantics), the normalizer is their plain BIGINT sum, and every
+    * emitted ratio is a raw IEEE division of deterministic inputs —
+    * never rounded. Scale shape: one source-keyed counting aggregate
+    * (map-side combined) + a one-row broadcast normalizer; output
+    * cardinality is the source count. */
+  def temperatureMixture(documents: DataFrame,
+      alpha: Double = 0.3): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val perSrc = documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long")).as("tokens"))
+      .withColumn("term_micro",
+        floor(pow(col("tokens").cast("double"), lit(alpha)) * lit(1000000.0d)
+          + lit(0.5d)))
+    val tot = perSrc.agg(sum(col("term_micro")).as("z_micro"),
+      sum(col("tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"), col("term_micro"),
+        (col("tokens").cast("double") / col("tot_tokens").cast("double"))
+          .as("raw_share"),
+        (col("term_micro").cast("double") / col("z_micro").cast("double"))
+          .as("temp_share"),
+        ((col("term_micro").cast("double") / col("z_micro").cast("double")) /
+          (col("tokens").cast("double") / col("tot_tokens").cast("double")))
+          .as("boost"))
+  }
+
   def mixtureWeights(documents: DataFrame, budgetTokens: Double,
       maxEpochs: Double = 4.0): DataFrame = {
     val perSrc = documents

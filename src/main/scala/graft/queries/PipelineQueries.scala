@@ -438,6 +438,13 @@ object PipelineQueries {
         budgetTokens = 100000.0, maxEpochs = 4.0)
         .orderBy("source")),
 
+    // Temperature-scaled sampling weights (α = 0.3): low-resource
+    // sources boosted relative to raw token share, fixed-point pow
+    // terms, raw IEEE ratios.
+    "pipeline_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMixture(Tables.documents(s, d), alpha = 0.3)
+        .orderBy("source")),
+
     // Materialized mixture: the weights above turned into the actual
     // replicated/thinned corpus — floor(epochs) copies per doc plus a
     // deterministic hash-Bernoulli extra for the fractional part.
@@ -1590,6 +1597,30 @@ object PipelineQueries {
         |    (CAST(n_sources AS DOUBLE) * CAST(tokens AS DOUBLE)))
         |    * CAST(tokens AS DOUBLE) AS sampled_tokens
         |FROM per CROSS JOIN n ORDER BY source""".stripMargin,
+
+    // Fixed-point pow terms (floor(x*1e6 + 0.5) — exact IEEE floor, no
+    // round()/decimal version surface), BIGINT normalizer, raw IEEE
+    // ratio columns.
+    "pipeline_temperature_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |terms AS (
+        |  SELECT source, n_docs, tokens,
+        |         CAST(floor(pow(CAST(tokens AS DOUBLE), 0.3) * 1000000.0 + 0.5)
+        |           AS BIGINT) AS term_micro
+        |  FROM per),
+        |tot AS (
+        |  SELECT CAST(sum(term_micro) AS BIGINT) AS z_micro,
+        |         CAST(sum(tokens) AS BIGINT) AS tot_tokens
+        |  FROM terms)
+        |SELECT source, n_docs, tokens, term_micro,
+        |  CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS raw_share,
+        |  CAST(term_micro AS DOUBLE) / CAST(z_micro AS DOUBLE) AS temp_share,
+        |  (CAST(term_micro AS DOUBLE) / CAST(z_micro AS DOUBLE)) /
+        |    (CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS boost
+        |FROM terms CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "pipeline_mixture_sample" ->
       """WITH per AS (

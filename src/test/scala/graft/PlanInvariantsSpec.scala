@@ -27,6 +27,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "sim_range_search",  // broadcast probes, map-side threshold filter
     "graph_pagerank",    // one-row node-count normalizer per iteration
     "graph_pagerank_dangling", // + one-row dangling-mass scalar per iteration
+    "pipeline_temperature_mix", // one-row pow-normalizer aggregate
     "sim_kmeans_step",   // K centroids
     "pipeline_source_mix", // |sources|-row capped-count dimension
     "pipeline_mixture",    // one-row source-count aggregate

@@ -407,6 +407,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.length >= 40 && got.length <= 60)
   }
 
+  test("temperatureMixture: alpha endpoints and low-resource boost ordering") {
+    // Three sources with 10/100/1000 docs of 10 tokens each.
+    val docs = ((0L until 10L).map(i => (i, "small", "a b c d e f g h i j")) ++
+      (100L until 200L).map(i => (i, "mid", "a b c d e f g h i j")) ++
+      (1000L until 2000L).map(i => (i, "big", "a b c d e f g h i j")))
+      .toDF("doc_id", "source", "text")
+    // alpha = 1: proportional sampling — boost 1 for every source
+    // (within the 1e-6 fixed-point quantization of the pow terms).
+    val prop = Sampling.temperatureMixture(docs, alpha = 1.0)
+      .select($"source", $"boost").as[(String, Double)].collect().toMap
+    assert(prop.values.forall(b => math.abs(b - 1.0) < 1e-4), prop.toString)
+    // alpha = 0: uniform — every source gets share 1/3 regardless of size.
+    val unif = Sampling.temperatureMixture(docs, alpha = 0.0)
+      .select($"source", $"temp_share").as[(String, Double)].collect().toMap
+    assert(unif.values.forall(s => math.abs(s - 1.0 / 3) < 1e-4), unif.toString)
+    // alpha = 0.3: boost strictly decreasing in source size, >1 only
+    // for the under-represented sources, and shares still sum to 1.
+    val t = Sampling.temperatureMixture(docs, alpha = 0.3)
+      .select($"source", $"temp_share", $"boost")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(t("small")._2 > t("mid")._2 && t("mid")._2 > t("big")._2)
+    assert(t("small")._2 > 1.0 && t("big")._2 < 1.0)
+    assert(math.abs(t.values.map(_._1).sum - 1.0) < 1e-9)
+  }
+
   test("driftPsi: identical sources score near 0, a shifted source scores high") {
     // A and B draw the same lengths (stable); C sits 1400 chars higher
     // (drifted). PSI is smoothing-small for A/B, large for C.
