@@ -400,6 +400,40 @@ object FlowLogQueries {
           col("bytes"), col("start"), col("end"), col("action"),
           col("log_status"))
         .orderBy("id")
+    }),
+
+    // Same identity contract through the TEXT sources: CSV with header
+    // read back under an explicit schema (exercises the quote/escape/
+    // type-parse path), and JSON-lines read back under the same schema
+    // (the interchange format most ingest pipelines actually speak).
+    // Oracles are the flow_parse projection; any serialization drift
+    // hash-fails.
+    "flow_csv_roundtrip" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_csv_rt").toString
+      val out = parsed(s, d).filter(!col("error"))
+        .select(col("id"), col("version"), col("account_id"),
+          col("interface_id"), col("srcaddr"), col("destaddr"),
+          col("srcport"), col("dstport"), col("protocol"), col("packets"),
+          col("bytes"), col("start"), col("end"), col("action"),
+          col("log_status"))
+      out.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(out.schema).option("header", "true").csv(path)
+        .orderBy("id")
+    }),
+
+    "flow_jsonl_roundtrip" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_rt").toString
+      val out = parsed(s, d).filter(!col("error"))
+        .select(col("id"), col("version"), col("account_id"),
+          col("interface_id"), col("srcaddr"), col("destaddr"),
+          col("srcport"), col("dstport"), col("protocol"), col("packets"),
+          col("bytes"), col("start"), col("end"), col("action"),
+          col("log_status"))
+      out.write.mode("overwrite").json(path)
+      s.read.schema(out.schema).json(path)
+        .orderBy("id")
     })
   )
 
@@ -414,6 +448,18 @@ object FlowLogQueries {
     // value/type drift introduced by the ORC write→read shows as a
     // hash mismatch against it.
     "flow_orc_roundtrip" -> withCtes(linesCte, parsedCte)(
+      """SELECT id, version, account_id, interface_id, srcaddr, destaddr,
+        |       srcport, dstport, protocol, packets, bytes, "start", "end",
+        |       action, log_status
+        |FROM parsed WHERE NOT error ORDER BY id""".stripMargin),
+
+    "flow_csv_roundtrip" -> withCtes(linesCte, parsedCte)(
+      """SELECT id, version, account_id, interface_id, srcaddr, destaddr,
+        |       srcport, dstport, protocol, packets, bytes, "start", "end",
+        |       action, log_status
+        |FROM parsed WHERE NOT error ORDER BY id""".stripMargin),
+
+    "flow_jsonl_roundtrip" -> withCtes(linesCte, parsedCte)(
       """SELECT id, version, account_id, interface_id, srcaddr, destaddr,
         |       srcport, dstport, protocol, packets, bytes, "start", "end",
         |       action, log_status
