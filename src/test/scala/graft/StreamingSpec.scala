@@ -405,6 +405,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark dedup drops in-horizon redeliveries across micro-batches") {
+    // Same event_id redelivered in the same batch AND in a later batch
+    // while still inside the watermark horizon: exactly one row per id
+    // survives. A fresh id in the later batch passes through.
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val events = FlowLogStream.dedupStream(
+      input.toDF().toDF("ts", "event_id", "payload"), "10 minutes")
+    val q = events.writeStream.format("memory").queryName("wmdedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((ts(1), 1L, "a"), (ts(1), 1L, "a"), (ts(2), 2L, "b"))
+      q.processAllAvailable()
+      input.addData((ts(3), 1L, "a"), (ts(4), 3L, "c"))  // 1 redelivered
+      q.processAllAvailable()
+      val ids = spark.table("wmdedup_out")
+        .select($"event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L),
+        "each id must appear exactly once within the watermark horizon")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session on inactivity gap") {
     val input = MemoryStream[Ev](spark)
     // two bursts for user 7, separated by > gap in event time: the second
