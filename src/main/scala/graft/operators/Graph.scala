@@ -105,17 +105,8 @@ object Graph {
     // materialized at construction time. (A persist here must either
     // leak or force an eager checkpoint, both measured worse: the
     // checkpoint variant ran 2.78 s vs 1.65 s steady-state at sf0.1.)
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outd = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outd"))
-    val ncnt = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val scale = 1000000000000L // 10^12 micro-ranks = total mass 1.0
-
-    var ranks = nodes.crossJoin(ncnt)
-      .select(col("node"), expr(s"$scale div n").as("rank_micro"))
+    val (e, nodes, outd, ncnt, r0) = pagerankPrelude(edges)
+    var ranks = r0
     for (_ <- 1 to iterations) {
       val contribs = ranks.join(outd, Seq("node"))
         .join(e, col("node") === col("src"))
@@ -126,10 +117,31 @@ object Graph {
       // 0.15·scale = 15·10^10 exactly; ×0.85 = ·85 div 100 exactly.
       ranks = nodes.join(sums, Seq("node"), "left").crossJoin(ncnt)
         .select(col("node"),
-          (expr(s"${15 * (scale / 100)} div n") +
+          (expr(s"${15 * (Scale / 100)} div n") +
             expr("(85 * coalesce(s, 0L)) div 100")).as("rank_micro"))
     }
     ranks
+  }
+
+  /** 10^12 micro-ranks = total mass 1.0 (shared by both variants). */
+  private val Scale = 1000000000000L
+
+  /** Shared PageRank setup — distinct edge set, node set, out-degrees,
+    * broadcast node count, uniform initial micro-ranks. One definition
+    * so the two variants (and their unrolled oracles) can never diverge
+    * on normalization or the fixed-point scale. */
+  private def pagerankPrelude(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outd = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outd"))
+    val ncnt = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val r0 = nodes.crossJoin(ncnt)
+      .select(col("node"), expr(s"$Scale div n").as("rank_micro"))
+    (e, nodes, outd, ncnt, r0)
   }
 
   /** [[pagerank]] with DANGLING-MASS REDISTRIBUTION — the textbook
@@ -153,17 +165,8 @@ object Graph {
   def pagerankDangling(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 10,
       s"iterations must be in [1, 10] (unrolled join depth), got $iterations")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outd = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outd"))
-    val ncnt = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val scale = 1000000000000L
-
-    var ranks = nodes.crossJoin(ncnt)
-      .select(col("node"), expr(s"$scale div n").as("rank_micro"))
+    val (e, nodes, outd, ncnt, r0) = pagerankPrelude(edges)
+    var ranks = r0
     for (_ <- 1 to iterations) {
       // ONE left join feeds both the contribution pipeline (matched
       // rows) and the dangling-mass scalar (unmatched rows), instead of
@@ -186,7 +189,7 @@ object Graph {
       ranks = nodes.join(sums, Seq("node"), "left")
         .crossJoin(ncnt).crossJoin(dangling)
         .select(col("node"),
-          (expr(s"${15 * (scale / 100)} div n") +
+          (expr(s"${15 * (Scale / 100)} div n") +
             expr("(85 * (coalesce(s, 0L) + dm div n)) div 100"))
             .as("rank_micro"))
     }

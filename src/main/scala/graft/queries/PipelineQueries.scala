@@ -301,27 +301,28 @@ object PipelineQueries {
     // Perplexity-filter buckets: decile each source's documents by
     // unigram-LM quality score (the CCNet-style "keep the best-q
     // deciles per source" gate). The ntile order is TOTAL
-    // (avg_logprob, doc_id) so ties cannot drift between engines;
-    // min/max per decile are raw doubles (no sums).
+    // (avg_logprob_micro, doc_id) so ties cannot drift between
+    // engines; min/max per decile are raw doubles (no sums).
     "text_quality_deciles" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"))
-        .orderBy(col("avg_logprob"), col("doc_id"))
+        .orderBy(col("avg_logprob_micro"), col("doc_id"))
       Tables.documents(s, d).select(col("doc_id"), col("source"))
         .join(TextAnalysis.unigramLogprob(Tables.documents(s, d)), "doc_id")
         .withColumn("decile", ntile(10).over(w))
         .groupBy(col("source"), col("decile"))
         .agg(count(lit(1)).as("n_docs"),
-          min(col("avg_logprob")).as("min_lp"),
-          max(col("avg_logprob")).as("max_lp"))
+          min(col("avg_logprob_micro")).as("min_lp"),
+          max(col("avg_logprob_micro")).as("max_lp"))
         .orderBy("source", "decile")
     }),
 
     // DSIR importance weights toward the src0 domain (Xie et al. 2023):
     // per-doc Σ[ln p_target − ln p_raw] under Laplace-smoothed unigram
     // LMs — the importance-resampling score that shifts a raw corpus
-    // toward a target domain. 6-dp rounded per-type terms, exact
-    // decimal per-doc sums (order-free).
+    // toward a target domain. Fixed-point micro-unit terms
+    // (floor(x*1e6 + 0.5) BIGINT), plain integer per-doc sums
+    // (order-free), raw int-ratio mean.
     "text_dsir_weights" -> ((s, d) =>
       TextAnalysis.dsirWeights(Tables.documents(s, d), "src0")
         .orderBy("doc_id")),
@@ -1306,6 +1307,9 @@ object PipelineQueries {
         |         - CAST(s AS DOUBLE) / CAST(n_grams AS DOUBLE) AS entropy_bits
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // Fixed-point micro-unit terms (floor(x*1e6 + 0.5) — exact IEEE
+    // floor, no round()/decimal version surface), BIGINT sums, raw
+    // IEEE int-ratio mean — the same pattern as text_dsir_weights.
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -1313,10 +1317,10 @@ object PipelineQueries {
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS vocab
         |        FROM counts)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-        |       CAST(sum(CAST(round(
-        |         ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE)),
-        |         6) AS DECIMAL(18,6))) AS DOUBLE)
-        |         / CAST(count(*) AS DOUBLE) AS avg_logprob
+        |       CAST(sum(CAST(floor(
+        |         ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE))
+        |         * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS avg_logprob_micro
         |FROM toks JOIN counts USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -1330,19 +1334,19 @@ object PipelineQueries {
         |        FROM counts),
         |lp AS (
         |  SELECT doc_id,
-        |         CAST(sum(CAST(round(
-        |           ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE)),
-        |           6) AS DECIMAL(18,6))) AS DOUBLE)
-        |           / CAST(count(*) AS DOUBLE) AS avg_logprob
+        |         CAST(sum(CAST(floor(
+        |           ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE))
+        |           * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS avg_logprob_micro
         |  FROM toks JOIN counts USING (tok) CROSS JOIN tot
         |  GROUP BY doc_id),
         |ranked AS (
-        |  SELECT d.source, lp.avg_logprob,
+        |  SELECT d.source, lp.avg_logprob_micro,
         |         ntile(10) OVER (PARTITION BY d.source
-        |                         ORDER BY lp.avg_logprob, d.doc_id) AS decile
+        |                         ORDER BY lp.avg_logprob_micro, d.doc_id) AS decile
         |  FROM documents d JOIN lp ON d.doc_id = lp.doc_id)
         |SELECT source, decile, CAST(count(*) AS BIGINT) AS n_docs,
-        |       min(avg_logprob) AS min_lp, max(avg_logprob) AS max_lp
+        |       min(avg_logprob_micro) AS min_lp, max(avg_logprob_micro) AS max_lp
         |FROM ranked GROUP BY source, decile
         |ORDER BY source, decile""".stripMargin,
 

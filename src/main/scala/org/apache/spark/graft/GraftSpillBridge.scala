@@ -38,16 +38,33 @@ object GraftSpillBridge {
     // The map tracks its own spill counters; the CALLER owns surfacing
     // them (same contract as core's Aggregator.updateMetrics) — without
     // this the UI/metrics report zero spill no matter what hit disk.
-    // Counters are read on iterator COMPLETION, not here: destructive
-    // iteration can still force-spill under memory pressure, and a
-    // pre-iteration snapshot would miss exactly those bytes.
+    // Two-phase accounting: the insert-phase counters (the dominant
+    // component) are recorded HERE, unconditionally — an abandoned
+    // output iterator (LocalLimit / stopEarly above the operator) must
+    // not zero them — and the iteration-phase DELTA lands on iterator
+    // completion, because destructive iteration can still force-spill
+    // under memory pressure.
+    val ctx0 = org.apache.spark.TaskContext.get()
+    val memAtInsert = map.memoryBytesSpilled
+    val diskAtInsert = map.diskBytesSpilled
+    val peakAtInsert = map.peakMemoryUsedBytes
+    if (ctx0 != null) {
+      ctx0.taskMetrics().incMemoryBytesSpilled(memAtInsert)
+      ctx0.taskMetrics().incDiskBytesSpilled(diskAtInsert)
+      ctx0.taskMetrics().incPeakExecutionMemory(peakAtInsert)
+    }
     org.apache.spark.util.CompletionIterator[(K, C), Iterator[(K, C)]](
       map.iterator, {
         val ctx = org.apache.spark.TaskContext.get()
         if (ctx != null) {
-          ctx.taskMetrics().incMemoryBytesSpilled(map.memoryBytesSpilled)
-          ctx.taskMetrics().incDiskBytesSpilled(map.diskBytesSpilled)
-          ctx.taskMetrics().incPeakExecutionMemory(map.peakMemoryUsedBytes)
+          // Deltas only — the accumulators are additive, so insert-phase
+          // amounts must not be double-counted.
+          ctx.taskMetrics().incMemoryBytesSpilled(
+            map.memoryBytesSpilled - memAtInsert)
+          ctx.taskMetrics().incDiskBytesSpilled(
+            map.diskBytesSpilled - diskAtInsert)
+          ctx.taskMetrics().incPeakExecutionMemory(
+            math.max(0L, map.peakMemoryUsedBytes - peakAtInsert))
         }
       })
   }

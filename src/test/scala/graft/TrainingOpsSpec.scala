@@ -539,12 +539,11 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.values.forall(_._3 < 0.0))
     assert(got(3L)._3 < got(1L)._3 && got(3L)._3 < got(2L)._3)
     // hand-check one doc: N = 18 tokens, V = 13 distinct; doc 3's
-    // tokens are all singletons → every term is ln(2/31)
-    val expect3 = {
-      val term = BigDecimal(math.log(2.0 / 31.0))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-      (term * 6 / 6).toDouble
-    }
+    // tokens are all singletons → every term is the micro-unit
+    // quantization floor(ln(2/31)*1e6 + 0.5), and the mean of six
+    // identical terms is the term itself.
+    val expect3 =
+      math.floor(math.log(2.0 / 31.0) * 1e6 + 0.5) * 6 / 6
     assert(math.abs(got(3L)._3 - expect3) < 1e-9, s"${got(3L)._3} vs $expect3")
   }
 
