@@ -70,10 +70,15 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_degree_dist" -> 8,     // LSH chain + endpoint agg + corpus
                                   // join + degree rollup + sort
     // round-8 additions
-    "dedup_lsh_skew_guarded" -> 10) // one bucket-keyed exchange printed
+    "dedup_lsh_skew_guarded" -> 10, // one bucket-keyed exchange printed
                                     // once per branch (normal + within +
                                     // 2 join sides; ReuseExchange dedups
                                     // at runtime) + pair distinct + sort
+    "sim_ivf_nprobe" -> 5,          // centroid agg + assignment window +
+                                    // cluster-scan window + rollup + sort
+    "pipeline_temperature_mix" -> 4) // source agg (printed again under
+                                     // the one-row normalizer branch;
+                                     // ReuseExchange dedups) + sort
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
