@@ -53,7 +53,9 @@ object GraftExtensions {
       as(exprs(0), org.apache.spark.sql.types.LongType),
       as(exprs(1), org.apache.spark.sql.types.LongType),
       intArg(exprs(2), "bits"))),
-    "trigram_entropy" -> (exprs => TrigramEntropy(as(exprs.head, StringType))))
+    "trigram_entropy" -> (exprs => TrigramEntropy(as(exprs.head, StringType))),
+    "minhash_sigs" -> (exprs =>
+      MinHashSigs(as(exprs(0), StringType), intArg(exprs(1), "numHashes"))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit = {

@@ -340,6 +340,106 @@ case class TrigramEntropy(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** All `numHashes` MinHash signature slots of a document in ONE pass —
+  * h_k = min over word 3-shingles of md5("k:" ++ shingle), exactly the
+  * per-key minimum [[graft.operators.Dedup.minhashSignatures]]
+  * aggregates after exploding shingles (min over duplicate shingles
+  * equals min over distinct, so no dedup is needed here).
+  *
+  * Why an expression: the shuffle-free signature path
+  * ([[graft.operators.Dedup.minhashSignaturesFused]], required by the
+  * streaming chain where no aggregation can precede the stateful
+  * operator) previously stacked `numHashes` higher-order
+  * `array_min(transform(...))` projections, which evaluate INTERPRETED
+  * outside whole-stage codegen — at the production 64-hash width that
+  * is 64 interpreted array traversals per row. This computes every
+  * slot in one fused loop and compares raw 16-byte digests instead of
+  * hex strings (hex encoding is monotone in unsigned byte order, so
+  * the min digest IS the min hex), hex-encoding only the final K
+  * winners. Codegen emits one call through a codegen-reference (the
+  * [[TrigramEntropy]] pattern — inside whole-stage codegen, no janino
+  * loop parsing).
+  *
+  * Documents with fewer than 3 words have no shingles and yield null,
+  * matching the batch path's `size(w) >= 3` filter semantics. */
+case class MinHashSigs(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  require(numHashes >= 1 && numHashes <= 256,
+    s"numHashes in [1,256], got $numHashes")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    (1 to numHashes).map(k =>
+      s"$k:".getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def compute(u: UTF8String): ArrayData = {
+    // Replicates split(text, ' ') semantics (empty tokens kept).
+    val words = u.toString.split(" ", -1)
+    if (words.length < 3) return null
+    val mins = new Array[Array[Byte]](numHashes)
+    val digest = md5.get()
+    var i = 0
+    while (i <= words.length - 3) {
+      val shingle = (words(i) + " " + words(i + 1) + " " + words(i + 2))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var k = 0
+      while (k < numHashes) {
+        digest.reset()
+        digest.update(prefixes(k))
+        digest.update(shingle)
+        val d = digest.digest()
+        val cur = mins(k)
+        if (cur == null || unsignedLess(d, cur)) mins(k) = d
+        k += 1
+      }
+      i += 1
+    }
+    val hex = new Array[UTF8String](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      hex(k) = UTF8String.fromString(
+        org.apache.commons.codec.binary.Hex.encodeHexString(mins(k)))
+      k += 1
+    }
+    new GenericArrayData(hex.asInstanceOf[Array[Any]])
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigs", this,
+      classOf[MinHashSigs].getName)
+    nullSafeCodeGen(ctx, ev, in => {
+      s"""
+         |${ev.value} = $ref.compute($in);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSigs =
+    copy(child = c)
+}
+
 /** Column-level API for the custom expressions. */
 object functions {
   // Input typing is enforced here via casts (AbstractDataType /
@@ -369,4 +469,6 @@ object functions {
     GraftColumnBridge.column(BloomMightContain(ex(c.cast("long")), filterBytes))
   def trigram_entropy(c: Column): Column =
     GraftColumnBridge.column(TrigramEntropy(ex(c.cast("string"))))
+  def minhash_sigs(c: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(MinHashSigs(ex(c.cast("string")), numHashes))
 }

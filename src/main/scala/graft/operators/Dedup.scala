@@ -108,38 +108,34 @@ object Dedup {
   }
 
   /** Per-row (shuffle-free) MinHash signatures: the same h_k =
-    * min md5(k ':' shingle) as [[minhashSignatures]], but computed with
-    * `array_min` over the document's shingle ARRAY inside one
-    * projection instead of exploding to (doc, shingle) rows and
-    * aggregating. Identical output by construction (min over
-    * duplicates = min over distinct).
+    * min md5(k ':' shingle) as [[minhashSignatures]], but computed in
+    * ONE pass per document by the codegen'd
+    * [[graft.functions.MinHashSigs]] expression instead of exploding
+    * to (doc, shingle) rows and aggregating. Identical output by
+    * construction (min over duplicates = min over distinct; the
+    * expression nulls out <3-word docs exactly like the shingle
+    * filter).
     *
-    * MEASURED trade-off (sf0.1, local[32], steady-state): 2.0 s vs the
-    * aggregate path's 1.3 s for the dedup_minhash_lsh chain — the
-    * higher-order `transform`/`array_min` lambdas evaluate interpreted
-    * OUTSIDE whole-stage codegen, and at this scale that costs more
-    * than the exploded-shingle shuffle it removes, so the BATCH queries
-    * keep [[minhashSignatures]]. This form earns its keep where an
-    * aggregation is structurally unavailable: it is the signature step
-    * of [[graft.streaming.StreamingDedup]] (a streaming frame cannot
-    * run an intermediate groupBy before the stateful operator), and on
-    * a cluster whose shuffle tier — not CPU — is the bottleneck the
-    * balance flips back; re-measure there before choosing. */
+    * This form earns its keep where an aggregation is structurally
+    * unavailable — it is the signature step of
+    * [[graft.streaming.StreamingDedup]] (a streaming frame cannot run
+    * an intermediate groupBy before the stateful operator). History:
+    * the first fused formulation stacked `numHashes` interpreted
+    * `array_min(transform(...))` projections and measured 2.0 s vs the
+    * aggregate path's 1.3 s at sf0.1/6 hashes — the expression closes
+    * that interpreter penalty (see DedupSpec timing note), and at the
+    * production 64-hash width it replaces 64 interpreted array
+    * traversals per row with one fused loop. */
   def minhashSignaturesFused(corpus: DataFrame,
       numHashes: Int = NumHashes): DataFrame = {
     require(numHashes >= 1 && numHashes <= 256,
       s"numHashes in [1,256], got $numHashes")
-    val base = corpus
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
-      .withColumn("shs", expr(
-        """transform(sequence(1, size(w) - 2), i ->
-          |  concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-          |            element_at(w, i + 2)))""".stripMargin))
-    (1 to numHashes).foldLeft(base) { (df, k) =>
-      df.withColumn(s"h$k", expr(
-        s"array_min(transform(shs, s -> md5(cast(concat('$k:', s) as binary))))"))
-    }.select(col("doc_id") +: (1 to numHashes).map(k => col(s"h$k")): _*)
+    corpus
+      .withColumn("sig",
+        graft.functions.functions.minhash_sigs(col("text"), numHashes))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (1 to numHashes).map(k => element_at(col("sig"), k).as(s"h$k")): _*)
   }
 
   /** Band-bucket id per (band, doc): band i concatenates signature rows

@@ -73,17 +73,20 @@ object PipelineQueries {
       Dedup.exactDuplicates(Dedup.augmentCorpus(Tables.documents(s, d)))
         .orderBy("keep_id")),
 
+    // Signatures via the codegen'd one-pass MinHashSigs expression —
+    // no shingle explode/aggregate shuffle; output proven bit-equal to
+    // the aggregate path (PipelinePropertySpec) and to the oracle.
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.lshCandidatePairs(Dedup.minhashSignatures(
-        Dedup.shingles(Dedup.augmentCorpus(Tables.documents(s, d)))))
+      Dedup.lshCandidatePairs(Dedup.minhashSignaturesFused(
+        Dedup.augmentCorpus(Tables.documents(s, d))))
         .orderBy("id_a", "id_b")),
 
     // Skew-guarded expansion forced into its salted path (maxBucket=2:
     // every 3+-doc bucket splits) — the oracle is the UNguarded LSH
     // candidate SQL, gating that salting preserves the exact pair set.
     "dedup_lsh_skew_guarded" -> ((s, d) =>
-      Dedup.lshCandidatePairsSkewGuarded(Dedup.minhashSignatures(
-        Dedup.shingles(Dedup.augmentCorpus(Tables.documents(s, d)))),
+      Dedup.lshCandidatePairsSkewGuarded(Dedup.minhashSignaturesFused(
+        Dedup.augmentCorpus(Tables.documents(s, d))),
         maxBucket = 2)
         .orderBy("id_a", "id_b")),
 
@@ -334,8 +337,8 @@ object PipelineQueries {
     // distinct pair set, count per node, histogram per degree.
     "dedup_degree_dist" -> ((s, d) => {
       val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
-      val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(
-        Dedup.shingles(corpus)))
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignaturesFused(corpus))
       val deg = pairs
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
@@ -351,8 +354,8 @@ object PipelineQueries {
     // the one-page report a dedup run emits before dropping copies.
     "dedup_cluster_stats" -> ((s, d) => {
       val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
-      val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(
-        Dedup.shingles(corpus)))
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignaturesFused(corpus))
       graft.operators.ConnectedComponents.canonicalize(corpus, pairs)
         .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
@@ -391,8 +394,8 @@ object PipelineQueries {
     // only, never within-shard pairs.
     "dedup_incremental" -> ((s, d) =>
       Dedup.lshIncrementalPairs(
-        Dedup.minhashSignatures(Dedup.shingles(
-          Dedup.augmentCorpus(Tables.documents(s, d)))),
+        Dedup.minhashSignaturesFused(
+          Dedup.augmentCorpus(Tables.documents(s, d))),
         col("doc_id") >= 100000)
         .orderBy("new_id", "base_id")),
 
@@ -509,8 +512,8 @@ object PipelineQueries {
     // per cluster across the whole corpus.
     "dedup_components" -> ((s, d) => {
       val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
-      val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(
-        Dedup.shingles(corpus)))
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignaturesFused(corpus))
       ConnectedComponents.canonicalize(corpus, pairs).orderBy("doc_id")
     }),
 

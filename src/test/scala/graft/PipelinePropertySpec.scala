@@ -66,6 +66,27 @@ class PipelinePropertySpec extends SparkSpec {
       assert(cands.contains((i, i + 1000L)), s"missing dup pair for doc $i")
   }
 
+  test("property: codegen'd fused signatures equal the aggregate path at 6 and 64 hashes") {
+    // MinHashSigs computes every slot in one pass over raw digests;
+    // it must be bit-identical to the exploded-shingle min() aggregate
+    // (hex encoding is monotone in unsigned byte order), including the
+    // <3-word null/filter semantics and empty-token split behavior.
+    val corpus = Dedup.augmentCorpus(Tables.documents(spark, sfDir))
+      .unionByName(Seq(
+        (900001L, "one two"),              // <3 words: must drop
+        (900002L, "a  b c"),               // double space: empty token
+        (900003L, "x y z")).toDF("doc_id", "text"))
+    for (nh <- Seq(6, 64)) {
+      val agg = Dedup.minhashSignatures(Dedup.shingles(corpus), nh)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val fused = Dedup.minhashSignaturesFused(corpus, nh)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(fused.keySet === agg.keySet, s"doc sets differ at $nh hashes")
+      for ((id, sig) <- agg)
+        assert(fused(id) === sig, s"signature mismatch for doc $id at $nh hashes")
+    }
+  }
+
   test("property: skew-guarded LSH equals the plain expansion and bounds every agg group") {
     // Degenerate single-bucket corpus: identical documents, so every
     // band bucket holds the WHOLE corpus. The plain expansion would

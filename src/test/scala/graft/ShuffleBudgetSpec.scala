@@ -31,7 +31,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_tpch_q21" -> 4,           // hardest fact-fact-fact co-shuffle
     // pipeline / text / similarity
     "dedup_exact" -> 2,          // hash groupBy + output sort
-    "dedup_minhash_lsh" -> 4,
+    "dedup_minhash_lsh" -> 3,    // fused per-row sigs: bucket agg +
+                                 // pair distinct + sort (was 4 with
+                                 // the shingle-explode aggregate)
     "dedup_ngram_jaccard" -> 10, // LSH chain + jaccard verify
     "text_top_ngrams" -> 2,      // (gram,doc) pre-agg + gram rollup
     "text_trigram_entropy" -> 1, // per-row codegen'd expression + sort
@@ -67,13 +69,15 @@ class ShuffleBudgetSpec extends SparkSpec {
     "text_dsir_weights" -> 5,     // tok agg + re-join + doc rollup + sort
     "text_quality_deciles" -> 8,  // LM chain + source ntile window +
                                   // decile rollup + sort
-    "dedup_degree_dist" -> 8,     // LSH chain + endpoint agg + corpus
-                                  // join + degree rollup + sort
+    "dedup_degree_dist" -> 5,     // fused sigs (was 8): bucket agg +
+                                  // pair distinct + endpoint agg +
+                                  // corpus join + degree rollup/sort
     // round-8 additions
-    "dedup_lsh_skew_guarded" -> 10, // one bucket-keyed exchange printed
-                                    // once per branch (normal + within +
-                                    // 2 join sides; ReuseExchange dedups
-                                    // at runtime) + pair distinct + sort
+    "dedup_lsh_skew_guarded" -> 6, // fused sigs (was 10): one bucket
+                                    // exchange printed per branch
+                                    // (normal + within + 2 join sides;
+                                    // ReuseExchange dedups at runtime)
+                                    // + pair distinct + sort
     "sim_ivf_nprobe" -> 5,          // centroid agg + assignment window +
                                     // cluster-scan window + rollup + sort
     "pipeline_temperature_mix" -> 4) // source agg (printed again under
