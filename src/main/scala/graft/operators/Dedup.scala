@@ -201,7 +201,13 @@ object Dedup {
     *     pairs come from a bucket equi-join on `salt_a < salt_b`, whose
     *     per-key buffering is Spark's SPILLABLE join row array — the
     *     quadratic pair set still streams, it just never sits in one
-    *     in-memory array.
+    *     in-memory array. NB the `~maxBucket` sub-group bound is
+    *     probabilistic (multinomial balance of the hash salt): an
+    *     adversarial doc_id set can still concentrate one salt group.
+    *     If a HARD cap is ever required, salt by
+    *     `pmod(row_number() over (partition by bucket order by doc_id),
+    *     n_salts)` in the same window that computes `bsize` — exact
+    *     equal-sized groups for one extra in-bucket sort.
     *
     * Every unordered in-bucket pair appears exactly once per bucket
     * (same-salt via 2, cross-salt via 3), so after `.distinct()` the

@@ -285,7 +285,12 @@ object Sampling {
     * double is exact IEEE everywhere, no round()/decimal half-way
     * semantics), the normalizer is their plain BIGINT sum, and every
     * emitted ratio is a raw IEEE division of deterministic inputs —
-    * never rounded. Scale shape: one source-keyed counting aggregate
+    * never rounded. Cross-libm margin, measured over the gated corpus
+    * (every source at sf0.001/0.01/0.1, α = 0.3): the closest
+    * `pow(tokens, α)·10⁶ + 0.5` term sits 3.1×10⁻³ from an integer
+    * boundary, vs ulp(x) ≈ 4×10⁻⁹ — a 1-ulp Spark/DuckDB `pow`
+    * divergence is six orders of magnitude short of flipping a
+    * `term_micro`. Scale shape: one source-keyed counting aggregate
     * (map-side combined) + a one-row broadcast normalizer; output
     * cardinality is the source count. */
   def temperatureMixture(documents: DataFrame,

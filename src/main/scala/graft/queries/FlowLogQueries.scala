@@ -119,16 +119,30 @@ object FlowLogQueries {
     * on JVM exit — plan-enumerating suites invoke every query function
     * and would otherwise leak one directory per enumeration. Fresh per
     * call (not a fixed path) so concurrent enumerations never race on
-    * one dir. */
+    * one dir. One JVM-wide shutdown hook drains a concurrent queue of
+    * registered dirs (a hook per call would accumulate one live Thread
+    * per enumeration for the JVM lifetime). */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val scratchHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = scratchDirs.poll()
+      while (p != null) {
+        try {
+          val walk = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse
+              .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+                catch { case _: java.io.IOException => () })
+          } finally walk.close()
+        } catch { case _: Exception => () }
+        p = scratchDirs.poll()
+      }
+    }))
   private def scratchDir(prefix: String): String = {
+    scratchHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-            catch { case _: java.io.IOException => () })
-      } catch { case _: Exception => () }))
+    scratchDirs.add(p)
     p.toString
   }
 
@@ -432,8 +446,14 @@ object FlowLogQueries {
           col("srcport"), col("dstport"), col("protocol"), col("packets"),
           col("bytes"), col("start"), col("end"), col("action"),
           col("log_status"))
-      out.write.mode("overwrite").option("header", "true").csv(path)
-      s.read.schema(out.schema).option("header", "true").csv(path)
+      // Distinct nullValue so empty string and null survive the trip
+      // distinguishably (Spark's CSV default maps both to "" on write
+      // and both back to null on read). The parsed projection emits
+      // neither today, so this only hardens the contract.
+      out.write.mode("overwrite").option("header", "true")
+        .option("nullValue", "\\N").csv(path)
+      s.read.schema(out.schema).option("header", "true")
+        .option("nullValue", "\\N").csv(path)
         .orderBy("id")
     }),
 
