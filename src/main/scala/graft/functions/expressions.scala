@@ -440,6 +440,90 @@ case class MinHashSigs(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+/** One-digest MinHash signatures (the v2 family): per word-3-shingle a
+  * SINGLE md5, split big-endian into two 64-bit halves (h1, h2), then
+  * the k-th signature is the unsigned min over shingles of the
+  * Kirsch–Mitzenmacher double hash `h1 + k·h2` in Java long wraparound
+  * (mod 2⁶⁴). Versus [[MinHashSigs]] (one md5 PER hash per shingle,
+  * the `md5('k:'||shingle)` oracle family) this is ~numHashes× cheaper
+  * in digest work — at the production width 64 that is 64 md5s/shingle
+  * down to 1 — at the cost of pairwise- rather than fully-independent
+  * hash functions (the standard trade; Kirsch–Mitzenmacher shows the
+  * Bloom/LSH error bounds survive it).
+  *
+  * Own oracle contract, distinct from v1 (ADVICE round 8): DuckDB
+  * replays it exactly as
+  * `(CAST('0x'||substr(md5(sh),1,16) AS UBIGINT) + k * CAST('0x'||
+  * substr(md5(sh),17,16) AS UBIGINT)) % 2⁶⁴` in HUGEINT, min taken in
+  * the unsigned domain, reinterpreted to signed BIGINT at the end —
+  * hex-literal casts and HUGEINT mod-2⁶⁴ are the two cross-version
+  * DuckDB surfaces already proven by the rolling-fingerprint oracle.
+  *
+  * Emits `array<long>` (signed reinterpretation of the unsigned mins);
+  * null for docs with fewer than 3 words, matching the
+  * `size(w) >= 3` shingle filter. */
+case class MinHashSigsV2(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  require(numHashes >= 1 && numHashes <= 256,
+    s"numHashes in [1,256], got $numHashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sigs_v2"
+
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def compute(u: UTF8String): ArrayData = {
+    val words = u.toString.split(" ", -1)
+    if (words.length < 3) return null
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, -1L) // unsigned max
+    val digest = md5.get()
+    var i = 0
+    while (i <= words.length - 3) {
+      val shingle = (words(i) + " " + words(i + 1) + " " + words(i + 2))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      digest.reset()
+      val d = digest.digest(shingle)
+      // Big-endian halves — the same value DuckDB parses from the hex
+      // string's first/last 16 chars.
+      val bb = java.nio.ByteBuffer.wrap(d)
+      val h1 = bb.getLong(0)
+      val h2 = bb.getLong(8)
+      var k = 0
+      var v = h1
+      while (k < numHashes) {
+        v += h2 // after k increments: h1 + (k+1)·h2, wraps mod 2^64
+        if (java.lang.Long.compareUnsigned(v, mins(k)) < 0) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigsV2", this,
+      classOf[MinHashSigsV2].getName)
+    nullSafeCodeGen(ctx, ev, in => {
+      s"""
+         |${ev.value} = $ref.compute($in);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSigsV2 =
+    copy(child = c)
+}
+
 /** Column-level API for the custom expressions. */
 object functions {
   // Input typing is enforced here via casts (AbstractDataType /
@@ -471,4 +555,6 @@ object functions {
     GraftColumnBridge.column(TrigramEntropy(ex(c.cast("string"))))
   def minhash_sigs(c: Column, numHashes: Int): Column =
     GraftColumnBridge.column(MinHashSigs(ex(c.cast("string")), numHashes))
+  def minhash_sigs_v2(c: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(MinHashSigsV2(ex(c.cast("string")), numHashes))
 }

@@ -138,31 +138,58 @@ object Dedup {
         (1 to numHashes).map(k => element_at(col("sig"), k).as(s"h$k")): _*)
   }
 
+  /** One-digest MinHash signatures (v2 family): same `doc_id, h1..hK`
+    * shape as [[minhashSignaturesFused]] but via
+    * [[graft.functions.MinHashSigsV2]] — ONE md5 per shingle, k-th
+    * signature = unsigned min of `h1 + k·h2` over shingles in 64-bit
+    * wraparound (Kirsch–Mitzenmacher double hashing). ~numHashes×
+    * cheaper digest work than the v1 `md5('k:'||shingle)` family;
+    * its own DuckDB oracle (hex-parse + HUGEINT mod 2⁶⁴). Columns are
+    * BIGINT (signed reinterpretation), so banding over them must use a
+    * separator — see `lshCandidatePairs(sep = "|")`. */
+  def minhashSignaturesV2(corpus: DataFrame,
+      numHashes: Int = NumHashes): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 256,
+      s"numHashes in [1,256], got $numHashes")
+    corpus
+      .withColumn("sig",
+        graft.functions.functions.minhash_sigs_v2(col("text"), numHashes))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (1 to numHashes).map(k => element_at(col("sig"), k).as(s"h$k")): _*)
+  }
+
   /** Band-bucket id per (band, doc): band i concatenates signature rows
     * h_{(i−1)r+1} … h_{ir}. Shared by the self-, incremental, and
-    * streaming LSH. */
-  private[graft] def bandBuckets(bands: Int, rowsPerBand: Int): Column = {
+    * streaming LSH. `sep` must be non-empty for variable-width row
+    * renderings (v2's decimal BIGINTs — "12"+"34" and "123"+"4" would
+    * otherwise collide); the v1 32-char md5 hex is fixed-width and
+    * keeps the historical "" (oracle contract). */
+  private[graft] def bandBuckets(bands: Int, rowsPerBand: Int,
+      sep: String = ""): Column = {
     require(bands >= 1 && rowsPerBand >= 1,
       s"bands/rowsPerBand must be >= 1, got $bands/$rowsPerBand")
     explode(array((1 to bands).map { b =>
       val rows = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand)
-        .map(k => col(s"h$k"))
-      concat(lit(s"b$b:") +: rows: _*)
+        .map(k => col(s"h$k").cast("string"))
+      concat_ws(sep, lit(s"b$b:") +: rows: _*)
     }: _*))
   }
 
   /** LSH banding (default 3 bands of 2 hashes); docs sharing any band
     * bucket are candidate pairs. `bands × rowsPerBand` must not exceed
-    * the signature width `minhashSignatures` produced. */
+    * the signature width `minhashSignatures` produced. Pass
+    * `sep = "|"` for [[minhashSignaturesV2]]'s BIGINT signatures
+    * (variable-width rendering — see [[bandBuckets]]). */
   def lshCandidatePairs(sigs: DataFrame, bands: Int = DefaultBands,
-      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
+      rowsPerBand: Int = DefaultRowsPerBand, sep: String = ""): DataFrame = {
     // The band buckets are generated by ONE explode over a bands-element
     // array — a union of projections would re-evaluate the whole
     // shingle→minhash chain per branch. Persisting `sigs` instead was
     // measured SLOWER (caching forces full-column materialization and
     // defeats pruning) — explode keeps the plan pure.
     val buckets = sigs.select(col("doc_id"),
-      bandBuckets(bands, rowsPerBand).as("bucket"))
+      bandBuckets(bands, rowsPerBand, sep).as("bucket"))
     // Pairs come from ONE groupBy-bucket + in-bucket pair expansion, not
     // a bucket self-join: the join would evaluate (and shuffle) the
     // whole upstream chain twice. Output cardinality is identical —

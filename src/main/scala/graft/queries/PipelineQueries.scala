@@ -52,6 +52,38 @@ object PipelineQueries {
       |  FROM buckets a JOIN buckets b
       |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** v2 signature family (one md5 per shingle + Kirsch–Mitzenmacher
+    * affine permutations mod 2⁶⁴ — see
+    * [[graft.functions.MinHashSigsV2]]). Hex-literal UBIGINT casts and
+    * HUGEINT mod-2⁶⁴ are the version-stable DuckDB surfaces; the final
+    * CASE reinterprets the unsigned min as Spark's signed BIGINT. */
+  private val lshV2Cte =
+    """hsh AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(shingle), 1, 16) AS UBIGINT) AS p1,
+      |         CAST('0x' || substr(md5(shingle), 17, 16) AS UBIGINT) AS p2
+      |  FROM sh),
+      |ks AS (SELECT unnest(generate_series(1, 6)) AS k),
+      |sigm AS (
+      |  SELECT doc_id, k,
+      |         min((CAST(p1 AS HUGEINT) + k * CAST(p2 AS HUGEINT))
+      |             % 18446744073709551616) AS m
+      |  FROM hsh CROSS JOIN ks GROUP BY doc_id, k),
+      |sgn AS (
+      |  SELECT doc_id, k,
+      |         CAST(CASE WHEN m >= 9223372036854775808
+      |              THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS s
+      |  FROM sigm),
+      |sigp AS (
+      |  SELECT doc_id,
+      |         max(CASE WHEN k = 1 THEN s END) AS h1,
+      |         max(CASE WHEN k = 2 THEN s END) AS h2,
+      |         max(CASE WHEN k = 3 THEN s END) AS h3,
+      |         max(CASE WHEN k = 4 THEN s END) AS h4,
+      |         max(CASE WHEN k = 5 THEN s END) AS h5,
+      |         max(CASE WHEN k = 6 THEN s END) AS h6
+      |  FROM sgn GROUP BY doc_id)""".stripMargin
+
   private val vecsCte =
     """vecs AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -88,6 +120,22 @@ object PipelineQueries {
       Dedup.lshCandidatePairsSkewGuarded(Dedup.minhashSignaturesFused(
         Dedup.augmentCorpus(Tables.documents(s, d))),
         maxBucket = 2)
+        .orderBy("id_a", "id_b")),
+
+    // v2 signature family: one digest per shingle (vs numHashes in the
+    // v1 md5('k:'||shingle) contract) — the signatures themselves are
+    // the gated surface, h1..h6 as signed BIGINT.
+    "dedup_minhash_v2" -> ((s, d) =>
+      Dedup.minhashSignaturesV2(Dedup.augmentCorpus(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+
+    // Full v2 LSH chain: banding over the BIGINT signatures (sep="|" —
+    // decimal renderings are variable-width) → same bucket-expand
+    // machinery as v1. The pair set differs from v1's (different hash
+    // family), so it gates against its own chain SQL.
+    "dedup_lsh_v2" -> ((s, d) =>
+      Dedup.lshCandidatePairs(Dedup.minhashSignaturesV2(
+        Dedup.augmentCorpus(Tables.documents(s, d))), sep = "|")
         .orderBy("id_a", "id_b")),
 
     "dedup_ngram_jaccard" -> ((s, d) => {
@@ -733,6 +781,27 @@ object PipelineQueries {
       s"""WITH $corpusCte,
          |$shinglesCte,
          |$lshCte
+         |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_v2" ->
+      s"""WITH $corpusCte,
+         |$shinglesCte,
+         |$lshV2Cte
+         |SELECT doc_id, h1, h2, h3, h4, h5, h6
+         |FROM sigp ORDER BY doc_id""".stripMargin,
+
+    "dedup_lsh_v2" ->
+      s"""WITH $corpusCte,
+         |$shinglesCte,
+         |$lshV2Cte,
+         |buckets AS (
+         |  SELECT doc_id, 'b1:|' || h1 || '|' || h2 AS bucket FROM sigp
+         |  UNION ALL SELECT doc_id, 'b2:|' || h3 || '|' || h4 FROM sigp
+         |  UNION ALL SELECT doc_id, 'b3:|' || h5 || '|' || h6 FROM sigp),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->

@@ -87,6 +87,63 @@ class PipelinePropertySpec extends SparkSpec {
     }
   }
 
+  test("property: v2 signatures equal an independent reference at 6 and 64 hashes") {
+    // MinHashSigsV2 = one md5/shingle, sig_k = unsigned min over
+    // shingles of h1 + k*h2 (big-endian digest halves, long
+    // wraparound). Reference computed here from scratch (MessageDigest
+    // + BigInt), including <3-word null and empty-token semantics.
+    def reference(text: String, nh: Int): Option[Seq[Long]] = {
+      val words = text.split(" ", -1)
+      if (words.length < 3) return None
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mins = Array.fill(nh)(BigInt("ffffffffffffffff", 16))
+      val M = BigInt(1) << 64
+      for (i <- 0 to words.length - 3) {
+        val d = md.digest((words(i) + " " + words(i + 1) + " " + words(i + 2))
+          .getBytes("UTF-8"))
+        val h1 = BigInt(1, d.take(8))
+        val h2 = BigInt(1, d.drop(8))
+        for (k <- 1 to nh) {
+          val v = (h1 + k * h2) mod M
+          if (v < mins(k - 1)) mins(k - 1) = v
+        }
+      }
+      Some(mins.toSeq.map(_.toLong)) // BigInt.toLong wraps like the signed view
+    }
+    val corpus = Dedup.augmentCorpus(Tables.documents(spark, sfDir))
+      .unionByName(Seq(
+        (900001L, "one two"),              // <3 words: must drop
+        (900002L, "a  b c"),               // double space: empty token
+        (900003L, "x y z")).toDF("doc_id", "text"))
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (nh <- Seq(6, 64)) {
+      val got = Dedup.minhashSignaturesV2(corpus, nh)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail.map(_.asInstanceOf[Long])).toMap
+      val want = texts.flatMap { case (id, t) =>
+        reference(t, nh).map(id -> _)
+      }
+      assert(got.keySet === want.keySet, s"doc sets differ at $nh hashes")
+      for ((id, sig) <- want)
+        assert(got(id) === sig, s"v2 signature mismatch for doc $id at $nh hashes")
+    }
+  }
+
+  test("property: v2 LSH candidates include every exact-duplicate pair") {
+    // identical text → identical digest stream → identical v2
+    // signatures → same band buckets (the | separator keeps decimal
+    // renderings unambiguous).
+    val base = samples(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val withDups = base ++ base.filter(_._1 % 7 == 0)
+      .map { case (i, t) => (i + 1000L, t) }
+    val corpus = withDups.toDF("doc_id", "text")
+    val cands = Dedup.lshCandidatePairs(
+      Dedup.minhashSignaturesV2(corpus), sep = "|")
+      .as[(Long, Long)].collect().toSet
+    for ((i, t) <- base if i % 7 == 0 && t.split(" ").length >= 3)
+      assert(cands.contains((i, i + 1000L)), s"missing dup pair for doc $i")
+  }
+
   test("property: skew-guarded LSH equals the plain expansion and bounds every agg group") {
     // Degenerate single-bucket corpus: identical documents, so every
     // band bucket holds the WHOLE corpus. The plain expansion would

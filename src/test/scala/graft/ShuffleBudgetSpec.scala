@@ -80,9 +80,13 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // + pair distinct + sort
     "sim_ivf_nprobe" -> 5,          // centroid agg + assignment window +
                                     // cluster-scan window + rollup + sort
-    "pipeline_temperature_mix" -> 4) // source agg (printed again under
+    "pipeline_temperature_mix" -> 4, // source agg (printed again under
                                      // the one-row normalizer branch;
                                      // ReuseExchange dedups) + sort
+    // round-9 additions (v2 = one-digest signature family)
+    "dedup_minhash_v2" -> 1,      // per-row sigs are narrow; output sort
+    "dedup_lsh_v2" -> 3)          // bucket agg + pair distinct + sort
+                                  // (same shape as dedup_minhash_lsh)
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>

@@ -43,6 +43,11 @@ object TimeFused {
         Dedup.minhashSignaturesFused(corpus, nh), bands, rows)
         .count()
     }
+    time(s"v2_sig_$nh") {
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignaturesV2(corpus, nh), bands, rows, sep = "|")
+        .count()
+    }
     spark.stop()
   }
 }
