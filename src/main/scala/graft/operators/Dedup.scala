@@ -245,7 +245,7 @@ object Dedup {
     * where a single buffer starts to matter in a few-hundred-MiB task. */
   def lshCandidatePairsSkewGuarded(sigs: DataFrame,
       bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
-      maxBucket: Int = 1 << 20): DataFrame = {
+      maxBucket: Int = 1 << 20, sep: String = ""): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val pairExpand =
       """flatten(transform(ids, (a, i) ->
@@ -258,7 +258,7 @@ object Dedup {
         .select(explode(expr(pairExpand)).as("p"))
         .select(col("p.id_a"), col("p.id_b"))
     val sized = sigs
-      .select(col("doc_id"), bandBuckets(bands, rowsPerBand).as("bucket"))
+      .select(col("doc_id"), bandBuckets(bands, rowsPerBand, sep).as("bucket"))
       .withColumn("bsize", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
     val normalPairs = expand(
@@ -428,9 +428,9 @@ object Dedup {
     * signature table, same shuffle shape, no recompute of the corpus. */
   def lshIncrementalPairs(sigs: DataFrame, isNew: Column,
       bands: Int = DefaultBands,
-      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
+      rowsPerBand: Int = DefaultRowsPerBand, sep: String = ""): DataFrame = {
     val buckets = sigs.select(col("doc_id"), isNew.as("is_new"),
-      bandBuckets(bands, rowsPerBand).as("bucket"))
+      bandBuckets(bands, rowsPerBand, sep).as("bucket"))
     buckets
       .groupBy(col("bucket"))
       .agg(

@@ -84,6 +84,21 @@ object PipelineQueries {
       |         max(CASE WHEN k = 6 THEN s END) AS h6
       |  FROM sgn GROUP BY doc_id)""".stripMargin
 
+  /** v2 banding + candidate pairs (3 bands × 2 rows, `|`-separated —
+    * decimal BIGINT renderings are variable-width). The `buckets` /
+    * `cand` names mirror [[lshCte]]'s so downstream oracle SQL swaps
+    * families by swapping one CTE block. */
+  private val lshV2CandCte =
+    s"""$lshV2Cte,
+       |buckets AS (
+       |  SELECT doc_id, 'b1:|' || h1 || '|' || h2 AS bucket FROM sigp
+       |  UNION ALL SELECT doc_id, 'b2:|' || h3 || '|' || h4 FROM sigp
+       |  UNION ALL SELECT doc_id, 'b3:|' || h5 || '|' || h6 FROM sigp),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
   private val vecsCte =
     """vecs AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -116,10 +131,12 @@ object PipelineQueries {
     // Skew-guarded expansion forced into its salted path (maxBucket=2:
     // every 3+-doc bucket splits) — the oracle is the UNguarded LSH
     // candidate SQL, gating that salting preserves the exact pair set.
+    // v2 signatures: the guard property is family-independent and the
+    // one-digest family is the recommended production chain.
     "dedup_lsh_skew_guarded" -> ((s, d) =>
-      Dedup.lshCandidatePairsSkewGuarded(Dedup.minhashSignaturesFused(
+      Dedup.lshCandidatePairsSkewGuarded(Dedup.minhashSignaturesV2(
         Dedup.augmentCorpus(Tables.documents(s, d))),
-        maxBucket = 2)
+        maxBucket = 2, sep = "|")
         .orderBy("id_a", "id_b")),
 
     // v2 signature family: one digest per shingle (vs numHashes in the
@@ -386,7 +403,7 @@ object PipelineQueries {
     "dedup_degree_dist" -> ((s, d) => {
       val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
       val pairs = Dedup.lshCandidatePairs(
-        Dedup.minhashSignaturesFused(corpus))
+        Dedup.minhashSignaturesV2(corpus), sep = "|")
       val deg = pairs
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
@@ -403,7 +420,7 @@ object PipelineQueries {
     "dedup_cluster_stats" -> ((s, d) => {
       val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
       val pairs = Dedup.lshCandidatePairs(
-        Dedup.minhashSignaturesFused(corpus))
+        Dedup.minhashSignaturesV2(corpus), sep = "|")
       graft.operators.ConnectedComponents.canonicalize(corpus, pairs)
         .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
@@ -442,9 +459,9 @@ object PipelineQueries {
     // only, never within-shard pairs.
     "dedup_incremental" -> ((s, d) =>
       Dedup.lshIncrementalPairs(
-        Dedup.minhashSignaturesFused(
+        Dedup.minhashSignaturesV2(
           Dedup.augmentCorpus(Tables.documents(s, d))),
-        col("doc_id") >= 100000)
+        col("doc_id") >= 100000, sep = "|")
         .orderBy("new_id", "base_id")),
 
     // Bloom-prefiltered cross-run dedup: the incoming duplicate shard
@@ -561,7 +578,7 @@ object PipelineQueries {
     "dedup_components" -> ((s, d) => {
       val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
       val pairs = Dedup.lshCandidatePairs(
-        Dedup.minhashSignaturesFused(corpus))
+        Dedup.minhashSignaturesV2(corpus), sep = "|")
       ConnectedComponents.canonicalize(corpus, pairs).orderBy("doc_id")
     }),
 
@@ -780,7 +797,7 @@ object PipelineQueries {
     "dedup_lsh_skew_guarded" ->
       s"""WITH $corpusCte,
          |$shinglesCte,
-         |$lshCte
+         |$lshV2CandCte
          |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash_v2" ->
@@ -793,15 +810,7 @@ object PipelineQueries {
     "dedup_lsh_v2" ->
       s"""WITH $corpusCte,
          |$shinglesCte,
-         |$lshV2Cte,
-         |buckets AS (
-         |  SELECT doc_id, 'b1:|' || h1 || '|' || h2 AS bucket FROM sigp
-         |  UNION ALL SELECT doc_id, 'b2:|' || h3 || '|' || h4 FROM sigp
-         |  UNION ALL SELECT doc_id, 'b3:|' || h5 || '|' || h6 FROM sigp),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |$lshV2CandCte
          |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
@@ -845,7 +854,7 @@ object PipelineQueries {
     "dedup_components" ->
       s"""WITH RECURSIVE $corpusCte,
          |$shinglesCte,
-         |$lshCte,
+         |$lshV2CandCte,
          |edges AS (
          |  SELECT id_a AS u, id_b AS v FROM cand
          |  UNION SELECT id_b AS u, id_a AS v FROM cand),
@@ -1454,12 +1463,12 @@ object PipelineQueries {
         |FROM toks JOIN terms USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // Same candidate pair set as dedup_minhash_lsh, exploded to node
+    // Same candidate pair set as dedup_lsh_v2, exploded to node
     // degrees, zero-degree docs kept via the corpus left join.
     "dedup_degree_dist" ->
       s"""WITH $corpusCte,
          |$shinglesCte,
-         |$lshCte,
+         |$lshV2CandCte,
          |ends AS (
          |  SELECT id_a AS doc_id FROM cand
          |  UNION ALL SELECT id_b AS doc_id FROM cand),
@@ -1477,7 +1486,7 @@ object PipelineQueries {
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE $corpusCte,
          |$shinglesCte,
-         |$lshCte,
+         |$lshV2CandCte,
          |edges AS (
          |  SELECT id_a AS u, id_b AS v FROM cand
          |  UNION SELECT id_b AS u, id_a AS v FROM cand),
@@ -1563,7 +1572,7 @@ object PipelineQueries {
     "dedup_incremental" ->
       s"""WITH $corpusCte,
          |$shinglesCte,
-         |$lshCte,
+         |$lshV2CandCte,
          |inc AS (
          |  SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
          |  FROM buckets n JOIN buckets b ON n.bucket = b.bucket
