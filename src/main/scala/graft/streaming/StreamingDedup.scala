@@ -9,8 +9,9 @@ import org.apache.spark.sql.streaming.OutputMode
   * micro-batches and every arrival is checked against everything seen so
   * far, without re-scanning the corpus. The trick making LSH
   * streaming-safe is that a document's whole signature chain is a
-  * NARROW projection (no aggregation): the batch `min()` over exploded
-  * shingles becomes `array_min` over a transformed shingle array, so
+  * NARROW projection (no aggregation): the codegen'd per-row signature
+  * expressions ([[graft.functions.MinHashSigsV2]] by default) replace
+  * the batch shingle-explode aggregate, so
   * the only stateful operator is the per-bucket history — which lives
   * in the RocksDB state store, keyed by band bucket, exactly the small
   * derived key the batch LSH shuffles on. State per bucket is the doc-id
@@ -27,20 +28,32 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamingDedup {
 
-  /** (doc_id, bucket) rows via per-row signatures
-    * ([[graft.operators.Dedup.minhashSignaturesFused]] — a streaming
-    * frame cannot run the batch path's intermediate groupBy before the
+  /** (doc_id, bucket) rows via per-row signatures (a streaming frame
+    * cannot run the batch path's intermediate groupBy before the
     * stateful operator) banded by the SAME bucket generator as the
     * batch chain, so bucket ids are byte-identical across the two
-    * (pinned by the parity test). Documents shorter than 3 words have
-    * no shingles and drop, exactly like the batch `shingles()` filter. */
+    * (pinned by the parity tests). Documents shorter than 3 words have
+    * no shingles and drop, exactly like the batch `shingles()` filter.
+    *
+    * `family` picks the signature expression: `"v2"` (default — ONE
+    * md5 per shingle, [[graft.operators.Dedup.minhashSignaturesV2]],
+    * the recommended production family: per-row digest cost is the
+    * streaming hot path) or `"v1"` (the `md5('k:'||shingle)` contract,
+    * [[graft.operators.Dedup.minhashSignaturesFused]]) for parity with
+    * v1-keyed batch state. */
   def bandedBuckets(docs: DataFrame, numHashes: Int = 6, bands: Int = 3,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2, family: String = "v2"): DataFrame = {
     require(bands * rowsPerBand <= numHashes,
       s"bands x rowsPerBand must fit in $numHashes hashes")
-    graft.operators.Dedup.minhashSignaturesFused(docs, numHashes)
-      .select(col("doc_id"),
-        graft.operators.Dedup.bandBuckets(bands, rowsPerBand).as("bucket"))
+    require(family == "v1" || family == "v2",
+      s"family must be v1 or v2, got $family")
+    val sigs =
+      if (family == "v2")
+        graft.operators.Dedup.minhashSignaturesV2(docs, numHashes)
+      else graft.operators.Dedup.minhashSignaturesFused(docs, numHashes)
+    val sep = if (family == "v2") "|" else ""
+    sigs.select(col("doc_id"),
+      graft.operators.Dedup.bandBuckets(bands, rowsPerBand, sep).as("bucket"))
   }
 
   /** Per-bucket membership history: every new document pairs with all
@@ -85,9 +98,9 @@ object StreamingDedup {
     * Callers must run with the RocksDB state store provider (the
     * Spark 4 arbitrary-state API requires it). */
   def candidatePairs(docs: DataFrame, numHashes: Int = 6, bands: Int = 3,
-      rowsPerBand: Int = 2): Dataset[(Long, Long)] = {
+      rowsPerBand: Int = 2, family: String = "v2"): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
-    bandedBuckets(docs, numHashes, bands, rowsPerBand)
+    bandedBuckets(docs, numHashes, bands, rowsPerBand, family)
       .select(col("bucket"), col("doc_id").cast("long"))
       .as[(String, Long)]
       .groupByKey(_._1)

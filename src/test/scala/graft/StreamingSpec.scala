@@ -309,8 +309,10 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String)].collect()
     val (b1, b2) = corpus.partition(_._1 % 2 == 0)
     val input = MemoryStream[(Long, String)](s)
+    // family = "v1" pins the historical md5-per-hash chain; the v2
+    // default is pinned by the 64/16/4 test below.
     val q = StreamingDedup.candidatePairs(
-        input.toDF().toDF("doc_id", "text"))
+        input.toDF().toDF("doc_id", "text"), family = "v1")
       .writeStream.format("memory").queryName("sdedup_out")
       .outputMode("append").start()
     try {
@@ -391,9 +393,12 @@ class StreamingSpec extends SparkSpec {
       input.addData(b2.toSeq: _*)
       q.processAllAvailable()
       val got = s.table("sdedup64_out").as[(Long, Long)].collect().toSet
-      val want = Dedup.lshCandidatePairs(Dedup.minhashSignatures(
-          Dedup.shingles(Dedup.augmentCorpus(Tables.documents(s, sfDir))), nh),
-          nb, rpb)
+      // Default family is v2 — the batch side must band the same
+      // one-digest signatures with the same separator.
+      val want = Dedup.lshCandidatePairs(
+          Dedup.minhashSignaturesV2(
+            Dedup.augmentCorpus(Tables.documents(s, sfDir)), nh),
+          nb, rpb, sep = "|")
         .as[(Long, Long)].collect().toSet
       assert(want.nonEmpty && got === want,
         s"streaming candidates at 64/16/4 (${got.size}) must equal batch (${want.size})")
