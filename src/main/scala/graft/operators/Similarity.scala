@@ -232,6 +232,57 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-blocked k-NN JOIN: every vector is a probe — for each of the
+    * n corpus vectors, its k nearest OTHER vectors by cosine. This is
+    * the all-pairs analog of [[ivfTopK]] and the operator an embedding
+    * dedup/linking pass runs corpus-wide, so the plan must differ from
+    * the single-probe path in one crucial way: the probe side is the
+    * WHOLE corpus and is never broadcast. Both sides of the cell scan
+    * shuffle on the cell key (`assigned_label` = `label`) — a plain
+    * co-partitioned equi-join whose per-task work is bounded by cell
+    * size × nprobe, not n². At 100 TB the quadratic term lives inside
+    * cells (corpus/n_cells per cell, tunable via the quantizer), every
+    * exchange is keyed by cell or probe id, and the final per-probe
+    * top-k is the rank-window form the topk rewrite turns into the
+    * spillable [[graft.plans]] TopKPerKeyExec. Multi-probe (`nprobe`)
+    * trades scan fraction for boundary recall exactly as in
+    * [[ivfTopK]]; cells are disjoint so candidates never duplicate.
+    * Determinism: rounded-L2² assignment with label tie-break, rounded
+    * cosine with neighbor-id tie-break — same contract as [[ivfTopK]]. */
+  def knnJoin(vecs: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = centroids(vecs)
+    val dims = vecs.select(col("vec_id").as("probe_id"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val d2 = dims.join(broadcast(cents), Seq("pos"))
+      .groupBy(col("probe_id"), col("label"))
+      .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
+        .as("dist2"))
+    val wAssign = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("dist2"), 6).asc, col("label").asc)
+    val assigned = d2.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("label").as("assigned_label"))
+    // Probe rows re-keyed by their assigned cell(s): corpus-sized, so
+    // this join (probe_id) and the cell scan below (cell key) are both
+    // shuffle equi-joins — no broadcast anywhere on the corpus path.
+    val pb = withNorm(vecs).select(col("vec_id").as("probe_id"),
+      col("v").as("pv"), col("nrm").as("pnrm"))
+      .join(assigned, Seq("probe_id"))
+    val scored = pb
+      .join(withNorm(vecs),
+        col("assigned_label") === col("label") &&
+          col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Bucketed ANN: candidates share the probe's sign bucket. */
   def lshTopK(vecs: DataFrame, probes: DataFrame, k: Int, bits: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -212,6 +212,35 @@ class PipelineSpec extends SparkSpec {
     assert(ml >= 0.95, f"LSH recall@$k degraded: $ml%.3f")
   }
 
+  test("knnJoin: all-cells probing equals brute force, one cell recovers clusters") {
+    // Same 8-center geometry as the recall test above. At nprobe = 8
+    // (every cell probed) the IVF blocking is exhaustive, so the join
+    // must equal the brute-force self-top-k EXACTLY — same rounded
+    // scores, same tie-break order. At nprobe = 1 in-cluster neighbors
+    // dominate, so recall stays high while each probe scans ~1/8.
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = (0 until 8).map(c =>
+      Array.tabulate(dim)(d => if (((c >> (d % 3)) & 1) == 1) 1.0 else -1.0))
+    val rows = for (c <- 0 until 8; i <- 0 until 12) yield
+      (c * 100L + i, c,
+        centers(c).map(x => x + rnd.nextGaussian() * 0.1).toSeq)
+    val vecs = rows.toDF("vec_id", "label", "v")
+    val k = 3
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(vecs.select($"vec_id", $"v"),
+        vecs.select($"vec_id", $"v"), k)
+      .select($"probe_id", $"neighbor_id", $"cos_r", $"rank".as("rnk"))
+    val exhaustive = graft.operators.Similarity.knnJoin(vecs, k, nprobe = 8)
+    assert(exhaustive.collect().toSet === exact.collect().toSet,
+      "knnJoin at nprobe=all-cells must equal brute force bit-for-bit")
+    val single = graft.operators.Similarity.knnJoin(vecs, k)
+    val recall = graft.operators.Similarity.recallAtK(exact, single)
+      .agg(avg($"recall")).head.getDouble(0)
+    info(f"knnJoin single-cell recall@$k = $recall%.3f")
+    assert(recall >= 0.95, f"single-cell knnJoin recall degraded: $recall%.3f")
+  }
+
   test("multi-probe IVF recovers boundary probes single-probe loses") {
     // Three orthogonal unit centers; probes sit on the A/B bisector, so
     // their exact top-k straddles BOTH clusters. Single-probe search

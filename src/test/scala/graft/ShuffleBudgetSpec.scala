@@ -85,8 +85,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                      // ReuseExchange dedups) + sort
     // round-9 additions (v2 = one-digest signature family)
     "dedup_minhash_v2" -> 1,      // per-row sigs are narrow; output sort
-    "dedup_lsh_v2" -> 3)          // bucket agg + pair distinct + sort
+    "dedup_lsh_v2" -> 3,          // bucket agg + pair distinct + sort
                                   // (same shape as dedup_minhash_lsh)
+    "sim_knn_join" -> 4)          // centroid agg + assignment agg/topk
+                                  // + cell-join co-key reused by the
+                                  // final top-k window + sort
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
