@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
   *
   *  - UTC session time zone (oracle comparability);
   *  - `spark.sql.legacy.parquet.nanosAsLong=true` set at construction —
-  *    events.parquet carries TIMESTAMP(NANOS), which Spark reads as a
-  *    nanos-epoch Long under this flag. Setting it here (not inside a
+  *    legacy events.parquet fixtures carry TIMESTAMP(NANOS), which Spark
+  *    reads as a nanos-epoch Long under this flag (current fixtures are
+  *    TIMESTAMP(MICROS) and unaffected; [[Tables.events]] normalizes
+  *    either to the nanos-Long contract). Setting it here (not inside a
   *    table loader) keeps session behavior order-independent;
   *  - shuffle partitions sized to the local core count, not the 200
   *    default (local[32] harness; a real cluster would size this to

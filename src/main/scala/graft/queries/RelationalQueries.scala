@@ -204,6 +204,48 @@ object RelationalQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // TIMESTAMP-native twin of q_time_bucket: tumbling 1h via window()
+    // on the native timestamp column — the form a Spark user writes
+    // first, kept alongside the integer form. Spark's tumbling windows
+    // are epoch-aligned; DuckDB's time_bucket origin (2000-01-03 00:00)
+    // sits on an hour boundary, so 1h buckets coincide. Output is epoch
+    // micros of the window start: integer, hash-stable across engines.
+    "q_time_bucket_ts" -> ((s, d) =>
+      Tables.eventsTs(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          unix_micros(col("window.start").cast("timestamp")).as("bucket_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket_us", "event_type")),
+
+    // TIMESTAMP-native sessionization via session_window(): merge while
+    // gap < 30min (strict — a gap of exactly 30min starts a new session,
+    // unlike q_session_window's integer form which keeps it; both
+    // contracts are pinned by their oracles). end = last event + gap.
+    "q_session_window_ts" -> ((s, d) =>
+      Tables.eventsTs(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start").cast("timestamp"))
+            .as("start_us"),
+          unix_micros(col("session_window.end").cast("timestamp"))
+            .as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")),
+
+    // TIMESTAMP-native calendar rollup: date_trunc to day — calendar
+    // semantics (what BI tools emit), vs the fixed-width arithmetic
+    // buckets above. Integer epoch-micros output for the oracle hash.
+    "q_date_trunc_ts" -> ((s, d) =>
+      Tables.eventsTs(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_micros(col("day_ts").cast("timestamp")).as("day_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("day_us", "event_type")),
+
     // Pivot-style conditional aggregation.
     "q_pivot_counts" -> ((s, d) =>
       Tables.events(s, d)
@@ -1702,6 +1744,33 @@ object RelationalQueries {
         |       min(evm) AS start_ms, max(evm) AS end_ms
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_time_bucket_ts" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_us,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    "q_session_window_ts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS evu FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(evu) OVER w IS NULL
+        |    OR evu - lag(evu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY evu)),
+        |sess AS (
+        |  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY evu
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(evu) AS start_us,
+        |       max(evu) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    "q_date_trunc_ts" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,
