@@ -123,6 +123,11 @@ object PipelineQueries {
     // Signatures via the codegen'd one-pass MinHashSigs expression —
     // no shingle explode/aggregate shuffle; output proven bit-equal to
     // the aggregate path (PipelinePropertySpec) and to the oracle.
+    // THE pinned legacy v1-contract chain (md5('k:'||shingle) family):
+    // every other LSH consumer runs the one-digest v2 family; this one
+    // stays v1 deliberately — migrating it would duplicate dedup_lsh_v2
+    // verbatim, and it is the only oracle gate on the fused v1
+    // signature expression.
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.lshCandidatePairs(Dedup.minhashSignaturesFused(
         Dedup.augmentCorpus(Tables.documents(s, d))))
@@ -155,10 +160,14 @@ object PipelineQueries {
         Dedup.augmentCorpus(Tables.documents(s, d))), sep = "|")
         .orderBy("id_a", "id_b")),
 
+    // Jaccard verification over v2 LSH candidates (one digest per
+    // shingle, no per-candidate-pair cost change: the verify join is
+    // on the shingle table either way).
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = Dedup.shingles(Dedup.augmentCorpus(Tables.documents(s, d)))
-      Dedup.jaccardPairs(sh,
-        Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh)))
+      val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
+      Dedup.jaccardPairs(Dedup.shingles(corpus),
+        Dedup.lshCandidatePairs(Dedup.minhashSignaturesV2(corpus),
+          sep = "|"))
         .filter(col("jaccard") >= 0.5)
         // raw: jaccard is one division of exact intersection/union
         // counts — bit-identical across engines; rounding an int-ratio
@@ -171,10 +180,14 @@ object PipelineQueries {
     // near-duplicates (3 appended tokens) show the signal — the
     // original is FULLY contained (containment_a = 1.0) while Jaccard
     // and containment_b stay below 1.
+    // v2-candidate chain: the fused one-digest signatures replace the
+    // shingle-aggregate v1 signatures (4.8x cheaper at production
+    // width); the containment verify still joins the shingle table.
     "dedup_containment" -> ((s, d) => {
-      val sh = Dedup.shingles(Dedup.augmentCorpus(Tables.documents(s, d)))
-      Dedup.containmentPairs(sh,
-        Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh)))
+      val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
+      Dedup.containmentPairs(Dedup.shingles(corpus),
+        Dedup.lshCandidatePairs(Dedup.minhashSignaturesV2(corpus),
+          sep = "|"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -825,7 +838,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" ->
       s"""WITH $corpusCte,
          |$shinglesCte,
-         |$lshCte,
+         |$lshV2CandCte,
          |szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT c.id_a, c.id_b, count(*) AS n_inter
@@ -924,7 +937,7 @@ object PipelineQueries {
     "dedup_containment" ->
       s"""WITH $corpusCte,
          |$shinglesCte,
-         |$lshCte,
+         |$lshV2CandCte,
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_inter
