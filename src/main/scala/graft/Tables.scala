@@ -61,13 +61,26 @@ object Tables {
       case TimestampType =>
         df.withColumn("ts", col("ts").cast(TimestampNTZType))
       case LongType =>
+        // Integer FLOOR division: `div` truncates toward zero, which for
+        // pre-epoch (negative) nanos rounds up by 1µs and diverges from
+        // DuckDB's epoch_us/TIMESTAMP_NS flooring. Exact integer form (no
+        // double roundoff at nano magnitudes).
         df.withColumn("ts",
-          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+          expr("cast(timestamp_micros(ts div 1000 + " +
+            "(case when ts % 1000 < 0 then -1 else 0 end)) as timestamp_ntz)"))
       case other =>
         throw new IllegalStateException(
           s"events.ts: unsupported physical type $other")
     }
   }
+  /** events with `ts` UNTOUCHED — the physical column as the fixture
+    * wrote it (Long nanos or TIMESTAMP(MICROS)). For time-sliced scans:
+    * a range predicate on [[events]]' normalized `ts` is a derived-
+    * column filter and cannot reach parquet row-group min/max stats;
+    * filter HERE on the physical column (full pushdown), then normalize
+    * the survivors (SCALING.md "Time-sliced scans"). */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -192,31 +192,46 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("x")).as("cmean"))
 
-  /** IVF-style ANN, stage 2: assign each probe to its `nprobe` nearest
-    * centroids (rounded L2² with label tie-break, so ulp-level
-    * summation differences can't flip the argmin/ordering), then search
-    * exact cosine only within those clusters — each probe scans
-    * ~nprobe/k of the corpus. `nprobe` is the standard IVF recall knob:
-    * 1 is the fastest search; raising it recovers the neighbors a
-    * boundary-straddling probe loses to the adjacent cell (PipelineSpec
-    * pins the recall recovery on a clustered fixture). Clusters are
-    * disjoint, so multi-probe candidates never duplicate. */
-  def ivfTopK(vecs: DataFrame, probes: DataFrame, k: Int,
-      nprobe: Int = 1): DataFrame = {
+  /** Shared IVF cell assignment: each probe row of `probeSrc` mapped to
+    * its `nprobe` nearest centroids of `vecs` — rounded L2² with label
+    * tie-break, so ulp-level summation differences can't flip the
+    * argmin/ordering. One helper for both [[ivfTopK]] (external probes)
+    * and [[knnJoin]] (the corpus probes itself) so the two paths cannot
+    * diverge on the determinism contract. Output:
+    * (probe_id, assigned_label). Package-private so PipelineSpec can pin
+    * the candidate-work bound directly: a probe is assigned
+    * min(nprobe, n_cells) cells — over-asking on a corpus with fewer
+    * cells must NOT multiply join work. */
+  private[graft] def assignCells(vecs: DataFrame, probeSrc: DataFrame,
+      nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = centroids(vecs)
-    val probeDims = probes.select(col("vec_id").as("probe_id"),
+    val dims = probeSrc.select(col("vec_id").as("probe_id"),
       posexplode(col("v")).as(Seq("pos", "x")))
-    val d2 = probeDims.join(broadcast(cents), Seq("pos"))
+    val d2 = dims.join(broadcast(cents), Seq("pos"))
       .groupBy(col("probe_id"), col("label"))
       .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
         .as("dist2"))
     val wAssign = Window.partitionBy(col("probe_id"))
       .orderBy(round(col("dist2"), 6).asc, col("label").asc)
-    val assigned = d2.withColumn("rn", row_number().over(wAssign))
+    d2.withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= nprobe)
       .select(col("probe_id"), col("label").as("assigned_label"))
+  }
+
+  /** IVF-style ANN, stage 2: assign each probe to its `nprobe` nearest
+    * centroids ([[assignCells]]), then search exact cosine only within
+    * those clusters — each probe scans ~nprobe/k of the corpus.
+    * `nprobe` is the standard IVF recall knob: 1 is the fastest search;
+    * raising it recovers the neighbors a boundary-straddling probe
+    * loses to the adjacent cell (PipelineSpec pins the recall recovery
+    * on a clustered fixture). Clusters are disjoint, so multi-probe
+    * candidates never duplicate. */
+  def ivfTopK(vecs: DataFrame, probes: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignCells(vecs, probes, nprobe)
     val pb = withNorm(probes).select(col("vec_id").as("probe_id"),
       col("v").as("pv"), col("nrm").as("pnrm"))
     val scored = broadcast(pb.join(assigned, Seq("probe_id")))
@@ -251,19 +266,7 @@ object Similarity {
     * cosine with neighbor-id tie-break — same contract as [[ivfTopK]]. */
   def knnJoin(vecs: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val cents = centroids(vecs)
-    val dims = vecs.select(col("vec_id").as("probe_id"),
-      posexplode(col("v")).as(Seq("pos", "x")))
-    val d2 = dims.join(broadcast(cents), Seq("pos"))
-      .groupBy(col("probe_id"), col("label"))
-      .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
-        .as("dist2"))
-    val wAssign = Window.partitionBy(col("probe_id"))
-      .orderBy(round(col("dist2"), 6).asc, col("label").asc)
-    val assigned = d2.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= nprobe)
-      .select(col("probe_id"), col("label").as("assigned_label"))
+    val assigned = assignCells(vecs, vecs, nprobe)
     // Probe rows re-keyed by their assigned cell(s): corpus-sized, so
     // this join (probe_id) and the cell scan below (cell key) are both
     // shuffle equi-joins — no broadcast anywhere on the corpus path.

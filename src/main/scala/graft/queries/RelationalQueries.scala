@@ -246,6 +246,85 @@ object RelationalQueries {
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("day_us", "event_type")),
 
+    // TIMESTAMP-native twin of q_asof_join: the range predicate and the
+    // recency ranking run directly on the native timestamp column (the
+    // form a Spark user writes first); only the OUTPUT is projected to
+    // epoch micros so the cross-engine hash stays integer. Same
+    // composition as the integer form: equi-key on user + range
+    // predicate on time, most-recent match kept via a ranking window.
+    "q_asof_join_ts" -> ((s, d) => {
+      val ev = Tables.eventsTs(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("err_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+      val w = Window.partitionBy(col("err_id"))
+        .orderBy(col("click_ts").desc, col("click_id").desc)
+      errors
+        .join(clicks, col("user_id") === col("c_user_id") &&
+          col("click_ts") <= col("err_ts"), "left_outer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("err_id"), col("user_id"),
+          unix_micros(col("err_ts").cast("timestamp")).as("err_us"),
+          col("click_id"),
+          unix_micros(col("click_ts").cast("timestamp")).as("click_us"),
+          (unix_micros(col("err_ts").cast("timestamp")) -
+            unix_micros(col("click_ts").cast("timestamp"))).as("gap_us"))
+        .orderBy("err_id")
+    }),
+
+    // TIMESTAMP-native twin of q_cohort_retention: calendar-day cohorts
+    // via date_trunc + datediff — the BI-tool spelling — vs the integer
+    // form's fixed-width hour arithmetic. Both engines day-truncate then
+    // count day offsets, so DST/width concerns cannot arise (NTZ, UTC).
+    "q_cohort_retention_ts" -> ((s, d) => {
+      val ev = Tables.eventsTs(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("day_ts")).as("cohort_ts"))
+      ev.join(first, "user_id")
+        .groupBy(
+          unix_micros(col("cohort_ts").cast("timestamp")).as("cohort_us"),
+          datediff(col("day_ts").cast("date"), col("cohort_ts").cast("date"))
+            .cast("long").as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy("cohort_us", "offset_days")
+    }),
+
+    // TIMESTAMP-native twin of q_gap_fill: hourly grid densified with
+    // sequence() OVER TIMESTAMPS (interval step) instead of integer
+    // generate_series — same latest-wins snap + forward fill. The grid
+    // explode stays bounded by (users × hours), not events.
+    "q_gap_fill_ts" -> ((s, d) => {
+      val ev = Tables.eventsTs(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr_ts"),
+          col("value"), col("event_id"))
+      val wLatest = Window.partitionBy(col("user_id"), col("hr_ts"))
+        .orderBy(col("event_id").desc)
+      val latest = ev.withColumn("rn", row_number().over(wLatest))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("hr_ts"), col("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("hr_ts")).as("h0"), max(col("hr_ts")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+            .as("hr_ts"))
+      val wFill = Window.partitionBy(col("user_id")).orderBy(col("hr_ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(latest, Seq("user_id", "hr_ts"), "left_outer")
+        .withColumn("filled_value", last(col("value"), ignoreNulls = true)
+          .over(wFill))
+        .select(col("user_id"),
+          unix_micros(col("hr_ts").cast("timestamp")).as("hr_us"),
+          col("filled_value"))
+        .orderBy("user_id", "hr_us")
+    }),
+
     // Pivot-style conditional aggregation.
     "q_pivot_counts" -> ((s, d) =>
       Tables.events(s, d)
@@ -1771,6 +1850,56 @@ object RelationalQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
+
+    "q_asof_join_ts" ->
+      """WITH errors AS (
+        |  SELECT event_id AS err_id, user_id, ts AS err_ts
+        |  FROM events WHERE event_type = 'error'),
+        |clicks AS (
+        |  SELECT event_id AS click_id, user_id AS c_user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |joined AS (
+        |  SELECT e.*, c.click_id, c.click_ts,
+        |         row_number() OVER (PARTITION BY e.err_id
+        |           ORDER BY c.click_ts DESC NULLS LAST, c.click_id DESC NULLS LAST) AS rn
+        |  FROM errors e LEFT JOIN clicks c
+        |    ON e.user_id = c.c_user_id AND c.click_ts <= e.err_ts)
+        |SELECT err_id, user_id, epoch_us(err_ts) AS err_us, click_id,
+        |       epoch_us(click_ts) AS click_us,
+        |       epoch_us(err_ts) - epoch_us(click_ts) AS gap_us
+        |FROM joined WHERE rn = 1 ORDER BY err_id""".stripMargin,
+
+    "q_cohort_retention_ts" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day_ts FROM events),
+        |first AS (SELECT user_id, min(day_ts) AS cohort_ts
+        |          FROM ev GROUP BY user_id)
+        |SELECT epoch_us(cohort_ts) AS cohort_us,
+        |  datediff('day', cohort_ts, day_ts) AS offset_days,
+        |  count(DISTINCT user_id) AS users
+        |FROM ev JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_us, offset_days""".stripMargin,
+
+    "q_gap_fill_ts" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr_ts, value, event_id
+        |  FROM events WHERE user_id < 20),
+        |latest AS (
+        |  SELECT user_id, hr_ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, hr_ts
+        |      ORDER BY event_id DESC) AS rn FROM ev)
+        |  WHERE rn = 1),
+        |bounds AS (SELECT user_id, min(hr_ts) AS h0, max(hr_ts) AS h1
+        |           FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr_ts
+        |         FROM bounds)
+        |SELECT user_id, epoch_us(hr_ts) AS hr_us,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hr_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value
+        |FROM grid LEFT JOIN latest USING (user_id, hr_ts)
+        |ORDER BY user_id, hr_us""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

@@ -96,12 +96,28 @@ object StreamingDedup {
   /** The full online chain: `docs` is a STREAMING frame of
     * (doc_id, text); output is the append stream of candidate pairs.
     * Callers must run with the RocksDB state store provider (the
-    * Spark 4 arbitrary-state API requires it). */
+    * Spark 4 arbitrary-state API requires it).
+    *
+    * State-family isolation: the state key is `"<family>:<bucket>"`, not
+    * the bare bucket. The two families generate bucket strings from
+    * DIFFERENT digest chains, so without the tag a v2 run restarted on a
+    * v1-keyed checkpoint would silently read the wrong history —
+    * documents the v1 run had seen would never pair with new arrivals
+    * (their ids live under untagged v1 keys that v2's buckets never
+    * touch), with no error anywhere. With the tag the keyspaces are
+    * disjoint BY CONSTRUCTION: a family switch over an old checkpoint
+    * behaves exactly like a cold start for the new family (old-family
+    * state is inert, never garbage-read), which is the documented
+    * contract — switching family requires re-seeding the corpus through
+    * the new family (SCALING.md "Streaming dedup state families").
+    * StreamingSpec pins this: v1-state + v2-run emits precisely the
+    * v2-cold-start pair set. */
   def candidatePairs(docs: DataFrame, numHashes: Int = 6, bands: Int = 3,
       rowsPerBand: Int = 2, family: String = "v2"): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
     bandedBuckets(docs, numHashes, bands, rowsPerBand, family)
-      .select(col("bucket"), col("doc_id").cast("long"))
+      .select(concat_ws(":", lit(family), col("bucket")).as("bucket"),
+        col("doc_id").cast("long"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .transformWithState(new BucketHistoryProcessor,

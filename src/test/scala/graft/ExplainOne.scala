@@ -2,12 +2,12 @@ package graft
 
 /** Dev probe: formatted plan + exchange count of any SparkEntry query.
   *
-  * sbt> Test/runMain graft.Explain sim_knn_join /root/testdata/sf0.01
+  * sbt> Test/runMain graft.ExplainOne sim_knn_join /root/testdata/sf0.01
   *
   * The exchange count printed is the same executed-plan-string regex
   * ShuffleBudgetSpec audits, so a budget can be read off directly.
   */
-object Explain {
+object ExplainOne {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("sim_knn_join")
     val dataDir =

@@ -241,6 +241,58 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.95, f"single-cell knnJoin recall degraded: $recall%.3f")
   }
 
+  test("knnJoin recall at the SHIPPED config (nprobe=2) is >= 0.95") {
+    // The gated sim_knn_join entry runs nprobe=2 (PipelineQueries) — this
+    // pins the quality bound at that production setting, not only at the
+    // exhaustive (nprobe=8) and fastest (nprobe=1) extremes. Same
+    // 8-center clustered geometry as the tests above.
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = (0 until 8).map(c =>
+      Array.tabulate(dim)(d => if (((c >> (d % 3)) & 1) == 1) 1.0 else -1.0))
+    val rows = for (c <- 0 until 8; i <- 0 until 12) yield
+      (c * 100L + i, c,
+        centers(c).map(x => x + rnd.nextGaussian() * 0.1).toSeq)
+    val vecs = rows.toDF("vec_id", "label", "v")
+    val k = 3
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(vecs.select($"vec_id", $"v"),
+        vecs.select($"vec_id", $"v"), k)
+      .select($"probe_id", $"neighbor_id", $"cos_r", $"rank".as("rnk"))
+    val shipped = graft.operators.Similarity.knnJoin(vecs, k, nprobe = 2)
+    val recall = graft.operators.Similarity.recallAtK(exact, shipped)
+      .agg(avg($"recall")).head.getDouble(0)
+    info(f"knnJoin shipped-config (nprobe=2) recall@$k = $recall%.3f")
+    assert(recall >= 0.95,
+      f"recall at the shipped nprobe=2 config degraded: $recall%.3f")
+  }
+
+  test("knnJoin one-cell corpus: over-asking nprobe can't multiply work") {
+    // Degenerate corpus: every vector in ONE cell. The candidate-work
+    // bound is cellsize × min(nprobe, n_cells) per probe — so at
+    // nprobe=4 the assignment must still emit exactly ONE row per probe
+    // (not 4 duplicate assignments that would quadruple the cell scan),
+    // and the join must equal brute force exactly (one cell ≡
+    // exhaustive).
+    val rnd = new scala.util.Random(9)
+    val n = 20
+    val rows = (0 until n).map(i =>
+      (i.toLong, 0, Array.fill(8)(rnd.nextGaussian()).toSeq))
+    val vecs = rows.toDF("vec_id", "label", "v")
+    val assigned = graft.operators.Similarity.assignCells(vecs, vecs, 4)
+    assert(assigned.count() === n.toLong,
+      "one-cell corpus must yield exactly one assignment per probe")
+    assert(assigned.select($"assigned_label").distinct().count() === 1L)
+    val k = 3
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(vecs.select($"vec_id", $"v"),
+        vecs.select($"vec_id", $"v"), k)
+      .select($"probe_id", $"neighbor_id", $"cos_r", $"rank".as("rnk"))
+    val joined = graft.operators.Similarity.knnJoin(vecs, k, nprobe = 4)
+    assert(joined.collect().toSet === exact.collect().toSet,
+      "one-cell knnJoin must equal brute force bit-for-bit")
+  }
+
   test("multi-probe IVF recovers boundary probes single-probe loses") {
     // Three orthogonal unit centers; probes sit on the A/B bisector, so
     // their exact top-k straddles BOTH clusters. Single-probe search

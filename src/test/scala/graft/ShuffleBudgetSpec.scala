@@ -93,7 +93,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     // round-10 additions (timestamp-native twins)
     "q_time_bucket_ts" -> 2,      // window() agg + output sort
     "q_session_window_ts" -> 2,   // user-key session agg + output sort
-    "q_date_trunc_ts" -> 2)       // calendar agg + output sort
+    "q_date_trunc_ts" -> 2,       // calendar agg + output sort
+    // round-11 additions (timestamp-native twins)
+    "q_asof_join_ts" -> 2,        // user-key shuffle + rank window
+    "q_cohort_retention_ts" -> 4, // first-seen agg + user join + cohort
+                                  // agg + sort (same as integer form)
+    "q_gap_fill_ts" -> 3)         // hourly snap window + grid join + fill
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>

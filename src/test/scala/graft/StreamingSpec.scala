@@ -410,6 +410,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH state families are isolated: v1 checkpoint + v2 restart ≡ v2 cold start") {
+    // The failure mode being pinned away: v1 and v2 generate bucket
+    // strings from different digest chains, so a v2 run restarted on a
+    // v1-keyed RocksDB checkpoint must NOT read v1's bucket history as
+    // its own. With the family tag in the state key the keyspaces are
+    // disjoint by construction, so the v2 run behaves exactly like a
+    // cold start: it emits precisely the v2 pair set over its OWN input
+    // and never a pair against a v1-era document (the cold-start rule
+    // documented in SCALING.md "Streaming dedup state families").
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fam_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fam_out").toString
+    val corpus = Dedup.augmentCorpus(Tables.documents(s, sfDir))
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect()
+    // Even ids through the v1 run, odd through the v2 run: any
+    // cross-family pair would be mixed-parity — instantly detectable.
+    val (b1, b2) = corpus.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String)](s)
+    def start(family: String) = StreamingDedup.candidatePairs(
+        input.toDF().toDF("doc_id", "text"), family = family)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start("v1")
+    try {
+      input.addData(b1.toSeq: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterV1 = s.read.parquet(outDir).as[(Long, Long)].collect().toSet
+    val q2 = start("v2") // SAME checkpoint, switched family
+    try {
+      input.addData(b2.toSeq: _*)
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty,
+        s"family switch over an old checkpoint must not kill the query: ${q2.exception}")
+    } finally q2.stop()
+    val all = s.read.parquet(outDir).as[(Long, Long)].collect().toSet
+    val v2Run = all -- afterV1
+    // No pair may span the two runs' populations.
+    assert(all.forall { case (a, b) => a % 2 == b % 2 },
+      "cross-family pair emitted: v2 run read v1-era state")
+    // The v2 run's emissions are exactly a v2 COLD START over its input.
+    val want = Dedup.lshCandidatePairs(
+        Dedup.minhashSignaturesV2(b2.toSeq.toDF("doc_id", "text")),
+        sep = "|")
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty && v2Run === want,
+      s"v1-state + v2-run (${v2Run.size}) must equal v2 cold start (${want.size})")
+  }
+
   test("watermark dedup drops in-horizon redeliveries across micro-batches") {
     // Same event_id redelivered in the same batch AND in a later batch
     // while still inside the watermark horizon: exactly one row per id
@@ -429,6 +486,55 @@ class StreamingSpec extends SparkSpec {
         .select($"event_id").as[Long].collect().sorted
       assert(ids.toSeq === Seq(1L, 2L, 3L),
         "each id must appear exactly once within the watermark horizon")
+    } finally q.stop()
+  }
+
+  test("native session_window() under readStream matches the batch twin") {
+    // q_session_window_ts's session_window() aggregation, run as a
+    // watermarked streaming query over the same fixture rows fed in two
+    // time-ordered micro-batches, must emit exactly the batch result —
+    // the parity pin the integer q_session_window form has via
+    // sessionize(). Time-ordered split + 10min watermark delay is
+    // merge-safe: a session is only finalized once the watermark passes
+    // its end, and any batch-2 event that could have extended it would
+    // have to be OLDER than the watermark (contradiction with the
+    // ordered split), so no session closes early.
+    val rows = Tables.eventsTs(spark, sfDir)
+      .filter($"user_id" < 10)
+      .select($"user_id".cast("long"), $"ts".cast("timestamp"))
+      .as[(Long, Timestamp)].collect().sortBy(_._2.getTime)
+    assert(rows.length > 20, "fixture slice too small to exercise sessions")
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    // Far-future sentinel advances the watermark past every real
+    // session's end so append mode flushes them all; its own (open)
+    // session is excluded from the comparison.
+    val sentinel = (999999L,
+      new Timestamp(rows.last._2.getTime + 3L * 3600 * 1000))
+    def sessionize(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_micros($"session_window.start").as("start_us"),
+        unix_micros($"session_window.end").as("end_us"), $"n_events")
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val q = sessionize(
+        input.toDF().toDF("user_id", "ts").withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("sess_ts_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq :+ sentinel: _*)
+      q.processAllAvailable()
+      val got = spark.table("sess_ts_out")
+        .filter($"user_id" =!= 999999L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = sessionize(
+          rows.toSeq.toDF("user_id", "ts"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(want.size > 1, "fixture must produce multiple sessions")
+      assert(got === want,
+        s"streamed session set (${got.size}) must equal batch (${want.size})")
     } finally q.stop()
   }
 
