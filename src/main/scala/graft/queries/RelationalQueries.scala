@@ -325,6 +325,31 @@ object RelationalQueries {
         .orderBy("user_id", "hr_us")
     }),
 
+    // Time-sliced scan done RIGHT for parquet pruning: the range
+    // predicate binds to the PHYSICAL ts column (Tables.eventsRaw), so
+    // it reaches parquet row-group min/max stats and prunes whole row
+    // groups — a filter on the normalized (derived) ts never can
+    // (SCALING.md "Time-sliced scans"). The literal bound is cast to
+    // the column's own type (constant-folded), keeping the COLUMN
+    // uncast and therefore pushable; the legacy nanos-Long fixture
+    // branch compares raw nanos. PlanInvariantsSpec pins PushedFilters
+    // on ts. One week of the 30-day fixture.
+    "q_time_slice" -> ((s, d) => {
+      val raw = Tables.eventsRaw(s, d)
+      val sliced = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.filter(col("ts") >= lit(1704672000000000000L) &&
+            col("ts") < lit(1705276800000000000L))
+        case dt =>
+          raw.filter(
+            col("ts") >= lit("2024-01-08 00:00:00").cast(dt) &&
+              col("ts") < lit("2024-01-15 00:00:00").cast(dt))
+      }
+      sliced.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Pivot-style conditional aggregation.
     "q_pivot_counts" -> ((s, d) =>
       Tables.events(s, d)
@@ -1850,6 +1875,14 @@ object RelationalQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
+
+    "q_time_slice" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_asof_join_ts" ->
       """WITH errors AS (

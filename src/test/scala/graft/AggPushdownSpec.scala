@@ -30,4 +30,38 @@ class AggPushdownSpec extends SparkSpec {
       s"aggregate not pushed to the parquet scan:\n${plan.take(800)}")
     assert(q.collect()(0) === expected)
   }
+
+  test("time-slice range predicate reaches the parquet scan on the raw ts") {
+    // q_time_slice filters the PHYSICAL ts column (Tables.eventsRaw), so
+    // the range predicate must appear in PushedFilters — row-group
+    // min/max pruning at 100 TB. The contrast half pins the caveat
+    // SCALING.md documents: the same slice through Tables.events'
+    // NORMALIZED (derived) ts column cannot push.
+    // Specifically the RANGE predicates — IsNotNull(ts) still pushes
+    // through the derived column (null-implication survives the
+    // rewrite); range pruning is what the raw-column pattern buys.
+    val tsRe =
+      "PushedFilters: \\[[^\\]]*(GreaterThanOrEqual|LessThan)\\(ts".r
+    val q = SparkEntry.queries("q_time_slice")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(tsRe.findFirstIn(plan).isDefined,
+      s"ts range filter not pushed to the parquet scan:\n${plan.take(1200)}")
+    val totalSliced = q.agg(sum(col("n"))).collect()(0).getLong(0)
+    // Equivalent slice on the normalized nanos-Long contract column.
+    val norm = Tables.events(spark, sfDir)
+      .filter(col("ts") >= 1704672000000000000L &&
+        col("ts") < 1705276800000000000L)
+    assert(norm.count() === totalSliced,
+      "raw-column slice and normalized-column slice must select the same rows")
+    // On the TIMESTAMP fixture generation the normalized column is
+    // derived, so its filter must NOT reach the scan (on the legacy
+    // nanos-Long generation events IS the raw column and pushes — skip).
+    if (Tables.eventsRaw(spark, sfDir).schema("ts").dataType !=
+        org.apache.spark.sql.types.LongType) {
+      val nplan = norm.queryExecution.executedPlan.toString
+      assert(tsRe.findFirstIn(nplan).isEmpty,
+        "derived-column filter unexpectedly pushed — update SCALING.md's " +
+          "time-sliced-scan guidance if Spark learned to invert the rewrite")
+    }
+  }
 }

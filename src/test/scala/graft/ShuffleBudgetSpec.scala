@@ -98,7 +98,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_asof_join_ts" -> 2,        // user-key shuffle + rank window
     "q_cohort_retention_ts" -> 4, // first-seen agg + user join + cohort
                                   // agg + sort (same as integer form)
-    "q_gap_fill_ts" -> 3)         // hourly snap window + grid join + fill
+    "q_gap_fill_ts" -> 3,         // hourly snap window + grid join + fill
+    "q_time_slice" -> 2)          // pruned scan + agg + output sort
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
