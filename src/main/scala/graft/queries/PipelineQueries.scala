@@ -223,6 +223,27 @@ object PipelineQueries {
         Similarity.augmentVectors(Tables.embeddings(s, d)), 0.8)
         .orderBy("vec_id")),
 
+    // The full semantic-dedup canonicalization chain a production
+    // embedding pipeline runs end-to-end: cosine near-dup pairs
+    // (label-blocked, quadratic only within a cluster) → connected
+    // components over the pair graph → one canonical representative
+    // (minimum id) per cluster for EVERY vector. Unlike
+    // [[Similarity.semanticDedup]]'s single-pass lowest-id-wins drop,
+    // the component closure keeps exactly one doc per TRANSITIVE
+    // cluster — chains A~B~C collapse to one survivor, not two. Same
+    // scale shape as dedup_components: the label table (only vectors
+    // in some dup pair) broadcasts back over the corpus.
+    "dedup_semantic_components" -> ((s, d) => {
+      val vecs = Similarity.augmentVectors(Tables.embeddings(s, d))
+      val pairs = Similarity.cosineDupPairs(vecs, 0.8)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.ConnectedComponents.canonicalize(
+          vecs.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("component"),
+          col("is_canonical"))
+        .orderBy("vec_id")
+    }),
+
     // Cosine radius search: all corpus neighbors within τ=0.2 of each
     // probe — broadcast probes, map-side threshold filter, zero
     // shuffles, no per-probe state.
@@ -984,6 +1005,28 @@ object PipelineQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_semantic_components" ->
+      s"""WITH RECURSIVE $vecsCte,
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM vecs a JOIN vecs b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (
+         |  SELECT u AS vec_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u)
+         |SELECT v.vec_id, coalesce(p.component, v.vec_id) AS component,
+         |       coalesce(p.component, v.vec_id) = v.vec_id AS is_canonical
+         |FROM vecs v LEFT JOIN comp p ON v.vec_id = p.vec_id
+         |ORDER BY v.vec_id""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH $vecsCte,

@@ -353,6 +353,35 @@ class PipelineSpec extends SparkSpec {
     assert(ml >= 0.125, f"LSH below 2x its bucket fraction: $ml%.3f")
   }
 
+  test("semantic components collapse hub-linked clusters SemDeDup keeps apart") {
+    // A at 0°, B at 60°, hub C at 30° (2-D unit vectors, one label):
+    // cos(A,C) = cos(B,C) = cos 30° ≈ 0.866 ≥ 0.8 but
+    // cos(A,B) = cos 60° = 0.5 < 0.8. Single-pass SemDeDup drops only
+    // the pair-wise id_b (C) and keeps BOTH A and B; the component
+    // closure links A—C—B transitively and elects ONE canonical (A).
+    // This is the semantic difference dedup_semantic_components exists
+    // to provide — pin it so a refactor can't silently equate the two.
+    import math.{Pi, cos, sin}
+    val vecs = Seq(
+      (1L, 0, Seq(1.0, 0.0)),
+      (2L, 0, Seq(cos(Pi / 3), sin(Pi / 3))),
+      (3L, 0, Seq(cos(Pi / 6), sin(Pi / 6))))
+      .toDF("vec_id", "label", "v")
+    val pairs = Similarity.cosineDupPairs(vecs, 0.8)
+    assert(pairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      === Set((1L, 3L), (2L, 3L)))
+    val semSurvivors = Similarity.semanticDedup(vecs, 0.8)
+      .filter(!$"dropped").select($"vec_id").as[Long].collect().toSet
+    assert(semSurvivors === Set(1L, 2L),
+      "SemDeDup's single pass must keep both spokes of the hub")
+    val canonical = graft.operators.ConnectedComponents.canonicalize(
+        vecs.select($"vec_id".as("doc_id")),
+        pairs.select($"id_a", $"id_b"))
+      .filter($"is_canonical").select($"doc_id").as[Long].collect().toSet
+    assert(canonical === Set(1L),
+      "the transitive closure must collapse the hub cluster to one doc")
+  }
+
   test("semanticDedup drops every injected exact duplicate, keeps originals") {
     val vecs = Similarity.augmentVectors(Tables.embeddings(spark, sfDir))
     val out = Similarity.semanticDedup(vecs, 0.99)
