@@ -245,7 +245,24 @@ object Dedup {
     * where a single buffer starts to matter in a few-hundred-MiB task. */
   def lshCandidatePairsSkewGuarded(sigs: DataFrame,
       bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
-      maxBucket: Int = 1 << 20, sep: String = ""): DataFrame = {
+      maxBucket: Int = 1 << 20, sep: String = ""): DataFrame =
+    saltedBucketPairs(
+      sigs.select(col("doc_id"),
+        bandBuckets(bands, rowsPerBand, sep).as("bucket")),
+      maxBucket)
+
+  /** The skew-guarded in-bucket pair expansion, factored over ANY
+    * (doc_id, bucket) blocking — LSH band buckets, embedding cluster
+    * labels ([[Similarity.cosineDupPairsGuarded]]), or any other
+    * blocking key. Buckets up to `maxBucket` expand through a bounded
+    * collect_set buffer; oversized buckets split into
+    * ceil(bsize/maxBucket) hash salts, with within-salt expansion plus
+    * a salt-ordered self-join for cross-salt pairs — the complete pair
+    * set, spread over salt² tasks instead of one. Output is the
+    * DISTINCT (id_a < id_b) pair set, bit-identical to the unguarded
+    * expansion at any maxBucket. */
+  private[graft] def saltedBucketPairs(bucketed: DataFrame,
+      maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val pairExpand =
       """flatten(transform(ids, (a, i) ->
@@ -257,8 +274,7 @@ object Dedup {
         .filter(size(col("ids")) > 1)
         .select(explode(expr(pairExpand)).as("p"))
         .select(col("p.id_a"), col("p.id_b"))
-    val sized = sigs
-      .select(col("doc_id"), bandBuckets(bands, rowsPerBand, sep).as("bucket"))
+    val sized = bucketed
       .withColumn("bsize", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
     val normalPairs = expand(

@@ -65,6 +65,37 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Skew-guarded [[cosineDupPairs]]: identical output, different
+    * worst-case shape. The plain variant's label-blocked self-join is
+    * quadratic WITHIN a label — fine for balanced clusters, but at
+    * 100 TB one mega-cluster (a boilerplate blob, a near-constant
+    * embedding) funnels its n² pairs through the tasks holding that
+    * label. Here the in-label pair GENERATION goes through the same
+    * salted expansion the LSH chain uses ([[Dedup.saltedBucketPairs]]
+    * with label as the bucket): oversized labels split into hash salts
+    * so no task materializes more than ~maxLabel ids, then each
+    * candidate pair fetches its two vectors back by id (two
+    * co-partitioned hash joins) and scores exact cosine. Operand order
+    * (id_a's vector left) matches the unguarded join, so the doubles —
+    * and the oracle hash — are bit-identical. */
+  def cosineDupPairsGuarded(vecs: DataFrame, threshold: Double,
+      maxLabel: Int = 1 << 20): DataFrame = {
+    val cand = Dedup.saltedBucketPairs(
+      vecs.select(col("vec_id").as("doc_id"),
+        col("label").cast("string").as("bucket")),
+      maxLabel)
+    val vn = withNorm(vecs).select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(vn.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(vn.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus, then within each cluster
     * drop every vector whose cosine to a lower-id cluster-mate meets

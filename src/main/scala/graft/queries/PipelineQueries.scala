@@ -214,6 +214,16 @@ object PipelineQueries {
         Similarity.augmentVectors(Tables.embeddings(s, d)), 0.8)
         .orderBy("id_a", "id_b")),
 
+    // Skew-guarded twin of dedup_embed_cosine, gated at the WORST case
+    // (maxLabel = 2: every label oversized, fully salted) against the
+    // UNGUARDED oracle SQL — the same adversarial pinning
+    // dedup_lsh_skew_guarded uses. Output must be bit-identical.
+    "dedup_embed_cosine_guarded" -> ((s, d) =>
+      Similarity.cosineDupPairsGuarded(
+        Similarity.augmentVectors(Tables.embeddings(s, d)), 0.8,
+        maxLabel = 2)
+        .orderBy("id_a", "id_b")),
+
     // SemDeDup over the augmented corpus: per-cluster cosine pairs →
     // lowest-id-wins drop decision for every vector. The injected exact
     // duplicates (cos == 1.0) are provably dropped; near-dups within a
@@ -998,6 +1008,15 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embed_cosine" ->
+      s"""WITH $vecsCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${cosSql("a.v", "b.v")}, 4) AS cos_r
+         |FROM vecs a JOIN vecs b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embed_cosine_guarded" ->
       s"""WITH $vecsCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       round(${cosSql("a.v", "b.v")}, 4) AS cos_r

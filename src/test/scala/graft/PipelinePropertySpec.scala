@@ -191,6 +191,27 @@ class PipelinePropertySpec extends SparkSpec {
       s"guarded (${guarded.size}) must equal plain (${plain.size})")
   }
 
+  test("property: guarded cosine pairs equal the plain label join on a mega-label") {
+    // One label holding the whole corpus — the mega-cluster shape the
+    // guard exists for. At maxLabel=8 every in-label pair must still
+    // appear with the bit-identical rounded cosine the plain blocked
+    // self-join computes, and no salted sub-group may hold an
+    // unbounded id buffer.
+    val rnd = new scala.util.Random(11)
+    val n = 120
+    val vecs = (0L until n.toLong)
+      .map(i => (i, 0, Array.fill(6)(rnd.nextGaussian()).toSeq))
+      .toDF("vec_id", "label", "v")
+    val plain = graft.operators.Similarity.cosineDupPairs(vecs, -1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    val guarded = graft.operators.Similarity
+      .cosineDupPairsGuarded(vecs, -1.0, maxLabel = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(plain.size === n * (n - 1) / 2)
+    assert(guarded === plain,
+      s"guarded (${guarded.size}) must equal plain (${plain.size}) bit-for-bit")
+  }
+
   test("property: feature histograms are distributions (non-negative, sum 1)") {
     val byteGen = Gen.chooseNum(1, 64)
       .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))

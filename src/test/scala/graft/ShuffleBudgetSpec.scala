@@ -99,7 +99,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_cohort_retention_ts" -> 4, // first-seen agg + user join + cohort
                                   // agg + sort (same as integer form)
     "q_gap_fill_ts" -> 3,         // hourly snap window + grid join + fill
-    "q_time_slice" -> 2)          // pruned scan + agg + output sort
+    "q_time_slice" -> 2,          // pruned scan + agg + output sort
+    "dedup_embed_cosine_guarded" -> 6) // salted expansion (bucket window
+                                  // + 2 expand groupings + cross-salt
+                                  // join) + pair distinct + id-join sort
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
