@@ -124,4 +124,33 @@ object StreamingDedup {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** Online EMBEDDING near-dup candidates — the same bucket-history
+    * machinery applied to the vector modality: each arriving vector
+    * (vec_id, v: array<double>) is bucketed by its sign-LSH key
+    * ([[graft.operators.Similarity.signBucket]], a narrow per-row
+    * projection — streaming-safe exactly like the text signature
+    * chain) and pairs with every earlier same-bucket member held in
+    * RocksDB ListState. State family `"emb<bits>"` keeps this keyspace
+    * disjoint from the text families (and from itself at a different
+    * `bits` — re-bucketing is a cold start, same rule as a text family
+    * switch). Output pairs are CANDIDATES, identical in aggregate to
+    * the batch sign-bucket expansion over the union of batches
+    * (StreamingSpec pins the parity); score exact cosine downstream on
+    * the candidate set — the vectors themselves never enter state, so
+    * state stays 8 bytes per (vector, bucket) at any dimensionality. */
+  def embedCandidatePairs(vecs: DataFrame, bits: Int = 8)
+      : Dataset[(Long, Long)] = {
+    import vecs.sparkSession.implicits._
+    vecs
+      .select(concat_ws(":", lit(s"emb$bits"),
+          graft.operators.Similarity.signBucket(col("v"), bits))
+        .as("bucket"),
+        col("vec_id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new BucketHistoryProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -410,6 +410,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding candidates equal the batch sign-bucket expansion") {
+    // The vector-modality analog of the text parity pin: vectors fed in
+    // two micro-batches through the sign-LSH bucket history must emit
+    // exactly the batch in-bucket pair set over the full corpus —
+    // in-batch and cross-batch pairs both, candidates only (cosine
+    // scoring happens downstream of the state, vectors never enter it).
+    import graft.operators.{Dedup, Similarity}
+    import graft.streaming.StreamingDedup
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val bits = 4
+    val corpus = Similarity.augmentVectors(Tables.embeddings(s, sfDir))
+      .select($"vec_id", $"v").as[(Long, Seq[Double])].collect()
+    val (b1, b2) = corpus.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, Seq[Double])](s)
+    val q = StreamingDedup.embedCandidatePairs(
+        input.toDF().toDF("vec_id", "v"), bits)
+      .writeStream.format("memory").queryName("sembed_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = s.table("sembed_out").as[(Long, Long)].collect().toSet
+      val want = Dedup.saltedBucketPairs(
+          corpus.toSeq.toDF("vec_id", "v")
+            .select($"vec_id".as("doc_id"),
+              Similarity.signBucket($"v", bits).as("bucket")),
+          maxBucket = 1 << 20)
+        .as[(Long, Long)].collect().toSet
+      assert(want.nonEmpty && got === want,
+        s"streaming embed candidates (${got.size}) must equal batch (${want.size})")
+    } finally q.stop()
+  }
+
   test("streaming LSH state families are isolated: v1 checkpoint + v2 restart ≡ v2 cold start") {
     // The failure mode being pinned away: v1 and v2 generate bucket
     // strings from different digest chains, so a v2 run restarted on a
