@@ -234,6 +234,15 @@ object Similarity {
     * min(nprobe, n_cells) cells — over-asking on a corpus with fewer
     * cells must NOT multiply join work. */
   private[graft] def assignCells(vecs: DataFrame, probeSrc: DataFrame,
+      nprobe: Int): DataFrame =
+    assignCellsRanked(vecs, probeSrc, nprobe)
+      .select(col("probe_id"), col("assigned_label"))
+
+  /** [[assignCells]] with the assignment rank retained — rank 1 is the
+    * vector's OWN nearest cell (its IVF index cell), ranks 2..nprobe
+    * the multi-probe expansion. One d2 aggregation serves both sides
+    * of [[knnJoinIndexed]]. */
+  private[graft] def assignCellsRanked(vecs: DataFrame, probeSrc: DataFrame,
       nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
@@ -248,7 +257,7 @@ object Similarity {
       .orderBy(round(col("dist2"), 6).asc, col("label").asc)
     d2.withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= nprobe)
-      .select(col("probe_id"), col("label").as("assigned_label"))
+      .select(col("probe_id"), col("label").as("assigned_label"), col("rn"))
   }
 
   /** IVF-style ANN, stage 2: assign each probe to its `nprobe` nearest
@@ -307,6 +316,45 @@ object Similarity {
     val scored = pb
       .join(withNorm(vecs),
         col("assigned_label") === col("label") &&
+          col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** SELF-INDEXED k-NN join — [[knnJoin]] with the corpus side blocked
+    * by each vector's OWN nearest centroid (its IVF index cell, the
+    * assignment rank-1 row) instead of its metadata label. This is the
+    * textbook IVF shape: vectors are indexed where the quantizer puts
+    * them, so a probe's nprobe nearest cells always INCLUDE its own
+    * index cell — an exact duplicate (identical vector ⇒ identical
+    * ranked assignment) is therefore found at ANY nprobe, a guarantee
+    * the label-blocked [[knnJoin]] cannot make when labels and
+    * quantizer geometry disagree (on the structureless fixture a
+    * vector's nearest centroid is usually NOT its label's). Use this
+    * for duplicate DETECTION; use the label-blocked form when the
+    * labels themselves are the trusted clustering. One
+    * [[assignCellsRanked]] aggregation serves both sides. */
+  def knnJoinIndexed(vecs: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = assignCellsRanked(vecs, vecs, nprobe)
+    val probeCells = ranked.select(col("probe_id"), col("assigned_label"))
+    val indexCells = ranked.filter(col("rn") === 1)
+      .select(col("probe_id").as("corpus_id"),
+        col("assigned_label").as("cell"))
+    val pb = withNorm(vecs).select(col("vec_id").as("probe_id"),
+      col("v").as("pv"), col("nrm").as("pnrm"))
+      .join(probeCells, Seq("probe_id"))
+    val corpus = withNorm(vecs)
+      .join(indexCells, col("vec_id") === col("corpus_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val scored = pb
+      .join(corpus,
+        col("assigned_label") === col("cell") &&
           col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"),
         col("vec_id").as("neighbor_id"),

@@ -254,6 +254,31 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // Label-free semantic dedup: when no cluster labels exist (the
+    // usual 100 TB case), the pair generator is the SELF-INDEXED k-NN
+    // join — corpus blocked by each vector's own nearest centroid, so
+    // an exact duplicate (identical vector ⇒ identical index cell ⊆
+    // the probe's cells) is found at ANY nprobe; the quadratic term
+    // lives inside quantizer cells, never n². Thresholded to near-dup
+    // edges, closed into components, one canonical per cluster: the
+    // τ=0.99 edge set here is exactly the injected duplicate pairs
+    // (PipelineSpec pins that end-to-end). Edges normalized
+    // least/greatest + distinct: the k-NN relation is directed and may
+    // or may not be mutual.
+    "dedup_knn_components" -> ((s, d) => {
+      val vecs = Similarity.augmentVectors(Tables.embeddings(s, d))
+      val pairs = Similarity.knnJoinIndexed(vecs, 3, nprobe = 2)
+        .filter(col("cos_r") >= 0.99)
+        .select(least(col("probe_id"), col("neighbor_id")).as("id_a"),
+          greatest(col("probe_id"), col("neighbor_id")).as("id_b"))
+        .distinct()
+      graft.operators.ConnectedComponents.canonicalize(
+          vecs.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("component"),
+          col("is_canonical"))
+        .orderBy("vec_id")
+    }),
+
     // Cosine radius search: all corpus neighbors within τ=0.2 of each
     // probe — broadcast probes, map-side threshold filter, zero
     // shuffles, no per-probe state.
@@ -1024,6 +1049,54 @@ object PipelineQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_knn_components" ->
+      s"""WITH RECURSIVE $vecsCte,
+         |dims AS (
+         |  SELECT vec_id, label, unnest(v) AS x,
+         |         unnest(generate_series(1, len(v))) AS pos
+         |  FROM vecs),
+         |cents AS (
+         |  SELECT label, pos, avg(x) AS cmean FROM dims GROUP BY label, pos),
+         |d2 AS (
+         |  SELECT d.vec_id AS probe_id, c.label, sum((x - cmean) * (x - cmean)) AS dist2
+         |  FROM dims d JOIN cents c USING (pos) GROUP BY d.vec_id, c.label),
+         |ranked_cells AS (
+         |  SELECT probe_id, label AS assigned_label, rn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY round(dist2, 6), label) AS rn FROM d2)),
+         |assigned AS (
+         |  SELECT probe_id, assigned_label FROM ranked_cells WHERE rn <= 2),
+         |idx AS (
+         |  SELECT probe_id AS corpus_id, assigned_label AS cell
+         |  FROM ranked_cells WHERE rn = 1),
+         |scored AS (
+         |  SELECT a.probe_id, o.vec_id AS neighbor_id,
+         |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+         |  FROM assigned a JOIN vecs p ON p.vec_id = a.probe_id
+         |  JOIN idx i ON i.cell = a.assigned_label
+         |  JOIN vecs o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored),
+         |pairs AS (
+         |  SELECT DISTINCT least(probe_id, neighbor_id) AS id_a,
+         |                  greatest(probe_id, neighbor_id) AS id_b
+         |  FROM ranked WHERE rnk <= 3 AND cos_r >= 0.99),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (
+         |  SELECT u AS vec_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u)
+         |SELECT vv.vec_id, coalesce(p.component, vv.vec_id) AS component,
+         |       coalesce(p.component, vv.vec_id) = vv.vec_id AS is_canonical
+         |FROM vecs vv LEFT JOIN comp p ON vv.vec_id = p.vec_id
+         |ORDER BY vv.vec_id""".stripMargin,
 
     "dedup_semantic_components" ->
       s"""WITH RECURSIVE $vecsCte,

@@ -382,6 +382,25 @@ class PipelineSpec extends SparkSpec {
       "the transitive closure must collapse the hub cluster to one doc")
   }
 
+  test("knn-join components resolve every injected duplicate to its original") {
+    // dedup_knn_components end-to-end semantics: with the augmented
+    // corpus (every 10th vector copied at vec_id+100000), the k-NN
+    // join at τ=0.99 finds exactly the copy edges, so every copy must
+    // land non-canonical with component = its original, and every
+    // other vector must be its own canonical singleton.
+    val out = SparkEntry.queries("dedup_knn_components")(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    val copies = out.filter(_._1 >= 100000L)
+    assert(copies.nonEmpty)
+    assert(copies.forall { case (id, comp, canon) =>
+      comp === id - 100000L && !canon },
+      "every injected copy must resolve to its original, non-canonical")
+    assert(out.filter(_._1 < 100000L).forall { case (id, comp, canon) =>
+      comp === id && canon },
+      "unduplicated vectors must be their own canonical")
+  }
+
   test("semanticDedup drops every injected exact duplicate, keeps originals") {
     val vecs = Similarity.augmentVectors(Tables.embeddings(spark, sfDir))
     val out = Similarity.semanticDedup(vecs, 0.99)
