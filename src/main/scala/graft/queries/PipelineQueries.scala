@@ -337,6 +337,14 @@ object PipelineQueries {
         Similarity.vectors(Tables.embeddings(s, d)), 3, nprobe = 2)
         .orderBy("probe_id", "rnk")),
 
+    // Self-indexed twin of sim_knn_join (corpus blocked by its own
+    // nearest centroid, not its label) — the dedup-grade variant with
+    // the exact-duplicate guarantee; see [[Similarity.knnJoinIndexed]].
+    "sim_knn_join_indexed" -> ((s, d) =>
+      Similarity.knnJoinIndexed(
+        Similarity.vectors(Tables.embeddings(s, d)), 3, nprobe = 2)
+        .orderBy("probe_id", "rnk")),
+
     // Brute-force ANN through the custom TopKPerKey physical operator
     // (bounded per-probe heaps instead of a ranking window sort) —
     // same scoring expression, same determinism contract (rounded
@@ -1381,6 +1389,39 @@ object PipelineQueries {
          |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
          |  FROM assigned a JOIN vecsl p ON p.vec_id = a.probe_id
          |  JOIN vecsl o ON o.label = a.assigned_label AND o.vec_id <> a.probe_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
+         |SELECT probe_id, neighbor_id, cos_r, rnk
+         |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    "sim_knn_join_indexed" ->
+      s"""WITH vecsl AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |dims AS (
+         |  SELECT vec_id, label, unnest(v) AS x,
+         |         unnest(generate_series(1, len(v))) AS pos
+         |  FROM vecsl),
+         |cents AS (
+         |  SELECT label, pos, avg(x) AS cmean FROM dims GROUP BY label, pos),
+         |d2 AS (
+         |  SELECT d.vec_id AS probe_id, c.label, sum((x - cmean) * (x - cmean)) AS dist2
+         |  FROM dims d JOIN cents c USING (pos) GROUP BY d.vec_id, c.label),
+         |ranked_cells AS (
+         |  SELECT probe_id, label AS assigned_label, rn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY round(dist2, 6), label) AS rn FROM d2)),
+         |assigned AS (
+         |  SELECT probe_id, assigned_label FROM ranked_cells WHERE rn <= 2),
+         |idx AS (
+         |  SELECT probe_id AS corpus_id, assigned_label AS cell
+         |  FROM ranked_cells WHERE rn = 1),
+         |scored AS (
+         |  SELECT a.probe_id, o.vec_id AS neighbor_id,
+         |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+         |  FROM assigned a JOIN vecsl p ON p.vec_id = a.probe_id
+         |  JOIN idx i ON i.cell = a.assigned_label
+         |  JOIN vecsl o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)

@@ -267,6 +267,38 @@ class PipelineSpec extends SparkSpec {
       f"recall at the shipped nprobe=2 config degraded: $recall%.3f")
   }
 
+  test("knnJoinIndexed: recall at nprobe=2, and exhaustive probing equals brute force") {
+    // Same clustered geometry as the knnJoin tests: at nprobe=8 (every
+    // cell probed) the self-indexed blocking is exhaustive, so the join
+    // equals brute force exactly; at the shipped nprobe=2 the recall
+    // bound matches the label-blocked form (labels == geometric
+    // clusters here, so index cells and labels coincide — the variants
+    // differ only where metadata and geometry disagree).
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = (0 until 8).map(c =>
+      Array.tabulate(dim)(d => if (((c >> (d % 3)) & 1) == 1) 1.0 else -1.0))
+    val rows = for (c <- 0 until 8; i <- 0 until 12) yield
+      (c * 100L + i, c,
+        centers(c).map(x => x + rnd.nextGaussian() * 0.1).toSeq)
+    val vecs = rows.toDF("vec_id", "label", "v")
+    val k = 3
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(vecs.select($"vec_id", $"v"),
+        vecs.select($"vec_id", $"v"), k)
+      .select($"probe_id", $"neighbor_id", $"cos_r", $"rank".as("rnk"))
+    val exhaustive = graft.operators.Similarity
+      .knnJoinIndexed(vecs, k, nprobe = 8)
+    assert(exhaustive.collect().toSet === exact.collect().toSet,
+      "knnJoinIndexed at nprobe=all-cells must equal brute force bit-for-bit")
+    val shipped = graft.operators.Similarity.knnJoinIndexed(vecs, k, nprobe = 2)
+    val recall = graft.operators.Similarity.recallAtK(exact, shipped)
+      .agg(avg($"recall")).head.getDouble(0)
+    info(f"knnJoinIndexed recall@$k at nprobe=2 = $recall%.3f")
+    assert(recall >= 0.95,
+      f"self-indexed recall at nprobe=2 degraded: $recall%.3f")
+  }
+
   test("knnJoin one-cell corpus: over-asking nprobe can't multiply work") {
     // Degenerate corpus: every vector in ONE cell. The candidate-work
     // bound is cellsize × min(nprobe, n_cells) per probe — so at

@@ -100,9 +100,14 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // agg + sort (same as integer form)
     "q_gap_fill_ts" -> 3,         // hourly snap window + grid join + fill
     "q_time_slice" -> 2,          // pruned scan + agg + output sort
-    "dedup_embed_cosine_guarded" -> 6) // salted expansion (bucket window
+    "dedup_embed_cosine_guarded" -> 6, // salted expansion (bucket window
                                   // + 2 expand groupings + cross-salt
                                   // join) + pair distinct + id-join sort
+    "sim_knn_join_indexed" -> 10) // the ranked-assignment exchange
+                                  // prints once per consuming branch
+                                  // (probe cells + index cells;
+                                  // ReuseExchange dedups at runtime)
+                                  // + cell join + top-k window + sort
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
