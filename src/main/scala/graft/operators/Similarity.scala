@@ -547,6 +547,54 @@ object Similarity {
         (col("hits").cast("double") / col("n_exact")).as("recall"))
   }
 
+  /** Full label-free quantizer training: hash-seeded, fixed-iteration
+    * Lloyd's k-means, the trainer the IVF comments promise ("a
+    * production run k-means first"). Seeds come from the engine-portable
+    * md5 bucket ([[graft.operators.Sampling.hashBucket]] — no rand(),
+    * identical under retries and across engines), then `iters` unrolled
+    * rounds of assign-to-nearest (L2², 6-dp-rounded distance with cid
+    * tie-break, the same determinism contract as [[assignCellsRanked]])
+    * and exact-DECIMAL mean recomputation rounded to 6 dp — rounding
+    * each round re-synchronizes any ulp drift, so the whole trajectory
+    * is bit-reproducible against a sequential SQL replay. Works fully
+    * EXPLODED (cid, pos, cmean): no collect_list, no driver-side
+    * centroid state; per round one broadcast of k×dim means + one
+    * (vec, cid) aggregation + one means aggregation. A cluster that
+    * loses every member simply drops out (deterministic on both
+    * engines). Output: (cid, dim, n, cmean) with 1-based dim. */
+  def kmeansTrain(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val dims = vecs.select(col("vec_id"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    def means(assigned: DataFrame): DataFrame =
+      dims.join(assigned, "vec_id")
+        .groupBy(col("cid"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,18)")).as("sx"))
+        .select(col("cid"), col("pos"), col("n"),
+          round(col("sx").cast("double") / col("n"), 6).as("cmean"))
+    var cents = means(vecs.select(col("vec_id"),
+      graft.operators.Sampling.hashBucket(col("vec_id"), k).as("cid")))
+    for (_ <- 1 to iters) {
+      val d2 = dims
+        .join(broadcast(cents.select(col("cid"), col("pos"), col("cmean"))),
+          Seq("pos"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
+          .as("dist2"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(round(col("dist2"), 6).asc, col("cid").asc)
+      val assigned = d2.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      cents = means(assigned)
+    }
+    cents.select(col("cid"), (col("pos") + 1).as("dim"), col("n"),
+      col("cmean"))
+  }
+
   def kmeansUpdateStep(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = broadcast(withNorm(centroids)

@@ -403,6 +403,18 @@ object PipelineQueries {
         .orderBy("cid", "dim")
     }),
 
+    // Full quantizer training: hash-seeded Lloyd's k-means, TWO
+    // unrolled rounds — the label-free IVF cell builder. Every round's
+    // means round to 6 dp from exact decimal sums, so the whole
+    // trajectory (seed → assign → means → assign → means) is
+    // bit-reproducible against the oracle's sequential replay.
+    "sim_kmeans_train" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+        .orderBy("cid", "dim")
+    }),
+
     "sim_lsh_topk" -> ((s, d) => {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"))
@@ -1264,6 +1276,46 @@ object PipelineQueries {
          |SELECT cid, dim, count(*) AS n,
          |  round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mean_r
          |FROM expl GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
+
+    "sim_kmeans_train" ->
+      s"""WITH $ovecsCte,
+         |dims AS (
+         |  SELECT vec_id, unnest(v) AS x,
+         |         unnest(generate_series(1, len(v))) AS pos
+         |  FROM ovecs),
+         |seed AS (
+         |  SELECT vec_id,
+         |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 3)) AS INTEGER) % 8 AS cid
+         |  FROM ovecs),
+         |c0 AS (
+         |  SELECT cid, pos, count(*) AS n,
+         |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS cmean
+         |  FROM dims JOIN seed USING (vec_id) GROUP BY cid, pos),
+         |d1 AS (
+         |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+         |  FROM dims d JOIN c0 c USING (pos) GROUP BY d.vec_id, c.cid),
+         |a1 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY round(dist2, 6), cid) AS rn FROM d1)
+         |  WHERE rn = 1),
+         |c1 AS (
+         |  SELECT cid, pos, count(*) AS n,
+         |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS cmean
+         |  FROM dims JOIN a1 USING (vec_id) GROUP BY cid, pos),
+         |d2 AS (
+         |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+         |  FROM dims d JOIN c1 c USING (pos) GROUP BY d.vec_id, c.cid),
+         |a2 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY round(dist2, 6), cid) AS rn FROM d2)
+         |  WHERE rn = 1),
+         |c2 AS (
+         |  SELECT cid, pos, count(*) AS n,
+         |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS cmean
+         |  FROM dims JOIN a2 USING (vec_id) GROUP BY cid, pos)
+         |SELECT cid, pos AS dim, n, cmean FROM c2 ORDER BY cid, dim""".stripMargin,
 
     "sim_range_search" ->
       s"""WITH $ovecsCte,

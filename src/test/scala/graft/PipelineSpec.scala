@@ -267,6 +267,34 @@ class PipelineSpec extends SparkSpec {
       f"recall at the shipped nprobe=2 config degraded: $recall%.3f")
   }
 
+  test("kmeansTrain: SSE is non-increasing over rounds and members are conserved") {
+    // Lloyd's guarantee — each assign/update round cannot increase the
+    // within-cluster sum of squares (the 6-dp mean rounding adds at
+    // most an epsilon) — pinned over the real fixture, plus membership
+    // conservation: the per-cid counts sum to the corpus each round.
+    val vecs = graft.operators.Similarity.vectors(
+      Tables.embeddings(spark, sfDir)).select($"vec_id", $"v")
+    val nVecs = vecs.count()
+    val dims = vecs.select($"vec_id", posexplode($"v").as(Seq("pos", "x")))
+    def sse(iters: Int): Double = {
+      val cents = graft.operators.Similarity.kmeansTrain(vecs, 8, iters)
+        .select($"cid", ($"dim" - 1).as("pos"), $"cmean", $"n")
+      assert(cents.select($"cid", $"n").distinct()
+        .agg(sum($"n")).head.getLong(0) === nVecs,
+        s"membership not conserved at iters=$iters")
+      dims.join(cents.select($"cid", $"pos", $"cmean"), Seq("pos"))
+        .groupBy($"vec_id", $"cid")
+        .agg(sum(($"x" - $"cmean") * ($"x" - $"cmean")).as("d2"))
+        .groupBy($"vec_id").agg(min($"d2").as("best"))
+        .agg(sum($"best")).head.getDouble(0)
+    }
+    val (s0, s1, s2) = (sse(0), sse(1), sse(2))
+    info(f"kmeans SSE by round: $s0%.3f -> $s1%.3f -> $s2%.3f")
+    val eps = 1e-3
+    assert(s1 <= s0 + eps, f"round 1 increased SSE: $s0%.6f -> $s1%.6f")
+    assert(s2 <= s1 + eps, f"round 2 increased SSE: $s1%.6f -> $s2%.6f")
+  }
+
   test("knnJoinIndexed: recall at nprobe=2, and exhaustive probing equals brute force") {
     // Same clustered geometry as the knnJoin tests: at nprobe=8 (every
     // cell probed) the self-indexed blocking is exhaustive, so the join

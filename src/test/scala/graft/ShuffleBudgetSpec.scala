@@ -103,6 +103,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_embed_cosine_guarded" -> 6, // salted expansion (bucket window
                                   // + 2 expand groupings + cross-salt
                                   // join) + pair distinct + id-join sort
+    "sim_kmeans_train" -> 8,      // 3 means aggs + 2 assignment
+                                  // agg/window rounds + output sort
+                                  // (2 unrolled Lloyd iterations)
     "sim_knn_join_indexed" -> 10) // the ranked-assignment exchange
                                   // prints once per consuming branch
                                   // (probe cells + index cells;
