@@ -595,6 +595,56 @@ object Similarity {
       col("cmean"))
   }
 
+  /** IVF search over TRAINED cells — the production composition
+    * train → index → search with no labels anywhere: `cents` is a
+    * trained quantizer in [[kmeansTrain]]'s exploded (cid, dim, cmean)
+    * form; the corpus indexes under each vector's nearest trained cell
+    * (rank 1, the self-indexed contract of [[knnJoinIndexed]] — with
+    * no labels, assignment is the only possible blocking) and probes
+    * search their `nprobe` nearest cells. Same determinism contract as
+    * the whole IVF family: rounded L2² with cid tie-break, rounded
+    * cosine with neighbor-id tie-break. Probing every cell is
+    * exhaustive by construction (cells partition the corpus), pinned
+    * against brute force in PipelineSpec. */
+  def ivfSearchTrained(vecs: DataFrame, probes: DataFrame,
+      cents: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cells = cents.select(col("cid"), (col("dim") - 1).as("pos"),
+      col("cmean"))
+    def rankedAssign(src: DataFrame, n: Int): DataFrame = {
+      val dims = src.select(col("vec_id").as("probe_id"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      val d2 = dims.join(broadcast(cells), Seq("pos"))
+        .groupBy(col("probe_id"), col("cid"))
+        .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
+          .as("dist2"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(round(col("dist2"), 6).asc, col("cid").asc)
+      d2.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+        .select(col("probe_id"), col("cid"))
+    }
+    val idx = rankedAssign(vecs, 1)
+      .select(col("probe_id").as("corpus_id"), col("cid").as("cell"))
+    val pcells = rankedAssign(probes, nprobe)
+      .select(col("probe_id"), col("cid").as("pcell"))
+    val pb = withNorm(probes).select(col("vec_id").as("probe_id"),
+      col("v").as("pv"), col("nrm").as("pnrm"))
+      .join(pcells, Seq("probe_id"))
+    val corpus = withNorm(vecs)
+      .join(idx, col("vec_id") === col("corpus_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val scored = pb
+      .join(corpus,
+        col("pcell") === col("cell") && col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   def kmeansUpdateStep(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = broadcast(withNorm(centroids)

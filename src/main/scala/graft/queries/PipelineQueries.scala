@@ -112,6 +112,49 @@ object PipelineQueries {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** Sequential replay of [[graft.operators.Similarity.kmeansTrain]]
+    * (k=8, iters=2) over `ovecs`: seed → means → 2× (assign → means).
+    * Final trained cells land in `c2` (cid, pos, n, cmean); `dims` is
+    * the 1-based exploded corpus, reusable downstream. Shared by the
+    * sim_kmeans_train and sim_ivf_kmeans oracles. */
+  private val kmeansCte =
+    """dims AS (
+      |  SELECT vec_id, unnest(v) AS x,
+      |         unnest(generate_series(1, len(v))) AS pos
+      |  FROM ovecs),
+      |seed AS (
+      |  SELECT vec_id,
+      |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 3)) AS INTEGER) % 8 AS cid
+      |  FROM ovecs),
+      |c0 AS (
+      |  SELECT cid, pos, count(*) AS n,
+      |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS cmean
+      |  FROM dims JOIN seed USING (vec_id) GROUP BY cid, pos),
+      |d1 AS (
+      |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+      |  FROM dims d JOIN c0 c USING (pos) GROUP BY d.vec_id, c.cid),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY round(dist2, 6), cid) AS rn FROM d1)
+      |  WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cid, pos, count(*) AS n,
+      |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS cmean
+      |  FROM dims JOIN a1 USING (vec_id) GROUP BY cid, pos),
+      |d2 AS (
+      |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+      |  FROM dims d JOIN c1 c USING (pos) GROUP BY d.vec_id, c.cid),
+      |a2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY round(dist2, 6), cid) AS rn FROM d2)
+      |  WHERE rn = 1),
+      |c2 AS (
+      |  SELECT cid, pos, count(*) AS n,
+      |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS cmean
+      |  FROM dims JOIN a2 USING (vec_id) GROUP BY cid, pos)""".stripMargin
+
   // ---- queries ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -413,6 +456,19 @@ object PipelineQueries {
         .select(col("vec_id"), col("v"))
       Similarity.kmeansTrain(vecs, k = 8, iters = 2)
         .orderBy("cid", "dim")
+    }),
+
+    // The production ANN composition end-to-end, no labels anywhere:
+    // TRAIN the quantizer (2 Lloyd rounds), INDEX the corpus under its
+    // trained cells, SEARCH nprobe=2 cells per probe — the whole chain
+    // hash-gated against a sequential SQL replay of every stage.
+    "sim_ivf_kmeans" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      Similarity.ivfSearchTrained(vecs, vecs.filter(col("vec_id") < 15),
+          cents, 3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
     }),
 
     "sim_lsh_topk" -> ((s, d) => {
@@ -1279,43 +1335,32 @@ object PipelineQueries {
 
     "sim_kmeans_train" ->
       s"""WITH $ovecsCte,
-         |dims AS (
-         |  SELECT vec_id, unnest(v) AS x,
-         |         unnest(generate_series(1, len(v))) AS pos
-         |  FROM ovecs),
-         |seed AS (
-         |  SELECT vec_id,
-         |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 3)) AS INTEGER) % 8 AS cid
-         |  FROM ovecs),
-         |c0 AS (
-         |  SELECT cid, pos, count(*) AS n,
-         |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS cmean
-         |  FROM dims JOIN seed USING (vec_id) GROUP BY cid, pos),
-         |d1 AS (
-         |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
-         |  FROM dims d JOIN c0 c USING (pos) GROUP BY d.vec_id, c.cid),
-         |a1 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY round(dist2, 6), cid) AS rn FROM d1)
-         |  WHERE rn = 1),
-         |c1 AS (
-         |  SELECT cid, pos, count(*) AS n,
-         |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS cmean
-         |  FROM dims JOIN a1 USING (vec_id) GROUP BY cid, pos),
-         |d2 AS (
-         |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
-         |  FROM dims d JOIN c1 c USING (pos) GROUP BY d.vec_id, c.cid),
-         |a2 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY round(dist2, 6), cid) AS rn FROM d2)
-         |  WHERE rn = 1),
-         |c2 AS (
-         |  SELECT cid, pos, count(*) AS n,
-         |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS cmean
-         |  FROM dims JOIN a2 USING (vec_id) GROUP BY cid, pos)
+         |$kmeansCte
          |SELECT cid, pos AS dim, n, cmean FROM c2 ORDER BY cid, dim""".stripMargin,
+
+    "sim_ivf_kmeans" ->
+      s"""WITH $ovecsCte,
+         |$kmeansCte,
+         |di AS (
+         |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+         |  FROM dims d JOIN c2 c USING (pos) GROUP BY d.vec_id, c.cid),
+         |dir AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
+         |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dir WHERE rn = 1),
+         |pas AS (SELECT vec_id AS probe_id, cid AS cell FROM dir
+         |        WHERE vec_id < 15 AND rn <= 2),
+         |scored AS (
+         |  SELECT a.probe_id, o.vec_id AS neighbor_id,
+         |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+         |  FROM pas a JOIN ovecs p ON p.vec_id = a.probe_id
+         |  JOIN idx i ON i.cell = a.cell
+         |  JOIN ovecs o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
+         |SELECT probe_id, neighbor_id, cos_r, rnk
+         |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
 
     "sim_range_search" ->
       s"""WITH $ovecsCte,

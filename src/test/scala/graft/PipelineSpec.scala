@@ -295,6 +295,25 @@ class PipelineSpec extends SparkSpec {
     assert(s2 <= s1 + eps, f"round 2 increased SSE: $s1%.6f -> $s2%.6f")
   }
 
+  test("trained-cell IVF search at nprobe=all-cells equals brute force") {
+    // Trained cells PARTITION the corpus (every vector indexed under
+    // exactly one rank-1 cell), so probing every cell is exhaustive by
+    // construction regardless of how good the training was — the
+    // structural guarantee that makes nprobe a pure recall knob for
+    // ivfSearchTrained, pinned on the real fixture.
+    val vecs = graft.operators.Similarity.vectors(
+      Tables.embeddings(spark, sfDir)).select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 10)
+    val k = 3
+    val cents = graft.operators.Similarity.kmeansTrain(vecs, 8, 1)
+    val exact = graft.operators.Similarity.bruteForceTopK(vecs, probes, k)
+      .select($"probe_id", $"neighbor_id", $"cos_r", $"rank".as("rnk"))
+    val got = graft.operators.Similarity
+      .ivfSearchTrained(vecs, probes, cents, k, nprobe = 8)
+    assert(got.collect().toSet === exact.collect().toSet,
+      "all-cells trained search must equal brute force bit-for-bit")
+  }
+
   test("knnJoinIndexed: recall at nprobe=2, and exhaustive probing equals brute force") {
     // Same clustered geometry as the knnJoin tests: at nprobe=8 (every
     // cell probed) the self-indexed blocking is exhaustive, so the join

@@ -106,6 +106,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "sim_kmeans_train" -> 8,      // 3 means aggs + 2 assignment
                                   // agg/window rounds + output sort
                                   // (2 unrolled Lloyd iterations)
+    "sim_ivf_kmeans" -> 22,       // the trained-cells chain prints per
+                                  // consuming branch (corpus index +
+                                  // probe assignment; ReuseExchange
+                                  // dedups at runtime) + cell join +
+                                  // top-k window + sort
     "sim_knn_join_indexed" -> 10) // the ranked-assignment exchange
                                   // prints once per consuming branch
                                   // (probe cells + index cells;
