@@ -576,6 +576,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serving: probe stream through foreachBatch equals batch search") {
+    // Online similarity serving: probes arrive as a stream and search a
+    // STATIC corpus indexed under trained k-means cells. Per-probe
+    // top-k needs a ranking window, which streams can't run in append
+    // mode — foreachBatch is the serving shape: each micro-batch is a
+    // batch frame, so the exact ivfSearchTrained plan (and its
+    // determinism contract) runs unchanged. Two micro-batches of
+    // probes must produce precisely the batch search's rows for the
+    // union — proving the SAME operator serves offline and online.
+    import graft.operators.Similarity
+    val s = spark.newSession()
+    import s.implicits._
+    val vecs = Similarity.vectors(Tables.embeddings(s, sfDir))
+      .select($"vec_id", $"v")
+    val cents = Similarity.kmeansTrain(vecs, 8, 1)
+      .persist() // static index: train once, serve every batch
+    val probeRows = vecs.filter($"vec_id" < 12)
+      .as[(Long, Seq[Double])].collect()
+    val (p1, p2) = probeRows.partition(_._1 % 2 == 0)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Double, Int)]()
+    val input = MemoryStream[(Long, Seq[Double])](s)
+    val q = input.toDF().toDF("vec_id", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.ivfSearchTrained(vecs, batch, cents, 3, nprobe = 2)
+          .collect().foreach(r => results.add((r.getLong(0), r.getLong(1),
+            r.getDouble(2), r.getInt(3))))
+      }
+      .start()
+    try {
+      input.addData(p1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(p2.toSeq: _*)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = results.asScala.toSet
+      val want = Similarity.ivfSearchTrained(vecs,
+          vecs.filter($"vec_id" < 12), cents, 3, nprobe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(want.nonEmpty && got === want,
+        s"served results (${got.size}) must equal batch search (${want.size})")
+    } finally { q.stop(); cents.unpersist() }
+  }
+
   test("stateful sessionization closes a session on inactivity gap") {
     val input = MemoryStream[Ev](spark)
     // two bursts for user 7, separated by > gap in event time: the second
