@@ -341,6 +341,21 @@ object Similarity {
     * [[assignCellsRanked]] aggregation serves both sides. */
   def knnJoinIndexed(vecs: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The two consumers filter the assignment at different ranks
+    // (index = rn 1, probes = rn ≤ nprobe); Catalyst pushes DIFFERENT
+    // WindowGroupLimits into the two branches, so they stop being
+    // sameResult and the corpus×cells distance aggregation runs twice
+    // (verified in the executed plan — only the centroid broadcast is
+    // a ReusedExchange). MEASURED decision to keep it: persist() and
+    // localCheckpoint() of the assignment both ran SLOWER at sf0.1
+    // (2.42 s / 2.28 s vs 2.10 s) because caching defeats the
+    // map-side partial WindowGroupLimit and forces full
+    // materialization — the same lesson as the LSH chain's documented
+    // "persisting sigs was measured slower". At a scale where the
+    // double assignment pass dominates, materialize the index OUTSIDE
+    // the query (write the rn=1 table next to the corpus, the way a
+    // real ANN index build persists its assignment) rather than
+    // caching inside the operator.
     val ranked = assignCellsRanked(vecs, vecs, nprobe)
     val probeCells = ranked.select(col("probe_id"), col("assigned_label"))
     val indexCells = ranked.filter(col("rn") === 1)
