@@ -178,4 +178,36 @@ object ConnectedComponents {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
       .withColumn("is_canonical", col("doc_id") === col("component"))
+
+  /** Quality-aware canonicalization: instead of [[canonicalize]]'s
+    * min-id policy, each duplicate cluster keeps its HIGHEST-`quality`
+    * member (ties to the smaller doc_id) — the policy real pipelines
+    * want, since the member kept should be the longest / cleanest
+    * rendition of the duplicated content, not whichever copy was
+    * ingested first.
+    *
+    * Scale shape: the corpus itself never shuffles. The per-cluster
+    * argmax runs only over docs that appear in a dup pair (the tiny
+    * label table): one broadcast join attaches labels to their quality,
+    * one map-side-partial `max(struct(quality, -doc_id))` aggregation
+    * picks each cluster's winner deterministically, and the winners —
+    * smaller still than the labels — broadcast back over the corpus.
+    * Singletons (no dup pair) keep themselves via the null path of the
+    * left joins. */
+  def canonicalizeByQuality(corpus: DataFrame, edges: DataFrame,
+      quality: org.apache.spark.sql.Column): DataFrame = {
+    val labels = components(edges)
+    val winners = corpus.select(col("doc_id"), quality.as("q"))
+      .join(broadcast(labels), Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("q"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("component"), (-col("best.neg_id")).as("keep_id"))
+    corpus.select(col("doc_id"), quality.as("q"))
+      .join(broadcast(labels), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"), col("q"))
+      .join(broadcast(winners), Seq("component"), "left_outer")
+      .select(col("doc_id"), col("component"), col("q"),
+        coalesce(col("keep_id") === col("doc_id"), lit(true)).as("keep"))
+  }
 }

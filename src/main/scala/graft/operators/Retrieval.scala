@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid (lexical ⊕ vector) retrieval over the document corpus — the
+  * serving-side composition a training-data pipeline needs for
+  * retrieval-augmented curation: candidate docs are ranked once by
+  * lexical term overlap (the inverted-index path) and once by embedding
+  * cosine (the ANN path), then fused with Reciprocal Rank Fusion
+  * (Cormack, Clarke & Buettcher, SIGIR 2009: score(d) = Σ 1/(k₀+rank)).
+  * RRF needs no score calibration between the two modalities — only the
+  * RANKS flow into the fusion — which is what makes it the standard
+  * first fusion baseline in hybrid search engines.
+  *
+  * Scale shape: both legs broadcast only the PROBE side (queries are
+  * few; the corpus is the 100 TB side and never shuffles before its
+  * per-leg aggregation). The lexical leg is a term-keyed join — the
+  * distributed equivalent of an inverted-index posting intersection —
+  * whose aggregation key (probe_id, doc_id) is bounded by overlap
+  * fan-out, not corpus size. Each leg cuts to `depth` per probe through
+  * a ranking window that Spark 4 executes with a pushed
+  * WindowGroupLimit (bounded per-partition heaps, map-side partial
+  * limit), so the fusion full-outer join sees at most
+  * 2·depth·|probes| rows — driver-free and tiny at any corpus scale.
+  *
+  * Determinism contract (the oracle hash depends on it): lexical ranks
+  * break ties by (n_shared desc, doc_id asc); vector ranks by
+  * (cos_r desc, neighbor_id asc) on the 6-dp rounded cosine; fused
+  * ranks by (rrf desc, doc_id asc) on the 6-dp rounded RRF score. All
+  * three are total orders.
+  */
+object Retrieval {
+
+  /** Distinct (doc_id, term) postings — whitespace tokenization, the
+    * corpus-wide tokenizer contract shared with TextAnalysis. */
+  private def postings(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+
+  /** Lexical leg: per (probe, doc) count of shared distinct terms,
+    * ranked per probe. Self-matches are excluded (mirroring
+    * [[Similarity.scoreAll]]'s probe ≠ neighbor contract). */
+  def lexicalOverlapTopK(documents: DataFrame, probePred: Column,
+      depth: Int): DataFrame = {
+    val post = postings(documents)
+    val probeTerms = broadcast(
+      post.filter(probePred).select(col("doc_id").as("probe_id"),
+        col("term")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("n_shared").desc, col("doc_id").asc)
+    probeTerms.join(post, Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("rank_lex", row_number().over(w))
+      .filter(col("rank_lex") <= depth)
+  }
+
+  /** Vector leg: brute-force cosine ranks from [[Similarity.scoreAll]]
+    * (broadcast probes, corpus streams), cut to `depth` per probe. */
+  def vectorTopK(vecs: DataFrame, probePred: Column, depth: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    Similarity.scoreAll(vecs, vecs.filter(probePred))
+      .withColumn("rank_vec", row_number().over(w))
+      .filter(col("rank_vec") <= depth)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rank_vec"))
+  }
+
+  /** The fused retrieval: RRF over the two legs' top-`depth` rank lists,
+    * final top-`k` per probe. A doc missing from one leg contributes 0
+    * from that leg (the standard RRF convention for truncated lists).
+    * `k0` is RRF's smoothing constant — 60 in the original paper and
+    * every mainstream implementation. */
+  def hybridRrf(documents: DataFrame, vecs: DataFrame, lexProbePred: Column,
+      vecProbePred: Column, depth: Int = 20, k: Int = 10,
+      k0: Int = 60): DataFrame = {
+    val lex = lexicalOverlapTopK(documents, lexProbePred, depth)
+      .select(col("probe_id"), col("doc_id"), col("rank_lex"))
+    val vec = vectorTopK(vecs, vecProbePred, depth)
+    val fused = lex.join(vec, Seq("probe_id", "doc_id"), "full_outer")
+      .select(col("probe_id"), col("doc_id"),
+        col("rank_lex"), col("rank_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(k0) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(k0) + col("rank_vec")), lit(0.0)),
+          6).as("rrf"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}

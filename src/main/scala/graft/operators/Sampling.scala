@@ -338,4 +338,34 @@ object Sampling {
             (col("n_sources").cast("double") * col("tokens").cast("double"))) *
           col("tokens").cast("double")).as("sampled_tokens"))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement, k per group —
+    * Efraimidis–Spirakis exponential-jump keys (IPL 2006): each row
+    * draws a uniform u ∈ (0,1) and exposes the key −ln(u)/w; the k
+    * smallest keys per group are exactly a weight-proportional sample
+    * without replacement. The uniform comes from the row key's md5
+    * prefix ((h + 0.5)/2³², never exactly 0 or 1), so the "draw" — and
+    * therefore the whole sample — is reproducible across engines, runs,
+    * and partitionings, the property a training-mix curation step needs
+    * for audit replay.
+    *
+    * Scale shape: the key is a per-row projection (no shuffle); the
+    * per-group top-k is a ranking window whose pushed WindowGroupLimit
+    * keeps bounded per-partition heaps — the same plan family as every
+    * other top-k in the library. Keys round to 9 dp before ranking
+    * (magnitudes ~1e-4..1e-1 for realistic weights) with the row key as
+    * the final tie-break, so ulp-level libm differences in ln cannot
+    * reorder the sample. */
+  def weightedReservoir(df: DataFrame, group: Column, key: Column,
+      weight: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(key.cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val u = (h.cast("double") + 0.5) / lit(4294967296.0)
+    val esKey = round(-log(u) / weight.cast("double"), 9)
+    val w = Window.partitionBy(group).orderBy(col("es_key").asc, key.asc)
+    df.withColumn("es_key", esKey)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
 }

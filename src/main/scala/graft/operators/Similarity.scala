@@ -681,4 +681,71 @@ object Similarity {
       .select(col("cid"), col("dim"), col("n"),
         round(col("sx").cast("double") / col("n"), 6).as("mean_r"))
   }
+
+  /** Embedding-distribution drift between two corpus slices — the
+    * vector-space analog of the scalar PSI check (pipeline_drift_psi):
+    * per-dimension means of the two halves plus the absolute shift.
+    * A retrained embedder, a corrupted ingestion batch, or a topic
+    * shift all show up as per-dimension mean displacement long before
+    * they show in scalar metadata.
+    *
+    * Scale shape: ONE exploded aggregation keyed by (dim, half) — 2·d
+    * output rows regardless of corpus size, full map-side partials, no
+    * window. Means use the exact-decimal pattern shared with
+    * [[kmeansUpdateStep]] (sum as DECIMAL(38,18), divide once, round
+    * 6 dp) so the double-summation order can't drift between engines
+    * or partitionings. `splitCol` must be a deterministic 0/1 derivation
+    * (the gated query uses vec_id % 2; production uses an ingestion-date
+    * or snapshot predicate). */
+  def embedDrift(vecs: DataFrame, splitCol: Column): DataFrame = {
+    val m = vecs
+      .select(splitCol.cast("int").as("half"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy((col("pos") + 1).as("dim"), col("half"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,18)")).as("sx"))
+      .select(col("dim"), col("half"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean_r"))
+    m.groupBy(col("dim"))
+      .agg(max(when(col("half") === 0, col("mean_r"))).as("mean_a"),
+        max(when(col("half") === 1, col("mean_r"))).as("mean_b"))
+      .select(col("dim"), col("mean_a"), col("mean_b"),
+        round(abs(col("mean_a") - col("mean_b")), 6).as("shift"))
+  }
+
+  /** Johnson–Lindenstrauss random projection to `dOut` dimensions with
+    * a deterministic ±1 sign matrix (Achlioptas 2001: ±1 entries
+    * preserve pairwise distances in expectation exactly like Gaussian
+    * entries, and hash-derived signs make the matrix reproducible
+    * across engines with no stored state). Entry sign(j,i) comes from
+    * the md5 parity of "j:i", so any worker — or the DuckDB oracle —
+    * regenerates the same matrix row on demand.
+    *
+    * Scale shape: explode to (vec_id, pos, x), broadcast the dOut-row
+    * output-dimension table, aggregate by (vec_id, out_dim) — a narrow
+    * keyed aggregation with full map-side partials; the projection
+    * matrix itself is never materialized. The ±1 multiply is EXACT in
+    * IEEE double, so each term casts straight to DECIMAL(38,18) (the
+    * [[kmeansUpdateStep]] pattern) and the contraction sums
+    * order-independently — no per-term round, whose half-way cases are
+    * exactly the engine-drift class the 6-dp round would reintroduce;
+    * the 1/√dOut scaling divides once at the end. */
+  def randomProjection(vecs: DataFrame, dOut: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    val outDims = broadcast(spark.range(1, dOut + 1).toDF("out_dim"))
+    val scale = math.sqrt(dOut.toDouble)
+    vecs
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("pos", col("pos") + 1)
+      .crossJoin(outDims)
+      .withColumn("sgn",
+        when(conv(substring(md5(concat_ws(":",
+              col("out_dim"), col("pos")).cast("binary")), 1, 3), 16, 10)
+            .cast("int") % 2 === 0, 1.0)
+          .otherwise(-1.0))
+      .groupBy(col("vec_id"), col("out_dim"))
+      .agg(sum((col("x") * col("sgn")).cast("decimal(38,18)")).as("s"))
+      .select(col("vec_id"), col("out_dim"),
+        round(col("s").cast("double") / lit(scale), 6).as("proj"))
+  }
 }

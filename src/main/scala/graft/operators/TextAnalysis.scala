@@ -537,4 +537,55 @@ object TextAnalysis {
     documents.select(
       col("doc_id") +: counts :+ md5(redacted.cast("binary")).as("redacted_md5"): _*)
   }
+
+  /** Pointwise mutual information over the top-`vocabSize` vocabulary —
+    * the word-association miner (Church & Hanks, CL 1990):
+    * pmi(a,b) = ln(P(a,b) / (P(a)·P(b))) with document-level
+    * probabilities, i.e. ln(n_ab·N / (n_a·n_b)) over distinct-doc
+    * counts. High-PMI pairs surface templated boilerplate and topic
+    * collocations; near-zero pairs are independent.
+    *
+    * Scale shape: the vocabulary (top-`vocabSize` terms by document
+    * frequency, ties by term) is a tiny broadcast, so the corpus-side
+    * postings SEMI-join against it prunes to ≤ vocabSize distinct terms
+    * per document before any pairing — the in-document pair expansion
+    * is then bounded by vocabSize², independent of document length or
+    * corpus size, and the pair aggregation keys on (term_a, term_b)
+    * with full map-side partials. `minPairDocs` cuts the noise tail
+    * (PMI is notoriously unstable at tiny counts). The PMI itself is
+    * one ln over exact integer ratios, rounded to 6 dp — no summation
+    * order anywhere. */
+  def cooccurrencePmi(documents: DataFrame, vocabSize: Int = 30,
+      minPairDocs: Int = 5): DataFrame = {
+    val docTerms = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    // orderBy+limit → TakeOrderedAndProject: distributed per-partition
+    // top-k heaps, not a single-task global window over the vocabulary.
+    val vocab = broadcast(
+      docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(vocabSize))
+    val dv = docTerms.join(vocab.select(col("term")), Seq("term"),
+      "left_semi")
+    val pairs = dv.as("a")
+      .join(dv.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairDocs)
+    val total = documents.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(vocab.select(col("term").as("term_a"), col("df").as("n_a")),
+        Seq("term_a"))
+      .join(vocab.select(col("term").as("term_b"), col("df").as("n_b")),
+        Seq("term_b"))
+      .crossJoin(broadcast(total))
+      .select(col("term_a"), col("term_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("n_docs").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
+          .as("pmi"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{ConnectedComponents, Dedup, Multimodal, Profiling,
-  Sampling, Similarity, TextAnalysis}
+  Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline queries (SURVEY.md §7.2 phase D, charter
   * north_star): dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash /
@@ -928,7 +928,68 @@ object PipelineQueries {
             .as("rt"), col("text"))
         .filter(col("rt") === col("text"))
         .select(col("doc_id"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Hybrid retrieval: lexical term-overlap ranks ⊕ embedding cosine
+    // ranks fused with Reciprocal Rank Fusion (1/(60+rank)) — the
+    // serving-side composition for retrieval-augmented curation. Both
+    // legs broadcast only the probe side; see [[Retrieval.hybridRrf]].
+    "sim_hybrid_rrf" -> ((s, d) =>
+      Retrieval.hybridRrf(
+        Tables.documents(s, d),
+        Similarity.vectors(Tables.embeddings(s, d))
+          .select(col("vec_id"), col("v")),
+        col("doc_id") < 10, col("vec_id") < 10)
+        .orderBy("probe_id", "rnk")),
+
+    // Embedding-distribution drift between two corpus halves: the
+    // vector-space analog of pipeline_drift_psi — per-dimension means
+    // via the exact-decimal aggregation, 2·d output rows at any scale.
+    "sim_embed_drift" -> ((s, d) =>
+      Similarity.embedDrift(
+        Similarity.vectors(Tables.embeddings(s, d))
+          .select(col("vec_id"), col("v")),
+        col("vec_id") % 2)
+        .orderBy("dim")),
+
+    // Johnson–Lindenstrauss ±1 random projection to 4 dims with a
+    // hash-derived (engine-reproducible) sign matrix — the cheap
+    // dimensionality-reduction stage before clustering or LSH.
+    "sim_random_projection" -> ((s, d) =>
+      Similarity.randomProjection(
+        Similarity.vectors(Tables.embeddings(s, d))
+          .select(col("vec_id"), col("v")), 4)
+        .orderBy("vec_id", "out_dim")),
+
+    // Weighted sampling without replacement, 5 docs per source with
+    // probability ∝ n_chars — Efraimidis–Spirakis exponential-jump keys
+    // from md5-derived uniforms, reproducible across engines and runs.
+    "pipeline_reservoir_weighted" -> ((s, d) =>
+      Sampling.weightedReservoir(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), col("doc_id"), col("n_chars"), 5)
+        .orderBy("source", "rnk")),
+
+    // Quality-aware canonical selection over the LSH dup clusters: keep
+    // each cluster's LONGEST member (ties to the smaller id) instead of
+    // dedup_components' min-id policy — the policy real pipelines ship.
+    "pipeline_canonical_quality" -> ((s, d) => {
+      val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignaturesV2(corpus), sep = "|")
+      ConnectedComponents.canonicalizeByQuality(corpus, pairs,
+        length(col("text")))
+        .orderBy("doc_id")
+    }),
+
+    // PMI word-association mining over the top-30 vocabulary — the
+    // collocation / templated-boilerplate detector; pair expansion is
+    // bounded by vocabSize² per doc, independent of corpus scale.
+    "text_cooccurrence_pmi" -> ((s, d) =>
+      TextAnalysis.cooccurrencePmi(Tables.documents(s, d),
+        vocabSize = 30, minPairDocs = 5)
+        .orderBy("term_a", "term_b"))
   )
 
   // ---- oracles ----
@@ -2253,6 +2314,166 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  sha256(text) AS sha,
         |  lower(hex(encode(substr(text, 1, 4)))) AS magic
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // RRF smoothing terms force DOUBLE division (1.0 / CAST(.. AS
+    // DOUBLE)) — DuckDB would otherwise divide as DECIMAL; Spark's
+    // lit(1.0)/(60+rank) is double division of the same exact ints, so
+    // both engines produce the identical IEEE value before the 6-dp
+    // round. Ranks are exact integers; no other float enters the fusion.
+    "sim_hybrid_rrf" ->
+      s"""WITH $ovecsCte,
+         |dt AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |pt AS (SELECT doc_id AS probe_id, term FROM dt WHERE doc_id < 10),
+         |ov AS (
+         |  SELECT p.probe_id, d.doc_id, count(*) AS n_shared
+         |  FROM pt p JOIN dt d USING (term)
+         |  WHERE d.doc_id <> p.probe_id
+         |  GROUP BY p.probe_id, d.doc_id),
+         |lr0 AS (
+         |  SELECT probe_id, doc_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY n_shared DESC, doc_id) AS rank_lex
+         |  FROM ov),
+         |lr AS (SELECT * FROM lr0 WHERE rank_lex <= 20),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM ovecs WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT probe_id, o.vec_id AS doc_id,
+         |         round(${cosSql("pv", "o.v")}, 6) AS cos_r
+         |  FROM probes, ovecs o WHERE probe_id <> o.vec_id),
+         |vr0 AS (
+         |  SELECT probe_id, doc_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos_r DESC, doc_id) AS rank_vec
+         |  FROM scored),
+         |vr AS (SELECT * FROM vr0 WHERE rank_vec <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
+         |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |         l.rank_lex, v.rank_vec,
+         |         round(coalesce(1.0 / CAST(60 + l.rank_lex AS DOUBLE), 0.0) +
+         |               coalesce(1.0 / CAST(60 + v.rank_vec AS DOUBLE), 0.0),
+         |               6) AS rrf
+         |  FROM lr l FULL OUTER JOIN vr v
+         |    ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rnk
+         |  FROM fused)
+         |SELECT probe_id, doc_id, rank_lex, rank_vec, rrf, rnk
+         |FROM ranked WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
+
+    // Exact-decimal means (the kmeansCte pattern): sum as DECIMAL(38,18)
+    // so the summation order can't drift, divide once, round 6 dp.
+    "sim_embed_drift" ->
+      s"""WITH $ovecsCte,
+         |dims AS (
+         |  SELECT vec_id % 2 AS half, unnest(v) AS x,
+         |         unnest(generate_series(1, len(v))) AS pos
+         |  FROM ovecs),
+         |m AS (
+         |  SELECT pos AS dim, half,
+         |         round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+         |               / count(*), 6) AS mean_r
+         |  FROM dims GROUP BY pos, half)
+         |SELECT dim,
+         |       max(CASE WHEN half = 0 THEN mean_r END) AS mean_a,
+         |       max(CASE WHEN half = 1 THEN mean_r END) AS mean_b,
+         |       round(abs(max(CASE WHEN half = 0 THEN mean_r END) -
+         |                 max(CASE WHEN half = 1 THEN mean_r END)), 6) AS shift
+         |FROM m GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // The ±1 sign matrix regenerates from md5("out_dim:pos") parity in
+    // both engines. The ±1 multiply is exact in double, so terms cast
+    // straight to DECIMAL(38,18) (the kmeansCte pattern — a 6-dp
+    // per-term round would sit on half-way cases and drift between the
+    // engines' rounding paths); the 1/√4 = /2.0 scaling is exact.
+    "sim_random_projection" ->
+      s"""WITH $ovecsCte,
+         |dims AS (
+         |  SELECT vec_id, unnest(v) AS x,
+         |         unnest(generate_series(1, len(v))) AS pos
+         |  FROM ovecs),
+         |od AS (SELECT unnest(generate_series(1, 4)) AS out_dim),
+         |t AS (
+         |  SELECT vec_id, out_dim, x,
+         |         CASE WHEN CAST(('0x' || substr(
+         |                  md5(out_dim || ':' || pos), 1, 3)) AS INTEGER)
+         |                % 2 = 0
+         |              THEN CAST(1.0 AS DOUBLE)
+         |              ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+         |  FROM dims CROSS JOIN od)
+         |SELECT vec_id, out_dim,
+         |       round(CAST(sum(CAST(x * sgn AS DECIMAL(38,18)))
+         |             AS DOUBLE) / 2.0, 6) AS proj
+         |FROM t GROUP BY vec_id, out_dim ORDER BY vec_id, out_dim""".stripMargin,
+
+    // Efraimidis–Spirakis keys: u = (md5-prefix + 0.5)/2³² ∈ (0,1),
+    // key = −ln(u)/w rounded to 9 dp (ulp-level libm drift in ln cannot
+    // reorder through the round + id tie-break).
+    "pipeline_reservoir_weighted" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, n_chars,
+        |         round(-ln((CAST(CAST(('0x' || substr(
+        |                    md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                  AS DOUBLE) + 0.5) / 4294967296.0)
+        |               / CAST(n_chars AS DOUBLE), 9) AS es_key
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY source ORDER BY es_key, doc_id) AS rnk
+        |  FROM b)
+        |SELECT doc_id, source, n_chars, es_key, rnk FROM r
+        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    // Same component chain as dedup_components; the final window picks
+    // each cluster's longest member (ties to the smaller id) — the
+    // keep flag the Spark side derives via max(struct(q, -doc_id)).
+    "pipeline_canonical_quality" ->
+      s"""WITH RECURSIVE $corpusCte,
+         |$shinglesCte,
+         |$lshV2CandCte,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM cand
+         |  UNION SELECT id_b AS u, id_a AS v FROM cand),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |lab AS (
+         |  SELECT c.doc_id, coalesce(p.component, c.doc_id) AS component,
+         |         length(c.text) AS q
+         |  FROM corpus c LEFT JOIN comp p ON c.doc_id = p.doc_id)
+         |SELECT doc_id, component, q,
+         |       (row_number() OVER (
+         |          PARTITION BY component ORDER BY q DESC, doc_id)) = 1 AS keep
+         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // PMI over exact integer ratios: one ln per pair, no summation.
+    "text_cooccurrence_pmi" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |dfx AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+        |vocab AS (SELECT term, df FROM dfx ORDER BY df DESC, term LIMIT 30),
+        |dv AS (SELECT doc_id, term FROM dt
+        |       WHERE term IN (SELECT term FROM vocab)),
+        |p AS (
+        |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+        |  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY a.term, b.term
+        |  HAVING count(*) >= 5),
+        |tot AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term_a, term_b, va.df AS n_a, vb.df AS n_b, n_ab,
+        |       round(ln(CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+        |                (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE))), 6)
+        |         AS pmi
+        |FROM p JOIN vocab va ON p.term_a = va.term
+        |       JOIN vocab vb ON p.term_b = vb.term
+        |CROSS JOIN tot
+        |ORDER BY term_a, term_b""".stripMargin
   )
 }

@@ -33,7 +33,12 @@ class PlanInvariantsSpec extends SparkSpec {
     "pipeline_mixture",    // one-row source-count aggregate
     "pipeline_mixture_sample", // same normalizer, materialized
     "pipeline_key_skew",   // one-row global-stats aggregate
-    "pipeline_drift_psi"   // one-row corpus-total normalizer
+    "pipeline_drift_psi",  // one-row corpus-total normalizer
+    "sim_hybrid_rrf",      // vector leg = broadcast probes (scoreAll's
+                           // probe≠neighbor non-equi), same as the
+                           // audited brute-force family
+    "sim_random_projection", // dOut-row (4) output-dimension table
+    "text_cooccurrence_pmi"  // one-row n_docs normalizer aggregate
   )
 
   test("no CartesianProduct in any plan; BNLJ only in the audited set") {

@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ConnectedComponents, Retrieval, Sampling,
+  Similarity, TextAnalysis}
+
+/** Round-11 retrieval & analytics operators: hybrid RRF fusion,
+  * embedding drift, JL random projection, weighted reservoir sampling,
+  * quality-aware canonicalization, and PMI co-occurrence. */
+class RetrievalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+  private def vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+    .select(col("vec_id"), col("v"))
+
+  // ---- hybridRrf ----
+
+  test("hybridRrf: fused score is exactly the sum of the legs' RRF terms") {
+    val lex = Retrieval.lexicalOverlapTopK(docs, col("doc_id") < 5, 20)
+      .select(col("probe_id"), col("doc_id"), col("rank_lex"))
+      .as[(Long, Long, Int)].collect()
+      .map { case (p, d, r) => (p, d) -> r }.toMap
+    val vec = Retrieval.vectorTopK(vecs, col("vec_id") < 5, 20)
+      .as[(Long, Long, Int)].collect()
+      .map { case (p, d, r) => (p, d) -> r }.toMap
+    val fused = Retrieval.hybridRrf(docs, vecs,
+      col("doc_id") < 5, col("vec_id") < 5)
+      .select(col("probe_id"), col("doc_id"), col("rrf"))
+      .as[(Long, Long, Double)].collect()
+    assert(fused.nonEmpty)
+    fused.foreach { case (p, d, rrf) =>
+      val expect =
+        lex.get((p, d)).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          vec.get((p, d)).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      // rrf is rounded to 6 dp in the operator — compare at half-ulp.
+      assert(math.abs(rrf - expect) <= 5e-7,
+        s"probe $p doc $d: rrf $rrf != $expect")
+    }
+  }
+
+  test("hybridRrf: k rows per probe, rrf non-increasing, both-leg docs first") {
+    val out = Retrieval.hybridRrf(docs, vecs,
+      col("doc_id") < 5, col("vec_id") < 5, depth = 20, k = 10)
+      .select(col("probe_id"), col("rrf"), col("rnk"))
+      .as[(Long, Double, Int)].collect()
+      .groupBy(_._1)
+    assert(out.keySet === (0L until 5L).toSet)
+    out.foreach { case (_, rows) =>
+      assert(rows.length === 10)
+      val byRank = rows.sortBy(_._3).map(_._2)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "rrf must be non-increasing in rank")
+    }
+    // A doc in BOTH legs at rank r_max=depth each still beats any
+    // one-leg doc at rank 1: 2/(60+20) = 0.025 > 1/61 ≈ 0.0164.
+    assert(2.0 / 80 > 1.0 / 61)
+  }
+
+  // ---- embedDrift ----
+
+  test("embedDrift: identical halves have zero shift on every dimension") {
+    val base = Seq(
+      (0L, Seq(1.0, 2.5, -3.25)), (2L, Seq(0.5, -0.125, 4.0)),
+      (1L, Seq(1.0, 2.5, -3.25)), (3L, Seq(0.5, -0.125, 4.0)))
+      .toDF("vec_id", "v")
+    val out = Similarity.embedDrift(base, col("vec_id") % 2)
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1, 2, 3))
+    out.foreach { case (_, a, b, shift) =>
+      assert(a === b); assert(shift === 0.0)
+    }
+  }
+
+  test("embedDrift: a displaced half reports the exact per-dim shift") {
+    val base = Seq(
+      (0L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),  // half 0: mean (1, 0)
+      (1L, Seq(2.0, 0.5)), (3L, Seq(2.0, 0.5)))  // half 1: mean (2, 0.5)
+      .toDF("vec_id", "v")
+    val out = Similarity.embedDrift(base, col("vec_id") % 2)
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out === Seq((1, 1.0, 2.0, 1.0), (2, 0.0, 0.5, 0.5)))
+  }
+
+  // ---- randomProjection ----
+
+  test("randomProjection: basis vector e_p projects to sgn(j,p)/sqrt(dOut)") {
+    // With a single 1.0 at position p, each output dim is exactly the
+    // sign-matrix entry scaled by 1/2 (dOut=4) — pins both the hash
+    // parity derivation and the scaling.
+    val e3 = Seq((7L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "v")
+    val out = Similarity.randomProjection(e3, 4)
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    assert(out.length === 4)
+    assert(out.forall { case (_, _, p) => p === 0.5 || p === -0.5 })
+    // Deterministic: a second run is bit-identical.
+    val again = Similarity.randomProjection(e3, 4)
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    assert(out.toSeq === again.toSeq)
+  }
+
+  test("randomProjection: linear — proj(a+b) = proj(a) + proj(b)") {
+    val a = Seq(1.0, -2.0, 3.0, 0.25)
+    val b = Seq(0.5, 4.0, -1.5, 2.0)
+    val sum = a.zip(b).map { case (x, y) => x + y }
+    val in = Seq((1L, a), (2L, b), (3L, sum)).toDF("vec_id", "v")
+    val out = Similarity.randomProjection(in, 4)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, j, p) => (id, j) -> p }.toMap
+    (1L to 4L).foreach { j =>
+      assert(math.abs(out((3L, j)) - (out((1L, j)) + out((2L, j)))) < 1e-6)
+    }
+  }
+
+  // ---- weightedReservoir ----
+
+  test("weightedReservoir: exactly min(k, |group|) rows, keys ascending") {
+    val out = Sampling.weightedReservoir(
+      docs.select(col("doc_id"), col("source"), col("n_chars")),
+      col("source"), col("doc_id"), col("n_chars"), 5)
+      .select(col("source"), col("es_key"), col("rnk"))
+      .as[(String, Double, Int)].collect().groupBy(_._1)
+    val sizes = docs.groupBy(col("source")).count()
+      .as[(String, Long)].collect().toMap
+    assert(out.keySet === sizes.keySet)
+    out.foreach { case (src, rows) =>
+      assert(rows.length === math.min(5L, sizes(src)))
+      val keys = rows.sortBy(_._3).map(_._2)
+      assert(keys.zip(keys.tail).forall { case (a, b) => a <= b },
+        s"$src: es_key must ascend with rank")
+    }
+  }
+
+  test("weightedReservoir: an overwhelming weight is always sampled") {
+    // One row with weight 10^9 vs 99 rows with weight 1: its key is
+    // ~10^9 smaller than any competitor's, so it must appear in any
+    // k>=1 sample — the property that makes the sample ∝ weight.
+    val rows = (1L to 100L).map(i =>
+      (i, "g", if (i == 42L) 1000000000L else 1L))
+      .toDF("doc_id", "source", "n_chars")
+    val kept = Sampling.weightedReservoir(rows, col("source"),
+      col("doc_id"), col("n_chars"), 3)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept.contains(42L))
+    assert(kept.size === 3)
+  }
+
+  // ---- canonicalizeByQuality ----
+
+  test("canonicalizeByQuality: longest member wins, one keep per cluster") {
+    val corpus = Seq(
+      (1L, "short"), (2L, "the much longer rendition"), (3L, "mid text"),
+      (9L, "a lone singleton"))
+      .toDF("doc_id", "text")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = ConnectedComponents.canonicalizeByQuality(
+      corpus, edges, length(col("text")))
+      .select(col("doc_id"), col("component"), col("keep"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out === Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (9L, 9L, true)))
+  }
+
+  test("canonicalizeByQuality: quality ties break to the smaller doc_id") {
+    val corpus = Seq((5L, "same"), (7L, "same"), (6L, "same"))
+      .toDF("doc_id", "text")
+    val edges = Seq((5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val keep = ConnectedComponents.canonicalizeByQuality(
+      corpus, edges, length(col("text")))
+      .filter(col("keep")).select(col("doc_id")).as[Long].collect()
+    assert(keep.toSeq === Seq(5L))
+  }
+
+  // ---- cooccurrencePmi ----
+
+  test("cooccurrencePmi: perfectly coupled terms score ln(N/n_ab)") {
+    // aa and bb co-occur in 6 of 12 docs and never apart:
+    // pmi = ln(n_ab·N/(n_a·n_b)) = ln(6·12/36) = ln 2. Fillers keep the
+    // vocabulary ranking stable without adding qualifying pairs.
+    val rows = (0 until 12).map { i =>
+      if (i < 6) (i.toLong, s"aa bb x$i")
+      else (i.toLong, s"cc x$i")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrencePmi(rows, vocabSize = 5,
+      minPairDocs = 5)
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("pmi"))
+      .as[(String, String, Long, Double)].collect()
+    assert(out.length === 1)
+    val (ta, tb, nab, pmi) = out.head
+    assert((ta, tb, nab) === ("aa", "bb", 6L))
+    assert(math.abs(pmi - math.log(2.0)) < 1e-6)
+  }
+
+  test("cooccurrencePmi: near-independent corpus words stay near zero") {
+    val out = TextAnalysis.cooccurrencePmi(docs, vocabSize = 30,
+      minPairDocs = 5)
+      .select(col("term_a"), col("term_b"), col("pmi"))
+      .as[(String, String, Double)].collect()
+    // The fixture corpus draws its vocabulary near-independently, and
+    // every top-30 pair co-occurs ≥ 5 times: all C(30,2) pairs qualify,
+    // and their PMI sits in a tight band just above zero (doc-length
+    // variance induces a small positive correlation).
+    assert(out.length === 435)
+    assert(out.forall { case (_, _, p) => p > -0.2 && p < 0.5 },
+      s"PMI outside the near-independence band: ${out.filterNot {
+        case (_, _, p) => p > -0.2 && p < 0.5 }.take(3).mkString(",")}")
+  }
+}
