@@ -93,4 +93,39 @@ object Retrieval {
       .orderBy(col("rrf").desc, col("doc_id").asc)
     fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** Diversity-capped re-rank over the fused candidates: at most
+    * `maxPerSource` results from any one source per probe, then the
+    * global top-`k` — the standard result-diversification guard against
+    * one dominant source (a crawl domain, a boilerplate mill) filling
+    * the whole result list. Two stacked ranking windows implement the
+    * greedy cap exactly: the per-(probe, source) window keeps each
+    * source's `maxPerSource` best candidates, the per-probe window
+    * re-ranks the survivors.
+    *
+    * Scale shape: the candidate list (≤ 2·depth·|probes| rows) is the
+    * BROADCAST side of the source-attach join — the corpus streams and
+    * never shuffles — and both windows run over candidates only, with
+    * pushed WindowGroupLimits. Determinism: both windows order by the
+    * fused contract (rrf desc, doc_id asc). */
+  def diversifiedRrf(documents: DataFrame, vecs: DataFrame,
+      lexProbePred: Column, vecProbePred: Column, depth: Int = 20,
+      k: Int = 5, maxPerSource: Int = 2, k0: Int = 60): DataFrame = {
+    val cand = hybridRrf(documents, vecs, lexProbePred, vecProbePred,
+      depth, k = 2 * depth, k0)
+      .select(col("probe_id"), col("doc_id"), col("rrf"))
+    val withSrc = documents.select(col("doc_id"), col("source"))
+      .join(broadcast(cand), Seq("doc_id"))
+    val wSrc = Window.partitionBy(col("probe_id"), col("source"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    val wAll = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    withSrc
+      .withColumn("src_rnk", row_number().over(wSrc))
+      .filter(col("src_rnk") <= maxPerSource)
+      .withColumn("rnk", row_number().over(wAll))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("doc_id"), col("source"), col("rrf"),
+        col("src_rnk"), col("rnk"))
+  }
 }

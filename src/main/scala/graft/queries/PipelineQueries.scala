@@ -109,6 +109,47 @@ object PipelineQueries {
   private val ovecsCte =
     """ovecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
 
+  /** Hybrid-retrieval fusion chain through the RRF-scored candidate set
+    * (`fused`): lexical overlap ranks (top-20/probe) ⊕ cosine ranks
+    * (top-20/probe) full-outer-joined, probes = ids < 10. Shared by the
+    * sim_hybrid_rrf and sim_rrf_diverse oracles. Defined via a def
+    * because it references [[cosSql]]. */
+  private def rrfFusedCte: String =
+    s"""$ovecsCte,
+       |dt AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |pt AS (SELECT doc_id AS probe_id, term FROM dt WHERE doc_id < 10),
+       |ov AS (
+       |  SELECT p.probe_id, d.doc_id, count(*) AS n_shared
+       |  FROM pt p JOIN dt d USING (term)
+       |  WHERE d.doc_id <> p.probe_id
+       |  GROUP BY p.probe_id, d.doc_id),
+       |lr0 AS (
+       |  SELECT probe_id, doc_id, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY n_shared DESC, doc_id) AS rank_lex
+       |  FROM ov),
+       |lr AS (SELECT * FROM lr0 WHERE rank_lex <= 20),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM ovecs WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT probe_id, o.vec_id AS doc_id,
+       |         round(${cosSql("pv", "o.v")}, 6) AS cos_r
+       |  FROM probes, ovecs o WHERE probe_id <> o.vec_id),
+       |vr0 AS (
+       |  SELECT probe_id, doc_id, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY cos_r DESC, doc_id) AS rank_vec
+       |  FROM scored),
+       |vr AS (SELECT * FROM vr0 WHERE rank_vec <= 20),
+       |fused AS (
+       |  SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
+       |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |         l.rank_lex, v.rank_vec,
+       |         round(coalesce(1.0 / CAST(60 + l.rank_lex AS DOUBLE), 0.0) +
+       |               coalesce(1.0 / CAST(60 + v.rank_vec AS DOUBLE), 0.0),
+       |               6) AS rrf
+       |  FROM lr l FULL OUTER JOIN vr v
+       |    ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
@@ -989,7 +1030,18 @@ object PipelineQueries {
     "text_cooccurrence_pmi" -> ((s, d) =>
       TextAnalysis.cooccurrencePmi(Tables.documents(s, d),
         vocabSize = 30, minPairDocs = 5)
-        .orderBy("term_a", "term_b"))
+        .orderBy("term_a", "term_b")),
+
+    // Diversity-capped hybrid retrieval: at most 2 results per source
+    // per probe, then the global top-5 — the anti-domination guard on
+    // the fused candidate list; candidates broadcast, corpus streams.
+    "sim_rrf_diverse" -> ((s, d) =>
+      Retrieval.diversifiedRrf(
+        Tables.documents(s, d),
+        Similarity.vectors(Tables.embeddings(s, d))
+          .select(col("vec_id"), col("v")),
+        col("doc_id") < 10, col("vec_id") < 10)
+        .orderBy("probe_id", "rnk"))
   )
 
   // ---- oracles ----
@@ -2322,46 +2374,36 @@ object PipelineQueries {
     // both engines produce the identical IEEE value before the 6-dp
     // round. Ranks are exact integers; no other float enters the fusion.
     "sim_hybrid_rrf" ->
-      s"""WITH $ovecsCte,
-         |dt AS (
-         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
-         |  FROM documents),
-         |pt AS (SELECT doc_id AS probe_id, term FROM dt WHERE doc_id < 10),
-         |ov AS (
-         |  SELECT p.probe_id, d.doc_id, count(*) AS n_shared
-         |  FROM pt p JOIN dt d USING (term)
-         |  WHERE d.doc_id <> p.probe_id
-         |  GROUP BY p.probe_id, d.doc_id),
-         |lr0 AS (
-         |  SELECT probe_id, doc_id, row_number() OVER (
-         |    PARTITION BY probe_id ORDER BY n_shared DESC, doc_id) AS rank_lex
-         |  FROM ov),
-         |lr AS (SELECT * FROM lr0 WHERE rank_lex <= 20),
-         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM ovecs WHERE vec_id < 10),
-         |scored AS (
-         |  SELECT probe_id, o.vec_id AS doc_id,
-         |         round(${cosSql("pv", "o.v")}, 6) AS cos_r
-         |  FROM probes, ovecs o WHERE probe_id <> o.vec_id),
-         |vr0 AS (
-         |  SELECT probe_id, doc_id, row_number() OVER (
-         |    PARTITION BY probe_id ORDER BY cos_r DESC, doc_id) AS rank_vec
-         |  FROM scored),
-         |vr AS (SELECT * FROM vr0 WHERE rank_vec <= 20),
-         |fused AS (
-         |  SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
-         |         coalesce(l.doc_id, v.doc_id) AS doc_id,
-         |         l.rank_lex, v.rank_vec,
-         |         round(coalesce(1.0 / CAST(60 + l.rank_lex AS DOUBLE), 0.0) +
-         |               coalesce(1.0 / CAST(60 + v.rank_vec AS DOUBLE), 0.0),
-         |               6) AS rrf
-         |  FROM lr l FULL OUTER JOIN vr v
-         |    ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id),
+      s"""WITH $rrfFusedCte,
          |ranked AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rnk
          |  FROM fused)
          |SELECT probe_id, doc_id, rank_lex, rank_vec, rrf, rnk
          |FROM ranked WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
+
+    // Same fused chain; the per-(probe, source) window caps each source
+    // at 2 before the global top-5 re-rank — mirrors the two stacked
+    // windows in [[graft.operators.Retrieval.diversifiedRrf]].
+    "sim_rrf_diverse" ->
+      s"""WITH $rrfFusedCte,
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rnk
+         |  FROM fused),
+         |cand AS (SELECT probe_id, doc_id, rrf FROM ranked WHERE rnk <= 40),
+         |ws AS (
+         |  SELECT c.probe_id, c.doc_id, d.source, c.rrf,
+         |         row_number() OVER (
+         |           PARTITION BY c.probe_id, d.source
+         |           ORDER BY c.rrf DESC, c.doc_id) AS src_rnk
+         |  FROM cand c JOIN documents d USING (doc_id)),
+         |wf AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rnk
+         |  FROM ws WHERE src_rnk <= 2)
+         |SELECT probe_id, doc_id, source, rrf, src_rnk, rnk
+         |FROM wf WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
     // Exact-decimal means (the kmeansCte pattern): sum as DECIMAL(38,18)
     // so the summation order can't drift, divide once, round 6 dp.

@@ -37,6 +37,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "sim_hybrid_rrf",      // vector leg = broadcast probes (scoreAll's
                            // probe≠neighbor non-equi), same as the
                            // audited brute-force family
+    "sim_rrf_diverse",     // same fused chain + diversity windows
     "sim_random_projection", // dOut-row (4) output-dimension table
     "text_cooccurrence_pmi"  // one-row n_docs normalizer aggregate
   )

@@ -57,6 +57,39 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(2.0 / 80 > 1.0 / 61)
   }
 
+  test("diversifiedRrf: per-source cap binds and survivors keep fused order") {
+    // maxPerSource = 1: on this corpus several probes' uncapped top-5
+    // carries a doubled source (verified against the oracle chain), so
+    // the cap provably BINDS — the capped list must both be all-distinct
+    // in source and differ from plain hybridRrf for at least one probe.
+    val out = Retrieval.diversifiedRrf(docs, vecs,
+      col("doc_id") < 10, col("vec_id") < 10, depth = 20, k = 5,
+      maxPerSource = 1)
+      .select(col("probe_id"), col("doc_id"), col("source"), col("rrf"),
+        col("rnk"))
+      .as[(Long, Long, String, Double, Int)].collect()
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.keySet === (0L until 10L).toSet)
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.length === 5)
+      assert(rows.map(_._3).distinct.length === 5,
+        s"probe $p: a source appears twice under maxPerSource=1")
+      // Survivors stay in fused order.
+      val byRank = rows.sortBy(_._5).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    val uncapped = Retrieval.hybridRrf(docs, vecs,
+      col("doc_id") < 10, col("vec_id") < 10, depth = 20, k = 5)
+      .select(col("probe_id"), col("doc_id"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val capped = out.groupBy(_._1)
+    val differs = capped.exists { case (p, rows) =>
+      rows.map(_._2).toSet != uncapped(p).map(_._2).toSet
+    }
+    assert(differs, "cap never bound: capped top-5 equals uncapped " +
+      "top-5 for every probe — the fixture no longer exercises the cap")
+  }
+
   // ---- embedDrift ----
 
   test("embedDrift: identical halves have zero shift on every dimension") {

@@ -94,6 +94,26 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_time_bucket_ts" -> 2,      // window() agg + output sort
     "q_session_window_ts" -> 2,   // user-key session agg + output sort
     "q_date_trunc_ts" -> 2,       // calendar agg + output sort
+    // round-11 retrieval/analytics additions
+    "sim_hybrid_rrf" -> 9,        // 2 postings distincts + overlap agg
+                                  // + per-leg top-depth windows + the
+                                  // rank-list full-outer (2 sides, tiny)
+                                  // + fused top-k window + sort
+    "sim_rrf_diverse" -> 11,      // the fused chain's 9 + the two
+                                  // stacked diversity windows (the
+                                  // source-attach join broadcasts the
+                                  // candidate side, no extra exchange)
+    "sim_embed_drift" -> 3,       // (dim, half) agg + dim pivot + sort
+    "sim_random_projection" -> 2, // (vec, out_dim) contraction + sort
+    "pipeline_reservoir_weighted" -> 2, // per-source top-k window + sort
+    "pipeline_canonical_quality" -> 2,  // cluster argmax agg + sort (CC
+                                  // chain excluded like dedup_components:
+                                  // cached lineage prints repeatedly)
+    "text_cooccurrence_pmi" -> 10, // vocab distinct-df agg + per-doc
+                                  // collect_set + pair agg + sort; the
+                                  // postings subtree prints under both
+                                  // the vocab and pair branches
+                                  // (ReuseExchange dedups at runtime)
     // round-11 additions (timestamp-native twins)
     "q_asof_join_ts" -> 2,        // user-key shuffle + rank window
     "q_cohort_retention_ts" -> 4, // first-seen agg + user join + cohort
