@@ -713,6 +713,106 @@ object Similarity {
         round(abs(col("mean_a") - col("mean_b")), 6).as("shift"))
   }
 
+  /** Per-dimension corpus mean as a ONE-ROW array column `mus` (6-dp
+    * rounded exact-decimal means, positions ascending) — the broadcast
+    * centering vector for [[pcaPower]]. The array assembles via
+    * `array_sort(collect_list(struct(pos, mu)))`, so the collect's
+    * partition-order nondeterminism is sorted away before the transform
+    * strips the positions. */
+  private[operators] def meanVector(vecs: DataFrame): DataFrame =
+    vecs.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,18)")).as("sx"))
+      .select(col("pos"), round(col("sx").cast("double") / col("n"), 6)
+        .as("mu"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mu"))))
+        .as("pm"))
+      .select(transform(col("pm"), p => p.getField("mu")).as("mus"))
+
+  /** One power-iteration step over the centered corpus: given the
+    * current direction (one-row array `pv`), produce the next (one-row
+    * array, unit-norm, 6-dp rounded). w = Σᵢ sᵢ·xcᵢ with
+    * sᵢ = xcᵢ·v — i.e. (XᶜᵀXᶜ)v without ever materializing the
+    * covariance matrix: one broadcast of v, one per-row sequential dot
+    * (codegen'd, deterministic order), one (pos)-keyed exact-decimal
+    * contraction. The 6-dp round of both w and the normalized v
+    * re-syncs ulp drift every round, the same trick that hash-gates
+    * [[kmeansTrain]]'s trajectory. */
+  private def powerStep(centered: DataFrame, vrow: DataFrame): DataFrame = {
+    val w = centered.crossJoin(broadcast(vrow))
+      .withColumn("s", dot(col("xc"), col("pv")))
+      .select(col("s"), posexplode(col("xc")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum((col("s") * col("x")).cast("decimal(38,18)")).as("sw"))
+      .select(col("pos"), round(col("sw").cast("double"), 6).as("w"))
+    val norm2 = w.agg(
+      sum((col("w") * col("w")).cast("decimal(38,18)")).as("n2d"))
+      .select(col("n2d").cast("double").as("n2"))
+    w.crossJoin(broadcast(norm2))
+      .select(col("pos"), round(col("w") / sqrt(col("n2")), 6).as("vj"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("vj"))))
+        .as("pm"))
+      .select(transform(col("pm"), p => p.getField("vj")).as("pv"))
+  }
+
+  /** Top principal component by power iteration (`iters` unrolled
+    * rounds), the distributed classic: Xᶜ is never gathered, the d×d
+    * covariance never built — each round is one broadcast of the
+    * current d-vector, one map-side dot per row, and one d-row keyed
+    * aggregation. Start direction is the exact uniform unit vector
+    * (1/√d per coordinate, 6-dp rounded). Top-PC estimation is the
+    * standard embedding post-process (Arora et al., ICLR 2017 "A
+    * Simple but Tough-to-Beat Baseline for Sentence Embeddings" removes
+    * it; Mu & Viswanath, ICLR 2018 generalize) — the dominant direction
+    * is mostly corpus-common bias, not meaning.
+    *
+    * Determinism contract: means, contraction terms, and norms all sum
+    * as DECIMAL(38,18) over exact double products; per-row dots are
+    * sequential-order (codegen'd [[dot]]); every published vector
+    * rounds to 6 dp. Output: (dim, loading), 1-based dims.
+    *
+    * At scale each round re-reads the centered corpus: identical
+    * subplans dedup through ReuseExchange in one job, but a cluster
+    * run with many rounds should persist (or checkpoint) the centered
+    * frame once — the loop body itself stays as written. */
+  def pcaPower(vecs: DataFrame, iters: Int = 2): DataFrame = {
+    val centered = centeredVectors(vecs)
+    val v0 = meanVector(vecs).select(
+      transform(col("mus"),
+        _ => round(lit(1.0) / sqrt(size(col("mus"))), 6)).as("pv"))
+    val vFinal = (1 to iters).foldLeft(v0)((v, _) => powerStep(centered, v))
+    vFinal.select(posexplode(col("pv")).as(Seq("pos", "loading")))
+      .select((col("pos") + 1).as("dim"), col("loading"))
+  }
+
+  /** vecs with the centered array `xc` attached (x − μ, exact IEEE
+    * subtraction of the 6-dp-rounded mean). */
+  private def centeredVectors(vecs: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(meanVector(vecs)))
+      .withColumn("xc", zip_with(col("v"), col("mus"), (a, b) => a - b))
+
+  /** Top-PC removal: every vector's projection coefficient onto the
+    * [[pcaPower]] direction and its residual norm after subtracting
+    * that component — the per-vector side of the embedding
+    * post-process. Pure per-row math once the (broadcast) direction is
+    * trained: coeff = xc·v, residual = xc − coeff·v, both sequential
+    * per-row dots — no additional shuffle beyond the training chain.
+    * Output: (vec_id, coeff_r, resid_norm_r), 6-dp rounded. */
+  def removeTopPc(vecs: DataFrame, iters: Int = 2): DataFrame = {
+    val vrow = pcaPower(vecs, iters)
+      .agg(array_sort(collect_list(struct(col("dim"), col("loading"))))
+        .as("pm"))
+      .select(transform(col("pm"), p => p.getField("loading")).as("pv"))
+    centeredVectors(vecs).crossJoin(broadcast(vrow))
+      .withColumn("coeff", dot(col("xc"), col("pv")))
+      .withColumn("resid",
+        zip_with(col("xc"), col("pv"),
+          (a, b) => a - col("coeff") * b))
+      .select(col("vec_id"), round(col("coeff"), 6).as("coeff_r"),
+        round(sqrt(dot(col("resid"), col("resid"))), 6).as("resid_norm_r"))
+  }
+
   /** Johnson–Lindenstrauss random projection to `dOut` dimensions with
     * a deterministic ±1 sign matrix (Achlioptas 2001: ±1 entries
     * preserve pairwise distances in expectation exactly like Gaussian

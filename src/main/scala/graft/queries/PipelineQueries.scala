@@ -150,6 +150,57 @@ object PipelineQueries {
        |  FROM lr l FULL OUTER JOIN vr v
        |    ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id)""".stripMargin
 
+  /** Power-iteration PCA chain through the round-2 direction `v2`
+    * (one-row list `pv`): exact-decimal means → centered lists → two
+    * (score → contract → normalize) rounds, every published vector
+    * 6-dp rounded — the sequential replay of
+    * [[graft.operators.Similarity.pcaPower]]. Shared by the
+    * sim_pca_power and sim_pca_residual oracles. */
+  private def pcaChainCte: String =
+    s"""$ovecsCte,
+       |dims AS (
+       |  SELECT vec_id, unnest(v) AS x,
+       |         unnest(generate_series(1, len(v))) AS pos
+       |  FROM ovecs),
+       |mu AS (
+       |  SELECT pos, round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+       |              / count(*), 6) AS mu
+       |  FROM dims GROUP BY pos),
+       |muv AS (SELECT list(mu ORDER BY pos) AS mus FROM mu),
+       |cent AS (
+       |  SELECT vec_id,
+       |         list_transform(generate_series(1, len(v)),
+       |                        i -> v[i] - mus[i]) AS xc
+       |  FROM ovecs CROSS JOIN muv),
+       |v0 AS (
+       |  SELECT list_transform(generate_series(1, len(mus)),
+       |                        i -> round(1.0 / sqrt(len(mus)), 6)) AS pv
+       |  FROM muv),
+       |s1 AS (SELECT vec_id, xc, list_dot_product(xc, pv) AS s
+       |       FROM cent CROSS JOIN v0),
+       |w1 AS (
+       |  SELECT pos, round(CAST(sum(CAST(s * x AS DECIMAL(38,18)))
+       |              AS DOUBLE), 6) AS w
+       |  FROM (SELECT s, unnest(xc) AS x,
+       |               unnest(generate_series(1, len(xc))) AS pos FROM s1)
+       |  GROUP BY pos),
+       |n1 AS (SELECT CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE) AS n2
+       |       FROM w1),
+       |v1 AS (SELECT list(round(w / sqrt(n2), 6) ORDER BY pos) AS pv
+       |       FROM w1 CROSS JOIN n1),
+       |s2 AS (SELECT vec_id, xc, list_dot_product(xc, pv) AS s
+       |       FROM cent CROSS JOIN v1),
+       |w2 AS (
+       |  SELECT pos, round(CAST(sum(CAST(s * x AS DECIMAL(38,18)))
+       |              AS DOUBLE), 6) AS w
+       |  FROM (SELECT s, unnest(xc) AS x,
+       |               unnest(generate_series(1, len(xc))) AS pos FROM s2)
+       |  GROUP BY pos),
+       |n2c AS (SELECT CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE) AS n2
+       |        FROM w2),
+       |v2 AS (SELECT list(round(w / sqrt(n2), 6) ORDER BY pos) AS pv
+       |       FROM w2 CROSS JOIN n2c)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
@@ -1041,7 +1092,25 @@ object PipelineQueries {
         Similarity.vectors(Tables.embeddings(s, d))
           .select(col("vec_id"), col("v")),
         col("doc_id") < 10, col("vec_id") < 10)
-        .orderBy("probe_id", "rnk"))
+        .orderBy("probe_id", "rnk")),
+
+    // Top principal component by distributed power iteration (2 unrolled
+    // rounds, covariance never materialized) — the corpus-bias direction
+    // the embedding post-process removes.
+    "sim_pca_power" -> ((s, d) =>
+      Similarity.pcaPower(
+        Similarity.vectors(Tables.embeddings(s, d))
+          .select(col("vec_id"), col("v")))
+        .orderBy("dim")),
+
+    // Per-vector top-PC removal: projection coefficient + residual norm
+    // against the trained direction — pure per-row math after one
+    // broadcast of the d-vector.
+    "sim_pca_residual" -> ((s, d) =>
+      Similarity.removeTopPc(
+        Similarity.vectors(Tables.embeddings(s, d))
+          .select(col("vec_id"), col("v")))
+        .orderBy("vec_id"))
   )
 
   // ---- oracles ----
@@ -2493,6 +2562,28 @@ object PipelineQueries {
          |       (row_number() OVER (
          |          PARTITION BY component ORDER BY q DESC, doc_id)) = 1 AS keep
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // Round-2 direction published straight from the w2/norm pair (the
+    // same values v2 lists), 1-based dims.
+    "sim_pca_power" ->
+      s"""WITH $pcaChainCte
+         |SELECT pos AS dim, round(w / sqrt(n2), 6) AS loading
+         |FROM w2 CROSS JOIN n2c ORDER BY dim""".stripMargin,
+
+    // Coefficient stays UNROUNDED inside the residual (matching the
+    // Spark plan); only the published columns round.
+    "sim_pca_residual" ->
+      s"""WITH $pcaChainCte,
+         |pr AS (SELECT vec_id, xc, pv, list_dot_product(xc, pv) AS c
+         |       FROM cent CROSS JOIN v2),
+         |rr AS (
+         |  SELECT vec_id, c,
+         |         list_transform(generate_series(1, len(xc)),
+         |                        i -> xc[i] - c * pv[i]) AS r
+         |  FROM pr)
+         |SELECT vec_id, round(c, 6) AS coeff_r,
+         |       round(sqrt(list_dot_product(r, r)), 6) AS resid_norm_r
+         |FROM rr ORDER BY vec_id""".stripMargin,
 
     // PMI over exact integer ratios: one ln per pair, no summation.
     "text_cooccurrence_pmi" ->

@@ -38,6 +38,8 @@ class PlanInvariantsSpec extends SparkSpec {
                            // probe≠neighbor non-equi), same as the
                            // audited brute-force family
     "sim_rrf_diverse",     // same fused chain + diversity windows
+    "sim_pca_power",       // one-row mean / direction / norm vectors
+    "sim_pca_residual",    // same chain + the broadcast final direction
     "sim_random_projection", // dOut-row (4) output-dimension table
     "text_cooccurrence_pmi"  // one-row n_docs normalizer aggregate
   )

@@ -145,6 +145,41 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- pcaPower / removeTopPc ----
+
+  test("pcaPower: a one-dimensional corpus yields its axis as the top PC") {
+    // All variance on dim 1 (values symmetric, mean 0): the loading
+    // must concentrate there (±1) and every residual must vanish.
+    val in = (1 to 10).map(i =>
+      (i.toLong, Seq((2 * i - 11).toDouble, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val pc = Similarity.pcaPower(in)
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    assert(math.abs(math.abs(pc(0)) - 1.0) < 1e-6, pc.mkString(","))
+    assert(pc.drop(1).forall(x => math.abs(x) < 1e-6))
+    val resid = Similarity.removeTopPc(in)
+      .as[(Long, Double, Double)].collect()
+    assert(resid.length === 10)
+    assert(resid.forall { case (_, _, rn) => rn < 1e-5 },
+      s"residuals should vanish on a rank-1 corpus: ${resid.take(3).mkString(",")}")
+  }
+
+  test("pcaPower on the corpus: unit norm, and top-PC removal removes variance") {
+    val pc = Similarity.pcaPower(vecs)
+      .as[(Int, Double)].collect()
+    assert(pc.length === 64)
+    val norm2 = pc.map(p => p._2 * p._2).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"||v||^2 = $norm2")
+    val out = Similarity.removeTopPc(vecs)
+      .as[(Long, Double, Double)].collect()
+    assert(out.length === 500)
+    // Pythagoras per vector: resid² + coeff² must reconstruct the
+    // centered norm² (within rounding); aggregate removed variance > 0.
+    val removed = out.map(r => r._2 * r._2).sum
+    assert(removed > 0.0, "top PC carries no variance?")
+    assert(out.forall { case (_, c, rn) => rn >= 0 && !rn.isNaN && !c.isNaN })
+  }
+
   // ---- weightedReservoir ----
 
   test("weightedReservoir: exactly min(k, |group|) rows, keys ascending") {

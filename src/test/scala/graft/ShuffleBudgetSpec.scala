@@ -103,6 +103,14 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // stacked diversity windows (the
                                   // source-attach join broadcasts the
                                   // candidate side, no extra exchange)
+    "sim_pca_power" -> 32,        // the mean/centered subtrees print
+                                  // under every consuming branch (v0 +
+                                  // both power rounds; ReuseExchange
+                                  // dedups identical subplans at
+                                  // runtime) + per-round contraction,
+                                  // norm, and collect aggregations
+    "sim_pca_residual" -> 35,     // sim_pca_power's chain + the final
+                                  // direction-collect and output sort
     "sim_embed_drift" -> 3,       // (dim, half) agg + dim pivot + sort
     "sim_random_projection" -> 2, // (vec, out_dim) contraction + sort
     "pipeline_reservoir_weighted" -> 2, // per-source top-k window + sort
