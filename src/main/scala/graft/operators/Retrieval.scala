@@ -40,18 +40,15 @@ object Retrieval {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .distinct()
 
-  /** Lexical leg: per (probe, doc) count of shared distinct terms,
-    * ranked per probe. Self-matches are excluded (mirroring
-    * [[Similarity.scoreAll]]'s probe ≠ neighbor contract). */
-  def lexicalOverlapTopK(documents: DataFrame, probePred: Column,
+  /** Lexical leg core: overlap counts of a (broadcast) probe-terms
+    * frame against the corpus postings, ranked per probe. Self-matches
+    * are excluded (mirroring [[Similarity.scoreAll]]'s probe ≠ neighbor
+    * contract). */
+  private def lexicalLeg(post: DataFrame, probeTerms: DataFrame,
       depth: Int): DataFrame = {
-    val post = postings(documents)
-    val probeTerms = broadcast(
-      post.filter(probePred).select(col("doc_id").as("probe_id"),
-        col("term")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("n_shared").desc, col("doc_id").asc)
-    probeTerms.join(post, Seq("term"))
+    broadcast(probeTerms).join(post, Seq("term"))
       .filter(col("doc_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -59,16 +56,66 @@ object Retrieval {
       .filter(col("rank_lex") <= depth)
   }
 
-  /** Vector leg: brute-force cosine ranks from [[Similarity.scoreAll]]
-    * (broadcast probes, corpus streams), cut to `depth` per probe. */
-  def vectorTopK(vecs: DataFrame, probePred: Column, depth: Int): DataFrame = {
+  /** Lexical leg with probes selected out of the corpus by predicate. */
+  def lexicalOverlapTopK(documents: DataFrame, probePred: Column,
+      depth: Int): DataFrame = {
+    val post = postings(documents)
+    lexicalLeg(post,
+      post.filter(probePred).select(col("doc_id").as("probe_id"),
+        col("term")), depth)
+  }
+
+  /** Vector leg core: brute-force cosine ranks from
+    * [[Similarity.scoreAll]] (broadcast probes, corpus streams), cut to
+    * `depth` per probe. `probes` must carry (vec_id, v). */
+  private def vectorLeg(vecs: DataFrame, probes: DataFrame,
+      depth: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_r").desc, col("neighbor_id").asc)
-    Similarity.scoreAll(vecs, vecs.filter(probePred))
+    Similarity.scoreAll(vecs, probes)
       .withColumn("rank_vec", row_number().over(w))
       .filter(col("rank_vec") <= depth)
       .select(col("probe_id"), col("neighbor_id").as("doc_id"),
         col("rank_vec"))
+  }
+
+  /** Vector leg with probes selected out of the corpus by predicate. */
+  def vectorTopK(vecs: DataFrame, probePred: Column, depth: Int): DataFrame =
+    vectorLeg(vecs, vecs.filter(probePred), depth)
+
+  /** The RRF fusion of two rank-list legs (shared by the batch and
+    * serving entry points — byte-identical contract). */
+  private def fuse(lex: DataFrame, vec: DataFrame, k: Int,
+      k0: Int): DataFrame = {
+    val fused = lex.join(vec, Seq("probe_id", "doc_id"), "full_outer")
+      .select(col("probe_id"), col("doc_id"),
+        col("rank_lex"), col("rank_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(k0) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(k0) + col("rank_vec")), lit(0.0)),
+          6).as("rrf"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Serving-mode hybrid retrieval: the probes arrive as their OWN
+    * frames — (doc_id, text) for the lexical leg, (vec_id, v) for the
+    * vector leg — instead of as corpus predicates. This is the shape a
+    * `foreachBatch` online-serving loop calls per micro-batch; the
+    * plan, tie-breaks, and rounding are byte-identical to
+    * [[hybridRrf]], so offline and online results agree exactly
+    * (StreamingSpec pins the parity). */
+  def hybridRrfServe(documents: DataFrame, vecs: DataFrame,
+      probeDocs: DataFrame, probeVecs: DataFrame, depth: Int = 20,
+      k: Int = 10, k0: Int = 60): DataFrame = {
+    val probeTerms = probeDocs
+      .select(col("doc_id").as("probe_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val lex = lexicalLeg(postings(documents), probeTerms, depth)
+      .select(col("probe_id"), col("doc_id"), col("rank_lex"))
+    fuse(lex, vectorLeg(vecs, probeVecs, depth), k, k0)
   }
 
   /** The fused retrieval: RRF over the two legs' top-`depth` rank lists,
@@ -81,17 +128,7 @@ object Retrieval {
       k0: Int = 60): DataFrame = {
     val lex = lexicalOverlapTopK(documents, lexProbePred, depth)
       .select(col("probe_id"), col("doc_id"), col("rank_lex"))
-    val vec = vectorTopK(vecs, vecProbePred, depth)
-    val fused = lex.join(vec, Seq("probe_id", "doc_id"), "full_outer")
-      .select(col("probe_id"), col("doc_id"),
-        col("rank_lex"), col("rank_vec"),
-        round(
-          coalesce(lit(1.0) / (lit(k0) + col("rank_lex")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(k0) + col("rank_vec")), lit(0.0)),
-          6).as("rrf"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("rrf").desc, col("doc_id").asc)
-    fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    fuse(lex, vectorTopK(vecs, vecProbePred, depth), k, k0)
   }
 
   /** Diversity-capped re-rank over the fused candidates: at most

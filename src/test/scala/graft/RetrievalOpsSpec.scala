@@ -199,6 +199,31 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedReservoir: partition-merge property (sample of union = merge of samples)") {
+    // The property that makes E-S keys distributed-safe: because the
+    // key is a pure per-row function, the k smallest keys of A ∪ B are
+    // exactly the k smallest of (top-k of A) ∪ (top-k of B) — partial
+    // per-partition samples merge losslessly, so any partitioning (or
+    // any incremental shard-by-shard run) yields the identical sample.
+    val all = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val a = all.filter(col("doc_id") % 3 =!= 0)
+    val b = all.filter(col("doc_id") % 3 === 0)
+    val whole = Sampling.weightedReservoir(all, col("source"),
+      col("doc_id"), col("n_chars"), 5)
+      .select(col("source"), col("doc_id")).as[(String, Long)]
+      .collect().toSet
+    val merged = Sampling.weightedReservoir(
+      Sampling.weightedReservoir(a, col("source"), col("doc_id"),
+          col("n_chars"), 5)
+        .unionByName(Sampling.weightedReservoir(b, col("source"),
+          col("doc_id"), col("n_chars"), 5))
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      col("source"), col("doc_id"), col("n_chars"), 5)
+      .select(col("source"), col("doc_id")).as[(String, Long)]
+      .collect().toSet
+    assert(whole === merged)
+  }
+
   test("weightedReservoir: an overwhelming weight is always sampled") {
     // One row with weight 10^9 vs 99 rows with weight 1: its key is
     // ~10^9 smaller than any competitor's, so it must appear in any

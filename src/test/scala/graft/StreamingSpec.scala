@@ -639,4 +639,52 @@ class StreamingSpec extends SparkSpec {
       assert(out(0) === FlowLogStream.Session(7, 1000, 3000, 3, 6.0))
     } finally q.stop()
   }
+
+  test("streaming hybrid-retrieval serving: probe stream equals batch fusion") {
+    // Online hybrid search: query docs arrive as a stream carrying both
+    // text and embedding; each micro-batch runs the exact
+    // hybridRrfServe plan (lexical overlap ⊕ cosine, RRF-fused) against
+    // the STATIC corpus. Two micro-batches must reproduce precisely the
+    // batch hybridRrf rows for the same probe set — the offline/online
+    // parity contract of the serving-mode entry point.
+    import graft.operators.{Retrieval, Similarity}
+    val s = spark.newSession()
+    import s.implicits._
+    val docs = Tables.documents(s, sfDir)
+    val vecs = Similarity.vectors(Tables.embeddings(s, sfDir))
+      .select($"vec_id", $"v")
+    val probeRows = docs.join(vecs, $"doc_id" === $"vec_id")
+      .filter($"doc_id" < 8)
+      .select($"doc_id", $"text", $"v")
+      .as[(Long, String, Seq[Double])].collect()
+    val (p1, p2) = probeRows.partition(_._1 % 2 == 0)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Double, Int)]()
+    val input = MemoryStream[(Long, String, Seq[Double])](s)
+    val q = input.toDF().toDF("doc_id", "text", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val pd = batch.select($"doc_id", $"text")
+        val pv = batch.select($"doc_id".as("vec_id"), $"v")
+        Retrieval.hybridRrfServe(docs, vecs, pd, pv)
+          .select($"probe_id", $"doc_id", $"rrf", $"rnk")
+          .collect().foreach(r => results.add((r.getLong(0), r.getLong(1),
+            r.getDouble(2), r.getInt(3))))
+      }
+      .start()
+    try {
+      input.addData(p1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(p2.toSeq: _*)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = results.asScala.toSet
+      val want = Retrieval.hybridRrf(docs, vecs,
+          $"doc_id" < 8, $"vec_id" < 8)
+        .select($"probe_id", $"doc_id", $"rrf", $"rnk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(want.nonEmpty && got === want,
+        s"served fusion (${got.size}) must equal batch fusion (${want.size})")
+    } finally q.stop()
+  }
 }
