@@ -621,27 +621,36 @@ object Similarity {
     * cosine with neighbor-id tie-break. Probing every cell is
     * exhaustive by construction (cells partition the corpus), pinned
     * against brute force in PipelineSpec. */
+  /** Trained-centroid cell assignment shared by [[ivfSearchTrained]]
+    * and the persisted-index pair ([[writeIvfIndex]] /
+    * [[searchIvfIndex]]) — one implementation so the determinism
+    * contract (rounded L2² asc, cid asc) cannot diverge between the
+    * in-memory and persisted paths. `cents` carries (cid, dim, cmean),
+    * dims 1-based. */
+  private def trainedAssign(src: DataFrame, cents: DataFrame,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = cents.select(col("cid"), (col("dim") - 1).as("pos"),
+      col("cmean"))
+    val dims = src.select(col("vec_id").as("probe_id"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val d2 = dims.join(broadcast(cells), Seq("pos"))
+      .groupBy(col("probe_id"), col("cid"))
+      .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
+        .as("dist2"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("dist2"), 6).asc, col("cid").asc)
+    d2.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+      .select(col("probe_id"), col("cid"))
+  }
+
   def ivfSearchTrained(vecs: DataFrame, probes: DataFrame,
       cents: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val cells = cents.select(col("cid"), (col("dim") - 1).as("pos"),
-      col("cmean"))
-    def rankedAssign(src: DataFrame, n: Int): DataFrame = {
-      val dims = src.select(col("vec_id").as("probe_id"),
-        posexplode(col("v")).as(Seq("pos", "x")))
-      val d2 = dims.join(broadcast(cells), Seq("pos"))
-        .groupBy(col("probe_id"), col("cid"))
-        .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
-          .as("dist2"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(round(col("dist2"), 6).asc, col("cid").asc)
-      d2.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
-        .select(col("probe_id"), col("cid"))
-    }
-    val idx = rankedAssign(vecs, 1)
+    val idx = trainedAssign(vecs, cents, 1)
       .select(col("probe_id").as("corpus_id"), col("cid").as("cell"))
-    val pcells = rankedAssign(probes, nprobe)
+    val pcells = trainedAssign(probes, cents, nprobe)
       .select(col("probe_id"), col("cid").as("pcell"))
     val pb = withNorm(probes).select(col("vec_id").as("probe_id"),
       col("v").as("pv"), col("nrm").as("pnrm"))
@@ -651,6 +660,51 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val scored = pb
       .join(corpus,
+        col("pcell") === col("cell") && col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Materialize the IVF index next to the corpus: every vector with
+    * its own (rn = 1) trained cell, written CELL-PARTITIONED parquet,
+    * plus the centroid table — the layout SCALING.md prescribes once an
+    * index is consulted more often than it is rebuilt. Norms are
+    * precomputed at index time (`nrm` column), so serving never
+    * re-reduces the vectors. */
+  def writeIvfIndex(vecs: DataFrame, cents: DataFrame, dir: String): Unit = {
+    val cells = trainedAssign(vecs, cents, 1)
+      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
+    withNorm(vecs).join(cells, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/index")
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Search a persisted [[writeIvfIndex]] layout: probes assign to
+    * their `nprobe` nearest stored centroids, then join the
+    * cell-partitioned index on the cell key — Spark's dynamic partition
+    * pruning drives the scan from the (tiny) probe-cell set, so a
+    * serving query physically reads only the consulted cells'
+    * partitions, not the corpus (PipelineSpec pins both the
+    * bit-for-bit parity with [[ivfSearchTrained]] and the DPP filter
+    * in the plan). Exactly the contract of the in-memory path:
+    * rounded-cosine desc, neighbor asc, top-k per probe. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      probes: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val idx = spark.read.parquet(s"$dir/index")
+    val pcells = trainedAssign(probes, cents, nprobe)
+      .select(col("probe_id"), col("cid").as("pcell"))
+    val pb = withNorm(probes).select(col("vec_id").as("probe_id"),
+      col("v").as("pv"), col("nrm").as("pnrm"))
+    val scored = pb.join(pcells, Seq("probe_id"))
+      .join(idx,
         col("pcell") === col("cell") && col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)

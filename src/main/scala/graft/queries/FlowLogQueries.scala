@@ -139,7 +139,7 @@ object FlowLogQueries {
         p = scratchDirs.poll()
       }
     }))
-  private def scratchDir(prefix: String): String = {
+  private[queries] def scratchDir(prefix: String): String = {
     scratchHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
     scratchDirs.add(p)

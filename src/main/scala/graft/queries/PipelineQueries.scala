@@ -201,6 +201,34 @@ object PipelineQueries {
        |v2 AS (SELECT list(round(w / sqrt(n2), 6) ORDER BY pos) AS pv
        |       FROM w2 CROSS JOIN n2c)""".stripMargin
 
+  /** Sequential replay of kmeans-trained IVF search (k=3, nprobe=2,
+    * probes = vec_id < 15) — shared by sim_ivf_kmeans and the
+    * persisted-index twin sim_ivf_persist, whose parquet round-trip is
+    * exact for doubles. */
+  private lazy val ivfKmeansSearchSql: String =
+    s"""WITH $ovecsCte,
+       |$kmeansCte,
+       |di AS (
+       |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+       |  FROM dims d JOIN c2 c USING (pos) GROUP BY d.vec_id, c.cid),
+       |dir AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
+       |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dir WHERE rn = 1),
+       |pas AS (SELECT vec_id AS probe_id, cid AS cell FROM dir
+       |        WHERE vec_id < 15 AND rn <= 2),
+       |scored AS (
+       |  SELECT a.probe_id, o.vec_id AS neighbor_id,
+       |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |  FROM pas a JOIN ovecs p ON p.vec_id = a.probe_id
+       |  JOIN idx i ON i.cell = a.cell
+       |  JOIN ovecs o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT probe_id, neighbor_id, cos_r, rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
@@ -1110,7 +1138,22 @@ object PipelineQueries {
       Similarity.removeTopPc(
         Similarity.vectors(Tables.embeddings(s, d))
           .select(col("vec_id"), col("v")))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Persisted IVF index round-trip: train → write the cell-partitioned
+    // index + centroid tables → serve probes against the files. Dynamic
+    // partition pruning reads only the consulted cells; results are
+    // bit-identical to the in-memory sim_ivf_kmeans search (same oracle).
+    "sim_ivf_persist" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_ivf_idx")
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      Similarity.searchIvfIndex(s, dir, vecs.filter(col("vec_id") < 15),
+        3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    })
   )
 
   // ---- oracles ----
@@ -1520,29 +1563,12 @@ object PipelineQueries {
          |$kmeansCte
          |SELECT cid, pos AS dim, n, cmean FROM c2 ORDER BY cid, dim""".stripMargin,
 
-    "sim_ivf_kmeans" ->
-      s"""WITH $ovecsCte,
-         |$kmeansCte,
-         |di AS (
-         |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
-         |  FROM dims d JOIN c2 c USING (pos) GROUP BY d.vec_id, c.cid),
-         |dir AS (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
-         |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dir WHERE rn = 1),
-         |pas AS (SELECT vec_id AS probe_id, cid AS cell FROM dir
-         |        WHERE vec_id < 15 AND rn <= 2),
-         |scored AS (
-         |  SELECT a.probe_id, o.vec_id AS neighbor_id,
-         |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
-         |  FROM pas a JOIN ovecs p ON p.vec_id = a.probe_id
-         |  JOIN idx i ON i.cell = a.cell
-         |  JOIN ovecs o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
-         |SELECT probe_id, neighbor_id, cos_r, rnk
-         |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+    "sim_ivf_kmeans" -> ivfKmeansSearchSql,
+
+    // The persisted-index search makes the IDENTICAL result set by
+    // contract (PipelineSpec pins bit-for-bit parity with the
+    // in-memory ivfSearchTrained), so it gates against the same replay.
+    "sim_ivf_persist" -> ivfKmeansSearchSql,
 
     "sim_range_search" ->
       s"""WITH $ovecsCte,

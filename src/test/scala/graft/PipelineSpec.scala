@@ -314,6 +314,48 @@ class PipelineSpec extends SparkSpec {
       "all-cells trained search must equal brute force bit-for-bit")
   }
 
+  test("persisted IVF index: file-backed search equals the in-memory search") {
+    // The write → read → serve round-trip must not move a single bit:
+    // parquet doubles are exact, norms are precomputed at index time,
+    // and the assignment helper is SHARED with ivfSearchTrained, so the
+    // persisted path has no independent determinism surface. Also
+    // audits the serving scan: the index is cell-partitioned, and the
+    // probe-cell join keys the scan by partition column so only
+    // consulted cells' files matter (dynamic pruning when the optimizer
+    // deems the filter selective; the partition-column join is the
+    // structural prerequisite either way).
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 12)
+    val cents = Similarity.kmeansTrain(vecs, 8, 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec")
+      .toString
+    try {
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      val served = Similarity.searchIvfIndex(spark, dir, probes, 3,
+        nprobe = 2)
+      val want = Similarity.ivfSearchTrained(vecs, probes, cents, 3,
+          nprobe = 2)
+        .collect().toSet
+      assert(want.nonEmpty && served.collect().toSet === want,
+        "persisted-index search must equal the in-memory search")
+      // The scan must be DPP-driven: the index side's partition filter
+      // carries a dynamicpruning expression fed by the probe-cell set,
+      // so a serving query physically reads only the consulted cells.
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        "index scan lost its dynamic partition pruning")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } finally walk.close()
+    }
+  }
+
   test("knnJoinIndexed: recall at nprobe=2, and exhaustive probing equals brute force") {
     // Same clustered geometry as the knnJoin tests: at nprobe=8 (every
     // cell probed) the self-indexed blocking is exhaustive, so the join

@@ -103,6 +103,12 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // stacked diversity windows (the
                                   // source-attach join broadcasts the
                                   // candidate side, no extra exchange)
+    "sim_ivf_persist" -> 5,       // SERVING plan only (the train+write
+                                  // runs before the returned frame):
+                                  // probe assignment agg/window over
+                                  // the broadcast stored centroids +
+                                  // DPP-pruned cell join + top-k
+                                  // window + sort
     "sim_pca_power" -> 32,        // the mean/centered subtrees print
                                   // under every consuming branch (v0 +
                                   // both power rounds; ReuseExchange
