@@ -30,6 +30,22 @@ object Sampling {
     conv(h3, 16, 10).cast("int") % buckets
   }
 
+  /** Driver-side replica of [[hashBucket]] for LITERAL keys: md5 of the
+    * key's UTF-8 bytes, first 3 hex digits mod `buckets` — byte-for-byte
+    * the expression's derivation (Spark's `md5(cast(str as binary))`
+    * hashes the UTF-8 encoding). Lets a serving query compute its
+    * partition set at PLAN time (a static `isin` partition filter, which
+    * prunes before any job runs — stronger than DPP, which prunes at
+    * runtime from a join). PipelinePropertySpec pins the parity
+    * expression-vs-local over arbitrary strings. */
+  def hashBucketLocal(key: String, buckets: Int): Int = {
+    require(buckets > 0 && buckets <= 4096, "buckets must be in (0, 4096]")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex3 = digest.take(2).map(b => f"$b%02x").mkString.substring(0, 3)
+    Integer.parseInt(hex3, 16) % buckets
+  }
+
   /** Train/valid/test assignment from percentage cut points over a
     * 100-way hash bucket: [0, trainPct) → train, [trainPct, validPct)
     * → valid, rest → test. */

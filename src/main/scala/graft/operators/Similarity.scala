@@ -451,6 +451,57 @@ object Similarity {
           .as("err"): _*)
   }
 
+  /** PQ codes of the corpus — the stored m-byte-per-vector
+    * representation ([[productQuantize]] without the error column),
+    * shared by [[adcTopK]] and [[ivfPqTopK]] so the assignment
+    * contract (rounded L2² asc, cid asc) cannot diverge between the
+    * flat-ADC and cell-blocked serving paths. Codebook = the first
+    * `codebookK` vectors' subvectors, same deterministic sample as
+    * [[productQuantize]]. Output: (vec_id, sub, cid). */
+  private def pqCodesOf(vecs: DataFrame, m: Int, codebookK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subs = subvectors(vecs, m)
+    val codebook = codebookOf(vecs, m, codebookK)
+    val wAssign = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(round(col("dist2"), 6).asc, col("cid").asc)
+    subs.join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("dist2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid"))
+  }
+
+  /** The PQ codebook: per-subspace slices of the first `codebookK`
+    * vectors — (sub, cid, cv), the deterministic sample every PQ
+    * consumer trains against. */
+  private def codebookOf(vecs: DataFrame, m: Int,
+      codebookK: Int): DataFrame =
+    subvectors(vecs, m).filter(col("vec_id") < codebookK)
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+
+  /** Per-probe ADC distance table against an explicit codebook frame
+    * (in-memory or read back from a persisted index — parquet
+    * round-trips doubles exactly, so the two sources are
+    * indistinguishable): d²(probe_subᵐ, codebook[cid]ᵐ) for every
+    * (sub, cid) — |probes|·m·codebookK rows, the broadcast side of
+    * every ADC scan. */
+  private def adcDistTableFrom(codebook: DataFrame, probes: DataFrame,
+      m: Int): DataFrame =
+    subvectors(probes, m)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("sv").as("pv"))
+      .join(codebook, Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("cid"),
+        (dot(col("pv"), col("pv")) - lit(2.0) * dot(col("pv"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("pd2"))
+
+  /** [[adcDistTableFrom]] with the codebook derived from `vecs` (the
+    * corpus), the same sample [[pqCodesOf]] assigns against. */
+  private def adcDistTable(vecs: DataFrame, probes: DataFrame, m: Int,
+      codebookK: Int): DataFrame =
+    adcDistTableFrom(codebookOf(vecs, m, codebookK), probes, m)
+
   /** Internal: per-subspace slices of every vector (vec_id, sub, sv). */
   private def subvectors(vecs: DataFrame, m: Int): DataFrame =
     vecs
@@ -473,26 +524,8 @@ object Similarity {
   def adcTopK(vecs: DataFrame, probes: DataFrame, k: Int,
       m: Int = 4, codebookK: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val subs = subvectors(vecs, m)
-    val codebook = subs.filter(col("vec_id") < codebookK)
-      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
-    // corpus → codes (the stored representation)
-    val wAssign = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(round(col("dist2"), 6).asc, col("cid").asc)
-    val codes = subs.join(broadcast(codebook), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("cid"),
-        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
-          dot(col("cv"), col("cv"))).as("dist2"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("cid"))
-    // probe → per-(sub, code) distance table
-    val dtab = subvectors(probes, m)
-      .select(col("vec_id").as("probe_id"), col("sub"), col("sv").as("pv"))
-      .join(codebook, Seq("sub"))
-      .select(col("probe_id"), col("sub"), col("cid"),
-        (dot(col("pv"), col("pv")) - lit(2.0) * dot(col("pv"), col("cv")) +
-          dot(col("cv"), col("cv"))).as("pd2"))
+    val codes = pqCodesOf(vecs, m, codebookK)
+    val dtab = adcDistTable(vecs, probes, m, codebookK)
     val scored = codes.join(broadcast(dtab), Seq("sub", "cid"))
       .filter(col("probe_id") =!= col("vec_id"))
       .groupBy(col("probe_id"), col("vec_id"))
@@ -503,6 +536,119 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         col("adist"), col("rnk"))
+  }
+
+  /** The FULL IVF-PQ serving stack — coarse quantizer + product codes +
+    * ADC, composed end-to-end: TRAIN `kCells` coarse cells
+    * ([[kmeansTrain]]), INDEX each corpus vector under its nearest
+    * trained cell (rank-1, the [[knnJoinIndexed]] contract) with its
+    * m-byte PQ code ([[pqCodesOf]]), then SEARCH: each probe assigns to
+    * its `nprobe` nearest cells and scores ONLY those cells' codes via
+    * distance-table lookups ([[adcDistTable]]). This is the billion-
+    * scale composition (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): the cell blocking bounds candidates at
+    * corpus·nprobe/kCells per probe, and ADC removes full-vector math
+    * from the corpus side entirely. Codes are computed on RAW vectors,
+    * not cell residuals — the simpler of the two standard encodings
+    * (FAISS exposes it as `by_residual=false`); it keeps the code
+    * independent of the cell assignment, so re-training the coarse
+    * quantizer never forces a re-encode.
+    *
+    * Scale shape: the corpus path is (codes ⋈ index-cell) keyed by
+    * vec_id, then one broadcast-joined scan against the per-probe
+    * distance table restricted to probed cells, then a (probe, vec)
+    * rollup — the corpus never broadcasts and never re-reduces vectors
+    * at serve time. Probing every cell degenerates to exactly
+    * [[adcTopK]] (cells partition the corpus — PipelineSpec pins the
+    * bit-for-bit equality), which makes `nprobe` a pure recall knob
+    * here too. Determinism: the family contract throughout — rounded
+    * L2² with cid tie-break for both quantizers, exact-decimal ADC
+    * sums, neighbor-id rank tie-break. */
+  def ivfPqTopK(vecs: DataFrame, probes: DataFrame, k: Int,
+      m: Int = 4, codebookK: Int = 8, kCells: Int = 8, iters: Int = 2,
+      nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = kmeansTrain(vecs, kCells, iters)
+    val idx = trainedAssign(vecs, cents, 1)
+      .select(col("probe_id").as("corpus_id"), col("cid").as("cell"))
+    val pcells = trainedAssign(probes, cents, nprobe)
+      .select(col("probe_id"), col("cid").as("pcell"))
+    val codes = pqCodesOf(vecs, m, codebookK)
+      .join(idx, col("vec_id") === col("corpus_id"))
+      .select(col("vec_id"), col("sub"), col("cid"), col("cell"))
+    val dtab = adcDistTable(vecs, probes, m, codebookK)
+      .join(pcells, Seq("probe_id"))
+    adcCellTopK(codes, dtab, k)
+  }
+
+  /** Shared serving stage of [[ivfPqTopK]] and [[searchIvfPqIndex]]:
+    * join the cell-blocked code table against the broadcast per-probe
+    * distance table (ONLY within each probe's consulted cells), roll
+    * the per-subspace terms up to ADC distances, and rank top-k —
+    * one implementation so the in-memory and persisted paths cannot
+    * diverge on the scoring or tie-break contract. `codes` carries
+    * (vec_id, sub, cid, cell); `dtab` (probe_id, sub, cid, pd2,
+    * pcell). */
+  private def adcCellTopK(codes: DataFrame, dtab: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = codes.join(broadcast(dtab),
+        codes("sub") === dtab("sub") && codes("cid") === dtab("cid") &&
+          col("cell") === col("pcell") && col("probe_id") =!= col("vec_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(round(col("pd2"), 6).cast("decimal(18,6)")).cast("double")
+        .as("adist"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rnk"))
+  }
+
+  /** Materialize the IVF-PQ index: trained centroids, the PQ codebook,
+    * and every vector's m-byte code written CELL-PARTITIONED parquet —
+    * the serving layout where the stored corpus is CODES ONLY (m
+    * small ints + a cell id per vector, the ~32× compression that
+    * makes billion-vector serving fit on disk budgets the raw
+    * embeddings never could). The full-precision vectors appear
+    * nowhere in the index; [[searchIvfPqIndex]] never needs them. */
+  def writeIvfPqIndex(vecs: DataFrame, dir: String, m: Int = 4,
+      codebookK: Int = 8, kCells: Int = 8, iters: Int = 2): Unit = {
+    val cents = kmeansTrain(vecs, kCells, iters)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebookOf(vecs, m, codebookK)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val idx = trainedAssign(vecs, cents, 1)
+      .select(col("probe_id").as("corpus_id"), col("cid").as("cell"))
+    pqCodesOf(vecs, m, codebookK)
+      .join(idx, col("vec_id") === col("corpus_id"))
+      .select(col("vec_id"), col("sub"), col("cid"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes")
+  }
+
+  /** Serve ADC top-k from a persisted [[writeIvfPqIndex]] layout:
+    * probes assign to their `nprobe` nearest stored centroids, the
+    * per-probe distance table builds against the stored codebook, and
+    * the cell-partitioned code scan is pruned to the consulted cells
+    * (dynamic partition pruning off the broadcast probe-cell side,
+    * exactly like [[searchIvfIndex]]). Results are bit-identical to
+    * the in-memory [[ivfPqTopK]] at the same build parameters —
+    * parquet round-trips doubles and longs exactly (PipelineSpec pins
+    * the parity and the pruned scan; the gated twin shares
+    * sim_ivfpq_topk's oracle). */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame, k: Int, m: Int = 4,
+      nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val pcells = trainedAssign(probes, cents, nprobe)
+      .select(col("probe_id"), col("cid").as("pcell"))
+    val dtab = adcDistTableFrom(codebook, probes, m)
+      .join(pcells, Seq("probe_id"))
+    adcCellTopK(codes, dtab, k)
   }
 
   /** One Lloyd's-iteration update step over an embedding corpus:

@@ -407,6 +407,99 @@ object TextAnalysis {
         sum(round(weight, 6).cast("decimal(18,6)")).cast("double").as("score"))
   }
 
+  /** Materialize the BM25 INVERTED INDEX next to the corpus — the text
+    * analog of [[graft.operators.Similarity.writeIvfIndex]], and the
+    * structure the reference's Elasticsearch sink maintains internally
+    * (ES is an inverted-index store; `decorator/index.js:222` serializes
+    * documents precisely so ES can index their terms). Postings are
+    * (term, doc_id, tf, dl) rows written PARTITIONED BY the term's
+    * md5 hash bucket ([[Sampling.hashBucket]]), so a query touching a
+    * handful of terms physically reads only those terms' partitions.
+    * Document length rides on every posting (denormalized) and the
+    * corpus stats (N, Σdl) are a one-row side table — serving never
+    * re-scans the corpus for lengths. Term-hash partitioning beats
+    * per-term files (term cardinality is unbounded; buckets are fixed)
+    * and beats doc-partitioning (a query would touch every partition).
+    */
+  def writeInvertedIndex(documents: DataFrame, dir: String,
+      nBuckets: Int = 64): Unit = {
+    val words = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .withColumn("tbucket", Sampling.hashBucket(col("term"), nBuckets))
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$dir/postings")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"),
+        lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Serve a BM25 query from a persisted [[writeInvertedIndex]] layout:
+    * the query terms' buckets are computed at PLAN time
+    * ([[Sampling.hashBucketLocal]] — the terms are literals, so this is
+    * pure driver arithmetic, not an action), giving a STATIC `isin`
+    * partition filter: the postings scan lists and reads only the
+    * consulted buckets' directories before any job runs. df comes from
+    * the pruned postings themselves (a term's postings live wholly in
+    * its bucket, so the count is exact); scores are bit-identical to
+    * the corpus-scan [[bm25]] — same weight expression, same 6-dp
+    * round, same exact-decimal sum (PipelineSpec pins the parity, and
+    * the gated twin shares text_bm25's oracle). `nBuckets` must match
+    * the write (it is also recorded in the stats table for audit).
+    *
+    * Scale shape: at 100 TB the index is built once (one corpus scan)
+    * and every query reads |terms| buckets ≈ terms/nBuckets of the
+    * postings — the whole point of serving from an index instead of
+    * the corpus. */
+  def searchInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, terms: Seq[String], nBuckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchInvertedIndexShards(spark, Seq(dir), terms, nBuckets, k1, b)
+
+  /** [[searchInvertedIndex]] over SHARDED indexes — the incremental-
+    * ingestion shape: each corpus batch writes its own
+    * [[writeInvertedIndex]] layout (a document lives wholly in one
+    * shard, so its tf/dl are exact there), and a query serves from the
+    * union with NO rebuild. df and the corpus stats re-aggregate
+    * across shards at serve time — integer sums, so a sharded serve is
+    * bit-identical to one index over the union corpus (PipelineSpec
+    * pins it; the gated twin shares text_bm25's oracle). Every shard's
+    * postings scan keeps its own static bucket pruning; the union adds
+    * no shuffle before the per-term df aggregate. At 100 TB this is
+    * the difference between re-indexing the corpus per ingest batch
+    * and indexing only the new batch. */
+  def searchInvertedIndexShards(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String], terms: Seq[String], nBuckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(dirs.nonEmpty, "at least one index shard required")
+    val buckets = terms.map(t => Sampling.hashBucketLocal(t, nBuckets))
+      .distinct
+    val stats = dirs.map(d => spark.read.parquet(s"$d/stats")
+        .select(col("n_docs"), col("tot_dl")))
+      .reduce(_.unionByName(_))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
+    val tf = dirs.map(d => spark.read.parquet(s"$d/postings")
+        .filter(col("tbucket").isin(buckets: _*) &&
+          col("term").isin(terms: _*))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl")))
+      .reduce(_.unionByName(_))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val weight = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(round(weight, 6).cast("decimal(18,6)")).cast("double").as("score"))
+  }
+
   /** C4-style boilerplate filter: a word n-gram is boilerplate when it
     * appears in more than `maxDocFrac` of the corpus' documents; each
     * document reports how much of its gram mass is boilerplate and the

@@ -229,8 +229,90 @@ object PipelineQueries {
        |SELECT probe_id, neighbor_id, cos_r, rnk
        |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
 
+  /** Sequential replay of the full IVF-PQ stack (m=4 subspaces,
+    * codebook=first 8 vectors, 8 kmeans cells, nprobe=2, probes =
+    * vec_id < 10, k=5) — shared by sim_ivfpq_topk and the persisted-
+    * index twin sim_ivfpq_persist (parquet round-trips the codes,
+    * codebook, and centroids exactly). */
+  private lazy val ivfPqSearchSql: String =
+    s"""WITH $ovecsCte,
+         |$kmeansCte,
+         |di AS (
+         |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+         |  FROM dims d JOIN c2 c USING (pos) GROUP BY d.vec_id, c.cid),
+         |dir AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
+         |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dir WHERE rn = 1),
+         |pas AS (SELECT vec_id AS probe_id, cid AS cell FROM dir
+         |        WHERE vec_id < 10 AND rn <= 2),
+         |subsp AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |subs AS (
+         |  SELECT vec_id, sub,
+         |         v[(sub * (len(v) // 4) + 1):((sub + 1) * (len(v) // 4))] AS sv
+         |  FROM ovecs CROSS JOIN subsp),
+         |cb AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 8),
+         |dq AS (
+         |  SELECT a.vec_id, a.sub, cb.cid,
+         |         list_dot_product(a.sv, a.sv)
+         |           - 2.0 * list_dot_product(a.sv, cb.cv)
+         |           + list_dot_product(cb.cv, cb.cv) AS dist2
+         |  FROM subs a JOIN cb USING (sub)),
+         |codes AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY round(dist2, 6), cid) AS rn
+         |    FROM dq) WHERE rn = 1),
+         |ptab AS (
+         |  SELECT p.vec_id AS probe_id, p.sub, cb.cid,
+         |         list_dot_product(p.sv, p.sv)
+         |           - 2.0 * list_dot_product(p.sv, cb.cv)
+         |           + list_dot_product(cb.cv, cb.cv) AS pd2
+         |  FROM subs p JOIN cb USING (sub) WHERE p.vec_id < 10),
+         |sc AS (
+         |  SELECT a.probe_id, c.vec_id,
+         |         CAST(CAST(sum(CAST(round(p.pd2, 6) AS DECIMAL(18,6)))
+         |              AS DECIMAL(38,6)) AS DOUBLE) AS adist
+         |  FROM pas a
+         |  JOIN idx i ON i.cell = a.cell
+         |  JOIN codes c ON c.vec_id = i.corpus_id AND c.vec_id <> a.probe_id
+         |  JOIN ptab p ON p.probe_id = a.probe_id
+         |             AND p.sub = c.sub AND p.cid = c.cid
+         |  GROUP BY a.probe_id, c.vec_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY adist, vec_id) AS rnk FROM sc)
+         |SELECT probe_id, vec_id AS neighbor_id, adist,
+         |       CAST(rnk AS INTEGER) AS rnk
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** Okapi BM25 over the fixed ('hash','join','spark') term bag —
+    * shared by text_bm25 and its persisted-inverted-index twin
+    * text_bm25_serve (parquet round-trip of BIGINT tf/dl/df is exact,
+    * so the serve path's scores are bit-identical). */
+  private val bm25Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM words
+      |       WHERE term IN ('hash', 'join', 'spark') GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      |SELECT t.doc_id, count(*) AS n_terms_hit,
+      |  CAST(sum(CAST(round(
+      |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+      |              (CAST(d.df AS DOUBLE) + 0.5)) *
+      |    (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |    (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+      |       0.75 * CAST(l.dl AS DOUBLE) /
+      |       (CAST(s.tot_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))),
+      |    6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+      |FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)
+      |CROSS JOIN stats s
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   /** Sequential replay of [[graft.operators.Similarity.kmeansTrain]]
     * (k=8, iters=2) over `ovecs`: seed → means → 2× (assign → means).
@@ -556,6 +638,33 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // The COMPLETE IVF-PQ stack (Jégou et al. 2011) end-to-end: train
+    // 8 coarse cells (2 Lloyd rounds), index every vector under its
+    // nearest cell with its 4-byte PQ code, serve probes by ADC over
+    // nprobe=2 cells only — coarse blocking bounds candidates, PQ
+    // removes full-vector math. Probing all cells degenerates to
+    // exactly sim_adc_topk (PipelineSpec pins it).
+    "sim_ivfpq_topk" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.ivfPqTopK(vecs, vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Persisted IVF-PQ round-trip: train + encode + write the
+    // cell-partitioned CODE table (the corpus's only stored form — the
+    // raw vectors appear nowhere in the index), then serve probes from
+    // the files with the scan pruned to the consulted cells. Results
+    // bit-identical to the in-memory sim_ivfpq_topk (shared oracle).
+    "sim_ivfpq_persist" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val dir = FlowLogQueries.scratchDir("graft_ivfpq_idx")
+      Similarity.writeIvfPqIndex(vecs, dir)
+      Similarity.searchIvfPqIndex(s, dir, vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // One k-means Lloyd's update: assign to max-cosine centroid (the
     // first 8 vectors seed the centroids), recompute per-dimension
     // means from exact decimal sums.
@@ -615,6 +724,39 @@ object PipelineQueries {
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25(Tables.documents(s, d), Seq("hash", "join", "spark"))
         .orderBy("doc_id")),
+
+    // Persisted inverted-index round-trip: build the term-hash-
+    // partitioned postings index, then serve the SAME term bag from the
+    // files — the query terms' buckets become a static partition filter
+    // computed at plan time, so the scan reads only the consulted
+    // buckets' directories. Scores bit-identical to the corpus-scan
+    // text_bm25 (shared oracle; PipelineSpec pins parity + pruning).
+    "text_bm25_serve" -> ((s, d) => {
+      val dir = FlowLogQueries.scratchDir("graft_inv_idx")
+      TextAnalysis.writeInvertedIndex(Tables.documents(s, d), dir)
+      TextAnalysis.searchInvertedIndex(s, dir,
+          Seq("hash", "join", "spark"))
+        .orderBy("doc_id")
+    }),
+
+    // Sharded/incremental index serving: the corpus splits into two
+    // ingestion batches, each indexed independently; the query serves
+    // from BOTH shards with df and corpus stats re-aggregated at serve
+    // time — bit-identical to one index over the whole corpus, so it
+    // shares text_bm25's oracle. The shape that ingests a new batch
+    // without re-indexing the corpus.
+    "text_bm25_shards" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dirA = FlowLogQueries.scratchDir("graft_inv_a")
+      val dirB = FlowLogQueries.scratchDir("graft_inv_b")
+      TextAnalysis.writeInvertedIndex(docs.filter(col("doc_id") % 2 === 0),
+        dirA)
+      TextAnalysis.writeInvertedIndex(docs.filter(col("doc_id") % 2 =!= 0),
+        dirB)
+      TextAnalysis.searchInvertedIndexShards(s, Seq(dirA, dirB),
+          Seq("hash", "join", "spark"))
+        .orderBy("doc_id")
+    }),
 
     // Corpus-dominating bigrams: the boilerplate/contamination analysis
     // view — one gram-keyed aggregation, top-k via sort-limit heaps.
@@ -1540,6 +1682,17 @@ object PipelineQueries {
          |       CAST(rnk AS INTEGER) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
+    // Sequential replay of the full IVF-PQ stack: kmeans-trained cells
+    // (kmeansCte → c2), rank-1 corpus indexing + nprobe=2 probe
+    // assignment (di/dir), PQ codes over raw vectors (the sim_adc_topk
+    // chain), ADC summed only within the probed cells.
+    "sim_ivfpq_topk" -> ivfPqSearchSql,
+
+    // The persisted-index serve makes the IDENTICAL result set by
+    // contract (PipelineSpec pins bit-for-bit parity with the
+    // in-memory ivfPqTopK), so it gates against the same replay.
+    "sim_ivfpq_persist" -> ivfPqSearchSql,
+
     "sim_kmeans_step" ->
       s"""WITH $ovecsCte,
          |cents AS (SELECT vec_id AS cid, v AS cv FROM ovecs WHERE vec_id < 8),
@@ -1843,26 +1996,14 @@ object PipelineQueries {
     // DuckDB performs the same IEEE operations Spark's plan constants
     // came from; per-term weights round to 6 dp and sum as DECIMAL so
     // the double-summation order can't drift between engines.
-    "text_bm25" ->
-      """WITH words AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
-        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words
-        |       WHERE term IN ('hash', 'join', 'spark') GROUP BY doc_id, term),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-        |SELECT t.doc_id, count(*) AS n_terms_hit,
-        |  CAST(sum(CAST(round(
-        |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
-        |              (CAST(d.df AS DOUBLE) + 0.5)) *
-        |    (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
-        |    (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
-        |       0.75 * CAST(l.dl AS DOUBLE) /
-        |       (CAST(s.tot_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))),
-        |    6) AS DECIMAL(18,6))) AS DOUBLE) AS score
-        |FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)
-        |CROSS JOIN stats s
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "text_bm25" -> bm25Sql,
+
+    // The index-serving twins produce the IDENTICAL result set by
+    // contract (PipelineSpec pins bit-for-bit parity with the
+    // corpus-scan bm25; a sharded serve re-aggregates integer df/stats
+    // exactly), so both gate against the same replay.
+    "text_bm25_serve" -> bm25Sql,
+    "text_bm25_shards" -> bm25Sql,
 
     "text_top_ngrams" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

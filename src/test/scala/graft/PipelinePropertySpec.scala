@@ -20,6 +20,27 @@ class PipelinePropertySpec extends SparkSpec {
   private val docGen = Gen.chooseNum(3, 12)
     .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
 
+  test("property: hashBucketLocal equals the hashBucket expression on arbitrary strings") {
+    // The driver-side replica powers the inverted index's static
+    // partition filter — a divergence would silently serve BM25 from
+    // the WRONG (empty) buckets, so the parity is pinned over mixed
+    // ASCII/multi-byte UTF-8 keys (Spark's md5 hashes the UTF-8
+    // encoding; the local replica must match byte-for-byte).
+    val keyGen = for {
+      n <- Gen.chooseNum(0, 12)
+      cs <- Gen.listOfN(n, Gen.frequency(8 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf('é', '中', 'λ', ' ', ':')))
+    } yield cs.mkString
+    val keys = samples(keyGen, 300).distinct
+    val got = keys.toDF("k")
+      .select($"k", graft.operators.Sampling.hashBucket($"k", 64).as("b"))
+      .as[(String, Int)].collect().toMap
+    keys.foreach { k =>
+      assert(got(k) === graft.operators.Sampling.hashBucketLocal(k, 64),
+        s"bucket mismatch for key '$k'")
+    }
+  }
+
   test("property: exact dedup partitions the corpus (sum of copies = corpus size, keep_id = min)") {
     val docs = samples(docGen, 120).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }

@@ -414,6 +414,152 @@ class PipelineSpec extends SparkSpec {
       "one-cell knnJoin must equal brute force bit-for-bit")
   }
 
+  test("ivfPqTopK at nprobe=all-cells equals flat ADC bit-for-bit") {
+    // Cells partition the corpus (each vector indexes under exactly one
+    // trained cell), so probing EVERY cell makes the IVF-PQ stack scan
+    // the same code set as flat adcTopK — the structural guarantee that
+    // makes nprobe a pure recall knob for the PQ path too. Same
+    // codebook, same ADC rounding, same rank tie-break ⇒ the results
+    // must be bit-identical, not merely close.
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 8)
+    val flat = Similarity.adcTopK(vecs, probes, 4).collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(vecs, probes, 4, kCells = 8,
+      nprobe = 8).collect().toSet
+    assert(flat.nonEmpty && ivfpq === flat,
+      "IVF-PQ probing all cells must equal flat ADC bit-for-bit")
+    // Shipped config (nprobe=2): every emitted neighbor must carry the
+    // same ADC distance the flat scan computes (cell blocking may drop
+    // candidates, never rescore them) — checked against the FULL flat
+    // score set (k = ∞), since blocking promotes lower-flat-rank
+    // neighbors into the shipped top-k.
+    val shipped = Similarity.ivfPqTopK(vecs, probes, 4, kCells = 8,
+        nprobe = 2)
+      .select($"probe_id", $"neighbor_id", $"adist")
+      .collect().toSet
+    val allFlat = Similarity.adcTopK(vecs, probes, Int.MaxValue)
+      .select($"probe_id", $"neighbor_id", $"adist")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(shipped.forall(r => allFlat.contains(
+        (r.getLong(0), r.getLong(1), r.getDouble(2)))),
+      "cell blocking must subset flat ADC scores, never alter them")
+  }
+
+  test("BM25 index serving: bit-for-bit parity and physically pruned postings scan") {
+    // The persisted inverted index must (a) reproduce the corpus-scan
+    // bm25 scores exactly — same tf/df/dl longs survive the parquet
+    // round-trip, same weight expression — and (b) READ only the query
+    // terms' hash-bucket partitions: the terms are literals, so the
+    // bucket set is a static partition filter and the scan's input
+    // files must all lie under the consulted tbucket= directories.
+    import graft.operators.{Sampling, TextAnalysis}
+    val terms = Seq("hash", "join", "spark")
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_spec")
+      .toString
+    try {
+      TextAnalysis.writeInvertedIndex(docs, dir)
+      val served = TextAnalysis.searchInvertedIndex(spark, dir, terms)
+      val want = TextAnalysis.bm25(docs, terms).collect().toSet
+      assert(want.nonEmpty && served.collect().toSet === want,
+        "index-served BM25 must equal the corpus scan bit-for-bit")
+      // Physical pruning: the postings FileSourceScan's SELECTED
+      // partition listing (post-partition-filter) must be at most the
+      // consulted bucket set, while the index on disk holds many more
+      // bucket directories. (DataFrame.inputFiles can't prove this —
+      // it lists the relation's files BEFORE partition filters.)
+      val consulted = terms.map(Sampling.hashBucketLocal(_, 64)).toSet
+      val scan = served.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths
+              .exists(_.toString.contains("postings")) => f
+      }
+      assert(scan.nonEmpty, "no file scan over the postings index found")
+      val selected = scan.map(_.selectedPartitions.partitionCount).max
+      val onDisk = new java.io.File(s"$dir/postings").listFiles()
+        .count(_.getName.startsWith("tbucket="))
+      assert(selected <= consulted.size,
+        s"scan selected $selected bucket partitions; " +
+          s"query consults only ${consulted.size}")
+      assert(onDisk > consulted.size,
+        s"fixture too small to prove pruning ($onDisk buckets on disk)")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } finally walk.close()
+    }
+  }
+
+  test("persisted IVF-PQ index: file-backed ADC equals in-memory, scan is cell-pruned") {
+    // The stored corpus is CODES ONLY — after the write, serving never
+    // touches a raw embedding. Parity must be bit-for-bit (parquet
+    // round-trips the codes/codebook/centroid doubles exactly), and
+    // the cell-partitioned code scan must carry a runtime pruning
+    // filter fed by the probe-cell set.
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec")
+      .toString
+    try {
+      Similarity.writeIvfPqIndex(vecs, dir)
+      val served = Similarity.searchIvfPqIndex(spark, dir, probes, 5)
+      val want = Similarity.ivfPqTopK(vecs, probes, 5).collect().toSet
+      assert(want.nonEmpty && served.collect().toSet === want,
+        "persisted IVF-PQ serve must equal the in-memory stack")
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        "code scan lost its dynamic partition pruning")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } finally walk.close()
+    }
+  }
+
+  test("sharded inverted-index serve equals the single full index bit-for-bit") {
+    // Incremental-ingestion contract: indexing two corpus halves
+    // separately and serving from both shards must equal one index
+    // over the union — df and corpus stats are integer sums, so the
+    // equality is exact, not approximate.
+    import graft.operators.TextAnalysis
+    val terms = Seq("hash", "join", "spark")
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (dirFull, dirA, dirB) =
+      (tmp("graft_inv_full"), tmp("graft_inv_sa"), tmp("graft_inv_sb"))
+    try {
+      TextAnalysis.writeInvertedIndex(docs, dirFull)
+      TextAnalysis.writeInvertedIndex(docs.filter($"doc_id" % 2 === 0), dirA)
+      TextAnalysis.writeInvertedIndex(docs.filter($"doc_id" % 2 =!= 0), dirB)
+      val full = TextAnalysis.searchInvertedIndex(spark, dirFull, terms)
+        .collect().toSet
+      val sharded = TextAnalysis
+        .searchInvertedIndexShards(spark, Seq(dirA, dirB), terms)
+        .collect().toSet
+      assert(full.nonEmpty && sharded === full,
+        "sharded serve must equal the monolithic index bit-for-bit")
+    } finally {
+      Seq(dirFull, dirA, dirB).foreach { dir =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } finally walk.close()
+      }
+    }
+  }
+
   test("multi-probe IVF recovers boundary probes single-probe loses") {
     // Three orthogonal unit centers; probes sit on the A/B bisector, so
     // their exact top-k straddles BOTH clusters. Single-probe search
