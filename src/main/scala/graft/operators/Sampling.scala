@@ -59,6 +59,30 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** LEAKAGE-SAFE train/valid/test split: bucket by the document's
+    * near-duplicate COMPONENT, not its id, so an entire duplicate
+    * cluster lands in one split. Splitting by doc id silently leaks —
+    * an exact or near copy of a training document in the eval split
+    * inflates every metric (the classic train/test contamination the
+    * dedup pass exists to prevent); hashing the component's canonical
+    * id instead makes cross-split leakage impossible BY CONSTRUCTION
+    * for any pair the candidate generator connects. `edges` is any
+    * (id_a, id_b) near-dup pair set (LSH candidates, knn-join pairs);
+    * components come from the same pointer-jumping canonicalization
+    * the dedup chain uses, so split stability inherits its
+    * determinism. Singleton documents hash by their own id — identical
+    * to the plain [[split]] for unduplicated corpora.
+    *
+    * Scale shape: the component pass is the dedup chain's (small
+    * derived keys, no all-pairs anywhere); the split itself is a
+    * narrow projection. One extra doc-keyed join over [[split]]. */
+  def leakageSafeSplit(corpus: DataFrame, edges: DataFrame,
+      trainPct: Int = 80, validPct: Int = 90): DataFrame = {
+    val comp = ConnectedComponents.canonicalize(corpus, edges)
+      .select(col("doc_id"), col("component"))
+    split(comp, col("component"), trainPct, validPct)
+  }
+
   /** Deterministic p-percent sample: keep rows whose bucket < pct. */
   def sample(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.filter(hashBucket(key, 100) < pct)

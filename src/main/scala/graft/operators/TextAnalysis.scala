@@ -500,6 +500,34 @@ object TextAnalysis {
         sum(round(weight, 6).cast("decimal(18,6)")).cast("double").as("score"))
   }
 
+  /** Positional PHRASE search — the query class a positionless index
+    * (tf-only postings, [[writeInvertedIndex]]) cannot answer: find
+    * every document containing the words of `phrase` ADJACENT and in
+    * order, with the match count. Classic positional-posting
+    * intersection: each phrase term contributes a (doc_id, pos − i) leg
+    * — its occurrences shifted back by the term's offset in the phrase
+    * — and an exact phrase occurrence is precisely a (doc_id, start)
+    * key on which ALL legs agree, so the intersection is a chain of
+    * equi-joins on that composite key.
+    *
+    * Scale shape: each leg is a term-selective filter over the exploded
+    * corpus (term dictionary pruning at 100 TB — rare terms make tiny
+    * legs), and the legs co-partition on (doc_id, start); the final
+    * rollup is doc-keyed. Nothing is quadratic in document length or
+    * corpus size. */
+  def phraseMatch(documents: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val words = documents.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      words.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    legs.reduce(_.join(_, Seq("doc_id", "start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** C4-style boilerplate filter: a word n-gram is boilerplate when it
     * appears in more than `maxDocFrac` of the corpus' documents; each
     * document reports how much of its gram mass is boilerplate and the

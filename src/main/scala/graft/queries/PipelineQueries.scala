@@ -745,6 +745,14 @@ object PipelineQueries {
     // time — bit-identical to one index over the whole corpus, so it
     // shares text_bm25's oracle. The shape that ingests a new batch
     // without re-indexing the corpus.
+    // Positional phrase search: every doc containing the exact 3-word
+    // phrase, via the classic per-term (doc, pos - offset) leg
+    // intersection — the query class tf-only postings can't answer.
+    "text_phrase_search" -> ((s, d) =>
+      TextAnalysis.phraseMatch(Tables.documents(s, d),
+          Seq("slow", "hash", "batch"))
+        .orderBy("doc_id")),
+
     "text_bm25_shards" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dirA = FlowLogQueries.scratchDir("graft_inv_a")
@@ -1003,6 +1011,17 @@ object PipelineQueries {
     "pipeline_hash_split" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d).select(col("doc_id")),
         col("doc_id")).orderBy("doc_id")),
+
+    // Leakage-safe split: bucket by near-duplicate COMPONENT, so an
+    // entire duplicate cluster lands in one split — train/test
+    // contamination impossible by construction for any LSH-connected
+    // pair.
+    "pipeline_leakage_safe_split" -> ((s, d) => {
+      val corpus = Dedup.augmentCorpus(Tables.documents(s, d))
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignaturesV2(corpus), sep = "|")
+      Sampling.leakageSafeSplit(corpus, pairs).orderBy("doc_id")
+    }),
 
     // Order-independent corpus checksum per source: the md5-prefix of
     // each doc summed as a 60-bit integer — the migration-validation
@@ -1390,6 +1409,36 @@ object PipelineQueries {
          |       coalesce(p.component, c.doc_id) = c.doc_id AS is_canonical
          |FROM corpus c LEFT JOIN comp p ON c.doc_id = p.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    // Component replay (the dedup_components recursive CTE) composed
+    // with the md5 bucket formula applied to the COMPONENT id.
+    "pipeline_leakage_safe_split" ->
+      s"""WITH RECURSIVE $corpusCte,
+         |$shinglesCte,
+         |$lshV2CandCte,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM cand
+         |  UNION SELECT id_b AS u, id_a AS v FROM cand),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |assigned AS (
+         |  SELECT c.doc_id, coalesce(p.component, c.doc_id) AS component
+         |  FROM corpus c LEFT JOIN comp p ON c.doc_id = p.doc_id),
+         |bk AS (
+         |  SELECT doc_id, component,
+         |         CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 3))
+         |              AS INTEGER) % 100 AS bucket
+         |  FROM assigned)
+         |SELECT doc_id, component, bucket,
+         |       CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'valid'
+         |            ELSE 'test' END AS split
+         |FROM bk ORDER BY doc_id""".stripMargin,
 
     "pipeline_hash_split" ->
       """SELECT doc_id,
@@ -2004,6 +2053,24 @@ object PipelineQueries {
     // exactly), so both gate against the same replay.
     "text_bm25_serve" -> bm25Sql,
     "text_bm25_shards" -> bm25Sql,
+
+    // Positional-leg intersection replay: each phrase term's positions
+    // shifted back by its phrase offset; an exact occurrence is a
+    // (doc_id, start) all legs share. (DuckDB positions are 1-based,
+    // Spark's posexplode 0-based — `start` is internal to each replay
+    // and never emitted, so the off-by-one cannot surface.)
+    "text_phrase_search" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(w) AS term,
+        |         unnest(generate_series(1, len(w))) AS pos
+        |  FROM w),
+        |l0 AS (SELECT doc_id, pos AS start FROM p WHERE term = 'slow'),
+        |l1 AS (SELECT doc_id, pos - 1 AS start FROM p WHERE term = 'hash'),
+        |l2 AS (SELECT doc_id, pos - 2 AS start FROM p WHERE term = 'batch')
+        |SELECT doc_id, count(*) AS n_matches
+        |FROM l0 JOIN l1 USING (doc_id, start) JOIN l2 USING (doc_id, start)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

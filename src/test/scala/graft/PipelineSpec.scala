@@ -834,6 +834,57 @@ class PipelineSpec extends SparkSpec {
     assert(a.forall { case (k, v) => b(k) == v })
   }
 
+  test("leakage-safe split: a duplicate cluster never straddles splits") {
+    // The contamination guarantee itself: every component maps to ONE
+    // split, every injected near/exact duplicate shares its original's
+    // split, and singleton docs get exactly the plain doc_id split
+    // (the two operators agree where there is nothing to protect).
+    import graft.operators.{Dedup, Sampling}
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignaturesV2(corpus), sep = "|")
+    val out = Sampling.leakageSafeSplit(corpus, pairs)
+    val perComp = out.groupBy($"component")
+      .agg(countDistinct($"split").as("n_splits"))
+      .filter($"n_splits" > 1).count()
+    assert(perComp === 0L, "a component straddled two splits")
+    val byDoc = out.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    // injected exact duplicates: doc_id + 100000 for doc_id % 10 == 0
+    val dups = byDoc.keys.filter(_ >= 100000L).filter(_ < 200000L)
+    assert(dups.nonEmpty)
+    dups.foreach(d => assert(byDoc(d) === byDoc(d - 100000L),
+      s"duplicate $d split from its original"))
+    // singletons (no incident candidate pair) fall back to the id hash
+    val linked = pairs.select($"id_a".as("doc_id"))
+      .unionByName(pairs.select($"id_b".as("doc_id")))
+      .distinct().as[Long].collect().toSet
+    val plain = Sampling.split(corpus.select($"doc_id"), $"doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val singles = byDoc.keys.filterNot(linked.contains)
+    assert(singles.nonEmpty)
+    singles.foreach(dId => assert(byDoc(dId) === plain(dId)))
+  }
+
+  test("phraseMatch counts adjacent in-order occurrences, including overlaps") {
+    import graft.operators.TextAnalysis
+    val docsDf = Seq(
+      (1L, "a b c a b"),        // "a b" twice
+      (2L, "a a a"),            // "a a" overlapping: twice
+      (3L, "b a"),              // reversed order: no "a b"
+      (4L, "a c b"),            // non-adjacent: no match
+      (5L, "x a b y a b a b")   // three "a b"
+    ).toDF("doc_id", "text")
+    val ab = TextAnalysis.phraseMatch(docsDf, Seq("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(ab === Map(1L -> 2L, 5L -> 3L))
+    val aa = TextAnalysis.phraseMatch(docsDf, Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(aa === Map(2L -> 2L))
+    val single = TextAnalysis.phraseMatch(docsDf, Seq("a"))
+      .as[(Long, Long)].collect().toMap
+    assert(single === Map(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 5L -> 3L))
+  }
+
   test("docs shorter than the shingle width exact-dedup but produce no shingles") {
     import graft.operators.Dedup
     val docs = Seq((1L, "one two"), (2L, "one two"), (3L, "a b c d"))

@@ -18,6 +18,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_tpch_q11",        // one-row aggregate
     "q_tpch_q22",        // one-row aggregate
     "text_bm25",         // one-row corpus stats
+    "text_bm25_serve",   // same one-row stats, read from the index
+    "text_bm25_shards",  // same, re-aggregated across index shards
     "text_tfidf_vocab",  // one-row corpus size
     "text_boilerplate",  // one-row corpus size
     "text_unigram_logprob", // one-row (n_total, vocab) LM normalizer
