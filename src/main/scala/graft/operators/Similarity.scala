@@ -614,8 +614,13 @@ object Similarity {
     * nowhere in the index; [[searchIvfPqIndex]] never needs them. */
   def writeIvfPqIndex(vecs: DataFrame, dir: String, m: Int = 4,
       codebookK: Int = 8, kCells: Int = 8, iters: Int = 2): Unit = {
-    val cents = kmeansTrain(vecs, kCells, iters)
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    // Same build discipline as [[writeIvfIndex]]: persist the trained
+    // centroids FIRST and assign against the re-read table, so the
+    // Lloyd trajectory runs once instead of once per downstream
+    // action (exact: parquet round-trips the means).
+    kmeansTrain(vecs, kCells, iters)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val cents = vecs.sparkSession.read.parquet(s"$dir/centroids")
     codebookOf(vecs, m, codebookK)
       .write.mode("overwrite").parquet(s"$dir/codebook")
     val idx = trainedAssign(vecs, cents, 1)
@@ -822,12 +827,20 @@ object Similarity {
     * precomputed at index time (`nrm` column), so serving never
     * re-reduces the vectors. */
   def writeIvfIndex(vecs: DataFrame, cents: DataFrame, dir: String): Unit = {
-    val cells = trainedAssign(vecs, cents, 1)
+    // Centroids first, then assign against the RE-READ table: `cents`
+    // is typically a live kmeansTrain lineage, and each write action
+    // would replay the whole training trajectory (caching it was
+    // measured slower in-query — knnJoinIndexed's note — but a BUILD
+    // is exactly the "materialize the index outside the query" case
+    // that note prescribes). Parquet round-trips the means exactly,
+    // so the assignment is bit-identical either way.
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val stored = vecs.sparkSession.read.parquet(s"$dir/centroids")
+    val cells = trainedAssign(vecs, stored, 1)
       .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
     withNorm(vecs).join(cells, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/index")
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
   /** Search a persisted [[writeIvfIndex]] layout: probes assign to
