@@ -843,6 +843,28 @@ object Similarity {
       .parquet(s"$dir/index")
   }
 
+  /** APPEND a new corpus batch to a persisted [[writeIvfIndex]] layout
+    * — the incremental-ingestion path for ANN serving: the new vectors
+    * assign against the STORED centroids (the quantizer is fixed once
+    * trained; FAISS's `add` contract) and their rows land in the same
+    * cell-partitioned layout, so serving sees the union with no
+    * rebuild and no change to [[searchIvfIndex]]. Assignment is per-
+    * vector and depends only on the centroid table, so write(A) then
+    * append(B) is file-for-file equivalent to write(A ∪ B) under the
+    * same centroids (PipelineSpec pins the served parity bit-for-bit).
+    * Re-TRAINING the quantizer, by contrast, is a rebuild — new cells
+    * re-bucket everything, same rule as the streaming-dedup family
+    * switch. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      vecs2: DataFrame, dir: String): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cells = trainedAssign(vecs2, cents, 1)
+      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
+    withNorm(vecs2).join(cells, Seq("vec_id"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/index")
+  }
+
   /** Search a persisted [[writeIvfIndex]] layout: probes assign to
     * their `nprobe` nearest stored centroids, then join the
     * cell-partitioned index on the cell key — Spark's dynamic partition

@@ -1314,6 +1314,26 @@ object PipelineQueries {
       Similarity.searchIvfIndex(s, dir, vecs.filter(col("vec_id") < 15),
         3, nprobe = 2)
         .orderBy("probe_id", "rnk")
+    }),
+
+    // Incremental ANN ingestion: index HALF the corpus, append the
+    // other half against the stored centroids (quantizer fixed once
+    // trained — no rebuild, no re-bucketing), serve the union. The
+    // centroids train on the full corpus, so the served result is
+    // identical to the monolithic sim_ivf_persist build and it gates
+    // against the same replay.
+    "sim_ivf_append" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_ivf_app")
+      Similarity.writeIvfIndex(vecs.filter(col("vec_id") % 2 === 0),
+        cents, dir)
+      Similarity.appendIvfIndex(s, vecs.filter(col("vec_id") % 2 =!= 0),
+        dir)
+      Similarity.searchIvfIndex(s, dir, vecs.filter(col("vec_id") < 15),
+        3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
     })
   )
 
@@ -1771,6 +1791,10 @@ object PipelineQueries {
     // contract (PipelineSpec pins bit-for-bit parity with the
     // in-memory ivfSearchTrained), so it gates against the same replay.
     "sim_ivf_persist" -> ivfKmeansSearchSql,
+
+    // Append path: same stored centroids ⇒ same per-vector cells ⇒
+    // the served union equals the monolithic build exactly.
+    "sim_ivf_append" -> ivfKmeansSearchSql,
 
     "sim_range_search" ->
       s"""WITH $ovecsCte,

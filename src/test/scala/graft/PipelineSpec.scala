@@ -495,6 +495,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("appendIvfIndex: write(A) + append(B) serves exactly like write(A ∪ B)") {
+    // The incremental-ingestion contract: assignment is per-vector
+    // against the STORED centroids, so appending a batch is
+    // indistinguishable from having indexed it up front — served
+    // results bit-for-bit equal, not merely recall-equivalent.
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 12)
+    val cents = Similarity.kmeansTrain(vecs, 8, 1)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (dirMono, dirApp) = (tmp("graft_ivf_mono"), tmp("graft_ivf_app"))
+    try {
+      Similarity.writeIvfIndex(vecs, cents, dirMono)
+      Similarity.writeIvfIndex(vecs.filter($"vec_id" % 2 === 0), cents,
+        dirApp)
+      Similarity.appendIvfIndex(spark, vecs.filter($"vec_id" % 2 =!= 0),
+        dirApp)
+      val mono = Similarity.searchIvfIndex(spark, dirMono, probes, 3,
+        nprobe = 2).collect().toSet
+      val appended = Similarity.searchIvfIndex(spark, dirApp, probes, 3,
+        nprobe = 2).collect().toSet
+      assert(mono.nonEmpty && appended === mono,
+        "append-built index must serve exactly like the monolithic build")
+    } finally {
+      Seq(dirMono, dirApp).foreach { dir =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } finally walk.close()
+      }
+    }
+  }
+
   test("persisted IVF-PQ index: file-backed ADC equals in-memory, scan is cell-pruned") {
     // The stored corpus is CODES ONLY — after the write, serving never
     // touches a raw embedding. Parity must be bit-for-bit (parquet

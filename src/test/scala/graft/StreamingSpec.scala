@@ -621,6 +621,60 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); cents.unpersist() }
   }
 
+  test("streaming PQ serving: probe stream over the persisted codes-only index") {
+    // The production online-ANN shape end-to-end: the corpus exists
+    // ONLY as a file-backed IVF-PQ index (codes + codebook +
+    // centroids, written once); probes arrive as a stream and each
+    // micro-batch runs the exact searchIvfPqIndex plan against the
+    // files. Two micro-batches must union to precisely the batch
+    // serve's rows — same operator offline and online, no raw
+    // embedding anywhere in the serving path.
+    import graft.operators.Similarity
+    val s = spark.newSession()
+    import s.implicits._
+    val vecs = Similarity.vectors(Tables.embeddings(s, sfDir))
+      .select($"vec_id", $"v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_stream")
+      .toString
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Double, Int)]()
+    val input = MemoryStream[(Long, Seq[Double])](s)
+    try {
+      Similarity.writeIvfPqIndex(vecs, dir)
+      val probeRows = vecs.filter($"vec_id" < 10)
+        .as[(Long, Seq[Double])].collect()
+      val (p1, p2) = probeRows.partition(_._1 % 2 == 0)
+      val q = input.toDF().toDF("vec_id", "v")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.searchIvfPqIndex(s, dir, batch, 5)
+            .collect().foreach(r => results.add((r.getLong(0), r.getLong(1),
+              r.getDouble(2), r.getInt(3))))
+        }
+        .start()
+      try {
+        input.addData(p1.toSeq: _*)
+        q.processAllAvailable()
+        input.addData(p2.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val got = results.asScala.toSet
+      val want = Similarity.searchIvfPqIndex(s, dir,
+          vecs.filter($"vec_id" < 10), 5)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(want.nonEmpty && got === want,
+        s"served results (${got.size}) must equal batch serve (${want.size})")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } finally walk.close()
+    }
+  }
+
   test("stateful sessionization closes a session on inactivity gap") {
     val input = MemoryStream[Ev](spark)
     // two bursts for user 7, separated by > gap in event time: the second
