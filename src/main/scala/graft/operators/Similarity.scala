@@ -576,8 +576,11 @@ object Similarity {
     val codes = pqCodesOf(vecs, m, codebookK)
       .join(idx, col("vec_id") === col("corpus_id"))
       .select(col("vec_id"), col("sub"), col("cid"), col("cell"))
+    // pcells is probe-bounded (|probes|·nprobe rows): broadcast it so
+    // the per-probe distance table never shuffles on probe_id — the
+    // whole dtab subtree stays map-side before its own broadcast.
     val dtab = adcDistTable(vecs, probes, m, codebookK)
-      .join(pcells, Seq("probe_id"))
+      .join(broadcast(pcells), Seq("probe_id"))
     adcCellTopK(codes, dtab, k)
   }
 
@@ -651,8 +654,10 @@ object Similarity {
     val codes = spark.read.parquet(s"$dir/codes")
     val pcells = trainedAssign(probes, cents, nprobe)
       .select(col("probe_id"), col("cid").as("pcell"))
+    // Same broadcast rationale as [[ivfPqTopK]]: keep the probe-bounded
+    // distance-table subtree shuffle-free.
     val dtab = adcDistTableFrom(codebook, probes, m)
-      .join(pcells, Seq("probe_id"))
+      .join(broadcast(pcells), Seq("probe_id"))
     adcCellTopK(codes, dtab, k)
   }
 

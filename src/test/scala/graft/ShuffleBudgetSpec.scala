@@ -145,11 +145,32 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // probe assignment; ReuseExchange
                                   // dedups at runtime) + cell join +
                                   // top-k window + sort
-    "sim_knn_join_indexed" -> 10) // the ranked-assignment exchange
+    "sim_knn_join_indexed" -> 10, // the ranked-assignment exchange
                                   // prints once per consuming branch
                                   // (probe cells + index cells;
                                   // ReuseExchange dedups at runtime)
                                   // + cell join + top-k window + sort
+    // round-11 serving-path additions (sim_ivfpq_topk is excluded like
+    // the other unrolled trainers: the kmeans trajectory prints per
+    // consuming branch and the string count is meaningless)
+    "text_bm25_serve" -> 4,       // pruned postings df agg + doc rollup
+                                  // + sort (stats is a broadcast
+                                  // one-row crossJoin, no exchange)
+    "text_bm25_shards" -> 4,      // same shape: the shard union is
+                                  // narrow, both scans statically
+                                  // bucket-pruned
+    "text_phrase_search" -> 2,    // (doc,start) co-keyed leg joins +
+                                  // doc rollup; legs co-partition so
+                                  // the chain reuses one exchange per
+                                  // side
+    "sim_ivfpq_persist" -> 7)     // SERVING plan only: probe assignment
+                                  // agg/window over broadcast stored
+                                  // centroids (printed again under the
+                                  // DPP subquery branch; ReuseExchange
+                                  // dedups at runtime) + ADC rollup +
+                                  // top-k window + sort — the whole
+                                  // distance-table subtree is
+                                  // broadcast-only, no probe_id shuffle
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
