@@ -608,6 +608,40 @@ object Similarity {
         col("adist"), col("rnk"))
   }
 
+  /** Two-stage ADC serving: PQ distances nominate `rerankDepth`
+    * candidates per probe ([[adcTopK]]), then ONLY those candidates'
+    * raw vectors are fetched back for an exact-cosine re-rank — the
+    * standard refinement that buys back the quantization error
+    * (Jégou et al. 2011 §V's re-ranking stage): the corpus-wide scan
+    * stays code-only, and exact math touches |probes|·rerankDepth
+    * rows, never the corpus. The candidate fetch is a plain
+    * neighbor-id hash join against the corpus (co-keyed, corpus never
+    * broadcast); the probe side broadcasts. Final contract matches
+    * the exact-search family: 6-dp rounded cosine desc, neighbor id
+    * asc, top-k. With rerankDepth ≥ corpus size this IS brute force
+    * (PipelineSpec pins it); at production depth the PQ stage bounds
+    * recall and the re-rank makes the reported scores exact. */
+  def adcRerankTopK(vecs: DataFrame, probes: DataFrame, k: Int,
+      rerankDepth: Int = 20, m: Int = 4, codebookK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerankDepth >= k, s"rerankDepth $rerankDepth must cover k=$k")
+    val cand = adcTopK(vecs, probes, rerankDepth, m, codebookK)
+      .select(col("probe_id"), col("neighbor_id"))
+    val pn = broadcast(withNorm(probes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm")))
+    val vn = withNorm(vecs)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+    val scored = cand.join(pn, Seq("probe_id"))
+      .join(vn, Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Materialize the IVF-PQ index: trained centroids, the PQ codebook,
     * and every vector's m-byte code written CELL-PARTITIONED parquet —
     * the serving layout where the stored corpus is CODES ONLY (m

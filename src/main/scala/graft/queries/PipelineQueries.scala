@@ -638,6 +638,17 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Two-stage ADC + exact re-rank: PQ distances nominate 20
+    // candidates per probe, exact cosine re-scores ONLY those — the
+    // standard refinement buying back quantization error with
+    // probe-bounded exact math.
+    "sim_adc_rerank" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.adcRerankTopK(vecs, vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // The COMPLETE IVF-PQ stack (Jégou et al. 2011) end-to-end: train
     // 8 coarse cells (2 Lloyd rounds), index every vector under its
     // nearest cell with its 4-byte PQ code, serve probes by ADC over
@@ -1750,6 +1761,57 @@ object PipelineQueries {
          |SELECT probe_id, vec_id AS neighbor_id, adist,
          |       CAST(rnk AS INTEGER) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // The sim_adc_topk chain with depth-20 candidates, exact-cosine
+    // re-scored and re-ranked — only candidate rows touch raw vectors.
+    "sim_adc_rerank" ->
+      s"""WITH $ovecsCte,
+         |subsp AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |subs AS (
+         |  SELECT vec_id, sub,
+         |         v[(sub * (len(v) // 4) + 1):((sub + 1) * (len(v) // 4))] AS sv
+         |  FROM ovecs CROSS JOIN subsp),
+         |cb AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 8),
+         |d AS (
+         |  SELECT a.vec_id, a.sub, cb.cid,
+         |         list_dot_product(a.sv, a.sv)
+         |           - 2.0 * list_dot_product(a.sv, cb.cv)
+         |           + list_dot_product(cb.cv, cb.cv) AS dist2
+         |  FROM subs a JOIN cb USING (sub)),
+         |codes AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY round(dist2, 6), cid) AS rn
+         |    FROM d) WHERE rn = 1),
+         |ptab AS (
+         |  SELECT p.vec_id AS probe_id, p.sub, cb.cid,
+         |         list_dot_product(p.sv, p.sv)
+         |           - 2.0 * list_dot_product(p.sv, cb.cv)
+         |           + list_dot_product(cb.cv, cb.cv) AS pd2
+         |  FROM subs p JOIN cb USING (sub) WHERE p.vec_id < 10),
+         |sc AS (
+         |  SELECT probe_id, c.vec_id,
+         |         CAST(CAST(sum(CAST(round(pd2, 6) AS DECIMAL(18,6)))
+         |              AS DECIMAL(38,6)) AS DOUBLE) AS adist
+         |  FROM codes c JOIN ptab ON c.sub = ptab.sub AND c.cid = ptab.cid
+         |  WHERE ptab.probe_id <> c.vec_id
+         |  GROUP BY probe_id, c.vec_id),
+         |rcand AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY adist, vec_id) AS rnk FROM sc)
+         |  WHERE rnk <= 20),
+         |rescored AS (
+         |  SELECT c.probe_id, c.vec_id AS neighbor_id,
+         |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+         |  FROM rcand c JOIN ovecs p ON p.vec_id = c.probe_id
+         |  JOIN ovecs o ON o.vec_id = c.vec_id),
+         |rr AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos_r DESC, neighbor_id) AS rnk
+         |  FROM rescored)
+         |SELECT probe_id, neighbor_id, cos_r, CAST(rnk AS INTEGER) AS rnk
+         |FROM rr WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
     // Sequential replay of the full IVF-PQ stack: kmeans-trained cells
     // (kmeansCte → c2), rank-1 corpus indexing + nprobe=2 probe

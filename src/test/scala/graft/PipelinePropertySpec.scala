@@ -41,6 +41,31 @@ class PipelinePropertySpec extends SparkSpec {
     }
   }
 
+  test("property: phraseMatch equals a sliding-window reference on random docs") {
+    // Independent reference: count phrase occurrences by sliding a
+    // window over each doc's token list. The positional-leg join must
+    // agree on arbitrary corpora, including overlapping matches and
+    // absent docs.
+    val docGen2 = Gen.chooseNum(1, 15)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val docs = samples(docGen2, 100).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws) }
+    val phraseGen = Gen.chooseNum(1, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val phrases = samples(phraseGen, 5).distinct
+    val corpus = docs.map { case (i, ws) => (i, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    phrases.foreach { ph =>
+      val got = graft.operators.TextAnalysis.phraseMatch(corpus, ph)
+        .as[(Long, Long)].collect().toMap
+      val want = docs.flatMap { case (i, ws) =>
+        val n = ws.sliding(ph.length).count(_ == ph)
+        if (n > 0 && ws.length >= ph.length) Some(i -> n.toLong) else None
+      }.toMap
+      assert(got === want, s"phrase $ph mismatch")
+    }
+  }
+
   test("property: exact dedup partitions the corpus (sum of copies = corpus size, keep_id = min)") {
     val docs = samples(docGen, 120).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }

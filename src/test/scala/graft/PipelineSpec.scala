@@ -495,6 +495,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("adcRerankTopK at full depth equals brute force; scores are always exact") {
+    // With rerankDepth covering the whole corpus the PQ stage nominates
+    // everyone, so the re-rank IS brute-force search — same rounded
+    // cosines, same tie-break, bit-for-bit. At production depth the
+    // candidate SET may shrink but every reported score must still be
+    // the exact cosine (PQ error never leaks into the output).
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(vecs, probes, 5)
+      .select($"probe_id", $"neighbor_id", $"cos_r", $"rank".as("rnk"))
+      .collect().toSet
+    val full = Similarity.adcRerankTopK(vecs, probes, 5,
+      rerankDepth = Int.MaxValue).collect().toSet
+    assert(exact.nonEmpty && full === exact,
+      "full-depth re-rank must equal brute force bit-for-bit")
+    val shallow = Similarity.adcRerankTopK(vecs, probes, 5,
+        rerankDepth = 20)
+      .select($"probe_id", $"neighbor_id", $"cos_r").collect().toSet
+    val exactScores = Similarity.scoreAll(vecs, probes)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    shallow.foreach { r =>
+      assert(r.getDouble(2) === exactScores((r.getLong(0), r.getLong(1))),
+        "re-ranked score must be the exact cosine")
+    }
+  }
+
   test("appendIvfIndex: write(A) + append(B) serves exactly like write(A ∪ B)") {
     // The incremental-ingestion contract: assignment is per-vector
     // against the STORED centroids, so appending a batch is
