@@ -327,6 +327,29 @@ object Multimodal {
         length(col("chunk")).as("chunk_len"),
         md5(col("chunk")).as("chunk_hash"))
 
+  /** Chunk-level STORAGE dedup over binary payloads — the content-
+    * addressable-store view a multimodal lake runs before writing
+    * blobs: chunk every payload ([[chunkPayloads]]), key by chunk
+    * hash, and report each duplicated chunk's copy count, document
+    * spread, and reclaimable bytes (all copies of a hash are the same
+    * content, so one stays). Fixed-offset chunking is the simple CAS
+    * scheme (a one-byte prefix shift re-keys every chunk; rolling-hash
+    * CDC fixes that — the text side's rolling fingerprint,
+    * text_rolling_fingerprint, is exactly that machinery).
+    *
+    * Scale shape: one generator explode + ONE aggregation keyed by the
+    * fixed-width chunk hash — the shuffle carries (hash, len) pairs,
+    * never payload bytes; output is the duplicated-chunk set only. */
+  def chunkDedup(payloads: DataFrame, chunkSize: Int): DataFrame =
+    chunkPayloads(payloads, chunkSize)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_copies") >= 2)
+      .withColumn("bytes_saved",
+        col("chunk_len").cast("long") * (col("n_copies") - lit(1)))
+
   /** Frame sampling for "video" payloads: split the byte stream into
     * fixed-size frames and keep every `stride`-th one. Pure column ops
     * (codegen), no UDF. */

@@ -1116,6 +1116,16 @@ object PipelineQueries {
         Multimodal.asBinaryPayloads(Tables.documents(s, d)), 64)
         .orderBy("doc_id", "chunk_no")),
 
+    // Content-addressable storage dedup: duplicated 64-byte chunks
+    // across the (duplicate-injected) corpus with copy counts and
+    // reclaimable bytes — one chunk-hash-keyed aggregation, no payload
+    // bytes in the shuffle.
+    "mm_chunk_dedup" -> ((s, d) =>
+      Multimodal.chunkDedup(
+        Multimodal.asBinaryPayloads(
+          Dedup.augmentCorpus(Tables.documents(s, d))), 64)
+        .orderBy("chunk_hash")),
+
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.asBinaryPayloads(Tables.documents(s, d)), 64, 2)
@@ -2622,6 +2632,29 @@ object PipelineQueries {
         |  CAST(least(64, n - chunk_no * 64) AS INTEGER) AS chunk_len,
         |  md5(substr(text, CAST(chunk_no * 64 + 1 AS BIGINT), 64)) AS chunk_hash
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // The mm_chunk replay over the duplicate-injected corpus, rolled
+    // up by chunk hash and filtered to duplicated chunks.
+    "mm_chunk_dedup" ->
+      s"""WITH $corpusCte,
+         |f AS (SELECT doc_id, text, length(text) AS n FROM corpus),
+         |c AS (
+         |  SELECT doc_id, text, n,
+         |         unnest(generate_series(0,
+         |           CAST(ceil(CAST(n AS DOUBLE) / 64) AS BIGINT) - 1)) AS chunk_no
+         |  FROM f),
+         |ch AS (
+         |  SELECT doc_id,
+         |         CAST(least(64, n - chunk_no * 64) AS INTEGER) AS chunk_len,
+         |         md5(substr(text, CAST(chunk_no * 64 + 1 AS BIGINT), 64)) AS chunk_hash
+         |  FROM c),
+         |g AS (
+         |  SELECT chunk_hash, count(*) AS n_copies,
+         |         count(DISTINCT doc_id) AS n_docs, max(chunk_len) AS chunk_len
+         |  FROM ch GROUP BY chunk_hash)
+         |SELECT chunk_hash, n_copies, n_docs, chunk_len,
+         |       CAST(chunk_len AS BIGINT) * (n_copies - 1) AS bytes_saved
+         |FROM g WHERE n_copies >= 2 ORDER BY chunk_hash""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id, length(text) AS n FROM documents),

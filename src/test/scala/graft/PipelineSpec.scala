@@ -951,6 +951,29 @@ class PipelineSpec extends SparkSpec {
     assert(single === Map(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 5L -> 3L))
   }
 
+  test("chunkDedup reports every injected duplicate chunk with exact reclaimable bytes") {
+    // An injected exact-duplicate document shares EVERY chunk hash
+    // with its original (fixed-offset chunking of identical bytes), so
+    // all of its chunks must surface as duplicated; and the
+    // reclaimable-bytes arithmetic must hold row by row.
+    import graft.operators.Multimodal
+    val pay = Multimodal.asBinaryPayloads(corpus)
+    val out = graft.operators.Multimodal.chunkDedup(pay, 64)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bytes_saved") ===
+        r.getAs[Int]("chunk_len").toLong * (r.getAs[Long]("n_copies") - 1))
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_copies"))
+    }
+    val dupHashes = Multimodal.chunkPayloads(pay, 64)
+      .filter($"doc_id" >= 100000L && $"doc_id" < 200000L)
+      .select($"chunk_hash").distinct()
+    val surfaced = dupHashes.join(out, "chunk_hash").count()
+    assert(surfaced === dupHashes.count(),
+      "every chunk of an exact-duplicate doc must be reported duplicated")
+  }
+
   test("docs shorter than the shingle width exact-dedup but produce no shingles") {
     import graft.operators.Dedup
     val docs = Seq((1L, "one two"), (2L, "one two"), (3L, "a b c d"))
