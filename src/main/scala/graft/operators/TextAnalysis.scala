@@ -424,9 +424,17 @@ object TextAnalysis {
   def writeInvertedIndex(documents: DataFrame, dir: String,
       nBuckets: Int = 64): Unit = {
     val words = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
     val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // Positions ride on every posting (sorted — collect_list order is
+    // partition-nondeterministic), making the SAME index serve both
+    // ranked (BM25, tf only) and positional (phrase) queries; tf is
+    // derivable as size(positions) but stays materialized so ranked
+    // serving never touches the arrays.
+    words.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .join(dl, "doc_id")
       .withColumn("tbucket", Sampling.hashBucket(col("term"), nBuckets))
       .write.mode("overwrite").partitionBy("tbucket")
@@ -435,6 +443,40 @@ object TextAnalysis {
         lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
+
+  /** Serve a PHRASE query from persisted [[writeInvertedIndex]]
+    * shard(s): each phrase term's postings load from its statically-
+    * pruned bucket (same plan-time `isin` trick as the BM25 serve),
+    * positions explode into the (doc_id, pos − offset) legs, and the
+    * legs intersect exactly as in the corpus-side [[phraseMatch]] —
+    * bit-identical output (PipelineSpec pins it; the gated twin shares
+    * text_phrase_search's oracle). A document lives wholly in one
+    * shard, so its position lists are intact and sharding is invisible
+    * to the intersection. One Lucene-style index, two query classes:
+    * ranked from tf, positional from the arrays. */
+  def searchPhraseIndexShards(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String], phrase: Seq[String],
+      nBuckets: Int = 64): DataFrame = {
+    require(dirs.nonEmpty, "at least one index shard required")
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      dirs.map(d => spark.read.parquet(s"$d/postings")
+          .filter(col("tbucket") === lit(Sampling.hashBucketLocal(t,
+            nBuckets)) && col("term") === t)
+          .select(col("doc_id"), col("positions")))
+        .reduce(_.unionByName(_))
+        .select(col("doc_id"), explode(col("positions")).as("pos"))
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    legs.reduce(_.join(_, Seq("doc_id", "start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Single-shard [[searchPhraseIndexShards]]. */
+  def searchPhraseIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, phrase: Seq[String], nBuckets: Int = 64): DataFrame =
+    searchPhraseIndexShards(spark, Seq(dir), phrase, nBuckets)
 
   /** Serve a BM25 query from a persisted [[writeInvertedIndex]] layout:
     * the query terms' buckets are computed at PLAN time

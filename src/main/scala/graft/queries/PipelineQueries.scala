@@ -286,6 +286,25 @@ object PipelineQueries {
          |       CAST(rnk AS INTEGER) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
+  /** Positional-leg intersection for the ('slow','hash','batch')
+    * phrase — shared by the corpus-side text_phrase_search and the
+    * index-served text_phrase_serve (positions round-trip as sorted
+    * longs, so the two are bit-identical). DuckDB positions are
+    * 1-based, Spark's posexplode 0-based — `start` is internal to each
+    * replay and never emitted, so the off-by-one cannot surface. */
+  private val phraseSearchSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (
+      |  SELECT doc_id, unnest(w) AS term,
+      |         unnest(generate_series(1, len(w))) AS pos
+      |  FROM w),
+      |l0 AS (SELECT doc_id, pos AS start FROM p WHERE term = 'slow'),
+      |l1 AS (SELECT doc_id, pos - 1 AS start FROM p WHERE term = 'hash'),
+      |l2 AS (SELECT doc_id, pos - 2 AS start FROM p WHERE term = 'batch')
+      |SELECT doc_id, count(*) AS n_matches
+      |FROM l0 JOIN l1 USING (doc_id, start) JOIN l2 USING (doc_id, start)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
@@ -763,6 +782,19 @@ object PipelineQueries {
       TextAnalysis.phraseMatch(Tables.documents(s, d),
           Seq("slow", "hash", "batch"))
         .orderBy("doc_id")),
+
+    // Phrase query served from the SAME persisted inverted index the
+    // BM25 serve reads (positions ride on every posting): per-term
+    // statically-pruned bucket scans, position explode into shifted
+    // legs, (doc, start) intersection — identical to the corpus-side
+    // text_phrase_search (shared oracle).
+    "text_phrase_serve" -> ((s, d) => {
+      val dir = FlowLogQueries.scratchDir("graft_inv_ph")
+      TextAnalysis.writeInvertedIndex(Tables.documents(s, d), dir)
+      TextAnalysis.searchPhraseIndex(s, dir,
+          Seq("slow", "hash", "batch"))
+        .orderBy("doc_id")
+    }),
 
     "text_bm25_shards" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -2150,23 +2182,12 @@ object PipelineQueries {
     "text_bm25_serve" -> bm25Sql,
     "text_bm25_shards" -> bm25Sql,
 
-    // Positional-leg intersection replay: each phrase term's positions
-    // shifted back by its phrase offset; an exact occurrence is a
-    // (doc_id, start) all legs share. (DuckDB positions are 1-based,
-    // Spark's posexplode 0-based — `start` is internal to each replay
-    // and never emitted, so the off-by-one cannot surface.)
-    "text_phrase_search" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |p AS (
-        |  SELECT doc_id, unnest(w) AS term,
-        |         unnest(generate_series(1, len(w))) AS pos
-        |  FROM w),
-        |l0 AS (SELECT doc_id, pos AS start FROM p WHERE term = 'slow'),
-        |l1 AS (SELECT doc_id, pos - 1 AS start FROM p WHERE term = 'hash'),
-        |l2 AS (SELECT doc_id, pos - 2 AS start FROM p WHERE term = 'batch')
-        |SELECT doc_id, count(*) AS n_matches
-        |FROM l0 JOIN l1 USING (doc_id, start) JOIN l2 USING (doc_id, start)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Positional-leg intersection replay (phraseSearchSql): the
+    // index-served twin is bit-identical to the corpus-side
+    // intersection by contract (positions round-trip as sorted longs),
+    // so both gate against the same replay.
+    "text_phrase_search" -> phraseSearchSql,
+    "text_phrase_serve" -> phraseSearchSql,
 
     "text_top_ngrams" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -592,6 +592,50 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("phrase serve from the positional index equals the corpus-side intersection") {
+    // One Lucene-style index, two query classes: the same postings the
+    // BM25 serve reads carry sorted position lists, and a phrase query
+    // served from them (single index or shards — a doc lives wholly in
+    // one shard, so its positions are intact) must equal phraseMatch
+    // over the corpus bit-for-bit.
+    import graft.operators.TextAnalysis
+    val phrase = Seq("a", "b")
+    val phDocs = Seq(
+      (1L, "a b c a b"), (2L, "a a a b"), (3L, "b a"),
+      (4L, "c c c"), (5L, "x a b y a b a b"), (6L, "a b")
+    ).toDF("doc_id", "text")
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (dirFull, dirA, dirB) =
+      (tmp("graft_ph_full"), tmp("graft_ph_a"), tmp("graft_ph_b"))
+    try {
+      TextAnalysis.writeInvertedIndex(phDocs, dirFull)
+      TextAnalysis.writeInvertedIndex(phDocs.filter($"doc_id" % 2 === 0),
+        dirA)
+      TextAnalysis.writeInvertedIndex(phDocs.filter($"doc_id" % 2 =!= 0),
+        dirB)
+      val want = TextAnalysis.phraseMatch(phDocs, phrase).collect().toSet
+      val served = TextAnalysis.searchPhraseIndex(spark, dirFull, phrase)
+        .collect().toSet
+      val sharded = TextAnalysis
+        .searchPhraseIndexShards(spark, Seq(dirA, dirB), phrase)
+        .collect().toSet
+      assert(want.nonEmpty && served === want,
+        "index-served phrase search must equal the corpus intersection")
+      assert(sharded === want,
+        "sharded phrase serve must equal the corpus intersection")
+    } finally {
+      Seq(dirFull, dirA, dirB).foreach { dir =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } finally walk.close()
+      }
+    }
+  }
+
   test("sharded inverted-index serve equals the single full index bit-for-bit") {
     // Incremental-ingestion contract: indexing two corpus halves
     // separately and serving from both shards must equal one index
