@@ -16,6 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Content-hash diff between two corpus snapshots — the ingest-delta
+    * accounting an incremental pipeline runs on every refresh: which
+    * documents were added, removed, modified (same id, different
+    * bytes), or untouched. One full-outer hash join on the id; text
+    * never crosses the shuffle (md5 projects map-side), so the cost is
+    * id+hash width at any corpus size. Downstream, `added ∪ modified`
+    * is exactly the re-process set (re-index, re-embed, re-dedup) and
+    * `removed` the retraction set — the same contract as the index
+    * append/shard paths' "index only the new batch". */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    oldSnap.select(col("doc_id"), md5(col("text")).as("h_old"))
+      .join(newSnap.select(col("doc_id"), md5(col("text")).as("h_new")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("modified").as("status"))
+
   /** Population Stability Index per source against the whole corpus —
     * the standard drift monitor a training pipeline runs on every
     * refresh ("did this crawl's length distribution move?"). Documents

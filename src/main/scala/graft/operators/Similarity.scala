@@ -608,6 +608,29 @@ object Similarity {
         col("adist"), col("rnk"))
   }
 
+  /** IVF index health report: per-cell occupancy, corpus share, and
+    * balance (occupancy relative to uniform — 1.0 is perfectly
+    * balanced; a cell at 8.0 holds 8× its fair share). Cell imbalance
+    * is THE operational failure mode of IVF serving — a mega-cell
+    * makes every probe that touches it scan far more than
+    * corpus·nprobe/kCells, exactly the skew the dedup chain guards
+    * against with salting — so this is the monitoring view a serving
+    * deployment watches to decide when to re-train the quantizer with
+    * more cells. Cost: the assignment pass + a kCells-row aggregate;
+    * the one-row total broadcasts. */
+  def ivfCellStats(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val cells = trainedAssign(vecs, cents, 1)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
+    val tot = cells.agg(sum(col("n_vectors")).as("total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cid").as("cell"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("total").cast("double"))
+          .as("share"),
+        (col("n_vectors").cast("double") * col("n_cells").cast("double") /
+          col("total").cast("double")).as("balance"))
+  }
+
   /** Two-stage ADC serving: PQ distances nominate `rerankDepth`
     * candidates per probe ([[adcTopK]]), then ONLY those candidates'
     * raw vectors are fetched back for an exact-cosine re-rank — the

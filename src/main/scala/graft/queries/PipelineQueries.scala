@@ -657,6 +657,31 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // IVF index health: per-cell occupancy, share, and balance (1.0 =
+    // uniform) over the trained quantizer — the skew monitor a serving
+    // deployment watches to decide when to re-train with more cells.
+    "sim_index_stats" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      Similarity.ivfCellStats(vecs, cents).orderBy("cell")
+    }),
+
+    // Snapshot content diff: added/removed/modified/unchanged per doc
+    // between the corpus and a derived second snapshot (every 13th doc
+    // edited, every 17th dropped, a batch of new ids) — the ingest
+    // delta an incremental pipeline re-processes.
+    "pipeline_snapshot_diff" -> ((s, d) => {
+      val oldSnap = Tables.documents(s, d)
+      val newSnap = oldSnap.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(oldSnap.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      Profiling.snapshotDiff(oldSnap, newSnap).orderBy("doc_id")
+    }),
+
     // Two-stage ADC + exact re-rank: PQ distances nominate 20
     // candidates per probe, exact cosine re-scores ONLY those — the
     // standard refinement buying back quantization error with
@@ -1803,6 +1828,47 @@ object PipelineQueries {
          |SELECT probe_id, vec_id AS neighbor_id, adist,
          |       CAST(rnk AS INTEGER) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // Trained-cell assignment (kmeansCte + rank-1) rolled up to cell
+    // occupancy with share and balance-vs-uniform ratios (double
+    // division of exact longs — IEEE-identical on both engines).
+    "sim_index_stats" ->
+      s"""WITH $ovecsCte,
+         |$kmeansCte,
+         |di AS (
+         |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+         |  FROM dims d JOIN c2 c USING (pos) GROUP BY d.vec_id, c.cid),
+         |dir AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
+         |cells AS (
+         |  SELECT cid AS cell, count(*) AS n_vectors FROM dir
+         |  WHERE rn = 1 GROUP BY cid),
+         |tot AS (SELECT sum(n_vectors) AS total, count(*) AS n_cells
+         |        FROM cells)
+         |SELECT cell, n_vectors,
+         |       CAST(n_vectors AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+         |       CAST(n_vectors AS DOUBLE) * CAST(n_cells AS DOUBLE)
+         |         / CAST(total AS DOUBLE) AS balance
+         |FROM cells CROSS JOIN tot ORDER BY cell""".stripMargin,
+
+    "pipeline_snapshot_diff" ->
+      """WITH olds AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+        |news AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2'
+        |                  ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, md5(text) AS h_new
+        |  FROM documents WHERE doc_id % 10 = 3)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.h_old IS NULL THEN 'added'
+        |            WHEN n.h_new IS NULL THEN 'removed'
+        |            WHEN o.h_old = n.h_new THEN 'unchanged'
+        |            ELSE 'modified' END AS status
+        |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // The sim_adc_topk chain with depth-20 candidates, exact-cosine
     // re-scored and re-ranked — only candidate rows touch raw vectors.

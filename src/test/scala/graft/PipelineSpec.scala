@@ -495,6 +495,57 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivfCellStats: totals reconcile and a skewed corpus reads as imbalanced") {
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val cents = Similarity.kmeansTrain(vecs, 8, 1)
+    val stats = Similarity.ivfCellStats(vecs, cents).collect()
+    assert(stats.map(_.getAs[Long]("n_vectors")).sum === vecs.count())
+    val shareSum = stats.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    // balance is share × n_cells: a uniform corpus sits near 1.0
+    // everywhere; a corpus piled onto one center must flag that cell.
+    val dim = 8
+    val skewRows = (0 until 64).map { i =>
+      val base = Array.tabulate(dim)(d => if (d == 0) 4.0 else 0.0)
+      if (i < 60) (i.toLong, base.map(_ + (i % 3) * 0.01).toSeq)
+      else (i.toLong,
+        Array.tabulate(dim)(d => if (d == i % dim) -4.0 else 0.1).toSeq)
+    }
+    import spark.implicits._
+    val skewVecs = skewRows.toDF("vec_id", "v")
+    val skewStats = Similarity
+      .ivfCellStats(skewVecs, Similarity.kmeansTrain(skewVecs, 4, 1))
+      .collect()
+    assert(skewStats.map(_.getAs[Double]("balance")).max > 2.0,
+      "a mega-cell must read as balance >> 1")
+  }
+
+  test("snapshotDiff: identity is all-unchanged; a constructed delta is classified exactly") {
+    import graft.operators.Profiling
+    val idDiff = Profiling.snapshotDiff(docs, docs)
+      .select($"status").distinct().as[String].collect().toSeq
+    assert(idDiff === Seq("unchanged"))
+    val newSnap = docs.filter($"doc_id" % 17 =!= 0)
+      .select($"doc_id",
+        when($"doc_id" % 13 === 0, concat($"text", lit(" rev2")))
+          .otherwise($"text").as("text"))
+      .unionByName(docs.filter($"doc_id" % 10 === 3)
+        .select(($"doc_id" + 300000).as("doc_id"), $"text"))
+    val byStatus = Profiling.snapshotDiff(docs, newSnap)
+      .groupBy($"status").count().as[(String, Long)].collect().toMap
+    val n = docs.count()
+    val removed = docs.filter($"doc_id" % 17 === 0).count()
+    val modified = docs.filter($"doc_id" % 13 === 0 &&
+      $"doc_id" % 17 =!= 0).count()
+    val added = docs.filter($"doc_id" % 10 === 3).count()
+    assert(byStatus.getOrElse("removed", 0L) === removed)
+    assert(byStatus.getOrElse("modified", 0L) === modified)
+    assert(byStatus.getOrElse("added", 0L) === added)
+    assert(byStatus.getOrElse("unchanged", 0L) === n - removed - modified)
+  }
+
   test("adcRerankTopK at full depth equals brute force; scores are always exact") {
     // With rerankDepth covering the whole corpus the PQ stage nominates
     // everyone, so the re-rank IS brute-force search — same rounded

@@ -31,6 +31,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "graph_pagerank_dangling", // + one-row dangling-mass scalar per iteration
     "pipeline_temperature_mix", // one-row pow-normalizer aggregate
     "sim_kmeans_step",   // K centroids
+    "sim_index_stats",   // one-row (total, n_cells) normalizer
     "pipeline_source_mix", // |sources|-row capped-count dimension
     "pipeline_mixture",    // one-row source-count aggregate
     "pipeline_mixture_sample", // same normalizer, materialized
