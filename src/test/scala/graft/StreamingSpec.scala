@@ -621,6 +621,60 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); cents.unpersist() }
   }
 
+  test("streaming ingest builds servable index shards: sharded serve equals corpus scan") {
+    // The ingest side of the serving story: documents ARRIVE as a
+    // stream, each micro-batch writes its own inverted-index shard
+    // (writeInvertedIndex — a batch frame under foreachBatch, so the
+    // exact batch build runs unchanged), and a BM25 query served from
+    // the accumulated shards must equal the corpus-scan bm25 over
+    // everything ingested — the incremental contract end-to-end from
+    // stream to index to query, with no corpus re-index at any batch.
+    import graft.operators.TextAnalysis
+    val s = spark.newSession()
+    import s.implicits._
+    val terms = Seq("hash", "join", "spark")
+    val allDocs = Tables.documents(s, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val (b1, b2) = allDocs.partition(_._1 % 2 == 0)
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_idx")
+    val shardDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val input = MemoryStream[(Long, String)](s)
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val dir = s"$base/shard_$id"
+          TextAnalysis.writeInvertedIndex(batch, dir)
+          shardDirs.add(dir)
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val dirs = shardDirs.asScala.toSeq
+      assert(dirs.size === 2, s"expected 2 shards, got ${dirs.size}")
+      val ingested = allDocs.toSeq.toDF("doc_id", "text")
+      val want = TextAnalysis.bm25(ingested, terms).collect().toSet
+      val served = TextAnalysis
+        .searchInvertedIndexShards(s, dirs, terms).collect().toSet
+      assert(want.nonEmpty && served === want,
+        "stream-built shards must serve exactly like a corpus scan")
+    } finally {
+      q.stop()
+      val walk = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } finally walk.close()
+    }
+  }
+
   test("streaming PQ serving: probe stream over the persisted codes-only index") {
     // The production online-ANN shape end-to-end: the corpus exists
     // ONLY as a file-backed IVF-PQ index (codes + codebook +
