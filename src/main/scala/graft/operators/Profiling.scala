@@ -150,6 +150,46 @@ object Profiling {
     }
   }
 
+  /** Compaction plan: pack small files into `targetBytes` output bins,
+    * next-fit in file order within each table partition — the
+    * small-file maintenance pass every 100 TB lakehouse runs (a day of
+    * streaming ingest leaves thousands of KB-scale parquet files whose
+    * per-file open/footer cost dominates scans; OPTIMIZE rewrites them
+    * into ~128 MB objects).
+    *
+    * Bin assignment is pure window arithmetic: the running byte total
+    * BEFORE each file, integer-divided by the target, is the file's
+    * bin (next-fit packing — deterministic given the file order, no
+    * driver loop, no bin state). One shuffle on the partition key and
+    * one sort — the same exchange a per-partition rewrite would need
+    * anyway — and the emitted PLAN is |bins| rows, not |files|.
+    * First-fit-decreasing would pack ~10% tighter but needs
+    * size-ordered iteration with mutable bin state (a sequential scan);
+    * next-fit in deterministic file order keeps the plan a pure window
+    * function, which is the right trade at fleet scale.
+    *
+    * `files` is `(part_key, file_id, bytes)`; an oversized file (≥
+    * target) closes its bin past several bin widths, so the following
+    * file opens a LATER bin index — bin ids are byte offsets div
+    * target, monotone but not dense. Output: one row per (part_key,
+    * bin) with file count, byte total, and the id range it covers.
+    */
+  def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("part_key")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .select(col("part_key"), col("file_id"),
+        col("bytes").cast("long").as("bytes"))
+      .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"before div ${targetBytes}L"))
+      .groupBy(col("part_key"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"))
+  }
+
   /** Per-source dataset card: the one-glance corpus summary (doc count,
     * whitespace-token count, language spread, English share, length
     * profile). Counting aggregates are one partial-aggregated pass;

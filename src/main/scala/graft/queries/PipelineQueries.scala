@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{ConnectedComponents, Dedup, Multimodal, Profiling,
-  Retrieval, Sampling, Similarity, TextAnalysis}
+  Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** LLM-training-data pipeline queries (SURVEY.md §7.2 phase D, charter
   * north_star): dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash /
@@ -1412,7 +1412,40 @@ object PipelineQueries {
       Similarity.searchIvfIndex(s, dir, vecs.filter(col("vec_id") < 15),
         3, nprobe = 2)
         .orderBy("probe_id", "rnk")
-    })
+    }),
+
+    // KMV distinct-count synopsis per source: k smallest md5-48 hashes,
+    // estimate (k-1)·2^48 div h_k — the mergeable cardinality sketch a
+    // profiler keeps per shard instead of a COUNT(DISTINCT) that must
+    // see every row. k=16 < docs-per-source, so the ESTIMATE path (not
+    // the exact small-group fallback) is what gates here. Exact
+    // integer arithmetic end to end.
+    "sketch_kmv_distinct" -> ((s, d) =>
+      Sketches.kmvDistinct(Tables.documents(s, d), col("text"),
+        col("source"), k = 16)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")),
+
+    // Count-min heavy hitters over the event stream: a d×w=3×256
+    // counter table built in one linear pass (map-side partials are
+    // themselves sketches), then candidate keys scored by min-of-d
+    // broadcast lookups. est_c ≥ true_c by construction — the gate
+    // pins the exact collision inflation, not just the bound.
+    "sketch_cms_heavy" -> ((s, d) =>
+      Sketches.cmsHeavyHitters(Tables.events(s, d), col("user_id"),
+        depth = 3, width = 256, minCount = 50L)
+        .orderBy(col("true_c").desc, col("k"))),
+
+    // Small-file compaction plan: documents stand in for a file
+    // inventory (source = table partition, n_chars = file bytes);
+    // next-fit bins at a 20 kB target via one window cumsum — the
+    // OPTIMIZE planning pass, emitting |bins| rows not |files|.
+    "pipeline_compaction_plan" -> ((s, d) =>
+      Profiling.compactionPlan(
+        Tables.documents(s, d).select(col("source").as("part_key"),
+          col("doc_id").as("file_id"), col("n_chars").as("bytes")),
+        targetBytes = 20000L)
+        .orderBy("part_key", "bin"))
   )
 
   // ---- oracles ----
@@ -3047,6 +3080,64 @@ object PipelineQueries {
         |FROM p JOIN vocab va ON p.term_a = va.term
         |       JOIN vocab vb ON p.term_b = vb.term
         |CROSS JOIN tot
-        |ORDER BY term_a, term_b""".stripMargin
+        |ORDER BY term_a, term_b""".stripMargin,
+
+    "sketch_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |         CAST(CAST(('0x' || substr(md5(text), 1, 12)) AS UBIGINT)
+        |           AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT source, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+        |      FROM h),
+        |kk AS (SELECT source, count(*) AS n_kept, max(h) AS hk
+        |       FROM r WHERE rnk <= 16 GROUP BY source)
+        |SELECT source, n_kept,
+        |       CASE WHEN n_kept < 16 THEN n_kept
+        |            ELSE (15 * 281474976710656) // hk END AS est_distinct
+        |FROM kk ORDER BY source""".stripMargin,
+
+    "sketch_cms_heavy" ->
+      """WITH kx AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        |js AS (SELECT unnest([1, 2, 3]) AS j),
+        |cells AS (
+        |  SELECT k, j,
+        |         CAST(CAST(('0x' || substr(
+        |             md5(CAST(j AS VARCHAR) || ':' || k), 1, 12)) AS UBIGINT)
+        |           AS BIGINT) % 256 AS bucket
+        |  FROM kx CROSS JOIN js),
+        |cms AS (SELECT j, bucket, count(*) AS c
+        |        FROM cells GROUP BY j, bucket),
+        |cand AS (SELECT k, count(*) AS true_c FROM kx
+        |         GROUP BY k HAVING count(*) >= 50),
+        |cc AS (
+        |  SELECT cand.k, true_c, j,
+        |         CAST(CAST(('0x' || substr(
+        |             md5(CAST(j AS VARCHAR) || ':' || cand.k), 1, 12))
+        |           AS UBIGINT) AS BIGINT) % 256 AS bucket
+        |  FROM cand CROSS JOIN js)
+        |SELECT cc.k, true_c, min(c) AS est_c
+        |FROM cc JOIN cms USING (j, bucket)
+        |GROUP BY cc.k, true_c
+        |ORDER BY true_c DESC, k""".stripMargin,
+
+    "pipeline_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT source AS part_key, doc_id AS file_id,
+        |         CAST(n_chars AS BIGINT) AS bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT part_key, file_id, bytes,
+        |         CAST(coalesce(sum(bytes) OVER (
+        |           PARTITION BY part_key ORDER BY file_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS brn
+        |  FROM f)
+        |SELECT part_key, brn // 20000 AS bin, count(*) AS n_files,
+        |       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |       min(file_id) AS first_file, max(file_id) AS last_file
+        |FROM c GROUP BY part_key, brn // 20000
+        |ORDER BY part_key, bin""".stripMargin
   )
 }

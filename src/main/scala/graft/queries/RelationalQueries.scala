@@ -1591,6 +1591,50 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Common-neighbor link prediction on the supplier—part bipartite
+    // graph: supplier pairs ranked by neighbor-set Jaccard (integer
+    // micro-units) — the friends-of-friends self-join keyed on the
+    // shared part, with the power-law hub guard (degree-capped right
+    // side) that bounds the deg² pair blow-up at scale.
+    "graph_common_neighbors" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      graft.operators.Graph.commonNeighbors(edges, degreeCap = 1000,
+        minShared = 2L)
+        .orderBy(col("jac_micro").desc, col("a"), col("b"))
+        .limit(100)
+    }),
+
+    // Robust outlier profile per return flag: median / MAD (both via
+    // the bounded-state interpolated-percentile aggregation, not the
+    // value-buffering percentile()), outliers at the 3σ-equivalent
+    // 4.4478·MAD fence. Prices work in exact integer cents; the two
+    // medians interpolate to exact .25-step doubles, so the fence
+    // comparison is engine-stable.
+    "q_mad_outliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100, 0).cast("bigint").as("cents"))
+      val med = graft.operators.Profiling
+        .groupedPercentiles(li, col("flag"), col("cents"),
+          Seq(0.5 -> "med"))
+        .withColumnRenamed("k", "flag")
+      val dev = li.join(broadcast(med), Seq("flag"))
+        .withColumn("dev", abs(col("cents") - col("med")))
+      val mad = graft.operators.Profiling
+        .groupedPercentiles(dev, col("flag"), col("dev"),
+          Seq(0.5 -> "mad"))
+        .withColumnRenamed("k", "flag")
+      dev.join(broadcast(mad), Seq("flag"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 4).as("med"),
+          round(max(col("mad")), 4).as("mad"),
+          sum(when(col("dev") > lit(4.4478) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("flag")
+    }),
+
     // Cohort retention: users bucketed by first-seen hour, activity
     // counted per (cohort, hour offset) — the canonical product-
     // analytics matrix. Two aggregations and one co-partitioned join
@@ -2805,6 +2849,41 @@ object RelationalQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand <> 'Brand#5'
         |GROUP BY p_brand, p_size
-        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "graph_common_neighbors" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS l, l_partkey AS r FROM lineitem),
+        |rdeg AS (SELECT r, count(*) AS rdeg FROM e GROUP BY r),
+        |ldeg AS (SELECT l, count(*) AS ldeg FROM e GROUP BY l),
+        |kept AS (SELECT e.l, e.r FROM e JOIN rdeg USING (r)
+        |         WHERE rdeg <= 1000),
+        |p AS (
+        |  SELECT x.l AS a, y.l AS b, count(*) AS shared
+        |  FROM kept x JOIN kept y ON x.r = y.r AND x.l < y.l
+        |  GROUP BY x.l, y.l HAVING count(*) >= 2)
+        |SELECT a, b, shared,
+        |       (shared * 1000000) // (da.ldeg + db.ldeg - shared)
+        |         AS jac_micro
+        |FROM p JOIN ldeg da ON da.l = a JOIN ldeg db ON db.l = b
+        |ORDER BY jac_micro DESC, a, b LIMIT 100""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |med AS (SELECT flag, quantile_cont(cents, 0.5) AS med
+        |        FROM li GROUP BY flag),
+        |dev AS (SELECT li.flag, cents, med, abs(cents - med) AS dev
+        |        FROM li JOIN med USING (flag)),
+        |mad AS (SELECT flag, quantile_cont(dev, 0.5) AS mad
+        |        FROM dev GROUP BY flag)
+        |SELECT dev.flag, count(*) AS n,
+        |       round(max(med), 4) AS med, round(max(mad), 4) AS mad,
+        |       CAST(sum(CASE WHEN dev > CAST(4.4478 AS DOUBLE) * mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (flag)
+        |GROUP BY dev.flag ORDER BY flag""".stripMargin
   )
 }
