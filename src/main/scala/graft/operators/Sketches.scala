@@ -48,19 +48,138 @@ object Sketches {
     * synopsis, else the KMV estimate.
     */
   def kmvDistinct(df: DataFrame, key: Column, group: Column,
-      k: Int = 32): DataFrame = {
+      k: Int = 32): DataFrame =
+    kmvEstimate(kmvSynopsis(df.select(group.as("grp"), h48(key).as("h")), k),
+      k)
+
+  /** The k smallest distinct hashes per `grp` — the KMV synopsis
+    * itself, the unit that merges: the global synopsis of a union is
+    * the re-rank of the per-shard synopses' union, because every
+    * globally-k-smallest hash is k-smallest within its own shard too.
+    * Input must be `(grp, h)`. The rank-filter idiom rewrites to the
+    * spillable TopKPerKeyExec (plans/TopKRewrite), so per-group state
+    * is a k-element heap, never the group's row count. */
+  private[graft] def kmvSynopsis(hashed: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val hashed = df.select(group.as("grp"), h48(key).as("h")).distinct()
-    val ranked = hashed.withColumn("rnk",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("grp")).orderBy(col("h"))))
+    hashed.distinct()
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("h"))))
       .filter(col("rnk") <= k)
-    ranked.groupBy(col("grp"))
+      .select(col("grp"), col("h"))
+  }
+
+  /** Estimate from a synopsis: exact when the group fits (< k values
+    * kept), else (k−1)·2^48 div h_k. */
+  private[graft] def kmvEstimate(synopsis: DataFrame, k: Int): DataFrame =
+    synopsis.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
       .select(col("grp"), col("n_kept"),
         when(col("n_kept") < k, col("n_kept"))
           .otherwise(expr(s"(${k - 1}L * 281474976710656L) div hk"))
           .as("est_distinct"))
+
+  /** Sharded KMV: per-shard synopses merged by re-rank — the path a
+    * 100 TB profiler actually runs (each shard ships k rows, the
+    * coordinator never sees data). Bit-identical to the monolithic
+    * [[kmvDistinct]] by the synopsis-merge property, and gated against
+    * the SAME oracle to prove it. `shard` only drives the partial
+    * synopses; it must not correlate with the hash order for the
+    * merge bound to hold — any disjoint split works. */
+  def kmvDistinctSharded(df: DataFrame, key: Column, group: Column,
+      shard: Column, k: Int = 32): DataFrame = {
+    val hashed = df.select(group.as("grp"), shard.as("sh"),
+      h48(key).as("h"))
+    // Per-shard partial synopsis: same rank-filter shape, keyed on
+    // (grp, shard) — in production each shard computes this locally.
+    val partial = hashed.distinct()
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp"), col("sh")).orderBy(col("h"))))
+      .filter(col("rnk") <= k)
+      .select(col("grp"), col("h"))
+    // Merge = union + re-rank. Hashes are distinct within a shard but
+    // a value seen by two shards appears twice; the synopsis re-rank
+    // dedups via its own distinct().
+    kmvEstimate(kmvSynopsis(partial, k), k)
+  }
+
+  /** KMV set-overlap estimate between two keyed corpora: one merged
+    * synopsis of A ∪ B with per-hash membership flags; the k-smallest
+    * window is a uniform sample of the union, so the flagged fraction
+    * estimates Jaccard and scales to an intersection cardinality via
+    * the union's own KMV estimate. The cross-crawl overlap question
+    * ("how much of crawl B is already in A?") answered from 2k rows.
+    *
+    * Scale shape: two distinct-aggregates (map-side partial), a
+    * full-outer hash join on the 8-byte hash, then a global
+    * `orderBy(h).limit(k)` — TakeOrderedAndProject, bounded state on
+    * every partial. All estimates integer (`div`); `n_kept < k` means
+    * the union fit entirely and everything is exact.
+    */
+  def kmvJaccard(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val ha = a.select(h48(keyA).as("h")).distinct()
+      .withColumn("in_a", lit(1L))
+    val hb = b.select(h48(keyB).as("h")).distinct()
+      .withColumn("in_b", lit(1L))
+    val top = ha.join(hb, Seq("h"), "full_outer")
+      .na.fill(0L, Seq("in_a", "in_b"))
+      .orderBy(col("h")).limit(k)
+    top.agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .select(col("n_kept"), col("n_both"),
+        expr("(n_both * 1000000L) div n_kept").as("jac_micro"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1}L * 281474976710656L) div hk"))
+          .as("est_union"))
+      .withColumn("est_inter",
+        expr("(n_both * est_union) div n_kept"))
+  }
+
+  /** HyperLogLog-style distinct estimate, registers and all, built
+    * relationally: bucket = h mod m, register M_j = max ρ(h div m)
+    * (ρ = leading-zero run in the remaining 42 bits, +1). One
+    * max-aggregation per (grp, bucket) — m rows per group survive, and
+    * registers merge across shards by the same max, which is the whole
+    * point of HLL at fleet scale.
+    *
+    * Determinism discipline: the harmonic sum Σ 2^−M_j is kept EXACT by
+    * scaling to integers (Σ 2^(50−M_j), every term a power of two, the
+    * whole sum < 2^57 with a ≤50-bit span — representable), so the only
+    * floating-point steps are one constant product and one division,
+    * identical on any engine and partitioning. Small-range correction:
+    * linear counting m·ln(m/V) when the raw estimate ≤ 2.5m and empty
+    * buckets exist — also a single ln of an exact ratio.
+    */
+  def hllDistinct(df: DataFrame, key: Column, group: Column,
+      m: Int = 64): DataFrame = {
+    require(m == 64, s"register count fixed at 64 (α and widths), got $m")
+    val regs = df.select(group.as("grp"), h48(key).as("h"))
+      .select(col("grp"), (col("h") % m).as("bucket"),
+        expr(s"h div $m").as("rest"))
+      .select(col("grp"), col("bucket"),
+        when(col("rest") === 0L, lit(43))
+          .otherwise(lit(43) - length(bin(col("rest")))).as("rho"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    regs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("shiftleft(1L, cast(50 - mj as int))")).as("s_present"))
+      .select(col("grp"), col("n_buckets"),
+        (lit(m).cast("long") - col("n_buckets")).as("v"),
+        (col("s_present") +
+          (lit(m).cast("long") - col("n_buckets")) *
+            lit(1125899906842624L)).as("s"))
+      // α·m²·2^50 / S, with the linear-counting branch below 2.5m.
+      .select(col("grp"), col("n_buckets"),
+        round(
+          when((lit(0.709) * lit(4096.0) * lit(1125899906842624.0) /
+              col("s").cast("double")) <= 160.0 && col("v") > 0,
+            lit(64.0) * log(lit(64.0) / col("v").cast("double")))
+            .otherwise(lit(0.709) * lit(4096.0) * lit(1125899906842624.0) /
+              col("s").cast("double")), 4).as("est_hll"))
   }
 
   /** Count-min sketch: build the d×w counter table in one pass.
@@ -98,12 +217,27 @@ object Sketches {
     * here it is the keys at/above `minCount` so the oracle can rebuild
     * it exactly.
     */
+  /** Sum two (or more, via union) CMS cell tables — count-min is
+    * linear, so per-shard sketches merge by cell-wise addition into
+    * exactly the sketch a monolithic pass would have built. The
+    * fleet-scale contract: each shard ships d×w longs, never rows. */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionAll _)
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+
   def cmsHeavyHitters(df: DataFrame, key: Column, depth: Int = 3,
-      width: Int = 256, minCount: Long = 100L): DataFrame = {
-    val sketch = cmsBuild(df, key, depth, width)
-    val candidates = df.select(key.cast("string").as("k"))
-      .groupBy(col("k")).agg(count(lit(1)).as("true_c"))
-      .filter(col("true_c") >= minCount)
+      width: Int = 256, minCount: Long = 100L): DataFrame =
+    cmsScore(cmsBuild(df, key, depth, width),
+      df.select(key.cast("string").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("true_c"))
+        .filter(col("true_c") >= minCount),
+      depth, width)
+
+  /** Score `candidates` (`(k, true_c)`) against a built sketch:
+    * min-of-d broadcast lookups, the read side of the CMS contract. */
+  private[graft] def cmsScore(sketch: DataFrame, candidates: DataFrame,
+      depth: Int, width: Int): DataFrame =
     candidates
       .select(col("k"), col("true_c"), explode(array((1 to depth).map(j =>
         struct(lit(j).as("j"),
@@ -114,5 +248,20 @@ object Sketches {
       .join(broadcast(sketch), Seq("j", "bucket"))
       .groupBy(col("k"), col("true_c"))
       .agg(min(col("c")).as("est_c"))
+
+  /** Sharded CMS heavy hitters: one sketch per shard, merged cell-wise
+    * ([[cmsMerge]]), then scored — bit-identical to the monolithic
+    * [[cmsHeavyHitters]] because count-min is linear, and gated
+    * against the same oracle to prove it. */
+  def cmsHeavyHittersSharded(df: DataFrame, key: Column, shard: Column,
+      nShards: Int, depth: Int = 3, width: Int = 256,
+      minCount: Long = 100L): DataFrame = {
+    val tagged = df.select(key.cast("string").as("k"), shard.as("sh"))
+    val perShard = (0 until nShards).map(i =>
+      cmsBuild(tagged.filter(col("sh") === i), col("k"), depth, width))
+    cmsScore(cmsMerge(perShard: _*),
+      tagged.groupBy(col("k")).agg(count(lit(1)).as("true_c"))
+        .filter(col("true_c") >= minCount),
+      depth, width)
   }
 }

@@ -1436,6 +1436,48 @@ object PipelineQueries {
         depth = 3, width = 256, minCount = 50L)
         .orderBy(col("true_c").desc, col("k"))),
 
+    // Sharded KMV: per-shard k-smallest synopses merged by re-rank —
+    // the fleet path (k rows per shard cross the wire, never data).
+    // Gated against the SAME oracle as sketch_kmv_distinct: the merge
+    // property says the results are bit-identical, so prove it.
+    "sketch_kmv_sharded" -> ((s, d) =>
+      Sketches.kmvDistinctSharded(Tables.documents(s, d), col("text"),
+        col("source"), col("doc_id") % 4, k = 16)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")),
+
+    // KMV set-overlap: one merged 64-hash synopsis of base-corpus ∪
+    // augmented-corpus estimates their Jaccard and intersection size —
+    // the cross-crawl overlap question answered from 2k rows, exact
+    // integer arithmetic throughout.
+    "sketch_kmv_jaccard" -> ((s, d) =>
+      Sketches.kmvJaccard(
+        Tables.documents(s, d), col("text"),
+        Dedup.augmentCorpus(Tables.documents(s, d)), col("text"),
+        k = 64)),
+
+    // HLL-style registers built relationally: distinct words per
+    // source via 64 max-ρ registers, harmonic sum kept exact by
+    // integer scaling, linear-counting small-range branch — the
+    // mergeable cardinality sketch with O(m) state per group.
+    "sketch_hll_distinct" -> ((s, d) =>
+      Sketches.hllDistinct(
+        Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " "))
+            .as("word")),
+        col("word"), col("source"))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")),
+
+    // Sharded CMS: four per-shard counter tables merged cell-wise
+    // (count-min is linear), scored like the monolithic sketch and
+    // gated against its oracle — the distributed-build contract.
+    "sketch_cms_sharded" -> ((s, d) =>
+      Sketches.cmsHeavyHittersSharded(Tables.events(s, d),
+        col("user_id"), col("event_id") % 4, nShards = 4,
+        depth = 3, width = 256, minCount = 50L)
+        .orderBy(col("true_c").desc, col("k"))),
+
     // Small-file compaction plan: documents stand in for a file
     // inventory (source = table partition, n_chars = file bytes);
     // next-fit bins at a 20 kB target via one window cumsum — the
@@ -1449,6 +1491,52 @@ object PipelineQueries {
   )
 
   // ---- oracles ----
+
+  // Shared by sketch_kmv_distinct and sketch_kmv_sharded: the shard
+  // synopses' merged re-rank is bit-identical to the monolithic
+  // k-smallest, so both gate against one SQL.
+  private val kmvDistinctOracle =
+    """WITH h AS (
+      |  SELECT DISTINCT source,
+      |         CAST(CAST(('0x' || substr(md5(text), 1, 12)) AS UBIGINT)
+      |           AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (SELECT source, h,
+      |        row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+      |      FROM h),
+      |kk AS (SELECT source, count(*) AS n_kept, max(h) AS hk
+      |       FROM r WHERE rnk <= 16 GROUP BY source)
+      |SELECT source, n_kept,
+      |       CASE WHEN n_kept < 16 THEN n_kept
+      |            ELSE (15 * 281474976710656) // hk END AS est_distinct
+      |FROM kk ORDER BY source""".stripMargin
+
+  // Shared by sketch_cms_heavy and sketch_cms_sharded: count-min is
+  // linear, so the cell-wise-merged shard sketches equal the
+  // monolithic build exactly.
+  private val cmsHeavyOracle =
+    """WITH kx AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+      |js AS (SELECT unnest([1, 2, 3]) AS j),
+      |cells AS (
+      |  SELECT k, j,
+      |         CAST(CAST(('0x' || substr(
+      |             md5(CAST(j AS VARCHAR) || ':' || k), 1, 12)) AS UBIGINT)
+      |           AS BIGINT) % 256 AS bucket
+      |  FROM kx CROSS JOIN js),
+      |cms AS (SELECT j, bucket, count(*) AS c
+      |        FROM cells GROUP BY j, bucket),
+      |cand AS (SELECT k, count(*) AS true_c FROM kx
+      |         GROUP BY k HAVING count(*) >= 50),
+      |cc AS (
+      |  SELECT cand.k, true_c, j,
+      |         CAST(CAST(('0x' || substr(
+      |             md5(CAST(j AS VARCHAR) || ':' || cand.k), 1, 12))
+      |           AS UBIGINT) AS BIGINT) % 256 AS bucket
+      |  FROM cand CROSS JOIN js)
+      |SELECT cc.k, true_c, min(c) AS est_c
+      |FROM cc JOIN cms USING (j, bucket)
+      |GROUP BY cc.k, true_c
+      |ORDER BY true_c DESC, k""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -3082,45 +3170,81 @@ object PipelineQueries {
         |CROSS JOIN tot
         |ORDER BY term_a, term_b""".stripMargin,
 
-    "sketch_kmv_distinct" ->
-      """WITH h AS (
-        |  SELECT DISTINCT source,
-        |         CAST(CAST(('0x' || substr(md5(text), 1, 12)) AS UBIGINT)
-        |           AS BIGINT) AS h
-        |  FROM documents),
-        |r AS (SELECT source, h,
-        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
-        |      FROM h),
-        |kk AS (SELECT source, count(*) AS n_kept, max(h) AS hk
-        |       FROM r WHERE rnk <= 16 GROUP BY source)
-        |SELECT source, n_kept,
-        |       CASE WHEN n_kept < 16 THEN n_kept
-        |            ELSE (15 * 281474976710656) // hk END AS est_distinct
-        |FROM kk ORDER BY source""".stripMargin,
+    "sketch_kmv_distinct" -> kmvDistinctOracle,
 
-    "sketch_cms_heavy" ->
-      """WITH kx AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
-        |js AS (SELECT unnest([1, 2, 3]) AS j),
-        |cells AS (
-        |  SELECT k, j,
-        |         CAST(CAST(('0x' || substr(
-        |             md5(CAST(j AS VARCHAR) || ':' || k), 1, 12)) AS UBIGINT)
-        |           AS BIGINT) % 256 AS bucket
-        |  FROM kx CROSS JOIN js),
-        |cms AS (SELECT j, bucket, count(*) AS c
-        |        FROM cells GROUP BY j, bucket),
-        |cand AS (SELECT k, count(*) AS true_c FROM kx
-        |         GROUP BY k HAVING count(*) >= 50),
-        |cc AS (
-        |  SELECT cand.k, true_c, j,
-        |         CAST(CAST(('0x' || substr(
-        |             md5(CAST(j AS VARCHAR) || ':' || cand.k), 1, 12))
-        |           AS UBIGINT) AS BIGINT) % 256 AS bucket
-        |  FROM cand CROSS JOIN js)
-        |SELECT cc.k, true_c, min(c) AS est_c
-        |FROM cc JOIN cms USING (j, bucket)
-        |GROUP BY cc.k, true_c
-        |ORDER BY true_c DESC, k""".stripMargin,
+    // Same oracle as the monolithic form: the shard-merge property
+    // guarantees bit-identical output, and gating both against one SQL
+    // is the proof.
+    "sketch_kmv_sharded" -> kmvDistinctOracle,
+
+    "sketch_kmv_jaccard" ->
+      s"""WITH $corpusCte,
+         |ha AS (
+         |  SELECT DISTINCT CAST(CAST(('0x' || substr(md5(text), 1, 12))
+         |           AS UBIGINT) AS BIGINT) AS h, 1 AS in_a
+         |  FROM documents),
+         |hb AS (
+         |  SELECT DISTINCT CAST(CAST(('0x' || substr(md5(text), 1, 12))
+         |           AS UBIGINT) AS BIGINT) AS h, 1 AS in_b
+         |  FROM corpus),
+         |u AS (
+         |  SELECT coalesce(ha.h, hb.h) AS h, coalesce(in_a, 0) AS in_a,
+         |         coalesce(in_b, 0) AS in_b
+         |  FROM ha FULL OUTER JOIN hb ON ha.h = hb.h),
+         |top AS (SELECT * FROM u ORDER BY h LIMIT 64),
+         |agg AS (
+         |  SELECT count(*) AS n_kept, max(h) AS hk,
+         |         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+         |  FROM top),
+         |est AS (
+         |  SELECT n_kept, n_both,
+         |         (n_both * 1000000) // n_kept AS jac_micro,
+         |         CASE WHEN n_kept < 64 THEN n_kept
+         |              ELSE (63 * 281474976710656) // hk END AS est_union
+         |  FROM agg)
+         |SELECT n_kept, n_both, jac_micro, est_union,
+         |       (n_both * est_union) // n_kept AS est_inter
+         |FROM est""".stripMargin,
+
+    "sketch_hll_distinct" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |h AS (
+        |  SELECT source,
+        |         CAST(CAST(('0x' || substr(md5(word), 1, 12)) AS UBIGINT)
+        |           AS BIGINT) AS h
+        |  FROM w),
+        |r AS (SELECT source, h % 64 AS bucket, h // 64 AS rest FROM h),
+        |rr AS (
+        |  SELECT source, bucket,
+        |         CASE WHEN rest = 0 THEN 43
+        |              ELSE 43 - length(bin(rest)) END AS rho
+        |  FROM r),
+        |m AS (SELECT source, bucket, max(rho) AS mj
+        |      FROM rr GROUP BY source, bucket),
+        |agg AS (
+        |  SELECT source, count(*) AS n_buckets,
+        |         CAST(sum(CAST(1 AS BIGINT) << (50 - mj)) AS BIGINT)
+        |           AS s_present
+        |  FROM m GROUP BY source),
+        |fin AS (
+        |  SELECT source, n_buckets, 64 - n_buckets AS v,
+        |         s_present + (64 - n_buckets) * 1125899906842624 AS s
+        |  FROM agg)
+        |SELECT source, n_buckets,
+        |       round(CASE WHEN (CAST(0.709 AS DOUBLE) * 4096 *
+        |                        1125899906842624) / s <= 160.0 AND v > 0
+        |                  THEN 64.0 * ln(64.0 / v)
+        |                  ELSE (CAST(0.709 AS DOUBLE) * 4096 *
+        |                        1125899906842624) / s END, 4) AS est_hll
+        |FROM fin ORDER BY source""".stripMargin,
+
+    // Same oracle as the monolithic CMS: linearity of count-min makes
+    // the sharded build bit-identical.
+    "sketch_cms_sharded" -> cmsHeavyOracle,
+
+    "sketch_cms_heavy" -> cmsHeavyOracle,
 
     "pipeline_compaction_plan" ->
       """WITH f AS (

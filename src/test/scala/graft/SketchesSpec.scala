@@ -49,6 +49,58 @@ class SketchesSpec extends SparkSpec {
       r.getAs[Long]("est_c") == r.getAs[Long]("true_c")))
   }
 
+  test("sharded KMV and CMS are bit-identical to their monolithic twins") {
+    val docs = Tables.documents(spark, sfDir)
+    val mono = operators.Sketches
+      .kmvDistinct(docs, col("text"), col("source"), k = 16)
+    val sharded = operators.Sketches
+      .kmvDistinctSharded(docs, col("text"), col("source"),
+        col("doc_id") % 4, k = 16)
+    assert(mono.exceptAll(sharded).isEmpty &&
+      sharded.exceptAll(mono).isEmpty,
+      "KMV shard-merge must reproduce the monolithic synopsis exactly")
+
+    val ev = Tables.events(spark, sfDir)
+    val cmsM = operators.Sketches
+      .cmsHeavyHitters(ev, col("user_id"), 3, 64, minCount = 1L)
+    val cmsS = operators.Sketches
+      .cmsHeavyHittersSharded(ev, col("user_id"), col("event_id") % 4,
+        nShards = 4, depth = 3, width = 64, minCount = 1L)
+    assert(cmsM.exceptAll(cmsS).isEmpty && cmsS.exceptAll(cmsM).isEmpty,
+      "CMS linearity: cell-wise shard merge must equal one-pass build")
+  }
+
+  test("kmvJaccard: exact when the union fits in the synopsis") {
+    val a = (1 to 30).map(i => s"k$i").toDF("key")
+    val b = (21 to 50).map(i => s"k$i").toDF("key")
+    // |A|=30, |B|=30, inter=10, union=50 < k=64 -> everything exact.
+    val r = operators.Sketches
+      .kmvJaccard(a, col("key"), b, col("key"), k = 64).collect().head
+    assert(r.getAs[Long]("n_kept") == 50L)
+    assert(r.getAs[Long]("n_both") == 10L)
+    assert(r.getAs[Long]("jac_micro") == 10L * 1000000 / 50)
+    assert(r.getAs[Long]("est_union") == 50L)
+    assert(r.getAs[Long]("est_inter") == 10L)
+  }
+
+  test("HLL: register estimate within 35% on 1000 distinct keys") {
+    val df = (1 to 1000).flatMap(i => Seq.fill(2)((s"key$i", "g")))
+      .toDF("key", "grp")
+    val r = operators.Sketches
+      .hllDistinct(df, col("key"), col("grp")).collect().head
+    val est = r.getAs[Double]("est_hll")
+    // m=64 -> ~13% stderr; md5 is fixed, so this pins a deterministic
+    // value, not a flaky draw.
+    assert(est > 650 && est < 1350, s"HLL estimate $est for true 1000")
+    // And the small-range branch: 5 distinct keys -> linear counting
+    // territory, estimate must land near 5.
+    val small = (1 to 5).map(i => (s"v$i", "g")).toDF("key", "grp")
+    val es = operators.Sketches
+      .hllDistinct(small, col("key"), col("grp")).collect()
+      .head.getAs[Double]("est_hll")
+    assert(es > 3.0 && es < 8.0, s"linear-counting estimate $es for 5")
+  }
+
   test("compaction plan: partitions files exactly, bins respect target") {
     val target = 100L
     val files = Seq(
