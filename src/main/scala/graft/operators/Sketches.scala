@@ -154,9 +154,18 @@ object Sketches {
     * buckets exist — also a single ln of an exact ratio.
     */
   def hllDistinct(df: DataFrame, key: Column, group: Column,
+      m: Int = 64): DataFrame =
+    hllEstimate(hllRegisters(df, key, group, m), m)
+
+  /** The register table `(grp, bucket, mj)` — HLL's mergeable unit:
+    * registers combine across shards, engines, or micro-batches by the
+    * same `max`, so under Structured Streaming this single aggregation
+    * (complete mode) IS the incremental sketch maintenance; no custom
+    * state needed. */
+  def hllRegisters(df: DataFrame, key: Column, group: Column,
       m: Int = 64): DataFrame = {
     require(m == 64, s"register count fixed at 64 (α and widths), got $m")
-    val regs = df.select(group.as("grp"), h48(key).as("h"))
+    df.select(group.as("grp"), h48(key).as("h"))
       .select(col("grp"), (col("h") % m).as("bucket"),
         expr(s"h div $m").as("rest"))
       .select(col("grp"), col("bucket"),
@@ -164,6 +173,12 @@ object Sketches {
           .otherwise(lit(43) - length(bin(col("rest")))).as("rho"))
       .groupBy(col("grp"), col("bucket"))
       .agg(max(col("rho")).as("mj"))
+  }
+
+  /** Estimate from a register table (see [[hllDistinct]] for the
+    * arithmetic discipline). */
+  def hllEstimate(regs: DataFrame, m: Int = 64): DataFrame = {
+    require(m == 64, s"register count fixed at 64 (α and widths), got $m")
     regs.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_buckets"),
         sum(expr("shiftleft(1L, cast(50 - mj as int))")).as("s_present"))

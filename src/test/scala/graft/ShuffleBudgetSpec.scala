@@ -163,6 +163,30 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // doc rollup; legs co-partition so
                                   // the chain reuses one exchange per
                                   // side
+    // late-round-11 sketch/maintenance family
+    "sketch_kmv_distinct" -> 3,   // distinct agg + TopKPerKey key
+                                  // exchange + output sort
+    "sketch_kmv_sharded" -> 5,    // per-shard (grp,sh) rank + merge
+                                  // re-rank + output sort
+    "sketch_kmv_jaccard" -> 2,    // 2 distinct aggs; the union top-k is
+                                  // TakeOrderedAndProject (no exchange)
+                                  // and the output is one row
+    "sketch_hll_distinct" -> 3,   // (grp,bucket) register agg + grp
+                                  // rollup + output sort
+    "sketch_cms_heavy" -> 3,      // cell agg + candidate agg (sketch
+                                  // side broadcasts) + output sort
+    "sketch_cms_sharded" -> 6,    // 4 shard cell aggs print + merge agg
+                                  // + candidate agg; sketch broadcasts
+    "pipeline_compaction_plan" -> 2, // part-key window + bin rollup
+                                  // share one exchange + output sort
+    "q_mad_outliers" -> 8,        // 2 bounded-state percentile chains
+                                  // (value-dist agg + cum windows) +
+                                  // final rollup; med/mad broadcast
+    "graph_common_neighbors" -> 11, // the capped-edge subtree prints
+                                  // under both self-join branches and
+                                  // ldeg under both pair joins
+                                  // (ReuseExchange dedups at runtime)
+                                  // + pair agg + top sort
     "sim_ivfpq_persist" -> 7)     // SERVING plan only: probe assignment
                                   // agg/window over broadcast stored
                                   // centroids (printed again under the

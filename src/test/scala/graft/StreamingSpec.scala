@@ -795,4 +795,65 @@ class StreamingSpec extends SparkSpec {
         s"served fusion (${got.size}) must equal batch fusion (${want.size})")
     } finally q.stop()
   }
+
+  test("sketch maintenance is streaming-native: CMS cells and HLL registers converge to the batch sketch") {
+    // Count-min and HLL are mergeable, which makes their build
+    // aggregations streaming-compatible AS-IS: the CMS cell count and
+    // the HLL register max, run in complete mode over micro-batches,
+    // must land on exactly the sketch a batch pass builds — no custom
+    // state, no merge code, the aggregation IS the maintenance. Keys
+    // are split across two micro-batches with overlap so both the
+    // accumulate-within-batch and combine-across-batch paths run.
+    val keys = Tables.events(spark, sfDir)
+      .select($"user_id").as[Long].collect().toSeq
+    val (b1, b2) = keys.splitAt(keys.length / 3)
+
+    val in = MemoryStream[Long](spark)
+    val streamed = in.toDF().toDF("user_id")
+    val cmsQ = operators.Sketches
+      .cmsBuild(streamed, col("user_id"), depth = 3, width = 64)
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete").start()
+    val hllQ = operators.Sketches
+      .hllRegisters(streamed.withColumn("g", lit("all")),
+        col("user_id"), col("g"))
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1: _*)
+      cmsQ.processAllAvailable(); hllQ.processAllAvailable()
+      in.addData(b2: _*)
+      cmsQ.processAllAvailable(); hllQ.processAllAvailable()
+
+      val batch = keys.toDF("user_id")
+      val wantCms = operators.Sketches
+        .cmsBuild(batch, col("user_id"), depth = 3, width = 64)
+        .as[(Int, Long, Long)].collect().toSet
+      val gotCms = spark.table("cms_cells")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(wantCms.nonEmpty && gotCms === wantCms,
+        "streamed CMS cells must equal the batch build exactly")
+
+      val wantRegs = operators.Sketches
+        .hllRegisters(batch.withColumn("g", lit("all")),
+          col("user_id"), col("g"))
+        .as[(String, Long, Int)].collect().toSet
+      val gotRegs = spark.table("hll_regs")
+        .as[(String, Long, Int)].collect().toSet
+      assert(wantRegs.nonEmpty && gotRegs === wantRegs,
+        "streamed HLL registers must equal the batch registers exactly")
+
+      // And the estimate computed FROM the streamed registers equals
+      // the one-shot hllDistinct — the serve-from-state contract.
+      val gotEst = operators.Sketches
+        .hllEstimate(spark.table("hll_regs"))
+        .as[(String, Long, Double)].collect().toSet
+      val wantEst = operators.Sketches
+        .hllDistinct(batch.withColumn("g", lit("all")),
+          col("user_id"), col("g"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(gotEst === wantEst,
+        "estimate from streamed registers must equal the batch estimate")
+    } finally { cmsQ.stop(); hllQ.stop() }
+  }
 }
