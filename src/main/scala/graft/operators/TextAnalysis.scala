@@ -121,6 +121,112 @@ object TextAnalysis {
           .as("avg_logprob_micro"))
   }
 
+  /** Bigram-LM fluency score: per document, the mean log P(w_i | w_{i-1})
+    * under a Laplace-smoothed bigram model fit on the corpus itself —
+    * one step up the n-gram ladder from [[unigramLogprob]], and the
+    * standard cheap fluency filter (word-salad and boilerplate-mangled
+    * text scores far below prose because its CONDITIONAL transitions
+    * are rare even when its words are common).
+    *
+    * Smoothing: P(b|a) = (c(a,b)+1) / (c(a,·)+V) with V the corpus
+    * unigram vocabulary, so unseen transitions get nonzero mass from
+    * the same budget everywhere. Determinism and shape follow
+    * [[unigramLogprob]] exactly: bigram counts are a (a,b)-keyed
+    * aggregate with map-side combine; the context counts c(a,·) and
+    * the vocab scalar broadcast (|vocab| rows / 1 row); per-transition
+    * terms quantize to micro-units via `floor(ln·10⁶ + 0.5)`, sum as
+    * BIGINT, and the mean is one raw IEEE division. Documents under
+    * two tokens have no transitions and drop out, as in any n-gram LM.
+    */
+  def bigramLogprob(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = words
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2)," +
+          " i -> struct(w[i] as a, w[i+1] as b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = bg.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    val vocab = documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.join(cab, Seq("a", "b"))
+      .join(broadcast(ca), Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(log((col("c_ab") + 1).cast("double") /
+          (col("c_a") + col("v")).cast("double")) * lit(1000000.0d)
+          + lit(0.5d)).as("lp_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("s_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s_micro").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_logprob_micro"))
+  }
+
+  /** BPE merge-rule TRAINING (Sennrich et al. 2016, arXiv:1508.07909):
+    * learn the first `merges` byte-pair merges from the corpus itself —
+    * the other half of the tokenizer story next to [[tokenizeBpe]]'s
+    * apply-side. Each round counts adjacent symbol pairs over the WORD
+    * VOCABULARY (distinct words weighted by frequency — the classic
+    * trick that makes BPE training corpus-size-independent: merges
+    * touch |vocab| rows, never |corpus|), picks the most frequent pair
+    * under a total order (count desc, then pair lexicographically),
+    * and rewrites every vocabulary word's symbol sequence by merging
+    * all leftmost-first non-overlapping occurrences.
+    *
+    * The rewrite is one `aggregate()` fold per word: append each
+    * symbol, or replace the accumulator's tail when (tail, next) is
+    * the chosen pair. The fold IS leftmost-first non-overlapping
+    * because a merged token (strictly longer string) can never equal
+    * the pair's left element again within the same round — equivalent
+    * to the positional even-offset-in-run rule the oracle implements
+    * relationally, including the a==b run case ("aaaa" → [aa][aa]).
+    *
+    * Scale shape: the driver loop is a CONSTANT `merges` rounds (an
+    * unrolled plan, like the pagerank family); each round is one pair
+    * aggregation with map-side combine over vocab rows + a one-row
+    * broadcast of the winning pair (crossJoin(limit(1)) — no collect).
+    * Output: (round, a, b, cnt), one row per learned merge.
+    */
+  def bpeTrain(documents: DataFrame, merges: Int = 3): DataFrame = {
+    require(merges >= 1 && merges <= 8,
+      s"merges must be in [1, 8] (unrolled plan depth), got $merges")
+    var vocab = documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .withColumn("syms", split(col("word"), ""))
+    val rules = (1 to merges).map { r =>
+      val pairs = vocab
+        // single-symbol words carry no pairs — and sequence(0, -1)
+        // DESCENDS in Spark, so without the guard a 1-char word
+        // produces i=0 over a 1-element array and syms[i+1] throws
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> struct(syms[i] as a, syms[i+1] as b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      vocab = vocab
+        .crossJoin(broadcast(
+          best.select(col("a").as("ma"), col("b").as("mb"))))
+        .withColumn("syms", expr(
+          """aggregate(syms, array_repeat('', 0),
+            |  (acc, x) -> CASE
+            |    WHEN size(acc) > 0 AND element_at(acc, -1) = ma AND x = mb
+            |    THEN concat(slice(acc, 1, size(acc) - 1),
+            |                array(concat(ma, mb)))
+            |    ELSE concat(acc, array(x)) END)""".stripMargin))
+        .drop("ma", "mb")
+      best.select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
+    }
+    rules.reduce(_ union _)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
     * "Data Selection for Language Models via Importance Resampling"):
     * per document, log w(x) = Σ_tokens [ln p_target(tok) − ln p_raw(tok)]

@@ -339,6 +339,44 @@ object FlowLogQueries {
         .filter(col("n_targets") >= 3)
         .orderBy("srcaddr", "hour_bucket")),
 
+    // EWMA traffic-anomaly screen: per-interface 10-minute flow counts
+    // against an 80-minute exponentially-decayed baseline (halving
+    // weights 2^(8-i), denominator 255 — the whole EWMA is integer
+    // arithmetic, no float decay chain). The grid is DENSE: inactive
+    // hours enter as 0 via a broadcast cross of the interface dim with
+    // the observed-bucket dim, otherwise lag() silently skips gaps and
+    // the baseline drifts high. Spike = count > 1.5× baseline, dip =
+    // count < 2/3× baseline, judged only once 8 buckets of history
+    // exist. Scale shape: one (eni, bucket) aggregate with map-side
+    // combine, one bounded broadcast grid join, one per-eni window —
+    // the same cost as flow_traffic_timeseries plus a lag frame.
+    "flow_ewma_anomaly" -> ((s, d) => {
+      val counts = parsed(s, d).filter(!col("error"))
+        .groupBy(col("interface_id"), expr("`start` div 600").as("bucket"))
+        .agg(count(lit(1)).as("n_flows"))
+      val enis = counts.select(col("interface_id")).distinct()
+      val buckets = counts.select(col("bucket")).distinct()
+      val dense = enis.crossJoin(broadcast(buckets))
+        .join(counts, Seq("interface_id", "bucket"), "left")
+        .na.fill(0L, Seq("n_flows"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("interface_id")).orderBy(col("bucket"))
+      val weighted = (1 to 8)
+        .map(i => coalesce(lag(col("n_flows"), i).over(w), lit(0L)) *
+          lit(1L << (8 - i)))
+        .reduce(_ + _)
+      dense
+        .withColumn("rn", row_number().over(w))
+        .withColumn("wsum", weighted)
+        .filter(col("rn") > 8)
+        .select(col("interface_id"), col("bucket"), col("n_flows"),
+          expr("wsum div 255").as("baseline"),
+          when(col("n_flows") * 2 > expr("wsum div 255") * 3, "spike")
+            .when(col("n_flows") * 3 < expr("wsum div 255") * 2, "dip")
+            .otherwise("normal").as("status"))
+        .orderBy("interface_id", "bucket")
+    }),
+
     // Beacon detection: (src, dst) pairs whose connection inter-arrival
     // gaps are suspiciously regular — the C2-beaconing panel next to the
     // port-scan alert. One lag window per pair (partition key = the
@@ -531,6 +569,39 @@ object FlowLogQueries {
         |GROUP BY srcaddr, hour_bucket
         |HAVING count(DISTINCT destaddr || ':' || CAST(dstport AS VARCHAR)) >= 3
         |ORDER BY srcaddr, hour_bucket""".stripMargin),
+
+    "flow_ewma_anomaly" -> withCtes(linesCte, parsedCte,
+      """cnt AS (
+        |  SELECT interface_id, "start" // 600 AS bucket,
+        |         count(*) AS n_flows
+        |  FROM parsed WHERE NOT error
+        |  GROUP BY interface_id, "start" // 600)""".stripMargin)(
+      """SELECT interface_id, bucket, n_flows,
+        |       wsum // 255 AS baseline,
+        |       CASE WHEN n_flows * 2 > (wsum // 255) * 3 THEN 'spike'
+        |            WHEN n_flows * 3 < (wsum // 255) * 2 THEN 'dip'
+        |            ELSE 'normal' END AS status
+        |FROM (
+        |  SELECT interface_id, bucket, n_flows,
+        |         row_number() OVER w AS rn,
+        |         coalesce(lag(n_flows, 1) OVER w, 0) * 128 +
+        |         coalesce(lag(n_flows, 2) OVER w, 0) * 64 +
+        |         coalesce(lag(n_flows, 3) OVER w, 0) * 32 +
+        |         coalesce(lag(n_flows, 4) OVER w, 0) * 16 +
+        |         coalesce(lag(n_flows, 5) OVER w, 0) * 8 +
+        |         coalesce(lag(n_flows, 6) OVER w, 0) * 4 +
+        |         coalesce(lag(n_flows, 7) OVER w, 0) * 2 +
+        |         coalesce(lag(n_flows, 8) OVER w, 0) AS wsum
+        |  FROM (
+        |    SELECT e.interface_id, b.bucket,
+        |           coalesce(c.n_flows, 0) AS n_flows
+        |    FROM (SELECT DISTINCT interface_id FROM cnt) e
+        |    CROSS JOIN (SELECT DISTINCT bucket FROM cnt) b
+        |    LEFT JOIN cnt c ON c.interface_id = e.interface_id
+        |                   AND c.bucket = b.bucket)
+        |  WINDOW w AS (PARTITION BY interface_id ORDER BY bucket))
+        |WHERE rn > 8
+        |ORDER BY interface_id, bucket""".stripMargin),
 
     "flow_beacon_detect" -> withCtes(linesCte, parsedCte)(
       """SELECT srcaddr, destaddr, n_gaps,

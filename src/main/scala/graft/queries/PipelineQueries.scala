@@ -858,6 +858,22 @@ object PipelineQueries {
       TextAnalysis.unigramLogprob(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // BPE merge-rule training: the first 3 learned merges (pair counts
+    // over the frequency-weighted word vocabulary, leftmost-first
+    // non-overlapping rewrite per round) — the train side of the
+    // tokenizer, next to text_tokenize_bpe's apply side.
+    "text_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d), merges = 3)
+        .orderBy("round")),
+
+    // Bigram-LM fluency: mean log P(w_i | w_{i-1}) under the corpus's
+    // own smoothed bigram model — the conditional-transition step up
+    // from the unigram score (word salad scores low even when its
+    // words are common).
+    "text_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogprob(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
     // Perplexity-filter buckets: decile each source's documents by
     // unigram-LM quality score (the CCNet-style "keep the best-q
     // deciles per source" gate). The ntile order is TOTAL
@@ -2446,6 +2462,74 @@ object PipelineQueries {
         |         * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
         |         / CAST(count(*) AS DOUBLE) AS avg_logprob_micro
         |FROM toks JOIN counts USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Three unrolled BPE rounds. The merge rewrite is POSITIONAL (an
+    // independent implementation of the Spark fold): candidates are
+    // (sym, next) matches of the round's best pair; within a run of
+    // consecutive candidate positions only even offsets merge
+    // (leftmost-first non-overlap — the a==b "aaaa" case); merged rows
+    // take sym||nxt and their successors drop; positions renumber
+    // densely for the next round.
+    "text_bpe_train" -> {
+      def round(k: Int) =
+        s"""p$k AS (SELECT word, wc, pos, sym,
+           |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           |  FROM s$k),
+           |c$k AS (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS cnt
+           |  FROM p$k WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+           |b$k AS (SELECT a, b, cnt FROM c$k ORDER BY cnt DESC, a, b LIMIT 1),
+           |m$k AS (SELECT p.word, p.wc, p.pos, p.sym, p.nxt,
+           |    (p.sym = b.a AND p.nxt = b.b) AS cand
+           |  FROM p$k p CROSS JOIN b$k b),
+           |r$k AS (SELECT *, CASE WHEN cand THEN pos - count(*) FILTER (WHERE cand)
+           |    OVER (PARTITION BY word ORDER BY pos) END AS runid
+           |  FROM m$k),
+           |k$k AS (SELECT *, CASE WHEN cand THEN
+           |    (pos - min(pos) OVER (PARTITION BY word, runid)) % 2 = 0
+           |    ELSE FALSE END AS keep
+           |  FROM r$k),
+           |d$k AS (SELECT word, wc, pos,
+           |    CASE WHEN keep THEN sym || nxt ELSE sym END AS sym,
+           |    lag(keep) OVER (PARTITION BY word ORDER BY pos) AS prev_keep
+           |  FROM k$k),
+           |s${k + 1} AS (SELECT word, wc,
+           |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+           |  FROM d$k WHERE prev_keep IS DISTINCT FROM TRUE)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM toks
+         |       WHERE length(word) > 0 GROUP BY word),
+         |s1 AS (SELECT word, wc, i AS pos, substr(word, i, 1) AS sym
+         |       FROM (SELECT word, wc,
+         |               unnest(generate_series(1, length(word))) AS i
+         |             FROM v0)),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT 1 AS round, a, b, cnt FROM b1
+         |UNION ALL SELECT 2, a, b, cnt FROM b2
+         |UNION ALL SELECT 3, a, b, cnt FROM b3
+         |ORDER BY round""".stripMargin
+    },
+
+    "text_bigram_logprob" ->
+      """WITH wrd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS a, w[i+1] AS b
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, len(w) - 1)) AS i FROM wrd)),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+        |ca AS (SELECT a, count(*) AS c_a FROM bg GROUP BY a),
+        |voc AS (
+        |  SELECT count(DISTINCT tok) AS v FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CAST(floor(
+        |         ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + v AS DOUBLE))
+        |         * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS avg_logprob_micro
+        |FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN voc
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Same LM derivation as text_unigram_logprob, bucketed ntile(10)

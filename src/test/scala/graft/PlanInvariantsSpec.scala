@@ -44,7 +44,14 @@ class PlanInvariantsSpec extends SparkSpec {
     "sim_pca_power",       // one-row mean / direction / norm vectors
     "sim_pca_residual",    // same chain + the broadcast final direction
     "sim_random_projection", // dOut-row (4) output-dimension table
-    "text_cooccurrence_pmi"  // one-row n_docs normalizer aggregate
+    "text_cooccurrence_pmi", // one-row n_docs normalizer aggregate
+    "text_bigram_logprob",   // one-row vocab scalar (the context-count
+                             // side is a broadcast HASH join on `a`)
+    "flow_ewma_anomaly",     // observed-bucket dim (≤ |day/600| rows)
+                             // crossed into the dense (eni, bucket)
+                             // grid
+    "text_bpe_train"         // one-row winning-pair broadcast per
+                             // unrolled merge round (crossJoin(limit 1))
   )
 
   test("no CartesianProduct in any plan; BNLJ only in the audited set") {

@@ -187,6 +187,18 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // ldeg under both pair joins
                                   // (ReuseExchange dedups at runtime)
                                   // + pair agg + top sort
+    "text_bpe_train" -> 14,       // 3 unrolled rounds: vocab agg + per-
+                                  // round pair agg + one-row best
+                                  // (limit-1 sort) printed per
+                                  // consuming branch; ReuseExchange
+                                  // dedups at runtime
+    "text_bigram_logprob" -> 6,   // (a,b) bigram agg co-keyed with the
+                                  // instance join + doc rollup + sort;
+                                  // context counts and vocab broadcast
+    "flow_ewma_anomaly" -> 4,     // (eni,bucket) agg + 2 tiny dim
+                                  // distincts (bucket side broadcasts
+                                  // into the dense grid) + eni window
+                                  // reusing the grid exchange + sort
     "sim_ivfpq_persist" -> 7)     // SERVING plan only: probe assignment
                                   // agg/window over broadcast stored
                                   // centroids (printed again under the

@@ -561,4 +561,48 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!fast.queryExecution.executedPlan.toString.contains("Exchange"),
       fast.queryExecution.executedPlan.toString)
   }
+
+  test("bpeTrain: frequency-weighted merges, leftmost-first on runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "ab" dominates round 1 (weight 3+2=5 via 'abab' twice per doc A
+    // docs + 'xab'). After merging, 'abab' becomes [ab][ab], so round 2
+    // must see pair (ab, ab) with weight 3 — proving merged tokens
+    // re-enter pair counting as single symbols.
+    val docs = Seq(
+      (1L, "abab abab abab"), // 'abab' wc=3
+      (2L, "xab xab"),        // 'xab' wc=2
+      (3L, "aaaa"))           // run case: one 'aaaa'
+      .toDF("doc_id", "text")
+    val rules = graft.operators.TextAnalysis.bpeTrain(docs, merges = 2)
+      .orderBy("round").collect()
+    assert(rules.length == 2)
+    val r1 = rules(0)
+    // round 1 pairs: (a,b) from abab x2 x3 + xab x2 = 8; (b,a) 3;
+    // (x,a) 2; (a,a) from aaaa leftmost-chain = 3 occurrences, 1 doc.
+    assert(r1.getAs[String]("a") == "a" && r1.getAs[String]("b") == "b"
+      && r1.getAs[Long]("cnt") == 8L, r1.toString)
+    val r2 = rules(1)
+    // after merge: abab=[ab,ab] (pair (ab,ab) wc 3), xab=[x,ab] (pair
+    // (x,ab) wc 2), aaaa untouched (pair (a,a) count 3 BY OCCURRENCE
+    // within the single word, weight 1x3). (ab,ab) wins at 3 over
+    // (a,a)'s 3 by the lexicographic tie-break ('a' < 'ab'...
+    // actually 'a' < 'ab', so (a,a) would win a tie) — hence weights:
+    // (a,a) appears 3 times in 'aaaa' -> cnt 3; (ab,ab) cnt 3; tie ->
+    // a='a' sorts first -> (a,a) wins round 2.
+    assert(r2.getAs[String]("a") == "a" && r2.getAs[String]("b") == "a"
+      && r2.getAs[Long]("cnt") == 3L, r2.toString)
+
+    // and the run semantics directly: merging (a,a) on 'aaaa' must
+    // yield [aa][aa], i.e. a third round sees pair (aa, aa) weight 1.
+    val rules3 = graft.operators.TextAnalysis.bpeTrain(
+      Seq((1L, "aaaa")).toDF("doc_id", "text"), merges = 2)
+      .orderBy("round").collect()
+    assert(rules3(0).getAs[String]("a") == "a" &&
+      rules3(0).getAs[Long]("cnt") == 3L)
+    assert(rules3(1).getAs[String]("a") == "aa" &&
+      rules3(1).getAs[String]("b") == "aa" &&
+      rules3(1).getAs[Long]("cnt") == 1L,
+      s"leftmost-first run merge broken: ${rules3(1)}")
+  }
 }
