@@ -191,7 +191,26 @@ object TextAnalysis {
     * broadcast of the winning pair (crossJoin(limit(1)) — no collect).
     * Output: (round, a, b, cnt), one row per learned merge.
     */
-  def bpeTrain(documents: DataFrame, merges: Int = 3): DataFrame = {
+  def bpeTrain(documents: DataFrame, merges: Int = 3): DataFrame =
+    bpeTrainLoop(documents, merges)._1.reduce(_ union _)
+
+  /** Leftmost-first non-overlapping single-pair merge of the `syms`
+    * array against the `ma`/`mb` columns — shared by the train loop
+    * and [[bpeApply]], and property-pinned against an independent
+    * positional-scan reference in PipelinePropertySpec. */
+  private[graft] def bpeMergeFold: Column = expr(
+    """aggregate(syms, array_repeat('', 0),
+      |  (acc, x) -> CASE
+      |    WHEN size(acc) > 0 AND element_at(acc, -1) = ma AND x = mb
+      |    THEN concat(slice(acc, 1, size(acc) - 1),
+      |                array(concat(ma, mb)))
+      |    ELSE concat(acc, array(x)) END)""".stripMargin)
+
+  /** The shared train loop: per-round winning pairs AND the final
+    * merged vocabulary `(word, wc, syms)` — the apply side needs the
+    * latter (the word→tokens map IS the training byproduct). */
+  private def bpeTrainLoop(documents: DataFrame,
+      merges: Int): (Seq[DataFrame], DataFrame) = {
     require(merges >= 1 && merges <= 8,
       s"merges must be in [1, 8] (unrolled plan depth), got $merges")
     var vocab = documents
@@ -214,17 +233,35 @@ object TextAnalysis {
       vocab = vocab
         .crossJoin(broadcast(
           best.select(col("a").as("ma"), col("b").as("mb"))))
-        .withColumn("syms", expr(
-          """aggregate(syms, array_repeat('', 0),
-            |  (acc, x) -> CASE
-            |    WHEN size(acc) > 0 AND element_at(acc, -1) = ma AND x = mb
-            |    THEN concat(slice(acc, 1, size(acc) - 1),
-            |                array(concat(ma, mb)))
-            |    ELSE concat(acc, array(x)) END)""".stripMargin))
+        .withColumn("syms", bpeMergeFold)
         .drop("ma", "mb")
       best.select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
     }
-    rules.reduce(_ union _)
+    (rules, vocab)
+  }
+
+  /** Tokenize the corpus with the merges [[bpeTrain]] just learned —
+    * the train→apply composition (the tokenizer analog of
+    * sim_ivf_kmeans's train→index→search). The word→tokens map is the
+    * training loop's OWN final vocabulary, so application is one
+    * co-keyed join of the corpus's (doc, pos, word) explode against
+    * |vocab| rows, then an ordered per-doc reassembly
+    * (sort-by-position flatten — deterministic, no window). At 100 TB
+    * the vocab side is the small one; the corpus never re-tokenizes
+    * per round because the rounds already ran on the vocab. */
+  def bpeApply(documents: DataFrame, merges: Int = 3): DataFrame = {
+    val (_, vocab) = bpeTrainLoop(documents, merges)
+    documents
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(vocab.select(col("word"), col("syms")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("pos"), col("syms"))).as("ws"))
+      .select(col("doc_id"),
+        expr("flatten(transform(array_sort(ws), x -> x.syms))").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        array_join(col("toks"), " ").as("tokens"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,

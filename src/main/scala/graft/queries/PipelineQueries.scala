@@ -866,6 +866,13 @@ object PipelineQueries {
       TextAnalysis.bpeTrain(Tables.documents(s, d), merges = 3)
         .orderBy("round")),
 
+    // Tokenize with the merges just learned: train→apply composition.
+    // The word→tokens map is the training loop's own final vocabulary;
+    // application is one co-keyed join + ordered per-doc reassembly.
+    "text_bpe_apply" -> ((s, d) =>
+      TextAnalysis.bpeApply(Tables.documents(s, d), merges = 3)
+        .orderBy("doc_id")),
+
     // Bigram-LM fluency: mean log P(w_i | w_{i-1}) under the corpus's
     // own smoothed bigram model — the conditional-transition step up
     // from the unigram score (word salad scores low even when its
@@ -1430,6 +1437,41 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Hard-negative mining for contrastive training: each vector's
+    // ANN candidates (the IVF-blocked k-NN join) MINUS anything in its
+    // own near-duplicate component — "semantically close but not a
+    // duplicate", exactly the pairs an embedding model learns most
+    // from. Pure composition of two gated operators: knnJoin provides
+    // closeness, the semantic component closure provides the
+    // exclusion; survivors re-rank densely per probe. Scale: the knn
+    // side is cell-bounded, the component label table joins co-keyed
+    // on the id — nothing new shuffles beyond the two parents.
+    "pipeline_hard_negatives" -> ((s, d) => {
+      // augmented set: injected exact duplicates make the component
+      // closure non-trivial, so the exclusion provably fires (the
+      // dup IS its twin's nearest neighbor at cos 1.0 and must drop)
+      val vecs = Similarity.augmentVectors(Tables.embeddings(s, d))
+      val knn = Similarity.knnJoin(vecs, 3, nprobe = 2)
+      val comp = ConnectedComponents.canonicalize(
+          vecs.select(col("vec_id").as("doc_id")),
+          Similarity.cosineDupPairs(vecs, 0.8)
+            .select(col("id_a"), col("id_b")))
+        .select(col("doc_id"), col("component"))
+      knn
+        .join(comp.select(col("doc_id").as("probe_id"),
+          col("component").as("comp_p")), Seq("probe_id"))
+        .join(comp.select(col("doc_id").as("neighbor_id"),
+          col("component").as("comp_n")), Seq("neighbor_id"))
+        .filter(col("comp_p") =!= col("comp_n"))
+        .withColumn("hn_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("probe_id"))
+            .orderBy(col("cos_r").desc, col("neighbor_id"))))
+        .select(col("probe_id"), col("neighbor_id"), col("cos_r"),
+          col("hn_rank"))
+        .orderBy("probe_id", "hn_rank")
+    }),
+
     // KMV distinct-count synopsis per source: k smallest md5-48 hashes,
     // estimate (k-1)·2^48 div h_k — the mergeable cardinality sketch a
     // profiler keeps per shard instead of a COUNT(DISTINCT) that must
@@ -1553,6 +1595,49 @@ object PipelineQueries {
       |FROM cc JOIN cms USING (j, bucket)
       |GROUP BY cc.k, true_c
       |ORDER BY true_c DESC, k""".stripMargin
+
+  // Shared by text_bpe_train / text_bpe_apply: three unrolled BPE
+  // rounds. The merge rewrite is POSITIONAL (an independent
+  // implementation of the Spark fold): candidates are (sym, next)
+  // matches of the round's best pair; within a run of consecutive
+  // candidate positions only even offsets merge (leftmost-first
+  // non-overlap — the a==b "aaaa" case); merged rows take sym||nxt and
+  // their successors drop; positions renumber densely per round.
+  private val bpeRoundsCtes: String = {
+    def round(k: Int) =
+      s"""p$k AS (SELECT word, wc, pos, sym,
+         |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM s$k),
+         |c$k AS (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM p$k WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+         |b$k AS (SELECT a, b, cnt FROM c$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |m$k AS (SELECT p.word, p.wc, p.pos, p.sym, p.nxt,
+         |    (p.sym = b.a AND p.nxt = b.b) AS cand
+         |  FROM p$k p CROSS JOIN b$k b),
+         |r$k AS (SELECT *, CASE WHEN cand THEN pos - count(*) FILTER (WHERE cand)
+         |    OVER (PARTITION BY word ORDER BY pos) END AS runid
+         |  FROM m$k),
+         |k$k AS (SELECT *, CASE WHEN cand THEN
+         |    (pos - min(pos) OVER (PARTITION BY word, runid)) % 2 = 0
+         |    ELSE FALSE END AS keep
+         |  FROM r$k),
+         |d$k AS (SELECT word, wc, pos,
+         |    CASE WHEN keep THEN sym || nxt ELSE sym END AS sym,
+         |    lag(keep) OVER (PARTITION BY word ORDER BY pos) AS prev_keep
+         |  FROM k$k),
+         |s${k + 1} AS (SELECT word, wc,
+         |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+         |  FROM d$k WHERE prev_keep IS DISTINCT FROM TRUE)""".stripMargin
+    s"""toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM toks
+       |       WHERE length(word) > 0 GROUP BY word),
+       |s1 AS (SELECT word, wc, i AS pos, substr(word, i, 1) AS sym
+       |       FROM (SELECT word, wc,
+       |               unnest(generate_series(1, length(word))) AS i
+       |             FROM v0)),
+       |${(1 to 3).map(round).mkString(",\n")}""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -2464,52 +2549,33 @@ object PipelineQueries {
         |FROM toks JOIN counts USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // Three unrolled BPE rounds. The merge rewrite is POSITIONAL (an
-    // independent implementation of the Spark fold): candidates are
-    // (sym, next) matches of the round's best pair; within a run of
-    // consecutive candidate positions only even offsets merge
-    // (leftmost-first non-overlap — the a==b "aaaa" case); merged rows
-    // take sym||nxt and their successors drop; positions renumber
-    // densely for the next round.
-    "text_bpe_train" -> {
-      def round(k: Int) =
-        s"""p$k AS (SELECT word, wc, pos, sym,
-           |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-           |  FROM s$k),
-           |c$k AS (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS cnt
-           |  FROM p$k WHERE nxt IS NOT NULL GROUP BY sym, nxt),
-           |b$k AS (SELECT a, b, cnt FROM c$k ORDER BY cnt DESC, a, b LIMIT 1),
-           |m$k AS (SELECT p.word, p.wc, p.pos, p.sym, p.nxt,
-           |    (p.sym = b.a AND p.nxt = b.b) AS cand
-           |  FROM p$k p CROSS JOIN b$k b),
-           |r$k AS (SELECT *, CASE WHEN cand THEN pos - count(*) FILTER (WHERE cand)
-           |    OVER (PARTITION BY word ORDER BY pos) END AS runid
-           |  FROM m$k),
-           |k$k AS (SELECT *, CASE WHEN cand THEN
-           |    (pos - min(pos) OVER (PARTITION BY word, runid)) % 2 = 0
-           |    ELSE FALSE END AS keep
-           |  FROM r$k),
-           |d$k AS (SELECT word, wc, pos,
-           |    CASE WHEN keep THEN sym || nxt ELSE sym END AS sym,
-           |    lag(keep) OVER (PARTITION BY word ORDER BY pos) AS prev_keep
-           |  FROM k$k),
-           |s${k + 1} AS (SELECT word, wc,
-           |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
-           |  FROM d$k WHERE prev_keep IS DISTINCT FROM TRUE)""".stripMargin
-      s"""WITH toks AS (
-         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-         |v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM toks
-         |       WHERE length(word) > 0 GROUP BY word),
-         |s1 AS (SELECT word, wc, i AS pos, substr(word, i, 1) AS sym
-         |       FROM (SELECT word, wc,
-         |               unnest(generate_series(1, length(word))) AS i
-         |             FROM v0)),
-         |${(1 to 3).map(round).mkString(",\n")}
+    // Three unrolled BPE rounds (CTE prelude shared with
+    // text_bpe_apply — see bpeRoundsCtes above the map).
+    "text_bpe_train" ->
+      s"""WITH $bpeRoundsCtes
          |SELECT 1 AS round, a, b, cnt FROM b1
          |UNION ALL SELECT 2, a, b, cnt FROM b2
          |UNION ALL SELECT 3, a, b, cnt FROM b3
-         |ORDER BY round""".stripMargin
-    },
+         |ORDER BY round""".stripMargin,
+
+    // Apply side: the final symbol table s4 IS the word→tokens map;
+    // tokenize = join each doc's positioned words against it and
+    // reassemble in order.
+    "text_bpe_apply" ->
+      s"""WITH $bpeRoundsCtes,
+         |wt AS (SELECT word, string_agg(sym, ' ' ORDER BY pos) AS wtoks,
+         |         CAST(count(*) AS INTEGER) AS ntoks
+         |       FROM s4 GROUP BY word),
+         |dw AS (SELECT doc_id, i, w[i] AS word
+         |       FROM (SELECT doc_id, string_split(text, ' ') AS w,
+         |               unnest(generate_series(1,
+         |                 len(string_split(text, ' ')))) AS i
+         |             FROM documents)
+         |       WHERE length(w[i]) > 0)
+         |SELECT doc_id, CAST(sum(ntoks) AS INTEGER) AS n_tokens,
+         |       string_agg(wtoks, ' ' ORDER BY i) AS tokens
+         |FROM dw JOIN wt USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_bigram_logprob" ->
       """WITH wrd AS (
@@ -3253,6 +3319,68 @@ object PipelineQueries {
         |       JOIN vocab vb ON p.term_b = vb.term
         |CROSS JOIN tot
         |ORDER BY term_a, term_b""".stripMargin,
+
+    // Composition of the sim_knn_join chain and the semantic-component
+    // closure: ANN candidates whose endpoints live in DIFFERENT
+    // near-dup components, re-ranked densely per probe.
+    "pipeline_hard_negatives" ->
+      s"""WITH RECURSIVE vecsl AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |dims AS (
+         |  SELECT vec_id, label, unnest(v) AS x,
+         |         unnest(generate_series(1, len(v))) AS pos
+         |  FROM vecsl),
+         |cents AS (
+         |  SELECT label, pos, avg(x) AS cmean FROM dims GROUP BY label, pos),
+         |d2 AS (
+         |  SELECT d.vec_id AS probe_id, c.label,
+         |         sum((x - cmean) * (x - cmean)) AS dist2
+         |  FROM dims d JOIN cents c USING (pos) GROUP BY d.vec_id, c.label),
+         |assigned AS (
+         |  SELECT probe_id, label AS assigned_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY round(dist2, 6), label) AS rn FROM d2)
+         |  WHERE rn <= 2),
+         |scored AS (
+         |  SELECT a.probe_id, o.vec_id AS neighbor_id,
+         |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+         |  FROM assigned a JOIN vecsl p ON p.vec_id = a.probe_id
+         |  JOIN vecsl o ON o.label = a.assigned_label
+         |    AND o.vec_id <> a.probe_id),
+         |knn AS (
+         |  SELECT probe_id, neighbor_id, cos_r FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
+         |  WHERE rnk <= 3),
+         |dpairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM vecsl a JOIN vecsl b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.8),
+         |dedges AS (
+         |  SELECT id_a AS u, id_b AS v FROM dpairs
+         |  UNION SELECT id_b AS u, id_a AS v FROM dpairs),
+         |reach AS (
+         |  SELECT u, v FROM dedges
+         |  UNION
+         |  SELECT e.u, r.v FROM dedges e JOIN reach r ON e.v = r.u),
+         |comp AS (
+         |  SELECT u AS vec_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |compv AS (
+         |  SELECT v.vec_id, coalesce(p.component, v.vec_id) AS component
+         |  FROM vecsl v LEFT JOIN comp p ON v.vec_id = p.vec_id)
+         |SELECT probe_id, neighbor_id, cos_r,
+         |       CAST(row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cos_r DESC, neighbor_id) AS INTEGER) AS hn_rank
+         |FROM knn
+         |JOIN compv cp ON cp.vec_id = knn.probe_id
+         |JOIN compv cn ON cn.vec_id = knn.neighbor_id
+         |WHERE cp.component <> cn.component
+         |ORDER BY probe_id, hn_rank""".stripMargin,
 
     "sketch_kmv_distinct" -> kmvDistinctOracle,
 

@@ -348,4 +348,44 @@ class PipelinePropertySpec extends SparkSpec {
       assert(salted.count() === plain.count(), s"salt=$salt cardinality")
     }
   }
+
+  test("property: BPE merge fold equals an independent positional scan on random symbol runs") {
+    // The fold (aggregate() HOF, bpeTrainLoop's rewrite) against a
+    // straight index-walk reference: scan left to right, merge (a,b)
+    // when it matches, skip past the pair — the textbook definition of
+    // leftmost-first non-overlapping. A tiny alphabet with 'ab'
+    // included makes collisions between merged output ('a'||'b') and
+    // pre-existing symbols reachable, and heavy repetition exercises
+    // the a==b run parity ("aaaa" -> [aa][aa]).
+    def refMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val symGen = Gen.oneOf("a", "b", "ab", "c")
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 10)
+      syms <- Gen.listOfN(n, symGen)
+      a <- symGen
+      b <- symGen
+    } yield (syms, a, b)
+    val cases = samples(caseGen, 400).zipWithIndex
+    val df = cases.map { case ((syms, a, b), id) =>
+      (id.toLong, syms, a, b)
+    }.toDF("id", "syms", "ma", "mb")
+    val got = df
+      .withColumn("merged", graft.operators.TextAnalysis.bpeMergeFold)
+      .select($"id", $"merged").as[(Long, Seq[String])].collect().toMap
+    cases.foreach { case ((syms, a, b), id) =>
+      val want = refMerge(syms, a, b)
+      assert(got(id.toLong) === want,
+        s"fold mismatch on syms=$syms pair=($a,$b): " +
+          s"got ${got(id.toLong)}, want $want")
+    }
+  }
 }

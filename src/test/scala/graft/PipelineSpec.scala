@@ -1196,4 +1196,25 @@ class PipelineSpec extends SparkSpec {
     // 'a'(97)→bin 3, 'A'(65)→bin 2, ' '(32)/'!'(33)→bin 1; 2 of each pair
     assert(feats(3) === 0.25 && feats(2) === 0.25 && feats(1) === 0.5)
   }
+
+  test("hard negatives exclude every near-duplicate: no survivor at cos >= dedup threshold") {
+    // On the augmented set every injected twin is its base vector's
+    // top neighbor at cos 1.0; the component exclusion must remove ALL
+    // of those, so no surviving hard negative can sit at or above the
+    // 0.8 dedup threshold, and at least one exclusion must have fired
+    // (survivor count < the raw k-NN row count).
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("pipeline_hard_negatives")(spark, sfDir)
+    val knnRows = graft.operators.Similarity.knnJoin(
+      graft.operators.Similarity.augmentVectors(
+        graft.Tables.embeddings(spark, sfDir)), 3, nprobe = 2).count()
+    val survivors = rows.cache()
+    try {
+      assert(survivors.count() < knnRows,
+        "the dedup exclusion never fired on the augmented set")
+      val dupSurvivors = survivors.filter(col("cos_r") >= 0.8).count()
+      assert(dupSurvivors == 0L,
+        s"$dupSurvivors near-duplicate pairs leaked through the exclusion")
+    } finally survivors.unpersist()
+  }
 }

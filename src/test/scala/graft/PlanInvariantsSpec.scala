@@ -50,8 +50,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "flow_ewma_anomaly",     // observed-bucket dim (≤ |day/600| rows)
                              // crossed into the dense (eni, bucket)
                              // grid
-    "text_bpe_train"         // one-row winning-pair broadcast per
+    "text_bpe_train",        // one-row winning-pair broadcast per
                              // unrolled merge round (crossJoin(limit 1))
+    "text_bpe_apply"         // same train chain feeding the tokenize join
   )
 
   test("no CartesianProduct in any plan; BNLJ only in the audited set") {

@@ -192,6 +192,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // (limit-1 sort) printed per
                                   // consuming branch; ReuseExchange
                                   // dedups at runtime
+    "text_bpe_apply" -> 17,       // the train chain + the corpus word
+                                  // explode co-keyed join + per-doc
+                                  // reassembly agg + sort
     "text_bigram_logprob" -> 6,   // (a,b) bigram agg co-keyed with the
                                   // instance join + doc rollup + sort;
                                   // context counts and vocab broadcast
