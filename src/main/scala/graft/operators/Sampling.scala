@@ -408,4 +408,42 @@ object Sampling {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  /** Deterministic negative sampling for contrastive training: `kNeg`
+    * pseudo-random negatives per anchor, drawn WITHOUT any global
+    * index or shuffle of the corpus. The corpus collapses to a
+    * `buckets`-row representative table (min id per [[hashBucket]]
+    * bucket — one aggregation, broadcastable at any corpus size);
+    * each (anchor, j) then hashes to a target bucket and takes its
+    * representative. Every draw is md5-determined, so the sample is
+    * reproducible across engines, retries, and partitionings — the
+    * property in-batch random negatives never have.
+    *
+    * Bias note: a bucket's representative stands in for ~n/buckets
+    * candidates, so the draw is uniform over REPRESENTATIVES, not
+    * documents — acceptable for negatives (they only need to be
+    * unrelated and well-spread); raise `buckets` toward the corpus
+    * size to tighten. Self-collisions (anchor drawing its own bucket's
+    * representative = itself) are dropped, not re-drawn, so a handful
+    * of anchors yield kNeg−1 — deterministic, and the contract a
+    * training loader can live with.
+    */
+  def negativeSample(docs: DataFrame, id: Column, kNeg: Int = 4,
+      buckets: Int = 64): DataFrame = {
+    require(kNeg >= 1 && kNeg <= 64, s"kNeg out of range: $kNeg")
+    val keyed = docs.select(id.as("doc_id"))
+    val reps = keyed
+      .select(col("doc_id"),
+        hashBucket(col("doc_id").cast("string"), buckets).as("bucket"))
+      .groupBy(col("bucket")).agg(min(col("doc_id")).as("neg_id"))
+    keyed
+      .select(col("doc_id"),
+        explode(array((1 to kNeg).map(lit(_)): _*)).as("j"))
+      .withColumn("bucket",
+        hashBucket(concat(col("doc_id").cast("string"), lit(":"),
+          col("j").cast("string")), buckets))
+      .join(broadcast(reps), Seq("bucket"))
+      .filter(col("neg_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("j"), col("neg_id"))
+  }
 }

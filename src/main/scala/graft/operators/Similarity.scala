@@ -145,6 +145,34 @@ object Similarity {
         round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
           .as("cos_r"))
 
+  /** Maximum-inner-product top-k (MIPS) — the recommender/retrieval
+    * primitive where score = ⟨q, x⟩ UNNORMALIZED (a two-tower model's
+    * item scores, where popular items legitimately have larger norms
+    * and cosine would erase that). Same shape as [[bruteForceTopK]]:
+    * probes broadcast, corpus streams, one ranking window per probe
+    * (the TopKPerKey rewrite applies). Scores round to 6 dp with
+    * neighbor-id tie-break — the shared determinism contract.
+    *
+    * The classic MIPS→cosine reduction (Neyshabur & Srebro 2015,
+    * arXiv:1410.5518: append sqrt(M²−‖x‖²) to items and 0 to queries,
+    * then cosine order equals inner-product order) is what lets the
+    * IVF/LSH cosine machinery above serve MIPS at 100 TB; the
+    * equivalence is property-pinned in PipelineSpec rather than
+    * duplicated as a second operator.
+    */
+  def mipsTopK(vecs: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = broadcast(probes
+        .select(col("vec_id").as("probe_id"), col("v").as("pv")))
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("v")),
+        col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(dot(col("pv"), col("v")), 6).as("ip_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ip_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Cosine radius search: every corpus vector whose (6-dp rounded)
     * cosine to a probe meets the threshold — the "find all neighbors
     * within τ" companion to top-k, used for near-duplicate sweeps and

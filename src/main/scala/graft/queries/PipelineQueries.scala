@@ -1437,6 +1437,27 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Maximum-inner-product top-k: unnormalized ⟨q, x⟩ ranking — the
+    // two-tower recommender primitive where item norm IS signal. Same
+    // broadcast-probes/streaming-corpus shape as the cosine family;
+    // PipelineSpec pins the MIPS→cosine norm-augmentation reduction
+    // that lets the IVF machinery serve it.
+    "sim_mips_topk" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.mipsTopK(vecs, vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Deterministic hash-bucket negative sampling: kNeg=4 md5-drawn
+    // negatives per anchor from a broadcastable 64-row representative
+    // table — no global index, no shuffle of the corpus, reproducible
+    // across engines and retries.
+    "pipeline_negative_sample" -> ((s, d) =>
+      Sampling.negativeSample(Tables.documents(s, d), col("doc_id"),
+        kNeg = 4, buckets = 64)
+        .orderBy("doc_id", "j")),
+
     // Hard-negative mining for contrastive training: each vector's
     // ANN candidates (the IVF-blocked k-NN join) MINUS anything in its
     // own near-duplicate component — "semantically close but not a
@@ -3319,6 +3340,38 @@ object PipelineQueries {
         |       JOIN vocab vb ON p.term_b = vb.term
         |CROSS JOIN tot
         |ORDER BY term_a, term_b""".stripMargin,
+
+    "sim_mips_topk" ->
+      s"""WITH $ovecsCte,
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM ovecs
+         |           WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT probe_id, o.vec_id AS neighbor_id,
+         |         round(list_dot_product(pv, o.v), 6) AS ip_r
+         |  FROM probes, ovecs o WHERE probe_id <> o.vec_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY ip_r DESC, neighbor_id)
+         |    AS INTEGER) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, ip_r, rnk FROM ranked
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "pipeline_negative_sample" ->
+      """WITH reps AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3))
+        |           AS INTEGER) % 64 AS bucket,
+        |         min(doc_id) AS neg_id
+        |  FROM documents GROUP BY 1),
+        |draws AS (
+        |  SELECT doc_id, j,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |             CAST(j AS VARCHAR)), 1, 3)) AS INTEGER) % 64 AS bucket
+        |  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j))
+        |SELECT doc_id, j, neg_id
+        |FROM draws JOIN reps USING (bucket)
+        |WHERE neg_id <> doc_id
+        |ORDER BY doc_id, j""".stripMargin,
 
     // Composition of the sim_knn_join chain and the semantic-component
     // closure: ANN candidates whose endpoints live in DIFFERENT

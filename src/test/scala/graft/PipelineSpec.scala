@@ -1197,6 +1197,33 @@ class PipelineSpec extends SparkSpec {
     assert(feats(3) === 0.25 && feats(2) === 0.25 && feats(1) === 0.5)
   }
 
+  test("MIPS-to-cosine reduction: norm-augmented cosine ranking equals inner-product ranking") {
+    // Neyshabur & Srebro 2015 (arXiv:1410.5518): append
+    // sqrt(M^2 - |x|^2) to every item and 0 to every query; then
+    // cos(q', x') = <q,x> / (|q|*M) is strictly monotone in <q,x>
+    // (M is one corpus constant), so the cosine top-k over the
+    // augmented vectors must return the SAME neighbors in the SAME
+    // order as mipsTopK — this is what lets the IVF/LSH cosine
+    // machinery serve MIPS at scale.
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Similarity
+    val vecs = S.vectors(graft.Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val m2 = vecs.agg(max(S.dot($"v", $"v"))).as[Double].collect().head
+    val aug = vecs.withColumn("v",
+      concat($"v", array(sqrt(lit(m2) - S.dot($"v", $"v")))))
+    val probes = vecs.filter($"vec_id" < 10)
+    val probesAug = probes.withColumn("v", concat($"v", array(lit(0.0))))
+    val viaCos = S.bruteForceTopK(aug, probesAug, 5)
+      .select($"probe_id", $"rank".as("rnk"), $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val viaMips = S.mipsTopK(vecs, probes, 5)
+      .select($"probe_id", $"rnk", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(viaCos.nonEmpty && viaCos === viaMips,
+      s"reduction broken: cos path ${viaCos.size} rows vs mips ${viaMips.size}")
+  }
+
   test("hard negatives exclude every near-duplicate: no survivor at cos >= dedup threshold") {
     // On the augmented set every injected twin is its base vector's
     // top neighbor at cos 1.0; the component exclusion must remove ALL

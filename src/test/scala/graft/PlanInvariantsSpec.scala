@@ -52,7 +52,9 @@ class PlanInvariantsSpec extends SparkSpec {
                              // grid
     "text_bpe_train",        // one-row winning-pair broadcast per
                              // unrolled merge round (crossJoin(limit 1))
-    "text_bpe_apply"         // same train chain feeding the tokenize join
+    "text_bpe_apply",        // same train chain feeding the tokenize join
+    "sim_mips_topk"          // broadcast probes, probe != neighbor
+                             // non-equi (the brute-force family shape)
   )
 
   test("no CartesianProduct in any plan; BNLJ only in the audited set") {

@@ -187,6 +187,10 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // ldeg under both pair joins
                                   // (ReuseExchange dedups at runtime)
                                   // + pair agg + top sort
+    "sim_mips_topk" -> 2,         // probes broadcast; rank window +
+                                  // output sort (TopKPerKey rewrite)
+    "pipeline_negative_sample" -> 2, // bucket-rep agg (broadcast back)
+                                  // + output sort; draws are narrow
     "text_bpe_train" -> 14,       // 3 unrolled rounds: vocab agg + per-
                                   // round pair agg + one-row best
                                   // (limit-1 sort) printed per
