@@ -198,6 +198,29 @@ object FlowLogQueries {
           coalesce(col("direction"), lit("")).as("direction"))
         .orderBy("id")),
 
+    // Exfiltration screen: per-interface outbound/inbound byte
+    // asymmetry — a host shipping 10× more than it receives (above a
+    // floor) is the classic exfil posture next to the port-scan and
+    // beacon panels. One aggregation over the eni-enriched flows
+    // (conditional sums — no second pass); the ratio test is pure
+    // integer cross-multiplication, no division anywhere.
+    "flow_exfil_ratio" -> ((s, d) =>
+      FlowLog.enrichEni(parsed(s, d),
+        FlowLog.eniDimension(Tables.supplier(s, d)))
+        .filter(!col("error") && col("direction").isNotNull)
+        .groupBy(col("interface_id"))
+        .agg(
+          sum(when(col("direction") === "outbound", col("bytes"))
+            .otherwise(0L)).as("out_bytes"),
+          sum(when(col("direction") === "inbound", col("bytes"))
+            .otherwise(0L)).as("in_bytes"),
+          count(lit(1)).as("n_flows"))
+        .select(col("interface_id"), col("out_bytes"), col("in_bytes"),
+          col("n_flows"),
+          (col("out_bytes") > col("in_bytes") * 10 &&
+            col("out_bytes") > 100000L).as("exfil_flag"))
+        .orderBy("interface_id")),
+
     // OP-16: RFC1918 membership predicate as a filter
     "flow_rfc1918" -> ((s, d) =>
       parsed(s, d)
@@ -569,6 +592,22 @@ object FlowLogQueries {
         |GROUP BY srcaddr, hour_bucket
         |HAVING count(DISTINCT destaddr || ':' || CAST(dstport AS VARCHAR)) >= 3
         |ORDER BY srcaddr, hour_bucket""".stripMargin),
+
+    "flow_exfil_ratio" -> withCtes(linesCte, parsedCte, eniCte, enr1Cte)(
+      """SELECT interface_id,
+        |       CAST(sum(CASE WHEN direction = 'outbound' THEN bytes
+        |                     ELSE 0 END) AS BIGINT) AS out_bytes,
+        |       CAST(sum(CASE WHEN direction = 'inbound' THEN bytes
+        |                     ELSE 0 END) AS BIGINT) AS in_bytes,
+        |       count(*) AS n_flows,
+        |       (sum(CASE WHEN direction = 'outbound' THEN bytes
+        |                 ELSE 0 END) >
+        |          sum(CASE WHEN direction = 'inbound' THEN bytes
+        |              ELSE 0 END) * 10
+        |        AND sum(CASE WHEN direction = 'outbound' THEN bytes
+        |                ELSE 0 END) > 100000) AS exfil_flag
+        |FROM enr1 WHERE NOT error AND direction IS NOT NULL
+        |GROUP BY interface_id ORDER BY interface_id""".stripMargin),
 
     "flow_ewma_anomaly" -> withCtes(linesCte, parsedCte,
       """cnt AS (

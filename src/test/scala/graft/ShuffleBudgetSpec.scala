@@ -187,6 +187,8 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // ldeg under both pair joins
                                   // (ReuseExchange dedups at runtime)
                                   // + pair agg + top sort
+    "flow_exfil_ratio" -> 2,      // repartition + eni-key agg (the
+                                  // dimension broadcasts) + sort
     "sim_mips_topk" -> 2,         // probes broadcast; rank window +
                                   // output sort (TopKPerKey rewrite)
     "pipeline_negative_sample" -> 2, // bucket-rep agg (broadcast back)

@@ -562,6 +562,33 @@ class TrainingOpsSpec extends SparkSpec {
       fast.queryExecution.executedPlan.toString)
   }
 
+  test("negativeSample: deterministic draws, self-excluded, well spread") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 500L).toDF("doc_id")
+    val neg = graft.operators.Sampling
+      .negativeSample(docs, col("doc_id"), kNeg = 4, buckets = 64)
+      .cache()
+    try {
+      val rows = neg.as[(Long, Int, Long)].collect()
+      // j in range, no self-pairs, per-anchor count in [kNeg-1, kNeg]
+      // (a self-collision drops, never redraws).
+      assert(rows.forall { case (_, j, _) => j >= 1 && j <= 4 })
+      assert(rows.forall { case (d, _, n) => d != n }, "self-negative")
+      val perAnchor = rows.groupBy(_._1).map(_._2.length)
+      assert(perAnchor.forall(c => c == 3 || c == 4))
+      // spread: negatives must cover a large share of the 64
+      // representatives, not collapse onto a few
+      val distinctNegs = rows.map(_._3).distinct.length
+      assert(distinctNegs > 32, s"only $distinctNegs representatives hit")
+      // determinism: a second evaluation is bit-identical
+      val again = graft.operators.Sampling
+        .negativeSample(docs, col("doc_id"), kNeg = 4, buckets = 64)
+        .as[(Long, Int, Long)].collect()
+      assert(rows.toSet === again.toSet)
+    } finally neg.unpersist()
+  }
+
   test("bpeTrain: frequency-weighted merges, leftmost-first on runs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
