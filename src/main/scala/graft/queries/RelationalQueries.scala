@@ -1635,6 +1635,33 @@ object RelationalQueries {
         .orderBy("flag")
     }),
 
+    // Weighted median per group: the smallest price (integer cents)
+    // whose running quantity-weight reaches half the group's total —
+    // the LOWER weighted median, a pure integer rule (2·cumw ≥ tot),
+    // no interpolation, no doubles. State is the VALUE DISTRIBUTION
+    // (one row per distinct (group, value) after the first aggregate),
+    // the same bounded-memory discipline as groupedPercentiles — a
+    // naive sort-all-rows-per-group approach would buffer the group.
+    "q_weighted_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100, 0).cast("bigint").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+      val dist = li.groupBy(col("flag"), col("cents"))
+        .agg(sum(col("w")).as("cw"))
+      val wOrd = Window.partitionBy(col("flag")).orderBy(col("cents"))
+      val wAll = Window.partitionBy(col("flag"))
+      dist
+        .withColumn("cum", sum(col("cw")).over(wOrd))
+        .withColumn("tot", sum(col("cw")).over(wAll))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("flag"))
+        .agg(min(col("cents")).as("wmedian_cents"),
+          max(col("tot")).as("total_weight"))
+        .orderBy("flag")
+    }),
+
     // Cohort retention: users bucketed by first-seen hour, activity
     // counted per (cohort, hour offset) — the canonical product-
     // analytics matrix. Two aggregations and one co-partitioned join
@@ -2867,6 +2894,26 @@ object RelationalQueries {
         |         AS jac_micro
         |FROM p JOIN ldeg da ON da.l = a JOIN ldeg db ON db.l = b
         |ORDER BY jac_micro DESC, a, b LIMIT 100""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |         CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |dist AS (
+        |  SELECT flag, cents, CAST(sum(w) AS BIGINT) AS cw
+        |  FROM li GROUP BY flag, cents),
+        |c AS (
+        |  SELECT flag, cents,
+        |         CAST(sum(cw) OVER (PARTITION BY flag ORDER BY cents)
+        |           AS BIGINT) AS cum,
+        |         CAST(sum(cw) OVER (PARTITION BY flag) AS BIGINT) AS tot
+        |  FROM dist)
+        |SELECT flag, min(cents) AS wmedian_cents,
+        |       max(tot) AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY flag ORDER BY flag""".stripMargin,
 
     "q_mad_outliers" ->
       """WITH li AS (

@@ -187,6 +187,8 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // ldeg under both pair joins
                                   // (ReuseExchange dedups at runtime)
                                   // + pair agg + top sort
+    "q_weighted_median" -> 3,     // (flag,cents) dist agg + cum window
+                                  // co-key + final rollup/sort
     "flow_exfil_ratio" -> 2,      // repartition + eni-key agg (the
                                   // dimension broadcasts) + sort
     "sim_mips_topk" -> 2,         // probes broadcast; rank window +
