@@ -349,6 +349,57 @@ class PipelinePropertySpec extends SparkSpec {
     }
   }
 
+  test("property: compaction plan partitions any file list exactly and closes bins at boundaries") {
+    val fileGen = for {
+      part <- Gen.oneOf("p0", "p1", "p2")
+      bytes <- Gen.frequency(8 -> Gen.chooseNum(1L, 120L),
+        2 -> Gen.chooseNum(200L, 900L)) // oversized files included
+    } yield (part, bytes)
+    val files = samples(fileGen, 120).zipWithIndex
+      .map { case ((p, b), i) => (p, i.toLong, b) }
+    val target = 250L
+    val df = files.toDF("part_key", "file_id", "bytes")
+    val plan = graft.operators.Profiling.compactionPlan(df, target)
+      .collect()
+    // exactness: every file in exactly one bin, bytes conserved
+    assert(plan.map(_.getAs[Long]("n_files")).sum == files.length)
+    assert(plan.map(_.getAs[Long]("bin_bytes")).sum ==
+      files.map(_._3).sum)
+    plan.groupBy(_.getString(0)).foreach { case (part, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("bin"))
+      var cum = 0L
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          // disjoint ordered id ranges
+          assert(x.getAs[Long]("last_file") < y.getAs[Long]("first_file"),
+            s"$part: overlapping bins")
+          // a bin only closes because the running total crossed the
+          // next present bin's byte boundary
+          cum += x.getAs[Long]("bin_bytes")
+          assert(cum >= y.getAs[Long]("bin") * target,
+            s"$part: bin ${x.getAs[Long]("bin")} closed early at $cum")
+        case _ =>
+      }
+    }
+  }
+
+  test("property: sharded KMV equals monolithic on random corpora and shardings") {
+    val keyGen = Gen.chooseNum(0, 400).map(i => s"k$i")
+    for (shards <- Seq(2, 5)) {
+      val rows = samples(Gen.zip(keyGen, Gen.oneOf("g1", "g2")), 500)
+        .zipWithIndex.map { case ((k, g), i) => (k, g, (i % shards).toLong) }
+      val df = rows.toDF("key", "grp", "shard")
+      val mono = graft.operators.Sketches
+        .kmvDistinct(df, col("key"), col("grp"), k = 16)
+      val sharded = graft.operators.Sketches
+        .kmvDistinctSharded(df, col("key"), col("grp"), col("shard"),
+          k = 16)
+      assert(mono.exceptAll(sharded).isEmpty &&
+        sharded.exceptAll(mono).isEmpty,
+        s"shard-merge mismatch at $shards shards")
+    }
+  }
+
   test("property: BPE merge fold equals an independent positional scan on random symbol runs") {
     // The fold (aggregate() HOF, bpeTrainLoop's rewrite) against a
     // straight index-walk reference: scan left to right, merge (a,b)
