@@ -1548,6 +1548,25 @@ object PipelineQueries {
         .withColumnRenamed("grp", "source")
         .orderBy("source")),
 
+    // Persisted CMS: the d×w cell table round-trips through parquet
+    // (BIGINT counts — exact) and serves the same heavy-hitter
+    // estimates, gated against the monolithic oracle. The sketch
+    // family's build→persist→serve triad, matching the IVF / BM25
+    // index pattern: what ships to the serving tier is the sketch,
+    // never the stream that built it.
+    "sketch_cms_persist" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dir = FlowLogQueries.scratchDir("graft_cms_idx")
+      Sketches.cmsBuild(ev, col("user_id"), depth = 3, width = 256)
+        .write.mode("overwrite").parquet(dir)
+      Sketches.cmsScore(s.read.parquet(dir),
+        ev.select(col("user_id").cast("string").as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("true_c"))
+          .filter(col("true_c") >= 50L),
+        depth = 3, width = 256)
+        .orderBy(col("true_c").desc, col("k"))
+    }),
+
     // Sharded CMS: four per-shard counter tables merged cell-wise
     // (count-min is linear), scored like the monolithic sketch and
     // gated against its oracle — the distributed-build contract.
@@ -3508,6 +3527,9 @@ object PipelineQueries {
     // Same oracle as the monolithic CMS: linearity of count-min makes
     // the sharded build bit-identical.
     "sketch_cms_sharded" -> cmsHeavyOracle,
+
+    // Parquet round-trip of BIGINT cells is exact — same oracle.
+    "sketch_cms_persist" -> cmsHeavyOracle,
 
     "sketch_cms_heavy" -> cmsHeavyOracle,
 
