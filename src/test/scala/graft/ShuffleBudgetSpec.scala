@@ -187,6 +187,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // ldeg under both pair joins
                                   // (ReuseExchange dedups at runtime)
                                   // + pair agg + top sort
+    "sketch_cms_persist" -> 2,    // SERVING plan: candidate agg + sort
+                                  // (the stored cell table broadcasts;
+                                  // the build ran before the frame)
     "q_weighted_median" -> 3,     // (flag,cents) dist agg + cum window
                                   // co-key + final rollup/sort
     "flow_exfil_ratio" -> 2,      // repartition + eni-key agg (the
