@@ -197,6 +197,22 @@ object Sketches {
               col("s").cast("double")), 4).as("est_hll"))
   }
 
+  /** Sharded HLL: per-shard register tables merged by the same `max`
+    * that built them (registers are max-stable, the defining HLL
+    * property), then estimated — bit-identical to the monolithic
+    * [[hllDistinct]] and gated against the same oracle. Each shard
+    * ships m rows per group; the merge is one more max-aggregation. */
+  def hllDistinctSharded(df: DataFrame, key: Column, group: Column,
+      shard: Column, nShards: Int, m: Int = 64): DataFrame = {
+    val tagged = df.select(key.as("k"), group.as("g"), shard.as("sh"))
+    val perShard = (0 until nShards).map(i =>
+      hllRegisters(tagged.filter(col("sh") === i), col("k"), col("g"), m))
+    val merged = perShard.reduce(_ union _)
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("mj")).as("mj"))
+    hllEstimate(merged, m)
+  }
+
   /** Count-min sketch: build the d×w counter table in one pass.
     *
     * Each row increments d counters, one per hash family

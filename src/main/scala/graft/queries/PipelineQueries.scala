@@ -1567,6 +1567,19 @@ object PipelineQueries {
         .orderBy(col("true_c").desc, col("k"))
     }),
 
+    // Sharded HLL: per-shard register tables merged by the same max
+    // that built them (registers are max-stable), gated against the
+    // monolithic oracle — the third mergeability proof next to the
+    // KMV re-rank and the CMS cell sum.
+    "sketch_hll_sharded" -> ((s, d) =>
+      Sketches.hllDistinctSharded(
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            explode(split(col("text"), " ")).as("word")),
+        col("word"), col("source"), col("doc_id") % 4, nShards = 4)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")),
+
     // Sharded CMS: four per-shard counter tables merged cell-wise
     // (count-min is linear), scored like the monolithic sketch and
     // gated against its oracle — the distributed-build contract.
@@ -1678,6 +1691,42 @@ object PipelineQueries {
        |             FROM v0)),
        |${(1 to 3).map(round).mkString(",\n")}""".stripMargin
   }
+
+  // Shared by sketch_hll_distinct and sketch_hll_sharded: register
+  // merge is max-stable, so the sharded build is bit-identical.
+  private val hllDistinctOracle =
+    """WITH w AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |h AS (
+      |  SELECT source,
+      |         CAST(CAST(('0x' || substr(md5(word), 1, 12)) AS UBIGINT)
+      |           AS BIGINT) AS h
+      |  FROM w),
+      |r AS (SELECT source, h % 64 AS bucket, h // 64 AS rest FROM h),
+      |rr AS (
+      |  SELECT source, bucket,
+      |         CASE WHEN rest = 0 THEN 43
+      |              ELSE 43 - length(bin(rest)) END AS rho
+      |  FROM r),
+      |m AS (SELECT source, bucket, max(rho) AS mj
+      |      FROM rr GROUP BY source, bucket),
+      |agg AS (
+      |  SELECT source, count(*) AS n_buckets,
+      |         CAST(sum(CAST(1 AS BIGINT) << (50 - mj)) AS BIGINT)
+      |           AS s_present
+      |  FROM m GROUP BY source),
+      |fin AS (
+      |  SELECT source, n_buckets, 64 - n_buckets AS v,
+      |         s_present + (64 - n_buckets) * 1125899906842624 AS s
+      |  FROM agg)
+      |SELECT source, n_buckets,
+      |       round(CASE WHEN (CAST(0.709 AS DOUBLE) * 4096 *
+      |                        1125899906842624) / s <= 160.0 AND v > 0
+      |                  THEN 64.0 * ln(64.0 / v)
+      |                  ELSE (CAST(0.709 AS DOUBLE) * 4096 *
+      |                        1125899906842624) / s END, 4) AS est_hll
+      |FROM fin ORDER BY source""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -3490,39 +3539,10 @@ object PipelineQueries {
          |       (n_both * est_union) // n_kept AS est_inter
          |FROM est""".stripMargin,
 
-    "sketch_hll_distinct" ->
-      """WITH w AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS word
-        |  FROM documents),
-        |h AS (
-        |  SELECT source,
-        |         CAST(CAST(('0x' || substr(md5(word), 1, 12)) AS UBIGINT)
-        |           AS BIGINT) AS h
-        |  FROM w),
-        |r AS (SELECT source, h % 64 AS bucket, h // 64 AS rest FROM h),
-        |rr AS (
-        |  SELECT source, bucket,
-        |         CASE WHEN rest = 0 THEN 43
-        |              ELSE 43 - length(bin(rest)) END AS rho
-        |  FROM r),
-        |m AS (SELECT source, bucket, max(rho) AS mj
-        |      FROM rr GROUP BY source, bucket),
-        |agg AS (
-        |  SELECT source, count(*) AS n_buckets,
-        |         CAST(sum(CAST(1 AS BIGINT) << (50 - mj)) AS BIGINT)
-        |           AS s_present
-        |  FROM m GROUP BY source),
-        |fin AS (
-        |  SELECT source, n_buckets, 64 - n_buckets AS v,
-        |         s_present + (64 - n_buckets) * 1125899906842624 AS s
-        |  FROM agg)
-        |SELECT source, n_buckets,
-        |       round(CASE WHEN (CAST(0.709 AS DOUBLE) * 4096 *
-        |                        1125899906842624) / s <= 160.0 AND v > 0
-        |                  THEN 64.0 * ln(64.0 / v)
-        |                  ELSE (CAST(0.709 AS DOUBLE) * 4096 *
-        |                        1125899906842624) / s END, 4) AS est_hll
-        |FROM fin ORDER BY source""".stripMargin,
+    "sketch_hll_distinct" -> hllDistinctOracle,
+
+    // Register merge is max-stable — same oracle as the monolithic HLL.
+    "sketch_hll_sharded" -> hllDistinctOracle,
 
     // Same oracle as the monolithic CMS: linearity of count-min makes
     // the sharded build bit-identical.

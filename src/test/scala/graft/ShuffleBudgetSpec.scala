@@ -187,6 +187,8 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // ldeg under both pair joins
                                   // (ReuseExchange dedups at runtime)
                                   // + pair agg + top sort
+    "sketch_hll_sharded" -> 6,    // 4 shard register aggs print +
+                                  // merge max-agg + output sort
     "sketch_cms_persist" -> 2,    // SERVING plan: candidate agg + sort
                                   // (the stored cell table broadcasts;
                                   // the build ran before the frame)
