@@ -796,6 +796,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming serve over the persisted CMS: streamed candidates score as in batch") {
+    // The serve side of the sketch triad: the d*w cell table persists
+    // to parquet, candidate keys arrive as a stream, and each
+    // micro-batch scores via foreachBatch against the STORED sketch —
+    // the same pattern as ANN serving over the persisted IVF index.
+    // Estimates must be bit-identical to the batch cmsScore.
+    val ev = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cms_serve").toString
+    operators.Sketches.cmsBuild(ev, col("user_id"), 3, 64)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val cand = ev.select($"user_id".cast("string").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("true_c"))
+    val want = operators.Sketches.cmsScore(stored, cand, 3, 64)
+      .as[(String, Long, Long)].collect().toSet
+
+    val in = MemoryStream[(String, Long)](spark)
+    val got = scala.collection.mutable.Set.empty[(String, Long, Long)]
+    val q = in.toDF().toDF("k", "true_c").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= operators.Sketches.cmsScore(stored, batch, 3, 64)
+          .as[(String, Long, Long)].collect()
+        ()
+      }.start()
+    try {
+      val rows = cand.as[(String, Long)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      assert(want.nonEmpty && got.toSet === want,
+        s"served estimates (${got.size}) must equal batch (${want.size})")
+    } finally q.stop()
+  }
+
   test("sketch maintenance is streaming-native: CMS cells and HLL registers converge to the batch sketch") {
     // Count-min and HLL are mergeable, which makes their build
     // aggregations streaming-compatible AS-IS: the CMS cell count and
