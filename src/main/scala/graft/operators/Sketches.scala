@@ -22,7 +22,7 @@ object Sketches {
 
   /** 48-bit uniform hash of a (stringified) column: the md5-prefix
     * idiom shared with pipeline_checksum / the v2 dedup family. */
-  private def h48(c: Column): Column =
+  private[graft] def h48(c: Column): Column =
     conv(substring(md5(c.cast("string").cast("binary")), 1, 12), 16, 10)
       .cast("bigint")
 

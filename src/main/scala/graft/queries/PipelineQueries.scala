@@ -1525,6 +1525,21 @@ object PipelineQueries {
         .withColumnRenamed("grp", "source")
         .orderBy("source")),
 
+    // Persisted KMV: the k-row synopsis round-trips through parquet
+    // (BIGINT hashes — exact) and estimates identically — the profiler
+    // ships synopses to a stats store, never re-scans the corpus.
+    // Same oracle as the monolithic form.
+    "sketch_kmv_persist" -> ((s, d) => {
+      val dir = FlowLogQueries.scratchDir("graft_kmv_syn")
+      Sketches.kmvSynopsis(
+        Tables.documents(s, d).select(col("source").as("grp"),
+          Sketches.h48(col("text")).as("h")), 16)
+        .write.mode("overwrite").parquet(dir)
+      Sketches.kmvEstimate(s.read.parquet(dir), 16)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    }),
+
     // KMV set-overlap: one merged 64-hash synopsis of base-corpus ∪
     // augmented-corpus estimates their Jaccard and intersection size —
     // the cross-crawl overlap question answered from 2k rows, exact
@@ -3509,6 +3524,9 @@ object PipelineQueries {
     // guarantees bit-identical output, and gating both against one SQL
     // is the proof.
     "sketch_kmv_sharded" -> kmvDistinctOracle,
+
+    // Parquet round-trip of the BIGINT synopsis is exact — same oracle.
+    "sketch_kmv_persist" -> kmvDistinctOracle,
 
     "sketch_kmv_jaccard" ->
       s"""WITH $corpusCte,

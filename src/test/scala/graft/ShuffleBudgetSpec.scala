@@ -187,6 +187,8 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // ldeg under both pair joins
                                   // (ReuseExchange dedups at runtime)
                                   // + pair agg + top sort
+    "sketch_kmv_persist" -> 2,    // SERVING plan: estimate rollup +
+                                  // sort over the stored synopsis
     "sketch_hll_sharded" -> 6,    // 4 shard register aggs print +
                                   // merge max-agg + output sort
     "sketch_cms_persist" -> 2,    // SERVING plan: candidate agg + sort
