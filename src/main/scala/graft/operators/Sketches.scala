@@ -165,15 +165,23 @@ object Sketches {
   def hllRegisters(df: DataFrame, key: Column, group: Column,
       m: Int = 64): DataFrame = {
     require(m == 64, s"register count fixed at 64 (α and widths), got $m")
-    df.select(group.as("grp"), h48(key).as("h"))
-      .select(col("grp"), (col("h") % m).as("bucket"),
-        expr(s"h div $m").as("rest"))
-      .select(col("grp"), col("bucket"),
-        when(col("rest") === 0L, lit(43))
-          .otherwise(lit(43) - length(bin(col("rest")))).as("rho"))
-      .groupBy(col("grp"), col("bucket"))
-      .agg(max(col("rho")).as("mj"))
+    registersBy(df.select(group.as("grp"), h48(key).as("h")), Seq("grp"), m)
   }
+
+  /** The bucket/ρ pipeline keyed on arbitrary grouping columns —
+    * shared by the monolithic ([[hllRegisters]]) and sharded register
+    * builds so the hash-to-register derivation cannot diverge. Input
+    * must carry the grouping columns plus the 48-bit hash `h`. */
+  private def registersBy(hashed: DataFrame, keys: Seq[String],
+      m: Int): DataFrame =
+    hashed
+      .select(keys.map(col) ++ Seq((col("h") % m).as("bucket"),
+        expr(s"h div $m").as("rest")): _*)
+      .select(keys.map(col) ++ Seq(col("bucket"),
+        when(col("rest") === 0L, lit(43))
+          .otherwise(lit(43) - length(bin(col("rest")))).as("rho")): _*)
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("mj"))
 
   /** Estimate from a register table (see [[hllDistinct]] for the
     * arithmetic discipline). */
@@ -201,16 +209,32 @@ object Sketches {
     * that built them (registers are max-stable, the defining HLL
     * property), then estimated — bit-identical to the monolithic
     * [[hllDistinct]] and gated against the same oracle. Each shard
-    * ships m rows per group; the merge is one more max-aggregation. */
+    * ships m rows per group; the merge is one more max-aggregation.
+    * Shards are formed by GROUPING on the shard column, never by
+    * filtering an index range, so every row lands in exactly one shard
+    * sketch no matter what values the shard expression takes (a
+    * negative `id % n` remainder cannot silently drop data — the
+    * failure mode [[kmvDistinctSharded]] was always immune to). */
   def hllDistinctSharded(df: DataFrame, key: Column, group: Column,
-      shard: Column, nShards: Int, m: Int = 64): DataFrame = {
-    val tagged = df.select(key.as("k"), group.as("g"), shard.as("sh"))
-    val perShard = (0 until nShards).map(i =>
-      hllRegisters(tagged.filter(col("sh") === i), col("k"), col("g"), m))
-    val merged = perShard.reduce(_ union _)
-      .groupBy(col("grp"), col("bucket"))
+      shard: Column, m: Int = 64): DataFrame = {
+    require(m == 64, s"register count fixed at 64 (α and widths), got $m")
+    val perShard = registersBy(
+      df.select(group.as("grp"), shard.as("sh"), h48(key).as("h")),
+      Seq("grp", "sh"), m)
+    val merged = perShard.groupBy(col("grp"), col("bucket"))
       .agg(max(col("mj")).as("mj"))
     hllEstimate(merged, m)
+  }
+
+  /** Persist → serve for HLL: write the register table (all-integer —
+    * parquet round-trips it exactly) and estimate from the re-read
+    * table, completing the build→persist→serve triad next to
+    * [[cmsBuild]]/[[cmsScore]] and the KMV synopsis round-trip. What
+    * ships to the stats store is m rows per group, never the stream. */
+  def hllPersistRoundTrip(df: DataFrame, key: Column, group: Column,
+      dir: String, m: Int = 64): DataFrame = {
+    hllRegisters(df, key, group, m).write.mode("overwrite").parquet(dir)
+    hllEstimate(df.sparkSession.read.parquet(dir), m)
   }
 
   /** Count-min sketch: build the d×w counter table in one pass.
@@ -266,7 +290,11 @@ object Sketches {
       depth, width)
 
   /** Score `candidates` (`(k, true_c)`) against a built sketch:
-    * min-of-d broadcast lookups, the read side of the CMS contract. */
+    * min-of-d broadcast lookups, the read side of the CMS contract.
+    * A candidate cell ABSENT from the sketch counts as zero (left join
+    * + coalesce), matching a true count-min lookup — an external key
+    * the build stream never saw estimates 0, it does not inflate to
+    * the min of its populated cells or vanish from the output. */
   private[graft] def cmsScore(sketch: DataFrame, candidates: DataFrame,
       depth: Int, width: Int): DataFrame =
     candidates
@@ -276,21 +304,37 @@ object Sketches {
         .as("cell"))
       .select(col("k"), col("true_c"), col("cell.j").as("j"),
         col("cell.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("j", "bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy(col("k"), col("true_c"))
-      .agg(min(col("c")).as("est_c"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_c"))
 
-  /** Sharded CMS heavy hitters: one sketch per shard, merged cell-wise
-    * ([[cmsMerge]]), then scored — bit-identical to the monolithic
-    * [[cmsHeavyHitters]] because count-min is linear, and gated
-    * against the same oracle to prove it. */
+  /** Sharded CMS heavy hitters: one cell table per shard, merged
+    * cell-wise (count-min is linear), then scored — bit-identical to
+    * the monolithic [[cmsHeavyHitters]] and gated against the same
+    * oracle to prove it. Shards come from GROUPING on the shard column
+    * (the [[kmvDistinctSharded]] discipline), never an index-range
+    * filter, so a shard expression with unexpected values (negative
+    * remainders, gaps) cannot drop rows from the sketch while the
+    * candidate `true_c` still counts them — the asymmetry that would
+    * break the one-sided est ≥ true guarantee. */
   def cmsHeavyHittersSharded(df: DataFrame, key: Column, shard: Column,
-      nShards: Int, depth: Int = 3, width: Int = 256,
+      depth: Int = 3, width: Int = 256,
       minCount: Long = 100L): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 16,
+      s"unreasonable CMS shape d=$depth w=$width")
     val tagged = df.select(key.cast("string").as("k"), shard.as("sh"))
-    val perShard = (0 until nShards).map(i =>
-      cmsBuild(tagged.filter(col("sh") === i), col("k"), depth, width))
-    cmsScore(cmsMerge(perShard: _*),
+    val perShard = tagged
+      .select(col("sh"), explode(array((1 to depth).map(j =>
+        struct(lit(j).as("j"),
+          (h48(concat(lit(s"$j:"), col("k"))) % width).as("bucket"))): _*))
+        .as("cell"))
+      .select(col("sh"), col("cell.j").as("j"),
+        col("cell.bucket").as("bucket"))
+      .groupBy(col("sh"), col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val merged = perShard.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    cmsScore(merged,
       tagged.groupBy(col("k")).agg(count(lit(1)).as("true_c"))
         .filter(col("true_c") >= minCount),
       depth, width)

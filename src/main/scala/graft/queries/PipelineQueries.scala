@@ -1591,7 +1591,23 @@ object PipelineQueries {
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"),
             explode(split(col("text"), " ")).as("word")),
-        col("word"), col("source"), col("doc_id") % 4, nShards = 4)
+        col("word"), col("source"), col("doc_id") % 4)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")),
+
+    // Persisted HLL: the all-integer register table round-trips
+    // through parquet and estimates identically — the third (and
+    // final) build→persist→serve triad of the sketch family, next to
+    // sketch_cms_persist and sketch_kmv_persist. Same oracle as the
+    // monolithic sketch_hll_distinct: m rows per group ship to the
+    // stats store, the corpus is never re-scanned at serve time.
+    "sketch_hll_persist" -> ((s, d) =>
+      Sketches.hllPersistRoundTrip(
+        Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " "))
+            .as("word")),
+        col("word"), col("source"),
+        FlowLogQueries.scratchDir("graft_hll_regs"))
         .withColumnRenamed("grp", "source")
         .orderBy("source")),
 
@@ -1600,7 +1616,7 @@ object PipelineQueries {
     // gated against its oracle — the distributed-build contract.
     "sketch_cms_sharded" -> ((s, d) =>
       Sketches.cmsHeavyHittersSharded(Tables.events(s, d),
-        col("user_id"), col("event_id") % 4, nShards = 4,
+        col("user_id"), col("event_id") % 4,
         depth = 3, width = 256, minCount = 50L)
         .orderBy(col("true_c").desc, col("k"))),
 
@@ -3561,6 +3577,10 @@ object PipelineQueries {
 
     // Register merge is max-stable — same oracle as the monolithic HLL.
     "sketch_hll_sharded" -> hllDistinctOracle,
+
+    // Parquet round-trip of the all-integer register table is exact —
+    // same oracle as the monolithic HLL.
+    "sketch_hll_persist" -> hllDistinctOracle,
 
     // Same oracle as the monolithic CMS: linearity of count-min makes
     // the sharded build bit-identical.

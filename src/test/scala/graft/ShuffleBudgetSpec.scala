@@ -175,8 +175,12 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // rollup + output sort
     "sketch_cms_heavy" -> 3,      // cell agg + candidate agg (sketch
                                   // side broadcasts) + output sort
-    "sketch_cms_sharded" -> 6,    // 4 shard cell aggs print + merge agg
-                                  // + candidate agg; sketch broadcasts
+    "sketch_cms_sharded" -> 4,    // (sh,j,bucket) cell agg + cell-wise
+                                  // merge + candidate agg + sort (was 6
+                                  // as 4 filter-per-index builds; the
+                                  // group-by-shard rework is also the
+                                  // correctness fix for out-of-range
+                                  // shard values)
     "pipeline_compaction_plan" -> 2, // part-key window + bin rollup
                                   // share one exchange + output sort
     "q_mad_outliers" -> 8,        // 2 bounded-state percentile chains
@@ -189,8 +193,12 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // + pair agg + top sort
     "sketch_kmv_persist" -> 2,    // SERVING plan: estimate rollup +
                                   // sort over the stored synopsis
-    "sketch_hll_sharded" -> 6,    // 4 shard register aggs print +
-                                  // merge max-agg + output sort
+    "sketch_hll_sharded" -> 4,    // (grp,sh,bucket) register agg +
+                                  // merge max-agg + estimate rollup +
+                                  // sort (was 6 as 4 filter-per-index
+                                  // builds; group-by-shard rework)
+    "sketch_hll_persist" -> 2,    // SERVING plan: estimate rollup +
+                                  // sort over the stored registers
     "sketch_cms_persist" -> 2,    // SERVING plan: candidate agg + sort
                                   // (the stored cell table broadcasts;
                                   // the build ran before the frame)

@@ -65,9 +65,87 @@ class SketchesSpec extends SparkSpec {
       .cmsHeavyHitters(ev, col("user_id"), 3, 64, minCount = 1L)
     val cmsS = operators.Sketches
       .cmsHeavyHittersSharded(ev, col("user_id"), col("event_id") % 4,
-        nShards = 4, depth = 3, width = 64, minCount = 1L)
+        depth = 3, width = 64, minCount = 1L)
     assert(cmsM.exceptAll(cmsS).isEmpty && cmsS.exceptAll(cmsM).isEmpty,
       "CMS linearity: cell-wise shard merge must equal one-pass build")
+  }
+
+  test("sharded builds group by the shard column: negative / out-of-range " +
+      "shard values are never dropped") {
+    // Signed ids: Spark's % returns NEGATIVE remainders for them, so a
+    // filter-per-index shard build (sh === 0..3) would silently drop
+    // every negative-id row from the sketch while true_c still counts
+    // it — breaking CMS's one-sided est >= true guarantee and HLL's
+    // merge identity. Grouping on the shard column is immune.
+    val df = (-500 to 500).map(i => (i.toLong, s"k${math.abs(i) % 40}", "g"))
+      .toDF("id", "key", "grp")
+
+    val hllMono = Sketches.hllDistinct(df, col("key"), col("grp")).collect()
+    val hllShard = Sketches.hllDistinctSharded(df, col("key"), col("grp"),
+      col("id") % 4).collect()
+    assert(hllMono.toSeq == hllShard.toSeq,
+      "HLL shard-merge must equal the monolithic build even with " +
+        s"negative shard remainders: ${hllMono.toSeq} vs ${hllShard.toSeq}")
+
+    val cmsMono = Sketches.cmsHeavyHitters(df, col("key"), 3, 64,
+      minCount = 1L)
+    val cmsShard = Sketches.cmsHeavyHittersSharded(df, col("key"),
+      col("id") % 4, depth = 3, width = 64, minCount = 1L)
+    assert(cmsMono.exceptAll(cmsShard).isEmpty &&
+      cmsShard.exceptAll(cmsMono).isEmpty,
+      "CMS shard-merge must equal the monolithic build even with " +
+        "negative shard remainders")
+    cmsShard.collect().foreach { r =>
+      assert(r.getAs[Long]("est_c") >= r.getAs[Long]("true_c"),
+        s"one-sided guarantee must survive sharding: $r")
+    }
+  }
+
+  test("cmsScore: a candidate key absent from the build estimates 0, " +
+      "not the min of its populated cells") {
+    val built = Sketches.cmsBuild((1 to 30).map(i => s"k$i").toDF("key"),
+      col("key"), depth = 3, width = 64)
+    // est > 0 is legal for count-min if every cell of an unseen key
+    // collides, but if ANY of its d cells is empty the lookup must
+    // return 0 — left-join semantics. An inner join would instead
+    // inflate the key to the min over its POPULATED cells, or drop it
+    // entirely when all d miss. Derive cell coordinates with the same
+    // md5-prefix hash the expression uses, so the probe key is chosen
+    // deterministically, not hoped for: 30 keys × 3 rows in 192 cells
+    // leaves most cells empty.
+    val cells = built.collect().map(r =>
+      (r.getAs[Int]("j"), r.getAs[Long]("bucket"))).toSet
+    def cellsOf(k: String): Seq[(Int, Long)] = (1 to 3).map { j =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$k".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (j, java.lang.Long.parseLong(
+        digest.take(6).map(b => f"$b%02x").mkString, 16) % 64)
+    }
+    val probeWithEmptyCell = (0 to 99).map(i => s"probe-$i")
+      .find(k => cellsOf(k).exists(c => !cells.contains(c)))
+    assert(probeWithEmptyCell.isDefined,
+      "fixture degenerate: no probe key with an empty cell in 100 tries")
+    val cand = Seq(("k1", 1L), (probeWithEmptyCell.get, 0L))
+      .toDF("k", "true_c")
+    val scored = Sketches.cmsScore(built, cand, 3, 64)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_c")).toMap
+    assert(scored("k1") >= 1L, "seen key must estimate >= its true count")
+    assert(scored(probeWithEmptyCell.get) == 0L,
+      "a candidate with an empty cell must score exactly 0, " +
+        s"got ${scored(probeWithEmptyCell.get)}")
+  }
+
+  test("HLL persist: register table round-trips through parquet and " +
+      "estimates identically") {
+    val df = (1 to 800).map(i => (s"key$i", s"g${i % 3}"))
+      .toDF("key", "grp")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hll_rt").toString
+    val served = Sketches.hllPersistRoundTrip(df, col("key"), col("grp"),
+      dir)
+    val mono = Sketches.hllDistinct(df, col("key"), col("grp"))
+    assert(mono.exceptAll(served).isEmpty && served.exceptAll(mono).isEmpty,
+      "persisted-register estimate must equal the in-memory build")
   }
 
   test("kmvJaccard: exact when the union fits in the synopsis") {
