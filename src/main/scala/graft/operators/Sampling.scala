@@ -423,26 +423,37 @@ object Sampling {
     * candidates, so the draw is uniform over REPRESENTATIVES, not
     * documents — acceptable for negatives (they only need to be
     * unrelated and well-spread); raise `buckets` toward the corpus
-    * size to tighten. Self-collisions (anchor drawing its own bucket's
-    * representative = itself) are dropped, not re-drawn, so a handful
-    * of anchors yield kNeg−1 — deterministic, and the contract a
-    * training loader can live with.
+    * size to tighten. Draws index the OCCUPIED buckets (densely ranked
+    * by bucket id, draw = 12-bit hash mod the occupied count), so a
+    * draw can never land on an empty bucket and silently vanish —
+    * every anchor gets exactly kNeg negatives minus self-collisions
+    * (anchor drawing its own representative = itself, dropped not
+    * re-drawn, so a handful of anchors yield kNeg−1). Deterministic,
+    * and the contract a training loader can live with. The rank window
+    * is global but runs over ≤ `buckets` rows — driver-bounded state,
+    * same class as the scalar-aggregate broadcasts.
     */
   def negativeSample(docs: DataFrame, id: Column, kNeg: Int = 4,
       buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(kNeg >= 1 && kNeg <= 64, s"kNeg out of range: $kNeg")
     val keyed = docs.select(id.as("doc_id"))
     val reps = keyed
       .select(col("doc_id"),
         hashBucket(col("doc_id").cast("string"), buckets).as("bucket"))
       .groupBy(col("bucket")).agg(min(col("doc_id")).as("neg_id"))
+      .withColumn("slot",
+        row_number().over(Window.orderBy(col("bucket"))) - 1)
+    val nOcc = reps.agg(count(lit(1)).cast("int").as("n_occ"))
     keyed
       .select(col("doc_id"),
         explode(array((1 to kNeg).map(lit(_)): _*)).as("j"))
-      .withColumn("bucket",
-        hashBucket(concat(col("doc_id").cast("string"), lit(":"),
-          col("j").cast("string")), buckets))
-      .join(broadcast(reps), Seq("bucket"))
+      .crossJoin(broadcast(nOcc))
+      .withColumn("slot",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("j").cast("string")).cast("binary")), 1, 3), 16, 10)
+          .cast("int") % col("n_occ"))
+      .join(broadcast(reps.select(col("slot"), col("neg_id"))), Seq("slot"))
       .filter(col("neg_id") =!= col("doc_id"))
       .select(col("doc_id"), col("j"), col("neg_id"))
   }

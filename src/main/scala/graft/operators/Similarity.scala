@@ -381,11 +381,66 @@ object Similarity {
     // materialization — the same lesson as the LSH chain's documented
     // "persisting sigs was measured slower". At a scale where the
     // double assignment pass dominates, materialize the index OUTSIDE
-    // the query (write the rn=1 table next to the corpus, the way a
-    // real ANN index build persists its assignment) rather than
-    // caching inside the operator.
+    // the query: [[writeKnnAssignIndex]] persists the ranked table
+    // once and [[knnJoinFromIndex]] serves both branches from it,
+    // bit-identically (PipelineSpec pins the parity).
     val ranked = assignCellsRanked(vecs, vecs, nprobe)
     val probeCells = ranked.select(col("probe_id"), col("assigned_label"))
+    val indexCells = ranked.filter(col("rn") === 1)
+      .select(col("probe_id").as("corpus_id"),
+        col("assigned_label").as("cell"))
+    val pb = withNorm(vecs).select(col("vec_id").as("probe_id"),
+      col("v").as("pv"), col("nrm").as("pnrm"))
+      .join(probeCells, Seq("probe_id"))
+    val corpus = withNorm(vecs)
+      .join(indexCells, col("vec_id") === col("corpus_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val scored = pb
+      .join(corpus,
+        col("assigned_label") === col("cell") &&
+          col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Materialize [[knnJoinIndexed]]'s ranked cell assignment next to
+    * the corpus — the fix knnJoinIndexed's note prescribes for the
+    * double-assignment pass: the rn=1 rows ARE the corpus's index
+    * cells and rn ≤ nprobe the probe expansion, and both consumers
+    * force the corpus×centroids distance aggregation to run once per
+    * branch when the assignment is live lineage (caching it in-query
+    * measured SLOWER — it defeats the pushed WindowGroupLimit). A
+    * BUILD is the "materialize outside the query" case: the
+    * aggregation runs exactly once here, and [[knnJoinFromIndex]]
+    * serves both branches from the stored (probe_id, cell, rn) table
+    * — all integers, so parquet round-trips it exactly and the served
+    * join is bit-identical to the in-memory twin. */
+  def writeKnnAssignIndex(vecs: DataFrame, dir: String,
+      nprobe: Int = 1): Unit =
+    assignCellsRanked(vecs, vecs, nprobe)
+      .write.mode("overwrite").parquet(dir)
+
+  /** [[knnJoinIndexed]] served from a [[writeKnnAssignIndex]] table:
+    * identical scoring/tie-break contract, but the assignment pass is
+    * a parquet scan — rn=1 rows block the corpus side, rn ≤ nprobe
+    * rows expand the probe side (`nprobe` may be lowered below the
+    * built rank to trade recall for scan fraction without rebuilding).
+    * The quadratic work stays cell-bounded; the only corpus-sized
+    * shuffles are the two id-keyed joins against the index table and
+    * the cell-keyed scan join — same shape as the in-memory twin minus
+    * the doubled distance aggregation. */
+  def knnJoinFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val ranked = spark.read.parquet(dir)
+    val probeCells = ranked.filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("assigned_label"))
     val indexCells = ranked.filter(col("rn") === 1)
       .select(col("probe_id").as("corpus_id"),
         col("assigned_label").as("cell"))

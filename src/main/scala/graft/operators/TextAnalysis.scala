@@ -249,13 +249,32 @@ object TextAnalysis {
     * (sort-by-position flatten — deterministic, no window). At 100 TB
     * the vocab side is the small one; the corpus never re-tokenizes
     * per round because the rounds already ran on the vocab. */
-  def bpeApply(documents: DataFrame, merges: Int = 3): DataFrame = {
-    val (_, vocab) = bpeTrainLoop(documents, merges)
-    documents
+  def bpeApply(documents: DataFrame, merges: Int = 3): DataFrame =
+    bpeTokenize(documents, bpeTrainLoop(documents, merges)._2,
+      oovFallback = false)
+
+  /** The tokenize join shared by [[bpeApply]] (live vocab lineage) and
+    * [[bpeApplyFromVocab]] (stored vocab) — one implementation so the
+    * two paths cannot diverge on the reassembly contract. With
+    * `oovFallback` a word ABSENT from the vocabulary (possible only
+    * when tokenizing a corpus the vocab wasn't trained on, e.g. a
+    * stream of new documents) falls back to its character symbols —
+    * the untrained base tokens, the standard OOV floor. The
+    * train-corpus apply skips the fallback (every word is in its own
+    * vocabulary by construction) and keeps the cheaper inner join —
+    * the two modes are value-identical whenever no word is OOV. */
+  private def bpeTokenize(documents: DataFrame, vocab: DataFrame,
+      oovFallback: Boolean): DataFrame = {
+    val joined = documents
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
-      .join(vocab.select(col("word"), col("syms")), Seq("word"))
+      .join(vocab.select(col("word"), col("syms")), Seq("word"),
+        if (oovFallback) "left" else "inner")
+    (if (oovFallback)
+       joined.withColumn("syms",
+         coalesce(col("syms"), split(col("word"), "")))
+     else joined)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("pos"), col("syms"))).as("ws"))
       .select(col("doc_id"),
@@ -263,6 +282,27 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
         array_join(col("toks"), " ").as("tokens"))
   }
+
+  /** Persist the trained word→tokens vocabulary — the BPE analog of
+    * the IVF/BM25 index write: training (the `merges` unrolled rounds)
+    * runs ONCE here, and every downstream tokenization — batch or a
+    * `foreachBatch` micro-batch — is one join against the stored
+    * table. Strings and string-arrays round-trip parquet exactly, so
+    * [[bpeApplyFromVocab]] is bit-identical to [[bpeApply]] at the
+    * same build (StreamingSpec pins the streaming parity). */
+  def bpeWriteVocab(documents: DataFrame, dir: String,
+      merges: Int = 3): Unit =
+    bpeTrainLoop(documents, merges)._2
+      .select(col("word"), col("syms"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Tokenize against a [[bpeWriteVocab]] table — the serve leg a
+    * training-data pipeline runs continuously: the vocab is the small
+    * broadcastable side, the incoming documents (a micro-batch, a new
+    * crawl shard) never re-trigger training. */
+  def bpeApplyFromVocab(spark: org.apache.spark.sql.SparkSession,
+      dir: String, documents: DataFrame): DataFrame =
+    bpeTokenize(documents, spark.read.parquet(dir), oovFallback = true)
 
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
     * "Data Selection for Language Models via Importance Resampling"):

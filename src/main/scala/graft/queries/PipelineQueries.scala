@@ -609,6 +609,21 @@ object PipelineQueries {
         Similarity.vectors(Tables.embeddings(s, d)), 3, nprobe = 2)
         .orderBy("probe_id", "rnk")),
 
+    // sim_knn_join_indexed served from a PERSISTED assignment index:
+    // the ranked (probe_id, cell, rn) table is written once — the
+    // corpus×centroids distance aggregation runs exactly once at
+    // build, not once per consuming branch — and the serve leg reads
+    // it for both the rn=1 corpus blocking and the rn≤2 probe
+    // expansion. All-integer table ⇒ parquet-exact ⇒ same oracle as
+    // the in-memory twin.
+    "sim_knn_join_persist" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_knn_assign")
+      Similarity.writeKnnAssignIndex(vecs, dir, nprobe = 2)
+      Similarity.knnJoinFromIndex(s, dir, vecs, 3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Brute-force ANN through the custom TopKPerKey physical operator
     // (bounded per-probe heaps instead of a ranking window sort) —
     // same scoring expression, same determinism contract (rounded
@@ -1452,7 +1467,9 @@ object PipelineQueries {
     // Deterministic hash-bucket negative sampling: kNeg=4 md5-drawn
     // negatives per anchor from a broadcastable 64-row representative
     // table — no global index, no shuffle of the corpus, reproducible
-    // across engines and retries.
+    // across engines and retries. Draws index OCCUPIED buckets (hash
+    // mod the occupied count), so no draw can land on an empty bucket
+    // and vanish — every anchor gets kNeg minus self-collisions.
     "pipeline_negative_sample" -> ((s, d) =>
       Sampling.negativeSample(Tables.documents(s, d), col("doc_id"),
         kNeg = 4, buckets = 64)
@@ -1758,6 +1775,42 @@ object PipelineQueries {
       |                  ELSE (CAST(0.709 AS DOUBLE) * 4096 *
       |                        1125899906842624) / s END, 4) AS est_hll
       |FROM fin ORDER BY source""".stripMargin
+
+  // Shared by sim_knn_join_indexed and sim_knn_join_persist: the
+  // persisted assignment table is all-integer, so the serve leg is
+  // bit-identical to the in-memory self-indexed join.
+  private lazy val knnJoinIndexedOracle =
+    s"""WITH vecsl AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (
+       |  SELECT vec_id, label, unnest(v) AS x,
+       |         unnest(generate_series(1, len(v))) AS pos
+       |  FROM vecsl),
+       |cents AS (
+       |  SELECT label, pos, avg(x) AS cmean FROM dims GROUP BY label, pos),
+       |d2 AS (
+       |  SELECT d.vec_id AS probe_id, c.label, sum((x - cmean) * (x - cmean)) AS dist2
+       |  FROM dims d JOIN cents c USING (pos) GROUP BY d.vec_id, c.label),
+       |ranked_cells AS (
+       |  SELECT probe_id, label AS assigned_label, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY round(dist2, 6), label) AS rn FROM d2)),
+       |assigned AS (
+       |  SELECT probe_id, assigned_label FROM ranked_cells WHERE rn <= 2),
+       |idx AS (
+       |  SELECT probe_id AS corpus_id, assigned_label AS cell
+       |  FROM ranked_cells WHERE rn = 1),
+       |scored AS (
+       |  SELECT a.probe_id, o.vec_id AS neighbor_id,
+       |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |  FROM assigned a JOIN vecsl p ON p.vec_id = a.probe_id
+       |  JOIN idx i ON i.cell = a.assigned_label
+       |  JOIN vecsl o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT probe_id, neighbor_id, cos_r, rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -2438,38 +2491,11 @@ object PipelineQueries {
          |SELECT probe_id, neighbor_id, cos_r, rnk
          |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
 
-    "sim_knn_join_indexed" ->
-      s"""WITH vecsl AS (
-         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |dims AS (
-         |  SELECT vec_id, label, unnest(v) AS x,
-         |         unnest(generate_series(1, len(v))) AS pos
-         |  FROM vecsl),
-         |cents AS (
-         |  SELECT label, pos, avg(x) AS cmean FROM dims GROUP BY label, pos),
-         |d2 AS (
-         |  SELECT d.vec_id AS probe_id, c.label, sum((x - cmean) * (x - cmean)) AS dist2
-         |  FROM dims d JOIN cents c USING (pos) GROUP BY d.vec_id, c.label),
-         |ranked_cells AS (
-         |  SELECT probe_id, label AS assigned_label, rn FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY round(dist2, 6), label) AS rn FROM d2)),
-         |assigned AS (
-         |  SELECT probe_id, assigned_label FROM ranked_cells WHERE rn <= 2),
-         |idx AS (
-         |  SELECT probe_id AS corpus_id, assigned_label AS cell
-         |  FROM ranked_cells WHERE rn = 1),
-         |scored AS (
-         |  SELECT a.probe_id, o.vec_id AS neighbor_id,
-         |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
-         |  FROM assigned a JOIN vecsl p ON p.vec_id = a.probe_id
-         |  JOIN idx i ON i.cell = a.assigned_label
-         |  JOIN vecsl o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
-         |SELECT probe_id, neighbor_id, cos_r, rnk
-         |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+    "sim_knn_join_indexed" -> knnJoinIndexedOracle,
+
+    // The persisted-assignment serve is bit-identical to the in-memory
+    // indexed join (all-integer assignment table, parquet-exact).
+    "sim_knn_join_persist" -> knnJoinIndexedOracle,
 
     "sim_lsh_topk" -> {
       def bucket(v: String) = (1 to 4).map(i =>
@@ -3462,13 +3488,20 @@ object PipelineQueries {
         |           AS INTEGER) % 64 AS bucket,
         |         min(doc_id) AS neg_id
         |  FROM documents GROUP BY 1),
+        |ranked AS (
+        |  SELECT neg_id,
+        |         CAST(row_number() OVER (ORDER BY bucket) AS INTEGER) - 1
+        |           AS slot
+        |  FROM reps),
+        |n AS (SELECT CAST(count(*) AS INTEGER) AS n_occ FROM reps),
         |draws AS (
         |  SELECT doc_id, j,
         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-        |             CAST(j AS VARCHAR)), 1, 3)) AS INTEGER) % 64 AS bucket
-        |  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j))
+        |             CAST(j AS VARCHAR)), 1, 3)) AS INTEGER) % n_occ AS slot
+        |  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j)
+        |  CROSS JOIN n)
         |SELECT doc_id, j, neg_id
-        |FROM draws JOIN reps USING (bucket)
+        |FROM draws JOIN ranked USING (slot)
         |WHERE neg_id <> doc_id
         |ORDER BY doc_id, j""".stripMargin,
 

@@ -13,6 +13,24 @@ class PipelineSpec extends SparkSpec {
   lazy val docs = Tables.documents(spark, sfDir)
   lazy val corpus = Dedup.augmentCorpus(docs)
 
+  /** Shared controlled-geometry ANN fixture: 8 well-separated ±1
+    * sign-pattern centers, 12 members each = center + N(0, 0.1) noise,
+    * vec_id = center*100 + i, label = center. True neighbors are
+    * in-cluster, every member shares its center's 4-bit sign bucket,
+    * and labels coincide with geometric clusters — one definition so
+    * the recall pins across the knnJoin/IVF/LSH tests can never
+    * desynchronize on the geometry. */
+  private def clusteredVecs(seed: Int = 42): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val dim = 16
+    val centers = (0 until 8).map(c =>
+      Array.tabulate(dim)(d => if (((c >> (d % 3)) & 1) == 1) 1.0 else -1.0))
+    val rows = for (c <- 0 until 8; i <- 0 until 12) yield
+      (c * 100L + i, c,
+        centers(c).map(x => x + rnd.nextGaussian() * 0.1).toSeq)
+    rows.toDF("vec_id", "label", "v")
+  }
+
   test("exact dedup finds every injected duplicate pair") {
     val groups = Dedup.exactDuplicates(corpus)
     val nDocs = docs.count()
@@ -180,18 +198,11 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("recall@k: IVF and LSH recover clustered neighbors") {
-    // Controlled geometry: 8 well-separated ±1 sign-pattern centers,
-    // members = center + small noise. True neighbors are in-cluster, so
-    // single-cluster IVF search must recover (almost) all of them, and
-    // every member shares its center's 4-bit sign bucket exactly.
-    val rnd = new scala.util.Random(42)
-    val dim = 16
-    val centers = (0 until 8).map(c =>
-      Array.tabulate(dim)(d => if (((c >> (d % 3)) & 1) == 1) 1.0 else -1.0))
-    val rows = for (c <- 0 until 8; i <- 0 until 12) yield
-      (c * 100L + i, c,
-        centers(c).map(x => x + rnd.nextGaussian() * 0.1).toSeq)
-    val vecs = rows.toDF("vec_id", "label", "v")
+    // Controlled geometry ([[clusteredVecs]]): true neighbors are
+    // in-cluster, so single-cluster IVF search must recover (almost)
+    // all of them, and every member shares its center's 4-bit sign
+    // bucket exactly.
+    val vecs = clusteredVecs()
     val probes = vecs.filter($"vec_id" % 100 < 2)   // 2 per cluster
     val k = 3
     val exact = graft.operators.Similarity
@@ -213,19 +224,12 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("knnJoin: all-cells probing equals brute force, one cell recovers clusters") {
-    // Same 8-center geometry as the recall test above. At nprobe = 8
+    // Same 8-center geometry ([[clusteredVecs]]). At nprobe = 8
     // (every cell probed) the IVF blocking is exhaustive, so the join
     // must equal the brute-force self-top-k EXACTLY — same rounded
     // scores, same tie-break order. At nprobe = 1 in-cluster neighbors
     // dominate, so recall stays high while each probe scans ~1/8.
-    val rnd = new scala.util.Random(42)
-    val dim = 16
-    val centers = (0 until 8).map(c =>
-      Array.tabulate(dim)(d => if (((c >> (d % 3)) & 1) == 1) 1.0 else -1.0))
-    val rows = for (c <- 0 until 8; i <- 0 until 12) yield
-      (c * 100L + i, c,
-        centers(c).map(x => x + rnd.nextGaussian() * 0.1).toSeq)
-    val vecs = rows.toDF("vec_id", "label", "v")
+    val vecs = clusteredVecs()
     val k = 3
     val exact = graft.operators.Similarity
       .bruteForceTopK(vecs.select($"vec_id", $"v"),
@@ -245,15 +249,8 @@ class PipelineSpec extends SparkSpec {
     // The gated sim_knn_join entry runs nprobe=2 (PipelineQueries) — this
     // pins the quality bound at that production setting, not only at the
     // exhaustive (nprobe=8) and fastest (nprobe=1) extremes. Same
-    // 8-center clustered geometry as the tests above.
-    val rnd = new scala.util.Random(42)
-    val dim = 16
-    val centers = (0 until 8).map(c =>
-      Array.tabulate(dim)(d => if (((c >> (d % 3)) & 1) == 1) 1.0 else -1.0))
-    val rows = for (c <- 0 until 8; i <- 0 until 12) yield
-      (c * 100L + i, c,
-        centers(c).map(x => x + rnd.nextGaussian() * 0.1).toSeq)
-    val vecs = rows.toDF("vec_id", "label", "v")
+    // 8-center clustered geometry ([[clusteredVecs]]).
+    val vecs = clusteredVecs()
     val k = 3
     val exact = graft.operators.Similarity
       .bruteForceTopK(vecs.select($"vec_id", $"v"),
@@ -357,20 +354,13 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("knnJoinIndexed: recall at nprobe=2, and exhaustive probing equals brute force") {
-    // Same clustered geometry as the knnJoin tests: at nprobe=8 (every
+    // Same clustered geometry ([[clusteredVecs]]): at nprobe=8 (every
     // cell probed) the self-indexed blocking is exhaustive, so the join
     // equals brute force exactly; at the shipped nprobe=2 the recall
     // bound matches the label-blocked form (labels == geometric
     // clusters here, so index cells and labels coincide — the variants
     // differ only where metadata and geometry disagree).
-    val rnd = new scala.util.Random(42)
-    val dim = 16
-    val centers = (0 until 8).map(c =>
-      Array.tabulate(dim)(d => if (((c >> (d % 3)) & 1) == 1) 1.0 else -1.0))
-    val rows = for (c <- 0 until 8; i <- 0 until 12) yield
-      (c * 100L + i, c,
-        centers(c).map(x => x + rnd.nextGaussian() * 0.1).toSeq)
-    val vecs = rows.toDF("vec_id", "label", "v")
+    val vecs = clusteredVecs()
     val k = 3
     val exact = graft.operators.Similarity
       .bruteForceTopK(vecs.select($"vec_id", $"v"),
@@ -386,6 +376,44 @@ class PipelineSpec extends SparkSpec {
     info(f"knnJoinIndexed recall@$k at nprobe=2 = $recall%.3f")
     assert(recall >= 0.95,
       f"self-indexed recall at nprobe=2 degraded: $recall%.3f")
+  }
+
+  test("persisted kNN assignment index: file-backed join equals the " +
+      "in-memory twin, including at a lowered serve-time nprobe") {
+    // The write → read → serve round-trip must not move a single bit:
+    // the assignment table is all integers (probe_id, assigned_label,
+    // rn), so parquet is exact and knnJoinFromIndex shares the scoring
+    // contract with knnJoinIndexed. Also pins the build-once property
+    // the in-memory twin cannot have (its two consumers re-run the
+    // corpus×centroids aggregation per branch), and that serving at
+    // nprobe=1 from an index BUILT at nprobe=2 equals the in-memory
+    // nprobe=1 join — the rank filter makes nprobe a serve-time knob.
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_idx")
+      .toString
+    try {
+      Similarity.writeKnnAssignIndex(vecs, dir, nprobe = 2)
+      val served = Similarity.knnJoinFromIndex(spark, dir, vecs, 3,
+        nprobe = 2)
+      val want = Similarity.knnJoinIndexed(vecs, 3, nprobe = 2)
+        .collect().toSet
+      assert(want.nonEmpty && served.collect().toSet === want,
+        "persisted-assignment join must equal the in-memory twin")
+      val served1 = Similarity.knnJoinFromIndex(spark, dir, vecs, 3,
+        nprobe = 1)
+      val want1 = Similarity.knnJoinIndexed(vecs, 3, nprobe = 1)
+        .collect().toSet
+      assert(served1.collect().toSet === want1,
+        "lowered serve-time nprobe must equal the in-memory nprobe=1 join")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } finally walk.close()
+    }
   }
 
   test("knnJoin one-cell corpus: over-asking nprobe can't multiply work") {

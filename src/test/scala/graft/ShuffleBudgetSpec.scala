@@ -150,6 +150,12 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // (probe cells + index cells;
                                   // ReuseExchange dedups at runtime)
                                   // + cell join + top-k window + sort
+    "sim_knn_join_persist" -> 4,  // SERVING plan (the assignment agg
+                                  // ran ONCE at build, before the
+                                  // returned frame): 2 id-keyed joins
+                                  // against the stored table + top-k
+                                  // window + sort — the 10-exchange
+                                  // in-memory print collapses to 4
     // round-11 serving-path additions (sim_ivfpq_topk is excluded like
     // the other unrolled trainers: the kmeans trajectory prints per
     // consuming branch and the string count is meaningless)
@@ -208,8 +214,12 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // dimension broadcasts) + sort
     "sim_mips_topk" -> 2,         // probes broadcast; rank window +
                                   // output sort (TopKPerKey rewrite)
-    "pipeline_negative_sample" -> 2, // bucket-rep agg (broadcast back)
-                                  // + output sort; draws are narrow
+    "pipeline_negative_sample" -> 5, // bucket-rep agg + its ≤64-row
+                                  // rank window print under BOTH the
+                                  // occupied-count and slot-join
+                                  // branches (ReuseExchange dedups at
+                                  // runtime) + output sort; draws stay
+                                  // narrow — the corpus never shuffles
     "text_bpe_train" -> 14,       // 3 unrolled rounds: vocab agg + per-
                                   // round pair agg + one-row best
                                   // (limit-1 sort) printed per

@@ -831,6 +831,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tokenizer serve over the persisted BPE vocab: streamed docs tokenize as in batch") {
+    // The tokenizer is the op a training-data pipeline runs
+    // continuously: train once (bpeWriteVocab — the merge rounds run
+    // over the word vocabulary), then every micro-batch tokenizes via
+    // one join against the STORED word→tokens table. Same pattern as
+    // the CMS / ANN serves above; the result must be bit-identical to
+    // the batch bpeApply over the same corpus (strings and string
+    // arrays round-trip parquet exactly).
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_vocab").toString
+    operators.TextAnalysis.bpeWriteVocab(docs, dir, merges = 3)
+    val want = operators.TextAnalysis.bpeApply(docs, merges = 3)
+      .as[(Long, Int, String)].collect().toSet
+
+    val in = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Set.empty[(Long, Int, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= operators.TextAnalysis.bpeApplyFromVocab(spark, dir, batch)
+          .as[(Long, Int, String)].collect()
+        ()
+      }.start()
+    try {
+      val rows = docs.as[(Long, String)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      assert(want.nonEmpty && got.toSet === want,
+        s"served tokenization (${got.size}) must equal batch (${want.size})")
+    } finally q.stop()
+  }
+
   test("sketch maintenance is streaming-native: CMS cells and HLL registers converge to the batch sketch") {
     // Count-min and HLL are mergeable, which makes their build
     // aggregations streaming-compatible AS-IS: the CMS cell count and

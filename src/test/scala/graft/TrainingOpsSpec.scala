@@ -589,6 +589,25 @@ class TrainingOpsSpec extends SparkSpec {
     } finally neg.unpersist()
   }
 
+  test("negativeSample: sparse corpus (most buckets empty) still yields " +
+      "kNeg or kNeg-1 per anchor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 10 docs in 64 buckets: ~54 buckets are empty. Draws index the
+    // OCCUPIED-bucket ranking, so none can land on an empty bucket and
+    // vanish — the failure mode of joining draws on the raw bucket id,
+    // where "raise buckets to tighten" would DROP most draws.
+    val docs = (0L until 10L).toDF("doc_id")
+    val rows = graft.operators.Sampling
+      .negativeSample(docs, col("doc_id"), kNeg = 4, buckets = 64)
+      .as[(Long, Int, Long)].collect()
+    val perAnchor = rows.groupBy(_._1).map(_._2.length)
+    assert(perAnchor.size == 10, "every anchor must appear")
+    assert(perAnchor.forall(c => c == 3 || c == 4),
+      s"per-anchor counts must be kNeg or kNeg-1, got ${perAnchor.toSeq}")
+    assert(rows.forall { case (d, _, n) => d != n }, "self-negative")
+  }
+
   test("bpeTrain: frequency-weighted merges, leftmost-first on runs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -631,5 +650,32 @@ class TrainingOpsSpec extends SparkSpec {
       rules3(1).getAs[String]("b") == "aa" &&
       rules3(1).getAs[Long]("cnt") == 1L,
       s"leftmost-first run merge broken: ${rules3(1)}")
+  }
+
+  test("bpeApplyFromVocab: stored-vocab tokenize matches self-apply; " +
+      "OOV words fall back to character symbols") {
+    import spark.implicits._
+    val train = Seq((1L, "abab abab"), (2L, "xab xab"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_oov").toString
+    graft.operators.TextAnalysis.bpeWriteVocab(train, dir, merges = 2)
+    // In-vocab corpus: serve equals the live train→apply composition.
+    val want = graft.operators.TextAnalysis.bpeApply(train, merges = 2)
+      .as[(Long, Int, String)].collect().toSet
+    val got = graft.operators.TextAnalysis
+      .bpeApplyFromVocab(spark, dir, train)
+      .as[(Long, Int, String)].collect().toSet
+    assert(want.nonEmpty && got === want)
+    // OOV word 'zq' never appeared in training: it must tokenize as
+    // its character symbols (the untrained base floor), not vanish
+    // from the document the way an inner vocab join would drop it.
+    val served = graft.operators.TextAnalysis
+      .bpeApplyFromVocab(spark, dir, Seq((9L, "abab zq")).toDF("doc_id", "text"))
+      .as[(Long, Int, String)].collect()
+    assert(served.length == 1)
+    val (_, n, toks) = served.head
+    assert(toks.endsWith("z q") && n > 2,
+      s"OOV fallback must emit character symbols, got '$toks'")
   }
 }
