@@ -49,7 +49,19 @@ object ConnectedComponents {
     components(edges, maxIter, pointerJump = true)
 
   def components(edges: DataFrame, maxIter: Int = 25,
-      pointerJump: Boolean = false): DataFrame = {
+      pointerJump: Boolean = false): DataFrame =
+    componentsWithRounds(edges, maxIter, pointerJump)._1
+
+  /** [[components]] plus the number of propagation rounds actually
+    * executed — the observable that PlanInvariantsSpec pins on
+    * controlled-diameter fixtures, because a convergence-driven loop's
+    * rounds never appear in any plan: an accidental extra round (or a
+    * propagation change that slows convergence) re-converges to the
+    * same fixpoint and would otherwise ship silently at ~1.5× the
+    * cost. */
+  private[graft] def componentsWithRounds(edges: DataFrame,
+      maxIter: Int = 25,
+      pointerJump: Boolean = false): (DataFrame, Int) = {
     // Symmetrize once: propagation below only needs u <- v direction
     // for every ordered orientation of each edge. Both orientations come
     // from ONE explode rather than a two-branch union — a union would
@@ -163,7 +175,7 @@ object ConnectedComponents {
     // labels, no join).
     val result = labels.localCheckpoint()
     prevCached.unpersist(false)
-    result
+    (result, iter)
   }
 
   /** Canonical-representative assignment over a full corpus: every doc

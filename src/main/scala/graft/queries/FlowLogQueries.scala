@@ -146,7 +146,7 @@ object FlowLogQueries {
     p.toString
   }
 
-  private def parsed(s: SparkSession, d: String): DataFrame =
+  private[queries] def parsed(s: SparkSession, d: String): DataFrame =
     FlowLog.parseFlowLines(FlowLog.synthesizeLines(Tables.lineitem(s, d)))
 
   private def enriched(s: SparkSession, d: String): DataFrame =

@@ -53,9 +53,101 @@ class PlanInvariantsSpec extends SparkSpec {
     "text_bpe_train",        // one-row winning-pair broadcast per
                              // unrolled merge round (crossJoin(limit 1))
     "text_bpe_apply",        // same train chain feeding the tokenize join
-    "sim_mips_topk"          // broadcast probes, probe != neighbor
+    "sim_mips_topk",         // broadcast probes, probe != neighbor
                              // non-equi (the brute-force family shape)
+    "pipeline_negative_sample" // one-row occupied-bucket-count scalar
+                             // (the empty-bucket-proof draw remap)
   )
+
+  test("unrolled iterative plans pin their round counts") {
+    // The shuffle-budget spec legitimately excludes the iterative
+    // queries (cached/unrolled lineage inflates the plan-string
+    // exchange count), which leaves a blind spot: an accidental extra
+    // Lloyd / rank / hop round would ship silently inside correctness
+    // (the fixed point re-converges) at ~1.5x the cost. These pins
+    // count ROUND SIGNATURES in the analyzed logical plan instead —
+    // one per unrolled round by construction, updated deliberately
+    // when an iteration constant changes.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+
+    // sim_kmeans_train runs iters = 2: exactly one assignment
+    // row_number window per Lloyd round, nothing else windows.
+    val km = SparkEntry.queries("sim_kmeans_train")(spark, sfDir)
+    val kmWindows = km.queryExecution.analyzed.collect {
+      case w: Window => w
+    }.size
+    assert(kmWindows == 2,
+      s"sim_kmeans_train: expected 2 Lloyd assignment windows, " +
+        s"got $kmWindows — iteration count drifted?")
+
+    // graph_pagerank runs iterations = 3: the contrib projection
+    // (`rank_micro div outd AS contrib`) appears once per round in the
+    // rank chain (the prelude subtrees re-print per round, but none of
+    // them aliases `contrib`).
+    val pr = SparkEntry.queries("graph_pagerank")(spark, sfDir)
+    val prRounds = " AS contrib".r
+      .findAllIn(pr.queryExecution.analyzed.toString).size
+    assert(prRounds == 3,
+      s"graph_pagerank: expected 3 contrib rounds, got $prRounds")
+
+    // graph_bfs_hops runs maxHops = 3: each hop stamps its own
+    // DISTINCT hop literal (`k AS hops`), so the set of literals in
+    // the lineage is exactly {0..maxHops} — an accidental 4th hop
+    // would stamp `4 AS hops`. (Occurrence COUNTS are meaningless
+    // here: the anti-join re-prints the prior visited chain per hop.)
+    val bfs = SparkEntry.queries("graph_bfs_hops")(spark, sfDir)
+    val hopLits = "([0-9]+) AS hops".r
+      .findAllMatchIn(bfs.queryExecution.analyzed.toString)
+      .map(_.group(1).toInt).toSet
+    assert(hopLits == Set(0, 1, 2, 3),
+      s"graph_bfs_hops: expected hop literals {0,1,2,3}, got $hopLits")
+  }
+
+  test("connected components: executed round counts pin on controlled diameters") {
+    // The CC loop is convergence-driven (not unrolled), so its rounds
+    // never appear in any plan — componentsWithRounds exposes the
+    // executed count instead. Fixtures are geometry-controlled so the
+    // expected round count is DERIVED, not just measured; an
+    // accidental extra propagation round (or a propagation change that
+    // slows convergence) re-converges to the same fixpoint and would
+    // otherwise ship silently at ~1.5x the cost.
+    import spark.implicits._
+    import operators.ConnectedComponents
+
+    // Two disjoint dup cliques (diameter 1) — the gated dedup graphs'
+    // shape: the fused init already labels every vertex with its
+    // component minimum, so round 1 only confirms the fixpoint.
+    val cliques = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val (cliqueLabels, cliqueRounds) =
+      ConnectedComponents.componentsWithRounds(cliques)
+    assert(cliqueLabels.count() == 5)
+    assert(cliqueRounds == 1,
+      s"clique CC: fused init must leave only the confirming round, " +
+        s"ran $cliqueRounds")
+
+    // A 9-node chain (diameter 8): min-label propagation moves the
+    // head label one hop per round past the fused init's head start
+    // (node 8 starts at label 7), needing 7 improvement rounds + 1
+    // confirming round; pointer jumping shortcuts through the label's
+    // label each round and must converge in O(log diameter).
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (plainLabels, plainRounds) =
+      ConnectedComponents.componentsWithRounds(chain)
+    val (jumpLabels, jumpRounds) = ConnectedComponents
+      .componentsWithRounds(chain, pointerJump = true)
+    info(s"chain CC rounds: plain=$plainRounds jump=$jumpRounds")
+    assert(plainLabels.agg(org.apache.spark.sql.functions.max($"component"))
+      .head.getLong(0) == 0L)
+    assert(jumpLabels.agg(org.apache.spark.sql.functions.max($"component"))
+      .head.getLong(0) == 0L)
+    assert(plainRounds == 8,
+      s"chain CC: expected 7 improvement + 1 confirm rounds, " +
+        s"ran $plainRounds")
+    assert(jumpRounds < plainRounds && jumpRounds <= 5,
+      s"pointer jumping must be O(log diameter): ran $jumpRounds " +
+        s"vs plain $plainRounds")
+  }
 
   test("no CartesianProduct in any plan; BNLJ only in the audited set") {
     // Iterative queries (connected components) execute driver-side jobs
