@@ -463,6 +463,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Materialize the LSH band-bucket index of a (base) corpus:
+    * `(doc_id, bucket)` rows written to parquet — the dedup analog of
+    * the IVF / BM25 / kNN-assignment index writes. At 100 TB the base
+    * corpus's shingle→minhash→band chain is the expensive leg and the
+    * corpus is mostly frozen between runs: persisting its buckets once
+    * means every incoming shard dedups against the STORED index
+    * ([[lshIncrementalFromIndex]]) without ever re-reading base text.
+    * Buckets are strings and ids BIGINT, so parquet is exact and the
+    * served pairs are bit-identical to the live
+    * [[lshIncrementalPairs]] over the same split. */
+  def writeLshIndex(sigs: DataFrame, dir: String,
+      bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
+      sep: String = ""): Unit =
+    sigs.select(col("doc_id"),
+      bandBuckets(bands, rowsPerBand, sep).as("bucket"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Cross-side LSH candidates of a NEW shard against a stored
+    * [[writeLshIndex]] base: the shard's buckets (computed live — the
+    * shard is the small, fresh side) equi-join the index on the bucket
+    * key; within-shard pairs never form by construction, matching the
+    * [[lshIncrementalPairs]] contract. One bucket-keyed shuffle of
+    * |shard|·bands + |base index| rows; base text and signatures are
+    * never touched. Skew note: a degenerate bucket streams through
+    * Spark's spillable join buffer here (pair-set size is the same as
+    * the live path's; only the buffering differs). */
+  def lshIncrementalFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newSigs: DataFrame, bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand, sep: String = ""): DataFrame = {
+    val base = spark.read.parquet(dir)
+      .select(col("doc_id").as("base_id"), col("bucket"))
+    newSigs
+      .select(col("doc_id").as("new_id"),
+        bandBuckets(bands, rowsPerBand, sep).as("bucket"))
+      .join(base, Seq("bucket"))
+      .select(col("new_id"), col("base_id"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard over LSH candidate pairs only. */
   def jaccardPairs(sh: DataFrame, candidates: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

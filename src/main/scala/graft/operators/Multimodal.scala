@@ -350,6 +350,56 @@ object Multimodal {
       .withColumn("bytes_saved",
         col("chunk_len").cast("long") * (col("n_copies") - lit(1)))
 
+  /** Content-DEFINED chunking (CDC) — the rolling-boundary scheme
+    * [[chunkDedup]]'s caveat names: boundaries fall where the hash of
+    * the trailing `window` bytes divides `divisor` (expected chunk
+    * length ≈ `divisor`), so boundaries are a function of local
+    * CONTENT, not offset — a one-byte prefix shift re-keys only the
+    * chunks before the first surviving boundary, after which cuts (and
+    * therefore chunk hashes) re-align, which is what makes CDC the CAS
+    * scheme for mutable blobs (Muthitacharoen et al., SOSP'01 "A
+    * Low-Bandwidth Network File System"). Window hash is the engine-
+    * portable md5-prefix-48 of the window substring (not a true
+    * rolling recurrence — O(n·window) digest work; the codegen'd
+    * [[graft.functions.RollingFingerprint]] is the O(n) recurrence,
+    * kept separate because its per-position states are exactly what a
+    * SQL oracle cannot replay without a recursive CTE per row).
+    * Output: (doc_id, chunk_no, chunk_len, chunk_hash) — one row per
+    * chunk, the final partial chunk included. Pure per-row array HOFs
+    * + one generator; no shuffle at any corpus size. Empty documents
+    * produce no chunks. */
+  def cdcChunks(documents: DataFrame, window: Int = 8,
+      divisor: Int = 32): DataFrame = {
+    require(window >= 2 && divisor >= 2,
+      s"degenerate CDC shape window=$window divisor=$divisor")
+    documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      // Candidate cut positions i in [window, n] (slice of an
+      // ascending sequence — sequence(window, n) would DESCEND when
+      // n < window, the bpe-noted trap).
+      .withColumn("cuts", expr(
+        s"""filter(transform(
+           |  slice(sequence(1, length(text)), $window,
+           |        greatest(0, length(text) - $window + 1)),
+           |  i -> CASE WHEN cast(conv(substring(md5(cast(
+           |         substring(text, i - ${window - 1}, $window) as binary)),
+           |         1, 12), 16, 10) as bigint) % $divisor = 0
+           |       THEN i END),
+           |  x -> x is not null)""".stripMargin))
+      .withColumn("bounds", expr(
+        """CASE WHEN size(cuts) = 0 OR element_at(cuts, -1) <> length(text)
+          |THEN concat(cuts, array(length(text))) ELSE cuts END""".stripMargin))
+      .withColumn("k", explode(expr("sequence(1, size(bounds))")))
+      .withColumn("cstart", expr(
+        "CASE WHEN k = 1 THEN 1 ELSE element_at(bounds, k - 1) + 1 END"))
+      .withColumn("clen", expr("element_at(bounds, k) - cstart + 1"))
+      .select(col("doc_id"), (col("k") - 1).cast("int").as("chunk_no"),
+        col("clen").cast("int").as("chunk_len"),
+        expr("md5(cast(substring(text, cstart, clen) as binary))")
+          .as("chunk_hash"))
+  }
+
   /** Frame sampling for "video" payloads: split the byte stream into
     * fixed-size frames and keep every `stride`-th one. Pure column ops
     * (codegen), no UDF. */

@@ -362,6 +362,31 @@ object FlowLogQueries {
         .filter(col("n_targets") >= 3)
         .orderBy("srcaddr", "hour_bucket")),
 
+    // Destination-port Shannon entropy per interface — the
+    // concentration signal next to flow_port_scan's cardinality one:
+    // near-zero entropy = hammering one port (beaconing / exfil over a
+    // fixed channel), near-ln(n_ports) = uniform spread (sweep, or
+    // tunnel mixing). Determinism discipline: the per-port terms
+    // c·ln(c) quantize to integer micro-units via floor(x·1e6 + 0.5)
+    // (exact IEEE floor — the dsir/unigram-LM contract) and sum as
+    // BIGINTs, so H = ln(N) − (Σ terms)/N has no order-dependent
+    // float sum anywhere; the final division is integer `div`.
+    // Scale shape: two keyed aggregations with full map-side partials
+    // ((eni, port) then eni) — bounded by distinct ports, never flows.
+    "flow_port_entropy" -> ((s, d) =>
+      parsed(s, d).filter(!col("error"))
+        .groupBy(col("interface_id"), col("dstport"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("interface_id"))
+        .agg(sum(col("c")).as("n_flows"),
+          count(lit(1)).as("n_ports"),
+          sum(expr("cast(floor(c * ln(c) * 1000000.0 + 0.5) as bigint)"))
+            .as("terms"))
+        .select(col("interface_id"), col("n_flows"), col("n_ports"),
+          (expr("cast(floor(ln(n_flows) * 1000000.0 + 0.5) as bigint)") -
+            expr("terms div n_flows")).as("entropy_micro"))
+        .orderBy("interface_id")),
+
     // EWMA traffic-anomaly screen: per-interface 10-minute flow counts
     // against an 80-minute exponentially-decayed baseline (halving
     // weights 2^(8-i), denominator 255 — the whole EWMA is integer
@@ -592,6 +617,21 @@ object FlowLogQueries {
         |GROUP BY srcaddr, hour_bucket
         |HAVING count(DISTINCT destaddr || ':' || CAST(dstport AS VARCHAR)) >= 3
         |ORDER BY srcaddr, hour_bucket""".stripMargin),
+
+    "flow_port_entropy" -> withCtes(linesCte, parsedCte,
+      """pc AS (
+        |  SELECT interface_id, dstport, CAST(count(*) AS BIGINT) AS c
+        |  FROM parsed WHERE NOT error GROUP BY interface_id, dstport)""".stripMargin,
+      """ag AS (
+        |  SELECT interface_id, CAST(sum(c) AS BIGINT) AS n_flows,
+        |         count(*) AS n_ports,
+        |         CAST(sum(CAST(floor(c * ln(c) * 1000000.0 + 0.5)
+        |           AS BIGINT)) AS BIGINT) AS terms
+        |  FROM pc GROUP BY interface_id)""".stripMargin)(
+      """SELECT interface_id, n_flows, n_ports,
+        |       CAST(floor(ln(n_flows) * 1000000.0 + 0.5) AS BIGINT)
+        |         - terms // n_flows AS entropy_micro
+        |FROM ag ORDER BY interface_id""".stripMargin),
 
     "flow_exfil_ratio" -> withCtes(linesCte, parsedCte, eniCte, enr1Cte)(
       """SELECT interface_id,

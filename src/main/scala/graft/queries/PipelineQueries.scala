@@ -888,6 +888,25 @@ object PipelineQueries {
       TextAnalysis.bpeApply(Tables.documents(s, d), merges = 3)
         .orderBy("doc_id")),
 
+    // Tokenizer SERVE: the vocabulary trains once and persists
+    // (bpeWriteVocab — the tokenizer's index write), then a corpus the
+    // vocab was NOT trained on tokenizes against the stored table —
+    // every doc gains one guaranteed-OOV word ("xq<doc_id>", absent
+    // from the synthetic vocabulary), which must fall back to its
+    // character symbols rather than vanish. This is the leg a
+    // training-data pipeline runs continuously (new crawl shards
+    // against a frozen tokenizer); StreamingSpec proves the same serve
+    // under foreachBatch.
+    "text_bpe_serve" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dir = FlowLogQueries.scratchDir("graft_bpe_vocab")
+      TextAnalysis.bpeWriteVocab(docs, dir, merges = 3)
+      val incoming = docs.select(col("doc_id"),
+        concat(col("text"), lit(" xq"), col("doc_id").cast("string"))
+          .as("text"))
+      TextAnalysis.bpeApplyFromVocab(s, dir, incoming).orderBy("doc_id")
+    }),
+
     // Bigram-LM fluency: mean log P(w_i | w_{i-1}) under the corpus's
     // own smoothed bigram model — the conditional-transition step up
     // from the unigram score (word salad scores low even when its
@@ -993,6 +1012,23 @@ object PipelineQueries {
           Dedup.augmentCorpus(Tables.documents(s, d))),
         col("doc_id") >= 100000, sep = "|")
         .orderBy("new_id", "base_id")),
+
+    // Incremental dedup served from a PERSISTED LSH bucket index: the
+    // base corpus's shingle→minhash→band chain runs once at build and
+    // its (doc_id, bucket) table persists; the incoming shard computes
+    // its own buckets live and equi-joins the stored index — base text
+    // is never re-read. Strings + BIGINTs round-trip parquet exactly,
+    // so the pairs share dedup_incremental's oracle bit-for-bit.
+    "dedup_lsh_persist" -> ((s, d) => {
+      val sigs = Dedup.minhashSignaturesV2(
+        Dedup.augmentCorpus(Tables.documents(s, d)))
+      val dir = FlowLogQueries.scratchDir("graft_lsh_idx")
+      Dedup.writeLshIndex(sigs.filter(col("doc_id") < 100000), dir,
+        sep = "|")
+      Dedup.lshIncrementalFromIndex(s, dir,
+        sigs.filter(col("doc_id") >= 100000), sep = "|")
+        .orderBy("new_id", "base_id")
+    }),
 
     // Bloom-prefiltered cross-run dedup: the incoming duplicate shard
     // (ids >= 100000) against the base corpus as history. The bloom
@@ -1220,6 +1256,16 @@ object PipelineQueries {
         Multimodal.asBinaryPayloads(
           Dedup.augmentCorpus(Tables.documents(s, d))), 64)
         .orderBy("chunk_hash")),
+
+    // Content-DEFINED chunking: boundaries where the trailing-window
+    // hash divides 32, so chunk identity survives byte shifts — the
+    // CAS scheme for mutable blobs that fixed-offset mm_chunk cannot
+    // provide (its scaladoc caveat). Pure per-row HOFs, no shuffle;
+    // MultimodalSpec pins the shift-realignment property.
+    "mm_cdc_chunks" -> ((s, d) =>
+      Multimodal.cdcChunks(Tables.documents(s, d), window = 8,
+        divisor = 32)
+        .orderBy("doc_id", "chunk_no")),
 
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
@@ -1775,6 +1821,20 @@ object PipelineQueries {
       |                  ELSE (CAST(0.709 AS DOUBLE) * 4096 *
       |                        1125899906842624) / s END, 4) AS est_hll
       |FROM fin ORDER BY source""".stripMargin
+
+  // Shared by dedup_incremental and dedup_lsh_persist: the persisted
+  // bucket index round-trips strings/BIGINTs exactly, so the served
+  // cross-side pairs equal the live incremental pairs.
+  private lazy val lshIncrementalOracle =
+    s"""WITH $corpusCte,
+       |$shinglesCte,
+       |$lshV2CandCte,
+       |inc AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
+       |  FROM buckets n JOIN buckets b ON n.bucket = b.bucket
+       |  WHERE n.doc_id >= 100000 AND b.doc_id < 100000)
+       |SELECT new_id, base_id FROM inc
+       |ORDER BY new_id, base_id""".stripMargin
 
   // Shared by sim_knn_join_indexed and sim_knn_join_persist: the
   // persisted assignment table is all-integer, so the serve leg is
@@ -2723,6 +2783,35 @@ object PipelineQueries {
          |FROM dw JOIN wt USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Serve side: same final symbol table s4 as the stored vocab
+    // (parquet round-trips strings exactly); the incoming corpus adds
+    // one OOV word per doc, which the LEFT join + character fallback
+    // must tokenize to its chars.
+    "text_bpe_serve" ->
+      s"""WITH $bpeRoundsCtes,
+         |wt AS (SELECT word, string_agg(sym, ' ' ORDER BY pos) AS wtoks,
+         |         CAST(count(*) AS INTEGER) AS ntoks
+         |       FROM s4 GROUP BY word),
+         |incoming AS (SELECT doc_id,
+         |    text || ' xq' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents),
+         |dw AS (SELECT doc_id, i, w[i] AS word
+         |       FROM (SELECT doc_id, string_split(text, ' ') AS w,
+         |               unnest(generate_series(1,
+         |                 len(string_split(text, ' ')))) AS i
+         |             FROM incoming)
+         |       WHERE length(w[i]) > 0),
+         |fb AS (SELECT doc_id, i,
+         |         coalesce(wtoks, array_to_string(list_transform(
+         |           generate_series(1, length(word)),
+         |           j -> substr(word, j, 1)), ' ')) AS wtoks,
+         |         coalesce(ntoks, CAST(length(word) AS INTEGER)) AS ntoks
+         |       FROM dw LEFT JOIN wt USING (word))
+         |SELECT doc_id, CAST(sum(ntoks) AS INTEGER) AS n_tokens,
+         |       string_agg(wtoks, ' ' ORDER BY i) AS tokens
+         |FROM fb
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_bigram_logprob" ->
       """WITH wrd AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -2908,16 +2997,11 @@ object PipelineQueries {
         |       pr >= 0.1 AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
 
-    "dedup_incremental" ->
-      s"""WITH $corpusCte,
-         |$shinglesCte,
-         |$lshV2CandCte,
-         |inc AS (
-         |  SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
-         |  FROM buckets n JOIN buckets b ON n.bucket = b.bucket
-         |  WHERE n.doc_id >= 100000 AND b.doc_id < 100000)
-         |SELECT new_id, base_id FROM inc
-         |ORDER BY new_id, base_id""".stripMargin,
+    "dedup_incremental" -> lshIncrementalOracle,
+
+    // The persisted-index serve is bit-identical to the live
+    // incremental pairs (string buckets + BIGINT ids, parquet-exact).
+    "dedup_lsh_persist" -> lshIncrementalOracle,
 
     "text_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w,
@@ -3124,6 +3208,45 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) // (2 * (1 + doc_id % 2)) AS BIGINT) AS n_frames,
         |  TRUE AS header_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same window-hash derivation as the Spark side: md5-prefix-48 of
+    // the trailing 8 bytes, cut where it divides 32; final partial
+    // chunk appended when the last position is not already a cut.
+    "mm_cdc_chunks" ->
+      """WITH f AS (SELECT doc_id, text, length(text) AS n
+        |           FROM documents WHERE length(text) > 0),
+        |pos AS (
+        |  SELECT doc_id, unnest(generate_series(8, n)) AS i FROM f),
+        |cut AS (
+        |  SELECT p.doc_id, p.i
+        |  FROM pos p JOIN f USING (doc_id)
+        |  WHERE CAST(CAST(('0x' || substr(md5(substr(f.text, CAST(p.i - 7 AS BIGINT), 8)),
+        |          1, 12)) AS UBIGINT) AS BIGINT) % 32 = 0),
+        |b AS (
+        |  SELECT f.doc_id, f.text, f.n,
+        |         coalesce(list_sort(list(cut.i) FILTER (WHERE cut.i IS NOT NULL)),
+        |                  []) AS cuts
+        |  FROM f LEFT JOIN cut USING (doc_id)
+        |  GROUP BY f.doc_id, f.text, f.n),
+        |b2 AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN len(cuts) = 0 OR cuts[len(cuts)] <> n
+        |              THEN list_append(cuts, n) ELSE cuts END AS bounds
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id, text, bounds,
+        |         unnest(generate_series(1, len(bounds))) AS k
+        |  FROM b2),
+        |seg AS (
+        |  SELECT doc_id, k, text,
+        |         CASE WHEN k = 1 THEN 0 ELSE bounds[CAST(k - 1 AS INTEGER)] END AS prev,
+        |         bounds[CAST(k AS INTEGER)] AS fin
+        |  FROM ch)
+        |SELECT doc_id, CAST(k - 1 AS INTEGER) AS chunk_no,
+        |       CAST(fin - prev AS INTEGER) AS chunk_len,
+        |       md5(substr(text, CAST(prev + 1 AS BIGINT),
+        |                  CAST(fin - prev AS BIGINT))) AS chunk_hash
+        |FROM seg ORDER BY doc_id, chunk_no""".stripMargin,
 
     "mm_chunk" ->
       """WITH f AS (SELECT doc_id, text, length(text) AS n FROM documents),

@@ -378,6 +378,36 @@ class PipelineSpec extends SparkSpec {
       f"self-indexed recall at nprobe=2 degraded: $recall%.3f")
   }
 
+  test("persisted LSH bucket index: file-backed incremental pairs equal " +
+      "the live cross-side pairs") {
+    // The base corpus's bucket table round-trips parquet (string
+    // buckets, BIGINT ids — exact), and the incoming shard's buckets
+    // derive from the SAME bandBuckets expression, so the served
+    // pairs must equal lshIncrementalPairs over the same split
+    // bit-for-bit — including the no-within-shard-pairs contract.
+    val sigs = Dedup.minhashSignaturesV2(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx")
+      .toString
+    try {
+      Dedup.writeLshIndex(sigs.filter($"doc_id" < 100000), dir, sep = "|")
+      val served = Dedup.lshIncrementalFromIndex(spark, dir,
+        sigs.filter($"doc_id" >= 100000), sep = "|")
+      val want = Dedup.lshIncrementalPairs(sigs, $"doc_id" >= 100000,
+        sep = "|").collect().toSet
+      assert(want.nonEmpty && served.collect().toSet === want,
+        "persisted-index incremental pairs must equal the live pairs")
+      assert(served.filter($"base_id" >= 100000).isEmpty,
+        "within-shard pairs must never form against the base index")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } finally walk.close()
+    }
+  }
+
   test("persisted kNN assignment index: file-backed join equals the " +
       "in-memory twin, including at a lowered serve-time nprobe") {
     // The write → read → serve round-trip must not move a single bit:
@@ -1009,6 +1039,45 @@ class PipelineSpec extends SparkSpec {
     val h3 = chunks.filter(col("doc_id") === 3L && col("chunk_no") === 0)
       .select("chunk_hash").as[String].head()
     assert(h1 !== h3)  // different content, different key
+  }
+
+  test("CDC chunking: chunks cover the text exactly and survive a " +
+      "prefix shift that re-keys every fixed-offset chunk") {
+    import graft.operators.Multimodal
+    // Pseudo-random but fixed content (hash boundaries need byte
+    // diversity — a constant run has one window value everywhere).
+    val rnd = new scala.util.Random(7)
+    val body = Array.fill(600)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, body), (2L, "QQQ" + body))
+      .toDF("doc_id", "text")
+    val chunks = Multimodal.cdcChunks(docs, window = 8, divisor = 32)
+      .collect()
+    // Exactness: per-doc chunk lengths sum to the text length and
+    // chunk numbers are dense from 0.
+    Seq(1L -> 600, 2L -> 603).foreach { case (id, n) =>
+      val c = chunks.filter(_.getLong(0) == id).sortBy(_.getInt(1))
+      assert(c.map(_.getInt(2)).sum == n, s"doc $id chunks must cover")
+      assert(c.map(_.getInt(1)).toSeq == c.indices.toSeq)
+    }
+    // Shift robustness: doc 2 is doc 1 with a 3-byte prefix. Interior
+    // boundaries are content-defined, so after the first surviving
+    // cut the chunk hash sets re-align; fixed-offset chunking at the
+    // same granularity shares (essentially) nothing.
+    val cdc1 = chunks.filter(_.getLong(0) == 1L).map(_.getString(3)).toSet
+    val cdc2 = chunks.filter(_.getLong(0) == 2L).map(_.getString(3)).toSet
+    val cdcShared = (cdc1 & cdc2).size.toDouble / cdc1.size
+    val fixed = Multimodal.chunkPayloads(
+      Multimodal.asBinaryPayloads(docs), 32).collect()
+    val f1 = fixed.filter(_.getLong(0) == 1L).map(_.getString(3)).toSet
+    val f2 = fixed.filter(_.getLong(0) == 2L).map(_.getString(3)).toSet
+    val fixedShared = (f1 & f2).size.toDouble / f1.size
+    info(f"shared chunk-hash fraction under a 3-byte shift: " +
+      f"cdc=$cdcShared%.2f fixed=$fixedShared%.2f")
+    assert(cdcShared >= 0.8,
+      f"CDC chunks must re-align after a byte shift: $cdcShared%.2f")
+    assert(fixedShared <= 0.2,
+      f"fixture degenerate: fixed chunking unexpectedly aligned " +
+        f"($fixedShared%.2f)")
   }
 
   test("hash split assignments are stable when the corpus grows") {

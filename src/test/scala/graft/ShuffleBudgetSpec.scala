@@ -235,6 +235,20 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // distincts (bucket side broadcasts
                                   // into the dense grid) + eni window
                                   // reusing the grid exchange + sort
+    "mm_cdc_chunks" -> 1,         // pure per-row HOFs + generator;
+                                  // output sort only
+    "flow_port_entropy" -> 3,     // (eni, port) agg + eni rollup +
+                                  // output sort — bounded by distinct
+                                  // ports, never flows
+    "text_bpe_serve" -> 2,        // SERVING plan (vocab trained+written
+                                  // before the frame): per-doc
+                                  // reassembly agg + output sort — the
+                                  // stored vocab broadcasts into the
+                                  // tokenize join
+    "dedup_lsh_persist" -> 2,     // SERVING plan (base index written
+                                  // before the frame): bucket-keyed
+                                  // join/distinct + output sort; base
+                                  // text and signatures never touched
     "sim_ivfpq_persist" -> 7)     // SERVING plan only: probe assignment
                                   // agg/window over broadcast stored
                                   // centroids (printed again under the

@@ -831,6 +831,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup serve over the persisted LSH index: streamed shards match as in batch") {
+    // The incremental-dedup serve: the base corpus's band-bucket index
+    // persists once (writeLshIndex), incoming doc shards arrive as
+    // micro-batches, and each batch's cross-side candidates come from
+    // one join against the STORED index — no base text, no re-hash of
+    // history. Union of per-batch pairs must equal the batch serve
+    // (batches are independent against a frozen base, so the split
+    // cannot create or lose pairs).
+    val corpus = operators.Dedup.augmentCorpus(
+      Tables.documents(spark, sfDir))
+    val sigs = operators.Dedup.minhashSignaturesV2(corpus)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_serve").toString
+    operators.Dedup.writeLshIndex(sigs.filter($"doc_id" < 100000), dir,
+      sep = "|")
+    val want = operators.Dedup.lshIncrementalFromIndex(spark, dir,
+        sigs.filter($"doc_id" >= 100000), sep = "|")
+      .as[(Long, Long)].collect().toSet
+
+    val in = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= operators.Dedup.lshIncrementalFromIndex(spark, dir,
+            operators.Dedup.minhashSignaturesV2(batch), sep = "|")
+          .as[(Long, Long)].collect()
+        ()
+      }.start()
+    try {
+      val rows = corpus.filter($"doc_id" >= 100000)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      assert(want.nonEmpty && got.toSet === want,
+        s"served candidates (${got.size}) must equal batch (${want.size})")
+    } finally q.stop()
+  }
+
   test("streaming tokenizer serve over the persisted BPE vocab: streamed docs tokenize as in batch") {
     // The tokenizer is the op a training-data pipeline runs
     // continuously: train once (bpeWriteVocab — the merge rounds run
