@@ -123,6 +123,50 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (community detection), `iterations`
+    * unrolled rounds: every node starts labeled with its own id; each
+    * round it adopts the most frequent label among its neighbors AND
+    * itself (self-vote — the standard damping against the synchronous
+    * flip on bipartite-ish structure), ties to the smallest label.
+    * Raghavan et al. 2007 (arXiv:0709.2938) is the async original;
+    * this is the deterministic synchronous variant a relational engine
+    * can unroll — fixed rounds, bit-reproducible (integer counts,
+    * total tie order), gated against an identically-unrolled oracle.
+    * Synchronous LPA may oscillate rather than converge on structured
+    * graphs; the contract here is "the label state after exactly N
+    * rounds", which is also what makes it oracle-checkable.
+    *
+    * Scale shape: per round one co-keyed join of the label table
+    * against the symmetrized edges (both sides keyed on the node id)
+    * + two keyed aggregations with full map-side partials — the
+    * pagerank shape; the unrolled subtrees dedup through
+    * ReuseExchange, nothing is cached or collected. */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 5,
+      s"iterations must be in [1, 5] (unrolled join depth), got $iterations")
+    val sym = edges
+      .select(explode(array(
+        struct(col("src").cast("long").as("u"), col("dst").cast("long").as("v")),
+        struct(col("dst").cast("long").as("u"), col("src").cast("long").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iterations) {
+      val votes = sym
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .select(col("u").as("node"), col("label"))
+        .unionByName(labels)
+      labels = votes
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
+        .select(col("node"), (-col("best.neg")).as("label"))
+    }
+    labels
+  }
+
   /** 10^12 micro-ranks = total mass 1.0 (shared by both variants). */
   private val Scale = 1000000000000L
 

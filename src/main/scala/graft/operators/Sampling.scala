@@ -236,6 +236,34 @@ object Sampling {
     * decile boundaries are engine- and partitioning-stable (ties break
     * on doc_id).
     */
+  /** Greedy per-source token-budget cut — the materialization step of
+    * a mixture recipe expressed in TOKENS (the unit training budgets
+    * are written in), not documents: within each source, documents
+    * accumulate in ascending-id order (deterministic, matches
+    * ingestion order in this corpus) and the source's stream cuts
+    * where the running token total would exceed `budget`. A document
+    * is kept iff its cumulative total fits — the next-fit rule, same
+    * window shape as the compaction planner. Output keeps the running
+    * total so the consumer can see how full each source's budget ran.
+    *
+    * Scale shape: one window cumsum per source key + a map-side
+    * filter; nothing else shuffles. At 100 TB the ordered window
+    * within a giant source is the bottleneck — shard the budget first
+    * (budget/n_shards per hash shard) for a parallel approximation, or
+    * pre-aggregate per-file token counts and cut at file granularity
+    * (the compaction planner's trick). */
+  def tokenBudget(documents: DataFrame, source: Column, id: Column,
+      nTokens: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    documents
+      .select(source.as("source"), id.as("doc_id"),
+        nTokens.cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   def curriculumOrder(documents: DataFrame, deciles: Int = 10): DataFrame = {
     val wDecile = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))

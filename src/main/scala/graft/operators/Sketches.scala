@@ -237,6 +237,80 @@ object Sketches {
     hllEstimate(df.sparkSession.read.parquet(dir), m)
   }
 
+  /** Mergeable QUANTILE sketch — the family's fourth member: a
+    * bottom-k-by-hash row sample per group. With h = h48(rowKey)
+    * uniform, the k rows with the smallest (h, v) ARE a uniform
+    * k-sample of the group, and — exactly like the KMV synopsis — the
+    * global sample of a union is the re-rank of per-shard samples'
+    * union (every globally-bottom-k row is bottom-k in its own
+    * shard), so shards ship k rows each and merge loss-free. Quantile
+    * estimates read the sorted sample at rank ⌈q·n⌉: sampling error
+    * ~1/√k on the rank, exact when the group fits (n ≤ k, the whole
+    * group IS the sample). All arithmetic integer; the estimate for a
+    * group is a VALUE THAT OCCURS in it, never an interpolation.
+    *
+    * Scale shape: one rank-filter per group (the spillable
+    * TopKPerKeyExec — k-row heaps, never group size), then windows
+    * over k-row groups. The per-group state that crosses any wire is
+    * k (h, v) pairs, independent of data volume.
+    */
+  def quantileSketch(df: DataFrame, key: Column, value: Column,
+      group: Column, k: Int = 64,
+      pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame =
+    quantileEstimate(
+      quantileSample(df.select(group.as("grp"), h48(key).as("h"),
+        value.as("v")), k), pcts)
+
+  /** The bottom-k sample itself — the mergeable unit. Input `(grp, h,
+    * v)`; total order (h, v) so shard merges re-rank identically. */
+  private[graft] def quantileSample(keyed: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"quantile sample needs k >= 2, got $k")
+    keyed
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("h"), col("v"))))
+      .filter(col("rnk") <= k)
+      .select(col("grp"), col("h"), col("v"))
+  }
+
+  /** Estimates from a sample: value at rank ⌈pct·n/100⌉ of the
+    * (v, h)-sorted sample, one row per (group, pct). */
+  private[graft] def quantileEstimate(sample: DataFrame,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1, 100], got $pcts")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"), col("h"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    sample
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_kept", count(lit(1)).over(wAll))
+      .select(col("grp"), col("rn"), col("n_kept"), col("v"),
+        explode(array(pcts.map(lit(_)): _*)).as("pct"))
+      .filter(col("rn") === expr("greatest(1, (pct * n_kept + 99) div 100)"))
+      .select(col("grp"), col("pct"), col("n_kept"), col("v").as("est_v"))
+  }
+
+  /** Sharded quantile sketch: per-shard bottom-k samples merged by
+    * re-rank — bit-identical to the monolithic [[quantileSketch]] by
+    * the same argument as the KMV synopsis merge, and gated against
+    * the same oracle. Shards come from GROUPING on the shard column
+    * (the family discipline — no index-range filter can drop rows). */
+  def quantileSketchSharded(df: DataFrame, key: Column, value: Column,
+      group: Column, shard: Column, k: Int = 64,
+      pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    val keyed = df.select(group.as("grp"), shard.as("sh"),
+      h48(key).as("h"), value.as("v"))
+    val partial = keyed
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp"), col("sh")).orderBy(col("h"), col("v"))))
+      .filter(col("rnk") <= k)
+      .select(col("grp"), col("h"), col("v"))
+    quantileEstimate(quantileSample(partial, k), pcts)
+  }
+
   /** Count-min sketch: build the d×w counter table in one pass.
     *
     * Each row increments d counters, one per hash family

@@ -84,6 +84,43 @@ object TextAnalysis {
           (col("df") + 1).cast("double")) + 1.0, 6).as("idf_r"))
   }
 
+  /** Per-document keyword extraction: the top `k` terms by tf·idf —
+    * the cheap summarization/indexing pass a curation pipeline runs
+    * for faceting and topic spot-checks. Scores work in the fixed-
+    * point micro discipline ([[dsirWeights]]'s lesson): idf quantizes
+    * to `floor((ln((n+1)/(df+1)) + 1)·10⁶ + 0.5)` — exact IEEE floor,
+    * one semantics everywhere — and the score is the BIGINT product
+    * tf·idf_micro, so the per-doc ranking (score desc, term asc) is a
+    * total integer order no engine pair can disagree on.
+    *
+    * Scale shape: one (doc, term) counting aggregate (tf), one
+    * term-keyed df aggregate of the distinct pairs, a broadcast
+    * one-row corpus count, then the per-doc top-k rank window (the
+    * TopKPerKey rewrite) — token-linear, no doc×vocab blowup. */
+  def topKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    tf.join(df, Seq("term")).crossJoin(broadcast(total))
+      .withColumn("score_micro",
+        col("tf") * expr(
+          """cast(floor((ln(cast(n_docs + 1 as double) /
+            |cast(df + 1 as double)) + 1.0) * 1000000.0 + 0.5) as bigint)"""
+            .stripMargin))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score_micro"))
+  }
+
   /** Unigram language-model quality score: each document's mean
     * per-token log-probability under an add-one-smoothed unigram LM
     * trained on the corpus itself — the classic cheap perplexity proxy

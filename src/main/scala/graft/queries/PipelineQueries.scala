@@ -1196,6 +1196,14 @@ object PipelineQueries {
       TextAnalysis.idfVocabulary(Tables.documents(s, d))
         .orderBy(col("df").desc, col("term")).limit(100)),
 
+    // Per-doc keyword extraction: top-3 terms by tf·idf in integer
+    // micro-units (floor-quantized idf × integer tf — a total order no
+    // engine pair can disagree on), ranked through the TopKPerKey
+    // rewrite.
+    "text_keywords" -> ((s, d) =>
+      TextAnalysis.topKeywords(Tables.documents(s, d), k = 3)
+        .orderBy("doc_id", "rnk")),
+
     // Benchmark decontamination: train docs (doc_id % 10 != 0) sharing
     // any distinct word 8-gram with the held-out benchmark slice.
     "text_decontaminate" -> ((s, d) => {
@@ -1683,6 +1691,39 @@ object PipelineQueries {
         depth = 3, width = 256, minCount = 50L)
         .orderBy(col("true_c").desc, col("k"))),
 
+    // Token-budget mixture materialization: each source contributes
+    // documents in ascending-id order until 2000 tokens — the unit a
+    // training recipe is actually written in. One window cumsum per
+    // source + a map-side cut.
+    "pipeline_token_budget" -> ((s, d) =>
+      Sampling.tokenBudget(Tables.documents(s, d), col("source"),
+        col("doc_id"), size(split(col("text"), " ")), budget = 2000L)
+        .orderBy("source", "doc_id")),
+
+    // Mergeable quantile sketch (4th sketch family member): per-
+    // priority order-price quantiles from a bottom-64-by-hash row
+    // sample — a uniform sample that merges loss-free by re-rank
+    // (the KMV argument), estimates at rank ceil(q·n), and works in
+    // exact integer cents so the oracle gates value-for-value.
+    "sketch_quantile" -> ((s, d) =>
+      Sketches.quantileSketch(Tables.orders(s, d), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("bigint"),
+        col("o_orderpriority"), k = 64)
+        .withColumnRenamed("grp", "o_orderpriority")
+        .orderBy("o_orderpriority", "pct")),
+
+    // Sharded twin: per-shard bottom-k samples merged by re-rank —
+    // bit-identical to the monolithic sketch (the fourth mergeability
+    // proof next to KMV re-rank, CMS cell sum, HLL register max) and
+    // gated against the same oracle.
+    "sketch_quantile_sharded" -> ((s, d) =>
+      Sketches.quantileSketchSharded(Tables.orders(s, d),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("bigint"),
+        col("o_orderpriority"), col("o_custkey") % 4, k = 64)
+        .withColumnRenamed("grp", "o_orderpriority")
+        .orderBy("o_orderpriority", "pct")),
+
     // Small-file compaction plan: documents stand in for a file
     // inventory (source = table partition, n_chars = file bytes);
     // next-fit bins at a 20 kB target via one window cumsum — the
@@ -1821,6 +1862,32 @@ object PipelineQueries {
       |                  ELSE (CAST(0.709 AS DOUBLE) * 4096 *
       |                        1125899906842624) / s END, 4) AS est_hll
       |FROM fin ORDER BY source""".stripMargin
+
+  // Shared by sketch_quantile and sketch_quantile_sharded: the shard
+  // merge is a re-rank of per-shard bottom-k samples (the KMV
+  // argument), so both compute the identical sample and estimates.
+  private lazy val quantileSketchOracle =
+    """WITH src AS (
+      |  SELECT o_orderpriority AS grp,
+      |         CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+      |           1, 12)) AS UBIGINT) AS BIGINT) AS h,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+      |  FROM orders),
+      |samp AS (
+      |  SELECT grp, h, v FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h, v)
+      |      AS rnk FROM src)
+      |  WHERE rnk <= 64),
+      |ranked AS (
+      |  SELECT grp, v,
+      |         row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rn,
+      |         count(*) OVER (PARTITION BY grp) AS n_kept
+      |  FROM samp)
+      |SELECT grp AS o_orderpriority, pct, CAST(n_kept AS BIGINT) AS n_kept,
+      |       v AS est_v
+      |FROM ranked CROSS JOIN (SELECT unnest([25, 50, 75, 95]) AS pct)
+      |WHERE rn = greatest(1, (pct * n_kept + 99) // 100)
+      |ORDER BY o_orderpriority, pct""".stripMargin
 
   // Shared by dedup_incremental and dedup_lsh_persist: the persisted
   // bucket index round-trips strings/BIGINTs exactly, so the served
@@ -2021,6 +2088,27 @@ object PipelineQueries {
         |SELECT term, df, n_docs,
         |  round(ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0, 6) AS idf_r
         |FROM tf CROSS JOIN tot ORDER BY df DESC, term LIMIT 100""".stripMargin,
+
+    "text_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks WHERE length(term) > 0 GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+        |        FROM toks WHERE length(term) > 0 GROUP BY term),
+        |tot AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term,
+        |         tf * CAST(floor((ln(CAST(n_docs + 1 AS DOUBLE) /
+        |             CAST(df + 1 AS DOUBLE)) + 1.0) * 1000000.0 + 0.5)
+        |           AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN tot),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_micro DESC, term) AS INTEGER) AS rnk
+        |      FROM sc)
+        |SELECT doc_id, rnk, term, score_micro FROM r
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "text_decontaminate" ->
       """WITH grams AS (
@@ -3728,6 +3816,26 @@ object PipelineQueries {
          |SELECT n_kept, n_both, jac_micro, est_union,
          |       (n_both * est_union) // n_kept AS est_inter
          |FROM est""".stripMargin,
+
+    "pipeline_token_budget" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 2000
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "sketch_quantile" -> quantileSketchOracle,
+
+    // Shard merge is a re-rank of per-shard bottom-k samples — same
+    // oracle as the monolithic sketch.
+    "sketch_quantile_sharded" -> quantileSketchOracle,
 
     "sketch_hll_distinct" -> hllDistinctOracle,
 

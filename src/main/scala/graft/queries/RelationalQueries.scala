@@ -1591,6 +1591,21 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Synchronous label propagation, 2 unrolled rounds with self-vote
+    // and smallest-label tie-break, over the same customer—supplier
+    // graph — the community-detection pass next to pagerank's
+    // importance one. The contract is "label state after exactly N
+    // rounds" (bit-reproducible: integer counts, total tie order),
+    // gated against an identically-unrolled oracle.
+    "graph_label_prop" -> ((s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graph.labelPropagation(edges, iterations = 2)
+        .orderBy("node")
+    }),
+
     // Common-neighbor link prediction on the supplier—part bipartite
     // graph: supplier pairs ranked by neighbor-set Jaccard (integer
     // micro-units) — the friends-of-friends self-join keyed on the
@@ -2726,6 +2741,34 @@ object RelationalQueries {
         |  FROM bfs b JOIN und u ON b.node = u.src WHERE b.hops < 3)
         |SELECT node, CAST(min(hops) AS INTEGER) AS hops
         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
+    "graph_label_prop" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS s,
+        |         CAST(l_suppkey + 1000000 AS BIGINT) AS t
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |sym AS (SELECT s AS u, t AS v FROM e0
+        |        UNION SELECT t, s FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+        |v1 AS (SELECT s.u AS node, l.label
+        |       FROM sym s JOIN l0 l ON l.node = s.v
+        |       UNION ALL SELECT node, label FROM l0),
+        |c1 AS (SELECT node, label, count(*) AS cnt
+        |       FROM v1 GROUP BY node, label),
+        |l1 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (PARTITION BY node
+        |           ORDER BY cnt DESC, label) AS rn FROM c1)
+        |       WHERE rn = 1),
+        |v2 AS (SELECT s.u AS node, l.label
+        |       FROM sym s JOIN l1 l ON l.node = s.v
+        |       UNION ALL SELECT node, label FROM l1),
+        |c2 AS (SELECT node, label, count(*) AS cnt
+        |       FROM v2 GROUP BY node, label),
+        |l2 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (PARTITION BY node
+        |           ORDER BY cnt DESC, label) AS rn FROM c2)
+        |       WHERE rn = 1)
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
 
     "graph_pagerank" ->
       """WITH e AS (

@@ -161,4 +161,33 @@ class GraphOpsSpec extends SparkSpec {
       .select("is_cut", "scene_id").as[(Boolean, Int)].collect()
     assert(got.forall(r => !r._1 && r._2 === 0))
   }
+
+  test("labelPropagation: cliques converge to min-id communities; a " +
+      "bridge node follows its heavier side") {
+    import graft.operators.Graph
+    // Two cliques {1,2,3} and {10,11,12}; node 20 bridges to BOTH
+    // members of clique A's {2,3} but only one of B's. Round 1: inside
+    // a clique every label (incl. self-vote) ties at count 1, so the
+    // smallest clique id wins everywhere in it; round 2 is stable for
+    // clique members.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 2L), (20L, 3L), (20L, 10L))
+      .toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(labels(_) == 1L),
+      s"clique A must converge to min id 1: $labels")
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L),
+      s"clique B must converge to min id 10: $labels")
+    // Round 2: node 20's votes are {label(2)=1, label(3)=1,
+    // label(10)=10, self}: the doubled clique-A side wins.
+    assert(labels(20L) == 1L,
+      s"bridge must follow its heavier side: $labels")
+    // Determinism: a second evaluation is bit-identical.
+    val again = Graph.labelPropagation(edges, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == again)
+  }
 }

@@ -55,8 +55,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "text_bpe_apply",        // same train chain feeding the tokenize join
     "sim_mips_topk",         // broadcast probes, probe != neighbor
                              // non-equi (the brute-force family shape)
-    "pipeline_negative_sample" // one-row occupied-bucket-count scalar
+    "pipeline_negative_sample", // one-row occupied-bucket-count scalar
                              // (the empty-bucket-proof draw remap)
+    "text_keywords"          // one-row corpus-count idf normalizer
   )
 
   test("unrolled iterative plans pin their round counts") {
@@ -89,6 +90,18 @@ class PlanInvariantsSpec extends SparkSpec {
       .findAllIn(pr.queryExecution.analyzed.toString).size
     assert(prRounds == 3,
       s"graph_pagerank: expected 3 contrib rounds, got $prRounds")
+
+    // graph_label_prop runs iterations = 2: the per-round argmax
+    // aggregation aliases `best`, and each round's votes union
+    // re-prints the prior round's chain under BOTH branches (neighbor
+    // join + self-vote), so N rounds print 2^N − 1 `best` aliases —
+    // 3 for N=2; a third round would jump the count to 7.
+    val lpa = SparkEntry.queries("graph_label_prop")(spark, sfDir)
+    val lpaBest = " AS best".r
+      .findAllIn(lpa.queryExecution.analyzed.toString).size
+    assert(lpaBest == 3,
+      s"graph_label_prop: expected 2 vote rounds (2^2-1 = 3 printed " +
+        s"argmax aliases), got $lpaBest")
 
     // graph_bfs_hops runs maxHops = 3: each hop stamps its own
     // DISTINCT hop literal (`k AS hops`), so the set of literals in

@@ -235,6 +235,19 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // distincts (bucket side broadcasts
                                   // into the dense grid) + eni window
                                   // reusing the grid exchange + sort
+    "text_keywords" -> 6,         // (doc,term) tf agg + distinct/df
+                                  // aggs + per-doc top-k window + sort
+                                  // (the one-row corpus count is a
+                                  // broadcast crossJoin, no exchange)
+    "pipeline_token_budget" -> 2, // source-key cumsum window + sort
+    // graph_label_prop is excluded like pagerank/BFS/CC: the unrolled
+    // lineage re-prints the symmetrized-edge subtree per round and the
+    // string count is meaningless (round count pinned instead in
+    // PlanInvariantsSpec-style via the unrolled oracle gate).
+    "sketch_quantile" -> 2,       // grp sample rank (TopKPerKey) +
+                                  // estimate windows share the grp
+                                  // exchange + output sort
+    "sketch_quantile_sharded" -> 3, // + the (grp, sh) partial rank
     "mm_cdc_chunks" -> 1,         // pure per-row HOFs + generator;
                                   // output sort only
     "flow_port_entropy" -> 3,     // (eni, port) agg + eni rollup +

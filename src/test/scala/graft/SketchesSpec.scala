@@ -179,6 +179,49 @@ class SketchesSpec extends SparkSpec {
     assert(es > 3.0 && es < 8.0, s"linear-counting estimate $es for 5")
   }
 
+  test("quantile sketch: exact when the group fits, within rank " +
+      "tolerance at k=64, sharded merge bit-identical") {
+    // Exact-fit contract: 10 rows < k=64 -> the sample IS the group,
+    // so estimates are the true order statistics at ceil(q*10).
+    val small = (1 to 10).map(i => (i.toLong, i.toLong * 100, "g"))
+      .toDF("key", "v", "grp")
+    val exact = Sketches.quantileSketch(small, col("key"), col("v"),
+      col("grp"), k = 64).collect()
+      .map(r => r.getAs[Int]("pct") -> r.getAs[Long]("est_v")).toMap
+    // ceil(25*10/100)=3 -> 300; 50 -> 5 -> 500; 75 -> 8 -> 800;
+    // 95 -> ceil(9.5)=10 -> 1000.
+    assert(exact == Map(25 -> 300L, 50 -> 500L, 75 -> 800L, 95 -> 1000L),
+      s"exact-fit quantiles wrong: $exact")
+
+    // Sampling accuracy: 2000 values 1..2000, k=64 -> rank stderr
+    // ~n/sqrt(k) = 250; md5 is fixed so this pins a deterministic
+    // draw, not a flaky bound.
+    val big = (1 to 2000).map(i => (i.toLong, i.toLong, "g"))
+      .toDF("key", "v", "grp")
+    val est = Sketches.quantileSketch(big, col("key"), col("v"),
+      col("grp"), k = 64).collect()
+      .map(r => r.getAs[Int]("pct") -> r.getAs[Long]("est_v")).toMap
+    Seq(25, 50, 75, 95).foreach { p =>
+      val truth = p * 2000L / 100
+      assert(math.abs(est(p) - truth) < 500,
+        s"p$p estimate ${est(p)} implausible for true $truth")
+    }
+
+    // Mergeability: per-shard bottom-k re-ranked equals the monolithic
+    // sample — including NEGATIVE shard remainders (the family's
+    // group-on-shard discipline).
+    val signed = (-1000 to 999).map(i =>
+      (i.toLong, math.abs(i).toLong, s"g${math.abs(i) % 2}"))
+      .toDF("key", "v", "grp")
+    val mono = Sketches.quantileSketch(signed, col("key"), col("v"),
+      col("grp"), k = 32)
+    val sharded = Sketches.quantileSketchSharded(signed, col("key"),
+      col("v"), col("grp"), col("key") % 4, k = 32)
+    assert(mono.exceptAll(sharded).isEmpty &&
+      sharded.exceptAll(mono).isEmpty,
+      "quantile shard-merge must reproduce the monolithic sample exactly")
+  }
+
   test("compaction plan: partitions files exactly, bins respect target") {
     val target = 100L
     val files = Seq(

@@ -652,6 +652,24 @@ class TrainingOpsSpec extends SparkSpec {
       s"leftmost-first run merge broken: ${rules3(1)}")
   }
 
+  test("tokenBudget: next-fit cut per source, running totals exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Source a: 900+900 fit in 2000, the 900 at doc 3 would overflow
+    // (2700 > 2000) and is dropped along with everything after the
+    // budget line; source b: all fit.
+    val docs = Seq(
+      (1L, "a", 900L), (2L, "a", 900L), (3L, "a", 900L), (4L, "a", 100L),
+      (10L, "b", 500L), (11L, "b", 500L))
+      .toDF("doc_id", "source", "nt")
+    val kept = graft.operators.Sampling
+      .tokenBudget(docs, col("source"), col("doc_id"), col("nt"), 2000L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(kept == Set(("a", 1L, 900L, 900L), ("a", 2L, 900L, 1800L),
+      ("b", 10L, 500L, 500L), ("b", 11L, 500L, 1000L)),
+      s"next-fit cut wrong: $kept")
+  }
+
   test("bpeApplyFromVocab: stored-vocab tokenize matches self-apply; " +
       "OOV words fall back to character symbols") {
     import spark.implicits._
