@@ -831,6 +831,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile-sketch maintenance: versioned sample merge converges to the batch sample") {
+    // The quantile sample is mergeable (bottom-k re-rank), so its
+    // streaming maintenance is read-merge-write: each micro-batch
+    // samples itself, merges with the stored synopsis, and writes the
+    // next VERSION (atomic-swap layout — never overwrite a table being
+    // read). After any prefix of batches the store holds exactly the
+    // sample of the data seen so far; after all batches the estimates
+    // equal the batch-built sketch bit-for-bit.
+    import operators.Sketches
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type".as("grp"),
+        Sketches.h48($"event_id").as("h"),
+        $"user_id".as("v"))
+    val want = Sketches.quantileEstimate(
+      Sketches.quantileSample(ev, 32), Seq(25, 50, 75, 95))
+      .as[(String, Int, Long, Long)].collect().toSet
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_qsk_serve").toString
+    @volatile var version = -1
+    val in = MemoryStream[(String, Long, Long)](spark)
+    val q = in.toDF().toDF("grp", "h", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val incoming = Sketches.quantileSample(batch, 32)
+        val merged =
+          if (version < 0) incoming
+          else Sketches.quantileSample(
+            spark.read.parquet(s"$base/v$version").unionByName(incoming),
+            32)
+        merged.write.mode("overwrite").parquet(s"$base/v${version + 1}")
+        version += 1
+        ()
+      }.start()
+    try {
+      val rows = ev.as[(String, Long, Long)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = Sketches.quantileEstimate(
+        spark.read.parquet(s"$base/v$version"), Seq(25, 50, 75, 95))
+        .as[(String, Int, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got === want,
+        s"maintained sample estimates (${got.size}) must equal batch " +
+          s"(${want.size})")
+    } finally q.stop()
+  }
+
   test("streaming dedup serve over the persisted LSH index: streamed shards match as in batch") {
     // The incremental-dedup serve: the base corpus's band-bucket index
     // persists once (writeLshIndex), incoming doc shards arrive as
