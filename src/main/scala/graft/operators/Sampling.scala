@@ -453,11 +453,14 @@ object Sampling {
     * unrelated and well-spread); raise `buckets` toward the corpus
     * size to tighten. Draws index the OCCUPIED buckets (densely ranked
     * by bucket id, draw = 12-bit hash mod the occupied count), so a
-    * draw can never land on an empty bucket and silently vanish —
-    * every anchor gets exactly kNeg negatives minus self-collisions
-    * (anchor drawing its own representative = itself, dropped not
-    * re-drawn, so a handful of anchors yield kNeg−1). Deterministic,
-    * and the contract a training loader can live with. The rank window
+    * draw can never land on an empty bucket and silently vanish — the
+    * ONLY draw loss is the self-collision drop (anchor drawing its own
+    * representative = itself, dropped not re-drawn): per-anchor count
+    * = kNeg − ~kNeg/n_occupied in expectation, i.e. kNeg or kNeg−1 for
+    * any corpus meaningfully larger than `buckets`, degrading
+    * gracefully (never to silence) on toy corpora with a handful of
+    * representatives. Deterministic — PipelinePropertySpec replays the
+    * whole derivation locally and pins set equality. The rank window
     * is global but runs over ≤ `buckets` rows — driver-bounded state,
     * same class as the scalar-aggregate broadcasts.
     */

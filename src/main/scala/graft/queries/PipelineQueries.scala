@@ -1724,6 +1724,22 @@ object PipelineQueries {
         .withColumnRenamed("grp", "o_orderpriority")
         .orderBy("o_orderpriority", "pct")),
 
+    // Persisted quantile sample: the (grp, h, v) all-BIGINT synopsis
+    // round-trips through parquet and estimates identically — every
+    // sketch family member now has its build→persist→serve triad
+    // (KMV, CMS, HLL, quantile). Same oracle as the monolithic form.
+    "sketch_quantile_persist" -> ((s, d) => {
+      val dir = FlowLogQueries.scratchDir("graft_qsk_syn")
+      Sketches.quantileSample(
+        Tables.orders(s, d).select(col("o_orderpriority").as("grp"),
+          Sketches.h48(col("o_orderkey")).as("h"),
+          round(col("o_totalprice") * 100, 0).cast("bigint").as("v")), 64)
+        .write.mode("overwrite").parquet(dir)
+      Sketches.quantileEstimate(s.read.parquet(dir), Seq(25, 50, 75, 95))
+        .withColumnRenamed("grp", "o_orderpriority")
+        .orderBy("o_orderpriority", "pct")
+    }),
+
     // Small-file compaction plan: documents stand in for a file
     // inventory (source = table partition, n_chars = file bytes);
     // next-fit bins at a 20 kB target via one window cumsum — the
@@ -3836,6 +3852,10 @@ object PipelineQueries {
     // Shard merge is a re-rank of per-shard bottom-k samples — same
     // oracle as the monolithic sketch.
     "sketch_quantile_sharded" -> quantileSketchOracle,
+
+    // Parquet round-trip of the all-BIGINT sample is exact — same
+    // oracle.
+    "sketch_quantile_persist" -> quantileSketchOracle,
 
     "sketch_hll_distinct" -> hllDistinctOracle,
 

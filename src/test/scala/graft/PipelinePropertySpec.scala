@@ -400,6 +400,42 @@ class PipelinePropertySpec extends SparkSpec {
     }
   }
 
+  test("property: negativeSample equals a local replay at any corpus " +
+      "size — the only draw loss is the self-collision drop") {
+    // The occupied-bucket remap's contract: no draw can vanish into an
+    // empty bucket, so per-anchor count = kNeg − (draws that hit the
+    // anchor's own representative). Verified by replaying the whole
+    // derivation locally with the same md5-prefix hash
+    // (hashBucketLocal is the byte-for-byte driver-side replica) — at
+    // corpus sizes from 2 up, including sizes far below the bucket
+    // count (where the old raw-bucket join lost most draws) and
+    // non-contiguous id sets.
+    import graft.operators.Sampling
+    for (n <- Seq(2, 3, 7, 40, 90)) {
+      val ids = (0 until n).map(i => i.toLong * 13 + 5)
+      val got = Sampling
+        .negativeSample(ids.toDF("doc_id"), col("doc_id"), kNeg = 4,
+          buckets = 64)
+        .as[(Long, Int, Long)].collect().toSet
+      val repBySlot = ids.groupBy(id =>
+          Sampling.hashBucketLocal(id.toString, 64))
+        .map { case (b, xs) => b -> xs.min }
+        .toSeq.sortBy(_._1).map(_._2)
+      val nOcc = repBySlot.length
+      val want = (for {
+        id <- ids; j <- 1 to 4
+        neg = repBySlot(Sampling.hashBucketLocal(s"$id:$j", nOcc))
+        if neg != id
+      } yield (id, j, neg)).toSet
+      assert(got == want,
+        s"n=$n: engine result diverged from the local replay " +
+          s"(got ${got.size}, want ${want.size})")
+      assert(ids.forall(id => got.exists(_._1 == id) ||
+          want.count(_._1 == id) == 0),
+        s"n=$n: an anchor with surviving draws is missing")
+    }
+  }
+
   test("property: sharded quantile sketch equals monolithic on random " +
       "corpora and shardings") {
     val rowGen = for {

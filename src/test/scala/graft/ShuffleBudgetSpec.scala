@@ -248,6 +248,8 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // estimate windows share the grp
                                   // exchange + output sort
     "sketch_quantile_sharded" -> 3, // + the (grp, sh) partial rank
+    "sketch_quantile_persist" -> 2, // SERVING plan: estimate windows
+                                  // + sort over the stored sample
     "mm_cdc_chunks" -> 1,         // pure per-row HOFs + generator;
                                   // output sort only
     "flow_port_entropy" -> 3,     // (eni, port) agg + eni rollup +
