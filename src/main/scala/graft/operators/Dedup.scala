@@ -475,16 +475,24 @@ object Dedup {
     * [[lshIncrementalPairs]] over the same split. */
   def writeLshIndex(sigs: DataFrame, dir: String,
       bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
-      sep: String = ""): Unit =
+      sep: String = ""): Unit = {
     sigs.select(col("doc_id"),
       bandBuckets(bands, rowsPerBand, sep).as("bucket"))
       .write.mode("overwrite").parquet(dir)
+    IndexMeta.write(sigs.sparkSession, dir, "bands" -> bands.toString,
+      "rowsPerBand" -> rowsPerBand.toString, "sep" -> sep)
+  }
 
   /** Cross-side LSH candidates of a NEW shard against a stored
     * [[writeLshIndex]] base: the shard's buckets (computed live — the
     * shard is the small, fresh side) equi-join the index on the bucket
     * key; within-shard pairs never form by construction, matching the
-    * [[lshIncrementalPairs]] contract. One bucket-keyed shuffle of
+    * [[lshIncrementalPairs]] contract. The banding parameters MUST
+    * match the ones the index was built with — bucket ids embed the
+    * band number and signature rows, so a mismatched serve would join
+    * disjoint keyspaces and return nothing; the [[IndexMeta]] sidecar
+    * written at build makes that a LOUD `require` failure here instead
+    * of a silent empty result. One bucket-keyed shuffle of
     * |shard|·bands + |base index| rows; base text and signatures are
     * never touched. Skew note: a degenerate bucket streams through
     * Spark's spillable join buffer here (pair-set size is the same as
@@ -492,6 +500,8 @@ object Dedup {
   def lshIncrementalFromIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newSigs: DataFrame, bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand, sep: String = ""): DataFrame = {
+    IndexMeta.requireMatch(spark, dir, "bands" -> bands.toString,
+      "rowsPerBand" -> rowsPerBand.toString, "sep" -> sep)
     val base = spark.read.parquet(dir)
       .select(col("doc_id").as("base_id"), col("bucket"))
     newSigs

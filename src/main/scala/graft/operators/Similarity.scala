@@ -421,15 +421,22 @@ object Similarity {
     * — all integers, so parquet round-trips it exactly and the served
     * join is bit-identical to the in-memory twin. */
   def writeKnnAssignIndex(vecs: DataFrame, dir: String,
-      nprobe: Int = 1): Unit =
+      nprobe: Int = 1): Unit = {
     assignCellsRanked(vecs, vecs, nprobe)
       .write.mode("overwrite").parquet(dir)
+    IndexMeta.write(vecs.sparkSession, dir, "nprobe" -> nprobe.toString)
+  }
 
   /** [[knnJoinIndexed]] served from a [[writeKnnAssignIndex]] table:
     * identical scoring/tie-break contract, but the assignment pass is
     * a parquet scan — rn=1 rows block the corpus side, rn ≤ nprobe
-    * rows expand the probe side (`nprobe` may be lowered below the
-    * built rank to trade recall for scan fraction without rebuilding).
+    * rows expand the probe side (`nprobe` may be LOWERED below the
+    * built rank to trade recall for scan fraction without rebuilding;
+    * asking for MORE than the index stored fails loudly via the
+    * [[IndexMeta]] sidecar — raising recall beyond the build requires
+    * a rebuild, the same contract as re-training an IVF quantizer,
+    * and serving reduced recall silently is exactly the failure a
+    * recall-gated deployment must not absorb).
     * The quadratic work stays cell-bounded; the only corpus-sized
     * shuffles are the two id-keyed joins against the index table and
     * the cell-keyed scan join — same shape as the in-memory twin minus
@@ -438,6 +445,13 @@ object Similarity {
       dir: String, vecs: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val builtNprobe = IndexMeta.read(spark, dir)
+      .getOrElse("nprobe", "1").toInt
+    require(nprobe <= builtNprobe,
+      s"index at $dir stores assignment ranks up to $builtNprobe but " +
+        s"the serve requested nprobe=$nprobe — rebuild the index at " +
+        "the higher rank (serving reduced recall silently is not an " +
+        "option)")
     val ranked = spark.read.parquet(dir)
     val probeCells = ranked.filter(col("rn") <= nprobe)
       .select(col("probe_id"), col("assigned_label"))

@@ -263,12 +263,20 @@ object Sketches {
 
   /** The bottom-k sample itself — the mergeable unit. Input `(grp, h,
     * v)`; total order (h, v) so shard merges re-rank identically. */
-  private[graft] def quantileSample(keyed: DataFrame, k: Int): DataFrame = {
+  private[graft] def quantileSample(keyed: DataFrame, k: Int): DataFrame =
+    quantileSampleBy(keyed, Seq("grp"), k)
+
+  /** The rank filter keyed on arbitrary partition columns — ONE
+    * definition of the sample's total order (h, v), shared by the
+    * monolithic sample and the per-shard partials so the merge
+    * identity can never drift (the [[registersBy]] discipline). */
+  private def quantileSampleBy(keyed: DataFrame, keys: Seq[String],
+      k: Int): DataFrame = {
     require(k >= 2, s"quantile sample needs k >= 2, got $k")
     keyed
       .withColumn("rnk",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("grp")).orderBy(col("h"), col("v"))))
+          .partitionBy(keys.map(col): _*).orderBy(col("h"), col("v"))))
       .filter(col("rnk") <= k)
       .select(col("grp"), col("h"), col("v"))
   }
@@ -302,12 +310,7 @@ object Sketches {
       pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
     val keyed = df.select(group.as("grp"), shard.as("sh"),
       h48(key).as("h"), value.as("v"))
-    val partial = keyed
-      .withColumn("rnk",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("grp"), col("sh")).orderBy(col("h"), col("v"))))
-      .filter(col("rnk") <= k)
-      .select(col("grp"), col("h"), col("v"))
+    val partial = quantileSampleBy(keyed, Seq("grp", "sh"), k)
     quantileEstimate(quantileSample(partial, k), pcts)
   }
 
@@ -321,16 +324,28 @@ object Sketches {
     * structure survives any partitioning or shard-merge at 100 TB.
     */
   def cmsBuild(df: DataFrame, key: Column, depth: Int = 3,
-      width: Int = 256): DataFrame = {
+      width: Int = 256): DataFrame =
+    cmsCellsBy(df.select(key.cast("string").as("k")), Seq.empty,
+      depth, width)
+
+  /** The cell table keyed on optional extra grouping columns — ONE
+    * definition of the (j, bucket) hash derivation shared by the
+    * monolithic build, the sharded build, and (via the same salted
+    * md5) the candidate scorer, so the cell coordinates can never
+    * diverge (the [[registersBy]] discipline). Input must carry the
+    * stringified key `k` plus the grouping columns. */
+  private def cmsCellsBy(keyed: DataFrame, keys: Seq[String],
+      depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && depth <= 8 && width >= 16,
       s"unreasonable CMS shape d=$depth w=$width")
-    df.select(key.cast("string").as("k"))
-      .select(explode(array((1 to depth).map(j =>
+    keyed
+      .select(keys.map(col) :+ explode(array((1 to depth).map(j =>
         struct(lit(j).as("j"),
           (h48(concat(lit(s"$j:"), col("k"))) % width).as("bucket"))): _*))
-        .as("cell"))
-      .select(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
-      .groupBy(col("j"), col("bucket"))
+        .as("cell"): _*)
+      .select(keys.map(col) ++ Seq(col("cell.j").as("j"),
+        col("cell.bucket").as("bucket")): _*)
+      .groupBy((keys ++ Seq("j", "bucket")).map(col): _*)
       .agg(count(lit(1)).as("c"))
   }
 
@@ -394,18 +409,8 @@ object Sketches {
   def cmsHeavyHittersSharded(df: DataFrame, key: Column, shard: Column,
       depth: Int = 3, width: Int = 256,
       minCount: Long = 100L): DataFrame = {
-    require(depth >= 1 && depth <= 8 && width >= 16,
-      s"unreasonable CMS shape d=$depth w=$width")
     val tagged = df.select(key.cast("string").as("k"), shard.as("sh"))
-    val perShard = tagged
-      .select(col("sh"), explode(array((1 to depth).map(j =>
-        struct(lit(j).as("j"),
-          (h48(concat(lit(s"$j:"), col("k"))) % width).as("bucket"))): _*))
-        .as("cell"))
-      .select(col("sh"), col("cell.j").as("j"),
-        col("cell.bucket").as("bucket"))
-      .groupBy(col("sh"), col("j"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+    val perShard = cmsCellsBy(tagged, Seq("sh"), depth, width)
     val merged = perShard.groupBy(col("j"), col("bucket"))
       .agg(sum(col("c")).as("c"))
     cmsScore(merged,

@@ -430,9 +430,12 @@ class PipelinePropertySpec extends SparkSpec {
       assert(got == want,
         s"n=$n: engine result diverged from the local replay " +
           s"(got ${got.size}, want ${want.size})")
-      assert(ids.forall(id => got.exists(_._1 == id) ||
-          want.count(_._1 == id) == 0),
-        s"n=$n: an anchor with surviving draws is missing")
+      // Fixture sanity (independent of the equality above): the replay
+      // itself must retain draws for most anchors, or the set-equality
+      // check would be vacuous on a degenerate corpus.
+      assert(want.map(_._1).toSet.size >= n - 1,
+        s"n=$n: replay degenerate — ${want.map(_._1).toSet.size} of $n " +
+          "anchors retained any draw")
     }
   }
 

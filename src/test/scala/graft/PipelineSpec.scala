@@ -326,9 +326,7 @@ class PipelineSpec extends SparkSpec {
       .select($"vec_id", $"v")
     val probes = vecs.filter($"vec_id" < 12)
     val cents = Similarity.kmeansTrain(vecs, 8, 1)
-    val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec")
-      .toString
-    try {
+    withTempDir("graft_idx_spec") { dir =>
       Similarity.writeIvfIndex(vecs, cents, dir)
       val served = Similarity.searchIvfIndex(spark, dir, probes, 3,
         nprobe = 2)
@@ -343,13 +341,6 @@ class PipelineSpec extends SparkSpec {
       val plan = served.queryExecution.executedPlan.toString
       assert(plan.toLowerCase.contains("dynamicpruning"),
         "index scan lost its dynamic partition pruning")
-    } finally {
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      } finally walk.close()
     }
   }
 
@@ -386,9 +377,7 @@ class PipelineSpec extends SparkSpec {
     // pairs must equal lshIncrementalPairs over the same split
     // bit-for-bit — including the no-within-shard-pairs contract.
     val sigs = Dedup.minhashSignaturesV2(corpus)
-    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx")
-      .toString
-    try {
+    withTempDir("graft_lsh_idx") { dir =>
       Dedup.writeLshIndex(sigs.filter($"doc_id" < 100000), dir, sep = "|")
       val served = Dedup.lshIncrementalFromIndex(spark, dir,
         sigs.filter($"doc_id" >= 100000), sep = "|")
@@ -398,13 +387,13 @@ class PipelineSpec extends SparkSpec {
         "persisted-index incremental pairs must equal the live pairs")
       assert(served.filter($"base_id" >= 100000).isEmpty,
         "within-shard pairs must never form against the base index")
-    } finally {
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      } finally walk.close()
+      // Mismatched serve-time banding must fail LOUDLY (the meta
+      // sidecar), never silently return zero pairs.
+      val e = intercept[IllegalArgumentException] {
+        Dedup.lshIncrementalFromIndex(spark, dir,
+          sigs.filter($"doc_id" >= 100000), sep = "")
+      }
+      assert(e.getMessage.contains("built with"), e.getMessage)
     }
   }
 
@@ -420,9 +409,7 @@ class PipelineSpec extends SparkSpec {
     // nprobe=1 join — the rank filter makes nprobe a serve-time knob.
     import graft.operators.Similarity
     val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
-    val dir = java.nio.file.Files.createTempDirectory("graft_knn_idx")
-      .toString
-    try {
+    withTempDir("graft_knn_idx") { dir =>
       Similarity.writeKnnAssignIndex(vecs, dir, nprobe = 2)
       val served = Similarity.knnJoinFromIndex(spark, dir, vecs, 3,
         nprobe = 2)
@@ -436,13 +423,12 @@ class PipelineSpec extends SparkSpec {
         .collect().toSet
       assert(served1.collect().toSet === want1,
         "lowered serve-time nprobe must equal the in-memory nprobe=1 join")
-    } finally {
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      } finally walk.close()
+      // Asking for MORE recall than the index stored must fail loudly
+      // (meta sidecar), never silently serve the stored rank.
+      val e = intercept[IllegalArgumentException] {
+        Similarity.knnJoinFromIndex(spark, dir, vecs, 3, nprobe = 4)
+      }
+      assert(e.getMessage.contains("rebuild"), e.getMessage)
     }
   }
 
@@ -515,9 +501,7 @@ class PipelineSpec extends SparkSpec {
     // files must all lie under the consulted tbucket= directories.
     import graft.operators.{Sampling, TextAnalysis}
     val terms = Seq("hash", "join", "spark")
-    val dir = java.nio.file.Files.createTempDirectory("graft_inv_spec")
-      .toString
-    try {
+    withTempDir("graft_inv_spec") { dir =>
       TextAnalysis.writeInvertedIndex(docs, dir)
       val served = TextAnalysis.searchInvertedIndex(spark, dir, terms)
       val want = TextAnalysis.bm25(docs, terms).collect().toSet
@@ -543,13 +527,6 @@ class PipelineSpec extends SparkSpec {
           s"query consults only ${consulted.size}")
       assert(onDisk > consulted.size,
         s"fixture too small to prove pruning ($onDisk buckets on disk)")
-    } finally {
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      } finally walk.close()
     }
   }
 
@@ -680,9 +657,7 @@ class PipelineSpec extends SparkSpec {
     val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
       .select($"vec_id", $"v")
     val probes = vecs.filter($"vec_id" < 10)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec")
-      .toString
-    try {
+    withTempDir("graft_ivfpq_spec") { dir =>
       Similarity.writeIvfPqIndex(vecs, dir)
       val served = Similarity.searchIvfPqIndex(spark, dir, probes, 5)
       val want = Similarity.ivfPqTopK(vecs, probes, 5).collect().toSet
@@ -691,13 +666,6 @@ class PipelineSpec extends SparkSpec {
       val plan = served.queryExecution.executedPlan.toString
       assert(plan.toLowerCase.contains("dynamicpruning"),
         "code scan lost its dynamic partition pruning")
-    } finally {
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      } finally walk.close()
     }
   }
 

@@ -13,4 +13,20 @@ trait SparkSpec extends AnyFunSuite {
   }
 
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Fresh temp dir for persisted-index round-trip tests, recursively
+    * deleted after `body` — one implementation instead of a per-test
+    * Files.walk copy. */
+  def withTempDir[A](prefix: String)(body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(dir)
+    finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } finally walk.close()
+    }
+  }
 }
