@@ -369,7 +369,18 @@ object Multimodal {
     * + one generator; no shuffle at any corpus size. Empty documents
     * produce no chunks. */
   def cdcChunks(documents: DataFrame, window: Int = 8,
-      divisor: Int = 32): DataFrame = {
+      divisor: Int = 32): DataFrame =
+    cdcSpans(documents, window, divisor)
+      .select(col("doc_id"), col("chunk_no"), col("chunk_len"),
+        col("chunk_hash"))
+
+  /** The chunk-span derivation shared by [[cdcChunks]] and the
+    * content-addressed store ([[writeChunkStore]]): one row per chunk
+    * with its source text and span kept alongside the hash, so the
+    * store can slice the payload from the SAME positions the public
+    * chunk table hashes — the single-derivation discipline. */
+  private def cdcSpans(documents: DataFrame, window: Int,
+      divisor: Int): DataFrame = {
     require(window >= 2 && divisor >= 2,
       s"degenerate CDC shape window=$window divisor=$divisor")
     documents
@@ -394,11 +405,104 @@ object Multimodal {
       .withColumn("cstart", expr(
         "CASE WHEN k = 1 THEN 1 ELSE element_at(bounds, k - 1) + 1 END"))
       .withColumn("clen", expr("element_at(bounds, k) - cstart + 1"))
-      .select(col("doc_id"), (col("k") - 1).cast("int").as("chunk_no"),
+      .select(col("doc_id"), col("text"), col("cstart"),
+        (col("k") - 1).cast("int").as("chunk_no"),
         col("clen").cast("int").as("chunk_len"),
         expr("md5(cast(substring(text, cstart, clen) as binary))")
           .as("chunk_hash"))
   }
+
+  /** Build a content-addressed chunk store from a corpus: documents
+    * CDC-chunk ([[cdcChunks]]' boundaries), the per-doc ordered hash
+    * list lands in `manifest/` and each distinct chunk's payload is
+    * stored ONCE in `store/` keyed by its hash — the dedup-at-rest
+    * layout (an FastCDC/restic-shaped design, expressed relationally).
+    * Shared and shifted content across documents costs one stored
+    * copy; the manifest is hashes only.
+    *
+    * Scale shape: the store build groups on the chunk hash, so the
+    * payload-bearing shuffle carries each DISTINCT chunk once (min()
+    * picks the payload deterministically; equal hashes ⇒ equal bytes);
+    * the manifest write is a map-side projection, no shuffle. The
+    * chunking parameters are recorded in the [[IndexMeta]] sidecar —
+    * an append with different parameters would produce chunks that
+    * can never dedup against the stored ones, so it fails loudly. */
+  def writeChunkStore(documents: DataFrame, dir: String, window: Int = 8,
+      divisor: Int = 32): Unit = {
+    writeChunkLegs(documents, dir, window, divisor, "overwrite",
+      identity)
+    IndexMeta.write(documents.sparkSession, dir,
+      "window" -> window.toString, "divisor" -> divisor.toString)
+  }
+
+  /** Shared build/append machinery: the chunk table (spans + payload)
+    * materializes ONCE to a staging dir — the per-byte window-hash
+    * digest work is the dominant cost, and the manifest and store legs
+    * are two separate write actions that would each replay it — then
+    * both legs derive from the re-read (the manifest leg column-prunes
+    * the payload away), and staging is removed. `storeFilter` lets the
+    * append leg drop already-stored hashes before payload ships. */
+  private def writeChunkLegs(documents: DataFrame, dir: String,
+      window: Int, divisor: Int, mode: String,
+      storeFilter: DataFrame => DataFrame): Unit = {
+    val spark = documents.sparkSession
+    val staging = s"$dir/_staging"
+    cdcSpans(documents, window, divisor)
+      .select(col("doc_id"), col("chunk_no"), col("chunk_hash"),
+        expr("substring(text, cstart, chunk_len)").as("chunk"))
+      .write.mode("overwrite").parquet(staging)
+    val ch = spark.read.parquet(staging)
+    ch.select(col("doc_id"), col("chunk_no"), col("chunk_hash"))
+      .write.mode(mode).parquet(s"$dir/manifest")
+    storeFilter(
+      ch.select(col("chunk_hash"), col("chunk"))
+        .groupBy(col("chunk_hash")).agg(min(col("chunk")).as("chunk")))
+      .write.mode(mode).parquet(s"$dir/store")
+    val p = new org.apache.hadoop.fs.Path(staging)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
+
+  /** Incrementally add a corpus batch to a [[writeChunkStore]] layout:
+    * the batch's manifest rows append, but only chunks whose hash the
+    * store has NEVER seen ship payload — the anti-join runs on the
+    * hash column alone (column-pruned scan of `store/`), so the
+    * incremental cost is proportional to NEW content, not corpus
+    * size. The CDC boundary property is what makes this effective:
+    * an edited document re-aligns after the edit window, so its
+    * unchanged tail chunks dedup against the store. */
+  def appendChunkStore(spark: org.apache.spark.sql.SparkSession,
+      documents: DataFrame, dir: String, window: Int = 8,
+      divisor: Int = 32): Unit = {
+    IndexMeta.requireMatch(spark, dir,
+      "window" -> window.toString, "divisor" -> divisor.toString)
+    val known = spark.read.parquet(s"$dir/store").select(col("chunk_hash"))
+    writeChunkLegs(documents, dir, window, divisor, "append",
+      _.join(known, Seq("chunk_hash"), "left_anti"))
+  }
+
+  /** Reassemble every document from the store and prove it byte-exact:
+    * manifest ⋈ store on the hash key, chunks re-ordered per doc, and
+    * the reassembly fingerprinted (md5) so the gate compares one hash
+    * per document against the original text's — any byte lost or
+    * reordered anywhere in chunk/store/append shows as a mismatch.
+    *
+    * Scale shape: one hash-keyed join (each chunk's payload fans out
+    * to its referencing docs — inherent to reassembly) and one doc-
+    * keyed aggregation whose per-group state is the document being
+    * rebuilt — bounded by max doc size, the same envelope as parsing
+    * it in the first place. */
+  def reconstructFromStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/manifest")
+      .join(spark.read.parquet(s"$dir/store"), Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk"))).cast("bigint").as("doc_len"),
+        expr("""md5(cast(concat_ws('',
+          |  transform(array_sort(collect_list(struct(chunk_no, chunk))),
+          |            s -> s.chunk)) as binary))""".stripMargin)
+          .as("r_hash"))
 
   /** Frame sampling for "video" payloads: split the byte stream into
     * fixed-size frames and keep every `stride`-th one. Pure column ops

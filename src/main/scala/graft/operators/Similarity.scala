@@ -1033,12 +1033,96 @@ object Similarity {
     * bit-for-bit parity with [[ivfSearchTrained]] and the DPP filter
     * in the plan). Exactly the contract of the in-memory path:
     * rounded-cosine desc, neighbor asc, top-k per probe. */
+  /** Tombstone-DELETE vectors from a persisted [[writeIvfIndex]]
+    * layout — the removal half of the index lifecycle (user deletion
+    * requests, retracted documents) next to [[appendIvfIndex]]'s add
+    * half. Ids land in a side table (`tombstones/`), the index files
+    * are untouched, and [[searchIvfIndex]] masks them with one
+    * broadcast anti-join — O(|deletes|) serve overhead, zero rewrite
+    * cost, exactly the tombstone contract every LSM-shaped store uses.
+    * [[compactIvfIndex]] reclaims the space and drains the table. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, dir: String): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  private val TombstoneSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType)))
+
+  /** The tombstone table if one exists, else an empty frame — read
+    * with an explicit schema so a drained (zero-part-file) table after
+    * [[compactIvfIndex]] still reads cleanly. */
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.schema(TombstoneSchema).parquet(p.toString))
+    else None
+  }
+
+  /** Rewrite the cell partitions that contain tombstoned rows,
+    * dropping those rows, then prune the tombstone table to only the
+    * ids whose cells came out EMPTY (a fully-emptied cell's partition
+    * cannot be replaced by writing zero rows, so its files stay
+    * masked by their retained tombstones until rows land there again
+    * — the standard tombstone-retention corner, spec-pinned). Only
+    * affected partitions move: untouched cells' files are never read
+    * or written. The rewrite stages to a sibling directory and swaps
+    * per-cell via filesystem renames — a metadata loop bounded by the
+    * quantizer's cell count (the same driver-side commit shape Spark's
+    * own dynamic-partition protocol uses), never data through the
+    * driver. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    readTombstones(spark, dir).foreach { tombs =>
+      val idx = spark.read.parquet(s"$dir/index")
+      val affected = idx.join(broadcast(tombs), Seq("vec_id"))
+        .select(col("cell")).distinct()
+      val rewritten = idx.join(broadcast(affected), Seq("cell"))
+        .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+      // Ids in cells with NO survivors — their partitions cannot be
+      // rewritten-away below, so they keep their tombstones.
+      val emptied = affected
+        .join(rewritten.select(col("cell")).distinct(), Seq("cell"),
+          "left_anti")
+      val retained = idx.join(broadcast(emptied), Seq("cell"))
+        .join(broadcast(tombs), Seq("vec_id"))
+        .select(col("vec_id")).distinct()
+      val staging = s"$dir/index_compacting"
+      rewritten.write.mode("overwrite").partitionBy("cell")
+        .parquet(staging)
+      val tombStaging = s"$dir/tombstones_next"
+      retained.write.mode("overwrite").parquet(tombStaging)
+      fs.listStatus(new Path(staging))
+        .filter(_.getPath.getName.startsWith("cell="))
+        .foreach { st =>
+          val dest = new Path(s"$dir/index/${st.getPath.getName}")
+          fs.delete(dest, true)
+          fs.rename(st.getPath, dest)
+        }
+      fs.delete(new Path(staging), true)
+      fs.delete(new Path(s"$dir/tombstones"), true)
+      fs.rename(new Path(tombStaging), new Path(s"$dir/tombstones"))
+    }
+  }
+
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       probes: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = spark.read.parquet(s"$dir/centroids")
-    val idx = spark.read.parquet(s"$dir/index")
+    val idx0 = spark.read.parquet(s"$dir/index")
+    // Tombstone mask (see [[deleteFromIvfIndex]]): deleted ids are
+    // anti-joined out via one broadcast — absent for layouts that
+    // never deleted, so their plans are unchanged.
+    val idx = readTombstones(spark, dir)
+      .map(t => idx0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(idx0)
     val pcells = trainedAssign(probes, cents, nprobe)
       .select(col("probe_id"), col("cid").as("pcell"))
     val pb = withNorm(probes).select(col("vec_id").as("probe_id"),

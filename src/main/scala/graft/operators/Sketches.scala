@@ -138,6 +138,80 @@ object Sketches {
         expr("(n_both * est_union) div n_kept"))
   }
 
+  /** Write per-group KMV synopses to parquet — the profile-store leg
+    * of the KMV family: each group ships its k smallest 48-bit hashes
+    * (BIGINTs, parquet-exact) and every later set question is answered
+    * from the store without re-scanning data. The `k` used at build is
+    * recorded in the [[IndexMeta]] sidecar; [[kmvSetOps]] requires it
+    * to match, because a serve-time k larger than the stored rank
+    * would silently truncate every estimate's sample window. */
+  def writeKmvSynopses(df: DataFrame, key: Column, group: Column,
+      dir: String, k: Int = 64): Unit = {
+    kmvSynopsis(df.select(group.as("grp"), h48(key).as("h")), k)
+      .write.mode("overwrite").parquet(dir)
+    IndexMeta.write(df.sparkSession, dir, "k" -> k.toString)
+  }
+
+  /** Pairwise set algebra over STORED synopses — union, intersection,
+    * and difference cardinalities plus Jaccard for every unordered
+    * group pair, computed entirely from the [[writeKmvSynopses]] table
+    * (k rows per group; the corpora are never re-read). This is the
+    * KMV set-operation estimator (Beyer et al., SIGMOD 2007): the
+    * bottom-k of SA ∪ SB IS the bottom-k synopsis of A ∪ B (every
+    * globally-k-smallest hash of the union is k-smallest within its
+    * own side), and within that window `h ∈ A ⟺ h ∈ SA`, so the
+    * flagged fraction estimates Jaccard and scales to intersection /
+    * difference sizes via each side's own KMV estimate. All
+    * arithmetic integer (`div`); when the merged window holds fewer
+    * than k hashes both sides fit and every figure is exact.
+    *
+    * Scale shape: the synopsis table is |groups|·k rows — the heavy
+    * distinct-aggregate ran once at build — so the pair expansion
+    * (|groups|²/2 · 2k rows at worst) is bounded by the PROFILE size,
+    * not the data; the one window runs per-pair over ≤ 2k rows. The
+    * cross-source contamination matrix for a 100 TB corpus collection
+    * is answered from kilobytes. */
+  def kmvSetOps(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 64): DataFrame = {
+    IndexMeta.requireMatch(spark, dir, "k" -> k.toString)
+    val syn = spark.read.parquet(dir)
+    val ests = kmvEstimate(syn, k)
+    val grps = syn.select(col("grp")).distinct()
+    val pairs = grps.select(col("grp").as("ga"))
+      .join(broadcast(grps.select(col("grp").as("gb"))),
+        col("ga") < col("gb"))
+    val aRows = pairs.join(syn.withColumnRenamed("grp", "ga"), Seq("ga"))
+      .select(col("ga"), col("gb"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val bRows = pairs.join(syn.withColumnRenamed("grp", "gb"), Seq("gb"))
+      .select(col("ga"), col("gb"), col("h"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val window = aRows.unionByName(bRows)
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ga"), col("gb")).orderBy(col("h"))))
+      .filter(col("rnk") <= k)
+    window.groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .withColumn("est_union",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1}L * 281474976710656L) div hk")))
+      .withColumn("est_inter", expr("(n_both * est_union) div n_kept"))
+      .withColumn("jac_micro", expr("(n_both * 1000000L) div n_kept"))
+      .join(ests.select(col("grp").as("ga"),
+        col("est_distinct").as("est_a")), Seq("ga"))
+      .join(ests.select(col("grp").as("gb"),
+        col("est_distinct").as("est_b")), Seq("gb"))
+      .select(col("ga"), col("gb"), col("n_kept"), col("n_both"),
+        col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+        greatest(col("est_a") - col("est_inter"), lit(0L))
+          .as("est_only_a"),
+        col("jac_micro"))
+  }
+
   /** HyperLogLog-style distinct estimate, registers and all, built
     * relationally: bucket = h mod m, register M_j = max ρ(h div m)
     * (ρ = leading-zero run in the remaining 42 bits, +1). One

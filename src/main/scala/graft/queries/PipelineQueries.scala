@@ -205,7 +205,13 @@ object PipelineQueries {
     * probes = vec_id < 15) — shared by sim_ivf_kmeans and the
     * persisted-index twin sim_ivf_persist, whose parquet round-trip is
     * exact for doubles. */
-  private lazy val ivfKmeansSearchSql: String =
+  private lazy val ivfKmeansSearchSql: String = ivfKmeansSearchSqlWhere("")
+
+  /** The trained-IVF search replay with an optional extra predicate on
+    * the INDEX side (`AND ...` fragment over `vec_id`) — shared by the
+    * build/persist/append twins (empty predicate) and sim_ivf_delete
+    * (tombstoned ids excluded from the index, probes untouched). */
+  private def ivfKmeansSearchSqlWhere(idxPred: String): String =
     s"""WITH $ovecsCte,
        |$kmeansCte,
        |di AS (
@@ -214,7 +220,8 @@ object PipelineQueries {
        |dir AS (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
-       |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dir WHERE rn = 1),
+       |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dir
+       |        WHERE rn = 1 $idxPred),
        |pas AS (SELECT vec_id AS probe_id, cid AS cell FROM dir
        |        WHERE vec_id < 15 AND rn <= 2),
        |scored AS (
@@ -1275,6 +1282,26 @@ object PipelineQueries {
         divisor = 32)
         .orderBy("doc_id", "chunk_no")),
 
+    // Content-addressed chunk STORE round-trip: the base corpus builds
+    // the manifest + dedup'd store, the duplicate-injected extras
+    // append incrementally (only never-seen hashes ship payload), and
+    // every document REASSEMBLES from the store byte-exactly — gated
+    // by one md5 per document against the original text, so any byte
+    // lost or reordered anywhere in chunk/store/append/reassemble
+    // shows as a hash mismatch. The dedup-at-rest layout CDC chunking
+    // exists to feed.
+    "mm_chunk_store" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val extras = Dedup.augmentCorpus(Tables.documents(s, d))
+        .filter(col("doc_id") >= 100000)
+      val dir = FlowLogQueries.scratchDir("graft_chunk_store")
+      Multimodal.writeChunkStore(base, dir, window = 8, divisor = 32)
+      Multimodal.appendChunkStore(s, extras, dir, window = 8,
+        divisor = 32)
+      Multimodal.reconstructFromStore(s, dir)
+        .orderBy("doc_id")
+    }),
+
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.asBinaryPayloads(Tables.documents(s, d)), 64, 2)
@@ -1506,6 +1533,29 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Tombstone DELETION from a persisted ANN index — the removal half
+    // of the lifecycle next to sim_ivf_append's add half (user
+    // deletion requests, retracted documents): build on the full
+    // corpus, delete every 7th vector, serve. Deleted ids vanish from
+    // every result list while the index files are untouched — one
+    // broadcast anti-join masks them at serve. Oracle: the same
+    // trained-IVF replay with the deleted ids excluded from the index
+    // side (probes untouched). PipelineSpec additionally pins that
+    // compaction (the affected-partition rewrite) serves
+    // bit-identically and drains the tombstone table.
+    "sim_ivf_delete" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_ivf_del")
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      Similarity.deleteFromIvfIndex(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.searchIvfIndex(s, dir, vecs.filter(col("vec_id") < 15),
+        3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Maximum-inner-product top-k: unnormalized ⟨q, x⟩ ranking — the
     // two-tower recommender primitive where item norm IS signal. Same
     // broadcast-probes/streaming-corpus shape as the cosine family;
@@ -1681,6 +1731,51 @@ object PipelineQueries {
         FlowLogQueries.scratchDir("graft_hll_regs"))
         .withColumnRenamed("grp", "source")
         .orderBy("source")),
+
+    // EXTERNAL-candidate CMS lookups: the serve contract a frequency
+    // sketch actually signs up for — candidate keys that the build
+    // stream may never have seen (here every customer key, 10% of
+    // which appear as event user_ids) score against the persisted
+    // sketch. Keys absent from the build estimate from zeroed missing
+    // cells (left join + coalesce), preserving the one-sided est ≥
+    // true guarantee at true_c = 0 instead of inflating to the min of
+    // whatever cells collisions populated — the lookup semantics a
+    // candidate-from-elsewhere pipeline (yesterday's heavy list,
+    // another shard's top-N) depends on.
+    "sketch_cms_lookup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dir = FlowLogQueries.scratchDir("graft_cms_ext")
+      Sketches.cmsBuild(ev, col("user_id"), depth = 3, width = 256)
+        .write.mode("overwrite").parquet(dir)
+      val cand = Tables.customer(s, d)
+        .select(col("c_custkey").cast("string").as("k"))
+        .join(ev.groupBy(col("user_id").cast("string").as("k"))
+          .agg(count(lit(1)).as("true_c")), Seq("k"), "left")
+        .na.fill(0L, Seq("true_c"))
+      Sketches.cmsScore(s.read.parquet(dir), cand,
+        depth = 3, width = 256)
+        .orderBy(col("k"))
+    }),
+
+    // Pairwise set algebra over STORED KMV synopses: per-source
+    // bottom-64 hash synopses of 8-char shingles persist once, then
+    // every unordered source pair's union / intersection / difference
+    // cardinalities and Jaccard compute from the store alone (Beyer
+    // et al. 2007) — the cross-source contamination matrix for a
+    // corpus collection answered from k rows per source, the corpora
+    // never re-read. All-integer estimates; the DuckDB oracle replays
+    // the full synopsis → merge → flag derivation.
+    "sketch_kmv_setops" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .filter(length(col("text")) >= 8)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, length(text) - 7), " +
+            "i -> substring(text, i, 8))")).as("sh"))
+      val dir = FlowLogQueries.scratchDir("graft_kmv_syn")
+      Sketches.writeKmvSynopses(sh, col("sh"), col("source"), dir, k = 64)
+      Sketches.kmvSetOps(s, dir, k = 64)
+        .orderBy("ga", "gb")
+    }),
 
     // Sharded CMS: four per-shard counter tables merged cell-wise
     // (count-min is linear), scored like the monolithic sketch and
@@ -2525,6 +2620,10 @@ object PipelineQueries {
     // the served union equals the monolithic build exactly.
     "sim_ivf_append" -> ivfKmeansSearchSql,
 
+    // Same trained-IVF replay with the tombstoned ids (vec_id % 7 = 0)
+    // excluded from the index side; probes untouched.
+    "sim_ivf_delete" -> ivfKmeansSearchSqlWhere("AND vec_id % 7 <> 0"),
+
     "sim_range_search" ->
       s"""WITH $ovecsCte,
          |probes AS (SELECT vec_id AS probe_id, v AS pv FROM ovecs WHERE vec_id < 10),
@@ -3313,6 +3412,37 @@ object PipelineQueries {
         |  TRUE AS header_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Chunk-store round-trip over the duplicate-injected corpus: the
+    // CDC cut replay gives the per-doc chunk count; reassembly
+    // equality gates through md5(text) — the store side must
+    // reproduce every document byte-exactly for the hashes to match.
+    "mm_chunk_store" ->
+      s"""WITH $corpusCte,
+         |f AS (SELECT doc_id, text, length(text) AS n FROM corpus
+         |      WHERE length(text) > 0),
+         |pos AS (
+         |  SELECT doc_id, unnest(generate_series(8, n)) AS i FROM f),
+         |cut AS (
+         |  SELECT p.doc_id, p.i
+         |  FROM pos p JOIN f USING (doc_id)
+         |  WHERE CAST(CAST(('0x' || substr(
+         |          md5(substr(f.text, CAST(p.i - 7 AS BIGINT), 8)),
+         |          1, 12)) AS UBIGINT) AS BIGINT) % 32 = 0),
+         |b AS (
+         |  SELECT f.doc_id, f.text, f.n,
+         |         coalesce(list_sort(list(cut.i)
+         |             FILTER (WHERE cut.i IS NOT NULL)), []) AS cuts
+         |  FROM f LEFT JOIN cut USING (doc_id)
+         |  GROUP BY f.doc_id, f.text, f.n),
+         |b2 AS (
+         |  SELECT doc_id, text, n,
+         |         CASE WHEN len(cuts) = 0 OR cuts[len(cuts)] <> n
+         |              THEN list_append(cuts, n) ELSE cuts END AS bounds
+         |  FROM b)
+         |SELECT doc_id, CAST(len(bounds) AS BIGINT) AS n_chunks,
+         |       CAST(n AS BIGINT) AS doc_len, md5(text) AS r_hash
+         |FROM b2 ORDER BY doc_id""".stripMargin,
+
     // Same window-hash derivation as the Spark side: md5-prefix-48 of
     // the trailing 8 bytes, cut where it divides 32; final partial
     // chunk appended when the last position is not already a cut.
@@ -3869,6 +3999,92 @@ object PipelineQueries {
     // Same oracle as the monolithic CMS: linearity of count-min makes
     // the sharded build bit-identical.
     "sketch_cms_sharded" -> cmsHeavyOracle,
+
+    // External candidates (every customer key; 90% absent from the
+    // build stream) against the events CMS — absent cells count as
+    // zero on both sides.
+    "sketch_cms_lookup" ->
+      """WITH kx AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        |js AS (SELECT unnest([1, 2, 3]) AS j),
+        |cells AS (
+        |  SELECT k, j,
+        |         CAST(CAST(('0x' || substr(
+        |             md5(CAST(j AS VARCHAR) || ':' || k), 1, 12)) AS UBIGINT)
+        |           AS BIGINT) % 256 AS bucket
+        |  FROM kx CROSS JOIN js),
+        |cms AS (SELECT j, bucket, count(*) AS c
+        |        FROM cells GROUP BY j, bucket),
+        |cand AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+        |         FROM customer),
+        |tc AS (SELECT cand.k, CAST(coalesce(cnt.true_c, 0) AS BIGINT)
+        |           AS true_c
+        |       FROM cand LEFT JOIN (SELECT k, count(*) AS true_c
+        |                            FROM kx GROUP BY k) cnt USING (k)),
+        |cc AS (
+        |  SELECT k, true_c, j,
+        |         CAST(CAST(('0x' || substr(
+        |             md5(CAST(j AS VARCHAR) || ':' || k), 1, 12))
+        |           AS UBIGINT) AS BIGINT) % 256 AS bucket
+        |  FROM tc CROSS JOIN js)
+        |SELECT cc.k, true_c, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_c
+        |FROM cc LEFT JOIN cms USING (j, bucket)
+        |GROUP BY cc.k, true_c
+        |ORDER BY cc.k""".stripMargin,
+
+    // Full replay of the synopsis store + pairwise set algebra:
+    // per-source bottom-64 distinct 8-shingle hashes, merged per pair
+    // with membership flags, re-ranked to the union's bottom-64, then
+    // the Beyer et al. estimators in integer arithmetic.
+    "sketch_kmv_setops" ->
+      """WITH f AS (SELECT source, text, length(text) AS n FROM documents
+        |           WHERE length(text) >= 8),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |         CAST(CAST(('0x' || substr(
+        |             md5(substr(text, CAST(i AS BIGINT), 8)), 1, 12))
+        |           AS UBIGINT) AS BIGINT) AS h
+        |  FROM f, unnest(generate_series(1, n - 7)) AS t(i)),
+        |syn AS (SELECT source, h FROM (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source
+        |    ORDER BY h) AS rnk FROM g) WHERE rnk <= 64),
+        |estd AS (
+        |  SELECT source,
+        |         CASE WHEN count(*) < 64 THEN count(*)
+        |              ELSE (63 * 281474976710656) // max(h) END AS est_d
+        |  FROM syn GROUP BY source),
+        |srcs AS (SELECT DISTINCT source FROM syn),
+        |pr AS (SELECT a.source AS ga, b.source AS gb
+        |       FROM srcs a JOIN srcs b ON a.source < b.source),
+        |u AS (
+        |  SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        |    SELECT pr.ga, pr.gb, s.h, 1 AS in_a, 0 AS in_b
+        |    FROM pr JOIN syn s ON s.source = pr.ga
+        |    UNION ALL
+        |    SELECT pr.ga, pr.gb, s.h, 0 AS in_a, 1 AS in_b
+        |    FROM pr JOIN syn s ON s.source = pr.gb)
+        |  GROUP BY ga, gb, h),
+        |w AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h)
+        |    AS rnk FROM u) WHERE rnk <= 64),
+        |agg AS (SELECT ga, gb, count(*) AS n_kept, max(h) AS hk,
+        |               sum(in_a * in_b) AS n_both
+        |        FROM w GROUP BY ga, gb),
+        |e AS (SELECT ga, gb, n_kept, n_both,
+        |        CASE WHEN n_kept < 64 THEN n_kept
+        |             ELSE (63 * 281474976710656) // hk END AS est_union
+        |      FROM agg)
+        |SELECT e.ga, e.gb, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(ea.est_d AS BIGINT) AS est_a,
+        |  CAST(eb.est_d AS BIGINT) AS est_b,
+        |  CAST(est_union AS BIGINT) AS est_union,
+        |  CAST((n_both * est_union) // n_kept AS BIGINT) AS est_inter,
+        |  CAST(greatest(ea.est_d - (n_both * est_union) // n_kept, 0)
+        |    AS BIGINT) AS est_only_a,
+        |  CAST((n_both * 1000000) // n_kept AS BIGINT) AS jac_micro
+        |FROM e JOIN estd ea ON ea.source = e.ga
+        |       JOIN estd eb ON eb.source = e.gb
+        |ORDER BY ga, gb""".stripMargin,
 
     // Parquet round-trip of BIGINT cells is exact — same oracle.
     "sketch_cms_persist" -> cmsHeavyOracle,

@@ -1309,4 +1309,116 @@ class PipelineSpec extends SparkSpec {
         s"$dupSurvivors near-duplicate pairs leaked through the exclusion")
     } finally survivors.unpersist()
   }
+
+  test("IVF delete: tombstones mask deleted ids; compaction serves identically and drains") {
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 15)
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    withTempDir("graft_del_spec") { dir =>
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      Similarity.deleteFromIvfIndex(spark,
+        vecs.filter($"vec_id" % 7 === 0).select($"vec_id"), dir)
+      val masked = Similarity.searchIvfIndex(spark, dir, probes, 3,
+        nprobe = 2)
+      val r1 = masked.collect().toSet
+      assert(r1.nonEmpty, "masked serve returned nothing")
+      assert(masked.filter($"neighbor_id" % 7 === 0).isEmpty,
+        "a deleted id appeared as a neighbor")
+      // Compaction rewrites only affected partitions; with deletions
+      // spread across all cells and plenty of survivors, no cell
+      // empties, so the tombstone table must come out DRAINED and the
+      // serve bit-identical.
+      Similarity.compactIvfIndex(spark, dir)
+      val r2 = Similarity.searchIvfIndex(spark, dir, probes, 3,
+        nprobe = 2).collect().toSet
+      assert(r2 === r1, "compacted serve diverged from the masked serve")
+      assert(spark.read.schema("vec_id LONG")
+          .parquet(s"$dir/tombstones").isEmpty,
+        "tombstones not drained though every affected cell kept rows")
+      // And the rows are physically gone, not just masked.
+      assert(spark.read.parquet(s"$dir/index")
+          .filter($"vec_id" % 7 === 0).isEmpty,
+        "compaction left deleted rows in the index files")
+    }
+  }
+
+  test("IVF delete: a fully-emptied cell stays masked by retained tombstones") {
+    import graft.operators.Similarity
+    val vecs = clusteredVecs().select($"vec_id", $"v")
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    withTempDir("graft_del_empty") { dir =>
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      // Delete EVERY vector: every cell empties, no partition can be
+      // rewritten away, so compaction must retain every tombstone and
+      // the serve must still return nothing — correctness holds even
+      // when space reclaim cannot.
+      Similarity.deleteFromIvfIndex(spark, vecs.select($"vec_id"), dir)
+      Similarity.compactIvfIndex(spark, dir)
+      assert(!spark.read.schema("vec_id LONG")
+          .parquet(s"$dir/tombstones").isEmpty,
+        "tombstones for emptied cells must be retained")
+      val served = Similarity.searchIvfIndex(spark, dir,
+        vecs.filter($"vec_id" < 5), 3, nprobe = 2)
+      assert(served.isEmpty,
+        "a deleted row resurfaced after compacting emptied cells")
+    }
+  }
+
+  test("chunk store: dedup-at-rest exactness and loud parameter mismatch") {
+    import graft.operators.Multimodal
+    val base = docs.select($"doc_id", $"text")
+    val extras = corpus.filter($"doc_id" >= 100000)
+    withTempDir("graft_store_spec") { dir =>
+      Multimodal.writeChunkStore(base, dir)
+      Multimodal.appendChunkStore(spark, extras, dir)
+      // The store must hold EXACTLY the corpus's distinct chunk
+      // hashes — one payload per distinct chunk, nothing dropped,
+      // nothing double-stored (the injected duplicates' chunks all
+      // dedup against base).
+      val stored = spark.read.parquet(s"$dir/store").count()
+      val distinctHashes = Multimodal.cdcChunks(corpus)
+        .select($"chunk_hash").distinct().count()
+      assert(stored === distinctHashes,
+        s"store holds $stored payloads, corpus has $distinctHashes " +
+          "distinct chunks")
+      val totalChunks = Multimodal.cdcChunks(corpus).count()
+      assert(stored < totalChunks,
+        "no dedup happened though the corpus injects exact duplicates")
+      // Appending with different chunking parameters must fail loudly
+      // (meta sidecar): those chunks could never dedup against the
+      // stored ones.
+      val e = intercept[IllegalArgumentException] {
+        Multimodal.appendChunkStore(spark, extras, dir, window = 4)
+      }
+      assert(e.getMessage.contains("built with"), e.getMessage)
+    }
+  }
+
+  test("KMV set-ops are exact when both sides fit; mismatched serve k fails loudly") {
+    import graft.operators.Sketches
+    // Two overlapping sets small enough for the k=64 window: every
+    // figure the estimator emits must be EXACT (n_kept < k branch).
+    val rows = ((1 to 30).map(i => ("a", s"key$i")) ++
+      (21 to 45).map(i => ("b", s"key$i"))).toDF("src", "key")
+    withTempDir("graft_syn_spec") { dir =>
+      Sketches.writeKmvSynopses(rows, $"key", $"src", dir, k = 64)
+      val got = Sketches.kmvSetOps(spark, dir, k = 64)
+        .select($"ga", $"gb", $"est_a", $"est_b", $"est_union",
+          $"est_inter", $"est_only_a", $"jac_micro")
+        .as[(String, String, Long, Long, Long, Long, Long, Long)]
+        .collect()
+      assert(got.length == 1)
+      val (ga, gb, ea, eb, eu, ei, eoa, jac) = got.head
+      assert((ga, gb) == ("a", "b"))
+      assert((ea, eb, eu, ei, eoa) == ((30L, 25L, 45L, 10L, 20L)),
+        s"exact-branch figures wrong: $ea/$eb/$eu/$ei/$eoa")
+      assert(jac == 10L * 1000000L / 45L, s"jaccard micro $jac")
+      val e = intercept[IllegalArgumentException] {
+        Sketches.kmvSetOps(spark, dir, k = 32)
+      }
+      assert(e.getMessage.contains("built with"), e.getMessage)
+    }
+  }
 }

@@ -57,7 +57,11 @@ class PlanInvariantsSpec extends SparkSpec {
                              // non-equi (the brute-force family shape)
     "pipeline_negative_sample", // one-row occupied-bucket-count scalar
                              // (the empty-bucket-proof draw remap)
-    "text_keywords"          // one-row corpus-count idf normalizer
+    "text_keywords",         // one-row corpus-count idf normalizer
+    "sketch_kmv_setops"      // |groups|×|groups| pair enumeration over
+                             // the synopsis store's distinct groups —
+                             // bounded by the PROFILE's group count
+                             // (sources, crawls), never data
   )
 
   test("unrolled iterative plans pin their round counts") {

@@ -264,6 +264,22 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // before the frame): bucket-keyed
                                   // join/distinct + output sort; base
                                   // text and signatures never touched
+    "sketch_cms_lookup" -> 3,     // external-candidate agg + true_c
+                                  // co-key join + sort; the sketch
+                                  // broadcasts into the cell lookup
+    "sketch_kmv_setops" -> 7,     // SERVING plan over the stored
+                                  // synopsis (k rows/group): pair
+                                  // flag agg + union window + ests
+                                  // joins + sort — every exchange
+                                  // moves profile rows, never data
+    "sim_ivf_delete" -> 5,        // SERVING plan — same 5 as
+                                  // sim_ivf_persist: the tombstone
+                                  // mask is a broadcast anti-join,
+                                  // zero added exchanges
+    "mm_chunk_store" -> 2,        // reassembly: hash-keyed store join
+                                  // + doc rollup + sort (manifest
+                                  // and store written before the
+                                  // frame)
     "sim_ivfpq_persist" -> 7)     // SERVING plan only: probe assignment
                                   // agg/window over broadcast stored
                                   // centroids (printed again under the
