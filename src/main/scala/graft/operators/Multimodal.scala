@@ -481,6 +481,44 @@ object Multimodal {
       _.join(known, Seq("chunk_hash"), "left_anti"))
   }
 
+  /** DELETE documents from a [[writeChunkStore]] layout and sweep the
+    * chunks they orphaned — the retention/GC half of the store
+    * lifecycle (user deletions, retracted documents): the manifest
+    * drops the deleted docs' rows, then any store chunk no longer
+    * referenced by the SURVIVING manifest is removed. Reference
+    * counting is exact by construction — a deleted document whose
+    * duplicate (or partial overlap) remains keeps every shared chunk,
+    * because the sweep is an anti-join against live references, not a
+    * per-doc delete.
+    *
+    * Scale shape: the deletion batch broadcasts into the manifest
+    * anti-join; the sweep is one hash-keyed semi-join of the store
+    * against the kept manifest's distinct hashes. Both rewrites stage
+    * to sibling dirs and swap by rename (all Spark actions complete
+    * before any mutation), the same commit discipline as
+    * [[Similarity.compactIvfIndex]]. */
+  def deleteDocsFromChunkStore(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val del = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct()
+    val man = spark.read.parquet(s"$dir/manifest")
+    val keep = man.join(broadcast(del), Seq("doc_id"), "left_anti")
+    val manStaging = s"$dir/manifest_next"
+    keep.write.mode("overwrite").parquet(manStaging)
+    val storeStaging = s"$dir/store_next"
+    spark.read.parquet(s"$dir/store")
+      .join(keep.select(col("chunk_hash")).distinct(),
+        Seq("chunk_hash"), "left_semi")
+      .write.mode("overwrite").parquet(storeStaging)
+    fs.delete(new Path(s"$dir/manifest"), true)
+    fs.rename(new Path(manStaging), new Path(s"$dir/manifest"))
+    fs.delete(new Path(s"$dir/store"), true)
+    fs.rename(new Path(storeStaging), new Path(s"$dir/store"))
+  }
+
   /** Reassemble every document from the store and prove it byte-exact:
     * manifest ⋈ store on the hash key, chunks re-ordered per doc, and
     * the reassembly fingerprinted (md5) so the gate compares one hash

@@ -1112,17 +1112,42 @@ object Similarity {
   }
 
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      probes: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+      probes: DataFrame, k: Int, nprobe: Int = 1): DataFrame =
+    searchIvfIndexImpl(spark, dir, probes, k, nprobe, None)
+
+  /** FILTERED ANN serve: [[searchIvfIndex]] restricted to index rows
+    * satisfying a metadata predicate — the filtered-vector-search
+    * contract (tenant scoping, language/source restriction, freshness
+    * cuts). The predicate applies BEFORE scoring, so the top-k ranks
+    * over matching vectors only (never "top-k then filter", which
+    * under-returns), and it references columns STORED IN the index —
+    * [[writeIvfIndex]] persists whatever metadata columns ride along
+    * with (vec_id, v), which is how the filter reaches the parquet
+    * scan as a pushed data filter next to the cell DPP (spec-pinned).
+    * Recall caveat, same as every IVF system: nprobe bounds the cells
+    * consulted; a filter that excludes most of a probe's nearby cells'
+    * content returns what those cells still hold — raise nprobe for
+    * highly selective filters. Serving a pre-filtered index and
+    * filtering at serve are bit-identical (per-vector assignment does
+    * not depend on other vectors; spec-pinned). */
+  def searchIvfIndexWhere(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame, k: Int, nprobe: Int,
+      pred: Column): DataFrame =
+    searchIvfIndexImpl(spark, dir, probes, k, nprobe, Some(pred))
+
+  private def searchIvfIndexImpl(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame, k: Int, nprobe: Int,
+      pred: Option[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = spark.read.parquet(s"$dir/centroids")
-    val idx0 = spark.read.parquet(s"$dir/index")
+    val idx1 = pred.foldLeft(spark.read.parquet(s"$dir/index"))(_ filter _)
     // Tombstone mask (see [[deleteFromIvfIndex]]): deleted ids are
     // anti-joined out via one broadcast — absent for layouts that
     // never deleted, so their plans are unchanged.
     val idx = readTombstones(spark, dir)
-      .map(t => idx0.join(broadcast(t), Seq("vec_id"), "left_anti"))
-      .getOrElse(idx0)
+      .map(t => idx1.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(idx1)
     val pcells = trainedAssign(probes, cents, nprobe)
       .select(col("probe_id"), col("cid").as("pcell"))
     val pb = withNorm(probes).select(col("vec_id").as("probe_id"),

@@ -1302,6 +1302,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Chunk-store GC — the retention half of the store lifecycle next
+    // to mm_chunk_store's build/append half: every third base document
+    // is deleted, the manifest drops their rows, and the sweep removes
+    // exactly the chunks no surviving document references (a deleted
+    // doc whose +100000 duplicate remains keeps ALL its chunks — the
+    // reference-counting case that per-doc deletion would get wrong).
+    // Gated by byte-exact reassembly of the SURVIVING corpus; the
+    // sweep's remove-all-and-only-orphans exactness is spec-pinned.
+    "mm_chunk_gc" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val extras = Dedup.augmentCorpus(Tables.documents(s, d))
+        .filter(col("doc_id") >= 100000)
+      val dir = FlowLogQueries.scratchDir("graft_chunk_gc")
+      Multimodal.writeChunkStore(base, dir, window = 8, divisor = 32)
+      Multimodal.appendChunkStore(s, extras, dir, window = 8,
+        divisor = 32)
+      Multimodal.deleteDocsFromChunkStore(s,
+        base.filter(col("doc_id") % 3 === 0).select(col("doc_id")), dir)
+      Multimodal.reconstructFromStore(s, dir)
+        .orderBy("doc_id")
+    }),
+
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.asBinaryPayloads(Tables.documents(s, d)), 64, 2)
@@ -1553,6 +1575,27 @@ object PipelineQueries {
         vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
       Similarity.searchIvfIndex(s, dir, vecs.filter(col("vec_id") < 15),
         3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // FILTERED ANN serve — the filtered-vector-search contract (tenant
+    // scoping, source restriction): the index persists the label
+    // metadata column alongside the vectors, and the serve restricts
+    // to even-label rows BEFORE scoring, so the top-k ranks over
+    // matching vectors only. The filter reaches the parquet scan as a
+    // pushed data filter next to the cell DPP (spec-pinned), and
+    // serving a pre-filtered index is bit-identical (spec-pinned).
+    // Oracle: the trained-IVF replay with the index side restricted to
+    // even-label vec_ids.
+    "sim_ivf_filtered" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val train = vecs.select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(train, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_ivf_filt")
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      Similarity.searchIvfIndexWhere(s, dir,
+        train.filter(col("vec_id") < 15), 3, nprobe = 2,
+        col("label") % 2 === 0)
         .orderBy("probe_id", "rnk")
     }),
 
@@ -1894,6 +1937,36 @@ object PipelineQueries {
       |FROM cc JOIN cms USING (j, bucket)
       |GROUP BY cc.k, true_c
       |ORDER BY true_c DESC, k""".stripMargin
+
+  // Shared by mm_chunk_store and mm_chunk_gc: the CDC cut replay over
+  // the duplicate-injected corpus (optionally minus a deleted-doc
+  // predicate) with one md5 per document gating byte-exact reassembly.
+  private def chunkStoreOracleWhere(pred: String): String =
+    s"""WITH $corpusCte,
+       |f AS (SELECT doc_id, text, length(text) AS n FROM corpus
+       |      WHERE length(text) > 0 $pred),
+       |pos AS (
+       |  SELECT doc_id, unnest(generate_series(8, n)) AS i FROM f),
+       |cut AS (
+       |  SELECT p.doc_id, p.i
+       |  FROM pos p JOIN f USING (doc_id)
+       |  WHERE CAST(CAST(('0x' || substr(
+       |          md5(substr(f.text, CAST(p.i - 7 AS BIGINT), 8)),
+       |          1, 12)) AS UBIGINT) AS BIGINT) % 32 = 0),
+       |b AS (
+       |  SELECT f.doc_id, f.text, f.n,
+       |         coalesce(list_sort(list(cut.i)
+       |             FILTER (WHERE cut.i IS NOT NULL)), []) AS cuts
+       |  FROM f LEFT JOIN cut USING (doc_id)
+       |  GROUP BY f.doc_id, f.text, f.n),
+       |b2 AS (
+       |  SELECT doc_id, text, n,
+       |         CASE WHEN len(cuts) = 0 OR cuts[len(cuts)] <> n
+       |              THEN list_append(cuts, n) ELSE cuts END AS bounds
+       |  FROM b)
+       |SELECT doc_id, CAST(len(bounds) AS BIGINT) AS n_chunks,
+       |       CAST(n AS BIGINT) AS doc_len, md5(text) AS r_hash
+       |FROM b2 ORDER BY doc_id""".stripMargin
 
   // Shared by text_bpe_train / text_bpe_apply: three unrolled BPE
   // rounds. The merge rewrite is POSITIONAL (an independent
@@ -2623,6 +2696,11 @@ object PipelineQueries {
     // Same trained-IVF replay with the tombstoned ids (vec_id % 7 = 0)
     // excluded from the index side; probes untouched.
     "sim_ivf_delete" -> ivfKmeansSearchSqlWhere("AND vec_id % 7 <> 0"),
+
+    // Same replay with the index side restricted to even-label vectors
+    // (the metadata filter); probes untouched.
+    "sim_ivf_filtered" -> ivfKmeansSearchSqlWhere(
+      "AND vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
 
     "sim_range_search" ->
       s"""WITH $ovecsCte,
@@ -3416,32 +3494,14 @@ object PipelineQueries {
     // CDC cut replay gives the per-doc chunk count; reassembly
     // equality gates through md5(text) — the store side must
     // reproduce every document byte-exactly for the hashes to match.
-    "mm_chunk_store" ->
-      s"""WITH $corpusCte,
-         |f AS (SELECT doc_id, text, length(text) AS n FROM corpus
-         |      WHERE length(text) > 0),
-         |pos AS (
-         |  SELECT doc_id, unnest(generate_series(8, n)) AS i FROM f),
-         |cut AS (
-         |  SELECT p.doc_id, p.i
-         |  FROM pos p JOIN f USING (doc_id)
-         |  WHERE CAST(CAST(('0x' || substr(
-         |          md5(substr(f.text, CAST(p.i - 7 AS BIGINT), 8)),
-         |          1, 12)) AS UBIGINT) AS BIGINT) % 32 = 0),
-         |b AS (
-         |  SELECT f.doc_id, f.text, f.n,
-         |         coalesce(list_sort(list(cut.i)
-         |             FILTER (WHERE cut.i IS NOT NULL)), []) AS cuts
-         |  FROM f LEFT JOIN cut USING (doc_id)
-         |  GROUP BY f.doc_id, f.text, f.n),
-         |b2 AS (
-         |  SELECT doc_id, text, n,
-         |         CASE WHEN len(cuts) = 0 OR cuts[len(cuts)] <> n
-         |              THEN list_append(cuts, n) ELSE cuts END AS bounds
-         |  FROM b)
-         |SELECT doc_id, CAST(len(bounds) AS BIGINT) AS n_chunks,
-         |       CAST(n AS BIGINT) AS doc_len, md5(text) AS r_hash
-         |FROM b2 ORDER BY doc_id""".stripMargin,
+    "mm_chunk_store" -> chunkStoreOracleWhere(""),
+
+    // Same replay over the corpus MINUS the GC'd documents: after the
+    // manifest drop + orphan sweep, every surviving doc must still
+    // reassemble byte-exactly — a sweep that removed any still-shared
+    // chunk would break a survivor's hash.
+    "mm_chunk_gc" -> chunkStoreOracleWhere(
+      "AND NOT (doc_id < 100000 AND doc_id % 3 = 0)"),
 
     // Same window-hash derivation as the Spark side: md5-prefix-48 of
     // the trailing 8 bytes, cut where it divides 32; final partial

@@ -1366,6 +1366,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN serve: predicate pushed to the index scan, equal to a pre-filtered index") {
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+    val train = vecs.select($"vec_id", $"v")
+    val probes = train.filter($"vec_id" < 12)
+    val cents = Similarity.kmeansTrain(train, 8, 2)
+    withTempDir("graft_filt_a") { dirA =>
+      withTempDir("graft_filt_b") { dirB =>
+        Similarity.writeIvfIndex(vecs, cents, dirA)
+        Similarity.writeIvfIndex(vecs.filter($"label" % 2 === 0),
+          cents, dirB)
+        val filtered = Similarity.searchIvfIndexWhere(spark, dirA,
+          probes, 3, nprobe = 2, $"label" % 2 === 0)
+        // Per-vector assignment is independent of other vectors, so
+        // filtering at serve and indexing only matching vectors are
+        // the SAME result, bit-for-bit.
+        val want = Similarity.searchIvfIndex(spark, dirB, probes, 3,
+          nprobe = 2)
+          .select($"probe_id", $"neighbor_id", $"cos_r", $"rnk")
+          .collect().toSet
+        val got = filtered
+          .select($"probe_id", $"neighbor_id", $"cos_r", $"rnk")
+          .collect().toSet
+        assert(got.nonEmpty && got === want,
+          "serve-time filter diverged from the pre-filtered index")
+        // The metadata filter must reach the parquet scan as a pushed
+        // data filter, alongside the cell DPP.
+        val plan = filtered.queryExecution.executedPlan.toString
+        assert(plan.toLowerCase.contains("dynamicpruning"),
+          "filtered serve lost its dynamic partition pruning")
+        assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan)
+            .isDefined,
+          "label predicate not pushed to the index scan")
+      }
+    }
+  }
+
   test("chunk store: dedup-at-rest exactness and loud parameter mismatch") {
     import graft.operators.Multimodal
     val base = docs.select($"doc_id", $"text")
@@ -1393,6 +1430,39 @@ class PipelineSpec extends SparkSpec {
         Multimodal.appendChunkStore(spark, extras, dir, window = 4)
       }
       assert(e.getMessage.contains("built with"), e.getMessage)
+    }
+  }
+
+  test("chunk-store GC sweeps all orphans and only orphans") {
+    import graft.operators.Multimodal
+    val base = docs.select($"doc_id", $"text")
+    val extras = corpus.filter($"doc_id" >= 100000)
+    withTempDir("graft_gc_spec") { dir =>
+      Multimodal.writeChunkStore(base, dir)
+      Multimodal.appendChunkStore(spark, extras, dir)
+      Multimodal.deleteDocsFromChunkStore(spark,
+        base.filter($"doc_id" % 3 === 0).select($"doc_id"), dir)
+      // The post-GC store must hold EXACTLY the surviving corpus's
+      // distinct chunk hashes: every orphan gone (space reclaimed),
+      // every still-referenced chunk kept (survivors reassemble — the
+      // oracle gates that; this pins the reclaim side).
+      val survivors = corpus.filter(
+        !($"doc_id" < 100000 && $"doc_id" % 3 === 0))
+      val want = Multimodal.cdcChunks(survivors)
+        .select($"chunk_hash").distinct().count()
+      val got = spark.read.parquet(s"$dir/store").count()
+      assert(got === want,
+        s"post-GC store holds $got chunks, surviving corpus references $want")
+      // The deletion must have actually reclaimed something: deleted
+      // docs with no surviving duplicate carry unique chunks.
+      val before = Multimodal.cdcChunks(corpus)
+        .select($"chunk_hash").distinct().count()
+      assert(got < before, "GC reclaimed nothing on a corpus with " +
+        "uniquely-referenced deleted docs")
+      // And the manifest no longer references any deleted doc.
+      assert(spark.read.parquet(s"$dir/manifest")
+          .filter($"doc_id" < 100000 && $"doc_id" % 3 === 0).isEmpty,
+        "deleted docs survived in the manifest")
     }
   }
 

@@ -276,10 +276,16 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // sim_ivf_persist: the tombstone
                                   // mask is a broadcast anti-join,
                                   // zero added exchanges
+    "sim_ivf_filtered" -> 5,      // SERVING plan — same 5: the
+                                  // metadata filter is a pushed scan
+                                  // predicate, zero added exchanges
     "mm_chunk_store" -> 2,        // reassembly: hash-keyed store join
                                   // + doc rollup + sort (manifest
                                   // and store written before the
                                   // frame)
+    "mm_chunk_gc" -> 2,           // same reassembly frame over the
+                                  // post-GC layout — the sweep's
+                                  // joins ran before the frame
     "sim_ivfpq_persist" -> 7)     // SERVING plan only: probe assignment
                                   // agg/window over broadcast stored
                                   // centroids (printed again under the

@@ -1010,4 +1010,50 @@ class StreamingSpec extends SparkSpec {
         "estimate from streamed registers must equal the batch estimate")
     } finally { cmsQ.stop(); hllQ.stop() }
   }
+
+  test("streaming chunk-store ingestion: micro-batch appends converge to the batch layout") {
+    // The content-addressed store's incremental append is the natural
+    // streaming ingest: doc micro-batches appendChunkStore against the
+    // frozen base layout, each batch's anti-join deduping against
+    // everything stored so far (including earlier batches). The final
+    // layout must reassemble every document byte-identically to a
+    // batch build+append, and hold the same distinct-chunk count —
+    // cross-batch dedup must not double-store a shared chunk.
+    val base = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val extras = operators.Dedup.augmentCorpus(
+      Tables.documents(spark, sfDir)).filter($"doc_id" >= 100000)
+    val sDir = java.nio.file.Files
+      .createTempDirectory("graft_store_stream").toString
+    val bDir = java.nio.file.Files
+      .createTempDirectory("graft_store_batch").toString
+    operators.Multimodal.writeChunkStore(base, sDir)
+    operators.Multimodal.writeChunkStore(base, bDir)
+    operators.Multimodal.appendChunkStore(spark, extras, bDir)
+    val want = operators.Multimodal.reconstructFromStore(spark, bDir)
+      .as[(Long, Long, Long, String)].collect().toSet
+
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        operators.Multimodal.appendChunkStore(spark, batch, sDir)
+        ()
+      }.start()
+    try {
+      val rows = extras.select($"doc_id", $"text")
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = operators.Multimodal.reconstructFromStore(spark, sDir)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(want.nonEmpty && got === want,
+        "streamed store must reassemble identically to the batch layout")
+      val gotStored = spark.read.parquet(s"$sDir/store").count()
+      val wantStored = spark.read.parquet(s"$bDir/store").count()
+      assert(gotStored === wantStored,
+        s"cross-batch dedup drifted: streamed store $gotStored chunks " +
+          s"vs batch $wantStored")
+    } finally q.stop()
+  }
 }
