@@ -1011,6 +1011,51 @@ class StreamingSpec extends SparkSpec {
     } finally { cmsQ.stop(); hllQ.stop() }
   }
 
+  test("streaming KMV maintenance: versioned synopsis merge converges to the batch estimate") {
+    // The KMV synopsis merges by re-rank (every globally-k-smallest
+    // hash is k-smallest within its shard), so its streaming
+    // maintenance is the same read-merge-write versioned layout as the
+    // quantile sample: each micro-batch's partial synopsis merges with
+    // the stored one, and after all batches the distinct-count
+    // estimates equal the batch build bit-for-bit — the last sketch
+    // family member's streaming leg, next to the CMS cell sum, the
+    // HLL register max, and the quantile re-rank.
+    import operators.Sketches
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type".as("grp"), Sketches.h48($"user_id").as("h"))
+    val want = Sketches.kmvEstimate(Sketches.kmvSynopsis(ev, 16), 16)
+      .as[(String, Long, Long)].collect().toSet
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_kmv_serve").toString
+    @volatile var version = -1
+    val in = MemoryStream[(String, Long)](spark)
+    val q = in.toDF().toDF("grp", "h").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val incoming = Sketches.kmvSynopsis(batch, 16)
+        val merged =
+          if (version < 0) incoming
+          else Sketches.kmvSynopsis(
+            spark.read.parquet(s"$base/v$version").unionByName(incoming),
+            16)
+        merged.write.mode("overwrite").parquet(s"$base/v${version + 1}")
+        version += 1
+        ()
+      }.start()
+    try {
+      val rows = ev.as[(String, Long)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = Sketches.kmvEstimate(
+        spark.read.parquet(s"$base/v$version"), 16)
+        .as[(String, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got === want,
+        s"maintained synopsis estimates (${got.size}) must equal batch " +
+          s"(${want.size})")
+    } finally q.stop()
+  }
+
   test("streaming chunk-store ingestion: micro-batch appends converge to the batch layout") {
     // The content-addressed store's incremental append is the natural
     // streaming ingest: doc micro-batches appendChunkStore against the
