@@ -805,7 +805,13 @@ object Similarity {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes0 = spark.read.parquet(s"$dir/codes")
+    // Same tombstone mask as [[searchIvfIndex]] — [[deleteFromIvfIndex]]
+    // is layout-agnostic (it only writes ids), so PQ serving honors
+    // deletions identically; absent for layouts that never deleted.
+    val codes = readTombstones(spark, dir)
+      .map(t => codes0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(codes0)
     val pcells = trainedAssign(probes, cents, nprobe)
       .select(col("probe_id"), col("cid").as("pcell"))
     // Same broadcast rationale as [[ivfPqTopK]]: keep the probe-bounded
@@ -1075,12 +1081,21 @@ object Similarity {
     * own dynamic-partition protocol uses), never data through the
     * driver. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String): Unit = compactCellTable(spark, dir, "index")
+
+  /** [[compactIvfIndex]] for the PQ layout — same machinery over the
+    * cell-partitioned `codes/` table (same schema discipline: rows
+    * keyed by vec_id, partitioned by cell). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = compactCellTable(spark, dir, "codes")
+
+  private def compactCellTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, table: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     readTombstones(spark, dir).foreach { tombs =>
-      val idx = spark.read.parquet(s"$dir/index")
+      val idx = spark.read.parquet(s"$dir/$table")
       val affected = idx.join(broadcast(tombs), Seq("vec_id"))
         .select(col("cell")).distinct()
       val rewritten = idx.join(broadcast(affected), Seq("cell"))
@@ -1093,7 +1108,7 @@ object Similarity {
       val retained = idx.join(broadcast(emptied), Seq("cell"))
         .join(broadcast(tombs), Seq("vec_id"))
         .select(col("vec_id")).distinct()
-      val staging = s"$dir/index_compacting"
+      val staging = s"$dir/${table}_compacting"
       rewritten.write.mode("overwrite").partitionBy("cell")
         .parquet(staging)
       val tombStaging = s"$dir/tombstones_next"
@@ -1101,7 +1116,7 @@ object Similarity {
       fs.listStatus(new Path(staging))
         .filter(_.getPath.getName.startsWith("cell="))
         .foreach { st =>
-          val dest = new Path(s"$dir/index/${st.getPath.getName}")
+          val dest = new Path(s"$dir/$table/${st.getPath.getName}")
           fs.delete(dest, true)
           fs.rename(st.getPath, dest)
         }

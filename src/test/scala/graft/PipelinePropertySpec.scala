@@ -544,4 +544,68 @@ class PipelinePropertySpec extends SparkSpec {
           s"got ${got(id.toLong)}, want $want")
     }
   }
+
+  test("property: KMV set-ops from stored synopses are exact whenever the pair window fits") {
+    // Random overlapping sets per group, all smaller than k: every
+    // figure kmvSetOps emits must equal the true set algebra computed
+    // locally (the n_kept < k branch is EXACT by construction, for any
+    // key distribution and any overlap structure — the property the
+    // one-fixture PipelineSpec case cannot cover).
+    val keyGen = Gen.chooseNum(0, 60).map(i => s"k$i")
+    val grpGen = Gen.oneOf("g1", "g2", "g3")
+    val rows = samples(Gen.zip(grpGen, keyGen), 150)
+    val sets = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).toSet
+    }
+    withTempDir("graft_syn_prop") { dir =>
+      graft.operators.Sketches.writeKmvSynopses(
+        rows.toDF("src", "key"), col("key"), col("src"), dir, k = 64)
+      val got = graft.operators.Sketches.kmvSetOps(spark, dir, k = 64)
+        .select($"ga", $"gb", $"est_a", $"est_b", $"est_union",
+          $"est_inter", $"est_only_a")
+        .as[(String, String, Long, Long, Long, Long, Long)]
+        .collect()
+      assert(got.length === sets.size * (sets.size - 1) / 2,
+        "one row per unordered group pair expected")
+      got.foreach { case (ga, gb, ea, eb, eu, ei, eoa) =>
+        val (sa, sb) = (sets(ga), sets(gb))
+        assert(ea === sa.size.toLong && eb === sb.size.toLong,
+          s"per-side sizes wrong for ($ga,$gb)")
+        assert(eu === (sa ++ sb).size.toLong,
+          s"union wrong for ($ga,$gb): $eu")
+        assert(ei === (sa & sb).size.toLong,
+          s"intersection wrong for ($ga,$gb): $ei")
+        assert(eoa === (sa -- sb).size.toLong,
+          s"difference wrong for ($ga,$gb): $eoa")
+      }
+    }
+  }
+
+  test("property: external CMS lookups stay one-sided (est >= true) including absent keys") {
+    // Candidates drawn from a WIDER key space than the build stream:
+    // for present keys est_c >= true_c (collisions only inflate), and
+    // an absent key with est_c = 0 proves the missing-cell-as-zero
+    // lookup semantics (an inner join would have dropped it; taking
+    // min over only populated cells would have inflated it).
+    val buildKeys = samples(Gen.chooseNum(0, 80).map(i => s"k$i"), 400)
+    val candKeys = (0 to 160).map(i => s"k$i")
+    val sketch = graft.operators.Sketches.cmsBuild(
+      buildKeys.toDF("key"), col("key"), depth = 3, width = 64)
+    val trueCounts = buildKeys.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val cand = candKeys.map(k => (k, trueCounts.getOrElse(k, 0L)))
+      .toDF("k", "true_c")
+    val scored = graft.operators.Sketches.cmsScore(sketch, cand,
+      depth = 3, width = 64)
+      .as[(String, Long, Long)].collect()
+    assert(scored.length === candKeys.length,
+      "every candidate must score — absent keys may not vanish")
+    scored.foreach { case (k, t, e) =>
+      assert(e >= t, s"one-sided bound violated for $k: est $e < true $t")
+      if (e == 0L) assert(t == 0L,
+        s"est 0 for a key the build saw $t times")
+    }
+    assert(scored.exists { case (_, t, e) => t == 0L },
+      "fixture degenerate: no absent candidate keys")
+  }
 }

@@ -1344,6 +1344,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("PQ serving honors tombstone deletes; PQ compaction serves identically and drains") {
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 10)
+    withTempDir("graft_pq_del") { dir =>
+      Similarity.writeIvfPqIndex(vecs, dir)
+      Similarity.deleteFromIvfIndex(spark,
+        vecs.filter($"vec_id" % 7 === 0).select($"vec_id"), dir)
+      val masked = Similarity.searchIvfPqIndex(spark, dir, probes, 5)
+      val r1 = masked.collect().toSet
+      assert(r1.nonEmpty, "masked PQ serve returned nothing")
+      assert(masked.filter($"neighbor_id" % 7 === 0).isEmpty,
+        "a deleted id appeared as a PQ neighbor")
+      Similarity.compactIvfPqIndex(spark, dir)
+      val r2 = Similarity.searchIvfPqIndex(spark, dir, probes, 5)
+        .collect().toSet
+      assert(r2 === r1, "compacted PQ serve diverged from the masked serve")
+      assert(spark.read.schema("vec_id LONG")
+          .parquet(s"$dir/tombstones").isEmpty,
+        "PQ tombstones not drained though every affected cell kept rows")
+      assert(spark.read.parquet(s"$dir/codes")
+          .filter($"vec_id" % 7 === 0).isEmpty,
+        "PQ compaction left deleted rows in the code files")
+    }
+  }
+
   test("IVF delete: a fully-emptied cell stays masked by retained tombstones") {
     import graft.operators.Similarity
     val vecs = clusteredVecs().select($"vec_id", $"v")
