@@ -483,6 +483,32 @@ object Dedup {
       "rowsPerBand" -> rowsPerBand.toString, "sep" -> sep)
   }
 
+  /** DELETE documents from a stored [[writeLshIndex]] base — retracted
+    * or GC'd base docs must stop producing candidate pairs against
+    * future shards. Index rows are per-doc independent (a doc's
+    * buckets derive from its signature alone), so dropping its rows
+    * is EXACTLY equivalent to having built the index without it
+    * (spec-pinned bit-for-bit); the rewrite stages to a sibling dir
+    * and swaps by rename, carrying the [[IndexMeta]] sidecar along —
+    * the [[Similarity.compactIvfIndex]] commit discipline. The
+    * deletion batch broadcasts; one linear pass over the index. */
+  def deleteFromLshIndex(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val meta = IndexMeta.read(spark, dir)
+    val del = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct()
+    val staging = s"${dir.stripSuffix("/")}_next"
+    spark.read.parquet(dir)
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(staging)
+    IndexMeta.write(spark, staging, meta.toSeq: _*)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir), true)
+    fs.rename(new Path(staging), new Path(dir))
+  }
+
   /** Cross-side LSH candidates of a NEW shard against a stored
     * [[writeLshIndex]] base: the shard's buckets (computed live — the
     * shard is the small, fresh side) equi-join the index on the bucket

@@ -664,6 +664,48 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** DELETE documents from a persisted [[writeInvertedIndex]] layout —
+    * the tombstone path: the deleted docs' `(doc_id, dl)` land in a
+    * side table (dl rides on every posting row, so ONE postings scan
+    * at delete time captures it — needed because a doc with no
+    * query-term postings still counts in the corpus stats), the
+    * postings files are untouched, and the serves mask them. df is
+    * computed from the MASKED postings and the stats subtract the
+    * tombstoned docs' contribution, so a post-delete serve is
+    * bit-identical to an index rebuilt without those docs
+    * (spec-pinned — integer adjustments are exact). Serve overhead is
+    * one broadcast anti-join, bounded by the deletion volume. */
+  def deleteFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, dir: String): Unit = {
+    val del = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct()
+    spark.read.parquet(s"$dir/postings")
+      .join(broadcast(del), Seq("doc_id"))
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  private val TombSchema = "doc_id LONG, dl BIGINT"
+
+  /** A shard's tombstone table if present — explicit schema so a
+    * zero-part-file table reads cleanly (the
+    * [[graft.operators.Similarity]] readTombstones discipline). */
+  private def shardTombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.schema(TombSchema).parquet(p.toString))
+    else None
+  }
+
+  /** Union of the shards' tombstones, or None when no shard ever
+    * deleted (plans unchanged for delete-free layouts). */
+  private def unionTombstones(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String]): Option[DataFrame] = {
+    val ts = dirs.flatMap(shardTombstones(spark, _))
+    if (ts.isEmpty) None else Some(ts.reduce(_.unionByName(_)))
+  }
+
   /** Serve a PHRASE query from persisted [[writeInvertedIndex]]
     * shard(s): each phrase term's postings load from its statically-
     * pruned bucket (same plan-time `isin` trick as the BM25 serve),
@@ -679,12 +721,16 @@ object TextAnalysis {
       nBuckets: Int = 64): DataFrame = {
     require(dirs.nonEmpty, "at least one index shard required")
     require(phrase.nonEmpty, "phrase must have at least one term")
+    val tombs = unionTombstones(spark, dirs)
     val legs = phrase.zipWithIndex.map { case (t, i) =>
-      dirs.map(d => spark.read.parquet(s"$d/postings")
+      val postings = dirs.map(d => spark.read.parquet(s"$d/postings")
           .filter(col("tbucket") === lit(Sampling.hashBucketLocal(t,
             nBuckets)) && col("term") === t)
           .select(col("doc_id"), col("positions")))
         .reduce(_.unionByName(_))
+      tombs.map(tb => postings.join(broadcast(tb.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti"))
+        .getOrElse(postings)
         .select(col("doc_id"), explode(col("positions")).as("pos"))
         .select(col("doc_id"), (col("pos") - i).as("start"))
     }
@@ -738,15 +784,28 @@ object TextAnalysis {
     require(dirs.nonEmpty, "at least one index shard required")
     val buckets = terms.map(t => Sampling.hashBucketLocal(t, nBuckets))
       .distinct
-    val stats = dirs.map(d => spark.read.parquet(s"$d/stats")
+    val tombs = unionTombstones(spark, dirs)
+    val rawStats = dirs.map(d => spark.read.parquet(s"$d/stats")
         .select(col("n_docs"), col("tot_dl")))
       .reduce(_.unionByName(_))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
-    val tf = dirs.map(d => spark.read.parquet(s"$d/postings")
+    // Tombstone adjustment: subtract the deleted docs' exact (count,
+    // Σdl) so idf and avgdl equal an index rebuilt without them.
+    val stats = tombs.map { tb =>
+      rawStats.crossJoin(broadcast(tb.agg(
+          count(lit(1)).as("del_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("del_dl"))))
+        .select((col("n_docs") - col("del_docs")).as("n_docs"),
+          (col("tot_dl") - col("del_dl")).as("tot_dl"))
+    }.getOrElse(rawStats)
+    val tf0 = dirs.map(d => spark.read.parquet(s"$d/postings")
         .filter(col("tbucket").isin(buckets: _*) &&
           col("term").isin(terms: _*))
         .select(col("term"), col("doc_id"), col("tf"), col("dl")))
       .reduce(_.unionByName(_))
+    val tf = tombs.map(tb => tf0.join(broadcast(tb.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti"))
+      .getOrElse(tf0)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +

@@ -319,9 +319,15 @@ object PipelineQueries {
     * shared by text_bm25 and its persisted-inverted-index twin
     * text_bm25_serve (parquet round-trip of BIGINT tf/dl/df is exact,
     * so the serve path's scores are bit-identical). */
-  private val bm25Sql: String =
-    """WITH words AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+  private val bm25Sql: String = bm25SqlWhere("")
+
+  /** The BM25 replay with an optional corpus predicate — shared by the
+    * corpus-scan/serve/shard twins (empty) and text_bm25_delete (the
+    * tombstoned docs excluded, equivalent to a rebuild without them). */
+  private def bm25SqlWhere(pred: String): String =
+    s"""WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents $pred),
       |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM words
@@ -816,6 +822,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // DELETION from the persisted inverted index: every fifth doc is
+    // tombstoned (one postings scan captures its dl — a doc with no
+    // query-term postings still counts in the corpus stats), postings
+    // mask via one broadcast anti-join, and the stats subtract the
+    // deleted docs' exact contribution — so the served scores are
+    // bit-identical to an index REBUILT without those docs, idf and
+    // avgdl included (spec-pinned). Oracle: the BM25 replay over the
+    // corpus minus the deleted docs.
+    "text_bm25_delete" -> ((s, d) => {
+      val dir = FlowLogQueries.scratchDir("graft_inv_del")
+      TextAnalysis.writeInvertedIndex(Tables.documents(s, d), dir)
+      TextAnalysis.deleteFromInvertedIndex(s,
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 5 === 0).select(col("doc_id")), dir)
+      TextAnalysis.searchInvertedIndex(s, dir,
+          Seq("hash", "join", "spark"))
+        .orderBy("doc_id")
+    }),
+
     // Sharded/incremental index serving: the corpus splits into two
     // ingestion batches, each indexed independently; the query serves
     // from BOTH shards with df and corpus stats re-aggregated at serve
@@ -1032,6 +1057,27 @@ object PipelineQueries {
       val dir = FlowLogQueries.scratchDir("graft_lsh_idx")
       Dedup.writeLshIndex(sigs.filter(col("doc_id") < 100000), dir,
         sep = "|")
+      Dedup.lshIncrementalFromIndex(s, dir,
+        sigs.filter(col("doc_id") >= 100000), sep = "|")
+        .orderBy("new_id", "base_id")
+    }),
+
+    // DELETION from the stored LSH base: every fifth base doc is
+    // retracted before the shard serves — its buckets drop from the
+    // index (staged rewrite, meta sidecar carried), so it can never
+    // produce a candidate pair again. Index rows are per-doc, so
+    // deletion ≡ rebuilding without those docs (spec-pinned); the
+    // oracle is the incremental replay with the deleted base ids
+    // excluded.
+    "dedup_lsh_delete" -> ((s, d) => {
+      val sigs = Dedup.minhashSignaturesV2(
+        Dedup.augmentCorpus(Tables.documents(s, d)))
+      val dir = FlowLogQueries.scratchDir("graft_lsh_del")
+      Dedup.writeLshIndex(sigs.filter(col("doc_id") < 100000), dir,
+        sep = "|")
+      Dedup.deleteFromLshIndex(s,
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 5 === 0).select(col("doc_id")), dir)
       Dedup.lshIncrementalFromIndex(s, dir,
         sigs.filter(col("doc_id") >= 100000), sep = "|")
         .orderBy("new_id", "base_id")
@@ -2076,14 +2122,20 @@ object PipelineQueries {
   // Shared by dedup_incremental and dedup_lsh_persist: the persisted
   // bucket index round-trips strings/BIGINTs exactly, so the served
   // cross-side pairs equal the live incremental pairs.
-  private lazy val lshIncrementalOracle =
+  private lazy val lshIncrementalOracle = lshIncrementalOracleWhere("")
+
+  /** The incremental-LSH replay with an optional extra predicate on
+    * the BASE side — shared by the live/persisted twins (empty) and
+    * dedup_lsh_delete (deleted base docs excluded; index rows are
+    * per-doc, so deletion ≡ rebuild without them). */
+  private def lshIncrementalOracleWhere(basePred: String): String =
     s"""WITH $corpusCte,
        |$shinglesCte,
        |$lshV2CandCte,
        |inc AS (
        |  SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
        |  FROM buckets n JOIN buckets b ON n.bucket = b.bucket
-       |  WHERE n.doc_id >= 100000 AND b.doc_id < 100000)
+       |  WHERE n.doc_id >= 100000 AND b.doc_id < 100000 $basePred)
        |SELECT new_id, base_id FROM inc
        |ORDER BY new_id, base_id""".stripMargin
 
@@ -2957,6 +3009,10 @@ object PipelineQueries {
     "text_bm25_serve" -> bm25Sql,
     "text_bm25_shards" -> bm25Sql,
 
+    // Tombstoned docs excluded — scores equal a rebuild without them
+    // (idf and avgdl re-derive from the adjusted stats).
+    "text_bm25_delete" -> bm25SqlWhere("WHERE doc_id % 5 <> 0"),
+
     // Positional-leg intersection replay (phraseSearchSql): the
     // index-served twin is bit-identical to the corpus-side
     // intersection by contract (positions round-trip as sorted longs),
@@ -3283,6 +3339,10 @@ object PipelineQueries {
     // The persisted-index serve is bit-identical to the live
     // incremental pairs (string buckets + BIGINT ids, parquet-exact).
     "dedup_lsh_persist" -> lshIncrementalOracle,
+
+    // Deleted base docs (doc_id % 5 = 0) can no longer pair.
+    "dedup_lsh_delete" -> lshIncrementalOracleWhere(
+      "AND b.doc_id % 5 <> 0"),
 
     "text_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w,

@@ -1430,6 +1430,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("LSH and inverted-index deletes equal an index rebuilt without the docs") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val sigs = Dedup.minhashSignaturesV2(corpus)
+    val baseSigs = sigs.filter($"doc_id" < 100000)
+    val shard = sigs.filter($"doc_id" >= 100000)
+    withTempDir("graft_lsh_del_a") { dirA =>
+      withTempDir("graft_lsh_del_b") { dirB =>
+        // A: build on everything, then delete; B: build without the
+        // deleted docs. Index rows are per-doc, so the candidate pairs
+        // must be bit-identical.
+        Dedup.writeLshIndex(baseSigs, dirA, sep = "|")
+        Dedup.deleteFromLshIndex(spark,
+          docs.filter($"doc_id" % 5 === 0).select($"doc_id"), dirA)
+        Dedup.writeLshIndex(baseSigs.filter($"doc_id" % 5 =!= 0), dirB,
+          sep = "|")
+        val got = Dedup.lshIncrementalFromIndex(spark, dirA, shard,
+          sep = "|").as[(Long, Long)].collect().toSet
+        val want = Dedup.lshIncrementalFromIndex(spark, dirB, shard,
+          sep = "|").as[(Long, Long)].collect().toSet
+        assert(got.nonEmpty && got === want,
+          "LSH delete diverged from the rebuilt index")
+        assert(!got.exists(_._2 % 5 == 0),
+          "a deleted base doc still produced a pair")
+      }
+    }
+    withTempDir("graft_inv_del_a") { dirA =>
+      withTempDir("graft_inv_del_b") { dirB =>
+        // Same rebuild-equivalence for BM25 serving: idf and avgdl must
+        // re-derive from the tombstone-adjusted stats, not just the
+        // masked postings.
+        val terms = Seq("hash", "join", "spark")
+        TextAnalysis.writeInvertedIndex(docs, dirA)
+        TextAnalysis.deleteFromInvertedIndex(spark,
+          docs.filter($"doc_id" % 5 === 0).select($"doc_id"), dirA)
+        TextAnalysis.writeInvertedIndex(
+          docs.filter($"doc_id" % 5 =!= 0), dirB)
+        val got = TextAnalysis.searchInvertedIndex(spark, dirA, terms)
+          .as[(Long, Long, Double)].collect().toSet
+        val want = TextAnalysis.searchInvertedIndex(spark, dirB, terms)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(got.nonEmpty && got === want,
+          "BM25 delete diverged from the rebuilt index (stats adjustment?)")
+      }
+    }
+  }
+
   test("chunk store: dedup-at-rest exactness and loud parameter mismatch") {
     import graft.operators.Multimodal
     val base = docs.select($"doc_id", $"text")

@@ -20,6 +20,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "text_bm25",         // one-row corpus stats
     "text_bm25_serve",   // same one-row stats, read from the index
     "text_bm25_shards",  // same, re-aggregated across index shards
+    "text_bm25_delete",  // same one-row stats + the one-row tombstone
+                         // (count, Σdl) adjustment broadcast
     "text_tfidf_vocab",  // one-row corpus size
     "text_boilerplate",  // one-row corpus size
     "text_unigram_logprob", // one-row (n_total, vocab) LM normalizer

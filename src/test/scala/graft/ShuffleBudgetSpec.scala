@@ -264,6 +264,15 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // before the frame): bucket-keyed
                                   // join/distinct + output sort; base
                                   // text and signatures never touched
+    "dedup_lsh_delete" -> 2,      // same serve frame over the
+                                  // post-delete index — the rewrite
+                                  // ran before the frame
+    "text_bm25_delete" -> 5,      // SERVING plan: pruned-postings df
+                                  // agg + doc rollup + sort; the
+                                  // tombstone mask is a broadcast
+                                  // anti-join and the stats
+                                  // adjustment a one-row broadcast —
+                                  // neither adds a data exchange
     "sketch_cms_lookup" -> 3,     // external-candidate agg + true_c
                                   // co-key join + sort; the sketch
                                   // broadcasts into the cell lookup
