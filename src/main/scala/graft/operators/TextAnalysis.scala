@@ -685,6 +685,45 @@ object TextAnalysis {
       .write.mode("append").parquet(s"$dir/tombstones")
   }
 
+  /** Drain the tombstones of a [[deleteFromInvertedIndex]]'d layout by
+    * rewriting postings and stats without the deleted docs — the
+    * segment-merge analog: serve overhead returns to zero and the
+    * space reclaims. This is a FULL postings rewrite (staged, whole-
+    * dir swap after all Spark actions complete): a deleted doc's terms
+    * hash across most buckets, so an affected-bucket-only rewrite
+    * rarely skips anything — unlike the ANN cell layout where
+    * deletions cluster. Stats subtract the tombstoned docs' exact
+    * (count, Σdl), bit-identical to the serve-time adjustment, so a
+    * compacted serve equals the masked serve equals a rebuild
+    * (spec-pinned). Whole-dir swap also retires empty buckets, so
+    * there is no retention corner here. */
+  def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    shardTombstones(spark, dir).foreach { tombs =>
+      val kept = spark.read.parquet(s"$dir/postings")
+        .join(broadcast(tombs.select(col("doc_id"))), Seq("doc_id"),
+          "left_anti")
+      val newStats = spark.read.parquet(s"$dir/stats")
+        .crossJoin(broadcast(tombs.agg(
+          count(lit(1)).as("del_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("del_dl"))))
+        .select((col("n_docs") - col("del_docs")).as("n_docs"),
+          (col("tot_dl") - col("del_dl")).as("tot_dl"),
+          col("n_buckets"))
+      kept.write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$dir/postings_next")
+      newStats.write.mode("overwrite").parquet(s"$dir/stats_next")
+      Seq("postings", "stats").foreach { t =>
+        fs.delete(new Path(s"$dir/$t"), true)
+        fs.rename(new Path(s"$dir/${t}_next"), new Path(s"$dir/$t"))
+      }
+      fs.delete(new Path(s"$dir/tombstones"), true)
+    }
+  }
+
   private val TombSchema = "doc_id LONG, dl BIGINT"
 
   /** A shard's tombstone table if present — explicit schema so a

@@ -1472,6 +1472,20 @@ class PipelineSpec extends SparkSpec {
           .as[(Long, Long, Double)].collect().toSet
         assert(got.nonEmpty && got === want,
           "BM25 delete diverged from the rebuilt index (stats adjustment?)")
+        // Compaction drains the tombstones and rewrites postings +
+        // stats — the serve must stay bit-identical and the deleted
+        // docs must be physically gone.
+        TextAnalysis.compactInvertedIndex(spark, dirA)
+        val compacted = TextAnalysis
+          .searchInvertedIndex(spark, dirA, terms)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(compacted === want,
+          "compacted BM25 serve diverged from the rebuilt index")
+        assert(!new java.io.File(s"$dirA/tombstones").exists(),
+          "inverted-index compaction left the tombstone table")
+        assert(spark.read.parquet(s"$dirA/postings")
+            .filter($"doc_id" % 5 === 0).isEmpty,
+          "compaction left deleted docs' postings")
       }
     }
   }
