@@ -771,6 +771,7 @@ object Similarity {
     * nowhere in the index; [[searchIvfPqIndex]] never needs them. */
   def writeIvfPqIndex(vecs: DataFrame, dir: String, m: Int = 4,
       codebookK: Int = 8, kCells: Int = 8, iters: Int = 2): Unit = {
+    clearTombstones(vecs.sparkSession, dir)
     // Same build discipline as [[writeIvfIndex]]: persist the trained
     // centroids FIRST and assign against the re-read table, so the
     // Lloyd trajectory runs once instead of once per downstream
@@ -992,6 +993,7 @@ object Similarity {
     * precomputed at index time (`nrm` column), so serving never
     * re-reduces the vectors. */
   def writeIvfIndex(vecs: DataFrame, cents: DataFrame, dir: String): Unit = {
+    clearTombstones(vecs.sparkSession, dir)
     // Centroids first, then assign against the RE-READ table: `cents`
     // is typically a live kmeansTrain lineage, and each write action
     // would replay the whole training trajectory (caching it was
@@ -1051,6 +1053,16 @@ object Similarity {
       ids: DataFrame, dir: String): Unit =
     ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
       .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** A REBUILD supersedes prior deletions: stale tombstones under the
+    * target dir would wrongly mask ids present in the new index. Every
+    * write entry point clears them first. */
+  private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
 
   private val TombstoneSchema =
     org.apache.spark.sql.types.StructType(Seq(

@@ -643,6 +643,12 @@ object TextAnalysis {
     */
   def writeInvertedIndex(documents: DataFrame, dir: String,
       nBuckets: Int = 64): Unit = {
+    // A rebuild supersedes any prior deletions: stale tombstones left
+    // under the target dir would wrongly mask (and double-subtract)
+    // docs present in the NEW index.
+    val tp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    tp.getFileSystem(documents.sparkSession.sparkContext
+      .hadoopConfiguration).delete(tp, true)
     val words = documents
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
@@ -702,7 +708,7 @@ object TextAnalysis {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    shardTombstones(spark, dir).foreach { tombs =>
+    shardTombstones(spark, dir).map(_.distinct()).foreach { tombs =>
       val kept = spark.read.parquet(s"$dir/postings")
         .join(broadcast(tombs.select(col("doc_id"))), Seq("doc_id"),
           "left_anti")
@@ -738,11 +744,14 @@ object TextAnalysis {
   }
 
   /** Union of the shards' tombstones, or None when no shard ever
-    * deleted (plans unchanged for delete-free layouts). */
+    * deleted (plans unchanged for delete-free layouts). Distinct on
+    * the rows: a doc deleted twice (append-mode batches) must count
+    * ONCE in the stats adjustment — dl is constant per doc, so the
+    * duplicate rows are identical and distinct() collapses them. */
   private def unionTombstones(spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String]): Option[DataFrame] = {
     val ts = dirs.flatMap(shardTombstones(spark, _))
-    if (ts.isEmpty) None else Some(ts.reduce(_.unionByName(_)))
+    if (ts.isEmpty) None else Some(ts.reduce(_.unionByName(_)).distinct())
   }
 
   /** Serve a PHRASE query from persisted [[writeInvertedIndex]]

@@ -1490,6 +1490,51 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("rebuild supersedes deletions; double-delete counts once in the stats adjustment") {
+    import graft.operators.{Similarity, TextAnalysis}
+    val terms = Seq("hash", "join", "spark")
+    withTempDir("graft_rebuild_inv") { dir =>
+      TextAnalysis.writeInvertedIndex(docs, dir)
+      val full = TextAnalysis.searchInvertedIndex(spark, dir, terms)
+        .as[(Long, Long, Double)].collect().toSet
+      val del = docs.filter($"doc_id" % 5 === 0).select($"doc_id")
+      // Delete the SAME docs twice (two append batches): the stats
+      // adjustment must count each doc once, so the served scores
+      // still equal a single delete.
+      TextAnalysis.deleteFromInvertedIndex(spark, del, dir)
+      val once = TextAnalysis.searchInvertedIndex(spark, dir, terms)
+        .as[(Long, Long, Double)].collect().toSet
+      TextAnalysis.deleteFromInvertedIndex(spark, del, dir)
+      val twice = TextAnalysis.searchInvertedIndex(spark, dir, terms)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(twice === once,
+        "double-delete shifted the served scores (stats double-count)")
+      // A rebuild over the same dir supersedes the deletions: stale
+      // tombstones must not mask (or double-subtract) docs present in
+      // the new index.
+      TextAnalysis.writeInvertedIndex(docs, dir)
+      val rebuilt = TextAnalysis.searchInvertedIndex(spark, dir, terms)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rebuilt === full,
+        "stale tombstones survived the inverted-index rebuild")
+    }
+    withTempDir("graft_rebuild_ivf") { dir =>
+      val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+        .select($"vec_id", $"v")
+      val probes = vecs.filter($"vec_id" < 10)
+      val cents = Similarity.kmeansTrain(vecs, 8, 2)
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      Similarity.deleteFromIvfIndex(spark,
+        vecs.filter($"vec_id" % 7 === 0).select($"vec_id"), dir)
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      val served = Similarity.searchIvfIndex(spark, dir, probes, 3,
+        nprobe = 2)
+      assert(!served.filter($"neighbor_id" % 7 === 0).isEmpty,
+        "stale tombstones survived the IVF rebuild — previously " +
+          "deleted ids must serve again")
+    }
+  }
+
   test("chunk store: dedup-at-rest exactness and loud parameter mismatch") {
     import graft.operators.Multimodal
     val base = docs.select($"doc_id", $"text")
