@@ -683,12 +683,26 @@ object TextAnalysis {
     * one broadcast anti-join, bounded by the deletion volume. */
   def deleteFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val del = ids.select(col("doc_id").cast("long").as("doc_id"))
       .distinct()
-    spark.read.parquet(s"$dir/postings")
+    val batch = spark.read.parquet(s"$dir/postings")
       .join(broadcast(del), Seq("doc_id"))
       .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      .write.mode("append").parquet(s"$dir/tombstones")
+    // Merge-on-write: the stored table stays CANONICAL (one row per
+    // deleted doc) so the serve-side stats aggregate needs no dedup
+    // shuffle — a repeated delete collapses here, at delete time,
+    // where a tiny rewrite is free. Staged sibling + rename, never
+    // overwrite a table being read.
+    val merged = shardTombstones(spark, dir)
+      .map(_.unionByName(batch)).getOrElse(batch)
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    val staging = s"$dir/tombstones_next"
+    merged.write.mode("overwrite").parquet(staging)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$dir/tombstones"), true)
+    fs.rename(new Path(staging), new Path(s"$dir/tombstones"))
   }
 
   /** Drain the tombstones of a [[deleteFromInvertedIndex]]'d layout by
@@ -708,7 +722,7 @@ object TextAnalysis {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    shardTombstones(spark, dir).map(_.distinct()).foreach { tombs =>
+    shardTombstones(spark, dir).foreach { tombs =>
       val kept = spark.read.parquet(s"$dir/postings")
         .join(broadcast(tombs.select(col("doc_id"))), Seq("doc_id"),
           "left_anti")
@@ -744,14 +758,14 @@ object TextAnalysis {
   }
 
   /** Union of the shards' tombstones, or None when no shard ever
-    * deleted (plans unchanged for delete-free layouts). Distinct on
-    * the rows: a doc deleted twice (append-mode batches) must count
-    * ONCE in the stats adjustment — dl is constant per doc, so the
-    * duplicate rows are identical and distinct() collapses them. */
+    * deleted (plans unchanged for delete-free layouts). Each shard's
+    * table is canonical — [[deleteFromInvertedIndex]] merges on write
+    * — and a doc lives wholly in one shard, so the union needs no
+    * dedup shuffle before the stats aggregate. */
   private def unionTombstones(spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String]): Option[DataFrame] = {
     val ts = dirs.flatMap(shardTombstones(spark, _))
-    if (ts.isEmpty) None else Some(ts.reduce(_.unionByName(_)).distinct())
+    if (ts.isEmpty) None else Some(ts.reduce(_.unionByName(_)))
   }
 
   /** Serve a PHRASE query from persisted [[writeInvertedIndex]]
