@@ -422,8 +422,13 @@ object Similarity {
     * join is bit-identical to the in-memory twin. */
   def writeKnnAssignIndex(vecs: DataFrame, dir: String,
       nprobe: Int = 1): Unit = {
+    // Subdir layout (`assign/` under the index root, like `index/` and
+    // `codes/`): the root holds the meta sidecar and an optional
+    // tombstone table, which must not sit inside a parquet table's
+    // own directory listing.
+    clearTombstones(vecs.sparkSession, dir)
     assignCellsRanked(vecs, vecs, nprobe)
-      .write.mode("overwrite").parquet(dir)
+      .write.mode("overwrite").parquet(s"$dir/assign")
     IndexMeta.write(vecs.sparkSession, dir, "nprobe" -> nprobe.toString)
   }
 
@@ -452,7 +457,18 @@ object Similarity {
         s"the serve requested nprobe=$nprobe — rebuild the index at " +
         "the higher rank (serving reduced recall silently is not an " +
         "option)")
-    val ranked = spark.read.parquet(dir)
+    val ranked0 = spark.read.parquet(s"$dir/assign")
+    // Tombstone mask, both roles at once: a deleted vector's rows key
+    // on its own probe_id, so one anti-join removes it from the rn=1
+    // corpus blocking AND the probe expansion — it neither probes nor
+    // serves as a neighbor. Deletion under the ORIGINAL quantizer
+    // (stored assignments unchanged), the same contract as the IVF
+    // tombstones.
+    val ranked = readTombstones(spark, dir)
+      .map(t => ranked0.join(
+        broadcast(t.withColumnRenamed("vec_id", "probe_id")),
+        Seq("probe_id"), "left_anti"))
+      .getOrElse(ranked0)
     val probeCells = ranked.filter(col("rn") <= nprobe)
       .select(col("probe_id"), col("assigned_label"))
     val indexCells = ranked.filter(col("rn") === 1)

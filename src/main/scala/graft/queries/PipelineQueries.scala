@@ -637,6 +637,24 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Deletion from the persisted assignment index — the last serving
+    // layout's delete leg: a deleted vector's rows key on its own id,
+    // so one broadcast anti-join removes it from BOTH roles (it
+    // neither probes nor serves as a neighbor); stored assignments —
+    // the quantizer — stay fixed, same contract as the IVF
+    // tombstones. Oracle: the self-indexed replay with the deleted
+    // ids excluded from the participants while the label centroids
+    // stay full-corpus.
+    "sim_knn_join_delete" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_knn_del")
+      Similarity.writeKnnAssignIndex(vecs, dir, nprobe = 2)
+      Similarity.deleteFromIvfIndex(s,
+        vecs.filter(col("vec_id") % 6 === 0).select(col("vec_id")), dir)
+      Similarity.knnJoinFromIndex(s, dir, vecs, 3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Brute-force ANN through the custom TopKPerKey physical operator
     // (bounded per-probe heaps instead of a ranking window sort) —
     // same scoring expression, same determinism contract (rounded
@@ -2142,7 +2160,13 @@ object PipelineQueries {
   // Shared by sim_knn_join_indexed and sim_knn_join_persist: the
   // persisted assignment table is all-integer, so the serve leg is
   // bit-identical to the in-memory self-indexed join.
-  private lazy val knnJoinIndexedOracle =
+  private lazy val knnJoinIndexedOracle = knnJoinIndexedOracleWhere("")
+
+  /** The self-indexed k-NN replay with an optional exclusion on the
+    * PARTICIPANTS (probe and corpus roles both key on the vector's own
+    * id) while the label centroids stay full-corpus — deletion under
+    * the original quantizer, the stored-assignment contract. */
+  private def knnJoinIndexedOracleWhere(pred: String): String =
     s"""WITH vecsl AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |dims AS (
@@ -2159,10 +2183,11 @@ object PipelineQueries {
        |    SELECT *, row_number() OVER (PARTITION BY probe_id
        |      ORDER BY round(dist2, 6), label) AS rn FROM d2)),
        |assigned AS (
-       |  SELECT probe_id, assigned_label FROM ranked_cells WHERE rn <= 2),
+       |  SELECT probe_id, assigned_label FROM ranked_cells
+       |  WHERE rn <= 2 $pred),
        |idx AS (
        |  SELECT probe_id AS corpus_id, assigned_label AS cell
-       |  FROM ranked_cells WHERE rn = 1),
+       |  FROM ranked_cells WHERE rn = 1 $pred),
        |scored AS (
        |  SELECT a.probe_id, o.vec_id AS neighbor_id,
        |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
@@ -2889,6 +2914,11 @@ object PipelineQueries {
     // The persisted-assignment serve is bit-identical to the in-memory
     // indexed join (all-integer assignment table, parquet-exact).
     "sim_knn_join_persist" -> knnJoinIndexedOracle,
+
+    // Deleted ids (vec_id % 6 = 0) excluded from both participant
+    // roles; centroids stay full-corpus (stored assignments fixed).
+    "sim_knn_join_delete" -> knnJoinIndexedOracleWhere(
+      "AND probe_id % 6 <> 0"),
 
     "sim_lsh_topk" -> {
       def bucket(v: String) = (1 to 4).map(i =>

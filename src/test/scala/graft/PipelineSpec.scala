@@ -429,6 +429,18 @@ class PipelineSpec extends SparkSpec {
         Similarity.knnJoinFromIndex(spark, dir, vecs, 3, nprobe = 4)
       }
       assert(e.getMessage.contains("rebuild"), e.getMessage)
+      // Tombstone delete removes a vector from BOTH roles — it
+      // neither probes nor serves as a neighbor — under the original
+      // stored assignments.
+      Similarity.deleteFromIvfIndex(spark,
+        vecs.filter($"vec_id" % 6 === 0).select($"vec_id"), dir)
+      val masked = Similarity.knnJoinFromIndex(spark, dir, vecs, 3,
+        nprobe = 2)
+      assert(masked.filter($"probe_id" % 6 === 0).isEmpty,
+        "a deleted vector still probes")
+      assert(masked.filter($"neighbor_id" % 6 === 0).isEmpty,
+        "a deleted vector still serves as a neighbor")
+      assert(!masked.isEmpty, "masked knn serve returned nothing")
     }
   }
 

@@ -156,6 +156,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // against the stored table + top-k
                                   // window + sort — the 10-exchange
                                   // in-memory print collapses to 4
+    "sim_knn_join_delete" -> 4,   // same serve frame — the tombstone
+                                  // mask is a broadcast anti-join,
+                                  // zero added exchanges
     // round-11 serving-path additions (sim_ivfpq_topk is excluded like
     // the other unrolled trainers: the kmeans trajectory prints per
     // consuming branch and the string count is meaningless)
