@@ -489,12 +489,12 @@ object Dedup {
     * buckets derive from its signature alone), so dropping its rows
     * is EXACTLY equivalent to having built the index without it
     * (spec-pinned bit-for-bit); the rewrite stages to a sibling dir
-    * and swaps by rename, carrying the [[IndexMeta]] sidecar along —
+    * and swaps via [[FsOps.swapInto]] (rename-aside, every filesystem
+    * result checked), carrying the [[IndexMeta]] sidecar along —
     * the [[Similarity.compactIvfIndex]] commit discipline. The
     * deletion batch broadcasts; one linear pass over the index. */
   def deleteFromLshIndex(spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame, dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
     val meta = IndexMeta.read(spark, dir)
     val del = ids.select(col("doc_id").cast("long").as("doc_id"))
       .distinct()
@@ -503,10 +503,7 @@ object Dedup {
       .join(broadcast(del), Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(staging)
     IndexMeta.write(spark, staging, meta.toSeq: _*)
-    val fs = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(dir), true)
-    fs.rename(new Path(staging), new Path(dir))
+    FsOps.swapInto(FsOps.fsOf(spark, dir), staging, dir)
   }
 
   /** Cross-side LSH candidates of a NEW shard against a stored

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Checked filesystem mutations for the persisted-index commit paths.
+  *
+  * Every index rewrite in this engine stages to a sibling directory
+  * and promotes it by rename, but the Hadoop `FileSystem` API reports
+  * failure as a `false` RETURN VALUE, not an exception — an unchecked
+  * `fs.rename` that fails leaves the index absent or half-swapped
+  * with no signal, defeating the repo's loud-failure discipline. All
+  * swap sites route through here so the result of every delete/rename
+  * is checked, and the promote uses the rename-aside order
+  * (live → live_old, staging → live, drop live_old): the
+  * no-live-index window shrinks to the single staging→live rename,
+  * and a crash inside it leaves `live_old` on disk for manual
+  * recovery instead of nothing. */
+private[graft] object FsOps {
+
+  def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Delete `p` recursively if present; throw if the delete reports
+    * failure (false with the path still present). */
+  def deleteIfExists(fs: FileSystem, p: Path): Unit =
+    if (fs.exists(p) && !fs.delete(p, true) && fs.exists(p))
+      sys.error(s"delete of $p failed — index directory left in an " +
+        "inconsistent state; remove it manually before serving")
+
+  def checkedRename(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      sys.error(s"rename $src -> $dst failed — staged index rewrite " +
+        "not committed; the staging directory is intact, retry the " +
+        "operation")
+
+  /** Promote `staging` to `live`: move the current live dir aside,
+    * rename staging into place, then drop the old copy. A leftover
+    * `_old` dir from a previously crashed swap is cleared first. */
+  def swapInto(fs: FileSystem, staging: String, live: String): Unit = {
+    val livePath = new Path(live)
+    val stagingPath = new Path(staging)
+    val old = new Path(live.stripSuffix("/") + "_old")
+    deleteIfExists(fs, old)
+    if (fs.exists(livePath)) checkedRename(fs, livePath, old)
+    checkedRename(fs, stagingPath, livePath)
+    deleteIfExists(fs, old)
+  }
+}

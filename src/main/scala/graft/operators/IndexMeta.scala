@@ -14,12 +14,25 @@ import org.apache.hadoop.fs.Path
 private[graft] object IndexMeta {
   private val Name = "_graft_meta.json"
 
+  // JSON string escaping, both directions: a parameter value holding
+  // a quote or backslash (a custom LSH `sep`, say) must round-trip
+  // exactly — an unescaped write would produce a sidecar whose regex
+  // parse silently drops or mangles fields, and requireMatch would
+  // then compare against garbage, defeating the loud-mismatch
+  // contract it exists for.
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unesc(s: String): String =
+    """\\(.)""".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
+
   def write(spark: SparkSession, dir: String,
       fields: (String, String)*): Unit = {
     val path = new Path(dir, Name)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
-    try out.write(fields.map { case (k, v) => s""""$k":"$v"""" }
+    try out.write(fields
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -35,8 +48,10 @@ private[graft] object IndexMeta {
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    """"([^"]+)":"([^"]*)"""".r.findAllMatchIn(txt)
-      .map(m => m.group(1) -> m.group(2)).toMap
+    // Token = any run of non-quote chars or escaped chars, so an
+    // escaped quote stays inside its field instead of ending it.
+    """"((?:[^"\\]|\\.)+)":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(txt)
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
   }
 
   /** Fail unless every `expected` key matches the stored value. */

@@ -450,8 +450,16 @@ object Similarity {
       dir: String, vecs: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val builtNprobe = IndexMeta.read(spark, dir)
-      .getOrElse("nprobe", "1").toInt
+    // Presence is part of the contract: a sidecar WITHOUT the key
+    // (hand-copied from another layout, say) must fail loudly, not
+    // silently serve at the reduced-recall default of 1 — exactly the
+    // failure the sidecar exists to prevent.
+    val meta = IndexMeta.read(spark, dir)
+    require(meta.contains("nprobe"),
+      s"index at $dir has no `nprobe` key in its meta sidecar — not " +
+        "a knn-assignment index layout (or a sidecar copied from " +
+        "another layout); rebuild the index with writeKnnAssignIndex")
+    val builtNprobe = meta("nprobe").toInt
     require(nprobe <= builtNprobe,
       s"index at $dir stores assignment ranks up to $builtNprobe but " +
         s"the serve requested nprobe=$nprobe — rebuild the index at " +
@@ -1037,7 +1045,16 @@ object Similarity {
     * same centroids (PipelineSpec pins the served parity bit-for-bit).
     * Re-TRAINING the quantizer, by contrast, is a rebuild — new cells
     * re-bucket everything, same rule as the streaming-dedup family
-    * switch. */
+    * switch.
+    *
+    * Tombstone reconciliation: an APPEND of a previously deleted
+    * vec_id is a re-add, and the serve's anti-join must stop masking
+    * it — without this, the re-added rows stay invisible and a later
+    * [[compactIvfIndex]] would drop them while draining their
+    * tombstones (silent data loss in a delete-then-re-add flow). The
+    * incoming batch's ids are anti-joined out of `tombstones/` AFTER
+    * the data append commits, so a crash in the window leaves the new
+    * rows masked (retryable) rather than stale rows visible. */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
       vecs2: DataFrame, dir: String): Unit = {
     val cents = spark.read.parquet(s"$dir/centroids")
@@ -1046,6 +1063,15 @@ object Similarity {
     withNorm(vecs2).join(cells, Seq("vec_id"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/index")
+    readTombstones(spark, dir).foreach { t =>
+      val appended = vecs2
+        .select(col("vec_id").cast("long").as("vec_id")).distinct()
+      val staging = s"$dir/tombstones_next"
+      t.join(broadcast(appended), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(staging)
+      FsOps.swapInto(FsOps.fsOf(spark, dir), staging,
+        s"$dir/tombstones")
+    }
   }
 
   /** Search a persisted [[writeIvfIndex]] layout: probes assign to
@@ -1097,17 +1123,19 @@ object Similarity {
   }
 
   /** Rewrite the cell partitions that contain tombstoned rows,
-    * dropping those rows, then prune the tombstone table to only the
-    * ids whose cells came out EMPTY (a fully-emptied cell's partition
-    * cannot be replaced by writing zero rows, so its files stay
-    * masked by their retained tombstones until rows land there again
-    * — the standard tombstone-retention corner, spec-pinned). Only
-    * affected partitions move: untouched cells' files are never read
-    * or written. The rewrite stages to a sibling directory and swaps
-    * per-cell via filesystem renames — a metadata loop bounded by the
-    * quantizer's cell count (the same driver-side commit shape Spark's
-    * own dynamic-partition protocol uses), never data through the
-    * driver. */
+    * dropping those rows, and DELETE OUTRIGHT the partition directory
+    * of any cell whose rows all died (zero rows cannot be "rewritten
+    * in", so the dir itself is the unit of removal) — tombstones
+    * therefore fully drain on every compaction; there is no retention
+    * corner. Only affected partitions move: untouched cells' files
+    * are never read or written. The rewrite stages to a sibling
+    * directory and swaps per-cell via checked filesystem renames — a
+    * metadata loop bounded by the quantizer's cell count (the same
+    * driver-side commit shape Spark's own dynamic-partition protocol
+    * uses), never data through the driver. A compaction that drains
+    * EVERY cell swaps in a zero-row schema-preserving file instead,
+    * so the table stays readable (a dir with no parquet footers would
+    * fail schema inference at the next serve). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = compactCellTable(spark, dir, "index")
 
@@ -1120,37 +1148,58 @@ object Similarity {
   private def compactCellTable(spark: org.apache.spark.sql.SparkSession,
       dir: String, table: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = FsOps.fsOf(spark, dir)
     readTombstones(spark, dir).foreach { tombs =>
       val idx = spark.read.parquet(s"$dir/$table")
       val affected = idx.join(broadcast(tombs), Seq("vec_id"))
         .select(col("cell")).distinct()
       val rewritten = idx.join(broadcast(affected), Seq("cell"))
         .join(broadcast(tombs), Seq("vec_id"), "left_anti")
-      // Ids in cells with NO survivors — their partitions cannot be
-      // rewritten-away below, so they keep their tombstones.
+      // Cells with NO survivors: their partition dirs are deleted
+      // below instead of rewritten. Cell count is quantizer-bounded,
+      // so collecting the values is a metadata-sized driver list —
+      // the same scale class as the rename loop.
       val emptied = affected
         .join(rewritten.select(col("cell")).distinct(), Seq("cell"),
           "left_anti")
-      val retained = idx.join(broadcast(emptied), Seq("cell"))
-        .join(broadcast(tombs), Seq("vec_id"))
-        .select(col("vec_id")).distinct()
+        .collect().map(r => s"cell=${r.get(0)}").toSet
       val staging = s"$dir/${table}_compacting"
       rewritten.write.mode("overwrite").partitionBy("cell")
         .parquet(staging)
-      val tombStaging = s"$dir/tombstones_next"
-      retained.write.mode("overwrite").parquet(tombStaging)
-      fs.listStatus(new Path(staging))
-        .filter(_.getPath.getName.startsWith("cell="))
-        .foreach { st =>
-          val dest = new Path(s"$dir/$table/${st.getPath.getName}")
-          fs.delete(dest, true)
-          fs.rename(st.getPath, dest)
+      val stagedCells = fs.listStatus(new Path(staging))
+        .map(_.getPath.getName).filter(_.startsWith("cell=")).toSet
+      val liveCells = fs.listStatus(new Path(s"$dir/$table"))
+        .map(_.getPath.getName).filter(_.startsWith("cell=")).toSet
+      if (emptied.nonEmpty &&
+          ((liveCells -- emptied) ++ stagedCells).isEmpty) {
+        // Fully drained: nothing survives anywhere. Replace the whole
+        // table with a zero-row file carrying the schema (cell rides
+        // as a plain column; the staged empty write happens while the
+        // source files are still in place).
+        val emptyStaging = s"$dir/${table}_empty"
+        idx.limit(0).write.mode("overwrite").parquet(emptyStaging)
+        FsOps.swapInto(fs, emptyStaging, s"$dir/$table")
+      } else {
+        // No rename-aside here: a transient `cell=N_old` sibling would
+        // match the partition-dir pattern and corrupt a concurrent
+        // partitioned read. Checked delete + checked rename per cell.
+        stagedCells.foreach { name =>
+          val dest = new Path(s"$dir/$table/$name")
+          FsOps.deleteIfExists(fs, dest)
+          FsOps.checkedRename(fs, new Path(s"$staging/$name"), dest)
         }
-      fs.delete(new Path(staging), true)
-      fs.delete(new Path(s"$dir/tombstones"), true)
-      fs.rename(new Path(tombStaging), new Path(s"$dir/tombstones"))
+        emptied.foreach { name =>
+          FsOps.deleteIfExists(fs, new Path(s"$dir/$table/$name"))
+        }
+      }
+      FsOps.deleteIfExists(fs, new Path(staging))
+      // Every deleted row's files are gone (rewritten or dir-dropped):
+      // the tombstone table drains to zero rows but stays present, so
+      // a post-compaction serve reads an empty mask, not a missing
+      // path.
+      val tombStaging = s"$dir/tombstones_next"
+      tombs.limit(0).write.mode("overwrite").parquet(tombStaging)
+      FsOps.swapInto(fs, tombStaging, s"$dir/tombstones")
     }
   }
 

@@ -699,10 +699,8 @@ object TextAnalysis {
       .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
     val staging = s"$dir/tombstones_next"
     merged.write.mode("overwrite").parquet(staging)
-    val fs = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(s"$dir/tombstones"), true)
-    fs.rename(new Path(staging), new Path(s"$dir/tombstones"))
+    FsOps.swapInto(FsOps.fsOf(spark, dir), staging,
+      s"$dir/tombstones")
   }
 
   /** Drain the tombstones of a [[deleteFromInvertedIndex]]'d layout by
@@ -720,8 +718,7 @@ object TextAnalysis {
   def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = FsOps.fsOf(spark, dir)
     shardTombstones(spark, dir).foreach { tombs =>
       val kept = spark.read.parquet(s"$dir/postings")
         .join(broadcast(tombs.select(col("doc_id"))), Seq("doc_id"),
@@ -737,10 +734,9 @@ object TextAnalysis {
         .parquet(s"$dir/postings_next")
       newStats.write.mode("overwrite").parquet(s"$dir/stats_next")
       Seq("postings", "stats").foreach { t =>
-        fs.delete(new Path(s"$dir/$t"), true)
-        fs.rename(new Path(s"$dir/${t}_next"), new Path(s"$dir/$t"))
+        FsOps.swapInto(fs, s"$dir/${t}_next", s"$dir/$t")
       }
-      fs.delete(new Path(s"$dir/tombstones"), true)
+      FsOps.deleteIfExists(fs, new Path(s"$dir/tombstones"))
     }
   }
 

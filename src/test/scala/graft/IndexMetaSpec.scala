@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{FsOps, IndexMeta}
+import org.apache.hadoop.fs.Path
+
+/** The index-sidecar contract: build parameters round-trip EXACTLY
+  * (including JSON metacharacters — an LSH `sep` of `"` or `\` must
+  * not mangle the sidecar, or requireMatch silently compares against
+  * garbage), presence failures are loud, and the checked-filesystem
+  * helpers every swap site routes through actually check. */
+class IndexMetaSpec extends SparkSpec {
+
+  test("meta sidecar round-trips quotes, backslashes and unicode exactly") {
+    withTempDir("graft_meta_esc") { dir =>
+      val hairy = Seq(
+        "sep" -> "\"",
+        "sep2" -> "\\",
+        "sep3" -> "a\\\"b",
+        "plain" -> "bands=8",
+        "uni" -> "π∈\"quoted\"")
+      IndexMeta.write(spark, dir, hairy: _*)
+      val got = IndexMeta.read(spark, dir)
+      hairy.foreach { case (k, v) =>
+        assert(got.get(k).contains(v),
+          s"key $k: wrote ${v} but read back ${got.get(k)}")
+      }
+      // And requireMatch accepts the original values (the loud-
+      // mismatch contract survives the escaping round-trip).
+      IndexMeta.requireMatch(spark, dir, hairy: _*)
+    }
+  }
+
+  test("requireMatch still fails loudly on a genuine mismatch") {
+    withTempDir("graft_meta_mm") { dir =>
+      IndexMeta.write(spark, dir, "bands" -> "8")
+      val e = intercept[IllegalArgumentException] {
+        IndexMeta.requireMatch(spark, dir, "bands" -> "16")
+      }
+      assert(e.getMessage.contains("bands"))
+    }
+  }
+
+  test("knnJoinFromIndex fails loudly when the sidecar lacks the nprobe key") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    withTempDir("graft_meta_np") { dir =>
+      val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      Similarity.writeKnnAssignIndex(vecs, dir, nprobe = 2)
+      // Simulate a sidecar copied from another layout: same file
+      // name, no nprobe key.
+      IndexMeta.write(spark, dir, "bands" -> "8")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.knnJoinFromIndex(spark, dir, vecs, 3, nprobe = 1)
+      }
+      assert(e.getMessage.contains("nprobe"))
+    }
+  }
+
+  test("FsOps.swapInto promotes staging and clears a leftover _old dir") {
+    withTempDir("graft_fsops") { root =>
+      val fs = FsOps.fsOf(spark, root)
+      val live = s"$root/table"
+      val staging = s"$root/table_next"
+      fs.mkdirs(new Path(live))
+      fs.create(new Path(live, "a.txt"), true).close()
+      fs.mkdirs(new Path(staging))
+      fs.create(new Path(staging, "b.txt"), true).close()
+      // Leftover from a "crashed" earlier swap must not block.
+      fs.mkdirs(new Path(s"${live}_old"))
+      FsOps.swapInto(fs, staging, live)
+      assert(fs.exists(new Path(live, "b.txt")),
+        "staging contents must be live after the swap")
+      assert(!fs.exists(new Path(live, "a.txt")),
+        "old live contents must be gone after the swap")
+      assert(!fs.exists(new Path(s"${live}_old")),
+        "the aside dir must be cleaned up")
+      assert(!fs.exists(new Path(staging)),
+        "the staging dir must be consumed")
+    }
+  }
+
+  test("FsOps.checkedRename throws instead of silently returning false") {
+    withTempDir("graft_fsops_r") { root =>
+      val fs = FsOps.fsOf(spark, root)
+      // Rename onto an existing destination FILE: the local FS
+      // reports this as `false` (not an exception) — exactly the
+      // silent failure mode the helper exists to surface.
+      fs.create(new Path(s"$root/src"), true).close()
+      fs.create(new Path(s"$root/dst"), true).close()
+      val e = intercept[RuntimeException] {
+        FsOps.checkedRename(fs, new Path(s"$root/src"),
+          new Path(s"$root/dst"))
+      }
+      assert(e.getMessage.contains("rename"))
+    }
+  }
+}

@@ -1383,25 +1383,90 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("IVF delete: a fully-emptied cell stays masked by retained tombstones") {
+  test("IVF delete: a fully-emptied cell is drained — dir dropped, tombstones cleared") {
+    import graft.operators.Similarity
+    val vecs = clusteredVecs().select($"vec_id", $"v")
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    withTempDir("graft_del_cell") { dir =>
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      // Delete every vector of ONE cell while other cells survive:
+      // compaction must delete that cell's partition dir outright
+      // (zero rows cannot be rewritten in) and still drain every
+      // tombstone — no retention corner.
+      val idx = spark.read.parquet(s"$dir/index")
+      val victim = idx.groupBy($"cell").count()
+        .orderBy($"count".asc, $"cell".asc).first().get(0)
+      val doomed = idx.filter($"cell" === victim).select($"vec_id")
+      Similarity.deleteFromIvfIndex(spark, doomed, dir)
+      val masked = Similarity.searchIvfIndex(spark, dir,
+        vecs.filter($"vec_id" < 10), 3, nprobe = 2).collect().toSet
+      Similarity.compactIvfIndex(spark, dir)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/index/cell=$victim")),
+        "the emptied cell's partition dir must be deleted")
+      assert(spark.read.schema("vec_id LONG")
+          .parquet(s"$dir/tombstones").isEmpty,
+        "tombstones must fully drain once the emptied cell's dir is gone")
+      val compacted = Similarity.searchIvfIndex(spark, dir,
+        vecs.filter($"vec_id" < 10), 3, nprobe = 2).collect().toSet
+      assert(compacted === masked,
+        "compacted serve diverged from the masked serve")
+    }
+  }
+
+  test("IVF delete: draining EVERY cell keeps the table readable and the serve empty") {
     import graft.operators.Similarity
     val vecs = clusteredVecs().select($"vec_id", $"v")
     val cents = Similarity.kmeansTrain(vecs, 8, 2)
     withTempDir("graft_del_empty") { dir =>
       Similarity.writeIvfIndex(vecs, cents, dir)
-      // Delete EVERY vector: every cell empties, no partition can be
-      // rewritten away, so compaction must retain every tombstone and
-      // the serve must still return nothing — correctness holds even
-      // when space reclaim cannot.
       Similarity.deleteFromIvfIndex(spark, vecs.select($"vec_id"), dir)
       Similarity.compactIvfIndex(spark, dir)
-      assert(!spark.read.schema("vec_id LONG")
+      // Full drain: the table swaps to a zero-row schema-preserving
+      // file (readable — no schema-inference failure at serve time),
+      // and the tombstones drain with it.
+      assert(spark.read.parquet(s"$dir/index").isEmpty,
+        "fully-drained index must read back as zero rows")
+      assert(spark.read.schema("vec_id LONG")
           .parquet(s"$dir/tombstones").isEmpty,
-        "tombstones for emptied cells must be retained")
+        "tombstones must drain on a full-table compaction")
       val served = Similarity.searchIvfIndex(spark, dir,
         vecs.filter($"vec_id" < 5), 3, nprobe = 2)
       assert(served.isEmpty,
         "a deleted row resurfaced after compacting emptied cells")
+    }
+  }
+
+  test("appendIvfIndex: re-adding a deleted id clears its tombstone (delete → re-add → compact)") {
+    import graft.operators.Similarity
+    val vecs = clusteredVecs().select($"vec_id", $"v")
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    val probes = vecs.filter($"vec_id" < 10)
+    withTempDir("graft_readd") { dir =>
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      val baseline = Similarity.searchIvfIndex(spark, dir, probes, 3,
+        nprobe = 2).collect().toSet
+      val victims = vecs.filter($"vec_id" % 7 === 0)
+      Similarity.deleteFromIvfIndex(spark,
+        victims.select($"vec_id"), dir)
+      Similarity.compactIvfIndex(spark, dir)
+      // Re-add the deleted vectors: the append must reconcile the
+      // (drained-or-not) tombstones so the serve sees them again…
+      Similarity.deleteFromIvfIndex(spark,
+        victims.select($"vec_id"), dir) // re-delete post-compact: live tombstones
+      Similarity.appendIvfIndex(spark, victims, dir)
+      val readded = Similarity.searchIvfIndex(spark, dir, probes, 3,
+        nprobe = 2).collect().toSet
+      assert(readded === baseline,
+        "a re-added id stayed masked by its stale tombstone")
+      // …and a later compaction must NOT drop the re-added rows.
+      Similarity.compactIvfIndex(spark, dir)
+      val afterGc = Similarity.searchIvfIndex(spark, dir, probes, 3,
+        nprobe = 2).collect().toSet
+      assert(afterGc === baseline,
+        "compaction after a delete-then-re-add lost the re-added rows")
     }
   }
 
