@@ -49,6 +49,9 @@ object GraftExtensions {
       as(exprs(0), ArrayType(DoubleType)), as(exprs(1), ArrayType(DoubleType)))),
     "rolling_fingerprint" -> (exprs =>
       RollingFingerprint(as(exprs(0), StringType), intArg(exprs(1), "window"))),
+    "cdc_cuts" -> (exprs =>
+      CdcCutPositions(as(exprs(0), StringType), intArg(exprs(1), "window"),
+        intArg(exprs(2), "divisor"))),
     "zorder2" -> (exprs => ZOrder2(
       as(exprs(0), org.apache.spark.sql.types.LongType),
       as(exprs(1), org.apache.spark.sql.types.LongType),

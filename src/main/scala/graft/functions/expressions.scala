@@ -166,6 +166,113 @@ case class RollingFingerprint(child: Expression, window: Int)
     copy(child = c)
 }
 
+/** The O(n) content-defined-chunking cut kernel shared by
+  * [[CdcCutPositions]]'s interpreted eval and its generated code (one
+  * implementation, so the two paths cannot diverge bit-wise; the
+  * generated call is a single static invoke per DOCUMENT — the
+  * per-character loop is compiled Scala, not interpreted Catalyst).
+  *
+  * Boundary definition: position i (1-based, code points) is a cut
+  * when H(i) % divisor == 0, with
+  *   H(i) = ( Σ_{j=0}^{w-1} cp(i-j) · Base^j ) mod Mod
+  * — a windowed polynomial hash (Rabin–Karp shape) maintained by the
+  * standard rolling recurrence
+  *   H(i+1) = ((H(i) − cp(i−w+1)·Base^{w−1}) · Base + cp(i+1)) mod Mod,
+  * O(1) per character instead of the O(window) digest the md5-window
+  * scheme paid. The windowed-sum form is what a SQL oracle evaluates
+  * per position (w bounded substring/ord terms — no recursive CTE
+  * needed), so per-boundary oracle parity survives the kernel swap.
+  * Code points (not bytes) are the hash alphabet because both Spark's
+  * `substring` and DuckDB's `substr`/`ord` index by code point — the
+  * cut positions feed char-addressed slicing on both sides. */
+object CdcKernel {
+  /** Fixed public constants (69069: the classic Marsaglia LCG
+    * multiplier; 1e9+7: the ubiquitous prime modulus). Recorded
+    * implicitly in the chunk-store sidecar via the scheme's
+    * window/divisor — changing them is a re-chunk, same as changing
+    * the window. */
+  val Base = 69069L
+  val Mod = 1000000007L
+
+  /** Base^(window-1) mod Mod — the outgoing character's coefficient. */
+  def topPow(window: Int): Long = {
+    var p = 1L
+    var i = 1
+    while (i < window) { p = p * Base % Mod; i += 1 }
+    p
+  }
+
+  /** Cut positions (1-based code-point positions, ascending) of `s`
+    * under (window, divisor). Positions below `window` never cut (no
+    * full window exists yet), matching the oracle's generate_series
+    * lower bound. */
+  def cuts(s: UTF8String, window: Int, divisor: Int,
+      top: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes
+    val ring = new Array[Long](window)
+    var buf = new Array[Int](8)
+    var cnt = 0
+    var h = 0L
+    var pos = 0 // code points consumed
+    var i = 0 // byte cursor
+    while (i < b.length) {
+      val b0 = b(i) & 0xff
+      var cp = 0
+      // UTF8String payloads are valid UTF-8 by construction, so the
+      // decoder switches on the lead byte only.
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if ((b0 & 0xe0) == 0xc0) {
+        cp = ((b0 & 0x1f) << 6) | (b(i + 1) & 0x3f); i += 2
+      } else if ((b0 & 0xf0) == 0xe0) {
+        cp = ((b0 & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) |
+          (b(i + 2) & 0x3f); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+          ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f); i += 4
+      }
+      if (pos >= window)
+        h = (h - ring(pos % window) * top % Mod + Mod) % Mod
+      h = (h * Base + cp) % Mod
+      ring(pos % window) = cp
+      pos += 1
+      if (pos >= window && h % divisor == 0) {
+        if (cnt == buf.length) buf = java.util.Arrays.copyOf(buf, cnt * 2)
+        buf(cnt) = pos
+        cnt += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(buf, cnt))
+  }
+}
+
+/** cdc_cuts(string, window, divisor) → array<int>: the content-defined
+  * chunk cut positions of [[CdcKernel]] — one O(n) pass per document
+  * (the md5-window predecessor digested O(window) bytes per position;
+  * at 100 TB the difference is the build cost of the whole
+  * content-addressed store, cf. operators/Multimodal.cdcSpans). */
+case class CdcCutPositions(child: Expression, window: Int, divisor: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  require(window >= 2 && divisor >= 2,
+    s"degenerate CDC shape window=$window divisor=$divisor")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_cuts"
+
+  private lazy val top: Long = CdcKernel.topPow(window)
+
+  override def nullSafeEval(input: Any): Any =
+    CdcKernel.cuts(input.asInstanceOf[UTF8String], window, divisor, top)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.CdcKernel.cuts(" +
+        s"$in, $window, $divisor, ${top}L);")
+
+  override protected def withNewChildInternal(c: Expression): CdcCutPositions =
+    copy(child = c)
+}
+
 /** dot_product(array<double>, array<double>) → double, summed in list
   * order (bit-reproducible against DuckDB's list_dot_product). Spark's
   * higher-order `aggregate(zip_with(...))` equivalent is evaluated
@@ -543,6 +650,9 @@ object functions {
     GraftColumnBridge.column(Gzip(ex(c.cast("binary"))))
   def rolling_fingerprint(c: Column, window: Int): Column =
     GraftColumnBridge.column(RollingFingerprint(ex(c.cast("string")), window))
+  def cdc_cuts(c: Column, window: Int, divisor: Int): Column =
+    GraftColumnBridge.column(
+      CdcCutPositions(ex(c.cast("string")), window, divisor))
   def dot_product(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
       ex(a.cast("array<double>")), ex(b.cast("array<double>"))))

@@ -358,16 +358,18 @@ object Multimodal {
     * chunks before the first surviving boundary, after which cuts (and
     * therefore chunk hashes) re-align, which is what makes CDC the CAS
     * scheme for mutable blobs (Muthitacharoen et al., SOSP'01 "A
-    * Low-Bandwidth Network File System"). Window hash is the engine-
-    * portable md5-prefix-48 of the window substring (not a true
-    * rolling recurrence — O(n·window) digest work; the codegen'd
-    * [[graft.functions.RollingFingerprint]] is the O(n) recurrence,
-    * kept separate because its per-position states are exactly what a
-    * SQL oracle cannot replay without a recursive CTE per row).
+    * Low-Bandwidth Network File System"). The window hash is
+    * [[graft.functions.CdcKernel]]'s windowed polynomial mod a prime,
+    * maintained by the O(1)-per-character rolling recurrence — one
+    * O(n) pass per document (the previous md5-window scheme digested
+    * O(window) bytes per position; at store-build scale that digest
+    * WAS the cost). The same hash is a w-term linear sum per position,
+    * which is exactly what the SQL oracle evaluates — per-boundary
+    * oracle parity, not just invariant gating.
     * Output: (doc_id, chunk_no, chunk_len, chunk_hash) — one row per
-    * chunk, the final partial chunk included. Pure per-row array HOFs
-    * + one generator; no shuffle at any corpus size. Empty documents
-    * produce no chunks. */
+    * chunk, the final partial chunk included. One codegen'd kernel
+    * call + per-row array HOFs + one generator; no shuffle at any
+    * corpus size. Empty documents produce no chunks. */
   def cdcChunks(documents: DataFrame, window: Int = 8,
       divisor: Int = 32): DataFrame =
     cdcSpans(documents, window, divisor)
@@ -386,18 +388,8 @@ object Multimodal {
     documents
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
-      // Candidate cut positions i in [window, n] (slice of an
-      // ascending sequence — sequence(window, n) would DESCEND when
-      // n < window, the bpe-noted trap).
-      .withColumn("cuts", expr(
-        s"""filter(transform(
-           |  slice(sequence(1, length(text)), $window,
-           |        greatest(0, length(text) - $window + 1)),
-           |  i -> CASE WHEN cast(conv(substring(md5(cast(
-           |         substring(text, i - ${window - 1}, $window) as binary)),
-           |         1, 12), 16, 10) as bigint) % $divisor = 0
-           |       THEN i END),
-           |  x -> x is not null)""".stripMargin))
+      .withColumn("cuts",
+        graft.functions.functions.cdc_cuts(col("text"), window, divisor))
       .withColumn("bounds", expr(
         """CASE WHEN size(cuts) = 0 OR element_at(cuts, -1) <> length(text)
           |THEN concat(cuts, array(length(text))) ELSE cuts END""".stripMargin))
@@ -494,14 +486,13 @@ object Multimodal {
     * Scale shape: the deletion batch broadcasts into the manifest
     * anti-join; the sweep is one hash-keyed semi-join of the store
     * against the kept manifest's distinct hashes. Both rewrites stage
-    * to sibling dirs and swap by rename (all Spark actions complete
+    * to sibling dirs and swap via [[FsOps.swapInto]] (rename-aside,
+    * every filesystem result checked; all Spark actions complete
     * before any mutation), the same commit discipline as
     * [[Similarity.compactIvfIndex]]. */
   def deleteDocsFromChunkStore(spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame, dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = FsOps.fsOf(spark, dir)
     val del = ids.select(col("doc_id").cast("long").as("doc_id"))
       .distinct()
     val man = spark.read.parquet(s"$dir/manifest")
@@ -513,10 +504,8 @@ object Multimodal {
       .join(keep.select(col("chunk_hash")).distinct(),
         Seq("chunk_hash"), "left_semi")
       .write.mode("overwrite").parquet(storeStaging)
-    fs.delete(new Path(s"$dir/manifest"), true)
-    fs.rename(new Path(manStaging), new Path(s"$dir/manifest"))
-    fs.delete(new Path(s"$dir/store"), true)
-    fs.rename(new Path(storeStaging), new Path(s"$dir/store"))
+    FsOps.swapInto(fs, manStaging, s"$dir/manifest")
+    FsOps.swapInto(fs, storeStaging, s"$dir/store")
   }
 
   /** Reassemble every document from the store and prove it byte-exact:

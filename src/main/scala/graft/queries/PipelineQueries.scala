@@ -2002,6 +2002,22 @@ object PipelineQueries {
       |GROUP BY cc.k, true_c
       |ORDER BY true_c DESC, k""".stripMargin
 
+  // The CdcKernel window hash at position `p.i` of `f.text`, as its
+  // windowed-sum form: Σ_j ord(char at i-j)·Base^j mod Mod — w bounded
+  // ord/substr terms, bit-equal to the Spark kernel's O(n) rolling
+  // recurrence (the recurrence and the sum are the same polynomial;
+  // only the evaluation order differs, and both reduce mod the same
+  // prime). Products stay < 2^52, so BIGINT arithmetic is exact.
+  private def cdcCutPredicate(window: Int, divisor: Int): String = {
+    import graft.functions.CdcKernel.{Base, Mod}
+    val pows = Iterator.iterate(1L)(_ * Base % Mod).take(window).toSeq
+    val terms = pows.zipWithIndex.map { case (pj, j) =>
+      s"(CAST(ord(substr(f.text, CAST(p.i - $j AS BIGINT), 1)) " +
+        s"AS BIGINT) * $pj % $Mod)"
+    }.mkString("(", " + ", ")")
+    s"($terms % $Mod) % $divisor = 0"
+  }
+
   // Shared by mm_chunk_store and mm_chunk_gc: the CDC cut replay over
   // the duplicate-injected corpus (optionally minus a deleted-doc
   // predicate) with one md5 per document gating byte-exact reassembly.
@@ -2014,9 +2030,7 @@ object PipelineQueries {
        |cut AS (
        |  SELECT p.doc_id, p.i
        |  FROM pos p JOIN f USING (doc_id)
-       |  WHERE CAST(CAST(('0x' || substr(
-       |          md5(substr(f.text, CAST(p.i - 7 AS BIGINT), 8)),
-       |          1, 12)) AS UBIGINT) AS BIGINT) % 32 = 0),
+       |  WHERE ${cdcCutPredicate(8, 32)}),
        |b AS (
        |  SELECT f.doc_id, f.text, f.n,
        |         coalesce(list_sort(list(cut.i)
@@ -3593,19 +3607,19 @@ object PipelineQueries {
     "mm_chunk_gc" -> chunkStoreOracleWhere(
       "AND NOT (doc_id < 100000 AND doc_id % 3 = 0)"),
 
-    // Same window-hash derivation as the Spark side: md5-prefix-48 of
-    // the trailing 8 bytes, cut where it divides 32; final partial
-    // chunk appended when the last position is not already a cut.
+    // Same window-hash derivation as the Spark side: the CdcKernel
+    // windowed polynomial (evaluated here as its per-position sum
+    // form), cut where it divides 32; final partial chunk appended
+    // when the last position is not already a cut.
     "mm_cdc_chunks" ->
-      """WITH f AS (SELECT doc_id, text, length(text) AS n
+      s"""WITH f AS (SELECT doc_id, text, length(text) AS n
         |           FROM documents WHERE length(text) > 0),
         |pos AS (
         |  SELECT doc_id, unnest(generate_series(8, n)) AS i FROM f),
         |cut AS (
         |  SELECT p.doc_id, p.i
         |  FROM pos p JOIN f USING (doc_id)
-        |  WHERE CAST(CAST(('0x' || substr(md5(substr(f.text, CAST(p.i - 7 AS BIGINT), 8)),
-        |          1, 12)) AS UBIGINT) AS BIGINT) % 32 = 0),
+        |  WHERE ${cdcCutPredicate(8, 32)}),
         |b AS (
         |  SELECT f.doc_id, f.text, f.n,
         |         coalesce(list_sort(list(cut.i) FILTER (WHERE cut.i IS NOT NULL)),
