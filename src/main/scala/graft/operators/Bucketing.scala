@@ -11,16 +11,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table (parquet). Bucket
-    * count should be sized so bucket × column-chunk fits executor
-    * memory at target scale. */
+  /** Write `df` as a bucketed+sorted table (parquet). Bucket count
+    * should be sized so bucket × column-chunk fits executor memory at
+    * target scale. With `path` set the table is EXTERNAL at that
+    * location — re-registerable by a fresh session over the same
+    * files; without it the table is managed, whose warehouse location
+    * outlives an in-memory catalog and collides on the next JVM
+    * (LOCATION_ALREADY_EXISTS) — so repeatable enumerations must pass
+    * a scratch path. The name is dropped first either way so a
+    * leftover registration from another session cannot block the
+    * overwrite. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
-    df.write.mode("overwrite")
+      buckets: Int, path: Option[String] = None): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w = df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Join two tables bucketed on the same key with the same bucket
     * count: Catalyst recognizes the co-partitioning and plans a

@@ -1181,6 +1181,31 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // Co-bucketed storage join (graft.operators.Bucketing): both fact
+    // tables land bucketed+sorted on the order key at write time, so
+    // the join itself plans with ZERO shuffle exchange — the shuffle
+    // is paid once at ingest, not per query, which at 100 TB is the
+    // difference between re-shuffling the fact table for every join
+    // and never shuffling it again (BucketingSpec pins the
+    // SortMergeJoin-without-Exchange plan; ShuffleBudgetSpec holds the
+    // served frame at 0). This row gates the bucketed layout's
+    // CORRECTNESS: the served rows must equal the plain-join oracle.
+    "q_bucketed_join" -> ((s, d) => {
+      // External tables at a fresh scratch path: a managed table's
+      // warehouse location outlives the in-memory catalog and would
+      // collide on the next JVM.
+      val scratch = FlowLogQueries.scratchDir("graft_bucketed")
+      graft.operators.Bucketing.writeBucketed(Tables.lineitem(s, d),
+        "graft_li_bucketed", "l_orderkey", 8, Some(s"$scratch/li"))
+      graft.operators.Bucketing.writeBucketed(Tables.orders(s, d),
+        "graft_ord_bucketed", "o_orderkey", 8, Some(s"$scratch/ord"))
+      graft.operators.Bucketing.bucketedEquiJoin(s,
+          "graft_li_bucketed", "graft_ord_bucketed",
+          "l_orderkey", "o_orderkey")
+        .select(col("o_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("o_totalprice"))
+    }),
+
     // TPC-H Q18-style large-volume orders: HAVING over a grouped fact,
     // then joins back to orders/customer for the report columns.
     "q_tpch_q18" -> ((s, d) => {
@@ -2548,6 +2573,10 @@ object RelationalQueries {
         |       count(*) AS n
         |FROM lineitem JOIN pp ON l_partkey = pk
         |WHERE CAST(l_quantity AS DECIMAL(18,4)) * n_part * 10 < sum_qty * 8""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderkey, l_linenumber, l_quantity, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
 
     "q_tpch_q18" ->
       """WITH big AS (

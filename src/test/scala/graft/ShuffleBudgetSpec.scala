@@ -298,6 +298,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "mm_chunk_gc" -> 2,           // same reassembly frame over the
                                   // post-GC layout — the sweep's
                                   // joins ran before the frame
+    // round-13 additions
+    "q_bucketed_join" -> 0,       // the whole point of the bucketed
+                                  // layout: the join of two tables
+                                  // bucketed+sorted on the key plans
+                                  // with ZERO exchange — the shuffle
+                                  // was paid once at write time
     "sim_ivfpq_persist" -> 7)     // SERVING plan only: probe assignment
                                   // agg/window over broadcast stored
                                   // centroids (printed again under the

@@ -222,6 +222,65 @@ class SketchesSpec extends SparkSpec {
       "quantile shard-merge must reproduce the monolithic sample exactly")
   }
 
+  test("quantile sketch property: rank error bounded across random " +
+      "distributions at the shipped k; shard merge preserves the bound") {
+    // The distribution-level property the other three family members
+    // carry (KMV estimate quality, CMS one-sided error, HLL merge
+    // identity): for a k-row uniform sample the estimated quantile's
+    // TRUE rank fraction deviates from the target by ~sqrt(q(1-q)/k)
+    // (stderr <= 0.0625 at k=64); 4 sigma = 0.25 is the hard bound,
+    // and the fixed h48 hash makes every draw deterministic — these
+    // are pins, not flaky statistical tests. Rank error is measured in
+    // RANK space (fraction of values <= estimate), which is the bound
+    // the sketch actually promises — value-space error is unbounded on
+    // heavy tails.
+    val k = 64
+    val n = 4000
+    val tol = 0.25
+    val rnd = new scala.util.Random(43)
+    val dists: Seq[(String, IndexedSeq[Long])] = Seq(
+      "uniform" -> IndexedSeq.fill(n)(rnd.nextInt(1000000).toLong),
+      "skewed" -> IndexedSeq.fill(n) {
+        val x = rnd.nextInt(1000).toLong; x * x
+      },
+      "heavy-dup" -> IndexedSeq.fill(n)(rnd.nextInt(10).toLong),
+      "heavy-tail" -> IndexedSeq.fill(n)(
+        math.exp(rnd.nextGaussian() * 2 + 5).toLong))
+    dists.foreach { case (name, vals) =>
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (i.toLong, v, "g") }
+        .toDF("key", "v", "grp")
+      val est = Sketches.quantileSketch(df, col("key"), col("v"),
+        col("grp"), k = k).collect()
+        .map(r => r.getAs[Int]("pct") -> r.getAs[Long]("est_v")).toMap
+      val sorted = vals.sorted
+      Seq(25, 50, 75, 95).foreach { p =>
+        val v = est(p)
+        // With duplicates the estimate's rank is an interval
+        // [#(x < v), #(x <= v)]; the target must fall within it
+        // plus the sampling tolerance on either side.
+        val lo = sorted.count(_ < v).toDouble / n
+        val hi = sorted.count(_ <= v).toDouble / n
+        val q = p / 100.0
+        assert(q >= lo - tol && q <= hi + tol,
+          f"$name p$p: est $v has rank interval [$lo%.3f, $hi%.3f], " +
+            f"target $q%.2f outside ±$tol%.2f")
+      }
+      // Merge preserves the bound by the strongest possible argument:
+      // the sharded sketch (grouped shards, negative remainders
+      // included) is bit-identical to the monolithic one on every
+      // distribution, so its estimates carry the same rank bound.
+      val sharded = Sketches.quantileSketchSharded(df, col("key"),
+        col("v"), col("grp"), (col("key") - lit(n / 2)) % 7, k = k)
+      val mono = Sketches.quantileSketch(df, col("key"), col("v"),
+        col("grp"), k = k)
+      assert(mono.exceptAll(sharded).isEmpty &&
+        sharded.exceptAll(mono).isEmpty,
+        s"$name: shard merge must be bit-identical to the monolithic " +
+          "sketch")
+    }
+  }
+
   test("compaction plan: partitions files exactly, bins respect target") {
     val target = 100L
     val files = Seq(

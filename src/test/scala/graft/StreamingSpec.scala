@@ -917,6 +917,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming deletes over the persisted inverted index: tombstones " +
+      "landed between micro-batches serve like a batch rebuild") {
+    // The delete half of the lifecycle, streaming-shaped — the last
+    // batch-only cell of the lifecycle matrix: retraction requests
+    // arrive as micro-batches, foreachBatch lands each batch's
+    // tombstones with deleteFromInvertedIndex (merge-on-write keeps
+    // the table canonical across batches), and a serve BETWEEN the
+    // batches reflects exactly the deletions so far — bit-identical to
+    // an index REBUILT without those docs (df from masked postings,
+    // integer stats adjustments exact — the batch spec's argument,
+    // here proven under micro-batch delivery with a mid-stream read).
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val terms = Seq("hash", "join", "spark")
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_inv_stream")
+    operators.TextAnalysis.writeInvertedIndex(docs, dir)
+    def rebuiltServe(keep: org.apache.spark.sql.Column) = {
+      val d = tmp("graft_inv_rebuild")
+      operators.TextAnalysis.writeInvertedIndex(docs.filter(keep), d)
+      operators.TextAnalysis.searchInvertedIndex(spark, d, terms)
+        .collect().toSet
+    }
+    val want1 = rebuiltServe($"doc_id" % 5 =!= 0)
+    val want2 = rebuiltServe($"doc_id" % 5 =!= 0 && $"doc_id" % 7 =!= 0)
+
+    val in = MemoryStream[Long](spark)
+    val q = in.toDF().toDF("doc_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        operators.TextAnalysis.deleteFromInvertedIndex(spark, batch, dir)
+        ()
+      }.start()
+    try {
+      val ids1 = docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id").as[Long].collect()
+      val ids2 = docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" % 7 === 0)
+        .select($"doc_id").as[Long].collect()
+      in.addData(ids1.toSeq: _*); q.processAllAvailable()
+      val got1 = operators.TextAnalysis
+        .searchInvertedIndex(spark, dir, terms).collect().toSet
+      assert(want1.nonEmpty && got1 === want1,
+        "mid-stream serve must equal the rebuild without batch-1 docs")
+      in.addData(ids2.toSeq: _*); q.processAllAvailable()
+      val got2 = operators.TextAnalysis
+        .searchInvertedIndex(spark, dir, terms).collect().toSet
+      assert(want2.nonEmpty && got2 === want2,
+        "post-stream serve must equal the rebuild without all deleted docs")
+    } finally q.stop()
+  }
+
   test("streaming tokenizer serve over the persisted BPE vocab: streamed docs tokenize as in batch") {
     // The tokenizer is the op a training-data pipeline runs
     // continuously: train once (bpeWriteVocab — the merge rounds run
