@@ -483,6 +483,29 @@ object Dedup {
       "rowsPerBand" -> rowsPerBand.toString, "sep" -> sep)
   }
 
+  /** APPEND a batch of base documents to a stored [[writeLshIndex]]
+    * layout — the add half of the dedup index lifecycle (the base
+    * corpus grows between runs; re-banding history would defeat the
+    * point of persisting it). Index rows are per-doc independent (a
+    * doc's buckets derive from its signature alone), so an append is
+    * bit-for-bit equivalent to having built the index over the union
+    * up front (spec-pinned) — no merge step, no rewrite, just new
+    * `(doc_id, bucket)` rows landing beside the old files. The
+    * banding parameters MUST match the stored build (sidecar-gated):
+    * mismatched buckets would silently never collide. No tombstone
+    * reconciliation is needed here — [[deleteFromLshIndex]] removes
+    * rows PHYSICALLY, so a deleted-then-re-added doc has exactly one
+    * live copy after the append. */
+  def appendLshIndex(spark: org.apache.spark.sql.SparkSession,
+      newSigs: DataFrame, dir: String, bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand, sep: String = ""): Unit = {
+    IndexMeta.requireMatch(spark, dir, "bands" -> bands.toString,
+      "rowsPerBand" -> rowsPerBand.toString, "sep" -> sep)
+    newSigs.select(col("doc_id"),
+      bandBuckets(bands, rowsPerBand, sep).as("bucket"))
+      .write.mode("append").parquet(dir)
+  }
+
   /** DELETE documents from a stored [[writeLshIndex]] base — retracted
     * or GC'd base docs must stop producing candidate pairs against
     * future shards. Index rows are per-doc independent (a doc's

@@ -579,13 +579,20 @@ object Similarity {
     * flat-ADC and cell-blocked serving paths. Codebook = the first
     * `codebookK` vectors' subvectors, same deterministic sample as
     * [[productQuantize]]. Output: (vec_id, sub, cid). */
-  private def pqCodesOf(vecs: DataFrame, m: Int, codebookK: Int): DataFrame = {
+  private def pqCodesOf(vecs: DataFrame, m: Int, codebookK: Int): DataFrame =
+    pqCodesAgainst(codebookOf(vecs, m, codebookK), vecs, m)
+
+  /** PQ-encode `vecs` against an EXPLICIT codebook frame (in-memory or
+    * read back from a persisted index — parquet round-trips doubles
+    * exactly, so the sources are indistinguishable): the encode half
+    * of FAISS's fixed-quantizer `add` contract, shared by the build
+    * and the append so the two paths cannot diverge. */
+  private def pqCodesAgainst(codebook: DataFrame, vecs: DataFrame,
+      m: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val subs = subvectors(vecs, m)
-    val codebook = codebookOf(vecs, m, codebookK)
     val wAssign = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(round(col("dist2"), 6).asc, col("cid").asc)
-    subs.join(broadcast(codebook), Seq("sub"))
+    subvectors(vecs, m).join(broadcast(codebook), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("cid"),
         (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
           dot(col("cv"), col("cv"))).as("dist2"))
@@ -793,25 +800,62 @@ object Similarity {
     * makes billion-vector serving fit on disk budgets the raw
     * embeddings never could). The full-precision vectors appear
     * nowhere in the index; [[searchIvfPqIndex]] never needs them. */
+  /** `quantizer` optionally trains the cell centroids and PQ codebook
+    * on a DIFFERENT corpus than the one being encoded (defaults to
+    * `vecs`) — the incremental-ingestion shape: train once on the
+    * full/representative corpus, build the index on the first batch,
+    * [[appendIvfPqIndex]] the rest. Centroids and codebook persist
+    * FIRST and the codes assign against the RE-READ tables, so a
+    * later append encodes against byte-identical quantizer state. */
   def writeIvfPqIndex(vecs: DataFrame, dir: String, m: Int = 4,
-      codebookK: Int = 8, kCells: Int = 8, iters: Int = 2): Unit = {
+      codebookK: Int = 8, kCells: Int = 8, iters: Int = 2,
+      quantizer: Option[DataFrame] = None): Unit = {
     clearTombstones(vecs.sparkSession, dir)
+    val qsrc = quantizer.getOrElse(vecs)
     // Same build discipline as [[writeIvfIndex]]: persist the trained
     // centroids FIRST and assign against the re-read table, so the
     // Lloyd trajectory runs once instead of once per downstream
     // action (exact: parquet round-trips the means).
-    kmeansTrain(vecs, kCells, iters)
+    kmeansTrain(qsrc, kCells, iters)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     val cents = vecs.sparkSession.read.parquet(s"$dir/centroids")
-    codebookOf(vecs, m, codebookK)
+    codebookOf(qsrc, m, codebookK)
       .write.mode("overwrite").parquet(s"$dir/codebook")
+    val codebook = vecs.sparkSession.read.parquet(s"$dir/codebook")
     val idx = trainedAssign(vecs, cents, 1)
       .select(col("probe_id").as("corpus_id"), col("cid").as("cell"))
-    pqCodesOf(vecs, m, codebookK)
+    pqCodesAgainst(codebook, vecs, m)
       .join(idx, col("vec_id") === col("corpus_id"))
       .select(col("vec_id"), col("sub"), col("cid"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
+    IndexMeta.write(vecs.sparkSession, dir, "m" -> m.toString,
+      "codebookK" -> codebookK.toString, "kCells" -> kCells.toString)
+  }
+
+  /** APPEND a corpus batch to a persisted [[writeIvfPqIndex]] layout —
+    * the PQ analog of [[appendIvfIndex]], closing the lifecycle
+    * matrix's last append cell: new vectors assign cells against the
+    * STORED centroids and encode against the STORED codebook (the
+    * quantizer is fixed once trained — FAISS's `add` contract; the
+    * sidecar makes a mismatched `m` a loud failure, since codes under
+    * a different sub-vector split would silently score garbage).
+    * Same tombstone reconciliation as the IVF append: a re-added id's
+    * tombstone clears AFTER the data append commits. */
+  def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      vecs2: DataFrame, dir: String, m: Int = 4): Unit = {
+    IndexMeta.requireMatch(spark, dir, "m" -> m.toString)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val idx = trainedAssign(vecs2, cents, 1)
+      .select(col("probe_id").as("corpus_id"), col("cid").as("cell"))
+    pqCodesAgainst(codebook, vecs2, m)
+      .join(idx, col("vec_id") === col("corpus_id"))
+      .select(col("vec_id"), col("sub"), col("cid"), col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/codes")
+    reconcileTombstonesAfterAppend(spark, dir,
+      vecs2.select(col("vec_id")))
   }
 
   /** Serve ADC top-k from a persisted [[writeIvfPqIndex]] layout:
@@ -828,6 +872,10 @@ object Similarity {
       dir: String, probes: DataFrame, k: Int, m: Int = 4,
       nprobe: Int = 2): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // Serving at a different sub-vector split than the build would
+    // slice probe vectors against codes that mean something else —
+    // the sidecar makes it a loud failure instead of silent garbage.
+    IndexMeta.requireMatch(spark, dir, "m" -> m.toString)
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
     val codes0 = spark.read.parquet(s"$dir/codes")
@@ -1063,8 +1111,25 @@ object Similarity {
     withNorm(vecs2).join(cells, Seq("vec_id"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/index")
+    reconcileTombstonesAfterAppend(spark, dir,
+      vecs2.select(col("vec_id")))
+  }
+
+  /** Shared by the append legs: anti-join the appended ids out of the
+    * tombstone table (staged + checked swap), so a delete-then-re-add
+    * serves the re-added rows and a later compaction cannot drop
+    * them. Runs AFTER the data append commits — a crash in the window
+    * leaves the new rows masked (retryable), never stale rows
+    * visible. Caller contract (FAISS's `add` has the same one — ids
+    * are not membership-checked): re-adding an id whose deleted rows
+    * are still physically present (deleted but not yet compacted)
+    * would leave duplicate rows once unmasked; compact first
+    * (PipelineSpec's re-add pins exercise exactly that flow). */
+  private def reconcileTombstonesAfterAppend(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame): Unit =
     readTombstones(spark, dir).foreach { t =>
-      val appended = vecs2
+      val appended = ids
         .select(col("vec_id").cast("long").as("vec_id")).distinct()
       val staging = s"$dir/tombstones_next"
       t.join(broadcast(appended), Seq("vec_id"), "left_anti")
@@ -1072,7 +1137,6 @@ object Similarity {
       FsOps.swapInto(FsOps.fsOf(spark, dir), staging,
         s"$dir/tombstones")
     }
-  }
 
   /** Search a persisted [[writeIvfIndex]] layout: probes assign to
     * their `nprobe` nearest stored centroids, then join the

@@ -444,6 +444,34 @@ object Sketches {
       .groupBy(col("j"), col("bucket"))
       .agg(sum(col("c")).as("c"))
 
+  /** SUBTRACT a CMS cell table from another — the deletion leg the
+    * other sketch family members structurally cannot offer (HLL
+    * registers are max-stable, a KMV synopsis forgets evicted keys;
+    * count-min is the family's only TURNSTILE sketch: cells are plain
+    * sums, so retracting a sub-stream is cell-wise subtraction and
+    * `build(A) − build(B) = build(A∖B)` exactly when B ⊆ A — the
+    * linearity that makes retention deletes (GDPR retractions, TTL'd
+    * events) an O(d·w) sketch-side operation instead of a corpus
+    * rebuild). Cells that reach zero DROP from the table, so the
+    * result is bit-identical to a fresh build over the surviving
+    * stream, one-sided error guarantee included. Subtracting counts
+    * never added (B ⊄ A) would go negative — failed loudly row-wise
+    * rather than clamped, since a clamp would silently break the
+    * est ≥ true contract. */
+  def cmsSubtract(a: DataFrame, b: DataFrame): DataFrame = {
+    val diff = a
+      .join(b.withColumnRenamed("c", "c_del"), Seq("j", "bucket"), "left")
+      .select(col("j"), col("bucket"),
+        (col("c") - coalesce(col("c_del"), lit(0L))).as("c"))
+    diff.select(col("j"), col("bucket"),
+      when(col("c") >= 0, col("c")).otherwise(raise_error(concat(
+        lit("cmsSubtract: cell ("), col("j").cast("string"), lit(","),
+        col("bucket").cast("string"),
+        lit(") went negative — the subtracted stream was not a subset "
+          + "of the built one")))).as("c"))
+      .filter(col("c") > 0)
+  }
+
   def cmsHeavyHitters(df: DataFrame, key: Column, depth: Int = 3,
       width: Int = 256, minCount: Long = 100L): DataFrame =
     cmsScore(cmsBuild(df, key, depth, width),

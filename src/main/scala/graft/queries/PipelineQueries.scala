@@ -766,6 +766,26 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Incremental PQ ingestion — the sim_ivf_append shape for the
+    // compressed layout: the quantizer (centroids + codebook) trains
+    // on the FULL corpus, the index builds on half, the other half
+    // APPENDS with codes assigned against the stored quantizer
+    // (fixed once trained — FAISS `add`). Because the quantizer saw
+    // the full corpus, the served union is bit-identical to the
+    // monolithic sim_ivfpq_persist build and gates against the same
+    // replay.
+    "sim_ivfpq_append" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val dir = FlowLogQueries.scratchDir("graft_ivfpq_app")
+      Similarity.writeIvfPqIndex(vecs.filter(col("vec_id") % 2 === 0),
+        dir, quantizer = Some(vecs))
+      Similarity.appendIvfPqIndex(s,
+        vecs.filter(col("vec_id") % 2 =!= 0), dir)
+      Similarity.searchIvfPqIndex(s, dir, vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // One k-means Lloyd's update: assign to max-cosine centroid (the
     // first 8 vectors seed the centroids), recompute per-dimension
     // means from exact decimal sums.
@@ -1075,6 +1095,27 @@ object PipelineQueries {
       val dir = FlowLogQueries.scratchDir("graft_lsh_idx")
       Dedup.writeLshIndex(sigs.filter(col("doc_id") < 100000), dir,
         sep = "|")
+      Dedup.lshIncrementalFromIndex(s, dir,
+        sigs.filter(col("doc_id") >= 100000), sep = "|")
+        .orderBy("new_id", "base_id")
+    }),
+
+    // Incremental growth of the stored LSH base — the add half of the
+    // dedup index lifecycle: half the base builds the index, the
+    // other half APPENDS (per-doc bucket rows land beside the old
+    // files, sidecar-gated parameters), and the shard serves against
+    // the union. Index rows are per-doc, so the served pairs are
+    // bit-identical to the monolithic dedup_lsh_persist build and
+    // gate against the same replay.
+    "dedup_lsh_append" -> ((s, d) => {
+      val sigs = Dedup.minhashSignaturesV2(
+        Dedup.augmentCorpus(Tables.documents(s, d)))
+      val dir = FlowLogQueries.scratchDir("graft_lsh_app")
+      val base = sigs.filter(col("doc_id") < 100000)
+      Dedup.writeLshIndex(base.filter(col("doc_id") % 2 === 0), dir,
+        sep = "|")
+      Dedup.appendLshIndex(s, base.filter(col("doc_id") % 2 =!= 0),
+        dir, sep = "|")
       Dedup.lshIncrementalFromIndex(s, dir,
         sigs.filter(col("doc_id") >= 100000), sep = "|")
         .orderBy("new_id", "base_id")
@@ -1892,6 +1933,23 @@ object PipelineQueries {
         col("user_id"), col("event_id") % 4,
         depth = 3, width = 256, minCount = 50L)
         .orderBy(col("true_c").desc, col("k"))),
+
+    // CMS deletion by SUBTRACTION — the turnstile leg only count-min
+    // in the sketch family can offer (HLL registers are max-stable,
+    // a KMV synopsis forgets evicted keys): retract every 5th event's
+    // contribution cell-wise from the built sketch. Linearity makes
+    // the result bit-identical to a sketch built fresh over the
+    // survivors — which is exactly what the oracle builds — so a
+    // retention delete (GDPR retraction, TTL'd events) is an O(d·w)
+    // sketch-side subtraction, never a corpus rebuild.
+    "sketch_cms_delete" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val all = Sketches.cmsBuild(ev, col("user_id"),
+        depth = 3, width = 256)
+      val gone = Sketches.cmsBuild(ev.filter(col("event_id") % 5 === 0),
+        col("user_id"), depth = 3, width = 256)
+      Sketches.cmsSubtract(all, gone).orderBy("j", "bucket")
+    }),
 
     // Token-budget mixture materialization: each source contributes
     // documents in ascending-id order until 2000 tokens — the unit a
@@ -2749,6 +2807,9 @@ object PipelineQueries {
     // contract (PipelineSpec pins bit-for-bit parity with the
     // in-memory ivfPqTopK), so it gates against the same replay.
     "sim_ivfpq_persist" -> ivfPqSearchSql,
+    // Shares the monolithic replay: the quantizer trains on the full
+    // corpus, so build-half + append-half serves identically.
+    "sim_ivfpq_append" -> ivfPqSearchSql,
 
     "sim_kmeans_step" ->
       s"""WITH $ovecsCte,
@@ -3383,6 +3444,9 @@ object PipelineQueries {
     // The persisted-index serve is bit-identical to the live
     // incremental pairs (string buckets + BIGINT ids, parquet-exact).
     "dedup_lsh_persist" -> lshIncrementalOracle,
+    // Shares the monolithic replay: index rows are per-doc, so
+    // build-half + append-half equals the one-shot build.
+    "dedup_lsh_append" -> lshIncrementalOracle,
 
     // Deleted base docs (doc_id % 5 = 0) can no longer pair.
     "dedup_lsh_delete" -> lshIncrementalOracleWhere(
@@ -4163,6 +4227,23 @@ object PipelineQueries {
     // Same oracle as the monolithic CMS: linearity of count-min makes
     // the sharded build bit-identical.
     "sketch_cms_sharded" -> cmsHeavyOracle,
+
+    // The subtracted sketch equals a fresh build over the surviving
+    // events (count-min linearity); the oracle IS that fresh build's
+    // cell table.
+    "sketch_cms_delete" ->
+      """WITH kx AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        |            WHERE event_id % 5 <> 0),
+        |js AS (SELECT unnest([1, 2, 3]) AS j),
+        |cells AS (
+        |  SELECT k, j,
+        |         CAST(CAST(('0x' || substr(
+        |             md5(CAST(j AS VARCHAR) || ':' || k), 1, 12)) AS UBIGINT)
+        |           AS BIGINT) % 256 AS bucket
+        |  FROM kx CROSS JOIN js)
+        |SELECT j, bucket, count(*) AS c
+        |FROM cells GROUP BY j, bucket
+        |ORDER BY j, bucket""".stripMargin,
 
     // External candidates (every customer key; 90% absent from the
     // build stream) against the events CMS — absent cells count as

@@ -1206,6 +1206,22 @@ object RelationalQueries {
           col("l_quantity"), col("o_totalprice"))
     }),
 
+    // Zero-shuffle AGGREGATION over the bucketed layout: the stored
+    // hash distribution on the grouping key already satisfies the
+    // aggregate's clustering requirement, so the groupBy plans with
+    // no exchange at all (ShuffleBudgetSpec pins 0) — the ingest-once
+    // shuffle amortizes over every downstream aggregation, not just
+    // joins.
+    "q_bucketed_agg" -> ((s, d) => {
+      val scratch = FlowLogQueries.scratchDir("graft_bucketed_agg")
+      graft.operators.Bucketing.writeBucketed(Tables.lineitem(s, d),
+        "graft_li_bucketed_agg", "l_orderkey", 8, Some(s"$scratch/li"))
+      s.table("graft_li_bucketed_agg")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q18-style large-volume orders: HAVING over a grouped fact,
     // then joins back to orders/customer for the report columns.
     "q_tpch_q18" -> ((s, d) => {
@@ -2577,6 +2593,12 @@ object RelationalQueries {
     "q_bucketed_join" ->
       """SELECT o_orderkey, l_linenumber, l_quantity, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "q_bucketed_agg" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
 
     "q_tpch_q18" ->
       """WITH big AS (

@@ -1383,6 +1383,58 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("appendIvfPqIndex: build-half + append-half serves exactly like " +
+      "the monolithic build; mismatched m fails loudly; re-add round-trips") {
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 10)
+    withTempDir("graft_pq_mono") { dirMono =>
+      withTempDir("graft_pq_app") { dirApp =>
+        // The quantizer trains on the FULL corpus in both layouts, so
+        // build(evens) + append(odds) must be bit-identical at serve
+        // to the monolithic build — the FAISS fixed-quantizer add
+        // contract for the compressed layout.
+        Similarity.writeIvfPqIndex(vecs, dirMono)
+        Similarity.writeIvfPqIndex(vecs.filter($"vec_id" % 2 === 0),
+          dirApp, quantizer = Some(vecs))
+        Similarity.appendIvfPqIndex(spark,
+          vecs.filter($"vec_id" % 2 =!= 0), dirApp)
+        val mono = Similarity.searchIvfPqIndex(spark, dirMono, probes, 5)
+          .collect().toSet
+        val app = Similarity.searchIvfPqIndex(spark, dirApp, probes, 5)
+          .collect().toSet
+        assert(mono.nonEmpty && app === mono,
+          "append-built PQ index must serve exactly like the monolithic build")
+        // Appending (or serving) at a different sub-vector split than
+        // the build must fail loudly via the sidecar.
+        val eApp = intercept[IllegalArgumentException] {
+          Similarity.appendIvfPqIndex(spark, probes, dirApp, m = 2)
+        }
+        assert(eApp.getMessage.contains("m="))
+        val eServe = intercept[IllegalArgumentException] {
+          Similarity.searchIvfPqIndex(spark, dirApp, probes, 5, m = 2)
+        }
+        assert(eServe.getMessage.contains("m="))
+        // Delete → compact (rows physically gone, tombstones drained)
+        // → delete again (live tombstones for absent rows) → re-add:
+        // the append must clear the stale tombstones so the serve
+        // returns to the monolithic baseline.
+        val victims = vecs.filter($"vec_id" % 9 === 0)
+        Similarity.deleteFromIvfIndex(spark,
+          victims.select($"vec_id"), dirApp)
+        Similarity.compactIvfPqIndex(spark, dirApp)
+        Similarity.deleteFromIvfIndex(spark,
+          victims.select($"vec_id"), dirApp)
+        Similarity.appendIvfPqIndex(spark, victims, dirApp)
+        val readded = Similarity.searchIvfPqIndex(spark, dirApp, probes, 5)
+          .collect().toSet
+        assert(readded === mono,
+          "a PQ delete→compact→re-add must round-trip to the monolithic serve")
+      }
+    }
+  }
+
   test("IVF delete: a fully-emptied cell is drained — dir dropped, tombstones cleared") {
     import graft.operators.Similarity
     val vecs = clusteredVecs().select($"vec_id", $"v")
@@ -1503,6 +1555,47 @@ class PipelineSpec extends SparkSpec {
         assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan)
             .isDefined,
           "label predicate not pushed to the index scan")
+      }
+    }
+  }
+
+  test("appendLshIndex: build-half + append-half serves exactly like the " +
+      "monolithic base; mismatched banding fails loudly; delete→re-add round-trips") {
+    import graft.operators.Dedup
+    val sigs = Dedup.minhashSignaturesV2(corpus)
+    val baseSigs = sigs.filter($"doc_id" < 100000)
+    val shard = sigs.filter($"doc_id" >= 100000)
+    withTempDir("graft_lsh_app_a") { dirApp =>
+      withTempDir("graft_lsh_app_b") { dirMono =>
+        Dedup.writeLshIndex(baseSigs, dirMono, sep = "|")
+        val want = Dedup.lshIncrementalFromIndex(spark, dirMono, shard,
+          sep = "|").as[(Long, Long)].collect().toSet
+        Dedup.writeLshIndex(baseSigs.filter($"doc_id" % 2 === 0),
+          dirApp, sep = "|")
+        Dedup.appendLshIndex(spark,
+          baseSigs.filter($"doc_id" % 2 =!= 0), dirApp, sep = "|")
+        val got = Dedup.lshIncrementalFromIndex(spark, dirApp, shard,
+          sep = "|").as[(Long, Long)].collect().toSet
+        assert(want.nonEmpty && got === want,
+          "append-grown LSH base must serve exactly like the monolithic build")
+        // Appending under different banding parameters must fail
+        // loudly via the sidecar (buckets would silently never
+        // collide otherwise).
+        val e = intercept[IllegalArgumentException] {
+          Dedup.appendLshIndex(spark, baseSigs, dirApp, sep = "#")
+        }
+        assert(e.getMessage.contains("sep"))
+        // deleteFromLshIndex removes rows PHYSICALLY, so a
+        // delete→re-add needs no tombstone reconciliation: one live
+        // copy per doc, serve returns to the monolithic baseline.
+        val victims = baseSigs.filter($"doc_id" % 7 === 0)
+        Dedup.deleteFromLshIndex(spark,
+          victims.select($"doc_id"), dirApp)
+        Dedup.appendLshIndex(spark, victims, dirApp, sep = "|")
+        val readded = Dedup.lshIncrementalFromIndex(spark, dirApp, shard,
+          sep = "|").as[(Long, Long)].collect().toSet
+        assert(readded === want,
+          "an LSH delete→re-add must round-trip to the monolithic serve")
       }
     }
   }

@@ -304,6 +304,17 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // bucketed+sorted on the key plans
                                   // with ZERO exchange — the shuffle
                                   // was paid once at write time
+    "q_bucketed_agg" -> 0,        // same layout serving an AGGREGATE:
+                                  // stored hash distribution satisfies
+                                  // the groupBy clustering, no exchange
+    "dedup_lsh_append" -> 2,      // SERVING plan — same 2 as
+                                  // dedup_lsh_persist: appended bucket
+                                  // rows are just more index files
+    "sim_ivfpq_append" -> 7,      // SERVING plan — same 7 as
+                                  // sim_ivfpq_persist: the append leg
+                                  // ran before the served frame
+    "sketch_cms_delete" -> 4,     // two cell aggs (all / retracted) +
+                                  // cell-keyed subtract join + sort
     "sim_ivfpq_persist" -> 7)     // SERVING plan only: probe assignment
                                   // agg/window over broadcast stored
                                   // centroids (printed again under the

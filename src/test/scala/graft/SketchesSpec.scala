@@ -49,6 +49,34 @@ class SketchesSpec extends SparkSpec {
       r.getAs[Long]("est_c") == r.getAs[Long]("true_c")))
   }
 
+  test("cmsSubtract: retraction equals a fresh build over the survivors; " +
+      "non-subset subtraction fails loudly") {
+    // Count-min is the family's only turnstile sketch: cells are plain
+    // sums, so build(A) - build(B) must be BIT-identical to
+    // build(A \ B) when B ⊆ A — including cells dropping out entirely
+    // when they reach zero.
+    val all = (1 to 1000).map(i => (i.toLong, s"k${i % 50}"))
+      .toDF("id", "key")
+    val gone = all.filter($"id" % 5 === 0)
+    val kept = all.filter($"id" % 5 =!= 0)
+    val sub = Sketches.cmsSubtract(
+      Sketches.cmsBuild(all, col("key"), 3, 64),
+      Sketches.cmsBuild(gone, col("key"), 3, 64))
+    val fresh = Sketches.cmsBuild(kept, col("key"), 3, 64)
+    assert(sub.exceptAll(fresh).isEmpty && fresh.exceptAll(sub).isEmpty,
+      "subtracted sketch must equal a fresh build over the survivors")
+    // Subtracting counts that were never added must throw, not clamp —
+    // a clamp would silently break the est >= true contract.
+    val e = intercept[Exception] {
+      Sketches.cmsSubtract(
+        Sketches.cmsBuild(kept, col("key"), 3, 64),
+        Sketches.cmsBuild(all, col("key"), 3, 64)).collect()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("negative"), s"unexpected failure: $msg")
+  }
+
   test("sharded KMV and CMS are bit-identical to their monolithic twins") {
     val docs = Tables.documents(spark, sfDir)
     val mono = operators.Sketches
