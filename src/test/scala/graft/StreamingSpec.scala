@@ -917,6 +917,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest: micro-batch appendIvfIndex equals the " +
+      "monolithic build, with a mid-stream serve over the partial index") {
+    // The ANN ingestion path under micro-batch delivery: the quantizer
+    // trains once (centroids fixed — FAISS add), the index builds on
+    // an initial corpus slice, and each arriving embedding batch
+    // appends via foreachBatch. Appends are per-vector against the
+    // stored centroids, so batch boundaries cannot move any
+    // assignment: the final serve must be bit-identical to the
+    // monolithic build, and a MID-stream serve must equal an index
+    // built over exactly the rows delivered so far.
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 10)
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_ivf_stream")
+    val dirMono = tmp("graft_ivf_stream_mono")
+    Similarity.writeIvfIndex(vecs, cents, dirMono)
+    val want = Similarity.searchIvfIndex(spark, dirMono, probes, 3,
+      nprobe = 2).collect().toSet
+
+    Similarity.writeIvfIndex(vecs.filter($"vec_id" % 3 === 0), cents, dir)
+    val in = MemoryStream[(Long, Seq[Double])](spark)
+    val q = in.toDF().toDF("vec_id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) Similarity.appendIvfIndex(spark, batch, dir)
+        ()
+      }.start()
+    try {
+      val rows = vecs.filter($"vec_id" % 3 =!= 0)
+        .as[(Long, Seq[Double])].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      // Mid-stream: the partial index must serve exactly like a build
+      // over the delivered subset — no torn batch, no stale cell.
+      val midWant = {
+        val d = tmp("graft_ivf_stream_mid")
+        val delivered = vecs.filter($"vec_id" % 3 === 0)
+          .unionByName(b1.toSeq.toDF("vec_id", "v"))
+        Similarity.writeIvfIndex(delivered, cents, d)
+        Similarity.searchIvfIndex(spark, d, probes, 3, nprobe = 2)
+          .collect().toSet
+      }
+      val mid = Similarity.searchIvfIndex(spark, dir, probes, 3,
+        nprobe = 2).collect().toSet
+      assert(midWant.nonEmpty && mid === midWant,
+        "mid-stream serve must equal a build over the delivered rows")
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = Similarity.searchIvfIndex(spark, dir, probes, 3,
+        nprobe = 2).collect().toSet
+      assert(want.nonEmpty && got === want,
+        "streamed appends must converge to the monolithic build's serve")
+    } finally q.stop()
+  }
+
   test("streaming deletes over the persisted inverted index: tombstones " +
       "landed between micro-batches serve like a batch rebuild") {
     // The delete half of the lifecycle, streaming-shaped — the last
