@@ -64,6 +64,51 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** SEGMENT-level corpus dedup — the REWRITE transform (C4's
+    * "discard duplicated spans" cleanup, Raffel et al. 2020, arXiv:
+    * 1910.10683 §2.2, adapted to fixed word windows): each document
+    * splits into consecutive `segWords`-word segments, any segment
+    * occurring in `minDf`-or-more DISTINCT documents is dropped
+    * corpus-wide, and each document reassembles from its surviving
+    * segments in original order. Unlike [[duplicationMass]] (which
+    * MEASURES per-doc duplication), this emits the cleaned corpus a
+    * training pipeline actually feeds downstream, plus the per-doc
+    * audit counts.
+    *
+    * Scale shape: docs explode to (doc, j, segment) once — linear in
+    * corpus bytes; the corpus frequency is a segment-keyed aggregate
+    * with map-side combine (segments are short fixed-width strings —
+    * at petabyte scale, hash them first and aggregate on the hash);
+    * the reassembly is one doc-keyed aggregate whose collect is
+    * bounded by the DOCUMENT's own segment count, never the corpus.
+    * Three keyed shuffles, no pair join anywhere. The collect_list's
+    * partition-order nondeterminism is sorted away on the (unique
+    * per-doc) segment index before the join back to text. */
+  def segmentDedup(corpus: DataFrame, segWords: Int = 10,
+      minDf: Long = 2): DataFrame = {
+    val segs = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, cast((size(w) - 1) / $segWords as int))"))
+          .as("j"))
+      .select(col("doc_id"), col("j"),
+        concat_ws(" ", slice(col("w"), col("j") * segWords + 1,
+          lit(segWords))).as("seg"))
+    val segDf = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(segDf, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("df") < minDf,
+              struct(col("j"), col("seg"))))),
+            p => p.getField("seg")), " ").as("text_clean"))
+      .select(col("doc_id"), col("n_seg"), col("n_dropped"),
+        col("text_clean"))
+  }
+
   /** Exact dedup: group on full text, keep the minimum doc_id. */
   def exactDuplicates(corpus: DataFrame): DataFrame =
     corpus.groupBy(col("text"))

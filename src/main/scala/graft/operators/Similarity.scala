@@ -829,8 +829,9 @@ object Similarity {
       .select(col("vec_id"), col("sub"), col("cid"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
-    IndexMeta.write(vecs.sparkSession, dir, "m" -> m.toString,
-      "codebookK" -> codebookK.toString, "kCells" -> kCells.toString)
+    IndexMeta.write(vecs.sparkSession, dir, "layout" -> "ivf_pq",
+      "m" -> m.toString, "codebookK" -> codebookK.toString,
+      "kCells" -> kCells.toString)
   }
 
   /** APPEND a corpus batch to a persisted [[writeIvfPqIndex]] layout —
@@ -844,7 +845,8 @@ object Similarity {
     * tombstone clears AFTER the data append commits. */
   def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       vecs2: DataFrame, dir: String, m: Int = 4): Unit = {
-    IndexMeta.requireMatch(spark, dir, "m" -> m.toString)
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_pq",
+      "m" -> m.toString)
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
     val idx = trainedAssign(vecs2, cents, 1)
@@ -875,7 +877,8 @@ object Similarity {
     // Serving at a different sub-vector split than the build would
     // slice probe vectors against codes that mean something else —
     // the sidecar makes it a loud failure instead of silent garbage.
-    IndexMeta.requireMatch(spark, dir, "m" -> m.toString)
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_pq",
+      "m" -> m.toString)
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
     val codes0 = spark.read.parquet(s"$dir/codes")
@@ -1080,6 +1083,10 @@ object Similarity {
     withNorm(vecs).join(cells, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/index")
+    // Layout marker: the flat and SQ8 layouts both store an `index/`
+    // table, so an append or serve against the wrong one must fail
+    // loudly instead of silently merging mismatched schemas.
+    IndexMeta.write(vecs.sparkSession, dir, "layout" -> "ivf_flat")
   }
 
   /** APPEND a new corpus batch to a persisted [[writeIvfIndex]] layout
@@ -1105,6 +1112,7 @@ object Similarity {
     * rows masked (retryable) rather than stale rows visible. */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
       vecs2: DataFrame, dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_flat")
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = trainedAssign(vecs2, cents, 1)
       .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
@@ -1296,6 +1304,7 @@ object Similarity {
       pred: Option[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_flat")
     val cents = spark.read.parquet(s"$dir/centroids")
     val idx1 = pred.foldLeft(spark.read.parquet(s"$dir/index"))(_ filter _)
     // Tombstone mask (see [[deleteFromIvfIndex]]): deleted ids are
@@ -1316,6 +1325,115 @@ object Similarity {
           .as("cos_r"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** [[quantizeInt8]]'s per-vector form: (vec_id, scale, q) with the
+    * codes kept as one array column — the storage row of the SQ8
+    * index layout. Same formula (scale = max|x|/127, per-dim
+    * round-half-up, zero vector → all-zero codes), so the per-dim
+    * gated query and this layout cannot diverge (spec-pinned equal). */
+  private def sq8Rows(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"),
+        (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale"),
+        col("v"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(round(x / col("scale"), 0)).cast("int")).as("q"))
+
+  /** Persist the scalar-quantized (SQ8) IVF layout — the middle rung
+    * of the compression ladder between [[writeIvfIndex]]'s full-
+    * precision rows (1×) and [[writeIvfPqIndex]]'s PQ codes (~32×):
+    * each vector stores as int8 codes plus ONE per-vector scale (4×
+    * smaller than float64 rows, no codebook, no training beyond the
+    * cell quantizer), cell-partitioned exactly like the flat layout.
+    * Per-vector scale means quantization is a pure per-row map — no
+    * global calibration pass — so the append leg needs only the
+    * stored centroids, the same property that makes the flat append
+    * exact. Serving scores maximum inner product ASYMMETRICALLY
+    * (full-precision probe against dequantized codes; the scale
+    * factors out of the code-side sum: ⟨p, s·q⟩ = s·⟨p, q⟩), the
+    * standard SQ serve. */
+  def writeIvfSq8Index(vecs: DataFrame, cents: DataFrame,
+      dir: String): Unit = {
+    clearTombstones(vecs.sparkSession, dir)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val stored = vecs.sparkSession.read.parquet(s"$dir/centroids")
+    val cells = trainedAssign(vecs, stored, 1)
+      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
+    sq8Rows(vecs).join(cells, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/index")
+    IndexMeta.write(vecs.sparkSession, dir, "layout" -> "ivf_sq8",
+      "bits" -> "8")
+  }
+
+  /** APPEND a batch to a persisted [[writeIvfSq8Index]] layout — the
+    * [[appendIvfIndex]] contract on the compressed rows: assignment
+    * uses the STORED centroids and the scale is per-vector, so
+    * write(A) then append(B) is row-for-row equal to write(A ∪ B)
+    * under the same quantizer (spec-pinned bit-for-bit). Tombstones
+    * for re-added ids reconcile after the data append commits. */
+  def appendIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      vecs2: DataFrame, dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cells = trainedAssign(vecs2, cents, 1)
+      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
+    sq8Rows(vecs2).join(cells, Seq("vec_id"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/index")
+    reconcileTombstonesAfterAppend(spark, dir,
+      vecs2.select(col("vec_id")))
+  }
+
+  /** Tombstone-DELETE from the SQ8 layout — the tombstone table is
+    * layout-agnostic (ids only), so this IS [[deleteFromIvfIndex]]'s
+    * contract applied to the SQ8 dir. */
+  def deleteFromIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, dir: String): Unit =
+    deleteFromIvfIndex(spark, ids, dir)
+
+  /** Compaction for the SQ8 layout: same affected-partition rewrite as
+    * [[compactIvfIndex]] — the cell table carries (vec_id, scale, q,
+    * cell), and [[compactCellTable]] only keys on vec_id/cell. */
+  def compactIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = compactCellTable(spark, dir, "index")
+
+  /** Serve maximum-inner-product top-k from a persisted
+    * [[writeIvfSq8Index]] layout: probes assign to their `nprobe`
+    * nearest stored centroids (same rounded-L2²/cid contract as the
+    * whole IVF family), the cell join prunes the scan to consulted
+    * partitions (DPP, as [[searchIvfIndex]]), and each candidate
+    * scores round(scale · ⟨p, q⟩, 6) — one codegen'd sequential dot
+    * over the int codes widened to double, one multiply; the corpus-
+    * side full-precision vectors are never read because the layout
+    * does not store them. Rank: score desc, neighbor asc, top-k.
+    * Deleted ids mask via the broadcast tombstone anti-join. */
+  def searchIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val idx1 = spark.read.parquet(s"$dir/index")
+    val idx = readTombstones(spark, dir)
+      .map(t => idx1.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(idx1)
+    val pcells = trainedAssign(probes, cents, nprobe)
+      .select(col("probe_id"), col("cid").as("pcell"))
+    val pb = probes.select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val scored = pb.join(pcells, Seq("probe_id"))
+      .join(idx,
+        col("pcell") === col("cell") && col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("scale") *
+          dot(col("pv"), transform(col("q"), _.cast("double"))), 6)
+          .as("ip_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ip_r").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 

@@ -211,6 +211,47 @@ object PipelineQueries {
     * the INDEX side (`AND ...` fragment over `vec_id`) — shared by the
     * build/persist/append twins (empty predicate) and sim_ivf_delete
     * (tombstoned ids excluded from the index, probes untouched). */
+  /** Sequential replay of the SQ8 serve (same trained cells / probe
+    * set as the IVF family, MIPS scoring over per-vector-scaled int8
+    * codes): quantize every corpus vector symmetric-int8 (scale =
+    * max|x|/127, round-half-away per dim — exactly sim_quantize_int8's
+    * formula), then score round(scale · ⟨p, q⟩, 6) within the probed
+    * cells. Shared by the persist/append twins (empty predicate; the
+    * quantizer trains on the full corpus and the scale is per-vector,
+    * so build+append ≡ monolithic) and sim_sq8_delete (index-side
+    * exclusion). */
+  private def ivfSq8SearchSqlWhere(idxPred: String): String =
+    s"""WITH $ovecsCte,
+       |$kmeansCte,
+       |di AS (
+       |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+       |  FROM dims d JOIN c2 c USING (pos) GROUP BY d.vec_id, c.cid),
+       |dir AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
+       |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dir
+       |        WHERE rn = 1 $idxPred),
+       |pas AS (SELECT vec_id AS probe_id, cid AS cell FROM dir
+       |        WHERE vec_id < 15 AND rn <= 2),
+       |sc AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |       FROM ovecs),
+       |codes AS (SELECT vec_id, scale,
+       |            list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+       |              ELSE round(x / scale) END) AS q
+       |          FROM sc),
+       |scored AS (
+       |  SELECT a.probe_id, o.vec_id AS neighbor_id,
+       |         round(o.scale * list_dot_product(p.v, o.q), 6) AS ip_r
+       |  FROM pas a JOIN ovecs p ON p.vec_id = a.probe_id
+       |  JOIN idx i ON i.cell = a.cell
+       |  JOIN codes o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY ip_r DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT probe_id, neighbor_id, ip_r, rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
   private def ivfKmeansSearchSqlWhere(idxPred: String): String =
     s"""WITH $ovecsCte,
        |$kmeansCte,
@@ -474,6 +515,15 @@ object PipelineQueries {
     // duplicates provably score 1.0.
     "dedup_substring_mass" -> ((s, d) =>
       Dedup.duplicationMass(Dedup.augmentCorpus(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+
+    // C4-style segment-level corpus REWRITE: fixed 10-word segments,
+    // any segment shared by >= 2 distinct docs drops corpus-wide, each
+    // doc reassembles from its survivors in order — the cleaned corpus
+    // a pipeline actually feeds downstream plus per-doc audit counts
+    // (dedup_substring_mass MEASURES duplication; this one CUTS it).
+    "dedup_segments" -> ((s, d) =>
+      Dedup.segmentDedup(Dedup.augmentCorpus(Tables.documents(s, d)))
         .orderBy("doc_id")),
 
     // NB: Dedup.simhashPairs (banded near-dup pair join) is part of the
@@ -1683,6 +1733,62 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Scalar-quantized (SQ8) persisted ANN index — the middle rung of
+    // the compression ladder between the flat layout (1×) and IVF-PQ
+    // (~32×): int8 codes + ONE per-vector scale (4× smaller, no
+    // codebook), cell-partitioned like the flat layout; the serve
+    // scores maximum inner product ASYMMETRICALLY (full-precision
+    // probes against dequantized codes — the scale factors out of the
+    // code-side sum). The corpus-side float vectors are never read at
+    // serve: the layout doesn't store them.
+    "sim_sq8_persist" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_sq8_idx")
+      Similarity.writeIvfSq8Index(vecs, cents, dir)
+      Similarity.searchIvfSq8Index(s, dir,
+        vecs.filter(col("vec_id") < 15), 3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // SQ8 append leg: quantizer trains on the full corpus, index
+    // builds on half, the rest appends against the STORED centroids —
+    // assignment AND quantization are per-vector (the scale needs no
+    // global calibration), so the served union is bit-identical to the
+    // monolithic sim_sq8_persist build and gates on the same replay.
+    "sim_sq8_append" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_sq8_app")
+      Similarity.writeIvfSq8Index(vecs.filter(col("vec_id") % 2 === 0),
+        cents, dir)
+      Similarity.appendIvfSq8Index(s,
+        vecs.filter(col("vec_id") % 2 =!= 0), dir)
+      Similarity.searchIvfSq8Index(s, dir,
+        vecs.filter(col("vec_id") < 15), 3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // SQ8 delete leg: tombstone every 7th vector (the layout-agnostic
+    // id table + broadcast anti-join mask, sim_ivf_delete's contract
+    // on the compressed rows); oracle is the SQ8 replay with the
+    // deleted ids excluded from the index side. PipelineSpec pins that
+    // compaction serves bit-identically and drains the tombstones.
+    "sim_sq8_delete" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_sq8_del")
+      Similarity.writeIvfSq8Index(vecs, cents, dir)
+      Similarity.deleteFromIvfSq8Index(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.searchIvfSq8Index(s, dir,
+        vecs.filter(col("vec_id") < 15), 3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // FILTERED ANN serve — the filtered-vector-search contract (tenant
     // scoping, source restriction): the index persists the label
     // metadata column alongside the vectors, and the serve restricts
@@ -2488,6 +2594,25 @@ object PipelineQueries {
          |FROM grams JOIN gdf USING (gram_hash)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "dedup_segments" ->
+      s"""WITH $corpusCte,
+         |wrd AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |idx AS (SELECT doc_id, w,
+         |          unnest(generate_series(0, (len(w) - 1) // 10)) AS j
+         |        FROM wrd),
+         |seg AS (SELECT doc_id, j,
+         |          array_to_string(w[(j*10+1):(j*10+10)], ' ') AS seg
+         |        FROM idx),
+         |sdf AS (SELECT seg, count(DISTINCT doc_id) AS df
+         |        FROM seg GROUP BY seg)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN df < 2 THEN s.seg END,
+         |    ' ' ORDER BY s.j), '') AS text_clean
+         |FROM seg s JOIN sdf USING (seg)
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_fuzzy_lev" ->
       s"""WITH $corpusCte,
          |k AS (SELECT doc_id, left(text, 16) AS blk, right(text, 40) AS tail
@@ -2848,6 +2973,15 @@ object PipelineQueries {
     // Same trained-IVF replay with the tombstoned ids (vec_id % 7 = 0)
     // excluded from the index side; probes untouched.
     "sim_ivf_delete" -> ivfKmeansSearchSqlWhere("AND vec_id % 7 <> 0"),
+
+    // SQ8 layout: the quantized-MIPS replay (same trained cells and
+    // probe set; scoring over per-vector-scaled int8 codes).
+    "sim_sq8_persist" -> ivfSq8SearchSqlWhere(""),
+    // Per-vector scale + stored-centroid assignment ⇒ build-half +
+    // append-half is bit-identical to the monolithic build.
+    "sim_sq8_append" -> ivfSq8SearchSqlWhere(""),
+    // Tombstoned ids excluded from the index side; probes untouched.
+    "sim_sq8_delete" -> ivfSq8SearchSqlWhere("AND vec_id % 7 <> 0"),
 
     // Same replay with the index side restricted to even-label vectors
     // (the metadata filter); probes untouched.

@@ -1356,6 +1356,72 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 layout: stored codes equal quantizeInt8, append equals the " +
+      "monolithic build, delete/compact serve identically, wrong layout fails loudly") {
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 15)
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    withTempDir("graft_sq8_spec") { dir =>
+      Similarity.writeIvfSq8Index(vecs, cents, dir)
+      // The stored code arrays are EXACTLY the gated per-dim
+      // quantization — the layout and sim_quantize_int8 cannot diverge.
+      val stored = spark.read.parquet(s"$dir/index")
+        .select($"vec_id", posexplode($"q").as(Seq("pos", "qv")))
+        .select($"vec_id", ($"pos" + 1).as("dim"), $"qv")
+        .as[(Long, Int, Int)].collect().toSet
+      val perDim = Similarity.quantizeInt8(vecs)
+        .as[(Long, Int, Int)].collect().toSet
+      assert(stored === perDim,
+        "stored SQ8 codes diverge from the quantizeInt8 contract")
+      val want = Similarity.searchIvfSq8Index(spark, dir, probes, 3,
+        nprobe = 2).collect().toSet
+      assert(want.nonEmpty, "SQ8 serve returned nothing")
+      // Append half onto a half-build under the same stored quantizer:
+      // per-vector scale + stored-centroid assignment ⇒ bit-identical.
+      withTempDir("graft_sq8_app_spec") { dir2 =>
+        Similarity.writeIvfSq8Index(vecs.filter($"vec_id" % 2 === 0),
+          cents, dir2)
+        Similarity.appendIvfSq8Index(spark,
+          vecs.filter($"vec_id" % 2 =!= 0), dir2)
+        val got = Similarity.searchIvfSq8Index(spark, dir2, probes, 3,
+          nprobe = 2).collect().toSet
+        assert(got === want,
+          "SQ8 build+append diverged from the monolithic serve")
+      }
+      // Delete masks at serve; compaction serves identically, drains
+      // the tombstones, and physically removes the rows.
+      Similarity.deleteFromIvfSq8Index(spark,
+        vecs.filter($"vec_id" % 7 === 0).select($"vec_id"), dir)
+      val masked = Similarity.searchIvfSq8Index(spark, dir, probes, 3,
+        nprobe = 2)
+      val r1 = masked.collect().toSet
+      assert(r1.nonEmpty, "masked SQ8 serve returned nothing")
+      assert(masked.filter($"neighbor_id" % 7 === 0).isEmpty,
+        "a deleted id appeared as an SQ8 neighbor")
+      Similarity.compactIvfSq8Index(spark, dir)
+      val r2 = Similarity.searchIvfSq8Index(spark, dir, probes, 3,
+        nprobe = 2).collect().toSet
+      assert(r2 === r1, "compacted SQ8 serve diverged from the masked serve")
+      assert(spark.read.schema("vec_id LONG")
+          .parquet(s"$dir/tombstones").isEmpty,
+        "SQ8 tombstones not drained though every affected cell kept rows")
+      assert(spark.read.parquet(s"$dir/index")
+          .filter($"vec_id" % 7 === 0).isEmpty,
+        "SQ8 compaction left deleted rows in the index files")
+      // Serving a non-SQ8 dir with the SQ8 searcher fails loudly (the
+      // sidecar layout contract), never silently mis-scores.
+      withTempDir("graft_sq8_wrong") { dir3 =>
+        Similarity.writeIvfIndex(vecs, cents, dir3)
+        val e = intercept[IllegalArgumentException] {
+          Similarity.searchIvfSq8Index(spark, dir3, probes, 3, nprobe = 2)
+        }
+        assert(e.getMessage != null)
+      }
+    }
+  }
+
   test("PQ serving honors tombstone deletes; PQ compaction serves identically and drains") {
     import graft.operators.Similarity
     val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))

@@ -291,6 +291,15 @@ class ShuffleBudgetSpec extends SparkSpec {
     "sim_ivf_filtered" -> 5,      // SERVING plan — same 5: the
                                   // metadata filter is a pushed scan
                                   // predicate, zero added exchanges
+    "sim_sq8_persist" -> 5,       // SERVING plan — the SQ8 serve keeps
+                                  // the flat layout's exchange budget:
+                                  // probe assign + cell join + rank
+                                  // window + sort; codes never re-read
+                                  // the float corpus
+    "sim_sq8_delete" -> 5,        // same 5 — the tombstone mask is a
+                                  // broadcast anti-join, zero added
+    "dedup_segments" -> 5,        // seg-freq agg + seg re-join + doc
+                                  // rollup + output sort
     "mm_chunk_store" -> 2,        // reassembly: hash-keyed store join
                                   // + doc rollup + sort (manifest
                                   // and store written before the

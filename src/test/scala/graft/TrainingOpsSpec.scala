@@ -524,6 +524,37 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got(4L) === ((4L, 3L, 1.0 / 3)))
   }
 
+  test("segmentDedup: corpus-shared segments drop, docs reassemble in order") {
+    // Docs 1 and 4 are exact duplicates (every segment shared); doc 2
+    // shares only its first full segment with them; doc 3 is disjoint
+    // and shorter than one segment (partial-segment path).
+    val t1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 tail1 only"
+    val t2 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 tail2 different words"
+    val docs = Seq((1L, t1), (2L, t2), (3L, "z1 z2 z3"), (4L, t1))
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 2L, "")))
+    assert(got(4L) === ((4L, 2L, 2L, "")))
+    assert(got(2L) === ((2L, 2L, 1L, "tail2 different words")))
+    assert(got(3L) === ((3L, 1L, 0L, "z1 z2 z3")))
+  }
+
+  test("segmentDedup: a dropped middle segment splices survivors in order") {
+    val pre = (1 to 10).map(i => s"a$i")
+    val shared = (1 to 10).map(i => s"s$i")
+    val post = (1 to 10).map(i => s"c$i")
+    val docs = Seq(
+      (1L, (pre ++ shared ++ post).mkString(" ")),
+      (2L, shared.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // Doc 1's middle segment drops; the clean text is pre+post spliced
+    // back in original order (the j-sorted reassembly contract).
+    assert(got(1L) === ((1L, 3L, 1L, (pre ++ post).mkString(" "))))
+    assert(got(2L) === ((2L, 1L, 1L, "")))
+  }
+
   test("unigramLogprob: common-token docs outscore rare-token docs") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
