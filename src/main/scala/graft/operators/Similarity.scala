@@ -235,6 +235,98 @@ object Similarity {
       .toDF("probe_id", "neighbor_id", "cos_r", "rnk")
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversity-aware selection a retrieval-augmented
+    * curation pipeline runs AFTER candidate generation: greedily pick
+    * `k` results from a brute-force top-`depth` pool, each round
+    * choosing argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s). Pure
+    * relevance (rank 1) seeds the selection; later ranks trade
+    * relevance against redundancy with what is already picked —
+    * exactly the redundancy failure RRF fusion cannot see (RRF only
+    * looks at per-leg ranks, never at inter-candidate similarity).
+    *
+    * Scale shape: the ONLY corpus-sized stage is the candidate
+    * generation ([[bruteForceTopK]]: probes broadcast, corpus streams,
+    * pushed WindowGroupLimit). Everything after operates on the
+    * ≤ depth·|probes| candidate pool — the pairwise sim matrix is
+    * depth²·|probes| rows (vector arithmetic paid once, NOT once per
+    * round), and each greedy round is a join + max + ranking window
+    * over that pool. The rounds are plan-unrolled (k is a query-time
+    * constant, like the Lloyd iterations in [[kmeansTrain]]); at 100 TB
+    * one would persist the pool between rounds to cap the re-derived
+    * plan depth — the per-round shape is unchanged.
+    *
+    * Determinism contract: rel and pairwise sims round to 6 dp; the λ
+    * blend then runs in EXACT DECIMAL over those 6-dp values (cast to
+    * DECIMAL(18,6), λ as the DECIMAL literal 0.7) — the blend of two
+    * 6-dp decimals is exact at 7 dp, so the final 6-dp round can never
+    * sit on a float-fuzz boundary (a double blend DID: probe 1's round-2
+    * score lands exactly on 0.2030395, where BigDecimal-expansion
+    * HALF_UP and scale-and-round disagree). All argmaxes tie-break by
+    * neighbor_id asc. Rank 1 reports mmr_r = rel (the empty-selection
+    * round has no redundancy term). */
+  def mmrRerank(vecs: DataFrame, probes: DataFrame, depth: Int = 8,
+      k: Int = 3, lambda: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The pool and its pairwise sims are cached: they are the only
+    // corpus-derived frames (≤ depth·|probes| and depth²·|probes| rows)
+    // and every unrolled greedy round references them — without the
+    // cache each round re-runs the full corpus scan through the
+    // re-printed lineage (measured 3.0 s → 2.5 s at sf0.1 where the
+    // corpus scan is cheap; at 100 TB it is the difference between 1
+    // corpus scan and one per lineage repeat).
+    val cand = bruteForceTopK(vecs, probes, depth)
+      .select(col("probe_id"), col("neighbor_id"), col("cos_r").as("rel"))
+      .cache()
+    val candV = cand.join(
+      vecs.select(col("vec_id").as("neighbor_id"), col("v")),
+      Seq("neighbor_id"))
+    // Pairwise candidate sims, computed once over the tiny pool; the
+    // greedy rounds below reference sim_r only (no vector columns).
+    val sims = candV
+      .select(col("probe_id"), col("neighbor_id").as("cid"),
+        col("v").as("cv"))
+      .join(candV.select(col("probe_id"), col("neighbor_id").as("sid"),
+        col("v").as("sv")), Seq("probe_id"))
+      .filter(col("cid") =!= col("sid"))
+      .select(col("probe_id"), col("cid"), col("sid"),
+        round(cosine(col("cv"), col("sv")), 6).as("sim_r"))
+      .cache()
+    val wSel = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    var sel = cand
+      .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+      .select(col("probe_id"), col("neighbor_id"),
+        col("rel").as("mmr_r"), lit(1).as("rnk"))
+    for (r <- 2 to k) {
+      val remaining = cand.join(sel.select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id"), "left_anti")
+      // Every remaining candidate has a sims row against every selected
+      // one (sel ⊆ pool, sims is the full pool × pool matrix), so the
+      // inner join cannot drop candidates.
+      val maxSim = sims
+        .join(sel.select(col("probe_id"), col("neighbor_id").as("sid")),
+          Seq("probe_id", "sid"))
+        .groupBy(col("probe_id"), col("cid").as("neighbor_id"))
+        .agg(max(col("sim_r")).as("max_sim"))
+      val wMmr = Window.partitionBy(col("probe_id"))
+        .orderBy(col("mmr").desc, col("neighbor_id").asc)
+      val lam = lit(BigDecimal(lambda).setScale(1)).cast("decimal(2,1)")
+      val one = lit(BigDecimal(1).setScale(1)).cast("decimal(2,1)")
+      val pick = remaining
+        .join(maxSim, Seq("probe_id", "neighbor_id"))
+        .withColumn("mmr", round(
+          lam * col("rel").cast("decimal(18,6)") -
+            (one - lam) * col("max_sim").cast("decimal(18,6)"), 6)
+          .cast("double"))
+        .withColumn("rn", row_number().over(wMmr)).filter(col("rn") === 1)
+        .select(col("probe_id"), col("neighbor_id"),
+          col("mmr").as("mmr_r"), lit(r).as("rnk"))
+      sel = sel.unionByName(pick)
+    }
+    sel
+  }
+
   /** Sign-LSH bucket key: the sign pattern of dimensions 1..bits. */
   def signBucket(v: Column, bits: Int): Column =
     concat((1 to bits).map(i =>

@@ -1100,4 +1100,158 @@ object TextAnalysis {
           (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
           .as("pmi"))
   }
+  /** Gopher-style quality-rule bundle (Rae et al. 2021, arXiv:
+    * 2112.11446 §A1.1 — the MassiveText heuristics), re-thresholded
+    * for this corpus's profile: each document gets the raw counters
+    * plus one 0/1 verdict per rule and the bundle rollup. Every rule
+    * that is a RATIO in the paper is expressed here as an INTEGER
+    * cross-multiplication (mean word length in [4.4, 4.7] becomes
+    * 44·n_words ≤ 10·len_nospace ≤ 47·n_words, and so on) — there is
+    * no float anywhere, so the oracle comparison has no rounding
+    * surface at all. One narrow projection over the corpus (per-row
+    * array math, no explode, no shuffle before the output sort):
+    * lineage-scan shaped at 100 TB.
+    *
+    * Rules: r_wc word count in [20, 80]; r_mean mean word length in
+    * [4.4, 4.7]; r_rep top-word occupancy ≤ 1/10 (the repetition
+    * guard); r_short short-word (≤ 2 chars) fraction ≤ 1/12;
+    * r_stop ≥ 2 distinct stopwords present (the {the, a} subset that
+    * exists in this vocabulary). */
+  def gopherQualityRules(documents: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val withCounters = documents.select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      length(regexp_replace(col("text"), " ", "")).cast("long")
+        .as("len_nospace"),
+      // Top-word occupancy without a vocabulary shuffle: fold the
+      // doc's own distinct words, counting each one's occurrences.
+      array_max(transform(array_distinct(ws), w =>
+        size(filter(ws, x => x === w)))).cast("long").as("max_wc"),
+      size(filter(ws, w => length(w) <= 2)).cast("long").as("n_short"),
+      (array_contains(ws, "the").cast("int") +
+        array_contains(ws, "a").cast("int")).cast("long").as("n_stop"))
+    withCounters.select(
+      col("doc_id"), col("n_words"), col("len_nospace"), col("max_wc"),
+      col("n_short"), col("n_stop"),
+      (col("n_words") >= 20 && col("n_words") <= 80).cast("int")
+        .as("r_wc"),
+      (lit(44) * col("n_words") <= lit(10) * col("len_nospace") &&
+        lit(10) * col("len_nospace") <= lit(47) * col("n_words"))
+        .cast("int").as("r_mean"),
+      (lit(10) * col("max_wc") <= col("n_words")).cast("int")
+        .as("r_rep"),
+      (lit(12) * col("n_short") <= col("n_words")).cast("int")
+        .as("r_short"),
+      (col("n_stop") >= 2).cast("int").as("r_stop"))
+      .withColumn("n_pass",
+        (col("r_wc") + col("r_mean") + col("r_rep") + col("r_short") +
+          col("r_stop")).cast("long"))
+      .withColumn("pass_all", (col("n_pass") === 5).cast("int"))
+  }
+
+  // ---------------------------------------------------------------
+  // SymSpell deletion-neighborhood spell index
+  // ---------------------------------------------------------------
+
+  /** All length−1 deletion variants of a term, plus the term itself —
+    * the SymSpell key set (Garbe's symmetric-delete algorithm, public
+    * since 2012): two terms are within edit distance 1 iff their key
+    * sets intersect at one of {w, del1(w)} × {p, del1(p)} in the
+    * w = p / p ∈ del1(w) / w ∈ del1(p) configurations. Distinct keys
+    * per term (duplicate letters collapse: del1("zoo") has "zo"
+    * once). */
+  private[graft] def spellKeys(term: Column): Column =
+    array_distinct(concat(array(term),
+      transform(sequence(lit(1), length(term)), i =>
+        concat(term.substr(lit(1), i - lit(1)),
+          term.substr(i + lit(1), length(term))))))
+
+  /** Corpus vocabulary with frequencies — the spell index's payload
+    * (candidates rank by corpus frequency, the SymSpell serving
+    * contract). */
+  private def spellVocab(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** The deterministic probe set the gated queries share: the 8
+    * lexicographically-first distinct corpus words of length ≥ 5,
+    * each with its 3rd character deleted (an edit-distance-1 typo
+    * the corpus itself defines), plus the 2 first words of length 4
+    * verbatim (the exact-hit path). Derived purely from the corpus
+    * so the oracle reproduces it without a fixture exchange. */
+  private def spellProbes(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+    val typos = words.filter(length(col("w")) >= 5)
+      .orderBy(col("w")).limit(8)
+      .select(concat(substring(col("w"), 1, 2),
+        expr("substring(w, 4, length(w))")).as("probe_term"))
+    val exact = words.filter(length(col("w")) === 4)
+      .orderBy(col("w")).limit(2)
+      .select(col("w").as("probe_term"))
+    typos.unionByName(exact).distinct()
+  }
+
+  /** Spell-correction candidates for the shared probe set: expand
+    * probe and vocabulary to their SymSpell key sets, join on key
+    * equality, then verify with the exact edit distance (the
+    * symmetric-delete join admits distance-2 false positives when
+    * both sides deleted different characters — the verify filter is
+    * part of the algorithm, not a safety net). Top 3 candidates per
+    * probe by (freq desc, word asc).
+    *
+    * Scale shape: the index side is |vocab|·(avg_len+1) rows — a
+    * hash-partitioned equi-join on the variant key, never a pair
+    * scan over the vocabulary; probes broadcast. The verify
+    * levenshtein runs on the POST-JOIN candidate set only (bounded
+    * by key-bucket fan-out, not |vocab|²). */
+  def spellCandidates(documents: DataFrame, k: Int = 3): DataFrame =
+    spellServe(spellProbes(documents),
+      spellVocab(documents)
+        .select(col("word"), col("freq"),
+          explode(spellKeys(col("word"))).as("variant")), k)
+
+  private def spellServe(probes: DataFrame, index: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val expanded = broadcast(probes.select(col("probe_term"),
+      explode(spellKeys(col("probe_term"))).as("variant")))
+    val w = Window.partitionBy(col("probe_term"))
+      .orderBy(col("freq").desc, col("word").asc)
+    expanded.join(index, Seq("variant"))
+      .select(col("probe_term"), col("word"), col("freq")).distinct()
+      .filter(levenshtein(col("probe_term"), col("word")) <= 1)
+      .withColumn("lev",
+        levenshtein(col("probe_term"), col("word")).cast("int"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_term"), col("word"), col("freq"), col("lev"),
+        col("rnk"))
+  }
+
+  /** Persist the SymSpell layout: the exploded (variant, word, freq)
+    * key table. Per-word independent rows (a word's keys derive from
+    * the word alone), so the layout appends like the LSH index; the
+    * sidecar pins the edit radius the keys were generated for — a
+    * serve at a different radius would silently miss candidates. */
+  def writeSpellIndex(documents: DataFrame, dir: String): Unit = {
+    spellVocab(documents)
+      .select(col("word"), col("freq"),
+        explode(spellKeys(col("word"))).as("variant"))
+      .write.mode("overwrite").parquet(dir)
+    IndexMeta.write(documents.sparkSession, dir,
+      "layout" -> "symspell", "edits" -> "1")
+  }
+
+  /** Serve spell candidates from a stored [[writeSpellIndex]] layout —
+    * bit-identical to [[spellCandidates]] (BIGINT freq and the
+    * variant strings round-trip parquet exactly; spec-pinned). */
+  def searchSpellIndex(spark: org.apache.spark.sql.SparkSession,
+      documents: DataFrame, dir: String, k: Int = 3): DataFrame = {
+    IndexMeta.requireMatch(spark, dir,
+      "layout" -> "symspell", "edits" -> "1")
+    spellServe(spellProbes(documents), spark.read.parquet(dir), k)
+  }
 }

@@ -356,6 +356,49 @@ object PipelineQueries {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** SymSpell replay: probes and vocabulary expand to their
+    * {w} ∪ del1(w) key sets, equi-join on the key, exact-levenshtein
+    * verify (the symmetric-delete join admits distance-2 collisions),
+    * rank by (freq desc, word). Shared by the corpus-scan and
+    * persisted-layout twins. */
+  private val spellSql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |vocab AS (SELECT w AS word, count(*) AS freq FROM words
+      |          GROUP BY w),
+      |p5 AS (SELECT w FROM (SELECT DISTINCT w FROM words
+      |         WHERE len(w) >= 5) ORDER BY w LIMIT 8),
+      |p4 AS (SELECT w FROM (SELECT DISTINCT w FROM words
+      |         WHERE len(w) = 4) ORDER BY w LIMIT 2),
+      |probes AS (SELECT DISTINCT probe_term FROM (
+      |  SELECT substr(w, 1, 2) || substr(w, 4) AS probe_term FROM p5
+      |  UNION ALL SELECT w AS probe_term FROM p4)),
+      |pkeys AS (
+      |  SELECT probe_term,
+      |    unnest(list_distinct(list_prepend(probe_term,
+      |      list_transform(generate_series(1, len(probe_term)), i ->
+      |        substr(probe_term, 1, i - 1) || substr(probe_term, i + 1)
+      |      )))) AS variant
+      |  FROM probes),
+      |ikeys AS (
+      |  SELECT word, freq,
+      |    unnest(list_distinct(list_prepend(word,
+      |      list_transform(generate_series(1, len(word)), i ->
+      |        substr(word, 1, i - 1) || substr(word, i + 1)
+      |      )))) AS variant
+      |  FROM vocab),
+      |cand AS (SELECT DISTINCT probe_term, word, freq
+      |         FROM pkeys JOIN ikeys USING (variant)
+      |         WHERE levenshtein(probe_term, word) <= 1),
+      |ranked AS (
+      |  SELECT probe_term, word, freq,
+      |    CAST(levenshtein(probe_term, word) AS INTEGER) AS lev,
+      |    row_number() OVER (PARTITION BY probe_term
+      |      ORDER BY freq DESC, word) AS rnk
+      |  FROM cand)
+      |SELECT probe_term, word, freq, lev, rnk FROM ranked
+      |WHERE rnk <= 3 ORDER BY probe_term, rnk""".stripMargin
+
   /** Okapi BM25 over the fixed ('hash','join','spark') term bag —
     * shared by text_bm25 and its persisted-inverted-index twin
     * text_bm25_serve (parquet round-trip of BIGINT tf/dl/df is exact,
@@ -888,6 +931,35 @@ object PipelineQueries {
     "text_quality_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d))
         .orderBy("doc_id")),
+
+    // Gopher-style quality-rule bundle (MassiveText §A1.1
+    // re-thresholded for this corpus): per-doc counters + one 0/1
+    // verdict per rule + the rollup. Every ratio rule is an INTEGER
+    // cross-multiplication — no float anywhere in the query.
+    "text_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherQualityRules(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
+    // SymSpell deletion-neighborhood spell candidates: vocab and
+    // probes expand to their {word} ∪ del1(word) key sets, equi-join
+    // on the key, exact-levenshtein verify (the symmetric-delete
+    // algorithm admits distance-2 collisions), rank by corpus
+    // frequency. Probes derive deterministically from the corpus (8
+    // third-char-deleted typos + 2 exact words).
+    "text_spell_candidates" -> ((s, d) =>
+      TextAnalysis.spellCandidates(Tables.documents(s, d))
+        .orderBy("probe_term", "rnk")),
+
+    // The same serve from the PERSISTED key table (sidecar-gated edit
+    // radius) — shares text_spell_candidates' oracle: BIGINT freq and
+    // the variant strings round-trip parquet exactly.
+    "text_spell_serve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = FlowLogQueries.scratchDir("graft_spell_idx")
+      TextAnalysis.writeSpellIndex(docs, dir)
+      TextAnalysis.searchSpellIndex(s, docs, dir)
+        .orderBy("probe_term", "rnk")
+    }),
 
     // Okapi BM25 ranking against a fixed term bag — the search-side
     // analytic the reference's Elasticsearch sink serves. Per-term
@@ -1656,6 +1728,18 @@ object PipelineQueries {
           .select(col("vec_id"), col("v")),
         col("doc_id") < 10, col("vec_id") < 10)
         .orderBy("probe_id", "rnk")),
+
+    // Maximal Marginal Relevance re-rank: greedy λ-blend of relevance
+    // against max-similarity-to-selected over a brute-force top-8 pool
+    // (3 unrolled selection rounds, λ=0.7) — the diversity guard that
+    // sees INTER-CANDIDATE redundancy, which rank-only fusion
+    // (sim_rrf_diverse's source cap) cannot.
+    "sim_mmr_rerank" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.mmrRerank(vecs, vecs.filter(col("vec_id") < 10))
+        .orderBy("probe_id", "rnk")
+    }),
 
     // Top principal component by distributed power iteration (2 unrolled
     // rounds, covariance never materialized) — the corpus-bias direction
@@ -3207,6 +3291,47 @@ object PipelineQueries {
         |    AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Integer-only rule replay: every threshold is the same
+    // cross-multiplication the Spark side evaluates — no float, no
+    // rounding surface.
+    "text_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |                  replace(text, ' ', '') AS ns FROM documents),
+        |c AS (SELECT doc_id,
+        |        CAST(len(ws) AS BIGINT) AS n_words,
+        |        CAST(len(ns) AS BIGINT) AS len_nospace,
+        |        CAST(list_max(list_transform(list_distinct(ws),
+        |          w2 -> len(list_filter(ws, x -> x = w2)))) AS BIGINT)
+        |          AS max_wc,
+        |        CAST(len(list_filter(ws, x -> len(x) <= 2)) AS BIGINT)
+        |          AS n_short,
+        |        CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0
+        |          END) + (CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0
+        |          END) AS BIGINT) AS n_stop
+        |      FROM w),
+        |r AS (SELECT doc_id, n_words, len_nospace, max_wc, n_short,
+        |        n_stop,
+        |        CASE WHEN n_words BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+        |          AS r_wc,
+        |        CASE WHEN 44 * n_words <= 10 * len_nospace
+        |             AND 10 * len_nospace <= 47 * n_words THEN 1 ELSE 0
+        |          END AS r_mean,
+        |        CASE WHEN 10 * max_wc <= n_words THEN 1 ELSE 0 END
+        |          AS r_rep,
+        |        CASE WHEN 12 * n_short <= n_words THEN 1 ELSE 0 END
+        |          AS r_short,
+        |        CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+        |      FROM c)
+        |SELECT *, CAST(r_wc + r_mean + r_rep + r_short + r_stop
+        |    AS BIGINT) AS n_pass,
+        |  CASE WHEN r_wc + r_mean + r_rep + r_short + r_stop = 5
+        |    THEN 1 ELSE 0 END AS pass_all
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_spell_candidates" -> spellSql,
+    // Bit-identical persisted-layout twin (see the query comment).
+    "text_spell_serve" -> spellSql,
+
     "text_quality_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |wc AS (
@@ -4049,6 +4174,65 @@ object PipelineQueries {
          |  FROM ws WHERE src_rnk <= 2)
          |SELECT probe_id, doc_id, source, rrf, src_rnk, rnk
          |FROM wf WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // Unrolled 3-round greedy MMR replay. The λ blend runs in exact
+    // DECIMAL over the 6-dp inputs (0.7 and 1.0 parse as DECIMAL
+    // literals; the double sides are cast to DECIMAL(18,6)) so the
+    // final 6-dp round is exact-arithmetic on both engines — a double
+    // blend lands probe 1's round-2 score exactly on the 0.2030395
+    // boundary where the two engines' rounding disagrees.
+    "sim_mmr_rerank" ->
+      s"""WITH $ovecsCte,
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM ovecs
+         |           WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT probe_id, o.vec_id AS nid, o.v AS nv,
+         |         round(${cosSql("pv", "o.v")}, 6) AS rel
+         |  FROM probes, ovecs o WHERE probe_id <> o.vec_id),
+         |cand AS (SELECT probe_id, nid, nv, rel FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY rel DESC, nid) AS rn FROM scored) WHERE rn <= 8),
+         |sims AS (
+         |  SELECT a.probe_id, a.nid AS cid, b.nid AS sid,
+         |         round(${cosSql("a.nv", "b.nv")}, 6) AS sim_r
+         |  FROM cand a JOIN cand b
+         |    ON a.probe_id = b.probe_id AND a.nid <> b.nid),
+         |s1 AS (SELECT probe_id, nid, rel AS mmr_r, 1 AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY rel DESC, nid) AS rn FROM cand) WHERE rn = 1),
+         |m2 AS (
+         |  SELECT c.probe_id, c.nid,
+         |         CAST(round(0.7 * CAST(c.rel AS DECIMAL(18,6)) -
+         |  (1.0 - 0.7) * CAST(max(s.sim_r) AS DECIMAL(18,6)), 6)
+         |  AS DOUBLE) AS mmr
+         |  FROM cand c
+         |  JOIN s1 ON s1.probe_id = c.probe_id AND c.nid <> s1.nid
+         |  JOIN sims s ON s.probe_id = c.probe_id AND s.cid = c.nid
+         |             AND s.sid = s1.nid
+         |  GROUP BY c.probe_id, c.nid, c.rel),
+         |s2 AS (SELECT probe_id, nid, mmr AS mmr_r, 2 AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY mmr DESC, nid) AS rn FROM m2) WHERE rn = 1),
+         |sel AS (SELECT probe_id, nid FROM s1
+         |        UNION ALL SELECT probe_id, nid FROM s2),
+         |m3 AS (
+         |  SELECT c.probe_id, c.nid,
+         |         CAST(round(0.7 * CAST(c.rel AS DECIMAL(18,6)) -
+         |  (1.0 - 0.7) * CAST(max(s.sim_r) AS DECIMAL(18,6)), 6)
+         |  AS DOUBLE) AS mmr
+         |  FROM cand c
+         |  JOIN sims s ON s.probe_id = c.probe_id AND s.cid = c.nid
+         |  JOIN sel ON sel.probe_id = s.probe_id AND sel.nid = s.sid
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel x
+         |    WHERE x.probe_id = c.probe_id AND x.nid = c.nid)
+         |  GROUP BY c.probe_id, c.nid, c.rel),
+         |s3 AS (SELECT probe_id, nid, mmr AS mmr_r, 3 AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY mmr DESC, nid) AS rn FROM m3) WHERE rn = 1),
+         |outp AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |         UNION ALL SELECT * FROM s3)
+         |SELECT probe_id, nid AS neighbor_id, mmr_r, rnk
+         |FROM outp ORDER BY probe_id, rnk""".stripMargin,
 
     // Exact-decimal means (the kmeansCte pattern): sum as DECIMAL(38,18)
     // so the summation order can't drift, divide once, round 6 dp.

@@ -60,10 +60,14 @@ class PlanInvariantsSpec extends SparkSpec {
     "pipeline_negative_sample", // one-row occupied-bucket-count scalar
                              // (the empty-bucket-proof draw remap)
     "text_keywords",         // one-row corpus-count idf normalizer
-    "sketch_kmv_setops"      // |groups|×|groups| pair enumeration over
+    "sketch_kmv_setops",     // |groups|×|groups| pair enumeration over
                              // the synopsis store's distinct groups —
                              // bounded by the PROFILE's group count
                              // (sources, crawls), never data
+    "sim_mmr_rerank"         // candidate generation = the audited
+                             // brute-force shape (broadcast probes,
+                             // probe != neighbor non-equi); the greedy
+                             // rounds are equi-joins on the tiny pool
   )
 
   test("unrolled iterative plans pin their round counts") {
@@ -120,6 +124,23 @@ class PlanInvariantsSpec extends SparkSpec {
       .map(_.group(1).toInt).toSet
     assert(hopLits == Set(0, 1, 2, 3),
       s"graph_bfs_hops: expected hop literals {0,1,2,3}, got $hopLits")
+
+    // sim_mmr_rerank unrolls k = 3 greedy rounds. Window-node count in
+    // the analyzed plan is DERIVED from the round recurrence: the pool
+    // window w(cand) = 1; the seed selection w(sel₁) = 1 + w(cand) = 2;
+    // each round adds its pick window over (anti-join of cand) ⋈
+    // (max-sim agg over sims = 2 pool refs), and unions it under the
+    // running selection, so w(selᵣ) = 3·w(selᵣ₋₁) + 4 → 2, 10, 34. A
+    // 4th round would jump the count to 106; losing the pairwise-sims
+    // sharing (recomputing vectors per round) changes the 4-constant.
+    val mmr = SparkEntry.queries("sim_mmr_rerank")(spark, sfDir)
+    val mmrWindows = mmr.queryExecution.analyzed.collect {
+      case w: Window => w
+    }.size
+    assert(mmrWindows == 34,
+      s"sim_mmr_rerank: expected 34 windows (3 unrolled greedy " +
+        s"rounds, w(r)=3w+4), got $mmrWindows — round count or pool " +
+        s"sharing drifted?")
   }
 
   test("connected components: executed round counts pin on controlled diameters") {

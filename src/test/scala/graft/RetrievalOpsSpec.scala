@@ -90,6 +90,73 @@ class RetrievalOpsSpec extends SparkSpec {
       "top-5 for every probe — the fixture no longer exercises the cap")
   }
 
+  // ---- mmrRerank ----
+
+  test("mmrRerank: matches an independent local greedy replay and the " +
+      "diversity term provably binds") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val out = Similarity.mmrRerank(vecs, vecs.filter(col("vec_id") < 10))
+      .select(col("probe_id"), col("neighbor_id"), col("mmr_r"),
+        col("rnk"))
+      .as[(Long, Long, Double, Int)].collect()
+      .sortBy(r => (r._1, r._4))
+
+    // Full local replay from raw vectors: same fold order for the dot,
+    // round-6 via the exact HALF_UP contract, the λ blend in the same
+    // DECIMAL(18,6) arithmetic the operator uses.
+    val vv = vecs.as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    def dotL(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosL(a: Array[Double], b: Array[Double]): Double =
+      dotL(a, b) / (math.sqrt(dotL(a, a)) * math.sqrt(dotL(b, b)))
+    def r6(x: Double): Double =
+      JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    def d6(x: Double): JBD =
+      JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP)
+    val lam = new JBD("0.7")
+    val oneMinus = new JBD("1.0").subtract(lam)
+    val expected = (0L until 10L).flatMap { p =>
+      val pool = vv.keys.filter(_ != p).toSeq
+        .map(n => (n, r6(cosL(vv(p), vv(n)))))
+        .sortBy { case (n, rel) => (-rel, n) }.take(8)
+      var sel = Vector(pool.head._1)
+      var rows = Vector((p, pool.head._1, pool.head._2, 1))
+      for (r <- 2 to 3) {
+        val scored = pool.filterNot(c => sel.contains(c._1))
+          .map { case (n, rel) =>
+            val maxSim = sel.map(s => r6(cosL(vv(n), vv(s)))).max
+            val mmr = lam.multiply(d6(rel))
+              .subtract(oneMinus.multiply(d6(maxSim)))
+              .setScale(6, RoundingMode.HALF_UP).doubleValue()
+            (n, mmr)
+          }
+        val (pn, pm) = scored.sortBy { case (n, m) => (-m, n) }.head
+        sel :+= pn
+        rows :+= ((p, pn, pm, r))
+      }
+      rows
+    }.toArray
+    assert(out === expected)
+
+    // The redundancy term must BIND on this corpus: for at least one
+    // probe the MMR top-3 differs from the pure-relevance top-3 —
+    // otherwise the fixture stopped exercising diversification.
+    val relTop3 = (0L until 10L).map { p =>
+      p -> vv.keys.filter(_ != p).toSeq
+        .map(n => (n, r6(cosL(vv(p), vv(n)))))
+        .sortBy { case (n, rel) => (-rel, n) }.take(3).map(_._1).toSet
+    }.toMap
+    val mmrSets = out.groupBy(_._1).map { case (p, rs) =>
+      p -> rs.map(_._2).toSet
+    }
+    assert(mmrSets.exists { case (p, s) => s != relTop3(p) },
+      "MMR selection equals pure-relevance top-3 for every probe — " +
+        "the diversity term never bound")
+  }
+
   // ---- embedDrift ----
 
   test("embedDrift: identical halves have zero shift on every dimension") {

@@ -36,9 +36,19 @@ class ShuffleBudgetSpec extends SparkSpec {
                                  // the shingle-explode aggregate)
     "dedup_ngram_jaccard" -> 10, // LSH chain + jaccard verify
     "text_top_ngrams" -> 2,      // (gram,doc) pre-agg + gram rollup
+    "text_gopher_rules" -> 1,     // per-row integer rules; output sort only
+    "text_spell_candidates" -> 5, // vocab agg + probe sort-limits +
+                                  // candidate distinct + rank + sort
+    "text_spell_serve" -> 5,      // same serve frame over the stored
+                                  // key table (vocab agg paid at write)
     "text_trigram_entropy" -> 1, // per-row codegen'd expression + sort
     "text_bm25" -> 8,
     "sim_topk_bruteforce" -> 2,  // window rank + sort (probes broadcast)
+    // sim_mmr_rerank is excluded like the other unrolled iterative
+    // plans (kmeans, pagerank, BFS): each greedy round re-references
+    // the candidate pool, so the plan STRING repeats cached lineage
+    // (~46 textual exchanges for 3 rounds). PlanInvariantsSpec pins its
+    // unrolled structure via the derived Window-count formula instead.
     "sim_pq_codes" -> 3,         // window + rollup + sort
     "pipeline_quality_dedup" -> 2,
     "pipeline_seq_pack" -> 2,

@@ -727,4 +727,107 @@ class TrainingOpsSpec extends SparkSpec {
     assert(toks.endsWith("z q") && n > 2,
       s"OOV fallback must emit character symbols, got '$toks'")
   }
+
+  // ---- gopherQualityRules ----
+
+  test("gopherQualityRules: handcrafted doc yields exact counters and " +
+      "integer cross-multiplication verdicts") {
+    // 24 words, 'zz' repeated 3x (max_wc=3, 10*3>24 fails r_rep), one
+    // 1-char 'a' + the three 'zz' (n_short=4, 12*4>24 fails r_short),
+    // contains both stopwords. len_nospace = counted by hand below.
+    val text = ("the a zz zz zz customer " +
+      "window window2 batch merge stream filter " +
+      "column vector value table query scan " +
+      "group order hash join sort part").trim
+    val doc = Seq((7L, text)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityRules(doc)
+      .as[(Long, Long, Long, Long, Long, Long, Int, Int, Int, Int, Int,
+        Long, Int)].collect()
+    val lenNoSpace = text.replace(" ", "").length.toLong
+    val nWords = text.split(" ").length.toLong
+    assert(nWords === 24L)
+    assert(out === Array((7L, 24L, lenNoSpace, 3L, 4L, 2L,
+      1,                                       // r_wc: 20 <= 24 <= 80
+      if (44 * 24 <= 10 * lenNoSpace && 10 * lenNoSpace <= 47 * 24) 1
+      else 0,                                  // r_mean by the same ints
+      0,                                       // r_rep: 30 > 24
+      0,                                       // r_short: 36 > 24
+      1,                                       // r_stop: both present
+      (2 + (if (44 * 24 <= 10 * lenNoSpace &&
+        10 * lenNoSpace <= 47 * 24) 1 else 0)).toLong,
+      0)))
+  }
+
+  test("gopherQualityRules: every rule both fires and fails on the " +
+      "corpus (the fixture keeps all five thresholds live)") {
+    val out = TextAnalysis.gopherQualityRules(
+      Tables.documents(spark, sfDir))
+      .select(col("r_wc"), col("r_mean"), col("r_rep"), col("r_short"),
+        col("r_stop"), col("pass_all"))
+      .as[(Int, Int, Int, Int, Int, Int)].collect()
+    val cols = Seq[((Int, Int, Int, Int, Int, Int)) => Int](
+      _._1, _._2, _._3, _._4, _._5, _._6)
+    cols.zipWithIndex.foreach { case (c, i) =>
+      assert(out.exists(c(_) == 1) && out.exists(c(_) == 0),
+        s"rule column $i is constant on the corpus — threshold dead")
+    }
+  }
+
+  // ---- SymSpell spell index ----
+
+  test("spellKeys: duplicate-letter deletions collapse; symmetric-" +
+      "delete join finds lev<=1 and the verify filter kills the " +
+      "lev-2 key collision") {
+    val keys = Seq(("zoo")).toDF("w")
+      .select(TextAnalysis.spellKeys(col("w")).as("ks"))
+      .as[Seq[String]].collect().head
+    assert(keys.toSet === Set("zoo", "oo", "zo"))
+
+    // 'xa' vs 'ay': key sets share "a" but levenshtein = 2 — the
+    // symmetric-delete collision the exact-verify filter must reject;
+    // 'bach' vs 'batch' (deletion) and 'data' vs itself must survive.
+    val docs = Seq((1L, "batch data ay ay ay")).toDF("doc_id", "text")
+    val probes = Seq("bach", "data", "xa").toDF("probe_term")
+    val idx = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        explode(TextAnalysis.spellKeys(col("word"))).as("variant"))
+    val expanded = probes.select(col("probe_term"),
+      explode(TextAnalysis.spellKeys(col("probe_term"))).as("variant"))
+    val joined = expanded.join(idx, Seq("variant"))
+      .select(col("probe_term"), col("word")).distinct()
+      .as[(String, String)].collect().toSet
+    assert(joined.contains(("xa", "ay")),
+      "key collision fixture broke: xa/ay no longer share a key")
+    val verified = joined.filter { case (p, w) =>
+      org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(p, w) <= 1
+    }
+    assert(verified === Set(("bach", "batch"), ("data", "data")),
+      s"verify filter let a lev-2 collision through: $verified")
+  }
+
+  test("searchSpellIndex serves bit-identically to the corpus-scan " +
+      "spellCandidates; the sidecar gates the edit radius") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_spell_spec").toString
+    TextAnalysis.writeSpellIndex(docs, dir)
+    val direct = TextAnalysis.spellCandidates(docs)
+      .as[(String, String, Long, Int, Int)].collect().sortBy(r => (r._1, r._5))
+    val served = TextAnalysis.searchSpellIndex(spark, docs, dir)
+      .as[(String, String, Long, Int, Int)].collect().sortBy(r => (r._1, r._5))
+    assert(served === direct)
+    assert(direct.nonEmpty)
+    assert(direct.exists(_._4 == 0) && direct.exists(_._4 == 1),
+      "fixture must exercise both the exact-hit and the typo path")
+    // A layout written for a different edit radius must fail loudly.
+    operators.IndexMeta.write(spark, dir,
+      "layout" -> "symspell", "edits" -> "2")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.searchSpellIndex(spark, docs, dir)
+    }
+    assert(e.getMessage.contains("edits"))
+  }
 }
