@@ -1207,22 +1207,37 @@ object TextAnalysis {
     * scan over the vocabulary; probes broadcast. The verify
     * levenshtein runs on the POST-JOIN candidate set only (bounded
     * by key-bucket fan-out, not |vocab|²). */
-  def spellCandidates(documents: DataFrame, k: Int = 3): DataFrame =
+  def spellCandidates(documents: DataFrame, k: Int = 3): DataFrame = {
+    val vocab = spellVocab(documents)
     spellServe(spellProbes(documents),
-      spellVocab(documents)
-        .select(col("word"), col("freq"),
-          explode(spellKeys(col("word"))).as("variant")), k)
+      vocab.select(col("word"),
+        explode(spellKeys(col("word"))).as("variant")),
+      vocab.select(col("word"), col("freq")), k)
+  }
 
-  private def spellServe(probes: DataFrame, index: DataFrame,
-      k: Int): DataFrame = {
+  /** The serve frame all spell paths share. `keys` is the
+    * (variant, word) SymSpell key table — duplicates across append
+    * batches are legal, the candidate set is DISTINCT (probe, word);
+    * `stats` is the additive (word, freq) table — freq SUMS across
+    * rows, so an appended batch's partial counts reconstruct the
+    * corpus totals exactly. This keys/stats split is what makes the
+    * persisted layout appendable (the single-table spelling would
+    * split a word's frequency across batch rows and double-count
+    * whenever a probe's key set intersects a word's at more than one
+    * variant — e.g. every exact hit). */
+  private def spellServe(probes: DataFrame, keys: DataFrame,
+      stats: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val expanded = broadcast(probes.select(col("probe_term"),
       explode(spellKeys(col("probe_term"))).as("variant")))
+    val matched = expanded.join(keys, Seq("variant"))
+      .select(col("probe_term"), col("word")).distinct()
+      .filter(levenshtein(col("probe_term"), col("word")) <= 1)
+    val freqs = stats.groupBy(col("word"))
+      .agg(sum(col("freq")).as("freq"))
     val w = Window.partitionBy(col("probe_term"))
       .orderBy(col("freq").desc, col("word").asc)
-    expanded.join(index, Seq("variant"))
-      .select(col("probe_term"), col("word"), col("freq")).distinct()
-      .filter(levenshtein(col("probe_term"), col("word")) <= 1)
+    matched.join(freqs, Seq("word"))
       .withColumn("lev",
         levenshtein(col("probe_term"), col("word")).cast("int"))
       .withColumn("rnk", row_number().over(w))
@@ -1231,18 +1246,67 @@ object TextAnalysis {
         col("rnk"))
   }
 
-  /** Persist the SymSpell layout: the exploded (variant, word, freq)
-    * key table. Per-word independent rows (a word's keys derive from
-    * the word alone), so the layout appends like the LSH index; the
+  private def spellKeysDir(dir: String) =
+    s"${dir.stripSuffix("/")}/keys"
+  private def spellStatsDir(dir: String) =
+    s"${dir.stripSuffix("/")}/stats"
+
+  /** Persist the SymSpell layout as TWO tables under `dir` — the
+    * inverted-index discipline applied to spell serving:
+    * `keys/` (variant, word), per-word independent and
+    * dedup-at-serve, and `stats/` (word, freq), additive. The
     * sidecar pins the edit radius the keys were generated for — a
     * serve at a different radius would silently miss candidates. */
   def writeSpellIndex(documents: DataFrame, dir: String): Unit = {
-    spellVocab(documents)
-      .select(col("word"), col("freq"),
+    val vocab = spellVocab(documents)
+    vocab.select(col("word"),
         explode(spellKeys(col("word"))).as("variant"))
-      .write.mode("overwrite").parquet(dir)
+      .write.mode("overwrite").parquet(spellKeysDir(dir))
+    vocab.select(col("word"), col("freq"))
+      .write.mode("overwrite").parquet(spellStatsDir(dir))
     IndexMeta.write(documents.sparkSession, dir,
       "layout" -> "symspell", "edits" -> "1")
+  }
+
+  /** APPEND a document batch to a stored [[writeSpellIndex]] layout.
+    * Key rows are per-word independent (duplicates collapse in the
+    * serve's DISTINCT) and freq rows are additive (the serve SUMS
+    * per word), so build-half + append-half serves bit-identically
+    * to the monolithic build — spec-pinned, and the gated query
+    * shares the monolithic oracle. Sidecar-gated edit radius. */
+  def appendSpellIndex(spark: org.apache.spark.sql.SparkSession,
+      documents: DataFrame, dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir,
+      "layout" -> "symspell", "edits" -> "1")
+    val vocab = spellVocab(documents)
+    vocab.select(col("word"),
+        explode(spellKeys(col("word"))).as("variant"))
+      .write.mode("append").parquet(spellKeysDir(dir))
+    vocab.select(col("word"), col("freq"))
+      .write.mode("append").parquet(spellStatsDir(dir))
+  }
+
+  /** DELETE words from a stored [[writeSpellIndex]] layout — the
+    * vocabulary-curation path (a word is retracted, its keys must
+    * stop producing candidates). Both tables rewrite without the
+    * tombstoned words and swap via [[FsOps.swapInto]] (the
+    * compaction commit discipline; deletion batch broadcasts, one
+    * linear pass per table). Physically removed, so a later re-add
+    * via [[appendSpellIndex]] needs no tombstone reconciliation —
+    * exactly equivalent to a rebuild without the words
+    * (spec-pinned bit-for-bit). */
+  def deleteFromSpellIndex(spark: org.apache.spark.sql.SparkSession,
+      words: DataFrame, dir: String): Unit = {
+    IndexMeta.read(spark, dir) // fail loudly on a non-index dir
+    val del = words.select(col("word")).distinct()
+    val fs = FsOps.fsOf(spark, dir)
+    Seq(spellKeysDir(dir), spellStatsDir(dir)).foreach { table =>
+      val staging = s"${table}_next"
+      spark.read.parquet(table)
+        .join(broadcast(del), Seq("word"), "left_anti")
+        .write.mode("overwrite").parquet(staging)
+      FsOps.swapInto(fs, staging, table)
+    }
   }
 
   /** Serve spell candidates from a stored [[writeSpellIndex]] layout —
@@ -1252,6 +1316,8 @@ object TextAnalysis {
       documents: DataFrame, dir: String, k: Int = 3): DataFrame = {
     IndexMeta.requireMatch(spark, dir,
       "layout" -> "symspell", "edits" -> "1")
-    spellServe(spellProbes(documents), spark.read.parquet(dir), k)
+    spellServe(spellProbes(documents),
+      spark.read.parquet(spellKeysDir(dir)),
+      spark.read.parquet(spellStatsDir(dir)), k)
   }
 }

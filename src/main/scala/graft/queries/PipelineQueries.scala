@@ -359,13 +359,18 @@ object PipelineQueries {
   /** SymSpell replay: probes and vocabulary expand to their
     * {w} ∪ del1(w) key sets, equi-join on the key, exact-levenshtein
     * verify (the symmetric-delete join admits distance-2 collisions),
-    * rank by (freq desc, word). Shared by the corpus-scan and
-    * persisted-layout twins. */
-  private val spellSql: String =
-    """WITH words AS (
+    * rank by (freq desc, word). The vocabulary predicate is the
+    * index-side lifecycle hook: empty for the corpus-scan, persisted
+    * and append twins (the appended union is bit-identical to the
+    * monolithic build), a word filter for the delete leg (equivalent
+    * to a rebuild without the tombstoned words). Probes always derive
+    * from the FULL corpus — deleting a word retracts candidates, not
+    * queries. */
+  private def spellSqlWhere(vocabPred: String): String =
+    s"""WITH words AS (
       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |vocab AS (SELECT w AS word, count(*) AS freq FROM words
-      |          GROUP BY w),
+      |          $vocabPred GROUP BY w),
       |p5 AS (SELECT w FROM (SELECT DISTINCT w FROM words
       |         WHERE len(w) >= 5) ORDER BY w LIMIT 8),
       |p4 AS (SELECT w FROM (SELECT DISTINCT w FROM words
@@ -398,6 +403,8 @@ object PipelineQueries {
       |  FROM cand)
       |SELECT probe_term, word, freq, lev, rnk FROM ranked
       |WHERE rnk <= 3 ORDER BY probe_term, rnk""".stripMargin
+
+  private val spellSql: String = spellSqlWhere("")
 
   /** Okapi BM25 over the fixed ('hash','join','spark') term bag —
     * shared by text_bm25 and its persisted-inverted-index twin
@@ -950,13 +957,45 @@ object PipelineQueries {
       TextAnalysis.spellCandidates(Tables.documents(s, d))
         .orderBy("probe_term", "rnk")),
 
-    // The same serve from the PERSISTED key table (sidecar-gated edit
-    // radius) — shares text_spell_candidates' oracle: BIGINT freq and
-    // the variant strings round-trip parquet exactly.
+    // The same serve from the PERSISTED keys/stats layout
+    // (sidecar-gated edit radius) — shares text_spell_candidates'
+    // oracle: BIGINT freq and the variant strings round-trip parquet
+    // exactly.
     "text_spell_serve" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dir = FlowLogQueries.scratchDir("graft_spell_idx")
       TextAnalysis.writeSpellIndex(docs, dir)
+      TextAnalysis.searchSpellIndex(s, docs, dir)
+        .orderBy("probe_term", "rnk")
+    }),
+
+    // Spell-index append leg: build on the even half, append the odd
+    // half. Key rows dedup at serve, freq rows SUM at serve, so the
+    // union is bit-identical to the monolithic build — shares the
+    // monolithic oracle.
+    "text_spell_append" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = FlowLogQueries.scratchDir("graft_spell_app")
+      TextAnalysis.writeSpellIndex(docs.filter(col("doc_id") % 2 === 0),
+        dir)
+      TextAnalysis.appendSpellIndex(s,
+        docs.filter(col("doc_id") % 2 =!= 0), dir)
+      TextAnalysis.searchSpellIndex(s, docs, dir)
+        .orderBy("probe_term", "rnk")
+    }),
+
+    // Spell-index delete leg: tombstone the length-8+ vocabulary
+    // words (physically rewritten out of both tables, staged swap).
+    // Probes still derive from the full corpus — the oracle is the
+    // replay with the vocabulary (index side) filtered, equivalent
+    // to a rebuild without the words.
+    "text_spell_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = FlowLogQueries.scratchDir("graft_spell_del")
+      TextAnalysis.writeSpellIndex(docs, dir)
+      TextAnalysis.deleteFromSpellIndex(s,
+        docs.select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 8).distinct(), dir)
       TextAnalysis.searchSpellIndex(s, docs, dir)
         .orderBy("probe_term", "rnk")
     }),
@@ -3331,6 +3370,10 @@ object PipelineQueries {
     "text_spell_candidates" -> spellSql,
     // Bit-identical persisted-layout twin (see the query comment).
     "text_spell_serve" -> spellSql,
+    // Append ≡ monolithic (keys dedup, freqs sum) — same replay.
+    "text_spell_append" -> spellSql,
+    // Index-side vocabulary filter = rebuild without the words.
+    "text_spell_delete" -> spellSqlWhere("WHERE len(w) < 8"),
 
     "text_quality_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

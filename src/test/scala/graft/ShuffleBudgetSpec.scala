@@ -37,10 +37,17 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_ngram_jaccard" -> 10, // LSH chain + jaccard verify
     "text_top_ngrams" -> 2,      // (gram,doc) pre-agg + gram rollup
     "text_gopher_rules" -> 1,     // per-row integer rules; output sort only
-    "text_spell_candidates" -> 5, // vocab agg + probe sort-limits +
-                                  // candidate distinct + rank + sort
-    "text_spell_serve" -> 5,      // same serve frame over the stored
-                                  // key table (vocab agg paid at write)
+    "text_spell_candidates" -> 6, // vocab agg + probe sort-limits +
+                                  // candidate distinct + freq sum +
+                                  // rank + sort (the freq sum is the
+                                  // price of the appendable
+                                  // keys/stats split)
+    "text_spell_serve" -> 6,      // same serve frame over the stored
+                                  // keys/stats tables
+    "text_spell_append" -> 6,     // identical serve frame over the
+                                  // unioned batches
+    "text_spell_delete" -> 6,     // identical serve frame over the
+                                  // rewritten tables
     "text_trigram_entropy" -> 1, // per-row codegen'd expression + sort
     "text_bm25" -> 8,
     "sim_topk_bruteforce" -> 2,  // window rank + sort (probes broadcast)

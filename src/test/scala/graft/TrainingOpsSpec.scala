@@ -830,4 +830,53 @@ class TrainingOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("edits"))
   }
+
+  test("spell index lifecycle: append equals the monolithic build; " +
+      "delete equals a rebuild without the tombstoned words") {
+    val docs = Tables.documents(spark, sfDir)
+    def collectServe(dir: String) =
+      TextAnalysis.searchSpellIndex(spark, docs, dir)
+        .as[(String, String, Long, Int, Int)].collect()
+        .sortBy(r => (r._1, r._5))
+
+    // Append: keys dedup at serve, freqs sum at serve, so the two
+    // half-batches must serve bit-identically to one full build.
+    val dirM = java.nio.file.Files
+      .createTempDirectory("graft_spell_mono").toString
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_spell_app").toString
+    TextAnalysis.writeSpellIndex(docs, dirM)
+    TextAnalysis.writeSpellIndex(docs.filter(col("doc_id") % 2 === 0),
+      dirA)
+    TextAnalysis.appendSpellIndex(spark,
+      docs.filter(col("doc_id") % 2 =!= 0), dirA)
+    assert(collectServe(dirA) === collectServe(dirM))
+
+    // Delete: physically rewriting the length-8+ words out of both
+    // tables must serve bit-identically to an index built over the
+    // corpus with those words removed from every document (same
+    // surviving vocabulary, same frequencies). Probes still derive
+    // from the full corpus on both sides.
+    val tombstones = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 8).distinct()
+    assert(tombstones.count() > 0,
+      "fixture needs at least one length-8+ vocabulary word")
+    val dirD = java.nio.file.Files
+      .createTempDirectory("graft_spell_del").toString
+    TextAnalysis.writeSpellIndex(docs, dirD)
+    TextAnalysis.deleteFromSpellIndex(spark, tombstones, dirD)
+    val dirR = java.nio.file.Files
+      .createTempDirectory("graft_spell_reb").toString
+    val cleaned = docs.select(col("doc_id"),
+      array_join(filter(split(col("text"), " "),
+        w => length(w) < 8), " ").as("text"))
+    TextAnalysis.writeSpellIndex(cleaned, dirR)
+    val afterDelete = collectServe(dirD)
+    assert(afterDelete === collectServe(dirR))
+    // The tombstones must actually retract a candidate somewhere.
+    val before = collectServe(dirM)
+    assert(afterDelete.length < before.length,
+      "delete fixture never bound: no served candidate was retracted")
+  }
 }
