@@ -263,6 +263,43 @@ object Graph {
     * Output: (a, b, shared, jac_micro) with a < b, one row per
     * qualifying pair.
     */
+  /** Bounded-round k-core peeling (Seidman 1983; the distributed
+    * peel is the Pregel/"scan-and-peel" formulation — degrees
+    * recount on the surviving subgraph, nodes under `k` drop, repeat):
+    * after exactly `rounds` synchronous peels over the undirected
+    * simple graph, emit each surviving node with its degree INSIDE the
+    * surviving subgraph. The contract is "state after exactly N
+    * rounds" (the [[labelPropagation]] discipline) — bit-reproducible
+    * pure integer counts, no convergence dependence; the gated query
+    * picks (k, rounds) where the corpus provably converges (a 4th
+    * round is a fixpoint, spec-pinned), so the output IS the k-core
+    * there.
+    *
+    * Scale shape: one degree aggregation + two semi-joins per round,
+    * all keyed on the node id — the same shuffle budget per round as
+    * a BFS hop; no pair enumeration anywhere. Peeling is the standard
+    * dense-core extractor (spam/bot rings, boilerplate hubs) next to
+    * pagerank's importance and label-prop's communities. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 5,
+      s"rounds must be in [1, 5] (unrolled join depth), got $rounds")
+    var und = edges
+      .select(explode(array(
+        struct(col("src").cast("long").as("u"), col("dst").cast("long").as("v")),
+        struct(col("dst").cast("long").as("u"), col("src").cast("long").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+    for (_ <- 1 to rounds) {
+      val alive = und.groupBy(col("u"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u"))
+      und = und.join(alive, Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+    }
+    und.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+  }
+
   def commonNeighbors(edges: DataFrame, degreeCap: Int = 1000,
       minShared: Long = 2L): DataFrame = {
     val e = edges.select(col("src").as("l"), col("dst").as("r")).distinct()

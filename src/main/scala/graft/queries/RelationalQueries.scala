@@ -1647,6 +1647,26 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Bounded-round k-core peeling (k=5, 3 synchronous rounds) over
+    // the part co-occurrence graph (q_triangles' edge set): degrees
+    // recount on the surviving subgraph each round, sub-k nodes drop.
+    // The corpus converges inside the 3 rounds (round 4 is a fixpoint,
+    // spec-pinned), so the output IS the 5-core: each surviving part
+    // with its in-core degree. One degree agg + two semi-joins per
+    // round, all node-keyed — no pair enumeration.
+    "graph_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .distinct()
+      graft.operators.Graph.kCore(edges, k = 5, rounds = 3)
+        .orderBy("node")
+    }),
+
     // Common-neighbor link prediction on the supplier—part bipartite
     // graph: supplier pairs ranked by neighbor-set Jaccard (integer
     // micro-units) — the friends-of-friends self-join keyed on the
@@ -2792,6 +2812,33 @@ object RelationalQueries {
         |  FROM bfs b JOIN und u ON b.node = u.src WHERE b.hops < 3)
         |SELECT node, CAST(min(hops) AS INTEGER) AS hops
         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
+    // Unrolled 3-round peel replay: degrees on the survivors, sub-5
+    // nodes drop, both endpoints must survive for an edge to survive;
+    // output = degrees inside the round-3 subgraph.
+    "graph_kcore" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |            WHERE l_orderkey % 100 = 0),
+        |e0 AS (SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+        |         CAST(y.l_partkey AS BIGINT) AS b
+        |       FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |        AND x.l_partkey < y.l_partkey),
+        |u0 AS (SELECT a AS u, b AS v FROM e0
+        |       UNION ALL SELECT b, a FROM e0),
+        |d1 AS (SELECT u, count(*) AS d FROM u0 GROUP BY u),
+        |a1 AS (SELECT u FROM d1 WHERE d >= 5),
+        |u1 AS (SELECT u, v FROM u0 WHERE u IN (SELECT u FROM a1)
+        |         AND v IN (SELECT u FROM a1)),
+        |d2 AS (SELECT u, count(*) AS d FROM u1 GROUP BY u),
+        |a2 AS (SELECT u FROM d2 WHERE d >= 5),
+        |u2 AS (SELECT u, v FROM u1 WHERE u IN (SELECT u FROM a2)
+        |         AND v IN (SELECT u FROM a2)),
+        |d3 AS (SELECT u, count(*) AS d FROM u2 GROUP BY u),
+        |a3 AS (SELECT u FROM d3 WHERE d >= 5),
+        |u3 AS (SELECT u, v FROM u2 WHERE u IN (SELECT u FROM a3)
+        |         AND v IN (SELECT u FROM a3))
+        |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM u3 GROUP BY u ORDER BY node""".stripMargin,
 
     "graph_label_prop" ->
       """WITH e0 AS (

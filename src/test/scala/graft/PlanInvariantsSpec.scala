@@ -125,6 +125,19 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(hopLits == Set(0, 1, 2, 3),
       s"graph_bfs_hops: expected hop literals {0,1,2,3}, got $hopLits")
 
+    // graph_kcore unrolls 3 peel rounds. Each round's degree
+    // aggregation aliases `d` once, and the round's two semi-joins
+    // re-print the prior chain under the alive subtree twice, so the
+    // count follows c(r) = 3·c(r−1) + 2 → 2, 8, 26 — the
+    // label-prop-style derived lineage formula. A 4th round would
+    // jump the count to 80.
+    val kc = SparkEntry.queries("graph_kcore")(spark, sfDir)
+    val kcDegs = """ AS d\b""".r
+      .findAllIn(kc.queryExecution.analyzed.toString).size
+    assert(kcDegs == 26,
+      s"graph_kcore: expected 3 peel rounds (c(r)=3c+2 = 26 printed " +
+        s"degree aliases), got $kcDegs")
+
     // sim_mmr_rerank unrolls k = 3 greedy rounds. Window-node count in
     // the analyzed plan is DERIVED from the round recurrence: the pool
     // window w(cand) = 1; the seed selection w(sel₁) = 1 + w(cand) = 2;
