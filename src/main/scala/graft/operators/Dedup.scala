@@ -425,7 +425,26 @@ object Dedup {
       s"use bloomPrefilterNew for non-numeric ids")
     val spark = history.sparkSession
     import spark.implicits._
-    val filters = shardedBloomFilters(history, shards, expectedItems, fpp)
+    bloomProbeSharded(
+      shardedBloomFilters(history, shards, expectedItems, fpp),
+      incoming, history, shards)
+  }
+
+  /** The probe half all sharded-bloom paths share (in-memory build,
+    * persisted table, appended batches): incoming co-groups with the
+    * filter table on the shard key; a shard holding MULTIPLE filter
+    * rows (append batches) OR-merges them in the task before probing —
+    * bloom insertion is deterministic bit-setting, so the merged
+    * filter is bit-identical to one built over the union (the append
+    * leg's whole correctness argument; mergeInPlace fails loudly on
+    * incompatible sizes, which the sidecar gate already prevents).
+    * The bloom-positive slice anti-joins history text to kill false
+    * positives — output is EXACT regardless of fpp. */
+  private def bloomProbeSharded(
+      filters: org.apache.spark.sql.Dataset[(Int, Array[Byte])],
+      incoming: DataFrame, history: DataFrame, shards: Int): DataFrame = {
+    val spark = history.sparkSession
+    import spark.implicits._
     val inKeyed = incoming
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         pmod(xxhash64(col("text")), lit(shards)).cast("int").as("shard"),
@@ -433,11 +452,13 @@ object Dedup {
       .as[(Long, String, Int, Long)].groupByKey(_._3)
     val flagged = inKeyed.cogroup(filters.groupByKey(_._1)) {
       (_, rows, fs) =>
-        fs.toSeq.headOption match {
+        val merged = fs.map { case (_, bytes) =>
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+        }.reduceOption { (a, b) => a.mergeInPlace(b); a }
+        merged match {
           case None => rows.map(r => (r._1, r._2, false))
-          case Some((_, bytes)) =>
-            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(bytes))
+          case Some(bf) =>
             rows.map(r => (r._1, r._2, bf.mightContainLong(r._4)))
         }
     }.toDF("doc_id", "text", "maybe_dup")
@@ -447,6 +468,60 @@ object Dedup {
     definitelyNew.unionByName(survivors)
       .select(col("doc_id"),
         md5(col("text").cast("binary")).as("text_hash"))
+  }
+
+  /** Persist the sharded Bloom membership layout: the (shard,
+    * filter_bytes) table — the sketch family's membership member
+    * getting the same lifecycle as HLL/KMV/CMS/quantile synopses. In a
+    * standing pipeline this table lives next to the corpus and each
+    * arriving shard probes it without re-reading history; the sidecar
+    * pins (shards, expectedItems, fpp) so appended batches build
+    * merge-compatible filters and a mis-parameterized serve fails
+    * loudly instead of probing disjoint hash spaces. */
+  def writeBloomIndex(history: DataFrame, dir: String, shards: Int = 8,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    shardedBloomFilters(history, shards, expectedItems, fpp)
+      .toDF("shard", "filter")
+      .write.mode("overwrite").parquet(dir)
+    IndexMeta.write(history.sparkSession, dir,
+      "layout" -> "bloom", "shards" -> shards.toString,
+      "expectedItems" -> expectedItems.toString, "fpp" -> fpp.toString)
+  }
+
+  /** APPEND a history batch to a stored [[writeBloomIndex]] layout:
+    * the batch's per-shard filters land beside the old rows
+    * (sidecar-gated parameters ⇒ merge-compatible sizes), and the
+    * serve OR-merges rows per shard — bit-identical to a filter built
+    * over the union, so the gated query shares the monolithic oracle.
+    * No tombstones exist for this layout by construction: a Bloom
+    * filter cannot unlearn (bits are shared), so deletion means
+    * rebuild — documented, like HLL's max-stability. */
+  def appendBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, dir: String): Unit = {
+    val meta = IndexMeta.read(spark, dir)
+    require(meta.get("layout").contains("bloom"),
+      s"$dir is not a bloom layout")
+    shardedBloomFilters(batch, meta("shards").toInt,
+      meta("expectedItems").toLong, meta("fpp").toDouble)
+      .toDF("shard", "filter")
+      .write.mode("append").parquet(dir)
+  }
+
+  /** Serve the cross-run exact dedup from a stored [[writeBloomIndex]]
+    * layout — [[bloomPrefilterShardedNew]]'s contract with the build
+    * half read from parquet. History is still consulted, but ONLY by
+    * the bloom-positive slice's false-positive anti-join. */
+  def bloomPrefilterFromIndex(spark: org.apache.spark.sql.SparkSession,
+      incoming: DataFrame, history: DataFrame, dir: String): DataFrame = {
+    import spark.implicits._
+    val meta = IndexMeta.read(spark, dir)
+    require(meta.get("layout").contains("bloom"),
+      s"$dir is not a bloom layout")
+    bloomProbeSharded(
+      spark.read.parquet(dir)
+        .select(col("shard").cast("int"), col("filter"))
+        .as[(Int, Array[Byte])],
+      incoming, history, meta("shards").toInt)
   }
 
   /** The distributed per-shard filter table behind

@@ -1325,6 +1325,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Membership sketch PERSISTED: the (shard, filter_bytes) table
+    // written to parquet and served against — the sketch family's
+    // bloom member joining the HLL/KMV/CMS/quantile synopsis-store
+    // discipline. Output contract unchanged (exact — the FP anti-join
+    // runs at serve), shares dedup_bloom_sharded's oracle.
+    "dedup_bloom_persist" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val incoming = Dedup.augmentCorpus(Tables.documents(s, d))
+        .filter(col("doc_id") >= 100000)
+      val dir = FlowLogQueries.scratchDir("graft_bloom_idx")
+      Dedup.writeBloomIndex(base, dir, shards = 8)
+      Dedup.bloomPrefilterFromIndex(s, incoming, base, dir)
+        .orderBy("doc_id")
+    }),
+
+    // Bloom append leg: history halves built separately, the serve
+    // OR-merges rows per shard — bloom insertion is deterministic
+    // bit-setting, so the merged filter is bit-identical to one built
+    // over the union; shares the monolithic oracle. (No delete leg by
+    // construction: a bloom cannot unlearn — bits are shared — so
+    // deletion means rebuild, documented like HLL's max-stability.)
+    "dedup_bloom_append" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val incoming = Dedup.augmentCorpus(Tables.documents(s, d))
+        .filter(col("doc_id") >= 100000)
+      val dir = FlowLogQueries.scratchDir("graft_bloom_app")
+      Dedup.writeBloomIndex(base.filter(col("doc_id") % 2 === 0), dir,
+        shards = 8)
+      Dedup.appendBloomIndex(s, base.filter(col("doc_id") % 2 =!= 0), dir)
+      Dedup.bloomPrefilterFromIndex(s, incoming, base, dir)
+        .orderBy("doc_id")
+    }),
+
     // Consistent-hash shard assignment (4 shards × 16 vnodes): the ring
     // is an embedded config literal, assignment a pure projection.
     "pipeline_shard_assign" -> ((s, d) =>
@@ -3804,6 +3837,21 @@ object PipelineQueries {
     // Sharded build is an internal detail — the contract is the plain
     // anti-join, identical to dedup_bloom_prefilter's.
     "dedup_bloom_sharded" ->
+      s"""WITH $corpusCte,
+         |inc AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 100000)
+         |SELECT inc.doc_id, md5(inc.text) AS text_hash FROM inc
+         |WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = inc.text)
+         |ORDER BY inc.doc_id""".stripMargin,
+
+    // The persisted and appended filter tables serve the same exact
+    // contract (FP anti-join at serve; OR-merge ≡ union build).
+    "dedup_bloom_persist" ->
+      s"""WITH $corpusCte,
+         |inc AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 100000)
+         |SELECT inc.doc_id, md5(inc.text) AS text_hash FROM inc
+         |WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = inc.text)
+         |ORDER BY inc.doc_id""".stripMargin,
+    "dedup_bloom_append" ->
       s"""WITH $corpusCte,
          |inc AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 100000)
          |SELECT inc.doc_id, md5(inc.text) AS text_hash FROM inc

@@ -106,6 +106,55 @@ class PipelineSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet)
   }
 
+  test("persisted bloom layout: served output equals the in-memory " +
+      "operator; OR-merged append halves are BIT-identical to the " +
+      "monolithic filter; the sidecar gates the layout") {
+    val base = docs.select($"doc_id", $"text")
+    val incoming = corpus.filter($"doc_id" >= 100000)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloom_spec").toString
+    Dedup.writeBloomIndex(base, dir, shards = 8)
+    val served = Dedup.bloomPrefilterFromIndex(spark, incoming, base, dir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val direct = Dedup.bloomPrefilterShardedNew(base, incoming, shards = 8)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(served.toSeq === direct.toSeq)
+
+    // Append bit-parity at the FILTER level (stronger than output
+    // parity): per shard, OR(half-A filter, half-B filter) must
+    // serialize to exactly the monolithic filter's bytes — bloom
+    // insertion is deterministic bit-setting, so the merged bit array
+    // IS the union build's.
+    def filters(df: org.apache.spark.sql.DataFrame) =
+      Dedup.shardedBloomFilters(df, 8, 1000000L, 0.01).collect().toMap
+    val mono = filters(base)
+    val a = filters(base.filter($"doc_id" % 2 === 0))
+    val b = filters(base.filter($"doc_id" % 2 =!= 0))
+    assert(mono.keySet === (a.keySet ++ b.keySet))
+    mono.foreach { case (shard, wantBytes) =>
+      def read(m: Map[Int, Array[Byte]]) = m.get(shard).map(bs =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bs)))
+      val merged = (read(a), read(b)) match {
+        case (Some(x), Some(y)) => x.mergeInPlace(y); x
+        case (Some(x), None) => x
+        case (None, Some(y)) => y
+        case _ => fail(s"shard $shard missing from both halves")
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      assert(java.util.Arrays.equals(bos.toByteArray, wantBytes),
+        s"shard $shard: merged halves differ from the monolithic filter")
+    }
+
+    // A non-bloom dir must fail loudly.
+    operators.IndexMeta.write(spark, dir, "layout" -> "symspell")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomPrefilterFromIndex(spark, incoming, base, dir)
+    }
+    assert(e.getMessage.contains("bloom"))
+  }
+
   test("minhash LSH candidates include all exact and near duplicates") {
     val cand = Dedup.lshCandidatePairs(
       Dedup.minhashSignatures(Dedup.shingles(corpus)))

@@ -80,6 +80,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     // round-7 additions (dedup_cluster_stats is excluded like CC/BFS:
     // the iterative components chain prints cached lineage repeatedly)
     "dedup_bloom_sharded" -> 8,   // 2 groupByKey sides of the cogroup
+    "dedup_bloom_persist" -> 6,   // stored-filter serve drops the
+                                  // build-side groupByKey vs the 8 of
+                                  // the in-memory sharded path
+    "dedup_bloom_append" -> 6,    // identical serve frame; the merge
+                                  // happens inside the cogroup task
                                   // (x2: the maybe_dup split re-reads
                                   // it) + history distinct + anti
                                   // co-key + sort
