@@ -1395,6 +1395,35 @@ object Similarity {
       dir: String, probes: DataFrame, k: Int, nprobe: Int,
       pred: Option[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val scored = ivfScoredFromIndex(spark, dir, probes, nprobe, pred)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** RANGE serve from the persisted IVF layout: every neighbor in the
+    * probed cells with cosine ≥ `tau` — [[rangeSearch]]'s contract
+    * (threshold recall, not top-k: dedup sweeps and "all docs closer
+    * than X" audits want the full ball, however big) served without a
+    * corpus scan. Same recall caveat as every IVF serve: only the
+    * `nprobe` probed cells are consulted, so the ball is complete
+    * WITHIN them; raise nprobe to widen. No ranking window at all —
+    * the per-probe top-k structure the top-k serve pays is exactly
+    * what a range query must NOT. */
+  def searchIvfIndexRange(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame, tau: Double,
+      nprobe: Int = 1): DataFrame =
+    ivfScoredFromIndex(spark, dir, probes, nprobe, None)
+      .filter(col("cos_r") >= tau)
+
+  /** The shared scoring frame of the persisted-IVF serves (top-k,
+    * filtered, range): probe→cell assignment against the STORED
+    * centroids, cell-equi join into the index (DPP-prunable, tombstone
+    * mask applied), rounded cosine. One definition so the serve modes
+    * cannot diverge on the determinism or deletion contracts. */
+  private def ivfScoredFromIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      probes: DataFrame, nprobe: Int, pred: Option[Column]): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_flat")
     val cents = spark.read.parquet(s"$dir/centroids")
@@ -1409,15 +1438,12 @@ object Similarity {
       .select(col("probe_id"), col("cid").as("pcell"))
     val pb = withNorm(probes).select(col("vec_id").as("probe_id"),
       col("v").as("pv"), col("nrm").as("pnrm"))
-    val scored = pb.join(pcells, Seq("probe_id"))
+    pb.join(pcells, Seq("probe_id"))
       .join(idx,
         col("pcell") === col("cell") && col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
           .as("cos_r"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
   /** [[quantizeInt8]]'s per-vector form: (vec_id, scale, q) with the

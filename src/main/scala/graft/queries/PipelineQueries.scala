@@ -277,6 +277,31 @@ object PipelineQueries {
        |SELECT probe_id, neighbor_id, cos_r, rnk
        |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
 
+  /** The IVF replay's RANGE tail: same trained cells, probe set and
+    * scored frame as [[ivfKmeansSearchSqlWhere]], but thresholded
+    * (cos ≥ 0.2) instead of ranked — no window at all. */
+  private def ivfKmeansRangeSql: String =
+    s"""WITH $ovecsCte,
+       |$kmeansCte,
+       |di AS (
+       |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+       |  FROM dims d JOIN c2 c USING (pos) GROUP BY d.vec_id, c.cid),
+       |dir AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
+       |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dir
+       |        WHERE rn = 1),
+       |pas AS (SELECT vec_id AS probe_id, cid AS cell FROM dir
+       |        WHERE vec_id < 15 AND rn <= 2),
+       |scored AS (
+       |  SELECT a.probe_id, o.vec_id AS neighbor_id,
+       |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |  FROM pas a JOIN ovecs p ON p.vec_id = a.probe_id
+       |  JOIN idx i ON i.cell = a.cell
+       |  JOIN ovecs o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id)
+       |SELECT probe_id, neighbor_id, cos_r FROM scored
+       |WHERE cos_r >= 0.2 ORDER BY probe_id, neighbor_id""".stripMargin
+
   /** Sequential replay of the full IVF-PQ stack (m=4 subspaces,
     * codebook=first 8 vectors, 8 kmeans cells, nprobe=2, probes =
     * vec_id < 10, k=5) — shared by sim_ivfpq_topk and the persisted-
@@ -1846,6 +1871,20 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // RANGE serve from the persisted IVF layout: the full cos ≥ 0.2
+    // ball within the probed cells (threshold recall, no top-k window
+    // anywhere) — sim_range_search's contract without the corpus scan.
+    "sim_ivf_range" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_ivf_rng")
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      Similarity.searchIvfIndexRange(s, dir,
+        vecs.filter(col("vec_id") < 15), tau = 0.2, nprobe = 2)
+        .orderBy("probe_id", "neighbor_id")
+    }),
+
     // Incremental ANN ingestion: index HALF the corpus, append the
     // other half against the stored centroids (quantizer fixed once
     // trained — no rebuild, no re-bucketing), serve the union. The
@@ -3129,6 +3168,9 @@ object PipelineQueries {
     // Same trained-IVF replay with the tombstoned ids (vec_id % 7 = 0)
     // excluded from the index side; probes untouched.
     "sim_ivf_delete" -> ivfKmeansSearchSqlWhere("AND vec_id % 7 <> 0"),
+
+    // The thresholded (range) tail over the same replay — no window.
+    "sim_ivf_range" -> ivfKmeansRangeSql,
 
     // SQ8 layout: the quantized-MIPS replay (same trained cells and
     // probe set; scoring over per-vector-scaled int8 codes).

@@ -1637,6 +1637,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF range serve at nprobe = k covers every cell and equals " +
+      "the brute-force range exactly; smaller nprobe is a subset") {
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 15)
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    withTempDir("graft_rng_idx") { dir =>
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      def served(np: Int) =
+        Similarity.searchIvfIndexRange(spark, dir, probes, tau = 0.2,
+            nprobe = np)
+          .as[(Long, Long, Double)].collect().toSet
+      val brute = Similarity.rangeSearch(vecs, probes, 0.2)
+        .as[(Long, Long, Double)].collect().toSet
+      // All 8 cells probed ⇒ the full ball, bit-identical scores.
+      assert(served(8) === brute)
+      // Fewer cells ⇒ complete within the probed cells, never beyond.
+      val np2 = served(2)
+      assert(np2.subsetOf(brute))
+      assert(np2.nonEmpty)
+    }
+  }
+
   test("filtered ANN serve: predicate pushed to the index scan, equal to a pre-filtered index") {
     import graft.operators.Similarity
     val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
