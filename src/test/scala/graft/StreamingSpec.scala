@@ -1208,4 +1208,88 @@ class StreamingSpec extends SparkSpec {
           s"vs batch $wantStored")
     } finally q.stop()
   }
+
+  test("streaming spell-index ingest: micro-batch appendSpellIndex " +
+      "equals the monolithic build, with a mid-stream serve over the " +
+      "delivered rows") {
+    // The keys/stats split under micro-batch delivery: key rows dedup
+    // at serve and freq rows SUM at serve, so batch boundaries cannot
+    // change any candidate or any frequency total — the final serve is
+    // bit-identical to the monolithic build, and a mid-stream serve
+    // equals an index built over exactly the delivered documents.
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val dirMono = tmp("graft_spell_stream_mono")
+    TextAnalysis.writeSpellIndex(docs, dirMono)
+    def serve(dir: String) =
+      TextAnalysis.searchSpellIndex(spark, docs, dir).collect().toSet
+    val want = serve(dirMono)
+
+    val dir = tmp("graft_spell_stream")
+    TextAnalysis.writeSpellIndex(docs.filter($"doc_id" % 3 === 0), dir)
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) TextAnalysis.appendSpellIndex(spark, batch, dir)
+        ()
+      }.start()
+    try {
+      val rows = docs.filter($"doc_id" % 3 =!= 0)
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      val midWant = {
+        val d = tmp("graft_spell_stream_mid")
+        TextAnalysis.writeSpellIndex(
+          docs.filter($"doc_id" % 3 === 0)
+            .unionByName(b1.toSeq.toDF("doc_id", "text")), d)
+        serve(d)
+      }
+      assert(midWant.nonEmpty && serve(dir) === midWant,
+        "mid-stream serve must equal a build over the delivered docs " +
+          "(partial frequencies must sum, not overwrite)")
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      assert(want.nonEmpty && serve(dir) === want,
+        "streamed appends must converge to the monolithic build's serve")
+    } finally q.stop()
+  }
+
+  test("streaming bloom-index ingest: micro-batch appendBloomIndex " +
+      "converges to the monolithic filter's serve") {
+    // History arrives in micro-batches; each batch's per-shard filters
+    // land beside the old rows and the serve OR-merges per shard —
+    // bit-identical to one filter built over the union, so the final
+    // probe must match both the monolithic persisted layout and the
+    // in-memory sharded operator.
+    import graft.operators.Dedup
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val incoming = Dedup.augmentCorpus(Tables.documents(spark, sfDir))
+      .filter($"doc_id" >= 100000)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_bloom_stream")
+    Dedup.writeBloomIndex(base.filter($"doc_id" % 3 === 0), dir, shards = 8)
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) Dedup.appendBloomIndex(spark, batch, dir)
+        ()
+      }.start()
+    try {
+      val rows = base.filter($"doc_id" % 3 =!= 0)
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = Dedup.bloomPrefilterFromIndex(spark, incoming, base, dir)
+        .as[(Long, String)].collect().toSet
+      val want = Dedup.bloomPrefilterShardedNew(base, incoming, shards = 8)
+        .as[(Long, String)].collect().toSet
+      assert(want.nonEmpty && got === want,
+        "streamed bloom appends must serve like the monolithic filter")
+    } finally q.stop()
+  }
 }
