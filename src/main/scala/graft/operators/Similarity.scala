@@ -327,6 +327,68 @@ object Similarity {
     sel
   }
 
+  /** Binary-quantization codes: the sign bit of every dimension packed
+    * into two BIGINT halves (bits 1–32 and 33–64) — two positive longs
+    * instead of one 64-bit word so neither engine touches the sign
+    * bit (a 1<<63 term sums differently under DuckDB's overflow-checked
+    * BIGINT and Spark's wrapping non-ANSI add). Convention: bit i set
+    * iff v[i] ≥ 0. This is the 1-bit rung UNDER the SQ8/PQ ladder:
+    * 256× smaller than float64, and the serve-side distance is two
+    * XOR+popcounts — no arithmetic on the corpus floats at all. */
+  def bqCodes(vecs: DataFrame): DataFrame = {
+    def half(lo: Int): Column = expr(
+      s"""aggregate(transform(sequence(1, 32), i ->
+         |  IF(element_at(v, i + $lo) >= CAST(0 AS DOUBLE),
+         |     shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))),
+         |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+    vecs.select(col("vec_id"), half(0).as("code0"), half(32).as("code1"))
+  }
+
+  /** Two-stage binary-quantized search (the classic BQ serve: Hamming
+    * shortlist over the 1-bit codes, exact re-rank of the shortlist):
+    * per probe, the `shortlist` nearest corpus codes by Hamming
+    * distance (XOR + popcount on the two packed halves, ties by
+    * neighbor_id), then the true cosine re-ranks the shortlist to the
+    * final `k`. The corpus-sized stage touches ONLY the 16-byte codes
+    * (broadcast probes, pushed WindowGroupLimit); float vectors are
+    * read for the ≤ shortlist·|probes| survivors alone — at 100 TB
+    * that is the difference between streaming 16 B/vector and
+    * 512 B/vector through the scan. Output carries both distances so
+    * the oracle pins the shortlist stage, not just the final ranks. */
+  def bqRerank(vecs: DataFrame, probes: DataFrame, shortlist: Int = 20,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = bqCodes(vecs)
+    val pcodes = broadcast(bqCodes(probes)
+      .select(col("vec_id").as("probe_id"), col("code0").as("p0"),
+        col("code1").as("p1")))
+    val ham = pcodes
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("code0"),
+        col("code1")), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (expr("bit_count(p0 ^ code0)") + expr("bit_count(p1 ^ code1)"))
+          .cast("int").as("ham"))
+    val wH = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ham").asc, col("neighbor_id").asc)
+    val short = ham.withColumn("hrnk", row_number().over(wH))
+      .filter(col("hrnk") <= shortlist)
+      .select(col("probe_id"), col("neighbor_id"), col("ham"))
+    val pv = broadcast(withNorm(probes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm")))
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    short
+      .join(withNorm(vecs).select(col("vec_id").as("neighbor_id"),
+        col("v"), col("nrm")), Seq("neighbor_id"))
+      .join(pv, Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("ham"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
+      .withColumn("rnk", row_number().over(wC))
+      .filter(col("rnk") <= k)
+  }
+
   /** Sign-LSH bucket key: the sign pattern of dimensions 1..bits. */
   def signBucket(v: Column, bits: Int): Column =
     concat((1 to bits).map(i =>

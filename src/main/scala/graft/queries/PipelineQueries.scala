@@ -1871,6 +1871,19 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Binary-quantization two-stage serve — the 1-bit rung UNDER the
+    // SQ8/PQ compression ladder (256× smaller than float64): Hamming
+    // shortlist (top-20, XOR+popcount on two packed sign halves) over
+    // codes only, exact-cosine re-rank of the shortlist to top-3. The
+    // corpus stage streams 16 B/vector; floats are read for the
+    // shortlist survivors alone.
+    "sim_bq_rerank" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.bqRerank(vecs, vecs.filter(col("vec_id") < 10))
+        .orderBy("probe_id", "rnk")
+    }),
+
     // RANGE serve from the persisted IVF layout: the full cos ≥ 0.2
     // ball within the probed cells (threshold recall, no top-k window
     // anywhere) — sim_range_search's contract without the corpus scan.
@@ -3171,6 +3184,38 @@ object PipelineQueries {
 
     // The thresholded (range) tail over the same replay — no window.
     "sim_ivf_range" -> ivfKmeansRangeSql,
+
+    // BQ replay: identical sign-bit packing into two positive BIGINT
+    // halves, XOR+popcount Hamming shortlist, exact-cosine re-rank.
+    "sim_bq_rerank" ->
+      s"""WITH $ovecsCte,
+         |codes AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
+         |    CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1))
+         |         ELSE 0::BIGINT END)) AS BIGINT) AS code0,
+         |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
+         |    CASE WHEN v[i + 32] >= 0 THEN (1::BIGINT << (i - 1))
+         |         ELSE 0::BIGINT END)) AS BIGINT) AS code1
+         |  FROM ovecs),
+         |probes AS (SELECT vec_id AS probe_id, code0 AS p0, code1 AS p1
+         |           FROM codes WHERE vec_id < 10),
+         |ham AS (SELECT probe_id, c.vec_id AS neighbor_id,
+         |          CAST(bit_count(xor(p0, c.code0)) +
+         |               bit_count(xor(p1, c.code1)) AS INTEGER) AS ham
+         |        FROM probes, codes c WHERE c.vec_id <> probe_id),
+         |short AS (SELECT probe_id, neighbor_id, ham FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY ham, neighbor_id) AS hrnk FROM ham)
+         |  WHERE hrnk <= 20),
+         |rr AS (SELECT s.probe_id, s.neighbor_id, s.ham,
+         |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+         |       FROM short s JOIN ovecs p ON p.vec_id = s.probe_id
+         |       JOIN ovecs o ON o.vec_id = s.neighbor_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |  ORDER BY cos_r DESC, neighbor_id) AS rnk FROM rr)
+         |SELECT probe_id, neighbor_id, ham, cos_r, rnk
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin,
 
     // SQ8 layout: the quantized-MIPS replay (same trained cells and
     // probe set; scoring over per-vector-scaled int8 codes).

@@ -1323,6 +1323,44 @@ class PipelineSpec extends SparkSpec {
     assert(feats(3) === 0.25 && feats(2) === 0.25 && feats(1) === 0.5)
   }
 
+  test("bqCodes packs sign bits exactly; Hamming is 0 on self, 64 on " +
+      "negation; the re-rank stage's cosines are the exact scores") {
+    import graft.operators.Similarity
+    // Handcrafted: dims 1,3,...,63 positive, evens negative → code
+    // halves are the alternating-bit pattern 0x55555555 in both words.
+    val alt = (1 to 64).map(i => if (i % 2 == 1) 1.0 else -1.0)
+    val fix = Seq((1L, alt), (2L, alt.map(-_))).toDF("vec_id", "v")
+    val packed = Similarity.bqCodes(fix)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed(0) === ((1L, 0x55555555L, 0x55555555L)))
+    assert(packed(1) === ((2L, 0xAAAAAAAAL, 0xAAAAAAAAL)))
+
+    // Self-Hamming 0 / negation-Hamming 64 through the public serve:
+    // with shortlist = k = 1 over {v, -v}, each probe's single
+    // candidate is the other vector at ham = 64.
+    val pair = Similarity.bqRerank(fix, fix, shortlist = 1, k = 1)
+      .select($"probe_id", $"neighbor_id", $"ham")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pair === Set((1L, 2L, 64), (2L, 1L, 64)))
+
+    // Corpus: every served cos_r must equal the brute-force score for
+    // the same (probe, neighbor) pair — the re-rank stage is exact,
+    // BQ only decides WHICH pairs reach it.
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 10)
+    val served = Similarity.bqRerank(vecs, probes)
+      .select($"probe_id", $"neighbor_id", $"cos_r")
+      .as[(Long, Long, Double)].collect()
+    assert(served.nonEmpty)
+    val exact = Similarity.scoreAll(vecs, probes)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    served.foreach { case (p, n, c) =>
+      assert(exact((p, n)) === c, s"re-rank cos drifted for ($p, $n)")
+    }
+  }
+
   test("MIPS-to-cosine reduction: norm-augmented cosine ranking equals inner-product ranking") {
     // Neyshabur & Srebro 2015 (arXiv:1410.5518): append
     // sqrt(M^2 - |x|^2) to every item and 0 to every query; then

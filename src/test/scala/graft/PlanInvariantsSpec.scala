@@ -64,10 +64,14 @@ class PlanInvariantsSpec extends SparkSpec {
                              // the synopsis store's distinct groups —
                              // bounded by the PROFILE's group count
                              // (sources, crawls), never data
-    "sim_mmr_rerank"         // candidate generation = the audited
+    "sim_mmr_rerank",        // candidate generation = the audited
                              // brute-force shape (broadcast probes,
                              // probe != neighbor non-equi); the greedy
                              // rounds are equi-joins on the tiny pool
+    "sim_bq_rerank"          // Hamming shortlist = the brute-force
+                             // shape over 16-byte codes (broadcast
+                             // probe codes, probe != neighbor
+                             // non-equi); the re-rank joins are equi
   )
 
   test("unrolled iterative plans pin their round counts") {

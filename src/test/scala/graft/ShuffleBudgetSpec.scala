@@ -73,6 +73,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "text_tokenize_bpe" -> 1,     // pure projection + output sort
     "text_unigram_logprob" -> 5,  // tok agg + re-join + doc rollup + sort
     "sim_range_search" -> 1,      // broadcast probes + map filter + sort
+    "sim_bq_rerank" -> 2,         // Hamming-shortlist window + rerank
+                                  // window; codes broadcast, floats
+                                  // join only the shortlist
     "sim_ivf_range" -> 5,         // the persisted-IVF serve frame
                                   // (assign + cell join) minus any
                                   // ranking window — thresholded scan
