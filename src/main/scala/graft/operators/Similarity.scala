@@ -356,9 +356,44 @@ object Similarity {
     * 512 B/vector through the scan. Output carries both distances so
     * the oracle pins the shortlist stage, not just the final ranks. */
   def bqRerank(vecs: DataFrame, probes: DataFrame, shortlist: Int = 20,
-      k: Int = 3): DataFrame = {
+      k: Int = 3): DataFrame =
+    bqServe(bqCodes(vecs), vecs, probes, shortlist, k)
+
+  /** Persist the BQ layout: the (vec_id, code0, code1) code table —
+    * 16 bytes/vector, the artifact a BQ deployment actually stores
+    * (floats stay in the corpus table and are read only by the
+    * re-rank's shortlist join). Codes are per-vector, so the layout
+    * appends bit-trivially. */
+  def writeBqIndex(vecs: DataFrame, dir: String): Unit = {
+    bqCodes(vecs).write.mode("overwrite").parquet(dir)
+    IndexMeta.write(vecs.sparkSession, dir,
+      "layout" -> "bq", "bits" -> "64")
+  }
+
+  /** APPEND a vector batch's codes to a stored [[writeBqIndex]]
+    * layout — per-vector rows, so build-half + append-half IS the
+    * monolithic table (same rows, any file split); the gated query
+    * shares the monolithic oracle. */
+  def appendBqIndex(spark: org.apache.spark.sql.SparkSession,
+      vecs: DataFrame, dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64")
+    bqCodes(vecs).write.mode("append").parquet(dir)
+  }
+
+  /** [[bqRerank]] served from a stored [[writeBqIndex]] code table —
+    * bit-identical to the in-memory path (BIGINT codes round-trip
+    * parquet exactly; spec-pinned). `vecs` supplies the floats the
+    * re-rank stage reads for the shortlist survivors. */
+  def bqRerankFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame, probes: DataFrame,
+      shortlist: Int = 20, k: Int = 3): DataFrame = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64")
+    bqServe(spark.read.parquet(dir), vecs, probes, shortlist, k)
+  }
+
+  private def bqServe(codes: DataFrame, vecs: DataFrame,
+      probes: DataFrame, shortlist: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val codes = bqCodes(vecs)
     val pcodes = broadcast(bqCodes(probes)
       .select(col("vec_id").as("probe_id"), col("code0").as("p0"),
         col("code1").as("p1")))

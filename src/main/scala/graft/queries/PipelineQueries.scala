@@ -277,6 +277,41 @@ object PipelineQueries {
        |SELECT probe_id, neighbor_id, cos_r, rnk
        |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
 
+  /** BQ replay: identical sign-bit packing into two positive BIGINT
+    * halves, XOR+popcount Hamming shortlist, exact-cosine re-rank —
+    * shared by the corpus-scan, persisted and append twins (BIGINT
+    * codes round-trip parquet exactly; append rows are per-vector).
+    */
+  private def bqRerankSql: String =
+    s"""WITH $ovecsCte,
+       |codes AS (SELECT vec_id,
+       |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
+       |    CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1))
+       |         ELSE 0::BIGINT END)) AS BIGINT) AS code0,
+       |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
+       |    CASE WHEN v[i + 32] >= 0 THEN (1::BIGINT << (i - 1))
+       |         ELSE 0::BIGINT END)) AS BIGINT) AS code1
+       |  FROM ovecs),
+       |probes AS (SELECT vec_id AS probe_id, code0 AS p0, code1 AS p1
+       |           FROM codes WHERE vec_id < 10),
+       |ham AS (SELECT probe_id, c.vec_id AS neighbor_id,
+       |          CAST(bit_count(xor(p0, c.code0)) +
+       |               bit_count(xor(p1, c.code1)) AS INTEGER) AS ham
+       |        FROM probes, codes c WHERE c.vec_id <> probe_id),
+       |short AS (SELECT probe_id, neighbor_id, ham FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY ham, neighbor_id) AS hrnk FROM ham)
+       |  WHERE hrnk <= 20),
+       |rr AS (SELECT s.probe_id, s.neighbor_id, s.ham,
+       |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |       FROM short s JOIN ovecs p ON p.vec_id = s.probe_id
+       |       JOIN ovecs o ON o.vec_id = s.neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY cos_r DESC, neighbor_id) AS rnk FROM rr)
+       |SELECT probe_id, neighbor_id, ham, cos_r, rnk
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY probe_id, rnk""".stripMargin
+
   /** The IVF replay's RANGE tail: same trained cells, probe set and
     * scored frame as [[ivfKmeansSearchSqlWhere]], but thresholded
     * (cos ≥ 0.2) instead of ranked — no window at all. */
@@ -1884,6 +1919,33 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // BQ layout PERSISTED: the 16-byte/vector code table written +
+    // sidecar-gated; the serve is bit-identical to the in-memory path
+    // (BIGINT codes round-trip parquet exactly) — shares its oracle.
+    "sim_bq_persist" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val dir = FlowLogQueries.scratchDir("graft_bq_idx")
+      Similarity.writeBqIndex(vecs, dir)
+      Similarity.bqRerankFromIndex(s, dir, vecs,
+        vecs.filter(col("vec_id") < 10))
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // BQ append leg: per-vector code rows, so build-half + append-half
+    // IS the monolithic table — shares the oracle.
+    "sim_bq_append" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val dir = FlowLogQueries.scratchDir("graft_bq_app")
+      Similarity.writeBqIndex(vecs.filter(col("vec_id") % 2 === 0), dir)
+      Similarity.appendBqIndex(s, vecs.filter(col("vec_id") % 2 =!= 0),
+        dir)
+      Similarity.bqRerankFromIndex(s, dir, vecs,
+        vecs.filter(col("vec_id") < 10))
+        .orderBy("probe_id", "rnk")
+    }),
+
     // RANGE serve from the persisted IVF layout: the full cos ≥ 0.2
     // ball within the probed cells (threshold recall, no top-k window
     // anywhere) — sim_range_search's contract without the corpus scan.
@@ -3185,37 +3247,10 @@ object PipelineQueries {
     // The thresholded (range) tail over the same replay — no window.
     "sim_ivf_range" -> ivfKmeansRangeSql,
 
-    // BQ replay: identical sign-bit packing into two positive BIGINT
-    // halves, XOR+popcount Hamming shortlist, exact-cosine re-rank.
-    "sim_bq_rerank" ->
-      s"""WITH $ovecsCte,
-         |codes AS (SELECT vec_id,
-         |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
-         |    CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1))
-         |         ELSE 0::BIGINT END)) AS BIGINT) AS code0,
-         |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
-         |    CASE WHEN v[i + 32] >= 0 THEN (1::BIGINT << (i - 1))
-         |         ELSE 0::BIGINT END)) AS BIGINT) AS code1
-         |  FROM ovecs),
-         |probes AS (SELECT vec_id AS probe_id, code0 AS p0, code1 AS p1
-         |           FROM codes WHERE vec_id < 10),
-         |ham AS (SELECT probe_id, c.vec_id AS neighbor_id,
-         |          CAST(bit_count(xor(p0, c.code0)) +
-         |               bit_count(xor(p1, c.code1)) AS INTEGER) AS ham
-         |        FROM probes, codes c WHERE c.vec_id <> probe_id),
-         |short AS (SELECT probe_id, neighbor_id, ham FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY ham, neighbor_id) AS hrnk FROM ham)
-         |  WHERE hrnk <= 20),
-         |rr AS (SELECT s.probe_id, s.neighbor_id, s.ham,
-         |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
-         |       FROM short s JOIN ovecs p ON p.vec_id = s.probe_id
-         |       JOIN ovecs o ON o.vec_id = s.neighbor_id),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |  ORDER BY cos_r DESC, neighbor_id) AS rnk FROM rr)
-         |SELECT probe_id, neighbor_id, ham, cos_r, rnk
-         |FROM ranked WHERE rnk <= 3
-         |ORDER BY probe_id, rnk""".stripMargin,
+    // See bqRerankSql: shared by the scan/persist/append twins.
+    "sim_bq_rerank" -> bqRerankSql,
+    "sim_bq_persist" -> bqRerankSql,
+    "sim_bq_append" -> bqRerankSql,
 
     // SQ8 layout: the quantized-MIPS replay (same trained cells and
     // probe set; scoring over per-vector-scaled int8 codes).

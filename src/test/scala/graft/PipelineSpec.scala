@@ -1359,6 +1359,28 @@ class PipelineSpec extends SparkSpec {
     served.foreach { case (p, n, c) =>
       assert(exact((p, n)) === c, s"re-rank cos drifted for ($p, $n)")
     }
+
+    // Persisted + appended code tables serve bit-identically to the
+    // in-memory path (BIGINT codes round-trip parquet exactly; append
+    // rows are per-vector, so halves union to the monolithic table).
+    val full = Similarity.bqRerank(vecs, probes)
+      .as[(Long, Long, Int, Double, Int)].collect().sortBy(r => (r._1, r._5))
+    withTempDir("graft_bq_spec") { dir =>
+      Similarity.writeBqIndex(vecs, dir)
+      val stored = Similarity.bqRerankFromIndex(spark, dir, vecs, probes)
+        .as[(Long, Long, Int, Double, Int)].collect()
+        .sortBy(r => (r._1, r._5))
+      assert(stored === full)
+    }
+    withTempDir("graft_bq_app_spec") { dir =>
+      Similarity.writeBqIndex(vecs.filter($"vec_id" % 2 === 0), dir)
+      Similarity.appendBqIndex(spark, vecs.filter($"vec_id" % 2 =!= 0),
+        dir)
+      val appended = Similarity.bqRerankFromIndex(spark, dir, vecs, probes)
+        .as[(Long, Long, Int, Double, Int)].collect()
+        .sortBy(r => (r._1, r._5))
+      assert(appended === full)
+    }
   }
 
   test("MIPS-to-cosine reduction: norm-augmented cosine ranking equals inner-product ranking") {

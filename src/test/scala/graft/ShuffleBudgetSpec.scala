@@ -76,6 +76,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "sim_bq_rerank" -> 2,         // Hamming-shortlist window + rerank
                                   // window; codes broadcast, floats
                                   // join only the shortlist
+    "sim_bq_persist" -> 2,        // identical serve over the stored
+                                  // code table
+    "sim_bq_append" -> 2,         // identical serve over the unioned
+                                  // batches
     "sim_ivf_range" -> 5,         // the persisted-IVF serve frame
                                   // (assign + cell join) minus any
                                   // ranking window — thresholded scan
