@@ -131,6 +131,42 @@ object Retrieval {
     fuse(lex, vectorTopK(vecs, vecProbePred, depth), k, k0)
   }
 
+  /** Hybrid RRF served ENTIRELY from persisted layouts — the
+    * composition a standing retrieval deployment actually runs: the
+    * lexical leg's postings come from a
+    * [[TextAnalysis.writeInvertedIndex]] dir, the vector leg's
+    * candidates from a [[Similarity.writeIvfIndex]] dir (cell-
+    * restricted, nprobe-bounded — the leg is the ANN serve, not a
+    * corpus scan), and the fusion frame is byte-identical to
+    * [[hybridRrf]]'s. Neither corpus table is read at serve time:
+    * probes are the only non-index inputs. Deletion masking is
+    * PER-LEG — each layout masks its own tombstones, so retiring a
+    * document from the deployment means deleting it from both
+    * indexes (spec-pinned: after both deletes it cannot appear in
+    * the fused list through either leg).
+    *
+    * Contract difference vs the corpus-scan [[hybridRrf]]: the vector
+    * ranks are the IVF serve's (complete within the probed cells), so
+    * the fused list inherits IVF's recall bound — the gated query
+    * carries its own oracle replaying exactly that. */
+  def hybridRrfFromIndexes(spark: org.apache.spark.sql.SparkSession,
+      probeDocs: DataFrame, probeVecs: DataFrame, invDir: String,
+      ivfDir: String, depth: Int = 20, k: Int = 10, k0: Int = 60,
+      nprobe: Int = 2): DataFrame = {
+    val probeTerms = probeDocs
+      .select(col("doc_id").as("probe_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val lex = lexicalLeg(
+      TextAnalysis.maskedPostingPairs(spark, invDir), probeTerms, depth)
+      .select(col("probe_id"), col("doc_id"), col("rank_lex"))
+    val vec = Similarity.searchIvfIndex(spark, ivfDir, probeVecs,
+        depth, nprobe)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("rank_vec"))
+    fuse(lex, vec, k, k0)
+  }
+
   /** Diversity-capped re-rank over the fused candidates: at most
     * `maxPerSource` results from any one source per probe, then the
     * global top-`k` — the standard result-diversification guard against

@@ -764,6 +764,22 @@ object TextAnalysis {
     if (ts.isEmpty) None else Some(ts.reduce(_.unionByName(_)))
   }
 
+  /** The masked (doc_id, term) posting pairs of a stored layout — the
+    * lexical-overlap view serving COMPOSITIONS (hybrid RRF from
+    * indexes) read: one row per (doc, term) by construction, with
+    * tombstoned docs anti-joined out exactly as in the BM25 serve, so
+    * a composition can never resurrect a deleted document. */
+  private[operators] def maskedPostingPairs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val post = spark.read.parquet(s"$dir/postings")
+      .select(col("doc_id"), col("term"))
+    unionTombstones(spark, Seq(dir))
+      .map(t => post.join(
+        broadcast(t.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
+      .getOrElse(post)
+  }
+
   /** Serve a PHRASE query from persisted [[writeInvertedIndex]]
     * shard(s): each phrase term's postings load from its statically-
     * pruned bucket (same plan-time `isin` trick as the BM25 serve),

@@ -1906,6 +1906,25 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Hybrid RRF served ENTIRELY from persisted layouts — postings
+    // from the inverted index (tombstone-masked), vector candidates
+    // from the IVF index (cell-restricted): the standing-deployment
+    // composition, no corpus table read at serve. Own oracle: the
+    // fused vector ranks are the IVF serve's, not brute-force's.
+    "sim_hybrid_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val invDir = FlowLogQueries.scratchDir("graft_hyb_inv")
+      val ivfDir = FlowLogQueries.scratchDir("graft_hyb_ivf")
+      TextAnalysis.writeInvertedIndex(docs, invDir)
+      Similarity.writeIvfIndex(vecs, Similarity.kmeansTrain(vecs, 8, 2),
+        ivfDir)
+      Retrieval.hybridRrfFromIndexes(s, docs.filter(col("doc_id") < 10),
+        vecs.filter(col("vec_id") < 10), invDir, ivfDir)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Binary-quantization two-stage serve — the 1-bit rung UNDER the
     // SQ8/PQ compression ladder (256× smaller than float64): Hamming
     // shortlist (top-20, XOR+popcount on two packed sign halves) over
@@ -3246,6 +3265,64 @@ object PipelineQueries {
 
     // The thresholded (range) tail over the same replay — no window.
     "sim_ivf_range" -> ivfKmeansRangeSql,
+
+    // Index-served hybrid: the lexical leg is rrfFusedCte's, the
+    // vector leg is the IVF serve's (probed-cell top-20, nprobe=2),
+    // the fusion frame identical — the recall bound the composition
+    // inherits from IVF is exactly what this replay encodes.
+    "sim_hybrid_indexed" ->
+      s"""WITH $ovecsCte,
+         |$kmeansCte,
+         |dt AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |pt AS (SELECT doc_id AS probe_id, term FROM dt WHERE doc_id < 10),
+         |ov AS (
+         |  SELECT p.probe_id, d.doc_id, count(*) AS n_shared
+         |  FROM pt p JOIN dt d USING (term)
+         |  WHERE d.doc_id <> p.probe_id
+         |  GROUP BY p.probe_id, d.doc_id),
+         |lr0 AS (
+         |  SELECT probe_id, doc_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY n_shared DESC, doc_id) AS rank_lex
+         |  FROM ov),
+         |lr AS (SELECT * FROM lr0 WHERE rank_lex <= 20),
+         |di AS (
+         |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+         |  FROM dims d JOIN c2 c USING (pos) GROUP BY d.vec_id, c.cid),
+         |dirr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
+         |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dirr
+         |        WHERE rn = 1),
+         |pas AS (SELECT vec_id AS probe_id, cid AS cell FROM dirr
+         |        WHERE vec_id < 10 AND rn <= 2),
+         |ivsc AS (
+         |  SELECT a.probe_id, o.vec_id AS doc_id,
+         |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+         |  FROM pas a JOIN ovecs p ON p.vec_id = a.probe_id
+         |  JOIN idx i ON i.cell = a.cell
+         |  JOIN ovecs o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
+         |vr0 AS (
+         |  SELECT probe_id, doc_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos_r DESC, doc_id) AS rank_vec
+         |  FROM ivsc),
+         |vr AS (SELECT * FROM vr0 WHERE rank_vec <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
+         |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |         l.rank_lex, v.rank_vec,
+         |         round(coalesce(1.0 / CAST(60 + l.rank_lex AS DOUBLE), 0.0) +
+         |               coalesce(1.0 / CAST(60 + v.rank_vec AS DOUBLE), 0.0),
+         |               6) AS rrf
+         |  FROM lr l FULL OUTER JOIN vr v
+         |    ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rnk
+         |  FROM fused)
+         |SELECT probe_id, doc_id, rank_lex, rank_vec, rrf, rnk
+         |FROM ranked WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
 
     // See bqRerankSql: shared by the scan/persist/append twins.
     "sim_bq_rerank" -> bqRerankSql,

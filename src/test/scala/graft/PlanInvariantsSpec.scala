@@ -68,10 +68,12 @@ class PlanInvariantsSpec extends SparkSpec {
                              // brute-force shape (broadcast probes,
                              // probe != neighbor non-equi); the greedy
                              // rounds are equi-joins on the tiny pool
-    "sim_bq_rerank"          // Hamming shortlist = the brute-force
+    "sim_bq_rerank",         // Hamming shortlist = the brute-force
                              // shape over 16-byte codes (broadcast
                              // probe codes, probe != neighbor
                              // non-equi); the re-rank joins are equi
+    "sim_bq_persist", "sim_bq_append" // same serve over the stored /
+                             // appended code tables
   )
 
   test("unrolled iterative plans pin their round counts") {

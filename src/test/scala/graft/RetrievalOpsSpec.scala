@@ -90,6 +90,60 @@ class RetrievalOpsSpec extends SparkSpec {
       "top-5 for every probe — the fixture no longer exercises the cap")
   }
 
+  // ---- hybridRrfFromIndexes ----
+
+  test("hybridRrfFromIndexes: lexical ranks equal the corpus-scan " +
+      "leg, vector ranks equal the IVF serve; deleting a doc from " +
+      "BOTH indexes removes it from the fused list") {
+    import graft.operators.TextAnalysis
+    val documents = docs
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val invDir = tmp("graft_hyb_inv_spec")
+    val ivfDir = tmp("graft_hyb_ivf_spec")
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    TextAnalysis.writeInvertedIndex(documents, invDir)
+    Similarity.writeIvfIndex(vecs, cents, ivfDir)
+    val probeDocs = documents.filter(col("doc_id") < 10)
+    val probeVecs = vecs.filter(col("vec_id") < 10)
+    val fused = Retrieval.hybridRrfFromIndexes(spark, probeDocs,
+      probeVecs, invDir, ivfDir)
+      .select(col("probe_id"), col("doc_id"), col("rank_lex"),
+        col("rank_vec"), col("rnk"))
+      .as[(Long, Long, Option[Int], Option[Int], Int)].collect()
+    assert(fused.nonEmpty)
+    // Leg parity: every non-null lexical rank equals the corpus-scan
+    // leg's; every non-null vector rank equals the IVF serve's.
+    val lexWant = Retrieval.lexicalOverlapTopK(documents,
+        col("doc_id") < 10, 20)
+      .select(col("probe_id"), col("doc_id"), col("rank_lex"))
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val vecWant = Similarity.searchIvfIndex(spark, ivfDir, probeVecs,
+        20, nprobe = 2)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"))
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    fused.foreach { case (p, d, rl, rv, _) =>
+      rl.foreach(r => assert(lexWant((p, d)) === r,
+        s"lex rank drifted for ($p, $d)"))
+      rv.foreach(r => assert(vecWant((p, d)) === r,
+        s"vec rank drifted for ($p, $d)"))
+    }
+    // Retire a doc that currently appears in some fused list from
+    // BOTH layouts: it must vanish from the composition.
+    val victim = fused.map(_._2).find(_ >= 10).get
+    val ids = Seq(victim).toDF("doc_id")
+    TextAnalysis.deleteFromInvertedIndex(spark, ids, invDir)
+    Similarity.deleteFromIvfIndex(spark,
+      ids.select(col("doc_id").as("vec_id")), ivfDir)
+    val after = Retrieval.hybridRrfFromIndexes(spark, probeDocs,
+      probeVecs, invDir, ivfDir)
+      .select(col("doc_id")).as[Long].collect()
+    assert(!after.contains(victim),
+      s"doc $victim deleted from both layouts still served")
+  }
+
   // ---- mmrRerank ----
 
   test("mmrRerank: matches an independent local greedy replay and the " +

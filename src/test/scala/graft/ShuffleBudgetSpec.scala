@@ -73,6 +73,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "text_tokenize_bpe" -> 1,     // pure projection + output sort
     "text_unigram_logprob" -> 5,  // tok agg + re-join + doc rollup + sort
     "sim_range_search" -> 1,      // broadcast probes + map filter + sort
+    "sim_hybrid_indexed" -> 11,   // postings-overlap agg + lex window
+                                  // + the IVF serve frame + full-outer
+                                  // fusion + rank + output sort — all
+                                  // from stored layouts, no corpus scan
     "sim_bq_rerank" -> 2,         // Hamming-shortlist window + rerank
                                   // window; codes broadcast, floats
                                   // join only the shortlist
