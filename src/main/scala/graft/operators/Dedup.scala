@@ -495,7 +495,10 @@ object Dedup {
     * over the union, so the gated query shares the monolithic oracle.
     * No tombstones exist for this layout by construction: a Bloom
     * filter cannot unlearn (bits are shared), so deletion means
-    * rebuild — documented, like HLL's max-stability. */
+    * rebuild — documented, like HLL's max-stability. Retrying a
+    * crashed append is safe: a duplicated batch's filter rows
+    * OR-merge idempotently (x | x = x), so the served filter is
+    * unchanged. */
   def appendBloomIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, dir: String): Unit = {
     val meta = IndexMeta.read(spark, dir)

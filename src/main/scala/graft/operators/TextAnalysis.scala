@@ -1289,7 +1289,16 @@ object TextAnalysis {
     * serve's DISTINCT) and freq rows are additive (the serve SUMS
     * per word), so build-half + append-half serves bit-identically
     * to the monolithic build — spec-pinned, and the gated query
-    * shares the monolithic oracle. Sidecar-gated edit radius. */
+    * shares the monolithic oracle. Sidecar-gated edit radius.
+    *
+    * Crash-window contract (keys WRITE FIRST, deliberately): a crash
+    * between the two writes leaves appended keys without their stats
+    * rows — existing words' duplicate keys vanish in the serve's
+    * DISTINCT and a new word without a stats row drops at the freq
+    * inner join, so the serve is exactly the PRE-append state; the
+    * retry is then safe. The reverse order would serve inflated
+    * frequencies for existing words in the window — a state NO
+    * build/append sequence can produce. */
   def appendSpellIndex(spark: org.apache.spark.sql.SparkSession,
       documents: DataFrame, dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir,
@@ -1310,7 +1319,11 @@ object TextAnalysis {
     * linear pass per table). Physically removed, so a later re-add
     * via [[appendSpellIndex]] needs no tombstone reconciliation —
     * exactly equivalent to a rebuild without the words
-    * (spec-pinned bit-for-bit). */
+    * (spec-pinned bit-for-bit). Crash window: the keys table swaps
+    * first, so a crash before the stats swap leaves orphaned stats
+    * rows for the deleted words — harmless, the serve is keys-driven
+    * and already returns the post-delete answer; the retry drains
+    * them. */
   def deleteFromSpellIndex(spark: org.apache.spark.sql.SparkSession,
       words: DataFrame, dir: String): Unit = {
     IndexMeta.read(spark, dir) // fail loudly on a non-index dir
