@@ -76,14 +76,23 @@ object Dedup {
     * audit counts.
     *
     * Scale shape: docs explode to (doc, j, segment) once — linear in
-    * corpus bytes; the corpus frequency is a segment-keyed aggregate
-    * with map-side combine (segments are short fixed-width strings —
-    * at petabyte scale, hash them first and aggregate on the hash);
-    * the reassembly is one doc-keyed aggregate whose collect is
-    * bounded by the DOCUMENT's own segment count, never the corpus.
-    * Three keyed shuffles, no pair join anywhere. The collect_list's
-    * partition-order nondeterminism is sorted away on the (unique
-    * per-doc) segment index before the join back to text. */
+    * corpus bytes; the corpus frequency is an aggregate KEYED ON THE
+    * 64-BIT xxhash OF THE SEGMENT, not the segment string — the
+    * distinct-doc count and the df join back both shuffle 8-byte
+    * longs (with map-side combine), and the segment text itself never
+    * enters a shuffle key: it rides only the doc-side rows that carry
+    * it to reassembly anyway. At 100 TB that is the difference
+    * between shuffling the corpus ~2× as strings and shuffling ids.
+    * A 64-bit collision would merge two segments' doc-frequencies —
+    * strictly CONSERVATIVE for the cleanup (at worst a unique segment
+    * inherits a duplicate's count and drops too); DedupSpec pins that
+    * the test corpus is collision-free so the gated oracle stays on
+    * string semantics. The reassembly is one doc-keyed aggregate
+    * whose collect is bounded by the DOCUMENT's own segment count,
+    * never the corpus. Three keyed shuffles, no pair join anywhere.
+    * The collect_list's partition-order nondeterminism is sorted away
+    * on the (unique per-doc) segment index before the join back to
+    * text. */
   def segmentDedup(corpus: DataFrame, segWords: Int = 10,
       minDf: Long = 2): DataFrame = {
     val segs = corpus
@@ -94,9 +103,10 @@ object Dedup {
       .select(col("doc_id"), col("j"),
         concat_ws(" ", slice(col("w"), col("j") * segWords + 1,
           lit(segWords))).as("seg"))
-    val segDf = segs.groupBy(col("seg"))
+      .withColumn("segk", xxhash64(col("seg")))
+    val segDf = segs.groupBy(col("segk"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    segs.join(segDf, Seq("seg"))
+    segs.join(segDf, Seq("segk"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_seg"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dropped"),

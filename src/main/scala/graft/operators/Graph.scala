@@ -280,7 +280,31 @@ object Graph {
     * a BFS hop; no pair enumeration anywhere. Peeling is the standard
     * dense-core extractor (spam/bot rings, boilerplate hubs) next to
     * pagerank's importance and label-prop's communities. */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreImpl(edges, k, rounds, salts = 1)
+
+  /** [[kCore]] with SALTED two-phase degree aggregation — the 100 TB
+    * skew adaptation for power-law hubs: every per-round degree count
+    * (and the output degree agg) first partial-counts on
+    * (u, xxhash64(v) mod salts), spreading a hub node's edge rows
+    * across `salts` aggregation keys, then merges the partials on u.
+    * Integer partial sums merge exactly, so the result is
+    * BIT-IDENTICAL to the unsalted path (spec-pinned; the gated twin
+    * shares graph_kcore's oracle) — the price is one extra exchange
+    * per round over the |alive-nodes|·salts-bounded partial table.
+    * Matters when a hub's per-key row group outgrows what map-side
+    * partial aggregation absorbs (hash-agg spill on the skewed key);
+    * the semi-join side's skew is AQE's skew-join territory and is
+    * untouched here. */
+  def kCoreSalted(edges: DataFrame, k: Int, rounds: Int,
+      salts: Int = 8): DataFrame = {
+    require(salts >= 2, s"salts must be >= 2 (use kCore for the " +
+      s"unsalted plan), got $salts")
+    kCoreImpl(edges, k, rounds, salts)
+  }
+
+  private def kCoreImpl(edges: DataFrame, k: Int, rounds: Int,
+      salts: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 5,
       s"rounds must be in [1, 5] (unrolled join depth), got $rounds")
     var und = edges
@@ -290,21 +314,35 @@ object Graph {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
     for (_ <- 1 to rounds) {
-      val alive = und.groupBy(col("u"))
-        .agg(count(lit(1)).as("d"))
+      val alive = saltedCount(und, "u", "v", salts, "d")
         .filter(col("d") >= k).select(col("u"))
       und = und.join(alive, Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
     }
-    und.groupBy(col("u").as("node"))
-      .agg(count(lit(1)).as("deg"))
+    saltedCount(und, "u", "v", salts, "deg")
+      .withColumnRenamed("u", "node")
   }
 
+  /** Per-key row count, optionally SALTED two-phase (salts >= 2):
+    * partial counts key on (key, xxhash64(other) mod salts), the
+    * merge sums partials per key. salts = 1 is the plain one-phase
+    * groupBy — same rows, same types, so the two paths are
+    * interchangeable anywhere a degree table is consumed. */
+  private def saltedCount(df: DataFrame, key: String, other: String,
+      salts: Int, out: String): DataFrame =
+    if (salts <= 1)
+      df.groupBy(col(key)).agg(count(lit(1)).as(out))
+    else
+      df.groupBy(col(key),
+          pmod(xxhash64(col(other)), lit(salts.toLong)).as("_salt"))
+        .agg(count(lit(1)).as("_pc"))
+        .groupBy(col(key)).agg(sum(col("_pc")).as(out))
+
   def commonNeighbors(edges: DataFrame, degreeCap: Int = 1000,
-      minShared: Long = 2L): DataFrame = {
+      minShared: Long = 2L, salts: Int = 1): DataFrame = {
     val e = edges.select(col("src").as("l"), col("dst").as("r")).distinct()
-    val rdeg = e.groupBy(col("r")).agg(count(lit(1)).as("rdeg"))
-    val ldeg = e.groupBy(col("l")).agg(count(lit(1)).as("ldeg"))
+    val rdeg = saltedCount(e, "r", "l", salts, "rdeg")
+    val ldeg = saltedCount(e, "l", "r", salts, "ldeg")
     val kept = e.join(rdeg.filter(col("rdeg") <= degreeCap)
       .select(col("r")), Seq("r"))
     val pairs = kept.as("x")

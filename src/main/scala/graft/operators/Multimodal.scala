@@ -450,9 +450,10 @@ object Multimodal {
       ch.select(col("chunk_hash"), col("chunk"))
         .groupBy(col("chunk_hash")).agg(min(col("chunk")).as("chunk")))
       .write.mode(mode).parquet(s"$dir/store")
-    val p = new org.apache.hadoop.fs.Path(staging)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(p, true)
+    // Checked staging cleanup: a silently-failed delete would leave
+    // the staging dir to shadow-collide with the next build's.
+    FsOps.deleteIfExists(FsOps.fsOf(spark, staging),
+      new org.apache.hadoop.fs.Path(staging))
   }
 
   /** Incrementally add a corpus batch to a [[writeChunkStore]] layout:

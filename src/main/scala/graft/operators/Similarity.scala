@@ -257,27 +257,36 @@ object Similarity {
     * plan depth — the per-round shape is unchanged.
     *
     * Determinism contract: rel and pairwise sims round to 6 dp; the λ
-    * blend then runs in EXACT DECIMAL over those 6-dp values (cast to
-    * DECIMAL(18,6), λ as the DECIMAL literal 0.7) — the blend of two
-    * 6-dp decimals is exact at 7 dp, so the final 6-dp round can never
-    * sit on a float-fuzz boundary (a double blend DID: probe 1's round-2
-    * score lands exactly on 0.2030395, where BigDecimal-expansion
-    * HALF_UP and scale-and-round disagree). All argmaxes tie-break by
-    * neighbor_id asc. Rank 1 reports mmr_r = rel (the empty-selection
-    * round has no redundancy term). */
+    * blend then runs in EXACT DECIMAL over those 6-dp values (scores
+    * cast to DECIMAL(12,6), λ as a DECIMAL(7,6) literal — λ itself is
+    * rounded HALF_UP to 6 dp, so any double λ blends exactly) — the
+    * blend of 6-dp decimals is exact at 12 dp, so the final 6-dp round
+    * can never sit on a float-fuzz boundary (a double blend DID: probe
+    * 1's round-2 score lands exactly on 0.2030395, where
+    * BigDecimal-expansion HALF_UP and scale-and-round disagree). All
+    * argmaxes tie-break by neighbor_id asc. Rank 1 reports mmr_r = rel
+    * (the empty-selection round has no redundancy term). */
   def mmrRerank(vecs: DataFrame, probes: DataFrame, depth: Int = 8,
       k: Int = 3, lambda: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // The pool and its pairwise sims are cached: they are the only
-    // corpus-derived frames (≤ depth·|probes| and depth²·|probes| rows)
-    // and every unrolled greedy round references them — without the
-    // cache each round re-runs the full corpus scan through the
-    // re-printed lineage (measured 3.0 s → 2.5 s at sf0.1 where the
-    // corpus scan is cheap; at 100 TB it is the difference between 1
-    // corpus scan and one per lineage repeat).
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    // The pool and its pairwise sims are LOCALLY CHECKPOINTED (not
+    // cache()d): they are the only corpus-derived frames (≤
+    // depth·|probes| and depth²·|probes| rows) and every unrolled
+    // greedy round references them — without materialization each
+    // round re-runs the full corpus scan through the re-printed
+    // lineage (measured 3.0 s → 2.5 s at sf0.1 where the corpus scan
+    // is cheap; at 100 TB it is the difference between 1 corpus scan
+    // and one per lineage repeat). localCheckpoint over cache because
+    // its blocks are freed by the ContextCleaner once the returned
+    // plan's RDDs are garbage-collected — a cache() entry here would
+    // leak two pinned frames into the session's storage memory per
+    // enumeration for the JVM lifetime, with no safe place to
+    // unpersist (the caller holds a lazy plan that still reads them).
     val cand = bruteForceTopK(vecs, probes, depth)
       .select(col("probe_id"), col("neighbor_id"), col("cos_r").as("rel"))
-      .cache()
+      .localCheckpoint()
     val candV = cand.join(
       vecs.select(col("vec_id").as("neighbor_id"), col("v")),
       Seq("neighbor_id"))
@@ -291,7 +300,7 @@ object Similarity {
       .filter(col("cid") =!= col("sid"))
       .select(col("probe_id"), col("cid"), col("sid"),
         round(cosine(col("cv"), col("sv")), 6).as("sim_r"))
-      .cache()
+      .localCheckpoint()
     val wSel = Window.partitionBy(col("probe_id"))
       .orderBy(col("rel").desc, col("neighbor_id").asc)
     var sel = cand
@@ -311,13 +320,23 @@ object Similarity {
         .agg(max(col("sim_r")).as("max_sim"))
       val wMmr = Window.partitionBy(col("probe_id"))
         .orderBy(col("mmr").desc, col("neighbor_id").asc)
-      val lam = lit(BigDecimal(lambda).setScale(1)).cast("decimal(2,1)")
-      val one = lit(BigDecimal(1).setScale(1)).cast("decimal(2,1)")
+      // λ as an exact DECIMAL(7,6) literal (6-dp HALF_UP of the
+      // double's shortest decimal form) — wide enough that ANY
+      // reasonable λ (0.75, 0.125, …) blends exactly; the previous
+      // DECIMAL(2,1) form threw ArithmeticException at plan build for
+      // every λ not representable at 1 decimal place. Precisions are
+      // kept tight (7,6 × 12,6 → 20,12; the subtraction lands at
+      // 22,12) so no intermediate ever exceeds DECIMAL(38) — wider
+      // operands would trip Spark's precision-loss scale reduction
+      // and reintroduce double rounding at the 12th digit.
+      val lam = lit(java.math.BigDecimal.valueOf(lambda)
+        .setScale(6, java.math.RoundingMode.HALF_UP)).cast("decimal(7,6)")
+      val one = lit(BigDecimal(1).setScale(6)).cast("decimal(7,6)")
       val pick = remaining
         .join(maxSim, Seq("probe_id", "neighbor_id"))
         .withColumn("mmr", round(
-          lam * col("rel").cast("decimal(18,6)") -
-            (one - lam) * col("max_sim").cast("decimal(18,6)"), 6)
+          lam * col("rel").cast("decimal(12,6)") -
+            (one - lam) * col("max_sim").cast("decimal(12,6)"), 6)
           .cast("double"))
         .withColumn("rn", row_number().over(wMmr)).filter(col("rn") === 1)
         .select(col("probe_id"), col("neighbor_id"),
@@ -341,7 +360,18 @@ object Similarity {
          |  IF(element_at(v, i + $lo) >= CAST(0 AS DOUBLE),
          |     shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))),
          |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
-    vecs.select(col("vec_id"), half(0).as("code0"), half(32).as("code1"))
+    // The packing width is fixed at 64 (two 32-bit halves; the sidecar
+    // records bits=64). A shorter vector would silently encode its
+    // missing dims as 0-bits (element_at past the end is null → the
+    // else branch) and a longer one would silently drop dims beyond
+    // 64 — both skew Hamming distances instead of failing, so the
+    // contract is enforced loudly per row.
+    val checked = vecs.select(col("vec_id"),
+      when(size(col("v")) === 64, col("v")).otherwise(raise_error(concat(
+        lit("bqCodes packs exactly 64 dims (bits=64); got "),
+        size(col("v")).cast("string"), lit(" dims for vec_id "),
+        col("vec_id").cast("string")))).as("v"))
+    checked.select(col("vec_id"), half(0).as("code0"), half(32).as("code1"))
   }
 
   /** Two-stage binary-quantized search (the classic BQ serve: Hamming
@@ -359,13 +389,17 @@ object Similarity {
       k: Int = 3): DataFrame =
     bqServe(bqCodes(vecs), vecs, probes, shortlist, k)
 
-  /** Persist the BQ layout: the (vec_id, code0, code1) code table —
-    * 16 bytes/vector, the artifact a BQ deployment actually stores
-    * (floats stay in the corpus table and are read only by the
-    * re-rank's shortlist join). Codes are per-vector, so the layout
-    * appends bit-trivially. */
+  /** Persist the BQ layout: the (vec_id, code0, code1) code table
+    * under `$dir/codes` — 16 bytes/vector, the artifact a BQ
+    * deployment actually stores (floats stay in the corpus table and
+    * are read only by the re-rank's shortlist join). Codes are
+    * per-vector, so the layout appends bit-trivially; deletes use the
+    * layout-agnostic tombstone table ([[deleteFromBqIndex]]) beside
+    * the code table, the same lifecycle discipline as the flat/SQ8/PQ
+    * rungs. A rebuild clears stale tombstones first. */
   def writeBqIndex(vecs: DataFrame, dir: String): Unit = {
-    bqCodes(vecs).write.mode("overwrite").parquet(dir)
+    clearTombstones(vecs.sparkSession, dir)
+    bqCodes(vecs).write.mode("overwrite").parquet(s"$dir/codes")
     IndexMeta.write(vecs.sparkSession, dir,
       "layout" -> "bq", "bits" -> "64")
   }
@@ -373,22 +407,78 @@ object Similarity {
   /** APPEND a vector batch's codes to a stored [[writeBqIndex]]
     * layout — per-vector rows, so build-half + append-half IS the
     * monolithic table (same rows, any file split); the gated query
-    * shares the monolithic oracle. */
+    * shares the monolithic oracle. Tombstones for re-added ids
+    * reconcile AFTER the data append commits ([[appendIvfIndex]]'s
+    * crash-window contract). */
   def appendBqIndex(spark: org.apache.spark.sql.SparkSession,
       vecs: DataFrame, dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64")
-    bqCodes(vecs).write.mode("append").parquet(dir)
+    bqCodes(vecs).write.mode("append").parquet(s"$dir/codes")
+    reconcileTombstonesAfterAppend(spark, dir,
+      vecs.select(col("vec_id")))
+  }
+
+  /** Tombstone-DELETE from the BQ layout — the tombstone table is
+    * layout-agnostic (ids only), so this IS [[deleteFromIvfIndex]]'s
+    * contract applied to the BQ dir: ids land in `tombstones/`, the
+    * code files are untouched, and the serve masks them BEFORE the
+    * Hamming shortlist ranks (so the shortlist fills with survivors,
+    * never with ghosts that the re-rank would then drop —
+    * under-returning k). [[compactBqIndex]] reclaims the space. */
+  def deleteFromBqIndex(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, dir: String): Unit =
+    deleteFromIvfIndex(spark, ids, dir)
+
+  /** Compact the BQ layout: rewrite the code table without the
+    * tombstoned rows and drain the tombstone table — the whole-dir
+    * staged swap (codes are NOT cell-partitioned, so the unit of
+    * rewrite is the table, simpler than [[compactIvfIndex]]'s
+    * per-partition loop; the table is 16 B/vector, so even a full
+    * rewrite moves 1/32nd of the corpus bytes). A compaction that
+    * drains EVERY row swaps in a zero-row schema-preserving file so
+    * the table stays readable, and a later [[appendBqIndex]] appends
+    * beside it harmlessly (the table is unpartitioned — no
+    * mixed-partition-depth hazard). Serve parity with the uncompacted
+    * masked table is bit-for-bit (spec-pinned). */
+  def compactBqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64")
+    val fs = FsOps.fsOf(spark, dir)
+    readTombstones(spark, dir).foreach { tombs =>
+      val codes = spark.read.parquet(s"$dir/codes")
+      val staging = s"$dir/codes_compacting"
+      codes.join(broadcast(tombs), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(staging)
+      // A full drain can leave the staged write with no data file
+      // (every task empty); re-stage a zero-row schema-preserving
+      // file so the swapped-in table still reads.
+      val hasData = fs.listStatus(new Path(staging))
+        .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (!hasData)
+        codes.limit(0).write.mode("overwrite").parquet(staging)
+      FsOps.swapInto(fs, staging, s"$dir/codes")
+      val tombStaging = s"$dir/tombstones_next"
+      tombs.limit(0).write.mode("overwrite").parquet(tombStaging)
+      FsOps.swapInto(fs, tombStaging, s"$dir/tombstones")
+    }
   }
 
   /** [[bqRerank]] served from a stored [[writeBqIndex]] code table —
     * bit-identical to the in-memory path (BIGINT codes round-trip
     * parquet exactly; spec-pinned). `vecs` supplies the floats the
-    * re-rank stage reads for the shortlist survivors. */
+    * re-rank stage reads for the shortlist survivors. Deleted ids
+    * mask via one broadcast anti-join over the 16-byte code rows,
+    * BEFORE the shortlist window ranks. */
   def bqRerankFromIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, vecs: DataFrame, probes: DataFrame,
       shortlist: Int = 20, k: Int = 3): DataFrame = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64")
-    bqServe(spark.read.parquet(dir), vecs, probes, shortlist, k)
+    val codes1 = spark.read.parquet(s"$dir/codes")
+    val codes = readTombstones(spark, dir)
+      .map(t => codes1.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(codes1)
+    bqServe(codes, vecs, probes, shortlist, k)
   }
 
   private def bqServe(codes: DataFrame, vecs: DataFrame,
@@ -1036,6 +1126,7 @@ object Similarity {
       vecs2: DataFrame, dir: String, m: Int = 4): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_pq",
       "m" -> m.toString)
+    clearDrainedPlaceholder(spark, s"$dir/codes")
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
     val idx = trainedAssign(vecs2, cents, 1)
@@ -1302,6 +1393,7 @@ object Similarity {
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
       vecs2: DataFrame, dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_flat")
+    clearDrainedPlaceholder(spark, s"$dir/index")
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = trainedAssign(vecs2, cents, 1)
       .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
@@ -1359,12 +1451,44 @@ object Similarity {
 
   /** A REBUILD supersedes prior deletions: stale tombstones under the
     * target dir would wrongly mask ids present in the new index. Every
-    * write entry point clears them first. */
+    * write entry point clears them first — through the CHECKED delete
+    * (a false-returning `fs.delete` with the path still present would
+    * leave stale tombstones silently masking rows in the next build,
+    * exactly the failure class FsOps exists to kill). */
   private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(p, true)
+    FsOps.deleteIfExists(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** A FULL-DRAIN compaction replaces a cell-partitioned table with a
+    * zero-row NON-partitioned placeholder file at the table root
+    * ([[compactCellTable]]'s drained branch — a partitioned write of
+    * zero rows would leave no parquet footer at all and the next read
+    * would fail schema inference). A later partitioned APPEND would
+    * write `cell=` dirs BESIDE that root file, and the next read of
+    * the table fails Spark's partition discovery (mixed partition
+    * depths) — so every append leg clears the placeholder first.
+    * Root-level data files with no `cell=` sibling can ONLY be the
+    * drained marker (every build/append writes partitioned), so the
+    * whole table dir is safe to drop; with any `cell=` dir present
+    * the table is live and nothing is touched. */
+  private def clearDrainedPlaceholder(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(tableDir)
+    val fs = FsOps.fsOf(spark, tableDir)
+    if (fs.exists(p)) {
+      val entries = fs.listStatus(p)
+      val hasCells = entries.exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("cell="))
+      val rootData = entries.exists(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      if (!hasCells && rootData) FsOps.deleteIfExists(fs, p)
+    }
   }
 
   private val TombstoneSchema =
@@ -1594,6 +1718,7 @@ object Similarity {
   def appendIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
       vecs2: DataFrame, dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8")
+    clearDrainedPlaceholder(spark, s"$dir/index")
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = trainedAssign(vecs2, cents, 1)
       .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
@@ -1629,14 +1754,36 @@ object Similarity {
     * Deleted ids mask via the broadcast tombstone anti-join. */
   def searchIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
       dir: String, probes: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8")
     val cents = spark.read.parquet(s"$dir/centroids")
     val idx1 = spark.read.parquet(s"$dir/index")
     val idx = readTombstones(spark, dir)
       .map(t => idx1.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(idx1)
+    sq8TopKFrom(idx, cents, probes, k, nprobe)
+  }
+
+  /** IN-MEMORY SQ8 serve — [[searchIvfSq8Index]]'s exact scoring
+    * frame over a just-quantized corpus, no persisted layout: the
+    * ladder-comparison entry point ([[recallAtK]] across rungs wants
+    * every rung buildable in one query). One shared private scoring
+    * definition, so this and the persisted serve cannot diverge on
+    * the determinism contract. */
+  def ivfSq8TopK(vecs: DataFrame, probes: DataFrame, cents: DataFrame,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    val cells = trainedAssign(vecs, cents, 1)
+      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
+    sq8TopKFrom(sq8Rows(vecs).join(cells, Seq("vec_id")), cents, probes,
+      k, nprobe)
+  }
+
+  /** Shared SQ8 scoring stage (in-memory and persisted serves): probe
+    * cell assignment, cell-equi candidate join, asymmetric MIPS over
+    * the dequantized codes, rank (ip_r desc, neighbor asc, top-k). */
+  private def sq8TopKFrom(idx: DataFrame, cents: DataFrame,
+      probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val pcells = trainedAssign(probes, cents, nprobe)
       .select(col("probe_id"), col("cid").as("pcell"))
     val pb = probes.select(col("vec_id").as("probe_id"), col("v").as("pv"))

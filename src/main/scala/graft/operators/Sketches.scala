@@ -459,10 +459,18 @@ object Sketches {
     * rather than clamped, since a clamp would silently break the
     * est ≥ true contract. */
   def cmsSubtract(a: DataFrame, b: DataFrame): DataFrame = {
+    // FULL-outer join: a cell present only in `b` means the retracted
+    // stream touched a cell the built sketch never did — with a left
+    // join that row would silently vanish and a non-subset retraction
+    // whose extra keys hash only into untouched cells would pass.
+    // Treating the missing `c` as 0 sends the cell negative, which
+    // hits the raise below — the documented loud failure.
     val diff = a
-      .join(b.withColumnRenamed("c", "c_del"), Seq("j", "bucket"), "left")
+      .join(b.withColumnRenamed("c", "c_del"), Seq("j", "bucket"),
+        "full_outer")
       .select(col("j"), col("bucket"),
-        (col("c") - coalesce(col("c_del"), lit(0L))).as("c"))
+        (coalesce(col("c"), lit(0L)) -
+          coalesce(col("c_del"), lit(0L))).as("c"))
     diff.select(col("j"), col("bucket"),
       when(col("c") >= 0, col("c")).otherwise(raise_error(concat(
         lit("cmsSubtract: cell ("), col("j").cast("string"), lit(","),

@@ -645,10 +645,12 @@ object TextAnalysis {
       nBuckets: Int = 64): Unit = {
     // A rebuild supersedes any prior deletions: stale tombstones left
     // under the target dir would wrongly mask (and double-subtract)
-    // docs present in the NEW index.
+    // docs present in the NEW index. Checked delete — a false return
+    // with the path still present must fail loudly, not leave the
+    // stale mask in place (FsOps's discipline).
     val tp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    tp.getFileSystem(documents.sparkSession.sparkContext
-      .hadoopConfiguration).delete(tp, true)
+    FsOps.deleteIfExists(
+      FsOps.fsOf(documents.sparkSession, dir), tp)
     val words = documents
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "term")))

@@ -281,8 +281,16 @@ object PipelineQueries {
     * halves, XOR+popcount Hamming shortlist, exact-cosine re-rank —
     * shared by the corpus-scan, persisted and append twins (BIGINT
     * codes round-trip parquet exactly; append rows are per-vector).
+    * `idxPred` is the index-side lifecycle hook (an `AND …` fragment
+    * over `c.vec_id`): empty for the scan/persist/append twins, the
+    * tombstone exclusion for sim_bq_delete — applied in the Hamming
+    * CTE, BEFORE the shortlist ranks, exactly where the serve's
+    * anti-join masks (probes are never filtered: deleting a vector
+    * retracts candidates, not queries).
     */
-  private def bqRerankSql: String =
+  private def bqRerankSql: String = bqRerankSqlWhere("")
+
+  private def bqRerankSqlWhere(idxPred: String): String =
     s"""WITH $ovecsCte,
        |codes AS (SELECT vec_id,
        |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
@@ -297,7 +305,7 @@ object PipelineQueries {
        |ham AS (SELECT probe_id, c.vec_id AS neighbor_id,
        |          CAST(bit_count(xor(p0, c.code0)) +
        |               bit_count(xor(p1, c.code1)) AS INTEGER) AS ham
-       |        FROM probes, codes c WHERE c.vec_id <> probe_id),
+       |        FROM probes, codes c WHERE c.vec_id <> probe_id $idxPred),
        |short AS (SELECT probe_id, neighbor_id, ham FROM (
        |  SELECT *, row_number() OVER (PARTITION BY probe_id
        |    ORDER BY ham, neighbor_id) AS hrnk FROM ham)
@@ -311,6 +319,147 @@ object PipelineQueries {
        |SELECT probe_id, neighbor_id, ham, cos_r, rnk
        |FROM ranked WHERE rnk <= 3
        |ORDER BY probe_id, rnk""".stripMargin
+
+  /** Recall-LADDER replay: every compression rung's top-3 (probes =
+    * vec_id < 10, nprobe = 2, each rung's OWN scoring — cosine for
+    * flat IVF, asymmetric MIPS for SQ8, ADC L2² for PQ, Hamming
+    * shortlist + exact re-rank for BQ) intersected with the exact
+    * brute-force cosine top-3 on the same probes; output is the
+    * integer overlap count per (layout, probe). All IVF-family rungs
+    * share ONE trained-cell frame (di/dir/idx/pas — the same kmeans
+    * the per-rung replays use), so the ladder measures the
+    * quantization rungs, not quantizer drift. The artifact a
+    * deployment reads to choose a rung: every serve is deterministic,
+    * so recall is oracle-able as exact integers — no sampling, no
+    * tolerance. */
+  private def recallLadderSql: String =
+    s"""WITH $ovecsCte,
+       |$kmeansCte,
+       |di AS (
+       |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+       |  FROM dims d JOIN c2 c USING (pos) GROUP BY d.vec_id, c.cid),
+       |dir AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
+       |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dir WHERE rn = 1),
+       |pas AS (SELECT vec_id AS probe_id, cid AS cell FROM dir
+       |        WHERE vec_id < 10 AND rn <= 2),
+       |bfs AS (
+       |  SELECT p.vec_id AS probe_id, o.vec_id AS neighbor_id,
+       |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |  FROM ovecs p, ovecs o
+       |  WHERE p.vec_id < 10 AND o.vec_id <> p.vec_id),
+       |bf AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM bfs)
+       |  WHERE rnk <= 3),
+       |ivfs AS (
+       |  SELECT a.probe_id, o.vec_id AS neighbor_id,
+       |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |  FROM pas a JOIN ovecs p ON p.vec_id = a.probe_id
+       |  JOIN idx i ON i.cell = a.cell
+       |  JOIN ovecs o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
+       |ivf AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM ivfs)
+       |  WHERE rnk <= 3),
+       |sq AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |       FROM ovecs),
+       |sqc AS (SELECT vec_id, scale,
+       |          list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+       |            ELSE round(x / scale) END) AS q
+       |        FROM sq),
+       |sq8s AS (
+       |  SELECT a.probe_id, o.vec_id AS neighbor_id,
+       |         round(o.scale * list_dot_product(p.v, o.q), 6) AS ip_r
+       |  FROM pas a JOIN ovecs p ON p.vec_id = a.probe_id
+       |  JOIN idx i ON i.cell = a.cell
+       |  JOIN sqc o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
+       |sq8 AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY ip_r DESC, neighbor_id) AS rnk FROM sq8s)
+       |  WHERE rnk <= 3),
+       |subsp AS (SELECT unnest(generate_series(0, 3)) AS sub),
+       |subs AS (
+       |  SELECT vec_id, sub,
+       |         v[(sub * (len(v) // 4) + 1):((sub + 1) * (len(v) // 4))] AS sv
+       |  FROM ovecs CROSS JOIN subsp),
+       |cb AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 8),
+       |dq AS (
+       |  SELECT a.vec_id, a.sub, cb.cid,
+       |         list_dot_product(a.sv, a.sv)
+       |           - 2.0 * list_dot_product(a.sv, cb.cv)
+       |           + list_dot_product(cb.cv, cb.cv) AS dist2
+       |  FROM subs a JOIN cb USING (sub)),
+       |pqcodes AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid, row_number() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY round(dist2, 6), cid) AS rn
+       |    FROM dq) WHERE rn = 1),
+       |ptab AS (
+       |  SELECT p.vec_id AS probe_id, p.sub, cb.cid,
+       |         list_dot_product(p.sv, p.sv)
+       |           - 2.0 * list_dot_product(p.sv, cb.cv)
+       |           + list_dot_product(cb.cv, cb.cv) AS pd2
+       |  FROM subs p JOIN cb USING (sub) WHERE p.vec_id < 10),
+       |pqs AS (
+       |  SELECT a.probe_id, c.vec_id AS neighbor_id,
+       |         CAST(CAST(sum(CAST(round(p.pd2, 6) AS DECIMAL(18,6)))
+       |              AS DECIMAL(38,6)) AS DOUBLE) AS adist
+       |  FROM pas a
+       |  JOIN idx i ON i.cell = a.cell
+       |  JOIN pqcodes c ON c.vec_id = i.corpus_id AND c.vec_id <> a.probe_id
+       |  JOIN ptab p ON p.probe_id = a.probe_id
+       |             AND p.sub = c.sub AND p.cid = c.cid
+       |  GROUP BY a.probe_id, c.vec_id),
+       |pq AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY adist, neighbor_id) AS rnk FROM pqs)
+       |  WHERE rnk <= 3),
+       |bcodes AS (SELECT vec_id,
+       |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
+       |    CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1))
+       |         ELSE 0::BIGINT END)) AS BIGINT) AS code0,
+       |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
+       |    CASE WHEN v[i + 32] >= 0 THEN (1::BIGINT << (i - 1))
+       |         ELSE 0::BIGINT END)) AS BIGINT) AS code1
+       |  FROM ovecs),
+       |bprobes AS (SELECT vec_id AS probe_id, code0 AS p0, code1 AS p1
+       |            FROM bcodes WHERE vec_id < 10),
+       |bham AS (SELECT probe_id, c.vec_id AS neighbor_id,
+       |           CAST(bit_count(xor(p0, c.code0)) +
+       |                bit_count(xor(p1, c.code1)) AS INTEGER) AS ham
+       |         FROM bprobes, bcodes c WHERE c.vec_id <> probe_id),
+       |bshort AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY ham, neighbor_id) AS hrnk FROM bham)
+       |  WHERE hrnk <= 20),
+       |brr AS (SELECT s.probe_id, s.neighbor_id,
+       |          round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |        FROM bshort s JOIN ovecs p ON p.vec_id = s.probe_id
+       |        JOIN ovecs o ON o.vec_id = s.neighbor_id),
+       |bq AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM brr)
+       |  WHERE rnk <= 3),
+       |approx AS (
+       |  SELECT 'bq' AS layout, probe_id, neighbor_id FROM bq
+       |  UNION ALL SELECT 'ivf', probe_id, neighbor_id FROM ivf
+       |  UNION ALL SELECT 'pq', probe_id, neighbor_id FROM pq
+       |  UNION ALL SELECT 'sq8', probe_id, neighbor_id FROM sq8),
+       |nex AS (SELECT probe_id, count(*) AS n_exact FROM bf
+       |        GROUP BY probe_id),
+       |hit AS (SELECT layout, probe_id, count(*) AS hits
+       |        FROM approx JOIN bf USING (probe_id, neighbor_id)
+       |        GROUP BY layout, probe_id),
+       |layouts AS (SELECT unnest(['bq','ivf','pq','sq8']) AS layout)
+       |SELECT l.layout, n.probe_id,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(n.n_exact AS BIGINT) AS n_exact
+       |FROM layouts l CROSS JOIN nex n
+       |LEFT JOIN hit h ON h.layout = l.layout AND h.probe_id = n.probe_id
+       |ORDER BY l.layout, n.probe_id""".stripMargin
 
   /** The IVF replay's RANGE tail: same trained cells, probe set and
     * scored frame as [[ivfKmeansSearchSqlWhere]], but thresholded
@@ -1965,6 +2114,55 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // BQ delete leg — the lifecycle matrix's last open cell closed:
+    // tombstone every 7th vector (the layout-agnostic id table,
+    // sim_ivf_delete's contract on the 16-byte code rows) and serve;
+    // the broadcast anti-join masks deleted codes BEFORE the Hamming
+    // shortlist ranks, so the shortlist fills with survivors. Oracle:
+    // the BQ replay with the deleted ids excluded from the Hamming
+    // CTE's corpus side (probes untouched). PipelineSpec additionally
+    // pins delete ≡ rebuild-over-survivors, compaction serve parity +
+    // tombstone drain, and the full-drain → append → serve flow.
+    "sim_bq_delete" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val dir = FlowLogQueries.scratchDir("graft_bq_del")
+      Similarity.writeBqIndex(vecs, dir)
+      Similarity.deleteFromBqIndex(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.bqRerankFromIndex(s, dir, vecs,
+        vecs.filter(col("vec_id") < 10))
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // The RECALL LADDER — the artifact a deployment reads to choose a
+    // compression rung: every rung's top-3 (flat IVF cosine, SQ8
+    // asymmetric MIPS, PQ ADC, BQ Hamming+re-rank; one shared trained
+    // quantizer, probes vec_id < 10, nprobe 2) intersected with the
+    // exact brute-force cosine top-3 — integer overlap counts per
+    // (layout, probe), no sampling, no tolerance (every serve is
+    // deterministic, so recall itself is oracle-able). Turns the
+    // per-spec recall pins into one driver-gated row.
+    "sim_recall_ladder" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val probes = vecs.filter(col("vec_id") < 10)
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val bf = Similarity.bruteForceTopK(vecs, probes, 3)
+      def rung(layout: String,
+          approx: org.apache.spark.sql.DataFrame) =
+        Similarity.recallAtK(bf, approx)
+          .select(lit(layout).as("layout"), col("probe_id"),
+            col("hits"), col("n_exact"))
+      rung("bq", Similarity.bqRerank(vecs, probes, shortlist = 20, k = 3))
+        .unionByName(rung("ivf",
+          Similarity.ivfSearchTrained(vecs, probes, cents, 3, nprobe = 2)))
+        .unionByName(rung("pq", Similarity.ivfPqTopK(vecs, probes, 3)))
+        .unionByName(rung("sq8",
+          Similarity.ivfSq8TopK(vecs, probes, cents, 3, nprobe = 2)))
+        .orderBy("layout", "probe_id")
+    }),
+
     // RANGE serve from the persisted IVF layout: the full cos ≥ 0.2
     // ball within the probed cells (threshold recall, no top-k window
     // anywhere) — sim_range_search's contract without the corpus scan.
@@ -3328,6 +3526,8 @@ object PipelineQueries {
     "sim_bq_rerank" -> bqRerankSql,
     "sim_bq_persist" -> bqRerankSql,
     "sim_bq_append" -> bqRerankSql,
+    "sim_bq_delete" -> bqRerankSqlWhere("AND c.vec_id % 7 <> 0"),
+    "sim_recall_ladder" -> recallLadderSql,
 
     // SQ8 layout: the quantized-MIPS replay (same trained cells and
     // probe set; scoring over per-vector-scaled int8 codes).

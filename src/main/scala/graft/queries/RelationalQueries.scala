@@ -1667,6 +1667,27 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // kCore's SALTED twin — the documented 100 TB skew adaptation for
+    // power-law hubs: every degree count runs two-phase on
+    // (u, xxhash64(v) mod 8) partials before merging on u, so a hub
+    // node's edge rows spread across 8 aggregation keys instead of
+    // one. Integer partial sums merge exactly — the output is
+    // BIT-IDENTICAL to graph_kcore (shared oracle; GraphOpsSpec pins
+    // the row-for-row parity and the two-phase plan shape).
+    "graph_kcore_salted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .distinct()
+      graft.operators.Graph.kCoreSalted(edges, k = 5, rounds = 3,
+        salts = 8)
+        .orderBy("node")
+    }),
+
     // Common-neighbor link prediction on the supplier—part bipartite
     // graph: supplier pairs ranked by neighbor-set Jaccard (integer
     // micro-units) — the friends-of-friends self-join keyed on the
@@ -1853,6 +1874,36 @@ object RelationalQueries {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size")))
   )
+
+  /** Unrolled 3-round k-core peel replay (k=5 over the part
+    * co-occurrence graph): degrees on the survivors, sub-5 nodes
+    * drop, both endpoints must survive for an edge to survive; output
+    * = degrees inside the round-3 subgraph. Shared by graph_kcore and
+    * its salted twin (two-phase integer partials merge to exactly the
+    * one-phase degrees). */
+  private val kcoreSql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+      |            WHERE l_orderkey % 100 = 0),
+      |e0 AS (SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+      |         CAST(y.l_partkey AS BIGINT) AS b
+      |       FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |        AND x.l_partkey < y.l_partkey),
+      |u0 AS (SELECT a AS u, b AS v FROM e0
+      |       UNION ALL SELECT b, a FROM e0),
+      |d1 AS (SELECT u, count(*) AS d FROM u0 GROUP BY u),
+      |a1 AS (SELECT u FROM d1 WHERE d >= 5),
+      |u1 AS (SELECT u, v FROM u0 WHERE u IN (SELECT u FROM a1)
+      |         AND v IN (SELECT u FROM a1)),
+      |d2 AS (SELECT u, count(*) AS d FROM u1 GROUP BY u),
+      |a2 AS (SELECT u FROM d2 WHERE d >= 5),
+      |u2 AS (SELECT u, v FROM u1 WHERE u IN (SELECT u FROM a2)
+      |         AND v IN (SELECT u FROM a2)),
+      |d3 AS (SELECT u, count(*) AS d FROM u2 GROUP BY u),
+      |a3 AS (SELECT u FROM d3 WHERE d >= 5),
+      |u3 AS (SELECT u, v FROM u2 WHERE u IN (SELECT u FROM a3)
+      |         AND v IN (SELECT u FROM a3))
+      |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+      |FROM u3 GROUP BY u ORDER BY node""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // The HLL estimates themselves are engine-specific; the gate checks
@@ -2815,30 +2866,11 @@ object RelationalQueries {
 
     // Unrolled 3-round peel replay: degrees on the survivors, sub-5
     // nodes drop, both endpoints must survive for an edge to survive;
-    // output = degrees inside the round-3 subgraph.
-    "graph_kcore" ->
-      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
-        |            WHERE l_orderkey % 100 = 0),
-        |e0 AS (SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
-        |         CAST(y.l_partkey AS BIGINT) AS b
-        |       FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
-        |        AND x.l_partkey < y.l_partkey),
-        |u0 AS (SELECT a AS u, b AS v FROM e0
-        |       UNION ALL SELECT b, a FROM e0),
-        |d1 AS (SELECT u, count(*) AS d FROM u0 GROUP BY u),
-        |a1 AS (SELECT u FROM d1 WHERE d >= 5),
-        |u1 AS (SELECT u, v FROM u0 WHERE u IN (SELECT u FROM a1)
-        |         AND v IN (SELECT u FROM a1)),
-        |d2 AS (SELECT u, count(*) AS d FROM u1 GROUP BY u),
-        |a2 AS (SELECT u FROM d2 WHERE d >= 5),
-        |u2 AS (SELECT u, v FROM u1 WHERE u IN (SELECT u FROM a2)
-        |         AND v IN (SELECT u FROM a2)),
-        |d3 AS (SELECT u, count(*) AS d FROM u2 GROUP BY u),
-        |a3 AS (SELECT u FROM d3 WHERE d >= 5),
-        |u3 AS (SELECT u, v FROM u2 WHERE u IN (SELECT u FROM a3)
-        |         AND v IN (SELECT u FROM a3))
-        |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
-        |FROM u3 GROUP BY u ORDER BY node""".stripMargin,
+    // output = degrees inside the round-3 subgraph. The salted twin
+    // shares it verbatim: two-phase integer partial counts merge to
+    // exactly the one-phase degrees.
+    "graph_kcore" -> kcoreSql,
+    "graph_kcore_salted" -> kcoreSql,
 
     "graph_label_prop" ->
       """WITH e0 AS (
