@@ -244,4 +244,52 @@ class GraphOpsSpec extends SparkSpec {
     assert(r3.size < n0,
       "the 5-core equals the whole graph — k no longer binds")
   }
+
+  test("kCoreSalted: bit-identical to the unsalted peel, and the " +
+      "degree aggregation really runs two-phase") {
+    // The 100 TB hub-skew adaptation: every degree count partials on
+    // (u, xxhash64(v) mod salts) before merging on u. Integer partial
+    // sums merge exactly — parity must hold on ANY graph, pinned here
+    // on both the geometry fixture and the gated corpus graph.
+    val k4 = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L))
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 10L))
+    val fixture = (k4 ++ chain).toDF("src", "dst")
+    assert(
+      Graph.kCoreSalted(fixture, k = 2, rounds = 3, salts = 8)
+        .as[(Long, Long)].collect().toMap ===
+        Graph.kCore(fixture, k = 2, rounds = 3)
+          .as[(Long, Long)].collect().toMap,
+      "salted peel diverged on the geometry fixture")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      .distinct()
+    val salted = Graph.kCoreSalted(edges, k = 5, rounds = 3, salts = 8)
+    assert(
+      salted.as[(Long, Long)].collect().toMap ===
+        Graph.kCore(edges, k = 5, rounds = 3)
+          .as[(Long, Long)].collect().toMap,
+      "salted peel diverged on the corpus graph")
+    // Plan shape: the salt key must actually reach the aggregation —
+    // one partial-count alias (`_pc`) per peel round plus the output
+    // degree agg = 4 in the analyzed plan's FIRST lineage print;
+    // like the kcore degree-alias pin, re-prints under the semi-join
+    // subtrees inflate the raw count, so pin presence + per-round
+    // salt keys via the `_salt` alias instead of an exact count.
+    val plan = salted.queryExecution.analyzed.toString
+    assert(" AS _pc".r.findAllIn(plan).nonEmpty &&
+      " AS _salt".r.findAllIn(plan).nonEmpty,
+      "salted two-phase aggregation missing from the plan")
+    // And the unsalted plan must NOT carry the salt machinery — the
+    // default path's shape is unchanged.
+    val plain = Graph.kCore(edges, k = 5, rounds = 3)
+      .queryExecution.analyzed.toString
+    assert(!plain.contains(" AS _salt"),
+      "unsalted kCore unexpectedly grew the salt key")
+  }
 }

@@ -1383,6 +1383,130 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bqCodes fails loudly on a non-64-dim vector instead of " +
+      "silently skewing Hamming distances") {
+    import graft.operators.Similarity
+    val short = Seq((1L, (1 to 63).map(_.toDouble))).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      Similarity.bqCodes(short).collect()
+    }
+    assert(e.getMessage.contains("64"),
+      s"expected the 64-dim contract in the error, got: ${e.getMessage}")
+  }
+
+  test("BQ delete/compact lifecycle: masked serve equals " +
+      "rebuild-over-survivors, compaction serves identically and " +
+      "drains, full drain stays readable and re-appends cleanly") {
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 10)
+    val survivors = vecs.filter($"vec_id" % 7 =!= 0)
+    withTempDir("graft_bq_del_spec") { dir =>
+      Similarity.writeBqIndex(vecs, dir)
+      Similarity.deleteFromBqIndex(spark,
+        vecs.filter($"vec_id" % 7 === 0).select($"vec_id"), dir)
+      val masked = Similarity.bqRerankFromIndex(spark, dir, vecs, probes)
+      val r1 = masked.collect().toSet
+      assert(r1.nonEmpty, "masked BQ serve returned nothing")
+      assert(masked.filter($"neighbor_id" % 7 === 0).isEmpty,
+        "a deleted id appeared as a BQ neighbor")
+      // Delete ≡ rebuild over the survivors: the mask applies BEFORE
+      // the Hamming shortlist ranks, so the shortlist fills with
+      // survivors exactly as a fresh build's would.
+      withTempDir("graft_bq_rebuild") { dir2 =>
+        Similarity.writeBqIndex(survivors, dir2)
+        val rebuilt = Similarity.bqRerankFromIndex(spark, dir2, vecs,
+          probes).collect().toSet
+        assert(rebuilt === r1,
+          "BQ delete diverged from a rebuild over the survivors")
+      }
+      // Compaction: identical serve, drained tombstones, rows gone.
+      Similarity.compactBqIndex(spark, dir)
+      val r2 = Similarity.bqRerankFromIndex(spark, dir, vecs, probes)
+        .collect().toSet
+      assert(r2 === r1, "compacted BQ serve diverged from the masked serve")
+      assert(spark.read.schema("vec_id LONG")
+          .parquet(s"$dir/tombstones").isEmpty,
+        "BQ tombstones not drained by compaction")
+      assert(spark.read.parquet(s"$dir/codes")
+          .filter($"vec_id" % 7 === 0).isEmpty,
+        "BQ compaction left deleted code rows behind")
+      // FULL drain: delete everything, compact — the code table must
+      // stay readable (zero-row schema-preserving file), and a later
+      // append must serve exactly a fresh build over the new batch
+      // (the table is unpartitioned, so the placeholder coexists with
+      // appended files harmlessly).
+      Similarity.deleteFromBqIndex(spark, vecs.select($"vec_id"), dir)
+      Similarity.compactBqIndex(spark, dir)
+      assert(spark.read.parquet(s"$dir/codes").isEmpty,
+        "fully-drained BQ code table must read back as zero rows")
+      assert(Similarity.bqRerankFromIndex(spark, dir, vecs, probes)
+          .isEmpty, "a deleted row resurfaced after a full BQ drain")
+      val batch = vecs.filter($"vec_id" % 3 === 0)
+      Similarity.appendBqIndex(spark, batch, dir)
+      val reAdded = Similarity.bqRerankFromIndex(spark, dir, vecs, probes)
+        .collect().toSet
+      withTempDir("graft_bq_fresh") { dir3 =>
+        Similarity.writeBqIndex(batch, dir3)
+        val fresh = Similarity.bqRerankFromIndex(spark, dir3, vecs,
+          probes).collect().toSet
+        assert(reAdded.nonEmpty && reAdded === fresh,
+          "append after a full BQ drain diverged from a fresh build")
+      }
+    }
+  }
+
+  test("IVF append after a FULL-drain compaction: the drained " +
+      "placeholder clears and the partitioned table serves the batch") {
+    // The drained-table corner of the append leg: a full-drain
+    // compaction leaves a zero-row NON-partitioned placeholder at the
+    // table root; an append must not write cell= dirs beside it
+    // (mixed partition depths would fail the next read's partition
+    // discovery) — the placeholder clears first, and the served
+    // result equals a fresh build of the appended batch under the
+    // same stored centroids.
+    import graft.operators.Similarity
+    val vecs = clusteredVecs().select($"vec_id", $"v")
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    val probes = vecs.filter($"vec_id" < 10)
+    val batch = vecs.filter($"vec_id" % 3 === 0)
+    withTempDir("graft_drain_app") { dir =>
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      Similarity.deleteFromIvfIndex(spark, vecs.select($"vec_id"), dir)
+      Similarity.compactIvfIndex(spark, dir)
+      Similarity.appendIvfIndex(spark, batch, dir)
+      val served = Similarity.searchIvfIndex(spark, dir, probes, 3,
+        nprobe = 2).collect().toSet
+      withTempDir("graft_drain_fresh") { dir2 =>
+        Similarity.writeIvfIndex(batch, cents, dir2)
+        val fresh = Similarity.searchIvfIndex(spark, dir2, probes, 3,
+          nprobe = 2).collect().toSet
+        assert(served.nonEmpty && served === fresh,
+          "append after a full-drain compaction diverged from a " +
+            "fresh build of the batch")
+      }
+    }
+  }
+
+  test("ivfSq8TopK (in-memory) equals the persisted SQ8 serve " +
+      "bit-for-bit — one shared scoring frame") {
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 10)
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    val mem = Similarity.ivfSq8TopK(vecs, probes, cents, 3, nprobe = 2)
+      .collect().toSet
+    withTempDir("graft_sq8_mem") { dir =>
+      Similarity.writeIvfSq8Index(vecs, cents, dir)
+      val stored = Similarity.searchIvfSq8Index(spark, dir, probes, 3,
+        nprobe = 2).collect().toSet
+      assert(mem.nonEmpty && mem === stored,
+        "in-memory SQ8 serve diverged from the persisted serve")
+    }
+  }
+
   test("MIPS-to-cosine reduction: norm-augmented cosine ranking equals inner-product ranking") {
     // Neyshabur & Srebro 2015 (arXiv:1410.5518): append
     // sqrt(M^2 - |x|^2) to every item and 0 to every query; then

@@ -72,8 +72,12 @@ class PlanInvariantsSpec extends SparkSpec {
                              // shape over 16-byte codes (broadcast
                              // probe codes, probe != neighbor
                              // non-equi); the re-rank joins are equi
-    "sim_bq_persist", "sim_bq_append" // same serve over the stored /
+    "sim_bq_persist", "sim_bq_append", // same serve over the stored /
                              // appended code tables
+    "sim_bq_delete",         // same serve, tombstone-masked codes
+    "sim_recall_ladder"      // composes the audited brute-force + BQ
+                             // shortlist shapes (broadcast probes,
+                             // probe != neighbor non-equi) per rung
   )
 
   test("unrolled iterative plans pin their round counts") {
@@ -144,22 +148,25 @@ class PlanInvariantsSpec extends SparkSpec {
       s"graph_kcore: expected 3 peel rounds (c(r)=3c+2 = 26 printed " +
         s"degree aliases), got $kcDegs")
 
-    // sim_mmr_rerank unrolls k = 3 greedy rounds. Window-node count in
-    // the analyzed plan is DERIVED from the round recurrence: the pool
-    // window w(cand) = 1; the seed selection w(sel₁) = 1 + w(cand) = 2;
-    // each round adds its pick window over (anti-join of cand) ⋈
-    // (max-sim agg over sims = 2 pool refs), and unions it under the
-    // running selection, so w(selᵣ) = 3·w(selᵣ₋₁) + 4 → 2, 10, 34. A
-    // 4th round would jump the count to 106; losing the pairwise-sims
-    // sharing (recomputing vectors per round) changes the 4-constant.
+    // sim_mmr_rerank unrolls k = 3 greedy rounds over a LOCALLY
+    // CHECKPOINTED pool and sims table (their upstream windows print
+    // as LogicalRDD leaves, w = 0). Window-node count in the analyzed
+    // plan is DERIVED from the round recurrence: the seed selection
+    // w(sel₁) = 1; each round adds its pick window over (anti-join of
+    // cand ⟕̸ sel) ⋈ (max-sim agg over sims ⋈ sel) — two sel refs —
+    // and unions it under the running selection, so w(selᵣ) =
+    // 3·w(selᵣ₋₁) + 1 → 1, 4, 13. A 4th round would jump the count
+    // to 40; a regression from checkpoint back to raw lineage would
+    // jump it to 34 (the old w(r)=3w+4 recurrence over the re-printed
+    // pool window).
     val mmr = SparkEntry.queries("sim_mmr_rerank")(spark, sfDir)
     val mmrWindows = mmr.queryExecution.analyzed.collect {
       case w: Window => w
     }.size
-    assert(mmrWindows == 34,
-      s"sim_mmr_rerank: expected 34 windows (3 unrolled greedy " +
-        s"rounds, w(r)=3w+4), got $mmrWindows — round count or pool " +
-        s"sharing drifted?")
+    assert(mmrWindows == 13,
+      s"sim_mmr_rerank: expected 13 windows (3 unrolled greedy " +
+        s"rounds over checkpointed pool/sims, w(r)=3w+1), got " +
+        s"$mmrWindows — round count or pool materialization drifted?")
   }
 
   test("connected components: executed round counts pin on controlled diameters") {

@@ -84,6 +84,16 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // code table
     "sim_bq_append" -> 2,         // identical serve over the unioned
                                   // batches
+    "sim_bq_delete" -> 2,         // same 2 — the tombstone mask is a
+                                  // broadcast anti-join over the
+                                  // 16-byte code rows, zero added
+    // sim_recall_ladder is excluded like kmeans/MMR: it unions four
+    // rungs over ONE trained-quantizer lineage, so the plan string
+    // re-prints the kmeans chain per rung and the textual exchange
+    // count is meaningless. Its structure is gated by the oracle
+    // (integer overlap counts) and each rung's own budget row.
+    // graph_kcore_salted is excluded like graph_kcore (unrolled peel
+    // lineage); GraphOpsSpec pins its two-phase plan shape + parity.
     "sim_ivf_range" -> 5,         // the persisted-IVF serve frame
                                   // (assign + cell join) minus any
                                   // ranking window — thresholded scan

@@ -75,6 +75,22 @@ class SketchesSpec extends SparkSpec {
     val msg = e.getMessage +
       Option(e.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("negative"), s"unexpected failure: $msg")
+    // The sharper non-subset case: retracted keys whose cells the
+    // build NEVER touched (b-only cells). A left join from the build
+    // side would silently drop those rows and the retraction would
+    // pass — the full-outer join must surface them as negative cells
+    // and raise.
+    val disjoint = (1 to 100).map(i => (i.toLong, s"zz_$i"))
+      .toDF("id", "key")
+    val e2 = intercept[Exception] {
+      Sketches.cmsSubtract(
+        Sketches.cmsBuild(kept, col("key"), 3, 64),
+        Sketches.cmsBuild(disjoint, col("key"), 3, 64)).collect()
+    }
+    val msg2 = e2.getMessage +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("negative"),
+      s"b-only cells must raise, not vanish: $msg2")
   }
 
   test("sharded KMV and CMS are bit-identical to their monolithic twins") {

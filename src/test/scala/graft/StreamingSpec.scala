@@ -796,6 +796,87 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hybrid serving FROM PERSISTED INDEXES: per-batch " +
+      "fusion equals the batch serve, including across a mid-stream " +
+      "per-leg delete") {
+    // The standing-deployment shape online: both layouts (inverted
+    // index + IVF) are persisted ONCE; probe docs arrive per
+    // micro-batch and each batch serves hybridRrfFromIndexes against
+    // the files — no corpus table read at serve. Between the two
+    // batches a document retires from the deployment (deleted from
+    // BOTH indexes, the per-leg tombstone contract), so batch 2 must
+    // equal the post-delete batch serve and the retired doc must not
+    // surface through either leg.
+    import graft.operators.{Retrieval, Similarity, TextAnalysis}
+    val s = spark.newSession()
+    import s.implicits._
+    val docs = Tables.documents(s, sfDir)
+    val vecs = Similarity.vectors(Tables.embeddings(s, sfDir))
+      .select($"vec_id", $"v")
+    val invDir = java.nio.file.Files
+      .createTempDirectory("graft_hyb_inv_stream").toString
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_hyb_ivf_stream").toString
+    TextAnalysis.writeInvertedIndex(docs, invDir)
+    Similarity.writeIvfIndex(vecs, Similarity.kmeansTrain(vecs, 8, 2),
+      ivfDir)
+    val probeRows = docs.join(vecs, $"doc_id" === $"vec_id")
+      .filter($"doc_id" < 8)
+      .select($"doc_id", $"text", $"v")
+      .as[(Long, String, Seq[Double])].collect()
+    val (p1, p2) = probeRows.partition(_._1 % 2 == 0)
+    // Retire a doc that actually appears in batch-1's fused lists, so
+    // the delete provably bites.
+    val want1 = Retrieval.hybridRrfFromIndexes(s,
+        docs.filter($"doc_id" % 2 === 0 && $"doc_id" < 8),
+        vecs.filter($"vec_id" % 2 === 0 && $"vec_id" < 8),
+        invDir, ivfDir)
+      .select($"probe_id", $"doc_id", $"rrf", $"rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val victim = want1.map(_._2).filter(d => !want1.exists(_._1 == d))
+      .headOption.getOrElse(want1.head._2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, (Long, Long, Double, Int))]()
+    val input = MemoryStream[(Long, String, Seq[Double])](s)
+    val q = input.toDF().toDF("doc_id", "text", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val pd = batch.select($"doc_id", $"text")
+        val pv = batch.select($"doc_id".as("vec_id"), $"v")
+        Retrieval.hybridRrfFromIndexes(s, pd, pv, invDir, ivfDir)
+          .select($"probe_id", $"doc_id", $"rrf", $"rnk")
+          .collect().foreach(r => results.add((id, (r.getLong(0),
+            r.getLong(1), r.getDouble(2), r.getInt(3)))))
+      }
+      .start()
+    try {
+      input.addData(p1.toSeq: _*)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got1 = results.asScala.filter(_._1 == 0L).map(_._2).toSet
+      assert(want1.nonEmpty && got1 === want1,
+        "batch-1 served fusion diverged from the batch serve")
+      // Mid-stream retirement: per-leg deletes on the live layouts.
+      val ids = Seq(victim).toDF("doc_id")
+      TextAnalysis.deleteFromInvertedIndex(s, ids, invDir)
+      Similarity.deleteFromIvfIndex(s,
+        ids.select($"doc_id".as("vec_id")), ivfDir)
+      input.addData(p2.toSeq: _*)
+      q.processAllAvailable()
+      val got2 = results.asScala.filter(_._1 == 1L).map(_._2).toSet
+      val want2 = Retrieval.hybridRrfFromIndexes(s,
+          docs.filter($"doc_id" % 2 === 1 && $"doc_id" < 8),
+          vecs.filter($"vec_id" % 2 === 1 && $"vec_id" < 8),
+          invDir, ivfDir)
+        .select($"probe_id", $"doc_id", $"rrf", $"rnk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(want2.nonEmpty && got2 === want2,
+        "post-delete served fusion diverged from the batch serve")
+      assert(!got2.exists(_._2 == victim),
+        s"retired doc $victim resurfaced in the fused results")
+    } finally q.stop()
+  }
+
   test("streaming serve over the persisted CMS: streamed candidates score as in batch") {
     // The serve side of the sketch triad: the d*w cell table persists
     // to parquet, candidate keys arrive as a stream, and each

@@ -555,6 +555,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got(2L) === ((2L, 1L, 1L, "")))
   }
 
+  test("segmentDedup: the 64-bit shuffle key is collision-free on the " +
+      "gated corpus, so hash-keyed semantics equal string semantics") {
+    // segmentDedup aggregates and re-joins on xxhash64(seg), not the
+    // segment string (the 100 TB shuffle-bytes adaptation). A
+    // collision would merge two distinct segments' doc-frequencies —
+    // conservative for the cleanup, but a divergence from the gated
+    // oracle's string semantics. Pin: on the corpus the key is
+    // injective, so the two semantics coincide and the string-keyed
+    // oracle stays exact.
+    val docs = Tables.documents(spark, sfDir)
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, cast((size(w) - 1) / 10 as int))"))
+          .as("j"), col("w"))
+      .select(concat_ws(" ",
+        slice(col("w"), col("j") * 10 + 1, lit(10))).as("seg"))
+    val counts = segs
+      .agg(countDistinct(col("seg")).as("n_seg"),
+        countDistinct(xxhash64(col("seg"))).as("n_key"))
+      .as[(Long, Long)].head()
+    assert(counts._1 > 0 && counts._1 === counts._2,
+      s"xxhash64 collided on the corpus segments: ${counts._1} " +
+        s"distinct segments -> ${counts._2} distinct keys")
+  }
+
   test("unigramLogprob: common-token docs outscore rare-token docs") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
