@@ -1702,6 +1702,24 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // commonNeighbors' SALTED twin — the same 100 TB hub-skew
+    // adaptation as graph_kcore_salted applied to the bipartite degree
+    // tables (rdeg gates the hub cap, ldeg feeds the Jaccard
+    // denominator): both degree counts run two-phase on a salted
+    // partial key before merging. Integer partials merge exactly, so
+    // the output is BIT-IDENTICAL to graph_common_neighbors (shared
+    // oracle; SketchesSpec pins the parity). The pair join itself is
+    // untouched — its skew guard is the degree cap, which is what the
+    // (now salt-robust) rdeg table enforces.
+    "graph_common_neighbors_salted" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      graft.operators.Graph.commonNeighbors(edges, degreeCap = 1000,
+        minShared = 2L, salts = 8)
+        .orderBy(col("jac_micro").desc, col("a"), col("b"))
+        .limit(100)
+    }),
+
     // Robust outlier profile per return flag: median / MAD (both via
     // the bounded-state interpolated-percentile aggregation, not the
     // value-buffering percentile()), outliers at the 3σ-equivalent
@@ -1904,6 +1922,27 @@ object RelationalQueries {
       |         AND v IN (SELECT u FROM a3))
       |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
       |FROM u3 GROUP BY u ORDER BY node""".stripMargin
+
+  /** Common-neighbor Jaccard replay over the supplier—part bipartite
+    * graph (hub cap 1000, minShared 2, integer micro-Jaccard). Shared
+    * by graph_common_neighbors and its salted twin: two-phase integer
+    * degree partials merge to exactly the one-phase degrees. */
+  private val commonNeighborsSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l_suppkey AS l, l_partkey AS r FROM lineitem),
+      |rdeg AS (SELECT r, count(*) AS rdeg FROM e GROUP BY r),
+      |ldeg AS (SELECT l, count(*) AS ldeg FROM e GROUP BY l),
+      |kept AS (SELECT e.l, e.r FROM e JOIN rdeg USING (r)
+      |         WHERE rdeg <= 1000),
+      |p AS (
+      |  SELECT x.l AS a, y.l AS b, count(*) AS shared
+      |  FROM kept x JOIN kept y ON x.r = y.r AND x.l < y.l
+      |  GROUP BY x.l, y.l HAVING count(*) >= 2)
+      |SELECT a, b, shared,
+      |       (shared * 1000000) // (da.ldeg + db.ldeg - shared)
+      |         AS jac_micro
+      |FROM p JOIN ldeg da ON da.l = a JOIN ldeg db ON db.l = b
+      |ORDER BY jac_micro DESC, a, b LIMIT 100""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // The HLL estimates themselves are engine-specific; the gate checks
@@ -3051,22 +3090,8 @@ object RelationalQueries {
         |GROUP BY p_brand, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
 
-    "graph_common_neighbors" ->
-      """WITH e AS (
-        |  SELECT DISTINCT l_suppkey AS l, l_partkey AS r FROM lineitem),
-        |rdeg AS (SELECT r, count(*) AS rdeg FROM e GROUP BY r),
-        |ldeg AS (SELECT l, count(*) AS ldeg FROM e GROUP BY l),
-        |kept AS (SELECT e.l, e.r FROM e JOIN rdeg USING (r)
-        |         WHERE rdeg <= 1000),
-        |p AS (
-        |  SELECT x.l AS a, y.l AS b, count(*) AS shared
-        |  FROM kept x JOIN kept y ON x.r = y.r AND x.l < y.l
-        |  GROUP BY x.l, y.l HAVING count(*) >= 2)
-        |SELECT a, b, shared,
-        |       (shared * 1000000) // (da.ldeg + db.ldeg - shared)
-        |         AS jac_micro
-        |FROM p JOIN ldeg da ON da.l = a JOIN ldeg db ON db.l = b
-        |ORDER BY jac_micro DESC, a, b LIMIT 100""".stripMargin,
+    "graph_common_neighbors" -> commonNeighborsSql,
+    "graph_common_neighbors_salted" -> commonNeighborsSql,
 
     "q_weighted_median" ->
       """WITH li AS (

@@ -389,5 +389,20 @@ class SketchesSpec extends SparkSpec {
     // Jaccard denominator uses FULL degrees (3 each, hub included):
     // 2*1e6 div (3+3-2) = 500000 — the cap bounds work, not the score.
     assert(r.getAs[Long]("jac_micro") == 500000L)
+    // SALTED twin parity: the two-phase degree aggregation (salts = 8)
+    // must be bit-identical — integer partials merge exactly, so the
+    // hub cap and the Jaccard denominators cannot move. Pinned on the
+    // fixture (where the cap visibly bites) and on the corpus graph.
+    assert(Graph.commonNeighbors(edges, degreeCap = 3, minShared = 2L,
+        salts = 8).collect().map(_.toSeq).toSet ===
+      out.map(_.toSeq).toSet,
+      "salted commonNeighbors diverged on the hub fixture")
+    val corpus = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+    assert(Graph.commonNeighbors(corpus, degreeCap = 1000,
+        minShared = 2L, salts = 8).collect().map(_.toSeq).toSet ===
+      Graph.commonNeighbors(corpus, degreeCap = 1000, minShared = 2L)
+        .collect().map(_.toSeq).toSet,
+      "salted commonNeighbors diverged on the corpus graph")
   }
 }
