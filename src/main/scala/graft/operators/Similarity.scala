@@ -483,7 +483,6 @@ object Similarity {
 
   private def bqServe(codes: DataFrame, vecs: DataFrame,
       probes: DataFrame, shortlist: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pcodes = broadcast(bqCodes(probes)
       .select(col("vec_id").as("probe_id"), col("code0").as("p0"),
         col("code1").as("p1")))
@@ -493,6 +492,18 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"),
         (expr("bit_count(p0 ^ code0)") + expr("bit_count(p1 ^ code1)"))
           .cast("int").as("ham"))
+    bqRerankStage(ham, vecs, probes, shortlist, k)
+  }
+
+  /** Shared tail of every BQ serve (flat and cell-blocked): the
+    * Hamming shortlist window (ham asc, neighbor asc, top
+    * `shortlist`) and the exact-cosine re-rank of the survivors
+    * against the corpus floats (cos desc, neighbor asc, top `k`) —
+    * one definition so the two serve shapes cannot diverge on the
+    * determinism contract. */
+  private def bqRerankStage(ham: DataFrame, vecs: DataFrame,
+      probes: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wH = Window.partitionBy(col("probe_id"))
       .orderBy(col("ham").asc, col("neighbor_id").asc)
     val short = ham.withColumn("hrnk", row_number().over(wH))
@@ -512,6 +523,125 @@ object Similarity {
           .as("cos_r"))
       .withColumn("rnk", row_number().over(wC))
       .filter(col("rnk") <= k)
+  }
+
+  /** CELL-BLOCKED binary quantization — the IVF composition of the BQ
+    * rung, and the shape a 100 TB BQ deployment actually runs: the
+    * flat [[bqRerank]] streams EVERY vector's 16-byte code past every
+    * probe (at 100 TB of float64 vectors that is still ~1.6 TB of
+    * codes per probe batch), while this layout partitions the code
+    * table by the trained coarse cell and Hamming-scans only the
+    * `nprobe` probed cells' partitions — the [[searchIvfIndex]] DPP
+    * contract applied to 16-byte rows, so the serve reads
+    * corpus·nprobe/kCells codes instead of the corpus (FAISS's
+    * IVF+refine composition with a binary refine stage). Recall is
+    * bounded by nprobe exactly as in every IVF serve; probing every
+    * cell degenerates to the flat BQ serve bit-for-bit (cells
+    * partition the corpus — spec-pinned). Shortlist and re-rank
+    * contracts are [[bqRerank]]'s, shared via [[bqRerankStage]]. */
+  def ivfBqTopK(vecs: DataFrame, probes: DataFrame, cents: DataFrame,
+      shortlist: Int = 20, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val cells = trainedAssign(vecs, cents, 1)
+      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
+    ivfBqServe(bqCodes(vecs).join(cells, Seq("vec_id")), cents, vecs,
+      probes, shortlist, k, nprobe)
+  }
+
+  /** Persist the IVF-BQ layout: trained centroids + the code table
+    * partitioned by cell — 16 bytes/vector like the flat BQ layout,
+    * but the serve scan prunes to the probed cells' partitions.
+    * Lifecycle legs reuse the cell-table machinery wholesale:
+    * [[appendIvfBqIndex]] assigns against the STORED centroids
+    * (FAISS `add`), [[deleteFromIvfBqIndex]] is the layout-agnostic
+    * tombstone table, [[compactIvfBqIndex]] is the affected-partition
+    * rewrite. */
+  def writeIvfBqIndex(vecs: DataFrame, cents: DataFrame,
+      dir: String): Unit = {
+    clearTombstones(vecs.sparkSession, dir)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val stored = vecs.sparkSession.read.parquet(s"$dir/centroids")
+    val cells = trainedAssign(vecs, stored, 1)
+      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
+    bqCodes(vecs).join(cells, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes")
+    IndexMeta.write(vecs.sparkSession, dir, "layout" -> "ivf_bq",
+      "bits" -> "64")
+  }
+
+  /** APPEND a batch to a persisted [[writeIvfBqIndex]] layout —
+    * per-vector codes + stored-centroid assignment, so write(A) then
+    * append(B) is row-for-row write(A ∪ B) under the same quantizer
+    * (the gated twin shares the monolithic oracle). Clears a
+    * full-drain placeholder first and reconciles re-added ids'
+    * tombstones after the data append commits. */
+  def appendIvfBqIndex(spark: org.apache.spark.sql.SparkSession,
+      vecs2: DataFrame, dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_bq",
+      "bits" -> "64")
+    clearDrainedPlaceholder(spark, s"$dir/codes")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cells = trainedAssign(vecs2, cents, 1)
+      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
+    bqCodes(vecs2).join(cells, Seq("vec_id"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/codes")
+    reconcileTombstonesAfterAppend(spark, dir,
+      vecs2.select(col("vec_id")))
+  }
+
+  /** Tombstone-DELETE from the IVF-BQ layout (layout-agnostic id
+    * table; the serve masks BEFORE the Hamming shortlist ranks). */
+  def deleteFromIvfBqIndex(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, dir: String): Unit =
+    deleteFromIvfIndex(spark, ids, dir)
+
+  /** Compaction for the IVF-BQ layout: the affected-partition rewrite
+    * over the cell-partitioned code table ([[compactCellTable]] keys
+    * on vec_id/cell only). */
+  def compactIvfBqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = compactCellTable(spark, dir, "codes")
+
+  /** Serve [[ivfBqTopK]] from a persisted [[writeIvfBqIndex]] layout —
+    * bit-identical to the in-memory path (BIGINT codes round-trip
+    * parquet exactly); the code scan prunes to the probed cells via
+    * DPP and deleted ids mask via the broadcast tombstone anti-join
+    * before the shortlist window. */
+  def searchIvfBqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame, probes: DataFrame,
+      shortlist: Int = 20, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_bq",
+      "bits" -> "64")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val codes1 = spark.read.parquet(s"$dir/codes")
+    val codes = readTombstones(spark, dir)
+      .map(t => codes1.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(codes1)
+    ivfBqServe(codes, cents, vecs, probes, shortlist, k, nprobe)
+  }
+
+  /** Shared IVF-BQ scoring stage: probe cell assignment (nprobe
+    * nearest stored cells), cell-equi Hamming over the probed cells'
+    * codes, then the flat serve's shortlist + re-rank tail. */
+  private def ivfBqServe(codes: DataFrame, cents: DataFrame,
+      vecs: DataFrame, probes: DataFrame, shortlist: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val pcells = trainedAssign(probes, cents, nprobe)
+      .select(col("probe_id"), col("cid").as("pcell"))
+    val pcodes = broadcast(bqCodes(probes)
+      .select(col("vec_id").as("probe_id"), col("code0").as("p0"),
+        col("code1").as("p1"))
+      .join(pcells, Seq("probe_id")))
+    val ham = pcodes
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("code0"),
+        col("code1"), col("cell")),
+        col("pcell") === col("cell") &&
+          col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (expr("bit_count(p0 ^ code0)") + expr("bit_count(p1 ^ code1)"))
+          .cast("int").as("ham"))
+    bqRerankStage(ham, vecs, probes, shortlist, k)
   }
 
   /** Sign-LSH bucket key: the sign pattern of dimensions 1..bits. */

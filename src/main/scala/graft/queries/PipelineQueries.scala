@@ -320,6 +320,58 @@ object PipelineQueries {
        |FROM ranked WHERE rnk <= 3
        |ORDER BY probe_id, rnk""".stripMargin
 
+  /** CELL-BLOCKED BQ replay (the IVF composition of the BQ rung):
+    * same sign-bit packing and Hamming/re-rank contracts as
+    * [[bqRerankSqlWhere]], but candidates come only from the probe's
+    * 2 nearest trained cells — the recall bound every IVF serve
+    * carries, here applied to the 16-byte code scan. `idxPred` is
+    * the tombstone-exclusion hook over `c.vec_id` (probes never
+    * filter). */
+  private def ivfBqSqlWhere(idxPred: String): String =
+    s"""WITH $ovecsCte,
+       |$kmeansCte,
+       |di AS (
+       |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+       |  FROM dims d JOIN c2 c USING (pos) GROUP BY d.vec_id, c.cid),
+       |dir AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
+       |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dir
+       |        WHERE rn = 1),
+       |pas AS (SELECT vec_id AS probe_id, cid AS cell FROM dir
+       |        WHERE vec_id < 10 AND rn <= 2),
+       |bcodes AS (SELECT vec_id,
+       |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
+       |    CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1))
+       |         ELSE 0::BIGINT END)) AS BIGINT) AS code0,
+       |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
+       |    CASE WHEN v[i + 32] >= 0 THEN (1::BIGINT << (i - 1))
+       |         ELSE 0::BIGINT END)) AS BIGINT) AS code1
+       |  FROM ovecs),
+       |bprobes AS (SELECT vec_id AS probe_id, code0 AS p0, code1 AS p1
+       |            FROM bcodes WHERE vec_id < 10),
+       |ham AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+       |          CAST(bit_count(xor(p0, c.code0)) +
+       |               bit_count(xor(p1, c.code1)) AS INTEGER) AS ham
+       |        FROM pas a
+       |        JOIN bprobes p ON p.probe_id = a.probe_id
+       |        JOIN idx i ON i.cell = a.cell
+       |        JOIN bcodes c ON c.vec_id = i.corpus_id
+       |         AND c.vec_id <> p.probe_id $idxPred),
+       |short AS (SELECT probe_id, neighbor_id, ham FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY ham, neighbor_id) AS hrnk FROM ham)
+       |  WHERE hrnk <= 20),
+       |rr AS (SELECT s.probe_id, s.neighbor_id, s.ham,
+       |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |       FROM short s JOIN ovecs p ON p.vec_id = s.probe_id
+       |       JOIN ovecs o ON o.vec_id = s.neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY cos_r DESC, neighbor_id) AS rnk FROM rr)
+       |SELECT probe_id, neighbor_id, ham, cos_r, rnk
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY probe_id, rnk""".stripMargin
+
   /** Recall-LADDER replay: every compression rung's top-3 (probes =
     * vec_id < 10, nprobe = 2, each rung's OWN scoring — cosine for
     * flat IVF, asymmetric MIPS for SQ8, ADC L2² for PQ, Hamming
@@ -443,9 +495,30 @@ object PipelineQueries {
        |  SELECT *, row_number() OVER (PARTITION BY probe_id
        |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM brr)
        |  WHERE rnk <= 3),
+       |iham AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+       |           CAST(bit_count(xor(p0, c.code0)) +
+       |                bit_count(xor(p1, c.code1)) AS INTEGER) AS ham
+       |         FROM pas a
+       |         JOIN bprobes p ON p.probe_id = a.probe_id
+       |         JOIN idx i ON i.cell = a.cell
+       |         JOIN bcodes c ON c.vec_id = i.corpus_id
+       |          AND c.vec_id <> p.probe_id),
+       |ishort AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY ham, neighbor_id) AS hrnk FROM iham)
+       |  WHERE hrnk <= 20),
+       |irr AS (SELECT s.probe_id, s.neighbor_id,
+       |          round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |        FROM ishort s JOIN ovecs p ON p.vec_id = s.probe_id
+       |        JOIN ovecs o ON o.vec_id = s.neighbor_id),
+       |ivfbq AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM irr)
+       |  WHERE rnk <= 3),
        |approx AS (
        |  SELECT 'bq' AS layout, probe_id, neighbor_id FROM bq
        |  UNION ALL SELECT 'ivf', probe_id, neighbor_id FROM ivf
+       |  UNION ALL SELECT 'ivfbq', probe_id, neighbor_id FROM ivfbq
        |  UNION ALL SELECT 'pq', probe_id, neighbor_id FROM pq
        |  UNION ALL SELECT 'sq8', probe_id, neighbor_id FROM sq8),
        |nex AS (SELECT probe_id, count(*) AS n_exact FROM bf
@@ -453,7 +526,8 @@ object PipelineQueries {
        |hit AS (SELECT layout, probe_id, count(*) AS hits
        |        FROM approx JOIN bf USING (probe_id, neighbor_id)
        |        GROUP BY layout, probe_id),
-       |layouts AS (SELECT unnest(['bq','ivf','pq','sq8']) AS layout)
+       |layouts AS (SELECT unnest(['bq','ivf','ivfbq','pq','sq8'])
+       |            AS layout)
        |SELECT l.layout, n.probe_id,
        |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
        |       CAST(n.n_exact AS BIGINT) AS n_exact
@@ -2137,12 +2211,13 @@ object PipelineQueries {
 
     // The RECALL LADDER — the artifact a deployment reads to choose a
     // compression rung: every rung's top-3 (flat IVF cosine, SQ8
-    // asymmetric MIPS, PQ ADC, BQ Hamming+re-rank; one shared trained
-    // quantizer, probes vec_id < 10, nprobe 2) intersected with the
-    // exact brute-force cosine top-3 — integer overlap counts per
-    // (layout, probe), no sampling, no tolerance (every serve is
-    // deterministic, so recall itself is oracle-able). Turns the
-    // per-spec recall pins into one driver-gated row.
+    // asymmetric MIPS, PQ ADC, BQ Hamming+re-rank, cell-blocked
+    // IVF-BQ; one shared trained quantizer, probes vec_id < 10,
+    // nprobe 2) intersected with the exact brute-force cosine top-3 —
+    // integer overlap counts per (layout, probe), no sampling, no
+    // tolerance (every serve is deterministic, so recall itself is
+    // oracle-able). Turns the per-spec recall pins into one
+    // driver-gated row.
     "sim_recall_ladder" -> ((s, d) => {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"))
@@ -2157,10 +2232,67 @@ object PipelineQueries {
       rung("bq", Similarity.bqRerank(vecs, probes, shortlist = 20, k = 3))
         .unionByName(rung("ivf",
           Similarity.ivfSearchTrained(vecs, probes, cents, 3, nprobe = 2)))
+        .unionByName(rung("ivfbq",
+          Similarity.ivfBqTopK(vecs, probes, cents, 20, 3, nprobe = 2)))
         .unionByName(rung("pq", Similarity.ivfPqTopK(vecs, probes, 3)))
         .unionByName(rung("sq8",
           Similarity.ivfSq8TopK(vecs, probes, cents, 3, nprobe = 2)))
         .orderBy("layout", "probe_id")
+    }),
+
+    // CELL-BLOCKED BQ persisted — the IVF composition of the BQ rung
+    // (FAISS IVF + binary refine): the code table partitions by the
+    // trained cell and the Hamming scan prunes to the probed cells'
+    // partitions via DPP, reading corpus·nprobe/kCells codes instead
+    // of the corpus (the flat BQ serve's full 16-byte-per-vector
+    // stream is itself a corpus scan at 100 TB). Recall is
+    // nprobe-bounded like every IVF serve; probing all cells equals
+    // the flat serve bit-for-bit (spec-pinned).
+    "sim_ivfbq_persist" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_ivfbq_idx")
+      Similarity.writeIvfBqIndex(vecs, cents, dir)
+      Similarity.searchIvfBqIndex(s, dir, vecs,
+        vecs.filter(col("vec_id") < 10))
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // IVF-BQ append leg: per-vector codes + stored-centroid
+    // assignment, so build-half + append-half IS the monolithic
+    // table — shares the oracle (quantizer trained on the full
+    // corpus, FAISS add contract).
+    "sim_ivfbq_append" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_ivfbq_app")
+      Similarity.writeIvfBqIndex(vecs.filter(col("vec_id") % 2 === 0),
+        cents, dir)
+      Similarity.appendIvfBqIndex(s,
+        vecs.filter(col("vec_id") % 2 =!= 0), dir)
+      Similarity.searchIvfBqIndex(s, dir, vecs,
+        vecs.filter(col("vec_id") < 10))
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // IVF-BQ delete leg: the layout-agnostic tombstone table masks
+    // the probed cells' codes BEFORE the Hamming shortlist ranks —
+    // oracle is the cell-blocked replay with the deleted ids excluded
+    // from the candidate side (probes untouched). PipelineSpec pins
+    // compaction parity + drain via the shared cell-table machinery.
+    "sim_ivfbq_delete" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_ivfbq_del")
+      Similarity.writeIvfBqIndex(vecs, cents, dir)
+      Similarity.deleteFromIvfBqIndex(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.searchIvfBqIndex(s, dir, vecs,
+        vecs.filter(col("vec_id") < 10))
+        .orderBy("probe_id", "rnk")
     }),
 
     // RANGE serve from the persisted IVF layout: the full cos ≥ 0.2
@@ -3528,6 +3660,9 @@ object PipelineQueries {
     "sim_bq_append" -> bqRerankSql,
     "sim_bq_delete" -> bqRerankSqlWhere("AND c.vec_id % 7 <> 0"),
     "sim_recall_ladder" -> recallLadderSql,
+    "sim_ivfbq_persist" -> ivfBqSqlWhere(""),
+    "sim_ivfbq_append" -> ivfBqSqlWhere(""),
+    "sim_ivfbq_delete" -> ivfBqSqlWhere("AND c.vec_id % 7 <> 0"),
 
     // SQ8 layout: the quantized-MIPS replay (same trained cells and
     // probe set; scoring over per-vector-scaled int8 codes).

@@ -1457,6 +1457,70 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF-BQ cell-blocked serve: probing every cell equals the flat " +
+      "BQ serve bit-for-bit; persist/append/delete/compact reuse the " +
+      "cell-table lifecycle exactly") {
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 10)
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    // Cells partition the corpus, so consulting ALL of them (nprobe =
+    // kCells) degenerates to the flat full-corpus Hamming scan — the
+    // same candidate set, same tie-breaks, same re-rank.
+    val flat = Similarity.bqRerank(vecs, probes).collect().toSet
+    val allCells = Similarity
+      .ivfBqTopK(vecs, probes, cents, 20, 3, nprobe = 8)
+      .collect().toSet
+    assert(flat.nonEmpty && allCells === flat,
+      "nprobe=all cell-blocked BQ diverged from the flat serve")
+    val mem = Similarity.ivfBqTopK(vecs, probes, cents, 20, 3, nprobe = 2)
+      .collect().toSet
+    withTempDir("graft_ivfbq_spec") { dir =>
+      Similarity.writeIvfBqIndex(vecs, cents, dir)
+      val stored = Similarity.searchIvfBqIndex(spark, dir, vecs, probes)
+        .collect().toSet
+      assert(mem.nonEmpty && stored === mem,
+        "persisted IVF-BQ serve diverged from the in-memory path")
+      // Append ≡ monolithic (per-vector codes + stored centroids).
+      withTempDir("graft_ivfbq_app") { dir2 =>
+        Similarity.writeIvfBqIndex(vecs.filter($"vec_id" % 2 === 0),
+          cents, dir2)
+        Similarity.appendIvfBqIndex(spark,
+          vecs.filter($"vec_id" % 2 =!= 0), dir2)
+        val appended = Similarity.searchIvfBqIndex(spark, dir2, vecs,
+          probes).collect().toSet
+        assert(appended === stored,
+          "IVF-BQ build+append diverged from the monolithic serve")
+      }
+      // Delete masks before the shortlist; compaction serves
+      // identically, drains the tombstones, removes the rows.
+      Similarity.deleteFromIvfBqIndex(spark,
+        vecs.filter($"vec_id" % 7 === 0).select($"vec_id"), dir)
+      val masked = Similarity.searchIvfBqIndex(spark, dir, vecs, probes)
+      val r1 = masked.collect().toSet
+      assert(r1.nonEmpty, "masked IVF-BQ serve returned nothing")
+      assert(masked.filter($"neighbor_id" % 7 === 0).isEmpty,
+        "a deleted id appeared as an IVF-BQ neighbor")
+      Similarity.compactIvfBqIndex(spark, dir)
+      val r2 = Similarity.searchIvfBqIndex(spark, dir, vecs, probes)
+        .collect().toSet
+      assert(r2 === r1,
+        "compacted IVF-BQ serve diverged from the masked serve")
+      assert(spark.read.schema("vec_id LONG")
+          .parquet(s"$dir/tombstones").isEmpty,
+        "IVF-BQ tombstones not drained by compaction")
+      assert(spark.read.parquet(s"$dir/codes")
+          .filter($"vec_id" % 7 === 0).isEmpty,
+        "IVF-BQ compaction left deleted code rows behind")
+      // Layout gate: the flat-BQ searcher must refuse this dir.
+      val e = intercept[IllegalArgumentException] {
+        Similarity.bqRerankFromIndex(spark, dir, vecs, probes)
+      }
+      assert(e.getMessage != null)
+    }
+  }
+
   test("IVF append after a FULL-drain compaction: the drained " +
       "placeholder clears and the partitioned table serves the batch") {
     // The drained-table corner of the append leg: a full-drain

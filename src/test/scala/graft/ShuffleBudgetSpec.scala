@@ -87,6 +87,15 @@ class ShuffleBudgetSpec extends SparkSpec {
     "sim_bq_delete" -> 2,         // same 2 — the tombstone mask is a
                                   // broadcast anti-join over the
                                   // 16-byte code rows, zero added
+    "sim_ivfbq_persist" -> 6,     // SERVING plan — probe cell assign
+                                  // + DPP-pruned cell-equi Hamming
+                                  // (codes never shuffle: probe codes
+                                  // broadcast) + shortlist window +
+                                  // re-rank window + output sort
+    "sim_ivfbq_append" -> 6,      // identical serve over the unioned
+                                  // cell partitions
+    "sim_ivfbq_delete" -> 6,      // same — the tombstone mask is a
+                                  // broadcast anti-join, zero added
     // sim_recall_ladder is excluded like kmeans/MMR: it unions four
     // rungs over ONE trained-quantizer lineage, so the plan string
     // re-prints the kmeans chain per rung and the textual exchange
