@@ -1055,6 +1055,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF-BQ ingest: micro-batch appends converge to the " +
+      "monolithic build, and a delete racing ahead of its vector's " +
+      "arrival reconciles instead of masking it forever") {
+    // The cell-blocked BQ layout under micro-batch delivery — same
+    // FAISS-add convergence contract as the flat-IVF streaming case,
+    // plus the out-of-order corner a real ingestion hits: a deletion
+    // request arrives BEFORE the vector it names (the tombstone lands
+    // first, the row second). The append leg's tombstone
+    // reconciliation must clear the early tombstone when the id
+    // finally arrives, so the final serve equals the monolithic build
+    // — an unreconciled tombstone would mask the late row forever.
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 10)
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_ivfbq_stream")
+    val dirMono = tmp("graft_ivfbq_stream_mono")
+    Similarity.writeIvfBqIndex(vecs, cents, dirMono)
+    val want = Similarity.searchIvfBqIndex(spark, dirMono, vecs, probes)
+      .collect().toSet
+
+    Similarity.writeIvfBqIndex(vecs.filter($"vec_id" % 3 === 0), cents,
+      dir)
+    val in = MemoryStream[(Long, Seq[Double])](spark)
+    val q = in.toDF().toDF("vec_id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) Similarity.appendIvfBqIndex(spark, batch, dir)
+        ()
+      }.start()
+    try {
+      val rows = vecs.filter($"vec_id" % 3 =!= 0)
+        .as[(Long, Seq[Double])].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      // Mid-stream: serve equals a build over exactly the delivered rows.
+      val midWant = {
+        val d = tmp("graft_ivfbq_stream_mid")
+        val delivered = vecs.filter($"vec_id" % 3 === 0)
+          .unionByName(b1.toSeq.toDF("vec_id", "v"))
+        Similarity.writeIvfBqIndex(delivered, cents, d)
+        Similarity.searchIvfBqIndex(spark, d, vecs, probes)
+          .collect().toSet
+      }
+      val mid = Similarity.searchIvfBqIndex(spark, dir, vecs, probes)
+        .collect().toSet
+      assert(midWant.nonEmpty && mid === midWant,
+        "mid-stream IVF-BQ serve must equal a build over delivered rows")
+      // The race: tombstone ids that live in the NOT-yet-delivered
+      // half, then deliver that half. The append must reconcile.
+      Similarity.deleteFromIvfBqIndex(spark,
+        b2.toSeq.toDF("vec_id", "v").select($"vec_id"), dir)
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = Similarity.searchIvfBqIndex(spark, dir, vecs, probes)
+        .collect().toSet
+      assert(want.nonEmpty && got === want,
+        "a delete racing its vector's arrival must reconcile on append " +
+          "— the streamed index diverged from the monolithic build")
+    } finally q.stop()
+  }
+
   test("streaming deletes over the persisted inverted index: tombstones " +
       "landed between micro-batches serve like a batch rebuild") {
     // The delete half of the lifecycle, streaming-shaped — the last
