@@ -1913,20 +1913,52 @@ object Similarity {
   private def sq8TopKFrom(idx: DataFrame, cents: DataFrame,
       probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ip_r").desc, col("neighbor_id").asc)
+    sq8ScoredFrom(idx, cents, probes, nprobe)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** The SQ8 serves' shared scored frame (probe → nprobe cells,
+    * cell-equi join, round(scale·⟨p,q⟩, 6)) — one definition so the
+    * top-k and range modes cannot diverge on the determinism or
+    * deletion contracts (the [[ivfScoredFromIndex]] discipline on the
+    * compressed rows). */
+  private def sq8ScoredFrom(idx: DataFrame, cents: DataFrame,
+      probes: DataFrame, nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val pcells = trainedAssign(probes, cents, nprobe)
       .select(col("probe_id"), col("cid").as("pcell"))
     val pb = probes.select(col("vec_id").as("probe_id"), col("v").as("pv"))
-    val scored = pb.join(pcells, Seq("probe_id"))
+    pb.join(pcells, Seq("probe_id"))
       .join(idx,
         col("pcell") === col("cell") && col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         round(col("scale") *
           dot(col("pv"), transform(col("q"), _.cast("double"))), 6)
           .as("ip_r"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("ip_r").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** RANGE serve from the persisted SQ8 layout: every neighbor in the
+    * probed cells whose (6-dp rounded) asymmetric inner product
+    * reaches `tau` — [[searchIvfIndexRange]]'s contract on the
+    * compressed rows (threshold recall over the layout's OWN score:
+    * "all items scoring at least τ", the recommender-side analog of
+    * the cosine ball). No ranking window at all; recall is
+    * nprobe-bounded like every IVF serve, and nprobe = kCells
+    * degenerates to the full thresholded MIPS scan (spec-pinned).
+    * Deleted ids mask via the broadcast tombstone anti-join. */
+  def searchIvfSq8IndexRange(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame, tau: Double,
+      nprobe: Int = 1): DataFrame = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val idx1 = spark.read.parquet(s"$dir/index")
+    val idx = readTombstones(spark, dir)
+      .map(t => idx1.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(idx1)
+    sq8ScoredFrom(idx, cents, probes, nprobe)
+      .filter(col("ip_r") >= tau)
   }
 
   def kmeansUpdateStep(vecs: DataFrame, centroids: DataFrame): DataFrame = {

@@ -221,6 +221,27 @@ object PipelineQueries {
     * so build+append ≡ monolithic) and sim_sq8_delete (index-side
     * exclusion). */
   private def ivfSq8SearchSqlWhere(idxPred: String): String =
+    s"""${ivfSq8ScoredCte(idxPred)},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY ip_r DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT probe_id, neighbor_id, ip_r, rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
+  /** The SQ8 replay's RANGE tail: same trained cells, probe set and
+    * scored frame, thresholded (ip_r ≥ 0.2) instead of ranked — the
+    * [[ivfKmeansRangeSql]] contract on the layout's own asymmetric
+    * inner-product score. */
+  private def ivfSq8RangeSql: String =
+    s"""${ivfSq8ScoredCte("")}
+       |SELECT probe_id, neighbor_id, ip_r FROM scored
+       |WHERE ip_r >= 0.2 ORDER BY probe_id, neighbor_id""".stripMargin
+
+  /** Shared WITH-chain of the SQ8 replays, through the `scored` frame
+    * (trained cells, probes vec_id < 15 at nprobe 2, per-vector-scale
+    * int8 codes, round(scale·⟨p,q⟩, 6)) — one definition so the top-k
+    * and range tails cannot diverge. */
+  private def ivfSq8ScoredCte(idxPred: String): String =
     s"""WITH $ovecsCte,
        |$kmeansCte,
        |di AS (
@@ -245,12 +266,7 @@ object PipelineQueries {
        |         round(o.scale * list_dot_product(p.v, o.q), 6) AS ip_r
        |  FROM pas a JOIN ovecs p ON p.vec_id = a.probe_id
        |  JOIN idx i ON i.cell = a.cell
-       |  JOIN codes o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY probe_id
-       |    ORDER BY ip_r DESC, neighbor_id) AS rnk FROM scored)
-       |SELECT probe_id, neighbor_id, ip_r, rnk
-       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+       |  JOIN codes o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id)""".stripMargin
 
   private def ivfKmeansSearchSqlWhere(idxPred: String): String =
     s"""WITH $ovecsCte,
@@ -2390,6 +2406,22 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // RANGE serve from the persisted SQ8 layout — sim_ivf_range's
+    // contract on the compressed rows: every neighbor in the probed
+    // cells scoring ip_r >= 0.2 under the layout's own asymmetric
+    // MIPS (threshold recall, no ranking window anywhere). Closes the
+    // serve-mode matrix's range cell for the SQ8 rung.
+    "sim_sq8_range" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_sq8_rng")
+      Similarity.writeIvfSq8Index(vecs, cents, dir)
+      Similarity.searchIvfSq8IndexRange(s, dir,
+        vecs.filter(col("vec_id") < 15), tau = 0.2, nprobe = 2)
+        .orderBy("probe_id", "neighbor_id")
+    }),
+
     // SQ8 delete leg: tombstone every 7th vector (the layout-agnostic
     // id table + broadcast anti-join mask, sim_ivf_delete's contract
     // on the compressed rows); oracle is the SQ8 replay with the
@@ -3670,6 +3702,7 @@ object PipelineQueries {
     // Per-vector scale + stored-centroid assignment ⇒ build-half +
     // append-half is bit-identical to the monolithic build.
     "sim_sq8_append" -> ivfSq8SearchSqlWhere(""),
+    "sim_sq8_range" -> ivfSq8RangeSql,
     // Tombstoned ids excluded from the index side; probes untouched.
     "sim_sq8_delete" -> ivfSq8SearchSqlWhere("AND vec_id % 7 <> 0"),
 

@@ -1571,6 +1571,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 range serve at nprobe = all equals the full thresholded " +
+      "MIPS scan; smaller nprobe returns a subset; deletes mask") {
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 15)
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    withTempDir("graft_sq8_rng_spec") { dir =>
+      Similarity.writeIvfSq8Index(vecs, cents, dir)
+      // Cells partition the corpus: probing all of them makes the
+      // range serve the complete thresholded scan — derive the
+      // expectation from the shared top-k frame at unbounded k.
+      val full = Similarity.searchIvfSq8IndexRange(spark, dir, probes,
+        tau = 0.2, nprobe = 8).as[(Long, Long, Double)].collect().toSet
+      val want = Similarity
+        .ivfSq8TopK(vecs, probes, cents, Int.MaxValue, nprobe = 8)
+        .select($"probe_id", $"neighbor_id", $"ip_r")
+        .filter($"ip_r" >= 0.2)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(full.nonEmpty && full === want,
+        "nprobe=all SQ8 range diverged from the thresholded scan")
+      val narrow = Similarity.searchIvfSq8IndexRange(spark, dir, probes,
+        tau = 0.2, nprobe = 2).as[(Long, Long, Double)].collect().toSet
+      assert(narrow.nonEmpty && narrow.subsetOf(full),
+        "narrower nprobe must return a subset of the full ball")
+      // Deletion contract: the range mode masks tombstones like the
+      // top-k mode (one shared scored frame).
+      Similarity.deleteFromIvfSq8Index(spark,
+        vecs.filter($"vec_id" % 7 === 0).select($"vec_id"), dir)
+      val masked = Similarity.searchIvfSq8IndexRange(spark, dir, probes,
+        tau = 0.2, nprobe = 8).as[(Long, Long, Double)].collect().toSet
+      assert(masked === full.filter(_._2 % 7 != 0),
+        "SQ8 range serve must drop exactly the tombstoned neighbors")
+    }
+  }
+
   test("MIPS-to-cosine reduction: norm-augmented cosine ranking equals inner-product ranking") {
     // Neyshabur & Srebro 2015 (arXiv:1410.5518): append
     // sqrt(M^2 - |x|^2) to every item and 0 to every query; then

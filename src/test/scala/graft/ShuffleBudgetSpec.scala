@@ -353,6 +353,10 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // the float corpus
     "sim_sq8_delete" -> 5,        // same 5 — the tombstone mask is a
                                   // broadcast anti-join, zero added
+    "sim_sq8_range" -> 5,         // the SQ8 serve frame minus the
+                                  // ranking window (thresholded scan)
+                                  // — the sim_ivf_range shape on the
+                                  // compressed rows
     "dedup_segments" -> 5,        // seg-freq agg + seg re-join + doc
                                   // rollup + output sort
     "mm_chunk_store" -> 2,        // reassembly: hash-keyed store join
