@@ -1521,6 +1521,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF-BQ append after a FULL-drain compaction: the drained " +
+      "placeholder clears and the cell-partitioned codes serve the batch") {
+    import graft.operators.Similarity
+    // The corpus embeddings, not clusteredVecs(): bqCodes enforces the
+    // 64-dim packing contract and the fixture is 16-dim.
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    val probes = vecs.filter($"vec_id" < 10)
+    val batch = vecs.filter($"vec_id" % 3 === 0)
+    withTempDir("graft_ivfbq_drain") { dir =>
+      Similarity.writeIvfBqIndex(vecs, cents, dir)
+      Similarity.deleteFromIvfBqIndex(spark, vecs.select($"vec_id"), dir)
+      Similarity.compactIvfBqIndex(spark, dir)
+      assert(spark.read.parquet(s"$dir/codes").isEmpty,
+        "fully-drained IVF-BQ code table must read back as zero rows")
+      Similarity.appendIvfBqIndex(spark, batch, dir)
+      val served = Similarity.searchIvfBqIndex(spark, dir, vecs, probes)
+        .collect().toSet
+      withTempDir("graft_ivfbq_drain_fresh") { dir2 =>
+        Similarity.writeIvfBqIndex(batch, cents, dir2)
+        val fresh = Similarity.searchIvfBqIndex(spark, dir2, vecs,
+          probes).collect().toSet
+        assert(served.nonEmpty && served === fresh,
+          "IVF-BQ append after a full-drain compaction diverged from " +
+            "a fresh build of the batch")
+      }
+    }
+  }
+
   test("IVF append after a FULL-drain compaction: the drained " +
       "placeholder clears and the partitioned table serves the batch") {
     // The drained-table corner of the append leg: a full-drain
