@@ -83,18 +83,33 @@ object Dedup {
     * enters a shuffle key: it rides only the doc-side rows that carry
     * it to reassembly anyway. At 100 TB that is the difference
     * between shuffling the corpus ~2× as strings and shuffling ids.
-    * A 64-bit collision would merge two segments' doc-frequencies —
-    * strictly CONSERVATIVE for the cleanup (at worst a unique segment
-    * inherits a duplicate's count and drops too); DedupSpec pins that
-    * the test corpus is collision-free so the gated oracle stays on
-    * string semantics. The reassembly is one doc-keyed aggregate
+    * A 64-bit collision is DETECTED, not tolerated: alongside the
+    * doc-frequency the aggregate carries min/max of an independent
+    * WITNESS hash (xxhash64 over (seg, salt)); two different segments
+    * colliding on segk disagree on the witness with probability
+    * 1 − 2⁻⁶⁴, and the df column then evaluates `raise_error` instead
+    * of a count — the job fails loudly naming the colliding key
+    * rather than silently merging two segments' frequencies (at
+    * ~10¹⁰ distinct segments the birthday bound makes a 64-bit
+    * collision plausible, and a merge could drop a unique segment
+    * corpus-wide). The witness rides the same 8-byte-key shuffle —
+    * two extra longs per partial row, no text in any shuffle key.
+    * The reassembly is one doc-keyed aggregate
     * whose collect is bounded by the DOCUMENT's own segment count,
     * never the corpus. Three keyed shuffles, no pair join anywhere.
     * The collect_list's partition-order nondeterminism is sorted away
     * on the (unique per-doc) segment index before the join back to
     * text. */
   def segmentDedup(corpus: DataFrame, segWords: Int = 10,
-      minDf: Long = 2): DataFrame = {
+      minDf: Long = 2): DataFrame =
+    segmentDedupKeyed(corpus, segWords, minDf, xxhash64(_))
+
+  /** [[segmentDedup]] with the 64-bit segment key INJECTABLE — the
+    * production path always keys on xxhash64; the hook exists so the
+    * collision-guard raise path is testable (a real xxhash64 collision
+    * cannot be constructed, a degenerate key can). */
+  private[graft] def segmentDedupKeyed(corpus: DataFrame, segWords: Int,
+      minDf: Long, keyOf: Column => Column): DataFrame = {
     val segs = corpus
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"),
@@ -103,9 +118,25 @@ object Dedup {
       .select(col("doc_id"), col("j"),
         concat_ws(" ", slice(col("w"), col("j") * segWords + 1,
           lit(segWords))).as("seg"))
-      .withColumn("segk", xxhash64(col("seg")))
+      .withColumn("segk", keyOf(col("seg")))
+      // Witness hash: xxhash64 over (seg, salt) — a fixed extra column
+      // re-keys the whole hash, so it is independent of segk for any
+      // pair of distinct segments that collide there.
+      .withColumn("segw", xxhash64(col("seg"), lit(0x9e3779b97f4a7c15L)))
     val segDf = segs.groupBy(col("segk"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(countDistinct(col("doc_id")).as("_df"),
+        min(col("segw")).as("_wlo"), max(col("segw")).as("_whi"))
+      // The guard is folded INTO df (not a side column) so column
+      // pruning can never drop it: every consumer of df evaluates it.
+      .select(col("segk"),
+        when(col("_wlo") =!= col("_whi"), raise_error(concat(
+          lit("segmentDedup: 64-bit segment-key collision on segk="),
+          col("segk").cast("string"),
+          lit(" — two distinct segments share a key; their merged " +
+            "doc-frequency could drop a unique segment corpus-wide. " +
+            "Rerun with a wider key (e.g. pair the hash with " +
+            "length(seg))."))))
+          .otherwise(col("_df")).as("df"))
     segs.join(segDf, Seq("segk"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_seg"),
@@ -654,7 +685,12 @@ object Dedup {
     val meta = IndexMeta.read(spark, dir)
     val del = ids.select(col("doc_id").cast("long").as("doc_id"))
       .distinct()
+    // The LSH layout stages to a SIBLING (the whole dir is the swap
+    // unit), so the entry sweep is a targeted delete of the sibling
+    // rather than FsOps.clearStaging over the dir's children.
     val staging = s"${dir.stripSuffix("/")}_next"
+    FsOps.deleteIfExists(FsOps.fsOf(spark, dir),
+      new org.apache.hadoop.fs.Path(staging))
     spark.read.parquet(dir)
       .join(broadcast(del), Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(staging)

@@ -34,6 +34,31 @@ private[graft] object FsOps {
         "not committed; the staging directory is intact, retry the " +
         "operation")
 
+  /** Sweep crash-left STAGING children out of an index layout dir.
+    * Every staged rewrite in this engine writes to a child named
+    * `_staging`, `*_next`, `*_compacting`, or `*_empty` (plus the
+    * `*_old` rename-aside of [[swapInto]]) before its commit rename —
+    * a crash between the staging write and the swap leaves that child
+    * behind. Leftovers are correctness-inert (serves read named live
+    * subpaths) but leak storage and make the layout dir non-canonical
+    * for anything inventorying it, so every op that stages calls this
+    * at ENTRY, before its own staging write. Single-writer discipline
+    * is assumed (as everywhere in the commit paths): sweeping while
+    * another writer is mid-stage would delete its staging.
+    * No live table ever matches these names — they are reserved
+    * staging suffixes. */
+  def clearStaging(fs: FileSystem, dir: String): Unit = {
+    val d = new Path(dir)
+    if (fs.exists(d))
+      fs.listStatus(d).foreach { st =>
+        val n = st.getPath.getName
+        if (n == "_staging" || n.endsWith("_next") ||
+            n.endsWith("_compacting") || n.endsWith("_empty") ||
+            n.endsWith("_old"))
+          deleteIfExists(fs, st.getPath)
+      }
+  }
+
   /** Promote `staging` to `live`: move the current live dir aside,
     * rename staging into place, then drop the old copy. A leftover
     * `_old` dir from a previously crashed swap is cleared first. */

@@ -284,6 +284,20 @@ object Similarity {
     // leak two pinned frames into the session's storage memory per
     // enumeration for the JVM lifetime, with no safe place to
     // unpersist (the caller holds a lazy plan that still reads them).
+    // TRADE-OFFS the caller accepts (Spark's own localCheckpoint doc
+    // flags both): (1) the blocks are UNREPLICATED and the lineage is
+    // truncated, so losing an executor that holds them — a node
+    // failure, or a dynamic-allocation decommission — makes the
+    // returned lazy plan fail permanently instead of recomputing;
+    // re-invoke mmrRerank to rebuild. Deployments running with
+    // spark.dynamicAllocation.enabled should also set
+    // spark.dynamicAllocation.cachedExecutorIdleTimeout so executors
+    // holding these blocks aren't reclaimed mid-serve. (2) the
+    // materialization is EAGER: two jobs (pool + sims) run at
+    // plan-build time even if the caller never executes the returned
+    // plan — acceptable here because every caller of a re-ranker
+    // executes it, and the eager frames are probe-bounded, not
+    // corpus-bounded.
     val cand = bruteForceTopK(vecs, probes, depth)
       .select(col("probe_id"), col("neighbor_id"), col("cos_r").as("rel"))
       .localCheckpoint()
@@ -400,8 +414,13 @@ object Similarity {
   def writeBqIndex(vecs: DataFrame, dir: String): Unit = {
     clearTombstones(vecs.sparkSession, dir)
     bqCodes(vecs).write.mode("overwrite").parquet(s"$dir/codes")
+    // fmt=2: the code table lives under `codes/` (fmt 1 — pre-r14 —
+    // wrote code files at the dir root). Every append/serve/compact
+    // leg requireMatches fmt so an old-layout dir is REJECTED loudly
+    // instead of appending a codes/ subdir the fmt-1 reader ignores
+    // (silent corpus loss) or serving half the corpus.
     IndexMeta.write(vecs.sparkSession, dir,
-      "layout" -> "bq", "bits" -> "64")
+      "layout" -> "bq", "bits" -> "64", "fmt" -> "2")
   }
 
   /** APPEND a vector batch's codes to a stored [[writeBqIndex]]
@@ -412,7 +431,7 @@ object Similarity {
     * crash-window contract). */
   def appendBqIndex(spark: org.apache.spark.sql.SparkSession,
       vecs: DataFrame, dir: String): Unit = {
-    IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64")
+    IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64", "fmt" -> "2")
     bqCodes(vecs).write.mode("append").parquet(s"$dir/codes")
     reconcileTombstonesAfterAppend(spark, dir,
       vecs.select(col("vec_id")))
@@ -426,8 +445,11 @@ object Similarity {
     * never with ghosts that the re-rank would then drop —
     * under-returning k). [[compactBqIndex]] reclaims the space. */
   def deleteFromBqIndex(spark: org.apache.spark.sql.SparkSession,
-      ids: DataFrame, dir: String): Unit =
+      ids: DataFrame, dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64",
+      "fmt" -> "2")
     deleteFromIvfIndex(spark, ids, dir)
+  }
 
   /** Compact the BQ layout: rewrite the code table without the
     * tombstoned rows and drain the tombstone table — the whole-dir
@@ -439,12 +461,24 @@ object Similarity {
     * the table stays readable, and a later [[appendBqIndex]] appends
     * beside it harmlessly (the table is unpartitioned — no
     * mixed-partition-depth hazard). Serve parity with the uncompacted
-    * masked table is bit-for-bit (spec-pinned). */
+    * masked table is bit-for-bit (spec-pinned).
+    *
+    * CRASH-WINDOW ORDERING between the two swaps (shared by every
+    * compacting layout): the compacted CODE table commits first, the
+    * tombstone drain second. A crash between them leaves tombstones
+    * naming rows the code table no longer holds — harmless for
+    * serves (the anti-join masks ids that are already absent) but a
+    * later append that RE-ADDS one of those ids depends on
+    * [[reconcileTombstonesAfterAppend]] clearing the stale tombstone,
+    * or the re-added row would serve masked. The reverse order would
+    * be worse: draining tombstones first would UNMASK the deleted
+    * rows if the code swap then crashed. */
   def compactBqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     import org.apache.hadoop.fs.Path
-    IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64")
+    IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64", "fmt" -> "2")
     val fs = FsOps.fsOf(spark, dir)
+    FsOps.clearStaging(fs, dir)
     readTombstones(spark, dir).foreach { tombs =>
       val codes = spark.read.parquet(s"$dir/codes")
       val staging = s"$dir/codes_compacting"
@@ -473,7 +507,7 @@ object Similarity {
   def bqRerankFromIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, vecs: DataFrame, probes: DataFrame,
       shortlist: Int = 20, k: Int = 3): DataFrame = {
-    IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64")
+    IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64", "fmt" -> "2")
     val codes1 = spark.read.parquet(s"$dir/codes")
     val codes = readTombstones(spark, dir)
       .map(t => codes1.join(broadcast(t), Seq("vec_id"), "left_anti"))
@@ -1548,6 +1582,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       ids: DataFrame): Unit =
     readTombstones(spark, dir).foreach { t =>
+      FsOps.clearStaging(FsOps.fsOf(spark, dir), dir)
       val appended = ids
         .select(col("vec_id").cast("long").as("vec_id")).distinct()
       val staging = s"$dir/tombstones_next"
@@ -1588,8 +1623,12 @@ object Similarity {
   private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    FsOps.deleteIfExists(
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Every rebuild entry routes through here, so the rebuild also
+    // sweeps staging left by a crashed compact/delete of the OLD
+    // index generation.
+    FsOps.clearStaging(fs, dir)
+    FsOps.deleteIfExists(fs, p)
   }
 
   /** A FULL-DRAIN compaction replaces a cell-partitioned table with a
@@ -1664,6 +1703,7 @@ object Similarity {
       dir: String, table: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = FsOps.fsOf(spark, dir)
+    FsOps.clearStaging(fs, dir)
     readTombstones(spark, dir).foreach { tombs =>
       val idx = spark.read.parquet(s"$dir/$table")
       val affected = idx.join(broadcast(tombs), Seq("vec_id"))

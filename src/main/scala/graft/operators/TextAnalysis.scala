@@ -699,6 +699,7 @@ object TextAnalysis {
     val merged = shardTombstones(spark, dir)
       .map(_.unionByName(batch)).getOrElse(batch)
       .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    FsOps.clearStaging(FsOps.fsOf(spark, dir), dir)
     val staging = s"$dir/tombstones_next"
     merged.write.mode("overwrite").parquet(staging)
     FsOps.swapInto(FsOps.fsOf(spark, dir), staging,
@@ -721,6 +722,7 @@ object TextAnalysis {
       dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = FsOps.fsOf(spark, dir)
+    FsOps.clearStaging(fs, dir)
     shardTombstones(spark, dir).foreach { tombs =>
       val kept = spark.read.parquet(s"$dir/postings")
         .join(broadcast(tombs.select(col("doc_id"))), Seq("doc_id"),
@@ -1331,6 +1333,7 @@ object TextAnalysis {
     IndexMeta.read(spark, dir) // fail loudly on a non-index dir
     val del = words.select(col("word")).distinct()
     val fs = FsOps.fsOf(spark, dir)
+    FsOps.clearStaging(fs, dir)
     Seq(spellKeysDir(dir), spellStatsDir(dir)).foreach { table =>
       val staging = s"${table}_next"
       spark.read.parquet(table)

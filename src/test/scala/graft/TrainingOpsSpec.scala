@@ -581,6 +581,33 @@ class TrainingOpsSpec extends SparkSpec {
         s"distinct segments -> ${counts._2} distinct keys")
   }
 
+  test("segmentDedup: a key collision RAISES instead of silently " +
+      "merging two segments' doc-frequencies") {
+    // A real xxhash64 collision can't be constructed, so the raise
+    // path is pinned through the injectable key hook with a degenerate
+    // key that collides everything. Two distinct segments under one
+    // key → the witness-hash min/max disagree → df evaluates
+    // raise_error, failing the job loudly instead of merging counts.
+    val docs = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.segmentDedupKeyed(docs, segWords = 10, minDf = 2,
+        keyOf = _ => lit(0L)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("segment-key collision")),
+      s"expected the collision raise, got: $ex")
+    // And the guard does NOT false-positive when the colliding rows
+    // really are the same segment: one distinct segment, same
+    // degenerate key, runs clean.
+    val same = Seq((1L, "aa bb"), (2L, "aa bb")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedupKeyed(same, segWords = 10, minDf = 2,
+      keyOf = _ => lit(0L))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1L, 1L, "")) && got(2L) === ((2L, 1L, 1L, "")))
+  }
+
   test("unigramLogprob: common-token docs outscore rare-token docs") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
