@@ -631,6 +631,174 @@ case class MinHashSigsV2(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+/** Shared eval/codegen kernel for the GR raster format — the engine's
+  * uncompressed interchange raster for multimodal pipelines (the
+  * PNG/JPEG/WAV header codecs in operators/Multimodal parse real
+  * container headers; GR carries the DECODED pixels, the way a
+  * training pipeline stages rasters between transform stages).
+  *
+  * Layout (7-byte header + pixels):
+  * bytes 1-2 magic `GR`; byte 3 channel count (1-4); bytes 4-5
+  * width, bytes 6-7 height (both big-endian u16); then
+  * width·height·channels pixel bytes, row-major, channels
+  * interleaved. All math is exact integer arithmetic, so every
+  * transform is replayable by a SQL oracle byte-for-byte.
+  *
+  * Both expressions call these static methods from nullSafeEval AND
+  * doGenCode — one JIT'd method per row, and the two paths cannot
+  * diverge. Malformed bytes (wrong magic, truncated, inconsistent
+  * length) return null, never throw — the dead-letter discipline of
+  * the header decoders (cf. reference's per-record try/catch at
+  * decorator/index.js:206-214). */
+object RasterKernel {
+  val HeaderLen = 7
+
+  private def writeHeader(out: Array[Byte], channels: Int, w: Int,
+      h: Int): Unit = {
+    out(0) = 'G'; out(1) = 'R'; out(2) = channels.toByte
+    out(3) = (w >>> 8).toByte; out(4) = w.toByte
+    out(5) = (h >>> 8).toByte; out(6) = h.toByte
+  }
+
+  /** Assemble a raster from decoded pixels (build-side helper for the
+    * synthesizers and tests). */
+  def build(channels: Int, w: Int, h: Int, pix: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && channels <= 4 && w >= 1 && h >= 1 &&
+      w <= 0xffff && h <= 0xffff, s"bad raster shape ${channels}x${w}x$h")
+    require(pix.length == w * h * channels,
+      s"pixel buffer ${pix.length} != $w*$h*$channels")
+    val out = new Array[Byte](HeaderLen + pix.length)
+    writeHeader(out, channels, w, h)
+    System.arraycopy(pix, 0, out, HeaderLen, pix.length)
+    out
+  }
+
+  /** (channels, width, height) of a valid raster; null otherwise. */
+  def dims(b: Array[Byte]): Array[Int] = {
+    if (b == null || b.length < HeaderLen || b(0) != 'G' || b(1) != 'R')
+      return null
+    val c = b(2) & 0xff
+    val w = ((b(3) & 0xff) << 8) | (b(4) & 0xff)
+    val h = ((b(5) & 0xff) << 8) | (b(6) & 0xff)
+    if (c < 1 || c > 4 || w < 1 || h < 1 ||
+        b.length != HeaderLen + w * h * c) null
+    else Array(c, w, h)
+  }
+
+  /** Integer box-filter downsample by `f`: output pixel (x2, y2, ch) is
+    * the floor-average of the f×f source block at (x2·f, y2·f) —
+    * area-average downscaling over full blocks only (a trailing
+    * partial row/column of source pixels is dropped, the standard
+    * floor-dims convention). Returns a complete GR raster; null for
+    * malformed input or when a dimension shrinks below 1. */
+  def resize(b: Array[Byte], f: Int): Array[Byte] = {
+    val d = dims(b)
+    if (d == null) return null
+    val c = d(0); val w = d(1); val h = d(2)
+    val w2 = w / f; val h2 = h / f
+    if (w2 < 1 || h2 < 1) return null
+    val out = new Array[Byte](HeaderLen + w2 * h2 * c)
+    writeHeader(out, c, w2, h2)
+    val area = f * f
+    var o = HeaderLen
+    var y2 = 0
+    while (y2 < h2) {
+      var x2 = 0
+      while (x2 < w2) {
+        var ch = 0
+        while (ch < c) {
+          var s = 0
+          var dy = 0
+          while (dy < f) {
+            val rowBase = HeaderLen + ((y2 * f + dy) * w + x2 * f) * c + ch
+            var dx = 0
+            while (dx < f) { s += b(rowBase + dx * c) & 0xff; dx += 1 }
+            dy += 1
+          }
+          out(o) = (s / area).toByte
+          o += 1
+          ch += 1
+        }
+        x2 += 1
+      }
+      y2 += 1
+    }
+    out
+  }
+
+  /** Per-CHANNEL pixel-value histogram: `bins` equal-width buckets of
+    * [0, 256) per channel, concatenated channel-major (channel ch's
+    * bucket k at index ch·bins + k). Exact integer counts. Null for
+    * malformed input. */
+  def histogram(b: Array[Byte],
+      bins: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val d = dims(b)
+    if (d == null) return null
+    val c = d(0)
+    val out = new Array[Long](c * bins)
+    var i = HeaderLen
+    var idx = 0
+    while (i < b.length) {
+      out((idx % c) * bins + ((b(i) & 0xff) * bins) / 256) += 1
+      i += 1
+      idx += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** raster_resize(binary, factor) → binary: [[RasterKernel.resize]] as a
+  * codegen'd scalar — the decode/transform/re-encode stage of an image
+  * pipeline as one tight fused loop per row, no shuffle, no UDF. */
+case class RasterResize(child: Expression, factor: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  require(factor >= 1, s"factor must be >= 1, got $factor")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // malformed bytes → null
+  override def prettyName: String = "raster_resize"
+
+  override def nullSafeEval(input: Any): Any =
+    RasterKernel.resize(input.asInstanceOf[Array[Byte]], factor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.RasterKernel.resize($in, $factor);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): RasterResize =
+    copy(child = c)
+}
+
+/** raster_histogram(binary, bins) → array<bigint>: per-channel
+  * histogram of [[RasterKernel.histogram]] — the feature-extraction
+  * stage emitting the (doc, vector) shape that composes with the
+  * Similarity operators. */
+case class RasterHistogram(child: Expression, bins: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  require(bins >= 1 && bins <= 256, s"bins must be in [1, 256], got $bins")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // malformed bytes → null
+  override def prettyName: String = "raster_histogram"
+
+  override def nullSafeEval(input: Any): Any =
+    RasterKernel.histogram(input.asInstanceOf[Array[Byte]], bins)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.RasterKernel.histogram($in, $bins);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): RasterHistogram =
+    copy(child = c)
+}
+
 /** Column-level API for the custom expressions. */
 object functions {
   // Input typing is enforced here via casts (AbstractDataType /
@@ -667,4 +835,8 @@ object functions {
     GraftColumnBridge.column(MinHashSigs(ex(c.cast("string")), numHashes))
   def minhash_sigs_v2(c: Column, numHashes: Int): Column =
     GraftColumnBridge.column(MinHashSigsV2(ex(c.cast("string")), numHashes))
+  def raster_resize(c: Column, factor: Int): Column =
+    GraftColumnBridge.column(RasterResize(ex(c.cast("binary")), factor))
+  def raster_histogram(c: Column, bins: Int): Column =
+    GraftColumnBridge.column(RasterHistogram(ex(c.cast("binary")), bins))
 }

@@ -6,62 +6,27 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, plus decode / feature-extract /
-  * frame-sample stages.
+  * columns with typed metadata, plus decode / transform /
+  * feature-extract / frame-sample stages.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): `decodeImageStub` derives deterministic fake
-  * width/height/format from the payload bytes. Everything around it —
-  * the binary schema, the mapPartitions batch shape (one reusable
-  * "decoder" per partition, mirroring how a real codec or Pandas-UDF
-  * batch would amortize model/codec init), partition sizing, and the
-  * metadata struct — is real and tested.
+  * Everything here is REAL byte-level work, no media libraries needed:
+  * the container codecs parse actual PNG/JPEG/WAV header structures
+  * (IHDR + CRC32, SOFn marker scan, RIFF chunk walk), and the pixel
+  * transforms (box-filter resize, per-channel histograms) run
+  * all-integer arithmetic over the engine's uncompressed GR raster
+  * format ([[graft.functions.RasterKernel]]) — deterministic and
+  * oracle-replayable byte-for-byte. Row-streaming stages use the
+  * mapPartitions batch shape (one reusable decoder per partition,
+  * mirroring how a heavyweight codec or Pandas-UDF batch would
+  * amortize init); the pixel kernels are codegen'd Catalyst
+  * expressions that stay inside whole-stage codegen.
   */
 object Multimodal {
-
-  val imageSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("payload", BinaryType),
-    StructField("meta", StructType(Seq(
-      StructField("byte_len", LongType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("format", StringType))))))
 
   /** Wrap a text corpus as binary payloads (the testdata has no real
     * media, so documents stand in as opaque bytes). */
   def asBinaryPayloads(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
-
-  /** STUB decoder: deterministic fake dimensions from the payload.
-    * A real implementation would decode the image header here; the
-    * surrounding plumbing (per-partition init, struct output) is the
-    * part that matters for the pipeline. */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, String) = {
-    if (payload.isEmpty) (0, 0, "empty")
-    else {
-      val w = 16 + (payload(0) & 0x3f)
-      val h = 16 + (payload(payload.length - 1) & 0x3f)
-      val fmt = if (payload.length % 2 == 0) "png" else "jpeg"
-      (w, h, fmt)
-    }
-  }
-
-  /** Decode stage as mapPartitions: one decoder instance per partition,
-    * rows streamed through it (the Scala analog of mapInPandas batches). */
-  def decodeImages(payloads: DataFrame): DataFrame = {
-    val spark = payloads.sparkSession
-    implicit val enc = RowEncoder.encoderFor(imageSchema)
-    payloads.select(col("doc_id"), col("payload")).mapPartitions { rows =>
-      // per-partition "codec init" would happen here
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val (w, h, fmt) = decodeStub(bytes)
-        Row(id, bytes, Row(bytes.length.toLong, w, h, fmt))
-      }
-    }
-  }
 
   // ---- REAL header codec (no image libraries required) ----
   // PNG and JPEG dimensions live in fixed, documented header structures
@@ -177,8 +142,8 @@ object Multimodal {
     StructField("header_ok", BooleanType)))
 
   /** Real header decode as the codec stage: one decoder per partition,
-    * rows streamed through (same batch shape as [[decodeImages]], but
-    * parsing actual bytes). */
+    * rows streamed through (the mapInPandas batch shape), parsing
+    * actual container bytes. */
   def decodeImageHeaders(payloads: DataFrame): DataFrame = {
     implicit val enc = RowEncoder.encoderFor(headerSchema)
     payloads.select(col("doc_id"), col("payload")).mapPartitions { rows =>
@@ -438,6 +403,7 @@ object Multimodal {
       window: Int, divisor: Int, mode: String,
       storeFilter: DataFrame => DataFrame): Unit = {
     val spark = documents.sparkSession
+    FsOps.clearStaging(FsOps.fsOf(spark, dir), dir)
     val staging = s"$dir/_staging"
     cdcSpans(documents, window, divisor)
       .select(col("doc_id"), col("chunk_no"), col("chunk_hash"),
@@ -494,6 +460,7 @@ object Multimodal {
   def deleteDocsFromChunkStore(spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame, dir: String): Unit = {
     val fs = FsOps.fsOf(spark, dir)
+    FsOps.clearStaging(fs, dir)
     val del = ids.select(col("doc_id").cast("long").as("doc_id"))
       .distinct()
     val man = spark.read.parquet(s"$dir/manifest")
@@ -546,57 +513,68 @@ object Multimodal {
         expr(s"substring(payload, cast(frame_no * $frameSize + 1 as int), $frameSize)")
           .as("frame"))
 
-  /** STUB resize: keep every `factor`-th payload byte and scale the fake
-    * dimensions down accordingly (a real implementation decodes, scales,
-    * re-encodes here). Same mapPartitions batch shape as the decoder. */
-  def resizeImages(decoded: DataFrame, factor: Int): DataFrame = {
-    require(factor > 0, "factor must be positive")
-    implicit val enc = RowEncoder.encoderFor(imageSchema)
-    decoded.select(col("doc_id"), col("payload"), col("meta"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val meta = r.getStruct(2)
-          val out =
-            if (bytes.isEmpty) bytes
-            else Array.tabulate((bytes.length + factor - 1) / factor)(i =>
-              bytes(i * factor))
-          Row(id, out, Row(out.length.toLong,
-            math.max(1, meta.getInt(1) / factor),
-            math.max(1, meta.getInt(2) / factor),
-            meta.getString(3)))
-        }
-      }
-  }
+  // ---- REAL raster kernels (GR format, functions/RasterKernel) ----
+  // The container-header codecs above parse real PNG/JPEG/WAV bytes;
+  // the transforms below operate on DECODED pixels carried in the
+  // engine's uncompressed GR raster (7-byte header + interleaved
+  // channel bytes) — all-integer pixel arithmetic, so resize and
+  // feature extraction are oracle-replayable byte-for-byte.
 
-  val featureSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("features", ArrayType(DoubleType))))
-
-  /** STUB feature extraction: a normalized `bins`-bin byte histogram per
-    * payload — the (doc_id, float-vector) shape a real embedding or
-    * feature model emits, so the output composes directly with the
-    * Similarity operators. One "model" per partition, rows streamed
-    * through (the mapInPandas batch shape). */
-  def extractFeatures(payloads: DataFrame, bins: Int = 8): DataFrame = {
-    require(bins > 0, "bins must be positive")
-    implicit val enc = RowEncoder.encoderFor(featureSchema)
-    payloads.select(col("doc_id"), col("payload")).mapPartitions { rows =>
-      // per-partition "model init" would happen here
+  /** Synthesize GR rasters from the document corpus (the testdata has
+    * no real media): width 4 + doc_id%5, height 3 + doc_id%4, 3
+    * interleaved channels, pixel byte i = the document's byte at
+    * i mod len — deterministic, so a SQL oracle recomputes every
+    * pixel straight from the documents table. */
+  def synthesizeRasterPayloads(documents: DataFrame,
+      channels: Int = 3): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    implicit val enc = RowEncoder.encoderFor(schema)
+    documents.select(col("doc_id"), col("text")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val hist = new Array[Double](bins)
-        var i = 0
-        while (i < bytes.length) {
-          hist((bytes(i) & 0xff) * bins / 256) += 1.0
-          i += 1
-        }
-        val n = math.max(1, bytes.length).toDouble
-        Row(id, hist.map(_ / n).toSeq)
+        val tb = r.getString(1).getBytes("UTF-8")
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val pix = Array.tabulate(w * h * channels)(i => tb(i % tb.length))
+        Row(id, graft.functions.RasterKernel.build(channels, w, h, pix))
       }
     }
+  }
+
+  /** REAL image resize: integer box-filter (area-average) downsample by
+    * `factor` over GR raster payloads — the codegen'd
+    * [[graft.functions.RasterResize]] expression, one fused per-row
+    * loop inside whole-stage codegen (no UDF, no shuffle; at 100 TB
+    * the transform cost is exactly one streamed pass over the image
+    * bytes). Malformed payloads yield null (dead-letter-friendly),
+    * matching the header decoders' contract. */
+  def resizeRasters(payloads: DataFrame, factor: Int): DataFrame =
+    payloads.select(col("doc_id"),
+      graft.functions.functions.raster_resize(col("payload"), factor)
+        .as("payload"))
+
+  /** REAL feature extraction: per-channel normalized pixel-value
+    * histogram over GR raster payloads — `bins` buckets per channel,
+    * concatenated channel-major, each count divided by the channel's
+    * pixel total (= width·height, recovered as the channel-0 bucket
+    * sum so no second decode is needed). The (doc_id, double-vector)
+    * output composes directly with the Similarity operators. Counting
+    * runs in the codegen'd [[graft.functions.RasterHistogram]]
+    * kernel; normalization is exact IEEE division of two integers, so
+    * the oracle reproduces every feature bit-for-bit. */
+  def extractFeatures(payloads: DataFrame, bins: Int = 8): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    payloads
+      .select(col("doc_id"),
+        graft.functions.functions.raster_histogram(col("payload"), bins)
+          .as("hist"))
+      .select(col("doc_id"), col("hist"),
+        expr(s"aggregate(slice(hist, 1, $bins), 0L, (a, x) -> a + x)")
+          .as("npx"))
+      .select(col("doc_id"),
+        expr("transform(hist, x -> CAST(x AS DOUBLE) / CAST(npx AS DOUBLE))")
+          .as("features"))
   }
 
   /** Scene-cut detection over sampled frames — the shot-segmentation

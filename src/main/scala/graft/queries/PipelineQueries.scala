@@ -1975,33 +1975,40 @@ object PipelineQueries {
     "pipeline_dataset_card" -> ((s, d) =>
       Profiling.datasetCard(Tables.documents(s, d))),
 
-    // Resize stage over decoded payloads. The stub's byte/dimension
-    // arithmetic is deterministic, so (unusually for a codec stage) it
-    // IS oracle-checkable: the documents corpus is pure ASCII, making
-    // byte arithmetic equal to character arithmetic in DuckDB.
-    "mm_resize_stub" -> ((s, d) =>
-      Multimodal.resizeImages(
-        Multimodal.decodeImages(
-          Multimodal.asBinaryPayloads(Tables.documents(s, d))), 4)
-        .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
-          col("meta.width").as("width"), col("meta.height").as("height"))
-        .orderBy("doc_id")),
+    // REAL image resize: integer box-filter downsample (factor 2) over
+    // synthesized GR rasters — the codegen'd RasterResize kernel. The
+    // gate checks EVERY output pixel: the query explodes the resized
+    // raster to (pos, px) rows plus the header dims, and the oracle
+    // replays the 4-term floor-average per pixel straight from the
+    // documents table (all-integer arithmetic, no tolerance).
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizeRasters(
+        Multimodal.synthesizeRasterPayloads(Tables.documents(s, d)), 2)
+        .select(col("doc_id"), col("payload"),
+          expr("cast(conv(hex(substring(payload, 4, 2)), 16, 10) as int)")
+            .as("out_w"),
+          expr("cast(conv(hex(substring(payload, 6, 2)), 16, 10) as int)")
+            .as("out_h"))
+        .select(col("doc_id"), col("out_w"), col("out_h"), col("payload"),
+          explode(expr("sequence(0L, length(payload) - 8L)")).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          expr("cast(conv(hex(substring(payload, cast(pos + 8 as int), 1))," +
+            " 16, 10) as bigint)").as("px"),
+          col("out_w"), col("out_h"))
+        .orderBy("doc_id", "pos")),
 
-    // Feature-extraction stage: normalized byte histogram as the
-    // embedding-shaped output a real feature model would emit. ASCII
-    // corpus → bins 5-8 are structurally zero; bins 1-4 are char-class
-    // frequencies the oracle reproduces with regex counts.
-    "mm_feature_hist" -> ((s, d) => {
-      val feats = Multimodal.extractFeatures(
-        Multimodal.asBinaryPayloads(Tables.documents(s, d)))
-      // raw: each bin is one division of exact count/len ints —
-      // bit-identical across engines; rounding an int-ratio can land
-      // exactly half-way (the q_tpch_q2 drift class)
-      feats.select(col("doc_id") +:
-        (1 to 8).map(k =>
-          element_at(col("features"), k).as(s"f$k")): _*)
-        .orderBy("doc_id")
-    }),
+    // REAL feature extraction: per-channel normalized pixel histograms
+    // over the same GR rasters (RasterHistogram kernel) — 3 channels ×
+    // 8 bins per doc, each feature the exact IEEE division of two
+    // integers the oracle reproduces bit-for-bit.
+    "mm_feature_hist" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.synthesizeRasterPayloads(Tables.documents(s, d)),
+        bins = 8)
+        .select(col("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), expr("pos div 8").as("c"),
+          expr("pos % 8").as("b"), col("col").as("f"))
+        .orderBy("doc_id", "c", "b")),
 
     // Custom-Expression queries:
     // winnowing rolling-hash fingerprint over each document — oracle-gated
@@ -4772,22 +4779,53 @@ object PipelineQueries {
         |FROM roll WHERE i = n
         |ORDER BY doc_id""".stripMargin,
 
-    "mm_resize_stub" ->
-      """SELECT doc_id,
-        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS byte_len,
-        |  CAST(greatest(1, (16 + (ascii(substr(text, 1, 1)) % 64)) // 4) AS INTEGER) AS width,
-        |  CAST(greatest(1, (16 + (ascii(substr(text, length(text), 1)) % 64)) // 4) AS INTEGER) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    // GR raster replay: pixel i of doc = byte (i mod len) of its text,
+    // raster 4+id%5 wide × 3+id%4 high × 3 interleaved channels. The
+    // resize oracle recomputes every output pixel as the 4-term
+    // floor-average of its 2×2 source block — exact integers end to
+    // end.
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L,
+        |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),
+        |e AS (SELECT *, (W // 2) AS W2, (H // 2) AS H2 FROM d),
+        |pos AS (SELECT doc_id, text, L, W, W2, H2,
+        |    unnest(generate_series(0, CAST(W2*H2*3 - 1 AS INT))) AS p
+        |  FROM e),
+        |x AS (SELECT doc_id, p, text, L, W, W2, H2,
+        |    (p // (W2*3)) AS y2, ((p % (W2*3)) // 3) AS x2, p % 3 AS c
+        |  FROM pos)
+        |SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |  CAST((ord(substr(text, CAST((((2*y2  )*W + 2*x2  )*3 + c) % L AS INT) + 1, 1))
+        |      + ord(substr(text, CAST((((2*y2  )*W + 2*x2+1)*3 + c) % L AS INT) + 1, 1))
+        |      + ord(substr(text, CAST((((2*y2+1)*W + 2*x2  )*3 + c) % L AS INT) + 1, 1))
+        |      + ord(substr(text, CAST((((2*y2+1)*W + 2*x2+1)*3 + c) % L AS INT) + 1, 1)))
+        |    // 4 AS BIGINT) AS px,
+        |  CAST(W2 AS INT) AS out_w, CAST(H2 AS INT) AS out_h
+        |FROM x ORDER BY doc_id, pos""".stripMargin,
 
+    // Same raster replay, histogram side: count pixels per (channel,
+    // bucket) over the full grid (zero buckets included), normalize by
+    // the channel's pixel total W·H — the identical int/int IEEE
+    // division Spark performs.
     "mm_feature_hist" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[\x00-\x1f]')) AS DOUBLE) / length(text) AS f1,
-        |  CAST(len(regexp_extract_all(text, '[\x20-\x3f]')) AS DOUBLE) / length(text) AS f2,
-        |  CAST(len(regexp_extract_all(text, '[\x40-\x5f]')) AS DOUBLE) / length(text) AS f3,
-        |  CAST(len(regexp_extract_all(text, '[\x60-\x7f]')) AS DOUBLE) / length(text) AS f4,
-        |  CAST(0 AS DOUBLE) AS f5, CAST(0 AS DOUBLE) AS f6,
-        |  CAST(0 AS DOUBLE) AS f7, CAST(0 AS DOUBLE) AS f8
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, text, length(text) AS L,
+        |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),
+        |pos AS (SELECT doc_id, text, L, W, H,
+        |    unnest(generate_series(0, CAST(W*H*3 - 1 AS INT))) AS i
+        |  FROM d),
+        |v AS (SELECT doc_id, i % 3 AS c,
+        |    (ord(substr(text, CAST(i % L AS INT) + 1, 1)) * 8) // 256 AS b
+        |  FROM pos),
+        |chans AS (SELECT unnest(generate_series(0, 2)) AS c),
+        |bs AS (SELECT unnest(generate_series(0, 7)) AS b),
+        |g2 AS (SELECT doc_id, W*H AS npx, c, b
+        |       FROM d CROSS JOIN chans CROSS JOIN bs),
+        |cnt AS (SELECT doc_id, c, b, count(*) AS n FROM v GROUP BY 1, 2, 3)
+        |SELECT g2.doc_id, CAST(g2.c AS INT) AS c, CAST(g2.b AS INT) AS b,
+        |  CAST(coalesce(cnt.n, 0) AS DOUBLE) / g2.npx AS f
+        |FROM g2 LEFT JOIN cnt
+        |  ON cnt.doc_id = g2.doc_id AND cnt.c = g2.c AND cnt.b = g2.b
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

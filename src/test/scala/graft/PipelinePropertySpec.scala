@@ -258,17 +258,29 @@ class PipelinePropertySpec extends SparkSpec {
       s"guarded (${guarded.size}) must equal plain (${plain.size}) bit-for-bit")
   }
 
-  test("property: feature histograms are distributions (non-negative, sum 1)") {
-    val byteGen = Gen.chooseNum(1, 64)
-      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
-    val payloads = samples(byteGen, 100).zipWithIndex
-      .map { case (b, i) => (i.toLong, b.toArray) }
-    val feats = Multimodal.extractFeatures(payloads.toDF("doc_id", "payload"))
-      .select($"features").as[Seq[Double]].collect()
-    for (f <- feats) {
-      assert(f.length === 8)
+  test("property: feature histograms are per-channel distributions " +
+      "(non-negative, each channel sums to 1)") {
+    import graft.functions.RasterKernel
+    val rasterGen = for {
+      c <- Gen.chooseNum(1, 4)
+      w <- Gen.chooseNum(1, 9)
+      h <- Gen.chooseNum(1, 9)
+      pix <- Gen.listOfN(w * h * c, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield (c, RasterKernel.build(c, w, h, pix.toArray))
+    val drawn = samples(rasterGen, 100).zipWithIndex
+      .map { case ((c, b), i) => (i.toLong, c, b) }
+    val chans = drawn.map(r => r._1 -> r._2).toMap
+    val feats = Multimodal.extractFeatures(
+      drawn.map(r => (r._1, r._3)).toDF("doc_id", "payload"))
+      .select($"doc_id", $"features").as[(Long, Seq[Double])].collect()
+    assert(feats.length === drawn.length)
+    for ((id, f) <- feats) {
+      val c = chans(id)
+      assert(f.length === c * 8)
       assert(f.forall(_ >= 0.0))
-      assert(math.abs(f.sum - 1.0) < 1e-9)
+      for (ch <- 0 until c)
+        assert(math.abs(f.slice(ch * 8, ch * 8 + 8).sum - 1.0) < 1e-9,
+          s"doc $id channel $ch not a distribution")
     }
   }
 

@@ -1204,15 +1204,24 @@ class PipelineSpec extends SparkSpec {
     assert(exact.length === 2)  // the pair collapses, the long doc stands
   }
 
-  test("multimodal decode stub preserves payload and emits sane metadata") {
-    val out = Multimodal.decodeImages(Multimodal.asBinaryPayloads(docs))
-    val r = out.orderBy("doc_id").head
-    val payload = r.getAs[Array[Byte]]("payload")
-    val meta = r.getAs[org.apache.spark.sql.Row]("meta")
-    assert(meta.getAs[Long]("byte_len") === payload.length.toLong)
-    assert(meta.getAs[Int]("width") >= 16 && meta.getAs[Int]("width") < 80)
-    assert(Set("png", "jpeg").contains(meta.getAs[String]("format")))
-    assert(out.count() === docs.count())
+  test("GR raster synth: header dims round-trip and pixels cycle the " +
+      "document bytes") {
+    import graft.functions.RasterKernel
+    val out = Multimodal.synthesizeRasterPayloads(docs)
+      .orderBy("doc_id").collect()
+    assert(out.length === docs.count())
+    val texts = docs.orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    for (r <- out.take(20)) {
+      val id = r.getAs[Long]("doc_id")
+      val b = r.getAs[Array[Byte]]("payload")
+      val d = RasterKernel.dims(b)
+      assert(d != null, s"doc $id synthesized an invalid raster")
+      assert(d.toSeq === Seq(3, (4 + id % 5).toInt, (3 + id % 4).toInt))
+      val tb = texts(id).getBytes("UTF-8")
+      val pix = b.drop(RasterKernel.HeaderLen)
+      assert(pix.zipWithIndex.forall { case (p, i) => p == tb(i % tb.length) })
+    }
   }
 
   test("frame sampling covers the payload with the right stride") {
@@ -1224,17 +1233,32 @@ class PipelineSpec extends SparkSpec {
     assert(frames(0).getAs[Array[Byte]]("frame").length === 64)
   }
 
-  test("resize stub downsamples bytes and scales dimensions by the factor") {
-    val payloads = Seq((1L, (0 until 100).map(_.toByte).toArray))
+  test("raster box-filter resize: exact floor-averages on a handcrafted " +
+      "grid; malformed bytes go to null, not a throw") {
+    import graft.functions.RasterKernel
+    // 1 channel, 4×2: rows [0,10,20,30] and [40,50,60,70]. Factor 2 →
+    // 2×1 with pixels floor((0+10+40+50)/4)=25, floor((20+30+60+70)/4)=45.
+    val src = RasterKernel.build(1, 4, 2,
+      Array[Byte](0, 10, 20, 30, 40, 50, 60, 70))
+    val payloads = Seq((1L, src), (2L, "not a raster".getBytes))
       .toDF("doc_id", "payload")
-    val r = Multimodal.resizeImages(Multimodal.decodeImages(payloads), 4).head
-    val out = r.getAs[Array[Byte]]("payload")
-    assert(out.length === 25) // ceil(100/4)
-    assert(out.toSeq === (0 until 100 by 4).map(_.toByte))
-    val meta = r.getAs[org.apache.spark.sql.Row]("meta")
-    assert(meta.getAs[Long]("byte_len") === 25L)
-    // decode: w = 16 + (0 & 0x3f) = 16 → resized 16/4 = 4
-    assert(meta.getAs[Int]("width") === 4)
+    val out = Multimodal.resizeRasters(payloads, 2)
+      .orderBy("doc_id").collect()
+    val good = out(0).getAs[Array[Byte]]("payload")
+    assert(RasterKernel.dims(good).toSeq === Seq(1, 2, 1))
+    assert(good.drop(RasterKernel.HeaderLen).toSeq === Seq(25.toByte, 45.toByte))
+    assert(out(1).isNullAt(1), "malformed payload must resize to null")
+    // Kernel edge semantics: a trailing partial block is dropped
+    // (floor dims), and values above 127 stay exact unsigned bytes.
+    val odd = RasterKernel.build(1, 3, 3,
+      Array[Byte](200.toByte, 250.toByte, 9, 210.toByte, 240.toByte, 9,
+        9, 9, 9))
+    val rz = RasterKernel.resize(odd, 2)
+    assert(RasterKernel.dims(rz).toSeq === Seq(1, 1, 1))
+    assert((rz(RasterKernel.HeaderLen) & 0xff) === (200 + 250 + 210 + 240) / 4)
+    // A dimension shrinking below 1 is malformed-output → null.
+    assert(RasterKernel.resize(RasterKernel.build(1, 4, 1,
+      Array[Byte](1, 2, 3, 4)), 2) === null)
   }
 
   test("header decoder parses real PNG and JPEG bytes, verifies PNG CRC") {
@@ -1313,14 +1337,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("feature extraction emits a normalized histogram summing to ~1") {
-    val payloads = Seq((1L, "aaAA  !!".getBytes("UTF-8"))).toDF("doc_id", "payload")
+  test("feature extraction: per-channel histograms are exact and each " +
+      "channel's bins sum to 1") {
+    import graft.functions.RasterKernel
+    // 2 channels, 2×2 interleaved: channel 0 = [97, 97, 65, 32],
+    // channel 1 = [200, 200, 200, 33]. bins=8 buckets are v*8/256.
+    val pix = Array[Byte](97, 200.toByte, 97, 200.toByte,
+      65, 200.toByte, 32, 33)
+    val payloads = Seq((1L, RasterKernel.build(2, 2, 2, pix)))
+      .toDF("doc_id", "payload")
     val feats = Multimodal.extractFeatures(payloads).head
       .getAs[scala.collection.Seq[Double]]("features")
-    assert(feats.length === 8)
-    assert(math.abs(feats.sum - 1.0) < 1e-9)
-    // 'a'(97)→bin 3, 'A'(65)→bin 2, ' '(32)/'!'(33)→bin 1; 2 of each pair
-    assert(feats(3) === 0.25 && feats(2) === 0.25 && feats(1) === 0.5)
+    assert(feats.length === 16)
+    // channel 0: 'a'(97)→bin 3 ×2, 'A'(65)→bin 2, ' '(32)→bin 1
+    assert(feats(3) === 0.5 && feats(2) === 0.25 && feats(1) === 0.25)
+    // channel 1: 200→bin 6 ×3, '!'(33)→bin 1
+    assert(feats(8 + 6) === 0.75 && feats(8 + 1) === 0.25)
+    assert(math.abs(feats.slice(0, 8).sum - 1.0) < 1e-12)
+    assert(math.abs(feats.slice(8, 16).sum - 1.0) < 1e-12)
   }
 
   test("bqCodes packs sign bits exactly; Hamming is 0 on self, 64 on " +
@@ -1454,6 +1488,48 @@ class PipelineSpec extends SparkSpec {
         assert(reAdded.nonEmpty && reAdded === fresh,
           "append after a full BQ drain diverged from a fresh build")
       }
+    }
+  }
+
+  test("crash-left staging dirs are swept at op entry: compaction and " +
+      "rebuild remove them and the serve is bit-identical") {
+    import graft.operators.Similarity
+    def plant(dir: String, names: String*): Seq[java.io.File] =
+      names.map { n =>
+        val d = new java.io.File(dir, n)
+        d.mkdirs()
+        val junk = new java.io.File(d, "part-junk.parquet")
+        java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+        d
+      }
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 10)
+    withTempDir("graft_stage_sweep") { dir =>
+      Similarity.writeBqIndex(vecs, dir)
+      Similarity.deleteFromBqIndex(spark,
+        vecs.filter($"vec_id" % 7 === 0).select($"vec_id"), dir)
+      val want = Similarity.bqRerankFromIndex(spark, dir, vecs, probes)
+        .collect().toSet
+      // Fakes of everything a crashed compact/delete could leave.
+      val planted = plant(dir, "codes_compacting", "tombstones_next",
+        "_staging", "codes_empty", "codes_old")
+      Similarity.compactBqIndex(spark, dir)
+      planted.foreach(d =>
+        assert(!d.exists(), s"stale staging dir ${d.getName} survived " +
+          "the compaction entry sweep"))
+      val got = Similarity.bqRerankFromIndex(spark, dir, vecs, probes)
+        .collect().toSet
+      assert(got === want,
+        "serve diverged after sweeping planted staging dirs")
+      // Rebuild entry (via clearTombstones) sweeps too.
+      val planted2 = plant(dir, "codes_compacting", "tombstones_next")
+      Similarity.writeBqIndex(vecs, dir)
+      planted2.foreach(d =>
+        assert(!d.exists(), s"stale staging dir ${d.getName} survived " +
+          "the rebuild entry sweep"))
+      assert(Similarity.bqRerankFromIndex(spark, dir, vecs, probes)
+        .collect().nonEmpty)
     }
   }
 
