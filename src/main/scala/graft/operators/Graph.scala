@@ -345,7 +345,17 @@ object Graph {
     val ldeg = saltedCount(e, "l", "r", salts, "ldeg")
     val kept = e.join(rdeg.filter(col("rdeg") <= degreeCap)
       .select(col("r")), Seq("r"))
-    val pairs = kept.as("x")
+    // The pair self-join is PINNED to shuffle-hash: sort-merge paid
+    // two sorts of the capped edge table per run and its AQE skew
+    // re-planning swung the measured steady-state 3.4-5.3 s at sf0.1
+    // (SCALING.md round-14 adjudication); with SHJ the same runs land
+    // 2.3-2.6 s (±6%). Hub skew stays bounded by construction — the
+    // degreeCap caps any single r's rows at degreeCap, so a
+    // partition's build side is partition-sized, not hub-sized, and
+    // Spark 4's SHJ spills if it still outgrows memory. AQE's skew
+    // split applies to SHJ as well when a partition is genuinely
+    // oversized.
+    val pairs = kept.as("x").hint("shuffle_hash")
       .join(kept.as("y"), col("x.r") === col("y.r") &&
         col("x.l") < col("y.l"))
       .groupBy(col("x.l").as("a"), col("y.l").as("b"))

@@ -250,11 +250,17 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_mad_outliers" -> 8,        // 2 bounded-state percentile chains
                                   // (value-dist agg + cum windows) +
                                   // final rollup; med/mad broadcast
-    "graph_common_neighbors" -> 11, // the capped-edge subtree prints
+    "graph_common_neighbors" -> 13, // the capped-edge subtree prints
                                   // under both self-join branches and
                                   // ldeg under both pair joins
                                   // (ReuseExchange dedups at runtime)
-                                  // + pair agg + top sort
+                                  // + pair agg + top sort; 11 -> 13
+                                  // textual with the pinned
+                                  // shuffle_hash pair join (SHJ
+                                  // prints both shuffled inputs where
+                                  // SMJ shared a sort subtree) —
+                                  // runtime exchanges unchanged,
+                                  // steady halved 5.9 -> 2.4 s
     "sketch_kmv_persist" -> 2,    // SERVING plan: estimate rollup +
                                   // sort over the stored synopsis
     "sketch_hll_sharded" -> 4,    // (grp,sh,bucket) register agg +
