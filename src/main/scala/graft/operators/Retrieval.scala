@@ -167,6 +167,37 @@ object Retrieval {
     fuse(lex, vec, k, k0)
   }
 
+  /** [[hybridRrfFromIndexes]] with the COMPRESSED vector leg: the
+    * candidates come from a cell-blocked
+    * [[Similarity.writeIvfBqIndex]] layout instead of flat IVF — the
+    * 100 TB-preferred serve, where the scan reads
+    * corpus·nprobe/kCells 16-byte codes (DPP-pruned partitions)
+    * instead of the probed cells' full float vectors. The Hamming
+    * shortlist (depth-wide) re-ranks by exact cosine, so `vecs`
+    * supplies floats for the SHORTLIST SURVIVORS ONLY (the two-stage
+    * BQ contract); the fusion frame, tie-breaks, and rounding are
+    * byte-identical to the flat-leg composition. The fused list
+    * inherits the IVF-BQ leg's recall bound (nprobe cells, Hamming
+    * shortlist) — the gated query's oracle replays exactly that.
+    * Deletion masking stays PER-LEG, as in the flat composition. */
+  def hybridRrfFromIndexesBq(spark: org.apache.spark.sql.SparkSession,
+      probeDocs: DataFrame, probeVecs: DataFrame, invDir: String,
+      ivfBqDir: String, vecs: DataFrame, depth: Int = 20, k: Int = 10,
+      k0: Int = 60, nprobe: Int = 2): DataFrame = {
+    val probeTerms = probeDocs
+      .select(col("doc_id").as("probe_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val lex = lexicalLeg(
+      TextAnalysis.maskedPostingPairs(spark, invDir), probeTerms, depth)
+      .select(col("probe_id"), col("doc_id"), col("rank_lex"))
+    val vec = Similarity.searchIvfBqIndex(spark, ivfBqDir, vecs,
+        probeVecs, shortlist = depth, k = depth, nprobe = nprobe)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("rank_vec"))
+    fuse(lex, vec, k, k0)
+  }
+
   /** Diversity-capped re-rank over the fused candidates: at most
     * `maxPerSource` results from any one source per probe, then the
     * global top-`k` — the standard result-diversification guard against

@@ -551,6 +551,149 @@ object PipelineQueries {
        |LEFT JOIN hit h ON h.layout = l.layout AND h.probe_id = n.probe_id
        |ORDER BY l.layout, n.probe_id""".stripMargin
 
+  /** [[recallLadderSql]] extended across nprobe ∈ {1,2,4,8} for the
+    * nprobe-sensitive rungs (ivf, ivfbq, pq, sq8): the probe-cell
+    * assignment keeps its rank and a per-np filter (`rn <= np`) scopes
+    * every rung's candidate set, with all ranking windows partitioned
+    * by (np, probe_id) — one replay produces the whole
+    * recall-vs-bytes curve as exact integer overlaps. */
+  private def recallCurveSql: String =
+    s"""WITH $ovecsCte,
+       |$kmeansCte,
+       |di AS (
+       |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+       |  FROM dims d JOIN c2 c USING (pos) GROUP BY d.vec_id, c.cid),
+       |dir AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
+       |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dir WHERE rn = 1),
+       |pasr AS (SELECT vec_id AS probe_id, cid AS cell, rn FROM dir
+       |         WHERE vec_id < 10 AND rn <= 8),
+       |nps AS (SELECT unnest([1, 2, 4, 8]) AS np),
+       |pa AS (SELECT n.np, p.probe_id, p.cell FROM nps n
+       |       JOIN pasr p ON p.rn <= n.np),
+       |bfs AS (
+       |  SELECT p.vec_id AS probe_id, o.vec_id AS neighbor_id,
+       |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |  FROM ovecs p, ovecs o
+       |  WHERE p.vec_id < 10 AND o.vec_id <> p.vec_id),
+       |bf AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM bfs)
+       |  WHERE rnk <= 3),
+       |ivfs AS (
+       |  SELECT a.np, a.probe_id, o.vec_id AS neighbor_id,
+       |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |  FROM pa a JOIN ovecs p ON p.vec_id = a.probe_id
+       |  JOIN idx i ON i.cell = a.cell
+       |  JOIN ovecs o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
+       |ivf AS (SELECT np, probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY np, probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM ivfs)
+       |  WHERE rnk <= 3),
+       |sq AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |       FROM ovecs),
+       |sqc AS (SELECT vec_id, scale,
+       |          list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+       |            ELSE round(x / scale) END) AS q
+       |        FROM sq),
+       |sq8s AS (
+       |  SELECT a.np, a.probe_id, o.vec_id AS neighbor_id,
+       |         round(o.scale * list_dot_product(p.v, o.q), 6) AS ip_r
+       |  FROM pa a JOIN ovecs p ON p.vec_id = a.probe_id
+       |  JOIN idx i ON i.cell = a.cell
+       |  JOIN sqc o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id),
+       |sq8 AS (SELECT np, probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY np, probe_id
+       |    ORDER BY ip_r DESC, neighbor_id) AS rnk FROM sq8s)
+       |  WHERE rnk <= 3),
+       |subsp AS (SELECT unnest(generate_series(0, 3)) AS sub),
+       |subs AS (
+       |  SELECT vec_id, sub,
+       |         v[(sub * (len(v) // 4) + 1):((sub + 1) * (len(v) // 4))] AS sv
+       |  FROM ovecs CROSS JOIN subsp),
+       |cb AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 8),
+       |dq AS (
+       |  SELECT a.vec_id, a.sub, cb.cid,
+       |         list_dot_product(a.sv, a.sv)
+       |           - 2.0 * list_dot_product(a.sv, cb.cv)
+       |           + list_dot_product(cb.cv, cb.cv) AS dist2
+       |  FROM subs a JOIN cb USING (sub)),
+       |pqcodes AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid, row_number() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY round(dist2, 6), cid) AS rn
+       |    FROM dq) WHERE rn = 1),
+       |ptab AS (
+       |  SELECT p.vec_id AS probe_id, p.sub, cb.cid,
+       |         list_dot_product(p.sv, p.sv)
+       |           - 2.0 * list_dot_product(p.sv, cb.cv)
+       |           + list_dot_product(cb.cv, cb.cv) AS pd2
+       |  FROM subs p JOIN cb USING (sub) WHERE p.vec_id < 10),
+       |pqs AS (
+       |  SELECT a.np, a.probe_id, c.vec_id AS neighbor_id,
+       |         CAST(CAST(sum(CAST(round(p.pd2, 6) AS DECIMAL(18,6)))
+       |              AS DECIMAL(38,6)) AS DOUBLE) AS adist
+       |  FROM pa a
+       |  JOIN idx i ON i.cell = a.cell
+       |  JOIN pqcodes c ON c.vec_id = i.corpus_id AND c.vec_id <> a.probe_id
+       |  JOIN ptab p ON p.probe_id = a.probe_id
+       |             AND p.sub = c.sub AND p.cid = c.cid
+       |  GROUP BY a.np, a.probe_id, c.vec_id),
+       |pq AS (SELECT np, probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY np, probe_id
+       |    ORDER BY adist, neighbor_id) AS rnk FROM pqs)
+       |  WHERE rnk <= 3),
+       |bcodes AS (SELECT vec_id,
+       |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
+       |    CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1))
+       |         ELSE 0::BIGINT END)) AS BIGINT) AS code0,
+       |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
+       |    CASE WHEN v[i + 32] >= 0 THEN (1::BIGINT << (i - 1))
+       |         ELSE 0::BIGINT END)) AS BIGINT) AS code1
+       |  FROM ovecs),
+       |bprobes AS (SELECT vec_id AS probe_id, code0 AS p0, code1 AS p1
+       |            FROM bcodes WHERE vec_id < 10),
+       |iham AS (SELECT a.np, p.probe_id, c.vec_id AS neighbor_id,
+       |           CAST(bit_count(xor(p0, c.code0)) +
+       |                bit_count(xor(p1, c.code1)) AS INTEGER) AS ham
+       |         FROM pa a
+       |         JOIN bprobes p ON p.probe_id = a.probe_id
+       |         JOIN idx i ON i.cell = a.cell
+       |         JOIN bcodes c ON c.vec_id = i.corpus_id
+       |          AND c.vec_id <> p.probe_id),
+       |ishort AS (SELECT np, probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY np, probe_id
+       |    ORDER BY ham, neighbor_id) AS hrnk FROM iham)
+       |  WHERE hrnk <= 20),
+       |irr AS (SELECT s.np, s.probe_id, s.neighbor_id,
+       |          round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |        FROM ishort s JOIN ovecs p ON p.vec_id = s.probe_id
+       |        JOIN ovecs o ON o.vec_id = s.neighbor_id),
+       |ivfbq AS (SELECT np, probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY np, probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM irr)
+       |  WHERE rnk <= 3),
+       |approx AS (
+       |  SELECT 'ivf' AS layout, np, probe_id, neighbor_id FROM ivf
+       |  UNION ALL SELECT 'ivfbq', np, probe_id, neighbor_id FROM ivfbq
+       |  UNION ALL SELECT 'pq', np, probe_id, neighbor_id FROM pq
+       |  UNION ALL SELECT 'sq8', np, probe_id, neighbor_id FROM sq8),
+       |nex AS (SELECT probe_id, count(*) AS n_exact FROM bf
+       |        GROUP BY probe_id),
+       |hit AS (SELECT layout, np, probe_id, count(*) AS hits
+       |        FROM approx JOIN bf USING (probe_id, neighbor_id)
+       |        GROUP BY layout, np, probe_id),
+       |layouts AS (SELECT unnest(['ivf','ivfbq','pq','sq8']) AS layout)
+       |SELECT l.layout, CAST(n2.np AS INT) AS np, n.probe_id,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(n.n_exact AS BIGINT) AS n_exact
+       |FROM layouts l CROSS JOIN nps n2 CROSS JOIN nex n
+       |LEFT JOIN hit h ON h.layout = l.layout AND h.np = n2.np
+       |               AND h.probe_id = n.probe_id
+       |ORDER BY l.layout, np, n.probe_id""".stripMargin
+
   /** The IVF replay's RANGE tail: same trained cells, probe set and
     * scored frame as [[ivfKmeansSearchSqlWhere]], but thresholded
     * (cos ≥ 0.2) instead of ranked — no window at all. */
@@ -2171,6 +2314,27 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Hybrid RRF with the COMPRESSED vector leg — the 100 TB-preferred
+    // composition: postings from the inverted index, vector candidates
+    // from the cell-blocked IVF-BQ layout (16-byte codes, DPP-pruned
+    // to the probed cells; floats read for the Hamming-shortlist
+    // survivors only). Own oracle: the fused vector ranks are the
+    // IVF-BQ serve's (probed cells → Hamming top-20 → exact-cosine
+    // re-rank), not flat IVF's.
+    "sim_hybrid_indexed_bq" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val invDir = FlowLogQueries.scratchDir("graft_hyb_inv_bq")
+      val bqDir = FlowLogQueries.scratchDir("graft_hyb_ivfbq")
+      TextAnalysis.writeInvertedIndex(docs, invDir)
+      Similarity.writeIvfBqIndex(vecs, Similarity.kmeansTrain(vecs, 8, 2),
+        bqDir)
+      Retrieval.hybridRrfFromIndexesBq(s, docs.filter(col("doc_id") < 10),
+        vecs.filter(col("vec_id") < 10), invDir, bqDir, vecs)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Binary-quantization two-stage serve — the 1-bit rung UNDER the
     // SQ8/PQ compression ladder (256× smaller than float64): Hamming
     // shortlist (top-20, XOR+popcount on two packed sign halves) over
@@ -2261,6 +2425,39 @@ object PipelineQueries {
         .unionByName(rung("sq8",
           Similarity.ivfSq8TopK(vecs, probes, cents, 3, nprobe = 2)))
         .orderBy("layout", "probe_id")
+    }),
+
+    // The RECALL-vs-COST CURVE — sim_recall_ladder extended across the
+    // operating points a deployment actually tunes: every
+    // nprobe-SENSITIVE rung (flat IVF, SQ8, PQ, cell-blocked IVF-BQ;
+    // flat BQ has no nprobe) × nprobe ∈ {1,2,4,8}, same shared trained
+    // quantizer, same exact-integer overlap oracle. Bytes scanned per
+    // serve scale as corpus·nprobe/kCells (the pinned exchange
+    // budgets' DPP contract), so (np, hits) IS the recall-vs-bytes
+    // curve; nprobe = 8 probes every cell and anchors each rung at its
+    // quantization ceiling (cells partition the corpus).
+    "sim_recall_curve" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val probes = vecs.filter(col("vec_id") < 10)
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val bf = Similarity.bruteForceTopK(vecs, probes, 3)
+      def rung(layout: String, np: Int,
+          approx: org.apache.spark.sql.DataFrame) =
+        Similarity.recallAtK(bf, approx)
+          .select(lit(layout).as("layout"), lit(np).as("np"),
+            col("probe_id"), col("hits"), col("n_exact"))
+      Seq(1, 2, 4, 8).map { np =>
+        rung("ivf", np,
+          Similarity.ivfSearchTrained(vecs, probes, cents, 3, nprobe = np))
+          .unionByName(rung("ivfbq", np,
+            Similarity.ivfBqTopK(vecs, probes, cents, 20, 3, nprobe = np)))
+          .unionByName(rung("pq", np,
+            Similarity.ivfPqTopK(vecs, probes, 3, nprobe = np)))
+          .unionByName(rung("sq8", np,
+            Similarity.ivfSq8TopK(vecs, probes, cents, 3, nprobe = np)))
+      }.reduce(_ unionByName _)
+        .orderBy("layout", "np", "probe_id")
     }),
 
     // CELL-BLOCKED BQ persisted — the IVF composition of the BQ rung
@@ -3693,12 +3890,91 @@ object PipelineQueries {
          |SELECT probe_id, doc_id, rank_lex, rank_vec, rrf, rnk
          |FROM ranked WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
 
+    // Hybrid with the IVF-BQ vector leg: same lexical half and fusion
+    // frame as sim_hybrid_indexed; the vector ranks come from the
+    // cell-blocked BQ replay (probed cells → Hamming top-20 →
+    // exact-cosine re-rank to depth).
+    "sim_hybrid_indexed_bq" ->
+      s"""WITH $ovecsCte,
+         |$kmeansCte,
+         |dt AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |pt AS (SELECT doc_id AS probe_id, term FROM dt WHERE doc_id < 10),
+         |ov AS (
+         |  SELECT p.probe_id, d.doc_id, count(*) AS n_shared
+         |  FROM pt p JOIN dt d USING (term)
+         |  WHERE d.doc_id <> p.probe_id
+         |  GROUP BY p.probe_id, d.doc_id),
+         |lr0 AS (
+         |  SELECT probe_id, doc_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY n_shared DESC, doc_id) AS rank_lex
+         |  FROM ov),
+         |lr AS (SELECT * FROM lr0 WHERE rank_lex <= 20),
+         |di AS (
+         |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+         |  FROM dims d JOIN c2 c USING (pos) GROUP BY d.vec_id, c.cid),
+         |dirr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
+         |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dirr
+         |        WHERE rn = 1),
+         |pas AS (SELECT vec_id AS probe_id, cid AS cell FROM dirr
+         |        WHERE vec_id < 10 AND rn <= 2),
+         |bcodes AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
+         |    CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1))
+         |         ELSE 0::BIGINT END)) AS BIGINT) AS code0,
+         |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
+         |    CASE WHEN v[i + 32] >= 0 THEN (1::BIGINT << (i - 1))
+         |         ELSE 0::BIGINT END)) AS BIGINT) AS code1
+         |  FROM ovecs),
+         |bprobes AS (SELECT vec_id AS probe_id, code0 AS p0, code1 AS p1
+         |            FROM bcodes WHERE vec_id < 10),
+         |iham AS (SELECT p.probe_id, c.vec_id AS doc_id,
+         |           CAST(bit_count(xor(p0, c.code0)) +
+         |                bit_count(xor(p1, c.code1)) AS INTEGER) AS ham
+         |         FROM pas a
+         |         JOIN bprobes p ON p.probe_id = a.probe_id
+         |         JOIN idx i ON i.cell = a.cell
+         |         JOIN bcodes c ON c.vec_id = i.corpus_id
+         |          AND c.vec_id <> p.probe_id),
+         |ishort AS (SELECT probe_id, doc_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY ham, doc_id) AS hrnk FROM iham)
+         |  WHERE hrnk <= 20),
+         |irr AS (SELECT s.probe_id, s.doc_id,
+         |          round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+         |        FROM ishort s JOIN ovecs p ON p.vec_id = s.probe_id
+         |        JOIN ovecs o ON o.vec_id = s.doc_id),
+         |vr0 AS (
+         |  SELECT probe_id, doc_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos_r DESC, doc_id) AS rank_vec
+         |  FROM irr),
+         |vr AS (SELECT * FROM vr0 WHERE rank_vec <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
+         |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |         l.rank_lex, v.rank_vec,
+         |         round(coalesce(1.0 / CAST(60 + l.rank_lex AS DOUBLE), 0.0) +
+         |               coalesce(1.0 / CAST(60 + v.rank_vec AS DOUBLE), 0.0),
+         |               6) AS rrf
+         |  FROM lr l FULL OUTER JOIN vr v
+         |    ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rnk
+         |  FROM fused)
+         |SELECT probe_id, doc_id, rank_lex, rank_vec, rrf, rnk
+         |FROM ranked WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
+
     // See bqRerankSql: shared by the scan/persist/append twins.
     "sim_bq_rerank" -> bqRerankSql,
     "sim_bq_persist" -> bqRerankSql,
     "sim_bq_append" -> bqRerankSql,
     "sim_bq_delete" -> bqRerankSqlWhere("AND c.vec_id % 7 <> 0"),
     "sim_recall_ladder" -> recallLadderSql,
+    "sim_recall_curve" -> recallCurveSql,
     "sim_ivfbq_persist" -> ivfBqSqlWhere(""),
     "sim_ivfbq_append" -> ivfBqSqlWhere(""),
     "sim_ivfbq_delete" -> ivfBqSqlWhere("AND c.vec_id % 7 <> 0"),

@@ -75,9 +75,12 @@ class PlanInvariantsSpec extends SparkSpec {
     "sim_bq_persist", "sim_bq_append", // same serve over the stored /
                              // appended code tables
     "sim_bq_delete",         // same serve, tombstone-masked codes
-    "sim_recall_ladder"      // composes the audited brute-force + BQ
+    "sim_recall_ladder",     // composes the audited brute-force + BQ
                              // shortlist shapes (broadcast probes,
                              // probe != neighbor non-equi) per rung
+    "sim_recall_curve"       // the ladder's shapes × nprobe operating
+                             // points — same audited brute-force
+                             // exact-baseline + shortlist non-equis
   )
 
   test("unrolled iterative plans pin their round counts") {

@@ -101,6 +101,16 @@ class ShuffleBudgetSpec extends SparkSpec {
     // re-prints the kmeans chain per rung and the textual exchange
     // count is meaningless. Its structure is gated by the oracle
     // (integer overlap counts) and each rung's own budget row.
+    // sim_recall_curve is excluded for the same reason ×4 nprobe
+    // points (16 rung enumerations over one trained lineage).
+    "sim_hybrid_indexed_bq" -> 12, // the hybrid frame with the
+                                  // IVF-BQ serve as the vector leg:
+                                  // lex agg + window + the 6-exchange
+                                  // cell-blocked BQ serve + fusion +
+                                  // rank + sort — one more than the
+                                  // flat-IVF twin (the shortlist →
+                                  // re-rank pair replaces the single
+                                  // IVF rank window)
     // graph_kcore_salted is excluded like graph_kcore (unrolled peel
     // lineage); GraphOpsSpec pins its two-phase plan shape + parity.
     "sim_ivf_range" -> 5,         // the persisted-IVF serve frame

@@ -877,6 +877,160 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hybrid serving with the IVF-BQ vector leg: per-batch " +
+      "fusion equals the batch serve, including across a mid-stream " +
+      "per-leg delete") {
+    // The round-14 harness with the COMPRESSED vector leg: candidates
+    // from the cell-blocked IVF-BQ layout (16-byte codes, floats read
+    // for shortlist survivors only) — the 100 TB-preferred serve.
+    // Same contract: per-micro-batch fusion ≡ batch serve, and a doc
+    // retired from both layouts mid-stream vanishes from the fused
+    // lists.
+    import graft.operators.{Retrieval, Similarity, TextAnalysis}
+    val s = spark.newSession()
+    import s.implicits._
+    val docs = Tables.documents(s, sfDir)
+    val vecs = Similarity.vectors(Tables.embeddings(s, sfDir))
+      .select($"vec_id", $"v")
+    val invDir = java.nio.file.Files
+      .createTempDirectory("graft_hybbq_inv_stream").toString
+    val bqDir = java.nio.file.Files
+      .createTempDirectory("graft_hybbq_idx_stream").toString
+    TextAnalysis.writeInvertedIndex(docs, invDir)
+    Similarity.writeIvfBqIndex(vecs, Similarity.kmeansTrain(vecs, 8, 2),
+      bqDir)
+    val probeRows = docs.join(vecs, $"doc_id" === $"vec_id")
+      .filter($"doc_id" < 8)
+      .select($"doc_id", $"text", $"v")
+      .as[(Long, String, Seq[Double])].collect()
+    val (p1, p2) = probeRows.partition(_._1 % 2 == 0)
+    val want1 = Retrieval.hybridRrfFromIndexesBq(s,
+        docs.filter($"doc_id" % 2 === 0 && $"doc_id" < 8),
+        vecs.filter($"vec_id" % 2 === 0 && $"vec_id" < 8),
+        invDir, bqDir, vecs)
+      .select($"probe_id", $"doc_id", $"rrf", $"rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val victim = want1.map(_._2).filter(d => !want1.exists(_._1 == d))
+      .headOption.getOrElse(want1.head._2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, (Long, Long, Double, Int))]()
+    val input = MemoryStream[(Long, String, Seq[Double])](s)
+    val q = input.toDF().toDF("doc_id", "text", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val pd = batch.select($"doc_id", $"text")
+        val pv = batch.select($"doc_id".as("vec_id"), $"v")
+        Retrieval.hybridRrfFromIndexesBq(s, pd, pv, invDir, bqDir, vecs)
+          .select($"probe_id", $"doc_id", $"rrf", $"rnk")
+          .collect().foreach(r => results.add((id, (r.getLong(0),
+            r.getLong(1), r.getDouble(2), r.getInt(3)))))
+      }
+      .start()
+    try {
+      input.addData(p1.toSeq: _*)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got1 = results.asScala.filter(_._1 == 0L).map(_._2).toSet
+      assert(want1.nonEmpty && got1 === want1,
+        "batch-1 served BQ-leg fusion diverged from the batch serve")
+      val ids = Seq(victim).toDF("doc_id")
+      TextAnalysis.deleteFromInvertedIndex(s, ids, invDir)
+      Similarity.deleteFromIvfBqIndex(s,
+        ids.select($"doc_id".as("vec_id")), bqDir)
+      input.addData(p2.toSeq: _*)
+      q.processAllAvailable()
+      val got2 = results.asScala.filter(_._1 == 1L).map(_._2).toSet
+      val want2 = Retrieval.hybridRrfFromIndexesBq(s,
+          docs.filter($"doc_id" % 2 === 1 && $"doc_id" < 8),
+          vecs.filter($"vec_id" % 2 === 1 && $"vec_id" < 8),
+          invDir, bqDir, vecs)
+        .select($"probe_id", $"doc_id", $"rrf", $"rnk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(want2.nonEmpty && got2 === want2,
+        "post-delete served BQ-leg fusion diverged from the batch serve")
+      assert(!got2.exists(_._2 == victim),
+        s"retired doc $victim resurfaced in the BQ-leg fused results")
+    } finally q.stop()
+  }
+
+  test("serve interleaved with compaction: every micro-batch either " +
+      "reads a consistent table (the pinned serve result) or fails " +
+      "loudly — never a half-swapped result") {
+    // The reader contract of FsOps.swapInto under concurrency: the
+    // no-live-table window is the single staging→live rename, so a
+    // concurrent serve sees the old table, the new table (identical
+    // by the compaction-parity pin), or a missing path that THROWS —
+    // it can never read half-swapped contents. Driven end-to-end: a
+    // background thread loops delete+compact on a live BQ layout
+    // (each iteration a real whole-dir swap) while micro-batches
+    // serve; every batch result that completes must equal the pinned
+    // masked serve, and any contention surfaces as an exception the
+    // batch retries — which must then succeed.
+    import graft.operators.Similarity
+    val s = spark.newSession()
+    import s.implicits._
+    val vecs = Similarity.vectors(Tables.embeddings(s, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 6)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bq_compact_race").toString
+    Similarity.writeBqIndex(vecs, dir)
+    val ids = vecs.filter($"vec_id" % 7 === 0).select($"vec_id")
+    Similarity.deleteFromBqIndex(s, ids, dir)
+    val want = Similarity.bqRerankFromIndex(s, dir, vecs, probes)
+      .select($"probe_id", $"neighbor_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    @volatile var compacting = true
+    val compactor = new Thread(() => {
+      try {
+        for (_ <- 1 to 4) {
+          // Re-tombstoning already-absent ids is a no-op for the
+          // result; each compact still rewrites + swaps the table,
+          // opening a real rename window per iteration.
+          Similarity.deleteFromBqIndex(s, ids, dir)
+          Similarity.compactBqIndex(s, dir)
+        }
+      } finally compacting = false
+    })
+    def serveOnce(): Either[String, Boolean] =
+      try Right(Similarity.bqRerankFromIndex(s, dir, vecs, probes)
+        .select($"probe_id", $"neighbor_id", $"rnk")
+        .as[(Long, Long, Int)].collect().toSet == want)
+      catch { case e: Exception => Left(e.getClass.getSimpleName) }
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[
+      Either[String, Boolean]]()
+    // Serve per MICRO-BATCH (foreachBatch catches + records so a loud
+    // contention failure doesn't kill the stream; the retry is simply
+    // the next batch).
+    val input = MemoryStream[Long](s)
+    val q = input.toDF().writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        outcomes.add(serveOnce()); ()
+      }
+      .start()
+    compactor.start()
+    try {
+      var tick = 0L
+      while (compacting) {
+        input.addData(tick)
+        q.processAllAvailable()
+        tick += 1
+      }
+    } finally { compactor.join(); q.stop() }
+    // After the dust settles the serve must be exact again.
+    assert(serveOnce() === Right(true),
+      "post-compaction serve diverged from the pinned result")
+    import scala.jdk.CollectionConverters._
+    val recorded = outcomes.asScala.toSeq
+    val wrong = recorded.count(_ == Right(false))
+    assert(wrong === 0,
+      s"$wrong interleaved micro-batch serve(s) returned a " +
+        s"HALF-SWAPPED result (outcomes: ${recorded.take(20)})")
+    assert(recorded.exists(_.isRight),
+      "no micro-batch serve completed while compaction ran — the race " +
+        "never ran")
+  }
+
   test("streaming serve over the persisted CMS: streamed candidates score as in batch") {
     // The serve side of the sketch triad: the d*w cell table persists
     // to parquet, candidate keys arrive as a stream, and each
