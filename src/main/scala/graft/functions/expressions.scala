@@ -726,6 +726,105 @@ object RasterKernel {
     out
   }
 
+  /** Channel-mean GRAYSCALE: output is a 1-channel raster of the same
+    * width/height, each pixel the floor-average of the source pixel's
+    * channels — the standard luma-free gray reduction, exact integer
+    * semantics. Null for malformed input; a 1-channel input passes
+    * through unchanged (already gray). */
+  def gray(b: Array[Byte]): Array[Byte] = {
+    val d = dims(b)
+    if (d == null) return null
+    val c = d(0); val w = d(1); val h = d(2)
+    val out = new Array[Byte](HeaderLen + w * h)
+    writeHeader(out, 1, w, h)
+    var i = HeaderLen
+    var o = HeaderLen
+    while (i < b.length) {
+      var s = 0
+      var ch = 0
+      while (ch < c) { s += b(i + ch) & 0xff; ch += 1 }
+      out(o) = (s / c).toByte
+      i += c
+      o += 1
+    }
+    out
+  }
+
+  /** HORIZONTAL mirror: pixel (x, y) moves to (width-1-x, y), channels
+    * ride along — the canonical augmentation transform, a pure index
+    * remap (bytes are permuted, never recomputed). Null for malformed
+    * input. */
+  def flipH(b: Array[Byte]): Array[Byte] = {
+    val d = dims(b)
+    if (d == null) return null
+    val c = d(0); val w = d(1); val h = d(2)
+    val out = new Array[Byte](b.length)
+    writeHeader(out, c, w, h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val src = HeaderLen + (y * w + (w - 1 - x)) * c
+        val dst = HeaderLen + (y * w + x) * c
+        var ch = 0
+        while (ch < c) { out(dst + ch) = b(src + ch); ch += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Rectangular CROP: the (cw × ch) window anchored at (x0, y0),
+    * channels preserved — region-of-interest extraction. Null for
+    * malformed input or a window that does not fit inside the raster
+    * (a partial crop would silently change semantics; callers wanting
+    * clamping can read dims first). */
+  def crop(b: Array[Byte], x0: Int, y0: Int, cw: Int,
+      chh: Int): Array[Byte] = {
+    val d = dims(b)
+    if (d == null) return null
+    val c = d(0); val w = d(1); val h = d(2)
+    if (x0 < 0 || y0 < 0 || cw < 1 || chh < 1 ||
+        x0 + cw > w || y0 + chh > h) return null
+    val out = new Array[Byte](HeaderLen + cw * chh * c)
+    writeHeader(out, c, cw, chh)
+    var y = 0
+    while (y < chh) {
+      val srcRow = HeaderLen + ((y0 + y) * w + x0) * c
+      System.arraycopy(b, srcRow, out, HeaderLen + y * cw * c, cw * c)
+      y += 1
+    }
+    out
+  }
+
+  /** Per-channel pixel statistics: [sum, min, max] per channel,
+    * channel-major (channel ch's triple at indices 3·ch .. 3·ch+2) —
+    * the exact-integer inputs of a dataset card's per-channel
+    * mean/range row. Null for malformed input. */
+  def channelStats(b: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val d = dims(b)
+    if (d == null) return null
+    val c = d(0)
+    val out = new Array[Long](3 * c)
+    var ch = 0
+    while (ch < c) { out(3 * ch + 1) = 256L; out(3 * ch + 2) = -1L; ch += 1 }
+    var i = HeaderLen
+    var idx = 0
+    while (i < b.length) {
+      val k = 3 * (idx % c)
+      val v = (b(i) & 0xff).toLong
+      out(k) += v
+      if (v < out(k + 1)) out(k + 1) = v
+      if (v > out(k + 2)) out(k + 2) = v
+      i += 1
+      idx += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Per-CHANNEL pixel-value histogram: `bins` equal-width buckets of
     * [0, 256) per channel, concatenated channel-major (channel ch's
     * bucket k at index ch·bins + k). Exact integer counts. Null for
@@ -770,6 +869,87 @@ case class RasterResize(child: Expression, factor: Int)
        """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): RasterResize =
+    copy(child = c)
+}
+
+/** raster_gray(binary) → binary: channel-mean grayscale
+  * ([[RasterKernel.gray]]) as a codegen'd scalar. */
+case class RasterGray(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // malformed bytes → null
+  override def prettyName: String = "raster_gray"
+  override def nullSafeEval(input: Any): Any =
+    RasterKernel.gray(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.RasterKernel.gray($in);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): RasterGray =
+    copy(child = c)
+}
+
+/** raster_flip_h(binary) → binary: horizontal mirror
+  * ([[RasterKernel.flipH]]) as a codegen'd scalar. */
+case class RasterFlipH(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // malformed bytes → null
+  override def prettyName: String = "raster_flip_h"
+  override def nullSafeEval(input: Any): Any =
+    RasterKernel.flipH(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.RasterKernel.flipH($in);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): RasterFlipH =
+    copy(child = c)
+}
+
+/** raster_crop(binary, x0, y0, w, h) → binary: region-of-interest
+  * extraction ([[RasterKernel.crop]]); null for a window that does
+  * not fit. */
+case class RasterCrop(child: Expression, x0: Int, y0: Int, w: Int,
+    h: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  require(x0 >= 0 && y0 >= 0 && w >= 1 && h >= 1,
+    s"bad crop window ${w}x$h@($x0,$y0)")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // malformed / out-of-bounds → null
+  override def prettyName: String = "raster_crop"
+  override def nullSafeEval(input: Any): Any =
+    RasterKernel.crop(input.asInstanceOf[Array[Byte]], x0, y0, w, h)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.RasterKernel.crop($in, $x0, $y0, $w, $h);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): RasterCrop =
+    copy(child = c)
+}
+
+/** raster_channel_stats(binary) → array<bigint>: per-channel
+  * [sum, min, max] triples, channel-major
+  * ([[RasterKernel.channelStats]]). */
+case class RasterChannelStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // malformed bytes → null
+  override def prettyName: String = "raster_channel_stats"
+  override def nullSafeEval(input: Any): Any =
+    RasterKernel.channelStats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.RasterKernel.channelStats($in);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): RasterChannelStats =
     copy(child = c)
 }
 
@@ -839,4 +1019,12 @@ object functions {
     GraftColumnBridge.column(RasterResize(ex(c.cast("binary")), factor))
   def raster_histogram(c: Column, bins: Int): Column =
     GraftColumnBridge.column(RasterHistogram(ex(c.cast("binary")), bins))
+  def raster_gray(c: Column): Column =
+    GraftColumnBridge.column(RasterGray(ex(c.cast("binary"))))
+  def raster_flip_h(c: Column): Column =
+    GraftColumnBridge.column(RasterFlipH(ex(c.cast("binary"))))
+  def raster_crop(c: Column, x0: Int, y0: Int, w: Int, h: Int): Column =
+    GraftColumnBridge.column(RasterCrop(ex(c.cast("binary")), x0, y0, w, h))
+  def raster_channel_stats(c: Column): Column =
+    GraftColumnBridge.column(RasterChannelStats(ex(c.cast("binary"))))
 }

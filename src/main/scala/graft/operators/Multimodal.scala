@@ -554,6 +554,75 @@ object Multimodal {
       graft.functions.functions.raster_resize(col("payload"), factor)
         .as("payload"))
 
+  /** Channel-mean grayscale over GR rasters — the 3×-size reduction
+    * ahead of luminance-only stages (scene cuts, perceptual hashes);
+    * codegen'd [[graft.functions.RasterGray]], exact floor-average
+    * integers, malformed payloads null out. */
+  def grayRasters(payloads: DataFrame): DataFrame =
+    payloads.select(col("doc_id"),
+      graft.functions.functions.raster_gray(col("payload")).as("payload"))
+
+  /** Horizontal mirror over GR rasters — the canonical augmentation
+    * transform (a pure byte permutation); codegen'd
+    * [[graft.functions.RasterFlipH]]. */
+  def flipRasters(payloads: DataFrame): DataFrame =
+    payloads.select(col("doc_id"),
+      graft.functions.functions.raster_flip_h(col("payload"))
+        .as("payload"))
+
+  /** Region-of-interest crop over GR rasters; a window that does not
+    * fit nulls out rather than silently clamping (dead-letter
+    * discipline — downstream counts expose how many rasters were too
+    * small). Codegen'd [[graft.functions.RasterCrop]]. */
+  def cropRasters(payloads: DataFrame, x0: Int, y0: Int, w: Int,
+      h: Int): DataFrame =
+    payloads.select(col("doc_id"),
+      graft.functions.functions.raster_crop(col("payload"), x0, y0, w, h)
+        .as("payload"))
+
+  /** Per-channel pixel statistics for the multimodal dataset card:
+    * exact integer sum/min/max per channel plus the derived mean
+    * (sum / pixel count, one IEEE division of two exact integers —
+    * oracle-replayable bit-for-bit). One kernel pass per raster
+    * ([[graft.functions.RasterChannelStats]]); the pixel count per
+    * channel derives from the payload length and channel count, no
+    * second decode. */
+  def channelStats(payloads: DataFrame): DataFrame =
+    payloads
+      .select(col("doc_id"),
+        graft.functions.functions.raster_channel_stats(col("payload"))
+          .as("st"), length(col("payload")).as("blen"))
+      .select(col("doc_id"), col("st"),
+        ((col("blen") - 7) / (expr("size(st)") / 3)).cast("long")
+          .as("npx"),
+        explode(expr("sequence(0, size(st) div 3 - 1)")).as("c"))
+      .select(col("doc_id"), col("c").cast("int").as("c"),
+        expr("element_at(st, cast(c * 3 + 1 as int))").as("psum"),
+        expr("element_at(st, cast(c * 3 + 2 as int))").as("pmin"),
+        expr("element_at(st, cast(c * 3 + 3 as int))").as("pmax"),
+        (expr("element_at(st, cast(c * 3 + 1 as int))").cast("double") /
+          col("npx").cast("double")).as("pmean"))
+
+  /** The END-TO-END image pipeline as ONE fused plan: synthesize →
+    * box-filter resize → grayscale → histogram, all codegen'd kernel
+    * expressions chained inside a single whole-stage-codegen pass over
+    * the bytes (zero shuffles until the caller aggregates) — the shape
+    * a multimodal curation stage actually runs at 100 TB, where each
+    * transform materializing its output would triple the I/O. Output:
+    * one (doc_id, b, cnt) row per gray-histogram bucket. */
+  def imagePipeline(documents: DataFrame, factor: Int = 2,
+      bins: Int = 8): DataFrame = {
+    val f = graft.functions.functions
+    synthesizeRasterPayloads(documents)
+      .select(col("doc_id"),
+        f.raster_histogram(
+          f.raster_gray(f.raster_resize(col("payload"), factor)), bins)
+          .as("hist"))
+      .select(col("doc_id"), posexplode(col("hist")))
+      .select(col("doc_id"), col("pos").cast("int").as("b"),
+        col("col").as("cnt"))
+  }
+
   /** REAL feature extraction: per-channel normalized pixel-value
     * histogram over GR raster payloads — `bins` buckets per channel,
     * concatenated channel-major, each count divided by the channel's

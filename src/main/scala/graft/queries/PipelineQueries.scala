@@ -14,6 +14,18 @@ import graft.operators.{ConnectedComponents, Dedup, Multimodal, Profiling,
   */
 object PipelineQueries {
 
+  /** Explode a GR-raster frame to one row per pixel byte — the gate's
+    * strongest shape for the raster kernels: (doc_id, pos, px) with px
+    * recovered via hex/conv (byte-exact for any value 0–255, no UTF-8
+    * decode anywhere). Pixels start after the 7-byte header. */
+  private def rasterPixelRows(rz: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    rz.select(col("doc_id"), col("payload"),
+        explode(expr("sequence(0L, length(payload) - 8L)")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr("cast(conv(hex(substring(payload, cast(pos + 8 as int), " +
+          "1)), 16, 10) as bigint)").as("px"))
+
   // ---- shared DuckDB CTE fragments (mirror the operators exactly) ----
 
   private val corpusCte =
@@ -2152,6 +2164,45 @@ object PipelineQueries {
         .select(col("doc_id"), expr("pos div 8").as("c"),
           expr("pos % 8").as("b"), col("col").as("f"))
         .orderBy("doc_id", "c", "b")),
+
+    // Channel-mean grayscale (RasterGray kernel): every output pixel
+    // checked against the oracle's floor((c0+c1+c2)/3) replay.
+    "mm_gray" -> ((s, d) =>
+      rasterPixelRows(Multimodal.grayRasters(
+        Multimodal.synthesizeRasterPayloads(Tables.documents(s, d))))
+        .orderBy("doc_id", "pos")),
+
+    // Horizontal mirror (RasterFlipH kernel): a pure index remap the
+    // oracle replays as (y·W + (W−1−x))·3 + c — every byte checked.
+    "mm_flip" -> ((s, d) =>
+      rasterPixelRows(Multimodal.flipRasters(
+        Multimodal.synthesizeRasterPayloads(Tables.documents(s, d))))
+        .orderBy("doc_id", "pos")),
+
+    // Region-of-interest crop (RasterCrop kernel): the 2×2 window at
+    // (1,1) fits every synthesized raster (min 4×3), so no row nulls
+    // out and the oracle replays all 12 bytes per doc.
+    "mm_crop" -> ((s, d) =>
+      rasterPixelRows(Multimodal.cropRasters(
+        Multimodal.synthesizeRasterPayloads(Tables.documents(s, d)),
+        1, 1, 2, 2))
+        .orderBy("doc_id", "pos")),
+
+    // Dataset-card channel statistics (RasterChannelStats kernel):
+    // exact integer sum/min/max per channel + the derived mean (one
+    // IEEE division of two exact integers).
+    "mm_channel_stats" -> ((s, d) =>
+      Multimodal.channelStats(
+        Multimodal.synthesizeRasterPayloads(Tables.documents(s, d)))
+        .orderBy("doc_id", "c")),
+
+    // The fused image pipeline: synthesize → resize(2) → gray →
+    // histogram chained inside ONE whole-stage-codegen pass; the
+    // oracle replays the full nested integer arithmetic (12 ord terms
+    // + 4 floors per gray pixel) per bucket count.
+    "mm_pipeline" -> ((s, d) =>
+      Multimodal.imagePipeline(Tables.documents(s, d))
+        .orderBy("doc_id", "b")),
 
     // Custom-Expression queries:
     // winnowing rolling-hash fingerprint over each document — oracle-gated
@@ -5102,6 +5153,108 @@ object PipelineQueries {
         |FROM g2 LEFT JOIN cnt
         |  ON cnt.doc_id = g2.doc_id AND cnt.c = g2.c AND cnt.b = g2.b
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // Grayscale replay: floor of the 3-channel sum at each pixel.
+    "mm_gray" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L,
+        |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),
+        |pos AS (SELECT doc_id, text, L, W, H,
+        |    unnest(generate_series(0, CAST(W*H - 1 AS INT))) AS p
+        |  FROM d)
+        |SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |  CAST((ord(substr(text, CAST((p*3  ) % L AS INT) + 1, 1))
+        |      + ord(substr(text, CAST((p*3+1) % L AS INT) + 1, 1))
+        |      + ord(substr(text, CAST((p*3+2) % L AS INT) + 1, 1)))
+        |    // 3 AS BIGINT) AS px
+        |FROM pos ORDER BY doc_id, pos""".stripMargin,
+
+    // Horizontal-mirror replay: the pure index remap
+    // (y·W + (W−1−x))·3 + c on the cycled document bytes.
+    "mm_flip" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L,
+        |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),
+        |pos AS (SELECT doc_id, text, L, W, H,
+        |    unnest(generate_series(0, CAST(W*H*3 - 1 AS INT))) AS p
+        |  FROM d),
+        |x AS (SELECT doc_id, p, text, L, W,
+        |    (p // (W*3)) AS y, ((p % (W*3)) // 3) AS xx, p % 3 AS c
+        |  FROM pos)
+        |SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |  CAST(ord(substr(text,
+        |    CAST(((y*W + (W-1-xx))*3 + c) % L AS INT) + 1, 1)) AS BIGINT)
+        |    AS px
+        |FROM x ORDER BY doc_id, pos""".stripMargin,
+
+    // Crop replay: the fixed 2×2 window at (1,1) — 12 bytes per doc,
+    // source index ((1+y)·W + (1+x))·3 + c.
+    "mm_crop" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L,
+        |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),
+        |pos AS (SELECT doc_id, text, L, W,
+        |    unnest(generate_series(0, 11)) AS p FROM d),
+        |x AS (SELECT doc_id, p, text, L, W,
+        |    (p // 6) AS y, ((p % 6) // 3) AS xx, p % 3 AS c FROM pos)
+        |SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |  CAST(ord(substr(text,
+        |    CAST((((1+y)*W + (1+xx))*3 + c) % L AS INT) + 1, 1))
+        |    AS BIGINT) AS px
+        |FROM x ORDER BY doc_id, pos""".stripMargin,
+
+    // Channel-stats replay: exact integer sum/min/max per channel over
+    // the cycled bytes; mean = sum / (W·H) as one IEEE division.
+    "mm_channel_stats" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L,
+        |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),
+        |pos AS (SELECT doc_id, text, L, W, H,
+        |    unnest(generate_series(0, CAST(W*H*3 - 1 AS INT))) AS i
+        |  FROM d),
+        |v AS (SELECT doc_id, i % 3 AS c, W*H AS npx,
+        |    ord(substr(text, CAST(i % L AS INT) + 1, 1)) AS val
+        |  FROM pos)
+        |SELECT doc_id, CAST(c AS INT) AS c,
+        |  CAST(sum(val) AS BIGINT) AS psum,
+        |  CAST(min(val) AS BIGINT) AS pmin,
+        |  CAST(max(val) AS BIGINT) AS pmax,
+        |  CAST(sum(val) AS DOUBLE) / max(npx) AS pmean
+        |FROM v GROUP BY doc_id, c ORDER BY doc_id, c""".stripMargin,
+
+    // Fused-pipeline replay: resize(2) → gray → histogram(8) in closed
+    // form — 12 ord terms and 4 nested floors per gray pixel, then the
+    // bucket rollup over the zero-including grid.
+    "mm_pipeline" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L,
+        |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),
+        |e AS (SELECT *, W // 2 AS W2, H // 2 AS H2 FROM d),
+        |pos AS (SELECT doc_id, text, L, W, W2, H2,
+        |    unnest(generate_series(0, CAST(W2*H2 - 1 AS INT))) AS p
+        |  FROM e),
+        |x AS (SELECT doc_id, p, text, L, W,
+        |    (p // W2) AS y2, (p % W2) AS x2 FROM pos),
+        |g AS (SELECT doc_id,
+        | ((  (ord(substr(text, CAST((((2*y2  )*W + 2*x2  )*3+0) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2  )*W + 2*x2+1)*3+0) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2  )*3+0) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2+1)*3+0) % L AS INT)+1,1))) // 4
+        |  + (ord(substr(text, CAST((((2*y2  )*W + 2*x2  )*3+1) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2  )*W + 2*x2+1)*3+1) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2  )*3+1) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2+1)*3+1) % L AS INT)+1,1))) // 4
+        |  + (ord(substr(text, CAST((((2*y2  )*W + 2*x2  )*3+2) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2  )*W + 2*x2+1)*3+2) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2  )*3+2) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2+1)*3+2) % L AS INT)+1,1))) // 4
+        |  ) // 3) AS gv
+        | FROM x),
+        |bs AS (SELECT unnest(generate_series(0, 7)) AS b),
+        |grid AS (SELECT doc_id, b
+        |         FROM (SELECT DISTINCT doc_id FROM d) CROSS JOIN bs),
+        |cnt AS (SELECT doc_id, (gv*8) // 256 AS b, count(*) AS n
+        |        FROM g GROUP BY 1, 2)
+        |SELECT grid.doc_id, CAST(grid.b AS INT) AS b,
+        |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS cnt
+        |FROM grid LEFT JOIN cnt
+        |  ON cnt.doc_id = grid.doc_id AND cnt.b = grid.b
+        |ORDER BY 1, 2""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -1337,6 +1337,73 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("raster gray/flip/crop/stats kernels: exact integer semantics " +
+      "on a handcrafted grid; invalid windows and bytes null out") {
+    import graft.functions.RasterKernel
+    // 2 channels, 3×2: pixel (x,y) has ch0 = 10·(y·3+x), ch1 = 200+idx.
+    val pix = Array.tabulate(12)(i =>
+      (if (i % 2 == 0) 10 * (i / 2) else 200 + i / 2).toByte)
+    val b = RasterKernel.build(2, 3, 2, pix)
+    // gray: floor((ch0 + ch1) / 2) per pixel
+    val g = RasterKernel.gray(b)
+    assert(RasterKernel.dims(g).toSeq === Seq(1, 3, 2))
+    assert(g.drop(RasterKernel.HeaderLen).map(_ & 0xff).toSeq ===
+      (0 until 6).map(i => (10 * i + 200 + i) / 2))
+    // flip: row [p0 p1 p2] -> [p2 p1 p0], channels ride along
+    val f = RasterKernel.flipH(b)
+    assert(RasterKernel.dims(f).toSeq === Seq(2, 3, 2))
+    def px(raw: Array[Byte], x: Int, y: Int, c: Int): Int =
+      raw(RasterKernel.HeaderLen + (y * 3 + x) * 2 + c) & 0xff
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 2)
+      assert(px(f, x, y, c) === px(b, 2 - x, y, c))
+    // crop 2×1 at (1,1): source pixels (1,1),(2,1)
+    val cr = RasterKernel.crop(b, 1, 1, 2, 1)
+    assert(RasterKernel.dims(cr).toSeq === Seq(2, 2, 1))
+    assert(cr.drop(RasterKernel.HeaderLen).map(_ & 0xff).toSeq ===
+      Seq(px(b, 1, 1, 0), px(b, 1, 1, 1), px(b, 2, 1, 0), px(b, 2, 1, 1)))
+    // out-of-bounds window → null, never a clamp or a throw
+    assert(RasterKernel.crop(b, 2, 0, 2, 2) === null)
+    assert(RasterKernel.crop(b, 0, 0, 4, 1) === null)
+    // channel stats: exact sum/min/max per channel, channel-major
+    val st = RasterKernel.channelStats(b).toLongArray()
+    assert(st.toSeq === Seq(
+      (0 until 6).map(10L * _).sum, 0L, 50L,
+      (0 until 6).map(200L + _).sum, 200L, 205L))
+    // malformed bytes null out across the whole family
+    val junk = "not a raster".getBytes
+    assert(RasterKernel.gray(junk) === null)
+    assert(RasterKernel.flipH(junk) === null)
+    assert(RasterKernel.crop(junk, 0, 0, 1, 1) === null)
+    assert(RasterKernel.channelStats(junk) === null)
+  }
+
+  test("fused image pipeline equals the stage-by-stage composition and " +
+      "keeps every kernel inside one codegen pass") {
+    import graft.functions.{functions => gf}
+    val synth = Multimodal.synthesizeRasterPayloads(docs)
+    val fused = Multimodal.imagePipeline(docs)
+      .orderBy("doc_id", "b").collect().toSeq
+    val staged = Multimodal.grayRasters(
+        Multimodal.resizeRasters(synth, 2))
+      .select($"doc_id", gf.raster_histogram($"payload", 8).as("hist"))
+      .select($"doc_id", posexplode($"hist"))
+      .select($"doc_id", $"pos".cast("int").as("b"), $"col".as("cnt"))
+      .orderBy("doc_id", "b").collect().toSeq
+    assert(fused.nonEmpty && fused === staged,
+      "fused pipeline diverged from the stage-by-stage composition")
+    // Plan shape: the three kernels chain inside whole-stage codegen —
+    // no exchange before the generator, a single codegen span reading
+    // the synthesized payloads.
+    val plan = Multimodal.imagePipeline(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"fused image pipeline grew an exchange:\n$plan")
+    // executedPlan.toString marks whole-stage-codegen spans with the
+    // "*(n)" prefix; the kernel chain must sit inside one.
+    assert(plan.contains("*("),
+      s"fused image pipeline fell out of whole-stage codegen:\n$plan")
+  }
+
   test("feature extraction: per-channel histograms are exact and each " +
       "channel's bins sum to 1") {
     import graft.functions.RasterKernel

@@ -103,6 +103,15 @@ class ShuffleBudgetSpec extends SparkSpec {
     // (integer overlap counts) and each rung's own budget row.
     // sim_recall_curve is excluded for the same reason ×4 nprobe
     // points (16 rung enumerations over one trained lineage).
+    "mm_gray" -> 1,               // codegen'd kernel + pixel explode;
+                                  // output sort only
+    "mm_flip" -> 1,               // same shape (pure index remap)
+    "mm_crop" -> 1,               // same shape (window extraction)
+    "mm_channel_stats" -> 1,      // per-row kernel + channel explode;
+                                  // output sort only
+    "mm_pipeline" -> 1,           // resize→gray→histogram chained in
+                                  // ONE codegen span (spec-pinned
+                                  // exchange-free before the sort)
     "sim_hybrid_indexed_bq" -> 12, // the hybrid frame with the
                                   // IVF-BQ serve as the vector leg:
                                   // lex agg + window + the 6-exchange
