@@ -847,6 +847,105 @@ object RasterKernel {
   }
 }
 
+/** Shared eval/codegen kernel for PCM16 WAV payload analysis — the
+  * audio sibling of [[RasterKernel]]: a self-contained RIFF chunk walk
+  * (word-aligned, unknown ids length-skipped — the same contract as
+  * the header decoder in operators/Multimodal, duplicated here so the
+  * expression layer stays dependency-free) locates the `fmt ` and
+  * `data` chunks, then windowed FULL-frame statistics run in exact
+  * integer arithmetic: per window of `winFrames` frames, the energy
+  * (Σ sample², each sample a signed 16-bit little-endian value across
+  * all channels) and the peak (max |sample|) — the
+  * voice-activity/silence-detection features of an audio curation
+  * stage, SQL-oracle-replayable bit-for-bit. Malformed/truncated/
+  * non-PCM16 bytes → null, never a throw. */
+object WavKernel {
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
+      ((b(o + 3) & 0xff) << 24)).toLong & 0xffffffffL
+
+  /** [energy0, peak0, energy1, peak1, …] over the FULL windows (a
+    * trailing partial window is dropped, the floor-dims convention of
+    * the raster kernels). */
+  def windowStats(b: Array[Byte],
+      winFrames: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b == null || b.length < 12 || b(0) != 'R' || b(1) != 'I' ||
+        b(2) != 'F' || b(3) != 'F' || b(8) != 'W' || b(9) != 'A' ||
+        b(10) != 'V' || b(11) != 'E') return null
+    var i = 12L
+    var channels = -1
+    var blockAlign = -1
+    var dataOff = -1L
+    var dataLen = -1L
+    while (i + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+      val off = i.toInt
+      val id = new String(b, off, 4, "US-ASCII")
+      val len = le32(b, off + 4)
+      if (id == "fmt ") {
+        if (i + 8 + 16 > b.length) return null
+        if (le16(b, off + 8) != 1 || le16(b, off + 22) != 16) return null
+        channels = le16(b, off + 10)
+        blockAlign = le16(b, off + 20)
+      } else if (id == "data") {
+        if (i + 8 + len > b.length) return null
+        dataOff = i + 8
+        dataLen = len
+      }
+      i += 8 + len + (len & 1)
+    }
+    if (channels <= 0 || blockAlign != 2 * channels || dataOff < 0)
+      return null
+    val frames = dataLen / blockAlign
+    val nw = (frames / winFrames).toInt
+    val out = new Array[Long](2 * nw)
+    val samplesPerWin = winFrames * channels
+    var w = 0
+    while (w < nw) {
+      var e = 0L
+      var pk = 0L
+      var s = w * samplesPerWin
+      val end = s + samplesPerWin
+      while (s < end) {
+        val o = (dataOff + 2L * s).toInt
+        var v = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        if (v >= 0x8000) v -= 0x10000
+        e += v.toLong * v
+        val a = math.abs(v).toLong
+        if (a > pk) pk = a
+        s += 1
+      }
+      out(2 * w) = e
+      out(2 * w + 1) = pk
+      w += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** wav_window_stats(binary, winFrames) → array<bigint>:
+  * [[WavKernel.windowStats]] as a codegen'd scalar. */
+case class WavWindowStats(child: Expression, winFrames: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  require(winFrames >= 1, s"winFrames must be >= 1, got $winFrames")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // malformed bytes → null
+  override def prettyName: String = "wav_window_stats"
+  override def nullSafeEval(input: Any): Any =
+    WavKernel.windowStats(input.asInstanceOf[Array[Byte]], winFrames)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.WavKernel.windowStats($in, $winFrames);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): WavWindowStats =
+    copy(child = c)
+}
+
 /** raster_resize(binary, factor) → binary: [[RasterKernel.resize]] as a
   * codegen'd scalar — the decode/transform/re-encode stage of an image
   * pipeline as one tight fused loop per row, no shuffle, no UDF. */
@@ -1027,4 +1126,6 @@ object functions {
     GraftColumnBridge.column(RasterCrop(ex(c.cast("binary")), x0, y0, w, h))
   def raster_channel_stats(c: Column): Column =
     GraftColumnBridge.column(RasterChannelStats(ex(c.cast("binary"))))
+  def wav_window_stats(c: Column, winFrames: Int): Column =
+    GraftColumnBridge.column(WavWindowStats(ex(c.cast("binary")), winFrames))
 }

@@ -275,6 +275,31 @@ object Multimodal {
     }
   }
 
+  /** Windowed PCM energy/peak over WAV payloads — the voice-activity /
+    * silence-detection features of an audio curation stage: per FULL
+    * window of `winFrames` frames, the exact-integer energy
+    * (Σ sample² across channels) and peak (max |sample|), computed by
+    * the codegen'd [[graft.functions.WavWindowStats]] kernel in one
+    * streamed pass over the container bytes (the RIFF walk and the
+    * window loop fuse into whole-stage codegen — no decode
+    * materialization, the raster kernels' 100 TB shape applied to
+    * audio). Malformed/non-PCM16 payloads null out and drop. */
+  def audioWindowStats(payloads: DataFrame,
+      winFrames: Int = 16): DataFrame =
+    payloads
+      .select(col("doc_id"),
+        graft.functions.functions.wav_window_stats(col("payload"),
+          winFrames).as("st"))
+      // Guard BEFORE the sequence: Spark's sequence(0, -1) would step
+      // DOWN and fabricate two windows for a zero-window payload.
+      .filter(expr("size(st) >= 2"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, size(st) div 2 - 1)")).as("win"),
+        col("st"))
+      .select(col("doc_id"), col("win").cast("int").as("win"),
+        expr("element_at(st, cast(win * 2 + 1 as int))").as("energy"),
+        expr("element_at(st, cast(win * 2 + 2 as int))").as("peak"))
+
   /** Content-addressable chunking for large blobs: split each payload
     * into fixed-size chunks and key each by its md5 — the
     * dedup-friendly storage layout for multimodal corpora (identical

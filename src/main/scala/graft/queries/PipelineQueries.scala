@@ -2204,6 +2204,17 @@ object PipelineQueries {
       Multimodal.imagePipeline(Tables.documents(s, d))
         .orderBy("doc_id", "b")),
 
+    // Audio feature extraction (WavWindowStats kernel): per-window
+    // PCM16 energy (Σ sample²) and peak over REAL WAV containers —
+    // the RIFF walk, channel layout (mono/stereo by doc), and signed
+    // little-endian sample decode all replayed exactly by the oracle
+    // from the document bytes.
+    "mm_audio_energy" -> ((s, d) =>
+      Multimodal.audioWindowStats(
+        Multimodal.synthesizeAudioPayloads(Tables.documents(s, d)),
+        winFrames = 16)
+        .orderBy("doc_id", "win")),
+
     // Custom-Expression queries:
     // winnowing rolling-hash fingerprint over each document — oracle-gated
     // via a DuckDB recursive CTE that replays the same byte-level rolling
@@ -5255,6 +5266,35 @@ object PipelineQueries {
         |FROM grid LEFT JOIN cnt
         |  ON cnt.doc_id = grid.doc_id AND cnt.b = grid.b
         |ORDER BY 1, 2""".stripMargin,
+
+    // WAV window-stats replay: channels = 1 + doc_id%2, PCM data =
+    // the document bytes truncated to whole frames; sample k of
+    // window w is the signed LE16 at byte 2·(w·16·c + k); energy and
+    // peak aggregate per window over FULL windows only.
+    "mm_audio_energy" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L,
+        |    1 + doc_id % 2 AS c FROM documents),
+        |e AS (SELECT *, 2*c AS ba, (L - L % (2*c)) AS dl FROM d),
+        |f AS (SELECT *, (dl // ba) // 16 AS nw FROM e),
+        |w AS (SELECT doc_id, text, c,
+        |    unnest(generate_series(0, CAST(nw - 1 AS INT))) AS win
+        |  FROM f WHERE nw > 0),
+        |s AS (SELECT doc_id, win, c, text,
+        |    unnest(generate_series(0, CAST(16*c - 1 AS INT))) AS k
+        |  FROM w),
+        |v0 AS (SELECT doc_id, win,
+        |    ord(substr(text, CAST(2*(win*16*c + k) AS INT) + 1, 1))
+        |  + 256*ord(substr(text, CAST(2*(win*16*c + k) AS INT) + 2, 1))
+        |    AS u
+        |  FROM s),
+        |v AS (SELECT doc_id, win,
+        |    CAST(u - 65536*(CASE WHEN u >= 32768 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS val
+        |  FROM v0)
+        |SELECT doc_id, CAST(win AS INT) AS win,
+        |  CAST(sum(val*val) AS BIGINT) AS energy,
+        |  CAST(max(abs(val)) AS BIGINT) AS peak
+        |FROM v GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -1337,6 +1337,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("WAV window stats: exact energy/peak on handcrafted PCM, " +
+      "partial windows dropped, malformed bytes null out") {
+    import graft.functions.WavKernel
+    // Mono PCM16, 5 frames of known samples: 3, -4, 100, -32768, 7.
+    def le(v: Int): Array[Byte] = {
+      val u = if (v < 0) v + 0x10000 else v
+      Array((u & 0xff).toByte, ((u >> 8) & 0xff).toByte)
+    }
+    val pcm = Seq(3, -4, 100, -32768, 7).flatMap(le).toArray
+    val wav = Multimodal.wavBytes(8000, 1, pcm)
+    // winFrames = 2 → two full windows, the 5th frame drops.
+    val st = WavKernel.windowStats(wav, 2).toLongArray()
+    assert(st.toSeq === Seq(
+      3L * 3 + 4L * 4, 4L,
+      100L * 100 + 32768L * 32768, 32768L))
+    // Stereo: the same bytes as 2 channels → blockAlign 4, windows
+    // span both channels' samples.
+    val wav2 = Multimodal.wavBytes(8000, 2, pcm) // truncates to 2 frames
+    val st2 = WavKernel.windowStats(wav2, 1).toLongArray()
+    assert(st2.toSeq === Seq(
+      3L * 3 + 4L * 4, 4L,
+      100L * 100 + 32768L * 32768, 32768L))
+    // Fewer frames than a window → zero windows, not a partial one.
+    assert(WavKernel.windowStats(wav, 9).toLongArray().isEmpty)
+    // Malformed / non-WAV bytes → null, never a throw.
+    assert(WavKernel.windowStats("not audio".getBytes, 2) === null)
+    // The operator drops zero-window and malformed payloads cleanly.
+    val frames = Multimodal.audioWindowStats(
+      Seq((1L, wav), (2L, "junk".getBytes), (3L, wav))
+        .toDF("doc_id", "payload"), winFrames = 9).collect()
+    assert(frames.isEmpty)
+  }
+
   test("raster gray/flip/crop/stats kernels: exact integer semantics " +
       "on a handcrafted grid; invalid windows and bytes null out") {
     import graft.functions.RasterKernel

@@ -112,6 +112,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "mm_pipeline" -> 1,           // resize→gray→histogram chained in
                                   // ONE codegen span (spec-pinned
                                   // exchange-free before the sort)
+    "mm_audio_energy" -> 1,       // WAV kernel + window explode;
+                                  // output sort only
     "sim_hybrid_indexed_bq" -> 12, // the hybrid frame with the
                                   // IVF-BQ serve as the vector leg:
                                   // lex agg + window + the 6-exchange
