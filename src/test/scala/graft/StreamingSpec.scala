@@ -877,6 +877,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming multimodal kernels: per-micro-batch image pipeline " +
+      "and audio window stats equal the batch transforms") {
+    // The raster/audio kernels are pure per-row transforms, so batch
+    // boundaries must be invisible: the union of per-micro-batch
+    // outputs over a partitioned corpus equals one batch run over the
+    // whole corpus — the foreachBatch ingest shape for multimodal
+    // curation.
+    import graft.operators.Multimodal
+    val s = spark.newSession()
+    import s.implicits._
+    val docs = Tables.documents(s, sfDir).filter($"doc_id" < 40)
+    val rows = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val wantImg = Multimodal.imagePipeline(docs)
+      .as[(Long, Int, Long)].collect().toSet
+    val wantAud = Multimodal.audioWindowStats(
+        Multimodal.synthesizeAudioPayloads(docs))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val gotImg = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Int, Long)]()
+    val gotAud = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Int, Long, Long)]()
+    val input = MemoryStream[(Long, String)](s)
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Multimodal.imagePipeline(batch).collect().foreach(r =>
+          gotImg.add((r.getLong(0), r.getInt(1), r.getLong(2))))
+        Multimodal.audioWindowStats(
+            Multimodal.synthesizeAudioPayloads(batch))
+          .collect().foreach(r => gotAud.add((r.getLong(0), r.getInt(1),
+            r.getLong(2), r.getLong(3))))
+      }
+      .start()
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(wantImg.nonEmpty &&
+        gotImg.asScala.toSet === wantImg,
+        "streamed image-pipeline output diverged from the batch run")
+      assert(wantAud.nonEmpty &&
+        gotAud.asScala.toSet === wantAud,
+        "streamed audio window stats diverged from the batch run")
+    } finally q.stop()
+  }
+
   test("streaming hybrid serving with the IVF-BQ vector leg: per-batch " +
       "fusion equals the batch serve, including across a mid-stream " +
       "per-leg delete") {
