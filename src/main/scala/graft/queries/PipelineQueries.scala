@@ -2204,6 +2204,23 @@ object PipelineQueries {
       Multimodal.imagePipeline(Tables.documents(s, d))
         .orderBy("doc_id", "b")),
 
+    // Cross-family composition: the raster kernels FEED the similarity
+    // operators — extractFeatures' 24-dim per-channel histograms are
+    // the vector column of a brute-force cosine top-k (the
+    // perceptual-near-dup shape: image → feature vector → ANN). The
+    // oracle replays the whole chain: exact pixel counts → IEEE
+    // feature divisions → list-order dot products → 6-dp ranks.
+    "mm_feature_knn" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.synthesizeRasterPayloads(Tables.documents(s, d)),
+        bins = 8)
+      val vecs = feats.select(col("doc_id").as("vec_id"),
+        col("features").as("v"))
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 10), 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Audio feature extraction (WavWindowStats kernel): per-window
     // PCM16 energy (Σ sample²) and peak over REAL WAV containers —
     // the RIFF walk, channel layout (mono/stereo by doc), and signed
@@ -5266,6 +5283,41 @@ object PipelineQueries {
         |FROM grid LEFT JOIN cnt
         |  ON cnt.doc_id = grid.doc_id AND cnt.b = grid.b
         |ORDER BY 1, 2""".stripMargin,
+
+    // Feature-kNN replay: rebuild every doc's 24-dim feature vector
+    // (per-channel histogram ratios, channel-major), then brute-force
+    // cosine over the computed vectors — the full image→vector→ANN
+    // chain in one closed form.
+    "mm_feature_knn" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS L,
+         |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),
+         |pos AS (SELECT doc_id, text, L, W, H,
+         |    unnest(generate_series(0, CAST(W*H*3 - 1 AS INT))) AS i
+         |  FROM d),
+         |pv AS (SELECT doc_id, i % 3 AS c,
+         |    (ord(substr(text, CAST(i % L AS INT) + 1, 1)) * 8) // 256 AS b
+         |  FROM pos),
+         |chans AS (SELECT unnest(generate_series(0, 2)) AS c),
+         |bs AS (SELECT unnest(generate_series(0, 7)) AS b),
+         |g2 AS (SELECT doc_id, W*H AS npx, c, b
+         |       FROM d CROSS JOIN chans CROSS JOIN bs),
+         |cnt AS (SELECT doc_id, c, b, count(*) AS n FROM pv
+         |        GROUP BY 1, 2, 3),
+         |fg AS (SELECT g2.doc_id, g2.c, g2.b,
+         |    CAST(coalesce(cnt.n, 0) AS DOUBLE) / g2.npx AS f
+         |  FROM g2 LEFT JOIN cnt ON cnt.doc_id = g2.doc_id
+         |    AND cnt.c = g2.c AND cnt.b = g2.b),
+         |fv AS (SELECT doc_id AS vec_id, list(f ORDER BY c, b) AS v
+         |       FROM fg GROUP BY doc_id),
+         |bfs AS (
+         |  SELECT p.vec_id AS probe_id, o.vec_id AS neighbor_id,
+         |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+         |  FROM fv p, fv o
+         |  WHERE p.vec_id < 10 AND o.vec_id <> p.vec_id)
+         |SELECT probe_id, neighbor_id, cos_r, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM bfs)
+         |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
 
     // WAV window-stats replay: channels = 1 + doc_id%2, PCM data =
     // the document bytes truncated to whole frames; sample k of

@@ -78,9 +78,13 @@ class PlanInvariantsSpec extends SparkSpec {
     "sim_recall_ladder",     // composes the audited brute-force + BQ
                              // shortlist shapes (broadcast probes,
                              // probe != neighbor non-equi) per rung
-    "sim_recall_curve"       // the ladder's shapes × nprobe operating
+    "sim_recall_curve",      // the ladder's shapes × nprobe operating
                              // points — same audited brute-force
                              // exact-baseline + shortlist non-equis
+    "mm_feature_knn"         // the audited brute-force shape over
+                             // kernel-extracted feature vectors
+                             // (broadcast probes, probe != neighbor
+                             // non-equi)
   )
 
   test("unrolled iterative plans pin their round counts") {

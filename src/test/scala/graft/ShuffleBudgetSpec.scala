@@ -114,6 +114,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // exchange-free before the sort)
     "mm_audio_energy" -> 1,       // WAV kernel + window explode;
                                   // output sort only
+    "mm_feature_knn" -> 2,        // the brute-force serve over
+                                  // kernel-extracted vectors: top-k
+                                  // window + output sort (probes
+                                  // broadcast) — sim_topk_bruteforce's
+                                  // shape
     "sim_hybrid_indexed_bq" -> 12, // the hybrid frame with the
                                   // IVF-BQ serve as the vector leg:
                                   // lex agg + window + the 6-exchange
