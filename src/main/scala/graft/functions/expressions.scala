@@ -726,6 +726,34 @@ object RasterKernel {
     out
   }
 
+  /** Nearest-neighbor UPSAMPLE by `f`: output pixel (x, y) copies
+    * source pixel (x/f, y/f) — the inverse direction of [[resize]]
+    * (down: box-filter average; up: index replication), exact byte
+    * semantics. Null for malformed input or output dims over the
+    * u16 header bound. */
+  def upsample(b: Array[Byte], f: Int): Array[Byte] = {
+    val d = dims(b)
+    if (d == null) return null
+    val c = d(0); val w = d(1); val h = d(2)
+    val w2 = w * f; val h2 = h * f
+    if (w2 > 0xffff || h2 > 0xffff) return null
+    val out = new Array[Byte](HeaderLen + w2 * h2 * c)
+    writeHeader(out, c, w2, h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = HeaderLen + ((y / f) * w + x / f) * c
+        val dst = HeaderLen + (y * w2 + x) * c
+        var ch = 0
+        while (ch < c) { out(dst + ch) = b(src + ch); ch += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Channel-mean GRAYSCALE: output is a 1-channel raster of the same
     * width/height, each pixel the floor-average of the source pixel's
     * channels — the standard luma-free gray reduction, exact integer
@@ -971,6 +999,27 @@ case class RasterResize(child: Expression, factor: Int)
     copy(child = c)
 }
 
+/** raster_upsample(binary, factor) → binary: nearest-neighbor
+  * upscale ([[RasterKernel.upsample]]) as a codegen'd scalar. */
+case class RasterUpsample(child: Expression, factor: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  require(factor >= 1, s"factor must be >= 1, got $factor")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // malformed bytes → null
+  override def prettyName: String = "raster_upsample"
+  override def nullSafeEval(input: Any): Any =
+    RasterKernel.upsample(input.asInstanceOf[Array[Byte]], factor)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.RasterKernel.upsample($in, $factor);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): RasterUpsample =
+    copy(child = c)
+}
+
 /** raster_gray(binary) → binary: channel-mean grayscale
   * ([[RasterKernel.gray]]) as a codegen'd scalar. */
 case class RasterGray(child: Expression) extends UnaryExpression {
@@ -1126,6 +1175,8 @@ object functions {
     GraftColumnBridge.column(RasterCrop(ex(c.cast("binary")), x0, y0, w, h))
   def raster_channel_stats(c: Column): Column =
     GraftColumnBridge.column(RasterChannelStats(ex(c.cast("binary"))))
+  def raster_upsample(c: Column, factor: Int): Column =
+    GraftColumnBridge.column(RasterUpsample(ex(c.cast("binary")), factor))
   def wav_window_stats(c: Column, winFrames: Int): Column =
     GraftColumnBridge.column(WavWindowStats(ex(c.cast("binary")), winFrames))
 }

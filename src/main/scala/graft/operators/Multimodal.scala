@@ -579,6 +579,15 @@ object Multimodal {
       graft.functions.functions.raster_resize(col("payload"), factor)
         .as("payload"))
 
+  /** Nearest-neighbor upscale over GR rasters — the inverse of
+    * [[resizeRasters]] (augmentation / display-prep direction); pure
+    * byte replication, codegen'd
+    * [[graft.functions.RasterUpsample]]. */
+  def upsampleRasters(payloads: DataFrame, factor: Int): DataFrame =
+    payloads.select(col("doc_id"),
+      graft.functions.functions.raster_upsample(col("payload"), factor)
+        .as("payload"))
+
   /** Channel-mean grayscale over GR rasters — the 3×-size reduction
     * ahead of luminance-only stages (scene cuts, perceptual hashes);
     * codegen'd [[graft.functions.RasterGray]], exact floor-average

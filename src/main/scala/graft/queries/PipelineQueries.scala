@@ -2179,6 +2179,14 @@ object PipelineQueries {
         Multimodal.synthesizeRasterPayloads(Tables.documents(s, d))))
         .orderBy("doc_id", "pos")),
 
+    // Nearest-neighbor upsample (RasterUpsample kernel): every output
+    // pixel checked against the oracle's (y/2, x/2) source remap —
+    // the inverse direction of mm_resize's box filter.
+    "mm_upsample" -> ((s, d) =>
+      rasterPixelRows(Multimodal.upsampleRasters(
+        Multimodal.synthesizeRasterPayloads(Tables.documents(s, d)), 2))
+        .orderBy("doc_id", "pos")),
+
     // Region-of-interest crop (RasterCrop kernel): the 2×2 window at
     // (1,1) fits every synthesized raster (min 4×3), so no row nulls
     // out and the oracle replays all 12 bytes per doc.
@@ -5211,6 +5219,23 @@ object PipelineQueries {
         |  CAST(ord(substr(text,
         |    CAST(((y*W + (W-1-xx))*3 + c) % L AS INT) + 1, 1)) AS BIGINT)
         |    AS px
+        |FROM x ORDER BY doc_id, pos""".stripMargin,
+
+    // Upsample replay: output pixel p of the 2W×2H raster maps to
+    // source ((y/2)·W + x/2)·3 + c over the cycled document bytes.
+    "mm_upsample" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L,
+        |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),
+        |pos AS (SELECT doc_id, text, L, W, H,
+        |    unnest(generate_series(0, CAST(2*W*2*H*3 - 1 AS INT))) AS p
+        |  FROM d),
+        |x AS (SELECT doc_id, p, text, L, W,
+        |    (p // (2*W*3)) AS y, ((p % (2*W*3)) // 3) AS xx, p % 3 AS c
+        |  FROM pos)
+        |SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |  CAST(ord(substr(text,
+        |    CAST((((y // 2)*W + xx // 2)*3 + c) % L AS INT) + 1, 1))
+        |    AS BIGINT) AS px
         |FROM x ORDER BY doc_id, pos""".stripMargin,
 
     // Crop replay: the fixed 2×2 window at (1,1) — 12 bytes per doc,

@@ -1402,12 +1402,23 @@ class PipelineSpec extends SparkSpec {
     assert(st.toSeq === Seq(
       (0 until 6).map(10L * _).sum, 0L, 50L,
       (0 until 6).map(200L + _).sum, 200L, 205L))
+    // upsample: each source pixel replicates into an f×f block…
+    val up = RasterKernel.upsample(b, 2)
+    assert(RasterKernel.dims(up).toSeq === Seq(2, 6, 4))
+    for (y <- 0 until 4; x <- 0 until 6; c <- 0 until 2)
+      assert((up(RasterKernel.HeaderLen + (y * 6 + x) * 2 + c) & 0xff)
+        === px(b, x / 2, y / 2, c))
+    // …so box-filter downsampling it back is the exact identity
+    // (the average of f² identical bytes is the byte).
+    assert(RasterKernel.resize(up, 2).toSeq === b.toSeq,
+      "resize(upsample(b, f), f) must round-trip bit-for-bit")
     // malformed bytes null out across the whole family
     val junk = "not a raster".getBytes
     assert(RasterKernel.gray(junk) === null)
     assert(RasterKernel.flipH(junk) === null)
     assert(RasterKernel.crop(junk, 0, 0, 1, 1) === null)
     assert(RasterKernel.channelStats(junk) === null)
+    assert(RasterKernel.upsample(junk, 2) === null)
   }
 
   test("fused image pipeline equals the stage-by-stage composition and " +
