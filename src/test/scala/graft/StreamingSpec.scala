@@ -1081,6 +1081,65 @@ class StreamingSpec extends SparkSpec {
         "never ran")
   }
 
+  test("serve interleaved with CELL-partitioned compaction (IVF): the " +
+      "per-cell delete+rename windows never yield a half-swapped result") {
+    // The cell-table compaction path has a DIFFERENT race shape than
+    // the BQ whole-dir swap: affected cells are replaced one at a time
+    // (checked delete + checked rename per `cell=` dir — rename-aside
+    // would corrupt partition discovery), so a concurrent reader can
+    // interleave with up to kCells windows per compaction. Contract is
+    // the same: masked serve ≡ compacted serve (parity pin), so every
+    // completed serve must equal the pinned result; a reader that
+    // catches a moved file fails LOUDLY and retries. Repeated
+    // delete+compact of the same ids keeps the expected result
+    // constant while still opening real tombstone-swap windows each
+    // iteration.
+    import graft.operators.Similarity
+    val s = spark.newSession()
+    import s.implicits._
+    val vecs = Similarity.vectors(Tables.embeddings(s, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 6)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_compact_race").toString
+    Similarity.writeIvfIndex(vecs, Similarity.kmeansTrain(vecs, 8, 2),
+      dir)
+    val ids = vecs.filter($"vec_id" % 7 === 0).select($"vec_id")
+    Similarity.deleteFromIvfIndex(s, ids, dir)
+    val want = Similarity.searchIvfIndex(s, dir, probes, 3, nprobe = 2)
+      .select($"probe_id", $"neighbor_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    @volatile var compacting = true
+    val compactor = new Thread(() => {
+      try {
+        for (_ <- 1 to 3) {
+          Similarity.deleteFromIvfIndex(s, ids, dir)
+          Similarity.compactIvfIndex(s, dir)
+        }
+      } finally compacting = false
+    })
+    def serveOnce(): Either[String, Boolean] =
+      try Right(Similarity.searchIvfIndex(s, dir, probes, 3, nprobe = 2)
+        .select($"probe_id", $"neighbor_id", $"rnk")
+        .as[(Long, Long, Int)].collect().toSet == want)
+      catch { case e: Exception => Left(e.getClass.getSimpleName) }
+    val outcomes =
+      scala.collection.mutable.ArrayBuffer[Either[String, Boolean]]()
+    compactor.start()
+    try {
+      while (compacting) outcomes += serveOnce()
+    } finally compactor.join()
+    assert(serveOnce() === Right(true),
+      "post-compaction IVF serve diverged from the pinned result")
+    val wrong = outcomes.count(_ == Right(false))
+    assert(wrong === 0,
+      s"$wrong interleaved serve(s) returned a HALF-SWAPPED result " +
+        s"over the cell-partitioned layout (outcomes: " +
+        s"${outcomes.take(20)})")
+    assert(outcomes.nonEmpty,
+      "no serve ran while the cell compaction loop was live")
+  }
+
   test("streaming serve over the persisted CMS: streamed candidates score as in batch") {
     // The serve side of the sketch triad: the d*w cell table persists
     // to parquet, candidate keys arrive as a stream, and each
