@@ -275,6 +275,73 @@ object Multimodal {
     }
   }
 
+  /** Synthesize "video" payloads: `nFrames` equal-size GR rasters
+    * concatenated, frame f's pixel i = the document's byte at
+    * (i + f·shift) mod len — consecutive frames differ by a gradual
+    * content shift, so scene-cut thresholds fire non-vacuously, and
+    * every frame byte is recomputable by the oracle straight from the
+    * documents table. */
+  def synthesizeVideoPayloads(documents: DataFrame, nFrames: Int = 6,
+      shift: Int = 11): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    implicit val enc = RowEncoder.encoderFor(schema)
+    documents.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val tb = r.getString(1).getBytes("UTF-8")
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val out = new java.io.ByteArrayOutputStream(
+          nFrames * (7 + w * h * 3))
+        for (f <- 0 until nFrames) {
+          val pix = Array.tabulate(w * h * 3)(i =>
+            tb((i + f * shift) % tb.length))
+          val fr = graft.functions.RasterKernel.build(3, w, h, pix)
+          out.write(fr, 0, fr.length)
+        }
+        Row(id, out.toByteArray)
+      }
+    }
+  }
+
+  /** REAL scene-cut detection: split each video payload into its
+    * frames, reduce every frame to its gray-luminance SUM (the
+    * grayscale kernel feeding channel-stats — exact Σ floor-average
+    * integers, the shot-boundary signature an actual video curation
+    * stage thresholds), then mark a cut wherever |Δsig| exceeds
+    * `threshold`; scene ids are the running cut count. The frame
+    * split, both kernels, and the signature all run per-row inside
+    * whole-stage codegen; the two windows partition by doc_id, so the
+    * operator parallelizes per-document at any corpus size and never
+    * sees a global sort. First frame: no predecessor → not a cut,
+    * scene 0 (the [[sceneCuts]] contract over real pixels). */
+  def videoSceneCuts(payloads: DataFrame, nFrames: Int,
+      threshold: Long): DataFrame = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val gf = graft.functions.functions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    payloads
+      .select(col("doc_id"), col("payload"),
+        explode(expr(s"sequence(0, $nFrames - 1)")).as("frame_no"))
+      .select(col("doc_id"), col("frame_no").cast("int").as("frame_no"),
+        expr(s"substring(payload, cast(frame_no * " +
+          s"(length(payload) div $nFrames) + 1 as int), " +
+          s"cast(length(payload) div $nFrames as int))").as("frame"))
+      .select(col("doc_id"), col("frame_no"),
+        element_at(
+          gf.raster_channel_stats(gf.raster_gray(col("frame"))), 1)
+          .as("sig"))
+      .withColumn("is_cut",
+        coalesce(abs(col("sig") - lag(col("sig"), 1).over(w)) >
+          threshold, lit(false)))
+      .withColumn("scene_id",
+        sum(col("is_cut").cast("int")).over(w).cast("int"))
+      .select(col("doc_id"), col("frame_no"), col("sig"), col("is_cut"),
+        col("scene_id"))
+  }
+
   /** Windowed PCM energy/peak over WAV payloads — the voice-activity /
     * silence-detection features of an audio curation stage: per FULL
     * window of `winFrames` frames, the exact-integer energy

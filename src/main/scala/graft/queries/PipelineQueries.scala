@@ -2229,6 +2229,18 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // REAL video scene cuts: frames split out of the synthesized
+    // video payload, reduced to exact gray-luminance sums by the
+    // raster kernels, thresholded on |Δsig| — the shot-segmentation
+    // stage over actual pixel math (mm_scene_cut's contract upgraded
+    // from the byte-signature stand-in). Threshold 14 ≈ the corpus
+    // median |Δ|, so both cut and non-cut paths fire (~47% cuts).
+    "mm_video_cuts" -> ((s, d) =>
+      Multimodal.videoSceneCuts(
+        Multimodal.synthesizeVideoPayloads(Tables.documents(s, d)),
+        nFrames = 6, threshold = 14L)
+        .orderBy("doc_id", "frame_no")),
+
     // Audio feature extraction (WavWindowStats kernel): per-window
     // PCM16 energy (Σ sample²) and peak over REAL WAV containers —
     // the RIFF walk, channel layout (mono/stereo by doc), and signed
@@ -5343,6 +5355,34 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM bfs)
          |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    // Video scene-cut replay: frame f's gray signature is the sum of
+    // floor 3-channel averages over the shifted byte cycle
+    // (i + f·11 mod len); cut/scene windows replay per doc.
+    "mm_video_cuts" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L,
+        |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),
+        |fr AS (SELECT doc_id, text, L, W, H,
+        |    unnest(generate_series(0, 5)) AS f FROM d),
+        |px AS (SELECT doc_id, f, text, L,
+        |    unnest(generate_series(0, CAST(W*H - 1 AS INT))) AS p
+        |  FROM fr),
+        |g AS (SELECT doc_id, f,
+        |   (ord(substr(text, CAST((3*p   + f*11) % L AS INT) + 1, 1))
+        |  + ord(substr(text, CAST((3*p+1 + f*11) % L AS INT) + 1, 1))
+        |  + ord(substr(text, CAST((3*p+2 + f*11) % L AS INT) + 1, 1)))
+        |    // 3 AS gv
+        |  FROM px),
+        |s AS (SELECT doc_id, f, CAST(sum(gv) AS BIGINT) AS sig
+        |      FROM g GROUP BY 1, 2),
+        |c AS (SELECT doc_id, f, sig,
+        |   coalesce(abs(sig - lag(sig) OVER (
+        |     PARTITION BY doc_id ORDER BY f)) > 14, FALSE) AS is_cut
+        |  FROM s)
+        |SELECT doc_id, CAST(f AS INT) AS frame_no, sig, is_cut,
+        |  CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY doc_id ORDER BY f) AS INT) AS scene_id
+        |FROM c ORDER BY doc_id, frame_no""".stripMargin,
 
     // WAV window-stats replay: channels = 1 + doc_id%2, PCM data =
     // the document bytes truncated to whole frames; sample k of

@@ -115,6 +115,10 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // exchange-free before the sort)
     "mm_audio_energy" -> 1,       // WAV kernel + window explode;
                                   // output sort only
+    "mm_video_cuts" -> 2,         // per-doc cut/scene windows share
+                                  // one doc_id exchange + output sort;
+                                  // frame split + gray-sum signature
+                                  // are per-row kernels
     "mm_feature_knn" -> 2,        // the brute-force serve over
                                   // kernel-extracted vectors: top-k
                                   // window + output sort (probes
