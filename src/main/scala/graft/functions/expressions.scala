@@ -680,8 +680,13 @@ object RasterKernel {
     val c = b(2) & 0xff
     val w = ((b(3) & 0xff) << 8) | (b(4) & 0xff)
     val h = ((b(5) & 0xff) << 8) | (b(6) & 0xff)
+    // Length check in LONG: w*h*c reaches 65535*65535*4 ≈ 1.7e10, so
+    // Int arithmetic wraps mod 2^32 and a crafted header (e.g. c=4,
+    // w=65535, h=16385 → wrapped product 196604) could pass with a
+    // tiny body, sending the kernels out of bounds. Malformed bytes
+    // must return null, never throw (the dead-letter contract).
     if (c < 1 || c > 4 || w < 1 || h < 1 ||
-        b.length != HeaderLen + w * h * c) null
+        b.length.toLong != HeaderLen.toLong + w.toLong * h * c) null
     else Array(c, w, h)
   }
 

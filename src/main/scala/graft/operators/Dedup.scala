@@ -101,8 +101,18 @@ object Dedup {
     * on the (unique per-doc) segment index before the join back to
     * text. */
   def segmentDedup(corpus: DataFrame, segWords: Int = 10,
-      minDf: Long = 2): DataFrame =
-    segmentDedupKeyed(corpus, segWords, minDf, xxhash64(_))
+      minDf: Long = 2, wideKey: Boolean = false): DataFrame =
+    if (wideKey)
+      // The remediation the collision raise prescribes: pair the hash
+      // with length(seg) in a struct key — a collision now needs the
+      // 64-bit hashes AND the segment lengths to agree, pushing the
+      // birthday bound far past any corpus. 12 bytes per shuffle key
+      // instead of 8; semantics identical (spec-pinned equal to the
+      // narrow key on the gated corpus).
+      segmentDedupKeyed(corpus, segWords, minDf,
+        seg => struct(xxhash64(seg).as("h"), length(seg).as("len")))
+    else
+      segmentDedupKeyed(corpus, segWords, minDf, xxhash64(_))
 
   /** [[segmentDedup]] with the 64-bit segment key INJECTABLE — the
     * production path always keys on xxhash64; the hook exists so the
@@ -119,10 +129,16 @@ object Dedup {
         concat_ws(" ", slice(col("w"), col("j") * segWords + 1,
           lit(segWords))).as("seg"))
       .withColumn("segk", keyOf(col("seg")))
-      // Witness hash: xxhash64 over (seg, salt) — a fixed extra column
-      // re-keys the whole hash, so it is independent of segk for any
-      // pair of distinct segments that collide there.
-      .withColumn("segw", xxhash64(col("seg"), lit(0x9e3779b97f4a7c15L)))
+      // Witness hash with the salt FIRST. Spark's multi-arg xxhash64
+      // folds children left-to-right with the running hash as seed, so
+      // xxhash64(seg, salt) would be XXH64(salt, seed = XXH64(seg, 42))
+      // — a deterministic function of segk: two segments colliding on
+      // segk would ALWAYS share a witness and the guard below could
+      // never fire. Salt-first re-seeds instead:
+      // segw = XXH64(seg, seed = XXH64(salt, 42)), a differently-seeded
+      // direct hash of the segment, independent of segk's seed-42 hash
+      // (pinned algebraically in TrainingOpsSpec).
+      .withColumn("segw", xxhash64(lit(0x9e3779b97f4a7c15L), col("seg")))
     val segDf = segs.groupBy(col("segk"))
       .agg(countDistinct(col("doc_id")).as("_df"),
         min(col("segw")).as("_wlo"), max(col("segw")).as("_whi"))
@@ -134,8 +150,8 @@ object Dedup {
           col("segk").cast("string"),
           lit(" — two distinct segments share a key; their merged " +
             "doc-frequency could drop a unique segment corpus-wide. " +
-            "Rerun with a wider key (e.g. pair the hash with " +
-            "length(seg))."))))
+            "Rerun with segmentDedup(..., wideKey = true) to pair " +
+            "the hash with length(seg)."))))
           .otherwise(col("_df")).as("df"))
     segs.join(segDf, Seq("segk"))
       .groupBy(col("doc_id"))

@@ -36,27 +36,58 @@ private[graft] object FsOps {
 
   /** Sweep crash-left STAGING children out of an index layout dir.
     * Every staged rewrite in this engine writes to a child named
-    * `_staging`, `*_next`, `*_compacting`, or `*_empty` (plus the
-    * `*_old` rename-aside of [[swapInto]]) before its commit rename —
-    * a crash between the staging write and the swap leaves that child
-    * behind. Leftovers are correctness-inert (serves read named live
-    * subpaths) but leak storage and make the layout dir non-canonical
-    * for anything inventorying it, so every op that stages calls this
-    * at ENTRY, before its own staging write. Single-writer discipline
-    * is assumed (as everywhere in the commit paths): sweeping while
-    * another writer is mid-stage would delete its staging.
+    * `_staging`, `*_next`, `*_compacting`, or `*_empty` before its
+    * commit rename — a crash between the staging write and the swap
+    * leaves that child behind. Such leftovers are correctness-inert
+    * (serves read named live subpaths) but leak storage and make the
+    * layout dir non-canonical for anything inventorying it, so every
+    * op that stages calls this at ENTRY, before its own staging
+    * write. Single-writer discipline is assumed (as everywhere in the
+    * commit paths): sweeping while another writer is mid-stage would
+    * delete its staging.
+    *
+    * Two children are deliberately NOT swept:
+    *   - `*_old` — [[swapInto]]'s rename-aside, and the documented
+    *     manual-recovery copy when a crash lands between its two
+    *     renames (live absent, `X_old` + staging the only full
+    *     copies). [[swapInto]] itself clears a leftover `_old` at its
+    *     next successful run; sweeping it here would destroy the
+    *     recovery copy exactly when it is needed.
+    *   - an `X_<suffix>` child whose live base `X` is ABSENT — that is
+    *     the signature of the mid-swap crash window (or of a first
+    *     write whose commit rename crashed, where the staging may hold
+    *     the only copy of pending state). Deleting it would convert a
+    *     recoverable crash into data loss, so the sweep fails loudly
+    *     and asks for manual recovery instead.
+    * `_staging` (the exact name) is always safe: it is a scratch
+    * materialization feeding append-mode writes into live tables,
+    * never a swap source, so it is never the sole copy of anything.
     * No live table ever matches these names — they are reserved
     * staging suffixes. */
   def clearStaging(fs: FileSystem, dir: String): Unit = {
     val d = new Path(dir)
-    if (fs.exists(d))
-      fs.listStatus(d).foreach { st =>
+    if (fs.exists(d)) {
+      val children = fs.listStatus(d)
+      val names = children.map(_.getPath.getName).toSet
+      children.foreach { st =>
         val n = st.getPath.getName
-        if (n == "_staging" || n.endsWith("_next") ||
-            n.endsWith("_compacting") || n.endsWith("_empty") ||
-            n.endsWith("_old"))
-          deleteIfExists(fs, st.getPath)
+        if (n == "_staging") deleteIfExists(fs, st.getPath)
+        else Seq("_next", "_compacting", "_empty")
+          .find(n.endsWith).foreach { suf =>
+            val base = n.stripSuffix(suf)
+            if (base.nonEmpty && names.contains(base))
+              deleteIfExists(fs, st.getPath)
+            else
+              sys.error(s"clearStaging: staging child $dir/$n has no " +
+                s"live base table '$base' beside it — this marks a " +
+                "crash inside a commit rename, and the staging (or " +
+                s"the sibling ${base}_old, if present) may hold the " +
+                "only copy of that table's state. Refusing to sweep; " +
+                "recover manually: rename the most recent full copy " +
+                s"to $dir/$base, then delete the leftovers.")
+          }
       }
+    }
   }
 
   /** Promote `staging` to `live`: move the current live dir aside,

@@ -79,6 +79,40 @@ class IndexMetaSpec extends SparkSpec {
     }
   }
 
+  test("FsOps.clearStaging spares the _old recovery copy and refuses " +
+      "to sweep a staging child whose live base is missing") {
+    withTempDir("graft_fsops_cs") { root =>
+      val fs = FsOps.fsOf(spark, root)
+      def mk(name: String): Path = {
+        val p = new Path(s"$root/$name")
+        fs.mkdirs(p)
+        fs.create(new Path(p, "x.txt"), true).close()
+        p
+      }
+      // Normal crash-left staging: base table present → swept.
+      val base = mk("codes")
+      val next = mk("codes_next")
+      val comp = mk("codes_compacting")
+      val scratch = mk("_staging")
+      // The rename-aside recovery copy: must NEVER be swept here.
+      val old = mk("codes_old")
+      FsOps.clearStaging(fs, root)
+      assert(fs.exists(base) && fs.exists(old),
+        "clearStaging must not touch the live table or its _old copy")
+      assert(!fs.exists(next) && !fs.exists(comp) && !fs.exists(scratch),
+        "staging children beside a live base must be swept")
+      // Mid-swap crash signature: staging present, live base ABSENT —
+      // the staging (or _old) may be the only full copy. Refuse loudly.
+      val orphan = mk("tombstones_next")
+      val e = intercept[RuntimeException] { FsOps.clearStaging(fs, root) }
+      assert(e.getMessage.contains("no live base") &&
+        e.getMessage.contains("tombstones"),
+        s"expected the manual-recovery refusal, got: ${e.getMessage}")
+      assert(fs.exists(orphan),
+        "the orphaned staging child must survive the refusal")
+    }
+  }
+
   test("FsOps.checkedRename throws instead of silently returning false") {
     withTempDir("graft_fsops_r") { root =>
       val fs = FsOps.fsOf(spark, root)

@@ -1259,6 +1259,17 @@ class PipelineSpec extends SparkSpec {
     // A dimension shrinking below 1 is malformed-output → null.
     assert(RasterKernel.resize(RasterKernel.build(1, 4, 1,
       Array[Byte](1, 2, 3, 4)), 2) === null)
+    // Int-overflow header: c=4, w=65535, h=16385 → w*h*c wraps mod 2^32
+    // to 196604, so an Int-arithmetic length check would accept a
+    // 196604+7-byte body and the kernels would index out of bounds.
+    // The Long-width check must reject it as null, never throw.
+    val overflow = new Array[Byte](RasterKernel.HeaderLen + 196604)
+    overflow(0) = 'G'; overflow(1) = 'R'; overflow(2) = 4
+    overflow(3) = 0xff.toByte; overflow(4) = 0xff.toByte  // w = 65535
+    overflow(5) = 0x40.toByte; overflow(6) = 0x01.toByte  // h = 16385
+    assert(RasterKernel.dims(overflow) === null,
+      "overflowing header dims must be rejected, not indexed")
+    assert(RasterKernel.resize(overflow, 2) === null)
   }
 
   test("header decoder parses real PNG and JPEG bytes, verifies PNG CRC") {

@@ -608,6 +608,67 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got(1L) === ((1L, 1L, 1L, "")) && got(2L) === ((2L, 1L, 1L, "")))
   }
 
+  test("segmentDedup: the collision witness is a RE-SEEDED hash of the " +
+      "segment, not a function of segk") {
+    // Spark's multi-arg xxhash64 folds children left-to-right with the
+    // running hash as seed: xxhash64(a, b) = XXH64(b, seed=XXH64(a, 42)).
+    // So the salt-LAST form xxhash64(seg, salt) is XXH64(salt, seed=segk)
+    // — a deterministic function of segk, and two segments colliding on
+    // segk would ALWAYS share that witness (the guard could never fire).
+    // The production salt-FIRST form is XXH64(seg, seed=XXH64(salt, 42)):
+    // a differently-seeded direct hash of the segment, whose collision
+    // event is independent of the seed-42 hash segk. Pin both algebraic
+    // identities with explicitly-seeded XxHash64 expressions.
+    import org.apache.spark.sql.{Column, GraftColumnBridge}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val salt = 0x9e3779b97f4a7c15L
+    val segs = Seq("aa bb cc", "totally different segment", "x")
+    for (s <- segs) {
+      val df = Seq(s).toDF("seg")
+      def one(c: Column): Long = df.select(c).as[Long].head()
+      def seeded(child: Column, seed: Long): Column =
+        GraftColumnBridge.column(
+          new XxHash64(Seq(GraftColumnBridge.expression(child)), seed))
+      val segk = one(xxhash64(col("seg")))
+      // The BROKEN (salt-last) form is exactly a fixed hash of the SALT
+      // seeded by segk — i.e. determined by segk alone.
+      assert(one(xxhash64(col("seg"), lit(salt))) ===
+        one(seeded(lit(salt), segk)),
+        "salt-last witness was not XXH64(salt, seed=segk) — the fold " +
+          "semantics this pin documents changed")
+      // The PRODUCTION (salt-first) form is the segment hashed under a
+      // different fixed seed — independent of segk's seed-42 hash.
+      val saltSeed = one(xxhash64(lit(salt)))
+      assert(one(xxhash64(lit(salt), col("seg"))) ===
+        one(seeded(col("seg"), saltSeed)),
+        "production witness is not the re-seeded segment hash")
+      assert(saltSeed !== 42L)
+    }
+  }
+
+  test("segmentDedup: wideKey pairs the hash with length(seg) and " +
+      "matches the narrow-key result exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val narrow = canon(Dedup.segmentDedup(docs))
+    val wide = canon(Dedup.segmentDedup(docs, wideKey = true))
+    assert(narrow.nonEmpty && wide === narrow,
+      "wide-key segmentDedup diverged from the narrow-key result")
+    // The guard still raises (and its struct-keyed message renders)
+    // under a degenerate struct key that collides everything.
+    val two = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.segmentDedupKeyed(two, segWords = 10, minDf = 2,
+        keyOf = _ => struct(lit(0L).as("h"), lit(0).as("len"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("segment-key collision")),
+      s"expected the collision raise under a struct key, got: $ex")
+  }
+
   test("unigramLogprob: common-token docs outscore rare-token docs") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
