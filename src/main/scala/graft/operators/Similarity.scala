@@ -1179,6 +1179,129 @@ object Similarity {
         col("adist"), col("rnk"))
   }
 
+  /** Centroid ARRAYS from [[kmeansTrain]]'s exploded (cid, dim, cmean)
+    * form — (cid, cv) with cv ordered by dim (array_sort on the
+    * (dim, cmean) struct sorts on the first field, so the order is
+    * deterministic regardless of collect_list's partition order).
+    * k rows of dim doubles: always broadcastable. */
+  private def centroidArrays(cents: DataFrame): DataFrame =
+    cents.groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cmean"))))
+        .as("p"))
+      .select(col("cid"), expr("transform(p, q -> q.cmean)").as("cv"))
+
+  /** Residuals of `src` against its `n` nearest trained cells:
+    * (vec_id, cell, rv) with rv = v − centroid(cell), one row per
+    * (vector, assigned cell). n = 1 residualizes a corpus against its
+    * own cells (the encode side); n = nprobe residualizes a probe
+    * against EACH cell it consults (the query side of a by-residual
+    * ADC serve, where the distance table is per probed cell).
+    * Plain double subtraction — engine-portable (the centroid means
+    * are already 6-dp rounded by [[kmeansTrain]]'s contract).
+    * `broadcastAssign` marks the assignment side broadcastable — set
+    * it on PROBE-side calls (|probes|·nprobe rows, so the join probes
+    * the vector scan without shuffling it); never on corpus-side
+    * encodes, where the assignment is corpus-sized and the co-keyed
+    * shuffle join is the correct build shape. */
+  private def residualsOf(src: DataFrame, cents: DataFrame,
+      n: Int, broadcastAssign: Boolean = false): DataFrame = {
+    val asg0 = trainedAssign(src, cents, n)
+      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
+    val asg = if (broadcastAssign) broadcast(asg0) else asg0
+    val ca = broadcast(centroidArrays(cents)
+      .select(col("cid").as("cell"), col("cv")))
+    src.join(asg, Seq("vec_id")).join(ca, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+  }
+
+  /** Shared serve of the BY-RESIDUAL IVF-PQ composition (in-memory
+    * [[ivfPqrTopK]] and persisted [[searchIvfPqIndex]] route here so
+    * the two paths cannot diverge): probes residualize against each
+    * of their `nprobe` cells, the per-(probe, cell) distance table
+    * builds against the residual codebook, ADC nominates
+    * `rerankDepth` candidates per probe, and ONLY those candidates'
+    * raw vectors are fetched back for an exact-cosine re-rank — the
+    * [[bqRerankStage]] refinement contract applied to the PQ rung.
+    * `codes` carries (vec_id, sub, cid, cell); output
+    * (probe_id, neighbor_id, cos_r, rnk). */
+  private def pqrServe(codes: DataFrame, cents: DataFrame,
+      codebook: DataFrame, vecs: DataFrame, probes: DataFrame, k: Int,
+      m: Int, nprobe: Int, rerankDepth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerankDepth >= k, s"rerankDepth $rerankDepth must cover k=$k")
+    val psubs = residualsOf(probes, cents, nprobe, broadcastAssign = true)
+      .select(col("vec_id").as("probe_id"), col("cell").as("pcell"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("rv"))
+      .select(col("probe_id"), col("pcell"), col("sub"),
+        expr(s"slice(rv, sub * (size(rv) div $m) + 1, size(rv) div $m)")
+          .as("sv"))
+    val dtab = psubs.join(broadcast(codebook), Seq("sub"))
+      .select(col("probe_id"), col("pcell"), col("sub"), col("cid"),
+        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("pd2"))
+    // The shortlist is |probes|·rerankDepth rows — broadcast it so
+    // the corpus-float fetch PROBES the corpus scan instead of
+    // shuffling it (at 100 TB the floats never move; only shortlist
+    // survivors flow out of the join).
+    val short = broadcast(adcCellTopK(codes, dtab, rerankDepth)
+      .select(col("probe_id"), col("neighbor_id")))
+    val pv = broadcast(withNorm(probes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm")))
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    short
+      .join(withNorm(vecs).select(col("vec_id").as("neighbor_id"),
+        col("v"), col("nrm")), Seq("neighbor_id"))
+      .join(pv, Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
+      .withColumn("rnk", row_number().over(wC))
+      .filter(col("rnk") <= k)
+  }
+
+  /** BY-RESIDUAL IVF-PQ with an exact refine stage — the deployment
+    * composition of the PQ rung (Jégou et al. 2011 §V; FAISS's
+    * default `by_residual=true` IVFPQ plus its refine wrapper), and
+    * the rung the recall curve serves: each corpus vector encodes the
+    * RESIDUAL v − centroid(cell) against a residual codebook (the
+    * coarse quantizer removes the cell's mean before the fine
+    * quantizer spends its bits, so the same codebook budget encodes a
+    * far smaller-variance signal than [[ivfPqTopK]]'s raw-vector
+    * codes), probes build a distance table PER PROBED CELL (the
+    * residual is cell-dependent), and the ADC shortlist is re-ranked
+    * with exact cosine over the fetched floats. The byte budget
+    * stays below the IVF-BQ rung's: m-byte codes (4 B/vector) vs
+    * 16-byte binary codes, and the deeper `rerankDepth` fetch is
+    * probe-bounded (rerankDepth · dim doubles per probe), never
+    * corpus-bounded. Trade-off vs raw codes: re-training the coarse
+    * quantizer now forces a re-encode (the standard by-residual
+    * cost; reference-capability context: the enrichment lookup shape
+    * of `decorator/index.js:166-177` is the serve this generalizes).
+    *
+    * `trained` optionally supplies an already-trained quantizer in
+    * [[kmeansTrain]]'s exploded form so a multi-rung enumeration
+    * (the recall curve) trains ONCE and shares. Determinism: the
+    * family contract — rounded L2² cid tie-break for both quantizer
+    * levels, exact-decimal ADC sums, 6-dp cosine with neighbor-id
+    * tie-break. Probing every cell with rerankDepth ≥ corpus size
+    * degenerates to exact brute force (spec-pinned). */
+  def ivfPqrTopK(vecs: DataFrame, probes: DataFrame, k: Int,
+      m: Int = 4, codebookK: Int = 8, kCells: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, rerankDepth: Int = 40,
+      trained: Option[DataFrame] = None): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = trained.getOrElse(kmeansTrain(vecs, kCells, iters))
+    val rcorp = residualsOf(vecs, cents, 1)
+    val rv = rcorp.select(col("vec_id"), col("rv").as("v"))
+    val rcb = codebookOf(rv, m, codebookK)
+    val codes = pqCodesAgainst(rcb, rv, m)
+      .join(rcorp.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    pqrServe(codes, cents, rcb, vecs, probes, k, m, nprobe, rerankDepth)
+  }
+
   /** IVF index health report: per-cell occupancy, corpus share, and
     * balance (occupancy relative to uniform — 1.0 is perfectly
     * balanced; a cell at 8.0 holds 8× its fair share). Cell imbalance
@@ -1262,19 +1385,27 @@ object Similarity {
     kmeansTrain(qsrc, kCells, iters)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     val cents = vecs.sparkSession.read.parquet(s"$dir/centroids")
-    codebookOf(qsrc, m, codebookK)
+    // BY-RESIDUAL (fmt=2, [[ivfPqrTopK]]'s encoding): the codebook
+    // trains on the quantizer corpus's residuals against the STORED
+    // centroids, and every vector's code encodes v − centroid(cell).
+    // fmt=1 dirs held raw-vector codes — a fmt=2 serve over them
+    // would score garbage, so every lifecycle leg requireMatches the
+    // key and rejects a stale dir loudly.
+    val qres = residualsOf(qsrc, cents, 1)
+      .select(col("vec_id"), col("rv").as("v"))
+    codebookOf(qres, m, codebookK)
       .write.mode("overwrite").parquet(s"$dir/codebook")
     val codebook = vecs.sparkSession.read.parquet(s"$dir/codebook")
-    val idx = trainedAssign(vecs, cents, 1)
-      .select(col("probe_id").as("corpus_id"), col("cid").as("cell"))
-    pqCodesAgainst(codebook, vecs, m)
-      .join(idx, col("vec_id") === col("corpus_id"))
+    val rcorp = residualsOf(vecs, cents, 1)
+    pqCodesAgainst(codebook, rcorp.select(col("vec_id"),
+        col("rv").as("v")), m)
+      .join(rcorp.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .select(col("vec_id"), col("sub"), col("cid"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
     IndexMeta.write(vecs.sparkSession, dir, "layout" -> "ivf_pq",
       "m" -> m.toString, "codebookK" -> codebookK.toString,
-      "kCells" -> kCells.toString)
+      "kCells" -> kCells.toString, "fmt" -> "2")
   }
 
   /** APPEND a corpus batch to a persisted [[writeIvfPqIndex]] layout —
@@ -1289,14 +1420,18 @@ object Similarity {
   def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       vecs2: DataFrame, dir: String, m: Int = 4): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_pq",
-      "m" -> m.toString)
+      "m" -> m.toString, "fmt" -> "2")
     clearDrainedPlaceholder(spark, s"$dir/codes")
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
-    val idx = trainedAssign(vecs2, cents, 1)
-      .select(col("probe_id").as("corpus_id"), col("cid").as("cell"))
-    pqCodesAgainst(codebook, vecs2, m)
-      .join(idx, col("vec_id") === col("corpus_id"))
+    // Residual encode against the STORED quantizer state (both
+    // levels: coarse centroids AND residual codebook are fixed once
+    // trained), so the appended union is bit-identical to the
+    // monolithic build — FAISS's `add` contract at by_residual=true.
+    val rcorp = residualsOf(vecs2, cents, 1)
+    pqCodesAgainst(codebook, rcorp.select(col("vec_id"),
+        col("rv").as("v")), m)
+      .join(rcorp.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .select(col("vec_id"), col("sub"), col("cid"), col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/codes")
@@ -1304,25 +1439,30 @@ object Similarity {
       vecs2.select(col("vec_id")))
   }
 
-  /** Serve ADC top-k from a persisted [[writeIvfPqIndex]] layout:
-    * probes assign to their `nprobe` nearest stored centroids, the
-    * per-probe distance table builds against the stored codebook, and
-    * the cell-partitioned code scan is pruned to the consulted cells
+  /** Serve the BY-RESIDUAL refine composition from a persisted
+    * [[writeIvfPqIndex]] layout: probes residualize against their
+    * `nprobe` nearest stored centroids, the per-(probe, cell)
+    * distance table builds against the stored residual codebook, the
+    * cell-partitioned code scan is pruned to the consulted cells
     * (dynamic partition pruning off the broadcast probe-cell side,
-    * exactly like [[searchIvfIndex]]). Results are bit-identical to
-    * the in-memory [[ivfPqTopK]] at the same build parameters —
-    * parquet round-trips doubles and longs exactly (PipelineSpec pins
-    * the parity and the pruned scan; the gated twin shares
-    * sim_ivfpq_topk's oracle). */
+    * exactly like [[searchIvfIndex]]), and the ADC shortlist is
+    * re-ranked with exact cosine over `vecs` — the corpus floats,
+    * which the layout itself never stores ([[bqRerankFromIndex]]'s
+    * contract: the shortlist fetch is probe-bounded). Results are
+    * bit-identical to the in-memory [[ivfPqrTopK]] at the same build
+    * parameters — parquet round-trips doubles and longs exactly
+    * (PipelineSpec pins the parity; the gated twin shares
+    * sim_ivfpqr_topk's oracle). */
   def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, probes: DataFrame, k: Int, m: Int = 4,
-      nprobe: Int = 2): DataFrame = {
+      dir: String, vecs: DataFrame, probes: DataFrame, k: Int,
+      m: Int = 4, nprobe: Int = 2, rerankDepth: Int = 40): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     // Serving at a different sub-vector split than the build would
     // slice probe vectors against codes that mean something else —
-    // the sidecar makes it a loud failure instead of silent garbage.
+    // the sidecar makes it a loud failure instead of silent garbage,
+    // and fmt=2 rejects a pre-residual (raw-code) dir the same way.
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_pq",
-      "m" -> m.toString)
+      "m" -> m.toString, "fmt" -> "2")
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
     val codes0 = spark.read.parquet(s"$dir/codes")
@@ -1332,13 +1472,8 @@ object Similarity {
     val codes = readTombstones(spark, dir)
       .map(t => codes0.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(codes0)
-    val pcells = trainedAssign(probes, cents, nprobe)
-      .select(col("probe_id"), col("cid").as("pcell"))
-    // Same broadcast rationale as [[ivfPqTopK]]: keep the probe-bounded
-    // distance-table subtree shuffle-free.
-    val dtab = adcDistTableFrom(codebook, probes, m)
-      .join(broadcast(pcells), Seq("probe_id"))
-    adcCellTopK(codes, dtab, k)
+    pqrServe(codes, cents, codebook, vecs, probes, k, m, nprobe,
+      rerankDepth)
   }
 
   /** One Lloyd's-iteration update step over an embedding corpus:
@@ -1464,6 +1599,14 @@ object Similarity {
     * in-memory and persisted paths. `cents` carries (cid, dim, cmean),
     * dims 1-based. */
   private def trainedAssign(src: DataFrame, cents: DataFrame,
+      n: Int): DataFrame =
+    trainedAssignRanked(src, cents, n).select(col("probe_id"), col("cid"))
+
+  /** [[trainedAssign]] with the assignment RANK kept — (probe_id,
+    * cid, rn), rn 1-based by (rounded L2² asc, cid asc) — so a
+    * multi-nprobe enumeration (the recall curve) can scope one
+    * assignment pass per np with a filter instead of re-assigning. */
+  private def trainedAssignRanked(src: DataFrame, cents: DataFrame,
       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = cents.select(col("cid"), (col("dim") - 1).as("pos"),
@@ -1477,7 +1620,25 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(round(col("dist2"), 6).asc, col("cid").asc)
     d2.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
-      .select(col("probe_id"), col("cid"))
+      .select(col("probe_id"), col("cid"), col("rn"))
+  }
+
+  /** Per-probe probed-cell OCCUPANCY up to `nprobe` — (probe_id, rn,
+    * cell_n): the probe's rank-rn cell holds cell_n corpus vectors.
+    * This is the exact-integer frame the recall curve turns into
+    * bytes-scanned-per-serve: an IVF-family serve at nprobe = np
+    * touches Σ_{rn ≤ np} cell_n candidate rows (minus the probe's own
+    * row — its rank-1 cell is always consulted), and each layout's
+    * bytes follow from its per-row code width. Cost: the corpus
+    * assignment pass (shared shape with every IVF build) plus a
+    * kCells-row size table broadcast into the probe assignment. */
+  def probedCellSizes(vecs: DataFrame, probes: DataFrame,
+      cents: DataFrame, nprobe: Int): DataFrame = {
+    val sizes = trainedAssign(vecs, cents, 1)
+      .groupBy(col("cid")).agg(count(lit(1)).as("cell_n"))
+    trainedAssignRanked(probes, cents, nprobe)
+      .join(broadcast(sizes), Seq("cid"))
+      .select(col("probe_id"), col("rn"), col("cell_n"))
   }
 
   def ivfSearchTrained(vecs: DataFrame, probes: DataFrame,
@@ -1697,7 +1858,11 @@ object Similarity {
     * cell-partitioned `codes/` table (same schema discipline: rows
     * keyed by vec_id, partitioned by cell). */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = compactCellTable(spark, dir, "codes")
+      dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_pq",
+      "fmt" -> "2")
+    compactCellTable(spark, dir, "codes")
+  }
 
   private def compactCellTable(spark: org.apache.spark.sql.SparkSession,
       dir: String, table: String): Unit = {

@@ -460,42 +460,66 @@ object PipelineQueries {
        |  SELECT *, row_number() OVER (PARTITION BY probe_id
        |    ORDER BY ip_r DESC, neighbor_id) AS rnk FROM sq8s)
        |  WHERE rnk <= 3),
+       |cl AS (SELECT cid, list(cmean ORDER BY pos) AS cvv FROM c2
+       |       GROUP BY cid),
        |subsp AS (SELECT unnest(generate_series(0, 3)) AS sub),
-       |subs AS (
-       |  SELECT vec_id, sub,
-       |         v[(sub * (len(v) // 4) + 1):((sub + 1) * (len(v) // 4))] AS sv
-       |  FROM ovecs CROSS JOIN subsp),
-       |cb AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 8),
+       |rcorp AS (
+       |  SELECT o.vec_id, i.cell,
+       |         list_transform(generate_series(1, len(o.v)),
+       |                        j -> o.v[j] - l.cvv[j]) AS rv
+       |  FROM ovecs o JOIN idx i ON i.corpus_id = o.vec_id
+       |  JOIN cl l ON l.cid = i.cell),
+       |rsubs AS (
+       |  SELECT vec_id, cell, sub,
+       |         rv[(sub * (len(rv) // 4) + 1):((sub + 1) * (len(rv) // 4))] AS sv
+       |  FROM rcorp CROSS JOIN subsp),
+       |cb AS (SELECT sub, vec_id AS cid, sv AS cv FROM rsubs WHERE vec_id < 8),
        |dq AS (
-       |  SELECT a.vec_id, a.sub, cb.cid,
+       |  SELECT a.vec_id, a.cell, a.sub, cb.cid,
        |         list_dot_product(a.sv, a.sv)
        |           - 2.0 * list_dot_product(a.sv, cb.cv)
        |           + list_dot_product(cb.cv, cb.cv) AS dist2
-       |  FROM subs a JOIN cb USING (sub)),
+       |  FROM rsubs a JOIN cb USING (sub)),
        |pqcodes AS (
-       |  SELECT vec_id, sub, cid FROM (
-       |    SELECT vec_id, sub, cid, row_number() OVER (
+       |  SELECT vec_id, cell, sub, cid FROM (
+       |    SELECT vec_id, cell, sub, cid, row_number() OVER (
        |      PARTITION BY vec_id, sub ORDER BY round(dist2, 6), cid) AS rn
        |    FROM dq) WHERE rn = 1),
+       |rprob AS (
+       |  SELECT a.probe_id, a.cell,
+       |         list_transform(generate_series(1, len(p.v)),
+       |                        j -> p.v[j] - l.cvv[j]) AS rv
+       |  FROM pas a JOIN ovecs p ON p.vec_id = a.probe_id
+       |  JOIN cl l ON l.cid = a.cell),
+       |psubs AS (
+       |  SELECT probe_id, cell, sub,
+       |         rv[(sub * (len(rv) // 4) + 1):((sub + 1) * (len(rv) // 4))] AS sv
+       |  FROM rprob CROSS JOIN subsp),
        |ptab AS (
-       |  SELECT p.vec_id AS probe_id, p.sub, cb.cid,
+       |  SELECT p.probe_id, p.cell, p.sub, cb.cid,
        |         list_dot_product(p.sv, p.sv)
        |           - 2.0 * list_dot_product(p.sv, cb.cv)
        |           + list_dot_product(cb.cv, cb.cv) AS pd2
-       |  FROM subs p JOIN cb USING (sub) WHERE p.vec_id < 10),
+       |  FROM psubs p JOIN cb USING (sub)),
        |pqs AS (
-       |  SELECT a.probe_id, c.vec_id AS neighbor_id,
-       |         CAST(CAST(sum(CAST(round(p.pd2, 6) AS DECIMAL(18,6)))
+       |  SELECT t.probe_id, c.vec_id AS neighbor_id,
+       |         CAST(CAST(sum(CAST(round(t.pd2, 6) AS DECIMAL(18,6)))
        |              AS DECIMAL(38,6)) AS DOUBLE) AS adist
-       |  FROM pas a
-       |  JOIN idx i ON i.cell = a.cell
-       |  JOIN pqcodes c ON c.vec_id = i.corpus_id AND c.vec_id <> a.probe_id
-       |  JOIN ptab p ON p.probe_id = a.probe_id
-       |             AND p.sub = c.sub AND p.cid = c.cid
-       |  GROUP BY a.probe_id, c.vec_id),
+       |  FROM pqcodes c JOIN ptab t
+       |    ON t.sub = c.sub AND t.cid = c.cid AND t.cell = c.cell
+       |  WHERE t.probe_id <> c.vec_id
+       |  GROUP BY t.probe_id, c.vec_id),
+       |pqshort AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY adist, neighbor_id) AS srnk FROM pqs)
+       |  WHERE srnk <= 40),
+       |pqrr AS (SELECT s.probe_id, s.neighbor_id,
+       |          round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |        FROM pqshort s JOIN ovecs p ON p.vec_id = s.probe_id
+       |        JOIN ovecs o ON o.vec_id = s.neighbor_id),
        |pq AS (SELECT probe_id, neighbor_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY probe_id
-       |    ORDER BY adist, neighbor_id) AS rnk FROM pqs)
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM pqrr)
        |  WHERE rnk <= 3),
        |bcodes AS (SELECT vec_id,
        |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
@@ -620,42 +644,69 @@ object PipelineQueries {
        |  SELECT *, row_number() OVER (PARTITION BY np, probe_id
        |    ORDER BY ip_r DESC, neighbor_id) AS rnk FROM sq8s)
        |  WHERE rnk <= 3),
+       |cl AS (SELECT cid, list(cmean ORDER BY pos) AS cvv FROM c2
+       |       GROUP BY cid),
        |subsp AS (SELECT unnest(generate_series(0, 3)) AS sub),
-       |subs AS (
-       |  SELECT vec_id, sub,
-       |         v[(sub * (len(v) // 4) + 1):((sub + 1) * (len(v) // 4))] AS sv
-       |  FROM ovecs CROSS JOIN subsp),
-       |cb AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 8),
+       |rcorp AS (
+       |  SELECT o.vec_id, i.cell,
+       |         list_transform(generate_series(1, len(o.v)),
+       |                        j -> o.v[j] - l.cvv[j]) AS rv
+       |  FROM ovecs o JOIN idx i ON i.corpus_id = o.vec_id
+       |  JOIN cl l ON l.cid = i.cell),
+       |rsubs AS (
+       |  SELECT vec_id, cell, sub,
+       |         rv[(sub * (len(rv) // 4) + 1):((sub + 1) * (len(rv) // 4))] AS sv
+       |  FROM rcorp CROSS JOIN subsp),
+       |cb AS (SELECT sub, vec_id AS cid, sv AS cv FROM rsubs WHERE vec_id < 8),
        |dq AS (
-       |  SELECT a.vec_id, a.sub, cb.cid,
+       |  SELECT a.vec_id, a.cell, a.sub, cb.cid,
        |         list_dot_product(a.sv, a.sv)
        |           - 2.0 * list_dot_product(a.sv, cb.cv)
        |           + list_dot_product(cb.cv, cb.cv) AS dist2
-       |  FROM subs a JOIN cb USING (sub)),
+       |  FROM rsubs a JOIN cb USING (sub)),
        |pqcodes AS (
-       |  SELECT vec_id, sub, cid FROM (
-       |    SELECT vec_id, sub, cid, row_number() OVER (
+       |  SELECT vec_id, cell, sub, cid FROM (
+       |    SELECT vec_id, cell, sub, cid, row_number() OVER (
        |      PARTITION BY vec_id, sub ORDER BY round(dist2, 6), cid) AS rn
        |    FROM dq) WHERE rn = 1),
+       |rprob AS (
+       |  SELECT a.probe_id, a.cell,
+       |         list_transform(generate_series(1, len(p.v)),
+       |                        j -> p.v[j] - l.cvv[j]) AS rv
+       |  FROM (SELECT DISTINCT probe_id, cell FROM pasr) a
+       |  JOIN ovecs p ON p.vec_id = a.probe_id
+       |  JOIN cl l ON l.cid = a.cell),
+       |psubs AS (
+       |  SELECT probe_id, cell, sub,
+       |         rv[(sub * (len(rv) // 4) + 1):((sub + 1) * (len(rv) // 4))] AS sv
+       |  FROM rprob CROSS JOIN subsp),
        |ptab AS (
-       |  SELECT p.vec_id AS probe_id, p.sub, cb.cid,
+       |  SELECT p.probe_id, p.cell, p.sub, cb.cid,
        |         list_dot_product(p.sv, p.sv)
        |           - 2.0 * list_dot_product(p.sv, cb.cv)
        |           + list_dot_product(cb.cv, cb.cv) AS pd2
-       |  FROM subs p JOIN cb USING (sub) WHERE p.vec_id < 10),
+       |  FROM psubs p JOIN cb USING (sub)),
        |pqs AS (
-       |  SELECT a.np, a.probe_id, c.vec_id AS neighbor_id,
-       |         CAST(CAST(sum(CAST(round(p.pd2, 6) AS DECIMAL(18,6)))
+       |  SELECT a.np, t.probe_id, c.vec_id AS neighbor_id,
+       |         CAST(CAST(sum(CAST(round(t.pd2, 6) AS DECIMAL(18,6)))
        |              AS DECIMAL(38,6)) AS DOUBLE) AS adist
-       |  FROM pa a
-       |  JOIN idx i ON i.cell = a.cell
-       |  JOIN pqcodes c ON c.vec_id = i.corpus_id AND c.vec_id <> a.probe_id
-       |  JOIN ptab p ON p.probe_id = a.probe_id
-       |             AND p.sub = c.sub AND p.cid = c.cid
-       |  GROUP BY a.np, a.probe_id, c.vec_id),
+       |  FROM pqcodes c
+       |  JOIN ptab t ON t.sub = c.sub AND t.cid = c.cid
+       |             AND t.cell = c.cell
+       |  JOIN pa a ON a.probe_id = t.probe_id AND a.cell = t.cell
+       |  WHERE t.probe_id <> c.vec_id
+       |  GROUP BY a.np, t.probe_id, c.vec_id),
+       |pqshort AS (SELECT np, probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY np, probe_id
+       |    ORDER BY adist, neighbor_id) AS srnk FROM pqs)
+       |  WHERE srnk <= 40),
+       |pqrr AS (SELECT s.np, s.probe_id, s.neighbor_id,
+       |          round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |        FROM pqshort s JOIN ovecs p ON p.vec_id = s.probe_id
+       |        JOIN ovecs o ON o.vec_id = s.neighbor_id),
        |pq AS (SELECT np, probe_id, neighbor_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY np, probe_id
-       |    ORDER BY adist, neighbor_id) AS rnk FROM pqs)
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM pqrr)
        |  WHERE rnk <= 3),
        |bcodes AS (SELECT vec_id,
        |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
@@ -697,13 +748,31 @@ object PipelineQueries {
        |hit AS (SELECT layout, np, probe_id, count(*) AS hits
        |        FROM approx JOIN bf USING (probe_id, neighbor_id)
        |        GROUP BY layout, np, probe_id),
-       |layouts AS (SELECT unnest(['ivf','ivfbq','pq','sq8']) AS layout)
+       |layouts AS (SELECT unnest(['ivf','ivfbq','pq','sq8']) AS layout),
+       |cellsz AS (SELECT cell, count(*) AS cell_n FROM idx GROUP BY cell),
+       |cand AS (
+       |  SELECT n.np, p.probe_id, sum(z.cell_n) - 1 AS cand
+       |  FROM nps n JOIN pasr p ON p.rn <= n.np
+       |  JOIN cellsz z ON z.cell = p.cell
+       |  GROUP BY n.np, p.probe_id),
+       |bytes AS (
+       |  SELECT 'ivf' AS layout, np, probe_id,
+       |         cand * 512 AS bytes_scanned FROM cand
+       |  UNION ALL SELECT 'ivfbq', np, probe_id,
+       |         cand * 16 + least(20, cand) * 512 FROM cand
+       |  UNION ALL SELECT 'pq', np, probe_id,
+       |         cand * 4 + least(40, cand) * 512 FROM cand
+       |  UNION ALL SELECT 'sq8', np, probe_id,
+       |         cand * 72 FROM cand)
        |SELECT l.layout, CAST(n2.np AS INT) AS np, n.probe_id,
        |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
-       |       CAST(n.n_exact AS BIGINT) AS n_exact
+       |       CAST(n.n_exact AS BIGINT) AS n_exact,
+       |       CAST(b.bytes_scanned AS BIGINT) AS bytes_scanned
        |FROM layouts l CROSS JOIN nps n2 CROSS JOIN nex n
        |LEFT JOIN hit h ON h.layout = l.layout AND h.np = n2.np
        |               AND h.probe_id = n.probe_id
+       |JOIN bytes b ON b.layout = l.layout AND b.np = n2.np
+       |            AND b.probe_id = n.probe_id
        |ORDER BY l.layout, np, n.probe_id""".stripMargin
 
   /** The IVF replay's RANGE tail: same trained cells, probe set and
@@ -786,6 +855,95 @@ object PipelineQueries {
          |    PARTITION BY probe_id ORDER BY adist, vec_id) AS rnk FROM sc)
          |SELECT probe_id, vec_id AS neighbor_id, adist,
          |       CAST(rnk AS INTEGER) AS rnk
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  /** Sequential replay of the BY-RESIDUAL refine composition
+    * ([[graft.operators.Similarity.ivfPqrTopK]] at its defaults: m=4,
+    * codebookK=8, 8 kmeans cells, nprobe=2, rerankDepth=40, probes =
+    * vec_id < 10, k=5) — shared by sim_ivfpqr_topk and the persisted
+    * twins sim_ivfpq_persist / sim_ivfpq_append (parquet round-trips
+    * the residual codes, codebook, and centroids exactly; the append
+    * leg's quantizer trains on the full corpus, so its union is the
+    * monolithic build). Residuals are plain double subtractions of
+    * the 6-dp-rounded cell means (cl lists, ordered by pos), residual
+    * codebook = the first 8 vectors' residual subvectors, the probe
+    * distance table is per (probe, probed cell), and the depth-40
+    * ADC shortlist re-ranks with exact 6-dp cosine. */
+  private lazy val ivfPqrSearchSql: String =
+    s"""WITH $ovecsCte,
+         |$kmeansCte,
+         |di AS (
+         |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+         |  FROM dims d JOIN c2 c USING (pos) GROUP BY d.vec_id, c.cid),
+         |dir AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY round(dist2, 6), cid) AS rn FROM di),
+         |idx AS (SELECT vec_id AS corpus_id, cid AS cell FROM dir WHERE rn = 1),
+         |pas AS (SELECT vec_id AS probe_id, cid AS cell FROM dir
+         |        WHERE vec_id < 10 AND rn <= 2),
+         |cl AS (SELECT cid, list(cmean ORDER BY pos) AS cvv FROM c2 GROUP BY cid),
+         |subsp AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |rcorp AS (
+         |  SELECT o.vec_id, i.cell,
+         |         list_transform(generate_series(1, len(o.v)),
+         |                        j -> o.v[j] - l.cvv[j]) AS rv
+         |  FROM ovecs o JOIN idx i ON i.corpus_id = o.vec_id
+         |  JOIN cl l ON l.cid = i.cell),
+         |rsubs AS (
+         |  SELECT vec_id, cell, sub,
+         |         rv[(sub * (len(rv) // 4) + 1):((sub + 1) * (len(rv) // 4))] AS sv
+         |  FROM rcorp CROSS JOIN subsp),
+         |cb AS (SELECT sub, vec_id AS cid, sv AS cv FROM rsubs WHERE vec_id < 8),
+         |dq AS (
+         |  SELECT a.vec_id, a.cell, a.sub, cb.cid,
+         |         list_dot_product(a.sv, a.sv)
+         |           - 2.0 * list_dot_product(a.sv, cb.cv)
+         |           + list_dot_product(cb.cv, cb.cv) AS dist2
+         |  FROM rsubs a JOIN cb USING (sub)),
+         |pqcodes AS (
+         |  SELECT vec_id, cell, sub, cid FROM (
+         |    SELECT vec_id, cell, sub, cid, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY round(dist2, 6), cid) AS rn
+         |    FROM dq) WHERE rn = 1),
+         |rprob AS (
+         |  SELECT a.probe_id, a.cell,
+         |         list_transform(generate_series(1, len(p.v)),
+         |                        j -> p.v[j] - l.cvv[j]) AS rv
+         |  FROM pas a JOIN ovecs p ON p.vec_id = a.probe_id
+         |  JOIN cl l ON l.cid = a.cell),
+         |psubs AS (
+         |  SELECT probe_id, cell, sub,
+         |         rv[(sub * (len(rv) // 4) + 1):((sub + 1) * (len(rv) // 4))] AS sv
+         |  FROM rprob CROSS JOIN subsp),
+         |ptab AS (
+         |  SELECT p.probe_id, p.cell, p.sub, cb.cid,
+         |         list_dot_product(p.sv, p.sv)
+         |           - 2.0 * list_dot_product(p.sv, cb.cv)
+         |           + list_dot_product(cb.cv, cb.cv) AS pd2
+         |  FROM psubs p JOIN cb USING (sub)),
+         |sc AS (
+         |  SELECT t.probe_id, c.vec_id,
+         |         CAST(CAST(sum(CAST(round(t.pd2, 6) AS DECIMAL(18,6)))
+         |              AS DECIMAL(38,6)) AS DOUBLE) AS adist
+         |  FROM pqcodes c JOIN ptab t
+         |    ON t.sub = c.sub AND t.cid = c.cid AND t.cell = c.cell
+         |  WHERE t.probe_id <> c.vec_id
+         |  GROUP BY t.probe_id, c.vec_id),
+         |short AS (
+         |  SELECT probe_id, vec_id AS neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY adist, vec_id) AS srnk FROM sc)
+         |  WHERE srnk <= 40),
+         |rr AS (
+         |  SELECT s.probe_id, s.neighbor_id,
+         |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+         |  FROM short s JOIN ovecs p ON p.vec_id = s.probe_id
+         |  JOIN ovecs o ON o.vec_id = s.neighbor_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos_r DESC, neighbor_id) AS rnk
+         |  FROM rr)
+         |SELECT probe_id, neighbor_id, cos_r, CAST(rnk AS INTEGER) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
   /** Positional-leg intersection for the ('slow','hash','batch')
@@ -1306,28 +1464,45 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
-    // Persisted IVF-PQ round-trip: train + encode + write the
+    // The BY-RESIDUAL refine composition (FAISS's by_residual=true
+    // default + refine wrapper): codes encode v − centroid(cell)
+    // against a residual codebook, probes build a distance table PER
+    // probed cell, and the depth-40 ADC shortlist re-ranks with exact
+    // cosine — the deployment rung of the recall curve (measured
+    // ≥ ivfbq at every nprobe; SCALING.md round 16). sim_ivfpq_topk
+    // above stays the raw-code, no-refine variant (by_residual=false)
+    // — the pair documents the standard encoding trade-off.
+    "sim_ivfpqr_topk" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.ivfPqrTopK(vecs, vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Persisted IVF-PQ round-trip: train + residual-encode + write the
     // cell-partitioned CODE table (the corpus's only stored form — the
     // raw vectors appear nowhere in the index), then serve probes from
-    // the files with the scan pruned to the consulted cells. Results
-    // bit-identical to the in-memory sim_ivfpq_topk (shared oracle).
+    // the files with the scan pruned to the consulted cells and the
+    // shortlist re-ranked over the supplied floats. Results
+    // bit-identical to the in-memory sim_ivfpqr_topk (shared oracle).
     "sim_ivfpq_persist" -> ((s, d) => {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"))
       val dir = FlowLogQueries.scratchDir("graft_ivfpq_idx")
       Similarity.writeIvfPqIndex(vecs, dir)
-      Similarity.searchIvfPqIndex(s, dir, vecs.filter(col("vec_id") < 10), 5)
+      Similarity.searchIvfPqIndex(s, dir, vecs,
+        vecs.filter(col("vec_id") < 10), 5)
         .orderBy("probe_id", "rnk")
     }),
 
     // Incremental PQ ingestion — the sim_ivf_append shape for the
-    // compressed layout: the quantizer (centroids + codebook) trains
-    // on the FULL corpus, the index builds on half, the other half
-    // APPENDS with codes assigned against the stored quantizer
-    // (fixed once trained — FAISS `add`). Because the quantizer saw
-    // the full corpus, the served union is bit-identical to the
-    // monolithic sim_ivfpq_persist build and gates against the same
-    // replay.
+    // compressed layout: the quantizer (centroids + residual codebook)
+    // trains on the FULL corpus, the index builds on half, the other
+    // half APPENDS with residual codes assigned against the stored
+    // quantizer (fixed once trained — FAISS `add`). Because the
+    // quantizer saw the full corpus, the served union is bit-identical
+    // to the monolithic sim_ivfpq_persist build and gates against the
+    // same replay.
     "sim_ivfpq_append" -> ((s, d) => {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"))
@@ -1336,7 +1511,8 @@ object PipelineQueries {
         dir, quantizer = Some(vecs))
       Similarity.appendIvfPqIndex(s,
         vecs.filter(col("vec_id") % 2 =!= 0), dir)
-      Similarity.searchIvfPqIndex(s, dir, vecs.filter(col("vec_id") < 10), 5)
+      Similarity.searchIvfPqIndex(s, dir, vecs,
+        vecs.filter(col("vec_id") < 10), 5)
         .orderBy("probe_id", "rnk")
     }),
 
@@ -2520,21 +2696,27 @@ object PipelineQueries {
           Similarity.ivfSearchTrained(vecs, probes, cents, 3, nprobe = 2)))
         .unionByName(rung("ivfbq",
           Similarity.ivfBqTopK(vecs, probes, cents, 20, 3, nprobe = 2)))
-        .unionByName(rung("pq", Similarity.ivfPqTopK(vecs, probes, 3)))
+        .unionByName(rung("pq", Similarity.ivfPqrTopK(vecs, probes, 3,
+          trained = Some(cents))))
         .unionByName(rung("sq8",
           Similarity.ivfSq8TopK(vecs, probes, cents, 3, nprobe = 2)))
         .orderBy("layout", "probe_id")
     }),
 
-    // The RECALL-vs-COST CURVE — sim_recall_ladder extended across the
-    // operating points a deployment actually tunes: every
-    // nprobe-SENSITIVE rung (flat IVF, SQ8, PQ, cell-blocked IVF-BQ;
-    // flat BQ has no nprobe) × nprobe ∈ {1,2,4,8}, same shared trained
-    // quantizer, same exact-integer overlap oracle. Bytes scanned per
-    // serve scale as corpus·nprobe/kCells (the pinned exchange
-    // budgets' DPP contract), so (np, hits) IS the recall-vs-bytes
-    // curve; nprobe = 8 probes every cell and anchors each rung at its
-    // quantization ceiling (cells partition the corpus).
+    // The RECALL-vs-BYTES CURVE — sim_recall_ladder extended across
+    // the operating points a deployment actually tunes: every
+    // nprobe-SENSITIVE rung (flat IVF, SQ8, by-residual PQ+refine,
+    // cell-blocked IVF-BQ; flat BQ has no nprobe) × nprobe ∈
+    // {1,2,4,8}, one shared trained quantizer, exact-integer overlap
+    // oracle — PLUS the exact bytes each serve reads, so the artifact
+    // is literally (recall, bytes) per operating point. Bytes derive
+    // from the probed-cell occupancy (the DPP contract: candidates =
+    // Σ probed-cell sizes − self) × each layout's per-row code width
+    // at the 64-dim corpus — 512 B floats (ivf), 72 B int8+scale
+    // (sq8), 16 B binary + 20×512 shortlist fetch (ivfbq), 4 B codes
+    // + 40×512 shortlist fetch (pq) — all exact integers the oracle
+    // recomputes. nprobe = 8 probes every cell and anchors each rung
+    // at its quantization ceiling (cells partition the corpus).
     "sim_recall_curve" -> ((s, d) => {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"))
@@ -2546,16 +2728,30 @@ object PipelineQueries {
         Similarity.recallAtK(bf, approx)
           .select(lit(layout).as("layout"), lit(np).as("np"),
             col("probe_id"), col("hits"), col("n_exact"))
-      Seq(1, 2, 4, 8).map { np =>
+      val recalls = Seq(1, 2, 4, 8).map { np =>
         rung("ivf", np,
           Similarity.ivfSearchTrained(vecs, probes, cents, 3, nprobe = np))
           .unionByName(rung("ivfbq", np,
             Similarity.ivfBqTopK(vecs, probes, cents, 20, 3, nprobe = np)))
           .unionByName(rung("pq", np,
-            Similarity.ivfPqTopK(vecs, probes, 3, nprobe = np)))
+            Similarity.ivfPqrTopK(vecs, probes, 3, nprobe = np,
+              trained = Some(cents))))
           .unionByName(rung("sq8", np,
             Similarity.ivfSq8TopK(vecs, probes, cents, 3, nprobe = np)))
       }.reduce(_ unionByName _)
+      val pcs = Similarity.probedCellSizes(vecs, probes, cents, 8)
+      val cand = Seq(1, 2, 4, 8).map { np =>
+        pcs.filter(col("rn") <= np).groupBy(col("probe_id"))
+          .agg((sum(col("cell_n")) - 1L).as("cand"))
+          .select(lit(np).as("np"), col("probe_id"), col("cand"))
+      }.reduce(_ unionByName _)
+      val bytes = cand.select(col("np"), col("probe_id"),
+        expr("stack(4, " +
+          "'ivf',   cand * 512, " +
+          "'ivfbq', cand * 16 + least(20, cand) * 512, " +
+          "'pq',    cand * 4 + least(40, cand) * 512, " +
+          "'sq8',   cand * 72)").as(Seq("layout", "bytes_scanned")))
+      recalls.join(bytes, Seq("layout", "np", "probe_id"))
         .orderBy("layout", "np", "probe_id")
     }),
 
@@ -3882,13 +4078,16 @@ object PipelineQueries {
     // chain), ADC summed only within the probed cells.
     "sim_ivfpq_topk" -> ivfPqSearchSql,
 
+    // The by-residual refine composition's own replay (residual
+    // codes, per-cell distance tables, depth-40 exact re-rank).
+    "sim_ivfpqr_topk" -> ivfPqrSearchSql,
     // The persisted-index serve makes the IDENTICAL result set by
     // contract (PipelineSpec pins bit-for-bit parity with the
-    // in-memory ivfPqTopK), so it gates against the same replay.
-    "sim_ivfpq_persist" -> ivfPqSearchSql,
+    // in-memory ivfPqrTopK), so it gates against the same replay.
+    "sim_ivfpq_persist" -> ivfPqrSearchSql,
     // Shares the monolithic replay: the quantizer trains on the full
     // corpus, so build-half + append-half serves identically.
-    "sim_ivfpq_append" -> ivfPqSearchSql,
+    "sim_ivfpq_append" -> ivfPqrSearchSql,
 
     "sim_kmeans_step" ->
       s"""WITH $ovecsCte,

@@ -553,6 +553,37 @@ class PipelineSpec extends SparkSpec {
       "cell blocking must subset flat ADC scores, never alter them")
   }
 
+  test("ivfPqrTopK: probing all cells with rerankDepth >= corpus " +
+      "equals exact brute force; shipped config beats raw PQ recall") {
+    // The refine stage's structural guarantee: with every cell probed
+    // the candidate set is the whole corpus, and a shortlist that
+    // covers it makes the exact-cosine re-rank THE ranking — so the
+    // by-residual composition degenerates to bruteForceTopK
+    // bit-for-bit (same 6-dp cosine, same neighbor-id tie-break).
+    import graft.operators.Similarity
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(vecs, probes, 3)
+      .select($"probe_id", $"neighbor_id", $"cos_r", $"rank".as("rnk"))
+      .collect().toSet
+    val all = Similarity.ivfPqrTopK(vecs, probes, 3, nprobe = 8,
+      rerankDepth = 1000000).collect().toSet
+    assert(exact.nonEmpty && all === exact,
+      "exhaustive by-residual PQ must equal brute force bit-for-bit")
+    // At the shipped config the residual+refine rung must recall at
+    // least as much as the raw-code, no-refine variant — the measured
+    // reason the deployment rung is by-residual (SCALING.md round 16).
+    val bf = Similarity.bruteForceTopK(vecs, probes, 3)
+    def hits(approx: org.apache.spark.sql.DataFrame): Long =
+      Similarity.recallAtK(bf, approx)
+        .agg(sum($"hits")).as[Long].head()
+    val resid = hits(Similarity.ivfPqrTopK(vecs, probes, 3))
+    val raw = hits(Similarity.ivfPqTopK(vecs, probes, 3))
+    assert(resid >= raw,
+      s"by-residual refine recall ($resid) fell below raw PQ ($raw)")
+  }
+
   test("BM25 index serving: bit-for-bit parity and physically pruned postings scan") {
     // The persisted inverted index must (a) reproduce the corpus-scan
     // bm25 scores exactly — same tf/df/dl longs survive the parquet
@@ -720,8 +751,8 @@ class PipelineSpec extends SparkSpec {
     val probes = vecs.filter($"vec_id" < 10)
     withTempDir("graft_ivfpq_spec") { dir =>
       Similarity.writeIvfPqIndex(vecs, dir)
-      val served = Similarity.searchIvfPqIndex(spark, dir, probes, 5)
-      val want = Similarity.ivfPqTopK(vecs, probes, 5).collect().toSet
+      val served = Similarity.searchIvfPqIndex(spark, dir, vecs, probes, 5)
+      val want = Similarity.ivfPqrTopK(vecs, probes, 5).collect().toSet
       assert(want.nonEmpty && served.collect().toSet === want,
         "persisted IVF-PQ serve must equal the in-memory stack")
       val plan = served.queryExecution.executedPlan.toString
@@ -1992,13 +2023,13 @@ class PipelineSpec extends SparkSpec {
       Similarity.writeIvfPqIndex(vecs, dir)
       Similarity.deleteFromIvfIndex(spark,
         vecs.filter($"vec_id" % 7 === 0).select($"vec_id"), dir)
-      val masked = Similarity.searchIvfPqIndex(spark, dir, probes, 5)
+      val masked = Similarity.searchIvfPqIndex(spark, dir, vecs, probes, 5)
       val r1 = masked.collect().toSet
       assert(r1.nonEmpty, "masked PQ serve returned nothing")
       assert(masked.filter($"neighbor_id" % 7 === 0).isEmpty,
         "a deleted id appeared as a PQ neighbor")
       Similarity.compactIvfPqIndex(spark, dir)
-      val r2 = Similarity.searchIvfPqIndex(spark, dir, probes, 5)
+      val r2 = Similarity.searchIvfPqIndex(spark, dir, vecs, probes, 5)
         .collect().toSet
       assert(r2 === r1, "compacted PQ serve diverged from the masked serve")
       assert(spark.read.schema("vec_id LONG")
@@ -2027,10 +2058,10 @@ class PipelineSpec extends SparkSpec {
           dirApp, quantizer = Some(vecs))
         Similarity.appendIvfPqIndex(spark,
           vecs.filter($"vec_id" % 2 =!= 0), dirApp)
-        val mono = Similarity.searchIvfPqIndex(spark, dirMono, probes, 5)
-          .collect().toSet
-        val app = Similarity.searchIvfPqIndex(spark, dirApp, probes, 5)
-          .collect().toSet
+        val mono = Similarity.searchIvfPqIndex(spark, dirMono, vecs,
+          probes, 5).collect().toSet
+        val app = Similarity.searchIvfPqIndex(spark, dirApp, vecs,
+          probes, 5).collect().toSet
         assert(mono.nonEmpty && app === mono,
           "append-built PQ index must serve exactly like the monolithic build")
         // Appending (or serving) at a different sub-vector split than
@@ -2040,7 +2071,8 @@ class PipelineSpec extends SparkSpec {
         }
         assert(eApp.getMessage.contains("m="))
         val eServe = intercept[IllegalArgumentException] {
-          Similarity.searchIvfPqIndex(spark, dirApp, probes, 5, m = 2)
+          Similarity.searchIvfPqIndex(spark, dirApp, vecs, probes, 5,
+            m = 2)
         }
         assert(eServe.getMessage.contains("m="))
         // Delete → compact (rows physically gone, tombstones drained)
@@ -2054,8 +2086,8 @@ class PipelineSpec extends SparkSpec {
         Similarity.deleteFromIvfIndex(spark,
           victims.select($"vec_id"), dirApp)
         Similarity.appendIvfPqIndex(spark, victims, dirApp)
-        val readded = Similarity.searchIvfPqIndex(spark, dirApp, probes, 5)
-          .collect().toSet
+        val readded = Similarity.searchIvfPqIndex(spark, dirApp, vecs,
+          probes, 5).collect().toSet
         assert(readded === mono,
           "a PQ delete→compact→re-add must round-trip to the monolithic serve")
       }

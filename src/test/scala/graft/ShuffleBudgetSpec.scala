@@ -415,19 +415,23 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_lsh_append" -> 2,      // SERVING plan — same 2 as
                                   // dedup_lsh_persist: appended bucket
                                   // rows are just more index files
-    "sim_ivfpq_append" -> 7,      // SERVING plan — same 7 as
+    "sim_ivfpq_append" -> 10,     // SERVING plan — same 10 as
                                   // sim_ivfpq_persist: the append leg
                                   // ran before the served frame
     "sketch_cms_delete" -> 4,     // two cell aggs (all / retracted) +
                                   // cell-keyed subtract join + sort
-    "sim_ivfpq_persist" -> 7)     // SERVING plan only: probe assignment
-                                  // agg/window over broadcast stored
-                                  // centroids (printed again under the
-                                  // DPP subquery branch; ReuseExchange
-                                  // dedups at runtime) + ADC rollup +
-                                  // top-k window + sort — the whole
-                                  // distance-table subtree is
-                                  // broadcast-only, no probe_id shuffle
+    "sim_ivfpq_persist" -> 10)    // by-residual refine SERVING plan:
+                                  // probe-assign agg/window + the
+                                  // kCells centroid-array agg (that
+                                  // trio prints TWICE across consuming
+                                  // branches; ReuseExchange dedups at
+                                  // runtime) + ADC rollup + shortlist
+                                  // window + re-rank window + sort.
+                                  // Corpus floats NEVER shuffle: the
+                                  // rerank fetch probes the scan via
+                                  // the broadcast shortlist, and the
+                                  // distance-table subtree stays
+                                  // broadcast-only
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>

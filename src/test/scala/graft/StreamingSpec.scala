@@ -701,7 +701,7 @@ class StreamingSpec extends SparkSpec {
       val q = input.toDF().toDF("vec_id", "v")
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          Similarity.searchIvfPqIndex(s, dir, batch, 5)
+          Similarity.searchIvfPqIndex(s, dir, vecs, batch, 5)
             .collect().foreach(r => results.add((r.getLong(0), r.getLong(1),
               r.getDouble(2), r.getInt(3))))
         }
@@ -714,7 +714,7 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
       import scala.jdk.CollectionConverters._
       val got = results.asScala.toSet
-      val want = Similarity.searchIvfPqIndex(s, dir,
+      val want = Similarity.searchIvfPqIndex(s, dir, vecs,
           vecs.filter($"vec_id" < 10), 5)
         .as[(Long, Long, Double, Int)].collect().toSet
       assert(want.nonEmpty && got === want,
