@@ -542,7 +542,8 @@ object Dedup {
       .write.mode("overwrite").parquet(dir)
     IndexMeta.write(history.sparkSession, dir,
       "layout" -> "bloom", "shards" -> shards.toString,
-      "expectedItems" -> expectedItems.toString, "fpp" -> fpp.toString)
+      "expectedItems" -> expectedItems.toString, "fpp" -> fpp.toString,
+      "fmt" -> "1")
   }
 
   /** APPEND a history batch to a stored [[writeBloomIndex]] layout:
@@ -561,6 +562,9 @@ object Dedup {
     val meta = IndexMeta.read(spark, dir)
     require(meta.get("layout").contains("bloom"),
       s"$dir is not a bloom layout")
+    require(meta.get("fmt").contains("1"),
+      s"bloom layout at $dir has fmt=${meta.get("fmt")} but this " +
+        "reader serves fmt=1 — rebuild with writeBloomIndex")
     shardedBloomFilters(batch, meta("shards").toInt,
       meta("expectedItems").toLong, meta("fpp").toDouble)
       .toDF("shard", "filter")
@@ -577,6 +581,9 @@ object Dedup {
     val meta = IndexMeta.read(spark, dir)
     require(meta.get("layout").contains("bloom"),
       s"$dir is not a bloom layout")
+    require(meta.get("fmt").contains("1"),
+      s"bloom layout at $dir has fmt=${meta.get("fmt")} but this " +
+        "reader serves fmt=1 — rebuild with writeBloomIndex")
     bloomProbeSharded(
       spark.read.parquet(dir)
         .select(col("shard").cast("int"), col("filter"))
@@ -660,7 +667,8 @@ object Dedup {
       bandBuckets(bands, rowsPerBand, sep).as("bucket"))
       .write.mode("overwrite").parquet(dir)
     IndexMeta.write(sigs.sparkSession, dir, "bands" -> bands.toString,
-      "rowsPerBand" -> rowsPerBand.toString, "sep" -> sep)
+      "rowsPerBand" -> rowsPerBand.toString, "sep" -> sep,
+      "fmt" -> "1")
   }
 
   /** APPEND a batch of base documents to a stored [[writeLshIndex]]
@@ -679,7 +687,8 @@ object Dedup {
   def appendLshIndex(spark: org.apache.spark.sql.SparkSession,
       newSigs: DataFrame, dir: String, bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand, sep: String = ""): Unit = {
-    IndexMeta.requireMatch(spark, dir, "bands" -> bands.toString,
+    IndexMeta.requireMatch(spark, dir, "fmt" -> "1",
+      "bands" -> bands.toString,
       "rowsPerBand" -> rowsPerBand.toString, "sep" -> sep)
     newSigs.select(col("doc_id"),
       bandBuckets(bands, rowsPerBand, sep).as("bucket"))
@@ -731,7 +740,8 @@ object Dedup {
   def lshIncrementalFromIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newSigs: DataFrame, bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand, sep: String = ""): DataFrame = {
-    IndexMeta.requireMatch(spark, dir, "bands" -> bands.toString,
+    IndexMeta.requireMatch(spark, dir, "fmt" -> "1",
+      "bands" -> bands.toString,
       "rowsPerBand" -> rowsPerBand.toString, "sep" -> sep)
     val base = spark.read.parquet(dir)
       .select(col("doc_id").as("base_id"), col("bucket"))

@@ -481,7 +481,8 @@ object Multimodal {
     writeChunkLegs(documents, dir, window, divisor, "overwrite",
       identity)
     IndexMeta.write(documents.sparkSession, dir,
-      "window" -> window.toString, "divisor" -> divisor.toString)
+      "layout" -> "chunk_store", "window" -> window.toString,
+      "divisor" -> divisor.toString, "fmt" -> "1")
   }
 
   /** Shared build/append machinery: the chunk table (spans + payload)
@@ -526,7 +527,8 @@ object Multimodal {
       documents: DataFrame, dir: String, window: Int = 8,
       divisor: Int = 32): Unit = {
     IndexMeta.requireMatch(spark, dir,
-      "window" -> window.toString, "divisor" -> divisor.toString)
+      "layout" -> "chunk_store", "window" -> window.toString,
+      "divisor" -> divisor.toString, "fmt" -> "1")
     val known = spark.read.parquet(s"$dir/store").select(col("chunk_hash"))
     writeChunkLegs(documents, dir, window, divisor, "append",
       _.join(known, Seq("chunk_hash"), "left_anti"))
@@ -551,6 +553,8 @@ object Multimodal {
     * [[Similarity.compactIvfIndex]]. */
   def deleteDocsFromChunkStore(spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame, dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "chunk_store",
+      "fmt" -> "1")
     val fs = FsOps.fsOf(spark, dir)
     FsOps.clearStaging(fs, dir)
     val del = ids.select(col("doc_id").cast("long").as("doc_id"))

@@ -600,7 +600,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
     IndexMeta.write(vecs.sparkSession, dir, "layout" -> "ivf_bq",
-      "bits" -> "64")
+      "bits" -> "64", "fmt" -> "1")
   }
 
   /** APPEND a batch to a persisted [[writeIvfBqIndex]] layout —
@@ -612,7 +612,7 @@ object Similarity {
   def appendIvfBqIndex(spark: org.apache.spark.sql.SparkSession,
       vecs2: DataFrame, dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_bq",
-      "bits" -> "64")
+      "bits" -> "64", "fmt" -> "1")
     clearDrainedPlaceholder(spark, s"$dir/codes")
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = trainedAssign(vecs2, cents, 1)
@@ -634,7 +634,11 @@ object Similarity {
     * over the cell-partitioned code table ([[compactCellTable]] keys
     * on vec_id/cell only). */
   def compactIvfBqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = compactCellTable(spark, dir, "codes")
+      dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_bq",
+      "fmt" -> "1")
+    compactCellTable(spark, dir, "codes")
+  }
 
   /** Serve [[ivfBqTopK]] from a persisted [[writeIvfBqIndex]] layout —
     * bit-identical to the in-memory path (BIGINT codes round-trip
@@ -645,7 +649,7 @@ object Similarity {
       dir: String, vecs: DataFrame, probes: DataFrame,
       shortlist: Int = 20, k: Int = 3, nprobe: Int = 2): DataFrame = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_bq",
-      "bits" -> "64")
+      "bits" -> "64", "fmt" -> "1")
     val cents = spark.read.parquet(s"$dir/centroids")
     val codes1 = spark.read.parquet(s"$dir/codes")
     val codes = readTombstones(spark, dir)
@@ -872,7 +876,9 @@ object Similarity {
     clearTombstones(vecs.sparkSession, dir)
     assignCellsRanked(vecs, vecs, nprobe)
       .write.mode("overwrite").parquet(s"$dir/assign")
-    IndexMeta.write(vecs.sparkSession, dir, "nprobe" -> nprobe.toString)
+    IndexMeta.write(vecs.sparkSession, dir,
+      "layout" -> "knn_assign", "nprobe" -> nprobe.toString,
+      "fmt" -> "1")
   }
 
   /** [[knnJoinIndexed]] served from a [[writeKnnAssignIndex]] table:
@@ -902,6 +908,10 @@ object Similarity {
       s"index at $dir has no `nprobe` key in its meta sidecar — not " +
         "a knn-assignment index layout (or a sidecar copied from " +
         "another layout); rebuild the index with writeKnnAssignIndex")
+    require(meta.get("fmt").forall(_ == "1"),
+      s"index at $dir has fmt=${meta.get("fmt")} but this reader " +
+        "serves fmt=1 knn-assignment layouts — the layout format " +
+        "changed; rebuild the index with writeKnnAssignIndex")
     val builtNprobe = meta("nprobe").toInt
     require(nprobe <= builtNprobe,
       s"index at $dir stores assignment ranks up to $builtNprobe but " +
@@ -1691,7 +1701,8 @@ object Similarity {
     // Layout marker: the flat and SQ8 layouts both store an `index/`
     // table, so an append or serve against the wrong one must fail
     // loudly instead of silently merging mismatched schemas.
-    IndexMeta.write(vecs.sparkSession, dir, "layout" -> "ivf_flat")
+    IndexMeta.write(vecs.sparkSession, dir, "layout" -> "ivf_flat",
+      "fmt" -> "1")
   }
 
   /** APPEND a new corpus batch to a persisted [[writeIvfIndex]] layout
@@ -1717,7 +1728,8 @@ object Similarity {
     * rows masked (retryable) rather than stale rows visible. */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
       vecs2: DataFrame, dir: String): Unit = {
-    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_flat")
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_flat",
+      "fmt" -> "1")
     clearDrainedPlaceholder(spark, s"$dir/index")
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = trainedAssign(vecs2, cents, 1)
@@ -1852,7 +1864,11 @@ object Similarity {
     * so the table stays readable (a dir with no parquet footers would
     * fail schema inference at the next serve). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = compactCellTable(spark, dir, "index")
+      dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_flat",
+      "fmt" -> "1")
+    compactCellTable(spark, dir, "index")
+  }
 
   /** [[compactIvfIndex]] for the PQ layout — same machinery over the
     * cell-partitioned `codes/` table (same schema discipline: rows
@@ -1981,7 +1997,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       probes: DataFrame, nprobe: Int, pred: Option[Column]): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_flat")
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_flat",
+      "fmt" -> "1")
     val cents = spark.read.parquet(s"$dir/centroids")
     val idx1 = pred.foldLeft(spark.read.parquet(s"$dir/index"))(_ filter _)
     // Tombstone mask (see [[deleteFromIvfIndex]]): deleted ids are
@@ -2041,7 +2058,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/index")
     IndexMeta.write(vecs.sparkSession, dir, "layout" -> "ivf_sq8",
-      "bits" -> "8")
+      "bits" -> "8", "fmt" -> "1")
   }
 
   /** APPEND a batch to a persisted [[writeIvfSq8Index]] layout — the
@@ -2052,7 +2069,8 @@ object Similarity {
     * for re-added ids reconcile after the data append commits. */
   def appendIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
       vecs2: DataFrame, dir: String): Unit = {
-    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8")
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8",
+      "fmt" -> "1")
     clearDrainedPlaceholder(spark, s"$dir/index")
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = trainedAssign(vecs2, cents, 1)
@@ -2075,7 +2093,11 @@ object Similarity {
     * [[compactIvfIndex]] — the cell table carries (vec_id, scale, q,
     * cell), and [[compactCellTable]] only keys on vec_id/cell. */
   def compactIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = compactCellTable(spark, dir, "index")
+      dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8",
+      "fmt" -> "1")
+    compactCellTable(spark, dir, "index")
+  }
 
   /** Serve maximum-inner-product top-k from a persisted
     * [[writeIvfSq8Index]] layout: probes assign to their `nprobe`
@@ -2089,7 +2111,8 @@ object Similarity {
     * Deleted ids mask via the broadcast tombstone anti-join. */
   def searchIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
       dir: String, probes: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
-    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8")
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8",
+      "fmt" -> "1")
     val cents = spark.read.parquet(s"$dir/centroids")
     val idx1 = spark.read.parquet(s"$dir/index")
     val idx = readTombstones(spark, dir)
@@ -2156,7 +2179,8 @@ object Similarity {
   def searchIvfSq8IndexRange(spark: org.apache.spark.sql.SparkSession,
       dir: String, probes: DataFrame, tau: Double,
       nprobe: Int = 1): DataFrame = {
-    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8")
+    IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8",
+      "fmt" -> "1")
     val cents = spark.read.parquet(s"$dir/centroids")
     val idx1 = spark.read.parquet(s"$dir/index")
     val idx = readTombstones(spark, dir)

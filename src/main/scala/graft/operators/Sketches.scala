@@ -149,7 +149,8 @@ object Sketches {
       dir: String, k: Int = 64): Unit = {
     kmvSynopsis(df.select(group.as("grp"), h48(key).as("h")), k)
       .write.mode("overwrite").parquet(dir)
-    IndexMeta.write(df.sparkSession, dir, "k" -> k.toString)
+    IndexMeta.write(df.sparkSession, dir, "layout" -> "kmv",
+      "k" -> k.toString, "fmt" -> "1")
   }
 
   /** Pairwise set algebra over STORED synopses — union, intersection,
@@ -173,7 +174,8 @@ object Sketches {
     * is answered from kilobytes. */
   def kmvSetOps(spark: org.apache.spark.sql.SparkSession, dir: String,
       k: Int = 64): DataFrame = {
-    IndexMeta.requireMatch(spark, dir, "k" -> k.toString)
+    IndexMeta.requireMatch(spark, dir, "layout" -> "kmv",
+      "k" -> k.toString, "fmt" -> "1")
     val syn = spark.read.parquet(dir)
     val ests = kmvEstimate(syn, k)
     val grps = syn.select(col("grp")).distinct()

@@ -670,6 +670,13 @@ object TextAnalysis {
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"),
         lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$dir/stats")
+    // Sidecar: serving at a different bucketing than the build would
+    // prune to the WRONG partitions and silently return partial
+    // results; a future postings reshape bumps fmt so stale dirs are
+    // rejected loudly instead of mis-served.
+    IndexMeta.write(documents.sparkSession, dir,
+      "layout" -> "inverted", "nBuckets" -> nBuckets.toString,
+      "fmt" -> "1")
   }
 
   /** DELETE documents from a persisted [[writeInvertedIndex]] layout —
@@ -686,6 +693,8 @@ object TextAnalysis {
   def deleteFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
+    IndexMeta.requireMatch(spark, dir, "layout" -> "inverted",
+      "fmt" -> "1")
     val del = ids.select(col("doc_id").cast("long").as("doc_id"))
       .distinct()
     val batch = spark.read.parquet(s"$dir/postings")
@@ -721,6 +730,8 @@ object TextAnalysis {
   def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     import org.apache.hadoop.fs.Path
+    IndexMeta.requireMatch(spark, dir, "layout" -> "inverted",
+      "fmt" -> "1")
     val fs = FsOps.fsOf(spark, dir)
     FsOps.clearStaging(fs, dir)
     shardTombstones(spark, dir).foreach { tombs =>
@@ -799,6 +810,9 @@ object TextAnalysis {
       nBuckets: Int = 64): DataFrame = {
     require(dirs.nonEmpty, "at least one index shard required")
     require(phrase.nonEmpty, "phrase must have at least one term")
+    dirs.foreach(d => IndexMeta.requireMatch(spark, d,
+      "layout" -> "inverted", "nBuckets" -> nBuckets.toString,
+      "fmt" -> "1"))
     val tombs = unionTombstones(spark, dirs)
     val legs = phrase.zipWithIndex.map { case (t, i) =>
       val postings = dirs.map(d => spark.read.parquet(s"$d/postings")
@@ -860,6 +874,9 @@ object TextAnalysis {
       dirs: Seq[String], terms: Seq[String], nBuckets: Int = 64,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(dirs.nonEmpty, "at least one index shard required")
+    dirs.foreach(d => IndexMeta.requireMatch(spark, d,
+      "layout" -> "inverted", "nBuckets" -> nBuckets.toString,
+      "fmt" -> "1"))
     val buckets = terms.map(t => Sampling.hashBucketLocal(t, nBuckets))
       .distinct
     val tombs = unionTombstones(spark, dirs)
@@ -1285,7 +1302,7 @@ object TextAnalysis {
     vocab.select(col("word"), col("freq"))
       .write.mode("overwrite").parquet(spellStatsDir(dir))
     IndexMeta.write(documents.sparkSession, dir,
-      "layout" -> "symspell", "edits" -> "1")
+      "layout" -> "symspell", "edits" -> "1", "fmt" -> "1")
   }
 
   /** APPEND a document batch to a stored [[writeSpellIndex]] layout.
@@ -1306,7 +1323,7 @@ object TextAnalysis {
   def appendSpellIndex(spark: org.apache.spark.sql.SparkSession,
       documents: DataFrame, dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir,
-      "layout" -> "symspell", "edits" -> "1")
+      "layout" -> "symspell", "edits" -> "1", "fmt" -> "1")
     val vocab = spellVocab(documents)
     vocab.select(col("word"),
         explode(spellKeys(col("word"))).as("variant"))
@@ -1349,7 +1366,7 @@ object TextAnalysis {
   def searchSpellIndex(spark: org.apache.spark.sql.SparkSession,
       documents: DataFrame, dir: String, k: Int = 3): DataFrame = {
     IndexMeta.requireMatch(spark, dir,
-      "layout" -> "symspell", "edits" -> "1")
+      "layout" -> "symspell", "edits" -> "1", "fmt" -> "1")
     spellServe(spellProbes(documents),
       spark.read.parquet(spellKeysDir(dir)),
       spark.read.parquet(spellStatsDir(dir)), k)

@@ -79,6 +79,101 @@ class IndexMetaSpec extends SparkSpec {
     }
   }
 
+  test("every persisted layout records a fmt key and every lifecycle " +
+      "leg rejects a mismatched one loudly") {
+    // The BQ layout learned this the hard way (r14: a layout reshape
+    // could silently serve garbage from a stale dir); the contract is
+    // now fleet-wide: every IndexMeta.write records fmt, every
+    // append/serve/compact/delete leg checks it, and a bumped fmt is
+    // a LOUD rejection naming the key — never a silent mis-serve.
+    import graft.operators.{Dedup, Multimodal, Similarity, Sketches,
+      TextAnalysis}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, expr, length}
+    val vecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 5)
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    val docs = Tables.documents(spark, sfDir)
+    val sigs = Dedup.minhashSignaturesV2(docs)
+    val shingles = docs.filter(length(col("text")) >= 8)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, length(text) - 7), " +
+          "i -> substring(text, i, 8))")).as("sh"))
+    def breakFmt(dir: String): Unit = {
+      val meta = IndexMeta.read(spark, dir)
+      assert(meta.contains("fmt"),
+        s"layout at $dir wrote no fmt key — the versioning contract " +
+          "is fleet-wide")
+      IndexMeta.write(spark, dir,
+        (meta + ("fmt" -> "99")).toSeq.sortBy(_._1): _*)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val cases: Seq[(String, String => Unit, String => Unit)] = Seq(
+      ("ivf_flat",
+        d => Similarity.writeIvfIndex(vecs, cents, d),
+        d => Similarity.searchIvfIndex(spark, d, probes, 3).collect()),
+      ("ivf_sq8",
+        d => Similarity.writeIvfSq8Index(vecs, cents, d),
+        d => Similarity.searchIvfSq8Index(spark, d, probes, 3).collect()),
+      ("ivf_bq",
+        d => Similarity.writeIvfBqIndex(vecs, cents, d),
+        d => Similarity.searchIvfBqIndex(spark, d, vecs, probes)
+          .collect()),
+      ("ivf_pq",
+        d => Similarity.writeIvfPqIndex(vecs, d),
+        d => Similarity.searchIvfPqIndex(spark, d, vecs, probes, 3)
+          .collect()),
+      ("bq",
+        d => Similarity.writeBqIndex(vecs, d),
+        d => Similarity.bqRerankFromIndex(spark, d, vecs, probes)
+          .collect()),
+      ("knn_assign",
+        d => Similarity.writeKnnAssignIndex(
+          Similarity.vectors(Tables.embeddings(spark, sfDir)), d,
+          nprobe = 2),
+        d => Similarity.knnJoinFromIndex(spark, d,
+          Similarity.vectors(Tables.embeddings(spark, sfDir)), 3,
+          nprobe = 1).collect()),
+      ("symspell",
+        d => TextAnalysis.writeSpellIndex(docs, d),
+        d => TextAnalysis.searchSpellIndex(spark, docs, d).collect()),
+      ("inverted",
+        d => TextAnalysis.writeInvertedIndex(docs, d),
+        d => TextAnalysis.searchInvertedIndex(spark, d, Seq("the"))
+          .collect()),
+      ("bloom",
+        d => Dedup.writeBloomIndex(docs, d, shards = 4),
+        d => Dedup.bloomPrefilterFromIndex(spark,
+          docs.filter($"doc_id" < 20), docs, d).collect()),
+      ("lsh",
+        d => Dedup.writeLshIndex(sigs.filter($"doc_id" < 100), d,
+          sep = "|"),
+        d => Dedup.lshIncrementalFromIndex(spark, d,
+          sigs.filter($"doc_id" >= 100), sep = "|").collect()),
+      ("kmv",
+        d => Sketches.writeKmvSynopses(shingles, col("sh"),
+          col("source"), d, k = 16),
+        d => Sketches.kmvSetOps(spark, d, k = 16).collect()),
+      ("chunk_store",
+        d => Multimodal.writeChunkStore(docs.filter($"doc_id" < 50), d),
+        d => Multimodal.appendChunkStore(spark,
+          docs.filter($"doc_id" >= 50 && $"doc_id" < 60), d)))
+    for ((name, build, serve) <- cases) {
+      withTempDir(s"graft_fmt_$name") { dir =>
+        build(dir)
+        serve(dir) // green before the break — the serve itself works
+        breakFmt(dir)
+        val e = intercept[Exception] { serve(dir) }
+        assert(messages(e).exists(m => m.contains("fmt")),
+          s"layout $name served from a fmt=99 dir without naming fmt " +
+            s"in its failure: $e")
+      }
+    }
+  }
+
   test("FsOps.clearStaging spares the _old recovery copy and refuses " +
       "to sweep a staging child whose live base is missing") {
     withTempDir("graft_fsops_cs") { root =>
