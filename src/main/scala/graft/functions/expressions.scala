@@ -653,7 +653,7 @@ case class MinHashSigsV2(child: Expression, numHashes: Int)
 object RasterKernel {
   val HeaderLen = 7
 
-  private def writeHeader(out: Array[Byte], channels: Int, w: Int,
+  private[graft] def writeHeader(out: Array[Byte], channels: Int, w: Int,
       h: Int): Unit = {
     out(0) = 'G'; out(1) = 'R'; out(2) = channels.toByte
     out(3) = (w >>> 8).toByte; out(4) = w.toByte
@@ -958,6 +958,259 @@ object WavKernel {
   }
 }
 
+/** PNG codec kernel — shared static implementation for the
+  * [[PngEncode]]/[[PngDecode]] expressions (one JIT'd body, so the
+  * interpreted and codegen paths cannot diverge). Pure public-spec
+  * PNG (RFC 2083 / W3C PNG): 8-byte signature, length-prefixed
+  * CRC32-trailed chunks, IHDR geometry, zlib-deflated IDAT scanlines
+  * each led by a filter byte (None/Sub/Up/Average/Paeth, predictors
+  * over RAW bytes of the current and prior scanline), IEND. Scope:
+  * bit depth 8, no interlace, color types 0 (gray), 2 (RGB),
+  * 4 (gray+alpha), 6 (RGBA) — mapped 1:1 onto the GR raster channel
+  * counts, so the whole [[RasterKernel]] family applies to decoded
+  * wire-format images. Decode returns null for ANYTHING malformed
+  * (bad signature/CRC/geometry/inflate, 16-bit, interlaced, short
+  * stream) — the dead-letter contract; it never throws. */
+object PngKernel {
+  private val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  private def colorType(channels: Int): Int = channels match {
+    case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6; case _ => -1
+  }
+  private def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1; case 4 => 2; case 2 => 3; case 6 => 4; case _ => -1
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Filter one scanline (PNG spec §6): `raw` is the unfiltered row,
+    * `prior` the unfiltered previous row (zeros for y = 0), `out`
+    * receives the filtered bytes. Exposed private[graft] so the spec
+    * can pin each filter's arithmetic against hand-computed values
+    * without going through deflate. */
+  private[graft] def filterRow(f: Int, raw: Array[Byte],
+      prior: Array[Byte], bpp: Int, out: Array[Byte]): Unit = {
+    var i = 0
+    while (i < raw.length) {
+      val left = if (i >= bpp) raw(i - bpp) & 0xff else 0
+      val up = prior(i) & 0xff
+      val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
+      val pred = f match {
+        case 0 => 0
+        case 1 => left
+        case 2 => up
+        case 3 => (left + up) / 2
+        case _ => paeth(left, up, ul)
+      }
+      out(i) = ((raw(i) & 0xff) - pred).toByte
+      i += 1
+    }
+  }
+
+  private def unfilterRow(f: Int, row: Array[Byte],
+      prior: Array[Byte], bpp: Int): Boolean = {
+    if (f < 0 || f > 4) return false
+    var i = 0
+    while (i < row.length) {
+      val left = if (i >= bpp) row(i - bpp) & 0xff else 0
+      val up = prior(i) & 0xff
+      val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
+      val pred = f match {
+        case 0 => 0
+        case 1 => left
+        case 2 => up
+        case 3 => (left + up) / 2
+        case _ => paeth(left, up, ul)
+      }
+      row(i) = ((row(i) & 0xff) + pred).toByte
+      i += 1
+    }
+    true
+  }
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream,
+      typ: String, data: Array[Byte]): Unit = {
+    val body = typ.getBytes("US-ASCII") ++ data
+    out.write(be32(data.length), 0, 4)
+    out.write(body, 0, body.length)
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    out.write(be32(crc.getValue.toInt), 0, 4)
+  }
+
+  /** Encode a GR raster as a real PNG (build-side synthesis for the
+    * decode gate, and the write half of a PNG round-trip). Each row's
+    * filter type cycles deterministically (y mod 5) so every filter
+    * class is exercised on any image taller than 4 rows. Returns null
+    * for a malformed raster (dims contract). */
+  def encode(gr: Array[Byte]): Array[Byte] = {
+    val d = RasterKernel.dims(gr)
+    if (d == null) return null
+    val c = d(0); val w = d(1); val h = d(2)
+    val ct = colorType(c)
+    val stride = w * c
+    val filtered = new Array[Byte](h * (1 + stride))
+    val raw = new Array[Byte](stride)
+    val prior = new Array[Byte](stride)
+    val rowOut = new Array[Byte](stride)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(gr, RasterKernel.HeaderLen + y * stride, raw, 0,
+        stride)
+      val f = y % 5
+      filterRow(f, raw, prior, c, rowOut)
+      filtered(y * (1 + stride)) = f.toByte
+      System.arraycopy(rowOut, 0, filtered, y * (1 + stride) + 1, stride)
+      System.arraycopy(raw, 0, prior, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(6)
+    deflater.setInput(filtered); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream(filtered.length / 2 + 64)
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished())
+      comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream(comp.size + 64)
+    out.write(Sig, 0, 8)
+    writeChunk(out, "IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](8, ct.toByte, 0, 0, 0))
+    writeChunk(out, "IDAT", comp.toByteArray)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode a PNG into a GR raster; null for anything malformed. */
+  def decode(png: Array[Byte]): Array[Byte] = {
+    if (png == null || png.length < 8 + 25) return null
+    var i = 0
+    while (i < 8) { if (png(i) != Sig(i)) return null; i += 1 }
+    var w = 0; var h = 0; var c = -1
+    var sawIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 8
+    var done = false
+    while (!done) {
+      if (p + 12 > png.length) return null
+      val len = ((png(p) & 0xff) << 24) | ((png(p + 1) & 0xff) << 16) |
+        ((png(p + 2) & 0xff) << 8) | (png(p + 3) & 0xff)
+      if (len < 0 || p + 12 + len > png.length) return null
+      val typ = new String(png, p + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(png, p + 4, 4 + len)
+      val want = ((png(p + 8 + len) & 0xffL) << 24) |
+        ((png(p + 9 + len) & 0xffL) << 16) |
+        ((png(p + 10 + len) & 0xffL) << 8) | (png(p + 11 + len) & 0xffL)
+      if ((crc.getValue & 0xffffffffL) != want) return null
+      typ match {
+        case "IHDR" =>
+          if (sawIhdr || len != 13) return null
+          sawIhdr = true
+          val q = p + 8
+          w = ((png(q) & 0xff) << 24) | ((png(q + 1) & 0xff) << 16) |
+            ((png(q + 2) & 0xff) << 8) | (png(q + 3) & 0xff)
+          h = ((png(q + 4) & 0xff) << 24) | ((png(q + 5) & 0xff) << 16) |
+            ((png(q + 6) & 0xff) << 8) | (png(q + 7) & 0xff)
+          val bitDepth = png(q + 8) & 0xff
+          c = channelsOf(png(q + 9) & 0xff)
+          val interlace = png(q + 12) & 0xff
+          // GR geometry bounds double as a decompression-bomb guard.
+          if (bitDepth != 8 || c < 1 || interlace != 0 ||
+              w < 1 || h < 1 || w > 0xffff || h > 0xffff) return null
+        case "IDAT" =>
+          if (!sawIhdr) return null
+          idat.write(png, p + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skip (CRC already verified)
+      }
+      p += 12 + len
+    }
+    if (!sawIhdr || idat.size == 0) return null
+    val stride = w * c
+    val expect = h.toLong * (1 + stride)
+    if (expect > Int.MaxValue - RasterKernel.HeaderLen) return null
+    val stream = new Array[Byte](expect.toInt)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < stream.length && !inflater.finished()) {
+        val n = inflater.inflate(stream, got, stream.length - got)
+        if (n == 0 && inflater.needsInput()) return null // truncated
+        got += n
+      }
+      if (got != stream.length) return null
+      // Trailing data beyond the expected scanlines = malformed.
+      if (!inflater.finished() &&
+          inflater.inflate(new Array[Byte](1)) != 0) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inflater.end()
+    val out = new Array[Byte](RasterKernel.HeaderLen + h * stride)
+    RasterKernel.writeHeader(out, c, w, h)
+    val prior = new Array[Byte](stride)
+    val row = new Array[Byte](stride)
+    var y = 0
+    while (y < h) {
+      val f = stream(y * (1 + stride)) & 0xff
+      System.arraycopy(stream, y * (1 + stride) + 1, row, 0, stride)
+      if (!unfilterRow(f, row, prior, c)) return null
+      System.arraycopy(row, 0, out, RasterKernel.HeaderLen + y * stride,
+        stride)
+      System.arraycopy(row, 0, prior, 0, stride)
+      y += 1
+    }
+    out
+  }
+}
+
+/** png_encode(binary GR raster) → binary PNG: [[PngKernel.encode]] as
+  * a codegen'd scalar (build-side synthesis / export). */
+case class PngEncode(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "png_encode"
+  override def nullSafeEval(input: Any): Any =
+    PngKernel.encode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.PngKernel.encode($in);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): PngEncode =
+    copy(child = c)
+}
+
+/** png_decode(binary PNG) → binary GR raster: [[PngKernel.decode]] as
+  * a codegen'd scalar — the wire-format entry into the raster kernel
+  * family; malformed bytes null out (dead-letter contract). */
+case class PngDecode(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "png_decode"
+  override def nullSafeEval(input: Any): Any =
+    PngKernel.decode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.PngKernel.decode($in);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): PngDecode =
+    copy(child = c)
+}
+
 /** wav_window_stats(binary, winFrames) → array<bigint>:
   * [[WavKernel.windowStats]] as a codegen'd scalar. */
 case class WavWindowStats(child: Expression, winFrames: Int)
@@ -1172,6 +1425,10 @@ object functions {
     GraftColumnBridge.column(RasterResize(ex(c.cast("binary")), factor))
   def raster_histogram(c: Column, bins: Int): Column =
     GraftColumnBridge.column(RasterHistogram(ex(c.cast("binary")), bins))
+  def png_encode(c: Column): Column =
+    GraftColumnBridge.column(PngEncode(ex(c)))
+  def png_decode(c: Column): Column =
+    GraftColumnBridge.column(PngDecode(ex(c)))
   def raster_gray(c: Column): Column =
     GraftColumnBridge.column(RasterGray(ex(c.cast("binary"))))
   def raster_flip_h(c: Column): Column =

@@ -1347,7 +1347,8 @@ object TextAnalysis {
     * them. */
   def deleteFromSpellIndex(spark: org.apache.spark.sql.SparkSession,
       words: DataFrame, dir: String): Unit = {
-    IndexMeta.read(spark, dir) // fail loudly on a non-index dir
+    IndexMeta.requireMatch(spark, dir,
+      "layout" -> "symspell", "edits" -> "1", "fmt" -> "1")
     val del = words.select(col("word")).distinct()
     val fs = FsOps.fsOf(spark, dir)
     FsOps.clearStaging(fs, dir)

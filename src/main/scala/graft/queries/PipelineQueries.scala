@@ -2328,6 +2328,37 @@ object PipelineQueries {
           col("out_w"), col("out_h"))
         .orderBy("doc_id", "pos")),
 
+    // REAL wire-format image decode: synthesized GR rasters encode to
+    // genuine PNG bytes (zlib-deflated scanlines, every filter class —
+    // the per-row filter cycles y mod 5 — CRC-trailed chunks) and
+    // PngDecode inverts them: chunk walk + CRC verify + inflate +
+    // per-scanline unfilter (None/Sub/Up/Average/Paeth), one fused
+    // codegen pass per row. The gate explodes EVERY decoded pixel and
+    // the oracle replays the synthesis closed-form straight from the
+    // documents table — decode∘encode must be the identity per byte,
+    // so any error anywhere in the codec (filter math, inflate
+    // framing, geometry) surfaces as a pixel mismatch. The decoder is
+    // independently pinned against a second (Python-generated) PNG
+    // implementation in PipelineSpec.
+    "mm_png_decode" -> ((s, d) =>
+      Multimodal.synthesizeRasterPayloads(Tables.documents(s, d))
+        .select(col("doc_id"),
+          graft.functions.functions.png_decode(
+            graft.functions.functions.png_encode(col("payload")))
+            .as("payload"))
+        .select(col("doc_id"), col("payload"),
+          expr("cast(conv(hex(substring(payload, 4, 2)), 16, 10) as int)")
+            .as("out_w"),
+          expr("cast(conv(hex(substring(payload, 6, 2)), 16, 10) as int)")
+            .as("out_h"))
+        .select(col("doc_id"), col("out_w"), col("out_h"), col("payload"),
+          explode(expr("sequence(0L, length(payload) - 8L)")).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          expr("cast(conv(hex(substring(payload, cast(pos + 8 as int), 1))," +
+            " 16, 10) as bigint)").as("px"),
+          col("out_w"), col("out_h"))
+        .orderBy("doc_id", "pos")),
+
     // REAL feature extraction: per-channel normalized pixel histograms
     // over the same GR rasters (RasterHistogram kernel) — 3 channels ×
     // 8 bins per doc, each feature the exact IEEE division of two
@@ -5417,6 +5448,23 @@ object PipelineQueries {
 
     // Horizontal-mirror replay: the pure index remap
     // (y·W + (W−1−x))·3 + c on the cycled document bytes.
+    // PNG decode replay: decode∘encode is the identity on the
+    // synthesized raster, so the expected pixel stream is the raw
+    // synthesis — byte p of the cycled document text — plus the
+    // unchanged W×H dims. Any codec defect (a filter predictor, zlib
+    // framing, CRC math, geometry) breaks some pixel.
+    "mm_png_decode" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L,
+        |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),
+        |pos AS (SELECT doc_id, text, L, W, H,
+        |    unnest(generate_series(0, CAST(W*H*3 - 1 AS INT))) AS p
+        |  FROM d)
+        |SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |  CAST(ord(substr(text, CAST(p % L AS INT) + 1, 1)) AS BIGINT)
+        |    AS px,
+        |  CAST(W AS INT) AS out_w, CAST(H AS INT) AS out_h
+        |FROM pos ORDER BY doc_id, pos""".stripMargin,
+
     "mm_flip" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS L,
         |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),

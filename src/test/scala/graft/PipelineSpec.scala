@@ -1303,6 +1303,87 @@ class PipelineSpec extends SparkSpec {
     assert(RasterKernel.resize(overflow, 2) === null)
   }
 
+  test("PNG codec: decodes an INDEPENDENTLY generated PNG byte-exact, " +
+      "round-trips every filter class, nulls out malformed bytes") {
+    import graft.functions.{PngKernel, RasterKernel}
+    def hex2b(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // Fixtures generated by a SECOND, independent PNG implementation
+    // (Python zlib + hand-written filters; one row per filter type),
+    // so a compensating encode/decode bug in PngKernel cannot hide:
+    // 4×6 grayscale with filters 0,1,2,3,4,0 and 3×5 RGB with
+    // filters 4,3,2,1,0.
+    val png1 = hex2b("89504e470d0a1a0a0000000d49484452000000040000000608" +
+      "00000000c15260a90000002549444154789c63e03608ad629cafaaaaca340508" +
+      "98d7c5c6de6599a23a4595e1bd88651c00899e09c444a7aa660000000049454e" +
+      "44ae426082")
+    val pix1 = Seq(11, 48, 85, 122, 159, 196, 233, 14, 51, 88, 125, 162,
+      199, 236, 17, 54, 91, 128, 165, 202, 239, 20, 57, 94)
+    val d1 = PngKernel.decode(png1)
+    assert(d1 != null && RasterKernel.dims(d1).toSeq === Seq(1, 4, 6))
+    assert(d1.drop(RasterKernel.HeaderLen).map(_ & 0xff).toSeq === pix1)
+    val png2 = hex2b("89504e470d0a1a0a0000000d49484452000000030000000508" +
+      "020000000f13c1f50000002e49444154789c6339f1d7683e18303bc67cdbb7cf" +
+      "6edfbe7d4c776180317eca49882c834de1b2db02ae55eb9f0000e9ea1d0e54b7" +
+      "f79a0000000049454e44ae426082")
+    val pix2 = Seq(200, 253, 50, 103, 156, 209, 6, 59, 112, 165, 218, 15,
+      68, 121, 174, 227, 24, 77, 130, 183, 236, 33, 86, 139, 192, 245,
+      42, 95, 148, 201, 254, 51, 104, 157, 210, 7, 60, 113, 166, 219,
+      16, 69, 122, 175, 228)
+    val d2 = PngKernel.decode(png2)
+    assert(d2 != null && RasterKernel.dims(d2).toSeq === Seq(3, 3, 5))
+    assert(d2.drop(RasterKernel.HeaderLen).map(_ & 0xff).toSeq === pix2)
+    // Filter arithmetic pinned against hand-computed spec values
+    // (PNG spec §6, bpp 1): raw row (10, 200, 30), prior (5, 100, 7).
+    val raw = Array[Byte](10, 200.toByte, 30)
+    val prior = Array[Byte](5, 100, 7)
+    val out = new Array[Byte](3)
+    PngKernel.filterRow(1, raw, prior, 1, out) // Sub: x - left
+    assert(out.map(_ & 0xff).toSeq === Seq(10, 190, 86)) // 30-200 mod 256
+    PngKernel.filterRow(2, raw, prior, 1, out) // Up: x - up
+    assert(out.map(_ & 0xff).toSeq === Seq(5, 100, 23))
+    PngKernel.filterRow(3, raw, prior, 1, out) // Average
+    // preds: (0+5)/2=2, (10+100)/2=55, (200+7)/2=103
+    assert(out.map(_ & 0xff).toSeq === Seq(8, 145, 183)) // 30-103 mod 256
+    PngKernel.filterRow(4, raw, prior, 1, out) // Paeth
+    // preds: paeth(0,5,0): p=5, pa=5, pb=0, pc=5 → up=5;
+    //        paeth(10,100,5): p=105, pa=95, pb=5, pc=100 → up=100;
+    //        paeth(200,7,100): p=107, pa=93, pb=100, pc=7 → ul=100
+    assert(out.map(_ & 0xff).toSeq === Seq(5, 100, 186)) // 30-100 mod 256
+    // Every channel count round-trips bit-exact through a real PNG,
+    // including >127 bytes and all five filters (h ≥ 5).
+    for (c <- 1 to 4) {
+      val gr = RasterKernel.build(c, 5, 6,
+        Array.tabulate(5 * 6 * c)(i => ((i * 41 + 190) % 256).toByte))
+      val rt = PngKernel.decode(PngKernel.encode(gr))
+      assert(rt != null && rt.toSeq === gr.toSeq,
+        s"PNG round-trip diverged at channels=$c")
+    }
+    // Dead-letter contract: every malformed shape → null, never throw.
+    val good = PngKernel.encode(RasterKernel.build(1, 4, 5,
+      Array.tabulate(20)(_.toByte)))
+    assert(PngKernel.decode(null) === null)
+    assert(PngKernel.decode("not a png".getBytes) === null)
+    assert(PngKernel.decode(good.take(30)) === null) // truncated
+    val crcBad = good.clone()
+    crcBad(45) = (crcBad(45) ^ 1).toByte // flip an IDAT byte
+    assert(PngKernel.decode(crcBad) === null)
+    // 16-bit depth and interlaced flags are out of scope → null (the
+    // IHDR edit recomputes the chunk CRC so ONLY the flag rejects).
+    def withIhdrByte(src: Array[Byte], off: Int, v: Byte): Array[Byte] = {
+      val b = src.clone()
+      b(off) = v
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 17) // "IHDR" + 13 data bytes
+      val c = crc.getValue.toInt
+      b(29) = (c >>> 24).toByte; b(30) = (c >>> 16).toByte
+      b(31) = (c >>> 8).toByte; b(32) = c.toByte
+      b
+    }
+    assert(PngKernel.decode(withIhdrByte(good, 24, 16)) === null)
+    assert(PngKernel.decode(withIhdrByte(good, 28, 1)) === null)
+  }
+
   test("header decoder parses real PNG and JPEG bytes, verifies PNG CRC") {
     // PNG: exact dimensions + CRC32 round-trip
     val png = Multimodal.pngBytes(640, 480, "body".getBytes)

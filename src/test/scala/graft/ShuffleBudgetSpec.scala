@@ -108,6 +108,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "mm_flip" -> 1,               // same shape (pure index remap)
     "mm_crop" -> 1,               // same shape (window extraction)
     "mm_upsample" -> 1,           // same shape (index replication)
+    "mm_png_decode" -> 1,         // encode→decode both codegen'd
+                                  // per-row kernels; output sort only
     "mm_channel_stats" -> 1,      // per-row kernel + channel explode;
                                   // output sort only
     "mm_pipeline" -> 1,           // resize→gray→histogram chained in

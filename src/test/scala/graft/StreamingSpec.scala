@@ -1140,6 +1140,102 @@ class StreamingSpec extends SparkSpec {
       "no serve ran while the cell compaction loop was live")
   }
 
+  test("serve interleaved with SPELL-index delete rewrites: the " +
+      "two-table staged swaps never yield a half-swapped result") {
+    // The text-family swap shape: deleteFromSpellIndex rewrites BOTH
+    // the keys and stats tables (two sequential swapInto windows per
+    // delete), and the serve's inner join of keys⋈stats makes any
+    // cross-table tear VISIBLE if one were possible: a serve reading
+    // old keys with new stats (or vice versa) for the deleted words
+    // would change the candidate set. Contract as everywhere: every
+    // completed serve equals the pinned post-delete result, or fails
+    // loudly and the next try succeeds. Repeating the same delete
+    // keeps the expected result constant while opening real windows.
+    import graft.operators.TextAnalysis
+    val s = spark.newSession()
+    import s.implicits._
+    val docs = Tables.documents(s, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_spell_race").toString
+    TextAnalysis.writeSpellIndex(docs, dir)
+    val victims = Seq("the", "of").toDF("word")
+    TextAnalysis.deleteFromSpellIndex(s, victims, dir)
+    val want = TextAnalysis.searchSpellIndex(s, docs, dir)
+      .collect().map(_.toString).toSet
+    @volatile var rewriting = true
+    val rewriter = new Thread(() => {
+      try for (_ <- 1 to 3)
+        TextAnalysis.deleteFromSpellIndex(s, victims, dir)
+      finally rewriting = false
+    })
+    def serveOnce(): Either[String, Boolean] =
+      try Right(TextAnalysis.searchSpellIndex(s, docs, dir)
+        .collect().map(_.toString).toSet == want)
+      catch { case e: Exception => Left(e.getClass.getSimpleName) }
+    val outcomes =
+      scala.collection.mutable.ArrayBuffer[Either[String, Boolean]]()
+    rewriter.start()
+    try {
+      while (rewriting) outcomes += serveOnce()
+    } finally rewriter.join()
+    assert(serveOnce() === Right(true),
+      "post-rewrite spell serve diverged from the pinned result")
+    val wrong = outcomes.count(_ == Right(false))
+    assert(wrong === 0,
+      s"$wrong interleaved spell serve(s) returned a HALF-SWAPPED " +
+        s"result (outcomes: ${outcomes.take(20)})")
+    assert(outcomes.nonEmpty,
+      "no serve ran while the spell rewrite loop was live")
+  }
+
+  test("serve interleaved with INVERTED-index delete+compaction: the " +
+      "postings/stats staged swaps never yield a half-swapped result") {
+    // The BM25 layout's swap shape: compactInvertedIndex swaps
+    // postings THEN stats (tombstone-drain last), and the serve
+    // derives df from the masked postings while the corpus stats come
+    // from the stats table + tombstone adjustment — the delete-parity
+    // pin (masked ≡ rebuilt-without) makes every consistent snapshot
+    // serve the SAME scores, so any completed serve that diverges
+    // means a reader saw a half-swapped pair.
+    import graft.operators.TextAnalysis
+    val s = spark.newSession()
+    import s.implicits._
+    val docs = Tables.documents(s, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_inv_race").toString
+    TextAnalysis.writeInvertedIndex(docs, dir)
+    val ids = docs.filter($"doc_id" % 7 === 0).select($"doc_id")
+    TextAnalysis.deleteFromInvertedIndex(s, ids, dir)
+    val terms = Seq("the", "slow", "hash")
+    val want = TextAnalysis.searchInvertedIndex(s, dir, terms)
+      .collect().map(_.toString).toSet
+    @volatile var rewriting = true
+    val rewriter = new Thread(() => {
+      try for (_ <- 1 to 3) {
+        TextAnalysis.deleteFromInvertedIndex(s, ids, dir)
+        TextAnalysis.compactInvertedIndex(s, dir)
+      } finally rewriting = false
+    })
+    def serveOnce(): Either[String, Boolean] =
+      try Right(TextAnalysis.searchInvertedIndex(s, dir, terms)
+        .collect().map(_.toString).toSet == want)
+      catch { case e: Exception => Left(e.getClass.getSimpleName) }
+    val outcomes =
+      scala.collection.mutable.ArrayBuffer[Either[String, Boolean]]()
+    rewriter.start()
+    try {
+      while (rewriting) outcomes += serveOnce()
+    } finally rewriter.join()
+    assert(serveOnce() === Right(true),
+      "post-compaction BM25 serve diverged from the pinned result")
+    val wrong = outcomes.count(_ == Right(false))
+    assert(wrong === 0,
+      s"$wrong interleaved BM25 serve(s) returned a HALF-SWAPPED " +
+        s"result (outcomes: ${outcomes.take(20)})")
+    assert(outcomes.nonEmpty,
+      "no serve ran while the inverted rewrite loop was live")
+  }
+
   test("streaming serve over the persisted CMS: streamed candidates score as in batch") {
     // The serve side of the sketch triad: the d*w cell table persists
     // to parquet, candidate keys arrive as a stream, and each
