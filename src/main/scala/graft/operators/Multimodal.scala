@@ -728,6 +728,28 @@ object Multimodal {
         col("col").as("cnt"))
   }
 
+  /** [[imagePipeline]] ingesting WIRE-FORMAT images: the rasters round
+    * through a genuine PNG (encode at synthesis, [[graft.functions
+    * .PngDecode]] in the chain) before the resize→gray→histogram
+    * kernels — the shape a real curation pipeline runs (decode the
+    * stored bytes, then transform), all five stages fused in ONE
+    * whole-stage-codegen pass per row, no shuffle. decode∘encode is
+    * the per-byte identity (spec- and oracle-pinned), so this shares
+    * [[imagePipeline]]'s closed-form oracle exactly. */
+  def pngPipeline(documents: DataFrame, factor: Int = 2,
+      bins: Int = 8): DataFrame = {
+    val f = graft.functions.functions
+    synthesizeRasterPayloads(documents)
+      .select(col("doc_id"),
+        f.raster_histogram(
+          f.raster_gray(f.raster_resize(
+            f.png_decode(f.png_encode(col("payload"))), factor)), bins)
+          .as("hist"))
+      .select(col("doc_id"), posexplode(col("hist")))
+      .select(col("doc_id"), col("pos").cast("int").as("b"),
+        col("col").as("cnt"))
+  }
+
   /** REAL feature extraction: per-channel normalized pixel-value
     * histogram over GR raster payloads — `bins` buckets per channel,
     * concatenated channel-major, each count divided by the channel's

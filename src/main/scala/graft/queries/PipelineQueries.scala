@@ -869,7 +869,14 @@ object PipelineQueries {
     * codebook = the first 8 vectors' residual subvectors, the probe
     * distance table is per (probe, probed cell), and the depth-40
     * ADC shortlist re-ranks with exact 6-dp cosine. */
-  private lazy val ivfPqrSearchSql: String =
+  private lazy val ivfPqrSearchSql: String = ivfPqrSearchSqlWhere("")
+
+  /** [[ivfPqrSearchSql]] with a predicate scoping the LIVE code rows —
+    * the delete leg's oracle hook: tombstoned ids mask from the code
+    * table BEFORE the ADC shortlist (probes untouched), exactly the
+    * broadcast anti-join in searchIvfPqIndex. Empty predicate = the
+    * monolithic serve. */
+  private def ivfPqrSearchSqlWhere(codePred: String): String =
     s"""WITH $ovecsCte,
          |$kmeansCte,
          |di AS (
@@ -921,11 +928,12 @@ object PipelineQueries {
          |           - 2.0 * list_dot_product(p.sv, cb.cv)
          |           + list_dot_product(cb.cv, cb.cv) AS pd2
          |  FROM psubs p JOIN cb USING (sub)),
+         |live AS (SELECT * FROM pqcodes $codePred),
          |sc AS (
          |  SELECT t.probe_id, c.vec_id,
          |         CAST(CAST(sum(CAST(round(t.pd2, 6) AS DECIMAL(18,6)))
          |              AS DECIMAL(38,6)) AS DOUBLE) AS adist
-         |  FROM pqcodes c JOIN ptab t
+         |  FROM live c JOIN ptab t
          |    ON t.sub = c.sub AND t.cid = c.cid AND t.cell = c.cell
          |  WHERE t.probe_id <> c.vec_id
          |  GROUP BY t.probe_id, c.vec_id),
@@ -1091,6 +1099,45 @@ object PipelineQueries {
       |  SELECT cid, pos, count(*) AS n,
       |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS cmean
       |  FROM dims JOIN a2 USING (vec_id) GROUP BY cid, pos)""".stripMargin
+
+  /** Fused-pipeline replay: resize(2) → gray → histogram(8) in closed
+    * form — 12 ord terms and 4 nested floors per gray pixel, then the
+    * bucket rollup over the zero-including grid. Shared by
+    * mm_pipeline and its PNG-composed twin (decode∘encode = id). */
+  private val mmPipelineSql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS L,
+        |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),
+        |e AS (SELECT *, W // 2 AS W2, H // 2 AS H2 FROM d),
+        |pos AS (SELECT doc_id, text, L, W, W2, H2,
+        |    unnest(generate_series(0, CAST(W2*H2 - 1 AS INT))) AS p
+        |  FROM e),
+        |x AS (SELECT doc_id, p, text, L, W,
+        |    (p // W2) AS y2, (p % W2) AS x2 FROM pos),
+        |g AS (SELECT doc_id,
+        | ((  (ord(substr(text, CAST((((2*y2  )*W + 2*x2  )*3+0) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2  )*W + 2*x2+1)*3+0) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2  )*3+0) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2+1)*3+0) % L AS INT)+1,1))) // 4
+        |  + (ord(substr(text, CAST((((2*y2  )*W + 2*x2  )*3+1) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2  )*W + 2*x2+1)*3+1) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2  )*3+1) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2+1)*3+1) % L AS INT)+1,1))) // 4
+        |  + (ord(substr(text, CAST((((2*y2  )*W + 2*x2  )*3+2) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2  )*W + 2*x2+1)*3+2) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2  )*3+2) % L AS INT)+1,1))
+        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2+1)*3+2) % L AS INT)+1,1))) // 4
+        |  ) // 3) AS gv
+        | FROM x),
+        |bs AS (SELECT unnest(generate_series(0, 7)) AS b),
+        |grid AS (SELECT doc_id, b
+        |         FROM (SELECT DISTINCT doc_id FROM d) CROSS JOIN bs),
+        |cnt AS (SELECT doc_id, (gv*8) // 256 AS b, count(*) AS n
+        |        FROM g GROUP BY 1, 2)
+        |SELECT grid.doc_id, CAST(grid.b AS INT) AS b,
+        |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS cnt
+        |FROM grid LEFT JOIN cnt
+        |  ON cnt.doc_id = grid.doc_id AND cnt.b = grid.b
+        |ORDER BY 1, 2""".stripMargin
 
   // ---- queries ----
 
@@ -1511,6 +1558,28 @@ object PipelineQueries {
         dir, quantizer = Some(vecs))
       Similarity.appendIvfPqIndex(s,
         vecs.filter(col("vec_id") % 2 =!= 0), dir)
+      Similarity.searchIvfPqIndex(s, dir, vecs,
+        vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Tombstone DELETION from the persisted IVF-PQ layout — the
+    // removal half next to sim_ivfpq_append's add half, closing the
+    // compressed layout's lifecycle at the gated level like
+    // sim_ivf_delete/sim_sq8_delete/sim_ivfbq_delete: build on the
+    // full corpus, delete every 7th vector, serve. Deleted ids mask
+    // from the code table via one broadcast anti-join BEFORE the ADC
+    // shortlist ranks (so the shortlist fills with survivors, never
+    // ghosts), while quantizer state and codes files are untouched.
+    // Oracle: the residual replay with the deleted ids excluded from
+    // the code side (probes untouched).
+    "sim_ivfpq_delete" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val dir = FlowLogQueries.scratchDir("graft_ivfpq_del")
+      Similarity.writeIvfPqIndex(vecs, dir)
+      Similarity.deleteFromIvfIndex(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
       Similarity.searchIvfPqIndex(s, dir, vecs,
         vecs.filter(col("vec_id") < 10), 5)
         .orderBy("probe_id", "rnk")
@@ -2417,6 +2486,16 @@ object PipelineQueries {
     // + 4 floors per gray pixel) per bucket count.
     "mm_pipeline" -> ((s, d) =>
       Multimodal.imagePipeline(Tables.documents(s, d))
+        .orderBy("doc_id", "b")),
+
+    // The wire-format composition: PNG round-trip fused INSIDE the
+    // same codegen span as resize->gray->histogram (five kernel
+    // stages, one pass per row, exchange-free before the output
+    // sort). decode is the exact inverse of encode, so the result --
+    // and the oracle -- are mm_pipeline's, making any codec deviation
+    // inside a fused chain a gate failure.
+    "mm_png_pipeline" -> ((s, d) =>
+      Multimodal.pngPipeline(Tables.documents(s, d))
         .orderBy("doc_id", "b")),
 
     // Cross-family composition: the raster kernels FEED the similarity
@@ -4119,6 +4198,9 @@ object PipelineQueries {
     // Shares the monolithic replay: the quantizer trains on the full
     // corpus, so build-half + append-half serves identically.
     "sim_ivfpq_append" -> ivfPqrSearchSql,
+    // Delete leg: same replay, deleted ids masked from the code side.
+    "sim_ivfpq_delete" ->
+      ivfPqrSearchSqlWhere("WHERE vec_id % 7 <> 0"),
 
     "sim_kmeans_step" ->
       s"""WITH $ovecsCte,
@@ -5533,40 +5615,10 @@ object PipelineQueries {
     // Fused-pipeline replay: resize(2) → gray → histogram(8) in closed
     // form — 12 ord terms and 4 nested floors per gray pixel, then the
     // bucket rollup over the zero-including grid.
-    "mm_pipeline" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS L,
-        |    4 + doc_id % 5 AS W, 3 + doc_id % 4 AS H FROM documents),
-        |e AS (SELECT *, W // 2 AS W2, H // 2 AS H2 FROM d),
-        |pos AS (SELECT doc_id, text, L, W, W2, H2,
-        |    unnest(generate_series(0, CAST(W2*H2 - 1 AS INT))) AS p
-        |  FROM e),
-        |x AS (SELECT doc_id, p, text, L, W,
-        |    (p // W2) AS y2, (p % W2) AS x2 FROM pos),
-        |g AS (SELECT doc_id,
-        | ((  (ord(substr(text, CAST((((2*y2  )*W + 2*x2  )*3+0) % L AS INT)+1,1))
-        |    + ord(substr(text, CAST((((2*y2  )*W + 2*x2+1)*3+0) % L AS INT)+1,1))
-        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2  )*3+0) % L AS INT)+1,1))
-        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2+1)*3+0) % L AS INT)+1,1))) // 4
-        |  + (ord(substr(text, CAST((((2*y2  )*W + 2*x2  )*3+1) % L AS INT)+1,1))
-        |    + ord(substr(text, CAST((((2*y2  )*W + 2*x2+1)*3+1) % L AS INT)+1,1))
-        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2  )*3+1) % L AS INT)+1,1))
-        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2+1)*3+1) % L AS INT)+1,1))) // 4
-        |  + (ord(substr(text, CAST((((2*y2  )*W + 2*x2  )*3+2) % L AS INT)+1,1))
-        |    + ord(substr(text, CAST((((2*y2  )*W + 2*x2+1)*3+2) % L AS INT)+1,1))
-        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2  )*3+2) % L AS INT)+1,1))
-        |    + ord(substr(text, CAST((((2*y2+1)*W + 2*x2+1)*3+2) % L AS INT)+1,1))) // 4
-        |  ) // 3) AS gv
-        | FROM x),
-        |bs AS (SELECT unnest(generate_series(0, 7)) AS b),
-        |grid AS (SELECT doc_id, b
-        |         FROM (SELECT DISTINCT doc_id FROM d) CROSS JOIN bs),
-        |cnt AS (SELECT doc_id, (gv*8) // 256 AS b, count(*) AS n
-        |        FROM g GROUP BY 1, 2)
-        |SELECT grid.doc_id, CAST(grid.b AS INT) AS b,
-        |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS cnt
-        |FROM grid LEFT JOIN cnt
-        |  ON cnt.doc_id = grid.doc_id AND cnt.b = grid.b
-        |ORDER BY 1, 2""".stripMargin,
+    "mm_pipeline" -> mmPipelineSql,
+    // decode(encode(x)) = x per byte, so the PNG-composed chain
+    // produces mm_pipeline's exact rows and shares its replay.
+    "mm_png_pipeline" -> mmPipelineSql,
 
     // Feature-kNN replay: rebuild every doc's 24-dim feature vector
     // (per-channel histogram ratios, channel-major), then brute-force

@@ -112,6 +112,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // per-row kernels; output sort only
     "mm_channel_stats" -> 1,      // per-row kernel + channel explode;
                                   // output sort only
+    "mm_png_pipeline" -> 1,       // PNG encode→decode→resize→gray→
+                                  // histogram, one codegen span +
+                                  // output sort (same as mm_pipeline)
     "mm_pipeline" -> 1,           // resize→gray→histogram chained in
                                   // ONE codegen span (spec-pinned
                                   // exchange-free before the sort)
@@ -422,7 +425,7 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // ran before the served frame
     "sketch_cms_delete" -> 4,     // two cell aggs (all / retracted) +
                                   // cell-keyed subtract join + sort
-    "sim_ivfpq_persist" -> 10)    // by-residual refine SERVING plan:
+    "sim_ivfpq_persist" -> 10,    // by-residual refine SERVING plan:
                                   // probe-assign agg/window + the
                                   // kCells centroid-array agg (that
                                   // trio prints TWICE across consuming
@@ -434,6 +437,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // the broadcast shortlist, and the
                                   // distance-table subtree stays
                                   // broadcast-only
+    "sim_ivfpq_delete" -> 10)     // same serve — the tombstone mask is
+                                  // a broadcast anti-join, zero added
+                                  // exchanges
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
