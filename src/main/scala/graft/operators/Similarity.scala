@@ -1304,12 +1304,37 @@ object Similarity {
       trained: Option[DataFrame] = None): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = trained.getOrElse(kmeansTrain(vecs, kCells, iters))
+    val (rcb, codes) = ivfPqrEncode(vecs, cents, m, codebookK)
+    pqrServe(codes, cents, rcb, vecs, probes, k, m, nprobe, rerankDepth)
+  }
+
+  /** The ENCODE half of [[ivfPqrTopK]] split out — (residual
+    * codebook, residual codes) of a corpus against a trained
+    * quantizer. A multi-operating-point enumeration (the recall
+    * curve's 4 nprobe rungs; any deployment tuning nprobe) computes
+    * this ONCE and serves each point via [[ivfPqrTopKEncoded]]: codes
+    * are nprobe-independent, so re-encoding per point would redo the
+    * corpus-side work the persisted layout exists to amortize. */
+  def ivfPqrEncode(vecs: DataFrame, cents: DataFrame, m: Int = 4,
+      codebookK: Int = 8): (DataFrame, DataFrame) = {
     val rcorp = residualsOf(vecs, cents, 1)
     val rv = rcorp.select(col("vec_id"), col("rv").as("v"))
     val rcb = codebookOf(rv, m, codebookK)
     val codes = pqCodesAgainst(rcb, rv, m)
       .join(rcorp.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    pqrServe(codes, cents, rcb, vecs, probes, k, m, nprobe, rerankDepth)
+    (rcb, codes)
+  }
+
+  /** [[ivfPqrTopK]] served from precomputed [[ivfPqrEncode]] state —
+    * bit-identical to the monolithic call at the same parameters
+    * (spec-pinned): the serve stages are shared via the same private
+    * implementation, so the two entries cannot diverge. */
+  def ivfPqrTopKEncoded(codes: DataFrame, codebook: DataFrame,
+      cents: DataFrame, vecs: DataFrame, probes: DataFrame, k: Int,
+      m: Int = 4, nprobe: Int = 2, rerankDepth: Int = 40): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    pqrServe(codes, cents, codebook, vecs, probes, k, m, nprobe,
+      rerankDepth)
   }
 
   /** IVF index health report: per-cell occupancy, corpus share, and

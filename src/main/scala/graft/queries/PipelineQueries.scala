@@ -2831,7 +2831,19 @@ object PipelineQueries {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"))
       val probes = vecs.filter(col("vec_id") < 10)
+      // The 16 rung enumerations each broadcast the trained-quantizer
+      // lineage several times (assignments, centroid arrays, residual
+      // encodes); localCheckpoint materializes the kCells×dim means
+      // ONCE so the Lloyd trajectory runs once per curve, not per
+      // consuming branch (the MMR discipline — values identical, the
+      // curve is excluded from plan-string pins).
       val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+        .localCheckpoint()
+      // The pq rung's corpus-side state (residual codebook + codes) is
+      // nprobe-INDEPENDENT — encode once, serve all four operating
+      // points (ivfPqrEncode's contract; re-encoding per point would
+      // redo the corpus work the persisted layout amortizes).
+      val (rcb1, codes) = Similarity.ivfPqrEncode(vecs, cents)
       val bf = Similarity.bruteForceTopK(vecs, probes, 3)
       def rung(layout: String, np: Int,
           approx: org.apache.spark.sql.DataFrame) =
@@ -2844,8 +2856,8 @@ object PipelineQueries {
           .unionByName(rung("ivfbq", np,
             Similarity.ivfBqTopK(vecs, probes, cents, 20, 3, nprobe = np)))
           .unionByName(rung("pq", np,
-            Similarity.ivfPqrTopK(vecs, probes, 3, nprobe = np,
-              trained = Some(cents))))
+            Similarity.ivfPqrTopKEncoded(codes, rcb1, cents, vecs,
+              probes, 3, nprobe = np)))
           .unionByName(rung("sq8", np,
             Similarity.ivfSq8TopK(vecs, probes, cents, 3, nprobe = np)))
       }.reduce(_ unionByName _)

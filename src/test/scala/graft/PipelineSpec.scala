@@ -582,6 +582,16 @@ class PipelineSpec extends SparkSpec {
     val raw = hits(Similarity.ivfPqTopK(vecs, probes, 3))
     assert(resid >= raw,
       s"by-residual refine recall ($resid) fell below raw PQ ($raw)")
+    // Encode-once path ≡ the monolithic call bit-for-bit (the recall
+    // curve serves its four nprobe points from one ivfPqrEncode).
+    val cents = Similarity.kmeansTrain(vecs, 8, 2)
+    val (rcb, codes) = Similarity.ivfPqrEncode(vecs, cents)
+    val enc = Similarity.ivfPqrTopKEncoded(codes, rcb, cents, vecs,
+      probes, 3).collect().toSet
+    val mono = Similarity.ivfPqrTopK(vecs, probes, 3,
+      trained = Some(cents)).collect().toSet
+    assert(enc.nonEmpty && enc === mono,
+      "encode-once pqr serve diverged from the monolithic call")
   }
 
   test("BM25 index serving: bit-for-bit parity and physically pruned postings scan") {
