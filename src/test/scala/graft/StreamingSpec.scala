@@ -893,6 +893,12 @@ class StreamingSpec extends SparkSpec {
     val (b1, b2) = rows.partition(_._1 % 2 == 0)
     val wantImg = Multimodal.imagePipeline(docs)
       .as[(Long, Int, Long)].collect().toSet
+    // The PNG-composed chain must be batch-boundary-invisible too —
+    // and equal to the raster-direct pipeline (decode∘encode = id).
+    val wantPng = Multimodal.pngPipeline(docs)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(wantPng === wantImg,
+      "PNG-composed pipeline diverged from the raster-direct one")
     val wantAud = Multimodal.audioWindowStats(
         Multimodal.synthesizeAudioPayloads(docs))
       .as[(Long, Int, Long, Long)].collect().toSet
@@ -904,7 +910,7 @@ class StreamingSpec extends SparkSpec {
     val q = input.toDF().toDF("doc_id", "text")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        Multimodal.imagePipeline(batch).collect().foreach(r =>
+        Multimodal.pngPipeline(batch).collect().foreach(r =>
           gotImg.add((r.getLong(0), r.getInt(1), r.getLong(2))))
         Multimodal.audioWindowStats(
             Multimodal.synthesizeAudioPayloads(batch))
@@ -920,7 +926,7 @@ class StreamingSpec extends SparkSpec {
       import scala.jdk.CollectionConverters._
       assert(wantImg.nonEmpty &&
         gotImg.asScala.toSet === wantImg,
-        "streamed image-pipeline output diverged from the batch run")
+        "streamed PNG image-pipeline output diverged from the batch run")
       assert(wantAud.nonEmpty &&
         gotAud.asScala.toSet === wantAud,
         "streamed audio window stats diverged from the batch run")
