@@ -1585,6 +1585,23 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // COMPACTION of the compressed layout (per-cell rewrite over the
+    // 4-byte residual code table); same oracle as its delete. With
+    // this row every persisted ANN layout's FULL lifecycle —
+    // build/persist/append/delete/compact — is oracle-gated.
+    "sim_ivfpq_compact" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val dir = FlowLogQueries.scratchDir("graft_ivfpq_cmp")
+      Similarity.writeIvfPqIndex(vecs, dir)
+      Similarity.deleteFromIvfIndex(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.compactIvfPqIndex(s, dir)
+      Similarity.searchIvfPqIndex(s, dir, vecs,
+        vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // One k-means Lloyd's update: assign to max-cosine centroid (the
     // first 8 vectors seed the centroids), recompute per-dimension
     // means from exact decimal sums.
@@ -2781,6 +2798,25 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // COMPACTION of the BQ layout, oracle-gated: rewrite the code
+    // table without the tombstoned rows (whole-dir staged swap), drain
+    // the tombstones, serve. The compacted serve is bit-identical to
+    // the masked serve by the layout contract, so the row gates
+    // against sim_bq_delete's exact replay — physical reclamation must
+    // never change a result.
+    "sim_bq_compact" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val dir = FlowLogQueries.scratchDir("graft_bq_cmp")
+      Similarity.writeBqIndex(vecs, dir)
+      Similarity.deleteFromBqIndex(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.compactBqIndex(s, dir)
+      Similarity.bqRerankFromIndex(s, dir, vecs,
+        vecs.filter(col("vec_id") < 10))
+        .orderBy("probe_id", "rnk")
+    }),
+
     // The RECALL LADDER — the artifact a deployment reads to choose a
     // compression rung: every rung's top-3 (flat IVF cosine, SQ8
     // asymmetric MIPS, PQ ADC, BQ Hamming+re-rank, cell-blocked
@@ -2932,6 +2968,23 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // COMPACTION of the cell-blocked BQ layout — the per-cell replace
+    // shape (affected partitions rewritten one at a time) rather than
+    // the whole-dir swap; same contract, same oracle as its delete.
+    "sim_ivfbq_compact" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_ivfbq_cmp")
+      Similarity.writeIvfBqIndex(vecs, cents, dir)
+      Similarity.deleteFromIvfBqIndex(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.compactIvfBqIndex(s, dir)
+      Similarity.searchIvfBqIndex(s, dir, vecs,
+        vecs.filter(col("vec_id") < 10))
+        .orderBy("probe_id", "rnk")
+    }),
+
     // RANGE serve from the persisted IVF layout: the full cos ≥ 0.2
     // ball within the probed cells (threshold recall, no top-k window
     // anywhere) — sim_range_search's contract without the corpus scan.
@@ -2984,6 +3037,24 @@ object PipelineQueries {
       Similarity.writeIvfIndex(vecs, cents, dir)
       Similarity.deleteFromIvfIndex(s,
         vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.searchIvfIndex(s, dir, vecs.filter(col("vec_id") < 15),
+        3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // COMPACTION of the flat IVF layout (the per-cell replace loop
+    // over the float cell table); same oracle as its delete — the
+    // affected-partition rewrite must serve bit-identically to the
+    // tombstone mask it replaces.
+    "sim_ivf_compact" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_ivf_cmp")
+      Similarity.writeIvfIndex(vecs, cents, dir)
+      Similarity.deleteFromIvfIndex(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.compactIvfIndex(s, dir)
       Similarity.searchIvfIndex(s, dir, vecs.filter(col("vec_id") < 15),
         3, nprobe = 2)
         .orderBy("probe_id", "rnk")
@@ -3056,6 +3127,22 @@ object PipelineQueries {
       Similarity.writeIvfSq8Index(vecs, cents, dir)
       Similarity.deleteFromIvfSq8Index(s,
         vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.searchIvfSq8Index(s, dir,
+        vecs.filter(col("vec_id") < 15), 3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // COMPACTION of the SQ8 layout (affected-partition rewrite over
+    // the int8 cell table); same oracle as its delete.
+    "sim_sq8_compact" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_sq8_cmp")
+      Similarity.writeIvfSq8Index(vecs, cents, dir)
+      Similarity.deleteFromIvfSq8Index(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.compactIvfSq8Index(s, dir)
       Similarity.searchIvfSq8Index(s, dir,
         vecs.filter(col("vec_id") < 15), 3, nprobe = 2)
         .orderBy("probe_id", "rnk")
@@ -4213,6 +4300,8 @@ object PipelineQueries {
     // Delete leg: same replay, deleted ids masked from the code side.
     "sim_ivfpq_delete" ->
       ivfPqrSearchSqlWhere("WHERE vec_id % 7 <> 0"),
+    "sim_ivfpq_compact" ->
+      ivfPqrSearchSqlWhere("WHERE vec_id % 7 <> 0"),
 
     "sim_kmeans_step" ->
       s"""WITH $ovecsCte,
@@ -4251,6 +4340,7 @@ object PipelineQueries {
     // Same trained-IVF replay with the tombstoned ids (vec_id % 7 = 0)
     // excluded from the index side; probes untouched.
     "sim_ivf_delete" -> ivfKmeansSearchSqlWhere("AND vec_id % 7 <> 0"),
+    "sim_ivf_compact" -> ivfKmeansSearchSqlWhere("AND vec_id % 7 <> 0"),
 
     // The thresholded (range) tail over the same replay — no window.
     "sim_ivf_range" -> ivfKmeansRangeSql,
@@ -4396,11 +4486,14 @@ object PipelineQueries {
     "sim_bq_persist" -> bqRerankSql,
     "sim_bq_append" -> bqRerankSql,
     "sim_bq_delete" -> bqRerankSqlWhere("AND c.vec_id % 7 <> 0"),
+    // Compaction serves bit-identically to the mask it replaces.
+    "sim_bq_compact" -> bqRerankSqlWhere("AND c.vec_id % 7 <> 0"),
     "sim_recall_ladder" -> recallLadderSql,
     "sim_recall_curve" -> recallCurveSql,
     "sim_ivfbq_persist" -> ivfBqSqlWhere(""),
     "sim_ivfbq_append" -> ivfBqSqlWhere(""),
     "sim_ivfbq_delete" -> ivfBqSqlWhere("AND c.vec_id % 7 <> 0"),
+    "sim_ivfbq_compact" -> ivfBqSqlWhere("AND c.vec_id % 7 <> 0"),
 
     // SQ8 layout: the quantized-MIPS replay (same trained cells and
     // probe set; scoring over per-vector-scaled int8 codes).
@@ -4411,6 +4504,7 @@ object PipelineQueries {
     "sim_sq8_range" -> ivfSq8RangeSql,
     // Tombstoned ids excluded from the index side; probes untouched.
     "sim_sq8_delete" -> ivfSq8SearchSqlWhere("AND vec_id % 7 <> 0"),
+    "sim_sq8_compact" -> ivfSq8SearchSqlWhere("AND vec_id % 7 <> 0"),
 
     // Same replay with the index side restricted to even-label vectors
     // (the metadata filter); probes untouched.

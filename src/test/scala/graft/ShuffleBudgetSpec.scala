@@ -84,6 +84,7 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // code table
     "sim_bq_append" -> 2,         // identical serve over the unioned
                                   // batches
+    "sim_bq_compact" -> 2,        // compacted table, identical serve
     "sim_bq_delete" -> 2,         // same 2 — the tombstone mask is a
                                   // broadcast anti-join over the
                                   // 16-byte code rows, zero added
@@ -94,6 +95,7 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // re-rank window + output sort
     "sim_ivfbq_append" -> 6,      // identical serve over the unioned
                                   // cell partitions
+    "sim_ivfbq_compact" -> 6,     // compacted cells, identical serve
     "sim_ivfbq_delete" -> 6,      // same — the tombstone mask is a
                                   // broadcast anti-join, zero added
     // sim_recall_ladder is excluded like kmeans/MMR: it unions four
@@ -381,6 +383,7 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // flag agg + union window + ests
                                   // joins + sort — every exchange
                                   // moves profile rows, never data
+    "sim_ivf_compact" -> 5,       // compacted cells, identical serve
     "sim_ivf_delete" -> 5,        // SERVING plan — same 5 as
                                   // sim_ivf_persist: the tombstone
                                   // mask is a broadcast anti-join,
@@ -393,6 +396,7 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // probe assign + cell join + rank
                                   // window + sort; codes never re-read
                                   // the float corpus
+    "sim_sq8_compact" -> 5,       // compacted cells, identical serve
     "sim_sq8_delete" -> 5,        // same 5 — the tombstone mask is a
                                   // broadcast anti-join, zero added
     "sim_sq8_range" -> 5,         // the SQ8 serve frame minus the
@@ -437,9 +441,10 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // the broadcast shortlist, and the
                                   // distance-table subtree stays
                                   // broadcast-only
-    "sim_ivfpq_delete" -> 10)     // same serve — the tombstone mask is
+    "sim_ivfpq_delete" -> 10,     // same serve — the tombstone mask is
                                   // a broadcast anti-join, zero added
                                   // exchanges
+    "sim_ivfpq_compact" -> 10)    // compacted cells, identical serve
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
