@@ -762,6 +762,113 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-HALF sub-centroid distances — the shared assignment stage of
+    * the inverted multi-index ([[imiTopK]]). The vector splits at
+    * size/2; each half gets its own codebook (the label-mean of that
+    * half, the same deterministic training the single-level
+    * [[centroids]] uses, per half), and every row of `probeSrc` gets a
+    * rounded L2² to every sub-centroid of both halves. Output:
+    * (probe_id, sub ∈ {0,1}, clabel, d2r) — one frame serves corpus
+    * indexing (rank-1 per half) and probe expansion (top-nprobe PAIRS),
+    * so the two sides cannot diverge on the determinism contract. */
+  private[graft] def imiSubDistances(vecs: DataFrame,
+      probeSrc: DataFrame): DataFrame = {
+    val subDims = (df: DataFrame, idCol: String) => df
+      .select(col(idCol), (size(col("v")) / 2).cast("int").as("hf"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col(idCol), col("pos"), col("x"),
+        when(col("pos") < col("hf"), 0).otherwise(1).as("sub"))
+    val cents = subDims(vecs.select(col("label").as("clabel"), col("v")),
+        "clabel")
+      .groupBy(col("sub"), col("clabel"), col("pos"))
+      .agg(avg(col("x")).as("cmean"))
+    subDims(probeSrc.select(col("vec_id"), col("v")), "vec_id")
+      .withColumnRenamed("vec_id", "probe_id")
+      .join(broadcast(cents), Seq("sub", "pos"))
+      .groupBy(col("probe_id"), col("sub"), col("clabel"))
+      .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
+        .as("dist2"))
+      .select(col("probe_id"), col("sub"), col("clabel"),
+        round(col("dist2"), 6).as("d2r"))
+  }
+
+  /** Inverted multi-index (IMI) ANN — the 100 TB answer to the coarse
+    * quantizer itself becoming the bottleneck (Babenko & Lempitsky,
+    * "The Inverted Multi-Index", CVPR 2012 — public knowledge,
+    * re-derived relationally here). A single-level IVF over N vectors
+    * wants ~√N cells to keep cell scans bounded, so at 10⁹+ vectors
+    * every probe must compute ~32k centroid distances BEFORE it scans
+    * anything — the assignment step inherits the linear scan the index
+    * exists to avoid. IMI splits each vector in half and quantizes the
+    * halves independently with k sub-centroids each: k² virtual cells
+    * (the cross product) from only 2·k distance computations per probe.
+    * Here k = the label count per half (the same deterministic
+    * label-mean training every gated quantizer row uses), so 10 labels
+    * give 100 cells from 20 sub-distances.
+    *
+    * Shapes: corpus rows are indexed in the PAIR of their rank-1
+    * sub-cells (disjoint — each vector lives in exactly one virtual
+    * cell, so multi-probe candidates never duplicate); probes rank all
+    * k² pairs by the SUM of the two rounded half-distances (the
+    * multi-sequence ordering, exact here because both lists are
+    * complete) and scan the top `nprobe` pairs with exact cosine.
+    * Determinism: per-half round(d2, 6) with clabel tie-break, pair
+    * order (d2r0 + d2r1, l0, l1), cosine rounded with neighbor-id
+    * tie-break — the [[ivfTopK]] contract extended to pair keys.
+    * Scale: sub-centroids broadcast (2·k·dim doubles), the cell join
+    * keys on the (l0, l1) pair — hash-partitioned, per-task work
+    * bounded by virtual-cell occupancy × nprobe; the corpus never
+    * shuffles on the serve path (probe set broadcasts, as all external
+    * -probe serves here). With nprobe ≥ k² the probed pairs cover every
+    * indexed cell and the result equals [[bruteForceTopK]] exactly
+    * (PipelineSpec pins it). */
+  def imiTopK(vecs: DataFrame, probes: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // Corpus indexing is a pure ARGMIN per (vector, half): one hash
+    // aggregate with map-side partials — min over struct(d2r, clabel)
+    // IS the (distance asc, clabel asc) rank-1 contract, with no sort,
+    // no window, and no sub0×sub1 self-join. At 100 TB this is the
+    // pass that touches every corpus row, so it must stay one
+    // combine-friendly exchange keyed by vector id.
+    val corpusD = imiSubDistances(vecs, vecs)
+    val idx = corpusD.groupBy(col("probe_id"))
+      .agg(
+        min(when(col("sub") === 0, struct(col("d2r"), col("clabel"))))
+          .as("m0"),
+        min(when(col("sub") === 1, struct(col("d2r"), col("clabel"))))
+          .as("m1"))
+      .select(col("probe_id").as("corpus_id"),
+        col("m0.clabel").as("c0"), col("m1.clabel").as("c1"))
+    val probeD = imiSubDistances(vecs, probes)
+    val pairs = probeD.filter(col("sub") === 0)
+      .select(col("probe_id"), col("clabel").as("l0"), col("d2r").as("r0"))
+      .join(probeD.filter(col("sub") === 1)
+        .select(col("probe_id"), col("clabel").as("l1"),
+          col("d2r").as("r1")), Seq("probe_id"))
+    val wPair = Window.partitionBy(col("probe_id"))
+      .orderBy((col("r0") + col("r1")).asc, col("l0").asc, col("l1").asc)
+    val assigned = pairs.withColumn("rn", row_number().over(wPair))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("l0"), col("l1"))
+    val pb = withNorm(probes).select(col("vec_id").as("probe_id"),
+      col("v").as("pv"), col("nrm").as("pnrm"))
+    val corpus = withNorm(vecs).join(idx, col("vec_id") === col("corpus_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c0"), col("c1"))
+    val scored = broadcast(pb.join(assigned, Seq("probe_id")))
+      .join(corpus,
+        col("l0") === col("c0") && col("l1") === col("c1") &&
+          col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("l0"), col("l1"),
+        col("vec_id").as("neighbor_id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** IVF-blocked k-NN JOIN: every vector is a probe — for each of the
     * n corpus vectors, its k nearest OTHER vectors by cosine. This is
     * the all-pairs analog of [[ivfTopK]] and the operator an embedding

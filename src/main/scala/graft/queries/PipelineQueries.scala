@@ -1364,6 +1364,19 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Inverted multi-index (two independent half-vector quantizers,
+    // k² virtual cells from 2·k sub-distances): the scale path when
+    // the coarse quantizer itself outgrows a per-probe scan — see
+    // [[Similarity.imiTopK]]. nprobe=2 scans the two cell PAIRS with
+    // the smallest summed half-distances; corpus rows are indexed in
+    // their rank-1 pair, so candidates never duplicate.
+    "sim_imi_topk" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      Similarity.imiTopK(vecs, vecs.filter(col("vec_id") < 15), 3,
+          nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // IVF-blocked k-NN self-join: every vector gets its 3 nearest
     // others, scanning only its 2 nearest cells — the corpus-wide
     // embedding-linking operator. No broadcast on the corpus path:
@@ -4611,6 +4624,63 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
          |SELECT probe_id, assigned_label, neighbor_id, cos_r, rnk
+         |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    // IMI replay: per-half label-mean codebooks, rounded half-L2² with
+    // clabel tie-break, corpus indexed in its rank-1 (c0, c1) pair,
+    // probes ranked over all pairs by r0+r1 with (l0, l1) tie-break —
+    // the Scala side's exact determinism contract.
+    "sim_imi_topk" ->
+      s"""WITH vecsl AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |dims0 AS (
+         |  SELECT vec_id, label, len(v) // 2 AS hf, unnest(v) AS x,
+         |         unnest(generate_series(1, len(v))) AS pos
+         |  FROM vecsl),
+         |sdims AS (
+         |  SELECT vec_id, label, x, pos,
+         |         CASE WHEN pos <= hf THEN 0 ELSE 1 END AS sub
+         |  FROM dims0),
+         |cents AS (
+         |  SELECT sub, label AS clabel, pos, avg(x) AS cmean
+         |  FROM sdims GROUP BY sub, label, pos),
+         |d2 AS (
+         |  SELECT s.vec_id, s.sub, c.clabel,
+         |         round(sum((s.x - c.cmean) * (s.x - c.cmean)), 6) AS d2r
+         |  FROM sdims s JOIN cents c ON c.sub = s.sub AND c.pos = s.pos
+         |  GROUP BY s.vec_id, s.sub, c.clabel),
+         |best AS (
+         |  SELECT vec_id, sub, clabel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2r, clabel) AS rn FROM d2)
+         |  WHERE rn = 1),
+         |idx AS (
+         |  SELECT b0.vec_id, b0.clabel AS c0, b1.clabel AS c1
+         |  FROM best b0 JOIN best b1 USING (vec_id)
+         |  WHERE b0.sub = 0 AND b1.sub = 1),
+         |passign AS (
+         |  SELECT probe_id, l0, l1 FROM (
+         |    SELECT p0.vec_id AS probe_id, p0.clabel AS l0,
+         |           p1.clabel AS l1,
+         |           row_number() OVER (PARTITION BY p0.vec_id
+         |             ORDER BY p0.d2r + p1.d2r, p0.clabel, p1.clabel) AS rn
+         |    FROM d2 p0 JOIN d2 p1
+         |      ON p0.vec_id = p1.vec_id AND p0.sub = 0 AND p1.sub = 1
+         |    WHERE p0.vec_id < 15)
+         |  WHERE rn <= 2),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, v AS pv FROM vecsl WHERE vec_id < 15),
+         |scored AS (
+         |  SELECT a.probe_id, a.l0, a.l1, o.vec_id AS neighbor_id,
+         |         round(${cosSql("p.pv", "o.v")}, 6) AS cos_r
+         |  FROM passign a JOIN probes p USING (probe_id)
+         |  JOIN idx i ON i.c0 = a.l0 AND i.c1 = a.l1
+         |    AND i.vec_id <> a.probe_id
+         |  JOIN vecsl o ON o.vec_id = i.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
+         |SELECT probe_id, l0, l1, neighbor_id, cos_r, rnk
          |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
 
     "sim_knn_join" ->

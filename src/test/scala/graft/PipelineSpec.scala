@@ -294,6 +294,43 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.95, f"single-cell knnJoin recall degraded: $recall%.3f")
   }
 
+  test("imiTopK: exhaustive pair-probing equals brute force, one pair recovers clusters") {
+    // Same 8-center geometry. The multi-index has 8 sub-centroids per
+    // half → 64 virtual (c0, c1) cells; at nprobe = 64 every pair is
+    // probed, the union of probed cells is the whole corpus (cells are
+    // disjoint by the rank-1 pair indexing), and the serve must equal
+    // brute force EXACTLY — same rounded cosines, same tie-break. At
+    // nprobe = 1 a probe scans only its own best pair; on clustered
+    // data that pair holds its cluster, so recall stays high while the
+    // scan fraction drops to ~1/64th-granularity cells.
+    val vecs = clusteredVecs()
+    val probes = vecs.filter($"vec_id" % 100 < 2)
+    val k = 3
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(vecs.select($"vec_id", $"v"),
+        probes.select($"vec_id", $"v"), k)
+      .select($"probe_id", $"neighbor_id", $"cos_r", $"rank".as("rnk"))
+    val exhaustive = graft.operators.Similarity
+      .imiTopK(vecs, probes, k, nprobe = 64)
+      .select($"probe_id", $"neighbor_id", $"cos_r", $"rnk")
+    assert(exhaustive.collect().toSet === exact.collect().toSet,
+      "imiTopK at nprobe=all-pairs must equal brute force bit-for-bit")
+    val single = graft.operators.Similarity.imiTopK(vecs, probes, k)
+    val recall = graft.operators.Similarity.recallAtK(exact,
+        single.select($"probe_id", $"neighbor_id", $"cos_r", $"rnk"))
+      .agg(avg($"recall")).head.getDouble(0)
+    info(f"imiTopK single-pair recall@$k = $recall%.3f")
+    assert(recall >= 0.95, f"single-pair IMI recall degraded: $recall%.3f")
+    // Disjointness invariant of the pair indexing: across ALL probed
+    // cells of the exhaustive serve, no (probe, neighbor) pair may
+    // surface twice — a corpus vector lives in exactly one virtual cell.
+    val dup = graft.operators.Similarity
+      .imiTopK(vecs, probes, Int.MaxValue, nprobe = 64)
+      .groupBy($"probe_id", $"neighbor_id").count()
+      .filter($"count" > 1).count()
+    assert(dup === 0, "a corpus vector surfaced from two virtual cells")
+  }
+
   test("knnJoin recall at the SHIPPED config (nprobe=2) is >= 0.95") {
     // The gated sim_knn_join entry runs nprobe=2 (PipelineQueries) — this
     // pins the quality bound at that production setting, not only at the

@@ -75,6 +75,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "sim_bq_persist", "sim_bq_append", // same serve over the stored /
                              // appended code tables
     "sim_bq_delete",         // same serve, tombstone-masked codes
+    "sim_bq_compact",        // same serve over the physically
+                             // compacted code table (the rewrite ran
+                             // before the returned frame)
     "sim_recall_ladder",     // composes the audited brute-force + BQ
                              // shortlist shapes (broadcast probes,
                              // probe != neighbor non-equi) per rung

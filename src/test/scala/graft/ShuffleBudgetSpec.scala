@@ -173,6 +173,15 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // + pair distinct + sort
     "sim_ivf_nprobe" -> 5,          // centroid agg + assignment window +
                                     // cluster-scan window + rollup + sort
+    "sim_imi_topk" -> 11,           // sub-centroid agg + corpus sub-d2
+                                    // agg + argmin-pair agg (one
+                                    // combine-friendly exchange, no
+                                    // window) on the corpus side; the
+                                    // probe side re-prints the
+                                    // centroid/d2 subtree (ReuseExchange
+                                    // dedups at runtime) + pair-rank
+                                    // window + cell join + top-k window
+                                    // + sort
     "pipeline_temperature_mix" -> 4, // source agg (printed again under
                                      // the one-row normalizer branch;
                                      // ReuseExchange dedups) + sort
