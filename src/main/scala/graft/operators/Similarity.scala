@@ -762,27 +762,31 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Per-HALF sub-centroid distances — the shared assignment stage of
-    * the inverted multi-index ([[imiTopK]]). The vector splits at
-    * size/2; each half gets its own codebook (the label-mean of that
-    * half, the same deterministic training the single-level
-    * [[centroids]] uses, per half), and every row of `probeSrc` gets a
-    * rounded L2² to every sub-centroid of both halves. Output:
-    * (probe_id, sub ∈ {0,1}, clabel, d2r) — one frame serves corpus
-    * indexing (rank-1 per half) and probe expansion (top-nprobe PAIRS),
-    * so the two sides cannot diverge on the determinism contract. */
-  private[graft] def imiSubDistances(vecs: DataFrame,
-      probeSrc: DataFrame): DataFrame = {
-    val subDims = (df: DataFrame, idCol: String) => df
-      .select(col(idCol), (size(col("v")) / 2).cast("int").as("hf"),
-        posexplode(col("v")).as(Seq("pos", "x")))
-      .select(col(idCol), col("pos"), col("x"),
-        when(col("pos") < col("hf"), 0).otherwise(1).as("sub"))
-    val cents = subDims(vecs.select(col("label").as("clabel"), col("v")),
-        "clabel")
+  /** The vector split at size/2 into the multi-index's two halves:
+    * (id, pos, x, sub ∈ {0,1}) — the explode both codebook training
+    * and distance computation share. */
+  private def imiSubDims(df: DataFrame, idCol: String): DataFrame = df
+    .select(col(idCol), (size(col("v")) / 2).cast("int").as("hf"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    .select(col(idCol), col("pos"), col("x"),
+      when(col("pos") < col("hf"), 0).otherwise(1).as("sub"))
+
+  /** Train the two half-vector codebooks: per half, the label-mean of
+    * that half's dims — (sub, clabel, pos, cmean). Doubles, so parquet
+    * round-trips them exactly and a persisted serve is bit-identical
+    * to the in-memory one. */
+  private[graft] def imiSubCentroids(vecs: DataFrame): DataFrame =
+    imiSubDims(vecs.select(col("label").as("clabel"), col("v")), "clabel")
       .groupBy(col("sub"), col("clabel"), col("pos"))
       .agg(avg(col("x")).as("cmean"))
-    subDims(probeSrc.select(col("vec_id"), col("v")), "vec_id")
+
+  /** Rounded half-L2² of every `probeSrc` row against every
+    * sub-centroid of a GIVEN codebook table — the serve-side half of
+    * [[imiSubDistances]], shared by the in-memory path and the
+    * persisted layout (stored codebooks read back from parquet). */
+  private[graft] def imiSubDistancesAgainst(cents: DataFrame,
+      probeSrc: DataFrame): DataFrame =
+    imiSubDims(probeSrc.select(col("vec_id"), col("v")), "vec_id")
       .withColumnRenamed("vec_id", "probe_id")
       .join(broadcast(cents), Seq("sub", "pos"))
       .groupBy(col("probe_id"), col("sub"), col("clabel"))
@@ -790,6 +794,50 @@ object Similarity {
         .as("dist2"))
       .select(col("probe_id"), col("sub"), col("clabel"),
         round(col("dist2"), 6).as("d2r"))
+
+  /** Per-HALF sub-centroid distances — the shared assignment stage of
+    * the inverted multi-index ([[imiTopK]]): train the codebooks from
+    * `vecs`, then score every `probeSrc` row against both halves'
+    * sub-centroids. Output: (probe_id, sub ∈ {0,1}, clabel, d2r) — one
+    * frame serves corpus indexing ([[imiIndexCells]]) and probe
+    * expansion ([[imiProbePairs]]), so the two sides cannot diverge on
+    * the determinism contract. */
+  private[graft] def imiSubDistances(vecs: DataFrame,
+      probeSrc: DataFrame): DataFrame =
+    imiSubDistancesAgainst(imiSubCentroids(vecs), probeSrc)
+
+  /** Rank-1 (c0, c1) virtual-cell pair per vector of a sub-distance
+    * frame — the corpus indexing argmin: one combine-friendly hash
+    * aggregate, `min(struct(d2r, clabel))` per half IS the
+    * (distance asc, clabel asc) rank-1 contract with no sort, no
+    * window, no self-join. */
+  private[graft] def imiIndexCells(subD: DataFrame): DataFrame =
+    subD.groupBy(col("probe_id"))
+      .agg(
+        min(when(col("sub") === 0, struct(col("d2r"), col("clabel"))))
+          .as("m0"),
+        min(when(col("sub") === 1, struct(col("d2r"), col("clabel"))))
+          .as("m1"))
+      .select(col("probe_id").as("corpus_id"),
+        col("m0.clabel").as("c0"), col("m1.clabel").as("c1"))
+
+  /** Top-`nprobe` virtual-cell PAIRS per probe: all k² pairs ranked by
+    * the sum of the two rounded half-distances (the multi-sequence
+    * ordering, exact because both lists are complete) with (l0, l1)
+    * tie-break. */
+  private[graft] def imiProbePairs(subD: DataFrame,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = subD.filter(col("sub") === 0)
+      .select(col("probe_id"), col("clabel").as("l0"), col("d2r").as("r0"))
+      .join(subD.filter(col("sub") === 1)
+        .select(col("probe_id"), col("clabel").as("l1"),
+          col("d2r").as("r1")), Seq("probe_id"))
+    val wPair = Window.partitionBy(col("probe_id"))
+      .orderBy((col("r0") + col("r1")).asc, col("l0").asc, col("l1").asc)
+    pairs.withColumn("rn", row_number().over(wPair))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("l0"), col("l1"))
   }
 
   /** Inverted multi-index (IMI) ANN — the 100 TB answer to the coarse
@@ -824,38 +872,28 @@ object Similarity {
     * (PipelineSpec pins it). */
   def imiTopK(vecs: DataFrame, probes: DataFrame, k: Int,
       nprobe: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    // Corpus indexing is a pure ARGMIN per (vector, half): one hash
-    // aggregate with map-side partials — min over struct(d2r, clabel)
-    // IS the (distance asc, clabel asc) rank-1 contract, with no sort,
-    // no window, and no sub0×sub1 self-join. At 100 TB this is the
-    // pass that touches every corpus row, so it must stay one
-    // combine-friendly exchange keyed by vector id.
-    val corpusD = imiSubDistances(vecs, vecs)
-    val idx = corpusD.groupBy(col("probe_id"))
-      .agg(
-        min(when(col("sub") === 0, struct(col("d2r"), col("clabel"))))
-          .as("m0"),
-        min(when(col("sub") === 1, struct(col("d2r"), col("clabel"))))
-          .as("m1"))
-      .select(col("probe_id").as("corpus_id"),
-        col("m0.clabel").as("c0"), col("m1.clabel").as("c1"))
-    val probeD = imiSubDistances(vecs, probes)
-    val pairs = probeD.filter(col("sub") === 0)
-      .select(col("probe_id"), col("clabel").as("l0"), col("d2r").as("r0"))
-      .join(probeD.filter(col("sub") === 1)
-        .select(col("probe_id"), col("clabel").as("l1"),
-          col("d2r").as("r1")), Seq("probe_id"))
-    val wPair = Window.partitionBy(col("probe_id"))
-      .orderBy((col("r0") + col("r1")).asc, col("l0").asc, col("l1").asc)
-    val assigned = pairs.withColumn("rn", row_number().over(wPair))
-      .filter(col("rn") <= nprobe)
-      .select(col("probe_id"), col("l0"), col("l1"))
-    val pb = withNorm(probes).select(col("vec_id").as("probe_id"),
-      col("v").as("pv"), col("nrm").as("pnrm"))
+    // Corpus indexing is a pure ARGMIN per (vector, half) — one
+    // combine-friendly map-side-partial exchange keyed by vector id
+    // ([[imiIndexCells]]); at 100 TB this is the pass that touches
+    // every corpus row, so it must not sort, window, or self-join.
+    val idx = imiIndexCells(imiSubDistances(vecs, vecs))
+    val assigned = imiProbePairs(imiSubDistances(vecs, probes), nprobe)
     val corpus = withNorm(vecs).join(idx, col("vec_id") === col("corpus_id"))
       .select(col("vec_id"), col("v"), col("nrm"), col("c0"), col("c1"))
+    imiServe(probes, assigned, corpus, k)
+  }
+
+  /** Shared IMI serve stage: broadcast (probe, pair) rows against the
+    * pair-indexed corpus, exact cosine, top-k — the in-memory path and
+    * the persisted layout serve through this one frame so they cannot
+    * diverge on the scoring contract (rounded-cosine desc, neighbor
+    * asc). */
+  private def imiServe(probes: DataFrame, assigned: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pb = withNorm(probes).select(col("vec_id").as("probe_id"),
+      col("v").as("pv"), col("nrm").as("pnrm"))
     val scored = broadcast(pb.join(assigned, Seq("probe_id")))
       .join(corpus,
         col("l0") === col("c0") && col("l1") === col("c1") &&
@@ -867,6 +905,147 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_r").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Persist the inverted multi-index: the two half-vector codebooks
+    * to `centroids/` and the corpus — each row in its rank-1 (c0, c1)
+    * virtual cell — to `index/`, partitioned by BOTH pair keys, so a
+    * serve's (l0, l1) equi-join partition-prunes to exactly the probed
+    * pairs. `cents` is passed explicitly (an [[imiSubCentroids]]
+    * frame), the [[writeIvfIndex]] trainer-separation contract: the
+    * quantizer may be trained on a different corpus slice than the
+    * batch being indexed, which is what makes the append leg exact.
+    * Codebook means are doubles — parquet round-trips them exactly, so
+    * the persisted serve is bit-identical to [[imiTopK]] under the
+    * same codebooks (spec-pinned). */
+  def writeImiIndex(vecs: DataFrame, cents: DataFrame,
+      dir: String): Unit = {
+    clearTombstones(vecs.sparkSession, dir)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val stored = vecs.sparkSession.read.parquet(s"$dir/centroids")
+    val idx = imiIndexCells(imiSubDistancesAgainst(stored, vecs))
+    withNorm(vecs).join(idx, col("vec_id") === col("corpus_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c0"), col("c1"))
+      .write.mode("overwrite").partitionBy("c0", "c1")
+      .parquet(s"$dir/index")
+    IndexMeta.write(vecs.sparkSession, dir, "layout" -> "imi",
+      "fmt" -> "1")
+  }
+
+  /** APPEND a corpus batch to a persisted [[writeImiIndex]] layout:
+    * the batch assigns against the STORED codebooks (the quantizer is
+    * fixed once trained — FAISS's `add` contract), so write(A) then
+    * append(B) serves identically to write(A ∪ B) under the same
+    * codebooks (spec-pinned bit-for-bit). Tombstones of re-added ids
+    * are reconciled after the data append commits, same crash-window
+    * ordering as the flat layout's append. */
+  def appendImiIndex(spark: org.apache.spark.sql.SparkSession,
+      vecs2: DataFrame, dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "imi", "fmt" -> "1")
+    clearDrainedPlaceholder(spark, s"$dir/index")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val idx = imiIndexCells(imiSubDistancesAgainst(cents, vecs2))
+    withNorm(vecs2).join(idx, col("vec_id") === col("corpus_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c0"), col("c1"))
+      .write.mode("append").partitionBy("c0", "c1")
+      .parquet(s"$dir/index")
+    reconcileTombstonesAfterAppend(spark, dir,
+      vecs2.select(col("vec_id")))
+  }
+
+  /** Serve a persisted [[writeImiIndex]] layout: probes rank virtual-
+    * cell pairs against the stored codebooks ([[imiProbePairs]]) and
+    * the pair-partitioned index is joined on BOTH cell keys — the
+    * probed-pair set drives partition pruning, so the scan reads
+    * ~nprobe/k² of the corpus. Deleted ids ([[deleteFromIvfIndex]] —
+    * the tombstone table is layout-agnostic) mask via one broadcast
+    * anti-join before scoring. Same serve frame as [[imiTopK]]
+    * ([[imiServe]]), so the contract cannot diverge. */
+  def searchImiIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    IndexMeta.requireMatch(spark, dir, "layout" -> "imi", "fmt" -> "1")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val assigned = imiProbePairs(
+      imiSubDistancesAgainst(cents, probes), nprobe)
+    val idx1 = spark.read.parquet(s"$dir/index")
+    val idx = readTombstones(spark, dir)
+      .map(t => idx1.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(idx1)
+    imiServe(probes, assigned, idx, k)
+  }
+
+  /** Physically COMPACT a persisted [[writeImiIndex]] layout:
+    * rewrite only the virtual cells holding tombstoned rows and drain
+    * the tombstone table — [[compactIvfIndex]]'s affected-partition
+    * contract over the multi-index's TWO-LEVEL partitioning (the
+    * replace unit is the leaf pair dir `c0=X/c1=Y`; the parent level
+    * is only a directory shell). Reclamation must never change a
+    * result: the post-compaction serve is bit-identical to the
+    * tombstone-masked serve it replaces (oracle-gated, like every
+    * other persisted ANN layout). Same crash-window discipline:
+    * staging swept at entry, checked delete + checked rename per leaf
+    * (no rename-aside — a transient `c1=Y_old` would match the
+    * partition pattern and corrupt a concurrent partitioned read),
+    * tombstones drained to a zero-row table LAST so a crash
+    * mid-rename leaves deleted rows still masked, never unmasked. */
+  def compactImiIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    IndexMeta.requireMatch(spark, dir, "layout" -> "imi", "fmt" -> "1")
+    val fs = FsOps.fsOf(spark, dir)
+    FsOps.clearStaging(fs, dir)
+    readTombstones(spark, dir).foreach { tombs =>
+      val idx = spark.read.parquet(s"$dir/index")
+      val affected = idx.join(broadcast(tombs), Seq("vec_id"))
+        .select(col("c0"), col("c1")).distinct()
+      val rewritten = idx.join(broadcast(affected), Seq("c0", "c1"))
+        .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+      // Pair count is codebook-bounded (k²), so collecting the
+      // affected/emptied pair lists is metadata-sized — the same
+      // scale class as the rename loop itself.
+      def pairName(r: org.apache.spark.sql.Row) =
+        s"c0=${r.get(0)}/c1=${r.get(1)}"
+      val emptied = affected
+        .join(rewritten.select(col("c0"), col("c1")).distinct(),
+          Seq("c0", "c1"), "left_anti")
+        .collect().map(pairName).toSet
+      val staging = s"$dir/index_compacting"
+      rewritten.write.mode("overwrite").partitionBy("c0", "c1")
+        .parquet(staging)
+      def leafPairs(root: String): Set[String] = {
+        val rp = new Path(root)
+        if (!fs.exists(rp)) Set.empty
+        else fs.listStatus(rp).map(_.getPath)
+          .filter(_.getName.startsWith("c0=")).flatMap(p0 =>
+            fs.listStatus(p0).map(_.getPath.getName)
+              .filter(_.startsWith("c1="))
+              .map(n1 => s"${p0.getName}/$n1")).toSet
+      }
+      val stagedPairs = leafPairs(staging)
+      val livePairs = leafPairs(s"$dir/index")
+      if (emptied.nonEmpty &&
+          ((livePairs -- emptied) ++ stagedPairs).isEmpty) {
+        val emptyStaging = s"$dir/index_empty"
+        idx.limit(0).write.mode("overwrite").parquet(emptyStaging)
+        FsOps.swapInto(fs, emptyStaging, s"$dir/index")
+      } else {
+        stagedPairs.foreach { name =>
+          val dest = new Path(s"$dir/index/$name")
+          FsOps.deleteIfExists(fs, dest)
+          fs.mkdirs(dest.getParent)
+          FsOps.checkedRename(fs, new Path(s"$staging/$name"), dest)
+        }
+        emptied.foreach { name =>
+          FsOps.deleteIfExists(fs, new Path(s"$dir/index/$name"))
+        }
+      }
+      FsOps.deleteIfExists(fs, new Path(staging))
+      val tombStaging = s"$dir/tombstones_next"
+      tombs.limit(0).write.mode("overwrite").parquet(tombStaging)
+      FsOps.swapInto(fs, tombStaging, s"$dir/tombstones")
+    }
   }
 
   /** IVF-blocked k-NN JOIN: every vector is a probe — for each of the

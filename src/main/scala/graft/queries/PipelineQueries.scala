@@ -280,6 +280,59 @@ object PipelineQueries {
        |  JOIN idx i ON i.cell = a.cell
        |  JOIN codes o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id)""".stripMargin
 
+  private def imiSearchSqlWhere(idxPred: String): String =
+    s"""WITH vecsl AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims0 AS (
+       |  SELECT vec_id, label, len(v) // 2 AS hf, unnest(v) AS x,
+       |         unnest(generate_series(1, len(v))) AS pos
+       |  FROM vecsl),
+       |sdims AS (
+       |  SELECT vec_id, label, x, pos,
+       |         CASE WHEN pos <= hf THEN 0 ELSE 1 END AS sub
+       |  FROM dims0),
+       |cents AS (
+       |  SELECT sub, label AS clabel, pos, avg(x) AS cmean
+       |  FROM sdims GROUP BY sub, label, pos),
+       |d2 AS (
+       |  SELECT s.vec_id, s.sub, c.clabel,
+       |         round(sum((s.x - c.cmean) * (s.x - c.cmean)), 6) AS d2r
+       |  FROM sdims s JOIN cents c ON c.sub = s.sub AND c.pos = s.pos
+       |  GROUP BY s.vec_id, s.sub, c.clabel),
+       |best AS (
+       |  SELECT vec_id, sub, clabel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY d2r, clabel) AS rn FROM d2)
+       |  WHERE rn = 1),
+       |idx AS (
+       |  SELECT b0.vec_id, b0.clabel AS c0, b1.clabel AS c1
+       |  FROM best b0 JOIN best b1 USING (vec_id)
+       |  WHERE b0.sub = 0 AND b1.sub = 1 $idxPred),
+       |passign AS (
+       |  SELECT probe_id, l0, l1 FROM (
+       |    SELECT p0.vec_id AS probe_id, p0.clabel AS l0,
+       |           p1.clabel AS l1,
+       |           row_number() OVER (PARTITION BY p0.vec_id
+       |             ORDER BY p0.d2r + p1.d2r, p0.clabel, p1.clabel) AS rn
+       |    FROM d2 p0 JOIN d2 p1
+       |      ON p0.vec_id = p1.vec_id AND p0.sub = 0 AND p1.sub = 1
+       |    WHERE p0.vec_id < 15)
+       |  WHERE rn <= 2),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, v AS pv FROM vecsl WHERE vec_id < 15),
+       |scored AS (
+       |  SELECT a.probe_id, a.l0, a.l1, o.vec_id AS neighbor_id,
+       |         round(${cosSql("p.pv", "o.v")}, 6) AS cos_r
+       |  FROM passign a JOIN probes p USING (probe_id)
+       |  JOIN idx i ON i.c0 = a.l0 AND i.c1 = a.l1
+       |    AND i.vec_id <> a.probe_id
+       |  JOIN vecsl o ON o.vec_id = i.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT probe_id, l0, l1, neighbor_id, cos_r, rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
   private def ivfKmeansSearchSqlWhere(idxPred: String): String =
     s"""WITH $ovecsCte,
        |$kmeansCte,
@@ -1374,6 +1427,67 @@ object PipelineQueries {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
       Similarity.imiTopK(vecs, vecs.filter(col("vec_id") < 15), 3,
           nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Persisted multi-index: codebooks + pair-partitioned corpus
+    // written once, then served — bit-identical to the in-memory twin
+    // (double codebook means round-trip parquet exactly), so it shares
+    // sim_imi_topk's oracle. The serve scan partition-prunes on BOTH
+    // pair keys.
+    "sim_imi_persist" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_imi_idx")
+      Similarity.writeImiIndex(vecs, Similarity.imiSubCentroids(vecs), dir)
+      Similarity.searchImiIndex(s, dir, vecs.filter(col("vec_id") < 15),
+        3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Append leg: build on the even half, append the odd half against
+    // the STORED codebooks (trained on the full corpus — the trainer/
+    // indexer separation writeImiIndex's signature exists for); the
+    // served union must equal the monolithic build, hence the shared
+    // oracle.
+    "sim_imi_append" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_imi_app")
+      Similarity.writeImiIndex(vecs.filter(col("vec_id") % 2 === 0),
+        Similarity.imiSubCentroids(vecs), dir)
+      Similarity.appendImiIndex(s, vecs.filter(col("vec_id") % 2 === 1),
+        dir)
+      Similarity.searchImiIndex(s, dir, vecs.filter(col("vec_id") < 15),
+        3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Tombstone-delete leg: every 7th vector masked at serve via the
+    // broadcast anti-join; oracle = the shared replay with those ids
+    // excluded from the index side.
+    "sim_imi_delete" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_imi_del")
+      Similarity.writeImiIndex(vecs, Similarity.imiSubCentroids(vecs), dir)
+      Similarity.deleteFromIvfIndex(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.searchImiIndex(s, dir, vecs.filter(col("vec_id") < 15),
+        3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // COMPACTION of the multi-index (per-PAIR leaf replace over the
+    // two-level partitioning); same oracle as its delete — physical
+    // reclamation must serve bit-identically to the tombstone mask it
+    // replaces, the fleet-wide contract.
+    "sim_imi_compact" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_imi_cmp")
+      Similarity.writeImiIndex(vecs, Similarity.imiSubCentroids(vecs), dir)
+      Similarity.deleteFromIvfIndex(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.compactImiIndex(s, dir)
+      Similarity.searchImiIndex(s, dir, vecs.filter(col("vec_id") < 15),
+        3, nprobe = 2)
         .orderBy("probe_id", "rnk")
     }),
 
@@ -4629,59 +4743,15 @@ object PipelineQueries {
     // IMI replay: per-half label-mean codebooks, rounded half-L2² with
     // clabel tie-break, corpus indexed in its rank-1 (c0, c1) pair,
     // probes ranked over all pairs by r0+r1 with (l0, l1) tie-break —
-    // the Scala side's exact determinism contract.
-    "sim_imi_topk" ->
-      s"""WITH vecsl AS (
-         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |dims0 AS (
-         |  SELECT vec_id, label, len(v) // 2 AS hf, unnest(v) AS x,
-         |         unnest(generate_series(1, len(v))) AS pos
-         |  FROM vecsl),
-         |sdims AS (
-         |  SELECT vec_id, label, x, pos,
-         |         CASE WHEN pos <= hf THEN 0 ELSE 1 END AS sub
-         |  FROM dims0),
-         |cents AS (
-         |  SELECT sub, label AS clabel, pos, avg(x) AS cmean
-         |  FROM sdims GROUP BY sub, label, pos),
-         |d2 AS (
-         |  SELECT s.vec_id, s.sub, c.clabel,
-         |         round(sum((s.x - c.cmean) * (s.x - c.cmean)), 6) AS d2r
-         |  FROM sdims s JOIN cents c ON c.sub = s.sub AND c.pos = s.pos
-         |  GROUP BY s.vec_id, s.sub, c.clabel),
-         |best AS (
-         |  SELECT vec_id, sub, clabel FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-         |      ORDER BY d2r, clabel) AS rn FROM d2)
-         |  WHERE rn = 1),
-         |idx AS (
-         |  SELECT b0.vec_id, b0.clabel AS c0, b1.clabel AS c1
-         |  FROM best b0 JOIN best b1 USING (vec_id)
-         |  WHERE b0.sub = 0 AND b1.sub = 1),
-         |passign AS (
-         |  SELECT probe_id, l0, l1 FROM (
-         |    SELECT p0.vec_id AS probe_id, p0.clabel AS l0,
-         |           p1.clabel AS l1,
-         |           row_number() OVER (PARTITION BY p0.vec_id
-         |             ORDER BY p0.d2r + p1.d2r, p0.clabel, p1.clabel) AS rn
-         |    FROM d2 p0 JOIN d2 p1
-         |      ON p0.vec_id = p1.vec_id AND p0.sub = 0 AND p1.sub = 1
-         |    WHERE p0.vec_id < 15)
-         |  WHERE rn <= 2),
-         |probes AS (
-         |  SELECT vec_id AS probe_id, v AS pv FROM vecsl WHERE vec_id < 15),
-         |scored AS (
-         |  SELECT a.probe_id, a.l0, a.l1, o.vec_id AS neighbor_id,
-         |         round(${cosSql("p.pv", "o.v")}, 6) AS cos_r
-         |  FROM passign a JOIN probes p USING (probe_id)
-         |  JOIN idx i ON i.c0 = a.l0 AND i.c1 = a.l1
-         |    AND i.vec_id <> a.probe_id
-         |  JOIN vecsl o ON o.vec_id = i.vec_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
-         |SELECT probe_id, l0, l1, neighbor_id, cos_r, rnk
-         |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+    // the Scala side's exact determinism contract. Shared by the
+    // in-memory serve and the persisted/append legs (stored codebooks
+    // round-trip parquet exactly); the delete leg injects its
+    // tombstone predicate into the index CTE.
+    "sim_imi_topk" -> imiSearchSqlWhere(""),
+    "sim_imi_persist" -> imiSearchSqlWhere(""),
+    "sim_imi_append" -> imiSearchSqlWhere(""),
+    "sim_imi_delete" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),
+    "sim_imi_compact" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),
 
     "sim_knn_join" ->
       s"""WITH vecsl AS (

@@ -130,6 +130,12 @@ class IndexMetaSpec extends SparkSpec {
         d => Similarity.writeBqIndex(vecs, d),
         d => Similarity.bqRerankFromIndex(spark, d, vecs, probes)
           .collect()),
+      ("imi",
+        d => Similarity.writeImiIndex(
+          Similarity.vectors(Tables.embeddings(spark, sfDir)),
+          Similarity.imiSubCentroids(
+            Similarity.vectors(Tables.embeddings(spark, sfDir))), d),
+        d => Similarity.searchImiIndex(spark, d, probes, 3).collect()),
       ("knn_assign",
         d => Similarity.writeKnnAssignIndex(
           Similarity.vectors(Tables.embeddings(spark, sfDir)), d,

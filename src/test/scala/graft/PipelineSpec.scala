@@ -331,6 +331,66 @@ class PipelineSpec extends SparkSpec {
     assert(dup === 0, "a corpus vector surfaced from two virtual cells")
   }
 
+  test("persisted IMI index: served, appended, and deleted legs keep the in-memory contract") {
+    // Write → read → serve must not move a bit (double codebook means
+    // are parquet-exact; the serve frame is SHARED with imiTopK); the
+    // append leg must make write(A) + append(B) file-for-file
+    // equivalent to write(A ∪ B) under the same codebooks (assignment
+    // depends only on the stored codebooks); the pair-partitioned scan
+    // must be DPP-driven on the probed pairs; and a tombstoned id must
+    // vanish from every serve.
+    import graft.operators.Similarity
+    val vecs = clusteredVecs()
+    val probes = vecs.filter($"vec_id" % 100 < 2)
+    val cents = Similarity.imiSubCentroids(vecs)
+    val want = Similarity.imiTopK(vecs, probes, 3, nprobe = 2)
+      .collect().toSet
+    withTempDir("graft_imi_spec") { dir =>
+      Similarity.writeImiIndex(vecs, cents, dir)
+      val served = Similarity.searchImiIndex(spark, dir, probes, 3,
+        nprobe = 2)
+      assert(want.nonEmpty && served.collect().toSet === want,
+        "persisted IMI serve must equal the in-memory imiTopK")
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        "IMI index scan lost its dynamic partition pruning")
+      // A deleted neighbor disappears; everything else is unchanged.
+      val victim = want.head.getLong(want.head.fieldIndex("neighbor_id"))
+      Similarity.deleteFromIvfIndex(spark,
+        Seq(victim).toDF("vec_id"), dir)
+      val masked = Similarity.searchImiIndex(spark, dir, probes,
+          Int.MaxValue, nprobe = 2)
+        .select($"neighbor_id").distinct().collect().map(_.getLong(0))
+      assert(!masked.contains(victim), "tombstoned id still served")
+      // Physical compaction (per-pair leaf replace) must serve
+      // bit-identically to the mask it replaces, drop the victim's
+      // rows from disk, and drain the tombstone table to zero rows
+      // (present, so the serve reads an empty mask, not a missing
+      // path).
+      val wantMasked = Similarity.searchImiIndex(spark, dir, probes, 3,
+        nprobe = 2).collect().toSet
+      Similarity.compactImiIndex(spark, dir)
+      val compacted = Similarity.searchImiIndex(spark, dir, probes, 3,
+        nprobe = 2).collect().toSet
+      assert(compacted === wantMasked,
+        "compaction changed a served result")
+      assert(spark.read.parquet(s"$dir/index")
+        .filter($"vec_id" === victim).count() === 0,
+        "compaction left the tombstoned row's files on disk")
+      assert(spark.read.parquet(s"$dir/tombstones").count() === 0,
+        "compaction did not drain the tombstone table")
+    }
+    withTempDir("graft_imi_spec_app") { dir =>
+      Similarity.writeImiIndex(vecs.filter($"vec_id" % 2 === 0), cents, dir)
+      Similarity.appendImiIndex(spark, vecs.filter($"vec_id" % 2 === 1),
+        dir)
+      val served = Similarity.searchImiIndex(spark, dir, probes, 3,
+        nprobe = 2)
+      assert(served.collect().toSet === want,
+        "write(A) + append(B) must serve identically to write(A ∪ B)")
+    }
+  }
+
   test("knnJoin recall at the SHIPPED config (nprobe=2) is >= 0.95") {
     // The gated sim_knn_join entry runs nprobe=2 (PipelineQueries) — this
     // pins the quality bound at that production setting, not only at the

@@ -182,6 +182,21 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // dedups at runtime) + pair-rank
                                     // window + cell join + top-k window
                                     // + sort
+    "sim_imi_persist" -> 14,        // SERVING plan (codebooks + index
+                                    // written before the frame): the
+                                    // probe sub-d2 agg prints under
+                                    // both pair branches (ReuseExchange
+                                    // dedups at runtime) + pair-rank
+                                    // window + the DPP-pruned pair scan
+                                    // under the broadcast serve join +
+                                    // top-k window + sort
+    "sim_imi_append" -> 14,         // identical serve frame over the
+                                    // appended pair partitions
+    "sim_imi_delete" -> 14,         // same — the tombstone mask is a
+                                    // broadcast anti-join over the
+                                    // index rows, zero added exchanges
+    "sim_imi_compact" -> 14,        // compacted pair leaves, identical
+                                    // serve frame
     "pipeline_temperature_mix" -> 4, // source agg (printed again under
                                      // the one-row normalizer branch;
                                      // ReuseExchange dedups) + sort

@@ -1146,6 +1146,61 @@ class StreamingSpec extends SparkSpec {
       "no serve ran while the cell compaction loop was live")
   }
 
+  test("serve interleaved with PAIR-partitioned compaction (IMI): the " +
+      "two-level leaf replace windows never yield a half-swapped result") {
+    // Third swap shape in the reader contract: the multi-index
+    // compaction replaces NESTED leaf dirs (`c0=X/c1=Y`) one at a
+    // time, with parent-dir creation interleaved — more (and
+    // finer-grained) windows than the flat cell table, since k²
+    // virtual cells can be touched per compaction. Same contract:
+    // every completed serve equals the pinned masked result; a reader
+    // that catches a moved leaf fails LOUDLY and retries.
+    import graft.operators.Similarity
+    val s = spark.newSession()
+    import s.implicits._
+    val labeled = Similarity.vectors(Tables.embeddings(s, sfDir))
+    val vecs = labeled.select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 6)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_imi_compact_race").toString
+    Similarity.writeImiIndex(vecs, Similarity.imiSubCentroids(labeled),
+      dir)
+    val ids = vecs.filter($"vec_id" % 7 === 0).select($"vec_id")
+    Similarity.deleteFromIvfIndex(s, ids, dir)
+    val want = Similarity.searchImiIndex(s, dir, probes, 3, nprobe = 2)
+      .select($"probe_id", $"neighbor_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    @volatile var compacting = true
+    val compactor = new Thread(() => {
+      try {
+        for (_ <- 1 to 3) {
+          Similarity.deleteFromIvfIndex(s, ids, dir)
+          Similarity.compactImiIndex(s, dir)
+        }
+      } finally compacting = false
+    })
+    def serveOnce(): Either[String, Boolean] =
+      try Right(Similarity.searchImiIndex(s, dir, probes, 3, nprobe = 2)
+        .select($"probe_id", $"neighbor_id", $"rnk")
+        .as[(Long, Long, Int)].collect().toSet == want)
+      catch { case e: Exception => Left(e.getClass.getSimpleName) }
+    val outcomes =
+      scala.collection.mutable.ArrayBuffer[Either[String, Boolean]]()
+    compactor.start()
+    try {
+      while (compacting) outcomes += serveOnce()
+    } finally compactor.join()
+    assert(serveOnce() === Right(true),
+      "post-compaction IMI serve diverged from the pinned result")
+    val wrong = outcomes.count(_ == Right(false))
+    assert(wrong === 0,
+      s"$wrong interleaved serve(s) returned a HALF-SWAPPED result " +
+        s"over the pair-partitioned layout (outcomes: " +
+        s"${outcomes.take(20)})")
+    assert(outcomes.nonEmpty,
+      "no serve ran while the pair compaction loop was live")
+  }
+
   test("serve interleaved with SPELL-index delete rewrites: the " +
       "two-table staged swaps never yield a half-swapped result") {
     // The text-family swap shape: deleteFromSpellIndex rewrites BOTH
@@ -1417,6 +1472,45 @@ class StreamingSpec extends SparkSpec {
         nprobe = 2).collect().toSet
       assert(want.nonEmpty && got === want,
         "streamed appends must converge to the monolithic build's serve")
+    } finally q.stop()
+  }
+
+  test("streaming IMI ingest: micro-batch appendImiIndex converges to " +
+      "the monolithic build") {
+    // The multi-index under micro-batch delivery: codebooks train once
+    // (fixed — FAISS add), each arriving batch assigns to its rank-1
+    // pair against the STORED codebooks via foreachBatch, so batch
+    // boundaries cannot move any assignment and the final serve must
+    // be bit-identical to the monolithic build.
+    import graft.operators.Similarity
+    val labeled = Similarity.vectors(Tables.embeddings(spark, sfDir))
+    val vecs = labeled.select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 10)
+    val cents = Similarity.imiSubCentroids(labeled)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_imi_stream")
+    val dirMono = tmp("graft_imi_stream_mono")
+    Similarity.writeImiIndex(vecs, cents, dirMono)
+    val want = Similarity.searchImiIndex(spark, dirMono, probes, 3,
+      nprobe = 2).collect().toSet
+    Similarity.writeImiIndex(vecs.filter($"vec_id" % 3 === 0), cents, dir)
+    val in = MemoryStream[(Long, Seq[Double])](spark)
+    val q = in.toDF().toDF("vec_id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) Similarity.appendImiIndex(spark, batch, dir)
+        ()
+      }.start()
+    try {
+      val rows = vecs.filter($"vec_id" % 3 =!= 0)
+        .as[(Long, Seq[Double])].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = Similarity.searchImiIndex(spark, dir, probes, 3,
+        nprobe = 2).collect().toSet
+      assert(want.nonEmpty && got === want,
+        "streamed IMI appends must converge to the monolithic build")
     } finally q.stop()
   }
 
