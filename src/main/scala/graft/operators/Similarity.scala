@@ -1944,6 +1944,67 @@ object Similarity {
       .select(col("probe_id"), col("cid"), col("rn"))
   }
 
+  /** Rounded L2² of every `src` row against every trained centroid —
+    * (probe_id, cid, d2r): [[trainedAssignRanked]]'s distance frame
+    * WITHOUT the rank cut, for consumers that rank a composition of
+    * distances rather than one list (the trained multi-index ranks
+    * PAIRS by the sum of two half-distances). Same determinism
+    * contract: 6-dp-rounded distance, cid tie-break downstream. */
+  private def trainedDistances(src: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val cells = cents.select(col("cid"), (col("dim") - 1).as("pos"),
+      col("cmean"))
+    src.select(col("vec_id").as("probe_id"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .join(broadcast(cells), Seq("pos"))
+      .groupBy(col("probe_id"), col("cid"))
+      .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
+        .as("dist2"))
+      .select(col("probe_id"), col("cid"), round(col("dist2"), 6).as("d2r"))
+  }
+
+  /** The PRODUCTION multi-index: [[imiTopK]] with the half codebooks
+    * trained by hash-seeded Lloyd ([[kmeansTrain]] per half) instead of
+    * label means — train → index → search with no labels anywhere, the
+    * same composition step [[ivfSearchTrained]] makes for the single-
+    * level family. Each half trains independently on its slice of the
+    * corpus (k sub-centroids per half, k² virtual cells from 2·k
+    * distances per probe); corpus rows index in their rank-1 pair,
+    * probes rank pairs by the summed rounded half-distances with
+    * (l0, l1) tie-break, and the serve is the shared [[imiServe]]
+    * frame. Trajectories are bit-reproducible against the sequential
+    * SQL replay (kmeansTrain's contract), so the gated row is exact.
+    * 100 TB: the half slices are projections, both trainings are the
+    * standard Lloyd shape, and the pair-keyed serve is [[imiTopK]]'s. */
+  def imiTrainedTopK(vecs: DataFrame, probes: DataFrame, k: Int,
+      kSub: Int = 8, iters: Int = 2, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val half = (df: DataFrame, sub: Int) => df.select(col("vec_id"),
+      (if (sub == 0)
+        expr("slice(v, 1, cast(size(v) / 2 as int))")
+      else
+        expr("slice(v, cast(size(v) / 2 as int) + 1, " +
+          "size(v) - cast(size(v) / 2 as int))")).as("v"))
+    // Each half's trained quantizer feeds BOTH the corpus-index and
+    // the probe-assignment branches; localCheckpoint materializes the
+    // kSub×dim means once so each Lloyd trajectory runs once per
+    // query, not once per consuming branch (the recall curve's
+    // measured discipline — values identical, eager cut accepted for
+    // a quantizer-bounded table).
+    val cents = Seq(0, 1).map(s =>
+      kmeansTrain(half(vecs, s), kSub, iters).localCheckpoint())
+    val subD = (src: DataFrame) => Seq(0, 1).map(s =>
+      trainedDistances(half(src, s), cents(s))
+        .select(col("probe_id"), lit(s).as("sub"),
+          col("cid").as("clabel"), col("d2r")))
+      .reduce(_ unionByName _)
+    val idx = imiIndexCells(subD(vecs))
+    val assigned = imiProbePairs(subD(probes), nprobe)
+    val corpus = withNorm(vecs).join(idx, col("vec_id") === col("corpus_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c0"), col("c1"))
+    imiServe(probes, assigned, corpus, k)
+  }
+
   /** Per-probe probed-cell OCCUPANCY up to `nprobe` — (probe_id, rn,
     * cell_n): the probe's rank-rn cell holds cell_n corpus vectors.
     * This is the exact-integer frame the recall curve turns into

@@ -1153,6 +1153,99 @@ object PipelineQueries {
       |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS cmean
       |  FROM dims JOIN a2 USING (vec_id) GROUP BY cid, pos)""".stripMargin
 
+  /** One half's hash-seeded Lloyd chain (k=8, iters=2) for the
+    * TRAINED multi-index replay — [[kmeansCte]] instantiated over the
+    * half's positions of the shared `hdims` explode, every CTE
+    * prefixed so the two halves' trajectories coexist in one query.
+    * The Scala side trains on RE-BASED half slices while this replay
+    * keeps absolute positions: position labels are only join keys
+    * WITHIN a half, so distances, means, and the whole trajectory are
+    * identical. Ends in `<p>df`: every vector's rounded L2² to every
+    * final sub-centroid of that half. */
+  private def kmeansHalfCte(p: String, posPred: String): String = {
+    def means(name: String, assign: String) =
+      s"""${p}$name AS (
+         |  SELECT a.cid, pos, count(*) AS n,
+         |    round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS cmean
+         |  FROM ${p}dims JOIN $assign a USING (vec_id) GROUP BY a.cid, pos)"""
+    def dist(name: String, cents: String) =
+      s"""${p}$name AS (
+         |  SELECT d.vec_id, c.cid, sum((x - cmean) * (x - cmean)) AS dist2
+         |  FROM ${p}dims d JOIN ${p}$cents c USING (pos)
+         |  GROUP BY d.vec_id, c.cid)"""
+    def argmin(name: String, d: String) =
+      s"""${p}$name AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY round(dist2, 6), cid) AS rn FROM ${p}$d)
+         |  WHERE rn = 1)"""
+    s"""${p}dims AS (
+       |  SELECT vec_id, x, pos FROM hdims WHERE $posPred),
+       |${means("c0", "seed")},
+       |${dist("d1", "c0")},
+       |${argmin("a1", "d1")},
+       |${means("c1", s"${p}a1")},
+       |${dist("d2", "c1")},
+       |${argmin("a2", "d2")},
+       |${means("c2", s"${p}a2")},
+       |${p}df AS (
+       |  SELECT d.vec_id, c.cid,
+       |         round(sum((x - cmean) * (x - cmean)), 6) AS d2r
+       |  FROM ${p}dims d JOIN ${p}c2 c USING (pos)
+       |  GROUP BY d.vec_id, c.cid)""".stripMargin
+  }
+
+  /** Replay of the TRAINED multi-index (sim_imi_kmeans): two
+    * independent half-Lloyd trajectories ([[kmeansHalfCte]]), corpus
+    * indexed in its rank-1 (c0, c1) pair, probes ranked over all pairs
+    * by summed rounded half-distances, exact-cosine serve — the
+    * production composition's exact contract. */
+  private val imiKmeansSearchSql: String =
+    s"""WITH $ovecsCte,
+       |hdims AS (
+       |  SELECT vec_id, unnest(v) AS x,
+       |         unnest(generate_series(1, len(v))) AS pos,
+       |         len(v) // 2 AS hf
+       |  FROM ovecs),
+       |seed AS (
+       |  SELECT vec_id,
+       |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 3)) AS INTEGER) % 8 AS cid
+       |  FROM ovecs),
+       |${kmeansHalfCte("h0", "pos <= hf")},
+       |${kmeansHalfCte("h1", "pos > hf")},
+       |idx AS (
+       |  SELECT i0.vec_id, i0.cid AS c0, i1.cid AS c1 FROM
+       |    (SELECT vec_id, cid FROM (
+       |       SELECT *, row_number() OVER (PARTITION BY vec_id
+       |         ORDER BY d2r, cid) AS rn FROM h0df) WHERE rn = 1) i0
+       |  JOIN
+       |    (SELECT vec_id, cid FROM (
+       |       SELECT *, row_number() OVER (PARTITION BY vec_id
+       |         ORDER BY d2r, cid) AS rn FROM h1df) WHERE rn = 1) i1
+       |  USING (vec_id)),
+       |passign AS (
+       |  SELECT probe_id, l0, l1 FROM (
+       |    SELECT p0.vec_id AS probe_id, p0.cid AS l0, p1.cid AS l1,
+       |           row_number() OVER (PARTITION BY p0.vec_id
+       |             ORDER BY p0.d2r + p1.d2r, p0.cid, p1.cid) AS rn
+       |    FROM h0df p0 JOIN h1df p1 ON p0.vec_id = p1.vec_id
+       |    WHERE p0.vec_id < 15)
+       |  WHERE rn <= 2),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, v AS pv FROM ovecs WHERE vec_id < 15),
+       |scored AS (
+       |  SELECT a.probe_id, a.l0, a.l1, o.vec_id AS neighbor_id,
+       |         round(${cosSql("p.pv", "o.v")}, 6) AS cos_r
+       |  FROM passign a JOIN probes p USING (probe_id)
+       |  JOIN idx i ON i.c0 = a.l0 AND i.c1 = a.l1
+       |    AND i.vec_id <> a.probe_id
+       |  JOIN ovecs o ON o.vec_id = i.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT probe_id, l0, l1, neighbor_id, cos_r, rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
   /** Fused-pipeline replay: resize(2) → gray → histogram(8) in closed
     * form — 12 ord terms and 4 nested floors per gray pixel, then the
     * bucket rollup over the zero-including grid. Shared by
@@ -1427,6 +1520,17 @@ object PipelineQueries {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
       Similarity.imiTopK(vecs, vecs.filter(col("vec_id") < 15), 3,
           nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // The TRAINED multi-index — train → index → search with no labels
+    // anywhere (hash-seeded Lloyd per half, the production
+    // composition, sim_ivf_kmeans's analog at the two-level shape).
+    "sim_imi_kmeans" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.imiTrainedTopK(vecs, vecs.filter(col("vec_id") < 15),
+          3, kSub = 8, iters = 2, nprobe = 2)
         .orderBy("probe_id", "rnk")
     }),
 
@@ -4752,6 +4856,7 @@ object PipelineQueries {
     "sim_imi_append" -> imiSearchSqlWhere(""),
     "sim_imi_delete" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),
     "sim_imi_compact" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),
+    "sim_imi_kmeans" -> imiKmeansSearchSql,
 
     "sim_knn_join" ->
       s"""WITH vecsl AS (

@@ -331,6 +331,38 @@ class PipelineSpec extends SparkSpec {
     assert(dup === 0, "a corpus vector surfaced from two virtual cells")
   }
 
+  test("imiTrainedTopK: exhaustive pair-probing equals brute force, one pair recovers clusters") {
+    // The production (label-free) multi-index on the same 8-center
+    // geometry: two independently-trained half-quantizers (hash-seeded
+    // Lloyd, k=8 per half). At nprobe = 64 every virtual pair is
+    // probed and the serve must equal brute force exactly; at
+    // nprobe = 1 the trained pair still recovers the clusters (the
+    // centers' half-patterns are distinct, so each half's Lloyd
+    // converges onto them).
+    val vecs = clusteredVecs()
+    val probes = vecs.filter($"vec_id" % 100 < 2)
+    val k = 3
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(vecs.select($"vec_id", $"v"),
+        probes.select($"vec_id", $"v"), k)
+      .select($"probe_id", $"neighbor_id", $"cos_r", $"rank".as("rnk"))
+    val exhaustive = graft.operators.Similarity
+      .imiTrainedTopK(vecs.select($"vec_id", $"v"),
+        probes.select($"vec_id", $"v"), k, kSub = 8, iters = 2,
+        nprobe = 64)
+      .select($"probe_id", $"neighbor_id", $"cos_r", $"rnk")
+    assert(exhaustive.collect().toSet === exact.collect().toSet,
+      "trained IMI at nprobe=all-pairs must equal brute force bit-for-bit")
+    val single = graft.operators.Similarity
+      .imiTrainedTopK(vecs.select($"vec_id", $"v"),
+        probes.select($"vec_id", $"v"), k, kSub = 8, iters = 2)
+    val recall = graft.operators.Similarity.recallAtK(exact,
+        single.select($"probe_id", $"neighbor_id", $"cos_r", $"rnk"))
+      .agg(avg($"recall")).head.getDouble(0)
+    info(f"imiTrainedTopK single-pair recall@$k = $recall%.3f")
+    assert(recall >= 0.90, f"trained single-pair IMI recall degraded: $recall%.3f")
+  }
+
   test("persisted IMI index: served, appended, and deleted legs keep the in-memory contract") {
     // Write → read → serve must not move a bit (double codebook means
     // are parquet-exact; the serve frame is SHARED with imiTopK); the

@@ -197,6 +197,14 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // index rows, zero added exchanges
     "sim_imi_compact" -> 14,        // compacted pair leaves, identical
                                     // serve frame
+    "sim_imi_kmeans" -> 10,         // the two half-Lloyd trajectories
+                                    // are localCheckpointed (run once,
+                                    // cut from the printed plan — was
+                                    // 37 textual with live lineage);
+                                    // what remains is the serve: two
+                                    // half-d2 aggs + argmin-pair agg +
+                                    // pair-rank window + cell join +
+                                    // top-k window + sort
     "pipeline_temperature_mix" -> 4, // source agg (printed again under
                                      // the one-row normalizer branch;
                                      // ReuseExchange dedups) + sort
