@@ -826,6 +826,15 @@ object Similarity {
     * ordering, exact because both lists are complete) with (l0, l1)
     * tie-break. */
   private[graft] def imiProbePairs(subD: DataFrame,
+      nprobe: Int): DataFrame =
+    imiProbePairsRanked(subD, nprobe)
+      .select(col("probe_id"), col("l0"), col("l1"))
+
+  /** [[imiProbePairs]] with the pair RANK retained — (probe_id, l0,
+    * l1, rn) — so a multi-nprobe enumeration (the recall curve) can
+    * scope one pair-ranking pass per operating point with a filter
+    * instead of re-ranking. */
+  private[graft] def imiProbePairsRanked(subD: DataFrame,
       nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = subD.filter(col("sub") === 0)
@@ -837,7 +846,7 @@ object Similarity {
       .orderBy((col("r0") + col("r1")).asc, col("l0").asc, col("l1").asc)
     pairs.withColumn("rn", row_number().over(wPair))
       .filter(col("rn") <= nprobe)
-      .select(col("probe_id"), col("l0"), col("l1"))
+      .select(col("probe_id"), col("l0"), col("l1"), col("rn"))
   }
 
   /** Inverted multi-index (IMI) ANN — the 100 TB answer to the coarse
@@ -1976,33 +1985,98 @@ object Similarity {
     * SQL replay (kmeansTrain's contract), so the gated row is exact.
     * 100 TB: the half slices are projections, both trainings are the
     * standard Lloyd shape, and the pair-keyed serve is [[imiTopK]]'s. */
-  def imiTrainedTopK(vecs: DataFrame, probes: DataFrame, k: Int,
-      kSub: Int = 8, iters: Int = 2, nprobe: Int = 1): DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val half = (df: DataFrame, sub: Int) => df.select(col("vec_id"),
+  /** One vector half as a (vec_id, v) frame — sub 0 = the leading
+    * size/2 dims, sub 1 = the rest. Positions re-base to 0 within the
+    * slice; they are only join keys within a half, so distances and
+    * Lloyd trajectories are unchanged by the re-basing. */
+  private def imiHalf(df: DataFrame, sub: Int): DataFrame =
+    df.select(col("vec_id"),
       (if (sub == 0)
         expr("slice(v, 1, cast(size(v) / 2 as int))")
       else
         expr("slice(v, cast(size(v) / 2 as int) + 1, " +
           "size(v) - cast(size(v) / 2 as int))")).as("v"))
-    // Each half's trained quantizer feeds BOTH the corpus-index and
-    // the probe-assignment branches; localCheckpoint materializes the
-    // kSub×dim means once so each Lloyd trajectory runs once per
-    // query, not once per consuming branch (the recall curve's
-    // measured discipline — values identical, eager cut accepted for
-    // a quantizer-bounded table).
-    val cents = Seq(0, 1).map(s =>
-      kmeansTrain(half(vecs, s), kSub, iters).localCheckpoint())
-    val subD = (src: DataFrame) => Seq(0, 1).map(s =>
-      trainedDistances(half(src, s), cents(s))
+
+  /** Train both half-quantizers by hash-seeded Lloyd. Each trained
+    * table feeds BOTH the corpus-index and the probe-assignment
+    * branches; localCheckpoint materializes the kSub×dim means once so
+    * each trajectory runs once per query, not once per consuming
+    * branch (the recall curve's measured discipline — values
+    * identical, eager cut accepted for a quantizer-bounded table). */
+  private def imiTrainedCents(vecs: DataFrame, kSub: Int,
+      iters: Int): Seq[DataFrame] =
+    Seq(0, 1).map(s =>
+      kmeansTrain(imiHalf(vecs, s), kSub, iters).localCheckpoint())
+
+  /** Sub-distance frame of `src` against TRAINED half-quantizers —
+    * the label-free analog of [[imiSubDistancesAgainst]], same
+    * (probe_id, sub, clabel, d2r) shape so the pair/argmin helpers
+    * serve both trainings. */
+  private def imiTrainedSubD(cents: Seq[DataFrame],
+      src: DataFrame): DataFrame =
+    Seq(0, 1).map(s =>
+      trainedDistances(imiHalf(src, s), cents(s))
         .select(col("probe_id"), lit(s).as("sub"),
           col("cid").as("clabel"), col("d2r")))
       .reduce(_ unionByName _)
-    val idx = imiIndexCells(subD(vecs))
-    val assigned = imiProbePairs(subD(probes), nprobe)
+
+  def imiTrainedTopK(vecs: DataFrame, probes: DataFrame, k: Int,
+      kSub: Int = 8, iters: Int = 2, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = imiTrainedCents(vecs, kSub, iters)
+    val idx = imiIndexCells(imiTrainedSubD(cents, vecs))
+    val assigned = imiProbePairs(imiTrainedSubD(cents, probes), nprobe)
     val corpus = withNorm(vecs).join(idx, col("vec_id") === col("corpus_id"))
       .select(col("vec_id"), col("v"), col("nrm"), col("c0"), col("c1"))
     imiServe(probes, assigned, corpus, k)
+  }
+
+  /** Recall-vs-bytes operating points of the TRAINED multi-index —
+    * the IMI counterpart of the single-level recall curve: for each
+    * nprobe the exact-integer recall overlap against brute force and
+    * the exact bytes a float serve reads (candidates × 512 B at the
+    * 64-dim corpus — the DPP contract over the pair-partitioned
+    * layout: candidates = Σ probed-pair occupancy − self; the probe's
+    * own index pair is ALWAYS its rank-1 pair because the pair
+    * ordering separates — min(r0 + r1) is attained at the two per-half
+    * argmins, ties resolved lexicographically on both sides — so the
+    * self row is subtracted unconditionally). Why this artifact
+    * matters at 100 TB: at equal nprobe the IMI probes k² -granular
+    * cells, so its candidate set (and bytes) per operating point is
+    * ~k× smaller than the single-level curve's — this is the frame a
+    * deployment reads to pick the two-level rung. One shared pair
+    * ranking serves all operating points (rank once, filter per np);
+    * both trainings run once ([[imiTrainedCents]]). */
+  def imiRecallCurve(vecs: DataFrame, probes: DataFrame, k: Int,
+      kSub: Int = 8, iters: Int = 2,
+      nps: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val cents = imiTrainedCents(vecs, kSub, iters)
+    val idx = imiIndexCells(imiTrainedSubD(cents, vecs))
+    val pairSizes = idx.groupBy(col("c0"), col("c1"))
+      .agg(count(lit(1)).as("pair_n"))
+    val ranked = imiProbePairsRanked(imiTrainedSubD(cents, probes),
+      nps.max)
+    val corpus = withNorm(vecs).join(idx, col("vec_id") === col("corpus_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c0"), col("c1"))
+    val bf = bruteForceTopK(vecs, probes, k)
+    val rungs = nps.map { np =>
+      val assigned = ranked.filter(col("rn") <= np)
+        .select(col("probe_id"), col("l0"), col("l1"))
+      recallAtK(bf, imiServe(probes, assigned, corpus, k))
+        .select(lit(np).as("np"), col("probe_id"), col("hits"),
+          col("n_exact"))
+    }.reduce(_ unionByName _)
+    val cand = nps.map { np =>
+      ranked.filter(col("rn") <= np)
+        .join(broadcast(pairSizes),
+          col("l0") === col("c0") && col("l1") === col("c1"))
+        .groupBy(col("probe_id"))
+        .agg((sum(col("pair_n")) - 1L).as("cand"))
+        .select(lit(np).as("np"), col("probe_id"), col("cand"))
+    }.reduce(_ unionByName _)
+    rungs.join(cand, Seq("np", "probe_id"))
+      .select(col("np"), col("probe_id"), col("hits"), col("n_exact"),
+        col("cand"), (col("cand") * 512L).as("bytes_scanned"))
   }
 
   /** Per-probe probed-cell OCCUPANCY up to `nprobe` — (probe_id, rn,

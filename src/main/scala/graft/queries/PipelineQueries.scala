@@ -1246,6 +1246,85 @@ object PipelineQueries {
        |SELECT probe_id, l0, l1, neighbor_id, cos_r, rnk
        |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
 
+  /** Replay of the trained multi-index's recall-vs-bytes curve
+    * (sim_imi_curve): the two half-Lloyd trajectories, the rank-1 pair
+    * index and its occupancy table, a single pair ranking filtered per
+    * operating point, exact-cosine serves, and the exact-integer
+    * overlap vs brute force — bytes = (Σ probed-pair occupancy − 1)
+    * × 512 B (the probe's own index pair is always its rank-1 pair:
+    * min(r0 + r1) separates into the two per-half argmins, ties
+    * resolved lexicographically on both sides). */
+  private val imiCurveSql: String =
+    s"""WITH $ovecsCte,
+       |hdims AS (
+       |  SELECT vec_id, unnest(v) AS x,
+       |         unnest(generate_series(1, len(v))) AS pos,
+       |         len(v) // 2 AS hf
+       |  FROM ovecs),
+       |seed AS (
+       |  SELECT vec_id,
+       |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 3)) AS INTEGER) % 8 AS cid
+       |  FROM ovecs),
+       |${kmeansHalfCte("h0", "pos <= hf")},
+       |${kmeansHalfCte("h1", "pos > hf")},
+       |idx AS (
+       |  SELECT i0.vec_id, i0.cid AS c0, i1.cid AS c1 FROM
+       |    (SELECT vec_id, cid FROM (
+       |       SELECT *, row_number() OVER (PARTITION BY vec_id
+       |         ORDER BY d2r, cid) AS rn FROM h0df) WHERE rn = 1) i0
+       |  JOIN
+       |    (SELECT vec_id, cid FROM (
+       |       SELECT *, row_number() OVER (PARTITION BY vec_id
+       |         ORDER BY d2r, cid) AS rn FROM h1df) WHERE rn = 1) i1
+       |  USING (vec_id)),
+       |psize AS (SELECT c0, c1, count(*) AS pair_n FROM idx
+       |          GROUP BY c0, c1),
+       |pairsr AS (
+       |  SELECT p0.vec_id AS probe_id, p0.cid AS l0, p1.cid AS l1,
+       |         row_number() OVER (PARTITION BY p0.vec_id
+       |           ORDER BY p0.d2r + p1.d2r, p0.cid, p1.cid) AS rn
+       |  FROM h0df p0 JOIN h1df p1 ON p0.vec_id = p1.vec_id
+       |  WHERE p0.vec_id < 10),
+       |nps AS (SELECT unnest([1, 2, 4, 8]) AS np),
+       |pa AS (SELECT n.np, p.probe_id, p.l0, p.l1 FROM nps n
+       |       JOIN pairsr p ON p.rn <= n.np),
+       |bfs AS (
+       |  SELECT p.vec_id AS probe_id, o.vec_id AS neighbor_id,
+       |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |  FROM ovecs p, ovecs o
+       |  WHERE p.vec_id < 10 AND o.vec_id <> p.vec_id),
+       |bf AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM bfs)
+       |  WHERE rnk <= 3),
+       |nss AS (SELECT probe_id, count(*) AS n_exact FROM bf
+       |        GROUP BY probe_id),
+       |imis AS (
+       |  SELECT a.np, a.probe_id, o.vec_id AS neighbor_id,
+       |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |  FROM pa a JOIN ovecs p ON p.vec_id = a.probe_id
+       |  JOIN idx i ON i.c0 = a.l0 AND i.c1 = a.l1
+       |    AND i.vec_id <> a.probe_id
+       |  JOIN ovecs o ON o.vec_id = i.vec_id),
+       |imi AS (SELECT np, probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY np, probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM imis)
+       |  WHERE rnk <= 3),
+       |hitsc AS (
+       |  SELECT i.np, i.probe_id, count(*) AS hits
+       |  FROM imi i JOIN bf b USING (probe_id, neighbor_id)
+       |  GROUP BY i.np, i.probe_id),
+       |cand AS (
+       |  SELECT a.np, a.probe_id,
+       |         CAST(sum(s.pair_n) - 1 AS BIGINT) AS cand
+       |  FROM pa a JOIN psize s ON s.c0 = a.l0 AND s.c1 = a.l1
+       |  GROUP BY a.np, a.probe_id)
+       |SELECT c.np, c.probe_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |       n.n_exact, c.cand, c.cand * 512 AS bytes_scanned
+       |FROM cand c JOIN nss n ON n.probe_id = c.probe_id
+       |LEFT JOIN hitsc h ON h.np = c.np AND h.probe_id = c.probe_id
+       |ORDER BY c.np, c.probe_id""".stripMargin
+
   /** Fused-pipeline replay: resize(2) → gray → histogram(8) in closed
     * form — 12 ord terms and 4 nested floors per gray pixel, then the
     * bucket rollup over the zero-including grid. Shared by
@@ -1532,6 +1611,20 @@ object PipelineQueries {
       Similarity.imiTrainedTopK(vecs, vecs.filter(col("vec_id") < 15),
           3, kSub = 8, iters = 2, nprobe = 2)
         .orderBy("probe_id", "rnk")
+    }),
+
+    // Recall-vs-bytes operating points of the trained multi-index —
+    // the IMI counterpart of sim_recall_curve: exact-integer recall
+    // overlap and exact bytes per serve (candidates × 512 B over the
+    // pair-partitioned layout) at nprobe ∈ {1,2,4,8}. At equal nprobe
+    // the IMI's candidate set is ~k× smaller than the single-level
+    // curve's (k²-granular cells) — the frame a deployment reads to
+    // pick the two-level rung.
+    "sim_imi_curve" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      Similarity.imiRecallCurve(vecs, vecs.filter(col("vec_id") < 10), 3)
+        .orderBy("np", "probe_id")
     }),
 
     // Persisted multi-index: codebooks + pair-partitioned corpus
@@ -4857,6 +4950,7 @@ object PipelineQueries {
     "sim_imi_delete" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),
     "sim_imi_compact" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),
     "sim_imi_kmeans" -> imiKmeansSearchSql,
+    "sim_imi_curve" -> imiCurveSql,
 
     "sim_knn_join" ->
       s"""WITH vecsl AS (
