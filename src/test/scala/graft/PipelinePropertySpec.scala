@@ -258,6 +258,42 @@ class PipelinePropertySpec extends SparkSpec {
       s"guarded (${guarded.size}) must equal plain (${plain.size}) bit-for-bit")
   }
 
+  test("property: IMI exhaustive pair probing equals brute force on " +
+      "random corpora, odd and even dims") {
+    // The multi-index splits at size/2 — the odd-dimension case gives
+    // the two halves DIFFERENT widths, exactly where a slice
+    // off-by-one would silently drop or duplicate a dimension. With
+    // every virtual pair probed the cells partition the corpus, so
+    // the serve must equal brute force bit-for-bit regardless of
+    // geometry; and the rank-1 pair indexing must place every corpus
+    // vector in exactly one cell (no duplicate candidates).
+    val rnd = new scala.util.Random(13)
+    for (dim <- Seq(5, 8, 13)) {
+      val vecs = (0L until 60L)
+        .map(i => (i, (i % 4).toInt,
+          Array.fill(dim)(rnd.nextGaussian()).toSeq))
+        .toDF("vec_id", "label", "v")
+      val probes = vecs.filter($"vec_id" < 8)
+      val k = 4
+      val exact = graft.operators.Similarity
+        .bruteForceTopK(vecs.select($"vec_id", $"v"),
+          probes.select($"vec_id", $"v"), k)
+        .select($"probe_id", $"neighbor_id", $"cos_r", $"rank".as("rnk"))
+        .collect().toSet
+      val got = graft.operators.Similarity
+        .imiTopK(vecs, probes, k, nprobe = 16)
+        .select($"probe_id", $"neighbor_id", $"cos_r", $"rnk")
+        .collect().toSet
+      assert(got === exact,
+        s"dim=$dim: exhaustive IMI diverged from brute force")
+      val dup = graft.operators.Similarity
+        .imiTopK(vecs, probes, Int.MaxValue, nprobe = 16)
+        .groupBy($"probe_id", $"neighbor_id").count()
+        .filter($"count" > 1).count()
+      assert(dup === 0, s"dim=$dim: a vector surfaced from two cells")
+    }
+  }
+
   test("property: feature histograms are per-channel distributions " +
       "(non-negative, each channel sums to 1)") {
     import graft.functions.RasterKernel

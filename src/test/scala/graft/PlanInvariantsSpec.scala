@@ -84,6 +84,11 @@ class PlanInvariantsSpec extends SparkSpec {
     "sim_recall_curve",      // the ladder's shapes × nprobe operating
                              // points — same audited brute-force
                              // exact-baseline + shortlist non-equis
+    "sim_imi_curve",         // the multi-index curve: the same
+                             // audited brute-force exact baseline
+                             // (broadcast probes, probe != neighbor
+                             // non-equi); every serve leg is a pair
+                             // equi-join
     "mm_feature_knn"         // the audited brute-force shape over
                              // kernel-extracted feature vectors
                              // (broadcast probes, probe != neighbor
