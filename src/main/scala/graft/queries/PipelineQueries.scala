@@ -3154,6 +3154,13 @@ object PipelineQueries {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"))
       val probes = vecs.filter(col("vec_id") < 10)
+      // Four rungs consume one trained quantizer as LIVE lineage —
+      // measured faster than a localCheckpoint here (2.3–2.7 vs
+      // 2.9–3.1 s at sf0.1): the rungs' trained-cells subtrees are
+      // identical, so runtime ReuseExchange already dedups them and
+      // the eager cut only adds a materialization. Contrast
+      // sim_ivfpqr_topk, whose residual chains consume the quantizer
+      // through NON-identical subtrees — there the checkpoint won.
       val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
       val bf = Similarity.bruteForceTopK(vecs, probes, 3)
       def rung(layout: String,
