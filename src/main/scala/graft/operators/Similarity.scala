@@ -1981,19 +1981,6 @@ object Similarity {
       .select(col("probe_id"), col("cid"), round(col("dist2"), 6).as("d2r"))
   }
 
-  /** The PRODUCTION multi-index: [[imiTopK]] with the half codebooks
-    * trained by hash-seeded Lloyd ([[kmeansTrain]] per half) instead of
-    * label means — train → index → search with no labels anywhere, the
-    * same composition step [[ivfSearchTrained]] makes for the single-
-    * level family. Each half trains independently on its slice of the
-    * corpus (k sub-centroids per half, k² virtual cells from 2·k
-    * distances per probe); corpus rows index in their rank-1 pair,
-    * probes rank pairs by the summed rounded half-distances with
-    * (l0, l1) tie-break, and the serve is the shared [[imiServe]]
-    * frame. Trajectories are bit-reproducible against the sequential
-    * SQL replay (kmeansTrain's contract), so the gated row is exact.
-    * 100 TB: the half slices are projections, both trainings are the
-    * standard Lloyd shape, and the pair-keyed serve is [[imiTopK]]'s. */
   /** One vector half as a (vec_id, v) frame — sub 0 = the leading
     * size/2 dims, sub 1 = the rest. Positions re-base to 0 within the
     * slice; they are only join keys within a half, so distances and
@@ -2029,6 +2016,19 @@ object Similarity {
           col("cid").as("clabel"), col("d2r")))
       .reduce(_ unionByName _)
 
+  /** The PRODUCTION multi-index: [[imiTopK]] with the half codebooks
+    * trained by hash-seeded Lloyd ([[kmeansTrain]] per half) instead of
+    * label means — train → index → search with no labels anywhere, the
+    * same composition step [[ivfSearchTrained]] makes for the single-
+    * level family. Each half trains independently on its slice of the
+    * corpus (k sub-centroids per half, k² virtual cells from 2·k
+    * distances per probe); corpus rows index in their rank-1 pair,
+    * probes rank pairs by the summed rounded half-distances with
+    * (l0, l1) tie-break, and the serve is the shared [[imiServe]]
+    * frame. Trajectories are bit-reproducible against the sequential
+    * SQL replay (kmeansTrain's contract), so the gated row is exact.
+    * 100 TB: the half slices are projections, both trainings are the
+    * standard Lloyd shape, and the pair-keyed serve is [[imiTopK]]'s. */
   def imiTrainedTopK(vecs: DataFrame, probes: DataFrame, k: Int,
       kSub: Int = 8, iters: Int = 2, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
