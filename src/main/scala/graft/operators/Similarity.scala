@@ -2278,8 +2278,14 @@ object Similarity {
     val fs = FsOps.fsOf(spark, tableDir)
     if (fs.exists(p)) {
       val entries = fs.listStatus(p)
-      val hasCells = entries.exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith("cell="))
+      // Both partition layouts guard the delete: a table holding live
+      // `cell=` (single-level) or `c0=` (IMI pair) partition dirs is
+      // NOT a drained placeholder, whatever stray root files sit
+      // beside them — deleting it would drop live partitions.
+      val hasCells = entries.exists(s => s.isDirectory && {
+        val n = s.getPath.getName
+        n.startsWith("cell=") || n.startsWith("c0=")
+      })
       val rootData = entries.exists(s => s.isFile && {
         val n = s.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")

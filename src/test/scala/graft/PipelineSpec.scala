@@ -420,6 +420,21 @@ class PipelineSpec extends SparkSpec {
         nprobe = 2)
       assert(served.collect().toSet === want,
         "write(A) + append(B) must serve identically to write(A ∪ B)")
+      // Full drain → zero-row placeholder → re-append: the drained
+      // table must stay readable (empty serve, not a crash), the
+      // placeholder must yield to the re-appended pair partitions,
+      // and the rebuilt serve must equal a fresh build over the same
+      // rows — the lifecycle's hardest corner, pinned for the pair
+      // layout like the cell layouts before it.
+      Similarity.deleteFromIvfIndex(spark, vecs.select($"vec_id"), dir)
+      Similarity.compactImiIndex(spark, dir)
+      assert(Similarity.searchImiIndex(spark, dir, probes, 3, nprobe = 2)
+        .count() === 0, "fully drained IMI index must serve empty")
+      Similarity.appendImiIndex(spark, vecs, dir)
+      val rebuilt = Similarity.searchImiIndex(spark, dir, probes, 3,
+        nprobe = 2)
+      assert(rebuilt.collect().toSet === want,
+        "re-append after a full drain must serve like a fresh build")
     }
   }
 
