@@ -933,8 +933,12 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     val stored = vecs.sparkSession.read.parquet(s"$dir/centroids")
     val idx = imiIndexCells(imiSubDistancesAgainst(stored, vecs))
+    // All input columns persist (metadata like `label` rides beside
+    // the vector), so [[searchImiIndexWhere]]'s predicate pushes to
+    // the stored scan — the same filtered-serve contract as the flat
+    // layout.
     withNorm(vecs).join(idx, col("vec_id") === col("corpus_id"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c0"), col("c1"))
+      .drop("corpus_id")
       .write.mode("overwrite").partitionBy("c0", "c1")
       .parquet(s"$dir/index")
     IndexMeta.write(vecs.sparkSession, dir, "layout" -> "imi",
@@ -947,7 +951,11 @@ object Similarity {
     * append(B) serves identically to write(A ∪ B) under the same
     * codebooks (spec-pinned bit-for-bit). Tombstones of re-added ids
     * are reconciled after the data append commits, same crash-window
-    * ordering as the flat layout's append. */
+    * ordering as the flat layout's append. Caller contract: the batch
+    * must carry the SAME column set the index was built with (metadata
+    * columns persist beside the vector for the filtered serve) — a
+    * parquet append with a different set would leave mixed-schema
+    * files behind. */
   def appendImiIndex(spark: org.apache.spark.sql.SparkSession,
       vecs2: DataFrame, dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "imi", "fmt" -> "1")
@@ -955,7 +963,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
     val idx = imiIndexCells(imiSubDistancesAgainst(cents, vecs2))
     withNorm(vecs2).join(idx, col("vec_id") === col("corpus_id"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c0"), col("c1"))
+      .drop("corpus_id")
       .write.mode("append").partitionBy("c0", "c1")
       .parquet(s"$dir/index")
     reconcileTombstonesAfterAppend(spark, dir,
@@ -972,13 +980,27 @@ object Similarity {
     * ([[imiServe]]), so the contract cannot diverge. */
   def searchImiIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, probes: DataFrame, k: Int,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1): DataFrame =
+    searchImiIndexImpl(spark, dir, probes, k, nprobe, None)
+
+  /** [[searchImiIndex]] with a metadata predicate pushed to the stored
+    * index scan — serve only rows satisfying `pred`, equivalent to a
+    * pre-filtered index without building one (the flat layout's
+    * [[searchIvfIndexWhere]] contract at the pair shape). */
+  def searchImiIndexWhere(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame, k: Int, nprobe: Int,
+      pred: Column): DataFrame =
+    searchImiIndexImpl(spark, dir, probes, k, nprobe, Some(pred))
+
+  private def searchImiIndexImpl(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame, k: Int, nprobe: Int,
+      pred: Option[Column]): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     IndexMeta.requireMatch(spark, dir, "layout" -> "imi", "fmt" -> "1")
     val cents = spark.read.parquet(s"$dir/centroids")
     val assigned = imiProbePairs(
       imiSubDistancesAgainst(cents, probes), nprobe)
-    val idx1 = spark.read.parquet(s"$dir/index")
+    val idx1 = pred.foldLeft(spark.read.parquet(s"$dir/index"))(_ filter _)
     val idx = readTombstones(spark, dir)
       .map(t => idx1.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(idx1)

@@ -1672,6 +1672,20 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Metadata-FILTERED multi-index serve: the label predicate pushes
+    // to the stored pair-partitioned scan — equivalent to a
+    // pre-filtered index without building one (the flat layout's
+    // filtered-serve contract at the pair shape).
+    "sim_imi_filtered" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_imi_filt")
+      Similarity.writeImiIndex(vecs, Similarity.imiSubCentroids(vecs), dir)
+      Similarity.searchImiIndexWhere(s, dir,
+        vecs.filter(col("vec_id") < 15), 3, nprobe = 2,
+        col("label") % 2 === 0)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // COMPACTION of the multi-index (per-PAIR leaf replace over the
     // two-level partitioning); same oracle as its delete — physical
     // reclamation must serve bit-identically to the tombstone mask it
@@ -4958,6 +4972,8 @@ object PipelineQueries {
     "sim_imi_compact" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),
     "sim_imi_kmeans" -> imiKmeansSearchSql,
     "sim_imi_curve" -> imiCurveSql,
+    "sim_imi_filtered" -> imiSearchSqlWhere(
+      "AND vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
 
     "sim_knn_join" ->
       s"""WITH vecsl AS (

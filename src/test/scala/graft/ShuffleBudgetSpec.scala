@@ -197,6 +197,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // index rows, zero added exchanges
     "sim_imi_compact" -> 14,        // compacted pair leaves, identical
                                     // serve frame
+    "sim_imi_filtered" -> 14,       // same serve — the metadata filter
+                                    // is a pushed scan predicate, zero
+                                    // added exchanges
     "sim_imi_kmeans" -> 10,         // the two half-Lloyd trajectories
                                     // are localCheckpointed (run once,
                                     // cut from the printed plan — was
