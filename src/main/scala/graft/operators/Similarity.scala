@@ -901,9 +901,21 @@ object Similarity {
   private def imiServe(probes: DataFrame, assigned: DataFrame,
       corpus: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    imiScored(probes, assigned, corpus)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** The scored frame under both IMI serve modes (top-k and range):
+    * broadcast (probe, pair) rows against the pair-indexed corpus,
+    * exact rounded cosine — one definition so the modes cannot diverge
+    * on the determinism or deletion contracts. */
+  private def imiScored(probes: DataFrame, assigned: DataFrame,
+      corpus: DataFrame): DataFrame = {
     val pb = withNorm(probes).select(col("vec_id").as("probe_id"),
       col("v").as("pv"), col("nrm").as("pnrm"))
-    val scored = broadcast(pb.join(assigned, Seq("probe_id")))
+    broadcast(pb.join(assigned, Seq("probe_id")))
       .join(corpus,
         col("l0") === col("c0") && col("l1") === col("c1") &&
           col("probe_id") =!= col("vec_id"))
@@ -911,9 +923,6 @@ object Similarity {
         col("vec_id").as("neighbor_id"),
         round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
           .as("cos_r"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
   /** Persist the inverted multi-index: the two half-vector codebooks
@@ -995,6 +1004,32 @@ object Similarity {
   private def searchImiIndexImpl(spark: org.apache.spark.sql.SparkSession,
       dir: String, probes: DataFrame, k: Int, nprobe: Int,
       pred: Option[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    imiScoredFromIndex(spark, dir, probes, nprobe, pred)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Cosine radius search over a persisted [[writeImiIndex]] layout —
+    * the range mode of the pair-partitioned serve: all neighbors in
+    * the probed pairs with cos ≥ tau, no ranking window. Same scored
+    * frame as the top-k serve, so the modes cannot diverge; same
+    * nprobe recall bound (a neighbor outside the probed pairs is not
+    * seen — the IVF-family contract). */
+  def searchImiIndexRange(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame, tau: Double,
+      nprobe: Int = 1): DataFrame =
+    imiScoredFromIndex(spark, dir, probes, nprobe, None)
+      .filter(col("cos_r") >= tau)
+
+  /** The scored frame of the persisted-IMI serves (top-k, filtered,
+    * range): probe pairs against the STORED codebooks, pair-equi join
+    * into the pair-partitioned index (DPP-prunable, tombstone mask
+    * applied), rounded cosine. */
+  private def imiScoredFromIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      probes: DataFrame, nprobe: Int, pred: Option[Column]): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     IndexMeta.requireMatch(spark, dir, "layout" -> "imi", "fmt" -> "1")
     val cents = spark.read.parquet(s"$dir/centroids")
@@ -1004,7 +1039,7 @@ object Similarity {
     val idx = readTombstones(spark, dir)
       .map(t => idx1.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(idx1)
-    imiServe(probes, assigned, idx, k)
+    imiScored(probes, assigned, idx)
   }
 
   /** Physically COMPACT a persisted [[writeImiIndex]] layout:

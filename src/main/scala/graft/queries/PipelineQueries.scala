@@ -281,6 +281,24 @@ object PipelineQueries {
        |  JOIN codes o ON o.vec_id = i.corpus_id AND o.vec_id <> a.probe_id)""".stripMargin
 
   private def imiSearchSqlWhere(idxPred: String): String =
+    s"""${imiSearchCtes(idxPred)},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT probe_id, l0, l1, neighbor_id, cos_r, rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
+  /** Range-mode final over the same CTEs — all neighbors in the
+    * probed pairs with cos >= tau, no ranking window (the Scala
+    * side's searchImiIndexRange contract). */
+  private def imiRangeSql(tau: Double): String =
+    s"""${imiSearchCtes("")}
+       |SELECT probe_id, l0, l1, neighbor_id, cos_r FROM scored
+       |WHERE cos_r >= $tau ORDER BY probe_id, neighbor_id""".stripMargin
+
+  /** Shared WITH-chain of the label-codebook IMI replays, ending in
+    * `scored` (probe, pair, neighbor, rounded cosine). */
+  private def imiSearchCtes(idxPred: String): String =
     s"""WITH vecsl AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |dims0 AS (
@@ -326,12 +344,7 @@ object PipelineQueries {
        |  FROM passign a JOIN probes p USING (probe_id)
        |  JOIN idx i ON i.c0 = a.l0 AND i.c1 = a.l1
        |    AND i.vec_id <> a.probe_id
-       |  JOIN vecsl o ON o.vec_id = i.vec_id),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY probe_id
-       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM scored)
-       |SELECT probe_id, l0, l1, neighbor_id, cos_r, rnk
-       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+       |  JOIN vecsl o ON o.vec_id = i.vec_id)""".stripMargin
 
   private def ivfKmeansSearchSqlWhere(idxPred: String): String =
     s"""WITH $ovecsCte,
@@ -1670,6 +1683,18 @@ object PipelineQueries {
       Similarity.searchImiIndex(s, dir, vecs.filter(col("vec_id") < 15),
         3, nprobe = 2)
         .orderBy("probe_id", "rnk")
+    }),
+
+    // Range mode of the persisted multi-index: all neighbors in the
+    // probed pairs with cos ≥ τ — the thresholded tail over the same
+    // scored frame as the top-k serve, no ranking window.
+    "sim_imi_range" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_imi_rng")
+      Similarity.writeImiIndex(vecs, Similarity.imiSubCentroids(vecs), dir)
+      Similarity.searchImiIndexRange(s, dir,
+        vecs.filter(col("vec_id") < 15), tau = 0.2, nprobe = 2)
+        .orderBy("probe_id", "neighbor_id")
     }),
 
     // Metadata-FILTERED multi-index serve: the label predicate pushes
@@ -4974,6 +4999,7 @@ object PipelineQueries {
     "sim_imi_curve" -> imiCurveSql,
     "sim_imi_filtered" -> imiSearchSqlWhere(
       "AND vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
+    "sim_imi_range" -> imiRangeSql(0.2),
 
     "sim_knn_join" ->
       s"""WITH vecsl AS (

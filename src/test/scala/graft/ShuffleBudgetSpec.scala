@@ -200,6 +200,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "sim_imi_filtered" -> 14,       // same serve — the metadata filter
                                     // is a pushed scan predicate, zero
                                     // added exchanges
+    "sim_imi_range" -> 13,          // the thresholded tail over the
+                                    // same scored frame — one less
+                                    // than the ranked serves (no top-k
+                                    // window exchange)
     "sim_imi_kmeans" -> 10,         // the two half-Lloyd trajectories
                                     // are localCheckpointed (run once,
                                     // cut from the printed plan — was
