@@ -960,19 +960,21 @@ object Similarity {
     * append(B) serves identically to write(A ∪ B) under the same
     * codebooks (spec-pinned bit-for-bit). Tombstones of re-added ids
     * are reconciled after the data append commits, same crash-window
-    * ordering as the flat layout's append. Caller contract: the batch
-    * must carry the SAME column set the index was built with (metadata
-    * columns persist beside the vector for the filtered serve) — a
-    * parquet append with a different set would leave mixed-schema
-    * files behind. */
+    * ordering as the flat layout's append. The batch must carry the
+    * SAME column set the index was built with (metadata columns
+    * persist beside the vector for the filtered serve) — ENFORCED by
+    * [[requireAppendColumns]]: a mismatched batch fails loudly at
+    * entry instead of leaving mixed-schema parquet files behind. */
   def appendImiIndex(spark: org.apache.spark.sql.SparkSession,
       vecs2: DataFrame, dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "imi", "fmt" -> "1")
-    clearDrainedPlaceholder(spark, s"$dir/index")
     val cents = spark.read.parquet(s"$dir/centroids")
     val idx = imiIndexCells(imiSubDistancesAgainst(cents, vecs2))
-    withNorm(vecs2).join(idx, col("vec_id") === col("corpus_id"))
+    val rows = withNorm(vecs2).join(idx, col("vec_id") === col("corpus_id"))
       .drop("corpus_id")
+    requireAppendColumns(spark, s"$dir/index", rows, "appendImiIndex")
+    clearDrainedPlaceholder(spark, s"$dir/index")
+    rows
       .write.mode("append").partitionBy("c0", "c1")
       .parquet(s"$dir/index")
     reconcileTombstonesAfterAppend(spark, dir,
@@ -1072,7 +1074,7 @@ object Similarity {
       // affected/emptied pair lists is metadata-sized — the same
       // scale class as the rename loop itself.
       def pairName(r: org.apache.spark.sql.Row) =
-        s"c0=${r.get(0)}/c1=${r.get(1)}"
+        s"${partSegment("c0", r.get(0))}/${partSegment("c1", r.get(1))}"
       val emptied = affected
         .join(rewritten.select(col("c0"), col("c1")).distinct(),
           Seq("c0", "c1"), "left_anti")
@@ -1112,6 +1114,186 @@ object Similarity {
       tombs.limit(0).write.mode("overwrite").parquet(tombStaging)
       FsOps.swapInto(fs, tombStaging, s"$dir/tombstones")
     }
+  }
+
+  /** Half-codebook mean ARRAYS — (sub, clabel, cv) with cv ordered by
+    * pos ([[centroidArrays]]'s shape at the half-codebook key):
+    * array_sort on the (pos, cmean) struct sorts on the first field,
+    * so the order is deterministic regardless of collect_list's
+    * partition order. 2·k rows of dim/2 doubles: always
+    * broadcastable. Serves BOTH codebook shapes — label-mean
+    * ([[imiSubCentroids]], absolute positions) and trained
+    * ([[imiTrainedAsSubCents]], rebased positions): positions are
+    * only an ordering key within a half, and both shapes order the
+    * half's dims identically. */
+  private def imiCentArrays(cents: DataFrame): DataFrame =
+    cents.groupBy(col("sub"), col("clabel"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cmean"))))
+        .as("p"))
+      .select(col("sub"), col("clabel"),
+        expr("transform(p, q -> q.cmean)").as("cv"))
+
+  /** Residuals against the CONCATENATED pair centroid — rv = v −
+    * [cent0(c0); cent1(c1)], the multi-index's natural coarse
+    * reconstruction (each half's quantizer explains its half): one
+    * row per (vector, assigned pair). `assign` carries (vec_id, c0,
+    * c1) — rank-1 pairs on the corpus encode side (one row per
+    * vector), probed pairs on the query side (nprobe rows per probe —
+    * the residual is pair-dependent, exactly [[residualsOf]]'s
+    * n = nprobe shape at the pair key). `broadcastAssign` marks the
+    * assignment side broadcastable — set it on PROBE-side calls; the
+    * corpus-side encode assignment is corpus-sized and the co-keyed
+    * join is the correct build shape. The half-mean arrays broadcast
+    * (2·k rows) and concat per matched pair — all k² pair centroids
+    * are never materialized, only the pairs rows actually need. */
+  private def imiPairResiduals(src: DataFrame, assign: DataFrame,
+      cents: DataFrame, broadcastAssign: Boolean = false): DataFrame = {
+    val ca = imiCentArrays(cents)
+    val a0 = broadcast(ca.filter(col("sub") === 0)
+      .select(col("clabel").as("c0"), col("cv").as("cv0")))
+    val a1 = broadcast(ca.filter(col("sub") === 1)
+      .select(col("clabel").as("c1"), col("cv").as("cv1")))
+    val asg = if (broadcastAssign) broadcast(assign) else assign
+    src.join(asg, Seq("vec_id"))
+      .join(a0, Seq("c0")).join(a1, Seq("c1"))
+      .select(col("vec_id"), col("c0"), col("c1"),
+        zip_with(col("v"), concat(col("cv0"), col("cv1")),
+          (a, b) => a - b).as("rv"))
+  }
+
+  /** The ENCODE half of [[imiPqTopK]] split out ([[ivfPqrEncode]]'s
+    * shape at the pair key) — (residual codebook, residual codes) of
+    * a pair-indexed corpus: codes carry (vec_id, sub, cid, c0, c1),
+    * m small ints + the pair keys per vector instead of dim·8 B of
+    * floats. A multi-operating-point enumeration (the recall curve)
+    * computes this ONCE; codes are nprobe-independent. */
+  private[graft] def imiPqEncode(vecs: DataFrame, cents: DataFrame,
+      idx: DataFrame, m: Int, codebookK: Int): (DataFrame, DataFrame) = {
+    val assign = idx.select(col("corpus_id").as("vec_id"),
+      col("c0"), col("c1"))
+    val rcorp = imiPairResiduals(vecs, assign, cents)
+    val rv = rcorp.select(col("vec_id"), col("rv").as("v"))
+    val rcb = codebookOf(rv, m, codebookK)
+    val codes = pqCodesAgainst(rcb, rv, m)
+      .join(rcorp.select(col("vec_id"), col("c0"), col("c1")),
+        Seq("vec_id"))
+    (rcb, codes)
+  }
+
+  /** Shared serve of the Multi-D-ADC composition ([[imiPqTopK]] and
+    * the recall curve's PQ rung route here): probes residualize
+    * against each PROBED pair's concatenated centroid, the per-
+    * (probe, pair) distance table builds against the residual
+    * codebook, ADC nominates `rerankDepth` candidates per probe from
+    * the probed pairs only, and ONLY those candidates' raw vectors
+    * are fetched back for the exact-cosine re-rank — [[pqrServe]]'s
+    * contract at the pair key. Each corpus vector lives in exactly
+    * one virtual cell, so a (probe, vec) ADC group sums exactly m
+    * terms (candidates never duplicate across probed pairs).
+    * Determinism: the family contract — exact-decimal ADC sums with
+    * vec-id tie-break for the shortlist, 6-dp cosine with neighbor-id
+    * tie-break for the final rank. Scale: dtab is probe-bounded
+    * (|probes|·nprobe·m·codebookK rows) and broadcasts; the code scan
+    * joins it within probed pairs only; the float fetch is shortlist-
+    * bounded (|probes|·rerankDepth rows probe the corpus scan — the
+    * corpus floats never shuffle and never broadcast). */
+  private def imiPqServeEncoded(codes: DataFrame, rcb: DataFrame,
+      cents: DataFrame, vecs: DataFrame, probes: DataFrame,
+      assigned: DataFrame, k: Int, m: Int, rerankDepth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerankDepth >= k, s"rerankDepth $rerankDepth must cover k=$k")
+    val wS = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val short = broadcast(
+      imiPqAdcScores(codes, rcb, cents, probes, assigned, m)
+        .withColumn("srnk", row_number().over(wS))
+        .filter(col("srnk") <= rerankDepth)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id")))
+    val pv = broadcast(withNorm(probes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm")))
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    short
+      .join(withNorm(vecs).select(col("vec_id").as("neighbor_id"),
+        col("v"), col("nrm")), Seq("neighbor_id"))
+      .join(pv, Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_r"))
+      .withColumn("rnk", row_number().over(wC))
+      .filter(col("rnk") <= k)
+  }
+
+  /** The ADC distance frame of the Multi-D-ADC serve — (probe_id,
+    * vec_id, adist) over the probed pairs only, split out so the
+    * recall curve can rank ONE scored frame per operating point
+    * (each (probe, vec) row belongs to exactly one pair, so scoping
+    * by pair rank downstream is a filter, not a re-score). */
+  private def imiPqAdcScores(codes: DataFrame, rcb: DataFrame,
+      cents: DataFrame, probes: DataFrame, assigned: DataFrame,
+      m: Int): DataFrame = {
+    val passign = assigned.select(col("probe_id").as("vec_id"),
+      col("l0").as("c0"), col("l1").as("c1"))
+    val psubs = imiPairResiduals(probes, passign, cents,
+        broadcastAssign = true)
+      .select(col("vec_id").as("probe_id"), col("c0").as("l0"),
+        col("c1").as("l1"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("rv"))
+      .select(col("probe_id"), col("l0"), col("l1"), col("sub"),
+        expr(s"slice(rv, sub * (size(rv) div $m) + 1, size(rv) div $m)")
+          .as("sv"))
+    val dtab = psubs.join(broadcast(rcb), Seq("sub"))
+      .select(col("probe_id"), col("l0"), col("l1"), col("sub"),
+        col("cid"),
+        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("pd2"))
+    codes.join(broadcast(dtab),
+        codes("sub") === dtab("sub") && codes("cid") === dtab("cid") &&
+          col("c0") === col("l0") && col("c1") === col("l1") &&
+          col("probe_id") =!= col("vec_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(round(col("pd2"), 6).cast("decimal(18,6)")).cast("double")
+        .as("adist"))
+  }
+
+  /** Multi-D-ADC with an exact refine stage — the inverted
+    * multi-index with PRODUCT-QUANTIZED residual codes in its virtual
+    * cells (Babenko & Lempitsky, CVPR 2012 §5's "Multi-D-ADC"
+    * composition; the by-residual encoding and the refine wrapper are
+    * Jégou et al. 2011 §V — public knowledge, re-derived relationally
+    * here). [[imiTopK]] stores raw floats in its pair cells, so every
+    * probed candidate costs dim·8 B and the curve honestly records the
+    * multi-index losing to single-level rungs at equal bytes on
+    * structureless corpora; THIS is the published fix that makes the
+    * multi-index's bytes story work at 10⁹ vectors: each cell row is
+    * an m-byte code of the residual v − [cent0(c0); cent1(c1)] (the
+    * concatenated pair centroid), probed pairs scan by ADC table
+    * lookups (m small-int joins per candidate, no vector math), and
+    * only the `rerankDepth` shortlist fetches floats for the
+    * exact-cosine re-rank. Candidate bytes drop from 512 B to m B;
+    * the refine fetch is probe-bounded (rerankDepth·dim doubles per
+    * probe), never corpus-bounded. Half-codebooks here are the
+    * label-mean trainers every gated IMI row uses ([[imiSubCentroids]]
+    * — the trained-Lloyd variant feeds the recall curve's rung).
+    * With nprobe ≥ k² and rerankDepth ≥ corpus size this degenerates
+    * to exact brute force (spec-pinned), making both knobs pure
+    * recall/bytes dials.
+    *
+    * Reference-capability context: the serve generalizes the
+    * decorator's enrichment-lookup shape
+    * (`decorator/index.js:166-177`) like every ANN serve here. */
+  def imiPqTopK(vecs: DataFrame, probes: DataFrame, k: Int,
+      m: Int = 4, codebookK: Int = 8, nprobe: Int = 2,
+      rerankDepth: Int = 40): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = imiSubCentroids(vecs)
+    val idx = imiIndexCells(imiSubDistancesAgainst(cents, vecs))
+    val assigned = imiProbePairs(
+      imiSubDistancesAgainst(cents, probes), nprobe)
+    val (rcb, codes) = imiPqEncode(vecs, cents, idx, m, codebookK)
+    imiPqServeEncoded(codes, rcb, cents, vecs, probes, assigned, k, m,
+      rerankDepth)
   }
 
   /** IVF-blocked k-NN JOIN: every vector is a probe — for each of the
@@ -2005,17 +2187,14 @@ object Similarity {
   private def trainedAssignRanked(src: DataFrame, cents: DataFrame,
       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = cents.select(col("cid"), (col("dim") - 1).as("pos"),
-      col("cmean"))
-    val dims = src.select(col("vec_id").as("probe_id"),
-      posexplode(col("v")).as(Seq("pos", "x")))
-    val d2 = dims.join(broadcast(cells), Seq("pos"))
-      .groupBy(col("probe_id"), col("cid"))
-      .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
-        .as("dist2"))
+    // Ranks over [[trainedDistances]] — ONE implementation of the
+    // centroid-distance computation, so the ranked and unranked
+    // consumers cannot diverge on the rounding contract (d2r is
+    // already the 6-dp-rounded L2² the ordering ranks on).
     val w = Window.partitionBy(col("probe_id"))
-      .orderBy(round(col("dist2"), 6).asc, col("cid").asc)
-    d2.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+      .orderBy(col("d2r").asc, col("cid").asc)
+    trainedDistances(src, cents)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
       .select(col("probe_id"), col("cid"), col("rn"))
   }
 
@@ -2060,6 +2239,19 @@ object Similarity {
       iters: Int): Seq[DataFrame] =
     Seq(0, 1).map(s =>
       kmeansTrain(imiHalf(vecs, s), kSub, iters).localCheckpoint())
+
+  /** TRAINED half-quantizers re-keyed to the (sub, clabel, pos,
+    * cmean) half-codebook shape ([[imiSubCentroids]]'s), so the
+    * residual machinery ([[imiCentArrays]], [[imiPairResiduals]])
+    * serves both codebook trainings through one implementation.
+    * Positions re-base to the half slice (kmeansTrain's 1-based dim
+    * − 1) — an ordering key within a half only, so the concatenated
+    * pair centroid aligns with the full vector exactly as the
+    * absolute-position label shape does. */
+  private def imiTrainedAsSubCents(cents: Seq[DataFrame]): DataFrame =
+    Seq(0, 1).map(s => cents(s).select(lit(s).as("sub"),
+      col("cid").as("clabel"), (col("dim") - 1).as("pos"), col("cmean")))
+      .reduce(_ unionByName _)
 
   /** Sub-distance frame of `src` against TRAINED half-quantizers —
     * the label-free analog of [[imiSubDistancesAgainst]], same
@@ -2112,10 +2304,22 @@ object Similarity {
     * ~k× smaller than the single-level curve's — this is the frame a
     * deployment reads to pick the two-level rung. One shared pair
     * ranking serves all operating points (rank once, filter per np);
-    * both trainings run once ([[imiTrainedCents]]). */
+    * both trainings run once ([[imiTrainedCents]]).
+    *
+    * Caller contract (as [[probedCellSizes]]'s): `probes` must be
+    * corpus MEMBERS. The candidate count subtracts the probe's own
+    * index row unconditionally — sound for members because the pair
+    * ordering separates, so a member's own pair is always its rank-1
+    * pair (probed at every np ≥ 1); for a non-member probe no self
+    * row exists and the candidate/bytes figures would be off by one
+    * per probe (and the serve's probe ≠ neighbor exclusion would
+    * never fire). The gated row probes a corpus slice, satisfying
+    * the contract by construction. */
   def imiRecallCurve(vecs: DataFrame, probes: DataFrame, k: Int,
       kSub: Int = 8, iters: Int = 2,
-      nps: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+      nps: Seq[Int] = Seq(1, 2, 4, 8), m: Int = 4, codebookK: Int = 8,
+      rerankDepth: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cents = imiTrainedCents(vecs, kSub, iters)
     val idx = imiIndexCells(imiTrainedSubD(cents, vecs))
     val pairSizes = idx.groupBy(col("c0"), col("c1"))
@@ -2140,9 +2344,61 @@ object Similarity {
         .agg((sum(col("pair_n")) - 1L).as("cand"))
         .select(lit(np).as("np"), col("probe_id"), col("cand"))
     }.reduce(_ unionByName _)
-    rungs.join(cand, Seq("np", "probe_id"))
-      .select(col("np"), col("probe_id"), col("hits"), col("n_exact"),
-        col("cand"), (col("cand") * 512L).as("bytes_scanned"))
+    val imiRows = rungs.join(cand, Seq("np", "probe_id"))
+      .select(lit("imi").as("rung"), col("np"), col("probe_id"),
+        col("hits"), col("n_exact"), col("cand"),
+        (col("cand") * 512L).as("bytes_scanned"))
+    // The Multi-D-ADC rung ([[imiPqTopK]]'s composition over the SAME
+    // trained quantizer and pair index): the candidate SET per
+    // operating point is identical to the raw-float rung's — what
+    // changes is the bytes each candidate costs (m-byte residual
+    // code vs 512 B of floats) plus the shortlist-bounded float
+    // fetch of the exact refine. One ADC pass scores all operating
+    // points (each (probe, vec) row lives in exactly one pair, so a
+    // pair-rank join makes per-np scoping a filter, not a re-score);
+    // one codebook training and one corpus encode serve the whole
+    // rung.
+    val subCents = imiTrainedAsSubCents(cents)
+    val (rcb, codes) = imiPqEncode(vecs, subCents, idx, m, codebookK)
+    val scoredRn = imiPqAdcScores(codes, rcb, subCents, probes,
+        ranked.select(col("probe_id"), col("l0"), col("l1")), m)
+      .join(idx.select(col("corpus_id").as("vec_id"), col("c0"),
+        col("c1")), Seq("vec_id"))
+      .join(ranked.select(col("probe_id"), col("l0").as("c0"),
+        col("l1").as("c1"), col("rn")), Seq("probe_id", "c0", "c1"))
+      .select(col("probe_id"), col("vec_id"), col("adist"), col("rn"))
+    val wS = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    val pvb = broadcast(withNorm(probes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm")))
+    val vn = withNorm(vecs).select(col("vec_id").as("neighbor_id"),
+      col("v"), col("nrm"))
+    val pqRungs = nps.map { np =>
+      val short = scoredRn.filter(col("rn") <= np)
+        .withColumn("srnk", row_number().over(wS))
+        .filter(col("srnk") <= rerankDepth)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      val served = broadcast(short).join(vn, Seq("neighbor_id"))
+        .join(pvb, Seq("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+            .as("cos_r"))
+        .withColumn("rnk", row_number().over(wC))
+        .filter(col("rnk") <= k)
+      recallAtK(bf, served)
+        .select(lit(np).as("np"), col("probe_id"), col("hits"),
+          col("n_exact"))
+    }.reduce(_ unionByName _)
+    val pqRows = pqRungs.join(cand, Seq("np", "probe_id"))
+      .select(lit("imipq").as("rung"), col("np"), col("probe_id"),
+        col("hits"), col("n_exact"), col("cand"),
+        (col("cand") * m.toLong +
+          least(col("cand"), lit(rerankDepth.toLong)) * 512L)
+          .as("bytes_scanned"))
+    imiRows.unionByName(pqRows)
   }
 
   /** Per-probe probed-cell OCCUPANCY up to `nprobe` — (probe_id, rn,
@@ -2242,11 +2498,17 @@ object Similarity {
       vecs2: DataFrame, dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_flat",
       "fmt" -> "1")
-    clearDrainedPlaceholder(spark, s"$dir/index")
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = trainedAssign(vecs2, cents, 1)
       .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
-    withNorm(vecs2).join(cells, Seq("vec_id"))
+    val rows = withNorm(vecs2).join(cells, Seq("vec_id"))
+    // Same loud column-set contract as the IMI append: this layout
+    // persists ALL input columns (metadata rides beside the vector
+    // for searchIvfIndexWhere), so a mismatched batch must fail at
+    // entry, not corrupt the table.
+    requireAppendColumns(spark, s"$dir/index", rows, "appendIvfIndex")
+    clearDrainedPlaceholder(spark, s"$dir/index")
+    rows
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/index")
     reconcileTombstonesAfterAppend(spark, dir,
@@ -2328,6 +2590,51 @@ object Similarity {
     * drained marker (every build/append writes partitioned), so the
     * whole table dir is safe to drop; with any `cell=` dir present
     * the table is live and nothing is touched. */
+  /** Partition-dir segment for a value, escaped exactly as Spark's
+    * partitioned writes escape it (ExternalCatalogUtils.escapePathName
+    * — the writer-side codec), so the compaction rename/delete loops
+    * match the ON-DISK dir names even for string labels needing URI
+    * escaping (space, '/', '='). Raw interpolation would silently
+    * miss such dirs: an emptied-partition delete or a full-drain
+    * check acting on a name that doesn't exist. Int labels (the only
+    * ones today) escape to themselves, so this is a no-op for them. */
+  private def partSegment(colName: String, v: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val s = Option(v).map(_.toString)
+      .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+    s"$colName=${ExternalCatalogUtils.escapePathName(s)}"
+  }
+
+  /** Loud schema contract on the metadata-carrying append legs
+    * ([[appendIvfIndex]], [[appendImiIndex]] — the layouts that
+    * persist ALL input columns so metadata rides beside the vector
+    * for the filtered serves): the frame about to be appended must
+    * carry exactly the stored table's column set. A parquet append
+    * with a different set would not fail — it would leave
+    * mixed-schema files behind, and the filtered serve would read
+    * nulls (or miss the predicate column entirely) on half the index.
+    * Checked BEFORE the drained-placeholder sweep so a fully-drained
+    * table's schema (preserved by the zero-row placeholder) still
+    * gates the batch. Skipped only when the table does not exist at
+    * all (nothing to diverge from). */
+  private def requireAppendColumns(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      batch: DataFrame, leg: String): Unit = {
+    val fs = FsOps.fsOf(spark, tableDir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(tableDir))) {
+      val stored = spark.read.parquet(tableDir).columns.toSet
+      val incoming = batch.columns.toSet
+      require(incoming == stored,
+        s"$leg: appended batch columns " +
+          s"[${incoming.toSeq.sorted.mkString(", ")}] do not match the " +
+          s"stored index schema [${stored.toSeq.sorted.mkString(", ")}]" +
+          " — metadata columns persist beside the vector for the " +
+          "filtered serve, so every batch must carry the same column " +
+          "set the index was built with (a raw parquet append would " +
+          "leave mixed-schema files behind instead of failing)")
+    }
+  }
+
   private def clearDrainedPlaceholder(
       spark: org.apache.spark.sql.SparkSession, tableDir: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -2416,7 +2723,7 @@ object Similarity {
       val emptied = affected
         .join(rewritten.select(col("cell")).distinct(), Seq("cell"),
           "left_anti")
-        .collect().map(r => s"cell=${r.get(0)}").toSet
+        .collect().map(r => partSegment("cell", r.get(0))).toSet
       val staging = s"$dir/${table}_compacting"
       rewritten.write.mode("overwrite").partitionBy("cell")
         .parquet(staging)

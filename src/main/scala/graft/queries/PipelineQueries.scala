@@ -346,6 +346,128 @@ object PipelineQueries {
        |    AND i.vec_id <> a.probe_id
        |  JOIN vecsl o ON o.vec_id = i.vec_id)""".stripMargin
 
+  /** Sequential replay of the Multi-D-ADC + refine composition
+    * ([[graft.operators.Similarity.imiPqTopK]] at its defaults: m=4,
+    * codebookK=8, nprobe=2, rerankDepth=40, probes = vec_id < 10,
+    * k=5) over the label half-codebooks: the [[imiSearchCtes]] cell
+    * chain, residuals against the CONCATENATED pair centroid
+    * (first-half list indexed at j, second-half at j − hf), residual
+    * codebook = the first 8 vectors' residual subvectors, a distance
+    * table per (probe, probed pair), ADC restricted to the probed
+    * pairs (pair keys equal on both sides), and the depth-40
+    * shortlist re-ranked with exact 6-dp cosine. */
+  private lazy val imiPqSearchSql: String =
+    s"""WITH vecsl AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims0 AS (
+       |  SELECT vec_id, label, len(v) // 2 AS hf, unnest(v) AS x,
+       |         unnest(generate_series(1, len(v))) AS pos
+       |  FROM vecsl),
+       |sdims AS (
+       |  SELECT vec_id, label, x, pos,
+       |         CASE WHEN pos <= hf THEN 0 ELSE 1 END AS sub
+       |  FROM dims0),
+       |cents AS (
+       |  SELECT sub, label AS clabel, pos, avg(x) AS cmean
+       |  FROM sdims GROUP BY sub, label, pos),
+       |d2 AS (
+       |  SELECT s.vec_id, s.sub, c.clabel,
+       |         round(sum((s.x - c.cmean) * (s.x - c.cmean)), 6) AS d2r
+       |  FROM sdims s JOIN cents c ON c.sub = s.sub AND c.pos = s.pos
+       |  GROUP BY s.vec_id, s.sub, c.clabel),
+       |best AS (
+       |  SELECT vec_id, sub, clabel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY d2r, clabel) AS rn FROM d2)
+       |  WHERE rn = 1),
+       |idx AS (
+       |  SELECT b0.vec_id, b0.clabel AS c0, b1.clabel AS c1
+       |  FROM best b0 JOIN best b1 USING (vec_id)
+       |  WHERE b0.sub = 0 AND b1.sub = 1),
+       |passign AS (
+       |  SELECT probe_id, l0, l1 FROM (
+       |    SELECT p0.vec_id AS probe_id, p0.clabel AS l0,
+       |           p1.clabel AS l1,
+       |           row_number() OVER (PARTITION BY p0.vec_id
+       |             ORDER BY p0.d2r + p1.d2r, p0.clabel, p1.clabel) AS rn
+       |    FROM d2 p0 JOIN d2 p1
+       |      ON p0.vec_id = p1.vec_id AND p0.sub = 0 AND p1.sub = 1
+       |    WHERE p0.vec_id < 10)
+       |  WHERE rn <= 2),
+       |cl AS (SELECT sub, clabel, list(cmean ORDER BY pos) AS cvv
+       |       FROM cents GROUP BY sub, clabel),
+       |subsp AS (SELECT unnest(generate_series(0, 3)) AS sub),
+       |rcorp AS (
+       |  SELECT o.vec_id, i.c0, i.c1,
+       |         list_transform(generate_series(1, len(o.v)), j ->
+       |           o.v[j] - CASE WHEN j <= len(o.v) // 2
+       |             THEN l0.cvv[j]
+       |             ELSE l1.cvv[j - len(o.v) // 2] END) AS rv
+       |  FROM vecsl o JOIN idx i ON i.vec_id = o.vec_id
+       |  JOIN cl l0 ON l0.sub = 0 AND l0.clabel = i.c0
+       |  JOIN cl l1 ON l1.sub = 1 AND l1.clabel = i.c1),
+       |rsubs AS (
+       |  SELECT vec_id, c0, c1, sub,
+       |         rv[(sub * (len(rv) // 4) + 1):((sub + 1) * (len(rv) // 4))] AS sv
+       |  FROM rcorp CROSS JOIN subsp),
+       |cb AS (SELECT sub, vec_id AS cid, sv AS cv FROM rsubs
+       |       WHERE vec_id < 8),
+       |dq AS (
+       |  SELECT a.vec_id, a.c0, a.c1, a.sub, cb.cid,
+       |         list_dot_product(a.sv, a.sv)
+       |           - 2.0 * list_dot_product(a.sv, cb.cv)
+       |           + list_dot_product(cb.cv, cb.cv) AS dist2
+       |  FROM rsubs a JOIN cb USING (sub)),
+       |pqcodes AS (
+       |  SELECT vec_id, c0, c1, sub, cid FROM (
+       |    SELECT vec_id, c0, c1, sub, cid, row_number() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY round(dist2, 6), cid) AS rn
+       |    FROM dq) WHERE rn = 1),
+       |rprob AS (
+       |  SELECT a.probe_id, a.l0, a.l1,
+       |         list_transform(generate_series(1, len(p.v)), j ->
+       |           p.v[j] - CASE WHEN j <= len(p.v) // 2
+       |             THEN l0.cvv[j]
+       |             ELSE l1.cvv[j - len(p.v) // 2] END) AS rv
+       |  FROM passign a JOIN vecsl p ON p.vec_id = a.probe_id
+       |  JOIN cl l0 ON l0.sub = 0 AND l0.clabel = a.l0
+       |  JOIN cl l1 ON l1.sub = 1 AND l1.clabel = a.l1),
+       |psubs AS (
+       |  SELECT probe_id, l0, l1, sub,
+       |         rv[(sub * (len(rv) // 4) + 1):((sub + 1) * (len(rv) // 4))] AS sv
+       |  FROM rprob CROSS JOIN subsp),
+       |ptab AS (
+       |  SELECT p.probe_id, p.l0, p.l1, p.sub, cb.cid,
+       |         list_dot_product(p.sv, p.sv)
+       |           - 2.0 * list_dot_product(p.sv, cb.cv)
+       |           + list_dot_product(cb.cv, cb.cv) AS pd2
+       |  FROM psubs p JOIN cb USING (sub)),
+       |sc AS (
+       |  SELECT t.probe_id, c.vec_id,
+       |         CAST(CAST(sum(CAST(round(t.pd2, 6) AS DECIMAL(18,6)))
+       |              AS DECIMAL(38,6)) AS DOUBLE) AS adist
+       |  FROM pqcodes c JOIN ptab t
+       |    ON t.sub = c.sub AND t.cid = c.cid
+       |    AND t.l0 = c.c0 AND t.l1 = c.c1
+       |  WHERE t.probe_id <> c.vec_id
+       |  GROUP BY t.probe_id, c.vec_id),
+       |short AS (
+       |  SELECT probe_id, vec_id AS neighbor_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY probe_id ORDER BY adist, vec_id) AS srnk FROM sc)
+       |  WHERE srnk <= 40),
+       |rr AS (
+       |  SELECT s.probe_id, s.neighbor_id,
+       |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |  FROM short s JOIN vecsl p ON p.vec_id = s.probe_id
+       |  JOIN vecsl o ON o.vec_id = s.neighbor_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY cos_r DESC, neighbor_id) AS rnk
+       |  FROM rr)
+       |SELECT probe_id, neighbor_id, cos_r, CAST(rnk AS INTEGER) AS rnk
+       |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
   private def ivfKmeansSearchSqlWhere(idxPred: String): String =
     s"""WITH $ovecsCte,
        |$kmeansCte,
@@ -1092,6 +1214,29 @@ object PipelineQueries {
 
   private val spellSql: String = spellSqlWhere("")
 
+  /** Segment-dedup replay shared by dedup_segments and its wide-key
+    * twin dedup_segments_wide: the key (bare xxhash64 vs
+    * (hash, length) struct) is internal to the Scala side and never
+    * emitted, so both rows replay the same pure segment semantics. */
+  private lazy val segmentDedupSql: String =
+    s"""WITH $corpusCte,
+       |wrd AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       |idx AS (SELECT doc_id, w,
+       |          unnest(generate_series(0, (len(w) - 1) // 10)) AS j
+       |        FROM wrd),
+       |seg AS (SELECT doc_id, j,
+       |          array_to_string(w[(j*10+1):(j*10+10)], ' ') AS seg
+       |        FROM idx),
+       |sdf AS (SELECT seg, count(DISTINCT doc_id) AS df
+       |        FROM seg GROUP BY seg)
+       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+       |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  coalesce(string_agg(CASE WHEN df < 2 THEN s.seg END,
+       |    ' ' ORDER BY s.j), '') AS text_clean
+       |FROM seg s JOIN sdf USING (seg)
+       |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
+
   /** Okapi BM25 over the fixed ('hash','join','spark') term bag —
     * shared by text_bm25 and its persisted-inverted-index twin
     * text_bm25_serve (parquet round-trip of BIGINT tf/dl/df is exact,
@@ -1331,12 +1476,101 @@ object PipelineQueries {
        |  SELECT a.np, a.probe_id,
        |         CAST(sum(s.pair_n) - 1 AS BIGINT) AS cand
        |  FROM pa a JOIN psize s ON s.c0 = a.l0 AND s.c1 = a.l1
-       |  GROUP BY a.np, a.probe_id)
-       |SELECT c.np, c.probe_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  GROUP BY a.np, a.probe_id),
+       |cl AS (
+       |  SELECT 0 AS sub, cid AS clabel, list(cmean ORDER BY pos) AS cvv
+       |  FROM h0c2 GROUP BY cid
+       |  UNION ALL
+       |  SELECT 1 AS sub, cid AS clabel, list(cmean ORDER BY pos) AS cvv
+       |  FROM h1c2 GROUP BY cid),
+       |subsp AS (SELECT unnest(generate_series(0, 3)) AS sub),
+       |rcorp AS (
+       |  SELECT o.vec_id, i.c0, i.c1,
+       |         list_transform(generate_series(1, len(o.v)), j ->
+       |           o.v[j] - CASE WHEN j <= len(o.v) // 2
+       |             THEN l0.cvv[j]
+       |             ELSE l1.cvv[j - len(o.v) // 2] END) AS rv
+       |  FROM ovecs o JOIN idx i ON i.vec_id = o.vec_id
+       |  JOIN cl l0 ON l0.sub = 0 AND l0.clabel = i.c0
+       |  JOIN cl l1 ON l1.sub = 1 AND l1.clabel = i.c1),
+       |rsubs AS (
+       |  SELECT vec_id, c0, c1, sub,
+       |         rv[(sub * (len(rv) // 4) + 1):((sub + 1) * (len(rv) // 4))] AS sv
+       |  FROM rcorp CROSS JOIN subsp),
+       |cbq AS (SELECT sub, vec_id AS cid, sv AS cv FROM rsubs
+       |        WHERE vec_id < 8),
+       |dq AS (
+       |  SELECT a.vec_id, a.c0, a.c1, a.sub, cbq.cid,
+       |         list_dot_product(a.sv, a.sv)
+       |           - 2.0 * list_dot_product(a.sv, cbq.cv)
+       |           + list_dot_product(cbq.cv, cbq.cv) AS dist2
+       |  FROM rsubs a JOIN cbq USING (sub)),
+       |pqcodes AS (
+       |  SELECT vec_id, c0, c1, sub, cid FROM (
+       |    SELECT vec_id, c0, c1, sub, cid, row_number() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY round(dist2, 6), cid) AS rn
+       |    FROM dq) WHERE rn = 1),
+       |rprob AS (
+       |  SELECT a.probe_id, a.l0, a.l1, a.rn,
+       |         list_transform(generate_series(1, len(p.v)), j ->
+       |           p.v[j] - CASE WHEN j <= len(p.v) // 2
+       |             THEN l0.cvv[j]
+       |             ELSE l1.cvv[j - len(p.v) // 2] END) AS rv
+       |  FROM pairsr a JOIN ovecs p ON p.vec_id = a.probe_id
+       |  JOIN cl l0 ON l0.sub = 0 AND l0.clabel = a.l0
+       |  JOIN cl l1 ON l1.sub = 1 AND l1.clabel = a.l1),
+       |psubs AS (
+       |  SELECT probe_id, l0, l1, rn, sub,
+       |         rv[(sub * (len(rv) // 4) + 1):((sub + 1) * (len(rv) // 4))] AS sv
+       |  FROM rprob CROSS JOIN subsp),
+       |ptab AS (
+       |  SELECT p.probe_id, p.l0, p.l1, p.rn, p.sub, cbq.cid,
+       |         list_dot_product(p.sv, p.sv)
+       |           - 2.0 * list_dot_product(p.sv, cbq.cv)
+       |           + list_dot_product(cbq.cv, cbq.cv) AS pd2
+       |  FROM psubs p JOIN cbq USING (sub)),
+       |scq AS (
+       |  SELECT t.probe_id, c.vec_id, t.rn,
+       |         CAST(CAST(sum(CAST(round(t.pd2, 6) AS DECIMAL(18,6)))
+       |              AS DECIMAL(38,6)) AS DOUBLE) AS adist
+       |  FROM pqcodes c JOIN ptab t
+       |    ON t.sub = c.sub AND t.cid = c.cid
+       |    AND t.l0 = c.c0 AND t.l1 = c.c1
+       |  WHERE t.probe_id <> c.vec_id
+       |  GROUP BY t.probe_id, c.vec_id, t.rn),
+       |shortq AS (
+       |  SELECT np, probe_id, vec_id AS neighbor_id FROM (
+       |    SELECT n.np, s.probe_id, s.vec_id,
+       |           row_number() OVER (PARTITION BY n.np, s.probe_id
+       |             ORDER BY s.adist, s.vec_id) AS srnk
+       |    FROM nps n JOIN scq s ON s.rn <= n.np)
+       |  WHERE srnk <= 10),
+       |rrq AS (
+       |  SELECT s.np, s.probe_id, s.neighbor_id,
+       |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
+       |  FROM shortq s JOIN ovecs p ON p.vec_id = s.probe_id
+       |  JOIN ovecs o ON o.vec_id = s.neighbor_id),
+       |pqserved AS (SELECT np, probe_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY np, probe_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM rrq)
+       |  WHERE rnk <= 3),
+       |hitsq AS (
+       |  SELECT i.np, i.probe_id, count(*) AS hits
+       |  FROM pqserved i JOIN bf b USING (probe_id, neighbor_id)
+       |  GROUP BY i.np, i.probe_id)
+       |SELECT 'imi' AS rung, c.np, c.probe_id,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
        |       n.n_exact, c.cand, c.cand * 512 AS bytes_scanned
        |FROM cand c JOIN nss n ON n.probe_id = c.probe_id
        |LEFT JOIN hitsc h ON h.np = c.np AND h.probe_id = c.probe_id
-       |ORDER BY c.np, c.probe_id""".stripMargin
+       |UNION ALL
+       |SELECT 'imipq' AS rung, c.np, c.probe_id,
+       |       CAST(coalesce(q.hits, 0) AS BIGINT) AS hits,
+       |       n.n_exact, c.cand,
+       |       c.cand * 4 + least(c.cand, 10) * 512 AS bytes_scanned
+       |FROM cand c JOIN nss n ON n.probe_id = c.probe_id
+       |LEFT JOIN hitsq q ON q.np = c.np AND q.probe_id = c.probe_id
+       |ORDER BY rung, np, probe_id""".stripMargin
 
   /** Fused-pipeline replay: resize(2) → gray → histogram(8) in closed
     * form — 12 ord terms and 4 nested floors per gray pixel, then the
@@ -1471,6 +1705,19 @@ object PipelineQueries {
     // (dedup_substring_mass MEASURES duplication; this one CUTS it).
     "dedup_segments" -> ((s, d) =>
       Dedup.segmentDedup(Dedup.augmentCorpus(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+
+    // The WIDE-KEY twin — the escape hatch the collision guard's
+    // raise_error prescribes: segments key on struct(xxhash64(seg),
+    // length(seg)) instead of the bare 64-bit hash, pushing the
+    // birthday bound past any corpus. The key is internal (never
+    // emitted), so the oracle is dedup_segments' replay verbatim —
+    // gating this row every round pins that the remediation path
+    // stays semantically identical to the production key, not just
+    // spec-pinned once.
+    "dedup_segments_wide" -> ((s, d) =>
+      Dedup.segmentDedup(Dedup.augmentCorpus(Tables.documents(s, d)),
+          wideKey = true)
         .orderBy("doc_id")),
 
     // NB: Dedup.simhashPairs (banded near-dup pair join) is part of the
@@ -1615,6 +1862,22 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Multi-D-ADC + exact refine (Babenko & Lempitsky 2012 §5 + the
+    // Jégou 2011 §V refine): the multi-index with m-byte RESIDUAL
+    // codes in its virtual cells — v − [cent0(c0); cent1(c1)] PQ-
+    // encoded — served by ADC table lookups over the probed pairs,
+    // then a depth-40 exact-cosine re-rank of the shortlist. The
+    // composition that makes the multi-index's bytes story work at
+    // 10⁹ vectors: candidates cost m B instead of 512 B, exact math
+    // is shortlist-bounded. sim_imi_topk above stays the raw-float
+    // variant — the pair documents the trade-off, and the recall
+    // curve's imipq rung measures it.
+    "sim_imipq_topk" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      Similarity.imiPqTopK(vecs, vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // The TRAINED multi-index — train → index → search with no labels
     // anywhere (hash-seeded Lloyd per half, the production
     // composition, sim_ivf_kmeans's analog at the two-level shape).
@@ -1633,11 +1896,16 @@ object PipelineQueries {
     // the IMI's candidate set is ~k× smaller than the single-level
     // curve's (k²-granular cells) — the frame a deployment reads to
     // pick the two-level rung.
+    // Round 17: the curve gained a second RUNG — 'imi' (raw floats,
+    // cand × 512 B) vs 'imipq' (Multi-D-ADC over the SAME trained
+    // quantizer: cand × 4 B of codes + the depth-10 refine fetch) —
+    // so the artifact directly answers "what do the same probed pairs
+    // cost under each cell encoding".
     "sim_imi_curve" -> ((s, d) => {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"))
       Similarity.imiRecallCurve(vecs, vecs.filter(col("vec_id") < 10), 3)
-        .orderBy("np", "probe_id")
+        .orderBy("rung", "np", "probe_id")
     }),
 
     // Persisted multi-index: codebooks + pair-partitioned corpus
@@ -4323,24 +4591,11 @@ object PipelineQueries {
          |FROM grams JOIN gdf USING (gram_hash)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "dedup_segments" ->
-      s"""WITH $corpusCte,
-         |wrd AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-         |idx AS (SELECT doc_id, w,
-         |          unnest(generate_series(0, (len(w) - 1) // 10)) AS j
-         |        FROM wrd),
-         |seg AS (SELECT doc_id, j,
-         |          array_to_string(w[(j*10+1):(j*10+10)], ' ') AS seg
-         |        FROM idx),
-         |sdf AS (SELECT seg, count(DISTINCT doc_id) AS df
-         |        FROM seg GROUP BY seg)
-         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_seg,
-         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_dropped,
-         |  coalesce(string_agg(CASE WHEN df < 2 THEN s.seg END,
-         |    ' ' ORDER BY s.j), '') AS text_clean
-         |FROM seg s JOIN sdf USING (seg)
-         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_segments" -> segmentDedupSql,
+
+    // The wide-key twin keys on (hash, length) internally; segment
+    // semantics are identical, so the replay IS dedup_segments'.
+    "dedup_segments_wide" -> segmentDedupSql,
 
     "dedup_fuzzy_lev" ->
       s"""WITH $corpusCte,
@@ -4991,6 +5246,7 @@ object PipelineQueries {
     // round-trip parquet exactly); the delete leg injects its
     // tombstone predicate into the index CTE.
     "sim_imi_topk" -> imiSearchSqlWhere(""),
+    "sim_imipq_topk" -> imiPqSearchSql,
     "sim_imi_persist" -> imiSearchSqlWhere(""),
     "sim_imi_append" -> imiSearchSqlWhere(""),
     "sim_imi_delete" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),

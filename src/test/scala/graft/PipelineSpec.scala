@@ -438,6 +438,47 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("metadata-carrying appends reject a mismatched column set loudly") {
+    // The flat and IMI layouts persist ALL input columns (metadata
+    // rides beside the vector for the filtered serves). A raw parquet
+    // append with a different column set would not fail — it would
+    // leave mixed-schema files the filtered serve reads as nulls on
+    // half the index. requireAppendColumns turns that documented
+    // hazard into an entry-time rejection, and the rejected batch
+    // must leave the stored layout untouched.
+    import graft.operators.Similarity
+    val vecs = clusteredVecs()
+    withTempDir("graft_imi_appcols") { dir =>
+      Similarity.writeImiIndex(vecs, Similarity.imiSubCentroids(vecs), dir)
+      val storedCols = spark.read.parquet(s"$dir/index").columns.toSet
+      val e = intercept[IllegalArgumentException] {
+        // Missing the `label` metadata column the index was built with.
+        Similarity.appendImiIndex(spark, vecs.select($"vec_id", $"v"), dir)
+      }
+      assert(e.getMessage.contains("do not match the stored index schema"),
+        s"wrong rejection message: ${e.getMessage}")
+      assert(spark.read.parquet(s"$dir/index").columns.toSet === storedCols,
+        "rejected append must leave the stored schema untouched")
+      assert(Similarity.searchImiIndexWhere(spark, dir,
+          vecs.filter($"vec_id" % 100 < 2), 3, nprobe = 2,
+          $"label" % 2 === 0).count() > 0,
+        "filtered serve must still work after the rejected append")
+    }
+    withTempDir("graft_ivf_appcols") { dir =>
+      Similarity.writeIvfIndex(vecs,
+        Similarity.kmeansTrain(vecs.select($"vec_id", $"v"), 8, 2), dir)
+      val e = intercept[IllegalArgumentException] {
+        // An EXTRA column is just as corrupting as a missing one.
+        Similarity.appendIvfIndex(spark,
+          vecs.withColumn("extra", lit(1)), dir)
+      }
+      assert(e.getMessage.contains("do not match the stored index schema"),
+        s"wrong rejection message: ${e.getMessage}")
+      // A matching batch still appends fine after the rejection.
+      Similarity.appendIvfIndex(spark, vecs.limit(0), dir)
+    }
+  }
+
   test("knnJoin recall at the SHIPPED config (nprobe=2) is >= 0.95") {
     // The gated sim_knn_join entry runs nprobe=2 (PipelineQueries) — this
     // pins the quality bound at that production setting, not only at the
