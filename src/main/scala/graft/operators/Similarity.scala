@@ -2318,7 +2318,7 @@ object Similarity {
   def imiRecallCurve(vecs: DataFrame, probes: DataFrame, k: Int,
       kSub: Int = 8, iters: Int = 2,
       nps: Seq[Int] = Seq(1, 2, 4, 8), m: Int = 4, codebookK: Int = 8,
-      rerankDepth: Int = 10): DataFrame = {
+      rerankDepth: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = imiTrainedCents(vecs, kSub, iters)
     val idx = imiIndexCells(imiTrainedSubD(cents, vecs))
@@ -2367,6 +2367,11 @@ object Similarity {
       .join(ranked.select(col("probe_id"), col("l0").as("c0"),
         col("l1").as("c1"), col("rn")), Seq("probe_id", "c0", "c1"))
       .select(col("probe_id"), col("vec_id"), col("adist"), col("rn"))
+    // NOT localCheckpointed: measured 8.0–8.8 → 10.3–12.0 s at sf0.1.
+    // The per-np consumers differ only by a rank filter above one
+    // shared subtree — runtime ReuseExchange dedups it, and the eager
+    // cut only adds a materialization (the sim_recall_ladder side of
+    // the round-16 rule, re-measured here rather than assumed).
     val wS = Window.partitionBy(col("probe_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
     val wC = Window.partitionBy(col("probe_id"))

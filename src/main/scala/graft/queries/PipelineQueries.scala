@@ -1411,9 +1411,32 @@ object PipelineQueries {
     * overlap vs brute force — bytes = (Σ probed-pair occupancy − 1)
     * × 512 B (the probe's own index pair is always its rank-1 pair:
     * min(r0 + r1) separates into the two per-half argmins, ties
-    * resolved lexicographically on both sides). */
-  private val imiCurveSql: String =
-    s"""WITH $ovecsCte,
+    * resolved lexicographically on both sides). Parameterized over
+    * the corpus CTE so the clustered-fixture twin
+    * (sim_imi_curve_clustered) replays the SAME chain over the
+    * transformed vectors. */
+  private val imiCurveSql: String = imiCurveSqlOver(ovecsCte)
+
+  /** [[imiCurveSql]] over the deterministic CLUSTERED fixture — each
+    * vector snaps to its (label % 8) center (the spec suite's
+    * ±1-pattern centers: bit (j−1) % 3 of the cluster id) plus 0.1×
+    * the original embedding as noise. This is the corpus the
+    * multi-index is FOR (the structureless default is its adversarial
+    * case); the twin row records the other half of the pick-IMI
+    * guidance. */
+  private val imiCurveClusteredSql: String = imiCurveSqlOver(
+    """ovecs AS (
+      |  SELECT vec_id,
+      |    list_transform(generate_series(1, len(v0)), j ->
+      |      (CASE WHEN ((label % 8)
+      |                  // CAST(pow(2, (j - 1) % 3) AS INT)) % 2 = 1
+      |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)
+      |      + CAST(0.1 AS DOUBLE) * v0[j]) AS v
+      |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v0
+      |        FROM embeddings))""".stripMargin)
+
+  private def imiCurveSqlOver(vecsCte: String): String =
+    s"""WITH $vecsCte,
        |hdims AS (
        |  SELECT vec_id, unnest(v) AS x,
        |         unnest(generate_series(1, len(v))) AS pos,
@@ -1544,7 +1567,7 @@ object PipelineQueries {
        |           row_number() OVER (PARTITION BY n.np, s.probe_id
        |             ORDER BY s.adist, s.vec_id) AS srnk
        |    FROM nps n JOIN scq s ON s.rn <= n.np)
-       |  WHERE srnk <= 10),
+       |  WHERE srnk <= 40),
        |rrq AS (
        |  SELECT s.np, s.probe_id, s.neighbor_id,
        |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
@@ -1567,7 +1590,7 @@ object PipelineQueries {
        |SELECT 'imipq' AS rung, c.np, c.probe_id,
        |       CAST(coalesce(q.hits, 0) AS BIGINT) AS hits,
        |       n.n_exact, c.cand,
-       |       c.cand * 4 + least(c.cand, 10) * 512 AS bytes_scanned
+       |       c.cand * 4 + least(c.cand, 40) * 512 AS bytes_scanned
        |FROM cand c JOIN nss n ON n.probe_id = c.probe_id
        |LEFT JOIN hitsq q ON q.np = c.np AND q.probe_id = c.probe_id
        |ORDER BY rung, np, probe_id""".stripMargin
@@ -1898,12 +1921,29 @@ object PipelineQueries {
     // pick the two-level rung.
     // Round 17: the curve gained a second RUNG — 'imi' (raw floats,
     // cand × 512 B) vs 'imipq' (Multi-D-ADC over the SAME trained
-    // quantizer: cand × 4 B of codes + the depth-10 refine fetch) —
+    // quantizer: cand × 4 B of codes + the depth-40 refine fetch) —
     // so the artifact directly answers "what do the same probed pairs
     // cost under each cell encoding".
     "sim_imi_curve" -> ((s, d) => {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"))
+      Similarity.imiRecallCurve(vecs, vecs.filter(col("vec_id") < 10), 3)
+        .orderBy("rung", "np", "probe_id")
+    }),
+
+    // The curve on a CLUSTERED corpus — the fixture the multi-index is
+    // FOR (sf embeddings are structureless, IMI's adversarial case;
+    // this twin records the other half of the pick-IMI guidance):
+    // each vector snaps to its (label % 8) ±1-pattern center plus
+    // 0.1× the original embedding as noise, deterministically — no
+    // randomness, so the DuckDB replay transforms identically. Same
+    // trained chain, same rungs, same bytes accounting.
+    "sim_imi_curve_clustered" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .selectExpr("vec_id",
+          "transform(v, (x, i) -> (CASE WHEN ((label % 8) DIV " +
+            "CAST(pow(2, i % 3) AS INT)) % 2 = 1 THEN 1.0D ELSE -1.0D " +
+            "END) + 0.1D * x) AS v")
       Similarity.imiRecallCurve(vecs, vecs.filter(col("vec_id") < 10), 3)
         .orderBy("rung", "np", "probe_id")
     }),
@@ -5253,6 +5293,7 @@ object PipelineQueries {
     "sim_imi_compact" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),
     "sim_imi_kmeans" -> imiKmeansSearchSql,
     "sim_imi_curve" -> imiCurveSql,
+    "sim_imi_curve_clustered" -> imiCurveClusteredSql,
     "sim_imi_filtered" -> imiSearchSqlWhere(
       "AND vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
     "sim_imi_range" -> imiRangeSql(0.2),

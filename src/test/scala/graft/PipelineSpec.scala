@@ -438,6 +438,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("imiPqTopK: exhaustive config equals brute force bit-for-bit; " +
+      "shipped config keeps recall") {
+    // Multi-D-ADC + refine: with every pair probed and the shortlist
+    // covering the corpus, the exact re-rank IS brute force (pairs
+    // partition the corpus; ADC only ORDERS the shortlist, and a full
+    // shortlist makes that ordering irrelevant) — the degenerate pin
+    // every ANN rung here carries. At the shipped config (nprobe=2,
+    // depth-40 refine) the m-byte codes must not cost meaningful
+    // recall on the clustered geometry the multi-index is for.
+    import graft.operators.Similarity
+    val vecs = clusteredVecs()
+    val probes = vecs.filter($"vec_id" % 100 < 2)
+    val k = 3
+    val exact = Similarity.bruteForceTopK(vecs.select($"vec_id", $"v"),
+        probes.select($"vec_id", $"v"), k)
+      .select($"probe_id", $"neighbor_id", $"cos_r", $"rank".as("rnk"))
+    val exhaustive = Similarity.imiPqTopK(vecs, probes, k,
+      nprobe = 64, rerankDepth = vecs.count().toInt)
+    assert(exhaustive.collect().toSet === exact.collect().toSet,
+      "imiPqTopK at nprobe=all-pairs, depth=corpus must equal brute force")
+    val shipped = Similarity.imiPqTopK(vecs, probes, k)
+    val recall = Similarity.recallAtK(exact, shipped)
+      .agg(avg($"recall")).head.getDouble(0)
+    info(f"imiPqTopK shipped-config recall@$k = $recall%.3f")
+    assert(recall >= 0.85,
+      f"Multi-D-ADC shipped-config recall degraded: $recall%.3f")
+  }
+
   test("metadata-carrying appends reject a mismatched column set loudly") {
     // The flat and IMI layouts persist ALL input columns (metadata
     // rides beside the vector for the filtered serves). A raw parquet

@@ -89,6 +89,10 @@ class PlanInvariantsSpec extends SparkSpec {
                              // (broadcast probes, probe != neighbor
                              // non-equi); every serve leg is a pair
                              // equi-join
+    "sim_imi_curve_clustered", // the same curve chain over the
+                             // deterministic clustered fixture —
+                             // identical audited shapes, only the
+                             // input vectors differ
     "mm_feature_knn"         // the audited brute-force shape over
                              // kernel-extracted feature vectors
                              // (broadcast probes, probe != neighbor

@@ -182,6 +182,17 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // dedups at runtime) + pair-rank
                                     // window + cell join + top-k window
                                     // + sort
+    "sim_imipq_topk" -> 39,         // Multi-D-ADC + refine: the
+                                    // sub-centroid/sub-d2 subtrees
+                                    // print under the corpus-index,
+                                    // residual-encode, and probe
+                                    // branches (ReuseExchange dedups
+                                    // at runtime — the same textual
+                                    // inflation every multi-stage
+                                    // enumeration here carries) +
+                                    // code-assign windows + ADC rollup
+                                    // + shortlist window + re-rank
+                                    // window + sort
     "sim_imi_persist" -> 14,        // SERVING plan (codebooks + index
                                     // written before the frame): the
                                     // probe sub-d2 agg prints under
@@ -444,6 +455,8 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // compressed rows
     "dedup_segments" -> 5,        // seg-freq agg + seg re-join + doc
                                   // rollup + output sort
+    "dedup_segments_wide" -> 5,   // identical plan, wider shuffle key
+                                  // (hash + length struct)
     "mm_chunk_store" -> 2,        // reassembly: hash-keyed store join
                                   // + doc rollup + sort (manifest
                                   // and store written before the
