@@ -1211,6 +1211,464 @@ case class PngDecode(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Baseline JPEG codec — shared static implementation for the
+  * [[JpegEncode]]/[[JpegDecode]] expressions (one JIT'd body, so the
+  * interpreted and codegen paths cannot diverge). Pure public-spec
+  * baseline sequential DCT JPEG (ITU-T T.81 / ISO 10918-1): SOI, DQT
+  * (table in zigzag order), SOF0, DHT (the Annex K.3 standard
+  * luminance Huffman tables), SOS, entropy-coded blocks with 0xFF
+  * byte stuffing, EOI. Scope (documented, not silent): 8-bit
+  * GRAYSCALE (one component, so no chroma subsampling question), no
+  * restart intervals, no progressive/arithmetic modes — a real
+  * curation pipeline's metadata splitter routes those to the
+  * dead-letter side exactly as [[PngKernel]] routes 16-bit PNGs.
+  * Decode returns null for ANYTHING malformed or out of scope; it
+  * never throws.
+  *
+  * Numerics: FDCT/IDCT are the textbook O(64²) double-precision
+  * sums with a [[StrictMath]]-precomputed cosine table (bitwise
+  * reproducible everywhere, unlike platform-intrinsic Math.cos),
+  * `Math.round` quantization against an all-8s table (embedded via
+  * DQT, so any compliant reader decodes the stream). DCT JPEG is
+  * LOSSY by design — the exception that makes the driver gate exact:
+  * a CONSTANT 8×8 block has only a DC coefficient, 8·(c−128) is
+  * divisible by the DC quant 8, and the round trip is the identity
+  * per byte. The gated row feeds block-constant rasters through the
+  * FULL codec (markers, Huffman, DC prediction chain, stuffing,
+  * padding) with a closed-form oracle; the AC path (run-length, ZRL,
+  * EOB, EXTEND) is spec-pinned with an error bound on arbitrary
+  * rasters, where no exact cross-engine oracle can exist. */
+object JpegKernel {
+  /** Zigzag scan: position k in scan order → natural (row-major)
+    * coefficient index (T.81 Figure A.6). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** All-8s quant table (zigzag order — uniform, so order is moot):
+    * legal (any table ships in DQT), small enough that the error
+    * bound stays tight, and exactly invertible on the DC-only path
+    * (8·levelShift / 8). */
+  private val Quant: Array[Int] = Array.fill(64)(8)
+
+  // Annex K.3.3 standard luminance Huffman tables: BITS = code count
+  // per length 1..16, HUFFVAL = symbols in code order.
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** cosTable(u)(x) = cos((2x+1)·u·π/16) via StrictMath — the one
+    * transcendental in the codec, precomputed once, bitwise
+    * reproducible across JVMs/platforms (Math.cos may use platform
+    * intrinsics; StrictMath may not). */
+  private val CosT: Array[Array[Double]] = Array.tabulate(8, 8)((u, x) =>
+    StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0))
+  private val C: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0)
+
+  /** Canonical Huffman code assignment from (BITS, HUFFVAL)
+    * (T.81 Annex C): per symbol, (code, length). */
+  private def buildEncodeTable(bits: Array[Int], vals: Array[Int])
+      : (Array[Int], Array[Int]) = {
+    val code = new Array[Int](256); val len = new Array[Int](256)
+    var k = 0; var c = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        code(vals(k)) = c; len(vals(k)) = l
+        c += 1; k += 1; i += 1
+      }
+      c <<= 1; l += 1
+    }
+    (code, len)
+  }
+
+  private val (dcCode, dcLen) = buildEncodeTable(DcBits, DcVals)
+  private val (acCode, acLen) = buildEncodeTable(AcBits, AcVals)
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0; private var n = 0
+    def put(code: Int, length: Int): Unit = {
+      var l = length - 1
+      while (l >= 0) {
+        acc = (acc << 1) | ((code >>> l) & 1); n += 1
+        if (n == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        l -= 1
+      }
+    }
+    /** Flush with 1-padding (T.81 F.1.2.3). */
+    def finish(): Unit = if (n > 0) put(0xff, 8 - n)
+  }
+
+  /** Bit count of |v| — the DC/AC "size" category (0 for v = 0). */
+  private def category(v: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  private def fdctQuantZig(block: Array[Int], out: Array[Int]): Unit = {
+    var k = 0
+    while (k < 64) {
+      val nat = Zigzag(k); val u = nat % 8; val v = nat / 8
+      var s = 0.0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          s += block(y * 8 + x) * CosT(u)(x) * CosT(v)(y)
+          x += 1
+        }
+        y += 1
+      }
+      val coef = 0.25 * C(u) * C(v) * s
+      out(k) = Math.round(coef / Quant(k)).toInt
+      k += 1
+    }
+  }
+
+  private def be16(v: Int): Array[Byte] =
+    Array((v >>> 8).toByte, v.toByte)
+
+  private def marker(out: java.io.ByteArrayOutputStream, m: Int,
+      body: Array[Byte]): Unit = {
+    out.write(0xff); out.write(m)
+    out.write(be16(body.length + 2), 0, 2)
+    out.write(body, 0, body.length)
+  }
+
+  /** Encode a GRAYSCALE GR raster as a real baseline JPEG; null for a
+    * malformed raster or channels ≠ 1 (callers gray first —
+    * [[RasterGray]] is the pipeline's own op). */
+  def encode(gr: Array[Byte]): Array[Byte] = {
+    val d = RasterKernel.dims(gr)
+    if (d == null || d(0) != 1) return null
+    val w = d(1); val h = d(2)
+    val wb = (w + 7) / 8 * 8; val hb = (h + 7) / 8 * 8
+    val out = new java.io.ByteArrayOutputStream(1024)
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(out, 0xdb, Array[Byte](0) ++ Quant.map(_.toByte)) // DQT
+    marker(out, 0xc0, Array[Byte](8) ++ be16(h) ++ be16(w) ++
+      Array[Byte](1, 1, 0x11, 0)) // SOF0: 1 comp, 1x1 sampling, Tq 0
+    marker(out, 0xc4,
+      Array[Byte](0x00) ++ DcBits.map(_.toByte) ++ DcVals.map(_.toByte) ++
+        Array[Byte](0x10) ++ AcBits.map(_.toByte) ++ AcVals.map(_.toByte))
+    marker(out, 0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+    val bw = new BitWriter(out)
+    val block = new Array[Int](64)
+    val zig = new Array[Int](64)
+    var pred = 0
+    var by = 0
+    while (by < hb) {
+      var bx = 0
+      while (bx < wb) {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            // Edge-replication padding: partial edge blocks clamp to
+            // the last real pixel, keeping constant blocks constant.
+            val sy = math.min(by + y, h - 1); val sx = math.min(bx + x, w - 1)
+            block(y * 8 + x) =
+              (gr(RasterKernel.HeaderLen + sy * w + sx) & 0xff) - 128
+            x += 1
+          }
+          y += 1
+        }
+        fdctQuantZig(block, zig)
+        val diff = zig(0) - pred; pred = zig(0)
+        val t = category(diff)
+        bw.put(dcCode(t), dcLen(t))
+        if (t > 0)
+          bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        var k = 1; var run = 0
+        while (k < 64) {
+          if (zig(k) == 0) run += 1
+          else {
+            while (run > 15) { bw.put(acCode(0xf0), acLen(0xf0)); run -= 16 }
+            val s = category(zig(k))
+            val rs = (run << 4) | s
+            bw.put(acCode(rs), acLen(rs))
+            bw.put(if (zig(k) < 0) zig(k) + (1 << s) - 1 else zig(k), s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bw.put(acCode(0x00), acLen(0x00)) // EOB
+        bx += 8
+      }
+      by += 8
+    }
+    bw.finish()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** One parsed Huffman table in T.81 F.2.2.3 decode form. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17); val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    val huffVal = vals
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k; minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1; l += 1
+      }
+    }
+  }
+
+  /** Entropy-segment bit reader with 0xFF byte unstuffing; `bad`
+    * latches on any malformation (marker in data, truncation). */
+  private final class BitReader(b: Array[Byte], var p: Int) {
+    var bad = false
+    private var acc = 0; private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (p >= b.length) { bad = true; return 0 }
+        var v = b(p) & 0xff; p += 1
+        if (v == 0xff) {
+          if (p >= b.length) { bad = true; return 0 }
+          val m = b(p) & 0xff
+          if (m == 0x00) p += 1 // stuffed data byte
+          else if (m == 0xd9) { bad = true; return 0 } // ran past EOI
+          else { bad = true; return 0 } // RST/other markers unsupported
+          v = 0xff
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def receive(t: Int): Int = {
+      var v = 0; var i = 0
+      while (i < t) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def decode(tbl: HuffTable): Int = {
+      var code = bit(); var l = 1
+      while (l <= 16 && (tbl.maxCode(l) < 0 || code > tbl.maxCode(l))) {
+        code = (code << 1) | bit(); l += 1
+      }
+      if (l > 16 || bad) { bad = true; return -1 }
+      val idx = tbl.valPtr(l) + code - tbl.minCode(l)
+      if (idx < 0 || idx >= tbl.huffVal.length) { bad = true; return -1 }
+      tbl.huffVal(idx)
+    }
+  }
+
+  /** EXTEND (T.81 F.2.2.1): map a t-bit magnitude field to its signed
+    * coefficient value. */
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Decode a baseline grayscale JPEG into a GR raster; null for
+    * anything malformed or out of the documented scope (progressive,
+    * multi-component, restart intervals, 16-bit tables). */
+  def decode(jp: Array[Byte]): Array[Byte] = {
+    if (jp == null || jp.length < 4 ||
+        (jp(0) & 0xff) != 0xff || (jp(1) & 0xff) != 0xd8) return null
+    var w = 0; var h = 0
+    var qt: Array[Int] = null
+    var dcT: HuffTable = null; var acT: HuffTable = null
+    var p = 2
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (p + 4 > jp.length) return null
+      if ((jp(p) & 0xff) != 0xff) return null
+      val m = jp(p + 1) & 0xff
+      if (m == 0xd8 || m == 0xd9 || (m >= 0xd0 && m <= 0xd7)) return null
+      val len = ((jp(p + 2) & 0xff) << 8) | (jp(p + 3) & 0xff)
+      if (len < 2 || p + 2 + len > jp.length) return null
+      val q = p + 4; val end = p + 2 + len
+      m match {
+        case 0xdb => // DQT: one or more tables per segment
+          var i = q
+          while (i < end) {
+            val pqtq = jp(i) & 0xff
+            if ((pqtq >> 4) != 0 || i + 65 > end) return null // 8-bit only
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) { t(k) = jp(i + 1 + k) & 0xff; k += 1 }
+            if ((pqtq & 0x0f) == 0) qt = t
+            i += 65
+          }
+        case 0xc0 => // SOF0 baseline
+          if (len < 8) return null
+          h = ((jp(q + 1) & 0xff) << 8) | (jp(q + 2) & 0xff)
+          w = ((jp(q + 3) & 0xff) << 8) | (jp(q + 4) & 0xff)
+          val nf = jp(q + 5) & 0xff
+          if ((jp(q) & 0xff) != 8 || nf != 1 || w < 1 || h < 1 ||
+              (jp(q + 7) & 0xff) != 0x11) return null
+        case 0xc4 => // DHT: one or more tables per segment
+          var i = q
+          while (i < end) {
+            if (i + 17 > end) return null
+            val tcth = jp(i) & 0xff
+            val bits = new Array[Int](16)
+            var tot = 0
+            var k = 0
+            while (k < 16) { bits(k) = jp(i + 1 + k) & 0xff; tot += bits(k); k += 1 }
+            if (i + 17 + tot > end || tot > 256) return null
+            val vals = new Array[Int](tot)
+            k = 0
+            while (k < tot) { vals(k) = jp(i + 17 + k) & 0xff; k += 1 }
+            val tbl = new HuffTable(bits, vals)
+            if (tcth == 0x00) dcT = tbl
+            else if (tcth == 0x10) acT = tbl
+            i += 17 + tot
+          }
+        case 0xda => sosAt = end // SOS: entropy data follows
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            0xcb | 0xcd | 0xce | 0xcf => return null // non-baseline SOF
+        case 0xdd => return null // DRI unsupported (scope)
+        case _ => () // APPn / COM skip
+      }
+      p = end
+    }
+    if (w == 0 || qt == null || dcT == null || acT == null) return null
+    val wb = (w + 7) / 8 * 8; val hb = (h + 7) / 8 * 8
+    if (wb.toLong * hb > Int.MaxValue - RasterKernel.HeaderLen) return null
+    val canvas = new Array[Byte](wb * hb)
+    val br = new BitReader(jp, sosAt)
+    val coef = new Array[Int](64)
+    var pred = 0
+    var by = 0
+    while (by < hb) {
+      var bx = 0
+      while (bx < wb) {
+        java.util.Arrays.fill(coef, 0)
+        val t = br.decode(dcT)
+        if (br.bad || t < 0 || t > 15) return null
+        pred += extend(br.receive(t), t)
+        coef(0) = pred * qt(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = br.decode(acT)
+          if (br.bad || rs < 0) return null
+          val r = rs >> 4; val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else eob = true      // EOB
+          } else {
+            k += r
+            if (k > 63) return null
+            coef(Zigzag(k)) = extend(br.receive(s), s) * qt(k)
+            k += 1
+          }
+        }
+        if (br.bad) return null
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var s2 = 0.0
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                val cf = coef(v * 8 + u)
+                if (cf != 0) s2 += C(u) * C(v) * cf * CosT(u)(x) * CosT(v)(y)
+                u += 1
+              }
+              v += 1
+            }
+            val pix = Math.round(0.25 * s2).toInt + 128
+            canvas((by + y) * wb + bx + x) =
+              (if (pix < 0) 0 else if (pix > 255) 255 else pix).toByte
+            x += 1
+          }
+          y += 1
+        }
+        bx += 8
+      }
+      by += 8
+    }
+    val out = new Array[Byte](RasterKernel.HeaderLen + w * h)
+    RasterKernel.writeHeader(out, 1, w, h)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(canvas, y * wb, out, RasterKernel.HeaderLen + y * w, w)
+      y += 1
+    }
+    out
+  }
+}
+
+/** jpeg_encode(binary GRAYSCALE GR raster) → binary baseline JPEG:
+  * [[JpegKernel.encode]] as a codegen'd scalar. */
+case class JpegEncode(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_encode"
+  override def nullSafeEval(input: Any): Any =
+    JpegKernel.encode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.JpegKernel.encode($in);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): JpegEncode =
+    copy(child = c)
+}
+
+/** jpeg_decode(binary baseline JPEG) → binary GR raster:
+  * [[JpegKernel.decode]] as a codegen'd scalar — the second
+  * wire-format entry into the raster kernel family; malformed or
+  * out-of-scope bytes null out (dead-letter contract). */
+case class JpegDecode(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_decode"
+  override def nullSafeEval(input: Any): Any =
+    JpegKernel.decode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.JpegKernel.decode($in);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): JpegDecode =
+    copy(child = c)
+}
+
 /** wav_window_stats(binary, winFrames) → array<bigint>:
   * [[WavKernel.windowStats]] as a codegen'd scalar. */
 case class WavWindowStats(child: Expression, winFrames: Int)
@@ -1429,6 +1887,10 @@ object functions {
     GraftColumnBridge.column(PngEncode(ex(c)))
   def png_decode(c: Column): Column =
     GraftColumnBridge.column(PngDecode(ex(c)))
+  def jpeg_encode(c: Column): Column =
+    GraftColumnBridge.column(JpegEncode(ex(c)))
+  def jpeg_decode(c: Column): Column =
+    GraftColumnBridge.column(JpegDecode(ex(c)))
   def raster_gray(c: Column): Column =
     GraftColumnBridge.column(RasterGray(ex(c.cast("binary"))))
   def raster_flip_h(c: Column): Column =

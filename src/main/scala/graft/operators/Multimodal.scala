@@ -638,6 +638,34 @@ object Multimodal {
     }
   }
 
+  /** Synthesize BLOCK-CONSTANT grayscale rasters — the JPEG gate's
+    * fixture: w = 8·(1 + id%2) + id%5 and h = 8·(1 + id%3) + id%3
+    * (multi-block with partial edge blocks, so the DC prediction
+    * chain and the edge-replication padding are both exercised),
+    * pixel (x, y) = (id·31 + (x/8)·41 + (y/8)·59) mod 256. Constant
+    * 8×8 blocks are the one input class where baseline DCT JPEG is
+    * EXACTLY invertible (only the DC coefficient survives, and
+    * 8·levelShift is divisible by the DC quant 8), which is what
+    * lets a lossy codec carry an exact closed-form oracle — see
+    * [[graft.functions.JpegKernel]]. */
+  def synthesizeBlockRasters(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    implicit val enc = RowEncoder.encoderFor(schema)
+    documents.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (8 * (1 + id % 2) + id % 5).toInt
+        val h = (8 * (1 + id % 3) + id % 3).toInt
+        val pix = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          ((id * 31 + (x / 8) * 41 + (y / 8) * 59) % 256).toByte
+        }
+        Row(id, graft.functions.RasterKernel.build(1, w, h, pix))
+      }
+    }
+  }
+
   /** REAL image resize: integer box-filter (area-average) downsample by
     * `factor` over GR raster payloads — the codegen'd
     * [[graft.functions.RasterResize]] expression, one fused per-row

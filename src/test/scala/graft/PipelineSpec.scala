@@ -1607,6 +1607,72 @@ class PipelineSpec extends SparkSpec {
     assert(PngKernel.decode(withIhdrByte(good, 28, 1)) === null)
   }
 
+  test("JPEG codec: entropy bits match hand-derived Annex K codes, " +
+      "block-constant round trip is exact, AC path bounded, " +
+      "malformed/out-of-scope bytes null out") {
+    import graft.functions.{JpegKernel, RasterKernel}
+    // 1) Hand-derived bitstream pin — independent of the encoder's own
+    // tables: a constant 8×8 gray-130 block has DC = 8·(130−128) = 16,
+    // quantized 2 (category 2). Annex K canonical codes, derived BY
+    // HAND from the BITS/HUFFVAL lists: DC category 2 → '011' (the
+    // second length-3 code), value bits '10', AC EOB (0x00, the first
+    // length-4 code) → '1010'; 9 bits + seven 1-pad bits = 0x75 0x7F.
+    // A transposed table or a bit-order bug cannot survive this.
+    val const130 = RasterKernel.build(1, 8, 8, Array.fill(64)(130.toByte))
+    val jp = JpegKernel.encode(const130)
+    assert(jp != null)
+    val sos = jp.indices.dropRight(1)
+      .find(i => (jp(i) & 0xff) == 0xff && (jp(i + 1) & 0xff) == 0xda).get
+    val entropy = jp.slice(sos + 10, jp.length - 2) // FFDA + len 8
+    assert(entropy.map(_ & 0xff).toSeq === Seq(0x75, 0x7f),
+      s"entropy bytes ${entropy.map(b => f"${b & 0xff}%02x").mkString(" ")}" +
+        " diverged from the hand-derived Annex K bitstream")
+    assert(JpegKernel.decode(jp).toSeq === const130.toSeq,
+      "constant-block round trip must be the identity")
+    // 2) Multi-block constant fixture with partial edge blocks — the
+    // gated row's class: exact identity through the DC prediction
+    // chain and the edge-replication padding.
+    val blocky = RasterKernel.build(1, 13, 19, Array.tabulate(13 * 19) {
+      i => val x = i % 13; val y = i / 13
+        ((x / 8) * 97 + (y / 8) * 59 + 7).toByte
+    })
+    assert(JpegKernel.decode(JpegKernel.encode(blocky)).toSeq ===
+      blocky.toSeq, "block-constant fixture must round-trip exactly")
+    // 3) The lossy AC path (run-length, ZRL, EOB, EXTEND) on a noisy
+    // raster: dims preserved, per-pixel error bounded by the all-8s
+    // quant table (≤ 4 per coefficient; empirical pixel bound well
+    // under the loose 59 analytic one), and encoding is deterministic.
+    val noisy = RasterKernel.build(1, 21, 14, Array.tabulate(21 * 14)(
+      i => ((i * 137 + i * i * 29 + 83) % 256).toByte))
+    val rt = JpegKernel.decode(JpegKernel.encode(noisy))
+    assert(rt != null && RasterKernel.dims(rt).toSeq === Seq(1, 21, 14))
+    val errs = rt.drop(RasterKernel.HeaderLen)
+      .zip(noisy.drop(RasterKernel.HeaderLen))
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
+    info(f"JPEG AC-path max err = ${errs.max}, mean = " +
+      f"${errs.sum.toDouble / errs.length}%.2f")
+    assert(errs.max <= 24, s"AC-path pixel error ${errs.max} out of bound")
+    assert(errs.sum.toDouble / errs.length <= 4.0)
+    assert(JpegKernel.encode(noisy).toSeq === JpegKernel.encode(noisy).toSeq)
+    // 4) Dead-letter contract: malformed or out-of-scope → null.
+    assert(JpegKernel.decode(null) === null)
+    assert(JpegKernel.decode("not a jpeg".getBytes) === null)
+    assert(JpegKernel.decode(jp.take(20)) === null) // truncated
+    assert(JpegKernel.encode(RasterKernel.build(3, 4, 4,
+      Array.fill(48)(1.toByte))) === null, "RGB encode is out of scope")
+    val progressive = jp.clone()
+    val sof = jp.indices.dropRight(1)
+      .find(i => (jp(i) & 0xff) == 0xff && (jp(i + 1) & 0xff) == 0xc0).get
+    progressive(sof + 1) = 0xc2.toByte // SOF0 → SOF2
+    assert(JpegKernel.decode(progressive) === null,
+      "progressive JPEG must dead-letter, not misdecode")
+    val withDri = jp.take(sof) ++
+      Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x02).map(_.toByte) ++
+      jp.drop(sof)
+    assert(JpegKernel.decode(withDri) === null,
+      "restart intervals are out of scope and must dead-letter")
+  }
+
   test("header decoder parses real PNG and JPEG bytes, verifies PNG CRC") {
     // PNG: exact dimensions + CRC32 round-trip
     val png = Multimodal.pngBytes(640, 480, "body".getBytes)

@@ -457,6 +457,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // rollup + output sort
     "dedup_segments_wide" -> 5,   // identical plan, wider shuffle key
                                   // (hash + length struct)
+    "mm_jpeg_roundtrip" -> 1,     // per-row codec, output sort only
+    "mm_jpeg_pipeline" -> 1,      // codec + kernels fused in one
+                                  // codegen pass; output sort only
     "mm_chunk_store" -> 2,        // reassembly: hash-keyed store join
                                   // + doc rollup + sort (manifest
                                   // and store written before the
