@@ -1060,12 +1060,22 @@ object Similarity {
     * mid-rename leaves deleted rows still masked, never unmasked. */
   def compactImiIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
     IndexMeta.requireMatch(spark, dir, "layout" -> "imi", "fmt" -> "1")
+    compactPairTable(spark, dir, "index")
+  }
+
+  /** The pair-partitioned affected-leaf rewrite shared by
+    * [[compactImiIndex]] (raw-float `index/`) and
+    * [[compactImiPqIndex]] (code-only `codes/`) —
+    * [[compactCellTable]]'s contract over the two-level (c0, c1)
+    * partitioning. */
+  private def compactPairTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, table: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val fs = FsOps.fsOf(spark, dir)
     FsOps.clearStaging(fs, dir)
     readTombstones(spark, dir).foreach { tombs =>
-      val idx = spark.read.parquet(s"$dir/index")
+      val idx = spark.read.parquet(s"$dir/$table")
       val affected = idx.join(broadcast(tombs), Seq("vec_id"))
         .select(col("c0"), col("c1")).distinct()
       val rewritten = idx.join(broadcast(affected), Seq("c0", "c1"))
@@ -1079,7 +1089,7 @@ object Similarity {
         .join(rewritten.select(col("c0"), col("c1")).distinct(),
           Seq("c0", "c1"), "left_anti")
         .collect().map(pairName).toSet
-      val staging = s"$dir/index_compacting"
+      val staging = s"$dir/${table}_compacting"
       rewritten.write.mode("overwrite").partitionBy("c0", "c1")
         .parquet(staging)
       def leafPairs(root: String): Set[String] = {
@@ -1092,21 +1102,21 @@ object Similarity {
               .map(n1 => s"${p0.getName}/$n1")).toSet
       }
       val stagedPairs = leafPairs(staging)
-      val livePairs = leafPairs(s"$dir/index")
+      val livePairs = leafPairs(s"$dir/$table")
       if (emptied.nonEmpty &&
           ((livePairs -- emptied) ++ stagedPairs).isEmpty) {
-        val emptyStaging = s"$dir/index_empty"
+        val emptyStaging = s"$dir/${table}_empty"
         idx.limit(0).write.mode("overwrite").parquet(emptyStaging)
-        FsOps.swapInto(fs, emptyStaging, s"$dir/index")
+        FsOps.swapInto(fs, emptyStaging, s"$dir/$table")
       } else {
         stagedPairs.foreach { name =>
-          val dest = new Path(s"$dir/index/$name")
+          val dest = new Path(s"$dir/$table/$name")
           FsOps.deleteIfExists(fs, dest)
           fs.mkdirs(dest.getParent)
           FsOps.checkedRename(fs, new Path(s"$staging/$name"), dest)
         }
         emptied.foreach { name =>
-          FsOps.deleteIfExists(fs, new Path(s"$dir/index/$name"))
+          FsOps.deleteIfExists(fs, new Path(s"$dir/$table/$name"))
         }
       }
       FsOps.deleteIfExists(fs, new Path(staging))
@@ -1255,6 +1265,125 @@ object Similarity {
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(round(col("pd2"), 6).cast("decimal(18,6)")).cast("double")
         .as("adist"))
+  }
+
+  /** Materialize the Multi-D-ADC index — the 13th persisted layout:
+    * the two half codebooks, the residual PQ codebook, and every
+    * vector's m-byte PAIR-RESIDUAL code written partitioned by BOTH
+    * pair keys (c0, c1). The stored corpus is CODES ONLY (the
+    * [[writeIvfPqIndex]] compression story at the multi-index shape:
+    * m small ints + two pair keys per vector); raw floats appear
+    * nowhere in the index — [[searchImiPqIndex]]'s refine fetch reads
+    * the caller-supplied corpus. `cents` is an [[imiSubCentroids]]
+    * frame (trainer separation, as [[writeImiIndex]]); `quantizer`
+    * optionally trains the RESIDUAL codebook on a different corpus
+    * than the batch being indexed (the incremental-ingestion shape —
+    * train once on the representative corpus, build on the first
+    * batch, [[appendImiPqIndex]] the rest). Both quantizer tables
+    * persist FIRST and codes assign against the RE-READ state, so a
+    * later append encodes against byte-identical quantizers. */
+  def writeImiPqIndex(vecs: DataFrame, cents: DataFrame, dir: String,
+      m: Int = 4, codebookK: Int = 8,
+      quantizer: Option[DataFrame] = None): Unit = {
+    val spark = vecs.sparkSession
+    clearTombstones(spark, dir)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val stored = spark.read.parquet(s"$dir/centroids")
+    val idx = imiIndexCells(imiSubDistancesAgainst(stored, vecs))
+    val rcorp = imiPairResiduals(vecs,
+      idx.select(col("corpus_id").as("vec_id"), col("c0"), col("c1")),
+      stored)
+    // The default (quantizer = batch) REUSES the batch's own pair
+    // index and residual frame for codebook training — computing the
+    // same assignment twice measured ~1.5 s/row at sf0.1 for nothing.
+    val qres = quantizer.map { qsrc =>
+      val qidx = imiIndexCells(imiSubDistancesAgainst(stored, qsrc))
+      imiPairResiduals(qsrc,
+        qidx.select(col("corpus_id").as("vec_id"), col("c0"), col("c1")),
+        stored)
+    }.getOrElse(rcorp)
+    codebookOf(qres.select(col("vec_id"), col("rv").as("v")), m,
+        codebookK)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    pqCodesAgainst(codebook, rcorp.select(col("vec_id"),
+        col("rv").as("v")), m)
+      .join(rcorp.select(col("vec_id"), col("c0"), col("c1")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("sub"), col("cid"), col("c0"), col("c1"))
+      .write.mode("overwrite").partitionBy("c0", "c1")
+      .parquet(s"$dir/codes")
+    IndexMeta.write(spark, dir, "layout" -> "imi_pq",
+      "m" -> m.toString, "codebookK" -> codebookK.toString,
+      "fmt" -> "1")
+  }
+
+  /** APPEND a corpus batch to a persisted [[writeImiPqIndex]] layout:
+    * the batch assigns pairs against the STORED half codebooks and
+    * encodes against the STORED residual codebook (both quantizer
+    * levels fixed once trained — FAISS's `add` contract), so
+    * write(A, quantizer = A ∪ B) then append(B) serves bit-identically
+    * to the monolithic build (spec-pinned). Codes have a FIXED schema
+    * (no metadata rides in this layout), so no column-set contract is
+    * needed; the sidecar still rejects a mismatched `m` loudly. Same
+    * tombstone reconciliation ordering as every append leg. */
+  def appendImiPqIndex(spark: org.apache.spark.sql.SparkSession,
+      vecs2: DataFrame, dir: String, m: Int = 4): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "imi_pq",
+      "m" -> m.toString, "fmt" -> "1")
+    clearDrainedPlaceholder(spark, s"$dir/codes")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val idx = imiIndexCells(imiSubDistancesAgainst(cents, vecs2))
+    val rcorp = imiPairResiduals(vecs2,
+      idx.select(col("corpus_id").as("vec_id"), col("c0"), col("c1")),
+      cents)
+    pqCodesAgainst(codebook, rcorp.select(col("vec_id"),
+        col("rv").as("v")), m)
+      .join(rcorp.select(col("vec_id"), col("c0"), col("c1")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("sub"), col("cid"), col("c0"), col("c1"))
+      .write.mode("append").partitionBy("c0", "c1")
+      .parquet(s"$dir/codes")
+    reconcileTombstonesAfterAppend(spark, dir,
+      vecs2.select(col("vec_id")))
+  }
+
+  /** Serve a persisted [[writeImiPqIndex]] layout: probes rank pairs
+    * against the stored half codebooks, the pair-partitioned CODE
+    * scan joins the broadcast per-(probe, pair) distance table, and
+    * the ADC shortlist re-ranks with exact cosine over the supplied
+    * corpus floats ([[imiPqServeEncoded]] — the same serve frame as
+    * the in-memory [[imiPqTopK]], so the contracts cannot diverge;
+    * parquet round-trips the doubles, so results are bit-identical at
+    * the same parameters, spec-pinned). Tombstones mask the code
+    * rows BEFORE the ADC shortlist, the fleet contract. */
+  def searchImiPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame, probes: DataFrame, k: Int,
+      m: Int = 4, nprobe: Int = 2, rerankDepth: Int = 40): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    IndexMeta.requireMatch(spark, dir, "layout" -> "imi_pq",
+      "m" -> m.toString, "fmt" -> "1")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val codes0 = spark.read.parquet(s"$dir/codes")
+    val codes = readTombstones(spark, dir)
+      .map(t => codes0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(codes0)
+    val assigned = imiProbePairs(
+      imiSubDistancesAgainst(cents, probes), nprobe)
+    imiPqServeEncoded(codes, codebook, cents, vecs, probes, assigned,
+      k, m, rerankDepth)
+  }
+
+  /** Physically COMPACT a persisted [[writeImiPqIndex]] layout — the
+    * pair-partitioned affected-leaf rewrite shared with
+    * [[compactImiIndex]], over the `codes/` table. */
+  def compactImiPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "imi_pq",
+      "fmt" -> "1")
+    compactPairTable(spark, dir, "codes")
   }
 
   /** Multi-D-ADC with an exact refine stage — the inverted

@@ -356,7 +356,15 @@ object PipelineQueries {
     * table per (probe, probed pair), ADC restricted to the probed
     * pairs (pair keys equal on both sides), and the depth-40
     * shortlist re-ranked with exact 6-dp cosine. */
-  private lazy val imiPqSearchSql: String =
+  private lazy val imiPqSearchSql: String = imiPqSearchSqlWhere("")
+
+  /** [[imiPqSearchSql]] with a predicate scoping the LIVE code rows —
+    * the delete/compact legs' oracle hook (tombstoned ids mask from
+    * the code table BEFORE the ADC shortlist, probes untouched), and
+    * the persisted twins share the empty-predicate replay (parquet
+    * round-trips the codebooks and codes exactly, so the persisted
+    * serve is bit-identical to the in-memory one). */
+  private def imiPqSearchSqlWhere(codePred: String): String =
     s"""WITH vecsl AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |dims0 AS (
@@ -442,11 +450,12 @@ object PipelineQueries {
        |           - 2.0 * list_dot_product(p.sv, cb.cv)
        |           + list_dot_product(cb.cv, cb.cv) AS pd2
        |  FROM psubs p JOIN cb USING (sub)),
+       |live AS (SELECT * FROM pqcodes $codePred),
        |sc AS (
        |  SELECT t.probe_id, c.vec_id,
        |         CAST(CAST(sum(CAST(round(t.pd2, 6) AS DECIMAL(18,6)))
        |              AS DECIMAL(38,6)) AS DOUBLE) AS adist
-       |  FROM pqcodes c JOIN ptab t
+       |  FROM live c JOIN ptab t
        |    ON t.sub = c.sub AND t.cid = c.cid
        |    AND t.l0 = c.c0 AND t.l1 = c.c1
        |  WHERE t.probe_id <> c.vec_id
@@ -1898,6 +1907,72 @@ object PipelineQueries {
     "sim_imipq_topk" -> ((s, d) => {
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
       Similarity.imiPqTopK(vecs, vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Persisted Multi-D-ADC round-trip (the 13th persisted layout):
+    // half codebooks + residual codebook + m-byte pair-residual codes
+    // written pair-partitioned (the corpus's only stored form — raw
+    // floats appear nowhere in the index), then served from the files
+    // with the shortlist re-ranked over the supplied floats.
+    // Bit-identical to the in-memory sim_imipq_topk (shared oracle).
+    "sim_imipq_persist" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_imipq_idx")
+      Similarity.writeImiPqIndex(vecs, Similarity.imiSubCentroids(vecs),
+        dir)
+      Similarity.searchImiPqIndex(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Append leg: build on the even half with BOTH quantizer levels
+    // trained on the full corpus (the trainer/indexer separation the
+    // write signature exists for), append the odd half against the
+    // STORED state — the served union must equal the monolithic
+    // build, hence the shared oracle.
+    "sim_imipq_append" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_imipq_app")
+      Similarity.writeImiPqIndex(vecs.filter(col("vec_id") % 2 === 0),
+        Similarity.imiSubCentroids(vecs), dir,
+        quantizer = Some(vecs))
+      Similarity.appendImiPqIndex(s, vecs.filter(col("vec_id") % 2 === 1),
+        dir)
+      Similarity.searchImiPqIndex(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Tombstone-delete leg: deleted ids mask from the CODE table
+    // before the ADC shortlist (the fleet contract — a deleted row
+    // can never even be nominated); oracle = the shared replay with
+    // those ids excluded from the live codes.
+    "sim_imipq_delete" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_imipq_del")
+      Similarity.writeImiPqIndex(vecs, Similarity.imiSubCentroids(vecs),
+        dir)
+      Similarity.deleteFromIvfIndex(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.searchImiPqIndex(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // COMPACTION of the code-only pair layout (the shared per-pair
+    // leaf replace); physical reclamation must serve bit-identically
+    // to the tombstone mask it replaces — same oracle as the delete.
+    "sim_imipq_compact" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_imipq_cmp")
+      Similarity.writeImiPqIndex(vecs, Similarity.imiSubCentroids(vecs),
+        dir)
+      Similarity.deleteFromIvfIndex(s,
+        vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+      Similarity.compactImiPqIndex(s, dir)
+      Similarity.searchImiPqIndex(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), 5)
         .orderBy("probe_id", "rnk")
     }),
 
@@ -5343,6 +5418,10 @@ object PipelineQueries {
     // tombstone predicate into the index CTE.
     "sim_imi_topk" -> imiSearchSqlWhere(""),
     "sim_imipq_topk" -> imiPqSearchSql,
+    "sim_imipq_persist" -> imiPqSearchSql,
+    "sim_imipq_append" -> imiPqSearchSql,
+    "sim_imipq_delete" -> imiPqSearchSqlWhere("WHERE vec_id % 7 <> 0"),
+    "sim_imipq_compact" -> imiPqSearchSqlWhere("WHERE vec_id % 7 <> 0"),
     "sim_imi_persist" -> imiSearchSqlWhere(""),
     "sim_imi_append" -> imiSearchSqlWhere(""),
     "sim_imi_delete" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),

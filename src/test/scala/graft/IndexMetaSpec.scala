@@ -136,6 +136,14 @@ class IndexMetaSpec extends SparkSpec {
           Similarity.imiSubCentroids(
             Similarity.vectors(Tables.embeddings(spark, sfDir))), d),
         d => Similarity.searchImiIndex(spark, d, probes, 3).collect()),
+      ("imi_pq",
+        d => {
+          val v = Similarity.vectors(Tables.embeddings(spark, sfDir))
+          Similarity.writeImiPqIndex(v, Similarity.imiSubCentroids(v), d)
+        },
+        d => Similarity.searchImiPqIndex(spark, d,
+          Similarity.vectors(Tables.embeddings(spark, sfDir)), probes, 3)
+          .collect()),
       ("knn_assign",
         d => Similarity.writeKnnAssignIndex(
           Similarity.vectors(Tables.embeddings(spark, sfDir)), d,

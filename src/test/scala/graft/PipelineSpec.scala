@@ -466,6 +466,59 @@ class PipelineSpec extends SparkSpec {
       f"Multi-D-ADC shipped-config recall degraded: $recall%.3f")
   }
 
+  test("persisted Multi-D-ADC layout: served, appended, deleted, and " +
+      "compacted legs keep the in-memory contract") {
+    import graft.operators.Similarity
+    val vecs = clusteredVecs()
+    val probes = vecs.filter($"vec_id" % 100 < 2)
+    val cents = Similarity.imiSubCentroids(vecs)
+    val want = Similarity.imiPqTopK(vecs, probes, 3).collect().toSet
+    withTempDir("graft_imipq_spec") { dir =>
+      Similarity.writeImiPqIndex(vecs, cents, dir)
+      val served = Similarity.searchImiPqIndex(spark, dir, vecs, probes, 3)
+      assert(want.nonEmpty && served.collect().toSet === want,
+        "persisted Multi-D-ADC serve must equal the in-memory imiPqTopK")
+      // The layout's whole point: the stored corpus is CODES ONLY —
+      // no float column anywhere in the index table.
+      assert(spark.read.parquet(s"$dir/codes").columns.toSet ===
+        Set("vec_id", "sub", "cid", "c0", "c1"),
+        "code table must hold codes + pair keys only, never floats")
+      // A deleted id can never be NOMINATED (masked before the ADC
+      // shortlist), and physical compaction serves bit-identically to
+      // the mask while dropping the code rows and draining tombstones.
+      val victim = want.head.getLong(want.head.fieldIndex("neighbor_id"))
+      Similarity.deleteFromIvfIndex(spark, Seq(victim).toDF("vec_id"), dir)
+      val masked = Similarity.searchImiPqIndex(spark, dir, vecs, probes,
+        96, nprobe = 64, rerankDepth = 96)
+      assert(!masked.select($"neighbor_id").distinct().collect()
+        .map(_.getLong(0)).contains(victim), "tombstoned id was nominated")
+      val wantMasked = Similarity.searchImiPqIndex(spark, dir, vecs,
+        probes, 3).collect().toSet
+      Similarity.compactImiPqIndex(spark, dir)
+      assert(Similarity.searchImiPqIndex(spark, dir, vecs, probes, 3)
+        .collect().toSet === wantMasked,
+        "compaction changed a served result")
+      assert(spark.read.parquet(s"$dir/codes")
+        .filter($"vec_id" === victim).count() === 0,
+        "compaction left the tombstoned row's code files on disk")
+      assert(spark.read.parquet(s"$dir/tombstones").count() === 0,
+        "compaction did not drain the tombstone table")
+    }
+    withTempDir("graft_imipq_spec_app") { dir =>
+      // write(evens, quantizer = full) + append(odds) must serve
+      // bit-identically to the monolithic build: BOTH quantizer
+      // levels (half codebooks AND residual codebook) are fixed at
+      // write time and parquet round-trips them exactly.
+      Similarity.writeImiPqIndex(vecs.filter($"vec_id" % 2 === 0), cents,
+        dir, quantizer = Some(vecs))
+      Similarity.appendImiPqIndex(spark, vecs.filter($"vec_id" % 2 === 1),
+        dir)
+      assert(Similarity.searchImiPqIndex(spark, dir, vecs, probes, 3)
+        .collect().toSet === want,
+        "write(A) + append(B) must serve identically to write(A ∪ B)")
+    }
+  }
+
   test("metadata-carrying appends reject a mismatched column set loudly") {
     // The flat and IMI layouts persist ALL input columns (metadata
     // rides beside the vector for the filtered serves). A raw parquet

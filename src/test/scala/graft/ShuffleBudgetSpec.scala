@@ -193,6 +193,21 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // code-assign windows + ADC rollup
                                     // + shortlist window + re-rank
                                     // window + sort
+    "sim_imipq_persist" -> 22,      // Multi-D-ADC SERVING plan (both
+                                    // quantizer tables + codes written
+                                    // before the frame): probe sub-d2
+                                    // under both pair branches + pair
+                                    // rank window + probe pair-residual
+                                    // slices + ADC rollup + shortlist
+                                    // window + refine re-rank window +
+                                    // sort (ReuseExchange dedups the
+                                    // repeated probe subtrees)
+    "sim_imipq_append" -> 22,       // identical serve frame over the
+                                    // appended pair partitions
+    "sim_imipq_delete" -> 22,       // tombstone mask = broadcast
+                                    // anti-join, zero added exchanges
+    "sim_imipq_compact" -> 22,      // compacted pair leaves, identical
+                                    // serve frame
     "sim_imi_persist" -> 14,        // SERVING plan (codebooks + index
                                     // written before the frame): the
                                     // probe sub-d2 agg prints under
