@@ -1218,7 +1218,9 @@ case class PngDecode(child: Expression) extends UnaryExpression {
   * (table in zigzag order), SOF0, DHT (the Annex K.3 standard
   * luminance Huffman tables), SOS, entropy-coded blocks with 0xFF
   * byte stuffing, EOI. Scope (documented, not silent): 8-bit
-  * GRAYSCALE (one component, so no chroma subsampling question), no
+  * grayscale and 3-component RGB-as-planes (the 'R','G','B'
+  * component-id convention — NO color transform, 1×1 sampling, so
+  * per-channel math equals the gray path), no chroma subsampling, no
   * restart intervals, no progressive/arithmetic modes — a real
   * curation pipeline's metadata splitter routes those to the
   * dead-letter side exactly as [[PngKernel]] routes 16-bit PNGs.
@@ -1367,64 +1369,80 @@ object JpegKernel {
     out.write(body, 0, body.length)
   }
 
-  /** Encode a GRAYSCALE GR raster as a real baseline JPEG; null for a
-    * malformed raster or channels ≠ 1 (callers gray first —
-    * [[RasterGray]] is the pipeline's own op). */
+  /** Encode a GR raster as a real baseline JPEG — 1 channel
+    * (grayscale, component id 1) or 3 channels stored as-planes with
+    * the 'R','G','B' component ids (the public RGB-in-JPEG
+    * convention: NO color transform, so the per-channel math is
+    * identical to the gray path and block-constant exactness holds
+    * per channel). 3-component MCUs interleave one 8×8 block per
+    * component with a separate DC predictor each (T.81 §A.2.3 at
+    * 1×1 sampling). Null for malformed rasters or 2/4 channels. */
   def encode(gr: Array[Byte]): Array[Byte] = {
     val d = RasterKernel.dims(gr)
-    if (d == null || d(0) != 1) return null
-    val w = d(1); val h = d(2)
+    if (d == null || (d(0) != 1 && d(0) != 3)) return null
+    val nc = d(0); val w = d(1); val h = d(2)
     val wb = (w + 7) / 8 * 8; val hb = (h + 7) / 8 * 8
+    val compId: Array[Byte] =
+      if (nc == 1) Array[Byte](1) else Array[Byte]('R', 'G', 'B')
     val out = new java.io.ByteArrayOutputStream(1024)
     out.write(0xff); out.write(0xd8) // SOI
     marker(out, 0xdb, Array[Byte](0) ++ Quant.map(_.toByte)) // DQT
     marker(out, 0xc0, Array[Byte](8) ++ be16(h) ++ be16(w) ++
-      Array[Byte](1, 1, 0x11, 0)) // SOF0: 1 comp, 1x1 sampling, Tq 0
+      Array[Byte](nc.toByte) ++
+      compId.flatMap(id => Array[Byte](id, 0x11, 0))) // SOF0, 1x1, Tq 0
     marker(out, 0xc4,
       Array[Byte](0x00) ++ DcBits.map(_.toByte) ++ DcVals.map(_.toByte) ++
         Array[Byte](0x10) ++ AcBits.map(_.toByte) ++ AcVals.map(_.toByte))
-    marker(out, 0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+    marker(out, 0xda, Array[Byte](nc.toByte) ++
+      compId.flatMap(id => Array[Byte](id, 0x00)) ++
+      Array[Byte](0, 63, 0)) // SOS: all comps share table pair 0
     val bw = new BitWriter(out)
     val block = new Array[Int](64)
     val zig = new Array[Int](64)
-    var pred = 0
+    val pred = new Array[Int](nc)
     var by = 0
     while (by < hb) {
       var bx = 0
       while (bx < wb) {
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            // Edge-replication padding: partial edge blocks clamp to
-            // the last real pixel, keeping constant blocks constant.
-            val sy = math.min(by + y, h - 1); val sx = math.min(bx + x, w - 1)
-            block(y * 8 + x) =
-              (gr(RasterKernel.HeaderLen + sy * w + sx) & 0xff) - 128
-            x += 1
+        var ch = 0
+        while (ch < nc) { // one MCU = one block per component
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              // Edge-replication padding: partial edge blocks clamp to
+              // the last real pixel, keeping constant blocks constant.
+              val sy = math.min(by + y, h - 1)
+              val sx = math.min(bx + x, w - 1)
+              block(y * 8 + x) =
+                (gr(RasterKernel.HeaderLen + (sy * w + sx) * nc + ch)
+                  & 0xff) - 128
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        fdctQuantZig(block, zig)
-        val diff = zig(0) - pred; pred = zig(0)
-        val t = category(diff)
-        bw.put(dcCode(t), dcLen(t))
-        if (t > 0)
-          bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
-        var k = 1; var run = 0
-        while (k < 64) {
-          if (zig(k) == 0) run += 1
-          else {
-            while (run > 15) { bw.put(acCode(0xf0), acLen(0xf0)); run -= 16 }
-            val s = category(zig(k))
-            val rs = (run << 4) | s
-            bw.put(acCode(rs), acLen(rs))
-            bw.put(if (zig(k) < 0) zig(k) + (1 << s) - 1 else zig(k), s)
-            run = 0
+          fdctQuantZig(block, zig)
+          val diff = zig(0) - pred(ch); pred(ch) = zig(0)
+          val t = category(diff)
+          bw.put(dcCode(t), dcLen(t))
+          if (t > 0)
+            bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+          var k = 1; var run = 0
+          while (k < 64) {
+            if (zig(k) == 0) run += 1
+            else {
+              while (run > 15) { bw.put(acCode(0xf0), acLen(0xf0)); run -= 16 }
+              val s = category(zig(k))
+              val rs = (run << 4) | s
+              bw.put(acCode(rs), acLen(rs))
+              bw.put(if (zig(k) < 0) zig(k) + (1 << s) - 1 else zig(k), s)
+              run = 0
+            }
+            k += 1
           }
-          k += 1
+          if (run > 0) bw.put(acCode(0x00), acLen(0x00)) // EOB
+          ch += 1
         }
-        if (run > 0) bw.put(acCode(0x00), acLen(0x00)) // EOB
         bx += 8
       }
       by += 8
@@ -1501,7 +1519,7 @@ object JpegKernel {
   def decode(jp: Array[Byte]): Array[Byte] = {
     if (jp == null || jp.length < 4 ||
         (jp(0) & 0xff) != 0xff || (jp(1) & 0xff) != 0xd8) return null
-    var w = 0; var h = 0
+    var w = 0; var h = 0; var nc = 0
     var qt: Array[Int] = null
     var dcT: HuffTable = null; var acT: HuffTable = null
     var p = 2
@@ -1530,9 +1548,16 @@ object JpegKernel {
           if (len < 8) return null
           h = ((jp(q + 1) & 0xff) << 8) | (jp(q + 2) & 0xff)
           w = ((jp(q + 3) & 0xff) << 8) | (jp(q + 4) & 0xff)
-          val nf = jp(q + 5) & 0xff
-          if ((jp(q) & 0xff) != 8 || nf != 1 || w < 1 || h < 1 ||
-              (jp(q + 7) & 0xff) != 0x11) return null
+          nc = jp(q + 5) & 0xff
+          if ((jp(q) & 0xff) != 8 || (nc != 1 && nc != 3) ||
+              w < 1 || h < 1 || len < 8 + 3 * nc) return null
+          // 1×1 sampling on EVERY component (no chroma subsampling —
+          // out of scope, dead-letter like progressive).
+          var ci = 0
+          while (ci < nc) {
+            if ((jp(q + 7 + 3 * ci) & 0xff) != 0x11) return null
+            ci += 1
+          }
         case 0xc4 => // DHT: one or more tables per segment
           var i = q
           while (i < end) {
@@ -1561,68 +1586,75 @@ object JpegKernel {
     }
     if (w == 0 || qt == null || dcT == null || acT == null) return null
     val wb = (w + 7) / 8 * 8; val hb = (h + 7) / 8 * 8
-    if (wb.toLong * hb > Int.MaxValue - RasterKernel.HeaderLen) return null
-    val canvas = new Array[Byte](wb * hb)
+    if (wb.toLong * hb * nc > Int.MaxValue - RasterKernel.HeaderLen)
+      return null
+    val canvas = new Array[Byte](wb * hb * nc)
     val br = new BitReader(jp, sosAt)
     val coef = new Array[Int](64)
-    var pred = 0
+    val pred = new Array[Int](nc)
     var by = 0
     while (by < hb) {
       var bx = 0
       while (bx < wb) {
-        java.util.Arrays.fill(coef, 0)
-        val t = br.decode(dcT)
-        if (br.bad || t < 0 || t > 15) return null
-        pred += extend(br.receive(t), t)
-        coef(0) = pred * qt(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = br.decode(acT)
-          if (br.bad || rs < 0) return null
-          val r = rs >> 4; val s = rs & 0x0f
-          if (s == 0) {
-            if (r == 15) k += 16 // ZRL
-            else eob = true      // EOB
-          } else {
-            k += r
-            if (k > 63) return null
-            coef(Zigzag(k)) = extend(br.receive(s), s) * qt(k)
-            k += 1
-          }
-        }
-        if (br.bad) return null
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var s2 = 0.0
-            var v = 0
-            while (v < 8) {
-              var u = 0
-              while (u < 8) {
-                val cf = coef(v * 8 + u)
-                if (cf != 0) s2 += C(u) * C(v) * cf * CosT(u)(x) * CosT(v)(y)
-                u += 1
-              }
-              v += 1
+        var ch = 0
+        while (ch < nc) { // interleaved MCU: one block per component
+          java.util.Arrays.fill(coef, 0)
+          val t = br.decode(dcT)
+          if (br.bad || t < 0 || t > 15) return null
+          pred(ch) += extend(br.receive(t), t)
+          coef(0) = pred(ch) * qt(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = br.decode(acT)
+            if (br.bad || rs < 0) return null
+            val r = rs >> 4; val s = rs & 0x0f
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else eob = true      // EOB
+            } else {
+              k += r
+              if (k > 63) return null
+              coef(Zigzag(k)) = extend(br.receive(s), s) * qt(k)
+              k += 1
             }
-            val pix = Math.round(0.25 * s2).toInt + 128
-            canvas((by + y) * wb + bx + x) =
-              (if (pix < 0) 0 else if (pix > 255) 255 else pix).toByte
-            x += 1
           }
-          y += 1
+          if (br.bad) return null
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var s2 = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  val cf = coef(v * 8 + u)
+                  if (cf != 0)
+                    s2 += C(u) * C(v) * cf * CosT(u)(x) * CosT(v)(y)
+                  u += 1
+                }
+                v += 1
+              }
+              val pix = Math.round(0.25 * s2).toInt + 128
+              canvas(((by + y) * wb + bx + x) * nc + ch) =
+                (if (pix < 0) 0 else if (pix > 255) 255 else pix).toByte
+              x += 1
+            }
+            y += 1
+          }
+          ch += 1
         }
         bx += 8
       }
       by += 8
     }
-    val out = new Array[Byte](RasterKernel.HeaderLen + w * h)
-    RasterKernel.writeHeader(out, 1, w, h)
+    val out = new Array[Byte](RasterKernel.HeaderLen + w * h * nc)
+    RasterKernel.writeHeader(out, nc, w, h)
     var y = 0
     while (y < h) {
-      System.arraycopy(canvas, y * wb, out, RasterKernel.HeaderLen + y * w, w)
+      System.arraycopy(canvas, y * wb * nc, out,
+        RasterKernel.HeaderLen + y * w * nc, w * nc)
       y += 1
     }
     out

@@ -648,7 +648,8 @@ object Multimodal {
     * 8·levelShift is divisible by the DC quant 8), which is what
     * lets a lossy codec carry an exact closed-form oracle — see
     * [[graft.functions.JpegKernel]]. */
-  def synthesizeBlockRasters(documents: DataFrame): DataFrame = {
+  def synthesizeBlockRasters(documents: DataFrame,
+      channels: Int = 1): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
     implicit val enc = RowEncoder.encoderFor(schema)
@@ -657,11 +658,12 @@ object Multimodal {
         val id = r.getLong(0)
         val w = (8 * (1 + id % 2) + id % 5).toInt
         val h = (8 * (1 + id % 3) + id % 3).toInt
-        val pix = Array.tabulate(w * h) { i =>
-          val x = i % w; val y = i / w
-          ((id * 31 + (x / 8) * 41 + (y / 8) * 59) % 256).toByte
+        val pix = Array.tabulate(w * h * channels) { i =>
+          val x = (i / channels) % w; val y = (i / channels) / w
+          val ch = i % channels
+          ((id * 31 + (x / 8) * 41 + (y / 8) * 59 + ch * 17) % 256).toByte
         }
-        Row(id, graft.functions.RasterKernel.build(1, w, h, pix))
+        Row(id, graft.functions.RasterKernel.build(channels, w, h, pix))
       }
     }
   }

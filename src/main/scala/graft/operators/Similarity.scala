@@ -2418,10 +2418,16 @@ object Similarity {
     imiServe(probes, assigned, corpus, k)
   }
 
-  /** Recall-vs-bytes operating points of the TRAINED multi-index —
-    * the IMI counterpart of the single-level recall curve: for each
+  /** Recall-vs-bytes operating points of the TRAINED multi-index,
+    * TWO RUNGS per operating point since round 17: 'imi' (raw floats
+    * in the cells — candidates × 512 B) and 'imipq' ([[imiPqTopK]]'s
+    * Multi-D-ADC over the SAME quantizer and pair index — candidates
+    * × m B of codes + the depth-`rerankDepth` refine fetch × 512 B),
+    * so the artifact directly answers what the same candidate set
+    * costs under each cell encoding. The IMI counterpart of the
+    * single-level recall curve: for each
     * nprobe the exact-integer recall overlap against brute force and
-    * the exact bytes a float serve reads (candidates × 512 B at the
+    * the exact bytes the serve reads (at the
     * 64-dim corpus — the DPP contract over the pair-partitioned
     * layout: candidates = Σ probed-pair occupancy − self; the probe's
     * own index pair is ALWAYS its rank-1 pair because the pair

@@ -3224,6 +3224,33 @@ object PipelineQueries {
           col("out_w"), col("out_h"))
         .orderBy("doc_id", "pos")),
 
+    // The 3-component JPEG gate: RGB-as-planes ('R','G','B' component
+    // ids, no color transform, 1×1 sampling) through INTERLEAVED MCUs
+    // with a separate DC prediction chain per component — a genuinely
+    // different scan path than the grayscale row. Same exactness
+    // class: block-constant per channel ⇒ DC-only ⇒ identity; oracle
+    // closed-form from the synthesis (channel offset ch·17).
+    "mm_jpeg_color_roundtrip" -> ((s, d) =>
+      Multimodal.synthesizeBlockRasters(Tables.documents(s, d),
+          channels = 3)
+        .select(col("doc_id"),
+          graft.functions.functions.jpeg_decode(
+            graft.functions.functions.jpeg_encode(col("payload")))
+            .as("payload"))
+        .select(col("doc_id"), col("payload"),
+          expr("cast(conv(hex(substring(payload, 4, 2)), 16, 10) as int)")
+            .as("out_w"),
+          expr("cast(conv(hex(substring(payload, 6, 2)), 16, 10) as int)")
+            .as("out_h"))
+        .select(col("doc_id"), col("out_w"), col("out_h"),
+          col("payload"),
+          explode(expr("sequence(0L, length(payload) - 8L)")).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          expr("cast(conv(hex(substring(payload, cast(pos + 8 as int), 1))," +
+            " 16, 10) as bigint)").as("px"),
+          col("out_w"), col("out_h"))
+        .orderBy("doc_id", "pos")),
+
     // REAL feature extraction: per-channel normalized pixel histograms
     // over the same GR rasters (RasterHistogram kernel) — 3 channels ×
     // 8 bins per doc, each feature the exact IEEE division of two
@@ -6487,6 +6514,23 @@ object PipelineQueries {
         |  FROM d)
         |SELECT doc_id, CAST(p AS BIGINT) AS pos,
         |  CAST((doc_id*31 + ((p % W) // 8)*41 + ((p // W) // 8)*59) % 256
+        |    AS BIGINT) AS px,
+        |  W AS out_w, H AS out_h
+        |FROM pos ORDER BY doc_id, pos""".stripMargin,
+
+    // The color twin: GR interleaves channels per pixel, so byte p of
+    // the decoded body is channel p % 3 of pixel p // 3.
+    "mm_jpeg_color_roundtrip" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8*(1 + doc_id % 2) + doc_id % 5 AS INT) AS W,
+        |    CAST(8*(1 + doc_id % 3) + doc_id % 3 AS INT) AS H
+        |  FROM documents),
+        |pos AS (SELECT doc_id, W, H,
+        |    unnest(generate_series(0, CAST(W*H*3 - 1 AS INT))) AS p
+        |  FROM d)
+        |SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |  CAST((doc_id*31 + (((p // 3) % W) // 8)*41
+        |        + (((p // 3) // W) // 8)*59 + (p % 3)*17) % 256
         |    AS BIGINT) AS px,
         |  W AS out_w, H AS out_h
         |FROM pos ORDER BY doc_id, pos""".stripMargin,

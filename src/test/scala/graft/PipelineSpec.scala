@@ -1711,8 +1711,28 @@ class PipelineSpec extends SparkSpec {
     assert(JpegKernel.decode(null) === null)
     assert(JpegKernel.decode("not a jpeg".getBytes) === null)
     assert(JpegKernel.decode(jp.take(20)) === null) // truncated
-    assert(JpegKernel.encode(RasterKernel.build(3, 4, 4,
-      Array.fill(48)(1.toByte))) === null, "RGB encode is out of scope")
+    assert(JpegKernel.encode(RasterKernel.build(2, 4, 4,
+      Array.fill(32)(1.toByte))) === null,
+      "2-channel (gray+alpha) encode is out of scope")
+    // 5) 3-component RGB-as-planes: interleaved MCUs with a separate
+    // DC predictor per component — block-constant exactness holds per
+    // channel (no color transform), and the noisy error bound matches
+    // the gray path's.
+    val rgbBlocky = RasterKernel.build(3, 13, 10,
+      Array.tabulate(13 * 10 * 3) { i =>
+        val x = (i / 3) % 13; val y = (i / 3) / 13; val ch = i % 3
+        ((x / 8) * 71 + (y / 8) * 37 + ch * 17 + 5).toByte
+      })
+    assert(JpegKernel.decode(JpegKernel.encode(rgbBlocky)).toSeq ===
+      rgbBlocky.toSeq, "RGB block-constant fixture must round-trip exactly")
+    val rgbNoisy = RasterKernel.build(3, 11, 9,
+      Array.tabulate(11 * 9 * 3)(i => ((i * 131 + i * i * 17 + 7) % 256).toByte))
+    val rgbRt = JpegKernel.decode(JpegKernel.encode(rgbNoisy))
+    assert(rgbRt != null && RasterKernel.dims(rgbRt).toSeq === Seq(3, 11, 9))
+    val rgbErrs = rgbRt.drop(RasterKernel.HeaderLen)
+      .zip(rgbNoisy.drop(RasterKernel.HeaderLen))
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
+    assert(rgbErrs.max <= 24, s"RGB AC-path error ${rgbErrs.max} out of bound")
     val progressive = jp.clone()
     val sof = jp.indices.dropRight(1)
       .find(i => (jp(i) & 0xff) == 0xff && (jp(i + 1) & 0xff) == 0xc0).get

@@ -473,6 +473,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_segments_wide" -> 5,   // identical plan, wider shuffle key
                                   // (hash + length struct)
     "mm_jpeg_roundtrip" -> 1,     // per-row codec, output sort only
+    "mm_jpeg_color_roundtrip" -> 1, // same shape, 3-component MCUs
     "mm_jpeg_pipeline" -> 1,      // codec + kernels fused in one
                                   // codegen pass; output sort only
     "mm_chunk_store" -> 2,        // reassembly: hash-keyed store join
