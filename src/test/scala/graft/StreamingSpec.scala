@@ -1514,6 +1514,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Multi-D-ADC ingest: micro-batch appendImiPqIndex " +
+      "converges to the monolithic build") {
+    // The code-only pair layout under micro-batch delivery: BOTH
+    // quantizer levels (half codebooks + residual codebook) are fixed
+    // at write time, each arriving batch assigns AND encodes against
+    // the stored state via foreachBatch, so batch boundaries cannot
+    // move any code and the final serve must be bit-identical to the
+    // monolithic build (the trainer-separation `quantizer` parameter
+    // is exactly what makes this true — it trains the residual
+    // codebook on the full corpus before any batch lands).
+    import graft.operators.Similarity
+    val labeled = Similarity.vectors(Tables.embeddings(spark, sfDir))
+    val vecs = labeled.select($"vec_id", $"v")
+    val probes = vecs.filter($"vec_id" < 10)
+    val cents = Similarity.imiSubCentroids(labeled)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_imipq_stream")
+    val dirMono = tmp("graft_imipq_stream_mono")
+    Similarity.writeImiPqIndex(vecs, cents, dirMono)
+    val want = Similarity.searchImiPqIndex(spark, dirMono, vecs, probes,
+      3).collect().toSet
+    Similarity.writeImiPqIndex(vecs.filter($"vec_id" % 3 === 0), cents,
+      dir, quantizer = Some(vecs))
+    val in = MemoryStream[(Long, Seq[Double])](spark)
+    val q = in.toDF().toDF("vec_id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) Similarity.appendImiPqIndex(spark, batch, dir)
+        ()
+      }.start()
+    try {
+      val rows = vecs.filter($"vec_id" % 3 =!= 0)
+        .as[(Long, Seq[Double])].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = Similarity.searchImiPqIndex(spark, dir, vecs, probes, 3)
+        .collect().toSet
+      assert(want.nonEmpty && got === want,
+        "streamed Multi-D-ADC appends must converge to the monolithic build")
+    } finally q.stop()
+  }
+
   test("streaming IVF-BQ ingest: micro-batch appends converge to the " +
       "monolithic build, and a delete racing ahead of its vector's " +
       "arrival reconciles instead of masking it forever") {
