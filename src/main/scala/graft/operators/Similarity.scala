@@ -1267,6 +1267,31 @@ object Similarity {
         .as("adist"))
   }
 
+  /** IMI index health report — [[ivfCellStats]] at the pair shape:
+    * per-VIRTUAL-CELL occupancy, corpus share, and balance (occupancy
+    * relative to uniform over the occupied pairs; 1.0 is perfectly
+    * balanced). Pair imbalance is the multi-index's operational
+    * failure mode twice over: a mega-pair makes every probe that
+    * ranks it scan far more than corpus·nprobe/k², AND a half whose
+    * sub-quantizer collapsed (many empty rows in the k×k grid) wastes
+    * the k² granularity the two-level design pays for — this is the
+    * view a deployment watches to decide when to re-train the half
+    * codebooks. Cost: the corpus assignment pass (shared shape with
+    * every IMI build) + a ≤k²-row aggregate; the one-row total
+    * broadcasts. */
+  def imiPairStats(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val occ = imiIndexCells(imiSubDistancesAgainst(cents, vecs))
+      .groupBy(col("c0"), col("c1")).agg(count(lit(1)).as("n_vectors"))
+    val tot = occ.agg(sum(col("n_vectors")).as("total"),
+      count(lit(1)).as("n_pairs"))
+    occ.crossJoin(broadcast(tot))
+      .select(col("c0"), col("c1"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("total").cast("double"))
+          .as("share"),
+        (col("n_vectors").cast("double") * col("n_pairs").cast("double") /
+          col("total").cast("double")).as("balance"))
+  }
+
   /** Materialize the Multi-D-ADC index — the 13th persisted layout:
     * the two half codebooks, the residual PQ codebook, and every
     * vector's m-byte PAIR-RESIDUAL code written partitioned by BOTH

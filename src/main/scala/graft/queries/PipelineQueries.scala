@@ -1976,6 +1976,17 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Pair-occupancy health view of the multi-index — sim_index_stats
+    // at the pair shape: occupancy/share/balance per occupied virtual
+    // cell, the mega-pair and collapsed-half detector a serving
+    // deployment watches to decide when to re-train the half
+    // codebooks.
+    "sim_imi_stats" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      Similarity.imiPairStats(vecs, Similarity.imiSubCentroids(vecs))
+        .orderBy("c0", "c1")
+    }),
+
     // The TRAINED multi-index — train → index → search with no labels
     // anywhere (hash-seeded Lloyd per half, the production
     // composition, sim_ivf_kmeans's analog at the two-level shape).
@@ -5454,6 +5465,45 @@ object PipelineQueries {
     "sim_imi_delete" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),
     "sim_imi_compact" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),
     "sim_imi_kmeans" -> imiKmeansSearchSql,
+    // Pair-occupancy stats: the label-codebook cell chain + exact
+    // integer counts; share/balance are IEEE divisions of exact ints.
+    "sim_imi_stats" ->
+      s"""WITH vecsl AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |dims0 AS (
+         |  SELECT vec_id, label, len(v) // 2 AS hf, unnest(v) AS x,
+         |         unnest(generate_series(1, len(v))) AS pos
+         |  FROM vecsl),
+         |sdims AS (
+         |  SELECT vec_id, label, x, pos,
+         |         CASE WHEN pos <= hf THEN 0 ELSE 1 END AS sub
+         |  FROM dims0),
+         |cents AS (
+         |  SELECT sub, label AS clabel, pos, avg(x) AS cmean
+         |  FROM sdims GROUP BY sub, label, pos),
+         |d2 AS (
+         |  SELECT s.vec_id, s.sub, c.clabel,
+         |         round(sum((s.x - c.cmean) * (s.x - c.cmean)), 6) AS d2r
+         |  FROM sdims s JOIN cents c ON c.sub = s.sub AND c.pos = s.pos
+         |  GROUP BY s.vec_id, s.sub, c.clabel),
+         |best AS (
+         |  SELECT vec_id, sub, clabel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2r, clabel) AS rn FROM d2)
+         |  WHERE rn = 1),
+         |idx AS (
+         |  SELECT b0.vec_id, b0.clabel AS c0, b1.clabel AS c1
+         |  FROM best b0 JOIN best b1 USING (vec_id)
+         |  WHERE b0.sub = 0 AND b1.sub = 1),
+         |occ AS (SELECT c0, c1, count(*) AS n_vectors FROM idx
+         |        GROUP BY c0, c1),
+         |tot AS (SELECT sum(n_vectors) AS total,
+         |               count(*) AS n_pairs FROM occ)
+         |SELECT c0, c1, CAST(n_vectors AS BIGINT) AS n_vectors,
+         |  CAST(n_vectors AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+         |  CAST(n_vectors AS DOUBLE) * CAST(n_pairs AS DOUBLE)
+         |    / CAST(total AS DOUBLE) AS balance
+         |FROM occ CROSS JOIN tot ORDER BY c0, c1""".stripMargin,
     "sim_imi_curve" -> imiCurveSql,
     "sim_imi_curve_clustered" -> imiCurveClusteredSql,
     "sim_imi_filtered" -> imiSearchSqlWhere(

@@ -34,6 +34,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "pipeline_temperature_mix", // one-row pow-normalizer aggregate
     "sim_kmeans_step",   // K centroids
     "sim_index_stats",   // one-row (total, n_cells) normalizer
+    "sim_imi_stats",     // one-row (total, n_pairs) normalizer — the
+                         // same shape at the pair key
     "pipeline_source_mix", // |sources|-row capped-count dimension
     "pipeline_mixture",    // one-row source-count aggregate
     "pipeline_mixture_sample", // same normalizer, materialized

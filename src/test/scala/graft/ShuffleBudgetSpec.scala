@@ -193,6 +193,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // code-assign windows + ADC rollup
                                     // + shortlist window + re-rank
                                     // window + sort
+    "sim_imi_stats" -> 10,          // corpus sub-d2 + argmin-pair aggs
+                                    // + pair occupancy + the one-row
+                                    // total broadcast + output sort
     "sim_imipq_persist" -> 22,      // Multi-D-ADC SERVING plan (both
                                     // quantizer tables + codes written
                                     // before the frame): probe sub-d2
