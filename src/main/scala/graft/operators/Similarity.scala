@@ -1212,6 +1212,29 @@ object Similarity {
       assigned: DataFrame, k: Int, m: Int, rerankDepth: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rerankDepth >= k, s"rerankDepth $rerankDepth must cover k=$k")
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    imiPqRefined(codes, rcb, cents, vecs, probes, assigned, m,
+        rerankDepth)
+      .withColumn("rnk", row_number().over(wC))
+      .filter(col("rnk") <= k)
+  }
+
+  /** The exact-refined scored frame under both Multi-D-ADC serve modes
+    * (top-k and range): ADC-shortlist the probed pairs to
+    * `rerankDepth` candidates, fetch ONLY those candidates' floats,
+    * exact 6-dp cosine — one definition so the modes cannot diverge on
+    * the determinism, shortlist, or deletion contracts (the
+    * [[imiScored]] split at the encoded shape). The range mode
+    * thresholds this frame directly: approximate distances GATE the
+    * shortlist, the exact refine applies the radius — a true neighbor
+    * outside the depth-`rerankDepth` ADC shortlist is not seen, the
+    * same recall knob as the top-k mode (documented, measured by the
+    * recall curve). */
+  private def imiPqRefined(codes: DataFrame, rcb: DataFrame,
+      cents: DataFrame, vecs: DataFrame, probes: DataFrame,
+      assigned: DataFrame, m: Int, rerankDepth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wS = Window.partitionBy(col("probe_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
     val short = broadcast(
@@ -1222,8 +1245,6 @@ object Similarity {
     val pv = broadcast(withNorm(probes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm")))
-    val wC = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
     short
       .join(withNorm(vecs).select(col("vec_id").as("neighbor_id"),
         col("v"), col("nrm")), Seq("neighbor_id"))
@@ -1231,8 +1252,6 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"),
         round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
           .as("cos_r"))
-      .withColumn("rnk", row_number().over(wC))
-      .filter(col("rnk") <= k)
   }
 
   /** The ADC distance frame of the Multi-D-ADC serve — (probe_id,
@@ -1295,11 +1314,15 @@ object Similarity {
   /** Materialize the Multi-D-ADC index — the 13th persisted layout:
     * the two half codebooks, the residual PQ codebook, and every
     * vector's m-byte PAIR-RESIDUAL code written partitioned by BOTH
-    * pair keys (c0, c1). The stored corpus is CODES ONLY (the
-    * [[writeIvfPqIndex]] compression story at the multi-index shape:
-    * m small ints + two pair keys per vector); raw floats appear
-    * nowhere in the index — [[searchImiPqIndex]]'s refine fetch reads
-    * the caller-supplied corpus. `cents` is an [[imiSubCentroids]]
+    * pair keys (c0, c1). The stored corpus is CODES + METADATA (fmt 2:
+    * every non-vector input column rides beside the code rows, the
+    * fleet's filtered-serve contract — [[searchImiPqIndexWhere]]
+    * pushes its predicate into the pair-pruned code scan exactly as
+    * [[searchImiIndexWhere]] does on the raw layout); raw floats still
+    * appear nowhere in the index — metadata here is integers/short
+    * strings, so the m-bytes-per-vector size story survives —
+    * [[searchImiPqIndex]]'s refine fetch reads the caller-supplied
+    * corpus. `cents` is an [[imiSubCentroids]]
     * frame (trainer separation, as [[writeImiIndex]]); `quantizer`
     * optionally trains the RESIDUAL codebook on a different corpus
     * than the batch being indexed (the incremental-ingestion shape —
@@ -1331,16 +1354,34 @@ object Similarity {
         codebookK)
       .write.mode("overwrite").parquet(s"$dir/codebook")
     val codebook = spark.read.parquet(s"$dir/codebook")
-    pqCodesAgainst(codebook, rcorp.select(col("vec_id"),
-        col("rv").as("v")), m)
-      .join(rcorp.select(col("vec_id"), col("c0"), col("c1")),
-        Seq("vec_id"))
-      .select(col("vec_id"), col("sub"), col("cid"), col("c0"), col("c1"))
+    imiPqCodeRows(codebook, rcorp, vecs, m)
       .write.mode("overwrite").partitionBy("c0", "c1")
       .parquet(s"$dir/codes")
     IndexMeta.write(spark, dir, "layout" -> "imi_pq",
       "m" -> m.toString, "codebookK" -> codebookK.toString,
-      "fmt" -> "1")
+      "fmt" -> "2")
+  }
+
+  /** The stored code-row frame shared by the imi_pq build and append
+    * legs: (vec_id, sub, cid, metadata…, c0, c1) — the m-byte residual
+    * codes with every non-vector input column attached (each vector's
+    * m sub-rows carry identical metadata, so a filtered serve's
+    * predicate keeps or drops whole vectors and the ADC group still
+    * sums exactly m terms). The metadata join keys on vec_id like the
+    * pair join beside it — same co-partitioning, no extra exchange
+    * class at build time. */
+  private def imiPqCodeRows(codebook: DataFrame, rcorp: DataFrame,
+      vecs: DataFrame, m: Int): DataFrame = {
+    val metaCols = vecs.columns.filterNot(c => c == "v" || c == "vec_id")
+    val base = pqCodesAgainst(codebook, rcorp.select(col("vec_id"),
+        col("rv").as("v")), m)
+      .join(rcorp.select(col("vec_id"), col("c0"), col("c1")),
+        Seq("vec_id"))
+    val withMeta =
+      if (metaCols.isEmpty) base
+      else base.join(vecs.drop("v"), Seq("vec_id"))
+    withMeta.select((Seq("vec_id", "sub", "cid") ++ metaCols ++
+      Seq("c0", "c1")).map(col): _*)
   }
 
   /** APPEND a corpus batch to a persisted [[writeImiPqIndex]] layout:
@@ -1348,26 +1389,26 @@ object Similarity {
     * encodes against the STORED residual codebook (both quantizer
     * levels fixed once trained — FAISS's `add` contract), so
     * write(A, quantizer = A ∪ B) then append(B) serves bit-identically
-    * to the monolithic build (spec-pinned). Codes have a FIXED schema
-    * (no metadata rides in this layout), so no column-set contract is
-    * needed; the sidecar still rejects a mismatched `m` loudly. Same
-    * tombstone reconciliation ordering as every append leg. */
+    * to the monolithic build (spec-pinned). Since fmt 2 the code rows
+    * carry the input's metadata columns for the filtered serve, so the
+    * batch gates through [[requireAppendColumns]] (name + type) like
+    * every metadata-carrying append leg; the sidecar still rejects a
+    * mismatched `m` loudly. Same tombstone reconciliation ordering as
+    * every append leg. */
   def appendImiPqIndex(spark: org.apache.spark.sql.SparkSession,
       vecs2: DataFrame, dir: String, m: Int = 4): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "imi_pq",
-      "m" -> m.toString, "fmt" -> "1")
-    clearDrainedPlaceholder(spark, s"$dir/codes")
+      "m" -> m.toString, "fmt" -> "2")
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
     val idx = imiIndexCells(imiSubDistancesAgainst(cents, vecs2))
     val rcorp = imiPairResiduals(vecs2,
       idx.select(col("corpus_id").as("vec_id"), col("c0"), col("c1")),
       cents)
-    pqCodesAgainst(codebook, rcorp.select(col("vec_id"),
-        col("rv").as("v")), m)
-      .join(rcorp.select(col("vec_id"), col("c0"), col("c1")),
-        Seq("vec_id"))
-      .select(col("vec_id"), col("sub"), col("cid"), col("c0"), col("c1"))
+    val rows = imiPqCodeRows(codebook, rcorp, vecs2, m)
+    requireAppendColumns(spark, s"$dir/codes", rows, "appendImiPqIndex")
+    clearDrainedPlaceholder(spark, s"$dir/codes")
+    rows
       .write.mode("append").partitionBy("c0", "c1")
       .parquet(s"$dir/codes")
     reconcileTombstonesAfterAppend(spark, dir,
@@ -1386,19 +1427,75 @@ object Similarity {
   def searchImiPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, vecs: DataFrame, probes: DataFrame, k: Int,
       m: Int = 4, nprobe: Int = 2, rerankDepth: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    require(rerankDepth >= k, s"rerankDepth $rerankDepth must cover k=$k")
+    imiPqRefinedFromIndex(spark, dir, vecs, probes, m, nprobe,
+        rerankDepth, None)
+      .withColumn("rnk", row_number().over(wC))
+      .filter(col("rnk") <= k)
+  }
+
+  /** [[searchImiPqIndex]] with a metadata predicate pushed to the
+    * stored CODE scan — the code rows carry every non-vector input
+    * column (fmt 2), so the predicate filters candidates BEFORE the
+    * ADC shortlist (a non-matching row can never be nominated, so the
+    * depth-`rerankDepth` shortlist is spent entirely on matching
+    * rows — equivalent to a pre-filtered index without building one;
+    * [[searchImiIndexWhere]]'s contract at the encoded shape). */
+  def searchImiPqIndexWhere(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame, probes: DataFrame, k: Int,
+      pred: Column, m: Int = 4, nprobe: Int = 2,
+      rerankDepth: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    require(rerankDepth >= k, s"rerankDepth $rerankDepth must cover k=$k")
+    imiPqRefinedFromIndex(spark, dir, vecs, probes, m, nprobe,
+        rerankDepth, Some(pred))
+      .withColumn("rnk", row_number().over(wC))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Cosine radius search over a persisted [[writeImiPqIndex]] layout
+    * — the range mode of the encoded serve: ADC distances GATE the
+    * depth-`rerankDepth` shortlist, the exact refine applies the
+    * radius (all shortlisted neighbors with cos ≥ tau, no ranking
+    * window — the standard approximate-range composition). Recall
+    * bound: a true neighbor outside the probed pairs OR below the ADC
+    * shortlist depth is not seen; rerankDepth is the dial (size it
+    * from [[imiPairStats]] occupancy — SCALING.md records the
+    * procedure). */
+  def searchImiPqIndexRange(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame, probes: DataFrame, tau: Double,
+      m: Int = 4, nprobe: Int = 2, rerankDepth: Int = 40): DataFrame =
+    imiPqRefinedFromIndex(spark, dir, vecs, probes, m, nprobe,
+        rerankDepth, None)
+      .filter(col("cos_r") >= tau)
+
+  /** The refined scored frame of the persisted Multi-D-ADC serves
+    * (top-k, filtered, range): stored quantizers, tombstone mask, then
+    * the optional metadata predicate on the pair-partitioned code
+    * scan, then [[imiPqRefined]] — one read path so the three modes
+    * cannot diverge on masking order or the scoring contract. */
+  private def imiPqRefinedFromIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      vecs: DataFrame, probes: DataFrame, m: Int, nprobe: Int,
+      rerankDepth: Int, pred: Option[Column]): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     IndexMeta.requireMatch(spark, dir, "layout" -> "imi_pq",
-      "m" -> m.toString, "fmt" -> "1")
+      "m" -> m.toString, "fmt" -> "2")
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
-    val codes0 = spark.read.parquet(s"$dir/codes")
+    val codes0 = pred.foldLeft(spark.read.parquet(s"$dir/codes"))(_ filter _)
     val codes = readTombstones(spark, dir)
       .map(t => codes0.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(codes0)
     val assigned = imiProbePairs(
       imiSubDistancesAgainst(cents, probes), nprobe)
-    imiPqServeEncoded(codes, codebook, cents, vecs, probes, assigned,
-      k, m, rerankDepth)
+    imiPqRefined(codes, codebook, cents, vecs, probes, assigned, m,
+      rerankDepth)
   }
 
   /** Physically COMPACT a persisted [[writeImiPqIndex]] layout — the
@@ -1407,7 +1504,7 @@ object Similarity {
   def compactImiPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "imi_pq",
-      "fmt" -> "1")
+      "fmt" -> "2")
     compactPairTable(spark, dir, "codes")
   }
 
@@ -2787,16 +2884,28 @@ object Similarity {
       batch: DataFrame, leg: String): Unit = {
     val fs = FsOps.fsOf(spark, tableDir)
     if (fs.exists(new org.apache.hadoop.fs.Path(tableDir))) {
-      val stored = spark.read.parquet(tableDir).columns.toSet
-      val incoming = batch.columns.toSet
+      // Name AND type, order-insensitive: a batch with matching names
+      // but a different type (label INT vs stored STRING) would also
+      // append cleanly and leave mixed-type files that fail — or
+      // silently coerce — on the next read, the exact corruption class
+      // this guard exists to reject. Nullability is excluded AT EVERY
+      // DEPTH (simpleString erases it, including array containsNull —
+      // parquet round-trips flip it freely and the union is harmless).
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType.simpleString))
+          .sortBy(_._1).toSeq
+      val stored = shape(spark.read.parquet(tableDir).schema)
+      val incoming = shape(batch.schema)
       require(incoming == stored,
-        s"$leg: appended batch columns " +
-          s"[${incoming.toSeq.sorted.mkString(", ")}] do not match the " +
-          s"stored index schema [${stored.toSeq.sorted.mkString(", ")}]" +
+        s"$leg: appended batch schema " +
+          s"[${incoming.map(f => s"${f._1}: ${f._2}").mkString(", ")}]" +
+          " does not match the stored index schema " +
+          s"[${stored.map(f => s"${f._1}: ${f._2}").mkString(", ")}]" +
           " — metadata columns persist beside the vector for the " +
           "filtered serve, so every batch must carry the same column " +
-          "set the index was built with (a raw parquet append would " +
-          "leave mixed-schema files behind instead of failing)")
+          "set AND types the index was built with (a raw parquet " +
+          "append would leave mixed-schema files behind instead of " +
+          "failing)")
     }
   }
 

@@ -360,11 +360,34 @@ object PipelineQueries {
 
   /** [[imiPqSearchSql]] with a predicate scoping the LIVE code rows —
     * the delete/compact legs' oracle hook (tombstoned ids mask from
-    * the code table BEFORE the ADC shortlist, probes untouched), and
-    * the persisted twins share the empty-predicate replay (parquet
-    * round-trips the codebooks and codes exactly, so the persisted
-    * serve is bit-identical to the in-memory one). */
+    * the code table BEFORE the ADC shortlist, probes untouched), the
+    * filtered leg's metadata predicate (the stored code rows carry
+    * the metadata since fmt 2 — the replay joins it back from vecsl
+    * as `lv`, the same rows the layout persists beside the codes),
+    * and the persisted twins share the empty-predicate replay
+    * (parquet round-trips the codebooks and codes exactly, so the
+    * persisted serve is bit-identical to the in-memory one). */
   private def imiPqSearchSqlWhere(codePred: String): String =
+    s"""${imiPqChainCtes(codePred)},
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY cos_r DESC, neighbor_id) AS rnk
+       |  FROM rr)
+       |SELECT probe_id, neighbor_id, cos_r, CAST(rnk AS INTEGER) AS rnk
+       |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  /** Range-mode final over the same Multi-D-ADC chain — ADC gates the
+    * depth-40 shortlist, the EXACT refined cosine applies the radius
+    * (the Scala side's searchImiPqIndexRange contract: only
+    * shortlisted neighbors can pass). */
+  private def imiPqRangeSql(tau: Double): String =
+    s"""${imiPqChainCtes("")}
+       |SELECT probe_id, neighbor_id, cos_r FROM rr
+       |WHERE cos_r >= $tau ORDER BY probe_id, neighbor_id""".stripMargin
+
+  /** Shared WITH-chain of the Multi-D-ADC replays, ending in `rr`
+    * (probe, shortlisted neighbor, exact 6-dp refined cosine). */
+  private def imiPqChainCtes(codePred: String): String =
     s"""WITH vecsl AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |dims0 AS (
@@ -450,7 +473,8 @@ object PipelineQueries {
        |           - 2.0 * list_dot_product(p.sv, cb.cv)
        |           + list_dot_product(cb.cv, cb.cv) AS pd2
        |  FROM psubs p JOIN cb USING (sub)),
-       |live AS (SELECT * FROM pqcodes $codePred),
+       |live AS (SELECT p.* FROM pqcodes p JOIN vecsl lv USING (vec_id)
+       |         $codePred),
        |sc AS (
        |  SELECT t.probe_id, c.vec_id,
        |         CAST(CAST(sum(CAST(round(t.pd2, 6) AS DECIMAL(18,6)))
@@ -469,13 +493,7 @@ object PipelineQueries {
        |  SELECT s.probe_id, s.neighbor_id,
        |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
        |  FROM short s JOIN vecsl p ON p.vec_id = s.probe_id
-       |  JOIN vecsl o ON o.vec_id = s.neighbor_id),
-       |r AS (
-       |  SELECT *, row_number() OVER (
-       |    PARTITION BY probe_id ORDER BY cos_r DESC, neighbor_id) AS rnk
-       |  FROM rr)
-       |SELECT probe_id, neighbor_id, cos_r, CAST(rnk AS INTEGER) AS rnk
-       |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+       |  JOIN vecsl o ON o.vec_id = s.neighbor_id)""".stripMargin
 
   private def ivfKmeansSearchSqlWhere(idxPred: String): String =
     s"""WITH $ovecsCte,
@@ -1974,6 +1992,38 @@ object PipelineQueries {
       Similarity.searchImiPqIndex(s, dir, vecs,
           vecs.filter(col("vec_id") < 10), 5)
         .orderBy("probe_id", "rnk")
+    }),
+
+    // Metadata-FILTERED Multi-D-ADC serve: the label predicate pushes
+    // to the stored pair-partitioned CODE scan (metadata rides beside
+    // the m-byte codes since fmt 2), so candidates filter BEFORE the
+    // ADC shortlist — the depth budget is spent entirely on matching
+    // rows, equivalent to a pre-filtered index without building one
+    // (sim_imi_filtered's contract at the encoded shape).
+    "sim_imipq_filtered" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_imipq_filt")
+      Similarity.writeImiPqIndex(vecs, Similarity.imiSubCentroids(vecs),
+        dir)
+      Similarity.searchImiPqIndexWhere(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), 5, col("label") % 2 === 0)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Range mode of the Multi-D-ADC serve: approximate ADC distances
+    // GATE the depth-40 shortlist, the exact refine applies the radius
+    // (cos ≥ τ over the refined cosines, no ranking window) — the
+    // standard approximate-range composition; a true neighbor below
+    // the shortlist depth is not seen (rerankDepth is the dial,
+    // measured by the recall curve).
+    "sim_imipq_range" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_imipq_rng")
+      Similarity.writeImiPqIndex(vecs, Similarity.imiSubCentroids(vecs),
+        dir)
+      Similarity.searchImiPqIndexRange(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), tau = 0.2)
+        .orderBy("probe_id", "neighbor_id")
     }),
 
     // Pair-occupancy health view of the multi-index — sim_index_stats
@@ -5460,6 +5510,8 @@ object PipelineQueries {
     "sim_imipq_append" -> imiPqSearchSql,
     "sim_imipq_delete" -> imiPqSearchSqlWhere("WHERE vec_id % 7 <> 0"),
     "sim_imipq_compact" -> imiPqSearchSqlWhere("WHERE vec_id % 7 <> 0"),
+    "sim_imipq_filtered" -> imiPqSearchSqlWhere("WHERE lv.label % 2 = 0"),
+    "sim_imipq_range" -> imiPqRangeSql(0.2),
     "sim_imi_persist" -> imiSearchSqlWhere(""),
     "sim_imi_append" -> imiSearchSqlWhere(""),
     "sim_imi_delete" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),

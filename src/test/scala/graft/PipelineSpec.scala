@@ -478,11 +478,13 @@ class PipelineSpec extends SparkSpec {
       val served = Similarity.searchImiPqIndex(spark, dir, vecs, probes, 3)
       assert(want.nonEmpty && served.collect().toSet === want,
         "persisted Multi-D-ADC serve must equal the in-memory imiPqTopK")
-      // The layout's whole point: the stored corpus is CODES ONLY —
-      // no float column anywhere in the index table.
+      // The layout's whole point: the stored corpus is CODES +
+      // integer metadata (fmt 2: the input's non-vector columns ride
+      // beside the codes for the filtered serve) — no float/vector
+      // column anywhere in the index table.
       assert(spark.read.parquet(s"$dir/codes").columns.toSet ===
-        Set("vec_id", "sub", "cid", "c0", "c1"),
-        "code table must hold codes + pair keys only, never floats")
+        Set("vec_id", "sub", "cid", "label", "c0", "c1"),
+        "code table must hold codes + metadata + pair keys, never floats")
       // A deleted id can never be NOMINATED (masked before the ADC
       // shortlist), and physical compaction serves bit-identically to
       // the mask while dropping the code rows and draining tombstones.
@@ -536,10 +538,19 @@ class PipelineSpec extends SparkSpec {
         // Missing the `label` metadata column the index was built with.
         Similarity.appendImiIndex(spark, vecs.select($"vec_id", $"v"), dir)
       }
-      assert(e.getMessage.contains("do not match the stored index schema"),
+      assert(e.getMessage.contains("does not match the stored index schema"),
         s"wrong rejection message: ${e.getMessage}")
       assert(spark.read.parquet(s"$dir/index").columns.toSet === storedCols,
         "rejected append must leave the stored schema untouched")
+      // Matching NAMES with a different TYPE is the same corruption
+      // class (mixed-type parquet files that fail or silently coerce
+      // on the next read) and must reject just as loudly.
+      val eT = intercept[IllegalArgumentException] {
+        Similarity.appendImiIndex(spark,
+          vecs.withColumn("label", $"label".cast("string")), dir)
+      }
+      assert(eT.getMessage.contains("does not match the stored index schema"),
+        s"type mismatch not rejected: ${eT.getMessage}")
       assert(Similarity.searchImiIndexWhere(spark, dir,
           vecs.filter($"vec_id" % 100 < 2), 3, nprobe = 2,
           $"label" % 2 === 0).count() > 0,
@@ -553,10 +564,29 @@ class PipelineSpec extends SparkSpec {
         Similarity.appendIvfIndex(spark,
           vecs.withColumn("extra", lit(1)), dir)
       }
-      assert(e.getMessage.contains("do not match the stored index schema"),
+      assert(e.getMessage.contains("does not match the stored index schema"),
         s"wrong rejection message: ${e.getMessage}")
       // A matching batch still appends fine after the rejection.
       Similarity.appendIvfIndex(spark, vecs.limit(0), dir)
+    }
+    withTempDir("graft_imipq_appcols") { dir =>
+      // The Multi-D-ADC layout joined the metadata-carrying family at
+      // fmt 2 — its append leg gates through the same contract.
+      Similarity.writeImiPqIndex(vecs, Similarity.imiSubCentroids(vecs),
+        dir)
+      val storedCols = spark.read.parquet(s"$dir/codes").columns.toSet
+      val e = intercept[IllegalArgumentException] {
+        Similarity.appendImiPqIndex(spark, vecs.select($"vec_id", $"v"),
+          dir)
+      }
+      assert(e.getMessage.contains("does not match the stored index schema"),
+        s"wrong rejection message: ${e.getMessage}")
+      assert(spark.read.parquet(s"$dir/codes").columns.toSet === storedCols,
+        "rejected append must leave the stored code schema untouched")
+      assert(Similarity.searchImiPqIndexWhere(spark, dir, vecs,
+          vecs.filter($"vec_id" % 100 < 2), 3, $"label" % 2 === 0)
+          .count() > 0,
+        "filtered imipq serve must still work after the rejected append")
     }
   }
 

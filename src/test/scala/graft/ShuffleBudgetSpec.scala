@@ -211,6 +211,14 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // anti-join, zero added exchanges
     "sim_imipq_compact" -> 22,      // compacted pair leaves, identical
                                     // serve frame
+    "sim_imipq_filtered" -> 22,     // same serve — the metadata filter
+                                    // is a pushed predicate on the
+                                    // pair-partitioned code scan, zero
+                                    // added exchanges
+    "sim_imipq_range" -> 21,        // the thresholded tail over the
+                                    // refined frame — one less than
+                                    // the ranked serves (no final
+                                    // top-k window exchange)
     "sim_imi_persist" -> 14,        // SERVING plan (codebooks + index
                                     // written before the frame): the
                                     // probe sub-d2 agg prints under

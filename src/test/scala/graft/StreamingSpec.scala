@@ -1201,6 +1201,62 @@ class StreamingSpec extends SparkSpec {
       "no serve ran while the pair compaction loop was live")
   }
 
+  test("serve interleaved with PAIR-partitioned compaction (Multi-D-ADC): " +
+      "the code-table leaf replace windows never yield a half-swapped " +
+      "result") {
+    // The imipq twin of the IMI pair interleave: same nested-leaf
+    // (`c0=X/c1=Y`) replace unit, but over the CODE table — the serve
+    // reads codes for the ADC shortlist and fetches floats only for
+    // the shortlist, so a half-swapped window would surface as a
+    // wrong shortlist (wrong top-k), not a missing column. Contract
+    // unchanged: every completed serve equals the pinned masked
+    // result; a reader that catches a moved leaf fails LOUDLY and
+    // retries.
+    import graft.operators.Similarity
+    val s = spark.newSession()
+    import s.implicits._
+    val labeled = Similarity.vectors(Tables.embeddings(s, sfDir))
+    val probes = labeled.filter($"vec_id" < 6)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_imipq_compact_race").toString
+    Similarity.writeImiPqIndex(labeled,
+      Similarity.imiSubCentroids(labeled), dir)
+    val ids = labeled.filter($"vec_id" % 7 === 0).select($"vec_id")
+    Similarity.deleteFromIvfIndex(s, ids, dir)
+    val want = Similarity.searchImiPqIndex(s, dir, labeled, probes, 3)
+      .select($"probe_id", $"neighbor_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    @volatile var compacting = true
+    val compactor = new Thread(() => {
+      try {
+        for (_ <- 1 to 3) {
+          Similarity.deleteFromIvfIndex(s, ids, dir)
+          Similarity.compactImiPqIndex(s, dir)
+        }
+      } finally compacting = false
+    })
+    def serveOnce(): Either[String, Boolean] =
+      try Right(Similarity.searchImiPqIndex(s, dir, labeled, probes, 3)
+        .select($"probe_id", $"neighbor_id", $"rnk")
+        .as[(Long, Long, Int)].collect().toSet == want)
+      catch { case e: Exception => Left(e.getClass.getSimpleName) }
+    val outcomes =
+      scala.collection.mutable.ArrayBuffer[Either[String, Boolean]]()
+    compactor.start()
+    try {
+      while (compacting) outcomes += serveOnce()
+    } finally compactor.join()
+    assert(serveOnce() === Right(true),
+      "post-compaction Multi-D-ADC serve diverged from the pinned result")
+    val wrong = outcomes.count(_ == Right(false))
+    assert(wrong === 0,
+      s"$wrong interleaved serve(s) returned a HALF-SWAPPED result " +
+        s"over the pair-partitioned code table (outcomes: " +
+        s"${outcomes.take(20)})")
+    assert(outcomes.nonEmpty,
+      "no serve ran while the code-table compaction loop was live")
+  }
+
   test("serve interleaved with SPELL-index delete rewrites: the " +
       "two-table staged swaps never yield a half-swapped result") {
     // The text-family swap shape: deleteFromSpellIndex rewrites BOTH
