@@ -52,6 +52,9 @@ object GraftExtensions {
     "cdc_cuts" -> (exprs =>
       CdcCutPositions(as(exprs(0), StringType), intArg(exprs(1), "window"),
         intArg(exprs(2), "divisor"))),
+    "winnow_fingerprints" -> (exprs =>
+      WinnowFingerprints(as(exprs(0), StringType), intArg(exprs(1), "window"),
+        intArg(exprs(2), "winnowW"))),
     "zorder2" -> (exprs => ZOrder2(
       as(exprs(0), org.apache.spark.sql.types.LongType),
       as(exprs(1), org.apache.spark.sql.types.LongType),

@@ -166,6 +166,141 @@ case class RollingFingerprint(child: Expression, window: Int)
     copy(child = c)
 }
 
+/** The winnowing selection kernel shared by [[WinnowFingerprints]]'s
+  * interpreted eval and its generated code (one implementation, the
+  * [[CdcKernel]] pattern: a single static invoke per DOCUMENT, the
+  * per-byte loop is compiled Scala). Hash family = EXACTLY
+  * [[RollingFingerprint]]'s wrapping-Long polynomial (base 1000003
+  * over bytes), so the DuckDB oracle replays it with the same
+  * HUGEINT-mod-2^64 recursive CTE already pinned for the per-doc
+  * fingerprint row.
+  *
+  * Selection is standard winnowing (Schleimer, Wilkerson & Aiken,
+  * SIGMOD 2003 §4): over the nh = n − window + 1 window hashes, every
+  * length-`winnowW` run of consecutive hash positions selects its
+  * minimum (ties → RIGHTMOST position), selections deduped. The
+  * guarantee that makes cross-corpus span dedup complete: any shared
+  * substring of length ≥ window + winnowW − 1 selects AT LEAST ONE
+  * identical (hash, window-content) fingerprint in both documents —
+  * and inside a shared region both documents select the SAME
+  * positions (the scheme is self-synchronizing), consecutive
+  * selections at most winnowW apart. Implemented as the monotone-
+  * deque sliding-window minimum — O(n) per document regardless of
+  * winnowW. */
+object WinnowKernel {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  val Base = 1000003L
+
+  /** Base^(window-1) under wrapping Long arithmetic — the outgoing
+    * byte's coefficient (same constant family as
+    * [[RollingFingerprint]]; 1000003^15 = 6397295411589846571 for the
+    * shipped window 16, the value pinned in the oracle SQL). */
+  def basePow(window: Int): Long = {
+    var p = 1L
+    var i = 1
+    while (i < window) { p *= Base; i += 1 }
+    p
+  }
+
+  /** Selected (pos, h) fingerprints of `s` — pos is the 0-BASED BYTE
+    * offset of the window start, h its rolling hash. Documents
+    * shorter than the window fingerprint as a single whole-document
+    * window at pos 0 ([[RollingFingerprint]]'s short-doc rule). Empty
+    * input → empty array. */
+  def fingerprints(s: UTF8String, window: Int, winnowW: Int,
+      pow: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    if (n < window) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * Base + (b(i) & 0xff); i += 1 }
+      return new GenericArrayData(Array[Any](InternalRow(0, h)))
+    }
+    val nh = n - window + 1
+    val hs = new Array[Long](nh)
+    var h = 0L
+    var i = 0
+    while (i < window) { h = h * Base + (b(i) & 0xff); i += 1 }
+    hs(0) = h
+    while (i < n) {
+      h = (h - (b(i - window) & 0xff) * pow) * Base + (b(i) & 0xff)
+      hs(i - window + 1) = h
+      i += 1
+    }
+    val w = math.min(winnowW, nh)
+    // Monotone deque of positions with strictly increasing hash from
+    // the head; pushing pops >= hashes, so among equal minima the
+    // RIGHTMOST survives — the published tie rule, and the one the
+    // oracle's (h ASC, pos DESC) argmin replays.
+    val dq = new Array[Int](nh)
+    var head = 0
+    var tail = 0
+    val selPos = new Array[Int](nh)
+    var selCnt = 0
+    var last = -1
+    var p = 0
+    while (p < nh) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(p)) tail -= 1
+      dq(tail) = p
+      tail += 1
+      if (dq(head) <= p - w) head += 1
+      if (p >= w - 1) {
+        val sel = dq(head)
+        if (sel != last) { selPos(selCnt) = sel; selCnt += 1; last = sel }
+      }
+      p += 1
+    }
+    val out = new Array[Any](selCnt)
+    var j = 0
+    while (j < selCnt) {
+      out(j) = InternalRow(selPos(j), hs(selPos(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** winnow_fingerprints(string, window, winnowW) →
+  * array<struct<pos: int, h: long>>: the document's winnowing-selected
+  * rolling-hash fingerprints with their 0-based byte positions
+  * ([[WinnowKernel]]). This is the per-document half of cross-corpus
+  * exact-substring span dedup (Lee et al. 2022, arXiv:2107.06499 §4,
+  * re-expressed at the winnowing shape instead of suffix arrays):
+  * fingerprints bucket-join across documents, matches at the same
+  * offset delta merge into shared spans — never all-pairs, never a
+  * corpus-wide sort. One O(n) pass per document inside whole-stage
+  * codegen (static kernel invoke, the [[CdcCutPositions]] pattern). */
+case class WinnowFingerprints(child: Expression, window: Int,
+    winnowW: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  require(window > 0, "window must be positive")
+  require(winnowW > 0, "winnowW must be positive")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  private lazy val pow: Long = WinnowKernel.basePow(window)
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowKernel.fingerprints(input.asInstanceOf[UTF8String], window,
+      winnowW, pow)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.WinnowKernel.fingerprints(" +
+        s"$in, $window, $winnowW, ${pow}L);")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
 /** The O(n) content-defined-chunking cut kernel shared by
   * [[CdcCutPositions]]'s interpreted eval and its generated code (one
   * implementation, so the two paths cannot diverge bit-wise; the
@@ -1897,6 +2032,9 @@ object functions {
   def cdc_cuts(c: Column, window: Int, divisor: Int): Column =
     GraftColumnBridge.column(
       CdcCutPositions(ex(c.cast("string")), window, divisor))
+  def winnow_fingerprints(c: Column, window: Int, winnowW: Int): Column =
+    GraftColumnBridge.column(
+      WinnowFingerprints(ex(c.cast("string")), window, winnowW))
   def dot_product(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
       ex(a.cast("array<double>")), ex(b.cast("array<double>"))))

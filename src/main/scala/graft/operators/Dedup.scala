@@ -859,4 +859,76 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .distinct()
   }
+
+  /** Cross-document EXACT-SUBSTRING span dedup — the operator a
+    * curation run applies after MinHash near-dup: for every document
+    * pair sharing a verbatim substring of ≥ `minSpan` bytes, the
+    * maximal shared spans with their byte offsets in BOTH documents
+    * (Lee et al. 2022, arXiv:2107.06499 §4's exact-substring dedup,
+    * re-expressed at the winnowing shape — never suffix arrays, never
+    * all-pairs).
+    *
+    * Mechanics: each document emits its winnowing-selected rolling-
+    * hash fingerprints with positions ([[graft.functions.WinnowKernel]],
+    * one codegen'd O(n) pass); fingerprints BUCKET-JOIN across
+    * documents on (hash, window bytes) — the window bytes ride in the
+    * join key, so every match is an exact 16-byte substring match by
+    * construction, collision-proof without a second verify pass; and
+    * matches at the same offset delta (pos_a − pos_b) merge into
+    * maximal spans wherever consecutive matched windows overlap or
+    * adjoin (gap ≤ window).
+    *
+    * Exactness + completeness: merged windows at one delta overlap,
+    * so every emitted span is a verbatim shared substring (exact);
+    * winnowing guarantees any shared substring of length ≥
+    * window + winnowW − 1 selects identical fingerprints in both
+    * documents at most winnowW (< window) apart (complete for spans ≥
+    * minSpan whenever minSpan ≥ window + winnowW − 1 — the shipped
+    * 40 ≥ 23; spec-pinned as a property).
+    *
+    * Scale shape: the fingerprint explode is linear in corpus bytes
+    * (density ≈ 2/(winnowW+1)); the join is a plain hash-partitioned
+    * equi-join on the fingerprint key — candidate volume is bounded
+    * by TRUE content duplication exactly like LSH banding, hot keys
+    * split by AQE skew handling, and the span merge windows on
+    * (id_a, id_b, delta), never corpus-wide. Output offsets are
+    * 0-based bytes. */
+  def substringSpans(corpus: DataFrame, window: Int = 16,
+      winnowW: Int = 8, minSpan: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minSpan >= window + winnowW - 1,
+      s"minSpan $minSpan below the winnowing completeness bound " +
+        s"${window + winnowW - 1} — shorter spans can be missed, so " +
+        "emitting them would be a silently partial result")
+    val fps = corpus
+      .select(col("doc_id"), col("text"),
+        explode(graft.functions.functions.winnow_fingerprints(
+          col("text"), window, winnowW)).as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"),
+        expr(s"substring(cast(text as binary), fp.pos + 1, $window)")
+          .as("win"))
+    val a = fps.select(col("doc_id").as("id_a"), col("pos").as("pos_a"),
+      col("h"), col("win"))
+    val b = fps.select(col("doc_id").as("id_b"), col("pos").as("pos_b"),
+      col("h"), col("win"))
+    val matched = a.join(b, Seq("h", "win"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("pos_a") - col("pos_b")).as("delta"), col("pos_a"))
+    val wOrd = Window.partitionBy(col("id_a"), col("id_b"), col("delta"))
+      .orderBy(col("pos_a"))
+    matched
+      .withColumn("prev", lag(col("pos_a"), 1).over(wOrd))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("pos_a") - col("prev") > window, 1).otherwise(0))
+      .withColumn("span_id", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id_a"), col("id_b"), col("delta"), col("span_id"))
+      .agg(min(col("pos_a")).as("start_a"),
+        (max(col("pos_a")) + window).as("end_a"))
+      .select(col("id_a"), col("id_b"), col("start_a"),
+        (col("start_a") - col("delta")).as("start_b"),
+        (col("end_a") - col("start_a")).as("span_len"))
+      .filter(col("span_len") >= minSpan)
+  }
 }

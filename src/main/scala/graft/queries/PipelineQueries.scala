@@ -37,6 +37,92 @@ object PipelineQueries {
       |  SELECT doc_id + 200000 AS doc_id, text || ' zq extra token' AS text
       |  FROM documents WHERE doc_id % 10 = 5)""".stripMargin
 
+  /** Sequential replay of [[graft.operators.Dedup.substringSpans]] at
+    * its defaults (window 16, winnowW 8, minSpan 40) over the
+    * augmented corpus: per-POSITION rolling hashes via the
+    * text_rolling_fingerprint recursive CTE (same base 1000003 /
+    * 1000003^15 constants, HUGEINT mod 2^64 with the signed-BIGINT
+    * reduction so min-comparisons match the engine's Long ordering),
+    * rightmost-min winnowing selection per 8-window (argmin by
+    * (h ASC, pos DESC) — the kernel's monotone-deque tie rule),
+    * cross-doc join on hash + verified 16-byte substring, and the
+    * same-delta gap-split merge into spans ≥ 40. Corpus is ASCII
+    * (byte offsets == char offsets), so substr verifies the bytes the
+    * engine's binary substring compares. */
+  private val substringSpansSql: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text || ' zq extra token' AS text
+      |  FROM documents WHERE doc_id % 10 = 5),
+      |src AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, octet_length(encode(text)) + 1),
+      |           j -> (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*j-1, 1)) - 1) * 16
+      |              + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*j, 1)) - 1)) AS bs,
+      |         octet_length(encode(text)) AS n
+      |  FROM corpus),
+      |roll(doc_id, i, h, n, bs) AS (
+      |  SELECT doc_id, 0, 0::HUGEINT, n, bs FROM src
+      |  UNION ALL
+      |  SELECT doc_id, i + 1,
+      |    CASE WHEN i < 16
+      |      THEN (h * 1000003 + bs[i+1]) % 18446744073709551616::HUGEINT
+      |      ELSE (((h - bs[i-15] * 6397295411589846571::HUGEINT)
+      |              % 18446744073709551616::HUGEINT
+      |              + 18446744073709551616::HUGEINT)
+      |             % 18446744073709551616::HUGEINT * 1000003
+      |            + bs[i+1]) % 18446744073709551616::HUGEINT
+      |    END,
+      |    n, bs
+      |  FROM roll WHERE i < n),
+      |hp AS (
+      |  SELECT doc_id, i - 16 AS pos,
+      |         CASE WHEN h >= 9223372036854775808::HUGEINT
+      |              THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+      |              ELSE h::BIGINT END AS h
+      |  FROM roll WHERE i >= 16),
+      |ts AS (SELECT doc_id, unnest(generate_series(0, n - 16 + 1 - 8)) AS t
+      |       FROM src),
+      |selw AS (
+      |  SELECT hh.doc_id, tt.t, hh.pos, hh.h,
+      |         row_number() OVER (PARTITION BY hh.doc_id, tt.t
+      |           ORDER BY hh.h, hh.pos DESC) AS rn
+      |  FROM hp hh JOIN ts tt ON tt.doc_id = hh.doc_id
+      |    AND hh.pos BETWEEN tt.t AND tt.t + 7),
+      |sel AS (SELECT DISTINCT doc_id, pos, h FROM selw WHERE rn = 1),
+      |m AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         a.pos AS pos_a, b.pos AS pos_b
+      |  FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  JOIN corpus ca ON ca.doc_id = a.doc_id
+      |  JOIN corpus cb ON cb.doc_id = b.doc_id
+      |  WHERE substr(ca.text, a.pos + 1, 16) = substr(cb.text, b.pos + 1, 16)),
+      |g AS (SELECT id_a, id_b, pos_a - pos_b AS delta, pos_a FROM m),
+      |f AS (
+      |  SELECT *, CASE WHEN
+      |      lag(pos_a) OVER (PARTITION BY id_a, id_b, delta
+      |                       ORDER BY pos_a) IS NULL
+      |      OR pos_a - lag(pos_a) OVER (PARTITION BY id_a, id_b, delta
+      |                                  ORDER BY pos_a) > 16
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM g),
+      |sg AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, delta
+      |    ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS span_id
+      |  FROM f),
+      |spans AS (
+      |  SELECT id_a, id_b, delta, span_id, min(pos_a) AS start_a,
+      |         max(pos_a) + 16 AS end_a
+      |  FROM sg GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, CAST(start_a AS INT) AS start_a,
+      |       CAST(start_a - delta AS INT) AS start_b,
+      |       CAST(end_a - start_a AS INT) AS span_len
+      |FROM spans WHERE end_a - start_a >= 40
+      |ORDER BY id_a, id_b, start_a, start_b""".stripMargin
+
   private val shinglesCte =
     """wrd AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
@@ -1769,6 +1855,21 @@ object PipelineQueries {
       Dedup.segmentDedup(Dedup.augmentCorpus(Tables.documents(s, d)),
           wideKey = true)
         .orderBy("doc_id")),
+
+    // Cross-document EXACT-SUBSTRING span dedup (Lee et al. 2022 at
+    // the winnowing shape): winnowed rolling-hash fingerprints
+    // bucket-join across the corpus — the window bytes ride in the
+    // join key, so every match is a verified verbatim 16-byte
+    // substring — and same-offset-delta matches merge into maximal
+    // shared spans ≥ 40 bytes with byte offsets in BOTH documents.
+    // The injected exact duplicates surface as whole-document spans;
+    // the near-dups (appended tokens) as full-prefix spans. Oracle
+    // replays the same rolling hash (the text_rolling_fingerprint
+    // recursive CTE, per-position), the same rightmost-min winnowing
+    // selection, and the same gap-split merge.
+    "dedup_substring_spans" -> ((s, d) =>
+      Dedup.substringSpans(Dedup.augmentCorpus(Tables.documents(s, d)))
+        .orderBy("id_a", "id_b", "start_a", "start_b")),
 
     // NB: Dedup.simhashPairs (banded near-dup pair join) is part of the
     // operator library (PipelineSpec covers it) but has no query entry:
@@ -4855,6 +4956,7 @@ object PipelineQueries {
     // The wide-key twin keys on (hash, length) internally; segment
     // semantics are identical, so the replay IS dedup_segments'.
     "dedup_segments_wide" -> segmentDedupSql,
+    "dedup_substring_spans" -> substringSpansSql,
 
     "dedup_fuzzy_lev" ->
       s"""WITH $corpusCte,

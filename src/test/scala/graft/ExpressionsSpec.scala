@@ -79,6 +79,65 @@ class ExpressionsSpec extends SparkSpec {
     assert(fps("a") === fps("b"))
   }
 
+  test("winnow_fingerprints: hashes match brute force, every winnowW " +
+      "run holds a selection, ties pick the rightmost") {
+    val w = 16
+    val ww = 8
+    def windowHash(b: Array[Byte], p: Int, len: Int): Long =
+      b.slice(p, p + len).foldLeft(0L)((h, c) => h * 1000003L + (c & 0xff))
+    val rnd = new scala.util.Random(7)
+    val vocab = "abcdefgh "
+    val samples = Seq("", "abc",
+      "a" * 64, // constant bytes: all hashes tie → rightmost each window
+      Seq.fill(300)(vocab(rnd.nextInt(vocab.length))).mkString,
+      Seq.fill(2000)(vocab(rnd.nextInt(vocab.length))).mkString)
+    val got = samples.toDF("s")
+      .select(gf.winnow_fingerprints($"s", w, ww).as("fps"))
+      .as[Seq[(Int, Long)]].collect()
+    for ((s, fps) <- samples.zip(got)) {
+      val b = s.getBytes("UTF-8")
+      if (b.isEmpty) assert(fps.isEmpty, "empty input must select nothing")
+      else if (b.length < w)
+        assert(fps === Seq((0, windowHash(b, 0, b.length))),
+          "short doc must fingerprint as one whole-doc window at pos 0")
+      else {
+        val nh = b.length - w + 1
+        // every selected hash is the true hash of its window
+        for ((p, h) <- fps)
+          assert(h === windowHash(b, p, w), s"wrong hash at pos $p")
+        // positions strictly increase and dedup
+        assert(fps.map(_._1) === fps.map(_._1).distinct.sorted)
+        // the winnowing guarantee: every full winnowW run of hash
+        // positions contains a selection — this is what makes the
+        // cross-corpus span join COMPLETE for spans >= w + ww - 1
+        val sel = fps.map(_._1).toSet
+        val wEff = math.min(ww, nh)
+        for (t <- 0 to nh - wEff)
+          assert((t until t + wEff).exists(sel.contains),
+            s"no selection in window run [$t, ${t + wEff - 1}]")
+        // rightmost tie rule: each selection is the argmin of SOME
+        // run with ties to the larger position (the oracle's
+        // (h ASC, pos DESC) argmin)
+        val hs = (0 until nh).map(p => windowHash(b, p, w))
+        for (p <- fps.map(_._1)) {
+          val anyRun = (math.max(0, p - wEff + 1) to
+            math.min(p, nh - wEff)).exists { t =>
+            val run = t until t + wEff
+            val minH = run.map(hs).min
+            hs(p) == minH && run.filter(q => hs(q) == minH).max == p
+          }
+          assert(anyRun, s"pos $p is not a rightmost-min of any run")
+        }
+      }
+    }
+    // constant input: every window's hashes tie, rightmost wins →
+    // selections are every position from ww-1 on (density 1 — the
+    // documented worst case of the simple tie rule)
+    val const = got(2).map(_._1)
+    assert(const === (ww - 1 until "a".repeat(64).length - w + 1),
+      "constant input must select the rightmost of every run")
+  }
+
   test("custom expressions are callable from SQL after registration") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(

@@ -590,6 +590,57 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("substringSpans: emitted spans are verbatim shared substrings, " +
+      "shared regions are found, disjoint docs never pair") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(11)
+    def rndText(n: Int, vocab: String) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString
+    val base = rndText(200, "abcdefgh ")
+    val docs = Seq(
+      (1L, base),
+      // the same 200 bytes embedded in unrelated context
+      (2L, rndText(50, "abcdefgh ") + base + rndText(50, "abcdefgh ")),
+      // disjoint alphabet: no 16-byte window can match
+      (3L, rndText(300, "uvwxyz")),
+      // exact duplicate of doc 1
+      (4L, base)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    val texts = Map(1L -> base,
+      2L -> docs.filter($"doc_id" === 2).head.getString(1),
+      3L -> docs.filter($"doc_id" === 3).head.getString(1),
+      4L -> base)
+    // EXACTNESS: every emitted span is a verbatim shared substring at
+    // the stated offsets in both documents.
+    for ((a, b, sa, sb, len) <- spans)
+      assert(texts(a).substring(sa, sa + len) ===
+        texts(b).substring(sb, sb + len),
+        s"span ($a,$b,$sa,$sb,$len) is not verbatim-shared")
+    // COMPLETENESS: the embedded 200-byte region must surface for
+    // (1,2) and (2,4); winnowing boundary effects cost at most
+    // window + winnowW - 1 = 23 bytes at each end.
+    for ((a, b) <- Seq((1L, 2L), (2L, 4L))) {
+      val best = spans.filter(s => s._1 == a && s._2 == b).map(_._5)
+      assert(best.nonEmpty && best.max >= 200 - 2 * 23,
+        s"shared 200-byte region not found for ($a,$b): got $best")
+    }
+    // the exact-duplicate pair (1,4) spans essentially the whole doc
+    // at delta 0
+    val dup = spans.filter(s => s._1 == 1L && s._2 == 4L)
+    assert(dup.nonEmpty && dup.forall(s => s._3 == s._4) &&
+      dup.map(_._5).max >= 200 - 2 * 23,
+      s"exact duplicate pair not spanned: $dup")
+    // disjoint doc 3 pairs with nobody
+    assert(!spans.exists(s => s._1 == 3L || s._2 == 3L),
+      "disjoint-alphabet doc produced a span")
+    // the completeness bound is enforced, not silently violated
+    intercept[IllegalArgumentException] {
+      Dedup.substringSpans(docs, window = 16, winnowW = 8, minSpan = 20)
+    }
+  }
+
   test("knnJoin recall at the SHIPPED config (nprobe=2) is >= 0.95") {
     // The gated sim_knn_join entry runs nprobe=2 (PipelineQueries) — this
     // pins the quality bound at that production setting, not only at the

@@ -35,6 +35,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                  // pair distinct + sort (was 4 with
                                  // the shingle-explode aggregate)
     "dedup_ngram_jaccard" -> 10, // LSH chain + jaccard verify
+    "dedup_substring_spans" -> 2, // fingerprint explode is narrow
+                                  // (codegen'd kernel); the (h, win)
+                                  // self-join's exchange is REUSED by
+                                  // the same-delta merge window + span
+                                  // agg; + output sort
     "text_top_ngrams" -> 2,      // (gram,doc) pre-agg + gram rollup
     "text_gopher_rules" -> 1,     // per-row integer rules; output sort only
     "text_spell_candidates" -> 6, // vocab agg + probe sort-limits +
