@@ -2551,11 +2551,13 @@ object Similarity {
     * nprobe the exact-integer recall overlap against brute force and
     * the exact bytes the serve reads (at the
     * 64-dim corpus — the DPP contract over the pair-partitioned
-    * layout: candidates = Σ probed-pair occupancy − self; the probe's
-    * own index pair is ALWAYS its rank-1 pair because the pair
-    * ordering separates — min(r0 + r1) is attained at the two per-half
-    * argmins, ties resolved lexicographically on both sides — so the
-    * self row is subtracted unconditionally). Why this artifact
+    * layout: candidates = Σ probed-pair occupancy − self, where the
+    * self row is subtracted via a MEMBERSHIP CHECK against the index
+    * frame, so the figure is exact for corpus-member AND external
+    * probe sets alike; for members the check always fires because the
+    * pair ordering separates — min(r0 + r1) is attained at the two
+    * per-half argmins — making it equivalent to the old unconditional
+    * subtraction). Why this artifact
     * matters at 100 TB: at equal nprobe the IMI probes k² -granular
     * cells, so its candidate set (and bytes) per operating point is
     * ~k× smaller than the single-level curve's — this is the frame a
@@ -2563,15 +2565,12 @@ object Similarity {
     * ranking serves all operating points (rank once, filter per np);
     * both trainings run once ([[imiTrainedCents]]).
     *
-    * Caller contract (as [[probedCellSizes]]'s): `probes` must be
-    * corpus MEMBERS. The candidate count subtracts the probe's own
-    * index row unconditionally — sound for members because the pair
-    * ordering separates, so a member's own pair is always its rank-1
-    * pair (probed at every np ≥ 1); for a non-member probe no self
-    * row exists and the candidate/bytes figures would be off by one
-    * per probe (and the serve's probe ≠ neighbor exclusion would
-    * never fire). The gated row probes a corpus slice, satisfying
-    * the contract by construction. */
+    * Probe sets may be corpus slices OR external vectors: the
+    * candidate count subtracts the probe's own index row only where a
+    * membership probe against the index frame finds one (see the
+    * inline note at the `cand` frame), so both cases are exact. The
+    * gated rows probe a corpus slice; the external case is
+    * spec-pinned. */
   def imiRecallCurve(vecs: DataFrame, probes: DataFrame, k: Int,
       kSub: Int = 8, iters: Int = 2,
       nps: Seq[Int] = Seq(1, 2, 4, 8), m: Int = 4, codebookK: Int = 8,
@@ -2593,12 +2592,29 @@ object Similarity {
         .select(lit(np).as("np"), col("probe_id"), col("hits"),
           col("n_exact"))
     }.reduce(_ unionByName _)
+    // MEMBERSHIP-CHECKED self-row subtraction: the probe's own index
+    // row is subtracted from the candidate count only where it
+    // actually lands in a probed pair — derived from a real membership
+    // probe against the index frame (probe-bounded: ≤ |probes| rows,
+    // broadcast), NOT assumed. For corpus-member probes this equals
+    // the old unconditional −1 (the pair ordering separates, so a
+    // member's own pair is always its rank-1 pair — both gated rows
+    // re-gate bit-identically); for EXTERNAL probes no self row
+    // exists, nothing subtracts, and the candidate/bytes figures are
+    // now exact instead of off by one (spec-pinned).
+    val selfIn = broadcast(idx
+      .join(probes.select(col("vec_id").as("corpus_id")),
+        Seq("corpus_id"))
+      .select(col("corpus_id").as("probe_id"), col("c0").as("l0"),
+        col("c1").as("l1"), lit(1L).as("self_row")))
     val cand = nps.map { np =>
       ranked.filter(col("rn") <= np)
         .join(broadcast(pairSizes),
           col("l0") === col("c0") && col("l1") === col("c1"))
+        .join(selfIn, Seq("probe_id", "l0", "l1"), "left")
         .groupBy(col("probe_id"))
-        .agg((sum(col("pair_n")) - 1L).as("cand"))
+        .agg((sum(col("pair_n")) -
+          coalesce(sum(col("self_row")), lit(0L))).as("cand"))
         .select(lit(np).as("np"), col("probe_id"), col("cand"))
     }.reduce(_ unionByName _)
     val imiRows = rungs.join(cand, Seq("np", "probe_id"))

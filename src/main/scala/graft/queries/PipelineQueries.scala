@@ -1610,8 +1610,10 @@ object PipelineQueries {
        |  GROUP BY i.np, i.probe_id),
        |cand AS (
        |  SELECT a.np, a.probe_id,
-       |         CAST(sum(s.pair_n) - 1 AS BIGINT) AS cand
+       |         CAST(sum(s.pair_n) - count(i.vec_id) AS BIGINT) AS cand
        |  FROM pa a JOIN psize s ON s.c0 = a.l0 AND s.c1 = a.l1
+       |  LEFT JOIN idx i ON i.vec_id = a.probe_id
+       |    AND i.c0 = a.l0 AND i.c1 = a.l1
        |  GROUP BY a.np, a.probe_id),
        |cl AS (
        |  SELECT 0 AS sub, cid AS clabel, list(cmean ORDER BY pos) AS cvv

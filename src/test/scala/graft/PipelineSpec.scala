@@ -590,6 +590,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("imiRecallCurve candidate counts are membership-checked: " +
+      "external probes subtract no self row") {
+    // The curve's bytes accounting subtracts the probe's own index row
+    // via a membership probe against the index frame, not by
+    // assumption. Pin both halves with the same probe VECTORS under
+    // member and non-member ids: identical vectors rank identical
+    // pairs, so per (np, probe) the member candidate count must be
+    // exactly the external one minus 1 (the self row), and the
+    // external run must not error.
+    import graft.operators.Similarity
+    val vecs = clusteredVecs().select($"vec_id", $"v")
+    val member = vecs.filter($"vec_id" < 3)
+    val external = member.select(($"vec_id" + 1000000L).as("vec_id"),
+      $"v")
+    def cands(probes: org.apache.spark.sql.DataFrame) =
+      Similarity.imiRecallCurve(vecs, probes, 3)
+        .filter($"rung" === "imi")
+        .select($"np", $"probe_id", $"cand")
+        .as[(Int, Long, Long)].collect()
+        .map { case (np, pid, c) => ((np, pid % 1000000L), c) }.toMap
+    val m = cands(member)
+    val e = cands(external)
+    assert(m.nonEmpty && m.keySet === e.keySet,
+      "member and external runs must cover the same (np, probe) grid")
+    for ((k, mc) <- m)
+      assert(mc === e(k) - 1L,
+        s"at $k: member cand $mc != external cand ${e(k)} - 1 — the " +
+          "self-row subtraction is not membership-derived")
+  }
+
   test("substringSpans: emitted spans are verbatim shared substrings, " +
       "shared regions are found, disjoint docs never pair") {
     import graft.operators.Dedup
