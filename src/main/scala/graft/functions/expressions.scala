@@ -1376,6 +1376,13 @@ case class PngDecode(child: Expression) extends UnaryExpression {
   * EOB, EXTEND) is spec-pinned with an error bound on arbitrary
   * rasters, where no exact cross-engine oracle can exist. */
 object JpegKernel {
+  /** Decode-side canvas cap (wb·hb·nc bytes): 256 MiB — far above any
+    * raster this family synthesizes, far below the allocation a
+    * crafted tiny header could otherwise force per row (up to ~2 GB
+    * at the bare Int.MaxValue bound). Header dims alone never size a
+    * buffer past this. */
+  private val MaxCanvasBytes: Long = 1L << 28
+
   /** Zigzag scan: position k in scan order → natural (row-major)
     * coefficient index (T.81 Figure A.6). */
   private val Zigzag: Array[Int] = Array(
@@ -1655,6 +1662,7 @@ object JpegKernel {
     if (jp == null || jp.length < 4 ||
         (jp(0) & 0xff) != 0xff || (jp(1) & 0xff) != 0xd8) return null
     var w = 0; var h = 0; var nc = 0
+    var sofIds: Array[Int] = null
     var qt: Array[Int] = null
     var dcT: HuffTable = null; var acT: HuffTable = null
     var p = 2
@@ -1687,12 +1695,22 @@ object JpegKernel {
           if ((jp(q) & 0xff) != 8 || (nc != 1 && nc != 3) ||
               w < 1 || h < 1 || len < 8 + 3 * nc) return null
           // 1×1 sampling on EVERY component (no chroma subsampling —
-          // out of scope, dead-letter like progressive).
+          // out of scope, dead-letter like progressive), quant slot 0
+          // only (the single table this decoder loads — a component on
+          // slot 1 would silently decode with the wrong table), and
+          // for 3 components the 'R','G','B' id convention (anything
+          // else — e.g. YCbCr's 1,2,3 — would need the color transform
+          // this codec deliberately does not do).
+          sofIds = new Array[Int](nc)
           var ci = 0
           while (ci < nc) {
-            if ((jp(q + 7 + 3 * ci) & 0xff) != 0x11) return null
+            sofIds(ci) = jp(q + 6 + 3 * ci) & 0xff
+            if ((jp(q + 7 + 3 * ci) & 0xff) != 0x11 ||
+                (jp(q + 8 + 3 * ci) & 0xff) != 0) return null
             ci += 1
           }
+          if (nc == 3 && (sofIds(0) != 'R' || sofIds(1) != 'G' ||
+              sofIds(2) != 'B')) return null
         case 0xc4 => // DHT: one or more tables per segment
           var i = q
           while (i < end) {
@@ -1711,7 +1729,28 @@ object JpegKernel {
             else if (tcth == 0x10) acT = tbl
             i += 17 + tot
           }
-        case 0xda => sosAt = end // SOS: entropy data follows
+        case 0xda => // SOS: validate the scan header, then entropy
+          // The scan must be the single interleaved baseline scan this
+          // decoder implements: Ns == nc with components in SOF order
+          // (the MCU interleave order), both Huffman selectors on
+          // table pair 0 (the only pair loaded — a chroma-slot-1
+          // stream would silently decode with the luma tables), and
+          // the sequential-DCT spectral window (Ss, Se, Ah, Al) =
+          // (0, 63, 0, 0). Anything else dead-letters instead of
+          // producing silently wrong pixels.
+          if (sofIds == null) return null // SOS before SOF
+          val ns = jp(q) & 0xff
+          if (ns != nc || len != 6 + 2 * ns) return null
+          var sj = 0
+          while (sj < ns) {
+            if ((jp(q + 1 + 2 * sj) & 0xff) != sofIds(sj) ||
+                (jp(q + 2 + 2 * sj) & 0xff) != 0) return null
+            sj += 1
+          }
+          if ((jp(q + 1 + 2 * ns) & 0xff) != 0 ||
+              (jp(q + 2 + 2 * ns) & 0xff) != 63 ||
+              (jp(q + 3 + 2 * ns) & 0xff) != 0) return null
+          sosAt = end
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf => return null // non-baseline SOF
         case 0xdd => return null // DRI unsupported (scope)
@@ -1721,8 +1760,20 @@ object JpegKernel {
     }
     if (w == 0 || qt == null || dcT == null || acT == null) return null
     val wb = (w + 7) / 8 * 8; val hb = (h + 7) / 8 * 8
-    if (wb.toLong * hb * nc > Int.MaxValue - RasterKernel.HeaderLen)
-      return null
+    // Allocation guards BEFORE touching the canvas: header dims alone
+    // must not size the buffer. (a) Hard cap at the raster family's
+    // realistic bound — a crafted 65535×65535×3 header would otherwise
+    // demand ~2 GB per row and OOM an executor, an error the
+    // never-throws dead-letter contract cannot catch. (b) The entropy
+    // segment must be non-trivially sized for the block count: every
+    // 8×8 block costs at least 2 bits (a 1-bit DC code + a 1-bit EOB)
+    // under ANY Huffman tables, so a tiny payload claiming huge dims
+    // dead-letters here instead of allocating and then failing
+    // mid-scan.
+    val canvasBytes = wb.toLong * hb * nc
+    if (canvasBytes > MaxCanvasBytes) return null
+    val nBlocks = (wb.toLong / 8) * (hb / 8) * nc
+    if ((jp.length - sosAt).toLong * 8 < nBlocks * 2) return null
     val canvas = new Array[Byte](wb * hb * nc)
     val br = new BitReader(jp, sosAt)
     val coef = new Array[Int](64)

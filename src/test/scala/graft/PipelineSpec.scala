@@ -1855,6 +1855,77 @@ class PipelineSpec extends SparkSpec {
       jp.drop(sof)
     assert(JpegKernel.decode(withDri) === null,
       "restart intervals are out of scope and must dead-letter")
+    // 6) Scan/frame header sweep: every in-the-wild shape this decoder
+    // does NOT implement must dead-letter (null), never silently
+    // misdecode with the wrong tables / no color transform.
+    def patched(src: Array[Byte])(edits: (Int, Int)*): Array[Byte] = {
+      val c = src.clone()
+      for ((i, v) <- edits) c(i) = v.toByte
+      c
+    }
+    val sosIdx = jp.indices.dropRight(1)
+      .find(i => (jp(i) & 0xff) == 0xff && (jp(i + 1) & 0xff) == 0xda).get
+    // gray stream layout: SOF payload at sof+4 (precision, h, w, nc,
+    // then [id, HV, Tq] per comp); SOS payload at sosIdx+4 (Ns, then
+    // [Cs, TdTa] per comp, then Ss, Se, AhAl).
+    assert(JpegKernel.decode(patched(jp)(sosIdx + 6 -> 0x11)) === null,
+      "SOS Huffman selectors off table pair 0 must dead-letter")
+    assert(JpegKernel.decode(patched(jp)(sosIdx + 7 -> 1)) === null,
+      "Ss != 0 (spectral selection) must dead-letter")
+    assert(JpegKernel.decode(patched(jp)(sosIdx + 8 -> 62)) === null,
+      "Se != 63 must dead-letter")
+    assert(JpegKernel.decode(patched(jp)(sosIdx + 9 -> 0x10)) === null,
+      "Ah/Al != 0 (successive approximation) must dead-letter")
+    assert(JpegKernel.decode(patched(jp)(sosIdx + 5 -> 2)) === null,
+      "SOS component id not matching SOF must dead-letter")
+    assert(JpegKernel.decode(patched(jp)(sof + 12 -> 1)) === null,
+      "SOF quant-table slot 1 must dead-letter (only slot 0 loads)")
+    assert(JpegKernel.decode(patched(jp)(sof + 9 -> 2)) === null,
+      "2-component SOF must dead-letter")
+    // 3-component stream with YCbCr-style ids 1,2,3 instead of
+    // 'R','G','B': would decode without the color transform →
+    // silently wrong pixels; must dead-letter instead. SOS ids are
+    // cross-checked against SOF, so patch both.
+    val rgbJp = JpegKernel.encode(rgbBlocky)
+    val rgbSof = rgbJp.indices.dropRight(1).find(i =>
+      (rgbJp(i) & 0xff) == 0xff && (rgbJp(i + 1) & 0xff) == 0xc0).get
+    val rgbSos = rgbJp.indices.dropRight(1).find(i =>
+      (rgbJp(i) & 0xff) == 0xff && (rgbJp(i + 1) & 0xff) == 0xda).get
+    assert(JpegKernel.decode(patched(rgbJp)(
+        rgbSof + 10 -> 1, rgbSof + 13 -> 2, rgbSof + 16 -> 3,
+        rgbSos + 5 -> 1, rgbSos + 7 -> 2, rgbSos + 9 -> 3)) === null,
+      "3-component ids other than R,G,B must dead-letter")
+    // non-interleaved per-component scan (Ns=1 on a 3-comp frame)
+    assert(JpegKernel.decode(patched(rgbJp)(rgbSos + 4 -> 1)) === null,
+      "Ns != component count must dead-letter")
+    // truncated DHT: segment length cut into the BITS array
+    val dht = jp.indices.dropRight(1).find(i =>
+      (jp(i) & 0xff) == 0xff && (jp(i + 1) & 0xff) == 0xc4).get
+    assert(JpegKernel.decode(patched(jp)(dht + 2 -> 0, dht + 3 -> 5)) === null,
+      "truncated DHT must dead-letter")
+    // 7) Allocation guards: header dims alone never size the canvas.
+    // 20000×20000 gray = 400 MB canvas > the 256 MiB cap → null before
+    // allocating; 2000×2000 passes the cap but its 62500 blocks need
+    // ≥ 15 KB of entropy where the stream has 2 bytes → null via the
+    // entropy-size sanity, still before allocating.
+    assert(JpegKernel.decode(patched(jp)(
+        sof + 5 -> 0x4e, sof + 6 -> 0x20, sof + 7 -> 0x4e,
+        sof + 8 -> 0x20)) === null,
+      "canvas cap must dead-letter crafted huge dims")
+    assert(JpegKernel.decode(patched(jp)(
+        sof + 5 -> 0x07, sof + 6 -> 0xd0, sof + 7 -> 0x07,
+        sof + 8 -> 0xd0)) === null,
+      "entropy-size sanity must dead-letter tiny payloads with big dims")
+    // 8) Fuzz: random single-byte corruptions never THROW — the
+    // kernel's contract is null-or-bytes, property-tested like the
+    // PNG path.
+    val fuzzRnd = new scala.util.Random(23)
+    val rgbNoisyJp = JpegKernel.encode(rgbNoisy)
+    for (src <- Seq(jp, rgbJp, rgbNoisyJp); _ <- 1 to 200) {
+      val i = fuzzRnd.nextInt(src.length)
+      val r = JpegKernel.decode(patched(src)(i -> fuzzRnd.nextInt(256)))
+      assert(r == null || r.isInstanceOf[Array[Byte]])
+    }
   }
 
   test("header decoder parses real PNG and JPEG bytes, verifies PNG CRC") {
