@@ -1311,6 +1311,33 @@ object Similarity {
           col("total").cast("double")).as("balance"))
   }
 
+  /** Occupancy-derived ADC shortlist depth — the sizing rule that
+    * connects [[imiPairStats]] to the Multi-D-ADC serves: rerankDepth
+    * = max(k, ceil(q · largest-pair-occupancy)). Why the MAX pair and
+    * not the mean: the clustered-corpus recall curve established that
+    * depth RELATIVE TO PAIR OCCUPANCY is the recall knob (depth 40
+    * against ~400-vector pairs capped recall at .73 at sf0.1) — a
+    * single mega-pair silently caps recall no matter how balanced the
+    * rest of the grid is, so at q = 1 the shortlist can absorb the
+    * biggest virtual cell whole and no cell can cap recall by itself;
+    * lower q trades refine bytes for recall KNOWINGLY (each shortlist
+    * row costs dim·8 B in the refine fetch). SCALING.md records the
+    * measured sf0.1 procedure. Cost: one aggregate over the ≤k²-row
+    * stats frame — the one-row head is metadata-bounded (the
+    * [[imiPairStats]] scale class, same as the compaction pair
+    * lists). */
+  def imiSuggestedRerankDepth(stats: DataFrame, k: Int,
+      q: Double = 1.0, floor: Int = 40): Int = {
+    require(q > 0, s"occupancy fraction q must be > 0, got $q")
+    val maxOcc = stats.agg(max(col("n_vectors"))).head.getLong(0)
+    // Never below the shipped default (`floor` = the serve's
+    // rerankDepth default): the rule RAISES depth when the grid holds
+    // cells bigger than the default can absorb — a larger shortlist
+    // is a superset, so recall is monotone and the suggestion can
+    // only help (spec-pinned).
+    math.max(math.max(k, floor), math.ceil(q * maxOcc).toInt)
+  }
+
   /** Materialize the Multi-D-ADC index — the 13th persisted layout:
     * the two half codebooks, the residual PQ codebook, and every
     * vector's m-byte PAIR-RESIDUAL code written partitioned by BOTH

@@ -590,6 +590,51 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("imiSuggestedRerankDepth absorbs the largest virtual cell and " +
+      "never loses recall to the fixed default") {
+    // The clustered curve proved depth-vs-occupancy is THE recall
+    // knob; this pins the sizing rule that closes the loop from the
+    // imiPairStats health view to the serve: at q = 1 the suggested
+    // depth covers the biggest pair, so a mega-pair cannot silently
+    // cap recall, and serving with it is never worse than the fixed
+    // depth-40 default on the clustered fixture the rule exists for.
+    import graft.operators.Similarity
+    // Mega-pair fixture: label 0 replicated 5× (60 of 144 vectors in
+    // one virtual cell) — the exact grid shape where the fixed
+    // depth-40 default silently caps recall.
+    val base = clusteredVecs()
+    val vecs = base.unionByName((1 to 4).map(r =>
+      base.filter($"label" === 0)
+        .select(($"vec_id" + 1000L * r).as("vec_id"), $"label", $"v"))
+      .reduce(_ unionByName _))
+    val probes = vecs.filter($"vec_id" % 100 < 2)
+    val stats = Similarity.imiPairStats(vecs,
+      Similarity.imiSubCentroids(vecs))
+    val maxOcc = stats.agg(max($"n_vectors")).head.getLong(0)
+    val depth = Similarity.imiSuggestedRerankDepth(stats, 3)
+    assert(maxOcc > 40,
+      s"fixture must hold a mega-pair bigger than the default (got $maxOcc)")
+    assert(depth >= maxOcc && depth >= 40,
+      s"suggested depth $depth below max(largest pair $maxOcc, default 40)")
+    val exact = Similarity.bruteForceTopK(vecs, probes, 3)
+    def recallAt(d: Int): Double =
+      Similarity.recallAtK(exact,
+        Similarity.imiPqTopK(vecs, probes, 3, rerankDepth = d))
+        .agg(avg($"recall")).head.getDouble(0)
+    val rSugg = recallAt(depth)
+    val rFixed = recallAt(40)
+    info(f"recall@3: suggested depth $depth = $rSugg%.3f, fixed 40 = " +
+      f"$rFixed%.3f (max pair occupancy $maxOcc)")
+    assert(rSugg >= rFixed,
+      f"occupancy-derived depth lost recall: $rSugg%.3f < $rFixed%.3f")
+    // q scales the rule; the k and default floors hold at tiny q
+    assert(Similarity.imiSuggestedRerankDepth(stats, 50, q = 1e-9) === 50)
+    assert(Similarity.imiSuggestedRerankDepth(stats, 3, q = 1e-9) === 40)
+    intercept[IllegalArgumentException] {
+      Similarity.imiSuggestedRerankDepth(stats, 3, q = 0.0)
+    }
+  }
+
   test("imiRecallCurve candidate counts are membership-checked: " +
       "external probes subtract no self row") {
     // The curve's bytes accounting subtracts the probe's own index row
