@@ -2052,6 +2052,23 @@ object Similarity {
       m: Int, nprobe: Int, rerankDepth: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rerankDepth >= k, s"rerankDepth $rerankDepth must cover k=$k")
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    pqrRefined(codes, cents, codebook, vecs, probes, m, nprobe,
+        rerankDepth)
+      .withColumn("rnk", row_number().over(wC))
+      .filter(col("rnk") <= k)
+  }
+
+  /** The exact-refined scored frame under the by-residual IVF-PQ
+    * serve modes (top-k, filtered, range) — [[imiPqRefined]]'s split
+    * at the single-level cell key: ADC-shortlist the probed cells to
+    * `rerankDepth` candidates, fetch ONLY those candidates' floats,
+    * exact 6-dp cosine. One definition so the modes cannot diverge on
+    * the determinism, shortlist, or deletion contracts. */
+  private def pqrRefined(codes: DataFrame, cents: DataFrame,
+      codebook: DataFrame, vecs: DataFrame, probes: DataFrame,
+      m: Int, nprobe: Int, rerankDepth: Int): DataFrame = {
     val psubs = residualsOf(probes, cents, nprobe, broadcastAssign = true)
       .select(col("vec_id").as("probe_id"), col("cell").as("pcell"),
         explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("rv"))
@@ -2071,8 +2088,6 @@ object Similarity {
     val pv = broadcast(withNorm(probes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm")))
-    val wC = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
     short
       .join(withNorm(vecs).select(col("vec_id").as("neighbor_id"),
         col("v"), col("nrm")), Seq("neighbor_id"))
@@ -2080,8 +2095,6 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"),
         round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
           .as("cos_r"))
-      .withColumn("rnk", row_number().over(wC))
-      .filter(col("rnk") <= k)
   }
 
   /** BY-RESIDUAL IVF-PQ with an exact refine stage — the deployment
@@ -2253,15 +2266,31 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/codebook")
     val codebook = vecs.sparkSession.read.parquet(s"$dir/codebook")
     val rcorp = residualsOf(vecs, cents, 1)
-    pqCodesAgainst(codebook, rcorp.select(col("vec_id"),
-        col("rv").as("v")), m)
-      .join(rcorp.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .select(col("vec_id"), col("sub"), col("cid"), col("cell"))
+    ivfPqCodeRows(codebook, rcorp, vecs, m)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
     IndexMeta.write(vecs.sparkSession, dir, "layout" -> "ivf_pq",
       "m" -> m.toString, "codebookK" -> codebookK.toString,
       "kCells" -> kCells.toString, "fmt" -> "2")
+  }
+
+  /** The stored code-row frame shared by the ivf_pq build and append
+    * legs — [[imiPqCodeRows]] at the single-level cell key: (vec_id,
+    * sub, cid, metadata…, cell), every non-vector input column riding
+    * beside the m-byte residual codes for [[searchIvfPqIndexWhere]]'s
+    * pushed predicate. Metadata-less inputs (vec_id, v) produce the
+    * previous schema exactly, so existing layouts are unchanged. */
+  private def ivfPqCodeRows(codebook: DataFrame, rcorp: DataFrame,
+      vecs: DataFrame, m: Int): DataFrame = {
+    val metaCols = vecs.columns.filterNot(c => c == "v" || c == "vec_id")
+    val base = pqCodesAgainst(codebook, rcorp.select(col("vec_id"),
+        col("rv").as("v")), m)
+      .join(rcorp.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val withMeta =
+      if (metaCols.isEmpty) base
+      else base.join(vecs.drop("v"), Seq("vec_id"))
+    withMeta.select((Seq("vec_id", "sub", "cid") ++ metaCols ++
+      Seq("cell")).map(col): _*)
   }
 
   /** APPEND a corpus batch to a persisted [[writeIvfPqIndex]] layout —
@@ -2277,7 +2306,6 @@ object Similarity {
       vecs2: DataFrame, dir: String, m: Int = 4): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_pq",
       "m" -> m.toString, "fmt" -> "2")
-    clearDrainedPlaceholder(spark, s"$dir/codes")
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
     // Residual encode against the STORED quantizer state (both
@@ -2285,10 +2313,13 @@ object Similarity {
     // trained), so the appended union is bit-identical to the
     // monolithic build — FAISS's `add` contract at by_residual=true.
     val rcorp = residualsOf(vecs2, cents, 1)
-    pqCodesAgainst(codebook, rcorp.select(col("vec_id"),
-        col("rv").as("v")), m)
-      .join(rcorp.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .select(col("vec_id"), col("sub"), col("cid"), col("cell"))
+    val rows = ivfPqCodeRows(codebook, rcorp, vecs2, m)
+    // Code rows may carry metadata for the filtered serve, so the
+    // batch gates through the same column-set + type contract as
+    // every metadata-carrying append leg.
+    requireAppendColumns(spark, s"$dir/codes", rows, "appendIvfPqIndex")
+    clearDrainedPlaceholder(spark, s"$dir/codes")
+    rows
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/codes")
     reconcileTombstonesAfterAppend(spark, dir,
@@ -2312,6 +2343,59 @@ object Similarity {
   def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, vecs: DataFrame, probes: DataFrame, k: Int,
       m: Int = 4, nprobe: Int = 2, rerankDepth: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerankDepth >= k, s"rerankDepth $rerankDepth must cover k=$k")
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    pqrRefinedFromIndex(spark, dir, vecs, probes, m, nprobe,
+        rerankDepth, None)
+      .withColumn("rnk", row_number().over(wC))
+      .filter(col("rnk") <= k)
+  }
+
+  /** [[searchIvfPqIndex]] with a metadata predicate pushed to the
+    * stored CODE scan — code rows carry every non-vector input column
+    * the index was built with, so the predicate filters candidates
+    * BEFORE the ADC shortlist, spending the depth budget entirely on
+    * matching rows ([[searchImiPqIndexWhere]]'s contract at the
+    * single-level cell key). Serving a layout built WITHOUT the
+    * predicate's column fails loudly at resolution. */
+  def searchIvfPqIndexWhere(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame, probes: DataFrame, k: Int,
+      pred: Column, m: Int = 4, nprobe: Int = 2,
+      rerankDepth: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerankDepth >= k, s"rerankDepth $rerankDepth must cover k=$k")
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    pqrRefinedFromIndex(spark, dir, vecs, probes, m, nprobe,
+        rerankDepth, Some(pred))
+      .withColumn("rnk", row_number().over(wC))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Cosine radius search over a persisted [[writeIvfPqIndex]] layout
+    * — ADC distances gate the depth-`rerankDepth` shortlist, the
+    * exact refine applies the radius ([[searchImiPqIndexRange]]'s
+    * composition at the cell key; same recall bound and
+    * occupancy-sizing guidance — [[imiSuggestedRerankDepth]]'s rule
+    * applies over [[ivfCellStats]]). */
+  def searchIvfPqIndexRange(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame, probes: DataFrame, tau: Double,
+      m: Int = 4, nprobe: Int = 2, rerankDepth: Int = 40): DataFrame =
+    pqrRefinedFromIndex(spark, dir, vecs, probes, m, nprobe,
+        rerankDepth, None)
+      .filter(col("cos_r") >= tau)
+
+  /** The refined scored frame of the persisted IVF-PQ serves (top-k,
+    * filtered, range): stored quantizers, tombstone mask, then the
+    * optional metadata predicate on the cell-partitioned code scan,
+    * then [[pqrRefined]] — one read path so the modes cannot diverge
+    * on masking order or the scoring contract. */
+  private def pqrRefinedFromIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      vecs: DataFrame, probes: DataFrame, m: Int, nprobe: Int,
+      rerankDepth: Int, pred: Option[Column]): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     // Serving at a different sub-vector split than the build would
     // slice probe vectors against codes that mean something else —
@@ -2321,14 +2405,14 @@ object Similarity {
       "m" -> m.toString, "fmt" -> "2")
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
-    val codes0 = spark.read.parquet(s"$dir/codes")
+    val codes0 = pred.foldLeft(spark.read.parquet(s"$dir/codes"))(_ filter _)
     // Same tombstone mask as [[searchIvfIndex]] — [[deleteFromIvfIndex]]
     // is layout-agnostic (it only writes ids), so PQ serving honors
     // deletions identically; absent for layouts that never deleted.
     val codes = readTombstones(spark, dir)
       .map(t => codes0.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(codes0)
-    pqrServe(codes, cents, codebook, vecs, probes, k, m, nprobe,
+    pqrRefined(codes, cents, codebook, vecs, probes, m, nprobe,
       rerankDepth)
   }
 

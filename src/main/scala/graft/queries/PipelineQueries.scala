@@ -1173,11 +1173,32 @@ object PipelineQueries {
   private lazy val ivfPqrSearchSql: String = ivfPqrSearchSqlWhere("")
 
   /** [[ivfPqrSearchSql]] with a predicate scoping the LIVE code rows —
-    * the delete leg's oracle hook: tombstoned ids mask from the code
-    * table BEFORE the ADC shortlist (probes untouched), exactly the
-    * broadcast anti-join in searchIvfPqIndex. Empty predicate = the
-    * monolithic serve. */
+    * the delete leg's oracle hook (tombstoned ids mask from the code
+    * table BEFORE the ADC shortlist, probes untouched, exactly the
+    * broadcast anti-join in searchIvfPqIndex) and the filtered leg's
+    * metadata predicate (the stored code rows carry the metadata —
+    * the replay joins it back from embeddings as `lv`). Empty
+    * predicate = the monolithic serve. */
   private def ivfPqrSearchSqlWhere(codePred: String): String =
+    s"""${ivfPqrChainCtes(codePred)},
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY cos_r DESC, neighbor_id) AS rnk
+       |  FROM rr)
+       |SELECT probe_id, neighbor_id, cos_r, CAST(rnk AS INTEGER) AS rnk
+       |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  /** Range-mode final over the same by-residual IVF-PQ chain — ADC
+    * gates the depth-40 shortlist, the EXACT refined cosine applies
+    * the radius (the Scala side's searchIvfPqIndexRange contract). */
+  private def ivfPqrRangeSql(tau: Double): String =
+    s"""${ivfPqrChainCtes("")}
+       |SELECT probe_id, neighbor_id, cos_r FROM rr
+       |WHERE cos_r >= $tau ORDER BY probe_id, neighbor_id""".stripMargin
+
+  /** Shared WITH-chain of the by-residual IVF-PQ replays, ending in
+    * `rr` (probe, shortlisted neighbor, exact 6-dp refined cosine). */
+  private def ivfPqrChainCtes(codePred: String): String =
     s"""WITH $ovecsCte,
          |$kmeansCte,
          |di AS (
@@ -1229,7 +1250,8 @@ object PipelineQueries {
          |           - 2.0 * list_dot_product(p.sv, cb.cv)
          |           + list_dot_product(cb.cv, cb.cv) AS pd2
          |  FROM psubs p JOIN cb USING (sub)),
-         |live AS (SELECT * FROM pqcodes $codePred),
+         |live AS (SELECT p.* FROM pqcodes p
+         |         JOIN embeddings lv ON lv.vec_id = p.vec_id $codePred),
          |sc AS (
          |  SELECT t.probe_id, c.vec_id,
          |         CAST(CAST(sum(CAST(round(t.pd2, 6) AS DECIMAL(18,6)))
@@ -1247,13 +1269,7 @@ object PipelineQueries {
          |  SELECT s.probe_id, s.neighbor_id,
          |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
          |  FROM short s JOIN ovecs p ON p.vec_id = s.probe_id
-         |  JOIN ovecs o ON o.vec_id = s.neighbor_id),
-         |r AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY probe_id ORDER BY cos_r DESC, neighbor_id) AS rnk
-         |  FROM rr)
-         |SELECT probe_id, neighbor_id, cos_r, CAST(rnk AS INTEGER) AS rnk
-         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+         |  JOIN ovecs o ON o.vec_id = s.neighbor_id)""".stripMargin
 
   /** Positional-leg intersection for the ('slow','hash','batch')
     * phrase — shared by the corpus-side text_phrase_search and the
@@ -2510,6 +2526,35 @@ object PipelineQueries {
       Similarity.searchIvfPqIndex(s, dir, vecs,
         vecs.filter(col("vec_id") < 10), 5)
         .orderBy("probe_id", "rnk")
+    }),
+
+    // Metadata-FILTERED IVF-PQ serve — sim_imipq_filtered's contract
+    // at the single-level cell key: the index builds from the LABELED
+    // corpus (metadata rides beside the m-byte residual codes), the
+    // label predicate pushes to the cell-partitioned code scan, and
+    // candidates filter BEFORE the ADC shortlist.
+    "sim_ivfpq_filtered" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_ivfpq_filt")
+      Similarity.writeIvfPqIndex(vecs, dir)
+      Similarity.searchIvfPqIndexWhere(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), 5, col("label") % 2 === 0)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Range mode of the persisted IVF-PQ serve: ADC gates the
+    // depth-40 shortlist, the exact refine applies the radius —
+    // sim_imipq_range's composition at the cell key. With this pair
+    // every quantized persisted layout that can carry metadata serves
+    // all three modes (top-k / filtered / range).
+    "sim_ivfpq_range" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val dir = FlowLogQueries.scratchDir("graft_ivfpq_rng")
+      Similarity.writeIvfPqIndex(vecs, dir)
+      Similarity.searchIvfPqIndexRange(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), tau = 0.2)
+        .orderBy("probe_id", "neighbor_id")
     }),
 
     // One k-means Lloyd's update: assign to max-cosine centroid (the
@@ -5287,9 +5332,12 @@ object PipelineQueries {
     "sim_ivfpq_append" -> ivfPqrSearchSql,
     // Delete leg: same replay, deleted ids masked from the code side.
     "sim_ivfpq_delete" ->
-      ivfPqrSearchSqlWhere("WHERE vec_id % 7 <> 0"),
+      ivfPqrSearchSqlWhere("WHERE p.vec_id % 7 <> 0"),
     "sim_ivfpq_compact" ->
-      ivfPqrSearchSqlWhere("WHERE vec_id % 7 <> 0"),
+      ivfPqrSearchSqlWhere("WHERE p.vec_id % 7 <> 0"),
+    "sim_ivfpq_filtered" ->
+      ivfPqrSearchSqlWhere("WHERE lv.label % 2 = 0"),
+    "sim_ivfpq_range" -> ivfPqrRangeSql(0.2),
 
     "sim_kmeans_step" ->
       s"""WITH $ovecsCte,

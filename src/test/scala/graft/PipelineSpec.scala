@@ -588,6 +588,21 @@ class PipelineSpec extends SparkSpec {
           .count() > 0,
         "filtered imipq serve must still work after the rejected append")
     }
+    withTempDir("graft_ivfpq_appcols") { dir =>
+      // Single-level twin: the IVF-PQ code rows carry metadata for
+      // the filtered serve since round 18 — same append contract.
+      Similarity.writeIvfPqIndex(vecs, dir)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.appendIvfPqIndex(spark, vecs.select($"vec_id", $"v"),
+          dir)
+      }
+      assert(e.getMessage.contains("does not match the stored index schema"),
+        s"wrong rejection message: ${e.getMessage}")
+      assert(Similarity.searchIvfPqIndexWhere(spark, dir, vecs,
+          vecs.filter($"vec_id" % 100 < 2), 3, $"label" % 2 === 0)
+          .count() > 0,
+        "filtered ivfpq serve must still work after the rejected append")
+    }
   }
 
   test("imiSuggestedRerankDepth absorbs the largest virtual cell and " +

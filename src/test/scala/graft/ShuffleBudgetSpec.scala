@@ -531,7 +531,15 @@ class ShuffleBudgetSpec extends SparkSpec {
     "sim_ivfpq_delete" -> 10,     // same serve — the tombstone mask is
                                   // a broadcast anti-join, zero added
                                   // exchanges
-    "sim_ivfpq_compact" -> 10)    // compacted cells, identical serve
+    "sim_ivfpq_compact" -> 10,    // compacted cells, identical serve
+    "sim_ivfpq_filtered" -> 10,   // same serve — the metadata filter
+                                  // is a pushed predicate on the
+                                  // cell-partitioned code scan, zero
+                                  // added exchanges
+    "sim_ivfpq_range" -> 9)       // the thresholded tail over the
+                                  // refined frame — one less than the
+                                  // ranked serves (no final top-k
+                                  // window exchange)
 
   test("flagship plans stay within their audited shuffle budgets") {
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
