@@ -538,6 +538,21 @@ object Similarity {
   private def bqRerankStage(ham: DataFrame, vecs: DataFrame,
       probes: DataFrame, shortlist: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    bqRefinedStage(ham, vecs, probes, shortlist)
+      .withColumn("rnk", row_number().over(wC))
+      .filter(col("rnk") <= k)
+  }
+
+  /** The exact-refined scored frame under the BQ serve modes (top-k,
+    * filtered, range): Hamming gates the `shortlist`, ONLY the
+    * shortlist's floats are fetched, exact 6-dp cosine — one
+    * definition so the modes cannot diverge ([[imiPqRefined]]'s split
+    * at the binary-code shape). */
+  private def bqRefinedStage(ham: DataFrame, vecs: DataFrame,
+      probes: DataFrame, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wH = Window.partitionBy(col("probe_id"))
       .orderBy(col("ham").asc, col("neighbor_id").asc)
     val short = ham.withColumn("hrnk", row_number().over(wH))
@@ -546,8 +561,6 @@ object Similarity {
     val pv = broadcast(withNorm(probes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm")))
-    val wC = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
     short
       .join(withNorm(vecs).select(col("vec_id").as("neighbor_id"),
         col("v"), col("nrm")), Seq("neighbor_id"))
@@ -555,8 +568,6 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("ham"),
         round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
           .as("cos_r"))
-      .withColumn("rnk", row_number().over(wC))
-      .filter(col("rnk") <= k)
   }
 
   /** CELL-BLOCKED binary quantization — the IVF composition of the BQ
@@ -596,11 +607,26 @@ object Similarity {
     val stored = vecs.sparkSession.read.parquet(s"$dir/centroids")
     val cells = trainedAssign(vecs, stored, 1)
       .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
-    bqCodes(vecs).join(cells, Seq("vec_id"))
+    ivfBqCodeRows(vecs, cells)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
     IndexMeta.write(vecs.sparkSession, dir, "layout" -> "ivf_bq",
       "bits" -> "64", "fmt" -> "1")
+  }
+
+  /** The stored code-row frame of the IVF-BQ build/append legs:
+    * (vec_id, code0, code1, metadata…, cell) — non-vector input
+    * columns ride beside the 16-byte codes for
+    * [[searchIvfBqIndexWhere]]'s pushed predicate; metadata-less
+    * inputs produce the previous schema exactly. */
+  private def ivfBqCodeRows(vecs: DataFrame, cells: DataFrame): DataFrame = {
+    val metaCols = vecs.columns.filterNot(c => c == "v" || c == "vec_id")
+    val base = bqCodes(vecs).join(cells, Seq("vec_id"))
+    val withMeta =
+      if (metaCols.isEmpty) base
+      else base.join(vecs.drop("v"), Seq("vec_id"))
+    withMeta.select((Seq("vec_id", "code0", "code1") ++ metaCols ++
+      Seq("cell")).map(col): _*)
   }
 
   /** APPEND a batch to a persisted [[writeIvfBqIndex]] layout —
@@ -613,11 +639,15 @@ object Similarity {
       vecs2: DataFrame, dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_bq",
       "bits" -> "64", "fmt" -> "1")
-    clearDrainedPlaceholder(spark, s"$dir/codes")
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = trainedAssign(vecs2, cents, 1)
       .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
-    bqCodes(vecs2).join(cells, Seq("vec_id"))
+    val rows = ivfBqCodeRows(vecs2, cells)
+    // Rows may carry metadata for the filtered serve — same column-set
+    // + type contract as every metadata-carrying append leg.
+    requireAppendColumns(spark, s"$dir/codes", rows, "appendIvfBqIndex")
+    clearDrainedPlaceholder(spark, s"$dir/codes")
+    rows
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/codes")
     reconcileTombstonesAfterAppend(spark, dir,
@@ -647,15 +677,66 @@ object Similarity {
     * before the shortlist window. */
   def searchIvfBqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, vecs: DataFrame, probes: DataFrame,
-      shortlist: Int = 20, k: Int = 3, nprobe: Int = 2): DataFrame = {
+      shortlist: Int = 20, k: Int = 3, nprobe: Int = 2): DataFrame =
+    searchIvfBqIndexImpl(spark, dir, vecs, probes, shortlist, k,
+      nprobe, None)
+
+  /** [[searchIvfBqIndex]] with a metadata predicate pushed to the
+    * stored CODE scan — the 16-byte code rows carry the input's
+    * non-vector columns, so the predicate filters candidates BEFORE
+    * the Hamming shortlist and the depth budget is spent entirely on
+    * matching rows ([[searchImiPqIndexWhere]]'s contract at the
+    * binary-code shape). */
+  def searchIvfBqIndexWhere(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame, probes: DataFrame, pred: Column,
+      shortlist: Int = 20, k: Int = 3, nprobe: Int = 2): DataFrame =
+    searchIvfBqIndexImpl(spark, dir, vecs, probes, shortlist, k,
+      nprobe, Some(pred))
+
+  /** Cosine radius search over a persisted [[writeIvfBqIndex]] layout
+    * — Hamming distances gate the `shortlist`, the exact refine
+    * applies the radius over the shortlisted cosines (the
+    * [[searchImiPqIndexRange]] composition at the binary-code shape;
+    * same recall bound: a true neighbor outside the probed cells or
+    * below the Hamming shortlist is not seen). */
+  def searchIvfBqIndexRange(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame, probes: DataFrame, tau: Double,
+      shortlist: Int = 20, nprobe: Int = 2): DataFrame =
+    ivfBqRefinedFromIndex(spark, dir, vecs, probes, shortlist, nprobe,
+        None)
+      .filter(col("cos_r") >= tau)
+      .select(col("probe_id"), col("neighbor_id"), col("cos_r"))
+
+  private def searchIvfBqIndexImpl(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      vecs: DataFrame, probes: DataFrame, shortlist: Int, k: Int,
+      nprobe: Int, pred: Option[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_r").desc, col("neighbor_id").asc)
+    ivfBqRefinedFromIndex(spark, dir, vecs, probes, shortlist, nprobe,
+        pred)
+      .withColumn("rnk", row_number().over(wC))
+      .filter(col("rnk") <= k)
+  }
+
+  /** The refined scored frame of the persisted IVF-BQ serves (top-k,
+    * filtered, range): stored centroids, tombstone mask, optional
+    * metadata predicate on the cell-partitioned code scan, Hamming
+    * gate, exact refine — one read path for all modes. */
+  private def ivfBqRefinedFromIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      vecs: DataFrame, probes: DataFrame, shortlist: Int, nprobe: Int,
+      pred: Option[Column]): DataFrame = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_bq",
       "bits" -> "64", "fmt" -> "1")
     val cents = spark.read.parquet(s"$dir/centroids")
-    val codes1 = spark.read.parquet(s"$dir/codes")
+    val codes1 = pred.foldLeft(spark.read.parquet(s"$dir/codes"))(_ filter _)
     val codes = readTombstones(spark, dir)
       .map(t => codes1.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(codes1)
-    ivfBqServe(codes, cents, vecs, probes, shortlist, k, nprobe)
+    bqRefinedStage(ivfBqHam(codes, cents, probes, nprobe), vecs,
+      probes, shortlist)
   }
 
   /** Shared IVF-BQ scoring stage: probe cell assignment (nprobe
@@ -663,7 +744,14 @@ object Similarity {
     * codes, then the flat serve's shortlist + re-rank tail. */
   private def ivfBqServe(codes: DataFrame, cents: DataFrame,
       vecs: DataFrame, probes: DataFrame, shortlist: Int, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    bqRerankStage(ivfBqHam(codes, cents, probes, nprobe), vecs, probes,
+      shortlist, k)
+
+  /** The Hamming frame of the IVF-BQ serves: broadcast probe codes
+    * against the cell-pruned code scan, probe ≠ neighbor. */
+  private def ivfBqHam(codes: DataFrame, cents: DataFrame,
+      probes: DataFrame, nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val pcells = trainedAssign(probes, cents, nprobe)
       .select(col("probe_id"), col("cid").as("pcell"))
@@ -671,7 +759,7 @@ object Similarity {
       .select(col("vec_id").as("probe_id"), col("code0").as("p0"),
         col("code1").as("p1"))
       .join(pcells, Seq("probe_id")))
-    val ham = pcodes
+    pcodes
       .join(codes.select(col("vec_id").as("neighbor_id"), col("code0"),
         col("code1"), col("cell")),
         col("pcell") === col("cell") &&
@@ -679,7 +767,6 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"),
         (expr("bit_count(p0 ^ code0)") + expr("bit_count(p1 ^ code1)"))
           .cast("int").as("ham"))
-    bqRerankStage(ham, vecs, probes, shortlist, k)
   }
 
   /** Sign-LSH bucket key: the sign pattern of dimensions 1..bits. */
@@ -3245,20 +3332,27 @@ object Similarity {
           .as("cos_r"))
   }
 
-  /** [[quantizeInt8]]'s per-vector form: (vec_id, scale, q) with the
-    * codes kept as one array column — the storage row of the SQ8
-    * index layout. Same formula (scale = max|x|/127, per-dim
-    * round-half-up, zero vector → all-zero codes), so the per-dim
-    * gated query and this layout cannot diverge (spec-pinned equal). */
-  private def sq8Rows(vecs: DataFrame): DataFrame =
+  /** [[quantizeInt8]]'s per-vector form: (vec_id, scale, q,
+    * metadata…) with the codes kept as one array column — the storage
+    * row of the SQ8 index layout. Same formula (scale = max|x|/127,
+    * per-dim round-half-up, zero vector → all-zero codes), so the
+    * per-dim gated query and this layout cannot diverge (spec-pinned
+    * equal). Non-vector input columns ride beside the codes for
+    * [[searchIvfSq8IndexWhere]]'s pushed predicate (metadata-less
+    * inputs produce the previous schema exactly — existing layouts
+    * unchanged). */
+  private def sq8Rows(vecs: DataFrame): DataFrame = {
+    val metaCols = vecs.columns.filterNot(c => c == "v" || c == "vec_id")
     vecs
-      .select(col("vec_id"),
+      .select((Seq(col("vec_id"),
         (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale"),
-        col("v"))
-      .select(col("vec_id"), col("scale"),
+        col("v")) ++ metaCols.map(col)): _*)
+      .select((Seq(col("vec_id"), col("scale"),
         transform(col("v"), x =>
           when(col("scale") === 0.0, lit(0))
-            .otherwise(round(x / col("scale"), 0)).cast("int")).as("q"))
+            .otherwise(round(x / col("scale"), 0)).cast("int")).as("q")) ++
+        metaCols.map(col)): _*)
+  }
 
   /** Persist the scalar-quantized (SQ8) IVF layout — the middle rung
     * of the compression ladder between [[writeIvfIndex]]'s full-
@@ -3297,11 +3391,15 @@ object Similarity {
       vecs2: DataFrame, dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8",
       "fmt" -> "1")
-    clearDrainedPlaceholder(spark, s"$dir/index")
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = trainedAssign(vecs2, cents, 1)
       .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
-    sq8Rows(vecs2).join(cells, Seq("vec_id"))
+    val rows = sq8Rows(vecs2).join(cells, Seq("vec_id"))
+    // Rows may carry metadata for the filtered serve — same column-set
+    // + type contract as every metadata-carrying append leg.
+    requireAppendColumns(spark, s"$dir/index", rows, "appendIvfSq8Index")
+    clearDrainedPlaceholder(spark, s"$dir/index")
+    rows
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/index")
     reconcileTombstonesAfterAppend(spark, dir,
@@ -3336,11 +3434,28 @@ object Similarity {
     * does not store them. Rank: score desc, neighbor asc, top-k.
     * Deleted ids mask via the broadcast tombstone anti-join. */
   def searchIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
-      dir: String, probes: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+      dir: String, probes: DataFrame, k: Int, nprobe: Int = 1): DataFrame =
+    searchIvfSq8IndexImpl(spark, dir, probes, k, nprobe, None)
+
+  /** [[searchIvfSq8Index]] with a metadata predicate pushed to the
+    * stored index scan — the compressed rows carry the input's
+    * non-vector columns, so the predicate filters candidates before
+    * scoring ([[searchIvfIndexWhere]]'s contract on the SQ8 rows;
+    * with this the SQ8 layout serves all three modes like the flat
+    * and PQ families). */
+  def searchIvfSq8IndexWhere(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame, k: Int, nprobe: Int,
+      pred: Column): DataFrame =
+    searchIvfSq8IndexImpl(spark, dir, probes, k, nprobe, Some(pred))
+
+  private def searchIvfSq8IndexImpl(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      probes: DataFrame, k: Int, nprobe: Int,
+      pred: Option[Column]): DataFrame = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8",
       "fmt" -> "1")
     val cents = spark.read.parquet(s"$dir/centroids")
-    val idx1 = spark.read.parquet(s"$dir/index")
+    val idx1 = pred.foldLeft(spark.read.parquet(s"$dir/index"))(_ filter _)
     val idx = readTombstones(spark, dir)
       .map(t => idx1.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(idx1)

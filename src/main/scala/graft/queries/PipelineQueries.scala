@@ -657,6 +657,24 @@ object PipelineQueries {
     * the tombstone-exclusion hook over `c.vec_id` (probes never
     * filter). */
   private def ivfBqSqlWhere(idxPred: String): String =
+    s"""${ivfBqChainCtes(idxPred)},
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY cos_r DESC, neighbor_id) AS rnk FROM rr)
+       |SELECT probe_id, neighbor_id, ham, cos_r, rnk
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY probe_id, rnk""".stripMargin
+
+  /** Range-mode final over the same IVF-BQ chain — Hamming gates the
+    * shortlist, the EXACT refined cosine applies the radius (the
+    * Scala side's searchIvfBqIndexRange contract). */
+  private def ivfBqRangeSql(tau: Double): String =
+    s"""${ivfBqChainCtes("")}
+       |SELECT probe_id, neighbor_id, cos_r FROM rr
+       |WHERE cos_r >= $tau ORDER BY probe_id, neighbor_id""".stripMargin
+
+  /** Shared WITH-chain of the IVF-BQ replays, ending in `rr` (probe,
+    * shortlisted neighbor, ham, exact 6-dp refined cosine). */
+  private def ivfBqChainCtes(idxPred: String): String =
     s"""WITH $ovecsCte,
        |$kmeansCte,
        |di AS (
@@ -694,12 +712,7 @@ object PipelineQueries {
        |rr AS (SELECT s.probe_id, s.neighbor_id, s.ham,
        |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
        |       FROM short s JOIN ovecs p ON p.vec_id = s.probe_id
-       |       JOIN ovecs o ON o.vec_id = s.neighbor_id),
-       |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-       |  ORDER BY cos_r DESC, neighbor_id) AS rnk FROM rr)
-       |SELECT probe_id, neighbor_id, ham, cos_r, rnk
-       |FROM ranked WHERE rnk <= 3
-       |ORDER BY probe_id, rnk""".stripMargin
+       |       JOIN ovecs o ON o.vec_id = s.neighbor_id)""".stripMargin
 
   /** Recall-LADDER replay: every compression rung's top-3 (probes =
     * vec_id < 10, nprobe = 2, each rung's OWN scoring — cosine for
@@ -4030,6 +4043,37 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Metadata-FILTERED IVF-BQ serve: label rides beside the 16-byte
+    // codes, the predicate filters candidates BEFORE the Hamming
+    // shortlist — the filtered-serve contract at the binary-code
+    // shape.
+    "sim_ivfbq_filtered" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val cents = Similarity.kmeansTrain(
+        vecs.select(col("vec_id"), col("v")), k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_ivfbq_filt")
+      Similarity.writeIvfBqIndex(vecs, cents, dir)
+      Similarity.searchIvfBqIndexWhere(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), col("label") % 2 === 0)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Range mode of the persisted IVF-BQ serve: Hamming gates the
+    // shortlist, the exact refine applies the radius — the
+    // approximate-range composition at the binary-code shape. With
+    // this pair the top-k / filtered / range mode triple holds for
+    // EVERY quantized persisted layout (sq8 / pq / bq / imi / imipq).
+    "sim_ivfbq_range" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val cents = Similarity.kmeansTrain(vecs, k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_ivfbq_rng")
+      Similarity.writeIvfBqIndex(vecs, cents, dir)
+      Similarity.searchIvfBqIndexRange(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), tau = 0.2)
+        .orderBy("probe_id", "neighbor_id")
+    }),
+
     // RANGE serve from the persisted IVF layout: the full cos ≥ 0.2
     // ball within the probed cells (threshold recall, no top-k window
     // anywhere) — sim_range_search's contract without the corpus scan.
@@ -4174,6 +4218,22 @@ object PipelineQueries {
         vecs.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
       Similarity.searchIvfSq8Index(s, dir,
         vecs.filter(col("vec_id") < 15), 3, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Metadata-FILTERED SQ8 serve — sim_ivf_filtered's contract on
+    // the compressed rows (the int8 table carries the label beside
+    // the codes), completing the top-k / filtered / range mode
+    // triple for the SQ8 layout.
+    "sim_sq8_filtered" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val cents = Similarity.kmeansTrain(
+        vecs.select(col("vec_id"), col("v")), k = 8, iters = 2)
+      val dir = FlowLogQueries.scratchDir("graft_sq8_filt")
+      Similarity.writeIvfSq8Index(vecs, cents, dir)
+      Similarity.searchIvfSq8IndexWhere(s, dir,
+        vecs.filter(col("vec_id") < 15), 3, nprobe = 2,
+        col("label") % 2 === 0)
         .orderBy("probe_id", "rnk")
     }),
 
@@ -5530,6 +5590,9 @@ object PipelineQueries {
     "sim_ivfbq_append" -> ivfBqSqlWhere(""),
     "sim_ivfbq_delete" -> ivfBqSqlWhere("AND c.vec_id % 7 <> 0"),
     "sim_ivfbq_compact" -> ivfBqSqlWhere("AND c.vec_id % 7 <> 0"),
+    "sim_ivfbq_filtered" -> ivfBqSqlWhere(
+      "AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
+    "sim_ivfbq_range" -> ivfBqRangeSql(0.2),
 
     // SQ8 layout: the quantized-MIPS replay (same trained cells and
     // probe set; scoring over per-vector-scaled int8 codes).
@@ -5541,6 +5604,8 @@ object PipelineQueries {
     // Tombstoned ids excluded from the index side; probes untouched.
     "sim_sq8_delete" -> ivfSq8SearchSqlWhere("AND vec_id % 7 <> 0"),
     "sim_sq8_compact" -> ivfSq8SearchSqlWhere("AND vec_id % 7 <> 0"),
+    "sim_sq8_filtered" -> ivfSq8SearchSqlWhere(
+      "AND vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
 
     // Same replay with the index side restricted to even-label vectors
     // (the metadata filter); probes untouched.

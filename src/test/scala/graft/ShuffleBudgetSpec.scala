@@ -101,6 +101,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     "sim_ivfbq_append" -> 6,      // identical serve over the unioned
                                   // cell partitions
     "sim_ivfbq_compact" -> 6,     // compacted cells, identical serve
+    "sim_ivfbq_filtered" -> 6,    // same serve — the metadata filter
+                                  // is a pushed scan predicate, zero
+                                  // added exchanges
+    "sim_ivfbq_range" -> 6,       // the thresholded refined tail —
+                                  // the Hamming-shortlist window
+                                  // stays, only the final rank window
+                                  // drops (its exchange is reused)
     "sim_ivfbq_delete" -> 6,      // same — the tombstone mask is a
                                   // broadcast anti-join, zero added
     // sim_recall_ladder is excluded like kmeans/MMR: it unions four
@@ -478,6 +485,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // window + sort; codes never re-read
                                   // the float corpus
     "sim_sq8_compact" -> 5,       // compacted cells, identical serve
+    "sim_sq8_filtered" -> 5,      // same serve — the metadata filter
+                                  // is a pushed scan predicate, zero
+                                  // added exchanges
     "sim_sq8_delete" -> 5,        // same 5 — the tombstone mask is a
                                   // broadcast anti-join, zero added
     "sim_sq8_range" -> 5,         // the SQ8 serve frame minus the
