@@ -931,4 +931,90 @@ object Dedup {
         (col("end_a") - col("start_a")).as("span_len"))
       .filter(col("span_len") >= minSpan)
   }
+
+  /** Exact-substring corpus REWRITE — the transform half next to
+    * [[substringSpans]]'s measure half (the [[segmentDedup]] pairing
+    * at span granularity, and Lee et al. 2022 §4's actual dedup step):
+    * every qualifying shared span keeps its FIRST occurrence (the
+    * lower doc_id) and is CUT from the higher doc_id; each document
+    * reassembles from the byte-interval complement of its merged
+    * removals. Output: (doc_id, clean_text, n_cut) for EVERY input
+    * document (untouched docs pass through with n_cut 0; a
+    * fully-covered doc rebuilds to the empty string).
+    *
+    * Semantics notes: removals are computed on the ORIGINAL corpus in
+    * one pass (the published formulation — cutting does not cascade
+    * into re-fingerprinting); for an occurrence cluster {A, B, C} the
+    * pairwise spans (A,B), (A,C), (B,C) cut B and C and keep A, and
+    * the duplicate (B,C)-removal inside C merges away in the interval
+    * union. Byte surgery happens on the BINARY form (offsets are byte
+    * offsets from the fingerprint kernel), cast back to string at the
+    * end.
+    *
+    * Scale shape: [[substringSpans]]'s join bounds the pair work; the
+    * interval merge and complement are windows keyed by doc_id (never
+    * corpus-wide), and the rebuild touches only documents that lost
+    * bytes — the untouched corpus passes through a broadcast-free
+    * left join on doc_id. */
+  def substringDedupCorpus(corpus: DataFrame, window: Int = 16,
+      winnowW: Int = 8, minSpan: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // DISTINCT is load-bearing, not just hygiene: the same interval
+    // can arrive once per earlier partner (exact duplicates of one
+    // source doc), and identical (rs, re) rows are indistinguishable
+    // under the merge windows' sort — a cross-window tie-order flip
+    // would split one island into two (observed as a nondeterministic
+    // double-cut in the DuckDB replay before this dedup). With
+    // distinct intervals the (rs, re) order is total and every window
+    // below is deterministic in both engines.
+    val rem = substringSpans(corpus, window, winnowW, minSpan)
+      .select(col("id_b").as("doc_id"), col("start_b").as("rs"),
+        (col("start_b") + col("span_len")).as("re"))
+      .distinct()
+    val wOrd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("rs"), col("re"))
+    val prevMax = max(col("re"))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = rem
+      .withColumn("brk",
+        when(prevMax.isNull || col("rs") > prevMax, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("rs")).as("mrs"), max(col("re")).as("mre"))
+    val wI = Window.partitionBy(col("doc_id")).orderBy(col("mrs"))
+    val docs = corpus.select(col("doc_id"),
+      col("text").cast("binary").as("bin"))
+    // Complement pieces: before each merged removal (head pieces) and
+    // after the last one (tail piece). Empty pieces contribute empty
+    // bytes — a fully-covered doc rebuilds to '' instead of silently
+    // falling back to its original text.
+    val heads = merged.select(col("doc_id"),
+      coalesce(lag(col("mre"), 1).over(wI), lit(0)).as("pstart"),
+      col("mrs").as("pend"))
+    val tails = merged.groupBy(col("doc_id"))
+      .agg(max(col("mre")).as("pstart"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("pstart"),
+        length(col("bin")).as("pend"))
+    val rebuilt = heads.unionByName(tails)
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("pstart"),
+        expr("substring(bin, pstart + 1, pend - pstart)").as("piece"))
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        """aggregate(
+          |  transform(array_sort(collect_list(struct(pstart, piece))),
+          |    x -> x.piece),
+          |  cast('' as binary), (acc, x) -> concat(acc, x))""".stripMargin)
+        .cast("string").as("clean_text"))
+    val cuts = merged.groupBy(col("doc_id"))
+      .agg(sum(col("mre") - col("mrs")).as("n_cut"))
+    corpus.select(col("doc_id"), col("text"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), col("text")).as("clean_text"),
+        coalesce(col("n_cut"), lit(0L)).cast("long").as("n_cut"))
+  }
 }

@@ -50,6 +50,67 @@ object PipelineQueries {
     * (byte offsets == char offsets), so substr verifies the bytes the
     * engine's binary substring compares. */
   private val substringSpansSql: String =
+    s"""$substringSpansCtes
+      |SELECT id_a, id_b, CAST(start_a AS INT) AS start_a,
+      |       CAST(start_a - delta AS INT) AS start_b,
+      |       CAST(end_a - start_a AS INT) AS span_len
+      |FROM spans WHERE end_a - start_a >= 40
+      |ORDER BY id_a, id_b, start_a, start_b""".stripMargin
+
+  /** The REWRITE tail over the same span chain — keep-first-occurrence
+    * dedup: every qualifying span's bytes cut from the HIGHER doc_id
+    * (id_b) side, removal intervals merged per doc (gaps-and-islands),
+    * text reassembled from the interval complement. A fully-covered
+    * doc rebuilds to the empty string (all pieces empty), never falls
+    * back to its original text. */
+  private val substringRewriteSql: String =
+    s"""$substringSpansCtes,
+      |rem AS (
+      |  SELECT DISTINCT id_b AS doc_id, start_a - delta AS rs,
+      |         start_a - delta + (end_a - start_a) AS re
+      |  FROM spans WHERE end_a - start_a >= 40),
+      |fl AS (
+      |  SELECT *, CASE WHEN
+      |      max(re) OVER (PARTITION BY doc_id ORDER BY rs, re
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR rs > max(re) OVER (PARTITION BY doc_id ORDER BY rs, re
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM rem),
+      |isl AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY rs, re
+      |    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM fl),
+      |mgd AS (SELECT doc_id, island, min(rs) AS mrs, max(re) AS mre
+      |        FROM isl GROUP BY 1, 2),
+      |heads AS (
+      |  SELECT doc_id,
+      |         coalesce(lag(mre) OVER (PARTITION BY doc_id
+      |           ORDER BY mrs), 0) AS pstart,
+      |         mrs AS pend
+      |  FROM mgd),
+      |tails AS (
+      |  SELECT m.doc_id, max(m.mre) AS pstart,
+      |         octet_length(encode(c.text)) AS pend
+      |  FROM mgd m JOIN corpus c USING (doc_id)
+      |  GROUP BY m.doc_id, c.text),
+      |pieces AS (SELECT * FROM heads UNION ALL SELECT * FROM tails),
+      |rebuilt AS (
+      |  SELECT p.doc_id,
+      |         string_agg(substr(c.text, p.pstart + 1,
+      |           p.pend - p.pstart), '' ORDER BY p.pstart) AS clean_text
+      |  FROM pieces p JOIN corpus c USING (doc_id)
+      |  GROUP BY p.doc_id),
+      |cuts AS (SELECT doc_id, sum(mre - mrs) AS n_cut FROM mgd
+      |         GROUP BY doc_id)
+      |SELECT c.doc_id, coalesce(r.clean_text, c.text) AS clean_text,
+      |       CAST(coalesce(k.n_cut, 0) AS BIGINT) AS n_cut
+      |FROM corpus c
+      |LEFT JOIN rebuilt r USING (doc_id)
+      |LEFT JOIN cuts k USING (doc_id)
+      |ORDER BY c.doc_id""".stripMargin
+
+  private lazy val substringSpansCtes: String =
     """WITH RECURSIVE corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -116,12 +177,7 @@ object PipelineQueries {
       |spans AS (
       |  SELECT id_a, id_b, delta, span_id, min(pos_a) AS start_a,
       |         max(pos_a) + 16 AS end_a
-      |  FROM sg GROUP BY 1, 2, 3, 4)
-      |SELECT id_a, id_b, CAST(start_a AS INT) AS start_a,
-      |       CAST(start_a - delta AS INT) AS start_b,
-      |       CAST(end_a - start_a AS INT) AS span_len
-      |FROM spans WHERE end_a - start_a >= 40
-      |ORDER BY id_a, id_b, start_a, start_b""".stripMargin
+      |  FROM sg GROUP BY 1, 2, 3, 4)""".stripMargin
 
   private val shinglesCte =
     """wrd AS (
@@ -1901,6 +1957,17 @@ object PipelineQueries {
     "dedup_substring_spans" -> ((s, d) =>
       Dedup.substringSpans(Dedup.augmentCorpus(Tables.documents(s, d)))
         .orderBy("id_a", "id_b", "start_a", "start_b")),
+
+    // The REWRITE half of exact-substring dedup (Lee et al. 2022 §4's
+    // actual cleanup step): each shared span keeps its first
+    // occurrence (lowest doc_id) and is cut from the later document;
+    // docs reassemble from the byte-interval complement of their
+    // merged removals. The injected exact duplicates (+100000) lose
+    // essentially their whole body; their originals survive intact.
+    "dedup_substring_rewrite" -> ((s, d) =>
+      Dedup.substringDedupCorpus(
+        Dedup.augmentCorpus(Tables.documents(s, d)))
+        .orderBy("doc_id")),
 
     // NB: Dedup.simhashPairs (banded near-dup pair join) is part of the
     // operator library (PipelineSpec covers it) but has no query entry:
@@ -5064,6 +5131,7 @@ object PipelineQueries {
     // semantics are identical, so the replay IS dedup_segments'.
     "dedup_segments_wide" -> segmentDedupSql,
     "dedup_substring_spans" -> substringSpansSql,
+    "dedup_substring_rewrite" -> substringRewriteSql,
 
     "dedup_fuzzy_lev" ->
       s"""WITH $corpusCte,

@@ -729,6 +729,38 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.substringSpans(docs, window = 16, winnowW = 8, minSpan = 20)
     }
+    // REWRITE half: clean_text must equal the original with the
+    // merged keep-later-removals excised — recomputed independently
+    // from the spans output here, so the interval surgery itself is
+    // pinned, not just replayed.
+    val rewritten = Dedup.substringDedupCorpus(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    def expectClean(id: Long): (String, Long) = {
+      val t = texts(id)
+      val iv = spans.filter(_._2 == id)
+        .map(s => (s._4, s._4 + s._5)).distinct.sortBy(x => (x._1, x._2))
+      val merged = iv.foldLeft(List.empty[(Int, Int)]) {
+        case (acc, (s, e)) => acc match {
+          case (ps, pe) :: rest if s <= pe => (ps, math.max(pe, e)) :: rest
+          case _ => (s, e) :: acc
+        }
+      }.reverse
+      val keep = new StringBuilder
+      var cur = 0
+      for ((s, e) <- merged) { keep ++= t.substring(cur, s); cur = e }
+      keep ++= t.substring(cur)
+      (keep.toString, merged.map(x => (x._2 - x._1).toLong).sum)
+    }
+    for (id <- texts.keys) {
+      val (wantText, wantCut) = expectClean(id)
+      assert(rewritten(id) === ((wantText, wantCut)),
+        s"rewrite mismatch for doc $id")
+    }
+    // keep-first policy: the exact duplicate's LATER copy (doc 4)
+    // loses its shared body; the first copy (doc 1) is untouched.
+    assert(rewritten(1L)._2 === 0L, "first occurrence must be kept whole")
+    assert(rewritten(4L)._2 > 0L, "later duplicate must lose its body")
   }
 
   test("knnJoin recall at the SHIPPED config (nprobe=2) is >= 0.95") {

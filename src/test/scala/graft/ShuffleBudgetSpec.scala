@@ -40,6 +40,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // self-join's exchange is REUSED by
                                   // the same-delta merge window + span
                                   // agg; + output sort
+    "dedup_substring_rewrite" -> 11, // the spans chain + interval
+                                  // dedup/merge windows (doc-keyed) +
+                                  // head/tail piece frames + rebuild
+                                  // agg + two doc-keyed left joins +
+                                  // output sort
     "text_top_ngrams" -> 2,      // (gram,doc) pre-agg + gram rollup
     "text_gopher_rules" -> 1,     // per-row integer rules; output sort only
     "text_spell_candidates" -> 6, // vocab agg + probe sort-limits +
