@@ -413,7 +413,7 @@ object Similarity {
     * rungs. A rebuild clears stale tombstones first. */
   def writeBqIndex(vecs: DataFrame, dir: String): Unit = {
     clearTombstones(vecs.sparkSession, dir)
-    bqCodes(vecs).write.mode("overwrite").parquet(s"$dir/codes")
+    bqCodeRows(vecs).write.mode("overwrite").parquet(s"$dir/codes")
     // fmt=2: the code table lives under `codes/` (fmt 1 — pre-r14 —
     // wrote code files at the dir root). Every append/serve/compact
     // leg requireMatches fmt so an old-layout dir is REJECTED loudly
@@ -421,6 +421,19 @@ object Similarity {
     // (silent corpus loss) or serving half the corpus.
     IndexMeta.write(vecs.sparkSession, dir,
       "layout" -> "bq", "bits" -> "64", "fmt" -> "2")
+  }
+
+  /** The stored code-row frame of the flat BQ build/append legs:
+    * (vec_id, code0, code1, metadata…) — non-vector input columns
+    * ride beside the 16-byte codes for [[bqRerankFromIndexWhere]]'s
+    * pushed predicate; metadata-less inputs produce the previous
+    * schema exactly. */
+  private def bqCodeRows(vecs: DataFrame): DataFrame = {
+    val metaCols = vecs.columns.filterNot(c => c == "v" || c == "vec_id")
+    val base = bqCodes(vecs)
+    if (metaCols.isEmpty) base
+    else base.join(vecs.drop("v"), Seq("vec_id"))
+      .select((Seq("vec_id", "code0", "code1") ++ metaCols).map(col): _*)
   }
 
   /** APPEND a vector batch's codes to a stored [[writeBqIndex]]
@@ -432,7 +445,11 @@ object Similarity {
   def appendBqIndex(spark: org.apache.spark.sql.SparkSession,
       vecs: DataFrame, dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64", "fmt" -> "2")
-    bqCodes(vecs).write.mode("append").parquet(s"$dir/codes")
+    val rows = bqCodeRows(vecs)
+    // Rows may carry metadata for the filtered serve — same column-set
+    // + type contract as every metadata-carrying append leg.
+    requireAppendColumns(spark, s"$dir/codes", rows, "appendBqIndex")
+    rows.write.mode("append").parquet(s"$dir/codes")
     reconcileTombstonesAfterAppend(spark, dir,
       vecs.select(col("vec_id")))
   }
@@ -506,27 +523,65 @@ object Similarity {
     * BEFORE the shortlist window ranks. */
   def bqRerankFromIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, vecs: DataFrame, probes: DataFrame,
-      shortlist: Int = 20, k: Int = 3): DataFrame = {
+      shortlist: Int = 20, k: Int = 3): DataFrame =
+    bqRerankFromIndexImpl(spark, dir, vecs, probes, shortlist, k, None)
+
+  /** [[bqRerankFromIndex]] with a metadata predicate pushed to the
+    * stored code scan — candidates filter BEFORE the Hamming
+    * shortlist, the filtered-serve contract at the flat-code shape. */
+  def bqRerankFromIndexWhere(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame, probes: DataFrame, pred: Column,
+      shortlist: Int = 20, k: Int = 3): DataFrame =
+    bqRerankFromIndexImpl(spark, dir, vecs, probes, shortlist, k,
+      Some(pred))
+
+  /** Cosine radius search over a persisted [[writeBqIndex]] layout —
+    * Hamming gates the `shortlist`, the exact refine applies the
+    * radius ([[searchIvfBqIndexRange]]'s composition without the cell
+    * prune: the flat scan reads every 16-byte code, the float fetch
+    * stays shortlist-bounded). */
+  def bqRangeFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame, probes: DataFrame, tau: Double,
+      shortlist: Int = 20): DataFrame =
+    bqRefinedStage(bqHamFlat(bqMaskedCodes(spark, dir, None), probes),
+        vecs, probes, shortlist)
+      .filter(col("cos_r") >= tau)
+      .select(col("probe_id"), col("neighbor_id"), col("cos_r"))
+
+  private def bqRerankFromIndexImpl(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      vecs: DataFrame, probes: DataFrame, shortlist: Int, k: Int,
+      pred: Option[Column]): DataFrame =
+    bqServe(bqMaskedCodes(spark, dir, pred), vecs, probes, shortlist, k)
+
+  /** The live code scan of the flat-BQ serves: sidecar gate, optional
+    * metadata predicate, tombstone mask — one read path for all
+    * modes. */
+  private def bqMaskedCodes(spark: org.apache.spark.sql.SparkSession,
+      dir: String, pred: Option[Column]): DataFrame = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "bq", "bits" -> "64", "fmt" -> "2")
-    val codes1 = spark.read.parquet(s"$dir/codes")
-    val codes = readTombstones(spark, dir)
+    val codes1 = pred.foldLeft(spark.read.parquet(s"$dir/codes"))(_ filter _)
+    readTombstones(spark, dir)
       .map(t => codes1.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(codes1)
-    bqServe(codes, vecs, probes, shortlist, k)
   }
 
   private def bqServe(codes: DataFrame, vecs: DataFrame,
-      probes: DataFrame, shortlist: Int, k: Int): DataFrame = {
+      probes: DataFrame, shortlist: Int, k: Int): DataFrame =
+    bqRerankStage(bqHamFlat(codes, probes), vecs, probes, shortlist, k)
+
+  /** The Hamming frame of the flat-BQ serves: broadcast probe codes
+    * past every live code row, probe ≠ neighbor. */
+  private def bqHamFlat(codes: DataFrame, probes: DataFrame): DataFrame = {
     val pcodes = broadcast(bqCodes(probes)
       .select(col("vec_id").as("probe_id"), col("code0").as("p0"),
         col("code1").as("p1")))
-    val ham = pcodes
+    pcodes
       .join(codes.select(col("vec_id").as("neighbor_id"), col("code0"),
         col("code1")), col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         (expr("bit_count(p0 ^ code0)") + expr("bit_count(p1 ^ code1)"))
           .cast("int").as("ham"))
-    bqRerankStage(ham, vecs, probes, shortlist, k)
   }
 
   /** Shared tail of every BQ serve (flat and cell-blocked): the

@@ -676,6 +676,22 @@ object PipelineQueries {
   private def bqRerankSql: String = bqRerankSqlWhere("")
 
   private def bqRerankSqlWhere(idxPred: String): String =
+    s"""${bqChainCtes(idxPred)},
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY cos_r DESC, neighbor_id) AS rnk FROM rr)
+       |SELECT probe_id, neighbor_id, ham, cos_r, rnk
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY probe_id, rnk""".stripMargin
+
+  /** Range-mode final over the flat-BQ chain — Hamming gates the
+    * shortlist, the EXACT refined cosine applies the radius. */
+  private def bqRangeSql(tau: Double): String =
+    s"""${bqChainCtes("")}
+       |SELECT probe_id, neighbor_id, cos_r FROM rr
+       |WHERE cos_r >= $tau ORDER BY probe_id, neighbor_id""".stripMargin
+
+  /** Shared WITH-chain of the flat-BQ replays, ending in `rr`. */
+  private def bqChainCtes(idxPred: String): String =
     s"""WITH $ovecsCte,
        |codes AS (SELECT vec_id,
        |  CAST(list_sum(list_transform(generate_series(1, 32), i ->
@@ -698,12 +714,7 @@ object PipelineQueries {
        |rr AS (SELECT s.probe_id, s.neighbor_id, s.ham,
        |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
        |       FROM short s JOIN ovecs p ON p.vec_id = s.probe_id
-       |       JOIN ovecs o ON o.vec_id = s.neighbor_id),
-       |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-       |  ORDER BY cos_r DESC, neighbor_id) AS rnk FROM rr)
-       |SELECT probe_id, neighbor_id, ham, cos_r, rnk
-       |FROM ranked WHERE rnk <= 3
-       |ORDER BY probe_id, rnk""".stripMargin
+       |       JOIN ovecs o ON o.vec_id = s.neighbor_id)""".stripMargin
 
   /** CELL-BLOCKED BQ replay (the IVF composition of the BQ rung):
     * same sign-bit packing and Hamming/re-rank contracts as
@@ -3881,6 +3892,32 @@ object PipelineQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Metadata-FILTERED flat-BQ serve: label rides beside the 16-byte
+    // codes, the predicate filters candidates BEFORE the Hamming
+    // shortlist — the filtered-serve contract at the flat-code shape.
+    "sim_bq_filtered" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_bq_filt")
+      Similarity.writeBqIndex(vecs, dir)
+      Similarity.bqRerankFromIndexWhere(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), col("label") % 2 === 0)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Range mode of the flat-BQ serve: Hamming gates the shortlist,
+    // the exact refine applies the radius. With this pair the top-k /
+    // filtered / range triple holds for the flat BQ layout too —
+    // EVERY persisted ANN layout now serves all three modes.
+    "sim_bq_range" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val dir = FlowLogQueries.scratchDir("graft_bq_rng")
+      Similarity.writeBqIndex(vecs, dir)
+      Similarity.bqRangeFromIndex(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), tau = 0.2)
+        .orderBy("probe_id", "neighbor_id")
+    }),
+
     // BQ append leg: per-vector code rows, so build-half + append-half
     // IS the monolithic table — shares the oracle.
     "sim_bq_append" -> ((s, d) => {
@@ -5652,6 +5689,9 @@ object PipelineQueries {
     "sim_bq_delete" -> bqRerankSqlWhere("AND c.vec_id % 7 <> 0"),
     // Compaction serves bit-identically to the mask it replaces.
     "sim_bq_compact" -> bqRerankSqlWhere("AND c.vec_id % 7 <> 0"),
+    "sim_bq_filtered" -> bqRerankSqlWhere(
+      "AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
+    "sim_bq_range" -> bqRangeSql(0.2),
     "sim_recall_ladder" -> recallLadderSql,
     "sim_recall_curve" -> recallCurveSql,
     "sim_ivfbq_persist" -> ivfBqSqlWhere(""),

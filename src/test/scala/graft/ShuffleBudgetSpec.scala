@@ -95,6 +95,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "sim_bq_append" -> 2,         // identical serve over the unioned
                                   // batches
     "sim_bq_compact" -> 2,        // compacted table, identical serve
+    "sim_bq_filtered" -> 2,       // same serve — the metadata filter
+                                  // is a pushed scan predicate, zero
+                                  // added exchanges
+    "sim_bq_range" -> 2,          // the thresholded refined tail —
+                                  // the Hamming-shortlist window stays
     "sim_bq_delete" -> 2,         // same 2 — the tombstone mask is a
                                   // broadcast anti-join over the
                                   // 16-byte code rows, zero added
