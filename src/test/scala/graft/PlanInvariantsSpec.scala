@@ -77,6 +77,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "sim_bq_persist", "sim_bq_append", // same serve over the stored /
                              // appended code tables
     "sim_bq_delete",         // same serve, tombstone-masked codes
+    "sim_bq_filtered",       // same serve, predicate-masked codes —
+                             // the broadcast probe side is unchanged
+    "sim_bq_range",          // same serve, thresholded refined tail
     "sim_bq_compact",        // same serve over the physically
                              // compacted code table (the rewrite ran
                              // before the returned frame)

@@ -1613,6 +1613,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming METADATA-carrying ingest: labeled micro-batches pass " +
+      "the append schema contract and the filtered serve converges") {
+    // Round-18 layouts persist the input's metadata beside the codes
+    // for the filtered serves, and appends gate through the column-set
+    // + type contract — this pins that a streamed labeled batch (a)
+    // passes that gate and (b) leaves the FILTERED serve bit-identical
+    // to the monolithic labeled build (flat BQ, the cheapest
+    // metadata-carrying layout).
+    import graft.operators.Similarity
+    val labeled = Similarity.vectors(Tables.embeddings(spark, sfDir))
+    val probes = labeled.filter($"vec_id" < 10)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_bq_meta_stream")
+    val dirMono = tmp("graft_bq_meta_stream_mono")
+    Similarity.writeBqIndex(labeled, dirMono)
+    val want = Similarity.bqRerankFromIndexWhere(spark, dirMono,
+      labeled, probes, $"label" % 2 === 0).collect().toSet
+    Similarity.writeBqIndex(labeled.filter($"vec_id" % 3 === 0), dir)
+    val in = MemoryStream[(Long, Int, Seq[Double])](spark)
+    val q = in.toDF().toDF("vec_id", "label", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) Similarity.appendBqIndex(spark, batch, dir)
+        ()
+      }.start()
+    try {
+      val rows = labeled.filter($"vec_id" % 3 =!= 0)
+        .as[(Long, Int, Seq[Double])].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = Similarity.bqRerankFromIndexWhere(spark, dir, labeled,
+        probes, $"label" % 2 === 0).collect().toSet
+      assert(want.nonEmpty && got === want,
+        "streamed labeled appends must leave the filtered serve " +
+          "identical to the monolithic labeled build")
+      // A batch that DROPS the metadata column is rejected loudly,
+      // and the rejection leaves the streamed index serving.
+      val e = intercept[IllegalArgumentException] {
+        Similarity.appendBqIndex(spark,
+          labeled.select($"vec_id", $"v").limit(5), dir)
+      }
+      assert(e.getMessage.contains("does not match the stored index schema"))
+      assert(Similarity.bqRerankFromIndexWhere(spark, dir, labeled,
+        probes, $"label" % 2 === 0).collect().toSet === want)
+    } finally q.stop()
+  }
+
   test("streaming IVF-BQ ingest: micro-batch appends converge to the " +
       "monolithic build, and a delete racing ahead of its vector's " +
       "arrival reconciles instead of masking it forever") {
