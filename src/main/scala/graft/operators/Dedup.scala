@@ -895,18 +895,8 @@ object Dedup {
     * 0-based bytes. */
   def substringSpans(corpus: DataFrame, window: Int = 16,
       winnowW: Int = 8, minSpan: Int = 40): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(minSpan >= window + winnowW - 1,
-      s"minSpan $minSpan below the winnowing completeness bound " +
-        s"${window + winnowW - 1} — shorter spans can be missed, so " +
-        "emitting them would be a silently partial result")
-    val fps = corpus
-      .select(col("doc_id"), col("text"),
-        explode(graft.functions.functions.winnow_fingerprints(
-          col("text"), window, winnowW)).as("fp"))
-      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"),
-        expr(s"substring(cast(text as binary), fp.pos + 1, $window)")
-          .as("win"))
+    requireSpanBound(window, winnowW, minSpan)
+    val fps = winnowFps(corpus, window, winnowW)
     val a = fps.select(col("doc_id").as("id_a"), col("pos").as("pos_a"),
       col("h"), col("win"))
     val b = fps.select(col("doc_id").as("id_b"), col("pos").as("pos_b"),
@@ -915,6 +905,69 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("pos_a") - col("pos_b")).as("delta"), col("pos_a"))
+    mergeSpans(matched, window, minSpan)
+  }
+
+  /** Cross-CORPUS exact-substring spans — [[substringSpans]] between
+    * two DIFFERENT datasets: every (corpus doc, reference doc) pair
+    * sharing a verbatim substring ≥ `minSpan` bytes, with offsets in
+    * both. This is benchmark DECONTAMINATION at span granularity
+    * (Lee et al. 2022 §6.2's contamination check generalized from
+    * [[graft.operators.TextAnalysis]]'s fixed 8-gram
+    * text_decontaminate row: spans tell HOW MUCH of a benchmark doc
+    * leaked, not just that one n-gram hit). Ids are independent
+    * namespaces (no id_a < id_b canonicalization, no same-id
+    * exclusion — a corpus doc that IS a reference doc is exactly the
+    * leak being hunted). The drop/trim policy composes downstream:
+    * anti-join the corpus on `doc_id`, or feed the spans to the
+    * interval surgery. Same completeness/exactness bounds and scale
+    * shape as [[substringSpans]]; the reference side is typically
+    * benchmark-sized (≪ corpus), so the fingerprint join's build side
+    * is small. */
+  def substringSpansAgainst(corpus: DataFrame, reference: DataFrame,
+      window: Int = 16, winnowW: Int = 8, minSpan: Int = 40): DataFrame = {
+    requireSpanBound(window, winnowW, minSpan)
+    val a = winnowFps(corpus, window, winnowW)
+      .select(col("doc_id").as("id_a"), col("pos").as("pos_a"),
+        col("h"), col("win"))
+    val b = winnowFps(reference, window, winnowW)
+      .select(col("doc_id").as("id_b"), col("pos").as("pos_b"),
+        col("h"), col("win"))
+    val matched = a.join(b, Seq("h", "win"))
+      .select(col("id_a"), col("id_b"),
+        (col("pos_a") - col("pos_b")).as("delta"), col("pos_a"))
+    mergeSpans(matched, window, minSpan)
+      .select(col("id_a").as("doc_id"), col("id_b").as("ref_id"),
+        col("start_a").as("start"), col("start_b").as("ref_start"),
+        col("span_len"))
+  }
+
+  private def requireSpanBound(window: Int, winnowW: Int,
+      minSpan: Int): Unit =
+    require(minSpan >= window + winnowW - 1,
+      s"minSpan $minSpan below the winnowing completeness bound " +
+        s"${window + winnowW - 1} — shorter spans can be missed, so " +
+        "emitting them would be a silently partial result")
+
+  /** Positioned winnowing fingerprints with their verbatim window
+    * bytes — the per-document half shared by the self-join and
+    * cross-corpus span operators. */
+  private def winnowFps(docs: DataFrame, window: Int,
+      winnowW: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(graft.functions.functions.winnow_fingerprints(
+          col("text"), window, winnowW)).as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"),
+        expr(s"substring(cast(text as binary), fp.pos + 1, $window)")
+          .as("win"))
+
+  /** Same-delta gap-split merge of matched fingerprints into maximal
+    * shared spans ≥ `minSpan` — shared by both span operators so the
+    * exactness argument (merged windows overlap) holds once. */
+  private def mergeSpans(matched: DataFrame, window: Int,
+      minSpan: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("id_a"), col("id_b"), col("delta"))
       .orderBy(col("pos_a"))
     matched

@@ -111,6 +111,68 @@ object PipelineQueries {
       |ORDER BY c.doc_id""".stripMargin
 
   private lazy val substringSpansCtes: String =
+    s"""$substringFpCtes,
+      |m AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         a.pos AS pos_a, b.pos AS pos_b
+      |  FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  JOIN corpus ca ON ca.doc_id = a.doc_id
+      |  JOIN corpus cb ON cb.doc_id = b.doc_id
+      |  WHERE substr(ca.text, a.pos + 1, 16) = substr(cb.text, b.pos + 1, 16)),
+      |$substringMergeCtes""".stripMargin
+
+  /** Cross-corpus (decontamination) span replay: the corpus side is
+    * the full augmented corpus, the reference side is the ORIGINAL
+    * documents slice doc_id % 25 = 0 — which appears verbatim inside
+    * the corpus, so its per-doc fingerprints are exactly those ids'
+    * `sel` rows (winnowing is per-document). No id ordering, no
+    * same-id exclusion: a corpus doc that IS a reference doc is the
+    * leak. */
+  private val substringDecontamSql: String =
+    s"""$substringFpCtes,
+      |m AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         a.pos AS pos_a, b.pos AS pos_b
+      |  FROM sel a
+      |  JOIN (SELECT * FROM sel
+      |        WHERE doc_id % 25 = 0 AND doc_id < 100000) b
+      |    ON a.h = b.h
+      |  JOIN corpus ca ON ca.doc_id = a.doc_id
+      |  JOIN corpus cb ON cb.doc_id = b.doc_id
+      |  WHERE substr(ca.text, a.pos + 1, 16) = substr(cb.text, b.pos + 1, 16)),
+      |$substringMergeCtes
+      |SELECT id_a AS doc_id, id_b AS ref_id,
+      |       CAST(start_a AS INT) AS start,
+      |       CAST(start_a - delta AS INT) AS ref_start,
+      |       CAST(end_a - start_a AS INT) AS span_len
+      |FROM spans WHERE end_a - start_a >= 40
+      |ORDER BY doc_id, ref_id, start, ref_start""".stripMargin
+
+  /** The same-delta gap-split merge tail (g/f/sg/spans) over whatever
+    * `m` frame precedes it — one text so the two span replays cannot
+    * diverge on the merge contract. */
+  private lazy val substringMergeCtes: String =
+    """g AS (SELECT id_a, id_b, pos_a - pos_b AS delta, pos_a FROM m),
+      |f AS (
+      |  SELECT *, CASE WHEN
+      |      lag(pos_a) OVER (PARTITION BY id_a, id_b, delta
+      |                       ORDER BY pos_a) IS NULL
+      |      OR pos_a - lag(pos_a) OVER (PARTITION BY id_a, id_b, delta
+      |                                  ORDER BY pos_a) > 16
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM g),
+      |sg AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, delta
+      |    ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS span_id
+      |  FROM f),
+      |spans AS (
+      |  SELECT id_a, id_b, delta, span_id, min(pos_a) AS start_a,
+      |         max(pos_a) + 16 AS end_a
+      |  FROM sg GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** Shared head of the span replays, through the winnowing-selected
+    * per-position fingerprints (`sel`). */
+  private lazy val substringFpCtes: String =
     """WITH RECURSIVE corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -153,31 +215,7 @@ object PipelineQueries {
       |           ORDER BY hh.h, hh.pos DESC) AS rn
       |  FROM hp hh JOIN ts tt ON tt.doc_id = hh.doc_id
       |    AND hh.pos BETWEEN tt.t AND tt.t + 7),
-      |sel AS (SELECT DISTINCT doc_id, pos, h FROM selw WHERE rn = 1),
-      |m AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |         a.pos AS pos_a, b.pos AS pos_b
-      |  FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
-      |  JOIN corpus ca ON ca.doc_id = a.doc_id
-      |  JOIN corpus cb ON cb.doc_id = b.doc_id
-      |  WHERE substr(ca.text, a.pos + 1, 16) = substr(cb.text, b.pos + 1, 16)),
-      |g AS (SELECT id_a, id_b, pos_a - pos_b AS delta, pos_a FROM m),
-      |f AS (
-      |  SELECT *, CASE WHEN
-      |      lag(pos_a) OVER (PARTITION BY id_a, id_b, delta
-      |                       ORDER BY pos_a) IS NULL
-      |      OR pos_a - lag(pos_a) OVER (PARTITION BY id_a, id_b, delta
-      |                                  ORDER BY pos_a) > 16
-      |    THEN 1 ELSE 0 END AS brk
-      |  FROM g),
-      |sg AS (
-      |  SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, delta
-      |    ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS span_id
-      |  FROM f),
-      |spans AS (
-      |  SELECT id_a, id_b, delta, span_id, min(pos_a) AS start_a,
-      |         max(pos_a) + 16 AS end_a
-      |  FROM sg GROUP BY 1, 2, 3, 4)""".stripMargin
+      |sel AS (SELECT DISTINCT doc_id, pos, h FROM selw WHERE rn = 1)""".stripMargin
 
   private val shinglesCte =
     """wrd AS (
@@ -1968,6 +2006,21 @@ object PipelineQueries {
     "dedup_substring_spans" -> ((s, d) =>
       Dedup.substringSpans(Dedup.augmentCorpus(Tables.documents(s, d)))
         .orderBy("id_a", "id_b", "start_a", "start_b")),
+
+    // Cross-CORPUS span decontamination: the same winnowed-fingerprint
+    // machinery between TWO datasets — every (corpus doc, benchmark
+    // doc) pair sharing a verbatim span ≥ 40 bytes, with offsets in
+    // both. Generalizes text_decontaminate's fixed 8-gram hit to
+    // HOW-MUCH-leaked spans; the benchmark here is the original
+    // doc_id % 25 slice, so leaks provably exist (those docs are in
+    // the corpus verbatim) and the oracle replays the reference side
+    // as the matching sel rows.
+    "dedup_substring_decontam" -> ((s, d) =>
+      Dedup.substringSpansAgainst(
+        Dedup.augmentCorpus(Tables.documents(s, d)),
+        Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), col("text")))
+        .orderBy("doc_id", "ref_id", "start", "ref_start")),
 
     // The REWRITE half of exact-substring dedup (Lee et al. 2022 §4's
     // actual cleanup step): each shared span keeps its first
@@ -5169,6 +5222,7 @@ object PipelineQueries {
     "dedup_segments_wide" -> segmentDedupSql,
     "dedup_substring_spans" -> substringSpansSql,
     "dedup_substring_rewrite" -> substringRewriteSql,
+    "dedup_substring_decontam" -> substringDecontamSql,
 
     "dedup_fuzzy_lev" ->
       s"""WITH $corpusCte,

@@ -761,6 +761,28 @@ class PipelineSpec extends SparkSpec {
     // loses its shared body; the first copy (doc 1) is untouched.
     assert(rewritten(1L)._2 === 0L, "first occurrence must be kept whole")
     assert(rewritten(4L)._2 > 0L, "later duplicate must lose its body")
+    // CROSS-CORPUS (decontamination) variant: reference = doc 1's
+    // text under an id that COLLIDES with corpus doc 2 — the leak in
+    // docs 1, 2 and 4 must surface (including the same-id pair (2,2)?
+    // no: ids are independent namespaces, so the (1, ref 2) and
+    // (2, ref 2) pairs both appear — no ordering, no same-id
+    // exclusion), and the disjoint doc 3 must not.
+    val ref = Seq((2L, base)).toDF("doc_id", "text")
+    val hits = Dedup.substringSpansAgainst(docs, ref)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    assert(hits.nonEmpty && hits.forall(_._2 == 2L))
+    for (docId <- Seq(1L, 2L, 4L)) {
+      val best = hits.filter(_._1 == docId).map(_._5)
+      assert(best.nonEmpty && best.max >= 200 - 2 * 23,
+        s"leaked reference not found in corpus doc $docId: $best")
+    }
+    // every hit is verbatim-shared at the stated offsets
+    for ((cid, _, st, rs, len) <- hits)
+      assert(texts(cid).substring(st, st + len) ===
+        base.substring(rs, rs + len))
+    assert(!hits.exists(_._1 == 3L),
+      "disjoint corpus doc matched the reference")
   }
 
   test("knnJoin recall at the SHIPPED config (nprobe=2) is >= 0.95") {

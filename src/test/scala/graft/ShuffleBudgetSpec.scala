@@ -40,6 +40,10 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // self-join's exchange is REUSED by
                                   // the same-delta merge window + span
                                   // agg; + output sort
+    "dedup_substring_decontam" -> 2, // the cross-corpus variant: same
+                                  // fingerprint equi-join (exchange
+                                  // reused by the merge window/agg) +
+                                  // output sort
     "dedup_substring_rewrite" -> 11, // the spans chain + interval
                                   // dedup/merge windows (doc-keyed) +
                                   // head/tail piece frames + rebuild
