@@ -395,6 +395,56 @@ object Dedup {
     normalPairs.unionByName(withinPairs).unionByName(crossPairs).distinct()
   }
 
+  /** Skew-guarded TWO-SIDED bucket cross — the [[saltedBucketPairs]]
+    * analog for an A×B blocking key join (cross-corpus fingerprint
+    * matching, where within-side pairs are never wanted so the
+    * one-sided expansion would CREATE quadratic waste on a side-hot
+    * key): every (a, b) member pair sharing a bucket, exactly once.
+    * Keys where both sides fit `maxBucket` take a plain equi-join
+    * (spillable, bounded per-key work). A hot key 2-D salts: the A
+    * side splits into ceil(|A_key|/maxBucket) hash salts and
+    * replicates across the B side's salt count (and vice versa), so
+    * the |A_key|·|B_key| pair stream spreads over saltA×saltB tasks
+    * instead of concentrating in one — each pair meets in exactly one
+    * (saltA, saltB) cell, so the output is bit-identical to the plain
+    * join at any `maxBucket` (driver-gated like the LSH precedent).
+    * Joining the per-bucket counts first also PRUNES each side to
+    * buckets present in the other — on a benchmark-sized reference
+    * the corpus fingerprint stream shrinks before it ever shuffles.
+    * Input frames carry (m, bucket); output is (m_a, m_b). */
+  private[graft] def saltedKeyedCross(a: DataFrame, b: DataFrame,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    // Integer ceil-divide (no double round-trip), as saltedBucketPairs.
+    def salts(n: String) =
+      expr(s"cast(($n + ${maxBucket - 1}) div $maxBucket as int)")
+    val keys = a.groupBy(col("bucket")).agg(count(lit(1)).as("na"))
+      .join(b.groupBy(col("bucket")).agg(count(lit(1)).as("nb")),
+        Seq("bucket"))
+      .select(col("bucket"), salts("na").as("nsa"), salts("nb").as("nsb"))
+    val aK = a.join(keys, Seq("bucket"))
+    val bK = b.join(keys, Seq("bucket"))
+    val coldCond = col("nsa") === 1 && col("nsb") === 1
+    val coldPairs = aK.filter(coldCond)
+      .select(col("bucket"), col("m").as("m_a"))
+      .join(bK.filter(coldCond).select(col("bucket"), col("m").as("m_b")),
+        Seq("bucket"))
+      .select(col("m_a"), col("m_b"))
+    val hotA = aK.filter(!coldCond)
+      .select(col("bucket"), col("m").as("m_a"),
+        pmod(xxhash64(col("m")), col("nsa").cast("long")).cast("int")
+          .as("sa"),
+        explode(expr("sequence(0, nsb - 1)")).as("sb"))
+    val hotB = bK.filter(!coldCond)
+      .select(col("bucket"), col("m").as("m_b"),
+        explode(expr("sequence(0, nsa - 1)")).as("sa"),
+        pmod(xxhash64(col("m")), col("nsb").cast("long")).cast("int")
+          .as("sb"))
+    val hotPairs = hotA.join(hotB, Seq("bucket", "sa", "sb"))
+      .select(col("m_a"), col("m_b"))
+    coldPairs.unionByName(hotPairs)
+  }
+
   /** Bloom-prefiltered cross-run exact dedup — "drop incoming docs whose
     * text already exists in the history corpus" without shuffling the
     * whole incoming shard against history. A Bloom filter over
@@ -878,35 +928,101 @@ object Dedup {
     * maximal spans wherever consecutive matched windows overlap or
     * adjoin (gap ≤ window).
     *
-    * Exactness + completeness: merged windows at one delta overlap,
-    * so every emitted span is a verbatim shared substring (exact);
-    * winnowing guarantees any shared substring of length ≥
-    * window + winnowW − 1 selects identical fingerprints in both
-    * documents at most winnowW (< window) apart (complete for spans ≥
-    * minSpan whenever minSpan ≥ window + winnowW − 1 — the shipped
-    * 40 ≥ 23; spec-pinned as a property).
+    * Exactness + completeness + MAXIMALITY: merged windows at one
+    * delta overlap, so every emitted span is a verbatim shared
+    * substring (exact); winnowing guarantees any shared substring of
+    * length ≥ window + winnowW − 1 selects identical fingerprints in
+    * both documents at most winnowW (≤ window, enforced) apart, so the
+    * fingerprint-selected extent undershoots the true shared extent by
+    * at most winnowW − 1 bytes per side — and the merge byte-EXTENDS
+    * each span to that true boundary (compare the ≤ winnowW − 1 bytes
+    * left/right of the selected extent at the same delta) BEFORE the
+    * minSpan filter. Emitted spans are therefore the MAXIMAL shared
+    * spans, and the result is complete for true spans ≥ minSpan
+    * whenever minSpan ≥ window + winnowW − 1 (the shipped 40 ≥ 23;
+    * spec-pinned as a property — a true 40-byte span detected at
+    * length 26 extends back to 40 and is reported, not dropped).
     *
     * Scale shape: the fingerprint explode is linear in corpus bytes
-    * (density ≈ 2/(winnowW+1)); the join is a plain hash-partitioned
-    * equi-join on the fingerprint key — candidate volume is bounded
-    * by TRUE content duplication exactly like LSH banding, hot keys
-    * split by AQE skew handling, and the span merge windows on
-    * (id_a, id_b, delta), never corpus-wide. Output offsets are
-    * 0-based bytes. */
+    * (density ≈ 2/(winnowW+1)); the (hash, window-bytes) bucket
+    * expansion routes through the SKEW-GUARDED salted expansion
+    * ([[saltedBucketPairs]], the LSH precedent) — candidate volume is
+    * bounded by TRUE content duplication, and a single ultra-common
+    * window (license boilerplate shared by 10⁶ docs) spreads its
+    * quadratic pair stream over salt² tasks with a ~`maxBucket`-bounded
+    * buffer instead of concentrating in one task; the span merge
+    * windows on (id_a, id_b, delta), never corpus-wide; the byte
+    * extension joins the (small) span frame back to the two documents
+    * on doc_id. Output offsets are 0-based bytes. */
   def substringSpans(corpus: DataFrame, window: Int = 16,
-      winnowW: Int = 8, minSpan: Int = 40): DataFrame = {
+      winnowW: Int = 8, minSpan: Int = 40,
+      maxBucket: Int = 1 << 20): DataFrame = {
     requireSpanBound(window, winnowW, minSpan)
-    val fps = winnowFps(corpus, window, winnowW)
-    val a = fps.select(col("doc_id").as("id_a"), col("pos").as("pos_a"),
-      col("h"), col("win"))
-    val b = fps.select(col("doc_id").as("id_b"), col("pos").as("pos_b"),
-      col("h"), col("win"))
-    val matched = a.join(b, Seq("h", "win"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("pos_a") - col("pos_b")).as("delta"), col("pos_a"))
-    mergeSpans(matched, window, minSpan)
+    mergeSpans(
+      matchedFps(corpus, window, winnowW, maxBucket,
+        crossDoc = true, selfDoc = false),
+      window, winnowW, minSpan, corpusBin(corpus), corpusBin(corpus))
   }
+
+  /** WITHIN-document repeated-span detection — the same-doc case
+    * [[substringSpans]]'s id_a < id_b filter excludes (Lee et al.
+    * 2022 §4 removes within-document duplicates too: boilerplate
+    * runs and template spam are a large share of web-corpus
+    * duplication): for every document, the maximal spans ≥ `minSpan`
+    * that occur VERBATIM at least twice inside it, as
+    * (doc_id, start_first, start_second, span_len) per occurrence
+    * pair at offset gap ≥ `window` (smaller gaps are
+    * self-overlapping periodicity, excluded so a matched pair is two
+    * distinct window occurrences). Same guarded expansion, merge,
+    * byte-extension, and completeness bound as the cross-document
+    * operator; [[substringDedupCorpus]]'s `withinDoc = true` mode
+    * cuts the later occurrence keep-first style. */
+  def substringSelfSpans(corpus: DataFrame, window: Int = 16,
+      winnowW: Int = 8, minSpan: Int = 40,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    requireSpanBound(window, winnowW, minSpan)
+    mergeSpans(
+      matchedFps(corpus, window, winnowW, maxBucket,
+        crossDoc = false, selfDoc = true),
+      window, winnowW, minSpan, corpusBin(corpus), corpusBin(corpus))
+      .select(col("id_a").as("doc_id"), col("start_a").as("start_first"),
+        col("start_b").as("start_second"), col("span_len"))
+  }
+
+  /** The matched-fingerprint frame shared by the same-corpus span
+    * operators: winnowed positioned fingerprints bucket on
+    * (hash, verbatim window bytes) and expand through the
+    * skew-guarded salted expansion ([[saltedBucketPairs]], factored
+    * over ANY blocking key — the member here is the (doc_id, pos)
+    * struct, so a hot window's pair stream spreads across salts and
+    * no agg buffer holds more than ~`maxBucket` members). Cross-doc
+    * pairs order id_a < id_b (struct ordering sorts by doc_id first);
+    * same-doc pairs keep pos_a < pos_b at gap ≥ `window`. */
+  private def matchedFps(corpus: DataFrame, window: Int, winnowW: Int,
+      maxBucket: Int, crossDoc: Boolean, selfDoc: Boolean): DataFrame = {
+    val bucketed = winnowFps(corpus, window, winnowW)
+      .select(struct(col("doc_id"), col("pos")).as("doc_id"),
+        struct(col("h"), col("win")).as("bucket"))
+    val cross = col("id_a.doc_id") < col("id_b.doc_id")
+    val self = col("id_a.doc_id") === col("id_b.doc_id") &&
+      col("id_b.pos") - col("id_a.pos") >= window
+    val cond =
+      if (crossDoc && selfDoc) cross || self
+      else if (crossDoc) cross
+      else self
+    saltedBucketPairs(bucketed, maxBucket)
+      .filter(cond)
+      .select(col("id_a.doc_id").as("id_a"), col("id_b.doc_id").as("id_b"),
+        (col("id_a.pos") - col("id_b.pos")).as("delta"),
+        col("id_a.pos").as("pos_a"))
+  }
+
+  /** (doc_id, text-as-binary) projection the byte-extension and
+    * interval surgery share — offsets from the fingerprint kernel are
+    * byte offsets, so every byte comparison happens on the binary
+    * form. */
+  private def corpusBin(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("bin"))
 
   /** Cross-CORPUS exact-substring spans — [[substringSpans]] between
     * two DIFFERENT datasets: every (corpus doc, reference doc) pair
@@ -919,35 +1035,47 @@ object Dedup {
     * namespaces (no id_a < id_b canonicalization, no same-id
     * exclusion — a corpus doc that IS a reference doc is exactly the
     * leak being hunted). The drop/trim policy composes downstream:
-    * anti-join the corpus on `doc_id`, or feed the spans to the
-    * interval surgery. Same completeness/exactness bounds and scale
-    * shape as [[substringSpans]]; the reference side is typically
-    * benchmark-sized (≪ corpus), so the fingerprint join's build side
-    * is small. */
+    * anti-join the corpus on `doc_id`, feed the spans to the interval
+    * surgery, or run [[substringScrub]] which composes both. Same
+    * completeness/exactness/maximality bounds as [[substringSpans]].
+    * Scale shape: the fingerprint match routes through the TWO-SIDED
+    * skew guard ([[saltedKeyedCross]]) — a corpus-hot window 2-D
+    * salts instead of concentrating one task, and joining the
+    * per-bucket counts first prunes the corpus fingerprint stream to
+    * buckets the (typically benchmark-sized) reference actually
+    * contains, before anything big shuffles. */
   def substringSpansAgainst(corpus: DataFrame, reference: DataFrame,
-      window: Int = 16, winnowW: Int = 8, minSpan: Int = 40): DataFrame = {
+      window: Int = 16, winnowW: Int = 8, minSpan: Int = 40,
+      maxBucket: Int = 1 << 20): DataFrame = {
     requireSpanBound(window, winnowW, minSpan)
-    val a = winnowFps(corpus, window, winnowW)
-      .select(col("doc_id").as("id_a"), col("pos").as("pos_a"),
-        col("h"), col("win"))
-    val b = winnowFps(reference, window, winnowW)
-      .select(col("doc_id").as("id_b"), col("pos").as("pos_b"),
-        col("h"), col("win"))
-    val matched = a.join(b, Seq("h", "win"))
-      .select(col("id_a"), col("id_b"),
-        (col("pos_a") - col("pos_b")).as("delta"), col("pos_a"))
-    mergeSpans(matched, window, minSpan)
+    def side(docs: DataFrame) = winnowFps(docs, window, winnowW)
+      .select(struct(col("doc_id"), col("pos")).as("m"),
+        struct(col("h"), col("win")).as("bucket"))
+    val matched = saltedKeyedCross(side(corpus), side(reference),
+        maxBucket)
+      .select(col("m_a.doc_id").as("id_a"), col("m_b.doc_id").as("id_b"),
+        (col("m_a.pos") - col("m_b.pos")).as("delta"),
+        col("m_a.pos").as("pos_a"))
+    mergeSpans(matched, window, winnowW, minSpan, corpusBin(corpus),
+        corpusBin(reference))
       .select(col("id_a").as("doc_id"), col("id_b").as("ref_id"),
         col("start_a").as("start"), col("start_b").as("ref_start"),
         col("span_len"))
   }
 
   private def requireSpanBound(window: Int, winnowW: Int,
-      minSpan: Int): Unit =
+      minSpan: Int): Unit = {
+    require(winnowW >= 1 && winnowW <= window,
+      s"winnowW $winnowW must be in [1, window=$window]: consecutive " +
+        "winnowing selections are guaranteed <= winnowW apart, and the " +
+        "span merge joins matches at gap <= window — winnowW > window " +
+        "would fragment every long shared region into sub-window " +
+        "pieces and silently return nothing")
     require(minSpan >= window + winnowW - 1,
       s"minSpan $minSpan below the winnowing completeness bound " +
         s"${window + winnowW - 1} — shorter spans can be missed, so " +
         "emitting them would be a silently partial result")
+  }
 
   /** Positioned winnowing fingerprints with their verbatim window
     * bytes — the per-document half shared by the self-join and
@@ -962,15 +1090,30 @@ object Dedup {
         expr(s"substring(cast(text as binary), fp.pos + 1, $window)")
           .as("win"))
 
-  /** Same-delta gap-split merge of matched fingerprints into maximal
-    * shared spans ≥ `minSpan` — shared by both span operators so the
-    * exactness argument (merged windows overlap) holds once. */
-  private def mergeSpans(matched: DataFrame, window: Int,
-      minSpan: Int): DataFrame = {
+  /** Same-delta gap-split merge of matched fingerprints into MAXIMAL
+    * shared spans ≥ `minSpan` — shared by every span operator so the
+    * exactness argument holds once. Two halves:
+    *
+    *  1. Merge: matches at one (id_a, id_b, delta) whose windows
+    *     overlap or adjoin (gap ≤ window) fuse into one span — every
+    *     emitted extent is verbatim-shared by construction.
+    *  2. Byte-EXTENSION to the true boundary: the fingerprint-selected
+    *     extent can undershoot the maximal shared extent by up to
+    *     winnowW − 1 bytes per side (the first winnowing window fully
+    *     inside a shared region selects within its first winnowW
+    *     positions — same argmin in both documents — so margins beyond
+    *     that are impossible). Each merged span joins back to both
+    *     documents' bytes and extends left/right while bytes at the
+    *     same delta match, a ≤ winnowW − 1-step bounded fold per side
+    *     (never an unbounded scan). The minSpan filter runs on the
+    *     EXTENDED length, so a true ≥ minSpan span detected short is
+    *     recovered, not dropped — emitted spans are maximal. */
+  private def mergeSpans(matched: DataFrame, window: Int, winnowW: Int,
+      minSpan: Int, docsA: DataFrame, docsB: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("id_a"), col("id_b"), col("delta"))
       .orderBy(col("pos_a"))
-    matched
+    val merged = matched
       .withColumn("prev", lag(col("pos_a"), 1).over(wOrd))
       .withColumn("brk", when(col("prev").isNull ||
         col("pos_a") - col("prev") > window, 1).otherwise(0))
@@ -979,9 +1122,31 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"), col("delta"), col("span_id"))
       .agg(min(col("pos_a")).as("start_a"),
         (max(col("pos_a")) + window).as("end_a"))
-      .select(col("id_a"), col("id_b"), col("start_a"),
-        (col("start_a") - col("delta")).as("start_b"),
-        (col("end_a") - col("start_a")).as("span_len"))
+    // Bounded first-mismatch fold: acc = consecutive matching bytes so
+    // far; step j keeps extending only while every prior step matched.
+    val w = winnowW - 1
+    def ext(cond: String): Column =
+      if (w < 1) lit(0)
+      else expr(s"aggregate(sequence(1, $w), 0, (acc, j) -> " +
+        s"IF(acc = j - 1 AND $cond, j, acc))")
+    merged
+      .join(docsA.select(col("doc_id").as("id_a"), col("bin").as("bin_a")),
+        Seq("id_a"))
+      .join(docsB.select(col("doc_id").as("id_b"), col("bin").as("bin_b")),
+        Seq("id_b"))
+      .withColumn("ext_l", ext(
+        "start_a - j >= 0 AND start_a - delta - j >= 0 " +
+          "AND substring(bin_a, cast(start_a - j + 1 as int), 1) " +
+          "= substring(bin_b, cast(start_a - delta - j + 1 as int), 1)"))
+      .withColumn("ext_r", ext(
+        "end_a + j <= length(bin_a) AND end_a - delta + j <= length(bin_b) " +
+          "AND substring(bin_a, cast(end_a + j as int), 1) " +
+          "= substring(bin_b, cast(end_a - delta + j as int), 1)"))
+      .select(col("id_a"), col("id_b"),
+        (col("start_a") - col("ext_l")).as("start_a"),
+        (col("start_a") - col("ext_l") - col("delta")).as("start_b"),
+        (col("end_a") + col("ext_r") - col("start_a") + col("ext_l"))
+          .as("span_len"))
       .filter(col("span_len") >= minSpan)
   }
 
@@ -1004,14 +1169,168 @@ object Dedup {
     * offsets from the fingerprint kernel), cast back to string at the
     * end.
     *
-    * Scale shape: [[substringSpans]]'s join bounds the pair work; the
-    * interval merge and complement are windows keyed by doc_id (never
-    * corpus-wide), and the rebuild touches only documents that lost
-    * bytes — the untouched corpus passes through a broadcast-free
-    * left join on doc_id. */
+    * Within-document repeats: `withinDoc = true` additionally cuts
+    * every LATER occurrence of a document's own repeated spans
+    * ([[substringSelfSpans]]'s pairs — Lee et al. 2022 §4 removes
+    * within-doc duplicates too); the default `false` keeps the
+    * cross-document-only contract.
+    *
+    * Scale shape: [[substringSpans]]'s guarded expansion bounds the
+    * pair work; the interval merge and complement are windows keyed
+    * by doc_id (never corpus-wide), and the rebuild touches only
+    * documents that lost bytes — the untouched corpus passes through
+    * a broadcast-free left join on doc_id. */
   def substringDedupCorpus(corpus: DataFrame, window: Int = 16,
-      winnowW: Int = 8, minSpan: Int = 40): DataFrame = {
+      winnowW: Int = 8, minSpan: Int = 40, withinDoc: Boolean = false,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    requireSpanBound(window, winnowW, minSpan)
+    // One matched frame serves cross-doc AND (optionally) within-doc
+    // removals: in both cases the cut side is (id_b, start_b) — for a
+    // same-doc pair id_b IS the doc and start_b its LATER occurrence
+    // (pos_a < pos_b by the expansion's struct ordering), so keep-first
+    // falls out of the same projection.
+    val spans = mergeSpans(
+      matchedFps(corpus, window, winnowW, maxBucket,
+        crossDoc = true, selfDoc = withinDoc),
+      window, winnowW, minSpan, corpusBin(corpus), corpusBin(corpus))
+    cutIntervals(corpus,
+      spans.select(col("id_b").as("doc_id"), col("start_b").as("rs"),
+        (col("start_b") + col("span_len")).as("re")))
+  }
+
+  /** Decontamination SCRUB — the composition of
+    * [[substringSpansAgainst]]'s measure half with
+    * [[substringDedupCorpus]]'s interval surgery: every corpus span
+    * that matches a reference (benchmark) document ≥ `minSpan` bytes
+    * is CUT from the corpus document; untouched documents pass
+    * through; a fully-leaked document rebuilds to the empty string.
+    * Output: (doc_id, clean_text, n_cut) for EVERY corpus document —
+    * the executable form of the drop/trim policy the span operator
+    * documents. The reference corpus itself is never modified. */
+  def substringScrub(corpus: DataFrame, reference: DataFrame,
+      window: Int = 16, winnowW: Int = 8, minSpan: Int = 40,
+      maxBucket: Int = 1 << 20): DataFrame =
+    cutIntervals(corpus,
+      substringSpansAgainst(corpus, reference, window, winnowW, minSpan,
+          maxBucket)
+        .select(col("doc_id"), col("start").as("rs"),
+          (col("start") + col("span_len")).as("re")))
+
+  /** Persist the winnowed-fingerprint frame of a HISTORY corpus — the
+    * incremental half of substring-span dedup: a standing curation
+    * pipeline fingerprints each corpus batch ONCE
+    * ([[appendSubstringFpIndex]]), and every later batch measures its
+    * spans against ALL of history ([[substringSpansAgainstIndex]])
+    * without re-running the fingerprint kernel over the world. The
+    * stored rows are the exact `(doc_id, pos, h, win)` frame the
+    * in-memory operators explode — ~2/(winnowW+1) rows per history
+    * byte, each 16 + window bytes — written flat (no partition key: a
+    * full-corpus matcher shuffles by fingerprint anyway, so a
+    * directory key would prune nothing and only fragment files). The
+    * sidecar pins (window, winnowW) so an appended batch fingerprints
+    * in the same space and a mis-parameterized serve fails loudly. No
+    * tombstones: dedup history only grows; removing a doc from
+    * history means rebuild (the [[writeBloomIndex]] contract). */
+  def writeSubstringFpIndex(history: DataFrame, dir: String,
+      window: Int = 16, winnowW: Int = 8): Unit = {
+    require(winnowW >= 1 && winnowW <= window,
+      s"winnowW $winnowW must be in [1, window=$window]")
+    winnowFps(history, window, winnowW)
+      .write.mode("overwrite").parquet(s"$dir/fps")
+    IndexMeta.write(history.sparkSession, dir,
+      "layout" -> "substring_fp", "window" -> window.toString,
+      "winnowW" -> winnowW.toString, "fmt" -> "1")
+  }
+
+  /** APPEND a history batch to a stored [[writeSubstringFpIndex]]
+    * layout: the batch fingerprints under the SIDECAR's (window,
+    * winnowW) — never a caller-supplied pair, so appended rows are in
+    * the stored fingerprint space by construction — and gates through
+    * the fleet's name+type append contract. Winnowing is
+    * per-document, so append(B) after write(A) is bit-identical to
+    * write(A ∪ B) (the gated row's oracle is the monolithic replay).
+    * Retrying a crashed append duplicates fps rows; matches and merged
+    * spans are unchanged (duplicate matches land in the same
+    * span_id), so the serve is idempotent under retry. */
+  def appendSubstringFpIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "substring_fp",
+      "fmt" -> "1")
+    val meta = IndexMeta.read(spark, dir)
+    val rows = winnowFps(batch, meta("window").toInt,
+      meta("winnowW").toInt)
+    Similarity.requireAppendColumns(spark, s"$dir/fps", rows,
+      "appendSubstringFpIndex")
+    rows.write.mode("append").parquet(s"$dir/fps")
+  }
+
+  /** [[substringSpansAgainst]] served from a stored
+    * [[writeSubstringFpIndex]] layout: the history side's fingerprints
+    * READ from the index (the expensive half — kernel pass + explode
+    * over all of history — never recomputed), the incoming side
+    * fingerprints fresh, and the same guarded cross, merge, and byte
+    * extension run downstream. `history` supplies only the reference
+    * documents' BYTES for the extension refine — the
+    * [[Similarity.searchImiPqIndex]] pattern, where the caller-owned
+    * corpus serves the exact-refine fetch while the index stores the
+    * compact form. Output = `substringSpansAgainst(incoming, history)`
+    * bit-for-bit (winnowing is per-document; the gated append row
+    * shares the monolithic oracle). */
+  def substringSpansAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession, incoming: DataFrame,
+      history: DataFrame, dir: String, minSpan: Int = 40,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "substring_fp",
+      "fmt" -> "1")
+    val meta = IndexMeta.read(spark, dir)
+    val window = meta("window").toInt
+    val winnowW = meta("winnowW").toInt
+    requireSpanBound(window, winnowW, minSpan)
+    def bucketed(fps: DataFrame) =
+      fps.select(struct(col("doc_id"), col("pos")).as("m"),
+        struct(col("h"), col("win")).as("bucket"))
+    val matched = saltedKeyedCross(
+        bucketed(winnowFps(incoming, window, winnowW)),
+        bucketed(spark.read.parquet(s"$dir/fps")), maxBucket)
+      .select(col("m_a.doc_id").as("id_a"), col("m_b.doc_id").as("id_b"),
+        (col("m_a.pos") - col("m_b.pos")).as("delta"),
+        col("m_a.pos").as("pos_a"))
+    mergeSpans(matched, window, winnowW, minSpan, corpusBin(incoming),
+        corpusBin(history))
+      .select(col("id_a").as("doc_id"), col("id_b").as("ref_id"),
+        col("start_a").as("start"), col("start_b").as("ref_start"),
+        col("span_len"))
+  }
+
+  /** The byte-interval surgery shared by [[substringDedupCorpus]] and
+    * [[substringScrub]]: removal intervals snap outward to UTF-8
+    * codepoint boundaries, merge per document (gaps-and-islands), and
+    * each document reassembles from the interval complement of its
+    * merged removals on the BINARY form.
+    *
+    * UTF-8 note: span offsets are BYTE offsets (the fingerprint
+    * kernel's contract), so on a multibyte corpus a removal edge can
+    * land mid-codepoint; cutting there would leave orphan
+    * continuation bytes (mojibake) in clean_text. Each edge therefore
+    * snaps OUTWARD — the start walks left past continuation bytes to
+    * its codepoint's lead byte, the end walks right past continuation
+    * bytes to the next codepoint start — a ≤ 3-step bounded fold per
+    * edge (UTF-8 codepoints are ≤ 4 bytes), removing at most the one
+    * partially-cut codepoint on each side. On ASCII input every snap
+    * is 0 steps and the surgery is byte-exact (the oracle corpus is
+    * ASCII, so the DuckDB replay needs no snap CTE; spec-pinned on a
+    * multibyte fixture). */
+  private def cutIntervals(corpus: DataFrame, rem0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val docs = corpusBin(corpus)
+    // Bounded walk, same fold shape as the span extension: acc =
+    // consecutive continuation bytes stepped over so far.
+    def snap(cond: String): Column =
+      expr(s"aggregate(sequence(1, 3), 0, (acc, j) -> " +
+        s"IF(acc = j - 1 AND $cond, j, acc))")
+    def contByte(pos1: String): String =
+      s"(cast(conv(hex(substring(bin, cast($pos1 as int), 1)), 16, 10) " +
+        s"as int) & 192) = 128"
     // DISTINCT is load-bearing, not just hygiene: the same interval
     // can arrive once per earlier partner (exact duplicates of one
     // source doc), and identical (rs, re) rows are indistinguishable
@@ -1019,10 +1338,15 @@ object Dedup {
     // would split one island into two (observed as a nondeterministic
     // double-cut in the DuckDB replay before this dedup). With
     // distinct intervals the (rs, re) order is total and every window
-    // below is deterministic in both engines.
-    val rem = substringSpans(corpus, window, winnowW, minSpan)
-      .select(col("id_b").as("doc_id"), col("start_b").as("rs"),
-        (col("start_b") + col("span_len")).as("re"))
+    // below is deterministic in both engines. Runs AFTER the snap so
+    // intervals distinct only in their mid-codepoint edge collapse too.
+    val rem = rem0.join(docs, Seq("doc_id"))
+      .withColumn("sl", snap(
+        s"rs - j + 1 >= 1 AND ${contByte("rs - j + 2")}"))
+      .withColumn("sr", snap(
+        s"re + j <= length(bin) AND ${contByte("re + j")}"))
+      .select(col("doc_id"), (col("rs") - col("sl")).as("rs"),
+        (col("re") + col("sr")).as("re"))
       .distinct()
     val wOrd = Window.partitionBy(col("doc_id"))
       .orderBy(col("rs"), col("re"))
@@ -1036,8 +1360,6 @@ object Dedup {
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("rs")).as("mrs"), max(col("re")).as("mre"))
     val wI = Window.partitionBy(col("doc_id")).orderBy(col("mrs"))
-    val docs = corpus.select(col("doc_id"),
-      col("text").cast("binary").as("bin"))
     // Complement pieces: before each merged removal (head pieces) and
     // after the last one (tail piece). Empty pieces contribute empty
     // bytes — a fully-covered doc rebuilds to '' instead of silently

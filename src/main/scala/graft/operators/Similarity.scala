@@ -1471,7 +1471,10 @@ object Similarity {
   def imiSuggestedRerankDepth(stats: DataFrame, k: Int,
       q: Double = 1.0, floor: Int = 40): Int = {
     require(q > 0, s"occupancy fraction q must be > 0, got $q")
-    val maxOcc = stats.agg(max(col("n_vectors"))).head.getLong(0)
+    // Empty stats (empty corpus / freshly drained index): max() is
+    // NULL — return the floor instead of an opaque NPE.
+    val row = stats.agg(max(col("n_vectors"))).head
+    val maxOcc = if (row.isNullAt(0)) 0L else row.getLong(0)
     // Never below the shipped default (`floor` = the serve's
     // rerankDepth default): the rule RAISES depth when the grid holds
     // cells bigger than the default can absorb — a larger shortlist
@@ -1593,15 +1596,28 @@ object Similarity {
     * parquet round-trips the doubles, so results are bit-identical at
     * the same parameters, spec-pinned). Tombstones mask the code
     * rows BEFORE the ADC shortlist, the fleet contract. */
+  /** Sentinel `rerankDepth` for the persisted Multi-D-ADC serves:
+    * derive the ADC shortlist depth from the STORED index's pair
+    * occupancy at serve time — max(k, 40, max-pair-occupancy), the
+    * [[imiSuggestedRerankDepth]] rule at q = 1 over one ≤ k²-row
+    * aggregate of the code table. A fixed default on a clustered
+    * corpus silently caps recall (the recall curve measured depth 40
+    * against ~400-vector pairs capping at .73); auto sizes the
+    * shortlist so no single virtual cell can cap it. Costs one extra
+    * metadata-bounded aggregate per serve; deployments that pinned a
+    * measured depth keep passing it explicitly. */
+  val AutoRerankDepth: Int = -1
+
   def searchImiPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, vecs: DataFrame, probes: DataFrame, k: Int,
       m: Int = 4, nprobe: Int = 2, rerankDepth: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wC = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_r").desc, col("neighbor_id").asc)
-    require(rerankDepth >= k, s"rerankDepth $rerankDepth must cover k=$k")
+    require(rerankDepth == AutoRerankDepth || rerankDepth >= k,
+      s"rerankDepth $rerankDepth must cover k=$k (or AutoRerankDepth)")
     imiPqRefinedFromIndex(spark, dir, vecs, probes, m, nprobe,
-        rerankDepth, None)
+        rerankDepth, None, k)
       .withColumn("rnk", row_number().over(wC))
       .filter(col("rnk") <= k)
   }
@@ -1620,9 +1636,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val wC = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_r").desc, col("neighbor_id").asc)
-    require(rerankDepth >= k, s"rerankDepth $rerankDepth must cover k=$k")
+    require(rerankDepth == AutoRerankDepth || rerankDepth >= k,
+      s"rerankDepth $rerankDepth must cover k=$k (or AutoRerankDepth)")
     imiPqRefinedFromIndex(spark, dir, vecs, probes, m, nprobe,
-        rerankDepth, Some(pred))
+        rerankDepth, Some(pred), k)
       .withColumn("rnk", row_number().over(wC))
       .filter(col("rnk") <= k)
   }
@@ -1640,7 +1657,7 @@ object Similarity {
       dir: String, vecs: DataFrame, probes: DataFrame, tau: Double,
       m: Int = 4, nprobe: Int = 2, rerankDepth: Int = 40): DataFrame =
     imiPqRefinedFromIndex(spark, dir, vecs, probes, m, nprobe,
-        rerankDepth, None)
+        rerankDepth, None, 1)
       .filter(col("cos_r") >= tau)
 
   /** The refined scored frame of the persisted Multi-D-ADC serves
@@ -1651,7 +1668,7 @@ object Similarity {
   private def imiPqRefinedFromIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       vecs: DataFrame, probes: DataFrame, m: Int, nprobe: Int,
-      rerankDepth: Int, pred: Option[Column]): DataFrame = {
+      rerankDepth: Int, pred: Option[Column], k: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     IndexMeta.requireMatch(spark, dir, "layout" -> "imi_pq",
       "m" -> m.toString, "fmt" -> "2")
@@ -1661,10 +1678,28 @@ object Similarity {
     val codes = readTombstones(spark, dir)
       .map(t => codes0.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(codes0)
+    // [[AutoRerankDepth]]: occupancy of the LIVE (tombstone-masked,
+    // pre-predicate) code rows — each vector stores m sub-rows, so
+    // count div m per pair is the exact [[imiPairStats]] occupancy,
+    // read from the index itself (one ≤ k²-row aggregate; never the
+    // raw corpus). Derived BEFORE the metadata predicate: the depth
+    // sizes the grid, and filtered serves must not shrink their
+    // shortlist just because few rows match.
+    val depth =
+      if (rerankDepth != AutoRerankDepth) rerankDepth
+      else {
+        val live = readTombstones(spark, dir)
+          .map(t => spark.read.parquet(s"$dir/codes")
+            .join(broadcast(t), Seq("vec_id"), "left_anti"))
+          .getOrElse(spark.read.parquet(s"$dir/codes"))
+        imiSuggestedRerankDepth(
+          live.groupBy(col("c0"), col("c1"))
+            .agg(expr(s"count(1) div $m").as("n_vectors")), k)
+      }
     val assigned = imiProbePairs(
       imiSubDistancesAgainst(cents, probes), nprobe)
     imiPqRefined(codes, codebook, cents, vecs, probes, assigned, m,
-      rerankDepth)
+      depth)
   }
 
   /** Physically COMPACT a persisted [[writeImiPqIndex]] layout — the
@@ -3148,7 +3183,7 @@ object Similarity {
     * table's schema (preserved by the zero-row placeholder) still
     * gates the batch. Skipped only when the table does not exist at
     * all (nothing to diverge from). */
-  private def requireAppendColumns(
+  private[graft] def requireAppendColumns(
       spark: org.apache.spark.sql.SparkSession, tableDir: String,
       batch: DataFrame, leg: String): Unit = {
     val fs = FsOps.fsOf(spark, tableDir)

@@ -49,13 +49,33 @@ object PipelineQueries {
     * same-delta gap-split merge into spans ≥ 40. Corpus is ASCII
     * (byte offsets == char offsets), so substr verifies the bytes the
     * engine's binary substring compares. */
-  private val substringSpansSql: String =
+  private lazy val substringSpansSql: String =
     s"""$substringSpansCtes
       |SELECT id_a, id_b, CAST(start_a AS INT) AS start_a,
       |       CAST(start_a - delta AS INT) AS start_b,
       |       CAST(end_a - start_a AS INT) AS span_len
-      |FROM spans WHERE end_a - start_a >= 40
+      |FROM espans WHERE end_a - start_a >= 40
       |ORDER BY id_a, id_b, start_a, start_b""".stripMargin
+
+  /** WITHIN-document repeated spans: the same winnowed chain with the
+    * same-doc join (gap ≥ window, so matched windows are disjoint
+    * occurrences), merged per (doc, delta) and byte-extended — the
+    * replay of [[graft.operators.Dedup.substringSelfSpans]]. */
+  private lazy val substringSelfSpansSql: String =
+    s"""${substringFpCtesOver(substringSelfBody)},
+      |m AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         a.pos AS pos_a, b.pos AS pos_b
+      |  FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id = b.doc_id
+      |    AND b.pos - a.pos >= 16
+      |  JOIN corpus c ON c.doc_id = a.doc_id
+      |  WHERE substr(c.text, a.pos + 1, 16) = substr(c.text, b.pos + 1, 16)),
+      |$substringMergeCtes
+      |SELECT id_a AS doc_id, CAST(start_a AS INT) AS start_first,
+      |       CAST(start_a - delta AS INT) AS start_second,
+      |       CAST(end_a - start_a AS INT) AS span_len
+      |FROM espans WHERE end_a - start_a >= 40
+      |ORDER BY doc_id, start_first, start_second""".stripMargin
 
   /** The REWRITE tail over the same span chain — keep-first-occurrence
     * dedup: every qualifying span's bytes cut from the HIGHER doc_id
@@ -63,13 +83,61 @@ object PipelineQueries {
     * text reassembled from the interval complement. A fully-covered
     * doc rebuilds to the empty string (all pieces empty), never falls
     * back to its original text. */
-  private val substringRewriteSql: String =
+  private lazy val substringRewriteSql: String =
     s"""$substringSpansCtes,
+      |$substringRemIdB,
+      |$substringSurgeryTail""".stripMargin
+
+  /** Rewrite with WITHIN-document repeats also cut
+    * (`substringDedupCorpus(withinDoc = true)`): the matched frame
+    * unifies the cross-doc and same-doc (gap ≥ window) cases — in
+    * both, the cut side is (id_b, start_b), so the removal projection
+    * and surgery tail are shared verbatim. */
+  private lazy val substringRewriteSelfSql: String =
+    s"""${substringFpCtesOver(substringSelfBody)},
+      |m AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         a.pos AS pos_a, b.pos AS pos_b
+      |  FROM sel a JOIN sel b ON a.h = b.h
+      |  JOIN corpus ca ON ca.doc_id = a.doc_id
+      |  JOIN corpus cb ON cb.doc_id = b.doc_id
+      |  WHERE substr(ca.text, a.pos + 1, 16) = substr(cb.text, b.pos + 1, 16)
+      |    AND (a.doc_id < b.doc_id
+      |         OR (a.doc_id = b.doc_id AND b.pos - a.pos >= 16))),
+      |$substringMergeCtes,
+      |$substringRemIdB,
+      |$substringSurgeryTail""".stripMargin
+
+  /** Decontamination SCRUB replay
+    * ([[graft.operators.Dedup.substringScrub]]): the cross-corpus
+    * span chain's CORPUS-side extents become the removal intervals
+    * and the same surgery tail rebuilds every corpus document. */
+  private lazy val substringScrubSql: String =
+    s"""$substringDecontamCtes,
       |rem AS (
+      |  SELECT DISTINCT id_a AS doc_id, start_a AS rs, end_a AS re
+      |  FROM espans WHERE end_a - start_a >= 40),
+      |$substringSurgeryTail""".stripMargin
+
+  /** Keep-first removal intervals — the (id_b, start_b) side of the
+    * extended spans. For a same-doc pair id_b IS the doc and start_b
+    * its LATER occurrence, so one projection serves the cross-doc and
+    * withinDoc rewrites. */
+  private lazy val substringRemIdB: String =
+    """rem AS (
       |  SELECT DISTINCT id_b AS doc_id, start_a - delta AS rs,
       |         start_a - delta + (end_a - start_a) AS re
-      |  FROM spans WHERE end_a - start_a >= 40),
-      |fl AS (
+      |  FROM espans WHERE end_a - start_a >= 40)""".stripMargin
+
+  /** The byte-interval surgery tail shared by every rewrite replay
+    * (cross-doc, withinDoc, scrub) — gaps-and-islands merge of `rem`,
+    * complement pieces, reassembly, audit counts. One text so the
+    * surgery contract cannot diverge across replays. No UTF-8 snap
+    * CTE: the oracle corpus is ASCII (octet_length == length on every
+    * doc), where the engine's codepoint snap is a 0-step no-op —
+    * multibyte behavior is spec-pinned, not oracle-gated. */
+  private lazy val substringSurgeryTail: String =
+    """fl AS (
       |  SELECT *, CASE WHEN
       |      max(re) OVER (PARTITION BY doc_id ORDER BY rs, re
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
@@ -128,7 +196,18 @@ object PipelineQueries {
     * `sel` rows (winnowing is per-document). No id ordering, no
     * same-id exclusion: a corpus doc that IS a reference doc is the
     * leak. */
-  private val substringDecontamSql: String =
+  private lazy val substringDecontamSql: String =
+    s"""$substringDecontamCtes
+      |SELECT id_a AS doc_id, id_b AS ref_id,
+      |       CAST(start_a AS INT) AS start,
+      |       CAST(start_a - delta AS INT) AS ref_start,
+      |       CAST(end_a - start_a AS INT) AS span_len
+      |FROM espans WHERE end_a - start_a >= 40
+      |ORDER BY doc_id, ref_id, start, ref_start""".stripMargin
+
+  /** Shared chain of the decontam span and scrub replays, through
+    * `espans`. */
+  private lazy val substringDecontamCtes: String =
     s"""$substringFpCtes,
       |m AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -140,17 +219,20 @@ object PipelineQueries {
       |  JOIN corpus ca ON ca.doc_id = a.doc_id
       |  JOIN corpus cb ON cb.doc_id = b.doc_id
       |  WHERE substr(ca.text, a.pos + 1, 16) = substr(cb.text, b.pos + 1, 16)),
-      |$substringMergeCtes
-      |SELECT id_a AS doc_id, id_b AS ref_id,
-      |       CAST(start_a AS INT) AS start,
-      |       CAST(start_a - delta AS INT) AS ref_start,
-      |       CAST(end_a - start_a AS INT) AS span_len
-      |FROM spans WHERE end_a - start_a >= 40
-      |ORDER BY doc_id, ref_id, start, ref_start""".stripMargin
+      |$substringMergeCtes""".stripMargin
 
-  /** The same-delta gap-split merge tail (g/f/sg/spans) over whatever
-    * `m` frame precedes it — one text so the two span replays cannot
-    * diverge on the merge contract. */
+  /** The same-delta gap-split merge tail (g/f/sg/spans/espans) over
+    * whatever `m` frame precedes it — one text so the span replays
+    * cannot diverge on the merge contract. `espans` is the byte
+    * EXTENSION to the maximal shared boundary: each merged span
+    * extends left/right while bytes at the same delta match, bounded
+    * by winnowW − 1 = 7 per side (the winnowing margin bound — the
+    * engine's bounded aggregate fold, replayed as a first-mismatch
+    * scalar subquery over range(1, 8)). Downstream consumers read
+    * `espans` and apply the minSpan filter to the EXTENDED length.
+    * Both id sides join `corpus` for their bytes — in the decontam
+    * chain the reference ids are corpus rows, so one join form
+    * serves every replay. */
   private lazy val substringMergeCtes: String =
     """g AS (SELECT id_a, id_b, pos_a - pos_b AS delta, pos_a FROM m),
       |f AS (
@@ -168,18 +250,51 @@ object PipelineQueries {
       |spans AS (
       |  SELECT id_a, id_b, delta, span_id, min(pos_a) AS start_a,
       |         max(pos_a) + 16 AS end_a
-      |  FROM sg GROUP BY 1, 2, 3, 4)""".stripMargin
+      |  FROM sg GROUP BY 1, 2, 3, 4),
+      |espans AS (
+      |  SELECT s.id_a, s.id_b, s.delta,
+      |         s.start_a - coalesce((SELECT min(j) - 1 FROM range(1, 8) t(j)
+      |           WHERE NOT (s.start_a - j >= 0 AND s.start_a - s.delta - j >= 0
+      |             AND substr(ca.text, s.start_a - j + 1, 1)
+      |               = substr(cb.text, s.start_a - s.delta - j + 1, 1))), 7)
+      |           AS start_a,
+      |         s.end_a + coalesce((SELECT min(j) - 1 FROM range(1, 8) t(j)
+      |           WHERE NOT (s.end_a + j <= octet_length(encode(ca.text))
+      |             AND s.end_a - s.delta + j <= octet_length(encode(cb.text))
+      |             AND substr(ca.text, s.end_a + j, 1)
+      |               = substr(cb.text, s.end_a - s.delta + j, 1))), 7)
+      |           AS end_a
+      |  FROM spans s
+      |  JOIN corpus ca ON ca.doc_id = s.id_a
+      |  JOIN corpus cb ON cb.doc_id = s.id_b)""".stripMargin
 
   /** Shared head of the span replays, through the winnowing-selected
     * per-position fingerprints (`sel`). */
   private lazy val substringFpCtes: String =
-    """WITH RECURSIVE corpus AS (
-      |  SELECT doc_id, text FROM documents
+    substringFpCtesOver(substringAugBody)
+
+  private lazy val substringAugBody: String =
+    """  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL
       |  SELECT doc_id + 200000 AS doc_id, text || ' zq extra token' AS text
-      |  FROM documents WHERE doc_id % 10 = 5),
+      |  FROM documents WHERE doc_id % 10 = 5""".stripMargin
+
+  /** The augmented corpus with WITHIN-document repeats injected: every
+    * doc_id % 7 = 3 document re-appends its own first 80 bytes — the
+    * known positive the selfspans/rewrite-withinDoc rows need (the
+    * synthetic corpus has no natural ≥ 40-byte self-repeats).
+    * Mirrored by [[selfRepeatCorpus]] on the Spark side. */
+  private lazy val substringSelfBody: String =
+    s"""  SELECT doc_id, CASE WHEN doc_id % 7 = 3
+      |    THEN text || ' ' || substr(text, 1, 80) ELSE text END AS text
+      |  FROM (
+      |$substringAugBody)""".stripMargin
+
+  private def substringFpCtesOver(corpusBody: String): String =
+    s"""WITH RECURSIVE corpus AS (
+      |$corpusBody),
       |src AS (
       |  SELECT doc_id,
       |         list_transform(range(1, octet_length(encode(text)) + 1),
@@ -547,8 +662,9 @@ object PipelineQueries {
     * and the persisted twins share the empty-predicate replay
     * (parquet round-trips the codebooks and codes exactly, so the
     * persisted serve is bit-identical to the in-memory one). */
-  private def imiPqSearchSqlWhere(codePred: String): String =
-    s"""${imiPqChainCtes(codePred)},
+  private def imiPqSearchSqlWhere(codePred: String,
+      depthSql: String = "40"): String =
+    s"""${imiPqChainCtes(codePred, depthSql)},
        |r AS (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY probe_id ORDER BY cos_r DESC, neighbor_id) AS rnk
@@ -567,7 +683,8 @@ object PipelineQueries {
 
   /** Shared WITH-chain of the Multi-D-ADC replays, ending in `rr`
     * (probe, shortlisted neighbor, exact 6-dp refined cosine). */
-  private def imiPqChainCtes(codePred: String): String =
+  private def imiPqChainCtes(codePred: String,
+      depthSql: String = "40"): String =
     s"""WITH vecsl AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |dims0 AS (
@@ -668,7 +785,7 @@ object PipelineQueries {
        |  SELECT probe_id, vec_id AS neighbor_id FROM (
        |    SELECT *, row_number() OVER (
        |      PARTITION BY probe_id ORDER BY adist, vec_id) AS srnk FROM sc)
-       |  WHERE srnk <= 40),
+       |  WHERE srnk <= ($depthSql)),
        |rr AS (
        |  SELECT s.probe_id, s.neighbor_id,
        |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
@@ -1671,6 +1788,14 @@ object PipelineQueries {
     * multi-index is FOR (the structureless default is its adversarial
     * case); the twin row records the other half of the pick-IMI
     * guidance. */
+  /** [[imiCurveSql]] probed by EXTERNAL vectors — no probe has an
+    * index row, so nothing subtracts from any candidate count and
+    * the membership-checked figure is exact by construction; the
+    * driver gate makes the round-18 external-exactness claim
+    * oracle-verified instead of spec-only. */
+  private lazy val imiCurveExternalSql: String =
+    imiCurveSqlOver(ovecsCte, imiCurveExternalProbesCte)
+
   private val imiCurveClusteredSql: String = imiCurveSqlOver(
     """ovecs AS (
       |  SELECT vec_id,
@@ -1682,7 +1807,44 @@ object PipelineQueries {
       |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v0
       |        FROM embeddings))""".stripMargin)
 
-  private def imiCurveSqlOver(vecsCte: String): String =
+  /** Probe CTEs of the curve replay — pvecs (probe vectors) + ph0/ph1
+    * (their rounded L2² to the final trained sub-centroids). The
+    * default scopes corpus members vec_id < 10, whose distances are
+    * already in h0df/h1df. */
+  private lazy val imiCurveMemberProbesCte: String =
+    """pvecs AS (SELECT vec_id, v FROM ovecs WHERE vec_id < 10),
+      |ph0 AS (SELECT * FROM h0df WHERE vec_id < 10),
+      |ph1 AS (SELECT * FROM h1df WHERE vec_id < 10)""".stripMargin
+
+  /** EXTERNAL probes: vec_id < 10 shifted far out of any corpus id
+    * range and displaced by +0.25 per dimension (cosine-relevant — a
+    * pure scale would serve identically), with their half distances
+    * computed fresh against the FINAL trained sub-centroids
+    * (h0c2/h1c2) exactly as the engine's trainedDistances does for a
+    * non-corpus probe frame. */
+  private lazy val imiCurveExternalProbesCte: String =
+    """pvecs AS (
+      |  SELECT vec_id + 10000000 AS vec_id,
+      |         list_transform(v, x -> x + CAST(0.25 AS DOUBLE)) AS v
+      |  FROM ovecs WHERE vec_id < 10),
+      |pdims AS (
+      |  SELECT vec_id, unnest(v) AS x,
+      |         unnest(generate_series(1, len(v))) AS pos,
+      |         len(v) // 2 AS hf
+      |  FROM pvecs),
+      |ph0 AS (
+      |  SELECT d.vec_id, c.cid,
+      |         round(sum((d.x - c.cmean) * (d.x - c.cmean)), 6) AS d2r
+      |  FROM pdims d JOIN h0c2 c ON c.pos = d.pos
+      |  WHERE d.pos <= d.hf GROUP BY d.vec_id, c.cid),
+      |ph1 AS (
+      |  SELECT d.vec_id, c.cid,
+      |         round(sum((d.x - c.cmean) * (d.x - c.cmean)), 6) AS d2r
+      |  FROM pdims d JOIN h1c2 c ON c.pos = d.pos
+      |  WHERE d.pos > d.hf GROUP BY d.vec_id, c.cid)""".stripMargin
+
+  private def imiCurveSqlOver(vecsCte: String,
+      probesCte: String = imiCurveMemberProbesCte): String =
     s"""WITH $vecsCte,
        |hdims AS (
        |  SELECT vec_id, unnest(v) AS x,
@@ -1695,6 +1857,7 @@ object PipelineQueries {
        |  FROM ovecs),
        |${kmeansHalfCte("h0", "pos <= hf")},
        |${kmeansHalfCte("h1", "pos > hf")},
+       |$probesCte,
        |idx AS (
        |  SELECT i0.vec_id, i0.cid AS c0, i1.cid AS c1 FROM
        |    (SELECT vec_id, cid FROM (
@@ -1711,16 +1874,15 @@ object PipelineQueries {
        |  SELECT p0.vec_id AS probe_id, p0.cid AS l0, p1.cid AS l1,
        |         row_number() OVER (PARTITION BY p0.vec_id
        |           ORDER BY p0.d2r + p1.d2r, p0.cid, p1.cid) AS rn
-       |  FROM h0df p0 JOIN h1df p1 ON p0.vec_id = p1.vec_id
-       |  WHERE p0.vec_id < 10),
+       |  FROM ph0 p0 JOIN ph1 p1 ON p0.vec_id = p1.vec_id),
        |nps AS (SELECT unnest([1, 2, 4, 8]) AS np),
        |pa AS (SELECT n.np, p.probe_id, p.l0, p.l1 FROM nps n
        |       JOIN pairsr p ON p.rn <= n.np),
        |bfs AS (
        |  SELECT p.vec_id AS probe_id, o.vec_id AS neighbor_id,
        |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
-       |  FROM ovecs p, ovecs o
-       |  WHERE p.vec_id < 10 AND o.vec_id <> p.vec_id),
+       |  FROM pvecs p, ovecs o
+       |  WHERE o.vec_id <> p.vec_id),
        |bf AS (SELECT probe_id, neighbor_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY probe_id
        |    ORDER BY cos_r DESC, neighbor_id) AS rnk FROM bfs)
@@ -1730,7 +1892,7 @@ object PipelineQueries {
        |imis AS (
        |  SELECT a.np, a.probe_id, o.vec_id AS neighbor_id,
        |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
-       |  FROM pa a JOIN ovecs p ON p.vec_id = a.probe_id
+       |  FROM pa a JOIN pvecs p ON p.vec_id = a.probe_id
        |  JOIN idx i ON i.c0 = a.l0 AND i.c1 = a.l1
        |    AND i.vec_id <> a.probe_id
        |  JOIN ovecs o ON o.vec_id = i.vec_id),
@@ -1788,7 +1950,7 @@ object PipelineQueries {
        |           p.v[j] - CASE WHEN j <= len(p.v) // 2
        |             THEN l0.cvv[j]
        |             ELSE l1.cvv[j - len(p.v) // 2] END) AS rv
-       |  FROM pairsr a JOIN ovecs p ON p.vec_id = a.probe_id
+       |  FROM pairsr a JOIN pvecs p ON p.vec_id = a.probe_id
        |  JOIN cl l0 ON l0.sub = 0 AND l0.clabel = a.l0
        |  JOIN cl l1 ON l1.sub = 1 AND l1.clabel = a.l1),
        |psubs AS (
@@ -1820,7 +1982,7 @@ object PipelineQueries {
        |rrq AS (
        |  SELECT s.np, s.probe_id, s.neighbor_id,
        |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
-       |  FROM shortq s JOIN ovecs p ON p.vec_id = s.probe_id
+       |  FROM shortq s JOIN pvecs p ON p.vec_id = s.probe_id
        |  JOIN ovecs o ON o.vec_id = s.neighbor_id),
        |pqserved AS (SELECT np, probe_id, neighbor_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY np, probe_id
@@ -1884,6 +2046,16 @@ object PipelineQueries {
         |ORDER BY 1, 2""".stripMargin
 
   // ---- queries ----
+
+  /** Spark half of [[substringSelfBody]]: every doc_id % 7 = 3
+    * document re-appends its own first 80 bytes, injecting the
+    * within-document repeats the selfspans/withinDoc-rewrite rows
+    * gate on. */
+  private def selfRepeatCorpus(corpus: DataFrame): DataFrame =
+    corpus.withColumn("text",
+      when(col("doc_id") % 7 === 3,
+        concat(col("text"), lit(" "), expr("substring(text, 1, 80)")))
+        .otherwise(col("text")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2031,6 +2203,89 @@ object PipelineQueries {
     "dedup_substring_rewrite" -> ((s, d) =>
       Dedup.substringDedupCorpus(
         Dedup.augmentCorpus(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+
+    // The span expansion FORCED into its salted path (maxBucket = 2:
+    // every 3+-fingerprint bucket splits into hash salts, within-salt
+    // expansion + salt-ordered cross join) — the oracle is the
+    // UNguarded span replay, gating that a hot (hash, window) key's
+    // pair set survives the guard bit-identically. The LSH precedent
+    // (dedup_lsh_skew_guarded) at the substring shape; discharges the
+    // one 100-TB scale-killer the round-18 audit named.
+    "dedup_substring_skew_guarded" -> ((s, d) =>
+      Dedup.substringSpans(Dedup.augmentCorpus(Tables.documents(s, d)),
+        maxBucket = 2)
+        .orderBy("id_a", "id_b", "start_a", "start_b")),
+
+    // WITHIN-document repeated spans (Lee et al. 2022 §4 removes
+    // within-doc duplicates too — web boilerplate makes them a large
+    // duplication share): every maximal span >= 40 bytes occurring
+    // verbatim twice inside one document, at occurrence gap >= the
+    // 16-byte window. The synthetic corpus has no natural >= 40-byte
+    // self-repeats (and the injected duplicates duplicate ACROSS
+    // docs), so every doc_id % 7 = 3 document re-appends its own
+    // first 80 bytes — a known positive the oracle mirrors.
+    "dedup_substring_selfspans" -> ((s, d) =>
+      Dedup.substringSelfSpans(selfRepeatCorpus(
+        Dedup.augmentCorpus(Tables.documents(s, d))))
+        .orderBy("doc_id", "start_first", "start_second")),
+
+    // The rewrite with withinDoc = true over the same self-repeat
+    // fixture: keep-first surgery where a document's own later
+    // repeats are cut alongside the cross-doc duplicates — one
+    // unified matched frame, one removal projection (the cut side is
+    // (id_b, start_b) in both cases).
+    "dedup_substring_rewrite_self" -> ((s, d) =>
+      Dedup.substringDedupCorpus(selfRepeatCorpus(
+        Dedup.augmentCorpus(Tables.documents(s, d))), withinDoc = true)
+        .orderBy("doc_id")),
+
+    // The cross-corpus matcher through the TWO-SIDED skew guard at
+    // its adversarial setting (maxBucket = 2: every co-occurring
+    // bucket 2-D salts) against the unguarded decontam oracle —
+    // pins that corpus-hot windows can't quadratically concentrate
+    // AND that the guard never perturbs the span set.
+    "dedup_substring_decontam_guarded" -> ((s, d) =>
+      Dedup.substringSpansAgainst(
+        Dedup.augmentCorpus(Tables.documents(s, d)),
+        Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), col("text")), maxBucket = 2)
+        .orderBy("doc_id", "ref_id", "start", "ref_start")),
+
+    // INCREMENTAL substring-span dedup — the persisted fingerprint
+    // layout's full lifecycle in one row: write the index on half the
+    // reference slice, APPEND the other half against the stored
+    // sidecar (window/winnowW pinned, name+type append gate), then
+    // serve the corpus's spans FROM THE FILES — history fingerprints
+    // are read, never recomputed; the history frame supplies only the
+    // extension refine's bytes. Winnowing is per-document, so the
+    // served spans must equal the monolithic cross-corpus replay
+    // bit-for-bit — the oracle IS dedup_substring_decontam's
+    // (%50==0 ∪ %50==25 ≡ %25==0).
+    "dedup_substring_append" -> ((s, d) => {
+      val ref = Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), col("text"))
+      val dir = FlowLogQueries.scratchDir("graft_subfp_idx")
+      Dedup.writeSubstringFpIndex(ref.filter(col("doc_id") % 50 === 0),
+        dir)
+      Dedup.appendSubstringFpIndex(s,
+        ref.filter(col("doc_id") % 50 === 25), dir)
+      Dedup.substringSpansAgainstIndex(s,
+        Dedup.augmentCorpus(Tables.documents(s, d)), ref, dir)
+        .orderBy("doc_id", "ref_id", "start", "ref_start")
+    }),
+
+    // Decontamination SCRUB — the composition the decontam row's
+    // scaladoc used to only document: every corpus span matching a
+    // reference (benchmark) doc >= 40 bytes is CUT via the same
+    // interval surgery as the rewrite; untouched docs pass through.
+    // Reference = the original doc_id % 25 slice, so the injected
+    // verbatim leaks provably lose their bodies.
+    "dedup_substring_scrub" -> ((s, d) =>
+      Dedup.substringScrub(
+        Dedup.augmentCorpus(Tables.documents(s, d)),
+        Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), col("text")))
         .orderBy("doc_id")),
 
     // NB: Dedup.simhashPairs (banded near-dup pair join) is part of the
@@ -2289,6 +2544,24 @@ object PipelineQueries {
         .orderBy("probe_id", "neighbor_id")
     }),
 
+    // AUTO-depth Multi-D-ADC serve: rerankDepth = AutoRerankDepth
+    // derives the shortlist depth from the STORED code table's pair
+    // occupancy at serve time (max(k, 40, max-pair-occupancy) — the
+    // imiSuggestedRerankDepth rule at q = 1), so a clustered corpus
+    // can't silently cap recall at the fixed 40. The oracle computes
+    // the same depth as a scalar subquery over the replayed pair
+    // index — the depth RULE is driver-gated, not just spec-pinned.
+    "sim_imipq_auto" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+      val dir = FlowLogQueries.scratchDir("graft_imipq_auto")
+      Similarity.writeImiPqIndex(vecs, Similarity.imiSubCentroids(vecs),
+        dir)
+      Similarity.searchImiPqIndex(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), 5,
+          rerankDepth = Similarity.AutoRerankDepth)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Pair-occupancy health view of the multi-index — sim_index_stats
     // at the pair shape: occupancy/share/balance per occupied virtual
     // cell, the mega-pair and collapsed-half detector a serving
@@ -2344,6 +2617,22 @@ object PipelineQueries {
             "CAST(pow(2, i % 3) AS INT)) % 2 = 1 THEN 1.0D ELSE -1.0D " +
             "END) + 0.1D * x) AS v")
       Similarity.imiRecallCurve(vecs, vecs.filter(col("vec_id") < 10), 3)
+        .orderBy("rung", "np", "probe_id")
+    }),
+
+    // The curve probed by EXTERNAL vectors (members shifted out of
+    // the id space and displaced +0.25 per dimension — deterministic,
+    // so the replay transforms identically): no probe holds an index
+    // row, nothing subtracts from the candidate counts, and the
+    // membership-checked accounting must be exact — the driver-gated
+    // form of the round-18 external-probe claim.
+    "sim_imi_curve_external" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val probes = vecs.filter(col("vec_id") < 10)
+        .selectExpr("vec_id + 10000000 AS vec_id",
+          "transform(v, x -> x + 0.25D) AS v")
+      Similarity.imiRecallCurve(vecs, probes, 3)
         .orderBy("rung", "np", "probe_id")
     }),
 
@@ -5223,6 +5512,16 @@ object PipelineQueries {
     "dedup_substring_spans" -> substringSpansSql,
     "dedup_substring_rewrite" -> substringRewriteSql,
     "dedup_substring_decontam" -> substringDecontamSql,
+    // guard twins gate against the UNGUARDED replays (bit-identity is
+    // the whole contract, the dedup_lsh_skew_guarded precedent)
+    "dedup_substring_skew_guarded" -> substringSpansSql,
+    "dedup_substring_decontam_guarded" -> substringDecontamSql,
+    "dedup_substring_selfspans" -> substringSelfSpansSql,
+    // persisted-index serve: write+append must equal the monolithic
+    // cross-corpus chain, so it SHARES the decontam replay
+    "dedup_substring_append" -> substringDecontamSql,
+    "dedup_substring_rewrite_self" -> substringRewriteSelfSql,
+    "dedup_substring_scrub" -> substringScrubSql,
 
     "dedup_fuzzy_lev" ->
       s"""WITH $corpusCte,
@@ -5891,6 +6190,9 @@ object PipelineQueries {
     "sim_imipq_compact" -> imiPqSearchSqlWhere("WHERE vec_id % 7 <> 0"),
     "sim_imipq_filtered" -> imiPqSearchSqlWhere("WHERE lv.label % 2 = 0"),
     "sim_imipq_range" -> imiPqRangeSql(0.2),
+    "sim_imipq_auto" -> imiPqSearchSqlWhere("",
+      "SELECT greatest(40, max(cnt)) FROM " +
+        "(SELECT count(*) AS cnt FROM idx GROUP BY c0, c1) occ"),
     "sim_imi_persist" -> imiSearchSqlWhere(""),
     "sim_imi_append" -> imiSearchSqlWhere(""),
     "sim_imi_delete" -> imiSearchSqlWhere("AND vec_id % 7 <> 0"),
@@ -5937,6 +6239,7 @@ object PipelineQueries {
          |FROM occ CROSS JOIN tot ORDER BY c0, c1""".stripMargin,
     "sim_imi_curve" -> imiCurveSql,
     "sim_imi_curve_clustered" -> imiCurveClusteredSql,
+    "sim_imi_curve_external" -> imiCurveExternalSql,
     "sim_imi_filtered" -> imiSearchSqlWhere(
       "AND vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
     "sim_imi_range" -> imiRangeSql(0.2),

@@ -174,7 +174,12 @@ class IndexMetaSpec extends SparkSpec {
       ("chunk_store",
         d => Multimodal.writeChunkStore(docs.filter($"doc_id" < 50), d),
         d => Multimodal.appendChunkStore(spark,
-          docs.filter($"doc_id" >= 50 && $"doc_id" < 60), d)))
+          docs.filter($"doc_id" >= 50 && $"doc_id" < 60), d)),
+      ("substring_fp",
+        d => Dedup.writeSubstringFpIndex(docs.filter($"doc_id" < 50), d),
+        d => Dedup.substringSpansAgainstIndex(spark,
+          docs.filter($"doc_id" < 20), docs.filter($"doc_id" < 50), d)
+          .collect()))
     for ((name, build, serve) <- cases) {
       withTempDir(s"graft_fmt_$name") { dir =>
         build(dir)

@@ -648,6 +648,29 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.imiSuggestedRerankDepth(stats, 3, q = 0.0)
     }
+    // EMPTY stats (empty corpus / freshly drained index) returns the
+    // floor instead of an NPE — the serve-time auto mode hits this on
+    // a drained layout.
+    assert(Similarity.imiSuggestedRerankDepth(
+      stats.filter($"n_vectors" < 0), 3) === 40)
+    // AUTO serve mode: the persisted Multi-D-ADC serve at
+    // rerankDepth = AutoRerankDepth derives THIS rule's depth from
+    // the stored code table — on the mega-pair fixture it must serve
+    // bit-identically to passing the suggested depth explicitly (the
+    // auto path reads occupancy from codes, the explicit one from
+    // imiPairStats; both must land on the same grid).
+    withTempDir("imipq_auto") { dir =>
+      Similarity.writeImiPqIndex(vecs, Similarity.imiSubCentroids(vecs),
+        dir)
+      val auto = Similarity.searchImiPqIndex(spark, dir, vecs, probes, 3,
+          rerankDepth = Similarity.AutoRerankDepth)
+        .orderBy("probe_id", "rnk").collect()
+      val explicitD = Similarity.searchImiPqIndex(spark, dir, vecs,
+          probes, 3, rerankDepth = depth)
+        .orderBy("probe_id", "rnk").collect()
+      assert(auto.sameElements(explicitD),
+        "auto-depth serve diverged from the explicitly-sized serve")
+    }
   }
 
   test("imiRecallCurve candidate counts are membership-checked: " +
@@ -708,20 +731,30 @@ class PipelineSpec extends SparkSpec {
       assert(texts(a).substring(sa, sa + len) ===
         texts(b).substring(sb, sb + len),
         s"span ($a,$b,$sa,$sb,$len) is not verbatim-shared")
-    // COMPLETENESS: the embedded 200-byte region must surface for
-    // (1,2) and (2,4); winnowing boundary effects cost at most
-    // window + winnowW - 1 = 23 bytes at each end.
+    // COMPLETENESS + MAXIMALITY: the embedded 200-byte region must
+    // surface for (1,2) and (2,4) at its FULL extent — the byte
+    // extension recovers the ≤ winnowW − 1 per-side margin winnowing
+    // detection can leave, so the span is exactly maximal, not just
+    // within 2·23 of it.
     for ((a, b) <- Seq((1L, 2L), (2L, 4L))) {
       val best = spans.filter(s => s._1 == a && s._2 == b).map(_._5)
-      assert(best.nonEmpty && best.max >= 200 - 2 * 23,
-        s"shared 200-byte region not found for ($a,$b): got $best")
+      assert(best.nonEmpty && best.max === 200,
+        s"shared 200-byte region not maximal for ($a,$b): got $best")
     }
-    // the exact-duplicate pair (1,4) spans essentially the whole doc
-    // at delta 0
+    // the exact-duplicate pair (1,4) spans the WHOLE doc at delta 0
     val dup = spans.filter(s => s._1 == 1L && s._2 == 4L)
     assert(dup.nonEmpty && dup.forall(s => s._3 == s._4) &&
-      dup.map(_._5).max >= 200 - 2 * 23,
-      s"exact duplicate pair not spanned: $dup")
+      dup.exists(s => s._3 == 0 && s._5 == 200),
+      s"exact duplicate pair not whole-doc-spanned: $dup")
+    // SKEW GUARD: forcing every fingerprint bucket through the salted
+    // path (maxBucket = 2) must reproduce the pair/span set
+    // bit-identically — the same adversarial pinning the LSH guard
+    // gates every round.
+    val guarded = Dedup.substringSpans(docs, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    assert(guarded.toSet === spans.toSet,
+      "salted bucket expansion at maxBucket=2 diverged from default")
     // disjoint doc 3 pairs with nobody
     assert(!spans.exists(s => s._1 == 3L || s._2 == 3L),
       "disjoint-alphabet doc produced a span")
@@ -783,6 +816,80 @@ class PipelineSpec extends SparkSpec {
         base.substring(rs, rs + len))
     assert(!hits.exists(_._1 == 3L),
       "disjoint corpus doc matched the reference")
+  }
+
+  test("substringSelfSpans finds within-doc repeats; withinDoc rewrite " +
+      "cuts later occurrences; scrub trims reference leaks") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(23)
+    def rndText(n: Int, vocab: String) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString
+    val block = rndText(60, "abcdefgh ")     // repeated region
+    val filler = rndText(30, "uvwxyz")       // disjoint alphabet gap
+    val selfDoc = block + filler + block     // repeat at delta 90
+    val plain = rndText(150, "abcdefgh ")
+    val docs = Seq((1L, selfDoc), (2L, plain)).toDF("doc_id", "text")
+    val self = Dedup.substringSelfSpans(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3)))
+    // exactly the one repeat, at its maximal extent (byte extension)
+    assert(self.toSeq === Seq((1L, 0, 90, 60)),
+      s"self-span mismatch: ${self.toSeq}")
+    // cross-doc-only rewrite leaves the self-repeat alone...
+    val crossOnly = Dedup.substringDedupCorpus(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(crossOnly(1L) === ((selfDoc, 0L)))
+    // ...withinDoc = true cuts the LATER occurrence, keeps the first
+    val withSelf = Dedup.substringDedupCorpus(docs, withinDoc = true)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(withSelf(1L) === ((block + filler, 60L)),
+      s"withinDoc rewrite mismatch: ${withSelf(1L)}")
+    assert(withSelf(2L) === ((plain, 0L)))
+    // SCRUB: corpus spans matching a reference doc are cut; untouched
+    // docs pass through; the reference side is never rewritten.
+    val leak = rndText(80, "abcdefgh ")
+    val corpus = Seq((10L, "x" * 20 + leak + "y" * 20), (11L, plain))
+      .toDF("doc_id", "text")
+    val ref = Seq((1L, leak)).toDF("doc_id", "text")
+    val scrubbed = Dedup.substringScrub(corpus, ref)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(scrubbed(10L) === (("x" * 20 + "y" * 20, 80L)),
+      s"scrub mismatch: ${scrubbed(10L)}")
+    assert(scrubbed(11L) === ((plain, 0L)))
+  }
+
+  test("interval surgery snaps byte offsets to UTF-8 codepoint " +
+      "boundaries — no mojibake on multibyte corpora") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(31)
+    val shared = Seq.fill(60)("abcdefgh "(rnd.nextInt(9))).mkString
+    // doc 1 keeps the span; doc 2 loses it. The surrounding codepoints
+    // are chosen so byte extension stops MID-codepoint on both edges:
+    // left: α (CE B1) vs ñ (C3 B1) share their LAST byte; right:
+    // α (CE B1) vs β (CE B2) share their FIRST byte. Without the snap,
+    // doc 2's clean_text would carry orphan continuation bytes.
+    val d1 = "α" + shared + "α"   // α … α
+    val d2 = "ñ" + shared + "β"   // ñ … β
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    // extension crossed into both multibyte neighbors by exactly 1 byte
+    assert(spans.toSeq === Seq((1L, 2L, 1, 1, 62)),
+      s"extension mismatch: ${spans.toSeq}")
+    val rewritten = Dedup.substringDedupCorpus(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(rewritten(1L) === ((d1, 0L)), "first occurrence must be kept")
+    // the snap widens the removal over both partially-cut codepoints:
+    // the whole of doc 2 (2 + 60 + 2 bytes) is removed cleanly
+    assert(rewritten(2L) === (("", 64L)),
+      s"snap mismatch: ${rewritten(2L)}")
+    assert(!rewritten.values.exists(_._1.contains('�')),
+      "clean_text contains replacement characters — invalid UTF-8")
   }
 
   test("knnJoin recall at the SHIPPED config (nprobe=2) is >= 0.95") {

@@ -98,6 +98,11 @@ class PlanInvariantsSpec extends SparkSpec {
                              // deterministic clustered fixture —
                              // identical audited shapes, only the
                              // input vectors differ
+    "sim_imi_curve_external", // the same curve chain probed by
+                             // synthesized NON-corpus vectors —
+                             // identical audited shapes (broadcast
+                             // probes, probe != neighbor non-equi),
+                             // only the probe frame differs
     "mm_feature_knn"         // the audited brute-force shape over
                              // kernel-extracted feature vectors
                              // (broadcast probes, probe != neighbor

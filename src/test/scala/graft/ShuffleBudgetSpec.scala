@@ -35,20 +35,36 @@ class ShuffleBudgetSpec extends SparkSpec {
                                  // pair distinct + sort (was 4 with
                                  // the shingle-explode aggregate)
     "dedup_ngram_jaccard" -> 10, // LSH chain + jaccard verify
-    "dedup_substring_spans" -> 2, // fingerprint explode is narrow
-                                  // (codegen'd kernel); the (h, win)
-                                  // self-join's exchange is REUSED by
-                                  // the same-delta merge window + span
-                                  // agg; + output sort
-    "dedup_substring_decontam" -> 2, // the cross-corpus variant: same
-                                  // fingerprint equi-join (exchange
-                                  // reused by the merge window/agg) +
-                                  // output sort
-    "dedup_substring_rewrite" -> 11, // the spans chain + interval
-                                  // dedup/merge windows (doc-keyed) +
-                                  // head/tail piece frames + rebuild
-                                  // agg + two doc-keyed left joins +
-                                  // output sort
+    // Substring-span family (r19): the guarded salted expansion prints
+    // its bucket-size window once per leg (cold/hot-within/hot-cross ×
+    // both sides) and the surgery tails re-print the spans lineage —
+    // TEXTUAL counts; the canonically-identical exchanges dedup at
+    // runtime via ReuseExchange (sf0.1 steadies stayed inside the
+    // pre-guard quiet bands: spans 2.7-3.0, rewrite 0.7-0.8 s).
+    "dedup_substring_spans" -> 7, // winnow explode is narrow
+                                  // (codegen'd kernel); bucket-size
+                                  // window + salted expansion legs +
+                                  // merge window/agg + extension
+                                  // joins + output sort
+    "dedup_substring_skew_guarded" -> 7, // same chain, maxBucket=2
+    "dedup_substring_selfspans" -> 7,    // same chain, same-doc filter
+    "dedup_substring_decontam" -> 10, // two-sided guard: per-side
+                                  // bucket counts + cold/hot legs +
+                                  // merge/extension + output sort
+    "dedup_substring_decontam_guarded" -> 10, // same chain, maxBucket=2
+    "dedup_substring_append" -> 10, // the decontam chain with the
+                                  // reference side READ from the
+                                  // persisted fp table instead of
+                                  // fingerprinted — same exchange set
+    "dedup_substring_rewrite" -> 26, // the spans chain (re-printed by
+                                  // the piece frames) + interval
+                                  // snap/dedup/merge windows
+                                  // (doc-keyed) + rebuild agg + two
+                                  // doc-keyed left joins + output sort
+    "dedup_substring_rewrite_self" -> 26, // unified matched frame
+    "dedup_substring_scrub" -> 35, // decontam chain + surgery tail
+                                  // (the cross-corpus lineage prints
+                                  // once more per piece frame)
     "text_top_ngrams" -> 2,      // (gram,doc) pre-agg + gram rollup
     "text_gopher_rules" -> 1,     // per-row integer rules; output sort only
     "text_spell_candidates" -> 6, // vocab agg + probe sort-limits +
@@ -130,7 +146,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // count is meaningless. Its structure is gated by the oracle
     // (integer overlap counts) and each rung's own budget row.
     // sim_recall_curve is excluded for the same reason ×4 nprobe
-    // points (16 rung enumerations over one trained lineage).
+    // points (16 rung enumerations over one trained lineage);
+    // sim_imi_curve / _clustered / _external likewise (two rungs ×
+    // 4 operating points over one two-level trained lineage).
     "mm_gray" -> 1,               // codegen'd kernel + pixel explode;
                                   // output sort only
     "mm_flip" -> 1,               // same shape (pure index remap)
@@ -245,6 +263,13 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // refined frame — one less than
                                     // the ranked serves (no final
                                     // top-k window exchange)
+    "sim_imipq_auto" -> 22,         // identical serve frame: the auto
+                                    // depth resolves EAGERLY from a
+                                    // ≤k²-row code-table aggregate at
+                                    // plan-build time, so the served
+                                    // frame's plan is persist's
+                                    // verbatim with a different depth
+                                    // constant
     "sim_imi_persist" -> 14,        // SERVING plan (codebooks + index
                                     // written before the frame): the
                                     // probe sub-d2 agg prints under

@@ -2042,4 +2042,47 @@ class StreamingSpec extends SparkSpec {
         "streamed bloom appends must serve like the monolithic filter")
     } finally q.stop()
   }
+
+  test("streaming substring-fp ingest: micro-batch appended " +
+      "fingerprint index serves spans like the monolithic matcher") {
+    // The continuous-curation shape for exact-substring dedup: history
+    // documents arrive as micro-batches, each batch fingerprints ONCE
+    // into the persisted layout (first batch writes, later batches
+    // append against the sidecar-pinned fingerprint space), and a
+    // later incoming shard measures its spans against ALL of history
+    // from the files. Winnowing is per-document, so the streamed index
+    // must serve bit-identically to the in-memory cross-corpus
+    // matcher over the full history.
+    import graft.operators.Dedup
+    val history = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 5 === 0).select($"doc_id", $"text")
+    val incoming = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 7 === 0).select($"doc_id", $"text")
+    withTempDir("graft_subfp_stream") { dir =>
+      val in = MemoryStream[(Long, String)](spark)
+      val q = in.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            if (new java.io.File(s"$dir/fps").exists())
+              Dedup.appendSubstringFpIndex(spark, batch, dir)
+            else Dedup.writeSubstringFpIndex(batch, dir)
+          }
+          ()
+        }.start()
+      try {
+        val rows = history.as[(Long, String)].collect()
+        val (b1, b2) = rows.partition(_._1 % 2 == 0)
+        in.addData(b1.toSeq: _*); q.processAllAvailable()
+        in.addData(b2.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      val got = Dedup.substringSpansAgainstIndex(spark, incoming,
+        history, dir).collect().map(_.toSeq).toSet
+      val want = Dedup.substringSpansAgainst(incoming, history)
+        .collect().map(_.toSeq).toSet
+      // doc_id % 35 == 0 docs sit on BOTH sides, so whole-doc leaks
+      // provably exist and the parity check is non-vacuous
+      assert(want.nonEmpty && got === want,
+        "streamed fingerprint index must serve like the in-memory matcher")
+    }
+  }
 }
