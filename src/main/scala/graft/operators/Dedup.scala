@@ -1302,6 +1302,24 @@ object Dedup {
         col("span_len"))
   }
 
+  /** [[substringScrub]] served from a stored
+    * [[writeSubstringFpIndex]] layout — the continuous-curation
+    * composition: each incoming batch is scrubbed of every span
+    * matching the PERSISTED reference corpus (benchmark suites,
+    * known-contaminated sources) without ever re-fingerprinting the
+    * reference; `reference` supplies only the extension refine's
+    * bytes, like every index serve. Output =
+    * `substringScrub(incoming, reference)` bit-for-bit. */
+  def substringScrubFromIndex(
+      spark: org.apache.spark.sql.SparkSession, incoming: DataFrame,
+      reference: DataFrame, dir: String, minSpan: Int = 40,
+      maxBucket: Int = 1 << 20): DataFrame =
+    cutIntervals(incoming,
+      substringSpansAgainstIndex(spark, incoming, reference, dir,
+          minSpan, maxBucket)
+        .select(col("doc_id"), col("start").as("rs"),
+          (col("start") + col("span_len")).as("re")))
+
   /** The byte-interval surgery shared by [[substringDedupCorpus]] and
     * [[substringScrub]]: removal intervals snap outward to UTF-8
     * codepoint boundaries, merge per document (gaps-and-islands), and

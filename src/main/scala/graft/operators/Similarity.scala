@@ -2521,11 +2521,12 @@ object Similarity {
       dir: String, vecs: DataFrame, probes: DataFrame, k: Int,
       m: Int = 4, nprobe: Int = 2, rerankDepth: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(rerankDepth >= k, s"rerankDepth $rerankDepth must cover k=$k")
+    require(rerankDepth == AutoRerankDepth || rerankDepth >= k,
+      s"rerankDepth $rerankDepth must cover k=$k (or AutoRerankDepth)")
     val wC = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_r").desc, col("neighbor_id").asc)
     pqrRefinedFromIndex(spark, dir, vecs, probes, m, nprobe,
-        rerankDepth, None)
+        rerankDepth, None, k)
       .withColumn("rnk", row_number().over(wC))
       .filter(col("rnk") <= k)
   }
@@ -2542,11 +2543,12 @@ object Similarity {
       pred: Column, m: Int = 4, nprobe: Int = 2,
       rerankDepth: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(rerankDepth >= k, s"rerankDepth $rerankDepth must cover k=$k")
+    require(rerankDepth == AutoRerankDepth || rerankDepth >= k,
+      s"rerankDepth $rerankDepth must cover k=$k (or AutoRerankDepth)")
     val wC = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_r").desc, col("neighbor_id").asc)
     pqrRefinedFromIndex(spark, dir, vecs, probes, m, nprobe,
-        rerankDepth, Some(pred))
+        rerankDepth, Some(pred), k)
       .withColumn("rnk", row_number().over(wC))
       .filter(col("rnk") <= k)
   }
@@ -2561,7 +2563,7 @@ object Similarity {
       dir: String, vecs: DataFrame, probes: DataFrame, tau: Double,
       m: Int = 4, nprobe: Int = 2, rerankDepth: Int = 40): DataFrame =
     pqrRefinedFromIndex(spark, dir, vecs, probes, m, nprobe,
-        rerankDepth, None)
+        rerankDepth, None, 1)
       .filter(col("cos_r") >= tau)
 
   /** The refined scored frame of the persisted IVF-PQ serves (top-k,
@@ -2572,7 +2574,7 @@ object Similarity {
   private def pqrRefinedFromIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       vecs: DataFrame, probes: DataFrame, m: Int, nprobe: Int,
-      rerankDepth: Int, pred: Option[Column]): DataFrame = {
+      rerankDepth: Int, pred: Option[Column], k: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     // Serving at a different sub-vector split than the build would
     // slice probe vectors against codes that mean something else —
@@ -2586,11 +2588,27 @@ object Similarity {
     // Same tombstone mask as [[searchIvfIndex]] — [[deleteFromIvfIndex]]
     // is layout-agnostic (it only writes ids), so PQ serving honors
     // deletions identically; absent for layouts that never deleted.
-    val codes = readTombstones(spark, dir)
+    val tomb = readTombstones(spark, dir)
+    val codes = tomb
       .map(t => codes0.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(codes0)
+    // [[AutoRerankDepth]] at the single-level cell key: occupancy of
+    // the LIVE (tombstone-masked, pre-predicate) code rows, count div
+    // m per cell — [[imiPqRefinedFromIndex]]'s rule over `cell`
+    // instead of (c0, c1); one ≤ K-row aggregate of the index itself.
+    val depth =
+      if (rerankDepth != AutoRerankDepth) rerankDepth
+      else {
+        val live = tomb
+          .map(t => spark.read.parquet(s"$dir/codes")
+            .join(broadcast(t), Seq("vec_id"), "left_anti"))
+          .getOrElse(spark.read.parquet(s"$dir/codes"))
+        imiSuggestedRerankDepth(
+          live.groupBy(col("cell"))
+            .agg(expr(s"count(1) div $m").as("n_vectors")), k)
+      }
     pqrRefined(codes, cents, codebook, vecs, probes, m, nprobe,
-      rerankDepth)
+      depth)
   }
 
   /** One Lloyd's-iteration update step over an embedding corpus:

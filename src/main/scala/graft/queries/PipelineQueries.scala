@@ -1414,8 +1414,9 @@ object PipelineQueries {
     * metadata predicate (the stored code rows carry the metadata —
     * the replay joins it back from embeddings as `lv`). Empty
     * predicate = the monolithic serve. */
-  private def ivfPqrSearchSqlWhere(codePred: String): String =
-    s"""${ivfPqrChainCtes(codePred)},
+  private def ivfPqrSearchSqlWhere(codePred: String,
+      depthSql: String = "40"): String =
+    s"""${ivfPqrChainCtes(codePred, depthSql)},
        |r AS (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY probe_id ORDER BY cos_r DESC, neighbor_id) AS rnk
@@ -1433,7 +1434,8 @@ object PipelineQueries {
 
   /** Shared WITH-chain of the by-residual IVF-PQ replays, ending in
     * `rr` (probe, shortlisted neighbor, exact 6-dp refined cosine). */
-  private def ivfPqrChainCtes(codePred: String): String =
+  private def ivfPqrChainCtes(codePred: String,
+      depthSql: String = "40"): String =
     s"""WITH $ovecsCte,
          |$kmeansCte,
          |di AS (
@@ -1499,7 +1501,7 @@ object PipelineQueries {
          |  SELECT probe_id, vec_id AS neighbor_id FROM (
          |    SELECT *, row_number() OVER (
          |      PARTITION BY probe_id ORDER BY adist, vec_id) AS srnk FROM sc)
-         |  WHERE srnk <= 40),
+         |  WHERE srnk <= ($depthSql)),
          |rr AS (
          |  SELECT s.probe_id, s.neighbor_id,
          |         round(${cosSql("p.v", "o.v")}, 6) AS cos_r
@@ -2288,6 +2290,24 @@ object PipelineQueries {
           .select(col("doc_id"), col("text")))
         .orderBy("doc_id")),
 
+    // Incremental SCRUB — the persisted-layout composition of the two
+    // rows above: the reference corpus lives only as its fingerprint
+    // index (write half, append half), and the incoming corpus is
+    // scrubbed against it from the files. Must equal the in-memory
+    // scrub bit-for-bit, hence the shared oracle.
+    "dedup_substring_scrub_incr" -> ((s, d) => {
+      val ref = Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), col("text"))
+      val dir = FlowLogQueries.scratchDir("graft_subfp_scrub")
+      Dedup.writeSubstringFpIndex(ref.filter(col("doc_id") % 50 === 0),
+        dir)
+      Dedup.appendSubstringFpIndex(s,
+        ref.filter(col("doc_id") % 50 === 25), dir)
+      Dedup.substringScrubFromIndex(s,
+        Dedup.augmentCorpus(Tables.documents(s, d)), ref, dir)
+        .orderBy("doc_id")
+    }),
+
     // NB: Dedup.simhashPairs (banded near-dup pair join) is part of the
     // operator library (PipelineSpec covers it) but has no query entry:
     // the synthetic corpus draws from a tiny vocabulary, so its 16-bit
@@ -2898,6 +2918,22 @@ object PipelineQueries {
       Similarity.writeIvfPqIndex(vecs, dir)
       Similarity.searchIvfPqIndex(s, dir, vecs,
         vecs.filter(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // AUTO-depth IVF-PQ serve — sim_imipq_auto's rule at the
+    // single-level cell key: rerankDepth derives from the stored code
+    // table's CELL occupancy at serve time (max(k, 40,
+    // max-cell-occupancy)), driver-gated by the same scalar-subquery
+    // oracle shape over the replayed cell index.
+    "sim_ivfpq_auto" -> ((s, d) => {
+      val vecs = Similarity.vectors(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"))
+      val dir = FlowLogQueries.scratchDir("graft_ivfpq_auto")
+      Similarity.writeIvfPqIndex(vecs, dir)
+      Similarity.searchIvfPqIndex(s, dir, vecs,
+          vecs.filter(col("vec_id") < 10), 5,
+          rerankDepth = Similarity.AutoRerankDepth)
         .orderBy("probe_id", "rnk")
     }),
 
@@ -5522,6 +5558,7 @@ object PipelineQueries {
     "dedup_substring_append" -> substringDecontamSql,
     "dedup_substring_rewrite_self" -> substringRewriteSelfSql,
     "dedup_substring_scrub" -> substringScrubSql,
+    "dedup_substring_scrub_incr" -> substringScrubSql,
 
     "dedup_fuzzy_lev" ->
       s"""WITH $corpusCte,
@@ -5845,6 +5882,9 @@ object PipelineQueries {
     // contract (PipelineSpec pins bit-for-bit parity with the
     // in-memory ivfPqrTopK), so it gates against the same replay.
     "sim_ivfpq_persist" -> ivfPqrSearchSql,
+    "sim_ivfpq_auto" -> ivfPqrSearchSqlWhere("",
+      "SELECT greatest(40, max(cnt)) FROM " +
+        "(SELECT count(*) AS cnt FROM idx GROUP BY cell) occ"),
     // Shares the monolithic replay: the quantizer trains on the full
     // corpus, so build-half + append-half serves identically.
     "sim_ivfpq_append" -> ivfPqrSearchSql,

@@ -65,6 +65,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_substring_scrub" -> 35, // decontam chain + surgery tail
                                   // (the cross-corpus lineage prints
                                   // once more per piece frame)
+    "dedup_substring_scrub_incr" -> 35, // same tail over the
+                                  // persisted-fp serve — identical
+                                  // exchange set (reference fps read
+                                  // instead of fingerprinted)
     "text_top_ngrams" -> 2,      // (gram,doc) pre-agg + gram rollup
     "text_gopher_rules" -> 1,     // per-row integer rules; output sort only
     "text_spell_candidates" -> 6, // vocab agg + probe sort-limits +
@@ -577,6 +581,11 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // the broadcast shortlist, and the
                                   // distance-table subtree stays
                                   // broadcast-only
+    "sim_ivfpq_auto" -> 10,       // identical serve frame — the auto
+                                  // depth resolves eagerly from a
+                                  // ≤K-row cell-occupancy aggregate at
+                                  // plan-build time (sim_imipq_auto's
+                                  // rule at the cell key)
     "sim_ivfpq_delete" -> 10,     // same serve — the tombstone mask is
                                   // a broadcast anti-join, zero added
                                   // exchanges
