@@ -203,6 +203,178 @@ object TextAnalysis {
           .as("avg_logprob_micro"))
   }
 
+  /** Multinomial Naive Bayes classification — the cheap linear
+    * document classifier a curation pipeline runs corpus-wide when a
+    * neural scorer is too expensive (fastText-class quality/domain
+    * routing; McCallum & Nigam 1998's multinomial event model): train
+    * per-label add-one-smoothed token log-likelihoods and log-priors
+    * on the labeled input, then score every document under every
+    * label and emit the argmax. Trained and applied in ONE dataflow
+    * (resubstitution — the gated row's shape); to classify a separate
+    * corpus, union it in with its own ids and ignore its ground
+    * labels downstream.
+    *
+    * score(d, ℓ) = ln P(ℓ) + Σ_{tok ∈ d} ln((c_{ℓ,tok}+1)/(c_ℓ+V)),
+    * tokens split on single spaces; unseen (label, token) pairs take
+    * the smoothing floor through the left join's coalesce.
+    *
+    * Scale shape: the model tables are label- and vocab-bounded
+    * (c_{ℓ,tok} is a (label, token)-keyed aggregate with map-side
+    * combine, never corpus-sized state); scoring fans each document's
+    * token stream out by the |labels|-row broadcast dimension (the
+    * audited tiny-enumeration cross, [[graft.queries]]'
+    * pipeline_source_mix class) and hash-joins the model on
+    * (label, token) — no corpus×corpus anything, and per-doc rollups
+    * key on (doc_id, label). Determinism: per-token terms quantize to
+    * micro-units via `floor(ln·10⁶ + 0.5)` (the [[unigramLogprob]]
+    * discipline), sums are BIGINT, and the argmax tie-breaks on label
+    * ascending — bit-stable across engines and parallelism. */
+  def naiveBayesClassify(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("label"),
+      explode(split(col("text"), " ")).as("tok"))
+    nbScore(docs.select(col("doc_id"), col("text")),
+      toks.groupBy(col("label"), col("tok"))
+        .agg(count(lit(1)).as("c_lt")),
+      docs.groupBy(col("label")).agg(count(lit(1)).as("n_docs")))
+  }
+
+  /** The NB scoring frame shared by the in-memory classifier and the
+    * persisted-model serve: derives per-label token totals, the
+    * corpus vocabulary scalar, and log-priors from the COUNT tables
+    * (additive under append — the whole reason the stored form is raw
+    * counts, the BM25-shards df-reaggregation discipline), fans each
+    * incoming document's tokens across the |labels|-row broadcast
+    * dimension, left-joins the model on (label, token) — unseen
+    * tokens take the smoothing floor — and emits the per-doc argmax.
+    */
+  private def nbScore(incoming: DataFrame, cwc: DataFrame,
+      docstats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ct = cwc.groupBy(col("label")).agg(sum(col("c_lt")).as("c_l"))
+    val vocab = cwc.agg(countDistinct(col("tok")).as("v"))
+    val pri = docstats
+      .crossJoin(broadcast(docstats.agg(sum(col("n_docs")).as("n"))))
+      .select(col("label"),
+        floor(log(col("n_docs").cast("double") / col("n").cast("double")) *
+          lit(1000000.0d) + lit(0.5d)).cast("long").as("prior_micro"))
+    val toks = incoming.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val terms = toks
+      .crossJoin(broadcast(docstats.select(col("label"))))
+      .join(cwc, Seq("label", "tok"), "left")
+      .join(broadcast(ct), Seq("label"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("label"),
+        floor(log((coalesce(col("c_lt"), lit(0L)) + 1).cast("double") /
+          (col("c_l") + col("v")).cast("double")) * lit(1000000.0d) +
+          lit(0.5d)).cast("long").as("lp"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("label").asc)
+    terms.groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("lp")).as("s"))
+      .join(broadcast(pri), Seq("label"))
+      .select(col("doc_id"), col("label"),
+        (col("s") + col("prior_micro")).as("score_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("label").as("pred"), col("score_micro"))
+  }
+
+  /** Persist the NB model as RAW COUNT tables — `counts/`
+    * (label, tok, c_lt) and `docstats/` (label, n_docs) — not
+    * log-space likelihoods: counts are ADDITIVE, so an appended batch
+    * is just more rows and the serve re-aggregates per key (the BM25
+    * sharded-df precedent); storing logs would bake in totals that an
+    * append invalidates. Model size is labels × vocab, never corpus. */
+  def nbWriteModel(docs: DataFrame, dir: String): Unit = {
+    val toks = docs.select(col("label"),
+      explode(split(col("text"), " ")).as("tok"))
+    toks.groupBy(col("label"), col("tok")).agg(count(lit(1)).as("c_lt"))
+      .write.mode("overwrite").parquet(s"$dir/counts")
+    docs.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$dir/docstats")
+    IndexMeta.write(docs.sparkSession, dir,
+      "layout" -> "nb_model", "fmt" -> "1")
+  }
+
+  /** APPEND a labeled batch to a stored [[nbWriteModel]] layout: the
+    * batch's count rows land beside the old ones and the serve's
+    * per-key re-aggregation makes write(A)+append(B) ≡ write(A ∪ B)
+    * exactly (integer count addition is order-free). New labels just
+    * appear; gates through the fleet's name+type append contract. */
+  def nbAppendModel(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "nb_model",
+      "fmt" -> "1")
+    val toks = batch.select(col("label"),
+      explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("label"), col("tok"))
+      .agg(count(lit(1)).as("c_lt"))
+    val stats = batch.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    graft.operators.Similarity.requireAppendColumns(spark,
+      s"$dir/counts", counts, "nbAppendModel")
+    graft.operators.Similarity.requireAppendColumns(spark,
+      s"$dir/docstats", stats, "nbAppendModel")
+    counts.write.mode("append").parquet(s"$dir/counts")
+    stats.write.mode("append").parquet(s"$dir/docstats")
+  }
+
+  /** Classify a corpus against a STORED [[nbWriteModel]] layout — the
+    * continuous-curation serve: the frozen (or incrementally appended)
+    * model routes every arriving shard without retraining; unseen
+    * tokens take the smoothing floor through the scoring frame's left
+    * join, so genuinely new vocabulary degrades gracefully instead of
+    * erroring. Identical scoring contract to [[naiveBayesClassify]]
+    * by construction (one shared frame). */
+  def nbClassifyFromModel(spark: org.apache.spark.sql.SparkSession,
+      incoming: DataFrame, dir: String): DataFrame = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "nb_model",
+      "fmt" -> "1")
+    nbScore(incoming,
+      spark.read.parquet(s"$dir/counts")
+        .groupBy(col("label"), col("tok"))
+        .agg(sum(col("c_lt")).as("c_lt")),
+      spark.read.parquet(s"$dir/docstats")
+        .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs")))
+  }
+
+  /** Compact a stored [[nbWriteModel]] layout: fold the rows that
+    * [[nbAppendModel]] batches have stacked beside each other into
+    * ONE row per (label, tok) / per label — the serve's per-key
+    * re-aggregation is the identity on the compacted form, so serve
+    * parity is exact by construction (spec-pinned bit-identical).
+    * Worth running when append counts grow: the serve re-aggregates
+    * the counts table on every classify, and k appends make that
+    * shuffle k× wider than the model it encodes.
+    *
+    * Staged whole-table swaps ([[FsOps.swapInto]], the flat-layout
+    * compaction convention — the model is labels × vocab, never
+    * corpus-sized, so a full rewrite is cheap). Unlike the tombstoned
+    * ANN layouts there is NO crash-window ordering hazard here: both
+    * tables are pure additive counts and the serve re-aggregates, so
+    * a crash between the two swaps leaves a mixed compacted/raw model
+    * that still serves exactly. */
+  def nbCompactModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    IndexMeta.requireMatch(spark, dir, "layout" -> "nb_model",
+      "fmt" -> "1")
+    val fs = FsOps.fsOf(spark, dir)
+    FsOps.clearStaging(fs, dir)
+    val countsStaging = s"$dir/counts_compacting"
+    spark.read.parquet(s"$dir/counts")
+      .groupBy(col("label"), col("tok"))
+      .agg(sum(col("c_lt")).as("c_lt"))
+      .write.mode("overwrite").parquet(countsStaging)
+    FsOps.swapInto(fs, countsStaging, s"$dir/counts")
+    val statsStaging = s"$dir/docstats_compacting"
+    spark.read.parquet(s"$dir/docstats")
+      .groupBy(col("label"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .write.mode("overwrite").parquet(statsStaging)
+    FsOps.swapInto(fs, statsStaging, s"$dir/docstats")
+  }
+
   /** BPE merge-rule TRAINING (Sennrich et al. 2016, arXiv:1508.07909):
     * learn the first `merges` byte-pair merges from the corpus itself —
     * the other half of the tokenizer story next to [[tokenizeBpe]]'s

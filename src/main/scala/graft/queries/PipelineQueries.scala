@@ -3278,6 +3278,67 @@ object PipelineQueries {
       TextAnalysis.bpeApplyFromVocab(s, dir, incoming).orderBy("doc_id")
     }),
 
+    // Multinomial Naive Bayes source classifier — the fastText-class
+    // cheap linear router a curation pipeline runs corpus-wide:
+    // per-source token log-likelihoods + log-priors trained on the
+    // labeled corpus, every doc scored under every source, argmax
+    // emitted (micro-unit fixed-point terms, BIGINT sums, label-asc
+    // tie-break — the unigram-LM determinism discipline). Joined back
+    // to the ground label so the row doubles as a confusion readout.
+    "text_nb_classify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source").as("label"), col("text"))
+      TextAnalysis.naiveBayesClassify(docs)
+        .join(docs.select(col("doc_id"), col("label").as("actual")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("actual"), col("pred"),
+          col("score_micro"))
+        .orderBy("doc_id")
+    }),
+
+    // NB model LIFECYCLE: train on the even half, APPEND the odd half
+    // (stored form = raw counts, additive — write(A)+append(B) ≡
+    // write(A ∪ B) by per-key re-aggregation, the BM25-shards
+    // discipline), then classify the corpus with one guaranteed-OOV
+    // token per doc ("xq<doc_id>", absent from the synthetic
+    // vocabulary) against the STORED model — unseen tokens must take
+    // the smoothing floor, not error. Oracle = the monolithic train
+    // over the full corpus scoring the OOV-augmented incoming.
+    "text_nb_serve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source").as("label"), col("text"))
+      val dir = FlowLogQueries.scratchDir("graft_nb_model")
+      TextAnalysis.nbWriteModel(docs.filter(col("doc_id") % 2 === 0),
+        dir)
+      TextAnalysis.nbAppendModel(s,
+        docs.filter(col("doc_id") % 2 === 1), dir)
+      val incoming = docs.select(col("doc_id"),
+        concat(col("text"), lit(" xq"), col("doc_id").cast("string"))
+          .as("text"))
+      TextAnalysis.nbClassifyFromModel(s, incoming, dir)
+        .orderBy("doc_id")
+    }),
+
+    // NB model COMPACTION: write the even half, append the odd half
+    // (counts table now holds up to two rows per key), COMPACT — the
+    // staged whole-table swap folds to one row per key; the serve's
+    // per-key re-aggregation is the identity on that form, so the
+    // classify is bit-identical to the uncompacted serve and the
+    // oracle is simply the monolithic train scoring the plain corpus.
+    "text_nb_compact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source").as("label"), col("text"))
+      val dir = FlowLogQueries.scratchDir("graft_nb_compact")
+      TextAnalysis.nbWriteModel(docs.filter(col("doc_id") % 2 === 0),
+        dir)
+      TextAnalysis.nbAppendModel(s,
+        docs.filter(col("doc_id") % 2 === 1), dir)
+      TextAnalysis.nbCompactModel(s, dir)
+      TextAnalysis.nbClassifyFromModel(s,
+        docs.select(col("doc_id"), col("text")), dir)
+        .orderBy("doc_id")
+    }),
+
     // Bigram-LM fluency: mean log P(w_i | w_{i-1}) under the corpus's
     // own smoothed bigram model — the conditional-transition step up
     // from the unigram score (word salad scores low even when its
@@ -6569,6 +6630,133 @@ object PipelineQueries {
         |         / CAST(count(*) AS DOUBLE) AS avg_logprob_micro
         |FROM toks JOIN counts USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Multinomial NB replay: per-(label, token) add-one counts,
+    // per-label totals, corpus vocab, doc-count priors — every
+    // per-token term quantized to micro-units (floor(ln·1e6 + 0.5))
+    // and summed as BIGINT exactly like the engine; argmax tie-breaks
+    // label-ascending in both.
+    "text_nb_classify" ->
+      """WITH docs AS (SELECT doc_id, source AS label, text FROM documents),
+        |toks AS (SELECT doc_id, label,
+        |           unnest(string_split(text, ' ')) AS tok FROM docs),
+        |cwc AS (SELECT label, tok, count(*) AS c_lt FROM toks
+        |        GROUP BY 1, 2),
+        |ct AS (SELECT label, count(*) AS c_l FROM toks GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+        |pri AS (
+        |  SELECT label,
+        |         CAST(floor(ln(CAST(count(*) AS DOUBLE) /
+        |           CAST((SELECT count(*) FROM docs) AS DOUBLE)) *
+        |           1000000.0 + 0.5) AS BIGINT) AS prior_micro
+        |  FROM docs GROUP BY label),
+        |labels AS (SELECT DISTINCT label FROM docs),
+        |terms AS (
+        |  SELECT t.doc_id, l.label,
+        |         CAST(floor(ln(CAST(coalesce(c.c_lt, 0) + 1 AS DOUBLE) /
+        |           CAST(ct.c_l + v.v AS DOUBLE)) * 1000000.0 + 0.5)
+        |           AS BIGINT) AS lp
+        |  FROM toks t
+        |  CROSS JOIN labels l
+        |  JOIN ct ON ct.label = l.label
+        |  CROSS JOIN vocab v
+        |  LEFT JOIN cwc c ON c.label = l.label AND c.tok = t.tok),
+        |scores AS (
+        |  SELECT s.doc_id, s.label, s.s + p.prior_micro AS score_micro
+        |  FROM (SELECT doc_id, label, sum(lp) AS s FROM terms
+        |        GROUP BY 1, 2) s
+        |  JOIN pri p ON p.label = s.label),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, label ASC) AS rnk FROM scores)
+        |SELECT r.doc_id, d.label AS actual, r.label AS pred,
+        |       r.score_micro
+        |FROM ranked r JOIN docs d USING (doc_id)
+        |WHERE r.rnk = 1 ORDER BY r.doc_id""".stripMargin,
+
+    // Persisted-model serve replay: the SAME trained model (counts are
+    // additive, so write-even + append-odd ≡ train-on-all) scoring the
+    // OOV-augmented incoming — each doc's xq<doc_id> token never
+    // matches cwc, so its term is the smoothing floor ln(1/(c_l+v)).
+    "text_nb_serve" ->
+      """WITH docs AS (SELECT doc_id, source AS label, text FROM documents),
+        |toks AS (SELECT doc_id, label,
+        |           unnest(string_split(text, ' ')) AS tok FROM docs),
+        |cwc AS (SELECT label, tok, count(*) AS c_lt FROM toks
+        |        GROUP BY 1, 2),
+        |ct AS (SELECT label, count(*) AS c_l FROM toks GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+        |pri AS (
+        |  SELECT label,
+        |         CAST(floor(ln(CAST(count(*) AS DOUBLE) /
+        |           CAST((SELECT count(*) FROM docs) AS DOUBLE)) *
+        |           1000000.0 + 0.5) AS BIGINT) AS prior_micro
+        |  FROM docs GROUP BY label),
+        |labels AS (SELECT DISTINCT label FROM docs),
+        |incoming AS (SELECT doc_id,
+        |    text || ' xq' || CAST(doc_id AS VARCHAR) AS text FROM docs),
+        |itoks AS (SELECT doc_id,
+        |            unnest(string_split(text, ' ')) AS tok FROM incoming),
+        |terms AS (
+        |  SELECT t.doc_id, l.label,
+        |         CAST(floor(ln(CAST(coalesce(c.c_lt, 0) + 1 AS DOUBLE) /
+        |           CAST(ct.c_l + v.v AS DOUBLE)) * 1000000.0 + 0.5)
+        |           AS BIGINT) AS lp
+        |  FROM itoks t
+        |  CROSS JOIN labels l
+        |  JOIN ct ON ct.label = l.label
+        |  CROSS JOIN vocab v
+        |  LEFT JOIN cwc c ON c.label = l.label AND c.tok = t.tok),
+        |scores AS (
+        |  SELECT s.doc_id, s.label, s.s + p.prior_micro AS score_micro
+        |  FROM (SELECT doc_id, label, sum(lp) AS s FROM terms
+        |        GROUP BY 1, 2) s
+        |  JOIN pri p ON p.label = s.label),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, label ASC) AS rnk FROM scores)
+        |SELECT doc_id, label AS pred, score_micro
+        |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+
+    // Compacted-model serve replay: compaction is a pure per-key
+    // count fold (write-even + append-odd + compact ≡ train-on-all),
+    // so the oracle is the monolithic NB scoring the plain corpus —
+    // same model CTEs as text_nb_classify, plain-text incoming.
+    "text_nb_compact" ->
+      """WITH docs AS (SELECT doc_id, source AS label, text FROM documents),
+        |toks AS (SELECT doc_id, label,
+        |           unnest(string_split(text, ' ')) AS tok FROM docs),
+        |cwc AS (SELECT label, tok, count(*) AS c_lt FROM toks
+        |        GROUP BY 1, 2),
+        |ct AS (SELECT label, count(*) AS c_l FROM toks GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+        |pri AS (
+        |  SELECT label,
+        |         CAST(floor(ln(CAST(count(*) AS DOUBLE) /
+        |           CAST((SELECT count(*) FROM docs) AS DOUBLE)) *
+        |           1000000.0 + 0.5) AS BIGINT) AS prior_micro
+        |  FROM docs GROUP BY label),
+        |labels AS (SELECT DISTINCT label FROM docs),
+        |terms AS (
+        |  SELECT t.doc_id, l.label,
+        |         CAST(floor(ln(CAST(coalesce(c.c_lt, 0) + 1 AS DOUBLE) /
+        |           CAST(ct.c_l + v.v AS DOUBLE)) * 1000000.0 + 0.5)
+        |           AS BIGINT) AS lp
+        |  FROM toks t
+        |  CROSS JOIN labels l
+        |  JOIN ct ON ct.label = l.label
+        |  CROSS JOIN vocab v
+        |  LEFT JOIN cwc c ON c.label = l.label AND c.tok = t.tok),
+        |scores AS (
+        |  SELECT s.doc_id, s.label, s.s + p.prior_micro AS score_micro
+        |  FROM (SELECT doc_id, label, sum(lp) AS s FROM terms
+        |        GROUP BY 1, 2) s
+        |  JOIN pri p ON p.label = s.label),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, label ASC) AS rnk FROM scores)
+        |SELECT doc_id, label AS pred, score_micro
+        |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
 
     // Three unrolled BPE rounds (CTE prelude shared with
     // text_bpe_apply — see bpeRoundsCtes above the map).

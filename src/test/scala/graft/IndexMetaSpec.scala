@@ -179,7 +179,12 @@ class IndexMetaSpec extends SparkSpec {
         d => Dedup.writeSubstringFpIndex(docs.filter($"doc_id" < 50), d),
         d => Dedup.substringSpansAgainstIndex(spark,
           docs.filter($"doc_id" < 20), docs.filter($"doc_id" < 50), d)
-          .collect()))
+          .collect()),
+      ("nb_model",
+        d => TextAnalysis.nbWriteModel(
+          docs.select($"doc_id", $"source".as("label"), $"text"), d),
+        d => TextAnalysis.nbClassifyFromModel(spark,
+          docs.select($"doc_id", $"text"), d).collect()))
     for ((name, build, serve) <- cases) {
       withTempDir(s"graft_fmt_$name") { dir =>
         build(dir)

@@ -861,6 +861,56 @@ class PipelineSpec extends SparkSpec {
     assert(scrubbed(11L) === ((plain, 0L)))
   }
 
+  test("naiveBayesClassify routes documents to the label whose " +
+      "vocabulary they use; exact ties break label-ascending") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a", "x x y"), (2L, "a", "x y y"),
+      (3L, "b", "z z w"), (4L, "b", "z w w"),
+      // labels c and d have IDENTICAL distributions and priors for
+      // "t t" — the argmax must break the tie deterministically on
+      // label ascending, never nondeterministically
+      (5L, "c", "t t"), (6L, "d", "t t"))
+      .toDF("doc_id", "label", "text")
+    val preds = TextAnalysis.naiveBayesClassify(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, want) <- Seq(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b"))
+      assert(preds(id) === want,
+        s"doc $id classified as ${preds(id)}, wanted $want")
+    assert(preds(5L) === "c" && preds(6L) === "c",
+      s"tie must break label-ascending: got ${preds(5L)}/${preds(6L)}")
+  }
+
+  test("nbCompactModel folds appended count rows to one per key; " +
+      "classify parity with the uncompacted model is bit-identical") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a", "x x y"), (2L, "a", "x y y"),
+      (3L, "b", "z z w"), (4L, "b", "z w w"),
+      (5L, "a", "x z"), (6L, "b", "w y"))
+      .toDF("doc_id", "label", "text")
+    val incoming = docs.select($"doc_id", $"text")
+    withTempDir("graft_nb_compact_spec") { dir =>
+      TextAnalysis.nbWriteModel(docs.filter($"doc_id" <= 3), dir)
+      TextAnalysis.nbAppendModel(spark, docs.filter($"doc_id" > 3), dir)
+      val before = TextAnalysis.nbClassifyFromModel(spark, incoming, dir)
+        .orderBy("doc_id").collect()
+      val rawCounts = spark.read.parquet(s"$dir/counts").count()
+      TextAnalysis.nbCompactModel(spark, dir)
+      val compCounts = spark.read.parquet(s"$dir/counts")
+      // one row per (label, tok) after the fold — and strictly fewer
+      // rows than the two stacked batches ("x" and others repeat)
+      assert(compCounts.count() ===
+        compCounts.select($"label", $"tok").distinct().count())
+      assert(compCounts.count() < rawCounts,
+        s"compaction did not shrink: $rawCounts -> ${compCounts.count()}")
+      assert(spark.read.parquet(s"$dir/docstats").count() === 2L)
+      val after = TextAnalysis.nbClassifyFromModel(spark, incoming, dir)
+        .orderBy("doc_id").collect()
+      assert(after.toSeq === before.toSeq)
+    }
+  }
+
   test("interval surgery snaps byte offsets to UTF-8 codepoint " +
       "boundaries — no mojibake on multibyte corpora") {
     import graft.operators.Dedup

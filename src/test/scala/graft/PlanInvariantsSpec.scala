@@ -27,6 +27,14 @@ class PlanInvariantsSpec extends SparkSpec {
     "text_unigram_logprob", // one-row (n_total, vocab) LM normalizer
     "text_quality_deciles", // same LM normalizer, decile rollup
     "text_dsir_weights", // one-row (ns, nt, vocab) two-LM normalizer
+    "text_nb_classify",  // |labels|-row candidate dimension crossed
+                         // into the token stream (the
+                         // pipeline_source_mix tiny-enumeration
+                         // class) + the one-row vocab scalar
+    "text_nb_serve",     // the same scoring frame over the stored
+                         // count tables — identical audited shapes
+    "text_nb_compact",   // ditto — the compacted tables feed the one
+                         // shared scoring frame
     "sim_topk_bruteforce", "sim_topk_aggregator", "sim_topk_native", // probes
     "sim_range_search",  // broadcast probes, map-side threshold filter
     "graph_pagerank",    // one-row node-count normalizer per iteration

@@ -69,6 +69,22 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // persisted-fp serve — identical
                                   // exchange set (reference fps read
                                   // instead of fingerprinted)
+    "text_nb_classify" -> 12,    // (label,tok)/label/vocab/prior model
+                                  // aggs + the candidate fan-out's
+                                  // (label,tok) model join + per-(doc,
+                                  // label) rollup + argmax window +
+                                  // ground-label re-join + sort (model
+                                  // sides broadcast; the shared
+                                  // nbScore frame derives ct/vocab
+                                  // FROM cwc, so that chain prints
+                                  // under both consumers)
+    "text_nb_serve" -> 12,       // the same scoring frame over the
+                                  // stored count tables — plus the
+                                  // two per-key re-aggregations that
+                                  // make appends additive
+    "text_nb_compact" -> 12,     // identical serve plan over the
+                                  // compacted tables (compaction's own
+                                  // writes are eager, pre-plan)
     "text_top_ngrams" -> 2,      // (gram,doc) pre-agg + gram rollup
     "text_gopher_rules" -> 1,     // per-row integer rules; output sort only
     "text_spell_candidates" -> 6, // vocab agg + probe sort-limits +

@@ -2085,4 +2085,47 @@ class StreamingSpec extends SparkSpec {
         "streamed fingerprint index must serve like the in-memory matcher")
     }
   }
+
+  test("streaming NB-model ingest: labeled micro-batch appends converge " +
+      "to the monolithic train, surviving a mid-stream compaction") {
+    // The continuous-curation shape for the NB classifier: labeled
+    // shards arrive as micro-batches, each batch's count rows land
+    // beside the stored model (raw counts are ADDITIVE, so batch
+    // boundaries cannot change any per-key total), and a compaction
+    // fired BETWEEN batches — the durable form of the serve's own
+    // per-key fold — must be invisible to both the later appends and
+    // the final classify.
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source".as("label"), $"text")
+    val incoming = docs.select($"doc_id", $"text")
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val dirMono = tmp("graft_nb_stream_mono")
+    TextAnalysis.nbWriteModel(docs, dirMono)
+    def serve(dir: String) =
+      TextAnalysis.nbClassifyFromModel(spark, incoming, dir)
+        .collect().map(_.toSeq).toSet
+    val want = serve(dirMono)
+
+    val dir = tmp("graft_nb_stream")
+    TextAnalysis.nbWriteModel(docs.filter($"doc_id" % 3 === 0), dir)
+    val in = MemoryStream[(Long, String, String)](spark)
+    val q = in.toDF().toDF("doc_id", "label", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) TextAnalysis.nbAppendModel(spark, batch, dir)
+        ()
+      }.start()
+    try {
+      val rows = docs.filter($"doc_id" % 3 =!= 0)
+        .as[(Long, String, String)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      TextAnalysis.nbCompactModel(spark, dir)
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(want.nonEmpty && serve(dir) === want,
+      "streamed labeled appends (with a mid-stream compaction) must " +
+        "converge to the monolithic train's classify")
+  }
 }
