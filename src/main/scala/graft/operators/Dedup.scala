@@ -1108,6 +1108,19 @@ object Dedup {
     *     (never an unbounded scan). The minSpan filter runs on the
     *     EXTENDED length, so a true ≥ minSpan span detected short is
     *     recovered, not dropped — emitted spans are maximal. */
+  /** Bounded first-mismatch fold shared by the span byte-extension
+    * and the UTF-8 codepoint snap: `acc` = number of consecutive
+    * PASSING steps so far, and step j extends only while every prior
+    * step passed (`acc = j - 1`) — the invariant both correctness
+    * arguments rest on (extension stops at the first mismatching
+    * byte; the snap stops at the first non-continuation byte), kept
+    * in ONE place so the subtle `acc = j - 1` gate cannot drift
+    * between the two walks. Returns 0 when `steps < 1`. */
+  private def boundedWalk(steps: Int, cond: String): Column =
+    if (steps < 1) lit(0)
+    else expr(s"aggregate(sequence(1, $steps), 0, (acc, j) -> " +
+      s"IF(acc = j - 1 AND $cond, j, acc))")
+
   private def mergeSpans(matched: DataFrame, window: Int, winnowW: Int,
       minSpan: Int, docsA: DataFrame, docsB: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1122,18 +1135,38 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"), col("delta"), col("span_id"))
       .agg(min(col("pos_a")).as("start_a"),
         (max(col("pos_a")) + window).as("end_a"))
-    // Bounded first-mismatch fold: acc = consecutive matching bytes so
-    // far; step j keeps extending only while every prior step matched.
+    // Byte-extension walk ([[boundedWalk]]): acc = consecutive
+    // matching bytes so far.
     val w = winnowW - 1
-    def ext(cond: String): Column =
-      if (w < 1) lit(0)
-      else expr(s"aggregate(sequence(1, $w), 0, (acc, j) -> " +
-        s"IF(acc = j - 1 AND $cond, j, acc))")
+    def ext(cond: String): Column = boundedWalk(w, cond)
     merged
       .join(docsA.select(col("doc_id").as("id_a"), col("bin").as("bin_a")),
         Seq("id_a"))
+      // LEFT + loud guard, not inner: on the index-serve paths docsB
+      // is a CALLER-supplied frame ("history"/"reference" bytes for
+      // the extension refine) while the matches come from the stored
+      // fingerprints — a frame that under-covers the index (e.g. only
+      // the latest batch) must fail at execution, not silently DROP
+      // every span against the missing documents (the scrub would
+      // then emit contaminated text as clean with n_cut = 0). On the
+      // in-memory paths the fps and bytes come from one frame, so the
+      // guard can never fire (a doc absent from docsB has no fps and
+      // therefore no matches). The guard triggers through the
+      // extension walks' access to bin_b; the one span shape whose
+      // walks never touch it — a WHOLE-document span, where both
+      // first conjuncts short-circuit at the doc boundary — needs no
+      // extension by construction, so every emitted row is correct
+      // either way: correct span or loud error, never a silent drop.
       .join(docsB.select(col("doc_id").as("id_b"), col("bin").as("bin_b")),
-        Seq("id_b"))
+        Seq("id_b"), "left")
+      .withColumn("bin_b", when(col("bin_b").isNull,
+        expr("raise_error(concat('substring-span serve: document ', " +
+          "cast(id_b as string), ' was matched by the stored " +
+          "fingerprint index but is missing from the caller-supplied " +
+          "reference frame — the byte-extension refine needs its " +
+          "bytes; pass the full history/reference corpus, not the " +
+          "latest batch'))").cast("binary"))
+        .otherwise(col("bin_b")))
       .withColumn("ext_l", ext(
         "start_a - j >= 0 AND start_a - delta - j >= 0 " +
           "AND substring(bin_a, cast(start_a - j + 1 as int), 1) " +
@@ -1259,7 +1292,7 @@ object Dedup {
     val meta = IndexMeta.read(spark, dir)
     val rows = winnowFps(batch, meta("window").toInt,
       meta("winnowW").toInt)
-    Similarity.requireAppendColumns(spark, s"$dir/fps", rows,
+    FsOps.requireAppendColumns(spark, s"$dir/fps", rows,
       "appendSubstringFpIndex")
     rows.write.mode("append").parquet(s"$dir/fps")
   }
@@ -1275,7 +1308,12 @@ object Dedup {
     * corpus serves the exact-refine fetch while the index stores the
     * compact form. Output = `substringSpansAgainst(incoming, history)`
     * bit-for-bit (winnowing is per-document; the gated append row
-    * shares the monolithic oracle). */
+    * shares the monolithic oracle). A `history` frame that
+    * under-covers the index — a matched reference document whose
+    * bytes are absent — fails LOUDLY at execution (`raise_error` in
+    * the extension refine), never silently drops the span
+    * (spec-pinned): the sidecar philosophy, a mis-parameterized serve
+    * must not return partial results. */
   def substringSpansAgainstIndex(
       spark: org.apache.spark.sql.SparkSession, incoming: DataFrame,
       history: DataFrame, dir: String, minSpan: Int = 40,
@@ -1309,7 +1347,10 @@ object Dedup {
     * known-contaminated sources) without ever re-fingerprinting the
     * reference; `reference` supplies only the extension refine's
     * bytes, like every index serve. Output =
-    * `substringScrub(incoming, reference)` bit-for-bit. */
+    * `substringScrub(incoming, reference)` bit-for-bit. A `reference`
+    * frame that under-covers the index fails loudly
+    * ([[substringSpansAgainstIndex]]'s guard) — the alternative would
+    * emit contaminated text as clean with `n_cut = 0`. */
   def substringScrubFromIndex(
       spark: org.apache.spark.sql.SparkSession, incoming: DataFrame,
       reference: DataFrame, dir: String, minSpan: Int = 40,
@@ -1341,11 +1382,10 @@ object Dedup {
   private def cutIntervals(corpus: DataFrame, rem0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = corpusBin(corpus)
-    // Bounded walk, same fold shape as the span extension: acc =
-    // consecutive continuation bytes stepped over so far.
-    def snap(cond: String): Column =
-      expr(s"aggregate(sequence(1, 3), 0, (acc, j) -> " +
-        s"IF(acc = j - 1 AND $cond, j, acc))")
+    // Codepoint snap ([[boundedWalk]], ≤ 3 steps — UTF-8 codepoints
+    // are ≤ 4 bytes): acc = consecutive continuation bytes stepped
+    // over so far.
+    def snap(cond: String): Column = boundedWalk(3, cond)
     def contByte(pos1: String): String =
       s"(cast(conv(hex(substring(bin, cast($pos1 as int), 1)), 16, 10) " +
         s"as int) & 192) = 128"

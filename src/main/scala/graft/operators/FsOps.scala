@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Checked filesystem mutations for the persisted-index commit paths.
@@ -101,5 +101,47 @@ private[graft] object FsOps {
     if (fs.exists(livePath)) checkedRename(fs, livePath, old)
     checkedRename(fs, stagingPath, livePath)
     deleteIfExists(fs, old)
+  }
+  /** Loud schema contract on the metadata-carrying append legs
+    * ([[Similarity.appendIvfIndex]], [[Similarity.appendImiIndex]],
+    * the NB model, the substring-fp layout — every layout that
+    * persist ALL input columns so metadata rides beside the vector
+    * for the filtered serves): the frame about to be appended must
+    * carry exactly the stored table's column set. A parquet append
+    * with a different set would not fail — it would leave
+    * mixed-schema files behind, and the filtered serve would read
+    * nulls (or miss the predicate column entirely) on half the index.
+    * Checked BEFORE the drained-placeholder sweep so a fully-drained
+    * table's schema (preserved by the zero-row placeholder) still
+    * gates the batch. Skipped only when the table does not exist at
+    * all (nothing to diverge from). */
+  def requireAppendColumns(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      batch: DataFrame, leg: String): Unit = {
+    val fs = fsOf(spark, tableDir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(tableDir))) {
+      // Name AND type, order-insensitive: a batch with matching names
+      // but a different type (label INT vs stored STRING) would also
+      // append cleanly and leave mixed-type files that fail — or
+      // silently coerce — on the next read, the exact corruption class
+      // this guard exists to reject. Nullability is excluded AT EVERY
+      // DEPTH (simpleString erases it, including array containsNull —
+      // parquet round-trips flip it freely and the union is harmless).
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType.simpleString))
+          .sortBy(_._1).toSeq
+      val stored = shape(spark.read.parquet(tableDir).schema)
+      val incoming = shape(batch.schema)
+      require(incoming == stored,
+        s"$leg: appended batch schema " +
+          s"[${incoming.map(f => s"${f._1}: ${f._2}").mkString(", ")}]" +
+          " does not match the stored index schema " +
+          s"[${stored.map(f => s"${f._1}: ${f._2}").mkString(", ")}]" +
+          " — metadata columns persist beside the vector for the " +
+          "filtered serve, so every batch must carry the same column " +
+          "set AND types the index was built with (a raw parquet " +
+          "append would leave mixed-schema files behind instead of " +
+          "failing)")
+    }
   }
 }

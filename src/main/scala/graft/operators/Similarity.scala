@@ -448,7 +448,7 @@ object Similarity {
     val rows = bqCodeRows(vecs)
     // Rows may carry metadata for the filtered serve — same column-set
     // + type contract as every metadata-carrying append leg.
-    requireAppendColumns(spark, s"$dir/codes", rows, "appendBqIndex")
+    FsOps.requireAppendColumns(spark, s"$dir/codes", rows, "appendBqIndex")
     rows.write.mode("append").parquet(s"$dir/codes")
     reconcileTombstonesAfterAppend(spark, dir,
       vecs.select(col("vec_id")))
@@ -700,7 +700,7 @@ object Similarity {
     val rows = ivfBqCodeRows(vecs2, cells)
     // Rows may carry metadata for the filtered serve — same column-set
     // + type contract as every metadata-carrying append leg.
-    requireAppendColumns(spark, s"$dir/codes", rows, "appendIvfBqIndex")
+    FsOps.requireAppendColumns(spark, s"$dir/codes", rows, "appendIvfBqIndex")
     clearDrainedPlaceholder(spark, s"$dir/codes")
     rows
       .write.mode("append").partitionBy("cell")
@@ -1105,7 +1105,7 @@ object Similarity {
     * ordering as the flat layout's append. The batch must carry the
     * SAME column set the index was built with (metadata columns
     * persist beside the vector for the filtered serve) — ENFORCED by
-    * [[requireAppendColumns]]: a mismatched batch fails loudly at
+    * [[FsOps.requireAppendColumns]]: a mismatched batch fails loudly at
     * entry instead of leaving mixed-schema parquet files behind. */
   def appendImiIndex(spark: org.apache.spark.sql.SparkSession,
       vecs2: DataFrame, dir: String): Unit = {
@@ -1114,7 +1114,7 @@ object Similarity {
     val idx = imiIndexCells(imiSubDistancesAgainst(cents, vecs2))
     val rows = withNorm(vecs2).join(idx, col("vec_id") === col("corpus_id"))
       .drop("corpus_id")
-    requireAppendColumns(spark, s"$dir/index", rows, "appendImiIndex")
+    FsOps.requireAppendColumns(spark, s"$dir/index", rows, "appendImiIndex")
     clearDrainedPlaceholder(spark, s"$dir/index")
     rows
       .write.mode("append").partitionBy("c0", "c1")
@@ -1563,7 +1563,7 @@ object Similarity {
     * write(A, quantizer = A ∪ B) then append(B) serves bit-identically
     * to the monolithic build (spec-pinned). Since fmt 2 the code rows
     * carry the input's metadata columns for the filtered serve, so the
-    * batch gates through [[requireAppendColumns]] (name + type) like
+    * batch gates through [[FsOps.requireAppendColumns]] (name + type) like
     * every metadata-carrying append leg; the sidecar still rejects a
     * mismatched `m` loudly. Same tombstone reconciliation ordering as
     * every append leg. */
@@ -1578,7 +1578,7 @@ object Similarity {
       idx.select(col("corpus_id").as("vec_id"), col("c0"), col("c1")),
       cents)
     val rows = imiPqCodeRows(codebook, rcorp, vecs2, m)
-    requireAppendColumns(spark, s"$dir/codes", rows, "appendImiPqIndex")
+    FsOps.requireAppendColumns(spark, s"$dir/codes", rows, "appendImiPqIndex")
     clearDrainedPlaceholder(spark, s"$dir/codes")
     rows
       .write.mode("append").partitionBy("c0", "c1")
@@ -1674,28 +1674,28 @@ object Similarity {
       "m" -> m.toString, "fmt" -> "2")
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
-    val codes0 = pred.foldLeft(spark.read.parquet(s"$dir/codes"))(_ filter _)
-    val codes = readTombstones(spark, dir)
-      .map(t => codes0.join(broadcast(t), Seq("vec_id"), "left_anti"))
-      .getOrElse(codes0)
-    // [[AutoRerankDepth]]: occupancy of the LIVE (tombstone-masked,
-    // pre-predicate) code rows — each vector stores m sub-rows, so
-    // count div m per pair is the exact [[imiPairStats]] occupancy,
-    // read from the index itself (one ≤ k²-row aggregate; never the
-    // raw corpus). Derived BEFORE the metadata predicate: the depth
-    // sizes the grid, and filtered serves must not shrink their
-    // shortlist just because few rows match.
+    // Read once, mask once, THEN branch: the LIVE (tombstone-masked,
+    // pre-predicate) frame is both the occupancy source and the serve
+    // scan's input — one lineage, so a future mask change cannot be
+    // edited into one copy only, and the predicate commutes with the
+    // mask (both row filters).
+    val live = readTombstones(spark, dir)
+      .map(t => spark.read.parquet(s"$dir/codes")
+        .join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(spark.read.parquet(s"$dir/codes"))
+    val codes = pred.foldLeft(live)(_ filter _)
+    // [[AutoRerankDepth]]: occupancy of the live code rows — each
+    // vector stores m sub-rows, so count div m per pair is the exact
+    // [[imiPairStats]] occupancy, read from the index itself (one
+    // ≤ k²-row aggregate; never the raw corpus). Derived BEFORE the
+    // metadata predicate: the depth sizes the grid, and filtered
+    // serves must not shrink their shortlist just because few rows
+    // match.
     val depth =
       if (rerankDepth != AutoRerankDepth) rerankDepth
-      else {
-        val live = readTombstones(spark, dir)
-          .map(t => spark.read.parquet(s"$dir/codes")
-            .join(broadcast(t), Seq("vec_id"), "left_anti"))
-          .getOrElse(spark.read.parquet(s"$dir/codes"))
-        imiSuggestedRerankDepth(
-          live.groupBy(col("c0"), col("c1"))
-            .agg(expr(s"count(1) div $m").as("n_vectors")), k)
-      }
+      else imiSuggestedRerankDepth(
+        live.groupBy(col("c0"), col("c1"))
+          .agg(expr(s"count(1) div $m").as("n_vectors")), k)
     val assigned = imiProbePairs(
       imiSubDistancesAgainst(cents, probes), nprobe)
     imiPqRefined(codes, codebook, cents, vecs, probes, assigned, m,
@@ -2494,7 +2494,7 @@ object Similarity {
     // Code rows may carry metadata for the filtered serve, so the
     // batch gates through the same column-set + type contract as
     // every metadata-carrying append leg.
-    requireAppendColumns(spark, s"$dir/codes", rows, "appendIvfPqIndex")
+    FsOps.requireAppendColumns(spark, s"$dir/codes", rows, "appendIvfPqIndex")
     clearDrainedPlaceholder(spark, s"$dir/codes")
     rows
       .write.mode("append").partitionBy("cell")
@@ -2584,29 +2584,28 @@ object Similarity {
       "m" -> m.toString, "fmt" -> "2")
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
-    val codes0 = pred.foldLeft(spark.read.parquet(s"$dir/codes"))(_ filter _)
-    // Same tombstone mask as [[searchIvfIndex]] — [[deleteFromIvfIndex]]
-    // is layout-agnostic (it only writes ids), so PQ serving honors
-    // deletions identically; absent for layouts that never deleted.
-    val tomb = readTombstones(spark, dir)
-    val codes = tomb
-      .map(t => codes0.join(broadcast(t), Seq("vec_id"), "left_anti"))
-      .getOrElse(codes0)
+    // Read once, mask once, THEN branch ([[imiPqRefinedFromIndex]]'s
+    // structure): the LIVE (tombstone-masked, pre-predicate) frame
+    // feeds both the occupancy aggregate and the serve scan — one
+    // lineage, and the predicate commutes with the mask (both row
+    // filters). Same tombstone mask as [[searchIvfIndex]] —
+    // [[deleteFromIvfIndex]] is layout-agnostic (it only writes ids),
+    // so PQ serving honors deletions identically; absent for layouts
+    // that never deleted.
+    val live = readTombstones(spark, dir)
+      .map(t => spark.read.parquet(s"$dir/codes")
+        .join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(spark.read.parquet(s"$dir/codes"))
+    val codes = pred.foldLeft(live)(_ filter _)
     // [[AutoRerankDepth]] at the single-level cell key: occupancy of
-    // the LIVE (tombstone-masked, pre-predicate) code rows, count div
-    // m per cell — [[imiPqRefinedFromIndex]]'s rule over `cell`
-    // instead of (c0, c1); one ≤ K-row aggregate of the index itself.
+    // the live code rows, count div m per cell —
+    // [[imiPqRefinedFromIndex]]'s rule over `cell` instead of
+    // (c0, c1); one ≤ K-row aggregate of the index itself.
     val depth =
       if (rerankDepth != AutoRerankDepth) rerankDepth
-      else {
-        val live = tomb
-          .map(t => spark.read.parquet(s"$dir/codes")
-            .join(broadcast(t), Seq("vec_id"), "left_anti"))
-          .getOrElse(spark.read.parquet(s"$dir/codes"))
-        imiSuggestedRerankDepth(
-          live.groupBy(col("cell"))
-            .agg(expr(s"count(1) div $m").as("n_vectors")), k)
-      }
+      else imiSuggestedRerankDepth(
+        live.groupBy(col("cell"))
+          .agg(expr(s"count(1) div $m").as("n_vectors")), k)
     pqrRefined(codes, cents, codebook, vecs, probes, m, nprobe,
       depth)
   }
@@ -3090,7 +3089,7 @@ object Similarity {
     // persists ALL input columns (metadata rides beside the vector
     // for searchIvfIndexWhere), so a mismatched batch must fail at
     // entry, not corrupt the table.
-    requireAppendColumns(spark, s"$dir/index", rows, "appendIvfIndex")
+    FsOps.requireAppendColumns(spark, s"$dir/index", rows, "appendIvfIndex")
     clearDrainedPlaceholder(spark, s"$dir/index")
     rows
       .write.mode("append").partitionBy("cell")
@@ -3189,47 +3188,6 @@ object Similarity {
     s"$colName=${ExternalCatalogUtils.escapePathName(s)}"
   }
 
-  /** Loud schema contract on the metadata-carrying append legs
-    * ([[appendIvfIndex]], [[appendImiIndex]] — the layouts that
-    * persist ALL input columns so metadata rides beside the vector
-    * for the filtered serves): the frame about to be appended must
-    * carry exactly the stored table's column set. A parquet append
-    * with a different set would not fail — it would leave
-    * mixed-schema files behind, and the filtered serve would read
-    * nulls (or miss the predicate column entirely) on half the index.
-    * Checked BEFORE the drained-placeholder sweep so a fully-drained
-    * table's schema (preserved by the zero-row placeholder) still
-    * gates the batch. Skipped only when the table does not exist at
-    * all (nothing to diverge from). */
-  private[graft] def requireAppendColumns(
-      spark: org.apache.spark.sql.SparkSession, tableDir: String,
-      batch: DataFrame, leg: String): Unit = {
-    val fs = FsOps.fsOf(spark, tableDir)
-    if (fs.exists(new org.apache.hadoop.fs.Path(tableDir))) {
-      // Name AND type, order-insensitive: a batch with matching names
-      // but a different type (label INT vs stored STRING) would also
-      // append cleanly and leave mixed-type files that fail — or
-      // silently coerce — on the next read, the exact corruption class
-      // this guard exists to reject. Nullability is excluded AT EVERY
-      // DEPTH (simpleString erases it, including array containsNull —
-      // parquet round-trips flip it freely and the union is harmless).
-      def shape(s: org.apache.spark.sql.types.StructType) =
-        s.fields.map(f => (f.name, f.dataType.simpleString))
-          .sortBy(_._1).toSeq
-      val stored = shape(spark.read.parquet(tableDir).schema)
-      val incoming = shape(batch.schema)
-      require(incoming == stored,
-        s"$leg: appended batch schema " +
-          s"[${incoming.map(f => s"${f._1}: ${f._2}").mkString(", ")}]" +
-          " does not match the stored index schema " +
-          s"[${stored.map(f => s"${f._1}: ${f._2}").mkString(", ")}]" +
-          " — metadata columns persist beside the vector for the " +
-          "filtered serve, so every batch must carry the same column " +
-          "set AND types the index was built with (a raw parquet " +
-          "append would leave mixed-schema files behind instead of " +
-          "failing)")
-    }
-  }
 
   private def clearDrainedPlaceholder(
       spark: org.apache.spark.sql.SparkSession, tableDir: String): Unit = {
@@ -3505,7 +3463,7 @@ object Similarity {
     val rows = sq8Rows(vecs2).join(cells, Seq("vec_id"))
     // Rows may carry metadata for the filtered serve — same column-set
     // + type contract as every metadata-carrying append leg.
-    requireAppendColumns(spark, s"$dir/index", rows, "appendIvfSq8Index")
+    FsOps.requireAppendColumns(spark, s"$dir/index", rows, "appendIvfSq8Index")
     clearDrainedPlaceholder(spark, s"$dir/index")
     rows
       .write.mode("append").partitionBy("cell")

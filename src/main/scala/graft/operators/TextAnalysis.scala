@@ -285,39 +285,76 @@ object TextAnalysis {
     * log-space likelihoods: counts are ADDITIVE, so an appended batch
     * is just more rows and the serve re-aggregates per key (the BM25
     * sharded-df precedent); storing logs would bake in totals that an
-    * append invalidates. Model size is labels × vocab, never corpus. */
+    * append invalidates. Model size is labels × vocab, never corpus.
+    *
+    * Both tables are PARTITIONED by an integer `batch` id (the base
+    * build is batch 0) — the whole point of the layout: an append is
+    * a dynamic OVERWRITE of its own batch partition, so the
+    * at-least-once redelivery that `foreachBatch` ingest implies
+    * replaces the batch's rows instead of stacking a second copy.
+    * A plain `mode("append")` here would double-count every replayed
+    * token — sums are not duplicate-insensitive, unlike the
+    * fingerprint and bloom layouts where duplicate rows are harmless
+    * by construction. */
   def nbWriteModel(docs: DataFrame, dir: String): Unit = {
     val toks = docs.select(col("label"),
       explode(split(col("text"), " ")).as("tok"))
     toks.groupBy(col("label"), col("tok")).agg(count(lit(1)).as("c_lt"))
-      .write.mode("overwrite").parquet(s"$dir/counts")
+      .withColumn("batch", lit(0))
+      .write.partitionBy("batch").mode("overwrite")
+      .parquet(s"$dir/counts")
     docs.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
-      .write.mode("overwrite").parquet(s"$dir/docstats")
+      .withColumn("batch", lit(0))
+      .write.partitionBy("batch").mode("overwrite")
+      .parquet(s"$dir/docstats")
     IndexMeta.write(docs.sparkSession, dir,
-      "layout" -> "nb_model", "fmt" -> "1")
+      "layout" -> "nb_model", "fmt" -> "2")
   }
 
-  /** APPEND a labeled batch to a stored [[nbWriteModel]] layout: the
-    * batch's count rows land beside the old ones and the serve's
-    * per-key re-aggregation makes write(A)+append(B) ≡ write(A ∪ B)
-    * exactly (integer count addition is order-free). New labels just
-    * appear; gates through the fleet's name+type append contract. */
+  /** APPEND a labeled batch to a stored [[nbWriteModel]] layout under
+    * an explicit `batchId` (> 0; the base build owns batch 0): the
+    * batch's count rows land in their own `batch=<id>` partition and
+    * the serve's per-key re-aggregation makes write(A)+append(B) ≡
+    * write(A ∪ B) exactly (integer count addition is order-free).
+    * New labels just appear; gates through the fleet's name+type
+    * append contract.
+    *
+    * IDEMPOTENT under redelivery: the write is a dynamic partition
+    * OVERWRITE of exactly `batch=<id>`, so a streaming micro-batch
+    * replayed after a crash — including a crash BETWEEN the counts
+    * and docstats writes, which transiently leaves likelihoods and
+    * priors trained on different corpora — converges to one copy of
+    * the batch in both tables once the replay lands (spec-pinned).
+    * The one discipline the caller owes: never reuse a batchId for
+    * DIFFERENT data, and only run [[nbCompactModel]] (which folds all
+    * partitions into batch 0) from a quiesced maintenance window — a
+    * replay of a pre-compaction batchId would re-add rows the fold
+    * already absorbed. */
   def nbAppendModel(spark: org.apache.spark.sql.SparkSession,
-      batch: DataFrame, dir: String): Unit = {
+      batch: DataFrame, dir: String, batchId: Int): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "nb_model",
-      "fmt" -> "1")
+      "fmt" -> "2")
+    require(batchId > 0,
+      s"nbAppendModel: batchId must be > 0 (got $batchId) — batch 0 " +
+        "belongs to the base build and compaction's folded form")
     val toks = batch.select(col("label"),
       explode(split(col("text"), " ")).as("tok"))
     val counts = toks.groupBy(col("label"), col("tok"))
       .agg(count(lit(1)).as("c_lt"))
+      .withColumn("batch", lit(batchId))
     val stats = batch.groupBy(col("label"))
       .agg(count(lit(1)).as("n_docs"))
-    graft.operators.Similarity.requireAppendColumns(spark,
+      .withColumn("batch", lit(batchId))
+    FsOps.requireAppendColumns(spark,
       s"$dir/counts", counts, "nbAppendModel")
-    graft.operators.Similarity.requireAppendColumns(spark,
+    FsOps.requireAppendColumns(spark,
       s"$dir/docstats", stats, "nbAppendModel")
-    counts.write.mode("append").parquet(s"$dir/counts")
-    stats.write.mode("append").parquet(s"$dir/docstats")
+    counts.write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$dir/counts")
+    stats.write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$dir/docstats")
   }
 
   /** Classify a corpus against a STORED [[nbWriteModel]] layout — the
@@ -330,7 +367,7 @@ object TextAnalysis {
   def nbClassifyFromModel(spark: org.apache.spark.sql.SparkSession,
       incoming: DataFrame, dir: String): DataFrame = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "nb_model",
-      "fmt" -> "1")
+      "fmt" -> "2")
     nbScore(incoming,
       spark.read.parquet(s"$dir/counts")
         .groupBy(col("label"), col("tok"))
@@ -354,24 +391,32 @@ object TextAnalysis {
     * ANN layouts there is NO crash-window ordering hazard here: both
     * tables are pure additive counts and the serve re-aggregates, so
     * a crash between the two swaps leaves a mixed compacted/raw model
-    * that still serves exactly. */
+    * that still serves exactly. The one ordering constraint lives on
+    * the INGEST side, not here: compaction folds every batch
+    * partition into batch 0, so it must run from a quiesced window —
+    * a streaming replay of a pre-compaction batchId afterwards would
+    * re-add rows the fold already absorbed (see [[nbAppendModel]]). */
   def nbCompactModel(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "nb_model",
-      "fmt" -> "1")
+      "fmt" -> "2")
     val fs = FsOps.fsOf(spark, dir)
     FsOps.clearStaging(fs, dir)
     val countsStaging = s"$dir/counts_compacting"
     spark.read.parquet(s"$dir/counts")
       .groupBy(col("label"), col("tok"))
       .agg(sum(col("c_lt")).as("c_lt"))
-      .write.mode("overwrite").parquet(countsStaging)
+      .withColumn("batch", lit(0))
+      .write.partitionBy("batch").mode("overwrite")
+      .parquet(countsStaging)
     FsOps.swapInto(fs, countsStaging, s"$dir/counts")
     val statsStaging = s"$dir/docstats_compacting"
     spark.read.parquet(s"$dir/docstats")
       .groupBy(col("label"))
       .agg(sum(col("n_docs")).as("n_docs"))
-      .write.mode("overwrite").parquet(statsStaging)
+      .withColumn("batch", lit(0))
+      .write.partitionBy("batch").mode("overwrite")
+      .parquet(statsStaging)
     FsOps.swapInto(fs, statsStaging, s"$dir/docstats")
   }
 

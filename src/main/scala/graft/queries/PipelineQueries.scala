@@ -136,6 +136,51 @@ object PipelineQueries {
     * CTE: the oracle corpus is ASCII (octet_length == length on every
     * doc), where the engine's codepoint snap is a 0-step no-op —
     * multibyte behavior is spec-pinned, not oracle-gated. */
+  /** Shared NB-model replay (the [[substringSurgeryTail]] discipline —
+    * ONE text so the smoothing/quantization contract cannot diverge
+    * across the three gated NB replays): per-(label, token) add-one
+    * counts, per-label totals, corpus vocab, and doc-count priors,
+    * every per-token term quantized to micro-units
+    * (floor(ln·1e6 + 0.5)) and summed as BIGINT exactly like the
+    * engine. [[nbScoreTail]] runs the scoring chain over a
+    * caller-chosen token CTE (the trained-corpus `toks` for
+    * resubstitution, an incoming-corpus CTE for the serves). */
+  private lazy val nbModelCtes: String =
+    """docs AS (SELECT doc_id, source AS label, text FROM documents),
+      |toks AS (SELECT doc_id, label,
+      |           unnest(string_split(text, ' ')) AS tok FROM docs),
+      |cwc AS (SELECT label, tok, count(*) AS c_lt FROM toks
+      |        GROUP BY 1, 2),
+      |ct AS (SELECT label, count(*) AS c_l FROM toks GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+      |pri AS (
+      |  SELECT label,
+      |         CAST(floor(ln(CAST(count(*) AS DOUBLE) /
+      |           CAST((SELECT count(*) FROM docs) AS DOUBLE)) *
+      |           1000000.0 + 0.5) AS BIGINT) AS prior_micro
+      |  FROM docs GROUP BY label),
+      |labels AS (SELECT DISTINCT label FROM docs)""".stripMargin
+
+  private def nbScoreTail(tokCte: String): String =
+    s"""terms AS (
+      |  SELECT t.doc_id, l.label,
+      |         CAST(floor(ln(CAST(coalesce(c.c_lt, 0) + 1 AS DOUBLE) /
+      |           CAST(ct.c_l + v.v AS DOUBLE)) * 1000000.0 + 0.5)
+      |           AS BIGINT) AS lp
+      |  FROM $tokCte t
+      |  CROSS JOIN labels l
+      |  JOIN ct ON ct.label = l.label
+      |  CROSS JOIN vocab v
+      |  LEFT JOIN cwc c ON c.label = l.label AND c.tok = t.tok),
+      |scores AS (
+      |  SELECT s.doc_id, s.label, s.s + p.prior_micro AS score_micro
+      |  FROM (SELECT doc_id, label, sum(lp) AS s FROM terms
+      |        GROUP BY 1, 2) s
+      |  JOIN pri p ON p.label = s.label),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score_micro DESC, label ASC) AS rnk FROM scores)""".stripMargin
+
   private lazy val substringSurgeryTail: String =
     """fl AS (
       |  SELECT *, CASE WHEN
@@ -3311,7 +3356,7 @@ object PipelineQueries {
       TextAnalysis.nbWriteModel(docs.filter(col("doc_id") % 2 === 0),
         dir)
       TextAnalysis.nbAppendModel(s,
-        docs.filter(col("doc_id") % 2 === 1), dir)
+        docs.filter(col("doc_id") % 2 === 1), dir, batchId = 1)
       val incoming = docs.select(col("doc_id"),
         concat(col("text"), lit(" xq"), col("doc_id").cast("string"))
           .as("text"))
@@ -3332,7 +3377,7 @@ object PipelineQueries {
       TextAnalysis.nbWriteModel(docs.filter(col("doc_id") % 2 === 0),
         dir)
       TextAnalysis.nbAppendModel(s,
-        docs.filter(col("doc_id") % 2 === 1), dir)
+        docs.filter(col("doc_id") % 2 === 1), dir, batchId = 1)
       TextAnalysis.nbCompactModel(s, dir)
       TextAnalysis.nbClassifyFromModel(s,
         docs.select(col("doc_id"), col("text")), dir)
@@ -6631,44 +6676,13 @@ object PipelineQueries {
         |FROM toks JOIN counts USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // Multinomial NB replay: per-(label, token) add-one counts,
-    // per-label totals, corpus vocab, doc-count priors — every
-    // per-token term quantized to micro-units (floor(ln·1e6 + 0.5))
-    // and summed as BIGINT exactly like the engine; argmax tie-breaks
-    // label-ascending in both.
+    // Multinomial NB replay (model + scoring chain shared across the
+    // three nb rows via nbModelCtes/nbScoreTail — one text so the
+    // smoothing/quantization contract cannot diverge); argmax
+    // tie-breaks label-ascending in both engines.
     "text_nb_classify" ->
-      """WITH docs AS (SELECT doc_id, source AS label, text FROM documents),
-        |toks AS (SELECT doc_id, label,
-        |           unnest(string_split(text, ' ')) AS tok FROM docs),
-        |cwc AS (SELECT label, tok, count(*) AS c_lt FROM toks
-        |        GROUP BY 1, 2),
-        |ct AS (SELECT label, count(*) AS c_l FROM toks GROUP BY 1),
-        |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
-        |pri AS (
-        |  SELECT label,
-        |         CAST(floor(ln(CAST(count(*) AS DOUBLE) /
-        |           CAST((SELECT count(*) FROM docs) AS DOUBLE)) *
-        |           1000000.0 + 0.5) AS BIGINT) AS prior_micro
-        |  FROM docs GROUP BY label),
-        |labels AS (SELECT DISTINCT label FROM docs),
-        |terms AS (
-        |  SELECT t.doc_id, l.label,
-        |         CAST(floor(ln(CAST(coalesce(c.c_lt, 0) + 1 AS DOUBLE) /
-        |           CAST(ct.c_l + v.v AS DOUBLE)) * 1000000.0 + 0.5)
-        |           AS BIGINT) AS lp
-        |  FROM toks t
-        |  CROSS JOIN labels l
-        |  JOIN ct ON ct.label = l.label
-        |  CROSS JOIN vocab v
-        |  LEFT JOIN cwc c ON c.label = l.label AND c.tok = t.tok),
-        |scores AS (
-        |  SELECT s.doc_id, s.label, s.s + p.prior_micro AS score_micro
-        |  FROM (SELECT doc_id, label, sum(lp) AS s FROM terms
-        |        GROUP BY 1, 2) s
-        |  JOIN pri p ON p.label = s.label),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY score_micro DESC, label ASC) AS rnk FROM scores)
+      s"""WITH $nbModelCtes,
+        |${nbScoreTail("toks")}
         |SELECT r.doc_id, d.label AS actual, r.label AS pred,
         |       r.score_micro
         |FROM ranked r JOIN docs d USING (doc_id)
@@ -6679,42 +6693,12 @@ object PipelineQueries {
     // OOV-augmented incoming — each doc's xq<doc_id> token never
     // matches cwc, so its term is the smoothing floor ln(1/(c_l+v)).
     "text_nb_serve" ->
-      """WITH docs AS (SELECT doc_id, source AS label, text FROM documents),
-        |toks AS (SELECT doc_id, label,
-        |           unnest(string_split(text, ' ')) AS tok FROM docs),
-        |cwc AS (SELECT label, tok, count(*) AS c_lt FROM toks
-        |        GROUP BY 1, 2),
-        |ct AS (SELECT label, count(*) AS c_l FROM toks GROUP BY 1),
-        |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
-        |pri AS (
-        |  SELECT label,
-        |         CAST(floor(ln(CAST(count(*) AS DOUBLE) /
-        |           CAST((SELECT count(*) FROM docs) AS DOUBLE)) *
-        |           1000000.0 + 0.5) AS BIGINT) AS prior_micro
-        |  FROM docs GROUP BY label),
-        |labels AS (SELECT DISTINCT label FROM docs),
+      s"""WITH $nbModelCtes,
         |incoming AS (SELECT doc_id,
         |    text || ' xq' || CAST(doc_id AS VARCHAR) AS text FROM docs),
         |itoks AS (SELECT doc_id,
         |            unnest(string_split(text, ' ')) AS tok FROM incoming),
-        |terms AS (
-        |  SELECT t.doc_id, l.label,
-        |         CAST(floor(ln(CAST(coalesce(c.c_lt, 0) + 1 AS DOUBLE) /
-        |           CAST(ct.c_l + v.v AS DOUBLE)) * 1000000.0 + 0.5)
-        |           AS BIGINT) AS lp
-        |  FROM itoks t
-        |  CROSS JOIN labels l
-        |  JOIN ct ON ct.label = l.label
-        |  CROSS JOIN vocab v
-        |  LEFT JOIN cwc c ON c.label = l.label AND c.tok = t.tok),
-        |scores AS (
-        |  SELECT s.doc_id, s.label, s.s + p.prior_micro AS score_micro
-        |  FROM (SELECT doc_id, label, sum(lp) AS s FROM terms
-        |        GROUP BY 1, 2) s
-        |  JOIN pri p ON p.label = s.label),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY score_micro DESC, label ASC) AS rnk FROM scores)
+        |${nbScoreTail("itoks")}
         |SELECT doc_id, label AS pred, score_micro
         |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
 
@@ -6723,38 +6707,8 @@ object PipelineQueries {
     // so the oracle is the monolithic NB scoring the plain corpus —
     // same model CTEs as text_nb_classify, plain-text incoming.
     "text_nb_compact" ->
-      """WITH docs AS (SELECT doc_id, source AS label, text FROM documents),
-        |toks AS (SELECT doc_id, label,
-        |           unnest(string_split(text, ' ')) AS tok FROM docs),
-        |cwc AS (SELECT label, tok, count(*) AS c_lt FROM toks
-        |        GROUP BY 1, 2),
-        |ct AS (SELECT label, count(*) AS c_l FROM toks GROUP BY 1),
-        |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
-        |pri AS (
-        |  SELECT label,
-        |         CAST(floor(ln(CAST(count(*) AS DOUBLE) /
-        |           CAST((SELECT count(*) FROM docs) AS DOUBLE)) *
-        |           1000000.0 + 0.5) AS BIGINT) AS prior_micro
-        |  FROM docs GROUP BY label),
-        |labels AS (SELECT DISTINCT label FROM docs),
-        |terms AS (
-        |  SELECT t.doc_id, l.label,
-        |         CAST(floor(ln(CAST(coalesce(c.c_lt, 0) + 1 AS DOUBLE) /
-        |           CAST(ct.c_l + v.v AS DOUBLE)) * 1000000.0 + 0.5)
-        |           AS BIGINT) AS lp
-        |  FROM toks t
-        |  CROSS JOIN labels l
-        |  JOIN ct ON ct.label = l.label
-        |  CROSS JOIN vocab v
-        |  LEFT JOIN cwc c ON c.label = l.label AND c.tok = t.tok),
-        |scores AS (
-        |  SELECT s.doc_id, s.label, s.s + p.prior_micro AS score_micro
-        |  FROM (SELECT doc_id, label, sum(lp) AS s FROM terms
-        |        GROUP BY 1, 2) s
-        |  JOIN pri p ON p.label = s.label),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY score_micro DESC, label ASC) AS rnk FROM scores)
+      s"""WITH $nbModelCtes,
+        |${nbScoreTail("toks")}
         |SELECT doc_id, label AS pred, score_micro
         |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
 

@@ -881,6 +881,90 @@ class PipelineSpec extends SparkSpec {
       s"tie must break label-ascending: got ${preds(5L)}/${preds(6L)}")
   }
 
+  test("substring-fp index serve fails loudly when the reference " +
+      "frame under-covers the index, instead of silently dropping spans") {
+    // The stored fingerprints name documents whose BYTES the caller
+    // must supply for the extension refine; a frame holding only the
+    // latest batch would otherwise silently delete every span against
+    // older history — and the scrub would pass contaminated text
+    // through as clean with n_cut = 0.
+    import graft.operators.Dedup
+    val shared = "the quick brown fox jumps over the lazy dog " * 2
+    val history = Seq((10L, "PREFIX_ONE " + shared))
+      .toDF("doc_id", "text")
+    val incoming = Seq((1L, shared + " SUFFIX_TWO"))
+      .toDF("doc_id", "text")
+    withTempDir("graft_subfp_guard") { dir =>
+      Dedup.writeSubstringFpIndex(history, dir)
+      // full history: the span surfaces
+      assert(Dedup.substringSpansAgainstIndex(spark, incoming, history,
+        dir).count() > 0)
+      // under-covering frame (doc 10's bytes missing): loud failure
+      val e = intercept[Exception] {
+        Dedup.substringSpansAgainstIndex(spark, incoming,
+          history.filter($"doc_id" =!= 10L), dir).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains(
+        "missing from the caller-supplied reference frame")),
+        s"wanted the under-coverage raise_error, got: ${messages(e)}")
+    }
+  }
+
+  test("nbAppendModel is idempotent under at-least-once redelivery: " +
+      "replaying a batchId replaces its partition, never double-counts") {
+    // The foreachBatch ingest contract is at-least-once: a batch
+    // replayed after a crash must CONVERGE, not stack a second copy
+    // of its counts (sums are not duplicate-insensitive — a plain
+    // append here would skew every replayed token's likelihood).
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a", "x x y"), (2L, "a", "x y y"),
+      (3L, "b", "z z w"), (4L, "b", "z w w"))
+      .toDF("doc_id", "label", "text")
+    val incoming = docs.select($"doc_id", $"text")
+    withTempDir("graft_nb_replay_spec") { dir =>
+      TextAnalysis.nbWriteModel(docs.filter($"doc_id" <= 2), dir)
+      val batch = docs.filter($"doc_id" > 2)
+      TextAnalysis.nbAppendModel(spark, batch, dir, batchId = 1)
+      val want = TextAnalysis.nbClassifyFromModel(spark, incoming, dir)
+        .orderBy("doc_id").collect().toSeq
+      val wantRows = spark.read.parquet(s"$dir/counts").count()
+      // the redelivery: same batchId, same data — partition overwrite
+      TextAnalysis.nbAppendModel(spark, batch, dir, batchId = 1)
+      assert(spark.read.parquet(s"$dir/counts").count() === wantRows,
+        "replayed batch must replace its partition, not append beside it")
+      val after = TextAnalysis.nbClassifyFromModel(spark, incoming, dir)
+        .orderBy("doc_id").collect().toSeq
+      assert(after === want,
+        "classify after a replay must be bit-identical — a doubled " +
+          "batch would shift every replayed token's log-likelihood")
+      // batch 0 is reserved for the base build / compaction's fold
+      intercept[IllegalArgumentException] {
+        TextAnalysis.nbAppendModel(spark, batch, dir, batchId = 0)
+      }
+      // crash-window healing: a crash BETWEEN the counts and docstats
+      // writes leaves likelihoods trained on more data than priors
+      // (simulated by deleting the batch's docstats partition); the
+      // at-least-once replay of the same batchId must converge the
+      // model back to one consistent copy
+      val lost = new java.io.File(s"$dir/docstats/batch=1")
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      rmTree(lost)
+      assert(!lost.exists, "fixture: docstats/batch=1 must be gone")
+      TextAnalysis.nbAppendModel(spark, batch, dir, batchId = 1)
+      val healed = TextAnalysis.nbClassifyFromModel(spark, incoming, dir)
+        .orderBy("doc_id").collect().toSeq
+      assert(healed === want,
+        "replay after a crash between the two table writes must " +
+          "restore the consistent model")
+    }
+  }
+
   test("nbCompactModel folds appended count rows to one per key; " +
       "classify parity with the uncompacted model is bit-identical") {
     import graft.operators.TextAnalysis
@@ -892,7 +976,8 @@ class PipelineSpec extends SparkSpec {
     val incoming = docs.select($"doc_id", $"text")
     withTempDir("graft_nb_compact_spec") { dir =>
       TextAnalysis.nbWriteModel(docs.filter($"doc_id" <= 3), dir)
-      TextAnalysis.nbAppendModel(spark, docs.filter($"doc_id" > 3), dir)
+      TextAnalysis.nbAppendModel(spark, docs.filter($"doc_id" > 3), dir,
+        batchId = 1)
       val before = TextAnalysis.nbClassifyFromModel(spark, incoming, dir)
         .orderBy("doc_id").collect()
       val rawCounts = spark.read.parquet(s"$dir/counts").count()

@@ -2112,8 +2112,12 @@ class StreamingSpec extends SparkSpec {
     TextAnalysis.nbWriteModel(docs.filter($"doc_id" % 3 === 0), dir)
     val in = MemoryStream[(Long, String, String)](spark)
     val q = in.toDF().toDF("doc_id", "label", "text").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (!batch.isEmpty) TextAnalysis.nbAppendModel(spark, batch, dir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        // the engine-assigned micro-batch id IS the idempotence key:
+        // a redelivered batch overwrites its own partition (+1 keeps
+        // clear of the base build's batch 0)
+        if (!batch.isEmpty)
+          TextAnalysis.nbAppendModel(spark, batch, dir, bid.toInt + 1)
         ()
       }.start()
     try {
