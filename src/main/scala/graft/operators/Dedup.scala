@@ -1090,6 +1090,19 @@ object Dedup {
         expr(s"substring(cast(text as binary), fp.pos + 1, $window)")
           .as("win"))
 
+  /** Bounded first-mismatch fold shared by the span byte-extension
+    * and the UTF-8 codepoint snap: `acc` = number of consecutive
+    * PASSING steps so far, and step j extends only while every prior
+    * step passed (`acc = j - 1`) — the invariant both correctness
+    * arguments rest on (extension stops at the first mismatching
+    * byte; the snap stops at the first non-continuation byte), kept
+    * in ONE place so the subtle `acc = j - 1` gate cannot drift
+    * between the two walks. Returns 0 when `steps < 1`. */
+  private def boundedWalk(steps: Int, cond: String): Column =
+    if (steps < 1) lit(0)
+    else expr(s"aggregate(sequence(1, $steps), 0, (acc, j) -> " +
+      s"IF(acc = j - 1 AND $cond, j, acc))")
+
   /** Same-delta gap-split merge of matched fingerprints into MAXIMAL
     * shared spans ≥ `minSpan` — shared by every span operator so the
     * exactness argument holds once. Two halves:
@@ -1108,19 +1121,6 @@ object Dedup {
     *     (never an unbounded scan). The minSpan filter runs on the
     *     EXTENDED length, so a true ≥ minSpan span detected short is
     *     recovered, not dropped — emitted spans are maximal. */
-  /** Bounded first-mismatch fold shared by the span byte-extension
-    * and the UTF-8 codepoint snap: `acc` = number of consecutive
-    * PASSING steps so far, and step j extends only while every prior
-    * step passed (`acc = j - 1`) — the invariant both correctness
-    * arguments rest on (extension stops at the first mismatching
-    * byte; the snap stops at the first non-continuation byte), kept
-    * in ONE place so the subtle `acc = j - 1` gate cannot drift
-    * between the two walks. Returns 0 when `steps < 1`. */
-  private def boundedWalk(steps: Int, cond: String): Column =
-    if (steps < 1) lit(0)
-    else expr(s"aggregate(sequence(1, $steps), 0, (acc, j) -> " +
-      s"IF(acc = j - 1 AND $cond, j, acc))")
-
   private def mergeSpans(matched: DataFrame, window: Int, winnowW: Int,
       minSpan: Int, docsA: DataFrame, docsB: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1152,11 +1152,14 @@ object Dedup {
       // in-memory paths the fps and bytes come from one frame, so the
       // guard can never fire (a doc absent from docsB has no fps and
       // therefore no matches). The guard triggers through the
-      // extension walks' access to bin_b; the one span shape whose
-      // walks never touch it — a WHOLE-document span, where both
-      // first conjuncts short-circuit at the doc boundary — needs no
-      // extension by construction, so every emitted row is correct
-      // either way: correct span or loud error, never a silent drop.
+      // extension walks' access to bin_b; the only shapes whose walks
+      // never touch it are spans pinned at a document boundary on
+      // every side a walk would probe — left walk skipped iff the
+      // span starts at byte 0 of EITHER document, right walk skipped
+      // iff it ends at the incoming doc's last byte — and in exactly
+      // those shapes the skipped extension is geometrically
+      // impossible anyway, so every emitted row is correct either
+      // way: correct span or loud error, never a silent drop.
       .join(docsB.select(col("doc_id").as("id_b"), col("bin").as("bin_b")),
         Seq("id_b"), "left")
       .withColumn("bin_b", when(col("bin_b").isNull,

@@ -329,7 +329,15 @@ object TextAnalysis {
     * DIFFERENT data, and only run [[nbCompactModel]] (which folds all
     * partitions into batch 0) from a quiesced maintenance window — a
     * replay of a pre-compaction batchId would re-add rows the fold
-    * already absorbed. */
+    * already absorbed.
+    *
+    * `batchId` is Int, not Long, because Hive-style partition values
+    * round-trip through directory names as int (a Long column would
+    * fail the append-schema gate against the reread layout); a
+    * streaming micro-batch id casts at the ingest glue — 2³¹ batches
+    * is 68 years at one per second; use `Math.toIntExact` there if
+    * the stream could outlive that (a bare `.toInt` wrap could land
+    * on a colliding positive id). */
   def nbAppendModel(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, dir: String, batchId: Int): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "nb_model",
@@ -374,6 +382,42 @@ object TextAnalysis {
         .agg(sum(col("c_lt")).as("c_lt")),
       spark.read.parquet(s"$dir/docstats")
         .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs")))
+  }
+
+  /** DELETE an appended batch from a stored [[nbWriteModel]] layout —
+    * source retraction (a shard found contaminated, a takedown
+    * request): the batch-partitioned layout makes unlearning EXACT
+    * and O(model), never O(corpus) — dropping the batch's two
+    * partitions removes precisely that batch's additive contribution,
+    * so the served model equals a retrain without the batch
+    * bit-for-bit (spec-pinned). Contrast the tombstoned ANN layouts
+    * (per-row masks compacted later) and the bloom contract (no
+    * removal without rebuild): here the partition IS the retraction
+    * unit. Batch 0 is refused (the base build retracts by rebuild),
+    * as is an id [[nbCompactModel]] has already folded away — the
+    * compaction trade is retraction granularity for serve-side
+    * re-agg width, and losing provenance silently honoring a retract
+    * would be a lie. A crash between the two partition deletes heals
+    * on replay (either remaining dir satisfies the presence gate);
+    * only a replay of an already-COMPLETE delete throws, visibly. */
+  def nbDeleteBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batchId: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    IndexMeta.requireMatch(spark, dir, "layout" -> "nb_model",
+      "fmt" -> "2")
+    require(batchId > 0,
+      s"nbDeleteBatch: batchId must be > 0 (got $batchId) — batch 0 " +
+        "is the base build; retract it by rebuilding the model")
+    val fs = FsOps.fsOf(spark, dir)
+    val c = new Path(s"$dir/counts/batch=$batchId")
+    val d = new Path(s"$dir/docstats/batch=$batchId")
+    require(fs.exists(c) || fs.exists(d),
+      s"nbDeleteBatch: batch $batchId is not present in the layout — " +
+        "either it was never appended, it was already deleted, or a " +
+        "compaction folded it into batch 0 (per-batch provenance is " +
+        "gone after nbCompactModel; retract by rebuild)")
+    FsOps.deleteIfExists(fs, c)
+    FsOps.deleteIfExists(fs, d)
   }
 
   /** Compact a stored [[nbWriteModel]] layout: fold the rows that

@@ -145,8 +145,15 @@ object PipelineQueries {
     * engine. [[nbScoreTail]] runs the scoring chain over a
     * caller-chosen token CTE (the trained-corpus `toks` for
     * resubstitution, an incoming-corpus CTE for the serves). */
-  private lazy val nbModelCtes: String =
-    """docs AS (SELECT doc_id, source AS label, text FROM documents),
+  private lazy val nbModelCtes: String = nbModelCtesWhere("")
+
+  /** [[nbModelCtes]] trained on a FILTERED corpus — the retraction
+    * replay: text_nb_delete's oracle retrains without the deleted
+    * batch's documents, which is exactly what dropping the batch
+    * partition claims to equal. */
+  private def nbModelCtesWhere(where: String): String =
+    s"""docs AS (SELECT doc_id, source AS label, text
+      |          FROM documents$where),
       |toks AS (SELECT doc_id, label,
       |           unnest(string_split(text, ' ')) AS tok FROM docs),
       |cwc AS (SELECT label, tok, count(*) AS c_lt FROM toks
@@ -3379,6 +3386,28 @@ object PipelineQueries {
       TextAnalysis.nbAppendModel(s,
         docs.filter(col("doc_id") % 2 === 1), dir, batchId = 1)
       TextAnalysis.nbCompactModel(s, dir)
+      TextAnalysis.nbClassifyFromModel(s,
+        docs.select(col("doc_id"), col("text")), dir)
+        .orderBy("doc_id")
+    }),
+
+    // NB batch RETRACTION: write the even half (batch 0), append the
+    // odd half as TWO batches (%4==1 → batch 1, %4==3 → batch 2),
+    // DELETE batch 2 — the partitioned layout drops exactly that
+    // batch's additive contribution — then classify the full corpus.
+    // Oracle = a retrain WITHOUT the deleted batch's documents
+    // scoring the same corpus: partition drop ≡ retrain, bit-for-bit.
+    "text_nb_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source").as("label"), col("text"))
+      val dir = FlowLogQueries.scratchDir("graft_nb_delete")
+      TextAnalysis.nbWriteModel(docs.filter(col("doc_id") % 2 === 0),
+        dir)
+      TextAnalysis.nbAppendModel(s,
+        docs.filter(col("doc_id") % 4 === 1), dir, batchId = 1)
+      TextAnalysis.nbAppendModel(s,
+        docs.filter(col("doc_id") % 4 === 3), dir, batchId = 2)
+      TextAnalysis.nbDeleteBatch(s, dir, 2)
       TextAnalysis.nbClassifyFromModel(s,
         docs.select(col("doc_id"), col("text")), dir)
         .orderBy("doc_id")
@@ -6709,6 +6738,19 @@ object PipelineQueries {
     "text_nb_compact" ->
       s"""WITH $nbModelCtes,
         |${nbScoreTail("toks")}
+        |SELECT doc_id, label AS pred, score_micro
+        |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+
+    // Batch-retraction replay: the model CTEs train WITHOUT the
+    // deleted batch's documents (doc_id % 4 == 3) — dropping the
+    // partition must equal this retrain exactly — while the incoming
+    // side scores the FULL corpus.
+    "text_nb_delete" ->
+      s"""WITH ${nbModelCtesWhere(" WHERE doc_id % 4 <> 3")},
+        |incoming AS (SELECT doc_id, text FROM documents),
+        |itoks AS (SELECT doc_id,
+        |            unnest(string_split(text, ' ')) AS tok FROM incoming),
+        |${nbScoreTail("itoks")}
         |SELECT doc_id, label AS pred, score_micro
         |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
 

@@ -965,6 +965,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("nbDeleteBatch retraction equals a retrain without the batch; " +
+      "batch 0 and compaction-folded ids are refused loudly") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a", "x x y"), (2L, "a", "x y y"),
+      (3L, "b", "z z w"), (4L, "b", "z w w"),
+      (5L, "a", "q q z"), (6L, "b", "q x x"))
+      .toDF("doc_id", "label", "text")
+    val incoming = docs.select($"doc_id", $"text")
+    withTempDir("graft_nb_delete_spec") { dir =>
+      TextAnalysis.nbWriteModel(docs.filter($"doc_id" <= 2), dir)
+      TextAnalysis.nbAppendModel(spark, docs.filter(
+        $"doc_id" === 3 || $"doc_id" === 4), dir, batchId = 1)
+      TextAnalysis.nbAppendModel(spark, docs.filter(
+        $"doc_id" >= 5), dir, batchId = 2)
+      TextAnalysis.nbDeleteBatch(spark, dir, 2)
+      val got = TextAnalysis.nbClassifyFromModel(spark, incoming, dir)
+        .orderBy("doc_id").collect().toSeq
+      // the claim: partition drop ≡ retrain without the batch
+      val want = withTempDir("graft_nb_delete_want") { d2 =>
+        TextAnalysis.nbWriteModel(docs.filter($"doc_id" <= 4), d2)
+        TextAnalysis.nbClassifyFromModel(spark, incoming, d2)
+          .orderBy("doc_id").collect().toSeq
+      }
+      assert(got === want,
+        "deleting the batch partition must equal a retrain without it")
+      // refusals: the base build, and an id a compaction folded away
+      intercept[IllegalArgumentException] {
+        TextAnalysis.nbDeleteBatch(spark, dir, 0)
+      }
+      TextAnalysis.nbCompactModel(spark, dir)
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.nbDeleteBatch(spark, dir, 1)
+      }
+      assert(e.getMessage.contains("compaction folded"),
+        s"folded-id refusal must explain itself, got: ${e.getMessage}")
+    }
+  }
+
   test("nbCompactModel folds appended count rows to one per key; " +
       "classify parity with the uncompacted model is bit-identical") {
     import graft.operators.TextAnalysis

@@ -35,6 +35,8 @@ class PlanInvariantsSpec extends SparkSpec {
                          // count tables — identical audited shapes
     "text_nb_compact",   // ditto — the compacted tables feed the one
                          // shared scoring frame
+    "text_nb_delete",    // ditto — batch-partition retraction, same
+                         // serve plan over what remains
     "sim_topk_bruteforce", "sim_topk_aggregator", "sim_topk_native", // probes
     "sim_range_search",  // broadcast probes, map-side threshold filter
     "graph_pagerank",    // one-row node-count normalizer per iteration

@@ -85,6 +85,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "text_nb_compact" -> 12,     // identical serve plan over the
                                   // compacted tables (compaction's own
                                   // writes are eager, pre-plan)
+    "text_nb_delete" -> 12,      // identical serve plan over the
+                                  // surviving partitions (the delete
+                                  // is a pre-plan filesystem drop)
     "text_top_ngrams" -> 2,      // (gram,doc) pre-agg + gram rollup
     "text_gopher_rules" -> 1,     // per-row integer rules; output sort only
     "text_spell_candidates" -> 6, // vocab agg + probe sort-limits +

@@ -2115,9 +2115,11 @@ class StreamingSpec extends SparkSpec {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
         // the engine-assigned micro-batch id IS the idempotence key:
         // a redelivered batch overwrites its own partition (+1 keeps
-        // clear of the base build's batch 0)
+        // clear of the base build's batch 0; toIntExact per the
+        // nbAppendModel width note)
         if (!batch.isEmpty)
-          TextAnalysis.nbAppendModel(spark, batch, dir, bid.toInt + 1)
+          TextAnalysis.nbAppendModel(spark, batch, dir,
+            Math.toIntExact(bid) + 1)
         ()
       }.start()
     try {
