@@ -47,6 +47,8 @@ object GraftExtensions {
     "gzip" -> (exprs => Gzip(as(exprs.head, BinaryType))),
     "dot_product" -> (exprs => DotProduct(
       as(exprs(0), ArrayType(DoubleType)), as(exprs(1), ArrayType(DoubleType)))),
+    "l2_sq" -> (exprs => L2Sq(
+      as(exprs(0), ArrayType(DoubleType)), as(exprs(1), ArrayType(DoubleType)))),
     "rolling_fingerprint" -> (exprs =>
       RollingFingerprint(as(exprs(0), StringType), intArg(exprs(1), "window"))),
     "cdc_cuts" -> (exprs =>

@@ -448,6 +448,54 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** l2_sq(array<double>, array<double>) → double: squared L2 distance,
+  * summed in list order — the same sequential per-dimension order the
+  * exploded (pos asc) partial-aggregate form accumulated in, so the
+  * 6-dp-rounded distance contract every quantizer path ranks on is
+  * unchanged by the array-fold rewrite (round 19). Codegen'd: this is
+  * the innermost kernel of every k-means iteration and every
+  * centroid/codebook assignment, O(corpus × k × dims) calls per
+  * training — a CodegenFallback here (e.g. the zip_with + aggregate
+  * HOF formulation) pays interpreted-lambda overhead per element. */
+case class L2Sq(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+    copy(left = l, right = r)
+}
+
 /** zorder2(long, long) → long: interleaves the low `bits` bits of two
   * keys (x on even positions, y on odd) into one Morton/z-order key.
   * Sorting or range-partitioning a table by this key co-locates rows
@@ -2088,6 +2136,9 @@ object functions {
       WinnowFingerprints(ex(c.cast("string")), window, winnowW))
   def dot_product(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
+      ex(a.cast("array<double>")), ex(b.cast("array<double>"))))
+  def l2_sq(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L2Sq(
       ex(a.cast("array<double>")), ex(b.cast("array<double>"))))
   def zorder2(a: Column, b: Column, bits: Int = 16): Column =
     GraftColumnBridge.column(ZOrder2(

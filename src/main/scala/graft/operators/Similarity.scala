@@ -861,20 +861,22 @@ object Similarity {
     * of [[knnJoinIndexed]]. */
   private[graft] def assignCellsRanked(vecs: DataFrame, probeSrc: DataFrame,
       nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val cents = centroids(vecs)
-    val dims = probeSrc.select(col("vec_id").as("probe_id"),
-      posexplode(col("v")).as(Seq("pos", "x")))
-    val d2 = dims.join(broadcast(cents), Seq("pos"))
-      .groupBy(col("probe_id"), col("label"))
-      .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
-        .as("dist2"))
-    val wAssign = Window.partitionBy(col("probe_id"))
-      .orderBy(round(col("dist2"), 6).asc, col("label").asc)
-    d2.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= nprobe)
-      .select(col("probe_id"), col("label").as("assigned_label"), col("rn"))
+    // Round-19 rewrite: the label-mean centroids are collected
+    // ([[csLiteral]]'s bounded-quantizer discipline — labels×dims
+    // doubles, constant in corpus size) and the ranked assignment is
+    // an inline array_sort over the per-centroid fold — no exploded
+    // dim×k join, no hash aggregate, no row_number shuffle. Collect
+    // carries the exact doubles the avg produced, and the 6-dp round
+    // + label tie-break ranking contract is unchanged.
+    val entries = centroids(vecs)
+      .select(col("label").as("cid"), col("pos"), col("cmean"))
+    probeSrc.select(col("vec_id").as("probe_id"), posexplode(
+        slice(array_sort(
+          distStructs(csLiteral(entries, "pos"), col("v"))), 1, nprobe))
+        .as(Seq("i", "e")))
+      .select(col("probe_id"), col("e.cid").as("assigned_label"),
+        (col("i") + 1).as("rn"))
   }
 
   /** IVF-style ANN, stage 2: assign each probe to its `nprobe` nearest
@@ -927,15 +929,42 @@ object Similarity {
     * [[imiSubDistances]], shared by the in-memory path and the
     * persisted layout (stored codebooks read back from parquet). */
   private[graft] def imiSubDistancesAgainst(cents: DataFrame,
-      probeSrc: DataFrame): DataFrame =
-    imiSubDims(probeSrc.select(col("vec_id"), col("v")), "vec_id")
-      .withColumnRenamed("vec_id", "probe_id")
-      .join(broadcast(cents), Seq("sub", "pos"))
-      .groupBy(col("probe_id"), col("sub"), col("clabel"))
-      .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
-        .as("dist2"))
-      .select(col("probe_id"), col("sub"), col("clabel"),
-        round(col("dist2"), 6).as("d2r"))
+      probeSrc: DataFrame): DataFrame = {
+    // Round-19 rewrite: the two half-codebooks are collected
+    // ([[csLiteral]]'s bounded-quantizer discipline — 2·k·(dims/2)
+    // doubles) and each half's distances fold inline on the probe row
+    // over the matching v-slice; the exploded dim×k join + hash
+    // aggregate is gone. Positions are absolute with a sub tag, so
+    // each half's fold runs over its pos-ascending slice — the same
+    // per-dimension accumulation order the partial aggregate
+    // produced; 6-dp round unchanged.
+    val rows = cents
+      .select(col("sub"), col("clabel"), col("pos"), col("cmean")).collect()
+    def half(sub: Int): Seq[(Any, Seq[Double])] = rows
+      .filter(_.getInt(0) == sub)
+      .groupBy(r => r.get(1))
+      .toSeq
+      .sortBy { case (cl, _) => cl.asInstanceOf[Number].longValue }
+      .map { case (cl, rs) =>
+        (cl, rs.sortBy(_.get(2).asInstanceOf[Number].longValue)
+          .map(_.getDouble(3)).toSeq)
+      }
+    val hf = (size(col("v")) / 2).cast("int")
+    val slices = Seq(
+      (0, slice(col("v"), lit(1), hf)),
+      (1, slice(col("v"), hf + 1, size(col("v")) - hf)))
+    val halves = slices.map { case (s, sv) =>
+      transform(csLiteralFrom(half(s)), c => struct(
+        lit(s).as("sub"),
+        c.getField("cid").as("clabel"),
+        round(graft.functions.functions.l2_sq(sv, c.getField("cvec")), 6)
+          .as("d2r")))
+    }
+    probeSrc.select(col("vec_id").as("probe_id"),
+        explode(concat(halves: _*)).as("e"))
+      .select(col("probe_id"), col("e.sub").as("sub"),
+        col("e.clabel").as("clabel"), col("e.d2r").as("d2r"))
+  }
 
   /** Per-HALF sub-centroid distances — the shared assignment stage of
     * the inverted multi-index ([[imiTopK]]): train the codebooks from
@@ -2031,16 +2060,35 @@ object Similarity {
     * and the append so the two paths cannot diverge. */
   private def pqCodesAgainst(codebook: DataFrame, vecs: DataFrame,
       m: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wAssign = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(round(col("dist2"), 6).asc, col("cid").asc)
-    subvectors(vecs, m).join(broadcast(codebook), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("cid"),
-        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
-          dot(col("cv"), col("cv"))).as("dist2"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("cid"))
+    // Round-19 rewrite: the codebook is collected ([[csLiteral]]'s
+    // bounded-quantizer discipline — m·codebookK·(dims/m) doubles)
+    // and the per-subvector argmin runs inline on the corpus row —
+    // no broadcast join fan-out, no row_number shuffle over
+    // corpus×m×codebookK rows. The distance stays the dot-product
+    // identity |a−b|² = a·a − 2a·b + b·b on the SAME codegen'd
+    // [[graft.functions.DotProduct]], and the (6-dp round asc, cid
+    // asc) argmin is array_min over the same values — codes are
+    // bit-identical.
+    val rows = codebook.select(col("sub"), col("cid"), col("cv")).collect()
+    def subEntries(s: Int) = rows.filter(_.getInt(0) == s)
+      .map(r => (r.get(1), r.getSeq[Double](2)))
+      .sortBy(_._1.asInstanceOf[Number].longValue).toSeq
+    val d = graft.functions.functions.dot_product _
+    val best = (0 until m).map { s =>
+      val sv = expr(s"slice(v, $s * (size(v) div $m) + 1, size(v) div $m)")
+      val cands = subEntries(s).map { case (cid, cv) =>
+        val cvLit = array(cv.map(lit(_)): _*)
+        struct(round(d(sv, sv) - lit(2.0) * d(sv, cvLit) + d(cvLit, cvLit), 6)
+          .as("d2r"), lit(cid).as("cid"))
+      }
+      if (cands.isEmpty) lit(null)
+      else least(cands: _*).getField("cid").as(s"code_$s")
+    }
+    vecs.select(col("vec_id") +: best: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(s => col(s"code_$s")): _*))
+          .as(Seq("sub", "cid")))
+      .filter(col("cid").isNotNull)
   }
 
   /** The PQ codebook: per-subspace slices of the first `codebookK`
@@ -2178,17 +2226,6 @@ object Similarity {
         col("adist"), col("rnk"))
   }
 
-  /** Centroid ARRAYS from [[kmeansTrain]]'s exploded (cid, dim, cmean)
-    * form — (cid, cv) with cv ordered by dim (array_sort on the
-    * (dim, cmean) struct sorts on the first field, so the order is
-    * deterministic regardless of collect_list's partition order).
-    * k rows of dim doubles: always broadcastable. */
-  private def centroidArrays(cents: DataFrame): DataFrame =
-    cents.groupBy(col("cid"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("cmean"))))
-        .as("p"))
-      .select(col("cid"), expr("transform(p, q -> q.cmean)").as("cv"))
-
   /** Residuals of `src` against its `n` nearest trained cells:
     * (vec_id, cell, rv) with rv = v − centroid(cell), one row per
     * (vector, assigned cell). n = 1 residualizes a corpus against its
@@ -2196,22 +2233,26 @@ object Similarity {
     * against EACH cell it consults (the query side of a by-residual
     * ADC serve, where the distance table is per probed cell).
     * Plain double subtraction — engine-portable (the centroid means
-    * are already 6-dp rounded by [[kmeansTrain]]'s contract).
-    * `broadcastAssign` marks the assignment side broadcastable — set
-    * it on PROBE-side calls (|probes|·nprobe rows, so the join probes
-    * the vector scan without shuffling it); never on corpus-side
-    * encodes, where the assignment is corpus-sized and the co-keyed
-    * shuffle join is the correct build shape. */
+    * are already 6-dp rounded by [[kmeansTrain]]'s contract). */
   private def residualsOf(src: DataFrame, cents: DataFrame,
-      n: Int, broadcastAssign: Boolean = false): DataFrame = {
-    val asg0 = trainedAssign(src, cents, n)
-      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
-    val asg = if (broadcastAssign) broadcast(asg0) else asg0
-    val ca = broadcast(centroidArrays(cents)
-      .select(col("cid").as("cell"), col("cv")))
-    src.join(asg, Seq("vec_id")).join(ca, Seq("cell"))
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+      n: Int): DataFrame = {
+    // Round-19 rewrite: assignment AND subtraction run inline on the
+    // src row against the collected quantizer ([[csLiteral]]'s
+    // discipline) — the old form joined src to a windowed assignment
+    // frame and again to broadcast centroid arrays (two joins and a
+    // shuffle of the corpus side per encode). Values unchanged: same
+    // rounded-distance ranking, same double subtraction.
+    val entries = collectCents(cents, "dim")
+    val cvm =
+      if (entries.isEmpty) expr("CAST(map() AS map<int,array<double>>)")
+      else map(entries.flatMap { case (cid, cvec) =>
+        Seq(lit(cid), array(cvec.map(lit(_)): _*)) }: _*)
+    src.select(col("vec_id"), col("v"),
+        explode(slice(array_sort(
+          distStructs(csLiteralFrom(entries), col("v"))), 1, n)).as("e"))
+      .select(col("vec_id"), col("e.cid").as("cell"),
+        zip_with(col("v"), element_at(cvm, col("e.cid")), (a, b) => a - b)
+          .as("rv"))
   }
 
   /** Shared serve of the BY-RESIDUAL IVF-PQ composition (in-memory
@@ -2246,7 +2287,7 @@ object Similarity {
   private def pqrRefined(codes: DataFrame, cents: DataFrame,
       codebook: DataFrame, vecs: DataFrame, probes: DataFrame,
       m: Int, nprobe: Int, rerankDepth: Int): DataFrame = {
-    val psubs = residualsOf(probes, cents, nprobe, broadcastAssign = true)
+    val psubs = residualsOf(probes, cents, nprobe)
       .select(col("vec_id").as("probe_id"), col("cell").as("pcell"),
         explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("rv"))
       .select(col("probe_id"), col("pcell"), col("sub"),
@@ -2683,37 +2724,98 @@ object Similarity {
     * loses every member simply drops out (deterministic on both
     * engines). Output: (cid, dim, n, cmean) with 1-based dim. */
   def kmeansTrain(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val dims = vecs.select(col("vec_id"),
-      posexplode(col("v")).as(Seq("pos", "x")))
+    // Assignment-carrying rows stay (cid, v): the per-iteration argmin
+    // is ONE codegen'd expression over the broadcast centroid-array
+    // row (no per-dim explode×k join, no groupBy, no window shuffle —
+    // round-19 rewrite; the old exploded form pushed corpus×k×dims
+    // rows through a hash aggregate plus a row_number sort PER
+    // ITERATION). Distances fold in dim order ([[graft.functions.L2Sq]]),
+    // the same per-dim accumulation order the exploded partial
+    // aggregate produced, and the 6-dp round + cid tie-break contract
+    // is unchanged — assignments are bit-identical (oracle replays
+    // re-gated, PipelineSpec trajectory pins unchanged).
     def means(assigned: DataFrame): DataFrame =
-      dims.join(assigned, "vec_id")
+      assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(count(lit(1)).as("n"),
           sum(col("x").cast("decimal(38,18)")).as("sx"))
         .select(col("cid"), col("pos"), col("n"),
           round(col("sx").cast("double") / col("n"), 6).as("cmean"))
-    var cents = means(vecs.select(col("vec_id"),
-      graft.operators.Sampling.hashBucket(col("vec_id"), k).as("cid")))
+    var cents = means(vecs.select(
+      graft.operators.Sampling.hashBucket(col("vec_id"), k).as("cid"),
+      col("v")))
     for (_ <- 1 to iters) {
-      val d2 = dims
-        .join(broadcast(cents.select(col("cid"), col("pos"), col("cmean"))),
-          Seq("pos"))
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
-          .as("dist2"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(round(col("dist2"), 6).asc, col("cid").asc)
-      val assigned = d2.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
+      val cs = csLiteral(cents, "pos")
+      val assigned = vecs
+        .select(nearestIn(cs, col("v")).as("cid"), col("v"))
+        .filter(col("cid").isNotNull)
       cents = means(assigned)
     }
     cents.select(col("cid"), (col("pos") + 1).as("dim"), col("n"),
       col("cmean"))
   }
+
+  /** Trained centroids in exploded (cid, <posCol>, cmean) form,
+    * COLLECTED and re-emitted as a literal `array<struct<cid, cvec>>`
+    * column, cvec ordered by position, entries ordered by cid.
+    *
+    * This is a deliberate, bounded driver collect: k·dims doubles —
+    * the QUANTIZER, a constant independent of corpus size (8×64 here;
+    * even a 2¹⁶-cell, 1024-dim production quantizer is ~0.5 GB of
+    * plan-side state, and that regime belongs to the IMI layout
+    * whose half-quantizers are 2⁸ each). Spark MLlib's own KMeans
+    * collects centroids to the driver every Lloyd iteration for the
+    * same reason: the next assignment becomes a pure per-row
+    * projection — no exploded dim×k join, no per-iteration broadcast
+    * build, no row_number window, no shuffle of the vector side at
+    * all. Values round-trip exactly (collect carries the same doubles
+    * the rounded means produced), so assignments, trajectories and
+    * every downstream gate are bit-identical to the joined form. */
+  private def csLiteral(cents: DataFrame, posCol: String): Column =
+    csLiteralFrom(collectCents(cents, posCol))
+
+  /** The bounded collect behind [[csLiteral]]: (cid, cvec) pairs,
+    * cids ascending, cvec in position order. */
+  private def collectCents(cents: DataFrame,
+      posCol: String): Seq[(Any, Seq[Double])] =
+    cents.select(col("cid"), col(posCol), col("cmean")).collect()
+      .groupBy(r => r.get(0))
+      .toSeq
+      .sortBy { case (cid, _) => cid.asInstanceOf[Number].longValue }
+      .map { case (cid, rs) =>
+        (cid, rs.sortBy(_.get(1).asInstanceOf[Number].longValue)
+          .map(_.getDouble(2)).toSeq)
+      }
+
+  private def csLiteralFrom(entries: Seq[(Any, Seq[Double])]): Column =
+    if (entries.isEmpty)
+      // Typed empty: keeps resolution (getField) working on an
+      // empty-corpus quantizer; every consumer yields zero rows from
+      // it, matching the joined form's empty-join semantics.
+      expr("CAST(array() AS array<struct<cid:int,cvec:array<double>>>)")
+    else array(entries.map { case (cid, cvec) =>
+      struct(lit(cid).as("cid"), array(cvec.map(lit(_)): _*).as("cvec"))
+    }: _*)
+
+  /** (rounded L2², cid) structs of `v` against every centroid of a
+    * [[csLiteral]] array — array_min picks the (distance asc, cid
+    * asc) rank-1 cell, array_sort enumerates the full ranking; ONE
+    * expression so every consumer inherits the same determinism
+    * contract. [[graft.functions.L2Sq]] folds in dim order, the same
+    * per-dimension accumulation order the old exploded partial
+    * aggregate produced, so the 6-dp-rounded ranking is unchanged. */
+  private def distStructs(cs: Column, v: Column): Column =
+    transform(cs, c => struct(
+      round(graft.functions.functions.l2_sq(v, c.getField("cvec")), 6)
+        .as("d2r"),
+      c.getField("cid").as("cid")))
+
+  /** Rank-1 cid of [[distStructs]] — the argmin every index/encode
+    * side uses. Null only when the quantizer is empty. */
+  private def nearestIn(cs: Column, v: Column): Column =
+    array_min(distStructs(cs, v)).getField("cid")
 
   /** IVF search over TRAINED cells — the production composition
     * train → index → search with no labels anywhere: `cents` is a
@@ -2741,18 +2843,21 @@ object Similarity {
     * multi-nprobe enumeration (the recall curve) can scope one
     * assignment pass per np with a filter instead of re-assigning. */
   private def trainedAssignRanked(src: DataFrame, cents: DataFrame,
-      n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Ranks over [[trainedDistances]] — ONE implementation of the
+      n: Int): DataFrame =
+    // Ranks over [[distStructs]] — ONE implementation of the
     // centroid-distance computation, so the ranked and unranked
-    // consumers cannot diverge on the rounding contract (d2r is
-    // already the 6-dp-rounded L2² the ordering ranks on).
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("d2r").asc, col("cid").asc)
-    trainedDistances(src, cents)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
-      .select(col("probe_id"), col("cid"), col("rn"))
-  }
+    // consumers cannot diverge on the rounding contract. array_sort
+    // on the (d2r, cid) structs IS the (rounded distance asc, cid
+    // asc) ordering, computed inline on the src row against the
+    // collected quantizer — no row_number window, no shuffle of the
+    // src side at all (round-19 rewrite of the exploded join +
+    // window form).
+    src.select(col("vec_id").as("probe_id"), posexplode(
+        slice(array_sort(distStructs(csLiteral(cents, "dim"), col("v"))),
+          1, n))
+        .as(Seq("i", "e")))
+      .select(col("probe_id"), col("e.cid").as("cid"),
+        (col("i") + 1).as("rn"))
 
   /** Rounded L2² of every `src` row against every trained centroid —
     * (probe_id, cid, d2r): [[trainedAssignRanked]]'s distance frame
@@ -2761,17 +2866,11 @@ object Similarity {
     * PAIRS by the sum of two half-distances). Same determinism
     * contract: 6-dp-rounded distance, cid tie-break downstream. */
   private def trainedDistances(src: DataFrame,
-      cents: DataFrame): DataFrame = {
-    val cells = cents.select(col("cid"), (col("dim") - 1).as("pos"),
-      col("cmean"))
+      cents: DataFrame): DataFrame =
     src.select(col("vec_id").as("probe_id"),
-        posexplode(col("v")).as(Seq("pos", "x")))
-      .join(broadcast(cells), Seq("pos"))
-      .groupBy(col("probe_id"), col("cid"))
-      .agg(sum((col("x") - col("cmean")) * (col("x") - col("cmean")))
-        .as("dist2"))
-      .select(col("probe_id"), col("cid"), round(col("dist2"), 6).as("d2r"))
-  }
+        explode(distStructs(csLiteral(cents, "dim"), col("v"))).as("e"))
+      .select(col("probe_id"), col("e.cid").as("cid"),
+        col("e.d2r").as("d2r"))
 
   /** One vector half as a (vec_id, v) frame — sub 0 = the leading
     * size/2 dims, sub 1 = the rest. Positions re-base to 0 within the

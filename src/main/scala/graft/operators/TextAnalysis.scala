@@ -249,7 +249,6 @@ object TextAnalysis {
     */
   private def nbScore(incoming: DataFrame, cwc: DataFrame,
       docstats: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ct = cwc.groupBy(col("label")).agg(sum(col("c_lt")).as("c_l"))
     val vocab = cwc.agg(countDistinct(col("tok")).as("v"))
     val pri = docstats
@@ -259,25 +258,35 @@ object TextAnalysis {
           lit(1000000.0d) + lit(0.5d)).cast("long").as("prior_micro"))
     val toks = incoming.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
+    // The model side BROADCASTS (labels × vocab, never corpus-sized —
+    // guide §3.1's "broadcast the side that fits"): the token stream
+    // is the data-sized side and must not shuffle before its per-doc
+    // partial aggregation. Round 19 — this was a shuffle join of
+    // corpus-tokens × labels against the count table.
     val terms = toks
       .crossJoin(broadcast(docstats.select(col("label"))))
-      .join(cwc, Seq("label", "tok"), "left")
+      .join(broadcast(cwc), Seq("label", "tok"), "left")
       .join(broadcast(ct), Seq("label"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("label"),
         floor(log((coalesce(col("c_lt"), lit(0L)) + 1).cast("double") /
           (col("c_l") + col("v")).cast("double")) * lit(1000000.0d) +
           lit(0.5d)).cast("long").as("lp"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score_micro").desc, col("label").asc)
+    // Argmax as a combine-friendly min(struct(−score, label)) — the
+    // (score desc, label asc) contract verbatim, without the
+    // row_number window's doc_id re-shuffle + sort (round 19; the
+    // second aggregate map-side-combines on the (doc, label) rows the
+    // first one emits).
     terms.groupBy(col("doc_id"), col("label"))
       .agg(sum(col("lp")).as("s"))
       .join(broadcast(pri), Seq("label"))
       .select(col("doc_id"), col("label"),
         (col("s") + col("prior_micro")).as("score_micro"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("doc_id"), col("label").as("pred"), col("score_micro"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score_micro")).as("neg"), col("label")))
+        .as("m"))
+      .select(col("doc_id"), col("m.label").as("pred"),
+        (-col("m.neg")).as("score_micro"))
   }
 
   /** Persist the NB model as RAW COUNT tables — `counts/`

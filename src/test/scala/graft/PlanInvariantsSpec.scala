@@ -130,15 +130,27 @@ class PlanInvariantsSpec extends SparkSpec {
     // when an iteration constant changes.
     import org.apache.spark.sql.catalyst.plans.logical.Window
 
-    // sim_kmeans_train runs iters = 2: exactly one assignment
-    // row_number window per Lloyd round, nothing else windows.
+    // sim_kmeans_train (round-19 kernel): each Lloyd round's
+    // assignment is an inline array_min argmin over the COLLECTED
+    // previous-round centroids, so prior rounds no longer appear in
+    // the returned plan at all — the final frame carries exactly ONE
+    // argmin projection (the last round's means input) and zero
+    // Windows. The iteration COUNT itself is pinned harder than any
+    // plan signature could: the DuckDB oracle replays the trajectory
+    // sequentially (seed → c0 → a1 → c1 → a2 → c2), so an extra or
+    // missing round changes every mean and fails the hash gate.
     val km = SparkEntry.queries("sim_kmeans_train")(spark, sfDir)
     val kmWindows = km.queryExecution.analyzed.collect {
       case w: Window => w
     }.size
-    assert(kmWindows == 2,
-      s"sim_kmeans_train: expected 2 Lloyd assignment windows, " +
-        s"got $kmWindows — iteration count drifted?")
+    assert(kmWindows == 0,
+      s"sim_kmeans_train: expected 0 windows (inline argmin " +
+        s"assignment), got $kmWindows")
+    val kmArgmins = "array_min\\(transform\\(".r
+      .findAllIn(km.queryExecution.analyzed.toString).size
+    assert(kmArgmins == 1,
+      s"sim_kmeans_train: expected exactly 1 inline argmin " +
+        s"assignment in the final frame, got $kmArgmins")
 
     // graph_pagerank runs iterations = 3: the contrib projection
     // (`rank_micro div outd AS contrib`) appears once per round in the
