@@ -869,11 +869,16 @@ object Similarity {
     // dim×k join, no hash aggregate, no row_number shuffle. Collect
     // carries the exact doubles the avg produced, and the 6-dp round
     // + label tie-break ranking contract is unchanged.
-    val entries = centroids(vecs)
-      .select(col("label").as("cid"), col("pos"), col("cmean"))
+    // Memoized on the CORPUS frame reference: ivfTopK/knnJoin-family
+    // compositions assign corpus and probe sides in separate calls
+    // over one vecs object — one collect serves both.
+    val entries = memoized(vecs, "labelcents") {
+      collectCents(centroids(vecs)
+        .select(col("label").as("cid"), col("pos"), col("cmean")), "pos")
+    }
     probeSrc.select(col("vec_id").as("probe_id"), posexplode(
         slice(array_sort(
-          distStructs(csLiteral(entries, "pos"), col("v"))), 1, nprobe))
+          distStructs(csLiteralFrom(entries), col("v"))), 1, nprobe))
         .as(Seq("i", "e")))
       .select(col("probe_id"), col("e.cid").as("assigned_label"),
         (col("i") + 1).as("rn"))
@@ -938,32 +943,114 @@ object Similarity {
     // each half's fold runs over its pos-ascending slice — the same
     // per-dimension accumulation order the partial aggregate
     // produced; 6-dp round unchanged.
+    val tagged = halfDistStructs(collectHalves(cents)).zipWithIndex
+      .map { case (d, s) =>
+        transform(d, e => struct(
+          lit(s).as("sub"),
+          e.getField("cid").as("clabel"),
+          e.getField("d2r").as("d2r")))
+      }
+    probeSrc.select(col("vec_id").as("probe_id"),
+        explode(concat(tagged: _*)).as("e"))
+      .select(col("probe_id"), col("e.sub").as("sub"),
+        col("e.clabel").as("clabel"), col("e.d2r").as("d2r"))
+  }
+
+  /** Collected half-codebooks — entries(sub) = (clabel, cvec) pairs,
+    * clabels ascending, cvec in position order: [[csLiteral]]'s
+    * bounded-collect discipline at the half-codebook key
+    * (2·k·(dims/2) doubles, constant in corpus size). Serves both
+    * codebook shapes (label-mean absolute positions, trained rebased
+    * positions): positions are only an ordering key within a half. */
+  private def collectHalves(cents: DataFrame): Seq[Seq[(Any, Seq[Double])]] =
+    memoized(cents, "halves") { collectHalvesUncached(cents) }
+
+  private def collectHalvesUncached(
+      cents: DataFrame): Seq[Seq[(Any, Seq[Double])]] = {
     val rows = cents
       .select(col("sub"), col("clabel"), col("pos"), col("cmean")).collect()
-    def half(sub: Int): Seq[(Any, Seq[Double])] = rows
-      .filter(_.getInt(0) == sub)
+    Seq(0, 1).map(s => rows
+      .filter(_.getInt(0) == s)
       .groupBy(r => r.get(1))
       .toSeq
       .sortBy { case (cl, _) => cl.asInstanceOf[Number].longValue }
       .map { case (cl, rs) =>
         (cl, rs.sortBy(_.get(2).asInstanceOf[Number].longValue)
           .map(_.getDouble(3)).toSeq)
-      }
+      })
+  }
+
+  /** [[collectHalves]] of TRAINED half-quantizers (the
+    * [[imiTrainedCents]] pair, public (cid, dim, cmean) shape). */
+  private def collectHalvesTrained(
+      cents: Seq[DataFrame]): Seq[Seq[(Any, Seq[Double])]] =
+    cents.map(c => collectCents(c, "dim"))
+
+  /** [[distStructs]] per half over the matching slice of `v` — the
+    * ONE half-distance implementation every multi-index consumer
+    * (sub-distance frames, inline pair assignment, inline pair
+    * ranking) inherits the determinism contract from. */
+  private def halfDistStructs(
+      halves: Seq[Seq[(Any, Seq[Double])]]): Seq[Column] = {
     val hf = (size(col("v")) / 2).cast("int")
     val slices = Seq(
-      (0, slice(col("v"), lit(1), hf)),
-      (1, slice(col("v"), hf + 1, size(col("v")) - hf)))
-    val halves = slices.map { case (s, sv) =>
-      transform(csLiteralFrom(half(s)), c => struct(
-        lit(s).as("sub"),
-        c.getField("cid").as("clabel"),
-        round(graft.functions.functions.l2_sq(sv, c.getField("cvec")), 6)
-          .as("d2r")))
+      slice(col("v"), lit(1), hf),
+      slice(col("v"), hf + 1, size(col("v")) - hf))
+    halves.zip(slices).map { case (es, sv) =>
+      distStructs(csLiteralFrom(es), sv)
     }
+  }
+
+  /** `src` with its rank-1 virtual-cell PAIR computed INLINE —
+    * min(struct(d2r, clabel)) per half, [[imiIndexCells]]'s contract
+    * with no aggregate and no re-attach join (round 19): the corpus
+    * encode side of every multi-index build used to aggregate the
+    * exploded sub-distance frame per vector and join the result back
+    * to the corpus by vec_id. */
+  private def withInlinePair(src: DataFrame,
+      halves: Seq[Seq[(Any, Seq[Double])]]): DataFrame = {
+    val hd = halfDistStructs(halves)
+    src
+      .withColumn("c0", array_min(hd(0)).getField("cid"))
+      .withColumn("c1", array_min(hd(1)).getField("cid"))
+      .filter(col("c0").isNotNull && col("c1").isNotNull)
+  }
+
+  /** Fused inline encode: (vec_id, c0, c1, rv) with rv = v −
+    * [cent0(c0); cent1(c1)] — [[imiPairResiduals]] at the corpus
+    * rank-1 shape with assignment, centroid lookup, and subtraction
+    * all on the src row (zero joins, zero aggregates). */
+  private def inlinePairResiduals(src: DataFrame,
+      halves: Seq[Seq[(Any, Seq[Double])]]): DataFrame = {
+    val maps = halves.map(es =>
+      if (es.isEmpty) expr("CAST(map() AS map<int,array<double>>)")
+      else map(es.flatMap { case (cl, cv) =>
+        Seq(lit(cl), array(cv.map(lit(_)): _*)) }: _*))
+    withInlinePair(src.select(col("vec_id"), col("v")), halves)
+      .select(col("vec_id"), col("c0"), col("c1"),
+        zip_with(col("v"),
+          concat(element_at(maps(0), col("c0")),
+            element_at(maps(1), col("c1"))),
+          (a, b) => a - b).as("rv"))
+  }
+
+  /** Top-`nprobe` virtual-cell pairs computed INLINE on the probe row
+    * — all k² (sum of rounded half-distances, l0, l1) structs built
+    * in one expression, array_sorted ((r0+r1) asc, l0 asc, l1 asc —
+    * [[imiProbePairsRanked]]'s window contract verbatim) and sliced;
+    * no half self-join, no row_number shuffle (round 19). */
+  private def inlineProbePairsRanked(probeSrc: DataFrame,
+      halves: Seq[Seq[(Any, Seq[Double])]], nprobe: Int): DataFrame = {
+    val hd = halfDistStructs(halves)
+    val pairs = flatten(transform(hd(0), a =>
+      transform(hd(1), b => struct(
+        (a.getField("d2r") + b.getField("d2r")).as("rsum"),
+        a.getField("cid").as("l0"),
+        b.getField("cid").as("l1")))))
     probeSrc.select(col("vec_id").as("probe_id"),
-        explode(concat(halves: _*)).as("e"))
-      .select(col("probe_id"), col("e.sub").as("sub"),
-        col("e.clabel").as("clabel"), col("e.d2r").as("d2r"))
+        posexplode(slice(array_sort(pairs), 1, nprobe)).as(Seq("i", "e")))
+      .select(col("probe_id"), col("e.l0").as("l0"),
+        col("e.l1").as("l1"), (col("i") + 1).as("rn"))
   }
 
   /** Per-HALF sub-centroid distances — the shared assignment stage of
@@ -1053,13 +1140,14 @@ object Similarity {
   def imiTopK(vecs: DataFrame, probes: DataFrame, k: Int,
       nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    // Corpus indexing is a pure ARGMIN per (vector, half) — one
-    // combine-friendly map-side-partial exchange keyed by vector id
-    // ([[imiIndexCells]]); at 100 TB this is the pass that touches
-    // every corpus row, so it must not sort, window, or self-join.
-    val idx = imiIndexCells(imiSubDistances(vecs, vecs))
-    val assigned = imiProbePairs(imiSubDistances(vecs, probes), nprobe)
-    val corpus = withNorm(vecs).join(idx, col("vec_id") === col("corpus_id"))
+    // Corpus indexing is a pure inline ARGMIN per (vector, half) —
+    // a projection on the corpus row ([[withInlinePair]]); at 100 TB
+    // this is the pass that touches every corpus row, so it must not
+    // sort, window, self-join, aggregate, or re-attach by id.
+    val halves = collectHalves(imiSubCentroids(vecs))
+    val assigned = inlineProbePairsRanked(probes, halves, nprobe)
+      .select(col("probe_id"), col("l0"), col("l1"))
+    val corpus = withInlinePair(withNorm(vecs), halves)
       .select(col("vec_id"), col("v"), col("nrm"), col("c0"), col("c1"))
     imiServe(probes, assigned, corpus, k)
   }
@@ -1112,13 +1200,12 @@ object Similarity {
     clearTombstones(vecs.sparkSession, dir)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     val stored = vecs.sparkSession.read.parquet(s"$dir/centroids")
-    val idx = imiIndexCells(imiSubDistancesAgainst(stored, vecs))
     // All input columns persist (metadata like `label` rides beside
     // the vector), so [[searchImiIndexWhere]]'s predicate pushes to
     // the stored scan — the same filtered-serve contract as the flat
-    // layout.
-    withNorm(vecs).join(idx, col("vec_id") === col("corpus_id"))
-      .drop("corpus_id")
+    // layout. The pair assignment is inline on the corpus row
+    // ([[withInlinePair]]) — no aggregate, no re-attach join.
+    withInlinePair(withNorm(vecs), collectHalves(stored))
       .write.mode("overwrite").partitionBy("c0", "c1")
       .parquet(s"$dir/index")
     IndexMeta.write(vecs.sparkSession, dir, "layout" -> "imi",
@@ -1140,9 +1227,7 @@ object Similarity {
       vecs2: DataFrame, dir: String): Unit = {
     IndexMeta.requireMatch(spark, dir, "layout" -> "imi", "fmt" -> "1")
     val cents = spark.read.parquet(s"$dir/centroids")
-    val idx = imiIndexCells(imiSubDistancesAgainst(cents, vecs2))
-    val rows = withNorm(vecs2).join(idx, col("vec_id") === col("corpus_id"))
-      .drop("corpus_id")
+    val rows = withInlinePair(withNorm(vecs2), collectHalves(cents))
     FsOps.requireAppendColumns(spark, s"$dir/index", rows, "appendImiIndex")
     clearDrainedPlaceholder(spark, s"$dir/index")
     rows
@@ -1206,8 +1291,9 @@ object Similarity {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     IndexMeta.requireMatch(spark, dir, "layout" -> "imi", "fmt" -> "1")
     val cents = spark.read.parquet(s"$dir/centroids")
-    val assigned = imiProbePairs(
-      imiSubDistancesAgainst(cents, probes), nprobe)
+    val assigned = inlineProbePairsRanked(probes, collectHalves(cents),
+        nprobe)
+      .select(col("probe_id"), col("l0"), col("l1"))
     val idx1 = pred.foldLeft(spark.read.parquet(s"$dir/index"))(_ filter _)
     val idx = readTombstones(spark, dir)
       .map(t => idx1.join(broadcast(t), Seq("vec_id"), "left_anti"))
@@ -1349,15 +1435,17 @@ object Similarity {
     * floats. A multi-operating-point enumeration (the recall curve)
     * computes this ONCE; codes are nprobe-independent. */
   private[graft] def imiPqEncode(vecs: DataFrame, cents: DataFrame,
-      idx: DataFrame, m: Int, codebookK: Int): (DataFrame, DataFrame) = {
-    val assign = idx.select(col("corpus_id").as("vec_id"),
-      col("c0"), col("c1"))
-    val rcorp = imiPairResiduals(vecs, assign, cents)
+      m: Int, codebookK: Int): (DataFrame, DataFrame) = {
+    // Fused inline encode (round 19): assignment + residual in one
+    // projection ([[inlinePairResiduals]]), pair keys riding through
+    // the code assignment — no per-vector aggregate, no re-attach
+    // joins anywhere on the encode path.
+    val rcorp = inlinePairResiduals(vecs, collectHalves(cents))
     val rv = rcorp.select(col("vec_id"), col("rv").as("v"))
     val rcb = codebookOf(rv, m, codebookK)
-    val codes = pqCodesAgainst(rcb, rv, m)
-      .join(rcorp.select(col("vec_id"), col("c0"), col("c1")),
-        Seq("vec_id"))
+    val codes = pqCodesAgainst(rcb,
+      rcorp.select(col("vec_id"), col("c0"), col("c1"),
+        col("rv").as("v")), m)
     (rcb, codes)
   }
 
@@ -1470,7 +1558,7 @@ object Similarity {
     * every IMI build) + a ≤k²-row aggregate; the one-row total
     * broadcasts. */
   def imiPairStats(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val occ = imiIndexCells(imiSubDistancesAgainst(cents, vecs))
+    val occ = withInlinePair(vecs.select(col("v")), collectHalves(cents))
       .groupBy(col("c0"), col("c1")).agg(count(lit(1)).as("n_vectors"))
     val tot = occ.agg(sum(col("n_vectors")).as("total"),
       count(lit(1)).as("n_pairs"))
@@ -1538,19 +1626,16 @@ object Similarity {
     clearTombstones(spark, dir)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     val stored = spark.read.parquet(s"$dir/centroids")
-    val idx = imiIndexCells(imiSubDistancesAgainst(stored, vecs))
-    val rcorp = imiPairResiduals(vecs,
-      idx.select(col("corpus_id").as("vec_id"), col("c0"), col("c1")),
-      stored)
-    // The default (quantizer = batch) REUSES the batch's own pair
-    // index and residual frame for codebook training — computing the
-    // same assignment twice measured ~1.5 s/row at sf0.1 for nothing.
-    val qres = quantizer.map { qsrc =>
-      val qidx = imiIndexCells(imiSubDistancesAgainst(stored, qsrc))
-      imiPairResiduals(qsrc,
-        qidx.select(col("corpus_id").as("vec_id"), col("c0"), col("c1")),
-        stored)
-    }.getOrElse(rcorp)
+    // Fused inline encode (round 19): assignment + residual in one
+    // projection on the corpus row — no per-vector argmin aggregate,
+    // no re-attach join.
+    val halves = collectHalves(stored)
+    val rcorp = inlinePairResiduals(vecs, halves)
+    // The default (quantizer = batch) REUSES the batch's own residual
+    // frame for codebook training — computing the same assignment
+    // twice measured ~1.5 s/row at sf0.1 for nothing.
+    val qres = quantizer.map(qsrc => inlinePairResiduals(qsrc, halves))
+      .getOrElse(rcorp)
     codebookOf(qres.select(col("vec_id"), col("rv").as("v")), m,
         codebookK)
       .write.mode("overwrite").parquet(s"$dir/codebook")
@@ -1574,10 +1659,10 @@ object Similarity {
   private def imiPqCodeRows(codebook: DataFrame, rcorp: DataFrame,
       vecs: DataFrame, m: Int): DataFrame = {
     val metaCols = vecs.columns.filterNot(c => c == "v" || c == "vec_id")
+    // Pair keys ride through the code assignment (round 19) — no
+    // rcorp re-attach join on the encode path.
     val base = pqCodesAgainst(codebook, rcorp.select(col("vec_id"),
-        col("rv").as("v")), m)
-      .join(rcorp.select(col("vec_id"), col("c0"), col("c1")),
-        Seq("vec_id"))
+        col("c0"), col("c1"), col("rv").as("v")), m)
     val withMeta =
       if (metaCols.isEmpty) base
       else base.join(vecs.drop("v"), Seq("vec_id"))
@@ -1602,10 +1687,7 @@ object Similarity {
       "m" -> m.toString, "fmt" -> "2")
     val cents = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
-    val idx = imiIndexCells(imiSubDistancesAgainst(cents, vecs2))
-    val rcorp = imiPairResiduals(vecs2,
-      idx.select(col("corpus_id").as("vec_id"), col("c0"), col("c1")),
-      cents)
+    val rcorp = inlinePairResiduals(vecs2, collectHalves(cents))
     val rows = imiPqCodeRows(codebook, rcorp, vecs2, m)
     FsOps.requireAppendColumns(spark, s"$dir/codes", rows, "appendImiPqIndex")
     clearDrainedPlaceholder(spark, s"$dir/codes")
@@ -1725,8 +1807,9 @@ object Similarity {
       else imiSuggestedRerankDepth(
         live.groupBy(col("c0"), col("c1"))
           .agg(expr(s"count(1) div $m").as("n_vectors")), k)
-    val assigned = imiProbePairs(
-      imiSubDistancesAgainst(cents, probes), nprobe)
+    val assigned = inlineProbePairsRanked(probes, collectHalves(cents),
+        nprobe)
+      .select(col("probe_id"), col("l0"), col("l1"))
     imiPqRefined(codes, codebook, cents, vecs, probes, assigned, m,
       depth)
   }
@@ -1772,10 +1855,10 @@ object Similarity {
       rerankDepth: Int = 40): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = imiSubCentroids(vecs)
-    val idx = imiIndexCells(imiSubDistancesAgainst(cents, vecs))
-    val assigned = imiProbePairs(
-      imiSubDistancesAgainst(cents, probes), nprobe)
-    val (rcb, codes) = imiPqEncode(vecs, cents, idx, m, codebookK)
+    val assigned = inlineProbePairsRanked(probes, collectHalves(cents),
+        nprobe)
+      .select(col("probe_id"), col("l0"), col("l1"))
+    val (rcb, codes) = imiPqEncode(vecs, cents, m, codebookK)
     imiPqServeEncoded(codes, rcb, cents, vecs, probes, assigned, k, m,
       rerankDepth)
   }
@@ -2084,10 +2167,13 @@ object Similarity {
       if (cands.isEmpty) lit(null)
       else least(cands: _*).getField("cid").as(s"code_$s")
     }
-    vecs.select(col("vec_id") +: best: _*)
-      .select(col("vec_id"),
+    // Non-vector input columns (pair/cell keys of a residual frame)
+    // ride through, so encode consumers need no re-attach join.
+    val carry = vecs.columns.filterNot(_ == "v").map(col).toSeq
+    vecs.select(carry ++ best: _*)
+      .select(carry :+
         posexplode(array((0 until m).map(s => col(s"code_$s")): _*))
-          .as(Seq("sub", "cid")))
+          .as(Seq("sub", "cid")): _*)
       .filter(col("cid").isNotNull)
   }
 
@@ -2776,18 +2862,45 @@ object Similarity {
   private def csLiteral(cents: DataFrame, posCol: String): Column =
     csLiteralFrom(collectCents(cents, posCol))
 
+  /** Per-INSTANCE memo of collected quantizers, keyed by the Dataset
+    * object REFERENCE (WeakHashMap; Dataset keeps identity equals):
+    * a multi-rung enumeration (the recall curve serves 16 rungs off
+    * one trained-cents frame) would otherwise re-run the bounded
+    * collect as a separate Spark action per serve leg. Reference
+    * keying is load-bearing for honesty: a NEW invocation of the same
+    * query builds NEW Dataset objects, so nothing is ever reused
+    * across runs — this dedups actions within one composition, the
+    * exact job localCheckpoint does for frames, never a cross-run
+    * result cache. */
+  private val quantizerMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, Map[String, AnyRef]]())
+
+  private def memoized[T <: AnyRef](df: DataFrame, tag: String)
+      (f: => T): T = {
+    val m = Option(quantizerMemo.get(df)).getOrElse(Map.empty)
+    m.get(tag) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val v = f
+        quantizerMemo.put(df, m + (tag -> v))
+        v
+    }
+  }
+
   /** The bounded collect behind [[csLiteral]]: (cid, cvec) pairs,
     * cids ascending, cvec in position order. */
   private def collectCents(cents: DataFrame,
       posCol: String): Seq[(Any, Seq[Double])] =
-    cents.select(col("cid"), col(posCol), col("cmean")).collect()
-      .groupBy(r => r.get(0))
-      .toSeq
-      .sortBy { case (cid, _) => cid.asInstanceOf[Number].longValue }
-      .map { case (cid, rs) =>
-        (cid, rs.sortBy(_.get(1).asInstanceOf[Number].longValue)
-          .map(_.getDouble(2)).toSeq)
-      }
+    memoized(cents, s"cents:$posCol") {
+      cents.select(col("cid"), col(posCol), col("cmean")).collect()
+        .groupBy(r => r.get(0))
+        .toSeq
+        .sortBy { case (cid, _) => cid.asInstanceOf[Number].longValue }
+        .map { case (cid, rs) =>
+          (cid, rs.sortBy(_.get(1).asInstanceOf[Number].longValue)
+            .map(_.getDouble(2)).toSeq)
+        }
+    }
 
   private def csLiteralFrom(entries: Seq[(Any, Seq[Double])]): Column =
     if (entries.isEmpty)
@@ -2890,7 +3003,7 @@ object Similarity {
     * each trajectory runs once per query, not once per consuming
     * branch (the recall curve's measured discipline — values
     * identical, eager cut accepted for a quantizer-bounded table). */
-  private def imiTrainedCents(vecs: DataFrame, kSub: Int,
+  private[graft] def imiTrainedCents(vecs: DataFrame, kSub: Int,
       iters: Int): Seq[DataFrame] =
     Seq(0, 1).map(s =>
       kmeansTrain(imiHalf(vecs, s), kSub, iters).localCheckpoint())
@@ -2936,10 +3049,10 @@ object Similarity {
   def imiTrainedTopK(vecs: DataFrame, probes: DataFrame, k: Int,
       kSub: Int = 8, iters: Int = 2, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val cents = imiTrainedCents(vecs, kSub, iters)
-    val idx = imiIndexCells(imiTrainedSubD(cents, vecs))
-    val assigned = imiProbePairs(imiTrainedSubD(cents, probes), nprobe)
-    val corpus = withNorm(vecs).join(idx, col("vec_id") === col("corpus_id"))
+    val halves = collectHalvesTrained(imiTrainedCents(vecs, kSub, iters))
+    val assigned = inlineProbePairsRanked(probes, halves, nprobe)
+      .select(col("probe_id"), col("l0"), col("l1"))
+    val corpus = withInlinePair(withNorm(vecs), halves)
       .select(col("vec_id"), col("v"), col("nrm"), col("c0"), col("c1"))
     imiServe(probes, assigned, corpus, k)
   }
@@ -2981,12 +3094,24 @@ object Similarity {
       rerankDepth: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = imiTrainedCents(vecs, kSub, iters)
-    val idx = imiIndexCells(imiTrainedSubD(cents, vecs))
+    val halves = collectHalvesTrained(cents)
+    // localCheckpointed: the pair index feeds three consumers
+    // (pair sizes, the membership probe, the ADC rung's pair-rank
+    // join). The inline assignment (round 19) removed the per-vector
+    // aggregate whose EXCHANGE used to be the runtime-reused
+    // materialization across those branches; this narrow
+    // (id, c0, c1) frame is the same bytes the old exchange wrote,
+    // materialized once explicitly instead of re-deriving the
+    // assignment per branch (re-measured: the clustered fixture's
+    // synthesized corpus made per-branch re-evaluation a 1.5×
+    // regression).
+    val idx = withInlinePair(vecs.select(col("vec_id"), col("v")), halves)
+      .select(col("vec_id").as("corpus_id"), col("c0"), col("c1"))
+      .localCheckpoint()
     val pairSizes = idx.groupBy(col("c0"), col("c1"))
       .agg(count(lit(1)).as("pair_n"))
-    val ranked = imiProbePairsRanked(imiTrainedSubD(cents, probes),
-      nps.max)
-    val corpus = withNorm(vecs).join(idx, col("vec_id") === col("corpus_id"))
+    val ranked = inlineProbePairsRanked(probes, halves, nps.max)
+    val corpus = withInlinePair(withNorm(vecs), halves)
       .select(col("vec_id"), col("v"), col("nrm"), col("c0"), col("c1"))
     val bf = bruteForceTopK(vecs, probes, k)
     val rungs = nps.map { np =>
@@ -3036,7 +3161,7 @@ object Similarity {
     // one codebook training and one corpus encode serve the whole
     // rung.
     val subCents = imiTrainedAsSubCents(cents)
-    val (rcb, codes) = imiPqEncode(vecs, subCents, idx, m, codebookK)
+    val (rcb, codes) = imiPqEncode(vecs, subCents, m, codebookK)
     val scoredRn = imiPqAdcScores(codes, rcb, subCents, probes,
         ranked.select(col("probe_id"), col("l0"), col("l1")), m)
       .join(idx.select(col("corpus_id").as("vec_id"), col("c0"),

@@ -2683,11 +2683,17 @@ object PipelineQueries {
     // randomness, so the DuckDB replay transforms identically. Same
     // trained chain, same rungs, same bytes accounting.
     "sim_imi_curve_clustered" -> ((s, d) => {
+      // The synthesized fixture is materialized ONCE (inside the
+      // timed query): the per-element CASE/pow lambda is interpreted
+      // and the curve's trainings + rung branches would otherwise
+      // re-evaluate it per consumer (measured 1.5× of the row).
+      // Values are unchanged — the oracle re-gates bit-identically.
       val vecs = Similarity.vectors(Tables.embeddings(s, d))
         .selectExpr("vec_id",
           "transform(v, (x, i) -> (CASE WHEN ((label % 8) DIV " +
             "CAST(pow(2, i % 3) AS INT)) % 2 = 1 THEN 1.0D ELSE -1.0D " +
             "END) + 0.1D * x) AS v")
+        .localCheckpoint()
       Similarity.imiRecallCurve(vecs, vecs.filter(col("vec_id") < 10), 3)
         .orderBy("rung", "np", "probe_id")
     }),

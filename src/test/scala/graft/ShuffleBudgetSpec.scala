@@ -14,6 +14,19 @@ package graft
   */
 class ShuffleBudgetSpec extends SparkSpec {
 
+  // ROUND-19 NOTE: the trained-quantizer fleet's budgets were
+  // tightened wholesale after the inline-assignment rewrite
+  // (Similarity.scala: collected-literal quantizers; assignment,
+  // ranking, and residual encode are per-row expressions — no
+  // exploded dim×k joins, no row_number windows, no per-vector argmin
+  // aggregates, no re-attach joins). Representative deltas, measured
+  // via Test/runMain graft.CountExchanges: sim_imi_persist 14→2,
+  // sim_imipq_topk 39→8, sim_imipq_persist 22→10, sim_ivf_persist
+  // 5→2, sim_ivfpq_persist 10→4, sim_ivf_kmeans 22→4,
+  // sim_kmeans_train 8→2. Older per-row comments in the quantizer
+  // family describe the pre-rewrite plan shapes where they mention
+  // assignment windows or centroid joins; the NUMBERS are the
+  // post-rewrite measured counts.
   private val budgets: Map[String, Int] = Map(
     // flow pipeline: the ONLY exchange is the input repartition; every
     // enrichment join broadcasts (dimensions), nothing else moves.
@@ -126,7 +139,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "text_tokenize_bpe" -> 1,     // pure projection + output sort
     "text_unigram_logprob" -> 5,  // tok agg + re-join + doc rollup + sort
     "sim_range_search" -> 1,      // broadcast probes + map filter + sort
-    "sim_hybrid_indexed" -> 11,   // postings-overlap agg + lex window
+    "sim_hybrid_indexed" -> 8,   // postings-overlap agg + lex window
                                   // + the IVF serve frame + full-outer
                                   // fusion + rank + output sort — all
                                   // from stored layouts, no corpus scan
@@ -146,22 +159,22 @@ class ShuffleBudgetSpec extends SparkSpec {
     "sim_bq_delete" -> 2,         // same 2 — the tombstone mask is a
                                   // broadcast anti-join over the
                                   // 16-byte code rows, zero added
-    "sim_ivfbq_persist" -> 6,     // SERVING plan — probe cell assign
+    "sim_ivfbq_persist" -> 2,     // SERVING plan — probe cell assign
                                   // + DPP-pruned cell-equi Hamming
                                   // (codes never shuffle: probe codes
                                   // broadcast) + shortlist window +
                                   // re-rank window + output sort
-    "sim_ivfbq_append" -> 6,      // identical serve over the unioned
+    "sim_ivfbq_append" -> 2,      // identical serve over the unioned
                                   // cell partitions
-    "sim_ivfbq_compact" -> 6,     // compacted cells, identical serve
-    "sim_ivfbq_filtered" -> 6,    // same serve — the metadata filter
+    "sim_ivfbq_compact" -> 2,     // compacted cells, identical serve
+    "sim_ivfbq_filtered" -> 2,    // same serve — the metadata filter
                                   // is a pushed scan predicate, zero
                                   // added exchanges
-    "sim_ivfbq_range" -> 6,       // the thresholded refined tail —
+    "sim_ivfbq_range" -> 2,       // the thresholded refined tail —
                                   // the Hamming-shortlist window
                                   // stays, only the final rank window
                                   // drops (its exchange is reused)
-    "sim_ivfbq_delete" -> 6,      // same — the tombstone mask is a
+    "sim_ivfbq_delete" -> 2,      // same — the tombstone mask is a
                                   // broadcast anti-join, zero added
     // sim_recall_ladder is excluded like kmeans/MMR: it unions four
     // rungs over ONE trained-quantizer lineage, so the plan string
@@ -198,7 +211,7 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // window + output sort (probes
                                   // broadcast) — sim_topk_bruteforce's
                                   // shape
-    "sim_hybrid_indexed_bq" -> 12, // the hybrid frame with the
+    "sim_hybrid_indexed_bq" -> 8, // the hybrid frame with the
                                   // IVF-BQ serve as the vector leg:
                                   // lex agg + window + the 6-exchange
                                   // cell-blocked BQ serve + fusion +
@@ -208,7 +221,7 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // IVF rank window)
     // graph_kcore_salted is excluded like graph_kcore (unrolled peel
     // lineage); GraphOpsSpec pins its two-phase plan shape + parity.
-    "sim_ivf_range" -> 5,         // the persisted-IVF serve frame
+    "sim_ivf_range" -> 1,         // the persisted-IVF serve frame
                                   // (assign + cell join) minus any
                                   // ranking window — thresholded scan
     "dedup_substring_mass" -> 5,  // gram agg + re-join + doc rollup + sort
@@ -238,9 +251,9 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // (normal + within + 2 join sides;
                                     // ReuseExchange dedups at runtime)
                                     // + pair distinct + sort
-    "sim_ivf_nprobe" -> 5,          // centroid agg + assignment window +
+    "sim_ivf_nprobe" -> 2,          // centroid agg + assignment window +
                                     // cluster-scan window + rollup + sort
-    "sim_imi_topk" -> 11,           // sub-centroid agg + corpus sub-d2
+    "sim_imi_topk" -> 2,           // sub-centroid agg + corpus sub-d2
                                     // agg + argmin-pair agg (one
                                     // combine-friendly exchange, no
                                     // window) on the corpus side; the
@@ -249,7 +262,7 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // dedups at runtime) + pair-rank
                                     // window + cell join + top-k window
                                     // + sort
-    "sim_imipq_topk" -> 39,         // Multi-D-ADC + refine: the
+    "sim_imipq_topk" -> 8,         // Multi-D-ADC + refine: the
                                     // sub-centroid/sub-d2 subtrees
                                     // print under the corpus-index,
                                     // residual-encode, and probe
@@ -260,10 +273,10 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // code-assign windows + ADC rollup
                                     // + shortlist window + re-rank
                                     // window + sort
-    "sim_imi_stats" -> 10,          // corpus sub-d2 + argmin-pair aggs
+    "sim_imi_stats" -> 4,          // corpus sub-d2 + argmin-pair aggs
                                     // + pair occupancy + the one-row
                                     // total broadcast + output sort
-    "sim_imipq_persist" -> 22,      // Multi-D-ADC SERVING plan (both
+    "sim_imipq_persist" -> 10,      // Multi-D-ADC SERVING plan (both
                                     // quantizer tables + codes written
                                     // before the frame): probe sub-d2
                                     // under both pair branches + pair
@@ -272,28 +285,28 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // window + refine re-rank window +
                                     // sort (ReuseExchange dedups the
                                     // repeated probe subtrees)
-    "sim_imipq_append" -> 22,       // identical serve frame over the
+    "sim_imipq_append" -> 10,       // identical serve frame over the
                                     // appended pair partitions
-    "sim_imipq_delete" -> 22,       // tombstone mask = broadcast
+    "sim_imipq_delete" -> 10,       // tombstone mask = broadcast
                                     // anti-join, zero added exchanges
-    "sim_imipq_compact" -> 22,      // compacted pair leaves, identical
+    "sim_imipq_compact" -> 10,      // compacted pair leaves, identical
                                     // serve frame
-    "sim_imipq_filtered" -> 22,     // same serve — the metadata filter
+    "sim_imipq_filtered" -> 10,     // same serve — the metadata filter
                                     // is a pushed predicate on the
                                     // pair-partitioned code scan, zero
                                     // added exchanges
-    "sim_imipq_range" -> 21,        // the thresholded tail over the
+    "sim_imipq_range" -> 9,        // the thresholded tail over the
                                     // refined frame — one less than
                                     // the ranked serves (no final
                                     // top-k window exchange)
-    "sim_imipq_auto" -> 22,         // identical serve frame: the auto
+    "sim_imipq_auto" -> 10,         // identical serve frame: the auto
                                     // depth resolves EAGERLY from a
                                     // ≤k²-row code-table aggregate at
                                     // plan-build time, so the served
                                     // frame's plan is persist's
                                     // verbatim with a different depth
                                     // constant
-    "sim_imi_persist" -> 14,        // SERVING plan (codebooks + index
+    "sim_imi_persist" -> 2,        // SERVING plan (codebooks + index
                                     // written before the frame): the
                                     // probe sub-d2 agg prints under
                                     // both pair branches (ReuseExchange
@@ -301,17 +314,17 @@ class ShuffleBudgetSpec extends SparkSpec {
                                     // window + the DPP-pruned pair scan
                                     // under the broadcast serve join +
                                     // top-k window + sort
-    "sim_imi_append" -> 14,         // identical serve frame over the
+    "sim_imi_append" -> 2,         // identical serve frame over the
                                     // appended pair partitions
-    "sim_imi_delete" -> 14,         // same — the tombstone mask is a
+    "sim_imi_delete" -> 2,         // same — the tombstone mask is a
                                     // broadcast anti-join over the
                                     // index rows, zero added exchanges
-    "sim_imi_compact" -> 14,        // compacted pair leaves, identical
+    "sim_imi_compact" -> 2,        // compacted pair leaves, identical
                                     // serve frame
-    "sim_imi_filtered" -> 14,       // same serve — the metadata filter
+    "sim_imi_filtered" -> 2,       // same serve — the metadata filter
                                     // is a pushed scan predicate, zero
                                     // added exchanges
-    "sim_imi_range" -> 13,          // the thresholded tail over the
+    "sim_imi_range" -> 1,          // the thresholded tail over the
                                     // same scored frame — one less
                                     // than the ranked serves (no top-k
                                     // window exchange)
@@ -330,7 +343,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_minhash_v2" -> 1,      // per-row sigs are narrow; output sort
     "dedup_lsh_v2" -> 3,          // bucket agg + pair distinct + sort
                                   // (same shape as dedup_minhash_lsh)
-    "sim_knn_join" -> 4,          // centroid agg + assignment agg/topk
+    "sim_knn_join" -> 2,          // centroid agg + assignment agg/topk
                                   // + cell-join co-key reused by the
                                   // final top-k window + sort
     // round-10 additions (timestamp-native twins)
@@ -346,7 +359,7 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // stacked diversity windows (the
                                   // source-attach join broadcasts the
                                   // candidate side, no extra exchange)
-    "sim_ivf_persist" -> 5,       // SERVING plan only (the train+write
+    "sim_ivf_persist" -> 2,       // SERVING plan only (the train+write
                                   // runs before the returned frame):
                                   // probe assignment agg/window over
                                   // the broadcast stored centroids +
@@ -380,15 +393,15 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_embed_cosine_guarded" -> 6, // salted expansion (bucket window
                                   // + 2 expand groupings + cross-salt
                                   // join) + pair distinct + id-join sort
-    "sim_kmeans_train" -> 8,      // 3 means aggs + 2 assignment
-                                  // agg/window rounds + output sort
-                                  // (2 unrolled Lloyd iterations)
-    "sim_ivf_kmeans" -> 22,       // the trained-cells chain prints per
+    "sim_kmeans_train" -> 2,      // final means agg + output sort —
+                                  // earlier Lloyd rounds collect
+                                  // eagerly and leave the plan
+    "sim_ivf_kmeans" -> 4,       // the trained-cells chain prints per
                                   // consuming branch (corpus index +
                                   // probe assignment; ReuseExchange
                                   // dedups at runtime) + cell join +
                                   // top-k window + sort
-    "sim_knn_join_indexed" -> 10, // the ranked-assignment exchange
+    "sim_knn_join_indexed" -> 4, // the ranked-assignment exchange
                                   // prints once per consuming branch
                                   // (probe cells + index cells;
                                   // ReuseExchange dedups at runtime)
@@ -533,26 +546,26 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // flag agg + union window + ests
                                   // joins + sort — every exchange
                                   // moves profile rows, never data
-    "sim_ivf_compact" -> 5,       // compacted cells, identical serve
-    "sim_ivf_delete" -> 5,        // SERVING plan — same 5 as
+    "sim_ivf_compact" -> 2,       // compacted cells, identical serve
+    "sim_ivf_delete" -> 2,        // SERVING plan — same 5 as
                                   // sim_ivf_persist: the tombstone
                                   // mask is a broadcast anti-join,
                                   // zero added exchanges
-    "sim_ivf_filtered" -> 5,      // SERVING plan — same 5: the
+    "sim_ivf_filtered" -> 2,      // SERVING plan — same 5: the
                                   // metadata filter is a pushed scan
                                   // predicate, zero added exchanges
-    "sim_sq8_persist" -> 5,       // SERVING plan — the SQ8 serve keeps
+    "sim_sq8_persist" -> 2,       // SERVING plan — the SQ8 serve keeps
                                   // the flat layout's exchange budget:
                                   // probe assign + cell join + rank
                                   // window + sort; codes never re-read
                                   // the float corpus
-    "sim_sq8_compact" -> 5,       // compacted cells, identical serve
-    "sim_sq8_filtered" -> 5,      // same serve — the metadata filter
+    "sim_sq8_compact" -> 2,       // compacted cells, identical serve
+    "sim_sq8_filtered" -> 2,      // same serve — the metadata filter
                                   // is a pushed scan predicate, zero
                                   // added exchanges
-    "sim_sq8_delete" -> 5,        // same 5 — the tombstone mask is a
+    "sim_sq8_delete" -> 2,        // same 5 — the tombstone mask is a
                                   // broadcast anti-join, zero added
-    "sim_sq8_range" -> 5,         // the SQ8 serve frame minus the
+    "sim_sq8_range" -> 1,         // the SQ8 serve frame minus the
                                   // ranking window (thresholded scan)
                                   // — the sim_ivf_range shape on the
                                   // compressed rows
@@ -583,12 +596,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_lsh_append" -> 2,      // SERVING plan — same 2 as
                                   // dedup_lsh_persist: appended bucket
                                   // rows are just more index files
-    "sim_ivfpq_append" -> 10,     // SERVING plan — same 10 as
+    "sim_ivfpq_append" -> 4,     // SERVING plan — same 10 as
                                   // sim_ivfpq_persist: the append leg
                                   // ran before the served frame
     "sketch_cms_delete" -> 4,     // two cell aggs (all / retracted) +
                                   // cell-keyed subtract join + sort
-    "sim_ivfpq_persist" -> 10,    // by-residual refine SERVING plan:
+    "sim_ivfpq_persist" -> 4,    // by-residual refine SERVING plan:
                                   // probe-assign agg/window + the
                                   // kCells centroid-array agg (that
                                   // trio prints TWICE across consuming
@@ -600,20 +613,20 @@ class ShuffleBudgetSpec extends SparkSpec {
                                   // the broadcast shortlist, and the
                                   // distance-table subtree stays
                                   // broadcast-only
-    "sim_ivfpq_auto" -> 10,       // identical serve frame — the auto
+    "sim_ivfpq_auto" -> 4,       // identical serve frame — the auto
                                   // depth resolves eagerly from a
                                   // ≤K-row cell-occupancy aggregate at
                                   // plan-build time (sim_imipq_auto's
                                   // rule at the cell key)
-    "sim_ivfpq_delete" -> 10,     // same serve — the tombstone mask is
+    "sim_ivfpq_delete" -> 4,     // same serve — the tombstone mask is
                                   // a broadcast anti-join, zero added
                                   // exchanges
-    "sim_ivfpq_compact" -> 10,    // compacted cells, identical serve
-    "sim_ivfpq_filtered" -> 10,   // same serve — the metadata filter
+    "sim_ivfpq_compact" -> 4,    // compacted cells, identical serve
+    "sim_ivfpq_filtered" -> 4,   // same serve — the metadata filter
                                   // is a pushed predicate on the
                                   // cell-partitioned code scan, zero
                                   // added exchanges
-    "sim_ivfpq_range" -> 9)       // the thresholded tail over the
+    "sim_ivfpq_range" -> 3)       // the thresholded tail over the
                                   // refined frame — one less than the
                                   // ranked serves (no final top-k
                                   // window exchange)

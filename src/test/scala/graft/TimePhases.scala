@@ -85,6 +85,39 @@ object TimePhases {
           vecsL.filter(col("vec_id") < 10), 5)
           .orderBy("probe_id", "rnk").count()
       }
+      val vecsL2 = Similarity.vectors(Tables.embeddings(spark, sfDir))
+      val dir3 = java.nio.file.Files
+        .createTempDirectory("graft_phases_imi").toString
+      t("writeImiIndex") {
+        Similarity.writeImiIndex(vecsL2,
+          Similarity.imiSubCentroids(vecsL2), dir3)
+      }
+      t("imi delete") {
+        Similarity.deleteFromIvfIndex(spark,
+          vecsL2.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
+          dir3)
+      }
+      t("compactImiIndex") { Similarity.compactImiIndex(spark, dir3) }
+      t("searchImiIndex.count") {
+        Similarity.searchImiIndex(spark, dir3,
+          vecsL2.filter(col("vec_id") < 10), 5).count()
+      }
+      val cvecs = Similarity.vectors(Tables.embeddings(spark, sfDir))
+        .selectExpr("vec_id",
+          "transform(v, (x, i) -> (CASE WHEN ((label % 8) DIV " +
+            "CAST(pow(2, i % 3) AS INT)) % 2 = 1 THEN 1.0D ELSE -1.0D " +
+            "END) + 0.1D * x) AS v")
+      val cprobes = cvecs.filter(col("vec_id") < 10)
+      t("clustered trainedCents") {
+        Similarity.imiTrainedCents(cvecs, 8, 2).foreach(_.count())
+      }
+      t("clustered bruteforce.noop") {
+        Similarity.bruteForceTopK(cvecs, cprobes, 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+      t("clustered curve.count") {
+        Similarity.imiRecallCurve(cvecs, cprobes, 3).count()
+      }
     }
     spark.stop()
   }
