@@ -181,8 +181,8 @@ object PipelineQueries {
       |  LEFT JOIN cwc c ON c.label = l.label AND c.tok = t.tok),
       |scores AS (
       |  SELECT s.doc_id, s.label, s.s + p.prior_micro AS score_micro
-      |  FROM (SELECT doc_id, label, sum(lp) AS s FROM terms
-      |        GROUP BY 1, 2) s
+      |  FROM (SELECT doc_id, label, CAST(sum(lp) AS BIGINT) AS s
+      |        FROM terms GROUP BY 1, 2) s
       |  JOIN pri p ON p.label = s.label),
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id

@@ -62,6 +62,21 @@ def main():
             print(f"FAIL {name}: oracle sql error: {e}")
             n_bad += 1
             continue
+        # The driver's hash is type-sensitive; our 9-sig-digit norm is
+        # not. A DuckDB HUGEINT (e.g. an uncast sum(BIGINT)) can never
+        # hash-match a Spark BIGINT even when every value is equal —
+        # exactly how the round-19 NB rows failed the driver while
+        # passing here — so it is a hard FAIL, not a warning.
+        try:
+            dts = con.execute(f"DESCRIBE ({sql})").fetchall()
+            huge = [c[0] for c in dts if c[1] in ("HUGEINT", "UHUGEINT")]
+        except Exception:
+            huge = []
+        if huge:
+            print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge}; "
+                  f"CAST the sum/aggregate to BIGINT in the oracle SQL")
+            n_bad += 1
+            continue
         # The driver's hash distinguishes 1 from 1.0; our 9-sig-digit norm
         # does not, so flag float-vs-int column type splits explicitly.
         for ci, c in enumerate(gcols):
