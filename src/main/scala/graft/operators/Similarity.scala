@@ -380,12 +380,19 @@ object Similarity {
     // else branch) and a longer one would silently drop dims beyond
     // 64 — both skew Hamming distances instead of failing, so the
     // contract is enforced loudly per row.
-    val checked = vecs.select(col("vec_id"),
+    // Non-vector input columns ride through the packing projection
+    // (round 20) — metadata and cell keys stay beside the codes with
+    // no re-attach join; explicit selects at every serve-side call
+    // site keep their previous shapes.
+    val carry = vecs.columns
+      .filterNot(c => c == "v" || c == "vec_id").map(col).toSeq
+    val checked = vecs.select(Seq(col("vec_id")) ++ carry :+
       when(size(col("v")) === 64, col("v")).otherwise(raise_error(concat(
         lit("bqCodes packs exactly 64 dims (bits=64); got "),
         size(col("v")).cast("string"), lit(" dims for vec_id "),
-        col("vec_id").cast("string")))).as("v"))
-    checked.select(col("vec_id"), half(0).as("code0"), half(32).as("code1"))
+        col("vec_id").cast("string")))).as("v"): _*)
+    checked.select(Seq(col("vec_id")) ++ carry :+
+      half(0).as("code0") :+ half(32).as("code1"): _*)
   }
 
   /** Two-stage binary-quantized search (the classic BQ serve: Hamming
@@ -430,9 +437,9 @@ object Similarity {
     * schema exactly. */
   private def bqCodeRows(vecs: DataFrame): DataFrame = {
     val metaCols = vecs.columns.filterNot(c => c == "v" || c == "vec_id")
-    val base = bqCodes(vecs)
-    if (metaCols.isEmpty) base
-    else base.join(vecs.drop("v"), Seq("vec_id"))
+    // Metadata rides through [[bqCodes]]' packing projection
+    // (round 20) — the re-attach join is gone.
+    bqCodes(vecs)
       .select((Seq("vec_id", "code0", "code1") ++ metaCols).map(col): _*)
   }
 
@@ -641,9 +648,7 @@ object Similarity {
     * contracts are [[bqRerank]]'s, shared via [[bqRerankStage]]. */
   def ivfBqTopK(vecs: DataFrame, probes: DataFrame, cents: DataFrame,
       shortlist: Int = 20, k: Int = 3, nprobe: Int = 2): DataFrame = {
-    val cells = trainedAssign(vecs, cents, 1)
-      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
-    ivfBqServe(bqCodes(vecs).join(cells, Seq("vec_id")), cents, vecs,
+    ivfBqServe(bqCodes(withInlineCell(vecs, cents)), cents, vecs,
       probes, shortlist, k, nprobe)
   }
 
@@ -660,9 +665,7 @@ object Similarity {
     clearTombstones(vecs.sparkSession, dir)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     val stored = vecs.sparkSession.read.parquet(s"$dir/centroids")
-    val cells = trainedAssign(vecs, stored, 1)
-      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
-    ivfBqCodeRows(vecs, cells)
+    ivfBqCodeRows(vecs, stored)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
     IndexMeta.write(vecs.sparkSession, dir, "layout" -> "ivf_bq",
@@ -674,14 +677,14 @@ object Similarity {
     * columns ride beside the 16-byte codes for
     * [[searchIvfBqIndexWhere]]'s pushed predicate; metadata-less
     * inputs produce the previous schema exactly. */
-  private def ivfBqCodeRows(vecs: DataFrame, cells: DataFrame): DataFrame = {
+  private def ivfBqCodeRows(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val metaCols = vecs.columns.filterNot(c => c == "v" || c == "vec_id")
-    val base = bqCodes(vecs).join(cells, Seq("vec_id"))
-    val withMeta =
-      if (metaCols.isEmpty) base
-      else base.join(vecs.drop("v"), Seq("vec_id"))
-    withMeta.select((Seq("vec_id", "code0", "code1") ++ metaCols ++
-      Seq("cell")).map(col): _*)
+    // Cell assignment ([[withInlineCell]]) and metadata both ride the
+    // packing projection (round 20) — the two corpus-sized re-attach
+    // joins are gone from the build/append path.
+    bqCodes(withInlineCell(vecs, cents))
+      .select((Seq("vec_id", "code0", "code1") ++ metaCols ++
+        Seq("cell")).map(col): _*)
   }
 
   /** APPEND a batch to a persisted [[writeIvfBqIndex]] layout —
@@ -695,9 +698,7 @@ object Similarity {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_bq",
       "bits" -> "64", "fmt" -> "1")
     val cents = spark.read.parquet(s"$dir/centroids")
-    val cells = trainedAssign(vecs2, cents, 1)
-      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
-    val rows = ivfBqCodeRows(vecs2, cells)
+    val rows = ivfBqCodeRows(vecs2, cents)
     // Rows may carry metadata for the filtered serve — same column-set
     // + type contract as every metadata-carrying append leg.
     FsOps.requireAppendColumns(spark, s"$dir/codes", rows, "appendIvfBqIndex")
@@ -1016,22 +1017,27 @@ object Similarity {
       .filter(col("c0").isNotNull && col("c1").isNotNull)
   }
 
-  /** Fused inline encode: (vec_id, c0, c1, rv) with rv = v −
-    * [cent0(c0); cent1(c1)] — [[imiPairResiduals]] at the corpus
+  /** Fused inline encode: (vec_id, metadata…, c0, c1, rv) with rv =
+    * v − [cent0(c0); cent1(c1)] — [[imiPairResiduals]] at the corpus
     * rank-1 shape with assignment, centroid lookup, and subtraction
-    * all on the src row (zero joins, zero aggregates). */
+    * all on the src row (zero joins, zero aggregates). Non-vector
+    * input columns RIDE THROUGH the projection (round 20), so a
+    * metadata-carrying build never re-attaches them with a
+    * corpus-sized join downstream. */
   private def inlinePairResiduals(src: DataFrame,
       halves: Seq[Seq[(Any, Seq[Double])]]): DataFrame = {
     val maps = halves.map(es =>
       if (es.isEmpty) expr("CAST(map() AS map<int,array<double>>)")
       else map(es.flatMap { case (cl, cv) =>
         Seq(lit(cl), array(cv.map(lit(_)): _*)) }: _*))
-    withInlinePair(src.select(col("vec_id"), col("v")), halves)
-      .select(col("vec_id"), col("c0"), col("c1"),
+    val carry = src.columns
+      .filterNot(c => c == "v" || c == "vec_id").map(col).toSeq
+    withInlinePair(src, halves)
+      .select(Seq(col("vec_id")) ++ carry ++ Seq(col("c0"), col("c1"),
         zip_with(col("v"),
           concat(element_at(maps(0), col("c0")),
             element_at(maps(1), col("c1"))),
-          (a, b) => a - b).as("rv"))
+          (a, b) => a - b).as("rv")): _*)
   }
 
   /** Top-`nprobe` virtual-cell pairs computed INLINE on the probe row
@@ -1659,14 +1665,15 @@ object Similarity {
   private def imiPqCodeRows(codebook: DataFrame, rcorp: DataFrame,
       vecs: DataFrame, m: Int): DataFrame = {
     val metaCols = vecs.columns.filterNot(c => c == "v" || c == "vec_id")
-    // Pair keys ride through the code assignment (round 19) — no
-    // rcorp re-attach join on the encode path.
-    val base = pqCodesAgainst(codebook, rcorp.select(col("vec_id"),
-        col("c0"), col("c1"), col("rv").as("v")), m)
-    val withMeta =
-      if (metaCols.isEmpty) base
-      else base.join(vecs.drop("v"), Seq("vec_id"))
-    withMeta.select((Seq("vec_id", "sub", "cid") ++ metaCols ++
+    // Pair keys (round 19) AND metadata (round 20) ride through the
+    // code assignment — zero re-attach joins on the encode path: the
+    // residual frame is a pure projection of the input row, so every
+    // input column is already beside the residual when the code
+    // argmin runs.
+    val base = pqCodesAgainst(codebook, rcorp.select(
+      (Seq(col("vec_id")) ++ metaCols.map(col) ++
+        Seq(col("c0"), col("c1"), col("rv").as("v"))): _*), m)
+    base.select((Seq("vec_id", "sub", "cid") ++ metaCols ++
       Seq("c0", "c1")).map(col): _*)
   }
 
@@ -2273,12 +2280,13 @@ object Similarity {
       nprobe: Int = 2): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = kmeansTrain(vecs, kCells, iters)
-    val idx = trainedAssign(vecs, cents, 1)
-      .select(col("probe_id").as("corpus_id"), col("cid").as("cell"))
     val pcells = trainedAssign(probes, cents, nprobe)
       .select(col("probe_id"), col("cid").as("pcell"))
-    val codes = pqCodesOf(vecs, m, codebookK)
-      .join(idx, col("vec_id") === col("corpus_id"))
+    // Cell assignment rides the encode projection ([[withInlineCell]]
+    // under [[pqCodesAgainst]]'s carry, round 20) — the corpus-sized
+    // re-attach join on vec_id is gone; same argmin, same rows.
+    val codes = pqCodesAgainst(codebookOf(vecs, m, codebookK),
+        withInlineCell(vecs, cents), m)
       .select(col("vec_id"), col("sub"), col("cid"), col("cell"))
     // pcells is probe-bounded (|probes|·nprobe rows): broadcast it so
     // the per-probe distance table never shuffles on probe_id — the
@@ -2333,12 +2341,17 @@ object Similarity {
       if (entries.isEmpty) expr("CAST(map() AS map<int,array<double>>)")
       else map(entries.flatMap { case (cid, cvec) =>
         Seq(lit(cid), array(cvec.map(lit(_)): _*)) }: _*)
-    src.select(col("vec_id"), col("v"),
+    // Non-vector input columns ride through (round 20) — the encode
+    // side's metadata and any downstream key live beside the residual
+    // with no re-attach join.
+    val carry = src.columns
+      .filterNot(c => c == "v" || c == "vec_id").map(col).toSeq
+    src.select(Seq(col("vec_id")) ++ carry ++ Seq(col("v"),
         explode(slice(array_sort(
-          distStructs(csLiteralFrom(entries), col("v"))), 1, n)).as("e"))
-      .select(col("vec_id"), col("e.cid").as("cell"),
+          distStructs(csLiteralFrom(entries), col("v"))), 1, n)).as("e")): _*)
+      .select(Seq(col("vec_id")) ++ carry ++ Seq(col("e.cid").as("cell"),
         zip_with(col("v"), element_at(cvm, col("e.cid")), (a, b) => a - b)
-          .as("rv"))
+          .as("rv")): _*)
   }
 
   /** Shared serve of the BY-RESIDUAL IVF-PQ composition (in-memory
@@ -2458,8 +2471,11 @@ object Similarity {
     val rcorp = residualsOf(vecs, cents, 1)
     val rv = rcorp.select(col("vec_id"), col("rv").as("v"))
     val rcb = codebookOf(rv, m, codebookK)
-    val codes = pqCodesAgainst(rcb, rv, m)
-      .join(rcorp.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // The cell key rides through the code assignment (round 20) —
+    // [[residualsOf]] carries it beside the residual, so the old
+    // re-attach join on vec_id is gone.
+    val codes = pqCodesAgainst(rcb,
+      rcorp.select(col("vec_id"), col("cell"), col("rv").as("v")), m)
     (rcb, codes)
   }
 
@@ -2587,13 +2603,14 @@ object Similarity {
   private def ivfPqCodeRows(codebook: DataFrame, rcorp: DataFrame,
       vecs: DataFrame, m: Int): DataFrame = {
     val metaCols = vecs.columns.filterNot(c => c == "v" || c == "vec_id")
-    val base = pqCodesAgainst(codebook, rcorp.select(col("vec_id"),
-        col("rv").as("v")), m)
-      .join(rcorp.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    val withMeta =
-      if (metaCols.isEmpty) base
-      else base.join(vecs.drop("v"), Seq("vec_id"))
-    withMeta.select((Seq("vec_id", "sub", "cid") ++ metaCols ++
+    // The cell key and the metadata ride through the code assignment
+    // (round 20): [[residualsOf]] is a pure projection that carries
+    // every non-vector input column, so the old cell re-attach join
+    // AND the metadata re-attach join are gone from the encode path.
+    val base = pqCodesAgainst(codebook, rcorp.select(
+      (Seq(col("vec_id")) ++ metaCols.map(col) ++
+        Seq(col("cell"), col("rv").as("v"))): _*), m)
+    base.select((Seq("vec_id", "sub", "cid") ++ metaCols ++
       Seq("cell")).map(col): _*)
   }
 
@@ -2829,15 +2846,29 @@ object Similarity {
           sum(col("x").cast("decimal(38,18)")).as("sx"))
         .select(col("cid"), col("pos"), col("n"),
           round(col("sx").cast("double") / col("n"), 6).as("cmean"))
-    var cents = means(vecs.select(
+    // Each round's k×dim means MATERIALIZE to the driver and the loop
+    // continues from a LocalRelation (round 20). The per-round
+    // csLiteral collect already pulls exactly these rows; continuing
+    // from the live lineage instead made every round's collect RE-RUN
+    // all preceding rounds from scratch (quadratic re-execution in
+    // iters) and re-optimize a literal-heavy plan that deepens per
+    // round. Values are bit-identical — the same collected doubles
+    // feed the same assignment expression — and downstream consumers
+    // (centroid writes, collectCents) now run against bounded local
+    // rows instead of replaying the trajectory per action, which also
+    // makes [[imiTrainedCents]]' old localCheckpoint redundant.
+    def localized(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    var cents = localized(means(vecs.select(
       graft.operators.Sampling.hashBucket(col("vec_id"), k).as("cid"),
-      col("v")))
+      col("v"))))
     for (_ <- 1 to iters) {
       val cs = csLiteral(cents, "pos")
       val assigned = vecs
         .select(nearestIn(cs, col("v")).as("cid"), col("v"))
         .filter(col("cid").isNotNull)
-      cents = means(assigned)
+      cents = localized(means(assigned))
     }
     cents.select(col("cid"), (col("pos") + 1).as("dim"), col("n"),
       col("cmean"))
@@ -2951,6 +2982,19 @@ object Similarity {
       n: Int): DataFrame =
     trainedAssignRanked(src, cents, n).select(col("probe_id"), col("cid"))
 
+  /** `src` with its rank-1 trained cell computed INLINE on the row —
+    * [[trainedAssign]] at n = 1 as a pure projection that keeps every
+    * input column (round 20): the build/append legs of the
+    * cell-partitioned layouts used to compute the assignment as a
+    * separate frame and re-attach it with a corpus-sized join on
+    * vec_id; the assignment depends only on the row's own vector and
+    * the bounded quantizer, so the join bought nothing. Same argmin
+    * expression ([[nearestIn]] over [[distStructs]]), same null
+    * filter for an empty quantizer — assignments bit-identical. */
+  private def withInlineCell(src: DataFrame, cents: DataFrame): DataFrame =
+    src.withColumn("cell", nearestIn(csLiteral(cents, "dim"), col("v")))
+      .filter(col("cell").isNotNull)
+
   /** [[trainedAssign]] with the assignment RANK kept — (probe_id,
     * cid, rn), rn 1-based by (rounded L2² asc, cid asc) — so a
     * multi-nprobe enumeration (the recall curve) can scope one
@@ -2999,14 +3043,15 @@ object Similarity {
 
   /** Train both half-quantizers by hash-seeded Lloyd. Each trained
     * table feeds BOTH the corpus-index and the probe-assignment
-    * branches; localCheckpoint materializes the kSub×dim means once so
-    * each trajectory runs once per query, not once per consuming
-    * branch (the recall curve's measured discipline — values
-    * identical, eager cut accepted for a quantizer-bounded table). */
+    * branches; [[kmeansTrain]] returns its means as a LocalRelation
+    * (round 20), so each trajectory already runs exactly once per
+    * query and every consuming branch reads bounded local rows — the
+    * localCheckpoint that used to enforce this is redundant (it
+    * re-materialized the local rows through an RDD and made every
+    * later consumer action a cluster job again). */
   private[graft] def imiTrainedCents(vecs: DataFrame, kSub: Int,
       iters: Int): Seq[DataFrame] =
-    Seq(0, 1).map(s =>
-      kmeansTrain(imiHalf(vecs, s), kSub, iters).localCheckpoint())
+    Seq(0, 1).map(s => kmeansTrain(imiHalf(vecs, s), kSub, iters))
 
   /** TRAINED half-quantizers re-keyed to the (sub, clabel, pos,
     * cmean) half-codebook shape ([[imiSubCentroids]]'s), so the
@@ -3230,15 +3275,14 @@ object Similarity {
       cents: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val idx = trainedAssign(vecs, cents, 1)
-      .select(col("probe_id").as("corpus_id"), col("cid").as("cell"))
     val pcells = trainedAssign(probes, cents, nprobe)
       .select(col("probe_id"), col("cid").as("pcell"))
     val pb = withNorm(probes).select(col("vec_id").as("probe_id"),
       col("v").as("pv"), col("nrm").as("pnrm"))
       .join(pcells, Seq("probe_id"))
-    val corpus = withNorm(vecs)
-      .join(idx, col("vec_id") === col("corpus_id"))
+    // Inline rank-1 assignment on the corpus row ([[withInlineCell]],
+    // round 20) — no assignment frame, no re-attach join.
+    val corpus = withInlineCell(withNorm(vecs), cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val scored = pb
       .join(corpus,
@@ -3268,9 +3312,10 @@ object Similarity {
     // so the assignment is bit-identical either way.
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     val stored = vecs.sparkSession.read.parquet(s"$dir/centroids")
-    val cells = trainedAssign(vecs, stored, 1)
-      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
-    withNorm(vecs).join(cells, Seq("vec_id"))
+    // Inline rank-1 assignment on the row ([[withInlineCell]],
+    // round 20) — the separate assignment frame + corpus-sized
+    // re-attach join on vec_id are gone; same argmin, same rows.
+    withInlineCell(withNorm(vecs), stored)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/index")
     // Layout marker: the flat and SQ8 layouts both store an `index/`
@@ -3306,9 +3351,7 @@ object Similarity {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_flat",
       "fmt" -> "1")
     val cents = spark.read.parquet(s"$dir/centroids")
-    val cells = trainedAssign(vecs2, cents, 1)
-      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
-    val rows = withNorm(vecs2).join(cells, Seq("vec_id"))
+    val rows = withInlineCell(withNorm(vecs2), cents)
     // Same loud column-set contract as the IMI append: this layout
     // persists ALL input columns (metadata rides beside the vector
     // for searchIvfIndexWhere), so a mismatched batch must fail at
@@ -3662,9 +3705,9 @@ object Similarity {
     clearTombstones(vecs.sparkSession, dir)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     val stored = vecs.sparkSession.read.parquet(s"$dir/centroids")
-    val cells = trainedAssign(vecs, stored, 1)
-      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
-    sq8Rows(vecs).join(cells, Seq("vec_id"))
+    // Inline assignment + metadata carry ([[withInlineCell]] under
+    // [[sq8Rows]]' projection, round 20) — no re-attach join.
+    sq8Rows(withInlineCell(vecs, stored))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/index")
     IndexMeta.write(vecs.sparkSession, dir, "layout" -> "ivf_sq8",
@@ -3682,9 +3725,7 @@ object Similarity {
     IndexMeta.requireMatch(spark, dir, "layout" -> "ivf_sq8",
       "fmt" -> "1")
     val cents = spark.read.parquet(s"$dir/centroids")
-    val cells = trainedAssign(vecs2, cents, 1)
-      .select(col("probe_id").as("vec_id"), col("cid").as("cell"))
-    val rows = sq8Rows(vecs2).join(cells, Seq("vec_id"))
+    val rows = sq8Rows(withInlineCell(vecs2, cents))
     // Rows may carry metadata for the filtered serve — same column-set
     // + type contract as every metadata-carrying append leg.
     FsOps.requireAppendColumns(spark, s"$dir/index", rows, "appendIvfSq8Index")

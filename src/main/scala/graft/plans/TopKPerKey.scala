@@ -46,23 +46,16 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = c)
 }
 
-case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: SparkPlan) extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output
-
-  /** Co-locate each key's rows; any hash partitioning on the keys
-    * satisfies this, so AQE sizes the exchange as usual. */
-  override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
-
-  /** Filtering rows within a partition preserves the child's layout —
-    * advertising it lets a downstream groupBy/join on the same keys
-    * skip its exchange. */
-  override def outputPartitioning:
-      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
-    child.outputPartitioning
-
-  override protected def doExecute(): RDD[InternalRow] = {
+/** The shared per-partition heap pass of the two top-k stages: top k
+  * rows per key within each input partition. Top-k per key is a
+  * semigroup (top-k of a union = top-k of the per-part top-ks merged),
+  * so running the SAME pass before and after the key exchange is the
+  * partial/final aggregate split (guide: aggregate before you shuffle)
+  * — the exchange carries at most keys·k rows per map task instead of
+  * every input row. */
+private[plans] object TopKHeapPass {
+  def run(child: SparkPlan, keys: Seq[Expression], order: Seq[SortOrder],
+      k: Int): RDD[InternalRow] = {
     // Locals only in the task closure — capturing `this` would drag the
     // whole plan tree (non-serializable SparkPlan) into the task.
     val childOutput = child.output
@@ -104,6 +97,47 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         .flatMap(_._2.rows)
     }
   }
+}
+
+/** Map-side (pre-exchange) top-k per key: no distribution requirement,
+  * so it runs on whatever layout the child has and bounds what the
+  * exchange ships to keys·k rows per task. Correct for exactly the
+  * reason the sharded-synopsis operators are: every globally-top-k row
+  * of a key is top-k within its own partition too. */
+case class TopKPerKeyPartialExec(keys: Seq[Expression],
+    order: Seq[SortOrder], k: Int, child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] =
+    TopKHeapPass.run(child, keys, order, k)
+
+  override protected def withNewChildInternal(
+      c: SparkPlan): TopKPerKeyPartialExec = copy(child = c)
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  /** Co-locate each key's rows; any hash partitioning on the keys
+    * satisfies this, so AQE sizes the exchange as usual. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  /** Filtering rows within a partition preserves the child's layout —
+    * advertising it lets a downstream groupBy/join on the same keys
+    * skip its exchange. */
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] =
+    TopKHeapPass.run(child, keys, order, k)
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
     copy(child = c)
@@ -145,7 +179,12 @@ private[plans] final class TopKHeap(limit: Int,
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // Partial under final (round 20): EnsureRequirements plants the
+      // key exchange between them, so the shuffle ships at most
+      // keys·k rows per map task — the partial/final split every
+      // built-in aggregate already gets.
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

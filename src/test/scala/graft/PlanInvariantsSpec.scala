@@ -130,15 +130,17 @@ class PlanInvariantsSpec extends SparkSpec {
     // when an iteration constant changes.
     import org.apache.spark.sql.catalyst.plans.logical.Window
 
-    // sim_kmeans_train (round-19 kernel): each Lloyd round's
-    // assignment is an inline array_min argmin over the COLLECTED
-    // previous-round centroids, so prior rounds no longer appear in
-    // the returned plan at all — the final frame carries exactly ONE
-    // argmin projection (the last round's means input) and zero
-    // Windows. The iteration COUNT itself is pinned harder than any
-    // plan signature could: the DuckDB oracle replays the trajectory
-    // sequentially (seed → c0 → a1 → c1 → a2 → c2), so an extra or
-    // missing round changes every mean and fails the hash gate.
+    // sim_kmeans_train (round-19 kernel, round-20 localization): each
+    // Lloyd round's assignment is an inline array_min argmin over the
+    // COLLECTED previous-round centroids, and since round 20 each
+    // round's means themselves materialize to a LocalRelation — the
+    // returned frame is a bounded local table with zero Windows and
+    // zero argmin projections left in its plan (the rounds ran
+    // eagerly at build). The iteration COUNT itself is pinned harder
+    // than any plan signature could be: the DuckDB oracle replays the
+    // trajectory sequentially (seed → c0 → a1 → c1 → a2 → c2), so an
+    // extra or missing round changes every mean and fails the hash
+    // gate.
     val km = SparkEntry.queries("sim_kmeans_train")(spark, sfDir)
     val kmWindows = km.queryExecution.analyzed.collect {
       case w: Window => w
@@ -148,9 +150,15 @@ class PlanInvariantsSpec extends SparkSpec {
         s"assignment), got $kmWindows")
     val kmArgmins = "array_min\\(transform\\(".r
       .findAllIn(km.queryExecution.analyzed.toString).size
-    assert(kmArgmins == 1,
-      s"sim_kmeans_train: expected exactly 1 inline argmin " +
-        s"assignment in the final frame, got $kmArgmins")
+    assert(kmArgmins == 0,
+      s"sim_kmeans_train: expected a localized means table (0 argmin " +
+        s"projections in the final frame), got $kmArgmins")
+    val kmLocal = km.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.size
+    assert(kmLocal == 1,
+      s"sim_kmeans_train: expected the trained means as exactly 1 " +
+        s"LocalRelation, got $kmLocal")
 
     // graph_pagerank runs iterations = 3: the contrib projection
     // (`rank_micro div outd AS contrib`) appears once per round in the
